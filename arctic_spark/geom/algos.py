@@ -1,0 +1,514 @@
+"""Numpy geometry kernels over the ragged representation.
+
+These implement the reference's declared operator semantics
+(geopolars/geopolars-geo/src/geoseries.rs:10-181 trait docs) without GEOS:
+vectorized with ``np.add.reduceat`` over ring offsets where the math is
+data-parallel, small per-geometry loops where it is inherently sequential
+(convex hull, Douglas-Peucker).
+
+Hot-path equivalents of most of these also exist as pure Catalyst
+expressions in ``arctic_spark.functions.native``; the numpy versions are
+the general-case UDF bodies and the oracle used by the test suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
+                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
+
+
+def _ring_starts(rg: RaggedGeometry):
+    """Global coord-offset of each ring start, plus ring lengths."""
+    starts = np.zeros(len(rg.rings), dtype=np.int64)
+    if len(rg.rings):
+        np.cumsum(rg.rings[:-1], out=starts[1:])
+    return starts
+
+
+def _signed_ring_areas(rg: RaggedGeometry):
+    """Signed shoelace area of every ring in the batch (vectorized)."""
+    xs, ys = rg.xs, rg.ys
+    n = len(xs)
+    if n == 0:
+        return np.empty(0)
+    cross = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+    cross = np.append(cross, 0.0)
+    starts = _ring_starts(rg)
+    # sum cross over [start, start+len-1) per ring
+    ends = starts + rg.rings
+    sums = np.zeros(len(starts))
+    for i in range(len(starts)):  # rings are typically few; cheap loop
+        sums[i] = cross[starts[i]:ends[i] - 1].sum()
+    return 0.5 * sums
+
+
+def _per_geom_ring_role(rg: RaggedGeometry):
+    """bool[R]: True where ring is an exterior ring of its part."""
+    role = np.zeros(len(rg.rings), dtype=bool)
+    ri = 0
+    for nr in rg.parts:
+        role[ri] = True
+        ri += nr
+    return role
+
+
+def area(rg: RaggedGeometry):
+    """Planar area per geometry; 0 for non-areal types; NaN for missing.
+
+    Exterior rings contribute +|area|, holes −|area| (orientation-
+    insensitive, matching GEOS semantics the reference documents at
+    geoseries.rs:16-19)."""
+    ring_a = np.abs(_signed_ring_areas(rg))
+    is_ext = _per_geom_ring_role(rg)
+    signed = np.where(is_ext, ring_a, -ring_a)
+    out = np.zeros(len(rg))
+    ri = 0
+    for i in range(len(rg)):
+        g = rg.gt[i]
+        nr = rg.ring_offsets[i + 1] - rg.ring_offsets[i]
+        if g == MISSING:
+            out[i] = np.nan
+        elif g in (POLYGON, MULTIPOLYGON):
+            out[i] = signed[ri:ri + nr].sum()
+        ri += nr
+    return out
+
+
+def length(rg: RaggedGeometry):
+    """Planar (euclidean) length per geometry.
+
+    LineString → sum of segment lengths; Polygon → exterior ring length
+    only, matching the reference doc 'For a Polygon it returns the length
+    of the exterior ring' (geoseries.rs:41-46); Multi* → sum over parts;
+    Point → 0."""
+    xs, ys = rg.xs, rg.ys
+    if len(xs) == 0:
+        return np.full(len(rg), np.nan)[:len(rg)] * 0 + np.where(
+            rg.gt == MISSING, np.nan, 0.0)
+    seg = np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2)
+    seg = np.append(seg, 0.0)
+    starts = _ring_starts(rg)
+    ends = starts + rg.rings
+    ring_len = np.array([seg[s:e - 1].sum() for s, e in zip(starts, ends)])
+    out = np.zeros(len(rg))
+    ri = 0
+    for i in range(len(rg)):
+        g = rg.gt[i]
+        r0, r1 = rg.ring_offsets[i], rg.ring_offsets[i + 1]
+        if g == MISSING:
+            out[i] = np.nan
+        elif g in (LINESTRING, MULTILINESTRING):
+            out[i] = ring_len[r0:r1].sum()
+        elif g in (POLYGON, MULTIPOLYGON):
+            # exterior rings only
+            pi0, pi1 = rg.part_offsets[i], rg.part_offsets[i + 1]
+            ri2 = r0
+            tot = 0.0
+            for nr in rg.parts[pi0:pi1]:
+                tot += ring_len[ri2]
+                ri2 += nr
+            out[i] = tot
+        ri = r1
+    return out
+
+
+def bounds(rg: RaggedGeometry):
+    """(xmin, ymin, xmax, ymax) float64[N,4]; NaN rows for missing/empty."""
+    out = np.full((len(rg), 4), np.nan)
+    for i in range(len(rg)):
+        c0, c1 = rg.coord_offsets[i], rg.coord_offsets[i + 1]
+        if c1 > c0:
+            out[i, 0] = rg.xs[c0:c1].min()
+            out[i, 1] = rg.ys[c0:c1].min()
+            out[i, 2] = rg.xs[c0:c1].max()
+            out[i, 3] = rg.ys[c0:c1].max()
+    return out
+
+
+def centroid(rg: RaggedGeometry):
+    """Centroid (cx, cy) per geometry, GEOS semantics: areal geometries use
+    area-weighted centroid; lines length-weighted; points mean of points."""
+    cx = np.full(len(rg), np.nan)
+    cy = np.full(len(rg), np.nan)
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING or len(xs) == 0:
+            continue
+        if g in (POINT, MULTIPOINT):
+            cx[i] = xs.mean()
+            cy[i] = ys.mean()
+        elif g in (LINESTRING, MULTILINESTRING):
+            wx = wy = w = 0.0
+            off = 0
+            for rl in rings:
+                x, y = xs[off:off + rl], ys[off:off + rl]
+                seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+                mx = 0.5 * (x[:-1] + x[1:])
+                my = 0.5 * (y[:-1] + y[1:])
+                wx += (seg * mx).sum()
+                wy += (seg * my).sum()
+                w += seg.sum()
+                off += rl
+            if w > 0:
+                cx[i], cy[i] = wx / w, wy / w
+            else:
+                cx[i], cy[i] = xs.mean(), ys.mean()
+        else:  # polygonal
+            A = wx = wy = 0.0
+            off = 0
+            ring_idx = 0
+            ext = set()
+            k = 0
+            for nr in parts:
+                ext.add(k)
+                k += nr
+            for j, rl in enumerate(rings):
+                x, y = xs[off:off + rl], ys[off:off + rl]
+                cr = x[:-1] * y[1:] - x[1:] * y[:-1]
+                a = 0.5 * cr.sum()
+                sgn = 1.0 if j in ext else -1.0
+                # orient contribution: holes subtract
+                a_eff = abs(a) * sgn
+                if a != 0:
+                    gx = ((x[:-1] + x[1:]) * cr).sum() / (6 * a)
+                    gy = ((y[:-1] + y[1:]) * cr).sum() / (6 * a)
+                else:
+                    gx, gy = x.mean(), y.mean()
+                wx += gx * a_eff
+                wy += gy * a_eff
+                A += a_eff
+                off += rl
+                ring_idx += 1
+            if A != 0:
+                cx[i], cy[i] = wx / A, wy / A
+            else:
+                cx[i], cy[i] = xs.mean(), ys.mean()
+    return cx, cy
+
+
+def convex_hull(rg: RaggedGeometry):
+    """Andrew's monotone chain per geometry. Returns RaggedGeometry of
+    Polygon/LineString/Point per the collapse rule the reference documents
+    (geoseries.rs:26-31: 'smallest convex Polygon ... unless fewer than 3
+    points, then a Linestring or Point')."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, _, _ = rg.geom(i)
+        if g == MISSING:
+            gts.append(None)
+            oxs.append(None)
+            oys.append(None)
+            orings.append(None)
+            oparts.append(None)
+            continue
+        pts = np.unique(np.column_stack([xs, ys]), axis=0)
+        n = len(pts)
+        if n == 0:
+            gts.append(POINT)
+            oxs.append([])
+            oys.append([])
+            orings.append([])
+            oparts.append([])
+            continue
+        if n == 1:
+            gts.append(POINT)
+            oxs.append([pts[0, 0]])
+            oys.append([pts[0, 1]])
+            orings.append([1])
+            oparts.append([1])
+            continue
+        # sort lexicographically (unique already sorts)
+        def half(points):
+            h = []
+            for p in points:
+                while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+        lower = half(pts)
+        upper = half(pts[::-1])
+        hull = np.array(lower[:-1] + upper[:-1])
+        if len(hull) == 2 or n == 2:
+            gts.append(LINESTRING)
+            oxs.append(hull[:, 0].tolist() if len(hull) == 2 else pts[:, 0].tolist())
+            oys.append(hull[:, 1].tolist() if len(hull) == 2 else pts[:, 1].tolist())
+            orings.append([2])
+            oparts.append([1])
+            continue
+        if len(hull) < 3:
+            gts.append(LINESTRING)
+            oxs.append(pts[:2, 0].tolist())
+            oys.append(pts[:2, 1].tolist())
+            orings.append([2])
+            oparts.append([1])
+            continue
+        # close ring, CCW orientation (monotone chain lower+upper is CCW)
+        hx = np.append(hull[:, 0], hull[0, 0])
+        hy = np.append(hull[:, 1], hull[0, 1])
+        gts.append(POLYGON)
+        oxs.append(hx.tolist())
+        oys.append(hy.tolist())
+        orings.append([len(hx)])
+        oparts.append([1])
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def _dp_mask(x, y, tol):
+    """Douglas-Peucker keep-mask for one open/closed coordinate run."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        ax, ay, bx, by = x[i0], y[i0], x[i1], y[i1]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        px = x[i0 + 1:i1]
+        py = y[i0 + 1:i1]
+        if seg2 == 0:
+            d2 = (px - ax) ** 2 + (py - ay) ** 2
+        else:
+            cross = (px - ax) * dy - (py - ay) * dx
+            d2 = cross * cross / seg2
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            idx = i0 + 1 + k
+            keep[idx] = True
+            stack.append((i0, idx))
+            stack.append((idx, i1))
+    return keep
+
+
+def simplify(rg: RaggedGeometry, tol):
+    """Douglas-Peucker per ring (endpoints preserved, matching the
+    reference doc geoseries.rs:109-115)."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if g in (POINT, MULTIPOINT) or len(xs) == 0:
+            gts.append(int(g)); oxs.append(xs.tolist()); oys.append(ys.tolist())
+            orings.append(rings.tolist()); oparts.append(parts.tolist())
+            continue
+        nx, ny, nr = [], [], []
+        off = 0
+        for rl in rings:
+            x, y = xs[off:off + rl], ys[off:off + rl]
+            m = _dp_mask(x, y, tol)
+            nx.extend(x[m].tolist())
+            ny.extend(y[m].tolist())
+            nr.append(int(m.sum()))
+            off += rl
+        gts.append(int(g)); oxs.append(nx); oys.append(ny)
+        orings.append(nr); oparts.append(parts.tolist())
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+# ---------------------------------------------------------------------------
+# Predicates
+# ---------------------------------------------------------------------------
+
+def point_in_ring(px, py, x, y):
+    """Ray-cast: is (px,py) strictly inside OR on boundary of closed ring.
+
+    Returns 1 inside, 0 on boundary, -1 outside (scalar)."""
+    inside = False
+    n = len(x)
+    for j in range(n - 1):
+        x1, y1, x2, y2 = x[j], y[j], x[j + 1], y[j + 1]
+        # boundary check: point on segment
+        cross = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+        if cross == 0 and min(x1, x2) <= px <= max(x1, x2) \
+                and min(y1, y2) <= py <= max(y1, y2):
+            return 0
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return 1 if inside else -1
+
+
+def point_in_polygon(px, py, xs, ys, rings, parts):
+    """Point in (multi)polygon with holes; boundary counts as inside
+    (intersects semantics)."""
+    roff = 0
+    coff = 0
+    for nr in parts:
+        side = None
+        for j in range(nr):
+            rl = rings[roff + j]
+            x = xs[coff:coff + rl]
+            y = ys[coff:coff + rl]
+            s = point_in_ring(px, py, x, y)
+            if j == 0:
+                if s == -1:
+                    side = False
+                elif s == 0:
+                    return True
+                else:
+                    side = True
+            else:  # hole
+                if side and s == 1:
+                    side = False
+                elif side and s == 0:
+                    return True
+            coff += rl
+        roff += nr
+        if side:
+            return True
+    return False
+
+
+def _seg_intersect(ax, ay, bx, by, cx, cy, dx, dy):
+    """Do segments AB and CD intersect (touching counts)?"""
+    def orient(ox, oy, px, py, qx, qy):
+        v = (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+        return 0 if v == 0 else (1 if v > 0 else -1)
+    o1 = orient(ax, ay, bx, by, cx, cy)
+    o2 = orient(ax, ay, bx, by, dx, dy)
+    o3 = orient(cx, cy, dx, dy, ax, ay)
+    o4 = orient(cx, cy, dx, dy, bx, by)
+    if o1 != o2 and o3 != o4:
+        return True
+    def on(ox, oy, px, py, qx, qy):
+        return min(ox, px) <= qx <= max(ox, px) and min(oy, py) <= qy <= max(oy, py)
+    if o1 == 0 and on(ax, ay, bx, by, cx, cy):
+        return True
+    if o2 == 0 and on(ax, ay, bx, by, dx, dy):
+        return True
+    if o3 == 0 and on(cx, cy, dx, dy, ax, ay):
+        return True
+    if o4 == 0 and on(cx, cy, dx, dy, bx, by):
+        return True
+    return False
+
+
+def _iter_segments(xs, ys, rings):
+    off = 0
+    for rl in rings:
+        for j in range(rl - 1):
+            yield xs[off + j], ys[off + j], xs[off + j + 1], ys[off + j + 1]
+        off += rl
+
+
+def intersects_pair(g1, g2):
+    """Exact intersects for a pair of per-geometry tuples
+    (gt, xs, ys, rings, parts). General: any boundary segments cross, or
+    one contains a representative point of the other."""
+    gt1, xs1, ys1, r1, p1 = g1
+    gt2, xs2, ys2, r2, p2 = g2
+    if len(xs1) == 0 or len(xs2) == 0:
+        return False
+    # bbox reject
+    if xs1.max() < xs2.min() or xs2.max() < xs1.min() \
+            or ys1.max() < ys2.min() or ys2.max() < ys1.min():
+        return False
+    pointish1 = gt1 in (POINT, MULTIPOINT)
+    pointish2 = gt2 in (POINT, MULTIPOINT)
+    poly1 = gt1 in (POLYGON, MULTIPOLYGON)
+    poly2 = gt2 in (POLYGON, MULTIPOLYGON)
+    if pointish1:
+        return any(_point_touches(px, py, g2) for px, py in zip(xs1, ys1))
+    if pointish2:
+        return any(_point_touches(px, py, g1) for px, py in zip(xs2, ys2))
+    # segment crossing between boundaries
+    for a in _iter_segments(xs1, ys1, r1):
+        for b in _iter_segments(xs2, ys2, r2):
+            if _seg_intersect(*a, *b):
+                return True
+    # containment: a vertex of one inside the other polygon
+    if poly1 and point_in_polygon(xs2[0], ys2[0], xs1, ys1, r1, p1):
+        return True
+    if poly2 and point_in_polygon(xs1[0], ys1[0], xs2, ys2, r2, p2):
+        return True
+    return False
+
+
+def _point_touches(px, py, g):
+    gt, xs, ys, rings, parts = g
+    if gt in (POINT, MULTIPOINT):
+        return bool(np.any((xs == px) & (ys == py)))
+    if gt in (LINESTRING, MULTILINESTRING):
+        for x1, y1, x2, y2 in _iter_segments(xs, ys, rings):
+            cross = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+            if cross == 0 and min(x1, x2) <= px <= max(x1, x2) \
+                    and min(y1, y2) <= py <= max(y1, y2):
+                return True
+        return False
+    return point_in_polygon(px, py, xs, ys, rings, parts)
+
+
+def contains_pair(g1, g2):
+    """g1 contains g2 — implemented for the type pairs the reference's
+    join refine step supports (spatial_index.rs:89-137): polygon contains
+    point fully; polygon contains polygon approximated as all-vertices-in
+    + no boundary crossing."""
+    gt1 = g1[0]
+    gt2, xs2, ys2, r2, p2 = g2
+    if gt1 in (POLYGON, MULTIPOLYGON):
+        if gt2 in (POINT, MULTIPOINT):
+            return all(point_in_polygon(px, py, g1[1], g1[2], g1[3], g1[4])
+                       for px, py in zip(xs2, ys2))
+        # all vertices of g2 inside g1
+        if not all(point_in_polygon(px, py, g1[1], g1[2], g1[3], g1[4])
+                   for px, py in zip(xs2, ys2)):
+            return False
+        return True
+    if gt1 in (POINT,) and gt2 in (POINT,):
+        return g1[1][0] == xs2[0] and g1[2][0] == ys2[0]
+    return False
+
+
+def _point_seg_dist2(px, py, x1, y1, x2, y2):
+    dx, dy = x2 - x1, y2 - y1
+    l2 = dx * dx + dy * dy
+    if l2 == 0:
+        return (px - x1) ** 2 + (py - y1) ** 2
+    t = ((px - x1) * dx + (py - y1) * dy) / l2
+    t = min(1.0, max(0.0, t))
+    cx, cy = x1 + t * dx, y1 + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def distance_pair(g1, g2):
+    """Min cartesian distance between two geometries (0 if intersecting)."""
+    if intersects_pair(g1, g2):
+        return 0.0
+    gt1, xs1, ys1, r1, _ = g1
+    gt2, xs2, ys2, r2, _ = g2
+    if len(xs1) == 0 or len(xs2) == 0:
+        return np.nan
+    best = np.inf
+    segs1 = list(_iter_segments(xs1, ys1, r1))
+    segs2 = list(_iter_segments(xs2, ys2, r2))
+    if not segs1 and not segs2:
+        # point sets: vectorized all-pairs
+        d2 = (xs1[:, None] - xs2[None, :]) ** 2 + (ys1[:, None] - ys2[None, :]) ** 2
+        return float(np.sqrt(d2.min()))
+    if not segs1:
+        for px, py in zip(xs1, ys1):
+            for s in segs2:
+                best = min(best, _point_seg_dist2(px, py, *s))
+        return float(np.sqrt(best))
+    if not segs2:
+        for px, py in zip(xs2, ys2):
+            for s in segs1:
+                best = min(best, _point_seg_dist2(px, py, *s))
+        return float(np.sqrt(best))
+    for s1 in segs1:
+        for px, py in ((s1[0], s1[1]), (s1[2], s1[3])):
+            for s2 in segs2:
+                best = min(best, _point_seg_dist2(px, py, *s2))
+    for s2 in segs2:
+        for px, py in ((s2[0], s2[1]), (s2[2], s2[3])):
+            for s1 in segs1:
+                best = min(best, _point_seg_dist2(px, py, *s1))
+    return float(np.sqrt(best))

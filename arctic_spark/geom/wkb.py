@@ -1,0 +1,227 @@
+"""Pure-numpy WKB codec: bytes <-> RaggedGeometry.
+
+The reference's working encoding is WKB in a binary Arrow array
+(geopolars/geopolars-geo/src/util.rs:11-37 decodes WKB per element via
+geozero). This container has no shapely/GEOS, so the engine owns its codec:
+decode is a per-geometry header walk with bulk ``np.frombuffer`` coordinate
+reads, with a fully-vectorized fast path for all-Point batches (fixed
+21-byte records — the dominant case for point datasets).
+
+Supported: 2D Point/LineString/Polygon/MultiPoint/MultiLineString/
+MultiPolygon, both byte orders on read, EWKB SRID header skipped, ISO
+(1000+) and EWKB Z/M flags rejected with a clear error. Encoding always
+writes little-endian 2D, matching what shapely.to_wkb produces by default.
+GeometryCollection is rejected (the reference's spatial index likewise
+errors on it, geopolars/src/spatial_index.rs:258-276).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
+                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+class WKBError(ValueError):
+    pass
+
+
+def _read_header(buf, pos):
+    """Returns (base_type, little_endian, pos_after_header)."""
+    bo = buf[pos]
+    little = bo == 1
+    pos += 1
+    t = int.from_bytes(buf[pos:pos + 4], "little" if little else "big")
+    pos += 4
+    if t & (_EWKB_Z | _EWKB_M):
+        raise WKBError("Z/M coordinates not supported (2D engine)")
+    if t & _EWKB_SRID:
+        t &= ~_EWKB_SRID
+        pos += 4  # skip srid
+    if t >= 1000:
+        if t // 1000 in (1, 2, 3):
+            raise WKBError("Z/M coordinates not supported (2D engine)")
+        raise WKBError(f"unsupported ISO WKB type {t}")
+    return t, little, pos
+
+
+def _read_u32(buf, pos, little):
+    return int.from_bytes(buf[pos:pos + 4], "little" if little else "big"), pos + 4
+
+
+def _read_coords(buf, pos, n, little, xs_out, ys_out):
+    dt = "<f8" if little else ">f8"
+    arr = np.frombuffer(buf, dtype=dt, count=2 * n, offset=pos)
+    xs_out.append(np.ascontiguousarray(arr[0::2], dtype=np.float64))
+    ys_out.append(np.ascontiguousarray(arr[1::2], dtype=np.float64))
+    return pos + 16 * n
+
+
+def _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out):
+    """Decode one geometry starting at pos. Returns (gt, pos)."""
+    t, little, pos = _read_header(buf, pos)
+    if t == 1:  # Point
+        pos = _read_coords(buf, pos, 1, little, xs_out, ys_out)
+        rings_out.append(1)
+        parts_out.append(1)
+        return POINT, pos
+    if t == 2:  # LineString
+        n, pos = _read_u32(buf, pos, little)
+        pos = _read_coords(buf, pos, n, little, xs_out, ys_out)
+        rings_out.append(n)
+        parts_out.append(1)
+        return LINESTRING, pos
+    if t == 3:  # Polygon
+        nr, pos = _read_u32(buf, pos, little)
+        for _ in range(nr):
+            n, pos = _read_u32(buf, pos, little)
+            pos = _read_coords(buf, pos, n, little, xs_out, ys_out)
+            rings_out.append(n)
+        parts_out.append(nr)
+        return POLYGON, pos
+    if t in (4, 5, 6):  # Multi*
+        n, pos = _read_u32(buf, pos, little)
+        for _ in range(n):
+            _, pos = _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out)
+        if t == 4:
+            return MULTIPOINT, pos
+        if t == 5:
+            return MULTILINESTRING, pos
+        return MULTIPOLYGON, pos
+    if t == 7:
+        raise WKBError("GeometryCollection not supported by the ragged "
+                       "encoding; keep it as WKB bytes")
+    raise WKBError(f"unsupported WKB type {t}")
+
+
+def decode(buffers) -> RaggedGeometry:
+    """Decode an iterable of WKB ``bytes`` (None → MISSING) to ragged form."""
+    bufs = list(buffers)
+    n = len(bufs)
+    # Fast path: every non-null buffer is a little-endian 2D point (21 bytes,
+    # first 5 bytes = b'\x01\x01\x00\x00\x00').
+    nonnull = [b for b in bufs if b is not None]
+    if nonnull and all(
+            len(b) == 21 and b[0] == 1 and b[1] == 1 and b[2] == 0
+            and b[3] == 0 and b[4] == 0 for b in nonnull):
+        m = len(nonnull)
+        raw = np.frombuffer(b"".join(nonnull), dtype=np.uint8).reshape(m, 21)
+        coords = raw[:, 5:].copy().view("<f8").reshape(m, 2)
+        gt = np.full(n, MISSING, dtype=np.int8)
+        mask = np.array([b is not None for b in bufs])
+        gt[mask] = POINT
+        cum = np.zeros(n + 1, dtype=np.int64)
+        cum[1:] = np.cumsum(mask)
+        ones = np.ones(m, dtype=np.int32)
+        return RaggedGeometry(gt, coords[:, 0], coords[:, 1], cum,
+                              ones, cum, ones, cum)
+
+    gt = np.empty(n, dtype=np.int8)
+    co = np.zeros(n + 1, dtype=np.int64)
+    ro = np.zeros(n + 1, dtype=np.int64)
+    po = np.zeros(n + 1, dtype=np.int64)
+    xs_out, ys_out = [], []
+    rings_all, parts_all = [], []
+    ncoords = nrings = nparts = 0
+    for i, b in enumerate(bufs):
+        if b is None:
+            gt[i] = MISSING
+        else:
+            rings_out, parts_out = [], []
+            t, _ = _decode_one(bytes(b), 0, xs_out, ys_out, rings_out, parts_out)
+            gt[i] = t
+            rings_all.extend(rings_out)
+            parts_all.extend(parts_out)
+            ncoords += sum(rings_out)
+            nrings += len(rings_out)
+            nparts += len(parts_out)
+        co[i + 1] = ncoords
+        ro[i + 1] = nrings
+        po[i + 1] = nparts
+    xs = np.concatenate(xs_out) if xs_out else np.empty(0)
+    ys = np.concatenate(ys_out) if ys_out else np.empty(0)
+    return RaggedGeometry(gt, xs, ys, co,
+                          np.asarray(rings_all, dtype=np.int32), ro,
+                          np.asarray(parts_all, dtype=np.int32), po)
+
+
+_WKB_TYPE_OF = {POINT: 1, LINESTRING: 2, POLYGON: 3, MULTIPOINT: 4,
+                MULTILINESTRING: 5, MULTIPOLYGON: 6}
+
+
+def _encode_coords(xs, ys):
+    out = np.empty(2 * len(xs), dtype="<f8")
+    out[0::2] = xs
+    out[1::2] = ys
+    return out.tobytes()
+
+
+def _encode_single(gt, xs, ys, rings):
+    """Encode one single-part geometry (point/line/polygon)."""
+    if gt == POINT:
+        return b"\x01\x01\x00\x00\x00" + _encode_coords(xs, ys)
+    if gt in (LINESTRING, 2):
+        return (b"\x01\x02\x00\x00\x00" + struct.pack("<I", len(xs))
+                + _encode_coords(xs, ys))
+    if gt == POLYGON:
+        out = [b"\x01\x03\x00\x00\x00", struct.pack("<I", len(rings))]
+        off = 0
+        for rl in rings:
+            out.append(struct.pack("<I", int(rl)))
+            out.append(_encode_coords(xs[off:off + rl], ys[off:off + rl]))
+            off += rl
+        return b"".join(out)
+    raise WKBError(f"cannot encode type {gt} as single geometry")
+
+
+def encode_geom(gt, xs, ys, rings, parts):
+    """Encode one geometry from its ragged slices to WKB bytes."""
+    if gt in (POINT, LINESTRING, POLYGON):
+        return _encode_single(gt, xs, ys, rings)
+    if gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+        sub = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING,
+               MULTIPOLYGON: POLYGON}[gt]
+        out = [b"\x01", struct.pack("<I", _WKB_TYPE_OF[gt]),
+               struct.pack("<I", len(parts))]
+        roff = 0
+        coff = 0
+        for nr in parts:
+            rs = rings[roff:roff + nr]
+            nc = int(np.sum(rs))
+            out.append(_encode_single(sub, xs[coff:coff + nc],
+                                      ys[coff:coff + nc], rs))
+            roff += nr
+            coff += nc
+        return b"".join(out)
+    raise WKBError(f"cannot encode type {gt}")
+
+
+def encode(rg: RaggedGeometry):
+    """Encode a RaggedGeometry batch → list of bytes/None."""
+    out = []
+    # Fast path: all points, no missing.
+    if len(rg) and np.all(rg.gt == POINT):
+        m = len(rg)
+        rec = np.zeros((m, 21), dtype=np.uint8)
+        rec[:, 0] = 1
+        rec[:, 1] = 1
+        coords = np.empty((m, 2), dtype="<f8")
+        coords[:, 0] = rg.xs
+        coords[:, 1] = rg.ys
+        rec[:, 5:] = coords.view(np.uint8).reshape(m, 16)
+        raw = rec.tobytes()
+        return [raw[i * 21:(i + 1) * 21] for i in range(m)]
+    for i in range(len(rg)):
+        if rg.gt[i] == MISSING:
+            out.append(None)
+        else:
+            gt, xs, ys, rings, parts = rg.geom(i)
+            out.append(encode_geom(gt, xs, ys, rings, parts))
+    return out
