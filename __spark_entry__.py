@@ -1,38 +1,750 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries cover SURVEY §2's inventory three ways:
+- §2.1 inherited relational algebra → TPC-H-style queries over the
+  driver tables (scan/filter/join/groupBy/window/top-k);
+- §2.2/§2.3 geospatial operators → geometries CONSTRUCTED from numeric
+  columns inside the query, so every geo kernel (shoelace area, ray-cast
+  point-in-polygon join, haversine, web-mercator projection, affine) is
+  validated against a closed-form ANSI-SQL oracle DuckDB can run;
+- beyond-reference pipeline ops (dedup / text / similarity) → documents
+  and embeddings tables with portable md5-based hashing so Spark and
+  DuckDB agree bit-for-bit.
+
+Floating-point parity notes: every computed double is wrapped in
+round(·, k). Where the oracle's arithmetic order differs from Spark's,
+k is chosen so a 1-ulp trig/libm difference cannot flip the rounded
+value (outputs are sized ≤1e7 with k≤6 → slack ≥10 ulp).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from arctic_spark import GeoDataFrame, st
+from arctic_spark.joins import dwithin_join, spatial_join
+from arctic_spark.llm import dedup, similarity, text
+from arctic_spark.proj import transform_xy_struct
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 relational (inherited algebra — TPC-H-shaped on driver tables)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def q5_local_suppliers(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .where(c.c_nationkey == s.s_nationkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+
+
+def q6_forecast_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1994-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1995-01-01"))
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2).alias("revenue")))
+
+
+def q4_order_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select("l_orderkey").distinct()
+    return (o.where((F.col("o_orderdate") >= F.lit("1995-01-01"))
+                    & (F.col("o_orderdate") < F.lit("1995-10-01")))
+            .join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+def q_window_latest_event(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (e.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 6).alias("value")))
+
+
+def q_events_daily(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 geospatial — geometry constructed from numeric columns, oracled in
+# closed-form SQL
+# ---------------------------------------------------------------------------
+
+def geo_point_accessors(spark, sf):
+    """st_point + st_x/st_y/st_geom_type round trip (SURVEY §2.2 #19-20)."""
+    c = _t(spark, sf, "customer")
+    px = (F.col("c_custkey") % 360 - 180).cast("double") + 0.5
+    py = (F.col("c_custkey") * 3 % 160 - 80).cast("double") + 0.25
+    g = st.point(px, py)
+    return c.select("c_custkey", st.x(g).alias("x"), st.y(g).alias("y"),
+                    st.geom_type(g).alias("gt"))
+
+
+def geo_distance(spark, sf):
+    """Aligned-pair distance (SURVEY §2.2 #18)."""
+    c = _t(spark, sf, "customer")
+    x1 = (F.col("c_custkey") % 97).cast("double")
+    y1 = (F.col("c_custkey") % 89).cast("double")
+    x2 = (F.col("c_nationkey") * 3).cast("double")
+    y2 = (F.col("c_custkey") % 83).cast("double")
+    d = st.distance_points(st.point(x1, y1), st.point(x2, y2))
+    return c.select("c_custkey", F.round(d, 6).alias("dist"))
+
+
+def geo_triangle_area(spark, sf):
+    """Shoelace area via make_polygon (SURVEY §2.2 #1)."""
+    p = _t(spark, sf, "part")
+    x1 = (F.col("p_partkey") % 50).cast("double")
+    y1 = F.col("p_size").cast("double")
+    x2 = F.col("p_retailprice") / 100.0
+    y2 = (F.col("p_partkey") % 31).cast("double")
+    x3 = (F.col("p_size") * 2).cast("double")
+    y3 = (F.col("p_partkey") % 17).cast("double")
+    tri = st.make_polygon(F.array(x1, x2, x3), F.array(y1, y2, y3))
+    return p.select("p_partkey", F.round(st.area(tri), 6).alias("area"))
+
+
+def geo_envelope_metrics(spark, sf):
+    """envelope + area + exterior length (SURVEY §2.2 #4, #5)."""
+    o = _t(spark, sf, "orders")
+    x1 = (F.col("o_orderkey") % 37).cast("double")
+    y1 = (F.col("o_orderkey") % 41).cast("double")
+    x2 = (F.col("o_custkey") % 43).cast("double") + 1.5
+    y2 = (F.col("o_custkey") % 47).cast("double") + 2.5
+    line = st.make_line(F.array(x1, x2), F.array(y1, y2))
+    env = st.envelope(line)
+    return o.select("o_orderkey",
+                    F.round(st.area(env), 6).alias("env_area"),
+                    F.round(st.length(env), 6).alias("env_perimeter"))
+
+
+def geo_translate_rotate(spark, sf):
+    """Affine family: translate then rotate 30° about origin
+    (SURVEY §2.2 #12-14)."""
+    s = _t(spark, sf, "supplier")
+    px = (F.col("s_suppkey") % 19).cast("double")
+    py = (F.col("s_suppkey") % 23).cast("double")
+    g = st.rotate(st.translate(st.point(px, py), 2.5, -1.5), 30.0,
+                  origin=(0.0, 0.0))
+    return s.select("s_suppkey",
+                    F.round(st.x(g), 6).alias("x"),
+                    F.round(st.y(g), 6).alias("y"))
+
+
+def geo_centroid_of_triangle(spark, sf):
+    """Polygon centroid (SURVEY §2.2 #2) — for a triangle the area
+    centroid equals the vertex mean, giving a closed-form oracle."""
+    p = _t(spark, sf, "part")
+    x1 = (F.col("p_partkey") % 50).cast("double")
+    y1 = F.col("p_size").cast("double")
+    x2 = x1 + 3.0 + (F.col("p_partkey") % 7).cast("double")
+    y2 = y1 + 1.0
+    x3 = x1 + 1.0
+    y3 = y1 + 4.0 + (F.col("p_partkey") % 5).cast("double")
+    tri = st.make_polygon(F.array(x1, x2, x3), F.array(y1, y2, y3))
+    c = st.centroid(tri)
+    return p.select("p_partkey",
+                    F.round(st.x(c), 6).alias("cx"),
+                    F.round(st.y(c), 6).alias("cy"))
+
+
+def geo_haversine_length(spark, sf):
+    """Native haversine geodesic length (SURVEY §2.2 #6)."""
+    e = _t(spark, sf, "events")
+    lon1 = (F.col("event_id") % 320 - 160).cast("double") + 0.5
+    lat1 = (F.col("user_id") % 160 - 80).cast("double") + 0.5
+    lon2 = lon1 + (F.col("event_id") % 7 - 3).cast("double")
+    lat2 = lat1 + (F.col("user_id") % 5 - 2).cast("double")
+    line = st.make_line(F.array(lon1, lon2), F.array(lat1, lat2))
+    return e.select("event_id",
+                    F.round(st.geodesic_length(line, "haversine"), 4)
+                     .alias("meters"))
+
+
+def geo_webmercator(spark, sf):
+    """to_crs EPSG:4326 → EPSG:3857 (SURVEY §2.2 #21)."""
+    c = _t(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 350 - 175).cast("double") + 0.5
+    lat = (F.col("c_custkey") * 3 % 160 - 80).cast("double") + 0.5
+    xy = transform_xy_struct(lon, lat, "EPSG:4326", "EPSG:3857")
+    return c.select("c_custkey",
+                    F.round(xy["x"], 4).alias("mx"),
+                    F.round(xy["y"], 4).alias("my"))
+
+
+def geo_pip_join(spark, sf):
+    """Distributed filter–refine spatial join (SURVEY §2.4): customer
+    points in region strip polygons; grid-cell shuffle + native ray-cast
+    refine, zero Python in the plan (udf_refine=False)."""
+    c = _t(spark, sf, "customer")
+    r = _t(spark, sf, "region")
+    px = (F.col("c_custkey") % 40 - 20).cast("double") + 0.5
+    py = (F.col("c_custkey") * 7 % 40 - 20).cast("double") + 0.25
+    points = GeoDataFrame(c.select("c_custkey",
+                                   st.point(px, py).alias("geometry")))
+    xmin = (F.col("r_regionkey") * 8 - 20).cast("double")
+    strips = GeoDataFrame(r.select(
+        "r_name", st.make_envelope(xmin, F.lit(-20.0), xmin + 8.0,
+                                   F.lit(20.0)).alias("geometry")))
+    out = spatial_join(points, strips, how="inner", udf_refine=False,
+                       broadcast_right=True, cell_size=8.0)
+    return (out.df.groupBy(F.col("r_name_right").alias("r_name"))
+            .agg(F.count("*").alias("n_points")))
+
+
+def geo_dwithin_pairs(spark, sf):
+    """Distance-band self join (radius search) — grid-bucketed,
+    fully native."""
+    c = _t(spark, sf, "customer")
+    px = (F.col("c_custkey") % 100).cast("double") / 2.0
+    py = (F.col("c_custkey") * 13 % 100).cast("double") / 2.0
+    pts = GeoDataFrame(c.select("c_custkey",
+                                st.point(px, py).alias("geometry")))
+    out = dwithin_join(pts, pts, distance=1.5, points_only=True)
+    return out.df.agg(F.count("*").alias("n_pairs"))
+
+
+def geo_explode_multipoint(spark, sf):
+    """Multi-part explode (SURVEY §2.2 #8, bench shape F7): 2-point
+    MultiPoints → single points, order-preserving."""
+    e = _t(spark, sf, "events")
+    x1 = (F.col("event_id") % 100).cast("double")
+    y1 = (F.col("user_id") % 100).cast("double")
+    mp = st.geom_struct(F.lit(4), F.array(x1, x1 + 1.0),
+                        F.array(y1, y1 + 2.0),
+                        F.array(F.lit(1), F.lit(1)),
+                        F.array(F.lit(1), F.lit(1)))
+    df = e.select("event_id", mp.alias("geometry"))
+    exploded = st.explode_parts(df, "geometry", keep_index=True)
+    return exploded.select("event_id", "part_index",
+                           st.x("geometry").alias("x"),
+                           st.y("geometry").alias("y"))
+
+
+def geo_bbox_filter(spark, sf):
+    """cx bbox filter (SURVEY §2.3 rst:184 / F6): count points in a
+    window, native bounds predicate that pairs with parquet min/max
+    pruning when bbox columns are materialized."""
+    c = _t(spark, sf, "customer")
+    px = (F.col("c_custkey") % 200 - 100).cast("double") + 0.5
+    py = (F.col("c_custkey") * 11 % 200 - 100).cast("double") + 0.5
+    g = GeoDataFrame(c.select("c_custkey", st.point(px, py).alias("geometry")))
+    return g.cx(-50, -50, 50, 50).df.agg(
+        F.count("*").alias("n_inside"),
+        F.sum("c_custkey").alias("sum_keys"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def dedup_exact_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_unique")))
+
+
+def text_token_stats(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(text.token_count("text")).alias("total_tokens"),
+                 F.round(F.avg(text.punct_ratio("text")), 6)
+                  .alias("avg_punct_ratio")))
+
+
+def text_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang", text.lang_id("text").alias("lang_guess"))
+            .agg(F.count("*").alias("n")))
+
+
+def text_fingerprint_dups(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy(text.fingerprint("text").alias("fp"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def text_ngram_jaccard(spark, sf):
+    """Exact 3-shingle Jaccard between consecutive docs (the verify
+    kernel of MinHash-LSH dedup)."""
+    d = _t(spark, sf, "documents").where(
+        F.size(text.word_tokens("text")) >= 3)
+    a = d.select(F.col("doc_id").alias("id_a"),
+                 F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("id_b"),
+                 F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(dedup.ngram_jaccard("text_a", "text_b", 3), 6)
+         .alias("jaccard"))
+
+
+def embed_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 for the first 20 vectors (broadcast
+    queries, native dot product, window top-k)."""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 20)
+    out = similarity.brute_force_topk(q, em, k=5)
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def embed_knn_lsh(spark, sf):
+    """LSH-bucketed approximate neighbors — the 100 TB path (no SQL
+    oracle: randomized bucketing; driver records rows-only)."""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 20)
+    out = similarity.lsh_topk(q, em, dim=64, k=5, num_planes=6,
+                              num_tables=3)
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidate pairs (no SQL oracle — the banding
+    is seed-dependent; exactness is covered by text_ngram_jaccard)."""
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=32, num_bands=8,
+                                   jaccard_threshold=0.5)
+
+
+def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (rows-only check)."""
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_near_dup_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the distributed spatial join at sf0.001."""
+    return geo_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_suppliers": q5_local_suppliers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q_window_latest_event": q_window_latest_event,
+        "q_events_daily": q_events_daily,
+        "geo_point_accessors": geo_point_accessors,
+        "geo_distance": geo_distance,
+        "geo_triangle_area": geo_triangle_area,
+        "geo_envelope_metrics": geo_envelope_metrics,
+        "geo_translate_rotate": geo_translate_rotate,
+        "geo_centroid_of_triangle": geo_centroid_of_triangle,
+        "geo_haversine_length": geo_haversine_length,
+        "geo_webmercator": geo_webmercator,
+        "geo_pip_join": geo_pip_join,
+        "geo_dwithin_pairs": geo_dwithin_pairs,
+        "geo_explode_multipoint": geo_explode_multipoint,
+        "geo_bbox_filter": geo_bbox_filter,
+        "dedup_exact_stats": dedup_exact_stats,
+        "text_token_stats": text_token_stats,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint_dups": text_fingerprint_dups,
+        "text_ngram_jaccard": text_ngram_jaccard,
+        "embed_cosine_topk": embed_cosine_topk,
+        "embed_knn_lsh": embed_knn_lsh,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_suppliers": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "q_window_latest_event": """
+            SELECT user_id, event_id, event_type, round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "q_events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "geo_point_accessors": """
+            SELECT c_custkey,
+                   CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS x,
+                   CAST(c_custkey * 3 % 160 - 80 AS DOUBLE) + 0.25 AS y,
+                   0 AS gt
+            FROM customer
+        """,
+        "geo_distance": """
+            SELECT c_custkey,
+                   round(sqrt( (CAST(c_custkey % 97 AS DOUBLE) - CAST(c_nationkey * 3 AS DOUBLE))
+                             * (CAST(c_custkey % 97 AS DOUBLE) - CAST(c_nationkey * 3 AS DOUBLE))
+                             + (CAST(c_custkey % 89 AS DOUBLE) - CAST(c_custkey % 83 AS DOUBLE))
+                             * (CAST(c_custkey % 89 AS DOUBLE) - CAST(c_custkey % 83 AS DOUBLE)) ), 6) AS dist
+            FROM customer
+        """,
+        "geo_triangle_area": """
+            WITH t AS (
+                SELECT p_partkey,
+                       CAST(p_partkey % 50 AS DOUBLE) AS x1,
+                       CAST(p_size AS DOUBLE) AS y1,
+                       p_retailprice / 100.0 AS x2,
+                       CAST(p_partkey % 31 AS DOUBLE) AS y2,
+                       CAST(p_size * 2 AS DOUBLE) AS x3,
+                       CAST(p_partkey % 17 AS DOUBLE) AS y3
+                FROM part)
+            SELECT p_partkey,
+                   round(abs(0.5 * ((x1*y2 + x2*y3 + x3*y1)
+                                  - (x2*y1 + x3*y2 + x1*y3))), 6) AS area
+            FROM t
+        """,
+        "geo_envelope_metrics": """
+            WITH t AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 37 AS DOUBLE) AS x1,
+                       CAST(o_orderkey % 41 AS DOUBLE) AS y1,
+                       CAST(o_custkey % 43 AS DOUBLE) + 1.5 AS x2,
+                       CAST(o_custkey % 47 AS DOUBLE) + 2.5 AS y2
+                FROM orders)
+            SELECT o_orderkey,
+                   round(abs(x2 - x1) * abs(y2 - y1), 6) AS env_area,
+                   round(CASE
+                       WHEN x1 = x2 AND y1 = y2 THEN 0.0
+                       WHEN x1 = x2 OR y1 = y2
+                           THEN abs(x2 - x1) + abs(y2 - y1)
+                       ELSE 2 * (abs(x2 - x1) + abs(y2 - y1)) END, 6)
+                       AS env_perimeter
+            FROM t
+        """,
+        "geo_translate_rotate": """
+            WITH t AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 19 AS DOUBLE) + 2.5 AS px,
+                       CAST(s_suppkey % 23 AS DOUBLE) - 1.5 AS py
+                FROM supplier)
+            SELECT s_suppkey,
+                   round(cos(radians(30.0)) * px - sin(radians(30.0)) * py, 6) AS x,
+                   round(sin(radians(30.0)) * px + cos(radians(30.0)) * py, 6) AS y
+            FROM t
+        """,
+        "geo_centroid_of_triangle": """
+            WITH t AS (
+                SELECT p_partkey,
+                       CAST(p_partkey % 50 AS DOUBLE) AS x1,
+                       CAST(p_size AS DOUBLE) AS y1,
+                       CAST(p_partkey % 50 AS DOUBLE) + 3.0
+                           + CAST(p_partkey % 7 AS DOUBLE) AS x2,
+                       CAST(p_size AS DOUBLE) + 1.0 AS y2,
+                       CAST(p_partkey % 50 AS DOUBLE) + 1.0 AS x3,
+                       CAST(p_size AS DOUBLE) + 4.0
+                           + CAST(p_partkey % 5 AS DOUBLE) AS y3
+                FROM part)
+            SELECT p_partkey,
+                   round((x1 + x2 + x3) / 3.0, 6) AS cx,
+                   round((y1 + y2 + y3) / 3.0, 6) AS cy
+            FROM t
+        """,
+        "geo_haversine_length": """
+            WITH t AS (
+                SELECT event_id,
+                       CAST(event_id % 320 - 160 AS DOUBLE) + 0.5 AS lon1,
+                       CAST(user_id % 160 - 80 AS DOUBLE) + 0.5 AS lat1,
+                       CAST(event_id % 320 - 160 AS DOUBLE) + 0.5
+                           + CAST(event_id % 7 - 3 AS DOUBLE) AS lon2,
+                       CAST(user_id % 160 - 80 AS DOUBLE) + 0.5
+                           + CAST(user_id % 5 - 2 AS DOUBLE) AS lat2
+                FROM events)
+            SELECT event_id,
+                   round(2 * 6371008.8 * asin(least(1.0, sqrt(
+                       sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+                       + cos(radians(lat1)) * cos(radians(lat2))
+                       * sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) / 2)
+                   ))), 4) AS meters
+            FROM t
+        """,
+        "geo_webmercator": """
+            WITH t AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 350 - 175 AS DOUBLE) + 0.5 AS lon,
+                       CAST(c_custkey * 3 % 160 - 80 AS DOUBLE) + 0.5 AS lat
+                FROM customer)
+            SELECT c_custkey,
+                   round(6378137.0 * radians(lon), 4) AS mx,
+                   round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 4) AS my
+            FROM t
+        """,
+        "geo_pip_join": """
+            SELECT r.r_name AS r_name, count(*) AS n_points
+            FROM customer c, region r
+            WHERE (CAST(c.c_custkey % 40 - 20 AS DOUBLE) + 0.5)
+                      > (r.r_regionkey * 8 - 20)
+              AND (CAST(c.c_custkey % 40 - 20 AS DOUBLE) + 0.5)
+                      < (r.r_regionkey * 8 - 12)
+              AND (CAST(c.c_custkey * 7 % 40 - 20 AS DOUBLE) + 0.25) > -20
+              AND (CAST(c.c_custkey * 7 % 40 - 20 AS DOUBLE) + 0.25) < 20
+            GROUP BY r.r_name
+        """,
+        "geo_dwithin_pairs": """
+            SELECT count(*) AS n_pairs
+            FROM (SELECT CAST(c_custkey % 100 AS DOUBLE) / 2.0 AS px,
+                         CAST(c_custkey * 13 % 100 AS DOUBLE) / 2.0 AS py
+                  FROM customer) a,
+                 (SELECT CAST(c_custkey % 100 AS DOUBLE) / 2.0 AS px,
+                         CAST(c_custkey * 13 % 100 AS DOUBLE) / 2.0 AS py
+                  FROM customer) b
+            WHERE sqrt((a.px - b.px) * (a.px - b.px)
+                     + (a.py - b.py) * (a.py - b.py)) <= 1.5
+        """,
+        "geo_explode_multipoint": """
+            SELECT event_id, part_index,
+                   CAST(event_id % 100 AS DOUBLE) + part_index AS x,
+                   CAST(user_id % 100 AS DOUBLE) + 2 * part_index AS y
+            FROM events, (SELECT 0 AS part_index UNION ALL SELECT 1) p
+        """,
+        "geo_bbox_filter": """
+            SELECT count(*) AS n_inside, sum(c_custkey) AS sum_keys
+            FROM customer
+            WHERE (CAST(c_custkey % 200 - 100 AS DOUBLE) + 0.5)
+                      BETWEEN -50 AND 50
+              AND (CAST(c_custkey * 11 % 200 - 100 AS DOUBLE) + 0.5)
+                      BETWEEN -50 AND 50
+        """,
+        "dedup_exact_stats": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique
+            FROM documents
+            GROUP BY source
+        """,
+        "text_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                       AS total_tokens,
+                   round(avg(
+                       CASE WHEN length(text) > 0 THEN
+                           CAST((length(text) - length(replace(text, '.', '')))
+                              + (length(text) - length(replace(text, ',', '')))
+                              + (length(text) - length(replace(text, '!', '')))
+                              + (length(text) - length(replace(text, '?', '')))
+                              + (length(text) - length(replace(text, ';', '')))
+                              + (length(text) - length(replace(text, ':', '')))
+                               AS DOUBLE) / length(text)
+                       ELSE 0.0 END), 6) AS avg_punct_ratio
+            FROM documents
+            WHERE n_chars > 0
+            GROUP BY lang
+        """,
+        "text_lang_id": """
+            WITH scored AS (
+                SELECT lang,
+                       (length(t) - length(replace(t, ' the ', ''))) / 5.0
+                     + (length(t) - length(replace(t, ' and ', ''))) / 5.0
+                     + (length(t) - length(replace(t, ' is ', ''))) / 4.0 AS s_en,
+                       (length(t) - length(replace(t, ' le ', ''))) / 4.0
+                     + (length(t) - length(replace(t, ' la ', ''))) / 4.0
+                     + (length(t) - length(replace(t, ' est ', ''))) / 5.0 AS s_fr,
+                       (length(t) - length(replace(t, ' der ', ''))) / 5.0
+                     + (length(t) - length(replace(t, ' und ', ''))) / 5.0
+                     + (length(t) - length(replace(t, ' ist ', ''))) / 5.0 AS s_de,
+                       (length(t) - length(replace(t, ' el ', ''))) / 4.0
+                     + (length(t) - length(replace(t, ' los ', ''))) / 5.0
+                     + (length(t) - length(replace(t, ' es ', ''))) / 4.0 AS s_es
+                FROM (SELECT lang, ' ' || lower(text) || ' ' AS t
+                      FROM documents) d),
+            guessed AS (
+                SELECT lang,
+                       CASE WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'unk'
+                            WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                            WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                            WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                            ELSE 'es' END AS lang_guess
+                FROM scored)
+            SELECT lang, lang_guess, count(*) AS n
+            FROM guessed GROUP BY lang, lang_guess
+        """,
+        "text_fingerprint_dups": """
+            SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                          1, 16) AS fp,
+                   count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY 1
+            HAVING count(*) > 1
+        """,
+        "text_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-zA-Z0-9]+'), w -> length(w) > 0) AS ws
+                FROM documents),
+            sh AS (
+                SELECT doc_id, text,
+                       list_distinct(CASE WHEN len(ws) >= 3 THEN
+                           list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                           WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                           ELSE [] END) AS sh
+                FROM toks
+                WHERE len(ws) >= 3),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS inter,
+                       len(a.sh) + len(b.sh)
+                         - len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS un
+                FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+            SELECT id_a, id_b,
+                   round(CASE WHEN un > 0
+                         THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END, 6)
+                       AS jaccard
+            FROM pairs
+        """,
+        "embed_cosine_topk": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_aggregate(list_transform(
+                           list_zip(q.embedding, c.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                           'sum')
+                       / (sqrt(list_aggregate(list_transform(q.embedding,
+                             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(c.embedding,
+                             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+                           AS cos_sim
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM sims)
+            SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+            FROM ranked WHERE rank <= 5
+        """,
+        # embed_knn_lsh, dedup_minhash_lsh, dedup_simhash: intentionally no
+        # oracle — randomized/banded internals; rows-only check.
+    }
+
+
+if __name__ == "__main__":
+    from arctic_spark.session import get_spark
+    s = get_spark("entry-smoke")
+    df = entry(s)
+    df.show()

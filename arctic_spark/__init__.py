@@ -1,0 +1,25 @@
+"""arctic_spark — PySpark-native geospatial + data-pipeline engine.
+
+A from-scratch, Spark-first implementation of the capabilities of the
+reference engine (GeoPolars, studied read-only at /root/reference):
+geometry as a first-class nested Spark SQL struct, operators as Catalyst
+higher-order-function expressions with pandas-UDF fallbacks, a
+distributed filter–refine spatial join, plus large-scale training-data
+pipeline operators (dedup, similarity search, text analysis, multimodal
+plumbing).
+"""
+
+from .geodataframe import DEFAULT_GEO_COLUMN_NAME, GeoDataFrame
+from . import functions as st
+from .session import get_spark
+
+__version__ = "0.1.0"
+
+
+def version() -> str:
+    """Reference: version() pyfunction (py-geopolars/src/api.rs:8-11)."""
+    return __version__
+
+
+__all__ = ["GeoDataFrame", "st", "get_spark", "version",
+           "DEFAULT_GEO_COLUMN_NAME"]

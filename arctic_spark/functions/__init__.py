@@ -1,0 +1,67 @@
+"""`st` — the engine's geospatial column-function namespace.
+
+Usage::
+
+    from arctic_spark import st
+    df.withColumn("a", st.area("geometry"))
+
+Mirrors the reference's operator surface (SURVEY §2.2 inventory;
+py-geopolars GeoSeries methods, geopolars-geo/src/geoseries.rs:10-181)
+as ordinary PySpark column functions. Native Catalyst expressions are
+used wherever the math is data-parallel; Arrow-batched pandas UDFs only
+for iterative algorithms and the WKB/WKT boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import native, udfs
+from .native import (affine_transform, area, bbox_intersects, bounds,
+                     centroid, contains_point, distance_points, dump_parts,
+                     dwithin_points, envelope, exterior, geom_struct,
+                     geom_type_id, geom_type_name, is_empty, is_ring,
+                     make_envelope, make_line, make_polygon, num_parts,
+                     point, rotate, scale, skew, total_bounds_agg, translate,
+                     x, y)
+from .udfs import (contains, convex_hull, distance, geodesic_length,
+                   geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
+                   intersects, simplify)
+
+# reference naming aliases (SURVEY §2.2)
+length = native.length
+euclidean_length = native.length
+geom_type = geom_type_id
+from_wkb = geom_from_wkb
+to_wkb = geom_to_wkb
+from_wkt = geom_from_wkt
+to_wkt = geom_to_wkt
+as_text = geom_to_wkt
+
+
+def explode_parts(df, geom_col="geometry", keep_index=False):
+    """Row-expanding explode of multi-part geometries (reference trait
+    `explode`, geoseries.rs:50): each part becomes its own row, part order
+    preserved within parent, parent order overall. Uses the native
+    part-dump + Spark's own generator, so the cardinality change is
+    planned by Catalyst."""
+    parts = F.posexplode(dump_parts(F.col(geom_col)))
+    if keep_index:
+        return df.select("*", parts.alias("part_index", "__part")) \
+                 .drop(geom_col).withColumnRenamed("__part", geom_col)
+    return df.select("*", F.explode(dump_parts(F.col(geom_col)))
+                     .alias("__part")) \
+             .drop(geom_col).withColumnRenamed("__part", geom_col)
+
+
+__all__ = [
+    "area", "length", "euclidean_length", "geodesic_length", "centroid",
+    "convex_hull", "envelope", "exterior", "explode_parts", "dump_parts",
+    "num_parts", "geom_type", "geom_type_id", "geom_type_name", "is_empty",
+    "is_ring", "simplify", "affine_transform", "translate", "rotate",
+    "scale", "skew", "distance", "distance_points", "dwithin_points", "x",
+    "y", "point", "make_line", "make_polygon", "make_envelope", "bounds",
+    "total_bounds_agg", "bbox_intersects", "contains_point", "intersects",
+    "contains", "from_wkb", "to_wkb", "from_wkt", "to_wkt", "as_text",
+    "geom_struct",
+]

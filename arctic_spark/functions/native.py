@@ -1,0 +1,596 @@
+"""Catalyst-native geometry expressions over the GEOM struct.
+
+Every function here returns a ``pyspark.sql.Column`` built purely from
+Spark SQL higher-order functions (transform/aggregate/zip_with/slice) —
+JVM-side, Catalyst-optimized, no Python workers. This is the engine's
+answer to the reference's per-row Rust kernels (geopolars-geo/src/
+geoseries.rs): same declared semantics, but expressed as vectorized
+columnar expressions the Spark optimizer can fuse with the rest of the
+plan.
+
+Conventions:
+- ``g`` arguments accept a column name or Column of GEOM_TYPE.
+- NULL struct in → NULL out (missing geometry, reference MISSING=-1).
+- Polygon rings are closed (first == last vertex), as in WKB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..geom.ragged import (LINESTRING, MULTILINESTRING, MULTIPOINT,
+                           MULTIPOLYGON, POINT, POLYGON)
+
+_EARTH_RADIUS_M = 6_371_008.8  # mean earth radius, as georust geo uses
+
+
+def _g(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _lit(v):
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def _valid(g) -> Column:
+    """Missing geometry = NULL struct OR null gt field (a pandas UDF cannot
+    emit a null struct row through Arrow, so null-gt is the convention)."""
+    return g.isNotNull() & g["gt"].isNotNull()
+
+
+def geom_struct(gt, xs, ys, rings, parts) -> Column:
+    return F.struct(
+        _lit(gt).cast("int").alias("gt"),
+        xs.cast("array<double>").alias("xs"),
+        ys.cast("array<double>").alias("ys"),
+        rings.cast("array<int>").alias("rings"),
+        parts.cast("array<int>").alias("parts"),
+    )
+
+
+def _seq0(n) -> Column:
+    """[0, 1, ..., n-1] as array<int>; empty array when n <= 0."""
+    return F.when(n > 0, F.sequence(F.lit(0), (n - F.lit(1)).cast("int"))) \
+            .otherwise(F.array().cast("array<int>"))
+
+
+def _offsets(arr) -> Column:
+    """Running-sum offsets of an int array: [0, a0, a0+a1, ...]."""
+    return F.aggregate(
+        arr, F.array(F.lit(0)),
+        lambda acc, v: F.concat(acc, F.array(F.element_at(acc, -1) + v)))
+
+
+def _fsum(arr) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
+
+
+def _isum(arr) -> Column:
+    return F.aggregate(arr, F.lit(0), lambda a, v: a + v)
+
+
+# ---------------------------------------------------------------------------
+# per-ring machinery
+# ---------------------------------------------------------------------------
+
+def _ring_x(g, co, i):
+    """xs slice of ring i (0-based) given coord offsets array co."""
+    return F.slice(g["xs"], F.element_at(co, i + 1) + 1,
+                   F.element_at(g["rings"], i + 1))
+
+
+def _ring_y(g, co, i):
+    return F.slice(g["ys"], F.element_at(co, i + 1) + 1,
+                   F.element_at(g["rings"], i + 1))
+
+
+def _ring_signed_area(g, co, i):
+    """0.5 * shoelace sum of closed ring i."""
+    o = F.element_at(co, i + 1)
+    n = F.element_at(g["rings"], i + 1)
+    a = _fsum(F.zip_with(F.slice(g["xs"], o + 1, n - 1),
+                         F.slice(g["ys"], o + 2, n - 1),
+                         lambda x, ny: x * ny))
+    b = _fsum(F.zip_with(F.slice(g["xs"], o + 2, n - 1),
+                         F.slice(g["ys"], o + 1, n - 1),
+                         lambda nx, y: nx * y))
+    return F.lit(0.5) * (a - b)
+
+
+def _ring_length(g, co, i):
+    o = F.element_at(co, i + 1)
+    n = F.element_at(g["rings"], i + 1)
+    dx2 = F.zip_with(F.slice(g["xs"], o + 2, n - 1),
+                     F.slice(g["xs"], o + 1, n - 1),
+                     lambda a, b: (a - b) * (a - b))
+    dy2 = F.zip_with(F.slice(g["ys"], o + 2, n - 1),
+                     F.slice(g["ys"], o + 1, n - 1),
+                     lambda a, b: (a - b) * (a - b))
+    return _fsum(F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b)))
+
+
+def _ring_ids(g):
+    return _seq0(F.size(g["rings"]))
+
+
+def _exterior_ring_ids(g):
+    """Ring indexes that are the first (exterior) ring of their part."""
+    return F.slice(_offsets(g["parts"]), 1, F.size(g["parts"]))
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+def area(g) -> Column:
+    """Planar area (exterior rings +, holes −, orientation-insensitive).
+
+    Reference semantics: geoseries.rs:16-19 (unsigned area, CRS units)."""
+    g = _g(g)
+    co = _offsets(g["rings"])
+    ext = _exterior_ring_ids(g)
+    terms = F.transform(
+        _ring_ids(g),
+        lambda i: F.when(F.array_contains(ext, i),
+                         F.abs(_ring_signed_area(g, co, i)))
+                   .otherwise(-F.abs(_ring_signed_area(g, co, i))))
+    val = F.when(g["gt"].isin(POLYGON, MULTIPOLYGON), _fsum(terms)) \
+           .otherwise(F.lit(0.0))
+    return F.when(_valid(g), val)
+
+
+def length(g) -> Column:
+    """Planar length: lines → total; polygons → exterior rings only
+    (reference doc geoseries.rs:41-46); points → 0."""
+    g = _g(g)
+    co = _offsets(g["rings"])
+    ext = _exterior_ring_ids(g)
+    all_rings = _fsum(F.transform(_ring_ids(g),
+                                  lambda i: _ring_length(g, co, i)))
+    ext_rings = _fsum(F.transform(
+        _ring_ids(g),
+        lambda i: F.when(F.array_contains(ext, i), _ring_length(g, co, i))
+                   .otherwise(F.lit(0.0))))
+    val = (F.when(g["gt"].isin(LINESTRING, MULTILINESTRING), all_rings)
+            .when(g["gt"].isin(POLYGON, MULTIPOLYGON), ext_rings)
+            .otherwise(F.lit(0.0)))
+    return F.when(_valid(g), val)
+
+
+def geodesic_length_haversine(g) -> Column:
+    """Great-circle length (meters) of lon/lat geometries via per-segment
+    haversine on the mean-radius sphere — fully native (reference:
+    HaversineLength, geoseries.rs:58-71 / geo.rs:64-72)."""
+    g = _g(g)
+    co = _offsets(g["rings"])
+
+    def ring_hav(i):
+        o = F.element_at(co, i + 1)
+        n = F.element_at(g["rings"], i + 1)
+        lon1 = F.transform(F.slice(g["xs"], o + 1, n - 1), F.radians)
+        lon2 = F.transform(F.slice(g["xs"], o + 2, n - 1), F.radians)
+        lat1 = F.transform(F.slice(g["ys"], o + 1, n - 1), F.radians)
+        lat2 = F.transform(F.slice(g["ys"], o + 2, n - 1), F.radians)
+        sdlat = F.zip_with(lat2, lat1, lambda a, b: F.sin((a - b) / 2))
+        sdlon = F.zip_with(lon2, lon1, lambda a, b: F.sin((a - b) / 2))
+        coscos = F.zip_with(lat1, lat2, lambda a, b: F.cos(a) * F.cos(b))
+        h = F.zip_with(F.zip_with(sdlat, sdlon,
+                                  lambda sa, sb: F.struct(sa.alias("sa"),
+                                                          sb.alias("sb"))),
+                       coscos,
+                       lambda s, cc: s["sa"] * s["sa"] + cc * s["sb"] * s["sb"])
+        return _fsum(F.transform(
+            h, lambda x: F.lit(2.0 * _EARTH_RADIUS_M)
+            * F.asin(F.least(F.lit(1.0), F.sqrt(x)))))
+
+    val = _fsum(F.transform(_ring_ids(g), ring_hav))
+    return F.when(_valid(g), val)
+
+
+def bounds(g):
+    """4 columns xmin/ymin/xmax/ymax (null for missing/empty)."""
+    g = _g(g)
+    ne = F.size(g["xs"]) > 0
+    return (F.when(ne, F.array_min(g["xs"])),
+            F.when(ne, F.array_min(g["ys"])),
+            F.when(ne, F.array_max(g["xs"])),
+            F.when(ne, F.array_max(g["ys"])))
+
+
+def envelope(g) -> Column:
+    """Axis-aligned bounding geometry: polygon; degenerates to line/point
+    (reference doc geoseries.rs:33-39; shapely-compatible collapse)."""
+    g = _g(g)
+    xmin, ymin, xmax, ymax = bounds(g)
+    pt = point(xmin, ymin)
+    line = geom_struct(F.lit(LINESTRING), F.array(xmin, xmax),
+                       F.array(ymin, ymax), F.array(F.lit(2)),
+                       F.array(F.lit(1)))
+    poly = make_envelope(xmin, ymin, xmax, ymax)
+    return F.when(
+        _valid(g) & (F.size(g["xs"]) > 0),
+        F.when((xmin == xmax) & (ymin == ymax), pt)
+         .when((xmin == xmax) | (ymin == ymax), line)
+         .otherwise(poly))
+
+
+def total_bounds_agg(g):
+    """Aggregate expressions [min x, min y, max x, max y] over a frame
+    (GeoPandas total_bounds; reference roadmap geoseries.rst:22)."""
+    g = _g(g)
+    xmin, ymin, xmax, ymax = bounds(g)
+    return (F.min(xmin).alias("xmin"), F.min(ymin).alias("ymin"),
+            F.max(xmax).alias("xmax"), F.max(ymax).alias("ymax"))
+
+
+def centroid(g) -> Column:
+    """Centroid point, GEOS semantics per dimension class (reference
+    geoseries.rs:21-24)."""
+    g = _g(g)
+    co = _offsets(g["rings"])
+    ext = _exterior_ring_ids(g)
+    npts = F.size(g["xs"])
+
+    mean_x = _fsum(g["xs"]) / npts
+    mean_y = _fsum(g["ys"]) / npts
+
+    # --- line: length-weighted segment midpoints --------------------------
+    def ring_wsum(i):
+        o = F.element_at(co, i + 1)
+        n = F.element_at(g["rings"], i + 1)
+        dx2 = F.zip_with(F.slice(g["xs"], o + 2, n - 1),
+                         F.slice(g["xs"], o + 1, n - 1),
+                         lambda a, b: (a - b) * (a - b))
+        dy2 = F.zip_with(F.slice(g["ys"], o + 2, n - 1),
+                         F.slice(g["ys"], o + 1, n - 1),
+                         lambda a, b: (a - b) * (a - b))
+        seg = F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b))
+        midx = F.zip_with(F.slice(g["xs"], o + 1, n - 1),
+                          F.slice(g["xs"], o + 2, n - 1),
+                          lambda a, b: (a + b) / 2)
+        midy = F.zip_with(F.slice(g["ys"], o + 1, n - 1),
+                          F.slice(g["ys"], o + 2, n - 1),
+                          lambda a, b: (a + b) / 2)
+        return F.struct(
+            _fsum(F.zip_with(seg, midx, lambda s, m: s * m)).alias("wx"),
+            _fsum(F.zip_with(seg, midy, lambda s, m: s * m)).alias("wy"),
+            _fsum(seg).alias("w"))
+
+    lsum = F.aggregate(
+        F.transform(_ring_ids(g), ring_wsum),
+        F.struct(F.lit(0.0).alias("wx"), F.lit(0.0).alias("wy"),
+                 F.lit(0.0).alias("w")),
+        lambda a, v: F.struct((a["wx"] + v["wx"]).alias("wx"),
+                              (a["wy"] + v["wy"]).alias("wy"),
+                              (a["w"] + v["w"]).alias("w")))
+    line_cx = F.when(lsum["w"] > 0, lsum["wx"] / lsum["w"]).otherwise(mean_x)
+    line_cy = F.when(lsum["w"] > 0, lsum["wy"] / lsum["w"]).otherwise(mean_y)
+
+    # --- polygon: area-weighted ring centroids (holes negative) ----------
+    def ring_poly(i):
+        o = F.element_at(co, i + 1)
+        n = F.element_at(g["rings"], i + 1)
+        xc = F.slice(g["xs"], o + 1, n - 1)
+        xn = F.slice(g["xs"], o + 2, n - 1)
+        yc = F.slice(g["ys"], o + 1, n - 1)
+        yn = F.slice(g["ys"], o + 2, n - 1)
+        axy = F.zip_with(xc, yn, lambda x, y: x * y)
+        bxy = F.zip_with(xn, yc, lambda x, y: x * y)
+        cr = F.zip_with(axy, bxy, lambda a, b: a - b)
+        s = F.lit(0.5) * _fsum(cr)
+        sumx = F.zip_with(xc, xn, lambda a, b: a + b)
+        sumy = F.zip_with(yc, yn, lambda a, b: a + b)
+        gx = _fsum(F.zip_with(sumx, cr, lambda a, c: a * c)) / (F.lit(6.0) * s)
+        gy = _fsum(F.zip_with(sumy, cr, lambda a, c: a * c)) / (F.lit(6.0) * s)
+        aeff = F.when(F.array_contains(ext, i), F.abs(s)).otherwise(-F.abs(s))
+        return F.struct((gx * aeff).alias("wx"), (gy * aeff).alias("wy"),
+                        aeff.alias("a"))
+
+    psum = F.aggregate(
+        F.transform(_ring_ids(g), ring_poly),
+        F.struct(F.lit(0.0).alias("wx"), F.lit(0.0).alias("wy"),
+                 F.lit(0.0).alias("a")),
+        lambda a, v: F.struct((a["wx"] + v["wx"]).alias("wx"),
+                              (a["wy"] + v["wy"]).alias("wy"),
+                              (a["a"] + v["a"]).alias("a")))
+    poly_cx = F.when(psum["a"] != 0, psum["wx"] / psum["a"]).otherwise(mean_x)
+    poly_cy = F.when(psum["a"] != 0, psum["wy"] / psum["a"]).otherwise(mean_y)
+
+    cx = (F.when(g["gt"].isin(POINT, MULTIPOINT), mean_x)
+           .when(g["gt"].isin(LINESTRING, MULTILINESTRING), line_cx)
+           .otherwise(poly_cx))
+    cy = (F.when(g["gt"].isin(POINT, MULTIPOINT), mean_y)
+           .when(g["gt"].isin(LINESTRING, MULTILINESTRING), line_cy)
+           .otherwise(poly_cy))
+    return F.when(_valid(g) & (npts > 0), point(cx, cy))
+
+
+# ---------------------------------------------------------------------------
+# accessors / predicates
+# ---------------------------------------------------------------------------
+
+def x(g) -> Column:
+    """x of Point geometries, null otherwise (reference geoseries.rs:177)."""
+    g = _g(g)
+    return F.when(g["gt"] == POINT, F.element_at(g["xs"], 1))
+
+
+def y(g) -> Column:
+    g = _g(g)
+    return F.when(g["gt"] == POINT, F.element_at(g["ys"], 1))
+
+
+def geom_type_id(g) -> Column:
+    """pygeos-compatible id; -1 for null (reference enums.py:4-15 /
+    geoseries.rs:60-73)."""
+    g = _g(g)
+    return F.coalesce(g["gt"], F.lit(-1))
+
+
+def geom_type_name(g) -> Column:
+    g = _g(g)
+    m = F.create_map(
+        *[F.lit(v) for kv in
+          [(POINT, "Point"), (LINESTRING, "LineString"), (2, "LinearRing"),
+           (POLYGON, "Polygon"), (MULTIPOINT, "MultiPoint"),
+           (MULTILINESTRING, "MultiLineString"),
+           (MULTIPOLYGON, "MultiPolygon")] for v in kv])
+    return m[g["gt"]]
+
+
+def is_empty(g) -> Column:
+    g = _g(g)
+    return F.when(_valid(g), F.size(g["xs"]) == 0)
+
+
+def is_ring(g) -> Column:
+    """Closed linestring (reference geoseries.rs:76-83: 'true for closed
+    features'; simplicity is not checked — documented deviation)."""
+    g = _g(g)
+    n = F.size(g["xs"])
+    closed = ((F.element_at(g["xs"], 1) == F.element_at(g["xs"], -1))
+              & (F.element_at(g["ys"], 1) == F.element_at(g["ys"], -1))
+              & (n >= 4))
+    return F.when(_valid(g),
+                  F.when(g["gt"] == LINESTRING, closed)
+                   .when(g["gt"] == 2, F.lit(True))
+                   .otherwise(F.lit(False)))
+
+
+def exterior(g) -> Column:
+    """Outer LinearRing of polygons as a LineString; null for other types
+    (reference geoseries.rs:47)."""
+    g = _g(g)
+    n0 = F.element_at(g["rings"], 1)
+    return F.when(
+        (g["gt"] == POLYGON) & (F.size(g["rings"]) >= 1),
+        geom_struct(F.lit(LINESTRING), F.slice(g["xs"], 1, n0),
+                    F.slice(g["ys"], 1, n0), F.array(n0),
+                    F.array(F.lit(1))))
+
+
+def _ring_segments(g, co, i):
+    """array<struct<x1,y1,x2,y2>> of the closed ring i's segments."""
+    o = F.element_at(co, i + 1)
+    n = F.element_at(g["rings"], i + 1)
+    x1 = F.slice(g["xs"], o + 1, n - 1)
+    x2 = F.slice(g["xs"], o + 2, n - 1)
+    y1 = F.slice(g["ys"], o + 1, n - 1)
+    y2 = F.slice(g["ys"], o + 2, n - 1)
+    return F.zip_with(
+        F.zip_with(x1, y1, lambda a, b: F.struct(a.alias("x1"),
+                                                 b.alias("y1"))),
+        F.zip_with(x2, y2, lambda a, b: F.struct(a.alias("x2"),
+                                                 b.alias("y2"))),
+        lambda s1, s2: F.struct(s1["x1"].alias("x1"), s1["y1"].alias("y1"),
+                                s2["x2"].alias("x2"), s2["y2"].alias("y2")))
+
+
+def contains_point(g, px, py) -> Column:
+    """Ray-cast even-odd point-in-polygon, all rings (holes handled by
+    parity), boundary-EXCLUSIVE: matches the reference's refine step,
+    which delegates both point/polygon predicate orders to geo's
+    polygon.contains(point) — interior only (spatial_index.rs:91-96);
+    the F5 fixture's on-edge point (0,10) must NOT match."""
+    g = _g(g)
+    px, py = _lit(px), _lit(py)
+    co = _offsets(g["rings"])
+
+    def ring_crossings(i):
+        seg = _ring_segments(g, co, i)
+        return _isum(F.transform(
+            seg,
+            lambda s: F.when(
+                ((s["y1"] > py) != (s["y2"] > py))
+                & (px < s["x1"] + (py - s["y1"]) * (s["x2"] - s["x1"])
+                   / (s["y2"] - s["y1"])),
+                F.lit(1)).otherwise(F.lit(0))))
+
+    def ring_on_boundary(i):
+        seg = _ring_segments(g, co, i)
+        return F.exists(
+            seg,
+            lambda s: ((px - s["x1"]) * (s["y2"] - s["y1"])
+                       == (py - s["y1"]) * (s["x2"] - s["x1"]))
+            & (px >= F.least(s["x1"], s["x2"]))
+            & (px <= F.greatest(s["x1"], s["x2"]))
+            & (py >= F.least(s["y1"], s["y2"]))
+            & (py <= F.greatest(s["y1"], s["y2"])))
+
+    total = _isum(F.transform(_ring_ids(g), ring_crossings))
+    on_bdy = F.exists(_ring_ids(g), ring_on_boundary)
+    return F.when(_valid(g) & px.isNotNull() & py.isNotNull(),
+                  ((total % 2) == 1) & ~on_bdy)
+
+
+def bbox_intersects(g1, g2) -> Column:
+    ax0, ay0, ax1, ay1 = bounds(_g(g1))
+    bx0, by0, bx1, by1 = bounds(_g(g2))
+    return (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+
+
+def dwithin_points(g1, g2, d) -> Column:
+    """distance(point, point) <= d, fully native."""
+    g1, g2 = _g(g1), _g(g2)
+    dx = x(g1) - x(g2)
+    dy = y(g1) - y(g2)
+    return (dx * dx + dy * dy) <= _lit(d) * _lit(d)
+
+
+def distance_points(g1, g2) -> Column:
+    g1, g2 = _g(g1), _g(g2)
+    dx = x(g1) - x(g2)
+    dy = y(g1) - y(g2)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def point(px, py) -> Column:
+    px, py = _lit(px), _lit(py)
+    return F.when(
+        px.isNotNull() & py.isNotNull(),
+        geom_struct(F.lit(POINT), F.array(px), F.array(py),
+                    F.array(F.lit(1)), F.array(F.lit(1))))
+
+
+def make_line(xs_arr, ys_arr) -> Column:
+    """LineString from two aligned array<double> columns."""
+    xs_arr, ys_arr = _lit(xs_arr), _lit(ys_arr)
+    return F.when(
+        xs_arr.isNotNull() & ys_arr.isNotNull(),
+        geom_struct(F.lit(LINESTRING), xs_arr, ys_arr,
+                    F.array(F.size(xs_arr)), F.array(F.lit(1))))
+
+
+def make_polygon(xs_arr, ys_arr) -> Column:
+    """Single-ring polygon from aligned coordinate arrays; the ring is
+    closed automatically if open."""
+    xs_arr, ys_arr = _lit(xs_arr), _lit(ys_arr)
+    closed = ((F.element_at(xs_arr, 1) == F.element_at(xs_arr, -1))
+              & (F.element_at(ys_arr, 1) == F.element_at(ys_arr, -1)))
+    cxs = F.when(closed, xs_arr).otherwise(
+        F.concat(xs_arr, F.array(F.element_at(xs_arr, 1))))
+    cys = F.when(closed, ys_arr).otherwise(
+        F.concat(ys_arr, F.array(F.element_at(ys_arr, 1))))
+    return F.when(
+        xs_arr.isNotNull() & ys_arr.isNotNull(),
+        geom_struct(F.lit(POLYGON), cxs, cys, F.array(F.size(cxs)),
+                    F.array(F.lit(1))))
+
+
+def make_envelope(xmin, ymin, xmax, ymax) -> Column:
+    xmin, ymin, xmax, ymax = (_lit(v) for v in (xmin, ymin, xmax, ymax))
+    return geom_struct(
+        F.lit(POLYGON),
+        F.array(xmin, xmax, xmax, xmin, xmin),
+        F.array(ymin, ymin, ymax, ymax, ymin),
+        F.array(F.lit(5)), F.array(F.lit(1)))
+
+
+def dump_parts(g) -> Column:
+    """array<GEOM> of single-part geometries — the native kernel behind
+    ``st.explode`` (reference trait `explode`, geoseries.rs:50-56, benched
+    geopolars/benches/explode.rs). Single geometries yield themselves."""
+    g = _g(g)
+    pro = _offsets(g["parts"])   # ring-index offset per part
+    co = _offsets(g["rings"])    # coord offset per ring
+    sub_gt = (F.when(g["gt"] == MULTIPOINT, F.lit(POINT))
+               .when(g["gt"] == MULTILINESTRING, F.lit(LINESTRING))
+               .when(g["gt"] == MULTIPOLYGON, F.lit(POLYGON))
+               .otherwise(g["gt"]))
+
+    def one_part(p):
+        rp0 = F.element_at(pro, p + 1)
+        nr = F.element_at(g["parts"], p + 1)
+        cstart = F.element_at(co, rp0 + 1)
+        cend = F.element_at(co, rp0 + nr + 1)
+        sub_rings = F.slice(g["rings"], rp0 + 1, nr)
+        sub_parts = F.when(sub_gt == POLYGON, F.array(nr)) \
+                     .otherwise(F.array(F.lit(1)))
+        return geom_struct(sub_gt,
+                           F.slice(g["xs"], cstart + 1, cend - cstart),
+                           F.slice(g["ys"], cstart + 1, cend - cstart),
+                           sub_rings, sub_parts)
+
+    return F.when(_valid(g),
+                  F.transform(_seq0(F.size(g["parts"])), one_part))
+
+
+def num_parts(g) -> Column:
+    g = _g(g)
+    return F.when(_valid(g), F.size(g["parts"]))
+
+
+# ---------------------------------------------------------------------------
+# affine family (reference geoseries.rs:12, :93-145, :174; shapely 6-param
+# order [a, b, d, e, xoff, yoff])
+# ---------------------------------------------------------------------------
+
+def affine_transform(g, matrix) -> Column:
+    """matrix = [a, b, d, e, xoff, yoff] (python floats or Columns):
+    x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff."""
+    g = _g(g)
+    a, b, d, e, xoff, yoff = (_lit(v) for v in matrix)
+    nxs = F.zip_with(g["xs"], g["ys"], lambda px, py: a * px + b * py + xoff)
+    nys = F.zip_with(g["xs"], g["ys"], lambda px, py: d * px + e * py + yoff)
+    return F.when(_valid(g),
+                  geom_struct(g["gt"], nxs, nys, g["rings"], g["parts"]))
+
+
+def _origin_xy(g, origin):
+    """Resolve a TransformOrigin (reference py-geopolars/src/utils.rs:5-27:
+    'center' = bbox center, 'centroid', or (x, y) tuple) to column pair."""
+    if isinstance(origin, str):
+        if origin == "center":
+            xmin, ymin, xmax, ymax = bounds(g)
+            return (xmin + xmax) / 2, (ymin + ymax) / 2
+        if origin == "centroid":
+            c = centroid(g)
+            return F.element_at(c["xs"], 1), F.element_at(c["ys"], 1)
+        raise ValueError(f"unknown origin {origin!r}")
+    ox, oy = origin
+    return _lit(float(ox)), _lit(float(oy))
+
+
+def _affine_about(g, a, b, d, e, ox, oy):
+    xoff = ox - a * ox - b * oy
+    yoff = oy - d * ox - e * oy
+    return affine_transform(g, [a, b, d, e, xoff, yoff])
+
+
+def translate(g, xoff=0.0, yoff=0.0) -> Column:
+    return affine_transform(_g(g), [F.lit(1.0), F.lit(0.0), F.lit(0.0),
+                                    F.lit(1.0), _lit(xoff), _lit(yoff)])
+
+
+def rotate(g, angle_deg, origin="center") -> Column:
+    """CCW-positive rotation in degrees about origin (reference
+    geoseries.rs:85-105)."""
+    g = _g(g)
+    th = _lit(angle_deg) * F.lit(math.pi / 180.0)
+    ox, oy = _origin_xy(g, origin)
+    return _affine_about(g, F.cos(th), -F.sin(th), F.sin(th), F.cos(th),
+                         ox, oy)
+
+
+def scale(g, xfact=1.0, yfact=1.0, origin="center") -> Column:
+    g = _g(g)
+    ox, oy = _origin_xy(g, origin)
+    return _affine_about(g, _lit(xfact), F.lit(0.0), F.lit(0.0), _lit(yfact),
+                         ox, oy)
+
+
+def skew(g, xs_deg=0.0, ys_deg=0.0, origin="center") -> Column:
+    """Shear by angles in degrees (reference matrix doc
+    geoseries.rs:129-138)."""
+    g = _g(g)
+    ox, oy = _origin_xy(g, origin)
+    tx = F.tan(_lit(xs_deg) * F.lit(math.pi / 180.0))
+    ty = F.tan(_lit(ys_deg) * F.lit(math.pi / 180.0))
+    return _affine_about(g, F.lit(1.0), tx, ty, F.lit(1.0), ox, oy)

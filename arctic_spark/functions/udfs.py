@@ -1,0 +1,227 @@
+"""Arrow-batched pandas UDFs for the operations that are genuinely
+iterative (convex hull, Douglas-Peucker, general pairwise predicates) or
+that cross the WKB interop boundary. Everything else stays native — see
+``native.py``.
+
+Pandas UDFs receive the GEOM struct as a pandas.DataFrame of its fields
+and return one the same way (Spark's Arrow struct convention), so the
+ragged batch is rebuilt without per-row Python object churn beyond the
+list columns themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..geom import algos, wkb, wkt
+from ..geom.ragged import MISSING, RaggedGeometry
+from ..sparktypes import GEOM_TYPE
+
+
+def ragged_from_pdf(pdf: pd.DataFrame) -> RaggedGeometry:
+    gt = pdf["gt"]
+    gts = [None if pd.isna(v) else int(v) for v in gt]
+    return RaggedGeometry.from_pylists(gts, pdf["xs"].tolist(),
+                                       pdf["ys"].tolist(),
+                                       pdf["rings"].tolist(),
+                                       pdf["parts"].tolist())
+
+
+def ragged_to_pdf(rg: RaggedGeometry) -> pd.DataFrame:
+    gts, xs, ys, rings, parts = rg.to_pylists()
+    return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                         "ys": ys, "rings": rings, "parts": parts})
+
+
+# ---- WKB / WKT boundary ---------------------------------------------------
+
+@pandas_udf(GEOM_TYPE)
+def geom_from_wkb(buf: pd.Series) -> pd.DataFrame:
+    rg = wkb.decode([None if b is None else bytes(b) for b in buf])
+    return ragged_to_pdf(rg)
+
+
+@pandas_udf(T.BinaryType())
+def geom_to_wkb(g: pd.DataFrame) -> pd.Series:
+    return pd.Series(wkb.encode(ragged_from_pdf(g)))
+
+
+@pandas_udf(GEOM_TYPE)
+def geom_from_wkt(texts: pd.Series) -> pd.DataFrame:
+    return ragged_to_pdf(wkt.parse(texts.tolist()))
+
+
+@pandas_udf(T.StringType())
+def geom_to_wkt(g: pd.DataFrame) -> pd.Series:
+    return pd.Series(wkt.format(ragged_from_pdf(g)))
+
+
+# ---- iterative unary ops --------------------------------------------------
+
+@pandas_udf(GEOM_TYPE)
+def convex_hull(g: pd.DataFrame) -> pd.DataFrame:
+    return ragged_to_pdf(algos.convex_hull(ragged_from_pdf(g)))
+
+
+def simplify(g, tolerance: float):
+    @pandas_udf(GEOM_TYPE)
+    def _simplify(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.simplify(ragged_from_pdf(gg), tolerance))
+    return _simplify(g)
+
+
+# ---- binary row-aligned ops ----------------------------------------------
+
+@pandas_udf(T.BooleanType())
+def intersects(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    out = []
+    for i in range(len(r1)):
+        if r1.gt[i] == MISSING or r2.gt[i] == MISSING:
+            out.append(None)
+        else:
+            out.append(algos.intersects_pair(r1.geom(i), r2.geom(i)))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(T.BooleanType())
+def contains(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    out = []
+    for i in range(len(r1)):
+        if r1.gt[i] == MISSING or r2.gt[i] == MISSING:
+            out.append(None)
+        else:
+            out.append(algos.contains_pair(r1.geom(i), r2.geom(i)))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(T.DoubleType())
+def distance(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Row-aligned 1-to-1 min distance (reference geoseries.rs:146-149),
+    with a vectorized all-points fast path."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    if (len(r1) and np.all(r1.gt == 0) and np.all(r2.gt == 0)):
+        d = np.sqrt((r1.xs - r2.xs) ** 2 + (r1.ys - r2.ys) ** 2)
+        return pd.Series(d)
+    out = np.full(len(r1), np.nan)
+    for i in range(len(r1)):
+        if r1.gt[i] != MISSING and r2.gt[i] != MISSING:
+            out[i] = algos.distance_pair(r1.geom(i), r2.geom(i))
+    return pd.Series(out)
+
+
+# ---- geodesic lengths (iterative Vincenty / Karney-style) -----------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1 / 298.257223563
+_WGS84_B = _WGS84_A * (1 - _WGS84_F)
+
+
+def _vincenty_inverse(lon1, lat1, lon2, lat2, max_iter=200, tol=1e-12):
+    """Vectorized Vincenty inverse distance (meters) between lon/lat deg
+    arrays. Near-antipodal non-convergence → falls back to haversine for
+    those elements (the reference's Vincenty errors there,
+    geo's vincenty_length; we choose graceful degradation)."""
+    phi1, phi2 = np.radians(lat1), np.radians(lat2)
+    L = np.radians(lon2 - lon1)
+    U1 = np.arctan((1 - _WGS84_F) * np.tan(phi1))
+    U2 = np.arctan((1 - _WGS84_F) * np.tan(phi2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    active = np.ones(L.shape, dtype=bool)
+    sinSigma = np.zeros_like(L)
+    cosSigma = np.ones_like(L)
+    sigma = np.zeros_like(L)
+    cosSqAlpha = np.ones_like(L)
+    cos2SigmaM = np.zeros_like(L)
+    for _ in range(max_iter):
+        if not active.any():
+            break
+        sinLam, cosLam = np.sin(lam), np.cos(lam)
+        sinSigma_n = np.sqrt((cosU2 * sinLam) ** 2
+                             + (cosU1 * sinU2 - sinU1 * cosU2 * cosLam) ** 2)
+        cosSigma_n = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
+        sigma_n = np.arctan2(sinSigma_n, cosSigma_n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sinAlpha = np.where(sinSigma_n != 0,
+                                cosU1 * cosU2 * sinLam / sinSigma_n, 0.0)
+            cosSqAlpha_n = 1 - sinAlpha ** 2
+            cos2SigmaM_n = np.where(cosSqAlpha_n != 0,
+                                    cosSigma_n - 2 * sinU1 * sinU2 / np.where(
+                                        cosSqAlpha_n != 0, cosSqAlpha_n, 1.0),
+                                    0.0)
+        C = _WGS84_F / 16 * cosSqAlpha_n * (4 + _WGS84_F * (4 - 3 * cosSqAlpha_n))
+        lam_new = L + (1 - C) * _WGS84_F * sinAlpha * (
+            sigma_n + C * sinSigma_n * (cos2SigmaM_n + C * cosSigma_n *
+                                        (-1 + 2 * cos2SigmaM_n ** 2)))
+        upd = active
+        sinSigma = np.where(upd, sinSigma_n, sinSigma)
+        cosSigma = np.where(upd, cosSigma_n, cosSigma)
+        sigma = np.where(upd, sigma_n, sigma)
+        cosSqAlpha = np.where(upd, cosSqAlpha_n, cosSqAlpha)
+        cos2SigmaM = np.where(upd, cos2SigmaM_n, cos2SigmaM)
+        conv = np.abs(lam_new - lam) < tol
+        lam = np.where(upd, lam_new, lam)
+        active = active & ~conv
+    uSq = cosSqAlpha * (_WGS84_A ** 2 - _WGS84_B ** 2) / _WGS84_B ** 2
+    A = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    B = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    dSigma = B * sinSigma * (cos2SigmaM + B / 4 * (
+        cosSigma * (-1 + 2 * cos2SigmaM ** 2)
+        - B / 6 * cos2SigmaM * (-3 + 4 * sinSigma ** 2)
+        * (-3 + 4 * cos2SigmaM ** 2)))
+    s = _WGS84_B * A * (sigma - dSigma)
+    if active.any():  # non-converged: haversine fallback
+        R = 6371008.8
+        dphi = phi2 - phi1
+        h = (np.sin(dphi / 2) ** 2
+             + np.cos(phi1) * np.cos(phi2) * np.sin(L / 2) ** 2)
+        hav = 2 * R * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        s = np.where(active, hav, s)
+    return np.where((lon1 == lon2) & (lat1 == lat2), 0.0, s)
+
+
+def _geodesic_length_np(rg: RaggedGeometry, method: str):
+    out = np.full(len(rg), np.nan)
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            continue
+        tot, off = 0.0, 0
+        for rl in rings:
+            if rl >= 2:
+                x, y = xs[off:off + rl], ys[off:off + rl]
+                if method in ("vincenty", "geodesic"):
+                    tot += _vincenty_inverse(x[:-1], y[:-1], x[1:], y[1:]).sum()
+                else:
+                    raise ValueError(method)
+            off += rl
+        # lines: all parts; polygons: reference HaversineLength/etc. apply
+        # to LineString/MultiLineString only — we extend to any sequence
+        out[i] = tot if len(xs) > 1 else 0.0
+    return out
+
+
+def geodesic_length(g, method: str = "geodesic"):
+    """Ellipsoidal length in meters. method='haversine' is served natively
+    (see native.geodesic_length_haversine); 'vincenty' and 'geodesic' run
+    the iterative Vincenty inverse here. Mirrors the reference's
+    three-method surface (py-geopolars/src/geo.rs:61-78)."""
+    if method == "haversine":
+        from . import native
+        return native.geodesic_length_haversine(g)
+    if method not in ("vincenty", "geodesic"):
+        raise ValueError(
+            f"Geodesic calculation method '{method}' not supported; use "
+            "'geodesic', 'haversine' or 'vincenty'")
+
+    @pandas_udf(T.DoubleType())
+    def _geod(gg: pd.DataFrame) -> pd.Series:
+        return pd.Series(_geodesic_length_np(ragged_from_pdf(gg), method))
+    return _geod(g)

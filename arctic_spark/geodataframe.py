@@ -1,0 +1,116 @@
+"""GeoDataFrame — thin wrapper over pyspark.sql.DataFrame.
+
+The reference subclasses polars.DataFrame (py-geopolars/python/geopolars/
+internals/geodataframe.py:15-16) but loses the subclass across transforms;
+Spark has the same constraint (SURVEY §1.1), so we wrap instead of
+subclass: the wrapper carries ``geometry_column`` and — improving on the
+reference, whose series cannot carry a CRS at all (geoseries.rs:148-149,
+README.md:37) — a ``crs`` string (SURVEY §1.4 design note).
+
+Unknown attributes delegate to the wrapped DataFrame; DataFrame-returning
+calls are re-wrapped so the geo context survives chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import functions as st
+from .sparktypes import is_geom_type
+
+DEFAULT_GEO_COLUMN_NAME = "geometry"  # reference geodataframe.py:12
+DEFAULT_CRS = "EPSG:4326"
+
+
+class GeoDataFrame:
+    def __init__(self, df: DataFrame, geometry_column: str = DEFAULT_GEO_COLUMN_NAME,
+                 crs: str = DEFAULT_CRS):
+        self._df = df
+        self.geometry_column = geometry_column
+        self.crs = crs
+
+    # ---- plumbing --------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def _wrap(self, df):
+        if isinstance(df, DataFrame):
+            return GeoDataFrame(df, self.geometry_column, self.crs)
+        return df
+
+    def __getattr__(self, name):
+        attr = getattr(self._df, name)
+        if callable(attr):
+            def call(*args, **kwargs):
+                return self._wrap(attr(*args, **kwargs))
+            return call
+        return attr
+
+    def __repr__(self):
+        return (f"GeoDataFrame(geometry={self.geometry_column!r}, "
+                f"crs={self.crs!r}, df={self._df!r})")
+
+    @property
+    def geometry(self):
+        return F.col(self.geometry_column)
+
+    def has_geometry(self) -> bool:
+        sch = dict((f.name, f.dataType) for f in self._df.schema.fields)
+        dt = sch.get(self.geometry_column)
+        return dt is not None and is_geom_type(dt)
+
+    # ---- geo-aware conveniences -----------------------------------------
+
+    def with_geometry(self, col, name=None, crs=None):
+        name = name or self.geometry_column
+        out = self._df.withColumn(name, col)
+        return GeoDataFrame(out, name, crs or self.crs)
+
+    def to_crs(self, crs: str):
+        """Reproject the geometry column. Unlike the reference (which
+        requires the caller to supply from_crs, geoseries.rs:148-149),
+        the wrapper knows its CRS."""
+        from .proj import transform_geom
+        out = self._df.withColumn(
+            self.geometry_column,
+            transform_geom(F.col(self.geometry_column), self.crs, crs))
+        return GeoDataFrame(out, self.geometry_column, crs)
+
+    def set_crs(self, crs: str):
+        return GeoDataFrame(self._df, self.geometry_column, crs)
+
+    def cx(self, xmin, ymin, xmax, ymax):
+        """Bounding-box filter (GeoPandas `cx` indexer; reference roadmap
+        geoseries.rst:184). Pushes a native bbox predicate — pairs with
+        materialized bbox columns for parquet min/max pruning at scale."""
+        g = F.col(self.geometry_column)
+        bx0, by0, bx1, by1 = st.bounds(g)
+        cond = ((bx0 <= F.lit(float(xmax))) & (bx1 >= F.lit(float(xmin)))
+                & (by0 <= F.lit(float(ymax))) & (by1 >= F.lit(float(ymin))))
+        return self._wrap(self._df.where(cond))
+
+    def total_bounds(self):
+        """[xmin, ymin, xmax, ymax] of the whole frame (aggregation)."""
+        row = self._df.agg(*st.total_bounds_agg(self.geometry_column)) \
+                      .collect()[0]
+        return [row["xmin"], row["ymin"], row["xmax"], row["ymax"]]
+
+    def explode(self):
+        return self._wrap(st.explode_parts(self._df, self.geometry_column))
+
+    def with_bbox_columns(self, prefix="bbox_"):
+        """Materialize bbox columns (xmin/ymin/xmax/ymax) — the scale
+        analogue of the reference's precomputed SpatialIndex
+        (spatial_index.rs:20-21): written to parquet they give min/max
+        stat pruning for spatial filters."""
+        g = F.col(self.geometry_column)
+        bx0, by0, bx1, by1 = st.bounds(g)
+        out = (self._df
+               .withColumn(prefix + "xmin", bx0)
+               .withColumn(prefix + "ymin", by0)
+               .withColumn(prefix + "xmax", bx1)
+               .withColumn(prefix + "ymax", by1))
+        return self._wrap(out)

@@ -1,0 +1,105 @@
+"""GeoParquet-style IO.
+
+The reference reads vector files through GDAL (io/file.py:15-119) and has
+no write path (SURVEY §2.5). This engine standardizes on parquet:
+
+- geometry travels as WKB in a binary column named ``geometry`` plus a
+  ``geo``-style metadata blob (GeoParquet-inspired) carried in the Spark
+  schema metadata;
+- ``write_geoparquet`` optionally materializes bbox columns so parquet
+  min/max stats give spatial predicate pushdown at scan time — the
+  distributed replacement for the reference's prebuilt R-tree
+  (spatial_index.rs:20-21);
+- ``read_geoparquet`` restores the GEOM struct + wrapper CRS.
+
+There is no GDAL in this container, so `read_file` supports WKT/WKB
+columnar files (parquet/csv) — the pyogrio passthrough documented in
+SURVEY §2.5 would slot in here when available (import-gated).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import functions as st
+from .geodataframe import DEFAULT_CRS, DEFAULT_GEO_COLUMN_NAME, GeoDataFrame
+
+
+def write_geoparquet(gdf: GeoDataFrame, path: str, mode="overwrite",
+                     bbox_columns=True, wkb=True,
+                     partition_by=None) -> None:
+    """Write a GeoDataFrame to parquet. Geometry is encoded to WKB
+    (interop default; pass wkb=False to keep the native struct — faster
+    to re-read by this engine, not portable to other readers)."""
+    df = gdf.df
+    gcol = gdf.geometry_column
+    if bbox_columns:
+        xmin, ymin, xmax, ymax = st.bounds(F.col(gcol))
+        df = (df.withColumn("bbox_xmin", xmin)
+                .withColumn("bbox_ymin", ymin)
+                .withColumn("bbox_xmax", xmax)
+                .withColumn("bbox_ymax", ymax))
+    meta = {"version": "1.0.0-arctic-spark", "primary_column": gcol,
+            "columns": {gcol: {"encoding": "WKB" if wkb else "geom-struct",
+                               "crs": gdf.crs}}}
+    if wkb:
+        df = df.withColumn(gcol, st.to_wkb(F.col(gcol)))
+    df = df.withColumn("__geo_meta",
+                       F.lit(json.dumps(meta)).cast("string"))
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_geoparquet(spark: SparkSession, path: str,
+                    geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                    crs=None) -> GeoDataFrame:
+    df = spark.read.parquet(path)
+    file_crs = crs
+    if "__geo_meta" in df.columns:
+        try:
+            meta = json.loads(df.select("__geo_meta").first()[0])
+            file_crs = file_crs or meta["columns"][
+                meta["primary_column"]]["crs"]
+            geometry_column = meta.get("primary_column", geometry_column)
+        except Exception:
+            pass
+        df = df.drop("__geo_meta")
+    sch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if sch.get(geometry_column) == "binary":
+        df = df.withColumn(geometry_column,
+                           st.from_wkb(F.col(geometry_column)))
+    return GeoDataFrame(df, geometry_column, file_crs or DEFAULT_CRS)
+
+
+def from_wkt_df(df: DataFrame, wkt_column: str,
+                geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                crs=DEFAULT_CRS, drop_wkt=True) -> GeoDataFrame:
+    out = df.withColumn(geometry_column, st.from_wkt(F.col(wkt_column)))
+    if drop_wkt and wkt_column != geometry_column:
+        out = out.drop(wkt_column)
+    return GeoDataFrame(out, geometry_column, crs)
+
+
+def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
+    """GDAL vector read (reference read_file, io/file.py:15-119) —
+    import-gated on pyogrio, which is not in this container."""
+    try:
+        from pyogrio.raw import read_arrow  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "read_file requires pyogrio/GDAL which is not available in "
+            "this environment; use read_geoparquet / from_wkt_df instead"
+        ) from e
+    meta, table = read_arrow(path, **pyogrio_kwargs)  # pragma: no cover
+    pdf = table.to_pandas()
+    gcol = meta.get("geometry_name") or "wkb_geometry"
+    df = spark.createDataFrame(pdf)
+    if gcol in pdf.columns:
+        df = df.withColumn(gcol, st.from_wkb(F.col(gcol)))
+        return GeoDataFrame(df, gcol, str(meta.get("crs") or DEFAULT_CRS))
+    return df

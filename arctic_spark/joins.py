@@ -1,0 +1,265 @@
+"""Distributed spatial join — filter–refine, Spark-first.
+
+The reference joins two frames through an R-tree: build per-side trees,
+bbox candidate pairs, exact predicate per candidate, then a row-index
+equi-join (geopolars/src/spatial_index.rs:37-204). That design is
+single-node and fully materialized. The Spark-native re-expression keeps
+the same filter–refine structure but distributes each phase:
+
+1. **distribute**: each geometry gets the set of fixed-grid cells its
+   bbox covers (native `explode` over a native cell-id expression — no
+   UDF, no custom partitioner: the cell id IS the shuffle key);
+2. **join**: equi-join on cell id — a plain shuffled hash join Catalyst
+   plans (AQE skew-join splits hot cells; `broadcast_right=True` short-
+   circuits the shuffle for a small dim side);
+3. **refine**: exact predicate — Catalyst-native ray-cast for point/
+   polygon pairs (the dominant case, fully JVM-side), pandas-UDF general
+   kernel otherwise;
+4. **dedup-free reporting**: a candidate pair can meet in several cells;
+   only the canonical cell (the one containing the min corner of the
+   bbox intersection) reports it, so no distinct()/re-shuffle is needed —
+   at 100 TB a global dedup shuffle would dominate the join itself.
+
+Defaults mirror SpatialJoinArgs (spatial_index.rs:24-35): inner join,
+intersects predicate, ``_left``/``_right`` suffixes on ALL columns.
+Matching the reference's refine table (spatial_index.rs:89-137),
+point/polygon pairs under BOTH 'intersects' and 'contains' delegate to
+polygon-contains-point (boundary-exclusive ray cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import native
+from .functions.udfs import contains as _contains_udf
+from .functions.udfs import intersects as _intersects_udf
+from .geodataframe import GeoDataFrame
+
+_ROWID = "__asj_rowid"
+
+
+def _cells_for_bounds(xmin, ymin, xmax, ymax, cell_size):
+    """array<struct<cx:int,cy:int>> of grid cells covering a bbox —
+    pure Catalyst (nested sequence transform + flatten)."""
+    cs = F.lit(float(cell_size))
+    cx0 = F.floor(xmin / cs).cast("int")
+    cx1 = F.floor(xmax / cs).cast("int")
+    cy0 = F.floor(ymin / cs).cast("int")
+    cy1 = F.floor(ymax / cs).cast("int")
+    return F.flatten(F.transform(
+        F.sequence(cx0, cx1),
+        lambda cx: F.transform(F.sequence(cy0, cy1),
+                               lambda cy: F.struct(cx.alias("cx"),
+                                                   cy.alias("cy")))))
+
+
+def _with_cells(df, geom_col, cell_size, prefix):
+    g = F.col(geom_col)
+    xmin, ymin, xmax, ymax = native.bounds(g)
+    out = (df.withColumn(prefix + "xmin", xmin)
+             .withColumn(prefix + "ymin", ymin)
+             .withColumn(prefix + "xmax", xmax)
+             .withColumn(prefix + "ymax", ymax)
+             .where(F.col(prefix + "xmin").isNotNull()))
+    cells = _cells_for_bounds(F.col(prefix + "xmin"), F.col(prefix + "ymin"),
+                              F.col(prefix + "xmax"), F.col(prefix + "ymax"),
+                              cell_size)
+    return out.withColumn(prefix + "cell", F.explode(cells))
+
+
+def estimate_cell_size(df, geom_col="geometry", sample_fraction=0.01,
+                       target=4.0):
+    """Pick a grid cell size ≈ target× the mean bbox extent of a sample —
+    keeps per-geometry cell fan-out ~O(1) while keeping cells selective.
+    One small aggregation job; cache-friendly because it reads only the
+    geometry bounds (column-pruned scan)."""
+    s = df.select(*[c.alias(n) for c, n in
+                    zip(native.bounds(F.col(geom_col)),
+                        ("x0", "y0", "x1", "y1"))])
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=42)
+    row = s.agg(F.avg(F.col("x1") - F.col("x0")).alias("w"),
+                F.avg(F.col("y1") - F.col("y0")).alias("h"),
+                F.min("x0").alias("xmin"), F.max("x1").alias("xmax"),
+                F.min("y0").alias("ymin"), F.max("y1").alias("ymax"),
+                F.count("*").alias("n")).collect()[0]
+    if row.n == 0 or row.xmax is None:
+        return 1.0
+    extent = max(row.xmax - row.xmin, row.ymax - row.ymin, 1e-9)
+    mean_dim = max(row.w or 0.0, row.h or 0.0)
+    if mean_dim <= 0:
+        # points: aim for a grid of ~2048 cells per axis over the extent
+        return extent / 2048.0
+    return max(mean_dim * target, extent / 65536.0)
+
+
+def _refine_predicate(lg, rg, predicate, udf_refine=True):
+    """Exact-predicate column with native fast paths for point/polygon,
+    point/point; general pairs go to the pandas-UDF kernel.
+
+    ``udf_refine=False`` keeps the refine 100% JVM-native: type pairs not
+    covered natively evaluate to false — exactly the reference's behavior
+    for unhandled pairs (spatial_index.rs:89-137 returns false silently).
+    Spark evaluates a Python UDF for every input row of its stage even
+    under a `when` branch, so disabling it matters for all-point/polygon
+    workloads."""
+    lcol, rcol = F.col(lg), F.col(rg)
+    point_l = lcol["gt"] == 0
+    point_r = rcol["gt"] == 0
+    poly_l = lcol["gt"].isin(3, 6)
+    poly_r = rcol["gt"].isin(3, 6)
+    pip_lr = native.contains_point(rcol, native.x(lcol), native.y(lcol))
+    pip_rl = native.contains_point(lcol, native.x(rcol), native.y(rcol))
+    pp_eq = ((native.x(lcol) == native.x(rcol))
+             & (native.y(lcol) == native.y(rcol)))
+    if udf_refine:
+        if predicate == "intersects":
+            general = _intersects_udf(lcol, rcol)
+        else:
+            general = _contains_udf(lcol, rcol)
+    else:
+        general = F.lit(False)
+    return (F.when(point_l & poly_r, pip_lr)
+             .when(point_r & poly_l, pip_rl)
+             .when(point_l & point_r, pp_eq)
+             .otherwise(general))
+
+
+def spatial_join(left, right, how="inner", predicate="intersects",
+                 lsuffix="_left", rsuffix="_right", cell_size=None,
+                 broadcast_right=None, udf_refine=True):
+    """Distributed filter–refine spatial join.
+
+    Parameters mirror the reference's SpatialJoinArgs
+    (spatial_index.rs:15-35): ``how`` in {'inner','left'} (others raise,
+    as :200-203 does), ``predicate`` in {'intersects','contains'},
+    suffixes applied to every column of each side
+    (spatial_index.rs:164-184).
+
+    ``broadcast_right=True`` forces a broadcast hash join on the cell id;
+    ``None`` lets AQE decide from runtime sizes.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"join type {how!r} not supported (reference "
+                         "supports Inner/Left, spatial_index.rs:200-203)")
+    if predicate not in ("intersects", "contains"):
+        raise ValueError(f"predicate {predicate!r} not supported; use "
+                         "'intersects' or 'contains'")
+
+    lgdf = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
+    rgdf = right if isinstance(right, GeoDataFrame) else GeoDataFrame(right)
+    ldf, lgeom = lgdf.df, lgdf.geometry_column
+    rdf, rgeom = rgdf.df, rgdf.geometry_column
+
+    if cell_size is None:
+        cell_size = max(estimate_cell_size(ldf, lgeom),
+                        estimate_cell_size(rdf, rgeom))
+
+    # suffix all columns (reference behavior); tag left rows for the
+    # left-join add-back
+    ldfs = ldf.select(*[F.col(c).alias(c + lsuffix) for c in ldf.columns])
+    rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])
+    lg, rg = lgeom + lsuffix, rgeom + rsuffix
+    if how == "left":
+        ldfs = ldfs.withColumn(_ROWID, F.monotonically_increasing_id())
+
+    lc = _with_cells(ldfs, lg, cell_size, "__l_")
+    rc = _with_cells(rdfs, rg, cell_size, "__r_")
+    if broadcast_right:
+        rc = F.broadcast(rc)
+
+    joined = lc.join(rc, (lc["__l_cell.cx"] == rc["__r_cell.cx"])
+                     & (lc["__l_cell.cy"] == rc["__r_cell.cy"]), "inner")
+
+    # bbox refine (cheap, native) — mirrors the R-tree candidate stage
+    bbox_ok = ((F.col("__l_xmin") <= F.col("__r_xmax"))
+               & (F.col("__r_xmin") <= F.col("__l_xmax"))
+               & (F.col("__l_ymin") <= F.col("__r_ymax"))
+               & (F.col("__r_ymin") <= F.col("__l_ymax")))
+
+    # canonical-cell pair dedup (zero extra shuffle)
+    cs = F.lit(float(cell_size))
+    ix = F.greatest(F.col("__l_xmin"), F.col("__r_xmin"))
+    iy = F.greatest(F.col("__l_ymin"), F.col("__r_ymin"))
+    canonical = ((F.floor(ix / cs).cast("int") == F.col("__l_cell.cx"))
+                 & (F.floor(iy / cs).cast("int") == F.col("__l_cell.cy")))
+
+    helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
+                   "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
+                   "__r_xmax", "__r_ymax"]
+    matched = (joined.where(bbox_ok & canonical)
+               .where(_refine_predicate(lg, rg, predicate, udf_refine))
+               .drop(*helper_cols))
+
+    if how == "inner":
+        return GeoDataFrame(matched, lg, lgdf.crs)
+
+    # left join: reference delegates to a row-index left join
+    # (spatial_index.rs:193-199); ours re-joins matches to the tagged
+    # left side so unmatched left rows survive with null right columns.
+    rcols = [c + rsuffix for c in rdf.columns]
+    out = (ldfs.join(matched.select(_ROWID, *rcols), on=_ROWID, how="left")
+           .drop(_ROWID))
+    return GeoDataFrame(out, lg, lgdf.crs)
+
+
+def sjoin(left, right, how="inner", predicate="intersects", **kw):
+    """GeoPandas-style alias for spatial_join."""
+    return spatial_join(left, right, how=how, predicate=predicate, **kw)
+
+
+def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
+                 cell_size=None, broadcast_right=None, points_only=False):
+    """All pairs within `distance` (point-optimized): grid cells sized by
+    the radius, join on cell, native distance refine. The standard
+    bucketed band-join strategy — one shuffle, no crossJoin."""
+    lgdf = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
+    rgdf = right if isinstance(right, GeoDataFrame) else GeoDataFrame(right)
+    ldf, lgeom = lgdf.df, lgdf.geometry_column
+    rdf, rgeom = rgdf.df, rgdf.geometry_column
+    if cell_size is None:
+        cell_size = max(float(distance) * 2.0, 1e-9)
+
+    ldfs = ldf.select(*[F.col(c).alias(c + lsuffix) for c in ldf.columns])
+    rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])
+    lg, rg = lgeom + lsuffix, rgeom + rsuffix
+
+    # expand left bboxes by the radius so cell-equality is a superset
+    cs = float(cell_size)
+    g = F.col(lg)
+    xmin, ymin, xmax, ymax = native.bounds(g)
+    lc = (ldfs.withColumn("__l_xmin", xmin - distance)
+              .withColumn("__l_ymin", ymin - distance)
+              .withColumn("__l_xmax", xmax + distance)
+              .withColumn("__l_ymax", ymax + distance)
+              .where(F.col("__l_xmin").isNotNull()))
+    lc = lc.withColumn("__l_cell", F.explode(_cells_for_bounds(
+        F.col("__l_xmin"), F.col("__l_ymin"), F.col("__l_xmax"),
+        F.col("__l_ymax"), cs)))
+    rc = _with_cells(rdfs, rg, cs, "__r_")
+    if broadcast_right:
+        rc = F.broadcast(rc)
+
+    joined = lc.join(rc, (lc["__l_cell.cx"] == rc["__r_cell.cx"])
+                     & (lc["__l_cell.cy"] == rc["__r_cell.cy"]), "inner")
+    ix = F.greatest(F.col("__l_xmin"), F.col("__r_xmin"))
+    iy = F.greatest(F.col("__l_ymin"), F.col("__r_ymin"))
+    canonical = ((F.floor(ix / F.lit(cs)).cast("int") == F.col("__l_cell.cx"))
+                 & (F.floor(iy / F.lit(cs)).cast("int") == F.col("__l_cell.cy")))
+    lcol, rcol = F.col(lg), F.col(rg)
+    both_points = (lcol["gt"] == 0) & (rcol["gt"] == 0)
+    if points_only:
+        # fully native — no Python worker anywhere in the plan
+        dist = native.distance_points(lcol, rcol)
+    else:
+        from .functions.udfs import distance as _distance_udf
+        dist = F.when(both_points, native.distance_points(lcol, rcol)) \
+                .otherwise(_distance_udf(lcol, rcol))
+    helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
+                   "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
+                   "__r_xmax", "__r_ymax"]
+    out = (joined.where(canonical).where(dist <= F.lit(float(distance)))
+           .drop(*helper_cols))
+    return GeoDataFrame(out, lg, lgdf.crs)

@@ -1,0 +1,7 @@
+"""Large-scale training-data pipeline operators (the beyond-reference
+mandate): text analysis, deduplication, embedding similarity search,
+multimodal column plumbing."""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["text", "dedup", "similarity", "multimodal"]

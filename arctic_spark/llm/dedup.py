@@ -1,0 +1,200 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, all built on the same scale pattern — partition-local
+columnar kernels + one equi-join/groupBy shuffle on a compact key:
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle on a
+  16-byte key; at 100 TB this is the cheapest possible dedup).
+- MinHash + LSH: shingle → K minhashes → B bands → groupBy band value.
+  Candidate pairs only materialize within same-band buckets, so the
+  shuffle volume is O(docs × B), not O(docs²).
+- SimHash: 64-bit weighted-projection signature; near-dups share bucket
+  on bit-band prefixes.
+- n-gram Jaccard: exact verification kernel for candidate pairs.
+
+MinHash permutations use the classic (a·x + b) mod p universal family
+over a 32-bit base hash derived from md5 (portable, engine-independent,
+deterministic — no dependence on Spark's private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, word_tokens
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def shingles(text, k: int = 3) -> Column:
+    """array<string> of k-word shingles (distinct)."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+           .otherwise(F.when(n > 0, F.array(F.lit(0)))
+                       .otherwise(F.array().cast("array<int>")))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i + 1, F.lit(k))))
+    return F.array_distinct(sh)
+
+
+def _base_hash(s) -> Column:
+    """Deterministic 32-bit hash of a string via md5 (portable across
+    engines — ``conv(substr(md5(x),1,8),16,10)``)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _rand_coeffs(num: int, seed: int):
+    """Deterministic (a, b) pairs for the universal hash family."""
+    import random
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE_P - 1), rnd.randrange(0, _MERSENNE_P - 1))
+            for _ in range(num)]
+
+
+def minhash_signature(text, num_hashes: int = 64, shingle_k: int = 3,
+                      seed: int = 42) -> Column:
+    """array<long>[num_hashes] MinHash signature — fully native: the
+    per-permutation min runs as an `aggregate` over the shingle hashes
+    inside codegen."""
+    sh = shingles(text, shingle_k)
+    base = F.transform(sh, _base_hash)
+    coeffs = _rand_coeffs(num_hashes, seed)
+    mins = [
+        F.aggregate(base, F.lit(_MERSENNE_P).cast("long"),
+                    lambda acc, h, a=a, b=b: F.least(
+                        acc, (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P)))
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def minhash_bands(sig, num_bands: int = 16) -> Column:
+    """array<string> of band keys: band id + md5 of the band's slice."""
+    n = F.size(sig)
+    rows_per = (n / F.lit(num_bands)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.concat(b.cast("string"), F.lit(":"), F.md5(
+            F.concat_ws(",", F.transform(
+                F.slice(sig, b * rows_per + 1, rows_per),
+                lambda v: v.cast("string"))))))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text",
+                      num_hashes: int = 64, num_bands: int = 16,
+                      shingle_k: int = 3, jaccard_threshold: float = 0.7,
+                      seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) with their exact
+    n-gram Jaccard, LSH-banded:
+
+    doc → signature → explode bands → self-equi-join on band key (the one
+    shuffle) → distinct pair → exact Jaccard verify ≥ threshold.
+    """
+    sig = df.select(_c(id_col).alias("id"),
+                    shingles(text_col, shingle_k).alias("sh"),
+                    minhash_signature(text_col, num_hashes, shingle_k,
+                                      seed).alias("sig"))
+    banded = sig.select("id", "sh", F.explode(
+        minhash_bands(F.col("sig"), num_bands)).alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (cand.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def exact_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
+                     normalize=True) -> DataFrame:
+    """Exact dedup: (fingerprint, n_dups, keep_id) per duplicate class.
+    ``keep_id`` = min id — the canonical survivor."""
+    key = fingerprint(text_col) if normalize else F.md5(_c(text_col))
+    return (df.groupBy(key.alias("fp"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def dedup_exact(df: DataFrame, id_col="doc_id", text_col="text",
+                normalize=True) -> DataFrame:
+    """Keep one row (min id) per identical-text class — the 100 TB-safe
+    formulation: window-free pre-aggregation, single shuffle."""
+    key = fingerprint(text_col) if normalize else F.md5(_c(text_col))
+    w = Window.partitionBy(key).orderBy(_c(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def ngram_jaccard(text_a, text_b, k: int = 3) -> Column:
+    """Exact k-shingle Jaccard between two text columns (row-aligned)."""
+    sa, sb = shingles(text_a, k), shingles(text_b, k)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+
+
+def simhash64(text) -> Column:
+    """64-bit SimHash of word tokens: per-token md5-derived 64-bit hash;
+    signature bit i = sign of Σ_tokens (±1 on bit i). Near-duplicate docs
+    differ in few bits (compare via hamming distance / band prefixes).
+    Returns a bigint (bit i in two's-complement order)."""
+    toks = word_tokens(text)
+    h = F.transform(toks, lambda t: F.conv(
+        F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    # for each of 60 usable bits: count tokens with bit set, vs total
+    n = F.size(h)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.when(
+            F.size(F.filter(h, lambda v: v.bitwiseAND(
+                F.shiftleft(F.lit(1).cast("long"), i)) != 0)) * 2 > n,
+            F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(59)),
+                   lambda b, i: F.shiftleft(b, i)),
+        F.lit(0).cast("long"), lambda a, v: a.bitwiseOR(v))
+
+
+def hamming64(a, b) -> Column:
+    """Hamming distance between two 64-bit signatures."""
+    x = _c(a).bitwiseXOR(_c(b))
+    return F.bit_count(x)
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text",
+                           max_hamming: int = 3,
+                           prefix_bits: int = 15) -> DataFrame:
+    """SimHash near-dup candidates: band the 60-bit signature into 4
+    prefix blocks (pigeonhole: ≤3 differing bits ⇒ at least one block
+    equal), equi-join per block, verify hamming ≤ max_hamming."""
+    sig = df.select(_c(id_col).alias("id"),
+                    simhash64(text_col).alias("sig"))
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.concat(
+            i.cast("string"), F.lit(":"),
+            F.shiftright(sig["sig"], i * prefix_bits)
+             .bitwiseAND(F.lit((1 << prefix_bits) - 1)).cast("string")))
+    banded = sig.select("id", "sig", F.explode(blocks).alias("blk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn("hamming", hamming64("sig_a", "sig_b"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,122 @@
+"""Embedding similarity search over `array<float>` columns.
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus with a fully-native dot product
+(`aggregate(zip_with(...))`, JVM-side), then a per-query window top-k.
+Scale path: random-hyperplane LSH — embeddings land in sign-pattern
+buckets; the candidate join is an equi-join on bucket id so the shuffle
+is O(n × tables), not O(n²); IVF-style coarse quantization via
+kmeans-free binary codes keeps it dependency-free.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a, b) -> Column:
+    """Native dot product of two aligned array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(_c(a), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b) -> Column:
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     query_id="vec_id", query_vec="embedding",
+                     corpus_id="vec_id", corpus_vec="embedding",
+                     exclude_self=True) -> DataFrame:
+    """Exact cosine top-k: broadcast the query side (queries are the small
+    side by construction), native cosine, window top-k per query.
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(_c(query_id).alias("query_id"),
+                       _c(query_vec).alias("__qv"))
+    c = corpus.select(_c(corpus_id).alias("neighbor_id"),
+                      _c(corpus_vec).alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    sim = joined.withColumn("cos_sim", cosine("__qv", "__cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int):
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_bucket(vec, planes) -> Column:
+    """Sign-pattern bucket id (bigint) of a vector under random
+    hyperplanes — fully native per-plane dot products."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(_c(vec), F.array(*[F.lit(float(w)) for w in p]),
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             num_planes: int = 8, num_tables: int = 4, seed: int = 42,
+             query_id="vec_id", query_vec="embedding",
+             corpus_id="vec_id", corpus_vec="embedding",
+             exclude_self=True) -> DataFrame:
+    """Approximate top-k: `num_tables` independent hyperplane sets; a
+    vector joins candidates sharing its bucket in ANY table (explode over
+    tables → equi-join on (table, bucket) → exact cosine re-rank).
+
+    At 100 TB the bucket id becomes the shuffle/partition key; bucket
+    population skew is handled by AQE skew-join splitting."""
+    tables = [( t, _hyperplanes(dim, num_planes, seed + 1000 * t))
+              for t in range(num_tables)]
+
+    def bucketize(df, idc, vecc, ida):
+        buckets = F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_bucket(vecc, planes).alias("b"))
+            for t, planes in tables])
+        return df.select(_c(idc).alias(ida), _c(vecc).alias("__v_" + ida),
+                         F.explode(buckets).alias("tb"))
+
+    q = bucketize(queries, query_id, query_vec, "query_id")
+    c = bucketize(corpus, corpus_id, corpus_vec, "neighbor_id")
+    cand = (q.join(c, (q["tb.t"] == c["tb.t"]) & (q["tb.b"] == c["tb.b"]))
+            .select("query_id", "neighbor_id",
+                    F.col("__v_query_id").alias("__qv"),
+                    F.col("__v_neighbor_id").alias("__cv"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    sim = cand.withColumn("cos_sim", cosine("__qv", "__cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))

@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (split/regexp/aggregate) — no Python UDFs —
+so they fuse into whole-stage codegen and scale linearly with partitions.
+Designed for the `documents` table shape (doc_id, text, lang, source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(text) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(text, lowercase=True) -> Column:
+    """array<string> of word tokens (BPE-ish pre-tokenization: split on
+    non-alphanumerics, drop empties)."""
+    t = _c(text)
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, r"[^a-zA-Z0-9]+"), lambda w: F.length(w) > 0)
+
+
+def char_count(text, ch: str) -> Column:
+    """Occurrences of a literal character — replace-based so the same
+    expression is portable to any SQL oracle."""
+    t = _c(text)
+    return F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+
+
+def substring_count(text, sub: str) -> Column:
+    t = _c(text)
+    return (F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit("")))) \
+        / F.lit(len(sub))
+
+
+def punct_ratio(text) -> Column:
+    """(.,!?;:) characters / total characters."""
+    t = _c(text)
+    total = F.length(t)
+    punct = sum((char_count(t, c) for c in ".,!?;:"), F.lit(0))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(0.0)
+
+
+def uppercase_ratio(text) -> Column:
+    t = _c(text)
+    upper = sum((char_count(t, c) for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+                F.lit(0))
+    total = F.length(t)
+    return F.when(total > 0, upper.cast("double") / total).otherwise(0.0)
+
+
+def mean_word_length(text) -> Column:
+    toks = word_tokens(text)
+    n = F.size(toks)
+    tot = F.aggregate(F.transform(toks, F.length), F.lit(0),
+                      lambda a, v: a + v)
+    return F.when(n > 0, tot.cast("double") / n).otherwise(0.0)
+
+
+_STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "that", "it", "for",
+                 "was"]
+
+
+def stopword_ratio(text, stopwords=None) -> Column:
+    sw = stopwords or _STOPWORDS_EN
+    toks = word_tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*sw)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic: rewards sentence punctuation,
+    normal word lengths and stopword presence; penalizes very short docs.
+    The standard cheap pre-filter shape used by web-scale corpus
+    pipelines (C4-style heuristics re-expressed as columnar math)."""
+    t = _c(text)
+    n_tok = token_count(t)
+    len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    wl = mean_word_length(t)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    sw_score = F.least(stopword_ratio(t) * 4.0, F.lit(1.0))
+    period_score = F.when(char_count(t, ".") > 0, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score * 0.3 + wl_score * 0.2 + sw_score * 0.3
+            + period_score * 0.2)
+
+
+# Per-language marker words with distinctive frequency (kept tiny and
+# replace-count-portable for oracle SQL parity).
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " is "],
+    "fr": [" le ", " la ", " est "],
+    "de": [" der ", " und ", " ist "],
+    "es": [" el ", " los ", " es "],
+}
+
+
+def lang_id(text) -> Column:
+    """N-gram/marker-word language guess over {en,fr,de,es}; 'unk' when no
+    marker hits. A deterministic heuristic (fasttext-style langid is out of
+    scope in this container) — structured so the scoring is portable SQL."""
+    t = F.concat(F.lit(" "), F.lower(_c(text)), F.lit(" "))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        scores[lang] = sum((substring_count(t, m) for m in markers), F.lit(0.0))
+    best = F.greatest(*[scores[k] for k in scores])
+    out = F.lit("unk")
+    # reverse order => earlier langs win ties (deterministic)
+    for lang in reversed(list(_LANG_MARKERS)):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)) \
+               .otherwise(out)
+    return out
+
+
+def fingerprint(text) -> Column:
+    """64-bit hex document fingerprint of whitespace-normalized, lowercased
+    text (md5-derived so any SQL engine reproduces it bit-for-bit)."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, 16)

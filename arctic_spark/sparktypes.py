@@ -1,0 +1,45 @@
+"""Spark-side geometry type.
+
+Geometry is a first-class nested Spark SQL struct (GeoArrow-inspired —
+SURVEY §1.2 maps the reference's encodings to Spark nested types):
+
+    GEOM: struct<gt:int, xs:array<double>, ys:array<double>,
+                 rings:array<int>, parts:array<int>>
+
+- ``gt``    pygeos-compatible type id (reference enums.py:4-15)
+- ``xs/ys`` all vertices, ring-concatenated; polygon rings closed
+- ``rings`` vertex count per ring (or per linestring part)
+- ``parts`` ring count per part (polygon: [n_rings]; multipoint: [1,1,...])
+
+Missing geometry = NULL struct. GeometryCollection is not representable
+(kept as WKB bytes; the reference's spatial index errors on it too).
+
+Why a struct and not WKB-in-binary: every coordinate-level operation
+(area, length, centroid, affine, point-in-polygon, projection) compiles to
+Catalyst higher-order-function expressions over these arrays — JVM-side,
+whole-stage-codegen'd, no Python worker round-trip. WKB remains the
+interop boundary (parquet exchange, reference parity) via the numpy codec
+in ``arctic_spark.geom.wkb``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+GEOM_FIELDS = [
+    T.StructField("gt", T.IntegerType()),
+    T.StructField("xs", T.ArrayType(T.DoubleType())),
+    T.StructField("ys", T.ArrayType(T.DoubleType())),
+    T.StructField("rings", T.ArrayType(T.IntegerType())),
+    T.StructField("parts", T.ArrayType(T.IntegerType())),
+]
+
+GEOM_TYPE = T.StructType(GEOM_FIELDS)
+
+GEOM_DDL = ("struct<gt:int,xs:array<double>,ys:array<double>,"
+            "rings:array<int>,parts:array<int>>")
+
+
+def is_geom_type(dt: T.DataType) -> bool:
+    return isinstance(dt, T.StructType) and [f.name for f in dt.fields] == [
+        "gt", "xs", "ys", "rings", "parts"]

@@ -1,0 +1,15 @@
+"""Structured Streaming surface.
+
+The reference has no streaming at all (SURVEY §2.6) — this module is the
+beyond-reference mandate: every stateless `st.*` / text / dedup column
+expression composes with readStream unchanged (they are ordinary Catalyst
+expressions), and this module adds the stateful pieces a streaming
+geo/event pipeline needs: watermarked windowed aggregation and
+sessionization via ``applyInPandasWithState``.
+"""
+
+from .ops import (session_window_stats, sessionize_by_gap,
+                  windowed_event_counts, windowed_geo_density)
+
+__all__ = ["windowed_event_counts", "windowed_geo_density",
+           "sessionize_by_gap", "session_window_stats"]

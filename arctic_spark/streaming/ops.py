@@ -1,0 +1,145 @@
+"""Streaming operators: watermarked windows, geo density, sessionization."""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+from ..functions import native
+
+
+def windowed_event_counts(events: DataFrame, window="1 minute",
+                          slide=None, watermark="2 minutes",
+                          ts_col="ts", key_col="event_type") -> DataFrame:
+    """Watermarked tumbling/sliding window counts — the canonical
+    late-data-tolerant streaming aggregation. Works identically on a
+    batch DataFrame (Spark's unified semantics), which is how the tests
+    validate it."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.groupBy(win.alias("win"), F.col(key_col))
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    key_col, "n", "sum_value"))
+
+
+def windowed_geo_density(points: DataFrame, cell_size: float,
+                         window="1 minute", watermark="2 minutes",
+                         ts_col="ts", geom_col="geometry") -> DataFrame:
+    """Streaming spatial density: grid-cell id (native bounds math) ×
+    time window → count. The streaming twin of the spatial join's
+    distribute phase — same cell-id expression, so a streaming pipeline
+    and a batch backfill share one partitioning scheme."""
+    g = F.col(geom_col)
+    cx = F.floor(native.x(g) / F.lit(float(cell_size))).cast("int")
+    cy = F.floor(native.y(g) / F.lit(float(cell_size))).cast("int")
+    src = points
+    if points.isStreaming:
+        src = points.withWatermark(ts_col, watermark)
+    return (src.withColumn("cell_x", cx).withColumn("cell_y", cy)
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     "cell_x", "cell_y")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("window_start"),
+                    "cell_x", "cell_y", "n"))
+
+
+_SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("last_ms", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+
+def _session_fn(gap_ms: int):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            (start_ms, last_ms, n, sv) = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start_ms, unit="ms"),
+                "session_end": pd.Timestamp(last_ms, unit="ms"),
+                "n_events": n, "sum_value": sv}])
+            return
+        rows = pd.concat(list(pdfs))
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).sort_values()
+        vals = rows["value"].fillna(0.0)
+        if state.exists:
+            (start_ms, last_ms, n, sv) = state.get
+        else:
+            start_ms, last_ms, n, sv = int(ts_ms.iloc[0]), int(ts_ms.iloc[0]), 0, 0.0
+        closed = []
+        for t in ts_ms:
+            t = int(t)
+            if n > 0 and t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n, sv))
+                start_ms, n, sv = t, 0, 0.0
+            last_ms = max(last_ms, t)
+            n += 1
+        sv += float(vals.sum())
+        state.update((start_ms, last_ms, n, sv))
+        state.setTimeoutDuration(gap_ms)
+        if closed:
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(s, unit="ms"),
+                "session_end": pd.Timestamp(e, unit="ms"),
+                "n_events": cn, "sum_value": cv}
+                for s, e, cn, cv in closed])
+    return fn
+
+
+def sessionize_by_gap(events: DataFrame, gap="30 minutes",
+                      ts_col="ts", user_col="user_id") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (processing-time timeout closes idle
+    sessions). The reference has no stateful operators at all; this is
+    the pattern every custom streaming operator in this engine follows."""
+    import re
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[m.group(2)]
+    gap_ms = int(m.group(1)) * mult
+    return (events.groupBy(user_col)
+            .applyInPandasWithState(_session_fn(gap_ms),
+                                    outputStructType=_SESSION_SCHEMA,
+                                    stateStructType=_STATE_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf="ProcessingTimeTimeout"))
+
+
+def session_window_stats(events: DataFrame, gap="30 minutes",
+                         watermark="1 hour", ts_col="ts",
+                         user_col="user_id") -> DataFrame:
+    """Declarative alternative: Spark's built-in session_window (works
+    batch + streaming, watermark-driven) — prefer this when the session
+    semantics fit; fall back to sessionize_by_gap for custom rules."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.groupBy(F.session_window(ts_col, gap).alias("sw"),
+                        F.col(user_col))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(user_col, F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"), "n_events",
+                    "sum_value"))

@@ -1,0 +1,69 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline queries (relational + geo + pipeline ops) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is forced end-to-end with the noop
+sink (full materialization of every output column, no driver collect
+bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from arctic_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_suppliers",
+    "q6_forecast_revenue",
+    "q_window_latest_event",
+    "q_events_daily",
+    "geo_triangle_area",
+    "geo_haversine_length",
+    "geo_webmercator",
+    "geo_pip_join",
+    "geo_dwithin_pairs",
+    "geo_explode_multipoint",
+    "dedup_exact_stats",
+    "text_token_stats",
+    "text_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("arctic_spark-bench")
+    qs = entrymod.queries()
+
+    # warmup: JIT + python worker pool spin-up on a trivial job
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings = {}
+    t_all = time.perf_counter()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({"metric": "bench_total_wall", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

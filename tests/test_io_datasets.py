@@ -1,0 +1,98 @@
+"""GeoParquet round trip, dataset generators (reference fixture shapes),
+wrapper behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import GeoDataFrame, st, version
+from arctic_spark import datasets
+from arctic_spark.io import read_geoparquet, write_geoparquet
+from arctic_spark.joins import spatial_join
+
+
+def test_version():
+    assert version().count(".") == 2
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    g = datasets.cities(spark, n=25)
+    path = str(tmp_path / "cities_gpq")
+    write_geoparquet(g, path)
+    back = read_geoparquet(spark, path)
+    assert back.crs == "EPSG:4326"
+    assert back.geometry_column == "geometry"
+    assert back.df.count() == 25
+    # bbox columns materialized for scan pruning
+    assert {"bbox_xmin", "bbox_ymax"} <= set(back.df.columns)
+    # geometry round-trips exactly through WKB
+    a = sorted(r.w for r in g.df.select(st.to_wkt("geometry").alias("w"))
+               .collect())
+    b = sorted(r.w for r in back.df.select(st.to_wkt("geometry").alias("w"))
+               .collect())
+    assert a == b
+
+
+def test_geoparquet_struct_mode(spark, tmp_path):
+    g = datasets.cities(spark, n=10)
+    path = str(tmp_path / "cities_struct")
+    write_geoparquet(g, path, wkb=False, bbox_columns=False)
+    back = read_geoparquet(spark, path)
+    assert back.df.count() == 10
+    assert back.df.schema["geometry"].dataType.simpleString().startswith(
+        "struct<gt:int")
+
+
+def test_dataset_shapes(spark):
+    assert datasets.naturalearth_cities(spark).df.count() == 243  # F2
+    low = datasets.lowres_countries(spark, n=30)
+    types = {r.t for r in low.df.select(
+        st.geom_type("geometry").alias("t")).collect()}
+    assert types == {3, 6}  # mixed polygon/multipolygon (F3)
+    ny = datasets.nybb(spark)
+    assert ny.crs == "EPSG:2263"
+    assert ny.df.count() == 5
+
+
+def test_nybb_reprojection_roundtrip(spark):
+    """F4 exercise: projected CRS → 4326 → back, coordinates preserved."""
+    ny = datasets.nybb(spark)
+    back = ny.to_crs("EPSG:4326").to_crs("EPSG:2263")
+    orig = ny.df.select(st.x(st.centroid("geometry")).alias("x")).collect()
+    rt = back.df.select(st.x(st.centroid("geometry")).alias("x")).collect()
+    for a, b in zip(orig, rt):
+        assert a.x == pytest.approx(b.x, abs=1e-4)  # sub-mm in feet
+
+
+def test_f5_fixture_matches_reference(spark):
+    points, polys = datasets.f5_join_fixture(spark)
+    inner = spatial_join(points, polys).df
+    assert inner.count() == 2
+    assert set(inner.columns) == {"point_values_left", "geometry_left",
+                                  "string_col_right", "geometry_right"}
+
+
+def test_explode_bench_shape(spark):
+    g = datasets.explode_bench(spark, n=1000)
+    out = g.explode()
+    assert out.df.count() == 2000
+    types = out.df.select(st.geom_type("geometry").alias("t")).distinct() \
+        .collect()
+    assert [r.t for r in types] == [0]
+
+
+def test_wrapper_delegation_and_closure(spark):
+    g = datasets.cities(spark, n=30)
+    # delegated DataFrame methods re-wrap
+    g2 = g.limit(5)
+    assert isinstance(g2, GeoDataFrame)
+    assert g2.crs == g.crs
+    assert g2.count() == 5
+    # relational ops keep working through the wrapper (SURVEY §2.1)
+    agg = g.df.groupBy().agg(F.count("*").alias("n")).collect()
+    assert agg[0].n == 30
+
+
+def test_with_bbox_columns(spark):
+    g = datasets.cities(spark, n=10).with_bbox_columns()
+    row = g.df.select("bbox_xmin", "bbox_xmax").first()
+    assert row.bbox_xmin == row.bbox_xmax  # points

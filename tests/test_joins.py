@@ -1,0 +1,126 @@
+"""Spatial join tests replicating the reference's Rust test fixtures
+exactly (geopolars/src/spatial_index.rs:432-556): 9 points × 1 polygon,
+inner=(2,4), left=(9,4), suffixed column names."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import GeoDataFrame, st
+from arctic_spark.joins import dwithin_join, spatial_join
+
+POINTS = [(0.0, 10.0), (1.0, 1.0), (10.0, 1.0), (1.0, -1.0), (0.0, -10.0),
+          (-1.0, -1.0), (-10.0, 0.0), (-1.0, 1.0), (0.0, 10.0)]
+
+
+@pytest.fixture(scope="module")
+def points_df(spark, tmp_path_factory):
+    # materialize through parquet so join-plan assertions see pure
+    # FileScans (no ingest UDF in the lineage)
+    rows = [(float(i + 1), x, y) for i, (x, y) in enumerate(POINTS)]
+    df = spark.createDataFrame(rows, "point_values double, x double, y double") \
+        .select("point_values",
+                st.point(F.col("x"), F.col("y")).alias("geometry"))
+    path = str(tmp_path_factory.mktemp("sj") / "points.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def poly_df(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [("test", "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")],
+        "string_col string, wkt string") \
+        .select("string_col", st.from_wkt("wkt").alias("geometry"))
+    path = str(tmp_path_factory.mktemp("sj") / "polys.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_inner_join_f5(points_df, poly_df):
+    out = spatial_join(points_df, poly_df, how="inner").df
+    assert set(out.columns) == {"point_values_left", "geometry_left",
+                                "string_col_right", "geometry_right"}
+    rows = out.collect()
+    assert len(rows) == 2  # spatial_index.rs:457: inner → (2, 4)
+    vals = sorted(r["point_values_left"] for r in rows)
+    assert vals == [2.0, 3.0]  # points (1,1) and (10,1)
+    assert all(r["string_col_right"] == "test" for r in rows)
+
+
+def test_left_join_f5(points_df, poly_df):
+    out = spatial_join(points_df, poly_df, how="left").df
+    rows = out.collect()
+    assert len(rows) == 9  # spatial_index.rs:478: left → (9, 4)
+    matched = [r for r in rows if r["string_col_right"] is not None]
+    assert sorted(r["point_values_left"] for r in matched) == [2.0, 3.0]
+
+
+def test_custom_suffixes(points_df, poly_df):
+    out = spatial_join(points_df, poly_df, lsuffix="_a", rsuffix="_b").df
+    assert set(out.columns) == {"point_values_a", "geometry_a",
+                                "string_col_b", "geometry_b"}
+
+
+def test_contains_predicate(points_df, poly_df):
+    # reference maps point/polygon Contains to the same
+    # polygon.contains(point) — identical result (spatial_index.rs:91-101)
+    out = spatial_join(poly_df, points_df, predicate="contains").df
+    assert out.count() == 2
+
+
+def test_unsupported_how(points_df, poly_df):
+    with pytest.raises(ValueError, match="not supported"):
+        spatial_join(points_df, poly_df, how="outer")
+    with pytest.raises(ValueError, match="predicate"):
+        spatial_join(points_df, poly_df, predicate="touches")
+
+
+def test_native_only_refine(points_df, poly_df):
+    out = spatial_join(points_df, poly_df, udf_refine=False).df
+    assert out.count() == 2
+    # plan must not contain a Python evaluation node
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_broadcast_right(points_df, poly_df):
+    out = spatial_join(points_df, poly_df, broadcast_right=True,
+                       udf_refine=False)
+    assert out.df.count() == 2
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_polygon_polygon_intersects(spark):
+    polys1 = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+         (2, "POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30))")],
+        "id int, wkt string").select(
+            "id", st.from_wkt("wkt").alias("geometry"))
+    polys2 = spark.createDataFrame(
+        [(10, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+         (20, "POLYGON ((100 100, 110 100, 110 110, 100 110, 100 100))")],
+        "id int, wkt string").select(
+            "id", st.from_wkt("wkt").alias("geometry"))
+    out = spatial_join(polys1, polys2).df
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["id_left"] == 1 and rows[0]["id_right"] == 10
+
+
+def test_dwithin_join(points_df):
+    other = points_df.select(F.col("point_values").alias("pv"), "geometry")
+    out = dwithin_join(points_df, GeoDataFrame(other), distance=3.0,
+                       points_only=True).df
+    rows = out.collect()
+    # pairs within 3.0: each point with itself (incl. the duplicate
+    # (0,10) pair both ways), plus the cluster around (±1, ±1)
+    import math
+    exp = 0
+    for i, (x1, y1) in enumerate(POINTS):
+        for j, (x2, y2) in enumerate(POINTS):
+            if math.hypot(x1 - x2, y1 - y2) <= 3.0:
+                exp += 1
+    assert len(rows) == exp
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan

@@ -1,0 +1,155 @@
+"""Tests for the training-data pipeline operators (dedup, text,
+similarity, multimodal) with hand-computed oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark.llm import dedup, multimodal, similarity, text
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog. The dog sleeps."),
+    (2, "The quick brown fox jumps over the lazy dog. The dog sleeps."),
+    (3, "The quick brown fox jumps over the lazy cat. The cat sleeps."),
+    (4, "Le chat est sur la table et le chien est dans le jardin."),
+    (5, "Der Hund und die Katze sind in der Stadt und der Park ist gross."),
+    (6, "completely different text about spark engines and data pipelines."),
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_token_count(docs, spark):
+    rows = dict(docs.select("doc_id", text.token_count("text").alias("n"))
+                .collect())
+    assert rows[1] == 12
+    assert rows[7] == 0
+
+
+def test_quality_and_ratios(docs):
+    r = docs.select("doc_id",
+                    text.punct_ratio("text").alias("p"),
+                    text.stopword_ratio("text").alias("s"),
+                    text.quality_score("text").alias("q")).collect()
+    by = {x.doc_id: x for x in r}
+    assert by[1].p > 0
+    assert by[1].s > 0.15  # 'the' x4 / 12
+    assert 0 <= by[7].q <= 1
+    assert by[1].q > by[7].q
+
+
+def test_lang_id(docs):
+    r = dict(docs.select("doc_id", text.lang_id("text").alias("l")).collect())
+    assert r[1] == "en"
+    assert r[4] == "fr"
+    assert r[5] == "de"
+    assert r[7] == "unk"
+
+
+def test_fingerprint_and_exact_dedup(docs, spark):
+    dups = dedup.exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0].n_dups == 2 and dups[0].keep_id == 1
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == len(DOCS) - 1
+    assert 2 not in [r.doc_id for r in kept.collect()]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(DOCS[0][1], DOCS[1][1]), (DOCS[0][1], DOCS[5][1])],
+        "a string, b string")
+    r = df.select(dedup.ngram_jaccard("a", "b").alias("j")).collect()
+    assert r[0].j == 1.0
+    assert r[1].j == 0.0
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, num_bands=8,
+                                    jaccard_threshold=0.5).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 2) in got  # identical docs always collide
+    jac = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    assert jac[(1, 2)] == 1.0
+    # near-dup 1 vs 3 share many shingles; if banded together the exact
+    # jaccard must be between 0 and 1
+    for (a, b), j in jac.items():
+        assert 0.5 <= j <= 1.0
+
+
+def test_simhash(docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    got = {(p.id_a, p.id_b): p.hamming for p in pairs}
+    assert got[(1, 2)] == 0  # identical text → identical signature
+
+
+def test_cosine_and_topk(spark):
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [1.0, 0.02, 0.0]),
+            (4, [-1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(df.where("vec_id = 0"), df, k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [3, 1]
+    assert rows[0].cos_sim > rows[1].cos_sim > 0.97
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((80, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 5")
+    exact = similarity.brute_force_topk(q, df, k=3).collect()
+    approx = similarity.lsh_topk(q, df, dim=16, k=3, num_planes=4,
+                                 num_tables=6).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # with 6 tables of 4 planes recall should be decent; require >= 50%
+    hits = sum(len(exact_sets[q0] & approx_sets.get(q0, set()))
+               for q0 in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.5
+
+
+def test_multimodal_fake_decode(spark):
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)],
+        "id long, payload binary")
+    df = multimodal.attach_media(df, "payload", "image", "png")
+    out = multimodal.decode_image_features(df, dim=8, fake=True).collect()
+    by = {r.id: r for r in out}
+    assert len(by[1].features) == 8
+    assert by[3].features is None
+    assert by[1].media_meta.n_bytes == 12
+    # determinism
+    out2 = multimodal.decode_image_features(
+        multimodal.attach_media(
+            spark.createDataFrame([(1, b"imagebytes-1")],
+                                  "id long, payload binary"),
+            "payload", "image", "png"), dim=8, fake=True).collect()
+    assert out2[0].features == by[1].features
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+    df = multimodal.attach_media(df, "payload", "image", "png")
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        multimodal.decode_image_features(df, dim=8, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"vid")], "id long, payload binary")
+    df = multimodal.attach_media(df, "payload", "video", "mp4")
+    df = df.withColumn("media_meta", F.col("media_meta")
+                       .withField("duration_ms", F.lit(3500).cast("long")))
+    out = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2]

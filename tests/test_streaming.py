@@ -1,0 +1,118 @@
+"""Streaming operator tests: batch-mode semantics for the window ops
+(Spark's unified model), a real micro-batch stream for the stateful
+sessionizer via the rate source → memory sink."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import st
+from arctic_spark.streaming import (session_window_stats,
+                                    windowed_event_counts,
+                                    windowed_geo_density)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        ("2024-01-01 00:00:05", 1, "click", 1.0),
+        ("2024-01-01 00:00:45", 1, "click", 2.0),
+        ("2024-01-01 00:01:10", 1, "view", 3.0),
+        ("2024-01-01 00:05:00", 2, "click", 4.0),
+        ("2024-01-01 00:40:00", 1, "click", 5.0),
+    ]
+    return spark.createDataFrame(rows, "ts string, user_id long, "
+                                 "event_type string, value double") \
+        .withColumn("ts", F.to_timestamp("ts")).cache()
+
+
+def test_windowed_event_counts_batch(events):
+    out = windowed_event_counts(events, window="1 minute").collect()
+    by = {(r.window_start.minute, r.event_type): r.n for r in out}
+    assert by[(0, "click")] == 2
+    assert by[(1, "view")] == 1
+    assert by[(5, "click")] == 1
+
+
+def test_windowed_geo_density_batch(events):
+    pts = events.withColumn(
+        "geometry", st.point((F.col("user_id") * 10).cast("double"),
+                             F.lit(5.0)))
+    out = windowed_geo_density(pts, cell_size=20.0, window="1 hour")
+    rows = out.collect()
+    by = {(r.cell_x, r.cell_y): r.n for r in rows}
+    assert by[(0, 0)] == 4   # user 1 at x=10
+    assert by[(1, 0)] == 1   # user 2 at x=20
+
+
+def test_session_window_stats_batch(events):
+    out = session_window_stats(events, gap="10 minutes").collect()
+    u1 = sorted([r for r in out if r.user_id == 1],
+                key=lambda r: r.session_start)
+    assert len(u1) == 2  # gap 00:01→00:40 splits
+    assert u1[0].n_events == 3
+    assert u1[1].n_events == 1
+
+
+def test_streaming_window_with_rate_source(spark):
+    """End-to-end micro-batch: rate source → stateless st.point +
+    windowed count → memory sink."""
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", "50").load()
+           .withColumn("event_type",
+                       F.when(F.col("value") % 2 == 0, "a").otherwise("b"))
+           .withColumn("value", F.col("value").cast("double"))
+           .withColumnRenamed("timestamp", "ts"))
+    out = windowed_event_counts(src, window="2 seconds",
+                                watermark="2 seconds")
+    q = (out.writeStream.format("memory").queryName("win_counts")
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM win_counts").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert rows, "no windows emitted within 30s"
+        assert {r.event_type for r in rows} <= {"a", "b"}
+        assert all(r.n > 0 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_sessionize_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer on a file stream: two batches,
+    idle-timeout closes sessions."""
+    from arctic_spark.streaming import sessionize_by_gap
+    import json
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"ts": "2024-01-01T00:00:05", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T00:00:10", "user_id": 1, "value": 2.0},
+        {"ts": "2024-01-01T02:00:00", "user_id": 1, "value": 7.0},
+    ]))
+    schema = "ts timestamp, user_id long, value double"
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    sessions = sessionize_by_gap(stream, gap="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 40
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM sessions").collect()
+            if rows:
+                break
+            time.sleep(1)
+        # the 2-hour gap closes the first session within the batch
+        assert rows
+        assert rows[0].n_events == 2
+        assert rows[0].sum_value == pytest.approx(3.0)
+    finally:
+        q.stop()
