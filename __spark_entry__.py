@@ -31,7 +31,15 @@ from arctic_spark.proj import transform_xy_struct
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects (PARQUET_TYPE_ILLEGAL); read as long and convert
+    # with integer division (truncation matches DuckDB's nanos→micros).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +289,23 @@ def geo_explode_multipoint(spark, sf):
                            st.y("geometry").alias("y"))
 
 
+def geo_collect_centroid(spark, sf):
+    """Geo aggregation (SURVEY §2.6 custom geo aggregate): collect each
+    nation's customer points into a MultiPoint, return its centroid and
+    part count — centroid of a multipoint is the coordinate mean, giving
+    a closed-form oracle."""
+    c = _t(spark, sf, "customer")
+    px = (F.col("c_custkey") % 83).cast("double") + 0.5
+    py = (F.col("c_custkey") * 7 % 79).cast("double") + 0.25
+    pts = c.select("c_nationkey", st.point(px, py).alias("g"))
+    agg = pts.groupBy("c_nationkey").agg(st.collect_agg("g").alias("mp"))
+    return agg.select(
+        "c_nationkey",
+        F.round(st.x(st.centroid("mp")), 6).alias("cx"),
+        F.round(st.y(st.centroid("mp")), 6).alias("cy"),
+        st.num_parts("mp").cast("long").alias("n_points"))
+
+
 def geo_bbox_filter(spark, sf):
     """cx bbox filter (SURVEY §2.3 rst:184 / F6): count points in a
     window, native bounds predicate that pairs with parquet min/max
@@ -330,18 +355,19 @@ def text_fingerprint_dups(spark, sf):
 
 def text_ngram_jaccard(spark, sf):
     """Exact 3-shingle Jaccard between consecutive docs (the verify
-    kernel of MinHash-LSH dedup)."""
+    kernel of MinHash-LSH dedup). Shingle sets are computed once per doc
+    BEFORE the self-join — at scale this halves the dominant cost and
+    ships compact arrays through the shuffle."""
     d = _t(spark, sf, "documents").where(
         F.size(text.word_tokens("text")) >= 3)
-    a = d.select(F.col("doc_id").alias("id_a"),
-                 F.col("text").alias("text_a"))
-    b = d.select(F.col("doc_id").alias("id_b"),
-                 F.col("text").alias("text_b"))
+    sh = d.select(F.col("doc_id"), dedup.shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    return pairs.select(
-        "id_a", "id_b",
-        F.round(dedup.ngram_jaccard("text_a", "text_b", 3), 6)
-         .alias("jaccard"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
 def embed_cosine_topk(spark, sf):
@@ -408,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_join": geo_pip_join,
         "geo_dwithin_pairs": geo_dwithin_pairs,
         "geo_explode_multipoint": geo_explode_multipoint,
+        "geo_collect_centroid": geo_collect_centroid,
         "geo_bbox_filter": geo_bbox_filter,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
@@ -619,6 +646,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 100 AS DOUBLE) + part_index AS x,
                    CAST(user_id % 100 AS DOUBLE) + 2 * part_index AS y
             FROM events, (SELECT 0 AS part_index UNION ALL SELECT 1) p
+        """,
+        "geo_collect_centroid": """
+            SELECT c_nationkey,
+                   round(avg(CAST(c_custkey % 83 AS DOUBLE) + 0.5), 6) AS cx,
+                   round(avg(CAST(c_custkey * 7 % 79 AS DOUBLE) + 0.25), 6) AS cy,
+                   count(*) AS n_points
+            FROM customer
+            GROUP BY c_nationkey
         """,
         "geo_bbox_filter": """
             SELECT count(*) AS n_inside, sum(c_custkey) AS sum_keys

@@ -17,16 +17,21 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import native, udfs
-from .native import (affine_transform, area, bbox_intersects, bounds,
+from .native import (affine_transform, area, bbox_intersects, boundary,
+                     bounds,
                      centroid, contains_point, distance_points, dump_parts,
+                     geom_equals, has_z, interiors,
                      dwithin_points, envelope, exterior, geom_struct,
                      geom_type_id, geom_type_name, is_empty, is_ring,
                      make_envelope, make_line, make_polygon, num_parts,
                      point, rotate, scale, skew, total_bounds_agg, translate,
                      x, y)
-from .udfs import (contains, convex_hull, distance, geodesic_length,
+from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
+                   geodesic_length, is_simple, is_valid,
+                   representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
                    intersects, simplify)
+from .native import collect_agg, z
 
 # reference naming aliases (SURVEY §2.2)
 length = native.length
@@ -63,5 +68,28 @@ __all__ = [
     "y", "point", "make_line", "make_polygon", "make_envelope", "bounds",
     "total_bounds_agg", "bbox_intersects", "contains_point", "intersects",
     "contains", "from_wkb", "to_wkb", "from_wkt", "to_wkt", "as_text",
-    "geom_struct",
+    "geom_struct", "boundary", "interiors", "z", "has_z", "geom_equals",
+    "clip_by_rect", "buffer", "representative_point", "is_simple",
+    "is_valid", "disjoint", "within", "covers", "collect_agg",
 ]
+
+
+def disjoint(g1, g2):
+    """NOT intersects (reference roadmap geoseries.rst:49)."""
+    return ~intersects(g1, g2)
+
+
+def within(g1, g2):
+    """g1 within g2 == contains(g2, g1) (rst:62)."""
+    return contains(g2, g1)
+
+
+def covers(g1, g2):
+    """Boundary-inclusive containment (rst:63) — our contains kernel is
+    already boundary-inclusive (documented deviation from GEOS
+    `contains`, which excludes boundary-only cases)."""
+    return contains(g1, g2)
+
+
+def covered_by(g1, g2):
+    return contains(g2, g1)

@@ -41,6 +41,29 @@ def _valid(g) -> Column:
     return g.isNotNull() & g["gt"].isNotNull()
 
 
+
+def _let(col: Column, fn) -> Column:
+    """Bind an expression once as a higher-order-function lambda variable
+    (Catalyst has no construction-time common-subexpression sharing, so a
+    computed input referenced N times would otherwise be inlined N times —
+    for a computed geometry like make_polygon(...) that multiplies the
+    whole input tree into every reference and makes analysis quadratic)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+
+def _geom_fn(fn):
+    """Decorator: bind the geometry argument once (see _let) before the
+    body references it — keeps composed expressions like
+    st.area(st.envelope(g)) linear in input size."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(g, *args, **kwargs):
+        return _let(_g(g), lambda gg: fn(gg, *args, **kwargs))
+    return wrapper
+
+
 def geom_struct(gt, xs, ys, rings, parts) -> Column:
     return F.struct(
         _lit(gt).cast("int").alias("gt"),
@@ -125,11 +148,11 @@ def _exterior_ring_ids(g):
 # measures
 # ---------------------------------------------------------------------------
 
+@_geom_fn
 def area(g) -> Column:
     """Planar area (exterior rings +, holes −, orientation-insensitive).
 
     Reference semantics: geoseries.rs:16-19 (unsigned area, CRS units)."""
-    g = _g(g)
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     terms = F.transform(
@@ -142,10 +165,10 @@ def area(g) -> Column:
     return F.when(_valid(g), val)
 
 
+@_geom_fn
 def length(g) -> Column:
     """Planar length: lines → total; polygons → exterior rings only
     (reference doc geoseries.rs:41-46); points → 0."""
-    g = _g(g)
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     all_rings = _fsum(F.transform(_ring_ids(g),
@@ -160,11 +183,11 @@ def length(g) -> Column:
     return F.when(_valid(g), val)
 
 
+@_geom_fn
 def geodesic_length_haversine(g) -> Column:
     """Great-circle length (meters) of lon/lat geometries via per-segment
     haversine on the mean-radius sphere — fully native (reference:
     HaversineLength, geoseries.rs:58-71 / geo.rs:64-72)."""
-    g = _g(g)
     co = _offsets(g["rings"])
 
     def ring_hav(i):
@@ -200,10 +223,10 @@ def bounds(g):
             F.when(ne, F.array_max(g["ys"])))
 
 
+@_geom_fn
 def envelope(g) -> Column:
     """Axis-aligned bounding geometry: polygon; degenerates to line/point
     (reference doc geoseries.rs:33-39; shapely-compatible collapse)."""
-    g = _g(g)
     xmin, ymin, xmax, ymax = bounds(g)
     pt = point(xmin, ymin)
     line = geom_struct(F.lit(LINESTRING), F.array(xmin, xmax),
@@ -226,10 +249,10 @@ def total_bounds_agg(g):
             F.max(xmax).alias("xmax"), F.max(ymax).alias("ymax"))
 
 
+@_geom_fn
 def centroid(g) -> Column:
     """Centroid point, GEOS semantics per dimension class (reference
     geoseries.rs:21-24)."""
-    g = _g(g)
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     npts = F.size(g["xs"])
@@ -312,14 +335,14 @@ def centroid(g) -> Column:
 # accessors / predicates
 # ---------------------------------------------------------------------------
 
+@_geom_fn
 def x(g) -> Column:
     """x of Point geometries, null otherwise (reference geoseries.rs:177)."""
-    g = _g(g)
     return F.when(g["gt"] == POINT, F.element_at(g["xs"], 1))
 
 
+@_geom_fn
 def y(g) -> Column:
-    g = _g(g)
     return F.when(g["gt"] == POINT, F.element_at(g["ys"], 1))
 
 
@@ -330,8 +353,8 @@ def geom_type_id(g) -> Column:
     return F.coalesce(g["gt"], F.lit(-1))
 
 
+@_geom_fn
 def geom_type_name(g) -> Column:
-    g = _g(g)
     m = F.create_map(
         *[F.lit(v) for kv in
           [(POINT, "Point"), (LINESTRING, "LineString"), (2, "LinearRing"),
@@ -341,15 +364,15 @@ def geom_type_name(g) -> Column:
     return m[g["gt"]]
 
 
+@_geom_fn
 def is_empty(g) -> Column:
-    g = _g(g)
     return F.when(_valid(g), F.size(g["xs"]) == 0)
 
 
+@_geom_fn
 def is_ring(g) -> Column:
     """Closed linestring (reference geoseries.rs:76-83: 'true for closed
     features'; simplicity is not checked — documented deviation)."""
-    g = _g(g)
     n = F.size(g["xs"])
     closed = ((F.element_at(g["xs"], 1) == F.element_at(g["xs"], -1))
               & (F.element_at(g["ys"], 1) == F.element_at(g["ys"], -1))
@@ -360,10 +383,10 @@ def is_ring(g) -> Column:
                    .otherwise(F.lit(False)))
 
 
+@_geom_fn
 def exterior(g) -> Column:
     """Outer LinearRing of polygons as a LineString; null for other types
     (reference geoseries.rs:47)."""
-    g = _g(g)
     n0 = F.element_at(g["rings"], 1)
     return F.when(
         (g["gt"] == POLYGON) & (F.size(g["rings"]) >= 1),
@@ -389,13 +412,13 @@ def _ring_segments(g, co, i):
                                 s2["x2"].alias("x2"), s2["y2"].alias("y2")))
 
 
+@_geom_fn
 def contains_point(g, px, py) -> Column:
     """Ray-cast even-odd point-in-polygon, all rings (holes handled by
     parity), boundary-EXCLUSIVE: matches the reference's refine step,
     which delegates both point/polygon predicate orders to geo's
     polygon.contains(point) — interior only (spatial_index.rs:91-96);
     the F5 fixture's on-edge point (0,10) must NOT match."""
-    g = _g(g)
     px, py = _lit(px), _lit(py)
     co = _offsets(g["rings"])
 
@@ -447,6 +470,83 @@ def distance_points(g1, g2) -> Column:
     return F.sqrt(dx * dx + dy * dy)
 
 
+@_geom_fn
+def boundary(g) -> Column:
+    """Topological boundary (reference roadmap geoseries.rst:20):
+    polygon → its rings as (Multi)LineString; line → endpoint MultiPoint
+    (empty if closed); point → empty GeometryCollection is approximated
+    as empty MultiPoint (2D engine, no GC in the ragged encoding)."""
+    co = _offsets(g["rings"])
+    nrings = F.size(g["rings"])
+    poly_b = geom_struct(
+        F.when(nrings == 1, F.lit(LINESTRING)).otherwise(F.lit(MULTILINESTRING)),
+        g["xs"], g["ys"], g["rings"],
+        F.transform(g["rings"], lambda _: F.lit(1)))
+    n = F.size(g["xs"])
+    closed = ((F.element_at(g["xs"], 1) == F.element_at(g["xs"], -1))
+              & (F.element_at(g["ys"], 1) == F.element_at(g["ys"], -1)))
+    line_b = F.when(
+        closed,
+        geom_struct(F.lit(MULTIPOINT), F.array().cast("array<double>"),
+                    F.array().cast("array<double>"),
+                    F.array().cast("array<int>"),
+                    F.array().cast("array<int>"))) \
+        .otherwise(geom_struct(
+            F.lit(MULTIPOINT),
+            F.array(F.element_at(g["xs"], 1), F.element_at(g["xs"], -1)),
+            F.array(F.element_at(g["ys"], 1), F.element_at(g["ys"], -1)),
+            F.array(F.lit(1), F.lit(1)), F.array(F.lit(1), F.lit(1))))
+    empty_b = geom_struct(F.lit(MULTIPOINT), F.array().cast("array<double>"),
+                          F.array().cast("array<double>"),
+                          F.array().cast("array<int>"),
+                          F.array().cast("array<int>"))
+    return F.when(
+        _valid(g),
+        F.when(g["gt"].isin(POLYGON, MULTIPOLYGON), poly_b)
+         .when(g["gt"].isin(LINESTRING, MULTILINESTRING), line_b)
+         .otherwise(empty_b))
+
+
+@_geom_fn
+def interiors(g) -> Column:
+    """array<GEOM> of interior rings (holes) of a Polygon as LineStrings
+    (reference roadmap geoseries.rst:27); empty for other types."""
+    co = _offsets(g["rings"])
+    ring_ids = _ring_ids(g)
+    ext = _exterior_ring_ids(g)
+    holes = F.filter(ring_ids, lambda i: ~F.array_contains(ext, i))
+    return F.when(_valid(g), F.transform(
+        holes,
+        lambda i: geom_struct(
+            F.lit(LINESTRING), _ring_x(g, co, i), _ring_y(g, co, i),
+            F.array(F.element_at(g["rings"], i + 1)),
+            F.array(F.lit(1)))))
+
+
+def z(g) -> Column:
+    """Always null — 2D engine (reference roadmap geoseries.rst:32; the
+    reference's WKB codec is likewise 2D-only)."""
+    g = _g(g)
+    return F.when(_valid(g), F.lit(None).cast("double"))
+
+
+def has_z(g) -> Column:
+    g = _g(g)
+    return F.when(_valid(g), F.lit(False))
+
+
+def geom_equals(g1, g2) -> Column:
+    """Exact coordinate-sequence equality (type + coords + structure).
+    Note: weaker than GEOS geom_equals (no ring-rotation invariance) —
+    documented deviation; use geom_equals_exact semantics."""
+    g1, g2 = _g(g1), _g(g2)
+    return F.when(
+        _valid(g1) & _valid(g2),
+        (g1["gt"] == g2["gt"]) & (g1["xs"] == g2["xs"])
+        & (g1["ys"] == g2["ys"]) & (g1["rings"] == g2["rings"])
+        & (g1["parts"] == g2["parts"]))
+
+
 # ---------------------------------------------------------------------------
 # constructors
 # ---------------------------------------------------------------------------
@@ -493,11 +593,11 @@ def make_envelope(xmin, ymin, xmax, ymax) -> Column:
         F.array(F.lit(5)), F.array(F.lit(1)))
 
 
+@_geom_fn
 def dump_parts(g) -> Column:
     """array<GEOM> of single-part geometries — the native kernel behind
     ``st.explode`` (reference trait `explode`, geoseries.rs:50-56, benched
     geopolars/benches/explode.rs). Single geometries yield themselves."""
-    g = _g(g)
     pro = _offsets(g["parts"])   # ring-index offset per part
     co = _offsets(g["rings"])    # coord offset per ring
     sub_gt = (F.when(g["gt"] == MULTIPOINT, F.lit(POINT))
@@ -522,8 +622,8 @@ def dump_parts(g) -> Column:
                   F.transform(_seq0(F.size(g["parts"])), one_part))
 
 
+@_geom_fn
 def num_parts(g) -> Column:
-    g = _g(g)
     return F.when(_valid(g), F.size(g["parts"]))
 
 
@@ -532,10 +632,10 @@ def num_parts(g) -> Column:
 # order [a, b, d, e, xoff, yoff])
 # ---------------------------------------------------------------------------
 
+@_geom_fn
 def affine_transform(g, matrix) -> Column:
     """matrix = [a, b, d, e, xoff, yoff] (python floats or Columns):
     x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff."""
-    g = _g(g)
     a, b, d, e, xoff, yoff = (_lit(v) for v in matrix)
     nxs = F.zip_with(g["xs"], g["ys"], lambda px, py: a * px + b * py + xoff)
     nys = F.zip_with(g["xs"], g["ys"], lambda px, py: d * px + e * py + yoff)
@@ -569,28 +669,54 @@ def translate(g, xoff=0.0, yoff=0.0) -> Column:
                                     F.lit(1.0), _lit(xoff), _lit(yoff)])
 
 
+@_geom_fn
 def rotate(g, angle_deg, origin="center") -> Column:
     """CCW-positive rotation in degrees about origin (reference
     geoseries.rs:85-105)."""
-    g = _g(g)
     th = _lit(angle_deg) * F.lit(math.pi / 180.0)
     ox, oy = _origin_xy(g, origin)
     return _affine_about(g, F.cos(th), -F.sin(th), F.sin(th), F.cos(th),
                          ox, oy)
 
 
+@_geom_fn
 def scale(g, xfact=1.0, yfact=1.0, origin="center") -> Column:
-    g = _g(g)
     ox, oy = _origin_xy(g, origin)
     return _affine_about(g, _lit(xfact), F.lit(0.0), F.lit(0.0), _lit(yfact),
                          ox, oy)
 
 
+@_geom_fn
 def skew(g, xs_deg=0.0, ys_deg=0.0, origin="center") -> Column:
     """Shear by angles in degrees (reference matrix doc
     geoseries.rs:129-138)."""
-    g = _g(g)
     ox, oy = _origin_xy(g, origin)
     tx = F.tan(_lit(xs_deg) * F.lit(math.pi / 180.0))
     ty = F.tan(_lit(ys_deg) * F.lit(math.pi / 180.0))
     return _affine_about(g, F.lit(1.0), tx, ty, F.lit(1.0), ox, oy)
+
+
+def collect_agg(g) -> Column:
+    """Aggregate: collect a group's geometries into one Multi* geometry
+    (GeoPandas `collect`; the reference's planned unary_union aggregation
+    surface, geoseries.rst:104-111, WITHOUT dissolve — overlapping areas
+    are not merged; documented partial).
+
+    Requires a homogeneous single-type group (point→multipoint,
+    line→multilinestring, polygon→multipolygon; multi* merge); mixed
+    groups yield null (the ragged encoding has no GeometryCollection)."""
+    g = _g(g)
+    base_gt = (F.when(g["gt"] == POINT, F.lit(MULTIPOINT))
+                .when(g["gt"] == LINESTRING, F.lit(MULTILINESTRING))
+                .when(g["gt"] == POLYGON, F.lit(MULTIPOLYGON))
+                .otherwise(g["gt"]))
+    gts = F.collect_set(base_gt)
+    out_gt = F.element_at(gts, 1)
+    homogeneous = F.size(gts) == 1
+    return F.when(
+        homogeneous & out_gt.isin(MULTIPOINT, MULTILINESTRING, MULTIPOLYGON),
+        geom_struct(out_gt,
+                    F.flatten(F.collect_list(g["xs"])),
+                    F.flatten(F.collect_list(g["ys"])),
+                    F.flatten(F.collect_list(g["rings"])),
+                    F.flatten(F.collect_list(g["parts"]))))

@@ -225,3 +225,52 @@ def geodesic_length(g, method: str = "geodesic"):
     def _geod(gg: pd.DataFrame) -> pd.Series:
         return pd.Series(_geodesic_length_np(ragged_from_pdf(gg), method))
     return _geod(g)
+
+
+# ---- constructive / validity (reference roadmap geoseries.rst) ------------
+
+def clip_by_rect(g, xmin: float, ymin: float, xmax: float, ymax: float):
+    """Sutherland–Hodgman rectangle clip (rst:68)."""
+    @pandas_udf(GEOM_TYPE)
+    def _clip(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.clip_by_rect(
+            ragged_from_pdf(gg), xmin, ymin, xmax, ymax))
+    return _clip(g)
+
+
+def buffer(g, distance: float, quad_segs: int = 8):
+    """Buffer (rst:85) — Point/MultiPoint circles; line/polygon
+    offsetting raises NotImplementedError (documented partial)."""
+    @pandas_udf(GEOM_TYPE)
+    def _buffer(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.buffer(ragged_from_pdf(gg), distance,
+                                          quad_segs))
+    return _buffer(g)
+
+
+@pandas_udf(GEOM_TYPE)
+def representative_point(g: pd.DataFrame) -> pd.DataFrame:
+    """Interior point per geometry (rst:27) via widest-span scanline."""
+    rg = ragged_from_pdf(g)
+    cx, cy = algos.representative_point(rg)
+    import numpy as _np
+    gts = [None if rg.gt[i] == MISSING or _np.isnan(cx[i]) else 0
+           for i in range(len(rg))]
+    return pd.DataFrame({
+        "gt": pd.array(gts, dtype="Int32"),
+        "xs": [None if t is None else [float(cx[i])]
+               for i, t in enumerate(gts)],
+        "ys": [None if t is None else [float(cy[i])]
+               for i, t in enumerate(gts)],
+        "rings": [None if t is None else [1] for t in gts],
+        "parts": [None if t is None else [1] for t in gts]})
+
+
+@pandas_udf(T.BooleanType())
+def is_simple(g: pd.DataFrame) -> pd.Series:
+    return pd.Series(algos.is_simple(ragged_from_pdf(g)))
+
+
+@pandas_udf(T.BooleanType())
+def is_valid(g: pd.DataFrame) -> pd.Series:
+    return pd.Series(algos.is_valid(ragged_from_pdf(g)))

@@ -512,3 +512,230 @@ def distance_pair(g1, g2):
             for s1 in segs1:
                 best = min(best, _point_seg_dist2(px, py, *s1))
     return float(np.sqrt(best))
+
+
+# ---------------------------------------------------------------------------
+# constructive ops (reference roadmap geoseries.rst:67-90)
+# ---------------------------------------------------------------------------
+
+def _clip_ring_rect(x, y, xmin, ymin, xmax, ymax):
+    """Sutherland–Hodgman clip of one closed ring against an axis-aligned
+    rectangle. Returns (x, y) closed arrays (possibly empty)."""
+    pts = list(zip(x[:-1], y[:-1]))  # drop closing vertex
+
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, prv = pts[i], pts[i - 1]
+            ci, pi = inside(cur), inside(prv)
+            if ci:
+                if not pi:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pi:
+                out.append(intersect(prv, cur))
+        return out
+
+    def ix_v(p, q, xv):
+        t = (xv - p[0]) / (q[0] - p[0])
+        return (xv, p[1] + t * (q[1] - p[1]))
+
+    def ix_h(p, q, yv):
+        t = (yv - p[1]) / (q[1] - p[1])
+        return (p[0] + t * (q[0] - p[0]), yv)
+
+    pts = clip_edge(pts, lambda p: p[0] >= xmin, lambda p, q: ix_v(p, q, xmin))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[0] <= xmax,
+                        lambda p, q: ix_v(p, q, xmax))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[1] >= ymin,
+                        lambda p, q: ix_h(p, q, ymin))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[1] <= ymax,
+                        lambda p, q: ix_h(p, q, ymax))
+    if len(pts) < 3:
+        return np.empty(0), np.empty(0)
+    xs = np.array([p[0] for p in pts] + [pts[0][0]])
+    ys = np.array([p[1] for p in pts] + [pts[0][1]])
+    return xs, ys
+
+
+def clip_by_rect(rg: RaggedGeometry, xmin, ymin, xmax, ymax):
+    """Clip polygons to a rectangle (reference roadmap rst:68
+    clip_by_rect). Points/lines: kept only if fully inside (simplified —
+    matches shapely for points; line clipping returns the whole line if
+    inside, empty otherwise)."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if g in (POLYGON, MULTIPOLYGON):
+            nx, ny, nr, nparts = [], [], [], []
+            off = 0
+            ri = 0
+            for nrings in parts:
+                kept = 0
+                for j in range(nrings):
+                    rl = rings[ri + j]
+                    cx, cy = _clip_ring_rect(xs[off:off + rl],
+                                             ys[off:off + rl],
+                                             xmin, ymin, xmax, ymax)
+                    if len(cx):
+                        nx.extend(cx.tolist()); ny.extend(cy.tolist())
+                        nr.append(len(cx)); kept += 1
+                    off += rl
+                ri += nrings
+                if kept:
+                    nparts.append(kept)
+            if not nr:
+                gts.append(POLYGON); oxs.append([]); oys.append([])
+                orings.append([]); oparts.append([])
+            else:
+                out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
+                gts.append(out_gt); oxs.append(nx); oys.append(ny)
+                orings.append(nr); oparts.append(nparts)
+        else:
+            inside = (len(xs) > 0 and xs.min() >= xmin and xs.max() <= xmax
+                      and ys.min() >= ymin and ys.max() <= ymax)
+            if inside:
+                gts.append(int(g)); oxs.append(xs.tolist())
+                oys.append(ys.tolist()); orings.append(rings.tolist())
+                oparts.append(parts.tolist())
+            else:
+                gts.append(int(g)); oxs.append([]); oys.append([])
+                orings.append([]); oparts.append([])
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def buffer(rg: RaggedGeometry, distance, quad_segs=8):
+    """Buffer. Implemented: points and multipoints (regular 4*quad_segs-gon
+    circle, shapely-style vertex count). Lines/polygons need full
+    offsetting (Minkowski) — raises NotImplementedError, documented
+    partial support."""
+    n_v = 4 * quad_segs
+    ang = np.linspace(0, 2 * np.pi, n_v, endpoint=False)
+    dx = distance * np.cos(ang)
+    dy = distance * np.sin(ang)
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if g not in (POINT, MULTIPOINT):
+            raise NotImplementedError(
+                "buffer implemented for Point/MultiPoint only (line/"
+                "polygon offsetting not supported in this engine version)")
+        nx, ny, nr, npart = [], [], [], []
+        for px, py in zip(xs, ys):
+            cx = (px + dx).tolist() + [px + dx[0]]
+            cy = (py + dy).tolist() + [py + dy[0]]
+            nx.extend(cx); ny.extend(cy)
+            nr.append(n_v + 1); npart.append(1)
+        out_gt = POLYGON if len(npart) == 1 else MULTIPOLYGON
+        gts.append(out_gt); oxs.append(nx); oys.append(ny)
+        orings.append(nr); oparts.append(npart)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def representative_point(rg: RaggedGeometry):
+    """A point guaranteed inside each geometry (reference roadmap rst:27
+    representative_point): polygons → midpoint of the widest interior
+    span on the horizontal line through the bbox-center y (the classic
+    interior-point scanline); lines → middle vertex; points → first."""
+    cx = np.full(len(rg), np.nan)
+    cy = np.full(len(rg), np.nan)
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING or len(xs) == 0:
+            continue
+        if g in (POINT, MULTIPOINT):
+            cx[i], cy[i] = xs[0], ys[0]
+        elif g in (LINESTRING, MULTILINESTRING):
+            k = len(xs) // 2
+            cx[i], cy[i] = xs[k], ys[k]
+        else:
+            ymid = 0.5 * (ys.min() + ys.max())
+            # tiny nudge if ymid hits a vertex exactly (degenerate crossings)
+            if np.any(ys == ymid):
+                ymid = np.nextafter(ymid, ys.max())
+            crossings = []
+            off = 0
+            for rl in rings:
+                x, y = xs[off:off + rl], ys[off:off + rl]
+                for j in range(rl - 1):
+                    y1, y2 = y[j], y[j + 1]
+                    if (y1 > ymid) != (y2 > ymid):
+                        crossings.append(x[j] + (ymid - y1)
+                                         * (x[j + 1] - x[j]) / (y2 - y1))
+                off += rl
+            crossings.sort()
+            if len(crossings) >= 2:
+                widths = [(crossings[k + 1] - crossings[k], k)
+                          for k in range(0, len(crossings) - 1, 2)]
+                w, k = max(widths)
+                cx[i] = 0.5 * (crossings[k] + crossings[k + 1])
+                cy[i] = ymid
+            else:
+                cx[i], cy[i] = xs.mean(), ys.mean()
+    return cx, cy
+
+
+def is_simple(rg: RaggedGeometry):
+    """No self-intersection between non-adjacent segments (per ring).
+    O(S²) per geometry — the UDF path; fine for typical feature sizes."""
+    out = np.zeros(len(rg), dtype=object)
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            out[i] = None
+            continue
+        if g in (POINT, MULTIPOINT):
+            out[i] = True
+            continue
+        segs = list(_iter_segments(xs, ys, rings))
+        simple = True
+        for a in range(len(segs)):
+            for b in range(a + 2, len(segs)):
+                # skip adjacent (sharing a vertex incl. ring closure)
+                sa, sb = segs[a], segs[b]
+                if (sa[2], sa[3]) == (sb[0], sb[1]) or \
+                   (sb[2], sb[3]) == (sa[0], sa[1]):
+                    continue
+                if _seg_intersect(*sa, *sb):
+                    simple = False
+                    break
+            if not simple:
+                break
+        out[i] = simple
+    return out
+
+
+def is_valid(rg: RaggedGeometry):
+    """Basic validity: rings closed with >= 4 vertices, simple, holes
+    (not fully OGC — no nested-shell checks; documented simplification)."""
+    simple = is_simple(rg)
+    out = np.zeros(len(rg), dtype=object)
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            out[i] = None
+            continue
+        if g not in (POLYGON, MULTIPOLYGON):
+            out[i] = bool(simple[i])
+            continue
+        ok = bool(simple[i])
+        off = 0
+        for rl in rings:
+            if rl < 4 or xs[off] != xs[off + rl - 1] \
+                    or ys[off] != ys[off + rl - 1]:
+                ok = False
+            off += rl
+        out[i] = ok
+    return out

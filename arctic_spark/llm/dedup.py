@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.native import _let
 from .text import fingerprint, word_tokens
 
 _MERSENNE_P = (1 << 61) - 1
@@ -32,15 +33,27 @@ def _c(col) -> Column:
 
 
 def shingles(text, k: int = 3) -> Column:
-    """array<string> of k-word shingles (distinct)."""
+    """array<string> of k-word shingles (distinct).
+
+    Built from flat zip_with chains over shifted slices rather than a
+    per-index slice+concat (higher-order functions are interpreted, not
+    codegen'd — the flat form is ~10× cheaper per row)."""
     toks = word_tokens(text)
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
-           .otherwise(F.when(n > 0, F.array(F.lit(0)))
-                       .otherwise(F.array().cast("array<int>")))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.slice(toks, i + 1, F.lit(k))))
-    return F.array_distinct(sh)
+
+    def build(ws):
+        n = F.size(ws)
+        m = F.greatest(n - (k - 1), F.lit(0))
+        out = F.slice(ws, 1, m)
+        for j in range(1, k):
+            out = F.zip_with(out, F.slice(ws, 1 + j, m),
+                             lambda a, b: F.concat(a, F.lit(" "), b))
+        small = F.array(F.concat_ws(" ", ws))
+        return F.array_distinct(
+            F.when(n >= k, out)
+             .when(n > 0, small)
+             .otherwise(F.array().cast("array<string>")))
+
+    return _let(toks, build)
 
 
 def _base_hash(s) -> Column:
@@ -50,10 +63,14 @@ def _base_hash(s) -> Column:
 
 
 def _rand_coeffs(num: int, seed: int):
-    """Deterministic (a, b) pairs for the universal hash family."""
+    """Deterministic (a, b) pairs for the universal hash family.
+
+    Coefficients are bounded to 2^30 so a*h (h is a 32-bit base hash)
+    stays below 2^62 — Spark runs ANSI mode by default and a long
+    overflow is a hard error, not a wrap."""
     import random
     rnd = random.Random(seed)
-    return [(rnd.randrange(1, _MERSENNE_P - 1), rnd.randrange(0, _MERSENNE_P - 1))
+    return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
             for _ in range(num)]
 
 
@@ -63,15 +80,21 @@ def minhash_signature(text, num_hashes: int = 64, shingle_k: int = 3,
     per-permutation min runs as an `aggregate` over the shingle hashes
     inside codegen."""
     sh = shingles(text, shingle_k)
-    base = F.transform(sh, _base_hash)
     coeffs = _rand_coeffs(num_hashes, seed)
-    mins = [
-        F.aggregate(base, F.lit(_MERSENNE_P).cast("long"),
-                    lambda acc, h, a=a, b=b: F.least(
-                        acc, (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P)))
-        for a, b in coeffs
-    ]
-    return F.array(*mins)
+
+    def perm_min(a, b):
+        # closure factory: pyspark introspects lambda arity, so defaults
+        # like `lambda acc, h, a=a` are rejected as 4-arg lambdas
+        return lambda acc, h: F.least(
+            acc, (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
+
+    def build(base):
+        return F.array(*[
+            F.aggregate(base, F.lit(_MERSENNE_P).cast("long"), perm_min(a, b))
+            for a, b in coeffs])
+
+    # bind the base-hash array once — it is referenced num_hashes times
+    return _let(F.transform(sh, _base_hash), build)
 
 
 def minhash_bands(sig, num_bands: int = 16) -> Column:
@@ -147,25 +170,27 @@ def ngram_jaccard(text_a, text_b, k: int = 3) -> Column:
 
 
 def simhash64(text) -> Column:
-    """64-bit SimHash of word tokens: per-token md5-derived 64-bit hash;
-    signature bit i = sign of Σ_tokens (±1 on bit i). Near-duplicate docs
+    """60-bit SimHash of word tokens: per-token md5-derived hash;
+    signature bit i = majority vote of token bit i. Near-duplicate docs
     differ in few bits (compare via hamming distance / band prefixes).
-    Returns a bigint (bit i in two's-complement order)."""
+    Returns a bigint."""
     toks = word_tokens(text)
-    h = F.transform(toks, lambda t: F.conv(
-        F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    # for each of 60 usable bits: count tokens with bit set, vs total
-    n = F.size(h)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda i: F.when(
-            F.size(F.filter(h, lambda v: v.bitwiseAND(
-                F.shiftleft(F.lit(1).cast("long"), i)) != 0)) * 2 > n,
-            F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    return F.aggregate(
-        F.zip_with(bits, F.sequence(F.lit(0), F.lit(59)),
-                   lambda b, i: F.shiftleft(b, i)),
-        F.lit(0).cast("long"), lambda a, v: a.bitwiseOR(v))
+
+    def build(h):
+        n = F.size(h)
+        sig = F.lit(0).cast("long")
+        for i in range(60):  # literal bit positions (shiftleft needs ints)
+            mask = 1 << i
+            bit_set = F.size(F.filter(
+                h, lambda v: v.bitwiseAND(F.lit(mask)) != 0)) * 2 > n
+            sig = sig.bitwiseOR(
+                F.when(bit_set, F.lit(mask).cast("long"))
+                 .otherwise(F.lit(0).cast("long")))
+        return sig
+
+    # bind the token-hash array once — referenced 60 times
+    return _let(F.transform(toks, lambda t: F.conv(
+        F.substring(F.md5(t), 1, 15), 16, 10).cast("long")), build)
 
 
 def hamming64(a, b) -> Column:
@@ -182,12 +207,11 @@ def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text",
     equal), equi-join per block, verify hamming ≤ max_hamming."""
     sig = df.select(_c(id_col).alias("id"),
                     simhash64(text_col).alias("sig"))
-    blocks = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda i: F.concat(
-            i.cast("string"), F.lit(":"),
-            F.shiftright(sig["sig"], i * prefix_bits)
-             .bitwiseAND(F.lit((1 << prefix_bits) - 1)).cast("string")))
+    blocks = F.array(*[
+        F.concat(F.lit(f"{i}:"),
+                 F.shiftright(F.col("sig"), i * prefix_bits)
+                  .bitwiseAND(F.lit((1 << prefix_bits) - 1)).cast("string"))
+        for i in range(4)])
     banded = sig.select("id", "sig", F.explode(blocks).alias("blk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))

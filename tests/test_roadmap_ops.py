@@ -1,0 +1,103 @@
+"""Tests for the §2.3 roadmap surface: boundary, interiors, clip, buffer,
+representative_point, validity, derived predicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import st
+
+DONUT = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+SQUARE = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))"
+
+
+def _df(spark, *wkts):
+    return spark.createDataFrame([(i, w) for i, w in enumerate(wkts)],
+                                 "id int, wkt string") \
+        .withColumn("g", st.from_wkt("wkt"))
+
+
+def test_boundary(spark):
+    df = _df(spark, DONUT, "LINESTRING (0 0, 5 5)",
+             "LINESTRING (0 0, 1 0, 1 1, 0 0)", "POINT (1 1)")
+    out = df.select("id", st.geom_type(st.boundary("g")).alias("t"),
+                    st.length(st.boundary("g")).alias("ln"),
+                    st.is_empty(st.boundary("g")).alias("e")) \
+        .orderBy("id").collect()
+    assert out[0].t == 5 and out[0].ln == pytest.approx(48.0)  # both rings
+    assert out[1].t == 4 and out[1].e is False   # endpoints
+    assert out[2].e is True                      # closed line → empty
+    assert out[3].e is True                      # point → empty
+
+
+def test_interiors(spark):
+    df = _df(spark, DONUT, SQUARE)
+    out = df.select("id", F.size(st.interiors("g")).alias("n")) \
+        .orderBy("id").collect()
+    assert out[0].n == 1
+    assert out[1].n == 0
+
+
+def test_clip_by_rect(spark):
+    df = _df(spark, SQUARE, "POINT (1 1)", "POINT (50 50)")
+    clipped = df.withColumn("c", st.clip_by_rect("g", 5.0, 5.0, 30.0, 30.0))
+    out = clipped.select("id", st.area("c").alias("a"),
+                         st.is_empty("c").alias("e")).orderBy("id").collect()
+    assert out[0].a == pytest.approx(225.0)  # [5,20]x[5,20]
+    assert out[1].e is True                  # point outside rect
+    assert out[2].e is True
+
+
+def test_buffer_points(spark):
+    df = _df(spark, "POINT (10 10)")
+    out = df.withColumn("b", st.buffer("g", 2.0, quad_segs=16))
+    r = out.select(st.area("b").alias("a"),
+                   st.geom_type("b").alias("t")).collect()[0]
+    import math
+    assert r.t == 3
+    assert r.a == pytest.approx(math.pi * 4, rel=0.01)  # 64-gon ≈ circle
+    with pytest.raises(Exception):
+        _df(spark, SQUARE).withColumn("b", st.buffer("g", 1.0)).collect()
+
+
+def test_representative_point(spark):
+    df = _df(spark, DONUT, SQUARE, "POINT (3 4)")
+    out = df.withColumn("rp", st.representative_point("g"))
+    rows = out.select("id", st.x("rp").alias("x"), st.y("rp").alias("y"),
+                      st.contains_point("g", st.x("rp"), st.y("rp"))
+                      .alias("inside")).orderBy("id").collect()
+    assert rows[0].inside  # inside the donut, not in the hole
+    assert rows[1].inside
+    assert rows[2].x == 3.0 and rows[2].y == 4.0
+
+
+def test_is_simple_valid(spark):
+    bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"
+    df = _df(spark, SQUARE, bowtie, "LINESTRING (0 0, 2 2, 2 0, 0 2)")
+    out = df.select("id", st.is_simple("g").alias("s"),
+                    st.is_valid("g").alias("v")).orderBy("id").collect()
+    assert out[0].s is True and out[0].v is True
+    assert out[1].s is False and out[1].v is False
+    assert out[2].s is False  # self-crossing line
+
+
+def test_derived_predicates(spark):
+    df = spark.createDataFrame(
+        [(0, SQUARE, "POINT (1 1)"),
+         (1, SQUARE, "POINT (50 50)")],
+        "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    rows = df.select("id", st.disjoint("g1", "g2").alias("d"),
+                     st.within("g2", "g1").alias("w"),
+                     st.covers("g1", "g2").alias("c")).orderBy("id").collect()
+    assert rows[0].d is False and rows[0].w is True and rows[0].c is True
+    assert rows[1].d is True and rows[1].w is False
+
+
+def test_geom_equals_z(spark):
+    df = _df(spark, SQUARE, SQUARE)
+    a = df.where("id=0").select(F.col("g").alias("a"))
+    b = df.where("id=1").select(F.col("g").alias("b"))
+    j = a.crossJoin(b)
+    assert j.select(st.geom_equals("a", "b").alias("e")).collect()[0].e
+    r = df.select(st.z("g").alias("z"), st.has_z("g").alias("h")).collect()[0]
+    assert r.z is None and r.h is False
