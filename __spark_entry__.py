@@ -124,6 +124,36 @@ def q_window_latest_event(spark, sf):
                     F.round("value", 6).alias("value")))
 
 
+def q_events_rollup(spark, sf):
+    """Grouping sets (SURVEY §2.6 cube/rollup, inherited surface)."""
+    e = _t(spark, sf, "events")
+    return (e.rollup(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                     "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_asof_join(spark, sf):
+    """As-of join (beyond-reference temporal operator): each event gets
+    the latest order of the same user at-or-before the event time.
+    Ties on (user, time) are pre-deduped to max orderkey so both engines
+    are deterministic."""
+    from arctic_spark.temporal import asof_join
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate") \
+        .orderBy(F.col("o_orderkey").desc())
+    o1 = (o.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") == 1)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))
+    joined = asof_join(e, o1, on="ts", by="user_id",
+                       right_on="o_orderdate", right_by="o_custkey")
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey_right").alias("ord_key"),
+        F.round("o_totalprice_right", 2).alias("ord_price"))
+
+
 def q_events_daily(spark, sf):
     e = _t(spark, sf, "events")
     return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -423,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q_window_latest_event": q_window_latest_event,
         "q_events_daily": q_events_daily,
+        "q_events_rollup": q_events_rollup,
+        "q_asof_join": q_asof_join,
         "geo_point_accessors": geo_point_accessors,
         "geo_distance": geo_distance,
         "geo_triangle_area": geo_triangle_area,
@@ -513,6 +545,27 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_events_rollup": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(day, event_type)
+        """,
+        "q_asof_join": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY o_custkey, o_orderdate
+                          ORDER BY o_orderkey DESC) AS rn
+                      FROM orders) t
+                WHERE rn = 1)
+            SELECT e.event_id,
+                   o.o_orderkey AS ord_key,
+                   round(o.o_totalprice, 2) AS ord_price
+            FROM events e
+            ASOF LEFT JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "geo_point_accessors": """
             SELECT c_custkey,

@@ -30,7 +30,7 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    geodesic_length, is_simple, is_valid,
                    representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
-                   intersects, simplify)
+                   intersects, simplify, touches, crosses, overlaps)
 from .native import collect_agg, z
 
 # reference naming aliases (SURVEY §2.2)
@@ -71,6 +71,7 @@ __all__ = [
     "geom_struct", "boundary", "interiors", "z", "has_z", "geom_equals",
     "clip_by_rect", "buffer", "representative_point", "is_simple",
     "is_valid", "disjoint", "within", "covers", "collect_agg",
+    "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
 ]
 
 
@@ -93,3 +94,24 @@ def covers(g1, g2):
 
 def covered_by(g1, g2):
     return contains(g2, g1)
+
+
+def geom_almost_equals(g1, g2, decimal: int = 6):
+    """Coordinate equality to `decimal` places (reference roadmap
+    rst:52 geom_almost_equals; same structural caveat as geom_equals)."""
+    from .native import _g, _valid, _let
+    a, b = _g(g1), _g(g2)
+    tol = 0.5 * 10.0 ** (-decimal)
+
+    def close(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda p, q: F.when(F.abs(p - q) <= tol,
+                                                 F.lit(0)).otherwise(F.lit(1))),
+            F.lit(0), lambda acc, x: acc + x) == 0
+
+    return F.when(
+        a.isNotNull() & b.isNotNull() & a["gt"].isNotNull()
+        & b["gt"].isNotNull(),
+        (a["gt"] == b["gt"]) & (F.size(a["xs"]) == F.size(b["xs"]))
+        & (a["rings"] == b["rings"]) & (a["parts"] == b["parts"])
+        & close(a["xs"], b["xs"]) & close(a["ys"], b["ys"]))

@@ -274,3 +274,32 @@ def is_simple(g: pd.DataFrame) -> pd.Series:
 @pandas_udf(T.BooleanType())
 def is_valid(g: pd.DataFrame) -> pd.Series:
     return pd.Series(algos.is_valid(ragged_from_pdf(g)))
+
+
+@pandas_udf(T.BooleanType())
+def touches(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Boundaries meet, interiors disjoint (documented approximation —
+    see algos.touches_pair)."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    return pd.Series([
+        None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
+        else algos.touches_pair(r1.geom(i), r2.geom(i))
+        for i in range(len(r1))], dtype="object")
+
+
+@pandas_udf(T.BooleanType())
+def crosses(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    return pd.Series([
+        None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
+        else algos.crosses_pair(r1.geom(i), r2.geom(i))
+        for i in range(len(r1))], dtype="object")
+
+
+@pandas_udf(T.BooleanType())
+def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    return pd.Series([
+        None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
+        else algos.overlaps_pair(r1.geom(i), r2.geom(i))
+        for i in range(len(r1))], dtype="object")

@@ -739,3 +739,105 @@ def is_valid(rg: RaggedGeometry):
             off += rl
         out[i] = ok
     return out
+
+
+# ---------------------------------------------------------------------------
+# extended binary predicates (reference roadmap geoseries.rst:47-64)
+# ---------------------------------------------------------------------------
+
+def _proper_seg_cross(ax, ay, bx, by, cx, cy, dx, dy):
+    """Segments cross at an interior point of both (no endpoint touch,
+    no collinear overlap)."""
+    def orient(ox, oy, px, py, qx, qy):
+        v = (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+        return 0 if v == 0 else (1 if v > 0 else -1)
+    o1 = orient(ax, ay, bx, by, cx, cy)
+    o2 = orient(ax, ay, bx, by, dx, dy)
+    o3 = orient(cx, cy, dx, dy, ax, ay)
+    o4 = orient(cx, cy, dx, dy, bx, by)
+    return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+
+def _strict_point_in(px, py, g):
+    """Point strictly interior to a polygonal geometry."""
+    gt, xs, ys, rings, parts = g
+    if gt not in (POLYGON, MULTIPOLYGON):
+        return False
+    # boundary check first
+    for x1, y1, x2, y2 in _iter_segments(xs, ys, rings):
+        cross = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+        if cross == 0 and min(x1, x2) <= px <= max(x1, x2) \
+                and min(y1, y2) <= py <= max(y1, y2):
+            return False
+    return point_in_polygon(px, py, xs, ys, rings, parts)
+
+
+def touches_pair(g1, g2):
+    """Boundaries meet, interiors do not (approximate: intersects, no
+    proper segment crossing, no vertex of either strictly inside the
+    other — exact for polygon/polygon and point/boundary cases that
+    meet along edges or at vertices)."""
+    if not intersects_pair(g1, g2):
+        return False
+    gt1, xs1, ys1, r1, _ = g1
+    gt2, xs2, ys2, r2, _ = g2
+    for a in _iter_segments(xs1, ys1, r1):
+        for b in _iter_segments(xs2, ys2, r2):
+            if _proper_seg_cross(*a, *b):
+                return False
+    if any(_strict_point_in(px, py, g2) for px, py in zip(xs1, ys1)):
+        return False
+    if any(_strict_point_in(px, py, g1) for px, py in zip(xs2, ys2)):
+        return False
+    # point cases: a point strictly inside means not touching
+    if gt1 == POINT and _strict_point_in(xs1[0], ys1[0], g2):
+        return False
+    if gt2 == POINT and _strict_point_in(xs2[0], ys2[0], g1):
+        return False
+    return True
+
+
+def crosses_pair(g1, g2):
+    """Interiors intersect in a lower dimension (approximate: a proper
+    segment crossing exists for line/line and line/polygon; point never
+    crosses)."""
+    gt1, xs1, ys1, r1, _ = g1
+    gt2, xs2, ys2, r2, _ = g2
+    if gt1 in (POINT, MULTIPOINT) or gt2 in (POINT, MULTIPOINT):
+        return False
+    for a in _iter_segments(xs1, ys1, r1):
+        for b in _iter_segments(xs2, ys2, r2):
+            if _proper_seg_cross(*a, *b):
+                return True
+    # line through polygon without boundary crossing: an endpoint inside
+    line1 = gt1 in (LINESTRING, MULTILINESTRING)
+    line2 = gt2 in (LINESTRING, MULTILINESTRING)
+    if line1 and gt2 in (POLYGON, MULTIPOLYGON):
+        return any(_strict_point_in(px, py, g2) for px, py in zip(xs1, ys1)) \
+            and not all(point_in_polygon(px, py, xs2, ys2, r2, g2[4])
+                        for px, py in zip(xs1, ys1))
+    if line2 and gt1 in (POLYGON, MULTIPOLYGON):
+        return any(_strict_point_in(px, py, g1) for px, py in zip(xs2, ys2)) \
+            and not all(point_in_polygon(px, py, xs1, ys1, r1, g1[4])
+                        for px, py in zip(xs2, ys2))
+    return False
+
+
+def overlaps_pair(g1, g2):
+    """Same-dimension interiors partially overlap (approximate: both
+    polygonal, intersecting, neither contains the other)."""
+    gt1, gt2 = g1[0], g2[0]
+    poly1 = gt1 in (POLYGON, MULTIPOLYGON)
+    poly2 = gt2 in (POLYGON, MULTIPOLYGON)
+    if poly1 != poly2:
+        return False
+    if gt1 in (POINT, MULTIPOINT):
+        return False
+    if not intersects_pair(g1, g2):
+        return False
+    if contains_pair(g1, g2) or contains_pair(g2, g1):
+        return False
+    # boundary-only contact is touches, not overlaps
+    if touches_pair(g1, g2):
+        return False
+    return True

@@ -81,22 +81,22 @@ def _session_fn(gap_ms: int):
                 "session_end": pd.Timestamp(last_ms, unit="ms"),
                 "n_events": n, "sum_value": sv}])
             return
-        rows = pd.concat(list(pdfs))
-        ts_ms = (rows["ts"].astype("int64") // 1_000_000).sort_values()
-        vals = rows["value"].fillna(0.0)
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        vals = rows["value"].fillna(0.0).to_numpy()
         if state.exists:
             (start_ms, last_ms, n, sv) = state.get
         else:
-            start_ms, last_ms, n, sv = int(ts_ms.iloc[0]), int(ts_ms.iloc[0]), 0, 0.0
+            start_ms, last_ms, n, sv = int(ts_ms[0]), int(ts_ms[0]), 0, 0.0
         closed = []
-        for t in ts_ms:
+        for t, v in zip(ts_ms, vals):
             t = int(t)
             if n > 0 and t - last_ms > gap_ms:
                 closed.append((start_ms, last_ms, n, sv))
                 start_ms, n, sv = t, 0, 0.0
             last_ms = max(last_ms, t)
             n += 1
-        sv += float(vals.sum())
+            sv += float(v)
         state.update((start_ms, last_ms, n, sv))
         state.setTimeoutDuration(gap_ms)
         if closed:

@@ -1,0 +1,72 @@
+"""Temporal operators: as-of join.
+
+The reference has no temporal operators; this is part of the
+beyond-reference analytics surface. The as-of join is implemented the
+scale-correct way for Spark: union the two sides tagged by origin, one
+shuffle on the join key, then a running `last(..., ignorenulls=True)`
+window carries the most recent right-side row forward onto each left
+row — no per-row lookups, no broadcast requirement, skew handled by AQE
+on the single shuffle. The right side is carried as ONE struct so a
+null value inside a right row can never be back-filled from an older
+row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
+              right_on: str | None = None, right_by: str | None = None,
+              tolerance=None, direction: str = "backward",
+              rsuffix: str = "_right") -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.ts <= left.ts (direction='backward'; 'forward' gives the
+    earliest right row with right.ts >= left.ts), matched within `by`
+    groups. ``tolerance`` (seconds) nulls out matches farther away.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_on = right_on or on
+    right_by = right_by or by
+
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in (right_on, right_by)]
+    rstruct_type = ("struct<" + ",".join(
+        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in rcols)
+        + f",__rts:{right.schema[right_on].dataType.simpleString()}>")
+
+    lt = left.select(
+        F.col(by).alias("__key"), F.col(on).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(rstruct_type).alias("__r"))
+    rt = right.select(
+        F.col(right_by).alias("__key"), F.col(right_on).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*[F.col(c) for c in rcols],
+                 F.col(right_on).alias("__rts")).alias("__r"))
+
+    u = lt.unionByName(rt)
+    asc = direction == "backward"
+    w = Window.partitionBy("__key").orderBy(
+        F.col("__ts").asc() if asc else F.col("__ts").desc(),
+        F.col("__is_left").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    carried = F.last("__r", ignorenulls=True).over(w).alias("__rc")
+
+    out = u.select("__is_left", "__ts", *lcols, carried) \
+           .where(F.col("__is_left") == 1)
+
+    rc = F.col("__rc")
+    if tolerance is not None:
+        tol = F.lit(float(tolerance))
+        gap = (F.unix_timestamp(F.col("__ts"))
+               - F.unix_timestamp(rc["__rts"])) if asc else \
+              (F.unix_timestamp(rc["__rts"])
+               - F.unix_timestamp(F.col("__ts")))
+        rc = F.when(gap <= tol, F.col("__rc"))
+    return out.select(*lcols,
+                      *[rc[c].alias(c + rsuffix) for c in rcols])

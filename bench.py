@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q_window_latest_event",
     "q_events_daily",
+    "q_events_rollup",
+    "q_asof_join",
     "geo_triangle_area",
     "geo_haversine_length",
     "geo_webmercator",

@@ -101,3 +101,50 @@ def test_geom_equals_z(spark):
     assert j.select(st.geom_equals("a", "b").alias("e")).collect()[0].e
     r = df.select(st.z("g").alias("z"), st.has_z("g").alias("h")).collect()[0]
     assert r.z is None and r.h is False
+
+
+def test_touches_crosses_overlaps(spark):
+    rows = [
+        # touching squares (shared edge)
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"),
+        # overlapping squares
+        (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        # line crossing a square
+        (2, "LINESTRING (-1 1, 3 1)",
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        # disjoint
+        (3, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+        # corner-touching squares
+        (4, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"),
+        # crossing lines
+        (5, "LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    out = {r.id: r for r in df.select(
+        "id", st.touches("g1", "g2").alias("t"),
+        st.crosses("g1", "g2").alias("c"),
+        st.overlaps("g1", "g2").alias("o")).collect()}
+    assert out[0].t is True and out[0].o is False
+    assert out[1].t is False and out[1].o is True
+    assert out[2].c is True and out[2].t is False
+    assert out[3].t is False and out[3].c is False and out[3].o is False
+    assert out[4].t is True
+    assert out[5].c is True and out[5].t is False
+
+
+def test_geom_almost_equals(spark):
+    df = spark.createDataFrame(
+        [(0, "POINT (1 2)", "POINT (1.0000001 2)"),
+         (1, "POINT (1 2)", "POINT (1.1 2)")],
+        "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    out = {r.id: r for r in df.select(
+        "id", st.geom_almost_equals("g1", "g2", 6).alias("e6"),
+        st.geom_almost_equals("g1", "g2", 0).alias("e0")).collect()}
+    assert out[0].e6 is True
+    assert out[1].e6 is False and out[1].e0 is True

@@ -69,14 +69,15 @@ def test_streaming_window_with_rate_source(spark):
     q = (out.writeStream.format("memory").queryName("win_counts")
          .outputMode("append").start())
     try:
-        deadline = time.time() + 30
+        # NOTE: never processAllAvailable() on a rate source — it keeps
+        # producing, so the call can block indefinitely. Poll instead.
+        deadline = time.time() + 45
         rows = []
         while time.time() < deadline:
-            q.processAllAvailable()
             rows = spark.sql("SELECT * FROM win_counts").collect()
             if rows:
                 break
-            time.sleep(1)
+            time.sleep(2)
         assert rows, "no windows emitted within 30s"
         assert {r.event_type for r in rows} <= {"a", "b"}
         assert all(r.n > 0 for r in rows)
@@ -102,14 +103,18 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     q = (sessions.writeStream.format("memory").queryName("sessions")
          .outputMode("append").start())
     try:
-        deadline = time.time() + 40
+        # NOTE: never processAllAvailable() on an applyInPandasWithState
+        # query with ProcessingTimeTimeout — Spark keeps scheduling
+        # state-cleanup batches until the timeout elapses (30 min here),
+        # so the call blocks. Poll the sink instead; the first session is
+        # closed within batch 1 by the 2-hour gap row.
+        deadline = time.time() + 60
         rows = []
         while time.time() < deadline:
-            q.processAllAvailable()
             rows = spark.sql("SELECT * FROM sessions").collect()
             if rows:
                 break
-            time.sleep(1)
+            time.sleep(2)
         # the 2-hour gap closes the first session within the batch
         assert rows
         assert rows[0].n_events == 2

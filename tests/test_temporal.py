@@ -1,0 +1,82 @@
+"""as-of join tests with hand-computed expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark.temporal import asof_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame([
+        ("2024-01-01 10:00:05", 1, "T1"),
+        ("2024-01-01 10:00:20", 1, "T2"),
+        ("2024-01-01 09:00:00", 2, "T3"),   # before any quote
+        ("2024-01-01 10:00:10", 2, "T4"),
+    ], "ts string, sym long, trade string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    quotes = spark.createDataFrame([
+        ("2024-01-01 10:00:00", 1, 100.0),
+        ("2024-01-01 10:00:10", 1, 101.0),
+        ("2024-01-01 10:00:00", 2, 200.0),
+    ], "qts string, sym long, px double") \
+        .withColumn("qts", F.to_timestamp("qts"))
+    return trades, quotes
+
+
+def test_asof_backward(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym", right_on="qts",
+                    right_by="sym")
+    by = {r.trade: r.px_right for r in out.collect()}
+    assert by["T1"] == 100.0   # 10:00:05 -> quote at 10:00:00
+    assert by["T2"] == 101.0   # 10:00:20 -> quote at 10:00:10
+    assert by["T3"] is None    # no quote before 09:00
+    assert by["T4"] == 200.0
+
+
+def test_asof_exact_timestamp_match(quotes_trades):
+    trades, quotes = quotes_trades
+    t = trades.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 10:00:10")))
+    out = asof_join(t.where("trade = 'T1'"), quotes, on="ts", by="sym",
+                    right_on="qts", right_by="sym")
+    assert out.collect()[0].px_right == 101.0  # equal ts matches
+
+
+def test_asof_forward(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym", right_on="qts",
+                    right_by="sym", direction="forward")
+    by = {r.trade: r.px_right for r in out.collect()}
+    assert by["T1"] == 101.0   # next quote at 10:00:10
+    assert by["T2"] is None    # nothing after 10:00:20
+    assert by["T3"] == 200.0
+
+
+def test_asof_tolerance(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym", right_on="qts",
+                    right_by="sym", tolerance=6.0)
+    by = {r.trade: r.px_right for r in out.collect()}
+    assert by["T1"] == 100.0   # 5s gap <= 6s
+    assert by["T2"] is None    # 10s gap > 6s
+
+
+def test_asof_null_right_value_not_backfilled(spark):
+    left = spark.createDataFrame([("2024-01-01 10:00:20", 1, "L")],
+                                 "ts string, k long, tag string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([
+        ("2024-01-01 10:00:00", 1, 5.0),
+        ("2024-01-01 10:00:10", 1, None),   # latest right row has null v
+    ], "rts string, k long, v double").withColumn("rts", F.to_timestamp("rts"))
+    out = asof_join(left, right, on="ts", by="k", right_on="rts",
+                    right_by="k")
+    # must take the LATEST row's null, not backfill 5.0 from the older row
+    assert out.collect()[0].v_right is None
+
+
+def test_asof_bad_direction(quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="ts", by="sym", direction="nearest")
