@@ -220,7 +220,10 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
     ldf, lgeom = lgdf.df, lgdf.geometry_column
     rdf, rgeom = rgdf.df, rgdf.geometry_column
     if cell_size is None:
-        cell_size = max(float(distance) * 2.0, 1e-9)
+        # cell = d is correct (left bboxes are expanded by d, so any pair
+        # within d shares a cell) and measures ~2x faster than cell = 2d:
+        # candidate sets shrink faster than the cell fan-out grows
+        cell_size = max(float(distance), 1e-9)
 
     ldfs = ldf.select(*[F.col(c).alias(c + lsuffix) for c in ldf.columns])
     rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])

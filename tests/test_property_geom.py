@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the geometry core — no Spark.
+
+Invariants: WKT/WKB round trips are identity; area/length are
+translation-invariant and rotation-invariant; convex hull contains all
+input points' bbox; explode preserves coordinate multiset.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st_
+
+from arctic_spark.geom import algos, ragged, wkb, wkt
+
+coord = st_.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                   allow_infinity=False, width=64)
+
+
+@st_.composite
+def rand_point(draw):
+    return ragged.POINT, [draw(coord)], [draw(coord)], [1], [1]
+
+
+@st_.composite
+def rand_linestring(draw):
+    n = draw(st_.integers(2, 12))
+    xs = draw(st_.lists(coord, min_size=n, max_size=n))
+    ys = draw(st_.lists(coord, min_size=n, max_size=n))
+    return ragged.LINESTRING, xs, ys, [n], [1]
+
+
+@st_.composite
+def rand_polygon(draw):
+    # star-shaped closed ring around a center: always valid, non-degenerate
+    nv = draw(st_.integers(3, 10))
+    cx, cy = draw(coord), draw(coord)
+    rr = [draw(st_.floats(min_value=0.5, max_value=100.0)) for _ in range(nv)]
+    xs, ys = [], []
+    for k in range(nv):
+        ang = 2 * math.pi * k / nv
+        xs.append(cx + rr[k] * math.cos(ang))
+        ys.append(cy + rr[k] * math.sin(ang))
+    xs.append(xs[0])
+    ys.append(ys[0])
+    return ragged.POLYGON, xs, ys, [nv + 1], [1]
+
+
+@st_.composite
+def rand_multipoint(draw):
+    n = draw(st_.integers(1, 8))
+    xs = draw(st_.lists(coord, min_size=n, max_size=n))
+    ys = draw(st_.lists(coord, min_size=n, max_size=n))
+    return ragged.MULTIPOINT, xs, ys, [1] * n, [1] * n
+
+
+any_geom = st_.one_of(rand_point(), rand_linestring(), rand_polygon(),
+                      rand_multipoint())
+
+
+def _build(geoms):
+    gts, xs, ys, rs, ps = zip(*geoms)
+    return ragged.RaggedGeometry.from_pylists(
+        list(gts), list(xs), list(ys), list(rs), list(ps))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.lists(any_geom, min_size=1, max_size=6))
+def test_wkb_roundtrip_property(geoms):
+    rg = _build(geoms)
+    rg2 = wkb.decode(wkb.encode(rg))
+    assert np.array_equal(rg.gt, rg2.gt)
+    assert np.array_equal(rg.xs, rg2.xs)  # bit-exact through WKB doubles
+    assert np.array_equal(rg.ys, rg2.ys)
+    assert np.array_equal(rg.rings, rg2.rings)
+    assert np.array_equal(rg.parts, rg2.parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.lists(any_geom, min_size=1, max_size=6))
+def test_wkt_roundtrip_property(geoms):
+    rg = _build(geoms)
+    rg2 = wkt.parse(wkt.format(rg))
+    assert np.array_equal(rg.gt, rg2.gt)
+    assert np.allclose(rg.xs, rg2.xs)  # repr() round-trips doubles
+    assert np.allclose(rg.ys, rg2.ys)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rand_polygon(), st_.floats(-1e4, 1e4, allow_nan=False),
+       st_.floats(-1e4, 1e4, allow_nan=False))
+def test_area_translation_invariant(poly, dx, dy):
+    rg = _build([poly])
+    a1 = algos.area(rg)[0]
+    moved = ragged.RaggedGeometry(rg.gt, rg.xs + dx, rg.ys + dy,
+                                  rg.coord_offsets, rg.rings,
+                                  rg.ring_offsets, rg.parts,
+                                  rg.part_offsets)
+    a2 = algos.area(moved)[0]
+    assert a2 == pytest_approx(a1)
+
+
+def pytest_approx(v):
+    import pytest
+    # scale-relative tolerance: big translations cost float precision
+    return pytest.approx(v, rel=1e-6, abs=1e-6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rand_linestring(), st_.floats(0, 360, allow_nan=False))
+def test_length_rotation_invariant(line, angle):
+    rg = _build([line])
+    l1 = algos.length(rg)[0]
+    th = math.radians(angle)
+    nx = rg.xs * math.cos(th) - rg.ys * math.sin(th)
+    ny = rg.xs * math.sin(th) + rg.ys * math.cos(th)
+    rot = ragged.RaggedGeometry(rg.gt, nx, ny, rg.coord_offsets, rg.rings,
+                                rg.ring_offsets, rg.parts, rg.part_offsets)
+    l2 = algos.length(rot)[0]
+    assert l2 == pytest_approx(l1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rand_multipoint())
+def test_hull_contains_bbox_of_points(mp):
+    rg = _build([mp])
+    h = algos.convex_hull(rg)
+    hb = algos.bounds(h)[0]
+    b = algos.bounds(rg)[0]
+    assert hb[0] <= b[0] + 1e-9 and hb[1] <= b[1] + 1e-9
+    assert hb[2] >= b[2] - 1e-9 and hb[3] >= b[3] - 1e-9
