@@ -421,6 +421,15 @@ def embed_knn_lsh(spark, sf):
                       F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def embed_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs (brute-force exact — the
+    oracle-checkable baseline; the LSH scale path is embed_knn_lsh)."""
+    em = _t(spark, sf, "embeddings")
+    out = similarity.near_dup_pairs(em, threshold=0.4, method="brute")
+    return out.select("id_a", "id_b",
+                      F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidate pairs (no SQL oracle — the banding
     is seed-dependent; exactness is covered by text_ngram_jaccard)."""
@@ -474,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_dups": text_fingerprint_dups,
         "text_ngram_jaccard": text_ngram_jaccard,
         "embed_cosine_topk": embed_cosine_topk,
+        "embed_near_dup": embed_near_dup,
         "embed_knn_lsh": embed_knn_lsh,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -825,6 +835,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims)
             SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
             FROM ranked WHERE rank <= 5
+        """,
+        "embed_near_dup": """
+            WITH sims AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_aggregate(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                           'sum')
+                       / (sqrt(list_aggregate(list_transform(a.embedding,
+                             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(b.embedding,
+                             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+                           AS cos_sim
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+            FROM sims WHERE cos_sim >= 0.4
         """,
         # embed_knn_lsh, dedup_minhash_lsh, dedup_simhash: intentionally no
         # oracle — randomized/banded internals; rows-only check.

@@ -114,3 +114,28 @@ class GeoDataFrame:
                .withColumn(prefix + "xmax", bx1)
                .withColumn(prefix + "ymax", by1))
         return self._wrap(out)
+
+
+def to_pandas_wkb(gdf: "GeoDataFrame"):
+    """Driver-side export: pandas DataFrame with the geometry column as
+    WKB bytes — the container-feasible analogue of the reference's
+    `to_geopandas` (geoseries.py:142-216); feed it to
+    `geopandas.GeoSeries.from_wkb` where geopandas exists."""
+    from . import functions as st
+    from pyspark.sql import functions as F
+    df = gdf.df.withColumn(gdf.geometry_column,
+                           st.to_wkb(F.col(gdf.geometry_column)))
+    return df.toPandas()
+
+
+def from_pandas_wkb(spark, pdf, geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                    crs=DEFAULT_CRS) -> "GeoDataFrame":
+    """Ingest a pandas DataFrame whose geometry column holds WKB bytes
+    (what `gdf.to_wkb()` produces in GeoPandas) — the analogue of the
+    reference's `from_geopandas(..., force_wkb=True)`
+    (convert.py:59-97)."""
+    from . import functions as st
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn(geometry_column, st.from_wkb(F.col(geometry_column)))
+    return GeoDataFrame(df, geometry_column, crs)

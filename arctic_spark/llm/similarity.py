@@ -120,3 +120,46 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     return (sim.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                   id_col="vec_id", vec_col="embedding",
+                   method: str = "lsh", dim: int | None = None,
+                   num_planes: int = 8, num_tables: int = 4,
+                   seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim).
+
+    method='brute': exact O(n²) — the oracle-checkable baseline.
+    method='lsh': hyperplane-bucketed candidates + exact re-check — the
+    scale path (shuffle is O(n × tables), recall < 1 by design).
+    """
+    a = df.select(_c(id_col).alias("id_a"), _c(vec_col).alias("__va"))
+    b = df.select(_c(id_col).alias("id_b"), _c(vec_col).alias("__vb"))
+    if method == "brute":
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("dim required for method='lsh'")
+        tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t))
+                  for t in range(num_tables)]
+
+        def bucketize(d, idc, vc, ida, va):
+            buckets = F.array(*[
+                F.struct(F.lit(t).alias("t"),
+                         lsh_bucket(F.col(vc), planes).alias("b"))
+                for t, planes in tables])
+            return d.select(_c(idc).alias(ida), _c(vc).alias(va),
+                            F.explode(buckets).alias("tb"))
+
+        qa = bucketize(df, id_col, vec_col, "id_a", "__va")
+        qb = bucketize(df, id_col, vec_col, "id_b", "__vb")
+        cand = (qa.join(qb, (qa["tb.t"] == qb["tb.t"])
+                        & (qa["tb.b"] == qb["tb.b"])
+                        & (qa["id_a"] < qb["id_b"]))
+                .select("id_a", "id_b", "__va", "__vb")
+                .dropDuplicates(["id_a", "id_b"]))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    out = cand.withColumn("cos_sim", cosine("__va", "__vb"))
+    return out.where(F.col("cos_sim") >= threshold) \
+              .select("id_a", "id_b", "cos_sim")

@@ -153,3 +153,27 @@ def test_frame_sample_plan(spark):
                        .withField("duration_ms", F.lit(3500).cast("long")))
     out = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [r.frame_idx for r in out] == [0, 1, 2]
+
+
+def test_near_dup_pairs_brute_vs_lsh(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    # plant two near-duplicate pairs
+    base[1] = base[0] + rng.standard_normal(16) * 0.01
+    base[21] = base[20] + rng.standard_normal(16) * 0.01
+    df = spark.createDataFrame([(i, base[i].tolist()) for i in range(40)],
+                               "vec_id long, embedding array<double>")
+    brute = similarity.near_dup_pairs(df, threshold=0.95, method="brute") \
+        .collect()
+    got = {(r.id_a, r.id_b) for r in brute}
+    assert got == {(0, 1), (20, 21)}
+    lsh = similarity.near_dup_pairs(df, threshold=0.95, method="lsh",
+                                    dim=16, num_planes=4, num_tables=6) \
+        .collect()
+    got_lsh = {(r.id_a, r.id_b) for r in lsh}
+    assert got_lsh <= got            # no false positives (exact re-check)
+    assert len(got_lsh) >= 1         # decent recall with 6 tables
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        similarity.near_dup_pairs(df, method="lsh")  # dim required
