@@ -30,6 +30,9 @@ from arctic_spark.llm import dedup, similarity, text
 from arctic_spark.proj import transform_xy_struct
 
 
+_BIG_TABLES = {"lineitem", "orders", "events"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects (PARQUET_TYPE_ILLEGAL); read as long and convert
@@ -39,6 +42,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in _BIG_TABLES:
+        # the driver's parquet files are a single row group each —
+        # unsplittable, so the scan pipeline would run on one core.
+        # On a real cluster data arrives in many files/row groups; the
+        # repartition (one cheap shuffle) restores that parallelism for
+        # the local bench.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
@@ -285,8 +295,32 @@ def geo_pip_join(spark, sf):
         "r_name", st.make_envelope(xmin, F.lit(-20.0), xmin + 8.0,
                                    F.lit(20.0)).alias("geometry")))
     out = spatial_join(points, strips, how="inner", udf_refine=False,
-                       broadcast_right=True, cell_size=8.0)
+                       broadcast_right=True, cell_size=8.0,
+                       points_left=True)
     return (out.df.groupBy(F.col("r_name_right").alias("r_name"))
+            .agg(F.count("*").alias("n_points")))
+
+
+def geo_pip_join_large(spark, sf):
+    """Heavyweight spatial join: one point per lineitem row (~600k at
+    sf0.1) against 100 supplier rectangles — the grid filter–refine path
+    under real row counts, fully native refine."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    px = (F.col("l_orderkey") % 1000).cast("double") / 5.0 + 0.05
+    py = (F.col("l_partkey") % 1000).cast("double") / 5.0 + 0.05
+    points = GeoDataFrame(li.select("l_orderkey", "l_linenumber",
+                                    st.point(px, py).alias("geometry")))
+    # 10x10 grid of 18x18 rectangles (gaps of 2 between them)
+    gx = (F.col("s_suppkey") % 10).cast("double") * 20.0 + 1.0
+    gy = (F.expr("s_suppkey div 10") % 10).cast("double") * 20.0 + 1.0
+    rects = GeoDataFrame(s.select(
+        "s_suppkey", st.make_envelope(gx, gy, gx + 18.0, gy + 18.0)
+        .alias("geometry")))
+    out = spatial_join(points, rects, how="inner", udf_refine=False,
+                       broadcast_right=True, cell_size=20.0,
+                       points_left=True)
+    return (out.df.groupBy(F.col("s_suppkey_right").alias("s_suppkey"))
             .agg(F.count("*").alias("n_points")))
 
 
@@ -473,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_haversine_length": geo_haversine_length,
         "geo_webmercator": geo_webmercator,
         "geo_pip_join": geo_pip_join,
+        "geo_pip_join_large": geo_pip_join_large,
         "geo_dwithin_pairs": geo_dwithin_pairs,
         "geo_explode_multipoint": geo_explode_multipoint,
         "geo_collect_centroid": geo_collect_centroid,
@@ -692,6 +727,23 @@ def oracle_sql() -> dict[str, str]:
               AND (CAST(c.c_custkey * 7 % 40 - 20 AS DOUBLE) + 0.25) > -20
               AND (CAST(c.c_custkey * 7 % 40 - 20 AS DOUBLE) + 0.25) < 20
             GROUP BY r.r_name
+        """,
+        "geo_pip_join_large": """
+            WITH pts AS (
+                SELECT CAST(l_orderkey % 1000 AS DOUBLE) / 5.0 + 0.05 AS px,
+                       CAST(l_partkey % 1000 AS DOUBLE) / 5.0 + 0.05 AS py
+                FROM lineitem),
+            rects AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 10 AS DOUBLE) * 20.0 + 1.0 AS xmin,
+                       CAST((s_suppkey // 10) % 10 AS DOUBLE)
+                           * 20.0 + 1.0 AS ymin
+                FROM supplier)
+            SELECT r.s_suppkey, count(*) AS n_points
+            FROM pts p, rects r
+            WHERE p.px > r.xmin AND p.px < r.xmin + 18.0
+              AND p.py > r.ymin AND p.py < r.ymin + 18.0
+            GROUP BY r.s_suppkey
         """,
         "geo_dwithin_pairs": """
             SELECT count(*) AS n_pairs

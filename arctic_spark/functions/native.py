@@ -445,8 +445,37 @@ def contains_point(g, px, py) -> Column:
 
     total = _isum(F.transform(_ring_ids(g), ring_crossings))
     on_bdy = F.exists(_ring_ids(g), ring_on_boundary)
+    general = ((total % 2) == 1) & ~on_bdy
+
+    # Fast path 1: axis-aligned rectangle (5-vertex single closed ring
+    # whose bbox corners are exactly its vertex set — envelopes,
+    # make_envelope output, tiles). Interior test is two interval
+    # comparisons instead of the segment machinery: ~50x cheaper in
+    # interpreted evaluation, which dominates large point-in-polygon
+    # joins.
+    xs, ys = g["xs"], g["ys"]
+    x0, y0 = F.array_min(xs), F.array_min(ys)
+    x1, y1 = F.array_max(xs), F.array_max(ys)
+    # each edge must change exactly one axis (rules out bbox-cornered
+    # bowties like (0,0)-(1,1)-(0,1)-(1,0), which pass the corner check
+    # but are not rectangles)
+    rectilinear = F.forall(
+        F.zip_with(
+            F.zip_with(F.slice(xs, 1, 4), F.slice(xs, 2, 4),
+                       lambda a, b: a == b),
+            F.zip_with(F.slice(ys, 1, 4), F.slice(ys, 2, 4),
+                       lambda a, b: a == b),
+            lambda ex, ey: ex != ey),
+        lambda v: v)
+    is_rect = (
+        (F.size(g["rings"]) == 1) & (F.size(xs) == 5)
+        & F.forall(xs, lambda v: (v == x0) | (v == x1))
+        & F.forall(ys, lambda v: (v == y0) | (v == y1))
+        & rectilinear)
+    rect_inside = (px > x0) & (px < x1) & (py > y0) & (py < y1)
+
     return F.when(_valid(g) & px.isNotNull() & py.isNotNull(),
-                  ((total % 2) == 1) & ~on_bdy)
+                  F.when(is_rect, rect_inside).otherwise(general))
 
 
 def bbox_intersects(g1, g2) -> Column:
@@ -734,3 +763,29 @@ def collect_agg(g) -> Column:
                     F.flatten(F.collect_list(g["ys"])),
                     F.flatten(F.collect_list(g["rings"])),
                     F.flatten(F.collect_list(g["parts"]))))
+
+
+@_geom_fn
+def is_axis_rect(g) -> Column:
+    """Single closed 5-vertex axis-aligned rectangle ring (the shape of
+    envelopes/tiles). Used to hoist the spatial join's rectangle fast
+    path into a once-per-geometry column instead of re-deriving it per
+    candidate pair."""
+    xs, ys = g["xs"], g["ys"]
+    x0, y0 = F.array_min(xs), F.array_min(ys)
+    x1, y1 = F.array_max(xs), F.array_max(ys)
+    rectilinear = F.forall(
+        F.zip_with(
+            F.zip_with(F.slice(xs, 1, 4), F.slice(xs, 2, 4),
+                       lambda a, b: a == b),
+            F.zip_with(F.slice(ys, 1, 4), F.slice(ys, 2, 4),
+                       lambda a, b: a == b),
+            lambda ex, ey: ex != ey),
+        lambda v: v)
+    return F.when(
+        _valid(g),
+        g["gt"].isin(POLYGON) & (F.size(g["rings"]) == 1)
+        & (F.size(xs) == 5)
+        & F.forall(xs, lambda v: (v == x0) | (v == x1))
+        & F.forall(ys, lambda v: (v == y0) | (v == y1))
+        & rectilinear)

@@ -129,7 +129,7 @@ def _refine_predicate(lg, rg, predicate, udf_refine=True):
 
 def spatial_join(left, right, how="inner", predicate="intersects",
                  lsuffix="_left", rsuffix="_right", cell_size=None,
-                 broadcast_right=None, udf_refine=True):
+                 broadcast_right=None, udf_refine=True, points_left=False):
     """Distributed filter–refine spatial join.
 
     Parameters mirror the reference's SpatialJoinArgs
@@ -165,32 +165,75 @@ def spatial_join(left, right, how="inner", predicate="intersects",
     if how == "left":
         ldfs = ldfs.withColumn(_ROWID, F.monotonically_increasing_id())
 
-    lc = _with_cells(ldfs, lg, cell_size, "__l_")
+    if points_left:
+        # a point occupies exactly ONE cell: no explode, no left bbox
+        # columns, and no canonical-cell dedup (each candidate pair is
+        # produced once by construction) — ~2-3x cheaper distribute
+        # phase for the dominant points-in-polygons workload. Coordinates
+        # are materialized once (repeated native.x() calls would re-run
+        # the accessor expression per use).
+        csl = F.lit(float(cell_size))
+        lc = (ldfs.withColumn("__l_px", native.x(F.col(lg)))
+                  .withColumn("__l_py", native.y(F.col(lg)))
+                  .where(F.col("__l_px").isNotNull())
+                  .withColumn("__l_cell", F.struct(
+                      F.floor(F.col("__l_px") / csl).cast("int").alias("cx"),
+                      F.floor(F.col("__l_py") / csl).cast("int").alias("cy"))))
+    else:
+        lc = _with_cells(ldfs, lg, cell_size, "__l_")
     rc = _with_cells(rdfs, rg, cell_size, "__r_")
+    # hoist the rectangle check to one column per right row (vs
+    # re-deriving it for every candidate pair in the refine)
+    rc = rc.withColumn("__r_rect", native.is_axis_rect(F.col(rg)))
     if broadcast_right:
         rc = F.broadcast(rc)
 
     joined = lc.join(rc, (lc["__l_cell.cx"] == rc["__r_cell.cx"])
                      & (lc["__l_cell.cy"] == rc["__r_cell.cy"]), "inner")
 
-    # bbox refine (cheap, native) — mirrors the R-tree candidate stage
-    bbox_ok = ((F.col("__l_xmin") <= F.col("__r_xmax"))
-               & (F.col("__r_xmin") <= F.col("__l_xmax"))
-               & (F.col("__l_ymin") <= F.col("__r_ymax"))
-               & (F.col("__r_ymin") <= F.col("__l_ymax")))
-
-    # canonical-cell pair dedup (zero extra shuffle)
     cs = F.lit(float(cell_size))
-    ix = F.greatest(F.col("__l_xmin"), F.col("__r_xmin"))
-    iy = F.greatest(F.col("__l_ymin"), F.col("__r_ymin"))
-    canonical = ((F.floor(ix / cs).cast("int") == F.col("__l_cell.cx"))
-                 & (F.floor(iy / cs).cast("int") == F.col("__l_cell.cy")))
-
-    helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
-                   "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
-                   "__r_xmax", "__r_ymax"]
+    if points_left:
+        px_, py_ = F.col("__l_px"), F.col("__l_py")
+        bbox_ok = ((px_ >= F.col("__r_xmin")) & (px_ <= F.col("__r_xmax"))
+                   & (py_ >= F.col("__r_ymin")) & (py_ <= F.col("__r_ymax")))
+        canonical = F.lit(True)
+        helper_cols = ["__l_cell", "__l_px", "__l_py", "__r_cell",
+                       "__r_xmin", "__r_ymin", "__r_xmax", "__r_ymax",
+                       "__r_rect"]
+    else:
+        # bbox refine (cheap, native) — mirrors the R-tree candidate stage
+        bbox_ok = ((F.col("__l_xmin") <= F.col("__r_xmax"))
+                   & (F.col("__r_xmin") <= F.col("__l_xmax"))
+                   & (F.col("__l_ymin") <= F.col("__r_ymax"))
+                   & (F.col("__r_ymin") <= F.col("__l_ymax")))
+        # canonical-cell pair dedup (zero extra shuffle)
+        ix = F.greatest(F.col("__l_xmin"), F.col("__r_xmin"))
+        iy = F.greatest(F.col("__l_ymin"), F.col("__r_ymin"))
+        canonical = ((F.floor(ix / cs).cast("int") == F.col("__l_cell.cx"))
+                     & (F.floor(iy / cs).cast("int") == F.col("__l_cell.cy")))
+        helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
+                       "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
+                       "__r_xmax", "__r_ymax", "__r_rect"]
+    if points_left:
+        # refine directly with the materialized coordinates: rectangle
+        # right → two interval tests on the precomputed bbox columns
+        # (zero geometry work per pair); other polygons → ray cast;
+        # point right → equality
+        rcol = F.col(rg)
+        pxc, pyc = F.col("__l_px"), F.col("__l_py")
+        rect_inside = ((pxc > F.col("__r_xmin")) & (pxc < F.col("__r_xmax"))
+                       & (pyc > F.col("__r_ymin")) & (pyc < F.col("__r_ymax")))
+        refine = (F.when(F.col("__r_rect"), rect_inside)
+                  .when(rcol["gt"].isin(3, 6),
+                        native.contains_point(rcol, pxc, pyc))
+                  .when(rcol["gt"] == 0,
+                        (pxc == native.x(rcol)) & (pyc == native.y(rcol)))
+                  .otherwise(_refine_predicate(lg, rg, predicate,
+                                               udf_refine)))
+    else:
+        refine = _refine_predicate(lg, rg, predicate, udf_refine)
     matched = (joined.where(bbox_ok & canonical)
-               .where(_refine_predicate(lg, rg, predicate, udf_refine))
+               .where(refine)
                .drop(*helper_cols))
 
     if how == "inner":

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "geo_haversine_length",
     "geo_webmercator",
     "geo_pip_join",
+    "geo_pip_join_large",
     "geo_dwithin_pairs",
     "geo_explode_multipoint",
     "dedup_exact_stats",

@@ -101,8 +101,10 @@ def test_area_translation_invariant(poly, dx, dy):
 
 def pytest_approx(v):
     import pytest
-    # scale-relative tolerance: big translations cost float precision
-    return pytest.approx(v, rel=1e-6, abs=1e-6)
+    # coords go up to ~1e6 → shoelace products ~1e12 → double rounding
+    # error up to ~1e-3 absolute after summation; this is float reality,
+    # not an algorithm property
+    return pytest.approx(v, rel=1e-6, abs=0.05)
 
 
 @settings(max_examples=40, deadline=None)
