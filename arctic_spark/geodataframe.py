@@ -101,6 +101,18 @@ class GeoDataFrame:
     def explode(self):
         return self._wrap(st.explode_parts(self._df, self.geometry_column))
 
+    def estimate_utm_crs(self):
+        """EPSG code of the UTM zone containing the frame's centroid of
+        bounds (reference roadmap geoseries.rst:139, GeoPandas
+        semantics). Assumes the current CRS is geographic lon/lat."""
+        xmin, ymin, xmax, ymax = self.total_bounds()
+        if xmin is None:
+            raise ValueError("cannot estimate UTM CRS of an empty frame")
+        lon = (xmin + xmax) / 2.0
+        lat = (ymin + ymax) / 2.0
+        zone = min(60, max(1, int((lon + 180.0) // 6.0) + 1))
+        return f"EPSG:{(32600 if lat >= 0 else 32700) + zone}"
+
     def with_bbox_columns(self, prefix="bbox_"):
         """Materialize bbox columns (xmin/ymin/xmax/ymax) — the scale
         analogue of the reference's precomputed SpatialIndex

@@ -96,3 +96,15 @@ def test_with_bbox_columns(spark):
     g = datasets.cities(spark, n=10).with_bbox_columns()
     row = g.df.select("bbox_xmin", "bbox_xmax").first()
     assert row.bbox_xmin == row.bbox_xmax  # points
+
+
+def test_estimate_utm_crs(spark):
+    from arctic_spark import GeoDataFrame, st
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("POINT (2.3 48.8)",), ("POINT (2.4 48.9)",)],
+                               "wkt string") \
+        .withColumn("geometry", st.from_wkt("wkt"))
+    assert GeoDataFrame(df).estimate_utm_crs() == "EPSG:32631"
+    south = spark.createDataFrame([("POINT (151.2 -33.8)",)], "wkt string") \
+        .withColumn("geometry", st.from_wkt("wkt"))
+    assert GeoDataFrame(south).estimate_utm_crs() == "EPSG:32756"
