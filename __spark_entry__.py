@@ -30,7 +30,7 @@ from arctic_spark.llm import dedup, similarity, text
 from arctic_spark.proj import transform_xy_struct
 
 
-_BIG_TABLES = {"lineitem", "orders", "events"}
+_BIG_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -30,7 +30,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    geodesic_length, is_simple, is_valid,
                    representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
-                   intersects, simplify, touches, crosses, overlaps)
+                   intersection, intersects, simplify, touches, crosses,
+                   overlaps)
 from .native import collect_agg, z
 
 # reference naming aliases (SURVEY §2.2)
@@ -72,6 +73,7 @@ __all__ = [
     "clip_by_rect", "buffer", "representative_point", "is_simple",
     "is_valid", "disjoint", "within", "covers", "collect_agg",
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
+    "intersection",
 ]
 
 

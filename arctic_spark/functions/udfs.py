@@ -303,3 +303,11 @@ def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
         None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
         else algos.overlaps_pair(r1.geom(i), r2.geom(i))
         for i in range(len(r1))], dtype="object")
+
+
+@pandas_udf(GEOM_TYPE)
+def intersection(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
+    """Row-aligned polygon ∩ convex-polygon (reference roadmap rst:71 —
+    partial support, documented: concave clips raise)."""
+    return ragged_to_pdf(algos.intersection_convex(
+        ragged_from_pdf(g1), ragged_from_pdf(g2)))

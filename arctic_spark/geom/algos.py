@@ -841,3 +841,128 @@ def overlaps_pair(g1, g2):
     if touches_pair(g1, g2):
         return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# set-theoretic: intersection with a CONVEX clip polygon
+# (Sutherland–Hodgman generalized beyond rectangles)
+# ---------------------------------------------------------------------------
+
+def _is_convex_ring(x, y):
+    """Closed ring is convex (all cross products same sign, no reflex)."""
+    n = len(x) - 1
+    if n < 3:
+        return False
+    sign = 0
+    for i in range(n):
+        x1, y1 = x[i], y[i]
+        x2, y2 = x[(i + 1) % n], y[(i + 1) % n]
+        x3, y3 = x[(i + 2) % n], y[(i + 2) % n]
+        cr = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return sign != 0
+
+
+def _clip_ring_convex(sx, sy, cx, cy):
+    """Clip closed subject ring (sx, sy) by closed CONVEX clip ring
+    (cx, cy). Returns closed (x, y) arrays, possibly empty."""
+    # orient clip ring CCW
+    cr = (cx[:-1] * cy[1:] - cx[1:] * cy[:-1]).sum()
+    if cr < 0:
+        cx, cy = cx[::-1], cy[::-1]
+    pts = list(zip(sx[:-1], sy[:-1]))
+    n = len(cx) - 1
+    for i in range(n):
+        if not pts:
+            break
+        ex1, ey1, ex2, ey2 = cx[i], cy[i], cx[i + 1], cy[i + 1]
+
+        def inside(p):
+            return ((ex2 - ex1) * (p[1] - ey1)
+                    - (ey2 - ey1) * (p[0] - ex1)) >= 0
+
+        def isect(p, q):
+            dxs, dys = q[0] - p[0], q[1] - p[1]
+            dxe, dye = ex2 - ex1, ey2 - ey1
+            denom = dxs * dye - dys * dxe
+            t = ((ex1 - p[0]) * dye - (ey1 - p[1]) * dxe) / denom
+            return (p[0] + t * dxs, p[1] + t * dys)
+
+        out = []
+        m = len(pts)
+        for j in range(m):
+            cur, prv = pts[j], pts[j - 1]
+            ci, pi = inside(cur), inside(prv)
+            if ci:
+                if not pi:
+                    out.append(isect(prv, cur))
+                out.append(cur)
+            elif pi:
+                out.append(isect(prv, cur))
+        pts = out
+    if len(pts) < 3:
+        return np.empty(0), np.empty(0)
+    xs = np.array([p[0] for p in pts] + [pts[0][0]])
+    ys = np.array([p[1] for p in pts] + [pts[0][1]])
+    return xs, ys
+
+
+def intersection_convex(rg: RaggedGeometry, clip: RaggedGeometry):
+    """Row-aligned intersection of polygonal geometries with CONVEX
+    single-ring clip polygons (reference roadmap rst:71 intersection —
+    partial: general concave/holed clips raise). Holes in the SUBJECT
+    are clipped as rings and kept as holes."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        gc, cxs, cys, crings, cparts = clip.geom(i)
+        if g == MISSING or gc == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if gc != POLYGON or len(crings) != 1:
+            raise NotImplementedError(
+                "intersection implemented for single-ring convex clip "
+                "polygons only")
+        if not _is_convex_ring(cxs, cys):
+            raise NotImplementedError(
+                "intersection implemented for CONVEX clip polygons only")
+        if g not in (POLYGON, MULTIPOLYGON):
+            raise NotImplementedError(
+                "intersection subject must be polygonal")
+        nx, ny, nr, nparts = [], [], [], []
+        off = 0
+        ri = 0
+        for nrings in parts:
+            kept = 0
+            for j in range(nrings):
+                rl = rings[ri + j]
+                ox, oy = _clip_ring_convex(xs[off:off + rl],
+                                           ys[off:off + rl], cxs, cys)
+                if len(ox):
+                    nx.extend(ox.tolist()); ny.extend(oy.tolist())
+                    nr.append(len(ox)); kept += 1
+                elif j == 0:
+                    # exterior vanished: drop whole part incl. holes
+                    off += sum(rings[ri + k] for k in range(j, nrings))
+                    break
+                off += rl
+            else:
+                ri += nrings
+                if kept:
+                    nparts.append(kept)
+                continue
+            ri += nrings
+        if not nr:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+        else:
+            out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
+            gts.append(out_gt); oxs.append(nx); oys.append(ny)
+            orings.append(nr); oparts.append(nparts)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

@@ -148,3 +148,37 @@ def test_geom_almost_equals(spark):
         st.geom_almost_equals("g1", "g2", 0).alias("e0")).collect()}
     assert out[0].e6 is True
     assert out[1].e6 is False and out[1].e0 is True
+
+
+def test_intersection_convex(spark):
+    rows = [
+        # overlapping unit squares offset by (1,1): intersection area 1
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        # triangle clip of a square
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((0 0, 4 0, 0 4, 0 0))"),
+        # disjoint -> empty
+        (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+        # donut subject: hole survives the clip
+        (3, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+            "POLYGON ((-1 -1, 6 -1, 6 6, -1 6, -1 -1))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    out = df.withColumn("i", st.intersection("g1", "g2"))
+    r = {x.id: x for x in out.select(
+        "id", st.area("i").alias("a"), st.is_empty("i").alias("e")).collect()}
+    assert r[0].a == pytest.approx(1.0)
+    assert r[1].a == pytest.approx(8.0)   # half of the 4x4 square
+    assert r[2].e is True
+    assert r[3].a == pytest.approx(36.0 - 4.0)  # 6x6 minus the hole
+    # concave clip raises
+    bad = spark.createDataFrame(
+        [(0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+          "POLYGON ((0 0, 4 0, 2 1, 0 4, 0 0))")],
+        "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    with pytest.raises(Exception, match="CONVEX|convex"):
+        bad.withColumn("i", st.intersection("g1", "g2")).collect()
