@@ -464,6 +464,19 @@ def embed_near_dup(spark, sf):
                       F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def embed_knn_ivf(spark, sf):
+    """IVF approximate neighbors: driver-trained coarse k-means
+    centroids, native cluster assignment, bucket equi-join + exact
+    re-rank (no SQL oracle — k-means internals; recall covered in
+    tests)."""
+    em = _t(spark, sf, "embeddings")
+    cents = similarity.train_ivf_centroids(em, dim=64, n_clusters=8)
+    q = em.where(F.col("vec_id") < 20)
+    out = similarity.ivf_topk(q, em, cents, k=5, nprobe=2)
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidate pairs (no SQL oracle — the banding
     is seed-dependent; exactness is covered by text_ngram_jaccard)."""
@@ -520,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": embed_cosine_topk,
         "embed_near_dup": embed_near_dup,
         "embed_knn_lsh": embed_knn_lsh,
+        "embed_knn_ivf": embed_knn_ivf,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
     }

@@ -163,3 +163,79 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     out = cand.withColumn("cos_sim", cosine("__va", "__vb"))
     return out.where(F.col("cos_sim") >= threshold) \
               .select("id_a", "id_b", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantization + cluster-probed
+# search — the other classic scale path besides hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
+                        vec_col="embedding", sample_limit: int = 4096,
+                        iters: int = 15, seed: int = 42):
+    """Driver-side Lloyd k-means on a bounded sample (the index-build
+    step — small by construction; the corpus itself is never collected).
+    Returns centroids as a plain list of lists (broadcastable literals).
+    """
+    import numpy as np
+    rows = (df.select(_c(vec_col).alias("v")).limit(sample_limit).collect())
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    if len(X) < n_clusters:
+        raise ValueError(f"need >= {n_clusters} sample vectors, got {len(X)}")
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), n_clusters, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(n_clusters):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C.tolist()
+
+
+def _centroid_dist2(vec, centroid):
+    return F.aggregate(
+        F.zip_with(_c(vec), F.array(*[F.lit(float(w)) for w in centroid]),
+                   lambda x, w: (x.cast("double") - w)
+                   * (x.cast("double") - w)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_assign(vec, centroids, nprobe: int = 1) -> Column:
+    """array<int> of the `nprobe` nearest centroid ids — fully native
+    (per-centroid squared distances + literal-sorted top-n via
+    array_sort on (dist, id) structs)."""
+    scored = F.array(*[
+        F.struct(_centroid_dist2(vec, c).alias("d"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    ranked = F.array_sort(scored)
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int = 5,
+             nprobe: int = 2, query_id="vec_id", query_vec="embedding",
+             corpus_id="vec_id", corpus_vec="embedding",
+             exclude_self=True) -> DataFrame:
+    """IVF search: corpus rows live in their nearest-centroid bucket
+    (ONE bucket each — the inverted file); queries probe their `nprobe`
+    nearest buckets. The bucket id is the single equi-join/shuffle key,
+    so at scale this is one hash join + per-bucket exact re-rank."""
+    c = corpus.select(
+        _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("__cv"),
+        F.element_at(ivf_assign(_c(corpus_vec), centroids, 1), 1)
+         .alias("__bucket"))
+    q = queries.select(
+        _c(query_id).alias("query_id"), _c(query_vec).alias("__qv"),
+        F.explode(ivf_assign(_c(query_vec), centroids, nprobe))
+         .alias("__bucket"))
+    cand = q.join(c, on="__bucket")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    sim = cand.withColumn("cos_sim", cosine("__qv", "__cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))

@@ -177,3 +177,31 @@ def test_near_dup_pairs_brute_vs_lsh(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         similarity.near_dup_pairs(df, method="lsh")  # dim required
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+    rng = np.random.default_rng(23)
+    # clustered data: 4 gaussian blobs in 16-d
+    centers = rng.standard_normal((4, 16)) * 5
+    X = np.vstack([c + rng.standard_normal((30, 16)) * 0.5 for c in centers])
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "vec_id long, embedding array<double>")
+    cents = similarity.train_ivf_centroids(df, dim=16, n_clusters=4)
+    q = df.where("vec_id < 5")
+    exact = similarity.brute_force_topk(q, df, k=3).collect()
+    approx = similarity.ivf_topk(q, df, cents, k=3, nprobe=2).collect()
+    es, as_ = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        as_.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(es[k0] & as_.get(k0, set())) for k0 in es)
+    total = sum(len(s) for s in es.values())
+    # blobs are well separated: nprobe=2 should recover nearly everything
+    assert hits / total >= 0.9
+    with pytest.raises(ValueError):
+        similarity.train_ivf_centroids(
+            spark.createDataFrame([(0, [1.0] * 16)],
+                                  "vec_id long, embedding array<double>"),
+            dim=16, n_clusters=4)
