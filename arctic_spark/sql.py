@@ -1,0 +1,163 @@
+"""SQL-string function registration.
+
+``register_sql_functions(spark)`` exposes the geospatial surface to
+``spark.sql(...)`` users as ``st_*`` functions (SURVEY §4's optional
+extension point, implemented without Catalyst extensions: every SQL
+function is an Arrow-batched pandas UDF over the numpy kernels).
+
+Note the engineering split: the DataFrame API (`arctic_spark.st`) uses
+native Catalyst expressions — faster, codegen-fused; the SQL registry
+trades that for SQL-string accessibility. Both share the same numpy
+kernel semantics, so results agree.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .geom import algos, ragged, wkb, wkt
+from .geom.ragged import MISSING
+from .functions.udfs import ragged_from_pdf, ragged_to_pdf
+from .sparktypes import GEOM_TYPE
+
+
+def _scalar_udf(fn, ret):
+    @pandas_udf(ret)
+    def f(g: pd.DataFrame) -> pd.Series:
+        return pd.Series(fn(ragged_from_pdf(g)))
+    return f
+
+
+def _geom_udf(fn):
+    @pandas_udf(GEOM_TYPE)
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(fn(ragged_from_pdf(g)))
+    return f
+
+
+def _pair_bool_udf(fn):
+    @pandas_udf(T.BooleanType())
+    def f(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+        r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+        return pd.Series([
+            None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
+            else fn(r1.geom(i), r2.geom(i)) for i in range(len(r1))],
+            dtype="object")
+    return f
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Register the st_* SQL functions on this session; returns the
+    registered names."""
+    import numpy as np
+
+    @pandas_udf(GEOM_TYPE)
+    def st_geomfromtext(texts: pd.Series) -> pd.DataFrame:
+        return ragged_to_pdf(wkt.parse(texts.tolist()))
+
+    @pandas_udf(T.StringType())
+    def st_astext(g: pd.DataFrame) -> pd.Series:
+        return pd.Series(wkt.format(ragged_from_pdf(g)))
+
+    @pandas_udf(GEOM_TYPE)
+    def st_geomfromwkb(buf: pd.Series) -> pd.DataFrame:
+        return ragged_to_pdf(wkb.decode(
+            [None if b is None else bytes(b) for b in buf]))
+
+    @pandas_udf(T.BinaryType())
+    def st_aswkb(g: pd.DataFrame) -> pd.Series:
+        return pd.Series(wkb.encode(ragged_from_pdf(g)))
+
+    @pandas_udf(GEOM_TYPE)
+    def st_point(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        gts = [None if (a is None or b is None or pd.isna(a) or pd.isna(b))
+               else ragged.POINT for a, b in zip(x, y)]
+        return pd.DataFrame({
+            "gt": pd.array(gts, dtype="Int32"),
+            "xs": [None if t is None else [float(a)]
+                   for t, a in zip(gts, x)],
+            "ys": [None if t is None else [float(b)]
+                   for t, b in zip(gts, y)],
+            "rings": [None if t is None else [1] for t in gts],
+            "parts": [None if t is None else [1] for t in gts]})
+
+    def _centroid_coord(idx):
+        def fn(rg):
+            c = algos.centroid(rg)[idx]
+            return [None if np.isnan(v) else float(v) for v in c]
+        return fn
+
+    def _xy(idx):
+        def fn(rg):
+            out = []
+            for i in range(len(rg)):
+                g, xs, ys, _, _ = rg.geom(i)
+                if g == ragged.POINT and len(xs):
+                    out.append(float((xs, ys)[idx][0]))
+                else:
+                    out.append(None)
+            return out
+        return fn
+
+    @pandas_udf(T.DoubleType())
+    def st_distance(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+        r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+        return pd.Series([
+            None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
+            else algos.distance_pair(r1.geom(i), r2.geom(i))
+            for i in range(len(r1))], dtype="object").astype("float64")
+
+    @pandas_udf(GEOM_TYPE)
+    def st_buffer(g: pd.DataFrame, dist: pd.Series) -> pd.DataFrame:
+        d = float(dist.iloc[0]) if len(dist) else 0.0
+        return ragged_to_pdf(algos.buffer(ragged_from_pdf(g), d))
+
+    @pandas_udf(GEOM_TYPE)
+    def st_simplify(g: pd.DataFrame, tol: pd.Series) -> pd.DataFrame:
+        t = float(tol.iloc[0]) if len(tol) else 0.0
+        return ragged_to_pdf(algos.simplify(ragged_from_pdf(g), t))
+
+    def _area(rg):
+        a = algos.area(rg)
+        return [None if np.isnan(v) else float(v) for v in a]
+
+    def _length(rg):
+        ln = algos.length(rg)
+        return [None if np.isnan(v) else float(v) for v in ln]
+
+    def _geomtype(rg):
+        return [int(v) for v in rg.gt]
+
+    def _isempty(rg):
+        return [None if rg.gt[i] == MISSING
+                else bool(rg.coord_offsets[i + 1] == rg.coord_offsets[i])
+                for i in range(len(rg))]
+
+    fns = {
+        "st_geomfromtext": st_geomfromtext,
+        "st_astext": st_astext,
+        "st_geomfromwkb": st_geomfromwkb,
+        "st_aswkb": st_aswkb,
+        "st_point": st_point,
+        "st_area": _scalar_udf(_area, T.DoubleType()),
+        "st_length": _scalar_udf(_length, T.DoubleType()),
+        "st_geometrytype": _scalar_udf(_geomtype, T.IntegerType()),
+        "st_isempty": _scalar_udf(_isempty, T.BooleanType()),
+        "st_x": _scalar_udf(_xy(0), T.DoubleType()),
+        "st_y": _scalar_udf(_xy(1), T.DoubleType()),
+        "st_centroid_x": _scalar_udf(_centroid_coord(0), T.DoubleType()),
+        "st_centroid_y": _scalar_udf(_centroid_coord(1), T.DoubleType()),
+        "st_convexhull": _geom_udf(algos.convex_hull),
+        "st_intersects": _pair_bool_udf(algos.intersects_pair),
+        "st_contains": _pair_bool_udf(algos.contains_pair),
+        "st_touches": _pair_bool_udf(algos.touches_pair),
+        "st_distance": st_distance,
+        "st_buffer": st_buffer,
+        "st_simplify": st_simplify,
+    }
+    for name, fn in fns.items():
+        spark.udf.register(name, fn)
+    return sorted(fns)

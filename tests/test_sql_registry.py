@@ -1,0 +1,40 @@
+"""SQL-string surface: spark.sql(...) with registered st_* functions."""
+
+import pytest
+
+from arctic_spark.sql import register_sql_functions
+
+
+def test_sql_functions_end_to_end(spark):
+    names = register_sql_functions(spark)
+    assert "st_area" in names and "st_geomfromtext" in names
+    spark.sql("""
+        SELECT 1 AS id, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))' AS wkt
+        UNION ALL SELECT 2, 'POINT (3 7)'
+        UNION ALL SELECT 3, NULL
+    """).createOrReplaceTempView("shapes")
+    rows = {r.id: r for r in spark.sql("""
+        SELECT id,
+               st_area(st_geomfromtext(wkt)) AS area,
+               st_length(st_geomfromtext(wkt)) AS len,
+               st_astext(st_geomfromtext(wkt)) AS txt,
+               st_x(st_geomfromtext(wkt)) AS x,
+               st_geometrytype(st_geomfromtext(wkt)) AS t
+        FROM shapes
+    """).collect()}
+    assert rows[1].area == pytest.approx(16.0)
+    assert rows[1].len == pytest.approx(16.0)
+    assert rows[2].x == 3.0 and rows[2].t == 0
+    assert rows[1].txt.startswith("POLYGON")
+    assert rows[3].area is None
+
+    r = spark.sql("""
+        SELECT st_intersects(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                             st_point(1.0D, 1.0D)) AS hit,
+               st_distance(st_point(0.0D, 0.0D), st_point(3.0D, 4.0D)) AS d,
+               st_area(st_buffer(st_point(0.0D, 0.0D), 2.0D)) AS ba
+        """).collect()[0]
+    assert r.hit is True
+    assert r.d == pytest.approx(5.0)
+    import math
+    assert r.ba == pytest.approx(math.pi * 4, rel=0.02)
