@@ -29,7 +29,6 @@ polygon-contains-point (boundary-exclusive ray cast).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions import native
