@@ -30,8 +30,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    geodesic_length, is_simple, is_valid,
                    representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
-                   intersection, intersects, simplify, touches, crosses,
-                   overlaps)
+                   difference, intersection, intersects, simplify,
+                   symmetric_difference, touches, crosses, overlaps, union)
 from .native import collect_agg, z
 
 # reference naming aliases (SURVEY §2.2)
@@ -73,7 +73,7 @@ __all__ = [
     "clip_by_rect", "buffer", "representative_point", "is_simple",
     "is_valid", "disjoint", "within", "covers", "collect_agg",
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
-    "intersection",
+    "intersection", "difference", "union", "symmetric_difference",
 ]
 
 

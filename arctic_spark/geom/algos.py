@@ -966,3 +966,149 @@ def intersection_convex(rg: RaggedGeometry, clip: RaggedGeometry):
             gts.append(out_gt); oxs.append(nx); oys.append(ny)
             orings.append(nr); oparts.append(nparts)
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def _clip_ring_halfplane(pts, ex1, ey1, ex2, ey2, keep_left=True):
+    """Clip an OPEN vertex list by one directed edge's half-plane
+    (keep_left=True keeps points left of edge direction)."""
+    if not pts:
+        return []
+
+    def side(p):
+        v = (ex2 - ex1) * (p[1] - ey1) - (ey2 - ey1) * (p[0] - ex1)
+        return v if keep_left else -v
+
+    def isect(p, q):
+        dxs, dys = q[0] - p[0], q[1] - p[1]
+        dxe, dye = ex2 - ex1, ey2 - ey1
+        denom = dxs * dye - dys * dxe
+        t = ((ex1 - p[0]) * dye - (ey1 - p[1]) * dxe) / denom
+        return (p[0] + t * dxs, p[1] + t * dys)
+
+    out = []
+    m = len(pts)
+    for j in range(m):
+        cur, prv = pts[j], pts[j - 1]
+        ci, pi = side(cur) >= 0, side(prv) >= 0
+        if ci:
+            if not pi:
+                out.append(isect(prv, cur))
+            out.append(cur)
+        elif pi:
+            out.append(isect(prv, cur))
+    return out
+
+
+def _ccw_ring(x, y):
+    cr = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum()
+    return (x, y) if cr >= 0 else (x[::-1], y[::-1])
+
+
+def difference_convex(rg: RaggedGeometry, clip: RaggedGeometry):
+    """subject − clip for CONVEX single-ring clips and hole-free
+    polygonal subjects (reference roadmap rst:70 difference — partial).
+
+    Uses the angular decomposition of the convex complement: piece_i =
+    subject ∩ outside(edge_i) ∩ inside(edge_0..i−1); pieces are disjoint
+    and their union is exactly the difference, so the result is a valid
+    (Multi)Polygon with no dissolve step."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        gc, cxs, cys, crings, cparts = clip.geom(i)
+        if g == MISSING or gc == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if gc != POLYGON or len(crings) != 1 or not _is_convex_ring(cxs, cys):
+            raise NotImplementedError(
+                "difference implemented for single-ring CONVEX clip "
+                "polygons only")
+        if g not in (POLYGON, MULTIPOLYGON) or np.any(np.asarray(parts) != 1):
+            raise NotImplementedError(
+                "difference subject must be polygonal without holes")
+        cxs, cys = _ccw_ring(cxs, cys)
+        n_edges = len(cxs) - 1
+        nx, ny, nr, nparts = [], [], [], []
+        off = 0
+        for rl in rings:
+            sx, sy = xs[off:off + rl], ys[off:off + rl]
+            off += rl
+            for e in range(n_edges):
+                # piece_e: outside edge e, inside edges 0..e-1
+                pts = list(zip(sx[:-1], sy[:-1]))
+                pts = _clip_ring_halfplane(
+                    pts, cxs[e], cys[e], cxs[e + 1], cys[e + 1],
+                    keep_left=False)
+                for k in range(e):
+                    pts = _clip_ring_halfplane(
+                        pts, cxs[k], cys[k], cxs[k + 1], cys[k + 1],
+                        keep_left=True)
+                    if not pts:
+                        break
+                if len(pts) >= 3:
+                    px = [p[0] for p in pts] + [pts[0][0]]
+                    py = [p[1] for p in pts] + [pts[0][1]]
+                    # drop degenerate slivers (zero area)
+                    ax = np.array(px); ay = np.array(py)
+                    a = 0.5 * (ax[:-1] * ay[1:] - ax[1:] * ay[:-1]).sum()
+                    if abs(a) > 1e-12:
+                        nx.extend(px); ny.extend(py)
+                        nr.append(len(px)); nparts.append(1)
+        if not nr:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+        else:
+            out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
+            gts.append(out_gt); oxs.append(nx); oys.append(ny)
+            orings.append(nr); oparts.append(nparts)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def _merge_as_multi(a: RaggedGeometry, b: RaggedGeometry, i):
+    """Merge row i of two polygonal ragged batches into one Multi*."""
+    ga, xa, ya, ra, pa = a.geom(i)
+    gb, xb, yb, rb, pb = b.geom(i)
+    xs = list(xa) + list(xb)
+    ys = list(ya) + list(yb)
+    rings = list(ra) + list(rb)
+    parts = list(pa) + list(pb)
+    if not rings:
+        return POLYGON, [], [], [], []
+    gt = POLYGON if len(parts) == 1 else MULTIPOLYGON
+    return gt, xs, ys, rings, parts
+
+
+def union_convex(rg: RaggedGeometry, clip: RaggedGeometry):
+    """subject ∪ clip for convex clips and hole-free subjects: the
+    disjoint decomposition (subject − clip) ⊔ clip — geometrically exact
+    coverage with overlap counted once (rst:77 union — partial)."""
+    diff = difference_convex(rg, clip)
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        gt, xs, ys, rings, parts = _merge_as_multi(diff, clip, i)
+        gts.append(gt); oxs.append(xs); oys.append(ys)
+        orings.append(rings); oparts.append(parts)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def symmetric_difference_convex(rg: RaggedGeometry, clip: RaggedGeometry):
+    """(a − b) ⊔ (b − a) for convex b and hole-free convex-or-concave a;
+    b − a additionally requires a to be convex (both directions use the
+    convex-complement decomposition). rst:74 — partial."""
+    d1 = difference_convex(rg, clip)
+    d2 = difference_convex(clip, rg)
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        gt, xs, ys, rings, parts = _merge_as_multi(d1, d2, i)
+        gts.append(gt); oxs.append(xs); oys.append(ys)
+        orings.append(rings); oparts.append(parts)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

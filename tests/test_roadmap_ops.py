@@ -182,3 +182,33 @@ def test_intersection_convex(spark):
         .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
     with pytest.raises(Exception, match="CONVEX|convex"):
         bad.withColumn("i", st.intersection("g1", "g2")).collect()
+
+
+def test_difference_union_symdiff(spark):
+    rows = [
+        # overlapping unit-offset squares: |a-b| = 4-1 = 3
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        # b fully covers a: difference empty
+        (1, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        # disjoint: difference = a
+        (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    out = (df.withColumn("d", st.difference("g1", "g2"))
+             .withColumn("u", st.union("g1", "g2"))
+             .withColumn("sd", st.symmetric_difference("g1", "g2")))
+    r = {x.id: x for x in out.select(
+        "id", st.area("d").alias("da"), st.area("u").alias("ua"),
+        st.area("sd").alias("sda")).collect()}
+    assert r[0].da == pytest.approx(3.0)
+    assert r[0].ua == pytest.approx(4 + 4 - 1)
+    assert r[0].sda == pytest.approx(3 + 3)
+    assert r[1].da == pytest.approx(0.0)
+    assert r[1].ua == pytest.approx(16.0)
+    assert r[2].da == pytest.approx(1.0)
+    assert r[2].ua == pytest.approx(2.0)
+    assert r[2].sda == pytest.approx(2.0)
