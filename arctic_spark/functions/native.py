@@ -187,12 +187,12 @@ def length(g) -> Column:
 def geodesic_length_haversine(g) -> Column:
     """Great-circle length (meters) of lon/lat geometries via per-segment
     haversine on the mean-radius sphere — fully native (reference:
-    HaversineLength, geoseries.rs:58-71 / geo.rs:64-72)."""
-    co = _offsets(g["rings"])
+    HaversineLength, geoseries.rs:58-71 / geo.rs:64-72).
 
-    def ring_hav(i):
-        o = F.element_at(co, i + 1)
-        n = F.element_at(g["rings"], i + 1)
+    Single-ring geometries (every LineString — the dominant case) skip
+    the ring-offsets machinery entirely: the whole coordinate arrays ARE
+    the ring."""
+    def hav_over(o, n):
         lon1 = F.transform(F.slice(g["xs"], o + 1, n - 1), F.radians)
         lon2 = F.transform(F.slice(g["xs"], o + 2, n - 1), F.radians)
         lat1 = F.transform(F.slice(g["ys"], o + 1, n - 1), F.radians)
@@ -209,8 +209,17 @@ def geodesic_length_haversine(g) -> Column:
             h, lambda x: F.lit(2.0 * _EARTH_RADIUS_M)
             * F.asin(F.least(F.lit(1.0), F.sqrt(x)))))
 
-    val = _fsum(F.transform(_ring_ids(g), ring_hav))
-    return F.when(_valid(g), val)
+    co = _offsets(g["rings"])
+
+    def ring_hav(i):
+        return hav_over(F.element_at(co, i + 1),
+                        F.element_at(g["rings"], i + 1))
+
+    single = hav_over(F.lit(0), F.size(g["xs"]))
+    general = _fsum(F.transform(_ring_ids(g), ring_hav))
+    return F.when(_valid(g),
+                  F.when(F.size(g["rings"]) == 1, single)
+                   .otherwise(general))
 
 
 def bounds(g):
