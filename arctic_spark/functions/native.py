@@ -148,11 +148,24 @@ def _exterior_ring_ids(g):
 # measures
 # ---------------------------------------------------------------------------
 
+def _signed_area_span(g, o, n):
+    """0.5 * shoelace over coords [o, o+n) (o 0-based Column/int)."""
+    a = _fsum(F.zip_with(F.slice(g["xs"], o + 1, n - 1),
+                         F.slice(g["ys"], o + 2, n - 1),
+                         lambda x, ny: x * ny))
+    b = _fsum(F.zip_with(F.slice(g["xs"], o + 2, n - 1),
+                         F.slice(g["ys"], o + 1, n - 1),
+                         lambda nx, y: nx * y))
+    return F.lit(0.5) * (a - b)
+
+
 @_geom_fn
 def area(g) -> Column:
     """Planar area (exterior rings +, holes −, orientation-insensitive).
 
-    Reference semantics: geoseries.rs:16-19 (unsigned area, CRS units)."""
+    Reference semantics: geoseries.rs:16-19 (unsigned area, CRS units).
+    Single-ring polygons (the dominant case) skip the ring-offsets
+    machinery — the whole coordinate arrays are the ring."""
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     terms = F.transform(
@@ -160,15 +173,29 @@ def area(g) -> Column:
         lambda i: F.when(F.array_contains(ext, i),
                          F.abs(_ring_signed_area(g, co, i)))
                    .otherwise(-F.abs(_ring_signed_area(g, co, i))))
-    val = F.when(g["gt"].isin(POLYGON, MULTIPOLYGON), _fsum(terms)) \
-           .otherwise(F.lit(0.0))
+    single = F.abs(_signed_area_span(g, F.lit(0), F.size(g["xs"])))
+    val = F.when(
+        g["gt"].isin(POLYGON, MULTIPOLYGON),
+        F.when(F.size(g["rings"]) == 1, single).otherwise(_fsum(terms))) \
+        .otherwise(F.lit(0.0))
     return F.when(_valid(g), val)
+
+
+def _length_span(g, o, n):
+    dx2 = F.zip_with(F.slice(g["xs"], o + 2, n - 1),
+                     F.slice(g["xs"], o + 1, n - 1),
+                     lambda a, b: (a - b) * (a - b))
+    dy2 = F.zip_with(F.slice(g["ys"], o + 2, n - 1),
+                     F.slice(g["ys"], o + 1, n - 1),
+                     lambda a, b: (a - b) * (a - b))
+    return _fsum(F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b)))
 
 
 @_geom_fn
 def length(g) -> Column:
     """Planar length: lines → total; polygons → exterior rings only
-    (reference doc geoseries.rs:41-46); points → 0."""
+    (reference doc geoseries.rs:41-46); points → 0. Single-ring
+    fast path skips the offsets machinery."""
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     all_rings = _fsum(F.transform(_ring_ids(g),
@@ -177,8 +204,12 @@ def length(g) -> Column:
         _ring_ids(g),
         lambda i: F.when(F.array_contains(ext, i), _ring_length(g, co, i))
                    .otherwise(F.lit(0.0))))
-    val = (F.when(g["gt"].isin(LINESTRING, MULTILINESTRING), all_rings)
-            .when(g["gt"].isin(POLYGON, MULTIPOLYGON), ext_rings)
+    single = _length_span(g, F.lit(0), F.size(g["xs"]))
+    one_ring = F.size(g["rings"]) == 1
+    val = (F.when(g["gt"].isin(LINESTRING, MULTILINESTRING),
+                  F.when(one_ring, single).otherwise(all_rings))
+            .when(g["gt"].isin(POLYGON, MULTIPOLYGON),
+                  F.when(one_ring, single).otherwise(ext_rings))
             .otherwise(F.lit(0.0)))
     return F.when(_valid(g), val)
 
@@ -452,9 +483,51 @@ def contains_point(g, px, py) -> Column:
             & (py >= F.least(s["y1"], s["y2"]))
             & (py <= F.greatest(s["y1"], s["y2"])))
 
+    def span_segments(o, n):
+        x1 = F.slice(g["xs"], o + 1, n - 1)
+        x2 = F.slice(g["xs"], o + 2, n - 1)
+        y1 = F.slice(g["ys"], o + 1, n - 1)
+        y2 = F.slice(g["ys"], o + 2, n - 1)
+        return F.zip_with(
+            F.zip_with(x1, y1, lambda a, b: F.struct(a.alias("x1"),
+                                                     b.alias("y1"))),
+            F.zip_with(x2, y2, lambda a, b: F.struct(a.alias("x2"),
+                                                     b.alias("y2"))),
+            lambda s1, s2: F.struct(s1["x1"].alias("x1"),
+                                    s1["y1"].alias("y1"),
+                                    s2["x2"].alias("x2"),
+                                    s2["y2"].alias("y2")))
+
+    def crossings_of(seg):
+        return _isum(F.transform(
+            seg,
+            lambda s: F.when(
+                ((s["y1"] > py) != (s["y2"] > py))
+                & (px < s["x1"] + (py - s["y1"]) * (s["x2"] - s["x1"])
+                   / (s["y2"] - s["y1"])),
+                F.lit(1)).otherwise(F.lit(0))))
+
+    def boundary_of(seg):
+        return F.exists(
+            seg,
+            lambda s: ((px - s["x1"]) * (s["y2"] - s["y1"])
+                       == (py - s["y1"]) * (s["x2"] - s["x1"]))
+            & (px >= F.least(s["x1"], s["x2"]))
+            & (px <= F.greatest(s["x1"], s["x2"]))
+            & (py >= F.least(s["y1"], s["y2"]))
+            & (py <= F.greatest(s["y1"], s["y2"])))
+
     total = _isum(F.transform(_ring_ids(g), ring_crossings))
     on_bdy = F.exists(_ring_ids(g), ring_on_boundary)
-    general = ((total % 2) == 1) & ~on_bdy
+    multi_ring = ((total % 2) == 1) & ~on_bdy
+    # single-ring fast path (most polygons): segments built once from
+    # the whole arrays, no offsets machinery
+    single_seg = span_segments(F.lit(0), F.size(g["xs"]))
+    single_ring = _let(
+        single_seg,
+        lambda seg: ((crossings_of(seg) % 2) == 1) & ~boundary_of(seg))
+    general = F.when(F.size(g["rings"]) == 1, single_ring) \
+               .otherwise(multi_ring)
 
     # Fast path 1: axis-aligned rectangle (5-vertex single closed ring
     # whose bbox corners are exactly its vertex set — envelopes,
