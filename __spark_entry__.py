@@ -353,6 +353,26 @@ def geo_explode_multipoint(spark, sf):
                            st.y("geometry").alias("y"))
 
 
+def geo_utm_roundtrip(spark, sf):
+    """to_crs UTM (Krüger series) round-trip fidelity as a gate query:
+    4326 → UTM 31N → 4326 on synthetic in-zone points; reports per-row
+    error in nanodegrees (rows-only: the series math is not
+    SQL-expressible; absolute accuracy is anchored in tests/test_proj)."""
+    from arctic_spark.proj import transform_xy_struct
+    c = _t(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 50).cast("double") / 10.0 + 0.5   # 0.5..5.4
+    lat = (F.col("c_custkey") * 3 % 140).cast("double") - 70.0 + 0.5
+    utm = transform_xy_struct(lon, lat, "EPSG:4326", "EPSG:32631")
+    back = transform_xy_struct(utm["x"], utm["y"], "EPSG:32631",
+                               "EPSG:4326")
+    err_nano = (F.greatest(F.abs(back["x"] - lon), F.abs(back["y"] - lat))
+                * 1e9)
+    return c.select("c_custkey",
+                    F.round(utm["x"], 3).alias("easting"),
+                    F.round(utm["y"], 3).alias("northing"),
+                    (err_nano < 10.0).alias("roundtrip_under_10nano_deg"))
+
+
 def geo_collect_centroid(spark, sf):
     """Geo aggregation (SURVEY §2.6 custom geo aggregate): collect each
     nation's customer points into a MultiPoint, return its centroid and
@@ -524,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dwithin_pairs": geo_dwithin_pairs,
         "geo_explode_multipoint": geo_explode_multipoint,
         "geo_collect_centroid": geo_collect_centroid,
+        "geo_utm_roundtrip": geo_utm_roundtrip,
         "geo_bbox_filter": geo_bbox_filter,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,

@@ -21,5 +21,22 @@ def version() -> str:
     return __version__
 
 
+def __getattr__(name):
+    # lazy top-level exports (avoid importing joins/temporal at package
+    # import time)
+    if name in ("spatial_join", "sjoin", "dwithin_join",
+                "estimate_cell_size"):
+        from . import joins
+        return getattr(joins, name)
+    if name == "asof_join":
+        from .temporal import asof_join
+        return asof_join
+    if name == "register_sql_functions":
+        from .sql import register_sql_functions
+        return register_sql_functions
+    raise AttributeError(name)
+
+
 __all__ = ["GeoDataFrame", "st", "get_spark", "version",
-           "DEFAULT_GEO_COLUMN_NAME"]
+           "DEFAULT_GEO_COLUMN_NAME", "spatial_join", "sjoin",
+           "dwithin_join", "asof_join", "register_sql_functions"]
