@@ -121,3 +121,48 @@ def test_sessionize_stateful_stream(spark, tmp_path):
         assert rows[0].sum_value == pytest.approx(3.0)
     finally:
         q.stop()
+
+
+def test_streaming_spatial_join_static_side(spark, tmp_path):
+    """Stream-static spatial join: streaming points tagged against a
+    static polygon table through the grid filter-refine machinery
+    (cell_size must be explicit — estimating it would need an action on
+    the stream)."""
+    import json as _json
+    from arctic_spark import GeoDataFrame
+    from arctic_spark.joins import spatial_join
+
+    src_dir = tmp_path / "pts"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"pid": 1, "x": 1.0, "y": 1.0},     # inside
+        {"pid": 2, "x": 10.0, "y": 1.0},    # inside
+        {"pid": 3, "x": 30.0, "y": 30.0},   # outside
+    ]))
+    stream = (spark.readStream.schema("pid long, x double, y double")
+              .json(str(src_dir))
+              .select("pid", st.point(F.col("x"), F.col("y"))
+                      .alias("geometry")))
+    polys = spark.createDataFrame(
+        [("test", "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")],
+        "string_col string, wkt string") \
+        .select("string_col", st.from_wkt("wkt").alias("geometry"))
+    joined = spatial_join(GeoDataFrame(stream), GeoDataFrame(polys),
+                          cell_size=8.0, udf_refine=False,
+                          points_left=True, broadcast_right=True)
+    q = (joined.df.select("pid_left", "string_col_right")
+         .writeStream.format("memory").queryName("stream_sj")
+         .outputMode("append").start())
+    try:
+        import time as _t
+        deadline = _t.time() + 60
+        rows = []
+        while _t.time() < deadline:
+            rows = spark.sql("SELECT * FROM stream_sj").collect()
+            if len(rows) >= 2:
+                break
+            _t.sleep(2)
+        assert sorted(r.pid_left for r in rows) == [1, 2]
+        assert all(r.string_col_right == "test" for r in rows)
+    finally:
+        q.stop()
