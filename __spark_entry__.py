@@ -164,6 +164,23 @@ def q_asof_join(spark, sf):
         F.round("o_totalprice_right", 2).alias("ord_price"))
 
 
+def q_range_join(spark, sf):
+    """Bucketed interval join (beyond-reference): event values matched to
+    supplier-derived [lo, hi] bands — O(n) bucket equi-join instead of
+    Spark's broadcast nested-loop for inequality joins."""
+    from arctic_spark.temporal import range_join
+    e = _t(spark, sf, "events").select("event_id", "value")
+    s = _t(spark, sf, "supplier")
+    bands = s.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 20) * 10.0).alias("lo"),
+        ((F.col("s_suppkey") % 20) * 10.0 + 15.0).alias("hi"))
+    out = range_join(e, bands, "value", "lo", "hi", bucket_size=15.0)
+    return (out.groupBy(F.col("s_suppkey_right").alias("s_suppkey"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_events_daily(spark, sf):
     e = _t(spark, sf, "events")
     return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -531,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_daily": q_events_daily,
         "q_events_rollup": q_events_rollup,
         "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "geo_point_accessors": geo_point_accessors,
         "geo_distance": geo_distance,
         "geo_triangle_area": geo_triangle_area,
@@ -646,6 +664,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN o1 o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "q_range_join": """
+            SELECT s.s_suppkey, count(*) AS n_events,
+                   round(sum(e.value), 4) AS sum_value
+            FROM events e
+            JOIN (SELECT s_suppkey,
+                         (s_suppkey % 20) * 10.0 AS lo,
+                         (s_suppkey % 20) * 10.0 + 15.0 AS hi
+                  FROM supplier) s
+              ON e.value >= s.lo AND e.value <= s.hi
+            GROUP BY s.s_suppkey
         """,
         "geo_point_accessors": """
             SELECT c_custkey,

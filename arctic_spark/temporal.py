@@ -70,3 +70,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         rc = F.when(gap <= tol, F.col("__rc"))
     return out.select(*lcols,
                       *[rc[c].alias(c + rsuffix) for c in rcols])
+
+
+def range_join(left: DataFrame, right: DataFrame, point_col: str,
+               lo_col: str, hi_col: str, bucket_size: float | None = None,
+               how: str = "inner", rsuffix: str = "_right") -> DataFrame:
+    """Interval join: left rows with numeric `point_col` matched to right
+    rows where lo_col <= point <= hi_col.
+
+    Spark's own planner turns inequality joins into broadcast
+    nested-loop (O(n·m)); this instead buckets the number line: each
+    right interval explodes to the buckets it spans, each left point
+    lives in exactly one bucket, and the match is a plain equi-join on
+    bucket id + a final interval check — one shuffle, AQE-skew-safe,
+    the 1-D analogue of the spatial grid join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports how='inner'|'left'")
+    if bucket_size is None:
+        row = right.agg(
+            F.avg(F.col(hi_col) - F.col(lo_col)).alias("w")).collect()[0]
+        bucket_size = max(float(row.w or 1.0), 1e-9)
+    bs = F.lit(float(bucket_size))
+
+    rcols = right.columns
+    r = right.select(
+        *[F.col(c).alias(c + rsuffix) for c in rcols],
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / bs).cast("long"),
+            F.floor(F.col(hi_col) / bs).cast("long"))).alias("__bucket"))
+    lt = left.withColumn("__bucket",
+                         F.floor(F.col(point_col) / bs).cast("long"))
+    cond = ((F.col(point_col) >= F.col(lo_col + rsuffix))
+            & (F.col(point_col) <= F.col(hi_col + rsuffix)))
+    matched = lt.join(r, on="__bucket", how="inner").where(cond) \
+                .drop("__bucket")
+    if how == "inner":
+        return matched
+    lkey = "__rj_rowid"
+    tagged = left.withColumn(lkey, F.monotonically_increasing_id())
+    m = tagged.withColumn("__bucket", F.floor(F.col(point_col) / bs)
+                          .cast("long")) \
+        .join(r, on="__bucket", how="inner").where(cond).drop("__bucket")
+    out = tagged.join(m.select(lkey, *[c + rsuffix for c in rcols]),
+                      on=lkey, how="left").drop(lkey)
+    return out

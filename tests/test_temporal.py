@@ -80,3 +80,25 @@ def test_asof_bad_direction(quotes_trades):
     trades, quotes = quotes_trades
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="ts", by="sym", direction="nearest")
+
+
+def test_range_join(spark):
+    from arctic_spark.temporal import range_join
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 99.0)], "id long, v double")
+    ivals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 4.0, 16.0)],
+        "name string, lo double, hi double")
+    out = range_join(pts, ivals, "v", "lo", "hi")
+    got = sorted((r.id, r.name_right) for r in out.collect())
+    assert got == [(1, "a"), (1, "c"), (2, "b"), (2, "c")]
+    # boundary inclusive both ends
+    b = range_join(spark.createDataFrame([(9, 10.0)], "id long, v double"),
+                   ivals, "v", "lo", "hi").collect()
+    assert sorted(r.name_right for r in b) == ["a", "b", "c"]
+    # left join keeps unmatched
+    lj = range_join(pts, ivals, "v", "lo", "hi", how="left")
+    ids = [r.id for r in lj.where("name_right IS NULL").collect()]
+    assert sorted(ids) == [3, 4]
+    with pytest.raises(ValueError):
+        range_join(pts, ivals, "v", "lo", "hi", how="outer")
