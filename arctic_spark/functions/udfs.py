@@ -307,9 +307,11 @@ def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
 
 @pandas_udf(GEOM_TYPE)
 def intersection(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """Row-aligned polygon ∩ convex-polygon (reference roadmap rst:71 —
-    partial support, documented: concave clips raise)."""
-    return ragged_to_pdf(algos.intersection_convex(
+    """Row-aligned polygon ∩ simple-polygon (reference roadmap rst:71):
+    convex clips via Sutherland–Hodgman (subject holes preserved);
+    concave single-ring clips via ear-clipping triangulation (subject
+    must be hole-free)."""
+    return ragged_to_pdf(algos.intersection_simple(
         ragged_from_pdf(g1), ragged_from_pdf(g2)))
 
 

@@ -1112,3 +1112,125 @@ def symmetric_difference_convex(rg: RaggedGeometry, clip: RaggedGeometry):
         gts.append(gt); oxs.append(xs); oys.append(ys)
         orings.append(rings); oparts.append(parts)
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def triangulate_ring(x, y):
+    """Ear-clipping triangulation of a simple closed ring (no holes).
+    Returns list of ((x1,y1),(x2,y2),(x3,y3)) triangles, CCW."""
+    # open vertex list, CCW orientation
+    cr = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum()
+    if cr < 0:
+        x, y = x[::-1], y[::-1]
+    verts = list(zip(x[:-1], y[:-1]))
+    # drop consecutive duplicates
+    verts = [v for i, v in enumerate(verts) if v != verts[i - 1]]
+    tris = []
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def in_tri(p, a, b, c):
+        d1 = cross(a, b, p)
+        d2 = cross(b, c, p)
+        d3 = cross(c, a, p)
+        return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+    guard = 0
+    while len(verts) > 3 and guard < 10000:
+        guard += 1
+        n = len(verts)
+        ear_found = False
+        for i in range(n):
+            a, b, c = verts[i - 1], verts[i], verts[(i + 1) % n]
+            if cross(a, b, c) <= 0:
+                continue  # reflex or degenerate
+            # no other vertex strictly inside the candidate ear
+            if any(in_tri(p, a, b, c) for j, p in enumerate(verts)
+                   if p not in (a, b, c)):
+                continue
+            tris.append((a, b, c))
+            del verts[i]
+            ear_found = True
+            break
+        if not ear_found:
+            # degenerate fallback: fan triangulation (correct for convex
+            # leftovers; best-effort otherwise)
+            break
+    if len(verts) == 3:
+        a, b, c = verts
+        if cross(a, b, c) != 0:
+            tris.append((a, b, c))
+    elif len(verts) > 3:
+        for i in range(1, len(verts) - 1):
+            tris.append((verts[0], verts[i], verts[i + 1]))
+    return tris
+
+
+def _single_ring_clip_to_triangles(cxs, cys):
+    """Clip polygon → list of convex (triangle) RaggedGeometry-style ring
+    arrays."""
+    tris = triangulate_ring(np.asarray(cxs, dtype=float),
+                            np.asarray(cys, dtype=float))
+    rings = []
+    for (a, b, c) in tris:
+        rings.append((np.array([a[0], b[0], c[0], a[0]]),
+                      np.array([a[1], b[1], c[1], a[1]])))
+    return rings
+
+
+def intersection_simple(rg: RaggedGeometry, clip: RaggedGeometry):
+    """Intersection with ANY simple (single-ring, hole-free) clip
+    polygon: convex clips delegate to the Sutherland–Hodgman path
+    (subject holes preserved); concave clips are ear-clipped into
+    triangles and the disjoint per-triangle intersections are emitted as
+    a MultiPolygon (subject must be hole-free on that path)."""
+
+    def row_rg(g, xs, ys, rings, parts):
+        return RaggedGeometry.from_pylists(
+            [int(g)], [list(xs)], [list(ys)], [list(rings)], [list(parts)])
+
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        gc, cxs, cys, crings, cparts = clip.geom(i)
+        if g == MISSING or gc == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if gc != POLYGON or len(crings) != 1:
+            raise NotImplementedError(
+                "intersection clip must be a single-ring polygon")
+        if g not in (POLYGON, MULTIPOLYGON):
+            raise NotImplementedError("intersection subject must be polygonal")
+        if _is_convex_ring(cxs, cys):
+            out = intersection_convex(row_rg(g, xs, ys, rings, parts),
+                                      row_rg(gc, cxs, cys, crings, cparts))
+            og, ox, oy, orr, opp = out.geom(0)
+            gts.append(int(og)); oxs.append(ox.tolist()); oys.append(oy.tolist())
+            orings.append(orr.tolist()); oparts.append(opp.tolist())
+            continue
+        if np.any(np.asarray(parts) != 1):
+            raise NotImplementedError(
+                "concave clip with holed subject not supported")
+        tri_rings = _single_ring_clip_to_triangles(cxs, cys)
+        nx, ny, nr, nparts = [], [], [], []
+        for (tx, ty) in tri_rings:
+            off = 0
+            for rl in rings:
+                ox, oy = _clip_ring_convex(xs[off:off + rl],
+                                           ys[off:off + rl], tx, ty)
+                if len(ox):
+                    ax = np.asarray(ox); ay = np.asarray(oy)
+                    a = 0.5 * (ax[:-1] * ay[1:] - ax[1:] * ay[:-1]).sum()
+                    if abs(a) > 1e-12:
+                        nx.extend(ox.tolist()); ny.extend(oy.tolist())
+                        nr.append(len(ox)); nparts.append(1)
+                off += rl
+        if not nr:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+        else:
+            out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
+            gts.append(out_gt); oxs.append(nx); oys.append(ny)
+            orings.append(nr); oparts.append(nparts)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

@@ -174,13 +174,13 @@ def test_intersection_convex(spark):
     assert r[1].a == pytest.approx(8.0)   # half of the 4x4 square
     assert r[2].e is True
     assert r[3].a == pytest.approx(36.0 - 4.0)  # 6x6 minus the hole
-    # concave clip raises
+    # concave clip works (triangulated path) — but a HOLED subject under
+    # a concave clip is the remaining unsupported combination
     bad = spark.createDataFrame(
-        [(0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
-          "POLYGON ((0 0, 4 0, 2 1, 0 4, 0 0))")],
+        [(0, DONUT, "POLYGON ((0 0, 4 0, 2 1, 0 4, 0 0))")],
         "id int, w1 string, w2 string") \
         .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
-    with pytest.raises(Exception, match="CONVEX|convex"):
+    with pytest.raises(Exception, match="holed subject"):
         bad.withColumn("i", st.intersection("g1", "g2")).collect()
 
 
@@ -212,3 +212,20 @@ def test_difference_union_symdiff(spark):
     assert r[2].da == pytest.approx(1.0)
     assert r[2].ua == pytest.approx(2.0)
     assert r[2].sda == pytest.approx(2.0)
+
+
+def test_intersection_concave_clip(spark):
+    # L-shaped (concave) clip over a big square: area of L = 3 units²
+    L = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    rows = [(0, "POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5))", L),
+            # subject partially overlapping the L
+            (1, "POLYGON ((0.5 0.5, 3 0.5, 3 3, 0.5 3, 0.5 0.5))", L)]
+    df = spark.createDataFrame(rows, "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    out = df.withColumn("i", st.intersection("g1", "g2"))
+    r = {x.id: x.a for x in out.select(
+        "id", st.area("i").alias("a")).collect()}
+    assert r[0] == pytest.approx(3.0)
+    # overlap of [0.5,3]x[0.5,3] with the L: region ([0.5,2]x[0.5,1]) +
+    # ([0.5,1]x[1,2]) = 1.5*0.5 + 0.5*1 = 1.25
+    assert r[1] == pytest.approx(1.25)
