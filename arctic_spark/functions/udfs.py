@@ -317,20 +317,20 @@ def intersection(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
 
 @pandas_udf(GEOM_TYPE)
 def difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 − g2 (convex g2, hole-free g1; rst:70 — partial support)."""
-    return ragged_to_pdf(algos.difference_convex(
+    """g1 − g2 (any simple single-ring g2, hole-free g1; rst:70)."""
+    return ragged_to_pdf(algos.difference_simple(
         ragged_from_pdf(g1), ragged_from_pdf(g2)))
 
 
 @pandas_udf(GEOM_TYPE)
 def union(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 ∪ g2 via disjoint decomposition (convex g2; rst:77 — partial)."""
-    return ragged_to_pdf(algos.union_convex(
+    """g1 ∪ g2 via disjoint decomposition (simple g2; rst:77)."""
+    return ragged_to_pdf(algos.union_simple(
         ragged_from_pdf(g1), ragged_from_pdf(g2)))
 
 
 @pandas_udf(GEOM_TYPE)
 def symmetric_difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """(g1−g2) ⊔ (g2−g1) (both convex-compatible; rst:74 — partial)."""
-    return ragged_to_pdf(algos.symmetric_difference_convex(
+    """(g1−g2) ⊔ (g2−g1) (simple single-ring operands; rst:74)."""
+    return ragged_to_pdf(algos.symmetric_difference_simple(
         ragged_from_pdf(g1), ragged_from_pdf(g2)))

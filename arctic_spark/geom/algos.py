@@ -1234,3 +1234,73 @@ def intersection_simple(rg: RaggedGeometry, clip: RaggedGeometry):
             gts.append(out_gt); oxs.append(nx); oys.append(ny)
             orings.append(nr); oparts.append(nparts)
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def _row(g, xs, ys, rings, parts):
+    return RaggedGeometry.from_pylists(
+        [int(g)], [list(xs)], [list(ys)], [list(rings)], [list(parts)])
+
+
+def difference_simple(rg: RaggedGeometry, clip: RaggedGeometry):
+    """subject − clip for ANY simple single-ring clip (hole-free
+    subject): convex clips use the angular decomposition directly;
+    concave clips triangulate and apply a − t1 − t2 − … sequentially
+    (each step is a convex difference; intermediate results stay
+    hole-free multipolygons by construction)."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        gc, cxs, cys, crings, cparts = clip.geom(i)
+        if g == MISSING or gc == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if gc != POLYGON or len(crings) != 1:
+            raise NotImplementedError(
+                "difference clip must be a single-ring polygon")
+        if _is_convex_ring(cxs, cys):
+            out = difference_convex(_row(g, xs, ys, rings, parts),
+                                    _row(gc, cxs, cys, crings, cparts))
+        else:
+            out = _row(g, xs, ys, rings, parts)
+            for (tx, ty) in _single_ring_clip_to_triangles(cxs, cys):
+                out = difference_convex(
+                    out, _row(POLYGON, tx, ty, [len(tx)], [1]))
+                if out.coord_offsets[-1] == 0:
+                    break
+        og, ox, oy, orr, opp = out.geom(0)
+        gts.append(int(og)); oxs.append(ox.tolist()); oys.append(oy.tolist())
+        orings.append(orr.tolist()); oparts.append(opp.tolist())
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def union_simple(rg: RaggedGeometry, clip: RaggedGeometry):
+    """subject ∪ clip for any simple single-ring clip: disjoint
+    decomposition (subject − clip) ⊔ clip."""
+    diff = difference_simple(rg, clip)
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        gt, xs, ys, rings, parts = _merge_as_multi(diff, clip, i)
+        gts.append(gt); oxs.append(xs); oys.append(ys)
+        orings.append(rings); oparts.append(parts)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def symmetric_difference_simple(rg: RaggedGeometry, clip: RaggedGeometry):
+    """(a − b) ⊔ (b − a) for simple single-ring a and b (hole-free)."""
+    d1 = difference_simple(rg, clip)
+    d2 = difference_simple(clip, rg)
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        gt, xs, ys, rings, parts = _merge_as_multi(d1, d2, i)
+        gts.append(gt); oxs.append(xs); oys.append(ys)
+        orings.append(rings); oparts.append(parts)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

@@ -229,3 +229,20 @@ def test_intersection_concave_clip(spark):
     # overlap of [0.5,3]x[0.5,3] with the L: region ([0.5,2]x[0.5,1]) +
     # ([0.5,1]x[1,2]) = 1.5*0.5 + 0.5*1 = 1.25
     assert r[1] == pytest.approx(1.25)
+
+
+def test_difference_concave_clip(spark):
+    # big square minus L-shape: 100 - 3 = 97
+    L = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    df = spark.createDataFrame(
+        [(0, "POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5))", L)],
+        "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    out = (df.withColumn("d", st.difference("g1", "g2"))
+             .withColumn("u", st.union("g1", "g2"))
+             .withColumn("sd", st.symmetric_difference("g1", "g2")))
+    r = out.select(st.area("d").alias("da"), st.area("u").alias("ua"),
+                   st.area("sd").alias("sda")).collect()[0]
+    assert r.da == pytest.approx(97.0)
+    assert r.ua == pytest.approx(100.0)   # L fully inside
+    assert r.sda == pytest.approx(97.0)   # L − square is empty
