@@ -612,11 +612,48 @@ def clip_by_rect(rg: RaggedGeometry, xmin, ymin, xmax, ymax):
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def _buffer_convex_ring(x, y, dist, quad_segs):
+    """Positive buffer of a convex CCW closed ring: offset each edge
+    outward by dist, join consecutive edges with circular arcs at the
+    vertices (exact Minkowski sum with a disc, discretized)."""
+    # ensure CCW
+    cr = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum()
+    if cr < 0:
+        x, y = x[::-1], y[::-1]
+    vx, vy = x[:-1], y[:-1]
+    n = len(vx)
+    out = []
+    for i in range(n):
+        ax, ay = vx[i], vy[i]
+        bx, by = vx[(i + 1) % n], vy[(i + 1) % n]
+        px, py = vx[i - 1], vy[i - 1]
+        # outward normals of incoming and outgoing edges (CCW ring →
+        # outward normal is (dy, -dx) normalized)
+        import math as _m
+        din = _m.hypot(ax - px, ay - py)
+        dout = _m.hypot(bx - ax, by - ay)
+        if din == 0 or dout == 0:
+            continue
+        nin = ((ay - py) / din, -(ax - px) / din)
+        nout = ((by - ay) / dout, -(bx - ax) / dout)
+        a0 = _m.atan2(nin[1], nin[0])
+        a1 = _m.atan2(nout[1], nout[0])
+        while a1 < a0:
+            a1 += 2 * _m.pi
+        steps = max(1, int(_m.ceil((a1 - a0) / (_m.pi / 2 / quad_segs))))
+        for k in range(steps + 1):
+            t = a0 + (a1 - a0) * k / steps
+            out.append((ax + dist * _m.cos(t), ay + dist * _m.sin(t)))
+    out.append(out[0])
+    return (np.array([p[0] for p in out]), np.array([p[1] for p in out]))
+
+
 def buffer(rg: RaggedGeometry, distance, quad_segs=8):
-    """Buffer. Implemented: points and multipoints (regular 4*quad_segs-gon
-    circle, shapely-style vertex count). Lines/polygons need full
-    offsetting (Minkowski) — raises NotImplementedError, documented
-    partial support."""
+    """Buffer. Implemented: points/multipoints (regular 4*quad_segs-gon
+    circles) and CONVEX hole-free polygons with positive distance (exact
+    edge-offset + corner-arc Minkowski sum). Lines / concave polygons /
+    negative distances need full offsetting — raise NotImplementedError,
+    documented partial support."""
     n_v = 4 * quad_segs
     ang = np.linspace(0, 2 * np.pi, n_v, endpoint=False)
     dx = distance * np.cos(ang)
@@ -628,10 +665,18 @@ def buffer(rg: RaggedGeometry, distance, quad_segs=8):
             gts.append(None); oxs.append(None); oys.append(None)
             orings.append(None); oparts.append(None)
             continue
+        if g == POLYGON and len(rings) == 1 and distance > 0 \
+                and _is_convex_ring(xs, ys):
+            bx, by = _buffer_convex_ring(xs, ys, float(distance), quad_segs)
+            gts.append(POLYGON); oxs.append(bx.tolist())
+            oys.append(by.tolist()); orings.append([len(bx)])
+            oparts.append([1])
+            continue
         if g not in (POINT, MULTIPOINT):
             raise NotImplementedError(
-                "buffer implemented for Point/MultiPoint only (line/"
-                "polygon offsetting not supported in this engine version)")
+                "buffer implemented for Point/MultiPoint and positive-"
+                "distance convex polygons (line/concave offsetting not "
+                "supported in this engine version)")
         nx, ny, nr, npart = [], [], [], []
         for px, py in zip(xs, ys):
             cx = (px + dx).tolist() + [px + dx[0]]

@@ -55,8 +55,10 @@ def test_buffer_points(spark):
     import math
     assert r.t == 3
     assert r.a == pytest.approx(math.pi * 4, rel=0.01)  # 64-gon ≈ circle
+    # line buffers remain unsupported
     with pytest.raises(Exception):
-        _df(spark, SQUARE).withColumn("b", st.buffer("g", 1.0)).collect()
+        _df(spark, "LINESTRING (0 0, 5 5)") \
+            .withColumn("b", st.buffer("g", 1.0)).collect()
 
 
 def test_representative_point(spark):
@@ -246,3 +248,16 @@ def test_difference_concave_clip(spark):
     assert r.da == pytest.approx(97.0)
     assert r.ua == pytest.approx(100.0)   # L fully inside
     assert r.sda == pytest.approx(97.0)   # L − square is empty
+
+
+def test_buffer_convex_polygon(spark):
+    import math
+    # buffer(square side 4, r=1): area = 16 + P*r + pi*r^2 = 16+16+pi
+    df = _df(spark, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    out = df.withColumn("b", st.buffer("g", 1.0, quad_segs=16))
+    r = out.select(st.area("b").alias("a")).collect()[0]
+    assert r.a == pytest.approx(16 + 16 + math.pi, rel=0.01)
+    # concave polygon still raises
+    L = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    with pytest.raises(Exception, match="convex|concave"):
+        _df(spark, L).withColumn("b", st.buffer("g", 1.0)).collect()
