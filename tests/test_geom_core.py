@@ -155,3 +155,27 @@ def test_contains():
     # document (SURVEY §7 risk 3)
     assert not algos.contains_pair(g[0], g[3])
     assert algos.contains_pair(g[0], g[4])
+
+
+def test_wkb_malformed_inputs():
+    import struct as _struct
+    # unsupported type id
+    with pytest.raises(wkb.WKBError, match="unsupported WKB type"):
+        wkb.decode([b"\x01" + _struct.pack("<I", 99) + b"\x00" * 16])
+    # Z-flagged EWKB rejected with a clear message
+    with pytest.raises(wkb.WKBError, match="Z/M"):
+        wkb.decode([b"\x01" + _struct.pack("<I", 0x80000001)
+                    + _struct.pack("<ddd", 1, 2, 3)])
+    # ISO 1001 (Point Z) rejected
+    with pytest.raises(wkb.WKBError, match="Z/M"):
+        wkb.decode([b"\x01" + _struct.pack("<I", 1001)
+                    + _struct.pack("<ddd", 1, 2, 3)])
+    # GeometryCollection documented rejection
+    with pytest.raises(wkb.WKBError, match="GeometryCollection"):
+        wkb.decode([b"\x01" + _struct.pack("<I", 7)
+                    + _struct.pack("<I", 0)])
+    # EWKB SRID flag is skipped, not fatal
+    buf = (b"\x01" + _struct.pack("<I", 0x20000001)
+           + _struct.pack("<I", 4326) + _struct.pack("<dd", 3.0, 7.0))
+    rg = wkb.decode([buf])
+    assert rg.gt[0] == ragged.POINT and rg.xs[0] == 3.0 and rg.ys[0] == 7.0
