@@ -417,7 +417,7 @@ def geo_bbox_filter(spark, sf):
     g = GeoDataFrame(c.select("c_custkey", st.point(px, py).alias("geometry")))
     return g.cx(-50, -50, 50, 50).df.agg(
         F.count("*").alias("n_inside"),
-        F.sum("c_custkey").alias("sum_keys"))
+        F.sum("c_custkey").cast("long").alias("sum_keys"))
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +435,8 @@ def text_token_stats(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
     return (d.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum(text.token_count("text")).alias("total_tokens"),
+                 F.sum(text.token_count("text")).cast("long")
+                  .alias("total_tokens"),
                  F.round(F.avg(text.punct_ratio("text")), 6)
                   .alias("avg_punct_ratio")))
 
@@ -835,7 +836,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         "geo_bbox_filter": """
-            SELECT count(*) AS n_inside, sum(c_custkey) AS sum_keys
+            SELECT count(*) AS n_inside,
+                   CAST(sum(c_custkey) AS BIGINT) AS sum_keys
             FROM customer
             WHERE (CAST(c_custkey % 200 - 100 AS DOUBLE) + 0.5)
                       BETWEEN -50 AND 50
@@ -850,9 +852,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
                        ELSE len(string_split_regex(trim(text), '\\s+')) END)
-                       AS total_tokens,
+                       AS BIGINT) AS total_tokens,
                    round(avg(
                        CASE WHEN length(text) > 0 THEN
                            CAST((length(text) - length(replace(text, '.', '')))
