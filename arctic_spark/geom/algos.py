@@ -85,8 +85,7 @@ def length(rg: RaggedGeometry):
     Point → 0."""
     xs, ys = rg.xs, rg.ys
     if len(xs) == 0:
-        return np.full(len(rg), np.nan)[:len(rg)] * 0 + np.where(
-            rg.gt == MISSING, np.nan, 0.0)
+        return np.where(rg.gt == MISSING, np.nan, 0.0)
     seg = np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2)
     seg = np.append(seg, 0.0)
     starts = _ring_starts(rg)
@@ -461,6 +460,34 @@ def contains_pair(g1, g2):
         if not all(point_in_polygon(px, py, g1[1], g1[2], g1[3], g1[4])
                    for px, py in zip(xs2, ys2)):
             return False
+        # reject if any of g2's edges exits and re-enters g1 (e.g. a rect
+        # bridging the notch of a concave polygon, or spanning a hole):
+        # such an edge must properly cross g1's boundary.
+        for b in _iter_segments(xs2, ys2, r2):
+            for a in _iter_segments(g1[1], g1[2], g1[3]):
+                if _proper_seg_cross(*a, *b):
+                    return False
+            # edge midpoint must also be inside (catches crossings that
+            # pass exactly through g1 boundary vertices, which are not
+            # "proper" crossings)
+            mx, my = (b[0] + b[2]) * 0.5, (b[1] + b[3]) * 0.5
+            if not point_in_polygon(mx, my, g1[1], g1[2], g1[3], g1[4]):
+                return False
+        # reject if g2 swallows a hole of g1 whole (no edge crossing, all
+        # vertices in the solid part): any hole-ring vertex of g1
+        # strictly interior to g2 means g2 overlaps the hole.
+        if gt2 in (POLYGON, MULTIPOLYGON):
+            roff = coff = 0
+            for nr in g1[4]:
+                for j in range(nr):
+                    rl = g1[3][roff + j]
+                    if j > 0:  # hole ring
+                        for k in range(rl):
+                            if _strict_point_in(g1[1][coff + k],
+                                                g1[2][coff + k], g2):
+                                return False
+                    coff += rl
+                roff += nr
         return True
     if gt1 in (POINT,) and gt2 in (POINT,):
         return g1[1][0] == xs2[0] and g1[2][0] == ys2[0]

@@ -166,6 +166,10 @@ def _encode_coords(xs, ys):
 def _encode_single(gt, xs, ys, rings):
     """Encode one single-part geometry (point/line/polygon)."""
     if gt == POINT:
+        if len(xs) == 0:
+            # POINT EMPTY: conventional WKB encoding is POINT (NaN NaN)
+            return b"\x01\x01\x00\x00\x00" + _encode_coords(
+                np.array([np.nan]), np.array([np.nan]))
         return b"\x01\x01\x00\x00\x00" + _encode_coords(xs, ys)
     if gt in (LINESTRING, 2):
         return (b"\x01\x02\x00\x00\x00" + struct.pack("<I", len(xs))
@@ -207,7 +211,7 @@ def encode(rg: RaggedGeometry):
     """Encode a RaggedGeometry batch → list of bytes/None."""
     out = []
     # Fast path: all points, no missing.
-    if len(rg) and np.all(rg.gt == POINT):
+    if len(rg) and np.all(rg.gt == POINT) and len(rg.xs) == len(rg):
         m = len(rg)
         rec = np.zeros((m, 21), dtype=np.uint8)
         rec[:, 0] = 1

@@ -36,8 +36,6 @@ from .functions.udfs import contains as _contains_udf
 from .functions.udfs import intersects as _intersects_udf
 from .geodataframe import GeoDataFrame
 
-_ROWID = "__asj_rowid"
-
 
 def _cells_for_bounds(xmin, ymin, xmax, ymax, cell_size):
     """array<struct<cx:int,cy:int>> of grid cells covering a bbox —
@@ -161,8 +159,6 @@ def spatial_join(left, right, how="inner", predicate="intersects",
     ldfs = ldf.select(*[F.col(c).alias(c + lsuffix) for c in ldf.columns])
     rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])
     lg, rg = lgeom + lsuffix, rgeom + rsuffix
-    if how == "left":
-        ldfs = ldfs.withColumn(_ROWID, F.monotonically_increasing_id())
 
     if points_left:
         # a point occupies exactly ONE cell: no explode, no left bbox
@@ -239,11 +235,26 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         return GeoDataFrame(matched, lg, lgdf.crs)
 
     # left join: reference delegates to a row-index left join
-    # (spatial_index.rs:193-199); ours re-joins matches to the tagged
-    # left side so unmatched left rows survive with null right columns.
+    # (spatial_index.rs:193-199). A synthetic row id
+    # (monotonically_increasing_id) is non-deterministic across plan-
+    # branch recomputation, so instead unmatched left rows come from a
+    # null-safe anti-join of the left side against the matched left
+    # tuples, then a union. Value-duplicate left rows get value-correct
+    # semantics (each copy matches iff the value matches).
+    lcols = list(ldfs.columns)
+    mkeys = matched.select(*lcols)
+    la, ma = ldfs.alias("__l"), mkeys.alias("__m")
+    anti_cond = None
+    for c in lcols:
+        e = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        anti_cond = e if anti_cond is None else (anti_cond & e)
+    unmatched = la.join(ma, anti_cond, "left_anti")
     rcols = [c + rsuffix for c in rdf.columns]
-    out = (ldfs.join(matched.select(_ROWID, *rcols), on=_ROWID, how="left")
-           .drop(_ROWID))
+    for c in rdf.columns:
+        unmatched = unmatched.withColumn(
+            c + rsuffix, F.lit(None).cast(rdf.schema[c].dataType))
+    out = matched.select(*lcols, *rcols).unionByName(
+        unmatched.select(*lcols, *rcols))
     return GeoDataFrame(out, lg, lgdf.crs)
 
 
@@ -295,16 +306,24 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
                  & (F.floor(iy / F.lit(cs)).cast("int") == F.col("__l_cell.cy")))
     lcol, rcol = F.col(lg), F.col(rg)
     both_points = (lcol["gt"] == 0) & (rcol["gt"] == 0)
-    if points_only:
-        # fully native — no Python worker anywhere in the plan
-        dist = native.distance_points(lcol, rcol)
-    else:
-        from .functions.udfs import distance as _distance_udf
-        dist = F.when(both_points, native.distance_points(lcol, rcol)) \
-                .otherwise(_distance_udf(lcol, rcol))
     helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
                    "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
                    "__r_xmax", "__r_ymax"]
-    out = (joined.where(canonical).where(dist <= F.lit(float(distance)))
-           .drop(*helper_cols))
+    base = joined.where(canonical)
+    d = F.lit(float(distance))
+    if points_only:
+        # fully native — no Python worker anywhere in the plan
+        out = base.where(native.distance_points(lcol, rcol) <= d)
+    else:
+        # Spark evaluates a Python UDF for every row of its stage even
+        # under a `when` branch (see _refine_predicate), so the plan is
+        # SPLIT: the point/point rows filter natively, only the general
+        # rows pass through the UDF stage — all-point data pays zero
+        # Python cost.
+        from .functions.udfs import distance as _distance_udf
+        pts = base.where(both_points).where(
+            native.distance_points(lcol, rcol) <= d)
+        gen = base.where(~both_points).where(_distance_udf(lcol, rcol) <= d)
+        out = pts.unionByName(gen)
+    out = out.drop(*helper_cols)
     return GeoDataFrame(out, lg, lgdf.crs)

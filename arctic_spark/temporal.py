@@ -63,10 +63,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     rc = F.col("__rc")
     if tolerance is not None:
         tol = F.lit(float(tolerance))
-        gap = (F.unix_timestamp(F.col("__ts"))
-               - F.unix_timestamp(rc["__rts"])) if asc else \
-              (F.unix_timestamp(rc["__rts"])
-               - F.unix_timestamp(F.col("__ts")))
+        # cast('double') yields fractional epoch seconds for timestamps
+        # (unix_timestamp truncates to whole seconds, which would both
+        # mis-rank sub-second gaps and make fractional tolerances
+        # inexpressible); for numeric ts columns it is the identity.
+        lsec = F.col("__ts").cast("double")
+        rsec = rc["__rts"].cast("double")
+        gap = (lsec - rsec) if asc else (rsec - lsec)
         rc = F.when(gap <= tol, F.col("__rc"))
     return out.select(*lcols,
                       *[rc[c].alias(c + rsuffix) for c in rcols])
@@ -98,20 +101,20 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
         *[F.col(c).alias(c + rsuffix) for c in rcols],
         F.explode(F.sequence(
             F.floor(F.col(lo_col) / bs).cast("long"),
-            F.floor(F.col(hi_col) / bs).cast("long"))).alias("__bucket"))
+            F.floor(F.col(hi_col) / bs).cast("long"))).alias("__rbucket"))
     lt = left.withColumn("__bucket",
                          F.floor(F.col(point_col) / bs).cast("long"))
-    cond = ((F.col(point_col) >= F.col(lo_col + rsuffix))
+    cond = ((F.col("__bucket") == F.col("__rbucket"))
+            & (F.col(point_col) >= F.col(lo_col + rsuffix))
             & (F.col(point_col) <= F.col(hi_col + rsuffix)))
-    matched = lt.join(r, on="__bucket", how="inner").where(cond) \
-                .drop("__bucket")
+    matched = lt.join(r, cond, how="inner").drop("__bucket", "__rbucket")
     if how == "inner":
         return matched
-    lkey = "__rj_rowid"
-    tagged = left.withColumn(lkey, F.monotonically_increasing_id())
-    m = tagged.withColumn("__bucket", F.floor(F.col(point_col) / bs)
-                          .cast("long")) \
-        .join(r, on="__bucket", how="inner").where(cond).drop("__bucket")
-    out = tagged.join(m.select(lkey, *[c + rsuffix for c in rcols]),
-                      on=lkey, how="left").drop(lkey)
-    return out
+    # Left join without a synthetic row id (monotonically_increasing_id
+    # is non-deterministic across plan-branch recomputation): unmatched
+    # rows come from an anti-join on the SAME condition, then union.
+    unmatched = lt.join(r, cond, how="left_anti").drop("__bucket")
+    for c in rcols:
+        unmatched = unmatched.withColumn(
+            c + rsuffix, F.lit(None).cast(right.schema[c].dataType))
+    return matched.unionByName(unmatched)

@@ -179,3 +179,50 @@ def test_wkb_malformed_inputs():
            + _struct.pack("<I", 4326) + _struct.pack("<dd", 3.0, 7.0))
     rg = wkb.decode([buf])
     assert rg.gt[0] == ragged.POINT and rg.xs[0] == 3.0 and rg.ys[0] == 7.0
+
+
+def test_contains_concave_bridge():
+    """ADVICE r1: a rect whose vertices are all inside a U-polygon but
+    whose top edge bridges the notch is NOT contained."""
+    u = ("POLYGON ((0 0, 10 0, 10 10, 6 10, 6 4, 4 4, 4 10, 0 10, 0 0))")
+    rect = "POLYGON ((1 1, 9 1, 9 8, 1 8, 1 1))"
+    inside = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    rg = wkt.parse([u, rect, inside])
+    g = [rg.geom(i) for i in range(3)]
+    # vertices of rect: (1,1),(9,1) in; (9,8) in right arm; (1,8) in left
+    # arm — but the top edge crosses the notch
+    assert not algos.contains_pair(g[0], g[1])
+    assert algos.contains_pair(g[0], g[2])
+
+
+def test_contains_edge_over_hole():
+    """A segment spanning a hole with both endpoints in the solid part
+    is not contained."""
+    rg = wkt.parse([DONUT, "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))",
+                    "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"])
+    g = [rg.geom(i) for i in range(3)]
+    assert not algos.contains_pair(g[0], g[1])  # covers the hole
+    assert algos.contains_pair(g[0], g[2])      # clear of the hole
+
+
+def test_point_empty_wkb_encode():
+    """ADVICE r1: POINT EMPTY must not poison the all-point fast path."""
+    rg = wkt.parse(["POINT EMPTY", "POINT (1 2)"])
+    bufs = wkb.encode(rg)
+    rg2 = wkb.decode(bufs)
+    assert rg2.gt[1] == 0
+    g1 = rg2.geom(1)
+    assert g1[1][0] == 1.0 and g1[2][0] == 2.0
+    # the empty point must NOT round-trip as (1,2)
+    g0 = rg2.geom(0)
+    assert len(g0[1]) == 0 or np.isnan(g0[1][0])
+
+
+def test_length_empty_batch():
+    """ADVICE r1: empty (zero-coordinate) non-missing geometries have
+    length 0.0, not NaN."""
+    rg = wkt.parse(["POINT EMPTY", "LINESTRING EMPTY", None])
+    out = algos.length(rg)
+    assert out[0] == 0.0
+    assert out[1] == 0.0
+    assert np.isnan(out[2])

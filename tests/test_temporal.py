@@ -102,3 +102,21 @@ def test_range_join(spark):
     assert sorted(ids) == [3, 4]
     with pytest.raises(ValueError):
         range_join(pts, ivals, "v", "lo", "hi", how="outer")
+
+
+def test_asof_fractional_tolerance(spark):
+    """ADVICE r1: sub-second gaps must use fractional seconds, not
+    unix_timestamp whole-second truncation."""
+    left = spark.createDataFrame([("2024-01-01 10:00:00.900", 1, "L")],
+                                 "ts string, k long, tag string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([
+        ("2024-01-01 10:00:00.100", 1, 1.0),
+    ], "rts string, k long, v double").withColumn("rts", F.to_timestamp("rts"))
+    # gap is 0.8s: tolerance 0.5 rejects, tolerance 0.9 keeps
+    out1 = asof_join(left, right, on="ts", by="k", right_on="rts",
+                     right_by="k", tolerance=0.5)
+    assert out1.collect()[0].v_right is None
+    out2 = asof_join(left, right, on="ts", by="k", right_on="rts",
+                     right_by="k", tolerance=0.9)
+    assert out2.collect()[0].v_right == 1.0
