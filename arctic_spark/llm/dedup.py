@@ -118,24 +118,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text",
 
     doc → signature → explode bands → self-equi-join on band key (the one
     shuffle) → distinct pair → exact Jaccard verify ≥ threshold.
+
+    The band self-join ships ONLY (id, band) — at 100 TB the dominant
+    shuffle payload would otherwise be every document's full shingle set
+    × num_bands. Shingle arrays are re-attached to the (deduplicated)
+    candidate pairs afterwards, one copy per side.
     """
-    sig = df.select(_c(id_col).alias("id"),
-                    shingles(text_col, shingle_k).alias("sh"),
-                    minhash_signature(text_col, num_hashes, shingle_k,
-                                      seed).alias("sig"))
-    banded = sig.select("id", "sh", F.explode(
-        minhash_bands(F.col("sig"), num_bands)).alias("band"))
+    sh_df = df.select(_c(id_col).alias("id"),
+                      shingles(text_col, shingle_k).alias("sh"))
+    banded = df.select(
+        _c(id_col).alias("id"),
+        F.explode(minhash_bands(
+            minhash_signature(text_col, num_hashes, shingle_k, seed),
+            num_bands)).alias("band"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    pairs = (cand
+             .join(sh_df.select(F.col("id").alias("id_a"),
+                                F.col("sh").alias("sh_a")), "id_a")
+             .join(sh_df.select(F.col("id").alias("id_b"),
+                                F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
-    return (cand.withColumn("jaccard", jac)
+    return (pairs.withColumn("jaccard", jac)
             .where(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard"))
 
@@ -212,6 +222,8 @@ def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text",
                  F.shiftright(F.col("sig"), i * prefix_bits)
                   .bitwiseAND(F.lit((1 << prefix_bits) - 1)).cast("string"))
         for i in range(4)])
+    # the signature is a single bigint — cheap enough to carry through
+    # the band shuffle (unlike minhash shingle arrays)
     banded = sig.select("id", "sig", F.explode(blocks).alias("blk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))

@@ -93,7 +93,10 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     tables → equi-join on (table, bucket) → exact cosine re-rank).
 
     At 100 TB the bucket id becomes the shuffle/partition key; bucket
-    population skew is handled by AQE skew-join splitting."""
+    population skew is handled by AQE skew-join splitting. The bucket
+    join and the pair dedup ship ONLY ids — embedding vectors are
+    re-attached to the deduplicated candidate pairs (one copy per side),
+    not carried through the band shuffle × num_tables."""
     tables = [( t, _hyperplanes(dim, num_planes, seed + 1000 * t))
               for t in range(num_tables)]
 
@@ -102,18 +105,21 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
             F.struct(F.lit(t).alias("t"),
                      lsh_bucket(vecc, planes).alias("b"))
             for t, planes in tables])
-        return df.select(_c(idc).alias(ida), _c(vecc).alias("__v_" + ida),
+        return df.select(_c(idc).alias(ida),
                          F.explode(buckets).alias("tb"))
 
     q = bucketize(queries, query_id, query_vec, "query_id")
     c = bucketize(corpus, corpus_id, corpus_vec, "neighbor_id")
     cand = (q.join(c, (q["tb.t"] == c["tb.t"]) & (q["tb.b"] == c["tb.b"]))
-            .select("query_id", "neighbor_id",
-                    F.col("__v_query_id").alias("__qv"),
-                    F.col("__v_neighbor_id").alias("__cv"))
+            .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"]))
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    cand = (cand
+            .join(queries.select(_c(query_id).alias("query_id"),
+                                 _c(query_vec).alias("__qv")), "query_id")
+            .join(corpus.select(_c(corpus_id).alias("neighbor_id"),
+                                _c(corpus_vec).alias("__cv")), "neighbor_id"))
     sim = cand.withColumn("cos_sim", cosine("__qv", "__cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -143,21 +149,23 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t))
                   for t in range(num_tables)]
 
-        def bucketize(d, idc, vc, ida, va):
+        # band join + dedup on ids only; vectors re-attached after
+        def bucketize(d, idc, vc, ida):
             buckets = F.array(*[
                 F.struct(F.lit(t).alias("t"),
                          lsh_bucket(F.col(vc), planes).alias("b"))
                 for t, planes in tables])
-            return d.select(_c(idc).alias(ida), _c(vc).alias(va),
+            return d.select(_c(idc).alias(ida),
                             F.explode(buckets).alias("tb"))
 
-        qa = bucketize(df, id_col, vec_col, "id_a", "__va")
-        qb = bucketize(df, id_col, vec_col, "id_b", "__vb")
+        qa = bucketize(df, id_col, vec_col, "id_a")
+        qb = bucketize(df, id_col, vec_col, "id_b")
         cand = (qa.join(qb, (qa["tb.t"] == qb["tb.t"])
                         & (qa["tb.b"] == qb["tb.b"])
                         & (qa["id_a"] < qb["id_b"]))
-                .select("id_a", "id_b", "__va", "__vb")
-                .dropDuplicates(["id_a", "id_b"]))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"])
+                .join(a, "id_a").join(b, "id_b"))
     else:
         raise ValueError(f"unknown method {method!r}")
     out = cand.withColumn("cos_sim", cosine("__va", "__vb"))
