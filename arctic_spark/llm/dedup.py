@@ -74,12 +74,16 @@ def _rand_coeffs(num: int, seed: int):
             for _ in range(num)]
 
 
-def minhash_signature(text, num_hashes: int = 64, shingle_k: int = 3,
-                      seed: int = 42) -> Column:
-    """array<long>[num_hashes] MinHash signature — fully native: the
-    per-permutation min runs as an `aggregate` over the shingle hashes
-    inside codegen."""
-    sh = shingles(text, shingle_k)
+def minhash_signature_from_shingles(sh, num_hashes: int = 64,
+                                    seed: int = 42) -> Column:
+    """array<long>[num_hashes] MinHash signature from an existing shingle
+    array column — fully native: the per-permutation min runs as an
+    `aggregate` over the shingle hashes inside codegen.
+
+    Callers that already project the shingle array (e.g. the LSH
+    pipeline) MUST use this form so the shingle expression is evaluated
+    once, not re-inlined per permutation (see _let's docstring)."""
+    sh = _c(sh)
     coeffs = _rand_coeffs(num_hashes, seed)
 
     def perm_min(a, b):
@@ -95,6 +99,20 @@ def minhash_signature(text, num_hashes: int = 64, shingle_k: int = 3,
 
     # bind the base-hash array once — it is referenced num_hashes times
     return _let(F.transform(sh, _base_hash), build)
+
+
+def minhash_signature(text, num_hashes: int = 64, shingle_k: int = 3,
+                      seed: int = 42) -> Column:
+    """array<long>[num_hashes] MinHash signature computed from raw text.
+
+    Convenience single-expression form. In multi-reference plans compute
+    ``shingles(...)`` in its own projection and use
+    :func:`minhash_signature_from_shingles` — Catalyst has no
+    construction-time CSE, so passing this whole expression somewhere it
+    is referenced N times inlines the shingle pipeline N times (the
+    round-2 14x regression)."""
+    return minhash_signature_from_shingles(
+        shingles(text, shingle_k), num_hashes, seed)
 
 
 def minhash_bands(sig, num_bands: int = 16) -> Column:
@@ -123,14 +141,29 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text",
     shuffle payload would otherwise be every document's full shingle set
     × num_bands. Shingle arrays are re-attached to the (deduplicated)
     candidate pairs afterwards, one copy per side.
+
+    Expression staging (the round-2 lesson): shingles, signature and
+    bands each live in their OWN projection, referencing the previous
+    stage as a plain attribute. Catalyst's CollapseProject declines to
+    merge projections when it would duplicate non-cheap expressions, so
+    the shingle pipeline and the 32-permutation signature are each
+    evaluated exactly once per row instead of once per reference.
+    ``sh_df`` is persisted (MEMORY_AND_DISK) because it feeds three
+    plan branches — banding plus both re-attach joins.
     """
+    from pyspark import StorageLevel
     sh_df = df.select(_c(id_col).alias("id"),
                       shingles(text_col, shingle_k).alias("sh"))
-    banded = df.select(
-        _c(id_col).alias("id"),
-        F.explode(minhash_bands(
-            minhash_signature(text_col, num_hashes, shingle_k, seed),
-            num_bands)).alias("band"))
+    sh_df = sh_df.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = (sh_df
+              .select("id", minhash_signature_from_shingles(
+                  F.col("sh"), num_hashes, seed).alias("sig"))
+              .select("id", F.explode(minhash_bands(
+                  F.col("sig"), num_bands)).alias("band")))
+    # both sides of the self-join read `banded`; persisting it means the
+    # 32-permutation signature is evaluated once per document, not twice
+    # (payload is just id + 16-byte band key — tiny even at 100 TB)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
