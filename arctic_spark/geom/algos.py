@@ -13,6 +13,8 @@ the general-case UDF bodies and the oracle used by the test suite.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
@@ -477,17 +479,27 @@ def contains_pair(g1, g2):
         # vertices in the solid part): any hole-ring vertex of g1
         # strictly interior to g2 means g2 overlaps the hole.
         if gt2 in (POLYGON, MULTIPOLYGON):
-            roff = coff = 0
-            for nr in g1[4]:
-                for j in range(nr):
-                    rl = g1[3][roff + j]
-                    if j > 0:  # hole ring
-                        for k in range(rl):
-                            if _strict_point_in(g1[1][coff + k],
-                                                g1[2][coff + k], g2):
-                                return False
-                    coff += rl
-                roff += nr
+            has_holes = any(nr > 1 for nr in g1[4])
+            if has_holes:
+                roff = coff = 0
+                for nr in g1[4]:
+                    for j in range(nr):
+                        rl = g1[3][roff + j]
+                        if j > 0:  # hole ring
+                            for k in range(rl):
+                                if _strict_point_in(g1[1][coff + k],
+                                                    g1[2][coff + k], g2):
+                                    return False
+                        coff += rl
+                    roff += nr
+                # g2 exactly coincident with a hole ring passes every
+                # check above (its vertices and edge midpoints all lie ON
+                # the hole boundary, which point_in_polygon counts as
+                # inside, and no crossing is proper) — require a
+                # strictly-interior point of g2 to be strictly inside g1
+                ip = _interior_point(g2)
+                if ip is not None and not _strict_point_in(ip[0], ip[1], g1):
+                    return False
         return True
     if gt1 in (POINT,) and gt2 in (POINT,):
         return g1[1][0] == xs2[0] and g1[2][0] == ys2[0]
@@ -828,6 +840,30 @@ def _proper_seg_cross(ax, ay, bx, by, cx, cy, dx, dy):
     o3 = orient(cx, cy, dx, dy, ax, ay)
     o4 = orient(cx, cy, dx, dy, bx, by)
     return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+
+def _interior_point(g):
+    """A point strictly interior to polygonal g, or None: edge midpoints
+    nudged along both normals by a bbox-scaled epsilon, verified with the
+    strict PIP (used by contains_pair's hole-coincidence probe)."""
+    gt, xs, ys, rings, parts = g
+    if gt not in (POLYGON, MULTIPOLYGON) or len(xs) == 0:
+        return None
+    span = max(float(xs.max() - xs.min()), float(ys.max() - ys.min()), 1e-12)
+    for eps_scale in (1e-9, 1e-6, 1e-3):
+        eps = span * eps_scale
+        for x1, y1, x2, y2 in _iter_segments(xs, ys, rings):
+            dx, dy = x2 - x1, y2 - y1
+            ln = math.hypot(dx, dy)
+            if ln == 0:
+                continue
+            mx, my = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+            nx, ny = -dy / ln, dx / ln
+            for s in (1.0, -1.0):
+                px, py = mx + s * nx * eps, my + s * ny * eps
+                if _strict_point_in(px, py, g):
+                    return (px, py)
+    return None
 
 
 def _strict_point_in(px, py, g):

@@ -160,6 +160,17 @@ def spatial_join(left, right, how="inner", predicate="intersects",
     rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])
     lg, rg = lgeom + lsuffix, rgeom + rsuffix
 
+    if how == "left":
+        # left join needs a per-row identity that survives across the
+        # matched / unmatched plan branches. monotonically_increasing_id
+        # alone is non-deterministic under branch recomputation, so the
+        # id-tagged left side is persisted (pinning the ids) — this also
+        # works for column types Spark cannot compare (MapType), unlike a
+        # value-equality anti-join.
+        from pyspark import StorageLevel
+        ldfs = (ldfs.withColumn("__l_rowid", F.monotonically_increasing_id())
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+
     if points_left:
         # a point occupies exactly ONE cell: no explode, no left bbox
         # columns, and no canonical-cell dedup (each candidate pair is
@@ -235,20 +246,14 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         return GeoDataFrame(matched, lg, lgdf.crs)
 
     # left join: reference delegates to a row-index left join
-    # (spatial_index.rs:193-199). A synthetic row id
-    # (monotonically_increasing_id) is non-deterministic across plan-
-    # branch recomputation, so instead unmatched left rows come from a
-    # null-safe anti-join of the left side against the matched left
-    # tuples, then a union. Value-duplicate left rows get value-correct
-    # semantics (each copy matches iff the value matches).
-    lcols = list(ldfs.columns)
-    mkeys = matched.select(*lcols)
-    la, ma = ldfs.alias("__l"), mkeys.alias("__m")
-    anti_cond = None
-    for c in lcols:
-        e = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
-        anti_cond = e if anti_cond is None else (anti_cond & e)
-    unmatched = la.join(ma, anti_cond, "left_anti")
+    # (spatial_index.rs:193-199). The persisted __l_rowid (pinned above)
+    # keys an anti-join for the unmatched rows; `matched` is persisted so
+    # the spatial join itself executes once, not once per branch.
+    from pyspark import StorageLevel
+    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    lcols = [c for c in ldfs.columns if c != "__l_rowid"]
+    unmatched = ldfs.join(matched.select("__l_rowid"),
+                          "__l_rowid", "left_anti")
     rcols = [c + rsuffix for c in rdf.columns]
     for c in rdf.columns:
         unmatched = unmatched.withColumn(
@@ -319,8 +324,11 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
         # under a `when` branch (see _refine_predicate), so the plan is
         # SPLIT: the point/point rows filter natively, only the general
         # rows pass through the UDF stage — all-point data pays zero
-        # Python cost.
+        # Python cost. The candidate join feeds both branches, so it is
+        # persisted to execute once (not once per branch).
+        from pyspark import StorageLevel
         from .functions.udfs import distance as _distance_udf
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
         pts = base.where(both_points).where(
             native.distance_points(lcol, rcol) <= d)
         gen = base.where(~both_points).where(_distance_udf(lcol, rcol) <= d)

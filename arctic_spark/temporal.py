@@ -62,14 +62,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
 
     rc = F.col("__rc")
     if tolerance is not None:
-        tol = F.lit(float(tolerance))
-        # cast('double') yields fractional epoch seconds for timestamps
-        # (unix_timestamp truncates to whole seconds, which would both
-        # mis-rank sub-second gaps and make fractional tolerances
-        # inexpressible); for numeric ts columns it is the identity.
-        lsec = F.col("__ts").cast("double")
-        rsec = rc["__rts"].cast("double")
-        gap = (lsec - rsec) if asc else (rsec - lsec)
+        from pyspark.sql import types as T
+        ts_type = left.schema[on].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            # exact integer microseconds: epoch doubles carry ~2e-7 s FP
+            # rounding, enough to flip gap == tolerance boundary cases
+            lval = F.unix_micros(F.col("__ts").cast("timestamp"))
+            rval = F.unix_micros(rc["__rts"].cast("timestamp"))
+            tol = F.lit(int(round(float(tolerance) * 1_000_000)))
+        elif isinstance(ts_type, (T.LongType, T.IntegerType,
+                                  T.ShortType, T.ByteType)):
+            # integral ts (e.g. nanos-as-long events): stay in longs —
+            # a cast to double is lossy past 2^53 (epoch nanos is ~2^60)
+            lval, rval = F.col("__ts"), rc["__rts"]
+            tol = F.lit(tolerance)
+        else:
+            lval = F.col("__ts").cast("double")
+            rval = rc["__rts"].cast("double")
+            tol = F.lit(float(tolerance))
+        gap = (lval - rval) if asc else (rval - lval)
         rc = F.when(gap <= tol, F.col("__rc"))
     return out.select(*lcols,
                       *[rc[c].alias(c + rsuffix) for c in rcols])

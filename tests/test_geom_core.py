@@ -205,6 +205,17 @@ def test_contains_edge_over_hole():
     assert algos.contains_pair(g[0], g[2])      # clear of the hole
 
 
+def test_contains_polygon_coincident_with_hole():
+    """ADVICE r2: a polygon exactly coincident with a hole ring of the
+    subject (all vertices and edge midpoints ON the hole boundary, no
+    proper crossing) lies entirely in the hole — not contained."""
+    rg = wkt.parse([DONUT, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))",
+                    "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"])
+    g = [rg.geom(i) for i in range(3)]
+    assert not algos.contains_pair(g[0], g[1])  # == the hole ring
+    assert algos.contains_pair(g[0], g[2])      # solid part, still fine
+
+
 def test_point_empty_wkb_encode():
     """ADVICE r1: POINT EMPTY must not poison the all-point fast path."""
     rg = wkt.parse(["POINT EMPTY", "POINT (1 2)"])

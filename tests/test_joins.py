@@ -55,6 +55,20 @@ def test_left_join_f5(points_df, poly_df):
     assert sorted(r["point_values_left"] for r in matched) == [2.0, 3.0]
 
 
+def test_left_join_map_column(spark, poly_df):
+    """ADVICE r2: left join must work when the left side carries a
+    MapType column (maps are not comparable, so a value-equality
+    anti-join would throw) and duplicate-valued rows must each survive."""
+    rows = [(1.0, 1.0, 1.0), (1.0, 1.0, 1.0), (20.0, 20.0, 3.0)]
+    df = (spark.createDataFrame(rows, "x double, y double, v double")
+          .select("v", st.point(F.col("x"), F.col("y")).alias("geometry"),
+                  F.create_map(F.lit("k"), F.col("v")).alias("meta")))
+    out = spatial_join(df, poly_df, how="left").df.collect()
+    assert len(out) == 3  # both duplicate rows present
+    matched = [r for r in out if r["string_col_right"] is not None]
+    assert sorted(r["v_left"] for r in matched) == [1.0, 1.0]
+
+
 def test_custom_suffixes(points_df, poly_df):
     out = spatial_join(points_df, poly_df, lsuffix="_a", rsuffix="_b").df
     assert set(out.columns) == {"point_values_a", "geometry_a",
