@@ -372,9 +372,10 @@ def geo_explode_multipoint(spark, sf):
 
 def geo_utm_roundtrip(spark, sf):
     """to_crs UTM (Krüger series) round-trip fidelity as a gate query:
-    4326 → UTM 31N → 4326 on synthetic in-zone points; reports per-row
-    error in nanodegrees (rows-only: the series math is not
-    SQL-expressible; absolute accuracy is anchored in tests/test_proj)."""
+    4326 → UTM 31N → 4326 on synthetic in-zone points. The oracle is the
+    closed-form error bound itself — every row must round-trip to within
+    10 nano-degrees (~1 mm), which DuckDB states as a constant-true
+    column; absolute accuracy is anchored in tests/test_proj."""
     from arctic_spark.proj import transform_xy_struct
     c = _t(spark, sf, "customer")
     lon = (F.col("c_custkey") % 50).cast("double") / 10.0 + 0.5   # 0.5..5.4
@@ -385,8 +386,6 @@ def geo_utm_roundtrip(spark, sf):
     err_nano = (F.greatest(F.abs(back["x"] - lon), F.abs(back["y"] - lat))
                 * 1e9)
     return c.select("c_custkey",
-                    F.round(utm["x"], 3).alias("easting"),
-                    F.round(utm["y"], 3).alias("northing"),
                     (err_nano < 10.0).alias("roundtrip_under_10nano_deg"))
 
 
@@ -483,8 +482,10 @@ def embed_cosine_topk(spark, sf):
 
 
 def embed_knn_lsh(spark, sf):
-    """LSH-bucketed approximate neighbors — the 100 TB path (no SQL
-    oracle: randomized bucketing; driver records rows-only)."""
+    """LSH-bucketed approximate neighbors — the 100 TB path. The seeded
+    hyperplanes are deterministic, so the oracle replays the SAME plane
+    projections as SQL literals in DuckDB: identical buckets, identical
+    candidate set, identical re-rank — a full hash-exact gate."""
     em = _t(spark, sf, "embeddings")
     q = em.where(F.col("vec_id") < 20)
     out = similarity.lsh_topk(q, em, dim=64, k=5, num_planes=6,
@@ -505,26 +506,37 @@ def embed_near_dup(spark, sf):
 def embed_knn_ivf(spark, sf):
     """IVF approximate neighbors: driver-trained coarse k-means
     centroids, native cluster assignment, bucket equi-join + exact
-    re-rank (no SQL oracle — k-means internals; recall covered in
-    tests)."""
+    re-rank. The gate runs with nprobe = n_clusters (probe every
+    bucket): the full IVF machinery executes — assignment, inverted-file
+    join, per-bucket re-rank — while the result is provably the exact
+    top-k, so the brute-force SQL is a hash-exact oracle (k-means
+    centroids themselves cannot be replayed in SQL). Pruned-recall
+    behaviour (nprobe < n_clusters) is covered in tests/test_llm_ops."""
     em = _t(spark, sf, "embeddings")
     cents = similarity.train_ivf_centroids(em, dim=64, n_clusters=8)
     q = em.where(F.col("vec_id") < 20)
-    out = similarity.ivf_topk(q, em, cents, k=5, nprobe=2)
+    out = similarity.ivf_topk(q, em, cents, k=5, nprobe=8)
     return out.select("query_id", "rank", "neighbor_id",
                       F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidate pairs (no SQL oracle — the banding
-    is seed-dependent; exactness is covered by text_ngram_jaccard)."""
+    """MinHash+LSH near-dup candidate pairs. The md5-based universal-hash
+    pipeline is deterministic given the seed, so the oracle replays the
+    ENTIRE pipeline (tokens → shingles → 32 permutations → 8 band keys →
+    band self-join → exact Jaccard) in DuckDB with the same coefficients
+    baked in as literals — a full hash-exact gate, not rows-only."""
     d = _t(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(d, num_hashes=32, num_bands=8,
-                                   jaccard_threshold=0.5)
+    out = dedup.minhash_lsh_pairs(d, num_hashes=32, num_bands=8,
+                                  jaccard_threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
 def dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs. Fully deterministic (md5 token hashes +
+    majority vote), so the oracle recomputes the 60-bit signatures, the
+    4 pigeonhole prefix blocks, the block self-join and the hamming
+    verify in DuckDB — hash-exact."""
     d = _t(spark, sf, "documents")
     return dedup.simhash_near_dup_pairs(d, max_hamming=3)
 
@@ -577,6 +589,166 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
     }
+
+
+def _minhash_oracle_sql(num_hashes=32, num_bands=8, threshold=0.5, seed=42):
+    """DuckDB replay of the full MinHash+LSH pipeline with the engine's
+    own universal-hash coefficients baked in as literals. Every stage is
+    deterministic (md5 base hash, seeded (a,b) pairs, fixed banding), so
+    the oracle reproduces the exact candidate set and exact Jaccard — a
+    hash-exact gate for the banded dedup path."""
+    from arctic_spark.llm.dedup import _MERSENNE_P, _rand_coeffs
+    coeffs = _rand_coeffs(num_hashes, seed)
+    P = _MERSENNE_P
+    sig_entries = ",\n                   ".join(
+        f"coalesce(list_min(list_transform(h, x -> ({a}*x + {b}) % {P})), {P})"
+        for a, b in coeffs)
+    rows_per = num_hashes // num_bands
+    band_exprs = ",\n                   ".join(
+        f"concat('{b}:', md5(array_to_string(list_transform("
+        f"sig[{b * rows_per + 1}:{(b + 1) * rows_per}], "
+        f"v -> CAST(v AS VARCHAR)), ',')))"
+        for b in range(num_bands))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                               '[^a-zA-Z0-9]+'), w -> length(w) > 0) AS w
+            FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                       ELSE [] END) AS sh
+            FROM toks),
+        hs AS (
+            SELECT doc_id, sh,
+                   list_transform(sh, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS h
+            FROM sh),
+        sig AS (
+            SELECT doc_id, sh,
+                   [{sig_entries}] AS sig
+            FROM hs),
+        bands AS (
+            SELECT doc_id, sh,
+                   unnest([{band_exprs}]) AS band
+            FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.doc_id < b.doc_id),
+        pairs AS (
+            SELECT id_a, id_b,
+                   len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS inter,
+                   len(sa.sh) + len(sb.sh)
+                     - len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS un
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b)
+        SELECT id_a, id_b,
+               round(CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un
+                          ELSE 0.0 END, 6) AS jaccard
+        FROM pairs
+        WHERE (CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END)
+              >= {threshold}
+    """
+
+
+def _lsh_knn_oracle_sql(dim=64, k=5, num_planes=6, num_tables=3, seed=42,
+                        query_filter="vec_id < 20"):
+    """DuckDB replay of hyperplane-LSH top-k: the seeded Gaussian planes
+    are emitted as double literals (repr round-trips exactly), bucket
+    bits come from the same sign tests, and the candidate set + cosine
+    re-rank reproduce the Spark plan bit-for-bit."""
+    from arctic_spark.llm.similarity import _hyperplanes
+    tables = [(t, _hyperplanes(dim, num_planes, seed + 1000 * t))
+              for t in range(num_tables)]
+
+    def bucket_expr(planes):
+        parts = []
+        for i, p in enumerate(planes):
+            lst = "[" + ", ".join(repr(float(w)) for w in p) + "]"
+            proj = ("list_aggregate(list_transform(list_zip(embedding, "
+                    f"{lst}), p -> CAST(p[1] AS DOUBLE) * "
+                    "CAST(p[2] AS DOUBLE)), 'sum')")
+            parts.append(f"CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END")
+        return "(" + "\n                 + ".join(parts) + ")"
+
+    bcols = ",\n               ".join(
+        f"{bucket_expr(planes)} AS b{t}" for t, planes in tables)
+    join_cond = " OR ".join(f"q.b{t} = c.b{t}" for t, _ in tables)
+    return f"""
+        WITH b AS (
+            SELECT vec_id,
+               {bcols}
+            FROM embeddings),
+        q AS (SELECT * FROM b WHERE {query_filter}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM q JOIN b c ON ({join_cond}) AND q.vec_id <> c.vec_id),
+        sims AS (
+            SELECT query_id, neighbor_id,
+                   list_aggregate(list_transform(
+                       list_zip(qe.embedding, ce.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                       'sum')
+                   / (sqrt(list_aggregate(list_transform(qe.embedding,
+                         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+                    * sqrt(list_aggregate(list_transform(ce.embedding,
+                         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+                       AS cos_sim
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+_SIMHASH_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                           '[^a-zA-Z0-9]+'), w -> length(w) > 0) AS w
+        FROM documents),
+    hs AS (
+        SELECT doc_id,
+               list_transform(w, t ->
+                   CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS h
+        FROM toks),
+    sig AS (
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(range(0, 60),
+                   i -> CASE WHEN 2 * len(list_filter(h,
+                                x -> (x & (1::BIGINT << i)) <> 0)) > len(h)
+                             THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0)
+                   AS BIGINT) AS sig
+        FROM hs),
+    blocks AS (
+        SELECT doc_id, sig,
+               unnest([concat('0:', CAST((sig >> 0) & 32767 AS VARCHAR)),
+                       concat('1:', CAST((sig >> 15) & 32767 AS VARCHAR)),
+                       concat('2:', CAST((sig >> 30) & 32767 AS VARCHAR)),
+                       concat('3:', CAST((sig >> 45) & 32767 AS VARCHAR))]) AS blk
+        FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sig AS sig_a, b.sig AS sig_b
+        FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -971,8 +1143,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
             FROM sims WHERE cos_sim >= 0.4
         """,
-        # embed_knn_lsh, dedup_minhash_lsh, dedup_simhash: intentionally no
-        # oracle — randomized/banded internals; rows-only check.
+        "geo_utm_roundtrip": """
+            SELECT c_custkey, true AS roundtrip_under_10nano_deg
+            FROM customer
+        """,
+        "embed_knn_lsh": _lsh_knn_oracle_sql(),
+        # nprobe = n_clusters in the gate query makes IVF provably exact,
+        # so the brute-force top-k is a hash-exact oracle (see
+        # embed_knn_ivf docstring).
+        "embed_knn_ivf": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_aggregate(list_transform(
+                           list_zip(q.embedding, c.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                           'sum')
+                       / (sqrt(list_aggregate(list_transform(q.embedding,
+                             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(c.embedding,
+                             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+                           AS cos_sim
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM sims)
+            SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+            FROM ranked WHERE rank <= 5
+        """,
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_simhash": _SIMHASH_ORACLE_SQL,
     }
 
 
