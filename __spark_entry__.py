@@ -419,6 +419,54 @@ def geo_bbox_filter(spark, sf):
         F.sum("c_custkey").cast("long").alias("sum_keys"))
 
 
+def _order_boxes(sf_df):
+    """Axis rectangles from order keys — fractional offsets chosen so no
+    box edge ever coincides with a supplier-grid edge (keeps the oracle
+    free of boundary-tie semantics)."""
+    lx = (F.col("o_orderkey") % 97).cast("double") * 2.0 + 0.05
+    ly = (F.col("o_orderkey") * 7 % 89).cast("double") * 2.0 + 0.05
+    lw = (F.col("o_orderkey") % 5).cast("double") + 1.3
+    lh = (F.col("o_orderkey") % 3).cast("double") + 1.7
+    return GeoDataFrame(sf_df.select(
+        "o_orderkey",
+        st.make_envelope(lx, ly, lx + lw, ly + lh).alias("geometry")))
+
+
+def _supplier_rects(sf_df):
+    gx = (F.col("s_suppkey") % 10).cast("double") * 20.0 + 0.55
+    gy = (F.expr("s_suppkey div 10") % 10).cast("double") * 20.0 + 0.55
+    return GeoDataFrame(sf_df.select(
+        "s_suppkey",
+        st.make_envelope(gx, gy, gx + 15.0, gy + 11.0).alias("geometry")))
+
+
+def geo_poly_join(spark, sf):
+    """Polygon×polygon spatial join through the GENERAL refine path: the
+    vectorized pairwise-intersects kernel (geom/batch.py) runs on every
+    candidate — no per-row Python, no point fast path. Axis rectangles
+    on both sides keep the DuckDB oracle pure interval algebra while
+    Spark executes the full polygon kernel (segment crossings + PIP)."""
+    boxes = _order_boxes(_t(spark, sf, "orders"))
+    rects = _supplier_rects(_t(spark, sf, "supplier"))
+    out = spatial_join(boxes, rects, how="inner", broadcast_right=True)
+    return (out.df.groupBy(F.col("s_suppkey_right").alias("s_suppkey"))
+            .agg(F.count("*").alias("n_boxes"),
+                 F.sum(F.col("o_orderkey_left") % 1000).cast("long")
+                  .alias("key_mod_sum")))
+
+
+def geo_poly_contains_join(spark, sf):
+    """Polygon-contains-polygon join (vectorized contains kernel): count
+    order boxes fully inside each supplier rectangle."""
+    boxes = _order_boxes(_t(spark, sf, "orders"))
+    rects = _supplier_rects(_t(spark, sf, "supplier"))
+    out = spatial_join(rects, boxes, how="inner", predicate="contains")
+    return (out.df.groupBy(F.col("s_suppkey_left").alias("s_suppkey"))
+            .agg(F.count("*").alias("n_inside"),
+                 F.sum(F.col("o_orderkey_right") % 1000).cast("long")
+                  .alias("key_mod_sum")))
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference: dedup / text / similarity
 # ---------------------------------------------------------------------------
@@ -577,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_collect_centroid": geo_collect_centroid,
         "geo_utm_roundtrip": geo_utm_roundtrip,
         "geo_bbox_filter": geo_bbox_filter,
+        "geo_poly_join": geo_poly_join,
+        "geo_poly_contains_join": geo_poly_contains_join,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
@@ -1146,6 +1196,46 @@ def oracle_sql() -> dict[str, str]:
         "geo_utm_roundtrip": """
             SELECT c_custkey, true AS roundtrip_under_10nano_deg
             FROM customer
+        """,
+        "geo_poly_join": """
+            WITH lb AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 97 AS DOUBLE) * 2.0 + 0.05 AS xmin,
+                       CAST(o_orderkey * 7 % 89 AS DOUBLE) * 2.0 + 0.05 AS ymin,
+                       CAST(o_orderkey % 5 AS DOUBLE) + 1.3 AS w,
+                       CAST(o_orderkey % 3 AS DOUBLE) + 1.7 AS h
+                FROM orders),
+            rb AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 10 AS DOUBLE) * 20.0 + 0.55 AS xmin,
+                       CAST((s_suppkey // 10) % 10 AS DOUBLE) * 20.0 + 0.55 AS ymin
+                FROM supplier)
+            SELECT r.s_suppkey, count(*) AS n_boxes,
+                   CAST(sum(l.o_orderkey % 1000) AS BIGINT) AS key_mod_sum
+            FROM lb l, rb r
+            WHERE l.xmin <= r.xmin + 15.0 AND r.xmin <= l.xmin + l.w
+              AND l.ymin <= r.ymin + 11.0 AND r.ymin <= l.ymin + l.h
+            GROUP BY r.s_suppkey
+        """,
+        "geo_poly_contains_join": """
+            WITH lb AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 97 AS DOUBLE) * 2.0 + 0.05 AS xmin,
+                       CAST(o_orderkey * 7 % 89 AS DOUBLE) * 2.0 + 0.05 AS ymin,
+                       CAST(o_orderkey % 5 AS DOUBLE) + 1.3 AS w,
+                       CAST(o_orderkey % 3 AS DOUBLE) + 1.7 AS h
+                FROM orders),
+            rb AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 10 AS DOUBLE) * 20.0 + 0.55 AS xmin,
+                       CAST((s_suppkey // 10) % 10 AS DOUBLE) * 20.0 + 0.55 AS ymin
+                FROM supplier)
+            SELECT r.s_suppkey, count(*) AS n_inside,
+                   CAST(sum(l.o_orderkey % 1000) AS BIGINT) AS key_mod_sum
+            FROM lb l, rb r
+            WHERE l.xmin >= r.xmin AND l.xmin + l.w <= r.xmin + 15.0
+              AND l.ymin >= r.ymin AND l.ymin + l.h <= r.ymin + 11.0
+            GROUP BY r.s_suppkey
         """,
         "embed_knn_lsh": _lsh_knn_oracle_sql(),
         # nprobe = n_clusters in the gate query makes IVF provably exact,

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..geom import algos, wkb, wkt
+from ..geom import algos, batch, wkb, wkt
 from ..geom.ragged import MISSING, RaggedGeometry
 from ..sparktypes import GEOM_TYPE
 
@@ -76,43 +76,39 @@ def simplify(g, tolerance: float):
 
 # ---- binary row-aligned ops ----------------------------------------------
 
+def _masked_bool_series(vals: np.ndarray, r1, r2) -> pd.Series:
+    valid = (r1.gt != MISSING) & (r2.gt != MISSING)
+    out = np.empty(len(vals), dtype=object)
+    out[:] = [bool(v) if m else None for v, m in zip(vals, valid)]
+    return pd.Series(out, dtype="object")
+
+
 @pandas_udf(T.BooleanType())
 def intersects(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Exact intersects — whole-batch vectorized kernel (geom/batch.py):
+    the join-refine hot path runs as numpy array passes, not a per-row
+    Python loop (reference: per-candidate Rust, spatial_index.rs:89-137)."""
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
-    out = []
-    for i in range(len(r1)):
-        if r1.gt[i] == MISSING or r2.gt[i] == MISSING:
-            out.append(None)
-        else:
-            out.append(algos.intersects_pair(r1.geom(i), r2.geom(i)))
-    return pd.Series(out, dtype="object")
+    return _masked_bool_series(batch.intersects(r1, r2), r1, r2)
 
 
 @pandas_udf(T.BooleanType())
 def contains(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Exact contains — vectorized (geom/batch.py); only holed subjects
+    drop to the scalar hole-coincidence probe."""
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
-    out = []
-    for i in range(len(r1)):
-        if r1.gt[i] == MISSING or r2.gt[i] == MISSING:
-            out.append(None)
-        else:
-            out.append(algos.contains_pair(r1.geom(i), r2.geom(i)))
-    return pd.Series(out, dtype="object")
+    return _masked_bool_series(batch.contains(r1, r2), r1, r2)
 
 
 @pandas_udf(T.DoubleType())
 def distance(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
-    """Row-aligned 1-to-1 min distance (reference geoseries.rs:146-149),
-    with a vectorized all-points fast path."""
+    """Row-aligned 1-to-1 min distance (reference geoseries.rs:146-149) —
+    whole-batch vectorized, with the all-points fast path kept."""
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
     if (len(r1) and np.all(r1.gt == 0) and np.all(r2.gt == 0)):
         d = np.sqrt((r1.xs - r2.xs) ** 2 + (r1.ys - r2.ys) ** 2)
         return pd.Series(d)
-    out = np.full(len(r1), np.nan)
-    for i in range(len(r1)):
-        if r1.gt[i] != MISSING and r2.gt[i] != MISSING:
-            out[i] = algos.distance_pair(r1.geom(i), r2.geom(i))
-    return pd.Series(out)
+    return pd.Series(batch.distance(r1, r2))
 
 
 # ---- geodesic lengths (iterative Vincenty / Karney-style) -----------------
@@ -279,30 +275,21 @@ def is_valid(g: pd.DataFrame) -> pd.Series:
 @pandas_udf(T.BooleanType())
 def touches(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
     """Boundaries meet, interiors disjoint (documented approximation —
-    see algos.touches_pair)."""
+    see algos.touches_pair) — whole-batch vectorized."""
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
-    return pd.Series([
-        None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
-        else algos.touches_pair(r1.geom(i), r2.geom(i))
-        for i in range(len(r1))], dtype="object")
+    return _masked_bool_series(batch.touches(r1, r2), r1, r2)
 
 
 @pandas_udf(T.BooleanType())
 def crosses(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
-    return pd.Series([
-        None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
-        else algos.crosses_pair(r1.geom(i), r2.geom(i))
-        for i in range(len(r1))], dtype="object")
+    return _masked_bool_series(batch.crosses(r1, r2), r1, r2)
 
 
 @pandas_udf(T.BooleanType())
 def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
-    return pd.Series([
-        None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
-        else algos.overlaps_pair(r1.geom(i), r2.geom(i))
-        for i in range(len(r1))], dtype="object")
+    return _masked_bool_series(batch.overlaps(r1, r2), r1, r2)
 
 
 @pandas_udf(GEOM_TYPE)

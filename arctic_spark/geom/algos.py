@@ -502,6 +502,8 @@ def contains_pair(g1, g2):
                     return False
         return True
     if gt1 in (POINT,) and gt2 in (POINT,):
+        if len(g1[1]) == 0 or len(xs2) == 0:
+            return False
         return g1[1][0] == xs2[0] and g1[2][0] == ys2[0]
     return False
 

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .geom import algos, ragged, wkb, wkt
+from .geom import algos, batch, ragged, wkb, wkt
 from .geom.ragged import MISSING
 from .functions.udfs import ragged_from_pdf, ragged_to_pdf
 from .sparktypes import GEOM_TYPE
@@ -38,14 +38,16 @@ def _geom_udf(fn):
     return f
 
 
-def _pair_bool_udf(fn):
+def _pair_bool_udf(batch_fn):
+    """Pairwise boolean predicate over whole-batch vectorized kernels
+    (geom/batch.py) — no per-row Python in the SQL surface either."""
     @pandas_udf(T.BooleanType())
     def f(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
         r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
-        return pd.Series([
-            None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
-            else fn(r1.geom(i), r2.geom(i)) for i in range(len(r1))],
-            dtype="object")
+        vals = batch_fn(r1, r2)
+        valid = (r1.gt != MISSING) & (r2.gt != MISSING)
+        return pd.Series([bool(v) if m else None
+                          for v, m in zip(vals, valid)], dtype="object")
     return f
 
 
@@ -105,10 +107,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     @pandas_udf(T.DoubleType())
     def st_distance(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
         r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
-        return pd.Series([
-            None if r1.gt[i] == MISSING or r2.gt[i] == MISSING
-            else algos.distance_pair(r1.geom(i), r2.geom(i))
-            for i in range(len(r1))], dtype="object").astype("float64")
+        return pd.Series(batch.distance(r1, r2))
 
     @pandas_udf(GEOM_TYPE)
     def st_buffer(g: pd.DataFrame, dist: pd.Series) -> pd.DataFrame:
@@ -151,9 +150,9 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_centroid_x": _scalar_udf(_centroid_coord(0), T.DoubleType()),
         "st_centroid_y": _scalar_udf(_centroid_coord(1), T.DoubleType()),
         "st_convexhull": _geom_udf(algos.convex_hull),
-        "st_intersects": _pair_bool_udf(algos.intersects_pair),
-        "st_contains": _pair_bool_udf(algos.contains_pair),
-        "st_touches": _pair_bool_udf(algos.touches_pair),
+        "st_intersects": _pair_bool_udf(batch.intersects),
+        "st_contains": _pair_bool_udf(batch.contains),
+        "st_touches": _pair_bool_udf(batch.touches),
         "st_distance": st_distance,
         "st_buffer": st_buffer,
         "st_simplify": st_simplify,

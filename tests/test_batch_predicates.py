@@ -1,0 +1,120 @@
+"""Parity tests: vectorized batch predicates (geom/batch.py) must agree
+with the scalar kernels (geom/algos.py) on a diverse randomized corpus —
+points, multipoints, lines, convex/concave/holed/multi polygons and
+empties. No Spark session needed; pure numpy."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from arctic_spark.geom import algos, batch, wkt
+from arctic_spark.geom.ragged import MISSING
+
+
+def _rand_wkt(rnd):
+    kind = rnd.choice(["pt", "mpt", "line", "mline", "poly", "cpoly",
+                       "dpoly", "mpoly", "empty"])
+
+    def pt():
+        return (round(rnd.uniform(-10, 10), 2), round(rnd.uniform(-10, 10), 2))
+
+    def ring(cx, cy, r, nv, rev=False):
+        ang = [2 * math.pi * i / nv for i in range(nv)]
+        if rev:
+            ang = ang[::-1]
+        pts = [(round(cx + r * math.cos(a), 3), round(cy + r * math.sin(a), 3))
+               for a in ang]
+        pts.append(pts[0])
+        return "(" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+
+    if kind == "pt":
+        x, y = pt()
+        return f"POINT ({x} {y})"
+    if kind == "mpt":
+        return "MULTIPOINT (" + ", ".join(
+            f"{x} {y}" for x, y in [pt() for _ in range(rnd.randint(1, 4))]) + ")"
+    if kind == "line":
+        return "LINESTRING (" + ", ".join(
+            f"{x} {y}" for x, y in [pt() for _ in range(rnd.randint(2, 5))]) + ")"
+    if kind == "mline":
+        parts = ["(" + ", ".join(
+            f"{x} {y}" for x, y in [pt() for _ in range(rnd.randint(2, 4))]) + ")"
+            for _ in range(rnd.randint(1, 3))]
+        return "MULTILINESTRING (" + ", ".join(parts) + ")"
+    if kind == "poly":
+        cx, cy = pt()
+        return "POLYGON (" + ring(cx, cy, rnd.uniform(1, 5),
+                                  rnd.randint(3, 7)) + ")"
+    if kind == "cpoly":  # star (concave)
+        cx, cy = pt()
+        nv = rnd.randint(5, 8)
+        pts = []
+        for i in range(nv * 2):
+            r = 4 if i % 2 == 0 else 1.5
+            a = math.pi * i / nv
+            pts.append((round(cx + r * math.cos(a), 3),
+                        round(cy + r * math.sin(a), 3)))
+        pts.append(pts[0])
+        return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in pts) + "))"
+    if kind == "dpoly":  # donut
+        cx, cy = pt()
+        return ("POLYGON (" + ring(cx, cy, 5, 8) + ", "
+                + ring(cx, cy, 2, 6, rev=True) + ")")
+    if kind == "mpoly":
+        cx, cy = pt()
+        return ("MULTIPOLYGON ((" + ring(cx, cy, 2, 5) + "), ("
+                + ring(cx + 8, cy + 8, 2, 5) + "))")
+    return rnd.choice(["POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY"])
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rnd = random.Random(1234)
+    n = 1200
+    w1 = [_rand_wkt(rnd) for _ in range(n)]
+    w2 = [_rand_wkt(rnd) for _ in range(n)]
+    return wkt.parse(w1), wkt.parse(w2), w1, w2
+
+
+def _scalar(fn, r1, r2):
+    out = []
+    for i in range(len(r1)):
+        if r1.gt[i] == MISSING or r2.gt[i] == MISSING:
+            out.append(None)
+        else:
+            out.append(fn(r1.geom(i), r2.geom(i)))
+    return out
+
+
+@pytest.mark.parametrize("name,scalar_fn,batch_fn", [
+    ("intersects", algos.intersects_pair, batch.intersects),
+    ("contains", algos.contains_pair, batch.contains),
+    ("touches", algos.touches_pair, batch.touches),
+    ("crosses", algos.crosses_pair, batch.crosses),
+    ("overlaps", algos.overlaps_pair, batch.overlaps),
+])
+def test_bool_predicate_parity(corpus, name, scalar_fn, batch_fn):
+    r1, r2, w1, w2 = corpus
+    expect = _scalar(scalar_fn, r1, r2)
+    got = batch_fn(r1, r2)
+    bad = [i for i, e in enumerate(expect)
+           if e is not None and bool(got[i]) != bool(e)]
+    assert not bad, (name, bad[:3],
+                     [(w1[i], w2[i]) for i in bad[:3]])
+
+
+def test_distance_parity(corpus):
+    r1, r2, w1, w2 = corpus
+    got = batch.distance(r1, r2)
+    for i in range(len(r1)):
+        if r1.gt[i] == MISSING or r2.gt[i] == MISSING:
+            assert np.isnan(got[i])
+            continue
+        e = algos.distance_pair(r1.geom(i), r2.geom(i))
+        if np.isnan(e):
+            assert np.isnan(got[i]), (i, w1[i], w2[i])
+        else:
+            assert got[i] == pytest.approx(e, rel=1e-12, abs=1e-12), \
+                (i, w1[i], w2[i])
