@@ -297,6 +297,20 @@ def geo_webmercator(spark, sf):
                     F.round(xy["y"], 4).alias("my"))
 
 
+def geo_lambert93(spark, sf):
+    """Arbitrary-CRS to_crs through the EPSG registry (SURVEY §2.2 #21,
+    reference ops/proj.rs:33-70 any-to-any): EPSG:4326 → EPSG:2154
+    (RGF93 / Lambert-93, LCC 2SP on GRS80). The oracle recomputes the
+    full closed-form LCC forward in DuckDB from raw EPSG parameters."""
+    c = _t(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 14 - 5).cast("double") + 0.25
+    lat = (F.col("c_custkey") * 3 % 10 + 41).cast("double") + 0.5
+    xy = transform_xy_struct(lon, lat, "EPSG:4326", "EPSG:2154")
+    return c.select("c_custkey",
+                    F.round(xy["x"], 4).alias("px"),
+                    F.round(xy["y"], 4).alias("py"))
+
+
 def geo_pip_join(spark, sf):
     """Distributed filter–refine spatial join (SURVEY §2.4): customer
     points in region strip polygons; grid-cell shuffle + native ray-cast
@@ -618,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_of_triangle": geo_centroid_of_triangle,
         "geo_haversine_length": geo_haversine_length,
         "geo_webmercator": geo_webmercator,
+        "geo_lambert93": geo_lambert93,
         "geo_pip_join": geo_pip_join,
         "geo_pip_join_large": geo_pip_join_large,
         "geo_dwithin_pairs": geo_dwithin_pairs,
@@ -1003,6 +1018,56 @@ def oracle_sql() -> dict[str, str]:
                    round(6378137.0 * radians(lon), 4) AS mx,
                    round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 4) AS my
             FROM t
+        """,
+        "geo_lambert93": """
+            WITH ell AS (
+                SELECT 6378137.0 AS a,
+                       (1.0/298.257222101) * (2 - 1.0/298.257222101) AS e2
+            ), par AS (
+                SELECT a, e2, sqrt(e2) AS e,
+                       radians(49.0) AS p1, radians(44.0) AS p2,
+                       radians(46.5) AS p0, radians(3.0) AS lam0,
+                       700000.0 AS fe, 6600000.0 AS fn
+                FROM ell
+            ), mt AS (
+                SELECT *,
+                       cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1)) AS m1,
+                       cos(p2)/sqrt(1 - e2*sin(p2)*sin(p2)) AS m2,
+                       tan(pi()/4 - p1/2)
+                           / pow((1 - e*sin(p1))/(1 + e*sin(p1)), e/2) AS t1,
+                       tan(pi()/4 - p2/2)
+                           / pow((1 - e*sin(p2))/(1 + e*sin(p2)), e/2) AS t2,
+                       tan(pi()/4 - p0/2)
+                           / pow((1 - e*sin(p0))/(1 + e*sin(p0)), e/2) AS t0
+                FROM par
+            ), nn AS (
+                SELECT *, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n FROM mt
+            ), cc AS (
+                SELECT *, m1/(n * pow(t1, n)) AS bigf FROM nn
+            ), k AS (
+                SELECT *, a * bigf * pow(t0, n) AS rho0 FROM cc
+            ), pts AS (
+                SELECT c_custkey,
+                       radians(CAST(c_custkey % 14 - 5 AS DOUBLE) + 0.25)
+                           AS lam,
+                       radians(CAST(c_custkey * 3 % 10 + 41 AS DOUBLE) + 0.5)
+                           AS phi
+                FROM customer
+            ), proj AS (
+                SELECT c_custkey, lam, phi,
+                       k.a * k.bigf * pow(
+                           tan(pi()/4 - phi/2)
+                           / pow((1 - k.e*sin(phi))/(1 + k.e*sin(phi)),
+                                 k.e/2),
+                           k.n) AS rho,
+                       k.n * (lam - k.lam0) AS th,
+                       k.fe, k.fn, k.rho0
+                FROM pts, k
+            )
+            SELECT c_custkey,
+                   round(fe + rho * sin(th), 4) AS px,
+                   round(fn + rho0 - rho * cos(th), 4) AS py
+            FROM proj
         """,
         "geo_pip_join": """
             SELECT r.r_name AS r_name, count(*) AS n_points

@@ -2,10 +2,35 @@
 
 The reference reprojects through PROJ (geopolars-geo/src/ops/proj.rs:33-70:
 one transformer per column, then a per-geometry decode→transform→reencode
-loop). This container has no PROJ/pyproj, so the engine implements the
-projection math directly as closed-form Spark SQL expressions over the
-GEOM struct's coordinate arrays — the transform runs JVM-side inside
-whole-stage codegen, per-coordinate, with no Python worker at all.
+loop) and accepts ANY pair of CRS. This container has no PROJ/pyproj, so
+the engine implements the projection math directly as closed-form Spark
+SQL expressions over the GEOM struct's coordinate arrays — the transform
+runs JVM-side inside whole-stage codegen, per-coordinate, with no Python
+worker at all.
+
+Any-to-any routing goes through the WGS84 lon/lat hub (matching
+ops/proj.rs:33-70's transformer semantics):
+
+    src grid → src-datum lon/lat → [Helmert → WGS84] →
+    [inverse Helmert → dst datum] → dst grid
+
+Engines (each parametrized by ellipsoid, so one implementation serves
+every datum):
+
+- geographic lon/lat (the hub)
+- spherical Web Mercator (EPSG:3857)
+- transverse Mercator — Krüger order-6 series (UTM zones, OSGB 27700,
+  US State Plane TM zones; sub-mm agreement with PROJ on WGS84)
+- Lambert conformal conic 2SP (EPSG:2263, Lambert-93, Europe LCC,
+  US State Plane LCC zones)
+- Lambert azimuthal equal-area (EPSG:3035)
+- 7-parameter Helmert (position-vector) datum shift via ECEF for
+  non-WGS84 datums (OSGB36, ED50)
+
+The registry at the bottom carries public EPSG parameter-table data for
+the grids users actually hit; adding a code is one dict entry — no new
+math. Unknown codes raise ``CRSError`` eagerly on the driver, mirroring
+the reference's ProjCreateError (geopolars-geo/src/error.rs:9-28).
 
 Expression-engineering note: Catalyst has no common-subexpression *tree*
 sharing at construction time, so naive fixed-point iterations (Newton for
@@ -16,18 +41,6 @@ Two tools keep every tree linear:
   ``transform(array(e), x -> f(x))[1]``;
 - iterations run inside ``aggregate(sequence(1, n), x0, step)`` where the
   accumulator is a lambda variable, so each round adds O(1) nodes.
-
-Supported CRS families (registry at the bottom):
-- EPSG:4326 geographic lon/lat (the hub — src→lonlat→dst)
-- EPSG:3857 / 900913 Web Mercator (spherical)
-- EPSG:326xx / 327xx WGS84 UTM zones north/south (transverse Mercator,
-  Krüger order-6 series, sub-mm vs PROJ)
-- EPSG:269xx NAD83 UTM zones (GRS80 ≈ WGS84 well below series error)
-- EPSG:2263 NAD83 / New York Long Island (ftUS) — Lambert conformal
-  conic 2SP (the reference's nybb fixture CRS, FIXTURES.md F4)
-
-Unknown codes raise ``CRSError`` eagerly on the driver, mirroring the
-reference's ProjCreateError (geopolars-geo/src/error.rs:9-28).
 """
 
 from __future__ import annotations
@@ -39,11 +52,26 @@ from pyspark.sql import functions as F
 
 from .functions.native import _g, _valid, geom_struct
 
-# WGS84 / GRS80 (flattening difference < 1e-10 — treated as equal)
-_A = 6378137.0
-_F = 1 / 298.257223563
+# ---------------------------------------------------------------------------
+# ellipsoids (public EPSG ellipsoid parameters: semi-major, inverse flat)
+# ---------------------------------------------------------------------------
+
+_WGS84 = (6378137.0, 298.257223563)
+_GRS80 = (6378137.0, 298.257222101)
+_AIRY1830 = (6377563.396, 299.3249646)
+_INTL1924 = (6378388.0, 297.0)
+
+_A = _WGS84[0]
+_F = 1 / _WGS84[1]
 _E2 = _F * (2 - _F)
 _E = math.sqrt(_E2)
+
+
+def _ell(e):
+    a, rf = e
+    f = 1.0 / rf
+    e2 = f * (2 - f)
+    return a, f, e2, math.sqrt(e2)
 
 
 class CRSError(ValueError):
@@ -85,92 +113,123 @@ def _webmerc_inv(x, y) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Transverse Mercator (UTM) — Krüger series, order 6
+# Transverse Mercator — Krüger series, order 6, any ellipsoid
 # ---------------------------------------------------------------------------
 
-_N_ = _F / (2 - _F)  # third flattening
-_N2, _N3, _N4, _N5, _N6 = _N_**2, _N_**3, _N_**4, _N_**5, _N_**6
-_A_CAP = _A / (1 + _N_) * (1 + _N2 / 4 + _N4 / 64 + _N6 / 256)
-_ALPHA = [
-    _N_ / 2 - 2 * _N2 / 3 + 5 * _N3 / 16 + 41 * _N4 / 180 - 127 * _N5 / 288,
-    13 * _N2 / 48 - 3 * _N3 / 5 + 557 * _N4 / 1440 + 281 * _N5 / 630,
-    61 * _N3 / 240 - 103 * _N4 / 140 + 15061 * _N5 / 26880,
-    49561 * _N4 / 161280 - 179 * _N5 / 168,
-    34729 * _N5 / 80640,
-]
-_BETA = [
-    _N_ / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - 1 * _N4 / 360 - 81 * _N5 / 512,
-    _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105,
-    17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480,
-    4397 * _N4 / 161280 - 11 * _N5 / 504,
-    4583 * _N5 / 161280,
-]
 _K0_UTM = 0.9996
+_FT_US = 1200.0 / 3937.0  # US survey foot in meters
+
+
+def _tm_consts(ellps):
+    """Per-ellipsoid Krüger constants (driver-side floats)."""
+    a, f, e2, e = _ell(ellps)
+    n = f / (2 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    A_cap = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = [
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880,
+        49561 * n4 / 161280 - 179 * n5 / 168,
+        34729 * n5 / 80640,
+    ]
+    beta = [
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - 1 * n4 / 360 - 81 * n5 / 512,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480,
+        4397 * n4 / 161280 - 11 * n5 / 504,
+        4583 * n5 / 161280,
+    ]
+    return {"A": A_cap, "alpha": alpha, "beta": beta, "e": e, "e2": e2}
+
+
+def _tm_m0(c, lat0):
+    """Meridian-arc northing of lat0 (series evaluated in Python)."""
+    if lat0 == 0.0:
+        return 0.0
+    phi = math.radians(lat0)
+    e = c["e"]
+    t = math.sinh(math.atanh(math.sin(phi)) - e * math.atanh(e * math.sin(phi)))
+    xi = math.atan(t)
+    return c["A"] * (xi + sum(a * math.sin(2 * j * xi)
+                              for j, a in enumerate(c["alpha"], 1)))
 
 
 def _atanh(x):
     return F.lit(0.5) * F.log((F.lit(1.0) + x) / (F.lit(1.0) - x))
 
 
-def _tm_fwd(lon, lat, lon0, k0, fe, fn) -> Column:
+def _tm_fwd(lon, lat, p) -> Column:
+    c = _tm_consts(p["ellps"])
+    k0, unit = p["k0"], p.get("unit", 1.0)
+    m0 = _tm_m0(c, p.get("lat0", 0.0))
+    e = c["e"]
     phi = F.radians(lat)
-    lam = F.radians(lon) - F.lit(math.radians(lon0))
+    lam = F.radians(lon) - F.lit(math.radians(p["lon0"]))
     t = F.sinh(_atanh(F.sin(phi))
-               - F.lit(_E) * _atanh(F.lit(_E) * F.sin(phi)))
+               - F.lit(e) * _atanh(F.lit(e) * F.sin(phi)))
+
     # bind (t, lam) once, then (xi, eta) once
     def with_t(s):
         xi = F.atan2(s["t"], F.cos(s["lam"]))
         eta = _atanh(F.sin(s["lam"]) / F.sqrt(F.lit(1.0) + s["t"] * s["t"]))
+
         def with_xieta(u):
             x = u["eta"]
             y = u["xi"]
-            for j, a in enumerate(_ALPHA, start=1):
+            for j, a in enumerate(c["alpha"], start=1):
                 x = x + F.lit(a) * F.cos(F.lit(2.0 * j) * u["xi"]) \
                     * F.sinh(F.lit(2.0 * j) * u["eta"])
                 y = y + F.lit(a) * F.sin(F.lit(2.0 * j) * u["xi"]) \
                     * F.cosh(F.lit(2.0 * j) * u["eta"])
-            return _xy(F.lit(fe) + F.lit(k0 * _A_CAP) * x,
-                       F.lit(fn) + F.lit(k0 * _A_CAP) * y)
+            return _xy(F.lit(p["fe"]) + F.lit(k0 * c["A"] / unit) * x,
+                       F.lit(p["fn"]) + (F.lit(k0 * c["A"] / unit) * y
+                                         - F.lit(k0 * m0 / unit)))
         return _let(F.struct(xi.alias("xi"), eta.alias("eta")), with_xieta)
     return _let(F.struct(t.alias("t"), lam.alias("lam")), with_t)
 
 
-def _tm_inv(x, y, lon0, k0, fe, fn) -> Column:
-    xi = (y - F.lit(fn)) / F.lit(k0 * _A_CAP)
-    eta = (x - F.lit(fe)) / F.lit(k0 * _A_CAP)
+def _tm_inv(x, y, p) -> Column:
+    c = _tm_consts(p["ellps"])
+    k0, unit = p["k0"], p.get("unit", 1.0)
+    m0 = _tm_m0(c, p.get("lat0", 0.0))
+    e, e2 = c["e"], c["e2"]
+    xi = ((y - F.lit(p["fn"])) * F.lit(unit) + F.lit(k0 * m0)) \
+        / F.lit(k0 * c["A"])
+    eta = (x - F.lit(p["fe"])) * F.lit(unit) / F.lit(k0 * c["A"])
 
     def with_xieta(u):
         xip = u["xi"]
         etap = u["eta"]
-        for j, b in enumerate(_BETA, start=1):
+        for j, b in enumerate(c["beta"], start=1):
             xip = xip - F.lit(b) * F.sin(F.lit(2.0 * j) * u["xi"]) \
                 * F.cosh(F.lit(2.0 * j) * u["eta"])
             etap = etap - F.lit(b) * F.cos(F.lit(2.0 * j) * u["xi"]) \
                 * F.sinh(F.lit(2.0 * j) * u["eta"])
 
-        def with_prime(p):
-            chi = F.asin(F.sin(p["xip"]) / F.cosh(p["etap"]))
+        def with_prime(pr):
+            chi = F.asin(F.sin(pr["xip"]) / F.cosh(pr["etap"]))
 
-            def with_chi(c):
+            def with_chi(ch):
                 # conformal → geodetic: tau/tau' Newton (Karney 2011 §3),
                 # run inside aggregate so the tree stays linear
                 def step(tau, _i):
-                    sigma = F.sinh(F.lit(_E) * _atanh(
-                        F.lit(_E) * tau / F.sqrt(F.lit(1.0) + tau * tau)))
+                    sigma = F.sinh(F.lit(e) * _atanh(
+                        F.lit(e) * tau / F.sqrt(F.lit(1.0) + tau * tau)))
                     taup = (tau * F.sqrt(F.lit(1.0) + sigma * sigma)
                             - sigma * F.sqrt(F.lit(1.0) + tau * tau))
-                    dtau = ((F.tan(c) - taup)
-                            * (F.lit(1.0) + F.lit(1 - _E2) * tau * tau)
-                            / (F.lit(1 - _E2)
+                    dtau = ((F.tan(ch) - taup)
+                            * (F.lit(1.0) + F.lit(1 - e2) * tau * tau)
+                            / (F.lit(1 - e2)
                                * F.sqrt((F.lit(1.0) + taup * taup)
                                         * (F.lit(1.0) + tau * tau))))
                     return tau + dtau
 
                 tau = F.aggregate(F.sequence(F.lit(1), F.lit(5)),
-                                  F.tan(c), lambda acc, i: step(acc, i))
-                lon = (F.lit(float(lon0))
-                       + F.degrees(F.atan2(F.sinh(p["etap"]),
-                                           F.cos(p["xip"]))))
+                                  F.tan(ch), lambda acc, i: step(acc, i))
+                lon = (F.lit(float(p["lon0"]))
+                       + F.degrees(F.atan2(F.sinh(pr["etap"]),
+                                           F.cos(pr["xip"]))))
                 return _xy(lon, F.degrees(F.atan(tau)))
             return _let(chi, with_chi)
         return _let(F.struct(xip.alias("xip"), etap.alias("etap")),
@@ -179,39 +238,38 @@ def _tm_inv(x, y, lon0, k0, fe, fn) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Lambert Conformal Conic (2SP) — e.g. EPSG:2263
+# Lambert Conformal Conic (2SP) — any ellipsoid
 # ---------------------------------------------------------------------------
 
-_FT_US = 1200.0 / 3937.0  # US survey foot in meters
-
-
 def _lcc_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+
     def m(phi):
-        return math.cos(phi) / math.sqrt(1 - _E2 * math.sin(phi) ** 2)
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
 
     def t(phi):
         return (math.tan(math.pi / 4 - phi / 2)
-                / ((1 - _E * math.sin(phi))
-                   / (1 + _E * math.sin(phi))) ** (_E / 2))
+                / ((1 - e * math.sin(phi))
+                   / (1 + e * math.sin(phi))) ** (e / 2))
 
     p1, p2, p0 = map(math.radians, (p["lat1"], p["lat2"], p["lat0"]))
     n = ((math.log(m(p1)) - math.log(m(p2)))
          / (math.log(t(p1)) - math.log(t(p2))))
     big_f = m(p1) / (n * t(p1) ** n)
-    rho0 = _A * big_f * t(p0) ** n
-    return n, big_f, rho0, math.radians(p["lon0"])
+    rho0 = a * big_f * t(p0) ** n
+    return a, e, n, big_f, rho0, math.radians(p["lon0"])
 
 
 def _lcc_fwd(lon, lat, p) -> Column:
     """fe/fn and output are in the CRS's native unit (p['unit'] meters per
     unit); rho math is in meters."""
-    n, big_f, rho0, lam0 = _lcc_consts(p)
-    unit = p["unit"]
+    a, e, n, big_f, rho0, lam0 = _lcc_consts(p)
+    unit = p.get("unit", 1.0)
     phi = F.radians(lat)
     tcol = (F.tan(F.lit(math.pi / 4) - phi / 2)
-            / F.pow((F.lit(1.0) - F.lit(_E) * F.sin(phi))
-                    / (F.lit(1.0) + F.lit(_E) * F.sin(phi)), F.lit(_E / 2)))
-    rho = F.lit(_A * big_f) * F.pow(tcol, F.lit(n))
+            / F.pow((F.lit(1.0) - F.lit(e) * F.sin(phi))
+                    / (F.lit(1.0) + F.lit(e) * F.sin(phi)), F.lit(e / 2)))
+    rho = F.lit(a * big_f) * F.pow(tcol, F.lit(n))
     th = F.lit(n) * (F.radians(lon) - F.lit(lam0))
 
     def with_rho_th(s):
@@ -223,8 +281,8 @@ def _lcc_fwd(lon, lat, p) -> Column:
 
 
 def _lcc_inv(x, y, p) -> Column:
-    n, big_f, rho0, lam0 = _lcc_consts(p)
-    unit = p["unit"]
+    a, e, n, big_f, rho0, lam0 = _lcc_consts(p)
+    unit = p.get("unit", 1.0)
     xm = (x - F.lit(p["fe"])) * F.lit(unit)
     ym = (y - F.lit(p["fn"])) * F.lit(unit)
 
@@ -232,7 +290,7 @@ def _lcc_inv(x, y, p) -> Column:
         rho_s = F.sqrt(s["xm"] * s["xm"]
                        + (F.lit(rho0) - s["ym"]) * (F.lit(rho0) - s["ym"]))
         rho_s = F.when(F.lit(n) < 0, -rho_s).otherwise(rho_s)
-        tp = F.pow(rho_s / F.lit(_A * big_f), F.lit(1.0 / n))
+        tp = F.pow(rho_s / F.lit(a * big_f), F.lit(1.0 / n))
         th = F.atan2(s["xm"], F.lit(rho0) - s["ym"])
 
         def with_tp(tpv):
@@ -240,9 +298,9 @@ def _lcc_inv(x, y, p) -> Column:
             def step(phi, _i):
                 return (F.lit(math.pi / 2)
                         - F.lit(2.0) * F.atan(tpv * F.pow(
-                            (F.lit(1.0) - F.lit(_E) * F.sin(phi))
-                            / (F.lit(1.0) + F.lit(_E) * F.sin(phi)),
-                            F.lit(_E / 2))))
+                            (F.lit(1.0) - F.lit(e) * F.sin(phi))
+                            / (F.lit(1.0) + F.lit(e) * F.sin(phi)),
+                            F.lit(e / 2))))
             phi0 = F.lit(math.pi / 2) - F.lit(2.0) * F.atan(tpv)
             phi = F.aggregate(F.sequence(F.lit(1), F.lit(6)), phi0,
                               lambda acc, i: step(acc, i))
@@ -252,18 +310,251 @@ def _lcc_inv(x, y, p) -> Column:
     return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
 
 
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal-Area (ellipsoidal, Snyder 1987 pp. 187-190)
+# e.g. EPSG:3035 ETRS89 / LAEA Europe
+# ---------------------------------------------------------------------------
+
+def _laea_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log((1 - e * s)
+                                                      / (1 + e * s)))
+
+    phi0 = math.radians(p["lat0"])
+    qp = q(math.pi / 2)
+    q0 = q(phi0)
+    beta0 = math.asin(q0 / qp)
+    rq = a * math.sqrt(qp / 2)
+    m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+    d = a * m0 / (rq * math.cos(beta0))
+    return a, e, e2, qp, beta0, rq, d, math.radians(p["lon0"])
+
+
+def _laea_fwd(lon, lat, p) -> Column:
+    a, e, e2, qp, beta0, rq, d, lam0 = _laea_consts(p)
+    phi = F.radians(lat)
+    lam = F.radians(lon) - F.lit(lam0)
+    s = F.sin(phi)
+    qcol = F.lit(1 - e2) * (s / (F.lit(1.0) - F.lit(e2) * s * s)
+                            - F.lit(1 / (2 * e))
+                            * F.log((F.lit(1.0) - F.lit(e) * s)
+                                    / (F.lit(1.0) + F.lit(e) * s)))
+
+    def with_q(qv):
+        beta = F.asin(F.least(F.lit(1.0), F.greatest(F.lit(-1.0),
+                                                     qv / F.lit(qp))))
+
+        def with_beta(b):
+            bcb = F.lit(math.cos(beta0)) * F.cos(b) * F.cos(lam)
+            bsb = F.lit(math.sin(beta0)) * F.sin(b)
+            bv = F.sqrt(F.lit(2.0) / (F.lit(1.0) + bsb + bcb))
+
+            def with_b(bb):
+                x = (F.lit(p["fe"])
+                     + F.lit(rq * d) * bb * F.cos(b) * F.sin(lam))
+                y = (F.lit(p["fn"])
+                     + F.lit(rq / d) * bb
+                     * (F.lit(math.cos(beta0)) * F.sin(b)
+                        - F.lit(math.sin(beta0)) * F.cos(b) * F.cos(lam)))
+                return _xy(x, y)
+            return _let(bv, with_b)
+        return _let(beta, with_beta)
+    return _let(qcol, with_q)
+
+
+def _laea_inv(x, y, p) -> Column:
+    a, e, e2, qp, beta0, rq, d, lam0 = _laea_consts(p)
+    xe = (x - F.lit(p["fe"])) / F.lit(d)
+    yn = (y - F.lit(p["fn"])) * F.lit(d)
+
+    def with_xy(s):
+        rho = F.sqrt(s["xe"] * s["xe"] + s["yn"] * s["yn"])
+        ce = F.lit(2.0) * F.asin(F.least(F.lit(1.0),
+                                         rho / F.lit(2 * rq)))
+
+        def with_ce(c):
+            # q at the point; guard rho→0 (projection center)
+            safe_rho = F.when(F.abs(rho) < 1e-12, F.lit(1.0)).otherwise(rho)
+            qv = F.when(
+                F.abs(rho) < 1e-12, F.lit(qp * math.sin(beta0))).otherwise(
+                F.lit(qp) * (F.cos(c) * F.lit(math.sin(beta0))
+                             + s["yn"] * F.sin(c)
+                             * F.lit(math.cos(beta0)) / safe_rho))
+            lon = F.lit(math.degrees(lam0)) + F.degrees(F.atan2(
+                s["xe"] * F.sin(c),
+                F.lit(math.cos(beta0)) * rho * F.cos(c)
+                - F.lit(math.sin(beta0)) * s["yn"] * F.sin(c)))
+
+            def with_q(qq):
+                # latitude from q: fixed-point (Snyder 3-16)
+                def step(phi, _i):
+                    sp = F.sin(phi)
+                    return phi + (
+                        F.pow(F.lit(1.0) - F.lit(e2) * sp * sp, F.lit(2.0))
+                        / (F.lit(2.0) * F.cos(phi))) * (
+                        qq / F.lit(1 - e2)
+                        - sp / (F.lit(1.0) - F.lit(e2) * sp * sp)
+                        + F.lit(1 / (2 * e))
+                        * F.log((F.lit(1.0) - F.lit(e) * sp)
+                                / (F.lit(1.0) + F.lit(e) * sp)))
+                phi0c = F.asin(F.least(F.lit(1.0), F.greatest(
+                    F.lit(-1.0), qq / F.lit(2.0))))
+                phi = F.aggregate(F.sequence(F.lit(1), F.lit(6)), phi0c,
+                                  lambda acc, i: step(acc, i))
+                return _xy(lon, F.degrees(phi))
+            return _let(qv, with_q)
+        return _let(ce, with_ce)
+    return _let(F.struct(xe.alias("xe"), yn.alias("yn")), with_xy)
+
+
+# ---------------------------------------------------------------------------
+# Helmert 7-parameter datum shift (position-vector convention) via ECEF
+# ---------------------------------------------------------------------------
+
+_AS = math.pi / (180.0 * 3600.0)  # arcsec → rad
+
+
+def _geodetic_to_ecef(lon, lat, ellps) -> Column:
+    a, f, e2, e = _ell(ellps)
+    phi = F.radians(lat)
+    lam = F.radians(lon)
+
+    def with_sp(sp):
+        nn = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp)
+
+        def with_n(n):
+            cp = F.cos(phi)
+            return F.struct(
+                (n * cp * F.cos(lam)).alias("X"),
+                (n * cp * F.sin(lam)).alias("Y"),
+                (n * F.lit(1 - e2) * sp).alias("Z"))
+        return _let(nn, with_n)
+    return _let(F.sin(phi), with_sp)
+
+
+def _ecef_to_geodetic(xyz, ellps) -> Column:
+    a, f, e2, e = _ell(ellps)
+
+    def with_xyz(s):
+        lon = F.degrees(F.atan2(s["Y"], s["X"]))
+        pr = F.sqrt(s["X"] * s["X"] + s["Y"] * s["Y"])
+
+        def with_p(p):
+            # iterate geodetic latitude (h≈0 starting point, 5 rounds)
+            def step(phi, _i):
+                sp = F.sin(phi)
+                nn = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp)
+                h = p / F.cos(phi) - nn
+                return F.atan2(s["Z"], p * (F.lit(1.0) - F.lit(e2)
+                                            * nn / (nn + h)))
+            phi0 = F.atan2(s["Z"], p * F.lit(1 - e2))
+            phi = F.aggregate(F.sequence(F.lit(1), F.lit(5)), phi0,
+                              lambda acc, i: step(acc, i))
+            return _xy(lon, F.degrees(phi))
+        return _let(pr, with_p)
+    return _let(xyz, with_xyz)
+
+
+def _helmert_apply(xyz, h, invert: bool) -> Column:
+    """Position-vector 7-parameter transform; ``h`` = (tx, ty, tz [m],
+    rx, ry, rz [arcsec], s [ppm]) taking the datum TO WGS84."""
+    tx, ty, tz, rx, ry, rz, s = h
+    if invert:
+        tx, ty, tz, rx, ry, rz, s = -tx, -ty, -tz, -rx, -ry, -rz, -s
+    rxr, ryr, rzr = rx * _AS, ry * _AS, rz * _AS
+    k = 1.0 + s * 1e-6
+
+    def with_xyz(c):
+        X, Y, Z = c["X"], c["Y"], c["Z"]
+        return F.struct(
+            (F.lit(tx) + F.lit(k) * (X - F.lit(rzr) * Y + F.lit(ryr) * Z))
+            .alias("X"),
+            (F.lit(ty) + F.lit(k) * (F.lit(rzr) * X + Y - F.lit(rxr) * Z))
+            .alias("Y"),
+            (F.lit(tz) + F.lit(k) * (-F.lit(ryr) * X + F.lit(rxr) * Y + Z))
+            .alias("Z"))
+    return _let(xyz, with_xyz)
+
+
+def _datum_to_wgs84_ll(ll, ellps, helmert) -> Column:
+    """lon/lat on `ellps`+datum → WGS84 lon/lat."""
+    def conv(s):
+        xyz = _geodetic_to_ecef(s["x"], s["y"], ellps)
+        xyz = _helmert_apply(xyz, helmert, invert=False)
+        return _ecef_to_geodetic(xyz, _WGS84)
+    return _let(ll, conv)
+
+
+def _wgs84_to_datum_ll(ll, ellps, helmert) -> Column:
+    def conv(s):
+        xyz = _geodetic_to_ecef(s["x"], s["y"], _WGS84)
+        xyz = _helmert_apply(xyz, helmert, invert=True)
+        return _ecef_to_geodetic(xyz, ellps)
+    return _let(ll, conv)
+
+
+# ---------------------------------------------------------------------------
+# EPSG registry (public parameter-table data)
+# ---------------------------------------------------------------------------
+
+# datum → WGS84 position-vector Helmert parameters
+_H_OSGB36 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+_H_ED50 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+
 # EPSG:2263 NAD83 / New York Long Island (ftUS): Lambert CC 2SP;
 # FE = 984250 ftUS (= 300000 m), FN = 0
 _EPSG_2263 = {
     "lat1": 41.03333333333333, "lat2": 40.66666666666666,
     "lat0": 40.16666666666666, "lon0": -74.0,
-    "fe": 984250.0, "fn": 0.0, "unit": _FT_US,
+    "fe": 984250.0, "fn": 0.0, "unit": _FT_US, "ellps": _GRS80,
 }
 
+_EPSG_TABLE: dict[int, tuple] = {
+    # OSGB 1936 / British National Grid — TM on Airy 1830 + Helmert
+    27700: ("tm", {"ellps": _AIRY1830, "lat0": 49.0, "lon0": -2.0,
+                   "k0": 0.9996012717, "fe": 400000.0, "fn": -100000.0,
+                   "datum": _H_OSGB36}),
+    # RGF93 / Lambert-93 (France) — LCC 2SP on GRS80
+    2154: ("lcc", {"lat1": 49.0, "lat2": 44.0, "lat0": 46.5, "lon0": 3.0,
+                   "fe": 700000.0, "fn": 6600000.0, "ellps": _GRS80}),
+    # ETRS89 / LCC Europe
+    3034: ("lcc", {"lat1": 35.0, "lat2": 65.0, "lat0": 52.0, "lon0": 10.0,
+                   "fe": 4000000.0, "fn": 2800000.0, "ellps": _GRS80}),
+    # ETRS89 / LAEA Europe
+    3035: ("laea", {"lat0": 52.0, "lon0": 10.0,
+                    "fe": 4321000.0, "fn": 3210000.0, "ellps": _GRS80}),
+    # NAD83 / Maryland (m) — State Plane LCC
+    26985: ("lcc", {"lat1": 39.45, "lat2": 38.3,
+                    "lat0": 37.666666666666664, "lon0": -77.0,
+                    "fe": 400000.0, "fn": 0.0, "ellps": _GRS80}),
+    # NAD83 / California zone 5 (ftUS) — State Plane LCC
+    2229: ("lcc", {"lat1": 35.46666666666667, "lat2": 34.03333333333333,
+                   "lat0": 33.5, "lon0": -118.0,
+                   "fe": 6561666.666666666, "fn": 1640416.6666666665,
+                   "unit": _FT_US, "ellps": _GRS80}),
+    # NAD83 / New York Central (m) — State Plane TM
+    32118: ("tm", {"ellps": _GRS80, "lat0": 40.0,
+                   "lon0": -76.58333333333333, "k0": 0.9999375,
+                   "fe": 250000.0, "fn": 0.0}),
+    # NAD83 / New York Long Island (ftUS)
+    2263: ("lcc", _EPSG_2263),
+}
 
-# ---------------------------------------------------------------------------
-# registry + dispatch
-# ---------------------------------------------------------------------------
+# ETRS89 / UTM zones 28N–38N (GRS80, no datum shift)
+for _z in range(28, 39):
+    _EPSG_TABLE[25800 + _z] = ("tm", {
+        "ellps": _GRS80, "lon0": 6 * _z - 183, "k0": _K0_UTM,
+        "fe": 500000.0, "fn": 0.0})
+# ED50 / UTM zones 28N–38N (International 1924 + 3-param shift)
+for _z in range(28, 39):
+    _EPSG_TABLE[23000 + _z] = ("tm", {
+        "ellps": _INTL1924, "lon0": 6 * _z - 183, "k0": _K0_UTM,
+        "fe": 500000.0, "fn": 0.0, "datum": _H_ED50})
+
 
 def _parse_crs(crs):
     c = _norm(crs)
@@ -276,29 +567,38 @@ def _parse_crs(crs):
             code = int(c[5:])
         except ValueError:
             raise CRSError(f"bad CRS {crs!r}")
-        if 32601 <= code <= 32660:
-            return "utm", (6 * (code - 32600) - 183, 0.0)
-        if 32701 <= code <= 32760:
-            return "utm", (6 * (code - 32700) - 183, 10_000_000.0)
+        if 32601 <= code <= 32660:  # WGS84 UTM north
+            return "tm", {"ellps": _WGS84, "lon0": 6 * (code - 32600) - 183,
+                          "k0": _K0_UTM, "fe": 500000.0, "fn": 0.0}
+        if 32701 <= code <= 32760:  # WGS84 UTM south
+            return "tm", {"ellps": _WGS84, "lon0": 6 * (code - 32700) - 183,
+                          "k0": _K0_UTM, "fe": 500000.0,
+                          "fn": 10_000_000.0}
         if 26901 <= code <= 26923:  # NAD83 UTM north
-            return "utm", (6 * (code - 26900) - 183, 0.0)
-        if code == 2263:
-            return "lcc", _EPSG_2263
-    raise CRSError(f"unsupported CRS {crs!r}; supported: EPSG:4326, "
-                   "EPSG:3857, UTM (EPSG:326xx/327xx/269xx), EPSG:2263")
+            return "tm", {"ellps": _GRS80, "lon0": 6 * (code - 26900) - 183,
+                          "k0": _K0_UTM, "fe": 500000.0, "fn": 0.0}
+        if code in _EPSG_TABLE:
+            return _EPSG_TABLE[code]
+    raise CRSError(
+        f"unsupported CRS {crs!r}; supported: EPSG:4326, EPSG:3857, UTM "
+        "(EPSG:326xx/327xx/269xx/258xx/230xx), OSGB 27700, Lambert-93 "
+        "2154, LCC 3034/2263/26985/2229, LAEA 3035, TM 32118 — extend "
+        "arctic_spark.proj._EPSG_TABLE with public EPSG parameters for "
+        "more")
 
 
 def _inv_struct(kind, params, x, y) -> Column:
-    """(x, y) in `kind` CRS → struct<x:lon, y:lat>."""
+    """(x, y) in `kind` CRS → struct<x:lon, y:lat> on the CRS's datum."""
     if kind == "lonlat":
         return _xy(x * F.lit(1.0), y * F.lit(1.0))
     if kind == "webmerc":
         return _webmerc_inv(x, y)
-    if kind == "utm":
-        lon0, fn = params
-        return _tm_inv(x, y, lon0, _K0_UTM, 500_000.0, fn)
+    if kind == "tm":
+        return _tm_inv(x, y, params)
     if kind == "lcc":
         return _lcc_inv(x, y, params)
+    if kind == "laea":
+        return _laea_inv(x, y, params)
     raise AssertionError(kind)
 
 
@@ -307,20 +607,38 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
         return _xy(lon * F.lit(1.0), lat * F.lit(1.0))
     if kind == "webmerc":
         return _webmerc_fwd(lon, lat)
-    if kind == "utm":
-        lon0, fn = params
-        return _tm_fwd(lon, lat, lon0, _K0_UTM, 500_000.0, fn)
+    if kind == "tm":
+        return _tm_fwd(lon, lat, params)
     if kind == "lcc":
         return _lcc_fwd(lon, lat, params)
+    if kind == "laea":
+        return _laea_fwd(lon, lat, params)
     raise AssertionError(kind)
+
+
+def _datum_of(kind, params):
+    if isinstance(params, dict) and params.get("datum") is not None:
+        return params["ellps"], params["datum"]
+    return None
+
+
+def _ll_transform(fk, fp, tk, tp, x, y) -> Column:
+    """Full hub chain: src grid → WGS84 lon/lat → dst grid."""
+    ll = _inv_struct(fk, fp, x, y)
+    src_d = _datum_of(fk, fp)
+    if src_d is not None:
+        ll = _datum_to_wgs84_ll(ll, src_d[0], src_d[1])
+    dst_d = _datum_of(tk, tp)
+    if dst_d is not None:
+        ll = _wgs84_to_datum_ll(ll, dst_d[0], dst_d[1])
+    return _let(ll, lambda s: _fwd_struct(tk, tp, s["x"], s["y"]))
 
 
 def transform_xy_struct(x, y, from_crs, to_crs) -> Column:
     """struct<x,y> of the transformed coordinate pair."""
     fk, fp = _parse_crs(from_crs)
     tk, tp = _parse_crs(to_crs)
-    ll = _inv_struct(fk, fp, x, y)
-    return _let(ll, lambda s: _fwd_struct(tk, tp, s["x"], s["y"]))
+    return _ll_transform(fk, fp, tk, tp, x, y)
 
 
 def transform_xy(x, y, from_crs, to_crs):
@@ -340,10 +658,8 @@ def transform_geom(g, from_crs, to_crs) -> Column:
     if (fk, fp) == (tk, tp):
         return g
 
-    pts = F.zip_with(
-        g["xs"], g["ys"],
-        lambda px, py: _let(_inv_struct(fk, fp, px, py),
-                            lambda s: _fwd_struct(tk, tp, s["x"], s["y"])))
+    pts = F.zip_with(g["xs"], g["ys"],
+                     lambda px, py: _ll_transform(fk, fp, tk, tp, px, py))
 
     def with_pts(p):
         return geom_struct(g["gt"],

@@ -88,6 +88,86 @@ def test_unknown_crs_raises():
         transform_xy(F.lit(0.0), F.lit(0.0), "EPSG:4326", "EPSG:99999")
 
 
+def test_lambert93_center_and_roundtrip(spark):
+    # Lambert-93 projection center (3°E, 46.5°N) → exactly (FE, FN)
+    x, y = _one(spark, "POINT (3 46.5)", "EPSG:4326", "EPSG:2154")
+    assert x == pytest.approx(700_000.0, abs=1e-6)
+    assert y == pytest.approx(6_600_000.0, abs=1e-6)
+    # Paris — coarse published anchor (±1 km) + exact round-trip
+    x, y = _one(spark, "POINT (2.3522 48.8566)", "EPSG:4326", "EPSG:2154")
+    assert x == pytest.approx(652_000, abs=2_000)
+    assert y == pytest.approx(6_862_000, abs=2_000)
+    lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:2154", "EPSG:4326")
+    assert lon == pytest.approx(2.3522, abs=1e-9)
+    assert lat == pytest.approx(48.8566, abs=1e-9)
+
+
+def test_osgb_datum_shift_roundtrip(spark):
+    # grid origin (49°N 2°W on OSGB36 datum) → exactly (FE, FN): inverse
+    # starts from the projected origin so no datum shift is involved there
+    lon, lat = _one(spark, "POINT (400000 -100000)", "EPSG:27700",
+                    "EPSG:27700")
+    # full WGS84 round-trip THROUGH the Helmert shift (both directions)
+    x, y = _one(spark, "POINT (-0.1276 51.5074)", "EPSG:4326", "EPSG:27700")
+    assert x == pytest.approx(530_000, abs=2_000)   # London ~ TQ 30 80
+    assert y == pytest.approx(180_500, abs=2_000)
+    # negated-parameter Helmert inverse carries an O(s^2) ~3-5 mm error
+    # (20.5 ppm scale term), the standard position-vector convention
+    lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:27700", "EPSG:4326")
+    assert lon == pytest.approx(-0.1276, abs=1e-7)  # ~1 cm
+    assert lat == pytest.approx(51.5074, abs=1e-7)
+
+
+def test_laea_europe_center_and_roundtrip(spark):
+    # EPSG:3035 center (10°E, 52°N) → exactly (FE, FN) = (4321000, 3210000)
+    x, y = _one(spark, "POINT (10 52)", "EPSG:4326", "EPSG:3035")
+    assert x == pytest.approx(4_321_000.0, abs=1e-6)
+    assert y == pytest.approx(3_210_000.0, abs=1e-6)
+    x, y = _one(spark, "POINT (24.9384 60.1699)", "EPSG:4326", "EPSG:3035")
+    lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:3035", "EPSG:4326")
+    assert lon == pytest.approx(24.9384, abs=1e-8)
+    assert lat == pytest.approx(60.1699, abs=1e-8)
+
+
+def test_ed50_utm_datum_shift(spark):
+    # ED50/UTM31 vs WGS84/UTM31 differ by the ED50 3-param shift (~200 m
+    # in western Europe); round-trip through the shift is exact
+    xw, yw = _one(spark, "POINT (5 52)", "EPSG:4326", "EPSG:32631")
+    xe, ye = _one(spark, "POINT (5 52)", "EPSG:4326", "EPSG:23031")
+    d = ((xw - xe) ** 2 + (yw - ye) ** 2) ** 0.5
+    assert 50 < d < 400
+    lon, lat = _one(spark, f"POINT ({xe} {ye})", "EPSG:23031", "EPSG:4326")
+    assert lon == pytest.approx(5.0, abs=1e-7)
+    assert lat == pytest.approx(52.0, abs=1e-7)
+
+
+def test_any_to_any_routing_matches_hub_composition(spark):
+    # 3857 → 2154 directly must equal 3857 → 4326 → 2154 step-wise
+    x1, y1 = _one(spark, "POINT (261845.71 6250962.06)", "EPSG:3857",
+                  "EPSG:2154")
+    lon, lat = _one(spark, "POINT (261845.71 6250962.06)", "EPSG:3857",
+                    "EPSG:4326")
+    x2, y2 = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", "EPSG:2154")
+    assert x1 == pytest.approx(x2, abs=1e-9)
+    assert y1 == pytest.approx(y2, abs=1e-9)
+
+
+def test_state_plane_ftus(spark):
+    # NAD83 / California zone 5 (EPSG:2229, US survey feet): LA city hall
+    x, y = _one(spark, "POINT (-118.2437 34.0522)", "EPSG:4326", "EPSG:2229")
+    assert x == pytest.approx(6_487_000, abs=10_000)  # ~6.49M ftUS
+    lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:2229", "EPSG:4326")
+    assert lon == pytest.approx(-118.2437, abs=1e-8)
+    assert lat == pytest.approx(34.0522, abs=1e-8)
+
+
+def test_etrs89_utm(spark):
+    # EPSG:25832 central meridian 9°E scaling: (9, 0) → (500000, 0)
+    x, y = _one(spark, "POINT (9 0)", "EPSG:4326", "EPSG:25832")
+    assert x == pytest.approx(500_000.0, abs=1e-3)
+    assert y == pytest.approx(0.0, abs=1e-3)
+
+
 def test_area_changes_under_projection(spark):
     # a ~1° square at the equator is ~111km × 111km in web mercator
     df = spark.createDataFrame(
