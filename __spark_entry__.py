@@ -403,6 +403,33 @@ def geo_utm_roundtrip(spark, sf):
                     (err_nano < 10.0).alias("roundtrip_under_10nano_deg"))
 
 
+def geo_dissolve_area(spark, sf):
+    """Polygon dissolve aggregate (SURVEY §2.3 unary_union, reference
+    roadmap geoseries.rst:104-111): each supplier contributes two
+    parametrically-offset 3x2 rectangles; st.unary_union merges them so
+    the dissolved area is inclusion-exclusion (12 − overlap), NOT the sum
+    of parts, and the corner-touch case must split into 2 parts. One
+    shuffle (groupBy key), per-group arrangement-union executor-side."""
+    s = _t(spark, sf, "supplier")
+    x0 = (F.col("s_suppkey") % 7).cast("double")
+    y0 = (F.col("s_suppkey") % 5).cast("double")
+    dx = (F.col("s_suppkey") % 4).cast("double")
+    dy = (F.col("s_suppkey") % 3).cast("double")
+    two = F.array(
+        F.struct(x0.alias("ax"), y0.alias("ay"),
+                 (x0 + 3).alias("bx"), (y0 + 2).alias("by")),
+        F.struct((x0 + dx).alias("ax"), (y0 + dy).alias("ay"),
+                 (x0 + dx + 3).alias("bx"), (y0 + dy + 2).alias("by")))
+    r = s.select("s_suppkey", F.explode(two).alias("r"))
+    g = st.make_envelope(F.col("r.ax"), F.col("r.ay"),
+                         F.col("r.bx"), F.col("r.by"))
+    agg = r.withColumn("g", g).groupBy("s_suppkey") \
+           .agg(st.unary_union(F.col("g")).alias("u"))
+    return agg.select("s_suppkey",
+                      F.round(st.area("u"), 6).alias("union_area"),
+                      st.num_parts("u").alias("n_parts"))
+
+
 def geo_collect_centroid(spark, sf):
     """Geo aggregation (SURVEY §2.6 custom geo aggregate): collect each
     nation's customer points into a MultiPoint, return its centroid and
@@ -638,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dwithin_pairs": geo_dwithin_pairs,
         "geo_explode_multipoint": geo_explode_multipoint,
         "geo_collect_centroid": geo_collect_centroid,
+        "geo_dissolve_area": geo_dissolve_area,
         "geo_utm_roundtrip": geo_utm_roundtrip,
         "geo_bbox_filter": geo_bbox_filter,
         "geo_poly_join": geo_poly_join,
@@ -1113,6 +1141,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 100 AS DOUBLE) + part_index AS x,
                    CAST(user_id % 100 AS DOUBLE) + 2 * part_index AS y
             FROM events, (SELECT 0 AS part_index UNION ALL SELECT 1) p
+        """,
+        "geo_dissolve_area": """
+            SELECT s_suppkey,
+                   round(12.0
+                         - greatest(0, 3 - CAST(s_suppkey % 4 AS DOUBLE))
+                         * greatest(0, 2 - CAST(s_suppkey % 3 AS DOUBLE)),
+                         6) AS union_area,
+                   CASE WHEN s_suppkey % 4 = 3 AND s_suppkey % 3 = 2
+                        THEN 2 ELSE 1 END AS n_parts
+            FROM supplier
         """,
         "geo_collect_centroid": """
             SELECT c_nationkey,

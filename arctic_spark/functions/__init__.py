@@ -72,9 +72,21 @@ __all__ = [
     "geom_struct", "boundary", "interiors", "z", "has_z", "geom_equals",
     "clip_by_rect", "buffer", "representative_point", "is_simple",
     "is_valid", "disjoint", "within", "covers", "collect_agg",
+    "unary_union",
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
     "intersection", "difference", "union", "symmetric_difference",
 ]
+
+
+def unary_union(g):
+    """Aggregate: dissolve a group's polygons into one merged
+    (Multi)Polygon — overlaps merged, interior boundaries removed, holes
+    emitted where coverage vanishes (GeoPandas ``unary_union``; reference
+    roadmap geoseries.rst:104-111). One collect_list shuffle, then the
+    arrangement-union kernel runs per group executor-side. For the
+    collect-without-dissolve variant (any geometry type), use
+    ``collect_agg``."""
+    return udfs.union_collected(F.collect_list(g))
 
 
 def disjoint(g1, g2):

@@ -74,6 +74,38 @@ def simplify(g, tolerance: float):
     return _simplify(g)
 
 
+@pandas_udf(GEOM_TYPE)
+def union_collected(groups: pd.Series) -> pd.DataFrame:
+    """Dissolve each collected array<GEOM> into one merged (Multi)Polygon
+    (GeoPandas ``unary_union``; reference roadmap geoseries.rst:104-111).
+    The heavy lifting is algos.union_polygons' boundary-arrangement
+    boolean union; this UDF is the Arrow boundary for the post-shuffle
+    per-group reduce, so at scale each group is dissolved on its own
+    executor after a single collect_list shuffle."""
+    gts, xs, ys, rings, parts = [], [], [], [], []
+    for arr in groups:
+        geoms = []
+        if arr is not None:
+            for e in arr:
+                if e is None or e.get("gt") is None:
+                    continue
+                geoms.append((int(e["gt"]),
+                              np.asarray(e["xs"], dtype=np.float64),
+                              np.asarray(e["ys"], dtype=np.float64),
+                              np.asarray(e["rings"], dtype=np.int64),
+                              np.asarray(e["parts"], dtype=np.int64)))
+        u = algos.union_polygons(geoms)
+        if u is None:
+            gts.append(None); xs.append(None); ys.append(None)
+            rings.append(None); parts.append(None)
+        else:
+            gts.append(int(u[0])); xs.append(u[1].tolist())
+            ys.append(u[2].tolist()); rings.append(u[3].tolist())
+            parts.append(u[4].tolist())
+    return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                         "ys": ys, "rings": rings, "parts": parts})
+
+
 # ---- binary row-aligned ops ----------------------------------------------
 
 def _masked_bool_series(vals: np.ndarray, r1, r2) -> pd.Series:

@@ -101,6 +101,23 @@ class GeoDataFrame:
     def explode(self):
         return self._wrap(st.explode_parts(self._df, self.geometry_column))
 
+    def dissolve(self, by=None, aggfunc="first"):
+        """GeoPandas ``dissolve``: group by ``by`` (or the whole frame)
+        and merge each group's polygons with ``st.unary_union``; other
+        columns are aggregated with ``aggfunc`` (any Spark aggregate
+        function name). One shuffle on the dissolve key, then the union
+        kernel runs per group executor-side."""
+        gcol = self.geometry_column
+        keys = [by] if isinstance(by, str) else list(by or [])
+        others = [c for c in self._df.columns if c != gcol and c not in keys]
+        aggs = [st.unary_union(F.col(gcol)).alias(gcol)]
+        aggs += [getattr(F, aggfunc)(c).alias(c) for c in others]
+        if keys:
+            out = self._df.groupBy(*keys).agg(*aggs)
+        else:
+            out = self._df.agg(*aggs)
+        return GeoDataFrame(out, geometry_column=gcol, crs=self.crs)
+
     def estimate_utm_crs(self):
         """EPSG code of the UTM zone containing the frame's centroid of
         bounds (reference roadmap geoseries.rst:139, GeoPandas
