@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..geom import algos, batch, wkb, wkt
+from ..geom import algos, batch, boolean, wkb, wkt
 from ..geom.ragged import MISSING, RaggedGeometry
 from ..sparktypes import GEOM_TYPE
 
@@ -326,30 +326,29 @@ def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
 
 @pandas_udf(GEOM_TYPE)
 def intersection(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """Row-aligned polygon ∩ simple-polygon (reference roadmap rst:71):
-    convex clips via Sutherland–Hodgman (subject holes preserved);
-    concave single-ring clips via ear-clipping triangulation (subject
-    must be hole-free)."""
-    return ragged_to_pdf(algos.intersection_simple(
-        ragged_from_pdf(g1), ragged_from_pdf(g2)))
+    """Row-aligned polygon ∩ polygon (reference roadmap rst:71) — fully
+    general since round 4: holed subjects, holed/concave/multi clips,
+    via the boundary-arrangement engine (geom/boolean.py)."""
+    return ragged_to_pdf(boolean.row_boolean(
+        ragged_from_pdf(g1), ragged_from_pdf(g2), "intersection"))
 
 
 @pandas_udf(GEOM_TYPE)
 def difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 − g2 (any simple single-ring g2, hole-free g1; rst:70)."""
-    return ragged_to_pdf(algos.difference_simple(
-        ragged_from_pdf(g1), ragged_from_pdf(g2)))
+    """g1 − g2 for arbitrary polygonal operands (rst:70)."""
+    return ragged_to_pdf(boolean.row_boolean(
+        ragged_from_pdf(g1), ragged_from_pdf(g2), "difference"))
 
 
 @pandas_udf(GEOM_TYPE)
 def union(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 ∪ g2 via disjoint decomposition (simple g2; rst:77)."""
-    return ragged_to_pdf(algos.union_simple(
-        ragged_from_pdf(g1), ragged_from_pdf(g2)))
+    """g1 ∪ g2 for arbitrary polygonal operands (rst:77)."""
+    return ragged_to_pdf(boolean.row_boolean(
+        ragged_from_pdf(g1), ragged_from_pdf(g2), "union"))
 
 
 @pandas_udf(GEOM_TYPE)
 def symmetric_difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """(g1−g2) ⊔ (g2−g1) (simple single-ring operands; rst:74)."""
-    return ragged_to_pdf(algos.symmetric_difference_simple(
-        ragged_from_pdf(g1), ragged_from_pdf(g2)))
+    """g1 Δ g2 for arbitrary polygonal operands (rst:74)."""
+    return ragged_to_pdf(boolean.row_boolean(
+        ragged_from_pdf(g1), ragged_from_pdf(g2), "symmetric_difference"))

@@ -689,44 +689,121 @@ def _buffer_convex_ring(x, y, dist, quad_segs):
     return (np.array([p[0] for p in out]), np.array([p[1] for p in out]))
 
 
+def _segment_capsule(ax, ay, bx, by, r, quad_segs):
+    """CCW capsule ring around segment (a→b): the two offset edges plus
+    a semicircular arc of 2*quad_segs chords at each end. A single
+    standalone capsule's exact polygon area is 2·r·L + m·r²·sin(π/m)
+    with m = 2*quad_segs (rectangle + two inscribed semicircle fans) —
+    the closed form the buffer oracle query replays."""
+    import math as _m
+    m = 2 * quad_segs
+    phi = _m.atan2(by - ay, bx - ax)
+    pts = []
+    for k in range(m + 1):                      # arc around b: φ-π/2 → φ+π/2
+        t = phi - _m.pi / 2 + _m.pi * k / m
+        pts.append((bx + r * _m.cos(t), by + r * _m.sin(t)))
+    for k in range(m + 1):                      # arc around a: φ+π/2 → φ+3π/2
+        t = phi + _m.pi / 2 + _m.pi * k / m
+        pts.append((ax + r * _m.cos(t), ay + r * _m.sin(t)))
+    pts.append(pts[0])
+    return (np.array([p[0] for p in pts]), np.array([p[1] for p in pts]))
+
+
+def _boundary_capsules(xs, ys, rings, r, quad_segs):
+    """One capsule tuple per non-degenerate boundary segment."""
+    caps = []
+    off = 0
+    for rl in rings:
+        for j in range(int(rl) - 1):
+            ax, ay = float(xs[off + j]), float(ys[off + j])
+            bx, by = float(xs[off + j + 1]), float(ys[off + j + 1])
+            if ax == bx and ay == by:
+                continue
+            cx, cy = _segment_capsule(ax, ay, bx, by, r, quad_segs)
+            caps.append((POLYGON, cx, cy,
+                         np.array([len(cx)], np.int32),
+                         np.array([1], np.int32)))
+        off += int(rl)
+    return caps
+
+
 def buffer(rg: RaggedGeometry, distance, quad_segs=8):
-    """Buffer. Implemented: points/multipoints (regular 4*quad_segs-gon
-    circles) and CONVEX hole-free polygons with positive distance (exact
-    edge-offset + corner-arc Minkowski sum). Lines / concave polygons /
-    negative distances need full offsetting — raise NotImplementedError,
-    documented partial support."""
+    """General buffer (reference roadmap geoseries.rst:85) — full
+    surface since round 4:
+
+    - Point/MultiPoint (d>0): regular 4·quad_segs-gon circles.
+    - LineString/MultiLineString (d>0): union of per-segment capsules
+      via the arrangement engine (round joins emerge from the end arcs).
+    - Polygon/MultiPolygon d>0: Minkowski dilation = A ∪ capsules(∂A)
+      (convex hole-free rings keep the exact closed-form offset path).
+    - Polygon d<0: erosion A ⊖ |d| = A − capsules(∂A, |d|) — points
+      farther than |d| from the boundary survive; rectangles shrink to
+      exact (W−2d)×(H−2d) rectangles (capsule straight edges, not arcs,
+      form the eroded boundary).
+    - d ≤ 0 on points/lines (and d == 0 on polygons → identity): empty.
+    """
+    from . import boolean as _bool
     n_v = 4 * quad_segs
     ang = np.linspace(0, 2 * np.pi, n_v, endpoint=False)
-    dx = distance * np.cos(ang)
-    dy = distance * np.sin(ang)
     gts, oxs, oys, orings, oparts = [], [], [], [], []
+
+    def emit(t):
+        if t is None or len(t[1]) == 0:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+        else:
+            gts.append(int(t[0])); oxs.append(np.asarray(t[1]).tolist())
+            oys.append(np.asarray(t[2]).tolist())
+            orings.append(np.asarray(t[3]).tolist())
+            oparts.append(np.asarray(t[4]).tolist())
+
     for i in range(len(rg)):
         g, xs, ys, rings, parts = rg.geom(i)
         if g == MISSING:
             gts.append(None); oxs.append(None); oys.append(None)
             orings.append(None); oparts.append(None)
             continue
+        polyish = g in (POLYGON, MULTIPOLYGON)
+        if distance == 0 and polyish:
+            emit((g, xs, ys, rings, parts))
+            continue
+        if distance <= 0 and not polyish:
+            emit(None)
+            continue
         if g == POLYGON and len(rings) == 1 and distance > 0 \
                 and _is_convex_ring(xs, ys):
             bx, by = _buffer_convex_ring(xs, ys, float(distance), quad_segs)
-            gts.append(POLYGON); oxs.append(bx.tolist())
-            oys.append(by.tolist()); orings.append([len(bx)])
-            oparts.append([1])
+            emit((POLYGON, bx, by, np.array([len(bx)], np.int32),
+                  np.array([1], np.int32)))
             continue
-        if g not in (POINT, MULTIPOINT):
-            raise NotImplementedError(
-                "buffer implemented for Point/MultiPoint and positive-"
-                "distance convex polygons (line/concave offsetting not "
-                "supported in this engine version)")
-        nx, ny, nr, npart = [], [], [], []
-        for px, py in zip(xs, ys):
-            cx = (px + dx).tolist() + [px + dx[0]]
-            cy = (py + dy).tolist() + [py + dy[0]]
-            nx.extend(cx); ny.extend(cy)
-            nr.append(n_v + 1); npart.append(1)
-        out_gt = POLYGON if len(npart) == 1 else MULTIPOLYGON
-        gts.append(out_gt); oxs.append(nx); oys.append(ny)
-        orings.append(nr); oparts.append(npart)
+        if g in (POINT, MULTIPOINT):
+            if distance <= 0:
+                emit(None)
+                continue
+            dx = distance * np.cos(ang)
+            dy = distance * np.sin(ang)
+            nx, ny, nr, npart = [], [], [], []
+            for px, py in zip(xs, ys):
+                cx = (px + dx).tolist() + [px + dx[0]]
+                cy = (py + dy).tolist() + [py + dy[0]]
+                nx.extend(cx); ny.extend(cy)
+                nr.append(n_v + 1); npart.append(1)
+            out_gt = POLYGON if len(npart) == 1 else MULTIPOLYGON
+            emit((out_gt, np.array(nx), np.array(ny),
+                  np.array(nr, np.int32), np.array(npart, np.int32)))
+            continue
+        caps = _boundary_capsules(xs, ys, rings, abs(float(distance)),
+                                  quad_segs)
+        if g in (LINESTRING, MULTILINESTRING):
+            emit(_bool.union_polygons(caps) if caps else None)
+            continue
+        # polygonal general path
+        subject = (POLYGON if g == POLYGON else MULTIPOLYGON,
+                   xs, ys, rings, parts)
+        if distance > 0:
+            emit(_bool._merge([subject] + caps, [], "dissolve"))
+        else:
+            emit(_bool._merge([subject], caps, "difference"))
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
@@ -953,11 +1030,10 @@ def overlaps_pair(g1, g2):
     return True
 
 
-# ---------------------------------------------------------------------------
-# set-theoretic: intersection with a CONVEX clip polygon
-# (Sutherland–Hodgman generalized beyond rectangles)
-# ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# convexity helper (used by the buffer fast path)
+# ---------------------------------------------------------------------------
 def _is_convex_ring(x, y):
     """Closed ring is convex (all cross products same sign, no reflex)."""
     n = len(x) - 1
@@ -978,660 +1054,13 @@ def _is_convex_ring(x, y):
     return sign != 0
 
 
-def _clip_ring_convex(sx, sy, cx, cy):
-    """Clip closed subject ring (sx, sy) by closed CONVEX clip ring
-    (cx, cy). Returns closed (x, y) arrays, possibly empty."""
-    # orient clip ring CCW
-    cr = (cx[:-1] * cy[1:] - cx[1:] * cy[:-1]).sum()
-    if cr < 0:
-        cx, cy = cx[::-1], cy[::-1]
-    pts = list(zip(sx[:-1], sy[:-1]))
-    n = len(cx) - 1
-    for i in range(n):
-        if not pts:
-            break
-        ex1, ey1, ex2, ey2 = cx[i], cy[i], cx[i + 1], cy[i + 1]
-
-        def inside(p):
-            return ((ex2 - ex1) * (p[1] - ey1)
-                    - (ey2 - ey1) * (p[0] - ex1)) >= 0
-
-        def isect(p, q):
-            dxs, dys = q[0] - p[0], q[1] - p[1]
-            dxe, dye = ex2 - ex1, ey2 - ey1
-            denom = dxs * dye - dys * dxe
-            t = ((ex1 - p[0]) * dye - (ey1 - p[1]) * dxe) / denom
-            return (p[0] + t * dxs, p[1] + t * dys)
-
-        out = []
-        m = len(pts)
-        for j in range(m):
-            cur, prv = pts[j], pts[j - 1]
-            ci, pi = inside(cur), inside(prv)
-            if ci:
-                if not pi:
-                    out.append(isect(prv, cur))
-                out.append(cur)
-            elif pi:
-                out.append(isect(prv, cur))
-        pts = out
-    if len(pts) < 3:
-        return np.empty(0), np.empty(0)
-    xs = np.array([p[0] for p in pts] + [pts[0][0]])
-    ys = np.array([p[1] for p in pts] + [pts[0][1]])
-    return xs, ys
-
-
-def intersection_convex(rg: RaggedGeometry, clip: RaggedGeometry):
-    """Row-aligned intersection of polygonal geometries with CONVEX
-    single-ring clip polygons (reference roadmap rst:71 intersection —
-    partial: general concave/holed clips raise). Holes in the SUBJECT
-    are clipped as rings and kept as holes."""
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        g, xs, ys, rings, parts = rg.geom(i)
-        gc, cxs, cys, crings, cparts = clip.geom(i)
-        if g == MISSING or gc == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        if gc != POLYGON or len(crings) != 1:
-            raise NotImplementedError(
-                "intersection implemented for single-ring convex clip "
-                "polygons only")
-        if not _is_convex_ring(cxs, cys):
-            raise NotImplementedError(
-                "intersection implemented for CONVEX clip polygons only")
-        if g not in (POLYGON, MULTIPOLYGON):
-            raise NotImplementedError(
-                "intersection subject must be polygonal")
-        nx, ny, nr, nparts = [], [], [], []
-        off = 0
-        ri = 0
-        for nrings in parts:
-            kept = 0
-            for j in range(nrings):
-                rl = rings[ri + j]
-                ox, oy = _clip_ring_convex(xs[off:off + rl],
-                                           ys[off:off + rl], cxs, cys)
-                if len(ox):
-                    nx.extend(ox.tolist()); ny.extend(oy.tolist())
-                    nr.append(len(ox)); kept += 1
-                elif j == 0:
-                    # exterior vanished: drop whole part incl. holes
-                    off += sum(rings[ri + k] for k in range(j, nrings))
-                    break
-                off += rl
-            else:
-                ri += nrings
-                if kept:
-                    nparts.append(kept)
-                continue
-            ri += nrings
-        if not nr:
-            gts.append(POLYGON); oxs.append([]); oys.append([])
-            orings.append([]); oparts.append([])
-        else:
-            out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
-            gts.append(out_gt); oxs.append(nx); oys.append(ny)
-            orings.append(nr); oparts.append(nparts)
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
-def _clip_ring_halfplane(pts, ex1, ey1, ex2, ey2, keep_left=True):
-    """Clip an OPEN vertex list by one directed edge's half-plane
-    (keep_left=True keeps points left of edge direction)."""
-    if not pts:
-        return []
-
-    def side(p):
-        v = (ex2 - ex1) * (p[1] - ey1) - (ey2 - ey1) * (p[0] - ex1)
-        return v if keep_left else -v
-
-    def isect(p, q):
-        dxs, dys = q[0] - p[0], q[1] - p[1]
-        dxe, dye = ex2 - ex1, ey2 - ey1
-        denom = dxs * dye - dys * dxe
-        t = ((ex1 - p[0]) * dye - (ey1 - p[1]) * dxe) / denom
-        return (p[0] + t * dxs, p[1] + t * dys)
-
-    out = []
-    m = len(pts)
-    for j in range(m):
-        cur, prv = pts[j], pts[j - 1]
-        ci, pi = side(cur) >= 0, side(prv) >= 0
-        if ci:
-            if not pi:
-                out.append(isect(prv, cur))
-            out.append(cur)
-        elif pi:
-            out.append(isect(prv, cur))
-    return out
-
-
-def _ccw_ring(x, y):
-    cr = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum()
-    return (x, y) if cr >= 0 else (x[::-1], y[::-1])
-
-
-def difference_convex(rg: RaggedGeometry, clip: RaggedGeometry):
-    """subject − clip for CONVEX single-ring clips and hole-free
-    polygonal subjects (reference roadmap rst:70 difference — partial).
-
-    Uses the angular decomposition of the convex complement: piece_i =
-    subject ∩ outside(edge_i) ∩ inside(edge_0..i−1); pieces are disjoint
-    and their union is exactly the difference, so the result is a valid
-    (Multi)Polygon with no dissolve step."""
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        g, xs, ys, rings, parts = rg.geom(i)
-        gc, cxs, cys, crings, cparts = clip.geom(i)
-        if g == MISSING or gc == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        if gc != POLYGON or len(crings) != 1 or not _is_convex_ring(cxs, cys):
-            raise NotImplementedError(
-                "difference implemented for single-ring CONVEX clip "
-                "polygons only")
-        if g not in (POLYGON, MULTIPOLYGON) or np.any(np.asarray(parts) != 1):
-            raise NotImplementedError(
-                "difference subject must be polygonal without holes")
-        cxs, cys = _ccw_ring(cxs, cys)
-        n_edges = len(cxs) - 1
-        nx, ny, nr, nparts = [], [], [], []
-        off = 0
-        for rl in rings:
-            sx, sy = xs[off:off + rl], ys[off:off + rl]
-            off += rl
-            for e in range(n_edges):
-                # piece_e: outside edge e, inside edges 0..e-1
-                pts = list(zip(sx[:-1], sy[:-1]))
-                pts = _clip_ring_halfplane(
-                    pts, cxs[e], cys[e], cxs[e + 1], cys[e + 1],
-                    keep_left=False)
-                for k in range(e):
-                    pts = _clip_ring_halfplane(
-                        pts, cxs[k], cys[k], cxs[k + 1], cys[k + 1],
-                        keep_left=True)
-                    if not pts:
-                        break
-                if len(pts) >= 3:
-                    px = [p[0] for p in pts] + [pts[0][0]]
-                    py = [p[1] for p in pts] + [pts[0][1]]
-                    # drop degenerate slivers (zero area)
-                    ax = np.array(px); ay = np.array(py)
-                    a = 0.5 * (ax[:-1] * ay[1:] - ax[1:] * ay[:-1]).sum()
-                    if abs(a) > 1e-12:
-                        nx.extend(px); ny.extend(py)
-                        nr.append(len(px)); nparts.append(1)
-        if not nr:
-            gts.append(POLYGON); oxs.append([]); oys.append([])
-            orings.append([]); oparts.append([])
-        else:
-            out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
-            gts.append(out_gt); oxs.append(nx); oys.append(ny)
-            orings.append(nr); oparts.append(nparts)
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
-def _merge_as_multi(a: RaggedGeometry, b: RaggedGeometry, i):
-    """Merge row i of two polygonal ragged batches into one Multi*."""
-    ga, xa, ya, ra, pa = a.geom(i)
-    gb, xb, yb, rb, pb = b.geom(i)
-    xs = list(xa) + list(xb)
-    ys = list(ya) + list(yb)
-    rings = list(ra) + list(rb)
-    parts = list(pa) + list(pb)
-    if not rings:
-        return POLYGON, [], [], [], []
-    gt = POLYGON if len(parts) == 1 else MULTIPOLYGON
-    return gt, xs, ys, rings, parts
-
-
-def union_convex(rg: RaggedGeometry, clip: RaggedGeometry):
-    """subject ∪ clip for convex clips and hole-free subjects: the
-    disjoint decomposition (subject − clip) ⊔ clip — geometrically exact
-    coverage with overlap counted once (rst:77 union — partial)."""
-    diff = difference_convex(rg, clip)
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        gt, xs, ys, rings, parts = _merge_as_multi(diff, clip, i)
-        gts.append(gt); oxs.append(xs); oys.append(ys)
-        orings.append(rings); oparts.append(parts)
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
-def symmetric_difference_convex(rg: RaggedGeometry, clip: RaggedGeometry):
-    """(a − b) ⊔ (b − a) for convex b and hole-free convex-or-concave a;
-    b − a additionally requires a to be convex (both directions use the
-    convex-complement decomposition). rst:74 — partial."""
-    d1 = difference_convex(rg, clip)
-    d2 = difference_convex(clip, rg)
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        gt, xs, ys, rings, parts = _merge_as_multi(d1, d2, i)
-        gts.append(gt); oxs.append(xs); oys.append(ys)
-        orings.append(rings); oparts.append(parts)
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
-def triangulate_ring(x, y):
-    """Ear-clipping triangulation of a simple closed ring (no holes).
-    Returns list of ((x1,y1),(x2,y2),(x3,y3)) triangles, CCW."""
-    # open vertex list, CCW orientation
-    cr = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum()
-    if cr < 0:
-        x, y = x[::-1], y[::-1]
-    verts = list(zip(x[:-1], y[:-1]))
-    # drop consecutive duplicates
-    verts = [v for i, v in enumerate(verts) if v != verts[i - 1]]
-    tris = []
-
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
-
-    def in_tri(p, a, b, c):
-        d1 = cross(a, b, p)
-        d2 = cross(b, c, p)
-        d3 = cross(c, a, p)
-        return d1 >= 0 and d2 >= 0 and d3 >= 0
-
-    guard = 0
-    while len(verts) > 3 and guard < 10000:
-        guard += 1
-        n = len(verts)
-        ear_found = False
-        for i in range(n):
-            a, b, c = verts[i - 1], verts[i], verts[(i + 1) % n]
-            if cross(a, b, c) <= 0:
-                continue  # reflex or degenerate
-            # no other vertex strictly inside the candidate ear
-            if any(in_tri(p, a, b, c) for j, p in enumerate(verts)
-                   if p not in (a, b, c)):
-                continue
-            tris.append((a, b, c))
-            del verts[i]
-            ear_found = True
-            break
-        if not ear_found:
-            # degenerate fallback: fan triangulation (correct for convex
-            # leftovers; best-effort otherwise)
-            break
-    if len(verts) == 3:
-        a, b, c = verts
-        if cross(a, b, c) != 0:
-            tris.append((a, b, c))
-    elif len(verts) > 3:
-        for i in range(1, len(verts) - 1):
-            tris.append((verts[0], verts[i], verts[i + 1]))
-    return tris
-
-
-def _single_ring_clip_to_triangles(cxs, cys):
-    """Clip polygon → list of convex (triangle) RaggedGeometry-style ring
-    arrays."""
-    tris = triangulate_ring(np.asarray(cxs, dtype=float),
-                            np.asarray(cys, dtype=float))
-    rings = []
-    for (a, b, c) in tris:
-        rings.append((np.array([a[0], b[0], c[0], a[0]]),
-                      np.array([a[1], b[1], c[1], a[1]])))
-    return rings
-
-
-def intersection_simple(rg: RaggedGeometry, clip: RaggedGeometry):
-    """Intersection with ANY simple (single-ring, hole-free) clip
-    polygon: convex clips delegate to the Sutherland–Hodgman path
-    (subject holes preserved); concave clips are ear-clipped into
-    triangles and the disjoint per-triangle intersections are emitted as
-    a MultiPolygon (subject must be hole-free on that path)."""
-
-    def row_rg(g, xs, ys, rings, parts):
-        return RaggedGeometry.from_pylists(
-            [int(g)], [list(xs)], [list(ys)], [list(rings)], [list(parts)])
-
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        g, xs, ys, rings, parts = rg.geom(i)
-        gc, cxs, cys, crings, cparts = clip.geom(i)
-        if g == MISSING or gc == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        if gc != POLYGON or len(crings) != 1:
-            raise NotImplementedError(
-                "intersection clip must be a single-ring polygon")
-        if g not in (POLYGON, MULTIPOLYGON):
-            raise NotImplementedError("intersection subject must be polygonal")
-        if _is_convex_ring(cxs, cys):
-            out = intersection_convex(row_rg(g, xs, ys, rings, parts),
-                                      row_rg(gc, cxs, cys, crings, cparts))
-            og, ox, oy, orr, opp = out.geom(0)
-            gts.append(int(og)); oxs.append(ox.tolist()); oys.append(oy.tolist())
-            orings.append(orr.tolist()); oparts.append(opp.tolist())
-            continue
-        if np.any(np.asarray(parts) != 1):
-            raise NotImplementedError(
-                "concave clip with holed subject not supported")
-        tri_rings = _single_ring_clip_to_triangles(cxs, cys)
-        nx, ny, nr, nparts = [], [], [], []
-        for (tx, ty) in tri_rings:
-            off = 0
-            for rl in rings:
-                ox, oy = _clip_ring_convex(xs[off:off + rl],
-                                           ys[off:off + rl], tx, ty)
-                if len(ox):
-                    ax = np.asarray(ox); ay = np.asarray(oy)
-                    a = 0.5 * (ax[:-1] * ay[1:] - ax[1:] * ay[:-1]).sum()
-                    if abs(a) > 1e-12:
-                        nx.extend(ox.tolist()); ny.extend(oy.tolist())
-                        nr.append(len(ox)); nparts.append(1)
-                off += rl
-        if not nr:
-            gts.append(POLYGON); oxs.append([]); oys.append([])
-            orings.append([]); oparts.append([])
-        else:
-            out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
-            gts.append(out_gt); oxs.append(nx); oys.append(ny)
-            orings.append(nr); oparts.append(nparts)
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
-def _row(g, xs, ys, rings, parts):
-    return RaggedGeometry.from_pylists(
-        [int(g)], [list(xs)], [list(ys)], [list(rings)], [list(parts)])
-
-
-def difference_simple(rg: RaggedGeometry, clip: RaggedGeometry):
-    """subject − clip for ANY simple single-ring clip (hole-free
-    subject): convex clips use the angular decomposition directly;
-    concave clips triangulate and apply a − t1 − t2 − … sequentially
-    (each step is a convex difference; intermediate results stay
-    hole-free multipolygons by construction)."""
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        g, xs, ys, rings, parts = rg.geom(i)
-        gc, cxs, cys, crings, cparts = clip.geom(i)
-        if g == MISSING or gc == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        if gc != POLYGON or len(crings) != 1:
-            raise NotImplementedError(
-                "difference clip must be a single-ring polygon")
-        if _is_convex_ring(cxs, cys):
-            out = difference_convex(_row(g, xs, ys, rings, parts),
-                                    _row(gc, cxs, cys, crings, cparts))
-        else:
-            out = _row(g, xs, ys, rings, parts)
-            for (tx, ty) in _single_ring_clip_to_triangles(cxs, cys):
-                out = difference_convex(
-                    out, _row(POLYGON, tx, ty, [len(tx)], [1]))
-                if out.coord_offsets[-1] == 0:
-                    break
-        og, ox, oy, orr, opp = out.geom(0)
-        gts.append(int(og)); oxs.append(ox.tolist()); oys.append(oy.tolist())
-        orings.append(orr.tolist()); oparts.append(opp.tolist())
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
-def union_simple(rg: RaggedGeometry, clip: RaggedGeometry):
-    """subject ∪ clip for any simple single-ring clip: disjoint
-    decomposition (subject − clip) ⊔ clip."""
-    diff = difference_simple(rg, clip)
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        gt, xs, ys, rings, parts = _merge_as_multi(diff, clip, i)
-        gts.append(gt); oxs.append(xs); oys.append(ys)
-        orings.append(rings); oparts.append(parts)
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
-def symmetric_difference_simple(rg: RaggedGeometry, clip: RaggedGeometry):
-    """(a − b) ⊔ (b − a) for simple single-ring a and b (hole-free)."""
-    d1 = difference_simple(rg, clip)
-    d2 = difference_simple(clip, rg)
-    gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(rg)):
-        if rg.gt[i] == MISSING or clip.gt[i] == MISSING:
-            gts.append(None); oxs.append(None); oys.append(None)
-            orings.append(None); oparts.append(None)
-            continue
-        gt, xs, ys, rings, parts = _merge_as_multi(d1, d2, i)
-        gts.append(gt); oxs.append(xs); oys.append(ys)
-        orings.append(rings); oparts.append(parts)
-    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
-
-
 # ---------------------------------------------------------------------------
-# polygon dissolve (unary_union) — boundary-arrangement boolean union
+# set-theoretic ops + polygon dissolve (unary_union)
+#
+# Since round 4 both live in the generalized boundary-arrangement engine
+# (geom/boolean.py): grid-pruned vectorized edge splitting, binned
+# ray-cast side classification, per-op keep rules. Re-exported here for
+# backwards compatibility with round-3 call sites.
 # ---------------------------------------------------------------------------
 
-def _split_params(ax, ay, bx, by, cx, cy, dx, dy, eps=1e-12):
-    """Interior parameters t on segment AB where AB meets segment CD
-    (proper crossings, T-junctions, collinear-overlap endpoints)."""
-    rx, ry = bx - ax, by - ay
-    sx, sy = dx - cx, dy - cy
-    rxs = rx * sy - ry * sx
-    qpx, qpy = cx - ax, cy - ay
-    if abs(rxs) > eps:
-        t = (qpx * sy - qpy * sx) / rxs
-        u = (qpx * ry - qpy * rx) / rxs
-        if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
-            if eps < t < 1 - eps:
-                return [t]
-        return []
-    # parallel: non-collinear → no split
-    if abs(qpx * ry - qpy * rx) > eps * max(1.0, abs(rx) + abs(ry)):
-        return []
-    rr = rx * rx + ry * ry
-    if rr == 0:
-        return []
-    out = []
-    for px, py in ((cx, cy), (dx, dy)):
-        t = ((px - ax) * rx + (py - ay) * ry) / rr
-        if eps < t < 1 - eps:
-            out.append(t)
-    return out
-
-
-def _walk_rings(edges, key_digits=9):
-    """Stitch directed boundary edges (interior on the left) into closed
-    rings. At junction vertices the outgoing edge maximizing the CCW angle
-    from the reversed incoming direction is chosen, which keeps the
-    interior wedge free of other boundary edges."""
-    def key(p):
-        return (round(p[0], key_digits), round(p[1], key_digits))
-
-    out_by_start = {}
-    for i, (a, b) in enumerate(edges):
-        out_by_start.setdefault(key(a), []).append(i)
-    used = [False] * len(edges)
-    rings = []
-    for start in range(len(edges)):
-        if used[start]:
-            continue
-        ring = [edges[start][0]]
-        cur = start
-        for _guard in range(4 * len(edges) + 4):
-            used[cur] = True
-            a, b = edges[cur]
-            ring.append(b)
-            kb = key(b)
-            if kb == key(ring[0]):
-                break
-            cands = [i for i in out_by_start.get(kb, []) if not used[i]]
-            if not cands:
-                break
-            if len(cands) == 1:
-                cur = cands[0]
-                continue
-            din = math.atan2(b[1] - a[1], b[0] - a[0])
-            rev = din + math.pi
-            best, best_ang = cands[0], -1.0
-            for i in cands:
-                (ca, cb) = edges[i]
-                ang = (math.atan2(cb[1] - ca[1], cb[0] - ca[0])
-                       - rev) % (2 * math.pi)
-                if ang == 0.0:
-                    ang = 2 * math.pi
-                if ang > best_ang:
-                    best_ang, best = ang, i
-            cur = best
-        if len(ring) >= 4 and key(ring[0]) == key(ring[-1]):
-            rings.append(ring)
-    return rings
-
-
-def _ring_signed_area(ring):
-    s = 0.0
-    for i in range(len(ring) - 1):
-        s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
-    return 0.5 * s
-
-
-def union_polygons(geoms, eps_rel=1e-9):
-    """Dissolve a list of (gt, xs, ys, rings, parts) polygon tuples into
-    one (Multi)Polygon, merging overlaps (GeoPandas ``unary_union``;
-    reference roadmap geoseries.rst:104-111).
-
-    Boundary-arrangement construction: every edge of every input is split
-    at its intersections with all other edges; a sub-edge lies on the
-    union boundary iff exactly one of its two sides is covered by some
-    input polygon (midpoint ± a scale-relative normal offset, tested with
-    the exact hole-aware point_in_polygon). Surviving edges are oriented
-    interior-left and stitched into rings; CCW rings are shells, CW rings
-    holes, holes assigned to the smallest enclosing shell.
-
-    O(E^2) in the group's edge count — dissolve groups are expected to be
-    small relative to the table (the Spark plan shuffles once on the
-    dissolve key; this kernel runs per group inside an Arrow batch)."""
-    polys = []
-    for g in geoms:
-        if g is None or g[0] == MISSING:
-            continue
-        if g[0] not in (POLYGON, MULTIPOLYGON):
-            raise ValueError("unary_union dissolve supports polygon inputs; "
-                             f"got type id {g[0]}")
-        if len(g[1]):
-            polys.append(g)
-    if not polys:
-        return None
-
-    # 1. gather all boundary segments
-    segs = []
-    for g in polys:
-        _, xs, ys, rings, _parts = g
-        off = 0
-        for rl in rings:
-            for j in range(int(rl) - 1):
-                a = (float(xs[off + j]), float(ys[off + j]))
-                b = (float(xs[off + j + 1]), float(ys[off + j + 1]))
-                if a != b:
-                    segs.append((a, b))
-            off += int(rl)
-
-    span = 1.0
-    for g in polys:
-        if len(g[1]):
-            span = max(span, float(np.max(np.abs(g[1]))),
-                       float(np.max(np.abs(g[2]))))
-    eps = eps_rel * span
-
-    # 2. split every segment at intersections with every other
-    sub_edges = []
-    for i, (a, b) in enumerate(segs):
-        ts = [0.0, 1.0]
-        for j, (c, d) in enumerate(segs):
-            if i == j:
-                continue
-            ts.extend(_split_params(a[0], a[1], b[0], b[1],
-                                    c[0], c[1], d[0], d[1]))
-        ts = sorted(set(ts))
-        merged = [ts[0]]
-        for t in ts[1:]:
-            if t - merged[-1] > 1e-12:
-                merged.append(t)
-        ts = merged
-        for t0, t1 in zip(ts[:-1], ts[1:]):
-            p = (a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0)
-            q = (a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1)
-            if p != q:
-                sub_edges.append((p, q))
-
-    # 3. classify: keep edges with exactly one covered side, interior left
-    def covered(px, py):
-        return any(point_in_polygon(px, py, g[1], g[2], g[3], g[4])
-                   for g in polys)
-
-    boundary = []
-    for (p, q) in sub_edges:
-        mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
-        dx, dy = q[0] - p[0], q[1] - p[1]
-        ln = math.hypot(dx, dy)
-        if ln == 0:
-            continue
-        nx, ny = -dy / ln, dx / ln   # left normal
-        left = covered(mx + nx * eps, my + ny * eps)
-        right = covered(mx - nx * eps, my - ny * eps)
-        if left == right:
-            continue
-        boundary.append((p, q) if left else (q, p))
-
-    # collapse duplicate directed edges (coincident ring segments)
-    dedup = {}
-    for (p, q) in boundary:
-        k = (round(p[0], 9), round(p[1], 9), round(q[0], 9), round(q[1], 9))
-        dedup[k] = (p, q)
-    rings_out = _walk_rings(list(dedup.values()))
-
-    shells, holes = [], []
-    for r in rings_out:
-        a = _ring_signed_area(r)
-        if abs(a) < eps * eps:
-            continue
-        (shells if a > 0 else holes).append((abs(a), r))
-
-    if not shells:
-        return None
-
-    # 4. assign each hole to the smallest shell containing it
-    shells.sort(key=lambda t: t[0])
-    assembled = [[s[1]] for s in shells]
-    for ha, hr in holes:
-        hx = sum(p[0] for p in hr[:-1]) / (len(hr) - 1)
-        hy = sum(p[1] for p in hr[:-1]) / (len(hr) - 1)
-        for si, (sa, sr) in enumerate(shells):
-            if sa > ha:
-                sx = np.array([p[0] for p in sr])
-                sy = np.array([p[1] for p in sr])
-                if point_in_ring(hx, hy, sx, sy) >= 0:
-                    assembled[si].append(hr)
-                    break
-
-    xs_out, ys_out, rings_arr, parts_arr = [], [], [], []
-    for part in assembled:
-        parts_arr.append(len(part))
-        for r in part:
-            rings_arr.append(len(r))
-            xs_out.extend(p[0] for p in r)
-            ys_out.extend(p[1] for p in r)
-    gt = POLYGON if len(assembled) == 1 else MULTIPOLYGON
-    if gt == POLYGON:
-        parts_arr = [len(rings_arr)]
-    return (gt, np.array(xs_out), np.array(ys_out),
-            np.array(rings_arr, dtype=np.int32),
-            np.array(parts_arr, dtype=np.int32))
+from .boolean import union_polygons  # noqa: E402,F401

@@ -176,14 +176,17 @@ def test_intersection_convex(spark):
     assert r[1].a == pytest.approx(8.0)   # half of the 4x4 square
     assert r[2].e is True
     assert r[3].a == pytest.approx(36.0 - 4.0)  # 6x6 minus the hole
-    # concave clip works (triangulated path) — but a HOLED subject under
-    # a concave clip is the remaining unsupported combination
-    bad = spark.createDataFrame(
+    # HOLED subject under a CONCAVE clip — general since round 4
+    # (arrangement engine). The concave arrow (shoelace area 6) lies
+    # inside the donut's outer ring and misses the hole entirely (for
+    # x in [2,4] the arrow stays below y=1), so clip ∩ donut = 6.
+    holed = spark.createDataFrame(
         [(0, DONUT, "POLYGON ((0 0, 4 0, 2 1, 0 4, 0 0))")],
         "id int, w1 string, w2 string") \
         .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
-    with pytest.raises(Exception, match="holed subject"):
-        bad.withColumn("i", st.intersection("g1", "g2")).collect()
+    hr = holed.withColumn("i", st.intersection("g1", "g2")) \
+        .select(st.area("i").alias("a")).collect()[0]
+    assert hr.a == pytest.approx(6.0)
 
 
 def test_difference_union_symdiff(spark):
