@@ -267,8 +267,10 @@ def clip_by_rect(g, xmin: float, ymin: float, xmax: float, ymax: float):
 
 
 def buffer(g, distance: float, quad_segs: int = 8):
-    """Buffer (rst:85) — Point/MultiPoint circles; line/polygon
-    offsetting raises NotImplementedError (documented partial)."""
+    """Buffer (rst:85) — fully general since round 4: point/multipoint
+    circles, line capsule unions, convex and concave polygons (incl.
+    holes), and negative distances (erosion), all via the arrangement
+    engine (geom/boolean.py)."""
     @pandas_udf(GEOM_TYPE)
     def _buffer(gg: pd.DataFrame) -> pd.DataFrame:
         return ragged_to_pdf(algos.buffer(ragged_from_pdf(gg), distance,

@@ -454,6 +454,10 @@ def contains_pair(g1, g2):
     + no boundary crossing."""
     gt1 = g1[0]
     gt2, xs2, ys2, r2, p2 = g2
+    # EMPTY operands: GEOS semantics — nothing contains EMPTY and EMPTY
+    # contains nothing.
+    if len(g1[1]) == 0 or len(xs2) == 0:
+        return False
     if gt1 in (POLYGON, MULTIPOLYGON):
         if gt2 in (POINT, MULTIPOINT):
             return all(point_in_polygon(px, py, g1[1], g1[2], g1[3], g1[4])

@@ -417,6 +417,10 @@ def contains(r1: RaggedGeometry, r2: RaggedGeometry) -> np.ndarray:
     n = len(r1)
     out = np.zeros(n, dtype=bool)
     valid = (r1.gt != MISSING) & (r2.gt != MISSING)
+    # EMPTY operands: GEOS semantics — nothing contains EMPTY and EMPTY
+    # contains nothing (the vacuous-True ALL reduce would otherwise say
+    # square.contains(POLYGON EMPTY) == True).
+    valid &= (np.diff(r1.coord_offsets) > 0) & (np.diff(r2.coord_offsets) > 0)
     poly1 = np.isin(r1.gt, _POLYISH) & valid
     p2 = np.isin(r2.gt, _POINTISH)
     # polygon contains point(s): ALL vertices inside

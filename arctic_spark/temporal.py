@@ -73,9 +73,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         elif isinstance(ts_type, (T.LongType, T.IntegerType,
                                   T.ShortType, T.ByteType)):
             # integral ts (e.g. nanos-as-long events): stay in longs —
-            # a cast to double is lossy past 2^53 (epoch nanos is ~2^60)
+            # a cast to double is lossy past 2^53 (epoch nanos is ~2^60).
+            # tolerance must be integral too: a float literal would
+            # promote the whole comparison back to double.
+            if float(tolerance) != int(tolerance):
+                raise ValueError(
+                    "asof_join: fractional tolerance %r is ambiguous for "
+                    "an integral timestamp column %r — pass an int in the "
+                    "column's own unit" % (tolerance, on))
             lval, rval = F.col("__ts"), rc["__rts"]
-            tol = F.lit(tolerance)
+            tol = F.lit(int(tolerance))
         else:
             lval = F.col("__ts").cast("double")
             rval = rc["__rts"].cast("double")

@@ -118,3 +118,30 @@ def test_distance_parity(corpus):
         else:
             assert got[i] == pytest.approx(e, rel=1e-12, abs=1e-12), \
                 (i, w1[i], w2[i])
+
+
+def test_empty_operand_semantics():
+    """GEOS semantics for EMPTY operands: every binary predicate is
+    False when either side is EMPTY (disjoint, its negation, is True).
+    Regression for contains(square, POLYGON EMPTY) returning vacuous
+    True (VERDICT r4 'What's wrong' #2)."""
+    empties = ["POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY"]
+    others = ["POINT (1 1)", "LINESTRING (0 0, 5 5)",
+              "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"]
+    lhs, rhs = [], []
+    for e in empties:
+        for o in others + empties:
+            lhs += [e, o]
+            rhs += [o, e]
+    r1, r2 = wkt.parse(lhs), wkt.parse(rhs)
+    preds = [("intersects", algos.intersects_pair, batch.intersects),
+             ("contains", algos.contains_pair, batch.contains),
+             ("touches", algos.touches_pair, batch.touches),
+             ("crosses", algos.crosses_pair, batch.crosses),
+             ("overlaps", algos.overlaps_pair, batch.overlaps)]
+    for name, scalar_fn, batch_fn in preds:
+        got = batch_fn(r1, r2)
+        for i in range(len(r1)):
+            assert scalar_fn(r1.geom(i), r2.geom(i)) is False, \
+                (name, lhs[i], rhs[i])
+            assert not bool(got[i]), (name, lhs[i], rhs[i])

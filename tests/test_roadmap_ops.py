@@ -55,10 +55,30 @@ def test_buffer_points(spark):
     import math
     assert r.t == 3
     assert r.a == pytest.approx(math.pi * 4, rel=0.01)  # 64-gon ≈ circle
-    # line buffers remain unsupported
-    with pytest.raises(Exception):
-        _df(spark, "LINESTRING (0 0, 5 5)") \
-            .withColumn("b", st.buffer("g", 1.0)).collect()
+
+
+def test_buffer_line_capsule(spark):
+    # line buffer = capsule: area = 2*r*L + pi*r^2 (to discretization)
+    import math
+    L = 5.0 * math.sqrt(2.0)
+    r = (_df(spark, "LINESTRING (0 0, 5 5)")
+         .withColumn("b", st.buffer("g", 1.0, quad_segs=16))
+         .select(st.area("b").alias("a")).collect()[0])
+    assert r.a == pytest.approx(2.0 * 1.0 * L + math.pi, rel=0.01)
+    # multi-segment polyline (right angle): same closed form holds for a
+    # convex-corner path (the corner fillet is a quarter disk)
+    r2 = (_df(spark, "LINESTRING (0 0, 4 0, 4 4)")
+          .withColumn("b", st.buffer("g", 0.5, quad_segs=16))
+          .select(st.area("b").alias("a")).collect()[0])
+    assert r2.a == pytest.approx(2.0 * 0.5 * 8.0 + math.pi * 0.25, rel=0.01)
+
+
+def test_buffer_negative(spark):
+    # erosion of a W x H rectangle by d: (W-2d) x (H-2d)
+    r = (_df(spark, "POLYGON ((0 0, 6 0, 6 4, 0 4, 0 0))")
+         .withColumn("b", st.buffer("g", -0.5))
+         .select(st.area("b").alias("a")).collect()[0])
+    assert r.a == pytest.approx(5.0 * 3.0, rel=1e-6)
 
 
 def test_representative_point(spark):
@@ -260,7 +280,10 @@ def test_buffer_convex_polygon(spark):
     out = df.withColumn("b", st.buffer("g", 1.0, quad_segs=16))
     r = out.select(st.area("b").alias("a")).collect()[0]
     assert r.a == pytest.approx(16 + 16 + math.pi, rel=0.01)
-    # concave polygon still raises
+    # concave L-shape, d=0.5: exact union area =
+    #   A + P*d + 5 convex quarter-disks - d^2 reflex-notch overlap
+    #   = 3 + 8*0.5 + 5*(pi/4)*0.25 - 0.25 = 6.75 + 0.3125*pi
     L = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
-    with pytest.raises(Exception, match="convex|concave"):
-        _df(spark, L).withColumn("b", st.buffer("g", 1.0)).collect()
+    rL = (_df(spark, L).withColumn("b", st.buffer("g", 0.5, quad_segs=16))
+          .select(st.area("b").alias("a")).collect()[0])
+    assert rL.a == pytest.approx(6.75 + 0.3125 * math.pi, rel=0.01)

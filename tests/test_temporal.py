@@ -120,3 +120,26 @@ def test_asof_fractional_tolerance(spark):
     out2 = asof_join(left, right, on="ts", by="k", right_on="rts",
                      right_by="k", tolerance=0.9)
     assert out2.collect()[0].v_right == 1.0
+
+
+def test_asof_long_ts_beyond_2pow53(spark):
+    """VERDICT r4 #3: integral (nanos-as-long) timestamps past 2^53 must
+    stay in long arithmetic — a double promotion would round the gap and
+    flip the tolerance boundary."""
+    base = 1_700_000_000_000_000_000  # epoch nanos, ~2^60.6
+    left = spark.createDataFrame(
+        [(base + 1_000_000_003, 1, "L")], "ts long, k long, tag string")
+    right = spark.createDataFrame(
+        [(base, 1, 1.0), (base + 1_000_000_000, 1, 2.0)],
+        "rts long, k long, v double")
+    # gap to latest right row is exactly 3 ns; double math rounds it to 0
+    keep = asof_join(left, right, on="ts", by="k", right_on="rts",
+                     right_by="k", tolerance=3)
+    assert keep.collect()[0].v_right == 2.0
+    drop = asof_join(left, right, on="ts", by="k", right_on="rts",
+                     right_by="k", tolerance=2)
+    assert drop.collect()[0].v_right is None
+    # fractional tolerance on an integral ts column is ambiguous: reject
+    with pytest.raises(ValueError, match="fractional tolerance"):
+        asof_join(left, right, on="ts", by="k", right_on="rts",
+                  right_by="k", tolerance=2.5)
