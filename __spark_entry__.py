@@ -509,6 +509,92 @@ def geo_poly_contains_join(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# boolean/overlay engine (geom/boolean.py): holed x concave intersection,
+# multi - multi difference, line-capsule buffer — each with a closed-form
+# interval-arithmetic oracle
+# ---------------------------------------------------------------------------
+
+def _const_poly(gt, xs, ys, rings, parts):
+    from arctic_spark.functions.native import geom_struct
+    return geom_struct(
+        F.lit(gt),
+        F.array(*[F.lit(float(v)) for v in xs]),
+        F.array(*[F.lit(float(v)) for v in ys]),
+        F.array(*[F.lit(int(v)) for v in rings]),
+        F.array(*[F.lit(int(v)) for v in parts]))
+
+
+def geo_boolean_intersection(spark, sf):
+    """General polygon intersection (SURVEY §2.3, geom/boolean.py): a
+    holed 'donut' square (outer [0,6]^2, hole [2,4]^2) intersected with
+    a per-supplier concave L-shape (tall left bar [x0,x0+2]x[0,6] plus
+    upper-right arm [x0+2,x0+4]x[y1,6]). Exercises holed-subject x
+    concave-clip arrangements; the area is pure interval algebra the
+    oracle replays. Fractional offsets keep every edge off the donut's
+    grid lines (no boundary-tie semantics)."""
+    s = _t(spark, sf, "supplier")
+    x0 = (F.col("s_suppkey") % 4).cast("double") + 0.15
+    y1 = (F.col("s_suppkey") % 3).cast("double") * 0.4 + 2.6
+    donut = _const_poly(3, [0, 6, 6, 0, 0, 2, 2, 4, 4, 2],
+                        [0, 0, 6, 6, 0, 2, 4, 4, 2, 2], [5, 5], [2])
+    z = F.lit(0.0)
+    six = F.lit(6.0)
+    ell = st.make_polygon(
+        F.array(x0, x0 + 2, x0 + 2, x0 + 4, x0 + 4, x0),
+        F.array(z, z, y1, y1, six, six))
+    df = s.select("s_suppkey", donut.alias("d"), ell.alias("l")) \
+          .withColumn("ix", st.intersection("d", "l"))
+    return df.select("s_suppkey",
+                     F.round(st.area("ix"), 6).alias("ix_area"))
+
+
+def geo_boolean_multidiff(spark, sf):
+    """MultiPolygon - MultiPolygon difference through the arrangement
+    engine: two disjoint subject squares each losing a parametric bite;
+    closed-form area and a structural part count."""
+    s = _t(spark, sf, "supplier")
+    u = (F.col("s_suppkey") % 4).cast("double") + 0.25
+    v = (F.col("s_suppkey") % 3).cast("double") + 0.35
+    subject = _const_poly(
+        6, [0, 4, 4, 0, 0, 10, 14, 14, 10, 10],
+        [0, 0, 3, 3, 0, 0, 0, 3, 3, 0], [5, 5], [1, 1])
+    from arctic_spark.functions.native import geom_struct
+    ylo1, yhi1 = F.lit(0.2), F.lit(2.2)
+    ylo2, yhi2 = F.lit(0.5), F.lit(2.5)
+    clip = geom_struct(
+        F.lit(6),
+        F.array(u, u + 2, u + 2, u, u,
+                10 + v, 12 + v, 12 + v, 10 + v, 10 + v),
+        F.array(ylo1, ylo1, yhi1, yhi1, ylo1,
+                ylo2, ylo2, yhi2, yhi2, ylo2),
+        F.array(F.lit(5), F.lit(5)), F.array(F.lit(1), F.lit(1)))
+    df = s.select("s_suppkey", subject.alias("a"), clip.alias("b")) \
+          .withColumn("d", st.difference("a", "b"))
+    return df.select("s_suppkey",
+                     F.round(st.area("d"), 6).alias("diff_area"),
+                     st.num_parts("d").cast("long").alias("n_parts"))
+
+
+def geo_buffer_line(spark, sf):
+    """Line buffer (general buffer path, geom/algos.buffer -> capsule +
+    arrangement dissolve): a single-segment line of parametric length
+    and orientation buffered by r=0.5; the capsule polygon's exact area
+    is 2*r*L + m*r^2*sin(pi/m) with m = 2*quad_segs (rectangle + two
+    inscribed semicircle fans), replayed by the oracle."""
+    s = _t(spark, sf, "supplier")
+    L = (F.col("s_suppkey") % 7).cast("double") + 1.5
+    th = (F.col("s_suppkey") % 8).cast("double") * 0.392699081698724
+    x0 = (F.col("s_suppkey") % 5).cast("double")
+    line = st.make_line(
+        F.array(x0, x0 + L * F.cos(th)),
+        F.array(F.lit(0.0), L * F.sin(th)))
+    df = s.select("s_suppkey", line.alias("g")) \
+          .withColumn("b", st.buffer("g", 0.5, quad_segs=8))
+    return df.select("s_suppkey",
+                     F.round(st.area("b"), 6).alias("buf_area"))
+
+
+# ---------------------------------------------------------------------------
 # beyond-reference: dedup / text / similarity
 # ---------------------------------------------------------------------------
 
@@ -670,6 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_filter": geo_bbox_filter,
         "geo_poly_join": geo_poly_join,
         "geo_poly_contains_join": geo_poly_contains_join,
+        "geo_boolean_intersection": geo_boolean_intersection,
+        "geo_boolean_multidiff": geo_boolean_multidiff,
+        "geo_buffer_line": geo_buffer_line,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
@@ -1339,6 +1428,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.xmin >= r.xmin AND l.xmin + l.w <= r.xmin + 15.0
               AND l.ymin >= r.ymin AND l.ymin + l.h <= r.ymin + 11.0
             GROUP BY r.s_suppkey
+        """,
+        "geo_boolean_intersection": """
+            WITH p AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 4 AS DOUBLE) + 0.15 AS x0,
+                       CAST(s_suppkey % 3 AS DOUBLE) * 0.4 + 2.6 AS y1
+                FROM supplier)
+            SELECT s_suppkey,
+                   round(12.0
+                         + (6.0 - y1) * least(2.0, 4.0 - x0)
+                         - 2.0 * greatest(0.0, least(x0 + 2.0, 4.0)
+                                          - greatest(x0, 2.0))
+                         - (4.0 - y1) * greatest(0.0, least(x0 + 4.0, 4.0)
+                                                 - greatest(x0 + 2.0, 2.0)),
+                         6) AS ix_area
+            FROM p
+        """,
+        "geo_boolean_multidiff": """
+            WITH p AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 4 AS DOUBLE) + 0.25 AS u,
+                       CAST(s_suppkey % 3 AS DOUBLE) + 0.35 AS v
+                FROM supplier)
+            SELECT s_suppkey,
+                   round(24.0 - 2.0 * (least(u + 2.0, 4.0) - u)
+                              - 2.0 * least(2.0, 4.0 - v), 6) AS diff_area,
+                   CAST(2 AS BIGINT) AS n_parts
+            FROM p
+        """,
+        "geo_buffer_line": """
+            SELECT s_suppkey,
+                   round((CAST(s_suppkey % 7 AS DOUBLE) + 1.5)
+                         + 4.0 * sin(pi() / 16.0), 6) AS buf_area
+            FROM supplier
         """,
         "embed_knn_lsh": _lsh_knn_oracle_sql(),
         # nprobe = n_clusters in the gate query makes IVF provably exact,

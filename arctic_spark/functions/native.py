@@ -681,18 +681,29 @@ def make_line(xs_arr, ys_arr) -> Column:
 
 def make_polygon(xs_arr, ys_arr) -> Column:
     """Single-ring polygon from aligned coordinate arrays; the ring is
-    closed automatically if open."""
+    closed automatically if open.
+
+    NB: the coordinate arrays are bound ONCE via _let before the closed
+    test / slice reference them — with computed arrays the duplicated
+    subtrees otherwise trip whole-stage codegen's subexpression
+    elimination into a forward reference ("isNull_n is not an rvalue",
+    janino compile error) and the stage silently drops to interpreted
+    mode."""
     xs_arr, ys_arr = _lit(xs_arr), _lit(ys_arr)
-    closed = ((F.element_at(xs_arr, 1) == F.element_at(xs_arr, -1))
-              & (F.element_at(ys_arr, 1) == F.element_at(ys_arr, -1)))
-    cxs = F.when(closed, xs_arr).otherwise(
-        F.concat(xs_arr, F.array(F.element_at(xs_arr, 1))))
-    cys = F.when(closed, ys_arr).otherwise(
-        F.concat(ys_arr, F.array(F.element_at(ys_arr, 1))))
+
+    def build(p):
+        axs, ays = p["x"], p["y"]
+        closed = ((F.element_at(axs, 1) == F.element_at(axs, -1))
+                  & (F.element_at(ays, 1) == F.element_at(ays, -1)))
+        n = F.size(axs) + F.when(closed, F.lit(0)).otherwise(F.lit(1))
+        cxs = F.slice(F.concat(axs, F.array(F.element_at(axs, 1))), 1, n)
+        cys = F.slice(F.concat(ays, F.array(F.element_at(ays, 1))), 1, n)
+        return geom_struct(F.lit(POLYGON), cxs, cys, F.array(n),
+                           F.array(F.lit(1)))
+
     return F.when(
         xs_arr.isNotNull() & ys_arr.isNotNull(),
-        geom_struct(F.lit(POLYGON), cxs, cys, F.array(F.size(cxs)),
-                    F.array(F.lit(1))))
+        _let(F.struct(xs_arr.alias("x"), ys_arr.alias("y")), build))
 
 
 def make_envelope(xmin, ymin, xmax, ymax) -> Column:
