@@ -482,14 +482,16 @@ def _supplier_rects(sf_df):
 
 
 def geo_poly_join(spark, sf):
-    """Polygon×polygon spatial join through the GENERAL refine path: the
-    vectorized pairwise-intersects kernel (geom/batch.py) runs on every
-    candidate — no per-row Python, no point fast path. Axis rectangles
-    on both sides keep the DuckDB oracle pure interval algebra while
-    Spark executes the full polygon kernel (segment crossings + PIP)."""
+    """Rectangle×rectangle spatial join on the 100%-native plan
+    (udf_refine=False): axis-rect pairs refine as pure interval algebra
+    on the hoisted bbox columns inside whole-stage codegen — zero Python
+    anywhere, the plan a tile/extent workload should run at 100 TB. The
+    general vectorized polygon kernel is gated separately by
+    geo_diamond_join."""
     boxes = _order_boxes(_t(spark, sf, "orders"))
     rects = _supplier_rects(_t(spark, sf, "supplier"))
-    out = spatial_join(boxes, rects, how="inner", broadcast_right=True)
+    out = spatial_join(boxes, rects, how="inner", broadcast_right=True,
+                       udf_refine=False)
     return (out.df.groupBy(F.col("s_suppkey_right").alias("s_suppkey"))
             .agg(F.count("*").alias("n_boxes"),
                  F.sum(F.col("o_orderkey_left") % 1000).cast("long")
@@ -497,11 +499,68 @@ def geo_poly_join(spark, sf):
 
 
 def geo_poly_contains_join(spark, sf):
-    """Polygon-contains-polygon join (vectorized contains kernel): count
-    order boxes fully inside each supplier rectangle."""
+    """Rect-contains-rect join, native interval-containment refine (see
+    geo_poly_join); the general contains kernel is gated by
+    geo_diamond_contains_join."""
     boxes = _order_boxes(_t(spark, sf, "orders"))
     rects = _supplier_rects(_t(spark, sf, "supplier"))
-    out = spatial_join(rects, boxes, how="inner", predicate="contains")
+    out = spatial_join(rects, boxes, how="inner", predicate="contains",
+                       udf_refine=False)
+    return (out.df.groupBy(F.col("s_suppkey_left").alias("s_suppkey"))
+            .agg(F.count("*").alias("n_inside"),
+                 F.sum(F.col("o_orderkey_right") % 1000).cast("long")
+                  .alias("key_mod_sum")))
+
+
+def _order_diamonds(sf_df):
+    """L1-ball 'diamonds' (45°-rotated squares) from order keys — NOT
+    axis rectangles, so the join refine must run the general vectorized
+    polygon kernel (geom/batch.py). Two L1 balls intersect iff the L1
+    distance of their centers is <= r1+r2, which keeps the DuckDB oracle
+    closed-form. Fractional radii/offsets are chosen so no candidate
+    pair ever has L1distance == r1+r2 (no boundary-tie semantics)."""
+    cx = (F.col("o_orderkey") % 97).cast("double") * 2.0 + 0.13
+    cy = (F.col("o_orderkey") * 7 % 89).cast("double") * 2.0 + 0.13
+    r = (F.col("o_orderkey") % 3).cast("double") * 0.6 + 1.37
+    return GeoDataFrame(sf_df.select(
+        "o_orderkey",
+        st.make_polygon(F.array(cx - r, cx, cx + r, cx),
+                        F.array(cy, cy - r, cy, cy + r)).alias("geometry")))
+
+
+def _supplier_diamonds(sf_df):
+    cx = (F.col("s_suppkey") % 10).cast("double") * 20.0 + 0.05
+    cy = (F.expr("s_suppkey div 10") % 10).cast("double") * 20.0 + 0.05
+    r = (F.col("s_suppkey") % 4).cast("double") * 1.1 + 2.9
+    return GeoDataFrame(sf_df.select(
+        "s_suppkey",
+        st.make_polygon(F.array(cx - r, cx, cx + r, cx),
+                        F.array(cy, cy - r, cy, cy + r)).alias("geometry")))
+
+
+def geo_diamond_join(spark, sf):
+    """Polygon×polygon join through the GENERAL refine path: diamonds on
+    both sides defeat every native fast path (not points, not axis
+    rects), so the whole-batch vectorized intersects kernel
+    (geom/batch.py) refines every candidate — the oracle is the L1-ball
+    intersection criterion."""
+    d1 = _order_diamonds(_t(spark, sf, "orders"))
+    d2 = _supplier_diamonds(_t(spark, sf, "supplier"))
+    out = spatial_join(d1, d2, how="inner", broadcast_right=True)
+    return (out.df.groupBy(F.col("s_suppkey_right").alias("s_suppkey"))
+            .agg(F.count("*").alias("n_hits"),
+                 F.sum(F.col("o_orderkey_left") % 1000).cast("long")
+                  .alias("key_mod_sum")))
+
+
+def geo_diamond_contains_join(spark, sf):
+    """Polygon-contains-polygon through the general vectorized contains
+    kernel: supplier diamond contains order diamond iff
+    L1dist(centers) + r_order <= r_supplier."""
+    d1 = _order_diamonds(_t(spark, sf, "orders"))
+    d2 = _supplier_diamonds(_t(spark, sf, "supplier"))
+    out = spatial_join(d2, d1, how="inner", predicate="contains",
+                       broadcast_right=False)
     return (out.df.groupBy(F.col("s_suppkey_left").alias("s_suppkey"))
             .agg(F.count("*").alias("n_inside"),
                  F.sum(F.col("o_orderkey_right") % 1000).cast("long")
@@ -756,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_filter": geo_bbox_filter,
         "geo_poly_join": geo_poly_join,
         "geo_poly_contains_join": geo_poly_contains_join,
+        "geo_diamond_join": geo_diamond_join,
+        "geo_diamond_contains_join": geo_diamond_contains_join,
         "geo_boolean_intersection": geo_boolean_intersection,
         "geo_boolean_multidiff": geo_boolean_multidiff,
         "geo_buffer_line": geo_buffer_line,
@@ -1427,6 +1488,44 @@ def oracle_sql() -> dict[str, str]:
             FROM lb l, rb r
             WHERE l.xmin >= r.xmin AND l.xmin + l.w <= r.xmin + 15.0
               AND l.ymin >= r.ymin AND l.ymin + l.h <= r.ymin + 11.0
+            GROUP BY r.s_suppkey
+        """,
+        "geo_diamond_join": """
+            WITH ld AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 97 AS DOUBLE) * 2.0 + 0.13 AS cx,
+                       CAST(o_orderkey * 7 % 89 AS DOUBLE) * 2.0 + 0.13 AS cy,
+                       CAST(o_orderkey % 3 AS DOUBLE) * 0.6 + 1.37 AS r
+                FROM orders),
+            rd AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 10 AS DOUBLE) * 20.0 + 0.05 AS cx,
+                       CAST((s_suppkey // 10) % 10 AS DOUBLE) * 20.0 + 0.05 AS cy,
+                       CAST(s_suppkey % 4 AS DOUBLE) * 1.1 + 2.9 AS r
+                FROM supplier)
+            SELECT r.s_suppkey, count(*) AS n_hits,
+                   CAST(sum(l.o_orderkey % 1000) AS BIGINT) AS key_mod_sum
+            FROM ld l, rd r
+            WHERE abs(l.cx - r.cx) + abs(l.cy - r.cy) <= l.r + r.r
+            GROUP BY r.s_suppkey
+        """,
+        "geo_diamond_contains_join": """
+            WITH ld AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 97 AS DOUBLE) * 2.0 + 0.13 AS cx,
+                       CAST(o_orderkey * 7 % 89 AS DOUBLE) * 2.0 + 0.13 AS cy,
+                       CAST(o_orderkey % 3 AS DOUBLE) * 0.6 + 1.37 AS r
+                FROM orders),
+            rd AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 10 AS DOUBLE) * 20.0 + 0.05 AS cx,
+                       CAST((s_suppkey // 10) % 10 AS DOUBLE) * 20.0 + 0.05 AS cy,
+                       CAST(s_suppkey % 4 AS DOUBLE) * 1.1 + 2.9 AS r
+                FROM supplier)
+            SELECT r.s_suppkey, count(*) AS n_inside,
+                   CAST(sum(l.o_orderkey % 1000) AS BIGINT) AS key_mod_sum
+            FROM ld l, rd r
+            WHERE abs(l.cx - r.cx) + abs(l.cy - r.cy) + l.r <= r.r
             GROUP BY r.s_suppkey
         """,
         "geo_boolean_intersection": """

@@ -77,11 +77,20 @@ def estimate_cell_size(df, geom_col="geometry", sample_fraction=0.01,
                         ("x0", "y0", "x1", "y1"))])
     if sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=42)
-    row = s.agg(F.avg(F.col("x1") - F.col("x0")).alias("w"),
+    agg_cols = [F.avg(F.col("x1") - F.col("x0")).alias("w"),
                 F.avg(F.col("y1") - F.col("y0")).alias("h"),
                 F.min("x0").alias("xmin"), F.max("x1").alias("xmax"),
                 F.min("y0").alias("ymin"), F.max("y1").alias("ymax"),
-                F.count("*").alias("n")).collect()[0]
+                F.count("*").alias("n")]
+    row = s.agg(*agg_cols).collect()[0]
+    if row.n == 0 or row.xmax is None:
+        # the sample missed every row (small table × small fraction) —
+        # a garbage cell size here mis-grids the whole join, so pay one
+        # unsampled pass over the (column-pruned) bounds instead
+        row = df.select(*[c.alias(n) for c, n in
+                          zip(native.bounds(F.col(geom_col)),
+                              ("x0", "y0", "x1", "y1"))]) \
+                .agg(*agg_cols).collect()[0]
     if row.n == 0 or row.xmax is None:
         return 1.0
     extent = max(row.xmax - row.xmin, row.ymax - row.ymin, 1e-9)
@@ -186,7 +195,8 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                       F.floor(F.col("__l_px") / csl).cast("int").alias("cx"),
                       F.floor(F.col("__l_py") / csl).cast("int").alias("cy"))))
     else:
-        lc = _with_cells(ldfs, lg, cell_size, "__l_")
+        lc = _with_cells(ldfs, lg, cell_size, "__l_") \
+            .withColumn("__l_rect", native.is_axis_rect(F.col(lg)))
     rc = _with_cells(rdfs, rg, cell_size, "__r_")
     # hoist the rectangle check to one column per right row (vs
     # re-deriving it for every candidate pair in the refine)
@@ -219,7 +229,7 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                      & (F.floor(iy / cs).cast("int") == F.col("__l_cell.cy")))
         helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
                        "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
-                       "__r_xmax", "__r_ymax", "__r_rect"]
+                       "__r_xmax", "__r_ymax", "__l_rect", "__r_rect"]
     if points_left:
         # refine directly with the materialized coordinates: rectangle
         # right → two interval tests on the precomputed bbox columns
@@ -237,7 +247,25 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                   .otherwise(_refine_predicate(lg, rg, predicate,
                                                udf_refine)))
     else:
-        refine = _refine_predicate(lg, rg, predicate, udf_refine)
+        # axis-rect × axis-rect pairs are pure interval algebra on the
+        # hoisted bbox columns — for 'intersects' the bbox_ok filter
+        # already IS the exact closed-interval test; for 'contains' it's
+        # interval containment (boundary-inclusive, matching the
+        # engine's documented covers-style contains). Zero geometry work,
+        # zero Python for rectangle workloads (tiles, extents, bboxes) —
+        # combined with udf_refine=False the whole refine stays inside
+        # whole-stage codegen.
+        both_rect = F.col("__l_rect") & F.col("__r_rect")
+        if predicate == "intersects":
+            rect_ans = F.lit(True)
+        else:
+            rect_ans = ((F.col("__l_xmin") <= F.col("__r_xmin"))
+                        & (F.col("__r_xmax") <= F.col("__l_xmax"))
+                        & (F.col("__l_ymin") <= F.col("__r_ymin"))
+                        & (F.col("__r_ymax") <= F.col("__l_ymax")))
+        refine = F.when(both_rect, rect_ans) \
+                  .otherwise(_refine_predicate(lg, rg, predicate,
+                                               udf_refine))
     matched = (joined.where(bbox_ok & canonical)
                .where(refine)
                .drop(*helper_cols))

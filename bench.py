@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "embed_cosine_topk",
     "geo_poly_join",
+    "geo_diamond_join",
     "geo_boolean_intersection",
     "geo_buffer_line",
 ]
