@@ -53,6 +53,15 @@ class GeoDataFrame:
         return (f"GeoDataFrame(geometry={self.geometry_column!r}, "
                 f"crs={self.crs!r}, df={self._df!r})")
 
+    def release(self, blocking: bool = False) -> int:
+        """Unpersist any cached intermediates a producing helper (left
+        spatial_join, mixed-type dwithin_join, ...) pinned on this
+        result; returns the number of handles freed. Call once the
+        output has reached its destination — Spark recomputes lineage
+        if the frame is consumed again."""
+        from .cache import release as _release
+        return _release(self, blocking=blocking)
+
     @property
     def geometry(self):
         return F.col(self.geometry_column)

@@ -135,7 +135,8 @@ def _refine_predicate(lg, rg, predicate, udf_refine=True):
 
 def spatial_join(left, right, how="inner", predicate="intersects",
                  lsuffix="_left", rsuffix="_right", cell_size=None,
-                 broadcast_right=None, udf_refine=True, points_left=False):
+                 broadcast_right=None, udf_refine=True, points_left=False,
+                 left_key=None):
     """Distributed filter–refine spatial join.
 
     Parameters mirror the reference's SpatialJoinArgs
@@ -146,6 +147,15 @@ def spatial_join(left, right, how="inner", predicate="intersects",
 
     ``broadcast_right=True`` forces a broadcast hash join on the cell id;
     ``None`` lets AQE decide from runtime sizes.
+
+    ``left_key`` (left joins only): column name or list of columns that
+    uniquely key the left side. With a key, the unmatched-row add-back
+    anti-joins on it directly — fully deterministic, NO persist of the
+    left table (the scale path: without a key a left join must pin the
+    whole id-tagged left side in MEMORY_AND_DISK for the lifetime of
+    the result). Persisted intermediates are pinned on the returned
+    GeoDataFrame — call ``result.release()`` (arctic_spark.cache) when
+    the output has been materialized.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"join type {how!r} not supported (reference "
@@ -169,16 +179,31 @@ def spatial_join(left, right, how="inner", predicate="intersects",
     rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])
     lg, rg = lgeom + lsuffix, rgeom + rsuffix
 
+    pinned_left = None
     if how == "left":
-        # left join needs a per-row identity that survives across the
-        # matched / unmatched plan branches. monotonically_increasing_id
-        # alone is non-deterministic under branch recomputation, so the
-        # id-tagged left side is persisted (pinning the ids) — this also
-        # works for column types Spark cannot compare (MapType), unlike a
-        # value-equality anti-join.
-        from pyspark import StorageLevel
-        ldfs = (ldfs.withColumn("__l_rowid", F.monotonically_increasing_id())
-                    .persist(StorageLevel.MEMORY_AND_DISK))
+        if left_key is not None:
+            # user-supplied unique key: deterministic identity, nothing
+            # to persist — the 100 TB plan
+            keys = [left_key] if isinstance(left_key, str) else list(left_key)
+            missing = [k for k in keys if k not in ldf.columns]
+            if missing:
+                raise ValueError(f"left_key column(s) {missing} not in "
+                                 f"left frame {ldf.columns}")
+            ldfs = ldfs.withColumn("__l_rowid", F.struct(
+                *[F.col(k + lsuffix) for k in keys]))
+        else:
+            # no key: identity must survive across the matched/unmatched
+            # plan branches. monotonically_increasing_id alone is
+            # non-deterministic under branch recomputation, so the
+            # id-tagged left side is persisted (pinning the ids) — this
+            # also works for column types Spark cannot compare (MapType),
+            # unlike a value-equality anti-join. The handle is pinned on
+            # the result for caller-driven release.
+            from pyspark import StorageLevel
+            ldfs = (ldfs.withColumn("__l_rowid",
+                                    F.monotonically_increasing_id())
+                        .persist(StorageLevel.MEMORY_AND_DISK))
+            pinned_left = ldfs
 
     if points_left:
         # a point occupies exactly ONE cell: no explode, no left bbox
@@ -278,6 +303,8 @@ def spatial_join(left, right, how="inner", predicate="intersects",
     # keys an anti-join for the unmatched rows; `matched` is persisted so
     # the spatial join itself executes once, not once per branch.
     from pyspark import StorageLevel
+
+    from .cache import pin
     matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     lcols = [c for c in ldfs.columns if c != "__l_rowid"]
     unmatched = ldfs.join(matched.select("__l_rowid"),
@@ -288,7 +315,9 @@ def spatial_join(left, right, how="inner", predicate="intersects",
             c + rsuffix, F.lit(None).cast(rdf.schema[c].dataType))
     out = matched.select(*lcols, *rcols).unionByName(
         unmatched.select(*lcols, *rcols))
-    return GeoDataFrame(out, lg, lgdf.crs)
+    result = GeoDataFrame(out, lg, lgdf.crs)
+    pin(result, matched, pinned_left)
+    return result
 
 
 def sjoin(left, right, how="inner", predicate="intersects", **kw):
@@ -357,9 +386,14 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
         from pyspark import StorageLevel
         from .functions.udfs import distance as _distance_udf
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned_base = base
         pts = base.where(both_points).where(
             native.distance_points(lcol, rcol) <= d)
         gen = base.where(~both_points).where(_distance_udf(lcol, rcol) <= d)
         out = pts.unionByName(gen)
     out = out.drop(*helper_cols)
-    return GeoDataFrame(out, lg, lgdf.crs)
+    result = GeoDataFrame(out, lg, lgdf.crs)
+    if not points_only:
+        from .cache import pin
+        pin(result, pinned_base)
+    return result

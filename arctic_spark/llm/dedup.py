@@ -178,9 +178,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text",
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
-    return (pairs.withColumn("jaccard", jac)
-            .where(F.col("jaccard") >= jaccard_threshold)
-            .select("id_a", "id_b", "jaccard"))
+    out = (pairs.withColumn("jaccard", jac)
+           .where(F.col("jaccard") >= jaccard_threshold)
+           .select("id_a", "id_b", "jaccard"))
+    # hand the persisted stage handles to the caller for release once
+    # the pairs have been materialized (arctic_spark.cache.release)
+    from ..cache import pin
+    return pin(out, sh_df, banded)
 
 
 def exact_duplicates(df: DataFrame, id_col="doc_id", text_col="text",

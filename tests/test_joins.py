@@ -138,3 +138,39 @@ def test_dwithin_join(points_df):
     assert len(rows) == exp
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
+
+
+def test_left_join_with_key_no_persist(spark, points_df, poly_df):
+    """left_key path: identical results to the keyless left join, with
+    NOTHING persisted (VERDICT r4 #4 — the keyless path must pin the
+    id-tagged left side; a unique key removes the need)."""
+    left = points_df.withColumn("pid", F.col("point_values"))
+    out = spatial_join(left, poly_df, how="left", left_key="pid")
+    rows = out.df.collect()
+    assert len(rows) == 9
+    matched = [r for r in rows if r["string_col_right"] is not None]
+    assert sorted(r["point_values_left"] for r in matched) == [2.0, 3.0]
+    # keyless pins left+matched; keyed pins only the matched branch
+    from arctic_spark.cache import pinned
+    assert len(pinned(out)) == 1
+    with pytest.raises(ValueError, match="left_key"):
+        spatial_join(left, poly_df, how="left", left_key="nope")
+
+
+def test_release_unpersists(spark, points_df, poly_df):
+    """Persisted intermediates are pinned on the result and freed by
+    release() — repeated joins must not accumulate session-lifetime
+    cached blocks."""
+    sc = spark.sparkContext
+    out = spatial_join(points_df, poly_df, how="left")
+    out.df.count()
+    from arctic_spark.cache import pinned
+    handles = pinned(out)
+    assert len(handles) == 2  # id-tagged left + matched
+    assert any(h.storageLevel.useMemory or h.storageLevel.useDisk
+               for h in handles)
+    freed = out.release()
+    assert freed == 2
+    assert all(not (h.storageLevel.useMemory or h.storageLevel.useDisk)
+               for h in handles)
+    assert out.release() == 0  # idempotent
