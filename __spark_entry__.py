@@ -634,6 +634,25 @@ def geo_boolean_multidiff(spark, sf):
                      st.num_parts("d").cast("long").alias("n_parts"))
 
 
+def geo_line_clip_len(spark, sf):
+    """Mixed-dimension overlay (round-5 boolean.py extension): a
+    horizontal line clipped by the holed donut polygon. Inside length is
+    interval algebra (outer span minus the hole span when the line's y
+    crosses the hole band), and the part count flips to 2 when the hole
+    splits the clipped line."""
+    s = _t(spark, sf, "supplier")
+    y = (F.col("s_suppkey") % 5).cast("double") * 1.3 + 0.2
+    x0 = (F.col("s_suppkey") % 3).cast("double") - 0.85
+    donut = _const_poly(3, [0, 6, 6, 0, 0, 2, 2, 4, 4, 2],
+                        [0, 0, 6, 6, 0, 2, 4, 4, 2, 2], [5, 5], [2])
+    line = st.make_line(F.array(x0, x0 + 8), F.array(y, y))
+    df = s.select("s_suppkey", line.alias("g"), donut.alias("d")) \
+          .withColumn("c", st.intersection("g", "d"))
+    return df.select("s_suppkey",
+                     F.round(st.length("c"), 6).alias("clip_len"),
+                     st.num_parts("c").cast("long").alias("n_parts"))
+
+
 def geo_buffer_line(spark, sf):
     """Line buffer (general buffer path, geom/algos.buffer -> capsule +
     arrangement dissolve): a single-segment line of parametric length
@@ -819,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_diamond_contains_join": geo_diamond_contains_join,
         "geo_boolean_intersection": geo_boolean_intersection,
         "geo_boolean_multidiff": geo_boolean_multidiff,
+        "geo_line_clip_len": geo_line_clip_len,
         "geo_buffer_line": geo_buffer_line,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
@@ -1554,6 +1574,20 @@ def oracle_sql() -> dict[str, str]:
                    round(24.0 - 2.0 * (least(u + 2.0, 4.0) - u)
                               - 2.0 * least(2.0, 4.0 - v), 6) AS diff_area,
                    CAST(2 AS BIGINT) AS n_parts
+            FROM p
+        """,
+        "geo_line_clip_len": """
+            WITH p AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 5 AS DOUBLE) * 1.3 + 0.2 AS y,
+                       CAST(s_suppkey % 3 AS DOUBLE) - 0.85 AS x0
+                FROM supplier)
+            SELECT s_suppkey,
+                   round((6.0 - greatest(x0, 0.0))
+                         - CASE WHEN y > 2 AND y < 4 THEN 2.0
+                                ELSE 0.0 END, 6) AS clip_len,
+                   CAST(CASE WHEN y > 2 AND y < 4 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_parts
             FROM p
         """,
         "geo_buffer_line": """

@@ -328,23 +328,30 @@ def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
 
 @pandas_udf(GEOM_TYPE)
 def intersection(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """Row-aligned polygon ∩ polygon (reference roadmap rst:71) — fully
-    general since round 4: holed subjects, holed/concave/multi clips,
-    via the boundary-arrangement engine (geom/boolean.py)."""
+    """Row-aligned intersection (reference roadmap rst:71) — general
+    polygonal operands (holed subjects, holed/concave/multi clips) via
+    the boundary-arrangement engine, plus GEOS dimension rules for
+    mixed point/line/polygon operands since round 5: line∩polygon is
+    the clipped (Multi)LineString, point ops are coverage tests,
+    line∩line the crossing points (geom/boolean.py)."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "intersection"))
 
 
 @pandas_udf(GEOM_TYPE)
 def difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 − g2 for arbitrary polygonal operands (rst:70)."""
+    """g1 − g2 (rst:70): arbitrary polygonal operands; lower-dimension
+    subtrahends remove zero measure; line − polygon clips to the
+    exterior; point/line subjects follow GEOS dimension rules."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "difference"))
 
 
 @pandas_udf(GEOM_TYPE)
 def union(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 ∪ g2 for arbitrary polygonal operands (rst:77)."""
+    """g1 ∪ g2 (rst:77): arbitrary polygonal operands; same-dimension
+    point/line unions supported (mixed dimensions would produce a
+    GeometryCollection and raise — documented limit)."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "union"))
 

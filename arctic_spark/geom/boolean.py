@@ -41,7 +41,8 @@ import math
 
 import numpy as np
 
-from .ragged import (MISSING, MULTIPOLYGON, POLYGON, RaggedGeometry)
+from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
+                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
 
 __all__ = ["union_polygons", "boolean_pair", "row_boolean", "OPS"]
 
@@ -477,19 +478,338 @@ def _merge(polys_a, polys_b, op, eps_rel=1e-9):
     return _assemble(list(dedup.values()), quant, eps * eps)
 
 
-def _validate_polys(g, what):
-    """Per-geometry tuple → list of poly tuples ([] when empty)."""
-    gt = g[0]
-    if len(g[1]) == 0:
-        return []
-    if gt not in (POLYGON, MULTIPOLYGON):
-        raise NotImplementedError(
-            f"boolean {what} supports polygonal operands; got type id {gt}")
-    return [g]
-
-
 _EMPTY = (POLYGON, np.empty(0), np.empty(0),
           np.empty(0, np.int32), np.empty(0, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# mixed-dimension operands (point/line × point/line/polygon)
+#
+# GEOS-style dimension rules: intersection returns the lower dimension
+# (points covered by the other operand; a line clipped to a polygon's
+# closed point set; line×line crossing points); difference removes
+# nothing when the subtrahend has lower dimension; union/symdiff of
+# mixed dimensions would be a GeometryCollection, which the ragged codec
+# does not represent — those raise (documented limit, enums.py:4-15 of
+# the reference declares GC=7 but its codec never ships one either).
+# ---------------------------------------------------------------------------
+
+_POINTISH = (POINT, MULTIPOINT)
+_LINEISH = (LINESTRING, MULTILINESTRING)
+_POLYISH = (POLYGON, MULTIPOLYGON)
+
+
+def _dim(g):
+    gt = g[0]
+    if gt in _POINTISH:
+        return 0
+    if gt in _LINEISH:
+        return 1
+    if gt in _POLYISH:
+        return 2
+    raise NotImplementedError(
+        f"boolean ops: unsupported geometry type id {gt}")
+
+
+def _empty_of(dim):
+    z = np.empty(0)
+    zi = np.empty(0, np.int32)
+    return ((POINT, LINESTRING, POLYGON)[dim], z, z, zi, zi)
+
+
+def _pack_points(px, py):
+    px = np.asarray(px, float)
+    py = np.asarray(py, float)
+    n = px.size
+    if n == 0:
+        return _empty_of(0)
+    ones = np.ones(n, np.int32)
+    return (POINT if n == 1 else MULTIPOINT, px, py, ones, ones)
+
+
+def _pack_lines(parts_xy):
+    """parts_xy: list of (xs list, ys list) polylines (each ≥ 2 pts)."""
+    if not parts_xy:
+        return _empty_of(1)
+    xs = np.concatenate([np.asarray(p[0], float) for p in parts_xy])
+    ys = np.concatenate([np.asarray(p[1], float) for p in parts_xy])
+    rings = np.array([len(p[0]) for p in parts_xy], np.int32)
+    if len(parts_xy) == 1:
+        return (LINESTRING, xs, ys, rings, np.array([1], np.int32))
+    return (MULTILINESTRING, xs, ys, rings,
+            np.ones(len(parts_xy), np.int32))
+
+
+def _geom_span(*gs):
+    m = 1.0
+    for g in gs:
+        if len(g[1]):
+            m = max(m, float(np.abs(g[1]).max()), float(np.abs(g[2]).max()))
+    return m
+
+
+def _line_segments(g):
+    """Flat (ax, ay, bx, by) over every part/ring of g."""
+    xs, ys, rings = g[1], g[2], g[3]
+    axs, ays, bxs, bys = [], [], [], []
+    off = 0
+    for rl in rings:
+        axs.append(xs[off:off + rl - 1])
+        bxs.append(xs[off + 1:off + rl])
+        ays.append(ys[off:off + rl - 1])
+        bys.append(ys[off + 1:off + rl])
+        off += rl
+    if not axs:
+        return (np.empty(0),) * 4
+    return (np.concatenate(axs), np.concatenate(ays),
+            np.concatenate(bxs), np.concatenate(bys))
+
+
+def _near_segments(px, py, ax, ay, bx, by, eps):
+    """Each query point within eps of ANY segment (points × segs)."""
+    if ax.size == 0 or px.size == 0:
+        return np.zeros(px.size, bool)
+    dx = (bx - ax)[None, :]
+    dy = (by - ay)[None, :]
+    rx = px[:, None] - ax[None, :]
+    ry = py[:, None] - ay[None, :]
+    ln2 = dx * dx + dy * dy
+    t = np.clip(np.divide(rx * dx + ry * dy, ln2,
+                          out=np.zeros_like(rx), where=ln2 > 0), 0.0, 1.0)
+    qx = rx - t * dx
+    qy = ry - t * dy
+    return ((qx * qx + qy * qy) <= eps * eps).any(axis=1)
+
+
+def _covered_points(px, py, g, eps):
+    """Boundary-inclusive coverage of query points by geometry g."""
+    from . import algos
+    px = np.asarray(px, float)
+    py = np.asarray(py, float)
+    gt = g[0]
+    if gt in _POLYISH:
+        return np.fromiter(
+            (bool(algos.point_in_polygon(x, y, g[1], g[2], g[3], g[4]))
+             for x, y in zip(px, py)), bool, px.size)
+    if gt in _LINEISH:
+        return _near_segments(px, py, *_line_segments(g), eps)
+    out = np.zeros(px.size, bool)
+    for gx, gy in zip(g[1], g[2]):
+        out |= (px == gx) & (py == gy)
+    return out
+
+
+def _point_set_op(g1, g2, op):
+    """Exact-coordinate set algebra on two pointish operands."""
+    p1 = list(dict.fromkeys(zip(g1[1].tolist(), g1[2].tolist())))
+    p2 = list(dict.fromkeys(zip(g2[1].tolist(), g2[2].tolist())))
+    s1, s2 = set(p1), set(p2)
+    if op == "intersection":
+        keep = [p for p in p1 if p in s2]
+    elif op == "difference":
+        keep = [p for p in p1 if p not in s2]
+    elif op == "union":
+        keep = p1 + [p for p in p2 if p not in s1]
+    else:
+        keep = [p for p in p1 if p not in s2] + \
+               [p for p in p2 if p not in s1]
+    return _pack_points([p[0] for p in keep], [p[1] for p in keep])
+
+
+def _collinear_overlap(g1, g2, eps):
+    """True if any segment of g1 overlaps a segment of g2 collinearly
+    over more than an eps-length extent."""
+    a1x, a1y, b1x, b1y = _line_segments(g1)
+    a2x, a2y, b2x, b2y = _line_segments(g2)
+    if a1x.size == 0 or a2x.size == 0:
+        return False
+    d1x = (b1x - a1x)[:, None]
+    d1y = (b1y - a1y)[:, None]
+    d2x = (b2x - a2x)[None, :]
+    d2y = (b2y - a2y)[None, :]
+    wx = a2x[None, :] - a1x[:, None]
+    wy = a2y[None, :] - a1y[:, None]
+    denom = d1x * d2y - d1y * d2x
+    l1 = np.hypot(d1x, d1y)
+    par = (np.abs(denom) <= eps * np.maximum(l1, eps)
+           * np.maximum(np.hypot(d2x, d2y), eps))
+    if not par.any():
+        return False
+    off_line = np.abs(wx * d1y - wy * d1x)
+    coll = par & (off_line <= eps * np.maximum(l1, eps))
+    if not coll.any():
+        return False
+    l1sq = np.maximum(d1x * d1x + d1y * d1y, 1e-300)
+    ta = (wx * d1x + wy * d1y) / l1sq
+    tb = ((wx + d2x) * d1x + (wy + d2y) * d1y) / l1sq
+    lo = np.minimum(ta, tb)
+    hi = np.maximum(ta, tb)
+    ext = np.minimum(hi, 1.0) - np.maximum(lo, 0.0)
+    return bool((coll & (ext * l1 > eps)).any())
+
+
+def _line_line_intersection(g1, g2, eps):
+    """Crossing/touch points of two lineish operands (MultiPoint).
+    Collinear 1-D overlaps raise (the result would carry line parts)."""
+    if _collinear_overlap(g1, g2, eps):
+        raise NotImplementedError(
+            "intersection of collinearly overlapping lines (1-D overlap) "
+            "is not supported")
+    a1x, a1y, b1x, b1y = _line_segments(g1)
+    a2x, a2y, b2x, b2y = _line_segments(g2)
+    if a1x.size == 0 or a2x.size == 0:
+        return _empty_of(0)
+    d1x = (b1x - a1x)[:, None]
+    d1y = (b1y - a1y)[:, None]
+    d2x = (b2x - a2x)[None, :]
+    d2y = (b2y - a2y)[None, :]
+    wx = a2x[None, :] - a1x[:, None]
+    wy = a2y[None, :] - a1y[:, None]
+    denom = d1x * d2y - d1y * d2x
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (wx * d2y - wy * d2x) / denom
+        u = (wx * d1y - wy * d1x) / denom
+    hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    if not hit.any():
+        return _empty_of(0)
+    ii, jj = np.nonzero(hit)
+    hx = a1x[ii] + t[ii, jj] * (b1x - a1x)[ii]
+    hy = a1y[ii] + t[ii, jj] * (b1y - a1y)[ii]
+    quant = max(eps, 1e-300)
+    seen, px, py = set(), [], []
+    for x, y in zip(hx, hy):
+        k = (round(x / quant), round(y / quant))
+        if k not in seen:
+            seen.add(k)
+            px.append(x)
+            py.append(y)
+    return _pack_points(px, py)
+
+
+def _clip_line_by_polygon(line, poly, keep_inside, eps_rel=1e-9):
+    """Parts of a lineish operand inside (or outside) a polygonal one.
+    Each line segment splits at its intersections with the polygon
+    boundary (plus boundary vertices lying on it — the collinear
+    entry/exit case), sub-segments classify by a boundary-inclusive
+    midpoint PIP, and kept runs stitch back into polylines."""
+    from . import algos
+    span = _geom_span(line, poly)
+    eps = eps_rel * span
+    pax, pay, pbx, pby = _line_segments(poly)
+    xs, ys, rings = line[1], line[2], line[3]
+    out_parts = []
+    cur_x, cur_y = [], []
+
+    def flush():
+        nonlocal cur_x, cur_y
+        if len(cur_x) >= 2:
+            out_parts.append((cur_x, cur_y))
+        cur_x, cur_y = [], []
+
+    off = 0
+    for rl in rings:
+        flush()
+        lx = xs[off:off + rl]
+        ly = ys[off:off + rl]
+        off += rl
+        for i in range(rl - 1):
+            sax, say = lx[i], ly[i]
+            dx, dy = lx[i + 1] - sax, ly[i + 1] - say
+            seglen = math.hypot(dx, dy)
+            if seglen <= 0:
+                continue
+            ts = [0.0, 1.0]
+            if pax.size:
+                ex, ey = pbx - pax, pby - pay
+                denom = dx * ey - dy * ex
+                wx, wy = pax - sax, pay - say
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = np.where(denom != 0,
+                                 (wx * ey - wy * ex) / denom, np.nan)
+                    u = np.where(denom != 0,
+                                 (wx * dy - wy * dx) / denom, np.nan)
+                m = (~np.isnan(t)) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+                ts += t[m].tolist()
+                # polygon vertices on the open segment: split there too
+                rx, ry = pax - sax, pay - say
+                tv = (rx * dx + ry * dy) / (seglen * seglen)
+                qx, qy = rx - tv * dx, ry - tv * dy
+                on = (tv > 0) & (tv < 1) & (qx * qx + qy * qy <= eps * eps)
+                ts += tv[on].tolist()
+            ts = sorted(set(ts))
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                if (t1 - t0) * seglen <= eps:
+                    continue
+                tm = (t0 + t1) / 2
+                inside = algos.point_in_polygon(
+                    sax + tm * dx, say + tm * dy,
+                    poly[1], poly[2], poly[3], poly[4])
+                if bool(inside) != keep_inside:
+                    flush()
+                    continue
+                p0x, p0y = sax + t0 * dx, say + t0 * dy
+                p1x, p1y = sax + t1 * dx, say + t1 * dy
+                if cur_x and abs(cur_x[-1] - p0x) <= eps \
+                        and abs(cur_y[-1] - p0y) <= eps:
+                    cur_x.append(p1x)
+                    cur_y.append(p1y)
+                else:
+                    flush()
+                    cur_x, cur_y = [p0x, p1x], [p0y, p1y]
+    flush()
+    return _pack_lines(out_parts)
+
+
+def _concat_lines(g1, g2):
+    xs = np.concatenate([g1[1], g2[1]])
+    ys = np.concatenate([g1[2], g2[2]])
+    rings = np.concatenate([g1[3], g2[3]]).astype(np.int32)
+    return (MULTILINESTRING, xs, ys, rings,
+            np.ones(rings.size, np.int32))
+
+
+def _mixed_boolean(g1, g2, op, eps_rel):
+    d1, d2 = _dim(g1), _dim(g2)
+    eps = eps_rel * _geom_span(g1, g2)
+    if op == "intersection":
+        if d1 == 0 or d2 == 0:
+            if d1 == 0 and d2 == 0:
+                return _point_set_op(g1, g2, "intersection")
+            pts, other = (g1, g2) if d1 == 0 else (g2, g1)
+            cov = _covered_points(pts[1], pts[2], other, eps)
+            return _pack_points(pts[1][cov], pts[2][cov])
+        if d1 == 1 and d2 == 1:
+            return _line_line_intersection(g1, g2, eps)
+        line, poly = (g1, g2) if d1 == 1 else (g2, g1)
+        return _clip_line_by_polygon(line, poly, True, eps_rel)
+    if op == "difference":
+        if d1 > d2:
+            return g1  # lower-dim subtrahend removes zero measure
+        if d1 == 0:
+            if d2 == 0:
+                return _point_set_op(g1, g2, "difference")
+            cov = _covered_points(g1[1], g1[2], g2, eps)
+            return _pack_points(g1[1][~cov], g1[2][~cov])
+        if d2 == 2:
+            return _clip_line_by_polygon(g1, g2, False, eps_rel)
+        if _collinear_overlap(g1, g2, eps):
+            raise NotImplementedError(
+                "difference of collinearly overlapping lines is not "
+                "supported")
+        return g1  # crossings remove zero 1-D measure
+    # union / symmetric_difference
+    if d1 == 0 and d2 == 0:
+        return _point_set_op(g1, g2, op)
+    if d1 == 1 and d2 == 1:
+        if _collinear_overlap(g1, g2, eps):
+            raise NotImplementedError(
+                f"{op} of collinearly overlapping lines is not supported")
+        # no 1-D overlap → union == symdiff == concatenation (equal as
+        # point sets; crossings are not re-noded)
+        return _concat_lines(g1, g2)
+    raise NotImplementedError(
+        f"{op} of mixed-dimension operands (dims {d1}/{d2}) produces a "
+        "GeometryCollection, which the ragged codec does not represent")
 
 
 def union_polygons(geoms, eps_rel=1e-9):
@@ -513,18 +833,27 @@ def union_polygons(geoms, eps_rel=1e-9):
 
 def boolean_pair(g1, g2, op, eps_rel=1e-9):
     """Row-aligned boolean op on two geometry tuples. Fully general for
-    polygonal operands: holed subjects, holed clips, multipolygons,
-    concave rings. Empty-operand identities applied without running the
-    kernel; disjoint bboxes short-circuit difference/union/symdiff."""
+    polygonal operands (holed subjects, holed clips, multipolygons,
+    concave rings); mixed point/line/polygon operands follow GEOS
+    dimension rules (_mixed_boolean) — the remaining documented limits
+    are collinear 1-D line overlaps and mixed-dimension union/symdiff
+    (GeometryCollection results). Empty-operand identities are applied
+    without running any kernel; disjoint bboxes short-circuit
+    difference/union/symdiff."""
     if op not in _KEEP:
         raise ValueError(f"unknown boolean op {op!r}")
-    a = _validate_polys(g1, op)
-    b = _validate_polys(g2, op)
-    if not a:
-        return _EMPTY if op in ("intersection", "difference") \
-            else (g2 if b else _EMPTY)
-    if not b:
-        return _EMPTY if op == "intersection" else g1
+    d1, d2 = _dim(g1), _dim(g2)
+    e1, e2 = len(g1[1]) == 0, len(g2[1]) == 0
+    if e1 or e2:
+        if op == "intersection":
+            return _empty_of(min(d1, d2))
+        if op == "difference":
+            return _empty_of(d1) if e1 else g1
+        if e1 and e2:
+            return _empty_of(max(d1, d2))
+        return g2 if e1 else g1
+    if d1 != 2 or d2 != 2:
+        return _mixed_boolean(g1, g2, op, eps_rel)
     # disjoint-bbox fast path
     if (g1[1].max() < g2[1].min() or g2[1].max() < g1[1].min()
             or g1[2].max() < g2[2].min() or g2[2].max() < g1[2].min()):
@@ -533,7 +862,7 @@ def boolean_pair(g1, g2, op, eps_rel=1e-9):
         if op == "difference":
             return g1
         return _concat_as_multi(g1, g2)
-    out = _merge(a, b, op, eps_rel)
+    out = _merge([g1], [g2], op, eps_rel)
     return _EMPTY if out is None else out
 
 
