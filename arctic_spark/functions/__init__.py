@@ -20,14 +20,14 @@ from . import native, udfs
 from .native import (affine_transform, area, bbox_intersects, boundary,
                      bounds,
                      centroid, contains_point, distance_points, dump_parts,
-                     geom_equals, has_z, interiors,
+                     geom_equals_exact, has_z, interiors,
                      dwithin_points, envelope, exterior, geom_struct,
                      geom_type_id, geom_type_name, is_empty, is_ring,
                      make_envelope, make_line, make_polygon, num_parts,
                      point, rotate, scale, skew, total_bounds_agg, translate,
                      x, y)
 from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
-                   geodesic_length, is_simple, is_valid,
+                   geodesic_length, geom_equals, is_simple, is_valid,
                    representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
                    difference, intersection, intersects, simplify,
@@ -70,6 +70,7 @@ __all__ = [
     "total_bounds_agg", "bbox_intersects", "contains_point", "intersects",
     "contains", "from_wkb", "to_wkb", "from_wkt", "to_wkt", "as_text",
     "geom_struct", "boundary", "interiors", "z", "has_z", "geom_equals",
+    "geom_equals_exact",
     "clip_by_rect", "buffer", "representative_point", "is_simple",
     "is_valid", "disjoint", "within", "covers", "collect_agg",
     "unary_union",

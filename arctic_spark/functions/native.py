@@ -646,10 +646,11 @@ def has_z(g) -> Column:
     return F.when(_valid(g), F.lit(False))
 
 
-def geom_equals(g1, g2) -> Column:
-    """Exact coordinate-sequence equality (type + coords + structure).
-    Note: weaker than GEOS geom_equals (no ring-rotation invariance) —
-    documented deviation; use geom_equals_exact semantics."""
+def geom_equals_exact(g1, g2) -> Column:
+    """Exact coordinate-sequence equality (type + coords + structure) —
+    GeoPandas ``geom_equals_exact``-style strict compare. The
+    rotation/orientation/part-order-invariant compare is
+    ``st.geom_equals`` (udfs.geom_equals → algos.equals_pair)."""
     g1, g2 = _g(g1), _g(g2)
     return F.when(
         _valid(g1) & _valid(g2),

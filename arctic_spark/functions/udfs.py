@@ -307,6 +307,21 @@ def is_valid(g: pd.DataFrame) -> pd.Series:
 
 
 @pandas_udf(T.BooleanType())
+def geom_equals(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Equality modulo ring rotation, orientation, part/hole order,
+    line direction and single-vs-multi wrapping (reference roadmap
+    rst:51-53; algos.equals_pair). Differently-noded equal boundaries
+    compare unequal — documented deviation from full GEOS topological
+    equals; the strict compare is st.geom_equals_exact (native)."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    vals = np.fromiter((algos.equals_pair(r1.geom(i), r2.geom(i))
+                        if r1.gt[i] != MISSING and r2.gt[i] != MISSING
+                        else False
+                        for i in range(len(r1))), bool, len(r1))
+    return _masked_bool_series(vals, r1, r2)
+
+
+@pandas_udf(T.BooleanType())
 def touches(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
     """Boundaries meet, interiors disjoint (documented approximation —
     see algos.touches_pair) — whole-batch vectorized."""

@@ -1068,3 +1068,64 @@ def _is_convex_ring(x, y):
 # ---------------------------------------------------------------------------
 
 from .boolean import union_polygons  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# structural equality modulo ring rotation / orientation / part order
+# ---------------------------------------------------------------------------
+
+def _canon_ring(rx, ry):
+    """Closed ring → canonical open vertex tuple: CCW orientation,
+    rotated to start at the lexicographically smallest vertex."""
+    pts = list(zip(rx.tolist(), ry.tolist()))
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if not pts:
+        return ()
+    area2 = sum(x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]))
+    if area2 < 0:
+        pts = pts[::-1]
+    k = min(range(len(pts)), key=lambda i: pts[i])
+    return tuple(pts[k:] + pts[:k])
+
+
+def _canonical_form(g):
+    """Hashable canonical form: single/multi variants of one class
+    normalize together; rings rotate to min-vertex CCW; line directions
+    normalize; holes and parts sort."""
+    gt, xs, ys, rings, parts = g
+    if len(xs) == 0:
+        cls = ("P" if gt in (POINT, MULTIPOINT) else
+               "L" if gt in (LINESTRING, MULTILINESTRING) else "G")
+        return (cls, ())
+    if gt in (POINT, MULTIPOINT):
+        return ("P", tuple(sorted(set(zip(xs.tolist(), ys.tolist())))))
+    if gt in (LINESTRING, MULTILINESTRING):
+        out, off = [], 0
+        for rl in rings:
+            fwd = tuple(zip(xs[off:off + rl].tolist(),
+                            ys[off:off + rl].tolist()))
+            out.append(min(fwd, fwd[::-1]))
+            off += rl
+        return ("L", tuple(sorted(out)))
+    poff = coff = 0
+    parts_out = []
+    for nr in parts:
+        rs = []
+        for j in range(nr):
+            rl = rings[poff + j]
+            rs.append(_canon_ring(xs[coff:coff + rl], ys[coff:coff + rl]))
+            coff += rl
+        parts_out.append((rs[0], tuple(sorted(rs[1:]))))
+        poff += nr
+    return ("G", tuple(sorted(parts_out)))
+
+
+def equals_pair(g1, g2):
+    """GeoPandas-style geom_equals for same-noding geometries: equality
+    modulo ring start vertex, ring orientation, part/hole order, line
+    direction, and single-vs-multi wrapping (reference roadmap
+    geoseries.rst:51-53). NOT full topological equality — boundaries
+    noded differently (extra collinear vertices) compare unequal;
+    geom_equals_exact keeps the strict structural compare."""
+    return _canonical_form(g1) == _canonical_form(g2)

@@ -287,3 +287,38 @@ def test_buffer_convex_polygon(spark):
     rL = (_df(spark, L).withColumn("b", st.buffer("g", 0.5, quad_segs=16))
           .select(st.area("b").alias("a")).collect()[0])
     assert rL.a == pytest.approx(6.75 + 0.3125 * math.pi, rel=0.01)
+
+
+def test_geom_equals_invariance(spark):
+    """geom_equals must be invariant to ring start vertex, orientation,
+    part order and line direction (GeoPandas semantics, roadmap
+    rst:51-53); geom_equals_exact stays strict."""
+    pairs = [
+        # rotated ring start
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+         "POLYGON ((4 4, 0 4, 0 0, 4 0, 4 4))", True),
+        # reversed orientation
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+         "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))", True),
+        # line direction
+        ("LINESTRING (0 0, 1 1, 2 0)", "LINESTRING (2 0, 1 1, 0 0)", True),
+        # single vs multi wrapping
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+         "MULTIPOLYGON (((4 4, 0 4, 0 0, 4 0, 4 4)))", True),
+        # multipoint order
+        ("MULTIPOINT (1 1, 2 2)", "MULTIPOINT (2 2, 1 1)", True),
+        # genuinely different
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+         "POLYGON ((0 0, 5 0, 5 4, 0 4, 0 0))", False),
+    ]
+    df = spark.createDataFrame([(i, a, b, e) for i, (a, b, e)
+                                in enumerate(pairs)],
+                               "id long, w1 string, w2 string, exp boolean") \
+        .withColumn("a", st.from_wkt("w1")).withColumn("b", st.from_wkt("w2"))
+    rows = df.select("id", "exp", st.geom_equals("a", "b").alias("e"),
+                     st.geom_equals_exact("a", "b").alias("x")) \
+             .orderBy("id").collect()
+    for r in rows:
+        assert r.e == r.exp, r.id
+    # exact compare rejects the rotated-ring case the invariant accepts
+    assert rows[0].x is False and rows[5].x is False
