@@ -20,7 +20,7 @@ from . import native, udfs
 from .native import (affine_transform, area, bbox_intersects, boundary,
                      bounds,
                      centroid, contains_point, distance_points, dump_parts,
-                     geom_equals_exact, has_z, interiors,
+                     geom_equals_exact, geom_lit, has_z, interiors,
                      dwithin_points, envelope, exterior, geom_struct,
                      geom_type_id, geom_type_name, is_empty, is_ring,
                      make_envelope, make_line, make_polygon, num_parts,
@@ -30,6 +30,7 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    geodesic_length, geom_equals, is_simple, is_valid,
                    representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
+                   from_geojson, to_geojson,
                    difference, intersection, intersects, simplify,
                    symmetric_difference, touches, crosses, overlaps, union)
 from .native import collect_agg, z
@@ -43,6 +44,7 @@ to_wkb = geom_to_wkb
 from_wkt = geom_from_wkt
 to_wkt = geom_to_wkt
 as_text = geom_to_wkt
+to_json = to_geojson
 
 
 def explode_parts(df, geom_col="geometry", keep_index=False):

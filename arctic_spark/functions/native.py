@@ -707,6 +707,20 @@ def make_polygon(xs_arr, ys_arr) -> Column:
         _let(F.struct(xs_arr.alias("x"), ys_arr.alias("y")), build))
 
 
+def geom_lit(wkt_text: str) -> Column:
+    """Constant geometry column from a WKT string (parsed driver-side,
+    materialized as literal arrays — no UDF, usable inside native
+    expressions; the mask argument of ``GeoDataFrame.clip``)."""
+    from ..geom import wkt as _wkt
+    gt, xs, ys, rings, parts = _wkt.parse_one(wkt_text)
+    return geom_struct(
+        F.lit(int(gt)),
+        F.array(*[F.lit(float(v)) for v in xs]),
+        F.array(*[F.lit(float(v)) for v in ys]),
+        F.array(*[F.lit(int(v)) for v in rings]),
+        F.array(*[F.lit(int(v)) for v in parts]))
+
+
 def make_envelope(xmin, ymin, xmax, ymax) -> Column:
     xmin, ymin, xmax, ymax = (_lit(v) for v in (xmin, ymin, xmax, ymax))
     return geom_struct(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..geom import algos, batch, boolean, wkb, wkt
+from ..geom import algos, batch, boolean, geojson, wkb, wkt
 from ..geom.ragged import MISSING, RaggedGeometry
 from ..sparktypes import GEOM_TYPE
 
@@ -58,6 +58,34 @@ def geom_from_wkt(texts: pd.Series) -> pd.DataFrame:
 @pandas_udf(T.StringType())
 def geom_to_wkt(g: pd.DataFrame) -> pd.Series:
     return pd.Series(wkt.format(ragged_from_pdf(g)))
+
+
+@pandas_udf(T.StringType())
+def to_geojson(g: pd.DataFrame) -> pd.Series:
+    """Per-geometry GeoJSON geometry string (reference roadmap rst:126
+    ``to_json``; RFC 7946)."""
+    rg = ragged_from_pdf(g)
+    out = [None if rg.gt[i] == MISSING else geojson.dumps_one(*rg.geom(i))
+           for i in range(len(rg))]
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(GEOM_TYPE)
+def from_geojson(texts: pd.Series) -> pd.DataFrame:
+    """Parse GeoJSON geometry strings (inverse of to_geojson)."""
+    gts, xs, ys, rings, parts = [], [], [], [], []
+    for t in texts:
+        if t is None:
+            gts.append(None); xs.append(None); ys.append(None)
+            rings.append(None); parts.append(None)
+            continue
+        g, x, y, r, pp = geojson.loads_one(t)
+        gts.append(int(g)); xs.append(np.asarray(x, float).tolist())
+        ys.append(np.asarray(y, float).tolist())
+        rings.append(np.asarray(r).tolist())
+        parts.append(np.asarray(pp).tolist())
+    return ragged_to_pdf(RaggedGeometry.from_pylists(gts, xs, ys, rings,
+                                                     parts))
 
 
 # ---- iterative unary ops --------------------------------------------------

@@ -91,6 +91,51 @@ class GeoDataFrame:
     def set_crs(self, crs: str):
         return GeoDataFrame(self._df, self.geometry_column, crs)
 
+    def clip(self, mask):
+        """Clip every geometry to ``mask`` and drop rows that fall
+        entirely outside (GeoPandas ``clip``; reference roadmap
+        geoseries.rst:192). ``mask`` is a WKT string, a 4-tuple bbox
+        (xmin, ymin, xmax, ymax), or a geometry Column. Runs the general
+        overlay engine row-wise — a narrow map + filter, no shuffle."""
+        if isinstance(mask, (tuple, list)) and len(mask) == 4:
+            mcol = st.make_envelope(*[float(v) for v in mask])
+        elif isinstance(mask, str):
+            mcol = st.geom_lit(mask)
+        else:
+            mcol = mask
+        g = self.geometry_column
+        out = self._df.withColumn(g, st.intersection(F.col(g), mcol)) \
+                      .where(~st.is_empty(F.col(g)))
+        return GeoDataFrame(out, g, self.crs)
+
+    @property
+    def __geo_interface__(self):
+        """GeoJSON FeatureCollection mapping (reference roadmap
+        rst:157). Driver-side collect — bounded use only (previews,
+        small frames); at scale write GeoParquet or select
+        ``st.to_geojson`` per row instead."""
+        from .geom import geojson
+        g = self.geometry_column
+        props = [c for c in self._df.columns if c != g]
+        feats = []
+        for i, row in enumerate(self._df.collect()):
+            geom = row[g]
+            mapping = None
+            if geom is not None and geom["gt"] is not None:
+                mapping = geojson.mapping_one(geom["gt"], geom["xs"],
+                                              geom["ys"], geom["rings"],
+                                              geom["parts"])
+            feats.append({"type": "Feature", "id": i,
+                          "properties": {c: row[c] for c in props},
+                          "geometry": mapping})
+        return {"type": "FeatureCollection", "features": feats}
+
+    def to_json(self) -> str:
+        """GeoJSON FeatureCollection string (reference roadmap rst:126;
+        same driver-side boundedness caveat as __geo_interface__)."""
+        import json
+        return json.dumps(self.__geo_interface__)
+
     def cx(self, xmin, ymin, xmax, ymax):
         """Bounding-box filter (GeoPandas `cx` indexer; reference roadmap
         geoseries.rst:184). Pushes a native bbox predicate — pairs with

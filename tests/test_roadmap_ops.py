@@ -322,3 +322,42 @@ def test_geom_equals_invariance(spark):
         assert r.e == r.exp, r.id
     # exact compare rejects the rotated-ring case the invariant accepts
     assert rows[0].x is False and rows[5].x is False
+
+
+def test_geojson_roundtrip(spark):
+    import json
+    wkts = [SQUARE, DONUT, "POINT (1.5 2.5)", "LINESTRING (0 0, 3 4)",
+            "MULTIPOINT (1 1, 2 2)",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+            "((5 5, 6 5, 6 6, 5 6, 5 5)))"]
+    df = _df(spark, *wkts).withColumn("j", st.to_geojson("g")) \
+                          .withColumn("g2", st.from_geojson("j"))
+    rows = df.select("id", "j", st.geom_equals_exact("g", "g2").alias("rt")) \
+             .orderBy("id").collect()
+    assert all(r.rt for r in rows)
+    j = json.loads(rows[2].j)
+    assert j == {"type": "Point", "coordinates": [1.5, 2.5]}
+
+
+def test_clip_and_geo_interface(spark):
+    from arctic_spark import GeoDataFrame
+    df = _df(spark, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+             "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))",
+             "POINT (1 1)", "POINT (50 50)")
+    gdf = GeoDataFrame(df, "g")
+    # clip by WKT mask: square overlaps first polygon (area 4), drops
+    # the far polygon and the far point, keeps the inside point
+    out = gdf.clip("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    rows = out.df.select("id", st.area("g").alias("a")).orderBy("id") \
+        .collect()
+    assert [r.id for r in rows] == [0]
+    assert rows[0].a == pytest.approx(4.0)
+    # bbox-tuple mask keeps the point on its own row
+    out2 = gdf.clip((0.0, 0.0, 2.0, 2.0))
+    assert sorted(r.id for r in out2.df.collect()) == [0, 2]
+    # __geo_interface__ / to_json
+    gi = GeoDataFrame(_df(spark, "POINT (1 2)"), "g").__geo_interface__
+    assert gi["type"] == "FeatureCollection"
+    f = gi["features"][0]
+    assert f["geometry"] == {"type": "Point", "coordinates": [1.0, 2.0]}
+    assert f["properties"]["wkt"] == "POINT (1 2)"
