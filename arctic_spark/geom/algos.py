@@ -801,13 +801,13 @@ def buffer(rg: RaggedGeometry, distance, quad_segs=8):
         if g in (LINESTRING, MULTILINESTRING):
             emit(_bool.union_polygons(caps) if caps else None)
             continue
-        # polygonal general path
+        # polygonal general path — public engine surface only
         subject = (POLYGON if g == POLYGON else MULTIPOLYGON,
                    xs, ys, rings, parts)
         if distance > 0:
-            emit(_bool._merge([subject] + caps, [], "dissolve"))
+            emit(_bool.union_polygons([subject] + caps))
         else:
-            emit(_bool._merge([subject], caps, "difference"))
+            emit(_bool.difference_many(subject, caps))
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 

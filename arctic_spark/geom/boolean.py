@@ -44,7 +44,8 @@ import numpy as np
 from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
                      MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
 
-__all__ = ["union_polygons", "boolean_pair", "row_boolean", "OPS"]
+__all__ = ["union_polygons", "boolean_pair", "row_boolean",
+           "difference_many", "OPS"]
 
 OPS = ("union", "intersection", "difference", "symmetric_difference")
 
@@ -829,6 +830,26 @@ def union_polygons(geoms, eps_rel=1e-9):
     if not polys:
         return None
     return _merge(polys, [], "dissolve", eps_rel)
+
+
+def difference_many(subject, clips, eps_rel=1e-9):
+    """``subject − union(clips)`` in ONE arrangement pass (no
+    intermediate clip dissolve). Public entry point for callers like
+    the negative-buffer erosion path; operands must be polygonal
+    tuples; clips may be empty (returns subject)."""
+    if subject[0] not in (POLYGON, MULTIPOLYGON) or not len(subject[1]):
+        raise ValueError("difference_many requires a non-empty polygonal "
+                         f"subject; got type id {subject[0]}")
+    clips = [c for c in clips
+             if c is not None and c[0] != MISSING and len(c[1])]
+    for c in clips:
+        if c[0] not in (POLYGON, MULTIPOLYGON):
+            raise ValueError("difference_many clips must be polygonal; "
+                             f"got type id {c[0]}")
+    if not clips:
+        return subject
+    out = _merge([subject], clips, "difference", eps_rel)
+    return _EMPTY if out is None else out
 
 
 def boolean_pair(g1, g2, op, eps_rel=1e-9):
