@@ -117,6 +117,13 @@ def _grid_pairs(ax, ay, bx, by):
         return empty
     minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
     miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
+    if n <= 64:
+        # small arrangement (row-wise ops on little polygons): all-pairs
+        # bbox filter beats the binning machinery's fixed cost
+        i, j = np.triu_indices(n, 1)
+        m = ((minx[i] <= maxx[j]) & (minx[j] <= maxx[i])
+             & (miny[i] <= maxy[j]) & (miny[j] <= maxy[i]))
+        return i[m], j[m]
     gx0, gx1 = float(minx.min()), float(maxx.max())
     gy0, gy1 = float(miny.min()), float(maxy.max())
     K = int(np.clip(math.isqrt(n), 1, 128))
@@ -234,6 +241,11 @@ def _covered(px, py, ps: _PolySet | None):
     res = np.zeros(npts, dtype=bool)
     if ps is None or ps.ax.size == 0 or npts == 0:
         return res
+    if npts * ps.ax.size <= 4096:
+        # small pair product: skip the binning machinery entirely
+        P = np.repeat(np.arange(npts), ps.ax.size)
+        S = np.tile(np.arange(ps.ax.size), npts)
+        return _covered_pairs(px, py, ps, P, S, res)
     sminy = np.minimum(ps.ay, ps.by)
     smaxy = np.maximum(ps.ay, ps.by)
     gy0 = float(min(sminy.min(), py.min()))
@@ -269,6 +281,12 @@ def _covered(px, py, ps: _PolySet | None):
         return res
     P = np.concatenate(PP)
     S = np.concatenate(SS)
+    return _covered_pairs(px, py, ps, P, S, res)
+
+
+def _covered_pairs(px, py, ps, P, S, res):
+    """Shared tail of _covered: parity classification over explicit
+    (probe, segment) pair lists."""
     ppx, ppy = px[P], py[P]
     sax, say = ps.ax[S], ps.ay[S]
     sbx, sby = ps.bx[S], ps.by[S]
@@ -280,6 +298,15 @@ def _covered(px, py, ps: _PolySet | None):
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = sax + (ppy - say) * (sbx - sax) / (sby - say)
     crossing &= ppx < xint
+    if ps.n_rings == 1:
+        # single ring == single part: covered = on-boundary | odd parity,
+        # reduced directly per probe (no unique/regroup machinery)
+        on_any = np.zeros(res.size, dtype=bool)
+        np.logical_or.at(on_any, P, on_b)
+        parity = np.zeros(res.size, dtype=np.int64)
+        np.add.at(parity, P, crossing)
+        res |= on_any | ((parity % 2) == 1)
+        return res
     ring = ps.ring_of_seg[S]
     key = P.astype(np.int64) * (ps.n_rings + 1) + ring
     uk, inv = np.unique(key, return_inverse=True)
@@ -453,11 +480,15 @@ def _merge(polys_a, polys_b, op, eps_rel=1e-9):
     nx, ny = -dy / ln, dx / ln
     lqx, lqy = mx + nx * eps, my + ny * eps
     rqx, rqy = mx - nx * eps, my - ny * eps
-    inA_l = _covered(lqx, lqy, A)
-    inA_r = _covered(rqx, rqy, A)
+    # one classification pass per operand set: left and right probes
+    # concatenate, halving the per-call fixed cost (matters for the
+    # row-wise small-pair workload)
+    qx2, qy2 = np.concatenate([lqx, rqx]), np.concatenate([lqy, rqy])
+    inA = _covered(qx2, qy2, A)
+    inA_l, inA_r = inA[:px.size], inA[px.size:]
     if B is not None:
-        inB_l = _covered(lqx, lqy, B)
-        inB_r = _covered(rqx, rqy, B)
+        inB = _covered(qx2, qy2, B)
+        inB_l, inB_r = inB[:px.size], inB[px.size:]
     else:
         inB_l = np.zeros(px.size, dtype=bool)
         inB_r = inB_l
