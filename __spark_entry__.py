@@ -56,17 +56,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # §2.1 relational (inherited algebra — TPC-H-shaped on driver tables)
 # ---------------------------------------------------------------------------
 
+def _dsum(col, scale=8):
+    """Order-independent sum of a money-ish double expression: each
+    element casts to an exact DECIMAL (the inputs carry <=4 decimal
+    digits, so the cast never rounds), the sum is exact decimal
+    arithmetic, and the result returns to double. Plain double sums
+    flip the last rounded cent depending on partition order — the
+    oracle compare is only deterministic with exact summation on BOTH
+    engines (the SQL twin casts the same way)."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
 def q1_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                  .alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            .agg(F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+                 F.round(_dsum(F.col("l_extendedprice")), 2)
+                  .alias("sum_base_price"),
+                 F.round(_dsum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(_dsum(F.col("l_quantity")) / F.count("*"), 4)
+                  .alias("avg_qty"),
+                 F.round(_dsum(F.col("l_discount")) / F.count("*"), 6)
+                  .alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
 
@@ -77,7 +90,7 @@ def q3_shipping_priority(spark, sf):
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .groupBy("l_orderkey")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(F.round(_dsum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                   .alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -98,7 +111,7 @@ def q5_local_suppliers(spark, sf):
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(F.round(_dsum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                   .alias("revenue")))
 
@@ -110,7 +123,7 @@ def q6_forecast_revenue(spark, sf):
                      & (F.col("l_discount") >= 0.05)
                      & (F.col("l_discount") <= 0.07)
                      & (F.col("l_quantity") < 24))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(F.round(_dsum(F.col("l_extendedprice")
                                * F.col("l_discount")), 2).alias("revenue")))
 
 
@@ -1018,11 +1031,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -1030,7 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
             FROM customer, orders, lineitem
             WHERE c_mktsegment = 'BUILDING'
               AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1042,7 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_suppliers": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1050,7 +1063,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                       AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
