@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .geom import algos, batch, ragged, wkb, wkt
+from .geom import algos, batch, boolean, geojson, ragged, wkb, wkt
 from .geom.ragged import MISSING
 from .functions.udfs import ragged_from_pdf, ragged_to_pdf
 from .sparktypes import GEOM_TYPE
@@ -35,6 +35,16 @@ def _geom_udf(fn):
     @pandas_udf(GEOM_TYPE)
     def f(g: pd.DataFrame) -> pd.DataFrame:
         return ragged_to_pdf(fn(ragged_from_pdf(g)))
+    return f
+
+
+def _pair_geom_udf(op):
+    """Row-aligned boolean overlay op (geom/boolean.py) for SQL users —
+    full round-4/5 surface: general polygons + GEOS dimension rules."""
+    @pandas_udf(GEOM_TYPE)
+    def f(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(boolean.row_boolean(
+            ragged_from_pdf(g1), ragged_from_pdf(g2), op))
     return f
 
 
@@ -119,6 +129,37 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         t = float(tol.iloc[0]) if len(tol) else 0.0
         return ragged_to_pdf(algos.simplify(ragged_from_pdf(g), t))
 
+    @pandas_udf(T.BooleanType())
+    def st_equals(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+        r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+        return pd.Series(
+            [algos.equals_pair(r1.geom(i), r2.geom(i))
+             if r1.gt[i] != MISSING and r2.gt[i] != MISSING else None
+             for i in range(len(r1))], dtype="object")
+
+    @pandas_udf(T.StringType())
+    def st_asgeojson(g: pd.DataFrame) -> pd.Series:
+        rg = ragged_from_pdf(g)
+        return pd.Series([None if rg.gt[i] == MISSING
+                          else geojson.dumps_one(*rg.geom(i))
+                          for i in range(len(rg))], dtype="object")
+
+    @pandas_udf(GEOM_TYPE)
+    def st_geomfromgeojson(texts: pd.Series) -> pd.DataFrame:
+        gts, xs, ys, rings, parts = [], [], [], [], []
+        for t in texts:
+            if t is None:
+                gts.append(None); xs.append(None); ys.append(None)
+                rings.append(None); parts.append(None)
+                continue
+            g, x, y, r, pp = geojson.loads_one(t)
+            gts.append(int(g)); xs.append(list(map(float, x)))
+            ys.append(list(map(float, y)))
+            rings.append([int(v) for v in r])
+            parts.append([int(v) for v in pp])
+        return ragged_to_pdf(ragged.RaggedGeometry.from_pylists(
+            gts, xs, ys, rings, parts))
+
     def _area(rg):
         a = algos.area(rg)
         return [None if np.isnan(v) else float(v) for v in a]
@@ -153,6 +194,15 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_intersects": _pair_bool_udf(batch.intersects),
         "st_contains": _pair_bool_udf(batch.contains),
         "st_touches": _pair_bool_udf(batch.touches),
+        "st_crosses": _pair_bool_udf(batch.crosses),
+        "st_overlaps": _pair_bool_udf(batch.overlaps),
+        "st_equals": st_equals,
+        "st_intersection": _pair_geom_udf("intersection"),
+        "st_difference": _pair_geom_udf("difference"),
+        "st_union": _pair_geom_udf("union"),
+        "st_symdifference": _pair_geom_udf("symmetric_difference"),
+        "st_asgeojson": st_asgeojson,
+        "st_geomfromgeojson": st_geomfromgeojson,
         "st_distance": st_distance,
         "st_buffer": st_buffer,
         "st_simplify": st_simplify,

@@ -38,3 +38,35 @@ def test_sql_functions_end_to_end(spark):
     assert r.d == pytest.approx(5.0)
     import math
     assert r.ba == pytest.approx(math.pi * 4, rel=0.02)
+
+
+def test_sql_overlay_and_geojson(spark):
+    register_sql_functions(spark)
+    r = spark.sql("""
+        SELECT st_area(st_intersection(
+                   st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                   st_geomfromtext('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))')))
+                   AS ia,
+               st_area(st_difference(
+                   st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                   st_geomfromtext('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))')))
+                   AS da,
+               st_length(st_intersection(
+                   st_geomfromtext('LINESTRING (-1 1, 9 1)'),
+                   st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')))
+                   AS clip_len,
+               st_equals(
+                   st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                   st_geomfromtext('POLYGON ((4 4, 0 4, 0 0, 4 0, 4 4))'))
+                   AS eq,
+               st_asgeojson(st_point(1.5D, 2.5D)) AS gj,
+               st_astext(st_geomfromgeojson(
+                   '{"type": "Point", "coordinates": [3.0, 4.0]}')) AS rt
+    """).collect()[0]
+    assert r.ia == pytest.approx(4.0)
+    assert r.da == pytest.approx(12.0)
+    assert r.clip_len == pytest.approx(4.0)
+    assert r.eq is True
+    import json
+    assert json.loads(r.gj) == {"type": "Point", "coordinates": [1.5, 2.5]}
+    assert r.rt == "POINT (3 4)"
