@@ -885,8 +885,10 @@ def is_simple(rg: RaggedGeometry):
 
 
 def is_valid(rg: RaggedGeometry):
-    """Basic validity: rings closed with >= 4 vertices, simple, holes
-    (not fully OGC — no nested-shell checks; documented simplification)."""
+    """Validity: rings closed with >= 4 vertices, simple boundary, and
+    every hole ring inside (or on) its part's exterior ring. Still short
+    of full OGC (no shell-vs-shell nesting check across multipolygon
+    parts; documented simplification)."""
     simple = is_simple(rg)
     out = np.zeros(len(rg), dtype=object)
     for i in range(len(rg)):
@@ -904,6 +906,25 @@ def is_valid(rg: RaggedGeometry):
                     or ys[off] != ys[off + rl - 1]:
                 ok = False
             off += rl
+        if ok:
+            # hole-in-shell: every vertex of each hole ring must lie
+            # inside or on its part's exterior ring
+            roff = coff = 0
+            for nr in parts:
+                erl = rings[roff]
+                ex, ey = xs[coff:coff + erl], ys[coff:coff + erl]
+                hoff = coff + erl
+                for j in range(1, nr):
+                    rl = rings[roff + j]
+                    if any(point_in_ring(xs[hoff + k], ys[hoff + k],
+                                         ex, ey) == -1
+                           for k in range(rl)):
+                        ok = False
+                    hoff += rl
+                coff = hoff
+                roff += nr
+                if not ok:
+                    break
         out[i] = ok
     return out
 

@@ -361,3 +361,12 @@ def test_clip_and_geo_interface(spark):
     f = gi["features"][0]
     assert f["geometry"] == {"type": "Point", "coordinates": [1.0, 2.0]}
     assert f["properties"]["wkt"] == "POINT (1 2)"
+
+
+def test_is_valid_hole_outside_shell(spark):
+    good = DONUT
+    bad = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+           "(20 20, 22 20, 22 22, 20 22, 20 20))")  # hole outside shell
+    out = _df(spark, good, bad).select(
+        "id", st.is_valid("g").alias("v")).orderBy("id").collect()
+    assert out[0].v is True and out[1].v is False
