@@ -98,7 +98,15 @@ def estimate_cell_size(df, geom_col="geometry", sample_fraction=0.01,
     if mean_dim <= 0:
         # points: aim for a grid of ~2048 cells per axis over the extent
         return extent / 2048.0
-    return max(mean_dim * target, extent / 65536.0)
+    # target× the mean bbox keeps per-geometry fan-out ~O(1), but the
+    # cell must stay small relative to the EXTENT too: a handful of
+    # giant cells turns the candidate equi-join into a near cross
+    # join (every left row × every right row in the cell). Cap at
+    # extent/48 (≥ ~2300 cells) unless the geometries themselves are
+    # bigger than that — never go below the mean bbox itself, or
+    # per-geometry fan-out explodes instead.
+    return max(min(mean_dim * target, extent / 48.0),
+               mean_dim, extent / 65536.0)
 
 
 def _refine_predicate(lg, rg, predicate, udf_refine=True):

@@ -73,6 +73,40 @@ def main():
                      distance=5.0, points_only=True).df.count()
     report(f"dwithin self-join on {n_points // 100:,} pts", t0, n)
 
+    # row-wise boolean overlay on small polygons (the arrangement
+    # engine's small-pair fast paths): geodesic Vincenty and boolean ops
+    # are the two Python-side kernels a 100 TB pipeline actually pays
+    n_bool = max(n_points // 10, 100_000)
+    sq = spark.range(n_bool).repartition(par).select(
+        F.col("id"),
+        st.make_envelope(
+            (F.pmod(F.col("id") * 7, F.lit(1000))).cast("double"),
+            (F.pmod(F.col("id") * 11, F.lit(1000))).cast("double"),
+            (F.pmod(F.col("id") * 7, F.lit(1000)) + 4).cast("double"),
+            (F.pmod(F.col("id") * 11, F.lit(1000)) + 4).cast("double"))
+        .alias("a"),
+        st.make_envelope(
+            (F.pmod(F.col("id") * 7, F.lit(1000)) + 1).cast("double"),
+            (F.pmod(F.col("id") * 11, F.lit(1000)) + 1).cast("double"),
+            (F.pmod(F.col("id") * 7, F.lit(1000)) + 5).cast("double"),
+            (F.pmod(F.col("id") * 11, F.lit(1000)) + 5).cast("double"))
+        .alias("b"))
+    t0 = time.perf_counter()
+    tot = sq.withColumn("ix", st.intersection("a", "b")) \
+            .agg(F.sum(st.area("ix"))).collect()[0][0]
+    dt = time.perf_counter() - t0
+    assert abs(tot - 9.0 * n_bool) < 1e-6 * n_bool, tot
+    print(f"boolean intersection on {n_bool:,} polygon pairs: {dt:.1f}s, "
+          f"{n_bool / dt / 1e3:.0f}k pairs/s", flush=True)
+
+    t0 = time.perf_counter()
+    n = pts.select(st.geodesic_length(
+        st.make_line(F.array(st.x("geometry"), st.x("geometry") + 0.1),
+                     F.array(st.y("geometry") / 100.0,
+                             st.y("geometry") / 100.0 + 0.1)),
+        "vincenty").alias("m")).agg(F.sum("m")).collect()[0][0]
+    report("vincenty (batched) over synthetic lines", t0, 1)
+
     spark.stop()
 
 
