@@ -596,6 +596,30 @@ def _const_poly(gt, xs, ys, rings, parts):
         F.array(*[F.lit(int(v)) for v in parts]))
 
 
+def geo_nearest_supplier(spark, sf):
+    """Radius-bounded k-NN join (joins.nearest_join, the sjoin_nearest
+    analogue): nearest supplier point within distance 6 of each customer
+    point — grid cells sized by the radius, one shuffle, native distance
+    refine, per-customer window. Unique parametric supplier positions
+    (periods 53/59 coprime) keep the (dist, x, y) tie-break exact."""
+    from arctic_spark.joins import nearest_join
+    c = _t(spark, sf, "customer")
+    px = (F.col("c_custkey") % 200 - 100).cast("double") + 0.5
+    py = (F.col("c_custkey") * 11 % 200 - 100).cast("double") + 0.5
+    left = GeoDataFrame(c.select("c_custkey", st.point(px, py)
+                                 .alias("geometry")))
+    sdf = _t(spark, sf, "supplier")
+    sx = (F.col("s_suppkey") % 53).cast("double") * 3.7 - 100 + 0.25
+    sy = (F.col("s_suppkey") * 11 % 59).cast("double") * 3.3 - 100 + 0.25
+    right = GeoDataFrame(sdf.select("s_suppkey", st.point(sx, sy)
+                                    .alias("geometry")))
+    out = nearest_join(left, right, max_distance=6.0, k=1,
+                       left_key="c_custkey", broadcast_right=True)
+    return out.df.select(F.col("c_custkey_left").alias("c_custkey"),
+                         F.col("s_suppkey_right").alias("s_suppkey"),
+                         F.round("distance", 6).alias("dist"))
+
+
 def geo_boolean_intersection(spark, sf):
     """General polygon intersection (SURVEY §2.3, geom/boolean.py): a
     holed 'donut' square (outer [0,6]^2, hole [2,4]^2) intersected with
@@ -849,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_poly_contains_join": geo_poly_contains_join,
         "geo_diamond_join": geo_diamond_join,
         "geo_diamond_contains_join": geo_diamond_contains_join,
+        "geo_nearest_supplier": geo_nearest_supplier,
         "geo_boolean_intersection": geo_boolean_intersection,
         "geo_boolean_multidiff": geo_boolean_multidiff,
         "geo_line_clip_len": geo_line_clip_len,
@@ -1523,6 +1548,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.xmin >= r.xmin AND l.xmin + l.w <= r.xmin + 15.0
               AND l.ymin >= r.ymin AND l.ymin + l.h <= r.ymin + 11.0
             GROUP BY r.s_suppkey
+        """,
+        "geo_nearest_supplier": """
+            WITH cp AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 200 - 100 AS DOUBLE) + 0.5 AS px,
+                       CAST(c_custkey * 11 % 200 - 100 AS DOUBLE) + 0.5 AS py
+                FROM customer),
+            sp AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 53 AS DOUBLE) * 3.7 - 100 + 0.25 AS sx,
+                       CAST(s_suppkey * 11 % 59 AS DOUBLE) * 3.3 - 100 + 0.25 AS sy
+                FROM supplier),
+            cand AS (
+                SELECT c_custkey, s_suppkey,
+                       sqrt(power(px - sx, 2) + power(py - sy, 2)) AS d,
+                       sx, sy
+                FROM cp, sp
+                WHERE sqrt(power(px - sx, 2) + power(py - sy, 2)) <= 6.0)
+            SELECT c_custkey, s_suppkey, round(d, 6) AS dist
+            FROM cand
+            QUALIFY row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY d, sx, sy) = 1
         """,
         "geo_diamond_join": """
             WITH ld AS (

@@ -405,3 +405,79 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
         from .cache import pin
         pin(result, pinned_base)
     return result
+
+
+def nearest_join(left, right, max_distance, k=1, left_key=None,
+                 lsuffix="_left", rsuffix="_right", broadcast_right=None):
+    """k nearest RIGHT points within ``max_distance`` of each LEFT point
+    (both sides point geometries — the GeoPandas ``sjoin_nearest``
+    analogue with a mandatory search radius).
+
+    Scale shape: grid cells sized by the radius; each left point's probe
+    cell expands by the radius (3×3 neighborhood via the same
+    bbox-explode as dwithin_join), candidates equi-join on cell id (ONE
+    shuffle), distance refines natively, and a per-left-row window keeps
+    the k nearest. The radius is mandatory because an unbounded nearest
+    search cannot be grid-pruned — at 100 TB an unbounded k-NN is a
+    different algorithm (see arctic_spark.llm.similarity for the
+    embedding-space versions).
+
+    ``left_key``: column(s) uniquely keying the left side — the window
+    partitions on it. Required (windowing needs a per-row identity that
+    survives the explode; synthesizing one would need a persist, see
+    spatial_join's left path).
+
+    Ties at equal distance break on the right row's coordinates
+    (deterministic output). Left rows with no right point in range are
+    absent from the result (inner semantics).
+    """
+    if left_key is None:
+        raise ValueError("nearest_join requires left_key (unique column "
+                         "name or list) to identify left rows")
+    keys = [left_key] if isinstance(left_key, str) else list(left_key)
+    lgdf = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
+    rgdf = right if isinstance(right, GeoDataFrame) else GeoDataFrame(right)
+    ldf, lgeom = lgdf.df, lgdf.geometry_column
+    rdf, rgeom = rgdf.df, rgdf.geometry_column
+    missing = [c for c in keys if c not in ldf.columns]
+    if missing:
+        raise ValueError(f"left_key column(s) {missing} not in left frame")
+    d = float(max_distance)
+    cs = max(d, 1e-9)
+
+    ldfs = ldf.select(*[F.col(c).alias(c + lsuffix) for c in ldf.columns])
+    rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])
+    lg, rg = lgeom + lsuffix, rgeom + rsuffix
+
+    lc = (ldfs.withColumn("__l_px", native.x(F.col(lg)))
+              .withColumn("__l_py", native.y(F.col(lg)))
+              .where(F.col("__l_px").isNotNull()))
+    lc = lc.withColumn("__l_cell", F.explode(_cells_for_bounds(
+        F.col("__l_px") - d, F.col("__l_py") - d,
+        F.col("__l_px") + d, F.col("__l_py") + d, cs)))
+    rc = (rdfs.withColumn("__r_px", native.x(F.col(rg)))
+              .withColumn("__r_py", native.y(F.col(rg)))
+              .where(F.col("__r_px").isNotNull()))
+    csl = F.lit(cs)
+    rc = rc.withColumn("__r_cell", F.struct(
+        F.floor(F.col("__r_px") / csl).cast("int").alias("cx"),
+        F.floor(F.col("__r_py") / csl).cast("int").alias("cy")))
+    if broadcast_right:
+        rc = F.broadcast(rc)
+    joined = lc.join(rc, (lc["__l_cell.cx"] == rc["__r_cell.cx"])
+                     & (lc["__l_cell.cy"] == rc["__r_cell.cy"]), "inner")
+    # right point sits in exactly one cell → each candidate pair appears
+    # once; no canonical-cell dedup needed
+    dist = F.sqrt((F.col("__l_px") - F.col("__r_px")) ** 2
+                  + (F.col("__l_py") - F.col("__r_py")) ** 2)
+    cand = joined.where(dist <= F.lit(d)).withColumn("__dist", dist)
+    from pyspark.sql import Window
+    w = Window.partitionBy(*[F.col(c + lsuffix) for c in keys]) \
+              .orderBy(F.col("__dist").asc(), F.col("__r_px").asc(),
+                       F.col("__r_py").asc())
+    out = (cand.withColumn("__rank", F.row_number().over(w))
+           .where(F.col("__rank") <= int(k))
+           .drop("__l_cell", "__r_cell", "__l_px", "__l_py",
+                 "__r_px", "__r_py", "__rank")
+           .withColumnRenamed("__dist", "distance"))
+    return GeoDataFrame(out, lg, lgdf.crs)

@@ -174,3 +174,30 @@ def test_release_unpersists(spark, points_df, poly_df):
     assert all(not (h.storageLevel.useMemory or h.storageLevel.useDisk)
                for h in handles)
     assert out.release() == 0  # idempotent
+
+
+def test_nearest_join(spark):
+    from arctic_spark.joins import nearest_join
+    left = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 5.0, 5.0), (3, 100.0, 100.0)],
+        "lid long, x double, y double") \
+        .select("lid", st.point(F.col("x"), F.col("y")).alias("geometry"))
+    right = spark.createDataFrame(
+        [(10, 2.0, 1.0), (20, 6.0, 5.0), (30, 0.0, 0.0)],
+        "rid long, x double, y double") \
+        .select("rid", st.point(F.col("x"), F.col("y")).alias("geometry"))
+    out = nearest_join(left, right, max_distance=2.0, k=1,
+                       left_key="lid").df
+    rows = {r.lid_left: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # (100,100) has nothing within 2
+    assert rows[1].rid_right == 10 and rows[1].distance == 1.0
+    assert rows[2].rid_right == 20 and rows[2].distance == 1.0
+    # k=2 adds (0,0) at distance sqrt(2) for left point 1
+    out2 = nearest_join(left, right, max_distance=2.0, k=2,
+                        left_key="lid").df
+    got = sorted((r.lid_left, r.rid_right, round(r.distance, 6))
+                 for r in out2.collect())
+    assert got == [(1, 10, 1.0), (1, 30, round(2 ** 0.5, 6)),
+                   (2, 20, 1.0)]
+    with pytest.raises(ValueError, match="left_key"):
+        nearest_join(left, right, max_distance=2.0)
