@@ -143,3 +143,28 @@ def session_window_stats(events: DataFrame, gap="30 minutes",
             .select(user_col, F.col("sw.start").alias("session_start"),
                     F.col("sw.end").alias("session_end"), "n_events",
                     "sum_value"))
+
+
+def streaming_dedup_exact(docs: DataFrame, ts_col="ts", text_col="text",
+                          watermark="10 minutes",
+                          normalize=True) -> DataFrame:
+    """Streaming exact dedup for an ingest pipeline: keep the first
+    occurrence of each text fingerprint within the watermark horizon
+    (`dropDuplicates` keyed on the md5 fingerprint — Spark expires the
+    dedup state with the event-time watermark, so state is bounded by
+    the horizon's unique-document count, not the stream's lifetime).
+
+    The batch twin of this operator is ``llm.dedup.dedup_exact`` (exact
+    min-id survivor); streaming semantics necessarily differ — 'first
+    seen wins' in arrival order, and duplicates separated by more than
+    the watermark horizon both survive (documented trade: unbounded
+    exact dedup would need unbounded state). Works on batch frames too
+    (dropDuplicates without watermark), which is how the fast tests
+    validate the plan."""
+    from ..llm.dedup import fingerprint
+    key = fingerprint(text_col) if normalize else F.md5(F.col(text_col))
+    src = docs.withColumn("__fp", key)
+    if docs.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+    return src.dropDuplicates(["__fp"]).drop("__fp")

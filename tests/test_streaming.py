@@ -166,3 +166,40 @@ def test_streaming_spatial_join_static_side(spark, tmp_path):
         assert all(r.string_col_right == "test" for r in rows)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark horizon
+    collapse to first-seen; batch mode uses plain dropDuplicates."""
+    import json
+
+    from arctic_spark.streaming.ops import streaming_dedup_exact
+
+    # batch twin first (plan validation, fast)
+    b = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, "hello world"),
+         ("2024-01-01 10:00:01", 2, "HELLO   world"),   # same normalized
+         ("2024-01-01 10:00:02", 3, "different")],
+        "ts string, doc_id long, text string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = streaming_dedup_exact(b).select("doc_id").collect()
+    assert sorted(r.doc_id for r in got) == [1, 3]
+
+    # real micro-batch run on a file stream
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    rows = [{"ts": "2024-01-01T10:00:00", "doc_id": 1, "text": "aa bb"},
+            {"ts": "2024-01-01T10:00:05", "doc_id": 2, "text": "aa bb"},
+            {"ts": "2024-01-01T10:00:10", "doc_id": 3, "text": "cc dd"}]
+    (src_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "ts timestamp, doc_id long, text string"
+    src = spark.readStream.schema(schema).json(str(src_dir))
+    out = streaming_dedup_exact(src, watermark="1 minute")
+    q = (out.writeStream.format("memory").queryName("dedup_docs")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT doc_id FROM dedup_docs").collect()
+        assert sorted(r.doc_id for r in got) == [1, 3]
+    finally:
+        q.stop()
