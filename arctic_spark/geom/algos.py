@@ -854,9 +854,38 @@ def representative_point(rg: RaggedGeometry):
     return cx, cy
 
 
+def _segs_intersect_batch(ax, ay, bx, by, i, j):
+    """Vector twin of _seg_intersect over index pairs (i, j): proper
+    crossing OR any endpoint-on-segment touch/collinear overlap."""
+    a1x, a1y, b1x, b1y = ax[i], ay[i], bx[i], by[i]
+    a2x, a2y, b2x, b2y = ax[j], ay[j], bx[j], by[j]
+
+    def orient(ox, oy, px, py, qx, qy):
+        return np.sign((px - ox) * (qy - oy) - (py - oy) * (qx - ox))
+
+    o1 = orient(a1x, a1y, b1x, b1y, a2x, a2y)
+    o2 = orient(a1x, a1y, b1x, b1y, b2x, b2y)
+    o3 = orient(a2x, a2y, b2x, b2y, a1x, a1y)
+    o4 = orient(a2x, a2y, b2x, b2y, b1x, b1y)
+    hit = (o1 != o2) & (o3 != o4)
+
+    def on(ox, oy, px, py, qx, qy):
+        return ((np.minimum(ox, px) <= qx) & (qx <= np.maximum(ox, px))
+                & (np.minimum(oy, py) <= qy) & (qy <= np.maximum(oy, py)))
+
+    hit |= (o1 == 0) & on(a1x, a1y, b1x, b1y, a2x, a2y)
+    hit |= (o2 == 0) & on(a1x, a1y, b1x, b1y, b2x, b2y)
+    hit |= (o3 == 0) & on(a2x, a2y, b2x, b2y, a1x, a1y)
+    hit |= (o4 == 0) & on(a2x, a2y, b2x, b2y, b1x, b1y)
+    return hit
+
+
 def is_simple(rg: RaggedGeometry):
     """No self-intersection between non-adjacent segments (per ring).
-    O(S²) per geometry — the UDF path; fine for typical feature sizes."""
+    Grid-pruned vectorized pair test (reuses the boolean engine's
+    candidate generator) — replaces the O(S²) pure-Python loop, so
+    large geometries (coastlines, dissolved regions) stay tractable."""
+    from . import boolean as _bool
     out = np.zeros(len(rg), dtype=object)
     for i in range(len(rg)):
         g, xs, ys, rings, parts = rg.geom(i)
@@ -866,21 +895,35 @@ def is_simple(rg: RaggedGeometry):
         if g in (POINT, MULTIPOINT):
             out[i] = True
             continue
-        segs = list(_iter_segments(xs, ys, rings))
-        simple = True
-        for a in range(len(segs)):
-            for b in range(a + 2, len(segs)):
-                # skip adjacent (sharing a vertex incl. ring closure)
-                sa, sb = segs[a], segs[b]
-                if (sa[2], sa[3]) == (sb[0], sb[1]) or \
-                   (sb[2], sb[3]) == (sa[0], sa[1]):
-                    continue
-                if _seg_intersect(*sa, *sb):
-                    simple = False
-                    break
-            if not simple:
-                break
-        out[i] = simple
+        ax, ay, bx, by = [], [], [], []
+        off = 0
+        for rl in rings:
+            ax.append(xs[off:off + rl - 1])
+            bx.append(xs[off + 1:off + rl])
+            ay.append(ys[off:off + rl - 1])
+            by.append(ys[off + 1:off + rl])
+            off += rl
+        if not ax:
+            out[i] = True
+            continue
+        ax = np.concatenate(ax)
+        ay = np.concatenate(ay)
+        bx = np.concatenate(bx)
+        by = np.concatenate(by)
+        ii, jj = _bool._grid_pairs(ax, ay, bx, by)
+        if ii.size == 0:
+            out[i] = True
+            continue
+        # skip endpoint-chained pairs (adjacency incl. ring closure),
+        # matching the scalar's coordinate-equality rule
+        adjacent = (((bx[ii] == ax[jj]) & (by[ii] == ay[jj]))
+                    | ((bx[jj] == ax[ii]) & (by[jj] == ay[ii])))
+        keep = ~adjacent
+        if not keep.any():
+            out[i] = True
+            continue
+        hit = _segs_intersect_batch(ax, ay, bx, by, ii[keep], jj[keep])
+        out[i] = not bool(hit.any())
     return out
 
 
