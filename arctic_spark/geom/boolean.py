@@ -680,13 +680,109 @@ def _collinear_overlap(g1, g2, eps):
     return bool((coll & (ext * l1 > eps)).any())
 
 
+def _split_line_sub_segments(line, other, eps):
+    """Split every segment of ``line`` at its crossings with ``other``'s
+    segments and at ``other``'s vertices projected onto it; yield
+    (p0x, p0y, p1x, p1y, covered) sub-segments in traversal order with
+    part breaks as None sentinels. covered = midpoint within eps of
+    ``other`` (1-D coincidence)."""
+    oax, oay, obx, oby = _line_segments(other)
+    xs, ys, rings = line[1], line[2], line[3]
+    off = 0
+    for rl in rings:
+        yield None  # part break
+        lx, ly = xs[off:off + rl], ys[off:off + rl]
+        off += rl
+        for i in range(rl - 1):
+            sax, say = lx[i], ly[i]
+            dx, dy = lx[i + 1] - sax, ly[i + 1] - say
+            seglen = math.hypot(dx, dy)
+            if seglen <= 0:
+                continue
+            ts = [0.0, 1.0]
+            if oax.size:
+                ex, ey = obx - oax, oby - oay
+                denom = dx * ey - dy * ex
+                wx, wy = oax - sax, oay - say
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = np.where(denom != 0,
+                                 (wx * ey - wy * ex) / denom, np.nan)
+                    u = np.where(denom != 0,
+                                 (wx * dy - wy * dx) / denom, np.nan)
+                m = (~np.isnan(t)) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+                ts += t[m].tolist()
+                for vx, vy in ((oax, oay), (obx, oby)):
+                    rx, ry = vx - sax, vy - say
+                    tv = (rx * dx + ry * dy) / (seglen * seglen)
+                    qx, qy = rx - tv * dx, ry - tv * dy
+                    on = (tv > 0) & (tv < 1) & (qx * qx + qy * qy
+                                                <= eps * eps)
+                    ts += tv[on].tolist()
+            ts = sorted(set(ts))
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                if (t1 - t0) * seglen <= eps:
+                    continue
+                tm = (t0 + t1) / 2
+                mx, my = sax + tm * dx, say + tm * dy
+                cov = bool(_near_segments(np.array([mx]), np.array([my]),
+                                          oax, oay, obx, oby, eps)[0])
+                yield (sax + t0 * dx, say + t0 * dy,
+                       sax + t1 * dx, say + t1 * dy, cov)
+
+
+def _line_select_coverage(line, other, keep_covered, eps):
+    """Sub-segments of ``line`` that are (not) 1-D coincident with
+    ``other``, stitched back into polylines."""
+    out_parts = []
+    cur_x, cur_y = [], []
+
+    def flush():
+        nonlocal cur_x, cur_y
+        if len(cur_x) >= 2:
+            out_parts.append((cur_x, cur_y))
+        cur_x, cur_y = [], []
+
+    for sub in _split_line_sub_segments(line, other, eps):
+        if sub is None:
+            flush()
+            continue
+        p0x, p0y, p1x, p1y, cov = sub
+        if cov != keep_covered:
+            flush()
+            continue
+        if cur_x and abs(cur_x[-1] - p0x) <= eps \
+                and abs(cur_y[-1] - p0y) <= eps:
+            cur_x.append(p1x)
+            cur_y.append(p1y)
+        else:
+            flush()
+            cur_x, cur_y = [p0x, p1x], [p0y, p1y]
+    flush()
+    return _pack_lines(out_parts)
+
+
 def _line_line_intersection(g1, g2, eps):
-    """Crossing/touch points of two lineish operands (MultiPoint).
-    Collinear 1-D overlaps raise (the result would carry line parts)."""
-    if _collinear_overlap(g1, g2, eps):
+    """Intersection of two lineish operands: collinear 1-D overlap parts
+    (MultiLineString) OR crossing/touch points (MultiPoint). A result
+    that would mix both kinds is a GeometryCollection and raises
+    (documented limit)."""
+    overlap = _line_select_coverage(g1, g2, True, eps)
+    pts = _line_line_points(g1, g2, eps)
+    has_overlap = len(overlap[1]) > 0
+    # drop crossing points that lie on the overlap parts
+    if has_overlap and len(pts[1]):
+        on = _near_segments(pts[1], pts[2], *_line_segments(overlap), eps)
+        pts = _pack_points(pts[1][~on], pts[2][~on])
+    if has_overlap and len(pts[1]):
         raise NotImplementedError(
-            "intersection of collinearly overlapping lines (1-D overlap) "
-            "is not supported")
+            "intersection of lines with BOTH 1-D overlap and isolated "
+            "crossing points is a GeometryCollection, which the ragged "
+            "codec does not represent")
+    return overlap if has_overlap else pts
+
+
+def _line_line_points(g1, g2, eps):
+    """Pairwise crossing/touch points of two lineish operands."""
     a1x, a1y, b1x, b1y = _line_segments(g1)
     a2x, a2y, b2x, b2y = _line_segments(g2)
     if a1x.size == 0 or a2x.size == 0:
@@ -825,17 +921,26 @@ def _mixed_boolean(g1, g2, op, eps_rel):
         if d2 == 2:
             return _clip_line_by_polygon(g1, g2, False, eps_rel)
         if _collinear_overlap(g1, g2, eps):
-            raise NotImplementedError(
-                "difference of collinearly overlapping lines is not "
-                "supported")
+            # remove the 1-D coincident portions (crossings alone
+            # remove zero measure and fall through below)
+            return _line_select_coverage(g1, g2, False, eps)
         return g1  # crossings remove zero 1-D measure
     # union / symmetric_difference
     if d1 == 0 and d2 == 0:
         return _point_set_op(g1, g2, op)
     if d1 == 1 and d2 == 1:
         if _collinear_overlap(g1, g2, eps):
-            raise NotImplementedError(
-                f"{op} of collinearly overlapping lines is not supported")
+            # union: g1 + (g2 − g1); symdiff: (g1 − g2) + (g2 − g1) —
+            # both reduce to the coverage-select difference, so the
+            # overlap needs no dedicated kernel
+            left = g1 if op == "union" \
+                else _line_select_coverage(g1, g2, False, eps)
+            right = _line_select_coverage(g2, g1, False, eps)
+            if not len(left[1]):
+                return right
+            if not len(right[1]):
+                return left
+            return _concat_lines(left, right)
         # no 1-D overlap → union == symdiff == concatenation (equal as
         # point sets; crossings are not re-noded)
         return _concat_lines(g1, g2)

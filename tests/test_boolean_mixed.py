@@ -125,16 +125,33 @@ def test_line_line_crossing_points():
     assert _length(diff) == pytest.approx(4 * math.sqrt(2))
 
 
-def test_collinear_overlap_raises():
+def test_collinear_overlap_ops():
+    # [0,4] and [2,6] on the x-axis: overlap [2,4]
     a = _g("LINESTRING (0 0, 4 0)")
     b = _g("LINESTRING (2 0, 6 0)")
-    for op in ("intersection", "difference", "union",
-               "symmetric_difference"):
-        with pytest.raises(NotImplementedError, match="collinear"):
-            boolean_pair(a, b, op)
+    ix = boolean_pair(a, b, "intersection")
+    assert ix[0] == LINESTRING
+    assert _length(ix) == pytest.approx(2.0)
+    df = boolean_pair(a, b, "difference")
+    assert _length(df) == pytest.approx(2.0)  # [0,2]
+    assert float(df[1].max()) == pytest.approx(2.0)
+    un = boolean_pair(a, b, "union")
+    assert _length(un) == pytest.approx(6.0)  # [0,6] total measure
+    sd = boolean_pair(a, b, "symmetric_difference")
+    assert _length(sd) == pytest.approx(4.0)  # [0,2] + [4,6]
+    # fully contained: [1,3] within [0,4]
+    c = _g("LINESTRING (1 0, 3 0)")
+    assert _length(boolean_pair(c, a, "intersection")) == pytest.approx(2.0)
+    assert len(boolean_pair(c, a, "difference")[1]) == 0
+    assert _length(boolean_pair(a, c, "difference")) == pytest.approx(2.0)
+    assert _length(boolean_pair(a, c, "union")) == pytest.approx(4.0)
+    # overlap + an isolated crossing elsewhere would be a collection
+    d = _g("MULTILINESTRING ((2 0, 6 0), (1 -1, 1 1))")
+    with pytest.raises(NotImplementedError, match="GeometryCollection"):
+        boolean_pair(a, d, "intersection")
     # merely touching at an endpoint is NOT a 1-D overlap
-    c = _g("LINESTRING (4 0, 4 4)")
-    assert _length(boolean_pair(a, c, "union")) == pytest.approx(8.0)
+    e = _g("LINESTRING (4 0, 4 4)")
+    assert _length(boolean_pair(a, e, "union")) == pytest.approx(8.0)
 
 
 def test_mixed_dim_union_raises():
