@@ -992,9 +992,11 @@ def boolean_pair(g1, g2, op, eps_rel=1e-9):
     """Row-aligned boolean op on two geometry tuples. Fully general for
     polygonal operands (holed subjects, holed clips, multipolygons,
     concave rings); mixed point/line/polygon operands follow GEOS
-    dimension rules (_mixed_boolean) — the remaining documented limits
-    are collinear 1-D line overlaps and mixed-dimension union/symdiff
-    (GeometryCollection results). Empty-operand identities are applied
+    dimension rules (_mixed_boolean), including collinear line/line
+    overlaps — the remaining documented limits are results that would
+    be GeometryCollections (mixed-dimension union/symdiff; line∩line
+    with both overlap parts and isolated crossing points).
+    Empty-operand identities are applied
     without running any kernel; disjoint bboxes short-circuit
     difference/union/symdiff."""
     if op not in _KEEP:
