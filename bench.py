@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "geo_poly_join",
     "geo_diamond_join",
+    "geo_nearest_supplier",
     "geo_boolean_intersection",
     "geo_buffer_line",
 ]
