@@ -288,6 +288,18 @@ def _bounds_per_geom(rg: RaggedGeometry):
     return xmin, ymin, xmax, ymax
 
 
+def _seg_bbox_prefilter(a1x, a1y, b1x, b1y, a2x, a2y, b2x, b2y, i1, i2):
+    """Drop segment pairs whose bboxes are disjoint before the 4-orient
+    intersect mask — 8 cheap passes typically kill the majority of the
+    per-segment cartesian product (only boundary-adjacent segments of a
+    candidate geometry pair can actually meet)."""
+    ok = ((np.minimum(a1x[i1], b1x[i1]) <= np.maximum(a2x[i2], b2x[i2]))
+          & (np.minimum(a2x[i2], b2x[i2]) <= np.maximum(a1x[i1], b1x[i1]))
+          & (np.minimum(a1y[i1], b1y[i1]) <= np.maximum(a2y[i2], b2y[i2]))
+          & (np.minimum(a2y[i2], b2y[i2]) <= np.maximum(a1y[i1], b1y[i1])))
+    return i1[ok], i2[ok]
+
+
 def _seg_cross_any(r1, r2, active, n):
     """Per-pair: any segment of g1 intersects any segment of g2
     (touching counts) — plus the proper-only variant's shared guts."""
@@ -297,6 +309,10 @@ def _seg_cross_any(r1, r2, active, n):
     if g1s.size == 0 or g2s.size == 0:
         return out
     i1, i2 = _pair_products(g1s, g2s, n)
+    if i1.size == 0:
+        return out
+    i1, i2 = _seg_bbox_prefilter(a1x, a1y, b1x, b1y,
+                                 a2x, a2y, b2x, b2y, i1, i2)
     if i1.size == 0:
         return out
     hit = _seg_intersect_mask(a1x[i1], a1y[i1], b1x[i1], b1y[i1],
@@ -312,6 +328,10 @@ def _proper_cross_any(r1, r2, active, n):
     if g1s.size == 0 or g2s.size == 0:
         return out
     i1, i2 = _pair_products(g1s, g2s, n)
+    if i1.size == 0:
+        return out
+    i1, i2 = _seg_bbox_prefilter(a1x, a1y, b1x, b1y,
+                                 a2x, a2y, b2x, b2y, i1, i2)
     if i1.size == 0:
         return out
     hit = _proper_cross_mask(a1x[i1], a1y[i1], b1x[i1], b1y[i1],
