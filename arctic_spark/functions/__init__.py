@@ -39,7 +39,7 @@ from .native import collect_agg, z
 length = native.length
 euclidean_length = native.length
 geom_type = geom_type_id
-from_wkb = geom_from_wkb
+from .udfs import from_wkb  # noqa: F401  (force_2d-capable wrapper)
 to_wkb = geom_to_wkb
 from_wkt = geom_from_wkt
 to_wkt = geom_to_wkt

@@ -45,6 +45,20 @@ def geom_from_wkb(buf: pd.Series) -> pd.DataFrame:
     return ragged_to_pdf(rg)
 
 
+@pandas_udf(GEOM_TYPE)
+def _geom_from_wkb_force2d(buf: pd.Series) -> pd.DataFrame:
+    rg = wkb.decode([None if b is None else bytes(b) for b in buf],
+                    force_2d=True)
+    return ragged_to_pdf(rg)
+
+
+def from_wkb(buf, force_2d: bool = False):
+    """WKB → geometry. ``force_2d=True`` accepts Z/M input and drops the
+    extra dimensions (lossy, documented — the engine is 2D); homogeneous
+    GeometryCollections decode as the corresponding Multi* either way."""
+    return _geom_from_wkb_force2d(buf) if force_2d else geom_from_wkb(buf)
+
+
 @pandas_udf(T.BinaryType())
 def geom_to_wkb(g: pd.DataFrame) -> pd.Series:
     return pd.Series(wkb.encode(ragged_from_pdf(g)))

@@ -8,11 +8,15 @@ reads, with a fully-vectorized fast path for all-Point batches (fixed
 21-byte records — the dominant case for point datasets).
 
 Supported: 2D Point/LineString/Polygon/MultiPoint/MultiLineString/
-MultiPolygon, both byte orders on read, EWKB SRID header skipped, ISO
-(1000+) and EWKB Z/M flags rejected with a clear error. Encoding always
-writes little-endian 2D, matching what shapely.to_wkb produces by default.
-GeometryCollection is rejected (the reference's spatial index likewise
-errors on it, geopolars/src/spatial_index.rs:258-276).
+MultiPolygon, both byte orders on read, EWKB SRID header skipped. ISO
+(1000+) and EWKB Z/M flags are rejected with a clear error by default;
+``decode(..., force_2d=True)`` accepts them and DROPS the extra
+dimensions (documented lossy ingest path — the engine is 2D).
+HOMOGENEOUS GeometryCollections decode to the corresponding Multi*
+(lossless re-typing); heterogeneous ones are rejected (the reference's
+spatial index likewise errors on GC,
+geopolars/src/spatial_index.rs:258-276). Encoding always writes
+little-endian 2D, matching what shapely.to_wkb produces by default.
 """
 
 from __future__ import annotations
@@ -33,48 +37,66 @@ class WKBError(ValueError):
     pass
 
 
-def _read_header(buf, pos):
-    """Returns (base_type, little_endian, pos_after_header)."""
+def _read_header(buf, pos, force_2d=False):
+    """Returns (base_type, little_endian, pos_after_header, ndims)."""
     bo = buf[pos]
     little = bo == 1
     pos += 1
     t = int.from_bytes(buf[pos:pos + 4], "little" if little else "big")
     pos += 4
+    ndims = 2
     if t & (_EWKB_Z | _EWKB_M):
-        raise WKBError("Z/M coordinates not supported (2D engine)")
+        if not force_2d:
+            raise WKBError("Z/M coordinates not supported (2D engine); "
+                           "pass force_2d=True to drop them on read")
+        ndims = 2 + bool(t & _EWKB_Z) + bool(t & _EWKB_M)
+        t &= ~(_EWKB_Z | _EWKB_M)
     if t & _EWKB_SRID:
         t &= ~_EWKB_SRID
         pos += 4  # skip srid
     if t >= 1000:
-        if t // 1000 in (1, 2, 3):
-            raise WKBError("Z/M coordinates not supported (2D engine)")
-        raise WKBError(f"unsupported ISO WKB type {t}")
-    return t, little, pos
+        iso = t // 1000
+        if iso in (1, 2, 3):
+            if not force_2d:
+                raise WKBError("Z/M coordinates not supported (2D "
+                               "engine); pass force_2d=True to drop "
+                               "them on read")
+            ndims = {1: 3, 2: 3, 3: 4}[iso]
+            t %= 1000
+        else:
+            raise WKBError(f"unsupported ISO WKB type {t}")
+    return t, little, pos, ndims
 
 
 def _read_u32(buf, pos, little):
     return int.from_bytes(buf[pos:pos + 4], "little" if little else "big"), pos + 4
 
 
-def _read_coords(buf, pos, n, little, xs_out, ys_out):
+def _read_coords(buf, pos, n, little, xs_out, ys_out, ndims=2):
     dt = "<f8" if little else ">f8"
-    arr = np.frombuffer(buf, dtype=dt, count=2 * n, offset=pos)
-    xs_out.append(np.ascontiguousarray(arr[0::2], dtype=np.float64))
-    ys_out.append(np.ascontiguousarray(arr[1::2], dtype=np.float64))
-    return pos + 16 * n
+    arr = np.frombuffer(buf, dtype=dt, count=ndims * n, offset=pos)
+    xs_out.append(np.ascontiguousarray(arr[0::ndims], dtype=np.float64))
+    ys_out.append(np.ascontiguousarray(arr[1::ndims], dtype=np.float64))
+    return pos + 8 * ndims * n
 
 
-def _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out):
+_CLASS_OF = {POINT: 0, MULTIPOINT: 0, LINESTRING: 1, MULTILINESTRING: 1,
+             POLYGON: 2, MULTIPOLYGON: 2}
+_MULTI_OF_CLASS = {0: MULTIPOINT, 1: MULTILINESTRING, 2: MULTIPOLYGON}
+
+
+def _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out,
+                force_2d=False):
     """Decode one geometry starting at pos. Returns (gt, pos)."""
-    t, little, pos = _read_header(buf, pos)
+    t, little, pos, nd = _read_header(buf, pos, force_2d)
     if t == 1:  # Point
-        pos = _read_coords(buf, pos, 1, little, xs_out, ys_out)
+        pos = _read_coords(buf, pos, 1, little, xs_out, ys_out, nd)
         rings_out.append(1)
         parts_out.append(1)
         return POINT, pos
     if t == 2:  # LineString
         n, pos = _read_u32(buf, pos, little)
-        pos = _read_coords(buf, pos, n, little, xs_out, ys_out)
+        pos = _read_coords(buf, pos, n, little, xs_out, ys_out, nd)
         rings_out.append(n)
         parts_out.append(1)
         return LINESTRING, pos
@@ -82,27 +104,43 @@ def _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out):
         nr, pos = _read_u32(buf, pos, little)
         for _ in range(nr):
             n, pos = _read_u32(buf, pos, little)
-            pos = _read_coords(buf, pos, n, little, xs_out, ys_out)
+            pos = _read_coords(buf, pos, n, little, xs_out, ys_out, nd)
             rings_out.append(n)
         parts_out.append(nr)
         return POLYGON, pos
     if t in (4, 5, 6):  # Multi*
         n, pos = _read_u32(buf, pos, little)
         for _ in range(n):
-            _, pos = _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out)
+            _, pos = _decode_one(buf, pos, xs_out, ys_out, rings_out,
+                                 parts_out, force_2d)
         if t == 4:
             return MULTIPOINT, pos
         if t == 5:
             return MULTILINESTRING, pos
         return MULTIPOLYGON, pos
     if t == 7:
-        raise WKBError("GeometryCollection not supported by the ragged "
-                       "encoding; keep it as WKB bytes")
+        # homogeneous collections re-type losslessly to the Multi*
+        n, pos = _read_u32(buf, pos, little)
+        if n == 0:
+            raise WKBError("empty GeometryCollection not representable "
+                           "in the ragged encoding")
+        kinds = set()
+        for _ in range(n):
+            ct, pos = _decode_one(buf, pos, xs_out, ys_out, rings_out,
+                                  parts_out, force_2d)
+            kinds.add(_CLASS_OF[ct])
+        if len(kinds) > 1:
+            raise WKBError("heterogeneous GeometryCollection not "
+                           "supported by the ragged encoding; keep it "
+                           "as WKB bytes")
+        return _MULTI_OF_CLASS[kinds.pop()], pos
     raise WKBError(f"unsupported WKB type {t}")
 
 
-def decode(buffers) -> RaggedGeometry:
-    """Decode an iterable of WKB ``bytes`` (None → MISSING) to ragged form."""
+def decode(buffers, force_2d=False) -> RaggedGeometry:
+    """Decode an iterable of WKB ``bytes`` (None → MISSING) to ragged
+    form. ``force_2d=True`` accepts Z/M input and drops the extra
+    dimensions (lossy, documented)."""
     bufs = list(buffers)
     n = len(bufs)
     # Fast path: every non-null buffer is a little-endian 2D point (21 bytes,
@@ -135,7 +173,8 @@ def decode(buffers) -> RaggedGeometry:
             gt[i] = MISSING
         else:
             rings_out, parts_out = [], []
-            t, _ = _decode_one(bytes(b), 0, xs_out, ys_out, rings_out, parts_out)
+            t, _ = _decode_one(bytes(b), 0, xs_out, ys_out, rings_out,
+                               parts_out, force_2d)
             gt[i] = t
             rings_all.extend(rings_out)
             parts_all.extend(parts_out)

@@ -237,3 +237,32 @@ def test_length_empty_batch():
     assert out[0] == 0.0
     assert out[1] == 0.0
     assert np.isnan(out[2])
+
+
+def test_wkb_force_2d_and_collections():
+    """Round-5 ingest paths: Z/M WKB accepted with force_2d (dropping
+    the extra dims), homogeneous GeometryCollections re-type to Multi*,
+    heterogeneous ones still raise."""
+    import struct
+
+    from arctic_spark.geom import wkb as wkb_mod
+
+    pz = struct.pack("<BI3d", 1, 0x80000001, 1.0, 2.0, 3.0)   # EWKB Z
+    piso = struct.pack("<BI3d", 1, 1001, 4.0, 5.0, 6.0)       # ISO Z
+    with pytest.raises(wkb_mod.WKBError, match="force_2d"):
+        wkb_mod.decode([pz])
+    rg = wkb_mod.decode([pz, piso], force_2d=True)
+    assert rg.xs.tolist() == [1.0, 4.0]
+    assert rg.ys.tolist() == [2.0, 5.0]
+
+    def pt(x, y):
+        return struct.pack("<BI2d", 1, 1, x, y)
+
+    def gc(children):
+        return struct.pack("<BII", 1, 7, len(children)) + b"".join(children)
+
+    rg = wkb_mod.decode([gc([pt(1, 1), pt(2, 2)])])
+    assert rg.gt[0] == 4 and rg.xs.tolist() == [1.0, 2.0]   # MULTIPOINT
+    line = struct.pack("<BII4d", 1, 2, 2, 0.0, 0.0, 1.0, 1.0)
+    with pytest.raises(wkb_mod.WKBError, match="heterogeneous"):
+        wkb_mod.decode([gc([pt(1, 1), line])])
