@@ -24,13 +24,19 @@ def version() -> str:
 def __getattr__(name):
     # lazy top-level exports (avoid importing joins/temporal at package
     # import time)
-    if name in ("spatial_join", "sjoin", "dwithin_join",
-                "estimate_cell_size"):
+    if name in ("spatial_join", "sjoin", "dwithin_join", "nearest_join",
+                "sjoin_nearest", "estimate_cell_size"):
         from . import joins
         return getattr(joins, name)
     if name == "asof_join":
         from .temporal import asof_join
         return asof_join
+    if name == "range_join":
+        from .temporal import range_join
+        return range_join
+    if name == "release":
+        from .cache import release
+        return release
     if name == "register_sql_functions":
         from .sql import register_sql_functions
         return register_sql_functions
@@ -39,4 +45,5 @@ def __getattr__(name):
 
 __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "DEFAULT_GEO_COLUMN_NAME", "spatial_join", "sjoin",
-           "dwithin_join", "asof_join", "register_sql_functions"]
+           "dwithin_join", "nearest_join", "sjoin_nearest", "asof_join",
+           "range_join", "release", "register_sql_functions"]

@@ -481,3 +481,8 @@ def nearest_join(left, right, max_distance, k=1, left_key=None,
                  "__r_px", "__r_py", "__rank")
            .withColumnRenamed("__dist", "distance"))
     return GeoDataFrame(out, lg, lgdf.crs)
+
+
+def sjoin_nearest(left, right, max_distance, **kw):
+    """GeoPandas-style alias for nearest_join (radius-bounded)."""
+    return nearest_join(left, right, max_distance, **kw)
