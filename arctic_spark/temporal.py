@@ -23,11 +23,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               rsuffix: str = "_right") -> DataFrame:
     """For each left row, attach the latest right row with
     right.ts <= left.ts (direction='backward'; 'forward' gives the
-    earliest right row with right.ts >= left.ts), matched within `by`
-    groups. ``tolerance`` (seconds) nulls out matches farther away.
+    earliest right row with right.ts >= left.ts; 'nearest' picks
+    whichever of the two is closer, backward winning ties — pandas
+    merge_asof semantics), matched within `by` groups. ``tolerance``
+    (seconds) nulls out matches farther away.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     right_on = right_on or on
     right_by = right_by or by
 
@@ -50,43 +53,73 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
                  F.col(right_on).alias("__rts")).alias("__r"))
 
     u = lt.unionByName(rt)
-    asc = direction == "backward"
-    w = Window.partitionBy("__key").orderBy(
-        F.col("__ts").asc() if asc else F.col("__ts").desc(),
-        F.col("__is_left").asc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    carried = F.last("__r", ignorenulls=True).over(w).alias("__rc")
 
-    out = u.select("__is_left", "__ts", *lcols, carried) \
-           .where(F.col("__is_left") == 1)
+    def _carried(asc):
+        w = Window.partitionBy("__key").orderBy(
+            F.col("__ts").asc() if asc else F.col("__ts").desc(),
+            F.col("__is_left").asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        return F.last("__r", ignorenulls=True).over(w)
 
-    rc = F.col("__rc")
-    if tolerance is not None:
-        from pyspark.sql import types as T
-        ts_type = left.schema[on].dataType
+    from pyspark.sql import types as T
+    ts_type = left.schema[on].dataType
+
+    def _vals(rc_col):
+        """(left value, right value, tolerance literal|None) in exact
+        arithmetic for the column's type (see the per-type notes)."""
         if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
             # exact integer microseconds: epoch doubles carry ~2e-7 s FP
             # rounding, enough to flip gap == tolerance boundary cases
             lval = F.unix_micros(F.col("__ts").cast("timestamp"))
-            rval = F.unix_micros(rc["__rts"].cast("timestamp"))
-            tol = F.lit(int(round(float(tolerance) * 1_000_000)))
+            rval = F.unix_micros(rc_col["__rts"].cast("timestamp"))
+            tol = None if tolerance is None else \
+                F.lit(int(round(float(tolerance) * 1_000_000)))
         elif isinstance(ts_type, (T.LongType, T.IntegerType,
                                   T.ShortType, T.ByteType)):
             # integral ts (e.g. nanos-as-long events): stay in longs —
             # a cast to double is lossy past 2^53 (epoch nanos is ~2^60).
             # tolerance must be integral too: a float literal would
             # promote the whole comparison back to double.
-            if float(tolerance) != int(tolerance):
+            if tolerance is not None and float(tolerance) != int(tolerance):
                 raise ValueError(
                     "asof_join: fractional tolerance %r is ambiguous for "
                     "an integral timestamp column %r — pass an int in the "
                     "column's own unit" % (tolerance, on))
-            lval, rval = F.col("__ts"), rc["__rts"]
-            tol = F.lit(int(tolerance))
+            lval, rval = F.col("__ts"), rc_col["__rts"]
+            tol = None if tolerance is None else F.lit(int(tolerance))
         else:
             lval = F.col("__ts").cast("double")
-            rval = rc["__rts"].cast("double")
-            tol = F.lit(float(tolerance))
+            rval = rc_col["__rts"].cast("double")
+            tol = None if tolerance is None else F.lit(float(tolerance))
+        return lval, rval, tol
+
+    if direction == "nearest":
+        # both directions in one pass over the same shuffled partition
+        # (two window sorts, no extra shuffle), then pick the closer
+        # side; equal gaps choose backward (pandas merge_asof)
+        out = u.select("__is_left", "__ts", *lcols,
+                       _carried(True).alias("__rb"),
+                       _carried(False).alias("__rf")) \
+               .where(F.col("__is_left") == 1)
+        lb, rb_v, tol = _vals(F.col("__rb"))
+        lf, rf_v, _ = _vals(F.col("__rf"))
+        gap_b, gap_f = lb - rb_v, rf_v - lf
+        rb, rf = F.col("__rb"), F.col("__rf")
+        if tol is not None:
+            rb = F.when(gap_b <= tol, rb)
+            rf = F.when(gap_f <= tol, rf)
+        pick_b = rb.isNotNull() & (rf.isNull() | (gap_b <= gap_f))
+        rc = F.when(pick_b, rb).otherwise(rf)
+        return out.select(*lcols,
+                          *[rc[c].alias(c + rsuffix) for c in rcols])
+
+    asc = direction == "backward"
+    out = u.select("__is_left", "__ts", *lcols,
+                   _carried(asc).alias("__rc")) \
+           .where(F.col("__is_left") == 1)
+    rc = F.col("__rc")
+    if tolerance is not None:
+        lval, rval, tol = _vals(rc)
         gap = (lval - rval) if asc else (rval - lval)
         rc = F.when(gap <= tol, F.col("__rc"))
     return out.select(*lcols,

@@ -79,7 +79,7 @@ def test_asof_null_right_value_not_backfilled(spark):
 def test_asof_bad_direction(quotes_trades):
     trades, quotes = quotes_trades
     with pytest.raises(ValueError):
-        asof_join(trades, quotes, on="ts", by="sym", direction="nearest")
+        asof_join(trades, quotes, on="ts", by="sym", direction="sideways")
 
 
 def test_range_join(spark):
@@ -143,3 +143,29 @@ def test_asof_long_ts_beyond_2pow53(spark):
     with pytest.raises(ValueError, match="fractional tolerance"):
         asof_join(left, right, on="ts", by="k", right_on="rts",
                   right_by="k", tolerance=2.5)
+
+
+def test_asof_nearest(quotes_trades):
+    """direction='nearest': closer of backward/forward wins, backward
+    wins ties; tolerance applies per side (pandas merge_asof)."""
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by="sym", right_on="qts",
+                    right_by="sym", direction="nearest")
+    by = {r.trade: r.px_right for r in out.collect()}
+    # T1 10:00:05: backward 10:00:00 (5s) vs forward 10:00:10 (5s) — tie
+    # -> backward
+    assert by["T1"] == 100.0
+    # T2 10:00:20: only backward exists (10:00:10)
+    assert by["T2"] == 101.0
+    # T3 09:00:00: only forward exists (10:00:00 sym 2)
+    assert by["T3"] == 200.0
+    # T4 10:00:10 sym 2: backward 10:00:00 is the only quote
+    assert by["T4"] == 200.0
+    # tolerance nulls the far-away forward match for T3 (3600s gap)
+    tol = asof_join(trades, quotes, on="ts", by="sym", right_on="qts",
+                    right_by="sym", direction="nearest", tolerance=60)
+    byt = {r.trade: r.px_right for r in tol.collect()}
+    assert byt["T3"] is None and byt["T1"] == 100.0
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="ts", by="sym", right_on="qts",
+                  right_by="sym", direction="sideways")
