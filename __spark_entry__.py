@@ -177,6 +177,27 @@ def q_asof_join(spark, sf):
         F.round("o_totalprice_right", 2).alias("ord_price"))
 
 
+def q_asof_nearest(spark, sf):
+    """asof direction='nearest' (pandas merge_asof parity): each event
+    gets the order of the same user closest in time, backward winning
+    ties; oracle is the per-event window over a keyed left join."""
+    from arctic_spark.temporal import asof_join
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate") \
+        .orderBy(F.col("o_orderkey").desc())
+    o1 = (o.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") == 1)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))
+    joined = asof_join(e, o1, on="ts", by="user_id",
+                       right_on="o_orderdate", right_by="o_custkey",
+                       direction="nearest")
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey_right").alias("ord_key"),
+        F.round("o_totalprice_right", 2).alias("ord_price"))
+
+
 def q_range_join(spark, sf):
     """Bucketed interval join (beyond-reference): event values matched to
     supplier-derived [lo, hi] bands — O(n) bucket equi-join instead of
@@ -851,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_daily": q_events_daily,
         "q_events_rollup": q_events_rollup,
         "q_asof_join": q_asof_join,
+        "q_asof_nearest": q_asof_nearest,
         "q_range_join": q_range_join,
         "geo_point_accessors": geo_point_accessors,
         "geo_distance": geo_distance,
@@ -1139,6 +1161,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN o1 o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "q_asof_nearest": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY o_custkey, o_orderdate
+                          ORDER BY o_orderkey DESC) AS rn
+                      FROM orders) t
+                WHERE rn = 1)
+            SELECT e.event_id,
+                   o.o_orderkey AS ord_key,
+                   round(o.o_totalprice, 2) AS ord_price
+            FROM events e LEFT JOIN o1 o ON e.user_id = o.o_custkey
+            QUALIFY row_number() OVER (
+                PARTITION BY e.event_id
+                ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                             - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                         CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END
+                ) = 1
         """,
         "q_range_join": """
             SELECT s.s_suppkey, count(*) AS n_events,
