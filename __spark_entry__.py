@@ -731,6 +731,137 @@ def geo_buffer_line(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# long-tail §2.2/§2.3 operators (round 6): convex_hull, simplify, the affine
+# family, ring accessors, representative_point, clip_by_rect, equality
+# predicates and dwithin — each against a closed-form oracle
+# ---------------------------------------------------------------------------
+
+def geo_hull_simplify(spark, sf):
+    """convex_hull (SURVEY §2.2 #3) + simplify/Douglas-Peucker (#17): the
+    hull of a rectangle's corners plus one interior point is the
+    rectangle itself (area w*h, perimeter 2(w+h)); a 3-point zigzag line
+    with midpoint deviation d simplified at tol=1.0 keeps the midpoint
+    iff d > 1 (closed-form simplified length either way)."""
+    p = _t(spark, sf, "part")
+    x0 = (F.col("p_partkey") % 40).cast("double")
+    y0 = (F.col("p_partkey") * 3 % 35).cast("double")
+    w = (F.col("p_partkey") % 5).cast("double") + 2.0
+    h = (F.col("p_size") % 4).cast("double") + 3.0
+    one = F.lit(1)
+    mp = st.geom_struct(
+        F.lit(4),
+        F.array(x0, x0 + w, x0 + w, x0, x0 + w / 3),
+        F.array(y0, y0, y0 + h, y0 + h, y0 + h / 3),
+        F.array(one, one, one, one, one),
+        F.array(one, one, one, one, one))
+    hull = st.convex_hull(mp)
+    d = (F.col("p_partkey") % 3).cast("double") * 0.8
+    line = st.make_line(F.array(x0, x0 + 1.0, x0 + 2.0),
+                        F.array(y0, y0 + d, y0))
+    simp = st.simplify(line, 1.0)
+    return p.select("p_partkey",
+                    F.round(st.area(hull), 6).alias("hull_area"),
+                    F.round(st.length(hull), 6).alias("hull_perim"),
+                    F.round(st.length(simp), 6).alias("simp_len"))
+
+
+def geo_affine_family(spark, sf):
+    """scale + skew + affine_transform + geom_almost_equals (SURVEY §2.2
+    #12/#15/#16, §2.3): scale(2, .5) about the origin then skew by 15°
+    has the closed-form image (2x + tan15°·y/2, y/2); applying the exact
+    inverse affine must round-trip to the original point (rows with an
+    injected 1e-3 jitter must NOT round-trip); a fully general 6-param
+    affine is checked coordinate-wise."""
+    import math as _m
+    s = _t(spark, sf, "supplier")
+    px = (F.col("s_suppkey") % 19).cast("double") + 0.25
+    py = (F.col("s_suppkey") * 3 % 23).cast("double") - 4.5
+    p = st.point(px, py)
+    tan15 = _m.tan(_m.radians(15.0))
+    g = st.skew(st.scale(p, 2.0, 0.5, origin=(0.0, 0.0)), 15.0, 0.0,
+                origin=(0.0, 0.0))
+    back = st.affine_transform(g, [0.5, -tan15 / 2.0, 0.0, 2.0, 0.0, 0.0])
+    jit = F.when(F.col("s_suppkey") % 4 == 0, F.lit(1e-3)) \
+           .otherwise(F.lit(0.0))
+    back = st.translate(back, jit, 0.0)
+    m = st.affine_transform(p, [1.5, 0.25, -0.5, 2.0, 3.0, -1.0])
+    return s.select("s_suppkey",
+                    F.round(st.x(g), 6).alias("tx"),
+                    F.round(st.y(g), 6).alias("ty"),
+                    st.geom_almost_equals(p, back, 6).alias("roundtrip_ok"),
+                    F.round(st.x(m), 6).alias("mx"),
+                    F.round(st.y(m), 6).alias("my"))
+
+
+def geo_ring_accessors(spark, sf):
+    """Ring/part accessors on a holed polygon (SURVEY §2.2 #7/#10/#11,
+    §2.3 boundary/interiors/representative_point/clip_by_rect): a w×w
+    square with a unit hole. Exterior length 4w, boundary length 4w+4,
+    one interior ring of length 4, representative point strictly inside,
+    clip by the left strip x<3 leaves area 3w−1 (the hole sits fully in
+    the strip)."""
+    o = _t(spark, sf, "orders")
+    w = (F.col("o_orderkey") % 3).cast("double") * 2.0 + 6.0
+    u = (F.col("o_orderkey") % 3).cast("double") * 0.3
+    v = (F.col("o_custkey") % 3).cast("double") * 0.3
+    hx, hy = 1.0 + u, 1.0 + v
+    z = F.lit(0.0)
+    poly = st.geom_struct(
+        F.lit(3),
+        F.array(z, w, w, z, z, hx, hx, hx + 1.0, hx + 1.0, hx),
+        F.array(z, z, w, w, z, hy, hy + 1.0, hy + 1.0, hy, hy),
+        F.array(F.lit(5), F.lit(5)), F.array(F.lit(2)))
+    rp = st.representative_point(poly)
+    clip = st.clip_by_rect(poly, -0.5, -0.5, 3.0, 100.0)
+    hole = F.element_at(st.interiors(poly), 1)
+    # interior test spelled as interval arithmetic (not contains_point:
+    # a Python-UDF operand can't sit inside a native higher-order lambda)
+    rx, ry = st.x(rp), st.y(rp)
+    rp_inside = ((rx > 0) & (rx < w) & (ry > 0) & (ry < w)
+                 & ~((rx > hx) & (rx < hx + 1.0)
+                     & (ry > hy) & (ry < hy + 1.0)))
+    return o.select(
+        "o_orderkey",
+        F.round(st.area(poly), 6).alias("full_area"),
+        F.round(st.area(clip), 6).alias("clip_area"),
+        F.round(st.length(st.exterior(poly)), 6).alias("ext_len"),
+        F.round(st.length(st.boundary(poly)), 6).alias("bnd_len"),
+        F.size(st.interiors(poly)).alias("n_holes"),
+        F.round(st.length(hole), 6).alias("hole_len"),
+        st.is_ring(st.exterior(poly)).alias("ext_is_ring"),
+        st.is_empty(poly).alias("empty"),
+        rp_inside.alias("rp_inside"))
+
+
+def geo_equals_dwithin(spark, sf):
+    """Equality predicates + dwithin (SURVEY §2.3): geom_equals is
+    invariant to ring rotation/orientation (B is A's ring re-started and
+    reversed — equal iff not shifted), geom_equals_exact is the strict
+    structural compare (always false here), geom_almost_equals tolerates
+    1e-9 but not 1e-3, dwithin_points is exact interval arithmetic."""
+    c = _t(spark, sf, "customer")
+    x0 = (F.col("c_custkey") % 61).cast("double")
+    y0 = (F.col("c_custkey") * 7 % 53).cast("double")
+    a_poly = st.make_polygon(F.array(x0, x0 + 4.0, x0 + 1.0),
+                             F.array(y0, y0 + 1.0, y0 + 3.0))
+    b_raw = st.make_polygon(F.array(x0 + 4.0, x0, x0 + 1.0),
+                            F.array(y0 + 1.0, y0, y0 + 3.0))
+    b_poly = F.when(F.col("c_custkey") % 2 == 0, b_raw) \
+              .otherwise(st.translate(b_raw, 0.25, 0.0))
+    eps = F.when(F.col("c_custkey") % 3 == 0, F.lit(1e-3)) \
+           .otherwise(F.lit(1e-9))
+    c_poly = st.translate(a_poly, eps, 0.0)
+    p1 = st.point(x0, y0)
+    p2 = st.point(x0 + (F.col("c_custkey") % 9).cast("double"), y0)
+    return c.select(
+        "c_custkey",
+        st.geom_equals(a_poly, b_poly).alias("eq_invariant"),
+        st.geom_equals_exact(a_poly, b_poly).alias("eq_exact"),
+        st.geom_almost_equals(a_poly, c_poly, 6).alias("almost_eq"),
+        st.dwithin_points(p1, p2, 4.5).alias("within_4_5"))
+
+
+# ---------------------------------------------------------------------------
 # beyond-reference: dedup / text / similarity
 # ---------------------------------------------------------------------------
 
@@ -900,6 +1031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_boolean_multidiff": geo_boolean_multidiff,
         "geo_line_clip_len": geo_line_clip_len,
         "geo_buffer_line": geo_buffer_line,
+        "geo_hull_simplify": geo_hull_simplify,
+        "geo_affine_family": geo_affine_family,
+        "geo_ring_accessors": geo_ring_accessors,
+        "geo_equals_dwithin": geo_equals_dwithin,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
@@ -1726,6 +1861,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        "geo_hull_simplify": """
+            WITH t AS (
+                SELECT p_partkey,
+                       CAST(p_partkey % 5 AS DOUBLE) + 2.0 AS w,
+                       CAST(p_size % 4 AS DOUBLE) + 3.0 AS h,
+                       CAST(p_partkey % 3 AS DOUBLE) * 0.8 AS d
+                FROM part)
+            SELECT p_partkey,
+                   round(w * h, 6) AS hull_area,
+                   round(2 * (w + h), 6) AS hull_perim,
+                   round(CASE WHEN d > 1.0 THEN 2 * sqrt(1 + d * d)
+                              ELSE 2.0 END, 6) AS simp_len
+            FROM t
+        """,
+        "geo_affine_family": """
+            WITH t AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 19 AS DOUBLE) + 0.25 AS px,
+                       CAST(s_suppkey * 3 % 23 AS DOUBLE) - 4.5 AS py
+                FROM supplier)
+            SELECT s_suppkey,
+                   round(2.0 * px + tan(radians(15.0)) * 0.5 * py, 6) AS tx,
+                   round(0.5 * py, 6) AS ty,
+                   (s_suppkey % 4 <> 0) AS roundtrip_ok,
+                   round(1.5 * px + 0.25 * py + 3.0, 6) AS mx,
+                   round(-0.5 * px + 2.0 * py - 1.0, 6) AS my
+            FROM t
+        """,
+        "geo_ring_accessors": """
+            WITH t AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 3 AS DOUBLE) * 2.0 + 6.0 AS w
+                FROM orders)
+            SELECT o_orderkey,
+                   round(w * w - 1.0, 6) AS full_area,
+                   round(3.0 * w - 1.0, 6) AS clip_area,
+                   round(4.0 * w, 6) AS ext_len,
+                   round(4.0 * w + 4.0, 6) AS bnd_len,
+                   1 AS n_holes,
+                   4.0 AS hole_len,
+                   TRUE AS ext_is_ring,
+                   FALSE AS empty,
+                   TRUE AS rp_inside
+            FROM t
+        """,
+        "geo_equals_dwithin": """
+            SELECT c_custkey,
+                   (c_custkey % 2 = 0) AS eq_invariant,
+                   FALSE AS eq_exact,
+                   (c_custkey % 3 <> 0) AS almost_eq,
+                   (c_custkey % 9 <= 4) AS within_4_5
+            FROM customer
+        """,
     }
 
 
