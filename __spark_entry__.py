@@ -573,14 +573,17 @@ def _supplier_diamonds(sf_df):
 
 
 def geo_diamond_join(spark, sf):
-    """Polygon×polygon join through the GENERAL refine path: diamonds on
-    both sides defeat every native fast path (not points, not axis
-    rects), so the whole-batch vectorized intersects kernel
-    (geom/batch.py) refines every candidate — the oracle is the L1-ball
-    intersection criterion."""
+    """Polygon×polygon join on the native convex SAT refine (round 6):
+    diamonds are not axis rects, but both sides are convex, so the
+    hoisted is_convex flags route every candidate through the
+    separating-axis Catalyst expressions — zero Python in the plan
+    (udf_refine=False), exactly like the rect fast path. The oracle is
+    the L1-ball intersection criterion. The general Python kernel is
+    gated separately by geo_concave_join."""
     d1 = _order_diamonds(_t(spark, sf, "orders"))
     d2 = _supplier_diamonds(_t(spark, sf, "supplier"))
-    out = spatial_join(d1, d2, how="inner", broadcast_right=True)
+    out = spatial_join(d1, d2, how="inner", broadcast_right=True,
+                       udf_refine=False)
     return (out.df.groupBy(F.col("s_suppkey_right").alias("s_suppkey"))
             .agg(F.count("*").alias("n_hits"),
                  F.sum(F.col("o_orderkey_left") % 1000).cast("long")
@@ -588,16 +591,49 @@ def geo_diamond_join(spark, sf):
 
 
 def geo_diamond_contains_join(spark, sf):
-    """Polygon-contains-polygon through the general vectorized contains
-    kernel: supplier diamond contains order diamond iff
-    L1dist(centers) + r_order <= r_supplier."""
+    """Polygon-contains-polygon through the native convex half-plane
+    refine (round 6, udf_refine=False): supplier diamond contains order
+    diamond iff L1dist(centers) + r_order <= r_supplier."""
     d1 = _order_diamonds(_t(spark, sf, "orders"))
     d2 = _supplier_diamonds(_t(spark, sf, "supplier"))
     out = spatial_join(d2, d1, how="inner", predicate="contains",
-                       broadcast_right=False)
+                       broadcast_right=False, udf_refine=False)
     return (out.df.groupBy(F.col("s_suppkey_left").alias("s_suppkey"))
             .agg(F.count("*").alias("n_inside"),
                  F.sum(F.col("o_orderkey_right") % 1000).cast("long")
+                  .alias("key_mod_sum")))
+
+
+def _supplier_ells(sf_df):
+    """Concave L-shaped hexagons on the supplier grid — the union of a
+    wide 15×4 bar and a tall 4×11 bar sharing the corner at (gx, gy).
+    Concavity defeats both the rect and the convex-SAT native paths, so
+    candidate refine MUST run the general vectorized Python kernel.
+    Fractional offsets (.55 vs the boxes' .05-grid) keep every edge off
+    every box edge — no boundary-tie semantics in the oracle."""
+    gx = (F.col("s_suppkey") % 10).cast("double") * 20.0 + 0.55
+    gy = (F.expr("s_suppkey div 10") % 10).cast("double") * 20.0 + 0.55
+    return GeoDataFrame(sf_df.select(
+        "s_suppkey",
+        st.make_polygon(
+            F.array(gx, gx + 15.0, gx + 15.0, gx + 4.0, gx + 4.0, gx),
+            F.array(gy, gy, gy + 4.0, gy + 4.0, gy + 11.0, gy + 11.0))
+        .alias("geometry")))
+
+
+def geo_concave_join(spark, sf):
+    """Rect×CONCAVE spatial join — the oracle gate for the GENERAL
+    whole-batch vectorized intersects kernel (geom/batch.py), which the
+    round-6 convex SAT path no longer covers: an L-shape is the union of
+    two axis rectangles, so box∩L is closed-form interval algebra
+    (box∩bar1 or box∩bar2) while the engine must refine through the
+    Python kernel (right side is neither a rect nor convex)."""
+    boxes = _order_boxes(_t(spark, sf, "orders"))
+    ells = _supplier_ells(_t(spark, sf, "supplier"))
+    out = spatial_join(boxes, ells, how="inner", broadcast_right=True)
+    return (out.df.groupBy(F.col("s_suppkey_right").alias("s_suppkey"))
+            .agg(F.count("*").alias("n_boxes"),
+                 F.sum(F.col("o_orderkey_left") % 1000).cast("long")
                   .alias("key_mod_sum")))
 
 
@@ -1026,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_poly_contains_join": geo_poly_contains_join,
         "geo_diamond_join": geo_diamond_join,
         "geo_diamond_contains_join": geo_diamond_contains_join,
+        "geo_concave_join": geo_concave_join,
         "geo_nearest_supplier": geo_nearest_supplier,
         "geo_boolean_intersection": geo_boolean_intersection,
         "geo_boolean_multidiff": geo_boolean_multidiff,
@@ -1723,6 +1760,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lb l, rb r
             WHERE l.xmin >= r.xmin AND l.xmin + l.w <= r.xmin + 15.0
               AND l.ymin >= r.ymin AND l.ymin + l.h <= r.ymin + 11.0
+            GROUP BY r.s_suppkey
+        """,
+        "geo_concave_join": """
+            WITH lb AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 97 AS DOUBLE) * 2.0 + 0.05 AS xmin,
+                       CAST(o_orderkey * 7 % 89 AS DOUBLE) * 2.0 + 0.05 AS ymin,
+                       CAST(o_orderkey % 5 AS DOUBLE) + 1.3 AS w,
+                       CAST(o_orderkey % 3 AS DOUBLE) + 1.7 AS h
+                FROM orders),
+            rb AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 10 AS DOUBLE) * 20.0 + 0.55 AS gx,
+                       CAST((s_suppkey // 10) % 10 AS DOUBLE) * 20.0 + 0.55 AS gy
+                FROM supplier)
+            SELECT r.s_suppkey, count(*) AS n_boxes,
+                   CAST(sum(l.o_orderkey % 1000) AS BIGINT) AS key_mod_sum
+            FROM lb l, rb r
+            WHERE (l.xmin <= r.gx + 15.0 AND r.gx <= l.xmin + l.w
+                   AND l.ymin <= r.gy + 4.0 AND r.gy <= l.ymin + l.h)
+               OR (l.xmin <= r.gx + 4.0 AND r.gx <= l.xmin + l.w
+                   AND l.ymin <= r.gy + 11.0 AND r.gy <= l.ymin + l.h)
             GROUP BY r.s_suppkey
         """,
         "geo_nearest_supplier": """

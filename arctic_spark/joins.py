@@ -228,12 +228,14 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                       F.floor(F.col("__l_px") / csl).cast("int").alias("cx"),
                       F.floor(F.col("__l_py") / csl).cast("int").alias("cy"))))
     else:
-        lc = _with_cells(ldfs, lg, cell_size, "__l_") \
-            .withColumn("__l_rect", native.is_axis_rect(F.col(lg)))
+        lc = (_with_cells(ldfs, lg, cell_size, "__l_")
+              .withColumn("__l_rect", native.is_axis_rect(F.col(lg)))
+              .withColumn("__l_cvx", native.is_convex(F.col(lg))))
     rc = _with_cells(rdfs, rg, cell_size, "__r_")
-    # hoist the rectangle check to one column per right row (vs
-    # re-deriving it for every candidate pair in the refine)
-    rc = rc.withColumn("__r_rect", native.is_axis_rect(F.col(rg)))
+    # hoist the rectangle/convexity checks to one column per right row
+    # (vs re-deriving them for every candidate pair in the refine)
+    rc = (rc.withColumn("__r_rect", native.is_axis_rect(F.col(rg)))
+            .withColumn("__r_cvx", native.is_convex(F.col(rg))))
     if broadcast_right:
         rc = F.broadcast(rc)
 
@@ -262,7 +264,8 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                      & (F.floor(iy / cs).cast("int") == F.col("__l_cell.cy")))
         helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
                        "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
-                       "__r_xmax", "__r_ymax", "__l_rect", "__r_rect"]
+                       "__r_xmax", "__r_ymax", "__l_rect", "__r_rect",
+                       "__l_cvx", "__r_cvx"]
     if points_left:
         # refine directly with the materialized coordinates: rectangle
         # right → two interval tests on the precomputed bbox columns
@@ -296,9 +299,19 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                         & (F.col("__r_xmax") <= F.col("__l_xmax"))
                         & (F.col("__l_ymin") <= F.col("__r_ymin"))
                         & (F.col("__r_ymax") <= F.col("__l_ymax")))
-        refine = F.when(both_rect, rect_ans) \
+        # convex×convex pairs (hoisted flags) refine with the native SAT /
+        # half-plane expressions — exact for convex polygons, zero Python.
+        # With udf_refine=False this makes ANY all-convex polygon workload
+        # (tiles, diamonds, hulls, triangulations) a 100% JVM plan.
+        both_cvx = F.col("__l_cvx") & F.col("__r_cvx")
+        if predicate == "intersects":
+            cvx_ans = native.convex_intersects(F.col(lg), F.col(rg))
+        else:
+            cvx_ans = native.convex_contains(F.col(lg), F.col(rg))
+        refine = (F.when(both_rect, rect_ans)
+                  .when(both_cvx, cvx_ans)
                   .otherwise(_refine_predicate(lg, rg, predicate,
-                                               udf_refine))
+                                               udf_refine)))
     matched = (joined.where(bbox_ok & canonical)
                .where(refine)
                .drop(*helper_cols))

@@ -201,3 +201,80 @@ def test_nearest_join(spark):
                    (2, 20, 1.0)]
     with pytest.raises(ValueError, match="left_key"):
         nearest_join(left, right, max_distance=2.0)
+
+
+def test_convex_sat_matches_python_kernel(spark):
+    """Round 6: the native convex SAT / half-plane refine must agree with
+    the general vectorized Python kernel on random convex polygon pairs
+    (including touch-free separations, containments and crossings)."""
+    import math
+    import random
+
+    from arctic_spark.functions import native
+    from arctic_spark.functions.udfs import contains as contains_udf
+    from arctic_spark.functions.udfs import intersects as intersects_udf
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(120):
+        # random convex polygon: sorted angles on a noisy circle
+        def convex(cx, cy, rbase, nv):
+            angs = sorted(rnd.uniform(0, 2 * math.pi) for _ in range(nv))
+            pts = [(cx + rbase * (0.6 + 0.4 * rnd.random()) * math.cos(a),
+                    cy + rbase * (0.6 + 0.4 * rnd.random()) * math.sin(a))
+                   for a in angs]
+            # convex hull of the points guarantees convexity
+            pts = sorted(set(pts))
+            def half(ps):
+                h = []
+                for p in ps:
+                    while len(h) >= 2 and (
+                            (h[-1][0]-h[-2][0])*(p[1]-h[-2][1])
+                            - (h[-1][1]-h[-2][1])*(p[0]-h[-2][0])) <= 0:
+                        h.pop()
+                    h.append(p)
+                return h
+            lo = half(pts); hi = half(pts[::-1])
+            hull = lo[:-1] + hi[:-1]
+            return hull
+        a = convex(0.0, 0.0, 3.0, 8)
+        b = convex(rnd.uniform(-6, 6), rnd.uniform(-6, 6),
+                   rnd.uniform(0.5, 4.0), 7)
+        rows.append((i, [p[0] for p in a], [p[1] for p in a],
+                     [p[0] for p in b], [p[1] for p in b]))
+    df = spark.createDataFrame(
+        rows, "id long, ax array<double>, ay array<double>, "
+              "bx array<double>, by array<double>") \
+        .select("id",
+                st.make_polygon(F.col("ax"), F.col("ay")).alias("ga"),
+                st.make_polygon(F.col("bx"), F.col("by")).alias("gb"))
+    df = df.withColumn("cvx_a", native.is_convex(F.col("ga"))) \
+           .withColumn("cvx_b", native.is_convex(F.col("gb"))) \
+           .withColumn("sat_i", native.convex_intersects(F.col("ga"),
+                                                         F.col("gb"))) \
+           .withColumn("sat_c", native.convex_contains(F.col("ga"),
+                                                       F.col("gb"))) \
+           .withColumn("udf_i", intersects_udf(F.col("ga"), F.col("gb"))) \
+           .withColumn("udf_c", contains_udf(F.col("ga"), F.col("gb")))
+    out = df.collect()
+    assert all(r.cvx_a and r.cvx_b for r in out)
+    mism_i = [r.id for r in out if bool(r.sat_i) != bool(r.udf_i)]
+    mism_c = [r.id for r in out if bool(r.sat_c) != bool(r.udf_c)]
+    assert mism_i == [], f"intersects mismatch on ids {mism_i}"
+    assert mism_c == [], f"contains mismatch on ids {mism_c}"
+
+
+def test_is_convex_flags(spark):
+    from arctic_spark.functions import native
+    df = spark.createDataFrame(
+        [("sq", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", True),
+         ("dia", "POLYGON ((1 0, 2 1, 1 2, 0 1, 1 0))", True),
+         ("coll", "POLYGON ((0 0, 1 0, 2 0, 2 2, 0 2, 0 0))", True),
+         ("ell", "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 3, 0 3, 0 0))", False),
+         ("line", "LINESTRING (0 0, 1 1)", False),
+         ("pt", "POINT (1 1)", False)],
+        "name string, wkt string, expect boolean") \
+        .select("name", "expect", st.from_wkt("wkt").alias("g"))
+    df = df.select("name", "expect", native.is_convex(F.col("g")).alias("got"))
+    for r in df.collect():
+        assert bool(r.got) == r.expect, r.name
