@@ -869,6 +869,37 @@ def geo_ring_accessors(spark, sf):
         rp_inside.alias("rp_inside"))
 
 
+def geo_relate_classify(spark, sf):
+    """Exact DE-9IM touches/crosses/overlaps (round 6, geom/relate.py):
+    per supplier, square A=[x0,x0+w]² and a copy B shifted right by
+    s ∈ {0, w/2, w} — equal (all false), collinear partial overlap
+    (overlaps only; the case approximations misclassify as touches), or
+    edge-sharing (touches only). A horizontal line through A's middle
+    ending at x0 + e for e ∈ {-0.3, w/2, w+1} is disjoint / crossing
+    into / crossing through; a line along A's bottom edge touches."""
+    sdf = _t(spark, sf, "supplier")
+    x0 = (F.col("s_suppkey") % 7).cast("double") * 10.0
+    y0 = (F.col("s_suppkey") % 5).cast("double") * 10.0
+    w = (F.col("s_suppkey") % 3).cast("double") + 2.0
+    a_sq = st.make_envelope(x0, y0, x0 + w, y0 + w)
+    s = (F.col("s_suppkey") % 3).cast("double") * w / 2.0
+    b_sq = st.make_envelope(x0 + s, y0, x0 + s + w, y0 + w)
+    e = (F.when(F.col("s_suppkey") % 4 == 0, F.lit(-0.3))
+          .when(F.col("s_suppkey") % 4 == 1, w / 2.0)
+          .otherwise(w + 1.0))
+    line = st.make_line(F.array(x0 - 1.0, x0 + e),
+                        F.array(y0 + w / 2.0, y0 + w / 2.0))
+    edge = st.make_line(F.array(x0, x0 + w), F.array(y0, y0))
+    return sdf.select(
+        "s_suppkey",
+        st.touches(a_sq, b_sq).alias("sq_touches"),
+        st.overlaps(a_sq, b_sq).alias("sq_overlaps"),
+        st.crosses(line, a_sq).alias("line_crosses"),
+        st.touches(line, a_sq).alias("line_touches"),
+        st.touches(edge, a_sq).alias("edge_touches"),
+        st.crosses(edge, a_sq).alias("edge_crosses"))
+
+
 def geo_equals_dwithin(spark, sf):
     """Equality predicates + dwithin (SURVEY §2.3): geom_equals is
     invariant to ring rotation/orientation (B is A's ring re-started and
@@ -1072,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_affine_family": geo_affine_family,
         "geo_ring_accessors": geo_ring_accessors,
         "geo_equals_dwithin": geo_equals_dwithin,
+        "geo_relate_classify": geo_relate_classify,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
@@ -1964,6 +1996,16 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS empty,
                    TRUE AS rp_inside
             FROM t
+        """,
+        "geo_relate_classify": """
+            SELECT s_suppkey,
+                   (s_suppkey % 3 = 2) AS sq_touches,
+                   (s_suppkey % 3 = 1) AS sq_overlaps,
+                   (s_suppkey % 4 <> 0) AS line_crosses,
+                   FALSE AS line_touches,
+                   TRUE AS edge_touches,
+                   FALSE AS edge_crosses
+            FROM supplier
         """,
         "geo_equals_dwithin": """
             SELECT c_custkey,

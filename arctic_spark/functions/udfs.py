@@ -386,20 +386,26 @@ def geom_equals(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
 
 @pandas_udf(T.BooleanType())
 def touches(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
-    """Boundaries meet, interiors disjoint (documented approximation —
-    see algos.touches_pair) — whole-batch vectorized."""
+    """EXACT DE-9IM touches since round 6 (GEOS semantics; reference
+    GeoPandas-parity surface geoseries.rst:47-64): a∩b nonempty with
+    disjoint interiors — boundary noding + midpoint classification in
+    geom/relate.py, vectorized-intersects prefiltered."""
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
     return _masked_bool_series(batch.touches(r1, r2), r1, r2)
 
 
 @pandas_udf(T.BooleanType())
 def crosses(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """EXACT DE-9IM crosses since round 6 (GEOS semantics; see
+    geom/relate.py)."""
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
     return _masked_bool_series(batch.crosses(r1, r2), r1, r2)
 
 
 @pandas_udf(T.BooleanType())
 def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """EXACT DE-9IM overlaps since round 6 (GEOS semantics; see
+    geom/relate.py)."""
     r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
     return _masked_bool_series(batch.overlaps(r1, r2), r1, r2)
 

@@ -1028,74 +1028,26 @@ def _strict_point_in(px, py, g):
 
 
 def touches_pair(g1, g2):
-    """Boundaries meet, interiors do not (approximate: intersects, no
-    proper segment crossing, no vertex of either strictly inside the
-    other — exact for polygon/polygon and point/boundary cases that
-    meet along edges or at vertices)."""
-    if not intersects_pair(g1, g2):
-        return False
-    gt1, xs1, ys1, r1, _ = g1
-    gt2, xs2, ys2, r2, _ = g2
-    for a in _iter_segments(xs1, ys1, r1):
-        for b in _iter_segments(xs2, ys2, r2):
-            if _proper_seg_cross(*a, *b):
-                return False
-    if any(_strict_point_in(px, py, g2) for px, py in zip(xs1, ys1)):
-        return False
-    if any(_strict_point_in(px, py, g1) for px, py in zip(xs2, ys2)):
-        return False
-    # point cases: a point strictly inside means not touching
-    if gt1 == POINT and _strict_point_in(xs1[0], ys1[0], g2):
-        return False
-    if gt2 == POINT and _strict_point_in(xs2[0], ys2[0], g1):
-        return False
-    return True
+    """EXACT DE-9IM touches (round 6 — GEOS semantics; see
+    geom/relate.py): a∩b nonempty with disjoint interiors."""
+    from . import relate
+    return relate.relate_tco(g1, g2)[0]
 
 
 def crosses_pair(g1, g2):
-    """Interiors intersect in a lower dimension (approximate: a proper
-    segment crossing exists for line/line and line/polygon; point never
-    crosses)."""
-    gt1, xs1, ys1, r1, _ = g1
-    gt2, xs2, ys2, r2, _ = g2
-    if gt1 in (POINT, MULTIPOINT) or gt2 in (POINT, MULTIPOINT):
-        return False
-    for a in _iter_segments(xs1, ys1, r1):
-        for b in _iter_segments(xs2, ys2, r2):
-            if _proper_seg_cross(*a, *b):
-                return True
-    # line through polygon without boundary crossing: an endpoint inside
-    line1 = gt1 in (LINESTRING, MULTILINESTRING)
-    line2 = gt2 in (LINESTRING, MULTILINESTRING)
-    if line1 and gt2 in (POLYGON, MULTIPOLYGON):
-        return any(_strict_point_in(px, py, g2) for px, py in zip(xs1, ys1)) \
-            and not all(point_in_polygon(px, py, xs2, ys2, r2, g2[4])
-                        for px, py in zip(xs1, ys1))
-    if line2 and gt1 in (POLYGON, MULTIPOLYGON):
-        return any(_strict_point_in(px, py, g1) for px, py in zip(xs2, ys2)) \
-            and not all(point_in_polygon(px, py, xs1, ys1, r1, g1[4])
-                        for px, py in zip(xs2, ys2))
-    return False
+    """EXACT DE-9IM crosses (round 6 — GEOS semantics; geom/relate.py):
+    interiors meet in lower dimension than the operands' max, with part
+    of the lower-dimensional operand outside the other."""
+    from . import relate
+    return relate.relate_tco(g1, g2)[1]
 
 
 def overlaps_pair(g1, g2):
-    """Same-dimension interiors partially overlap (approximate: both
-    polygonal, intersecting, neither contains the other)."""
-    gt1, gt2 = g1[0], g2[0]
-    poly1 = gt1 in (POLYGON, MULTIPOLYGON)
-    poly2 = gt2 in (POLYGON, MULTIPOLYGON)
-    if poly1 != poly2:
-        return False
-    if gt1 in (POINT, MULTIPOINT):
-        return False
-    if not intersects_pair(g1, g2):
-        return False
-    if contains_pair(g1, g2) or contains_pair(g2, g1):
-        return False
-    # boundary-only contact is touches, not overlaps
-    if touches_pair(g1, g2):
-        return False
-    return True
+    """EXACT DE-9IM overlaps (round 6 — GEOS semantics; geom/relate.py):
+    same-dimension interiors partially overlap, neither covers the
+    other."""
+    from . import relate
+    return relate.relate_tco(g1, g2)[2]
 
 
 

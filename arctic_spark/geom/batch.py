@@ -527,81 +527,26 @@ def distance(r1: RaggedGeometry, r2: RaggedGeometry) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# touches / crosses / overlaps (vector twins of the algos.*_pair
-# approximations — same documented semantics)
+# touches / crosses / overlaps — EXACT DE-9IM since round 6: the
+# vectorized intersects above prefilters candidates, then the exact
+# scalar relate kernel (geom/relate.py) decides each intersecting pair.
+# These predicates are not on any join hot path; the prefilter keeps the
+# common all-disjoint batches fully vectorized.
 # ---------------------------------------------------------------------------
 
-def _strict_reduce(rv, rpoly, mask, n, *, want_all=False):
-    """Per-pair ANY (or ALL) of: vertex of rv strictly interior to the
-    polygonal geometry of rpoly — twin of `any(_strict_point_in(...))`.
-    Non-polygonal rpoly rows contribute False (as the scalar does)."""
-    m = mask & np.isin(rpoly.gt, _POLYISH)
-    vx, vy, vg = _vert_arrays(rv, m)
-    pip, on_b = points_in_polygons(vx, vy, vg, rpoly, m, n,
-                                   return_on_boundary=True)
-    strict = pip & ~on_b
-    if want_all:
-        out = np.ones(n, dtype=bool)
-        np.logical_and.at(out, vg, strict)
-        return out
-    out = np.zeros(n, dtype=bool)
-    np.logical_or.at(out, vg, strict)
-    return out
-
-
 def touches(r1: RaggedGeometry, r2: RaggedGeometry) -> np.ndarray:
-    """Vector twin of algos.touches_pair: intersecting, no proper
-    crossing, no vertex of either strictly inside the other."""
-    n = len(r1)
-    valid = (r1.gt != MISSING) & (r2.gt != MISSING)
-    inter = intersects(r1, r2) & valid
-    out = inter.copy()
-    if not out.any():
-        return out
-    out &= ~_proper_cross_any(r1, r2, out, n)
-    out &= ~_strict_reduce(r1, r2, out, n)
-    out &= ~_strict_reduce(r2, r1, out, n)
-    return out
+    """Exact DE-9IM touches (GEOS semantics, geom/relate.py)."""
+    from . import relate
+    return relate.touches(r1, r2)
 
 
 def crosses(r1: RaggedGeometry, r2: RaggedGeometry) -> np.ndarray:
-    """Vector twin of algos.crosses_pair: proper segment crossing, or a
-    line with an endpoint strictly inside and one outside a polygon."""
-    n = len(r1)
-    valid = (r1.gt != MISSING) & (r2.gt != MISSING)
-    nonpt = (valid & ~np.isin(r1.gt, _POINTISH)
-             & ~np.isin(r2.gt, _POINTISH))
-    out = _proper_cross_any(r1, r2, nonpt, n) & nonpt
-    line1 = np.isin(r1.gt, (LINESTRING, MULTILINESTRING))
-    line2 = np.isin(r2.gt, (LINESTRING, MULTILINESTRING))
-    m12 = nonpt & ~out & line1 & np.isin(r2.gt, _POLYISH)
-    if m12.any():
-        vx, vy, vg = _vert_arrays(r1, m12)
-        all_in = _pip_reduce(vx, vy, vg, r2, m12, n, want_all=True)
-        out |= m12 & _strict_reduce(r1, r2, m12, n) & ~all_in
-    m21 = nonpt & ~out & line2 & np.isin(r1.gt, _POLYISH)
-    if m21.any():
-        vx, vy, vg = _vert_arrays(r2, m21)
-        all_in = _pip_reduce(vx, vy, vg, r1, m21, n, want_all=True)
-        out |= m21 & _strict_reduce(r2, r1, m21, n) & ~all_in
-    return out
+    """Exact DE-9IM crosses (GEOS semantics, geom/relate.py)."""
+    from . import relate
+    return relate.crosses(r1, r2)
 
 
 def overlaps(r1: RaggedGeometry, r2: RaggedGeometry) -> np.ndarray:
-    """Vector twin of algos.overlaps_pair: same-dimension interiors
-    partially overlap — intersecting, neither contains the other, and
-    not mere boundary contact."""
-    n = len(r1)
-    valid = (r1.gt != MISSING) & (r2.gt != MISSING)
-    poly1 = np.isin(r1.gt, _POLYISH)
-    poly2 = np.isin(r2.gt, _POLYISH)
-    # NB: mirrors the scalar exactly — only gt1 pointish is excluded
-    # (the scalar's documented approximation has that asymmetry)
-    same_dim = (poly1 == poly2) & ~np.isin(r1.gt, _POINTISH)
-    out = valid & same_dim & intersects(r1, r2)
-    if not out.any():
-        return out
-    out &= ~contains(r1, r2)
-    out &= ~contains(r2, r1)
-    out &= ~touches(r1, r2)
-    return out
+    """Exact DE-9IM overlaps (GEOS semantics, geom/relate.py)."""
+    from . import relate
+    return relate.overlaps(r1, r2)
