@@ -400,7 +400,8 @@ def geom_type_name(g) -> Column:
           [(POINT, "Point"), (LINESTRING, "LineString"), (2, "LinearRing"),
            (POLYGON, "Polygon"), (MULTIPOINT, "MultiPoint"),
            (MULTILINESTRING, "MultiLineString"),
-           (MULTIPOLYGON, "MultiPolygon")] for v in kv])
+           (MULTIPOLYGON, "MultiPolygon"),
+           (7, "GeometryCollection")] for v in kv])
     return m[g["gt"]]
 
 
@@ -734,8 +735,13 @@ def make_envelope(xmin, ymin, xmax, ymax) -> Column:
 def dump_parts(g) -> Column:
     """array<GEOM> of single-part geometries — the native kernel behind
     ``st.explode`` (reference trait `explode`, geoseries.rs:50-56, benched
-    geopolars/benches/explode.rs). Single geometries yield themselves."""
-    pro = _offsets(g["parts"])   # ring-index offset per part
+    geopolars/benches/explode.rs). Single geometries yield themselves.
+    GeometryCollection rows (gt=7, round 6) decode their typed part
+    entries (parts[i] = sub_type·2²⁴ + nrings, see geom/ragged.py) — for
+    every other type the decode is the identity, so one shared path."""
+    gc_shift = F.lit(1 << 24)
+    pdec = F.transform(g["parts"], lambda v: v % gc_shift)
+    pro = _offsets(pdec)         # ring-index offset per part
     co = _offsets(g["rings"])    # coord offset per ring
     sub_gt = (F.when(g["gt"] == MULTIPOINT, F.lit(POINT))
                .when(g["gt"] == MULTILINESTRING, F.lit(LINESTRING))
@@ -744,13 +750,16 @@ def dump_parts(g) -> Column:
 
     def one_part(p):
         rp0 = F.element_at(pro, p + 1)
-        nr = F.element_at(g["parts"], p + 1)
+        raw = F.element_at(g["parts"], p + 1)
+        nr = raw % gc_shift
+        psub = F.when(g["gt"] == 7, (raw / gc_shift).cast("int")) \
+                .otherwise(sub_gt)
         cstart = F.element_at(co, rp0 + 1)
         cend = F.element_at(co, rp0 + nr + 1)
         sub_rings = F.slice(g["rings"], rp0 + 1, nr)
-        sub_parts = F.when(sub_gt == POLYGON, F.array(nr)) \
+        sub_parts = F.when(psub == POLYGON, F.array(nr)) \
                      .otherwise(F.array(F.lit(1)))
-        return geom_struct(sub_gt,
+        return geom_struct(psub,
                            F.slice(g["xs"], cstart + 1, cend - cstart),
                            F.slice(g["ys"], cstart + 1, cend - cstart),
                            sub_rings, sub_parts)
@@ -760,11 +769,14 @@ def dump_parts(g) -> Column:
     # owns exactly coordinate i, no offset arrays needed. The offsets
     # machinery is the dominant interpreted cost at scale (~3x).
     one = F.array(F.lit(1))
+    # a GC whose parts are all single-vertex (encoded 0·2²⁴+1 == 1) is a
+    # collection of points — the fast path's sub type must be POINT
+    point_sub = F.when(g["gt"] == 7, F.lit(POINT)).otherwise(sub_gt)
     point_fast = F.zip_with(
         g["xs"], g["ys"],
-        lambda px, py: geom_struct(sub_gt, F.array(px), F.array(py),
+        lambda px, py: geom_struct(point_sub, F.array(px), F.array(py),
                                    one, one))
-    all_single = (F.size(g["rings"]) == F.size(g["parts"])) \
+    all_single = (F.size(pdec) == F.size(g["rings"])) \
         & F.forall(g["rings"], lambda r: r == 1)
 
     return F.when(

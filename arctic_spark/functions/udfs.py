@@ -417,7 +417,10 @@ def intersection(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
     the boundary-arrangement engine, plus GEOS dimension rules for
     mixed point/line/polygon operands since round 5: line∩polygon is
     the clipped (Multi)LineString, point ops are coverage tests,
-    line∩line the crossing points (geom/boolean.py)."""
+    line∩line the crossing points (geom/boolean.py). Mixed-dimension
+    results (a grazing line's boundary-touch point next to clipped
+    runs, line overlaps plus isolated crossings) return a
+    GeometryCollection since round 6."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "intersection"))
 
@@ -433,15 +436,21 @@ def difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
 
 @pandas_udf(GEOM_TYPE)
 def union(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 ∪ g2 (rst:77): arbitrary polygonal operands; same-dimension
-    point/line unions supported (mixed dimensions would produce a
-    GeometryCollection and raise — documented limit)."""
+    """g1 ∪ g2 (rst:77): arbitrary polygonal operands; mixed-dimension
+    unions return a GeometryCollection of the higher-dim operand plus
+    the uncovered remainder of the lower-dim one (round 6). Structural
+    caveat: line∪line of CROSSING (non-overlapping) lines concatenates
+    the inputs without noding at the crossings — point-set equal to
+    GEOS, but part counts differ from GEOS's noded output."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "union"))
 
 
 @pandas_udf(GEOM_TYPE)
 def symmetric_difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
-    """g1 Δ g2 for arbitrary polygonal operands (rst:74)."""
+    """g1 Δ g2 for arbitrary polygonal operands (rst:74); mixed
+    dimensions return a GeometryCollection (round 6). Same no-renoding
+    caveat as ``union``: crossing lines keep their crossing points (GEOS
+    removes them by noding) — point-set equal, structure differs."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "symmetric_difference"))

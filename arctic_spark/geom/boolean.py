@@ -42,7 +42,7 @@ import math
 import numpy as np
 
 from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
-                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
+                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry, gc_pack)
 
 __all__ = ["union_polygons", "boolean_pair", "row_boolean",
            "difference_many", "OPS"]
@@ -774,10 +774,9 @@ def _line_line_intersection(g1, g2, eps):
         on = _near_segments(pts[1], pts[2], *_line_segments(overlap), eps)
         pts = _pack_points(pts[1][~on], pts[2][~on])
     if has_overlap and len(pts[1]):
-        raise NotImplementedError(
-            "intersection of lines with BOTH 1-D overlap and isolated "
-            "crossing points is a GeometryCollection, which the ragged "
-            "codec does not represent")
+        # overlap segments AND isolated crossing points: a
+        # GeometryCollection (gt=7, round 6 — GEOS shape)
+        return gc_pack([pts, overlap])
     return overlap if has_overlap else pts
 
 
@@ -819,13 +818,20 @@ def _clip_line_by_polygon(line, poly, keep_inside, eps_rel=1e-9):
     Each line segment splits at its intersections with the polygon
     boundary (plus boundary vertices lying on it — the collinear
     entry/exit case), sub-segments classify by a boundary-inclusive
-    midpoint PIP, and kept runs stitch back into polylines."""
+    midpoint PIP, and kept runs stitch back into polylines.
+
+    keep_inside=True additionally collects ISOLATED boundary-touch
+    points (split params on the polygon with no kept run through them):
+    a line grazing the boundary from outside contributes a Point to the
+    intersection (GEOS shape) — mixed point+line results return a
+    GeometryCollection (round 6)."""
     from . import algos
     span = _geom_span(line, poly)
     eps = eps_rel * span
     pax, pay, pbx, pby = _line_segments(poly)
     xs, ys, rings = line[1], line[2], line[3]
     out_parts = []
+    touch_xy = []
     cur_x, cur_y = [], []
 
     def flush():
@@ -865,6 +871,7 @@ def _clip_line_by_polygon(line, poly, keep_inside, eps_rel=1e-9):
                 on = (tv > 0) & (tv < 1) & (qx * qx + qy * qy <= eps * eps)
                 ts += tv[on].tolist()
             ts = sorted(set(ts))
+            kept_iv = []
             for t0, t1 in zip(ts[:-1], ts[1:]):
                 if (t1 - t0) * seglen <= eps:
                     continue
@@ -875,6 +882,7 @@ def _clip_line_by_polygon(line, poly, keep_inside, eps_rel=1e-9):
                 if bool(inside) != keep_inside:
                     flush()
                     continue
+                kept_iv.append((t0, t1))
                 p0x, p0y = sax + t0 * dx, say + t0 * dy
                 p1x, p1y = sax + t1 * dx, say + t1 * dy
                 if cur_x and abs(cur_x[-1] - p0x) <= eps \
@@ -884,8 +892,42 @@ def _clip_line_by_polygon(line, poly, keep_inside, eps_rel=1e-9):
                 else:
                     flush()
                     cur_x, cur_y = [p0x, p1x], [p0y, p1y]
+            if keep_inside:
+                # isolated boundary touches: split params with no kept
+                # run through them that still lie on/in the polygon
+                for t in ts:
+                    if any(k0 - eps <= t <= k1 + eps for k0, k1 in kept_iv):
+                        continue
+                    px_, py_ = sax + t * dx, say + t * dy
+                    if algos.point_in_polygon(px_, py_, poly[1], poly[2],
+                                              poly[3], poly[4]):
+                        touch_xy.append((px_, py_))
     flush()
-    return _pack_lines(out_parts)
+    lines = _pack_lines(out_parts)
+    if not keep_inside or not touch_xy:
+        return lines
+    # dedupe touch points (multi-part junctions, repeated params)
+    quant = max(eps, 1e-300)
+    seen, px, py = set(), [], []
+    for x, y in touch_xy:
+        k = (round(x / quant), round(y / quant))
+        if k not in seen:
+            seen.add(k)
+            px.append(x)
+            py.append(y)
+    px, py = np.asarray(px), np.asarray(py)
+    if len(lines[1]):
+        # drop candidates sitting on a kept run (e.g. the junction
+        # where one line segment's inside run ends and the next
+        # segment continues outside)
+        on = _near_segments(px, py, *_line_segments(lines), eps)
+        px, py = px[~on], py[~on]
+    if not len(px):
+        return lines
+    pts = _pack_points(px, py)
+    if not len(lines[1]):
+        return pts
+    return gc_pack([pts, lines])
 
 
 def _concat_lines(g1, g2):
@@ -944,9 +986,18 @@ def _mixed_boolean(g1, g2, op, eps_rel):
         # no 1-D overlap → union == symdiff == concatenation (equal as
         # point sets; crossings are not re-noded)
         return _concat_lines(g1, g2)
-    raise NotImplementedError(
-        f"{op} of mixed-dimension operands (dims {d1}/{d2}) produces a "
-        "GeometryCollection, which the ragged codec does not represent")
+    # mixed dimension (0/1, 0/2, 1/2): the higher-dim operand absorbs
+    # the covered portion of the lower-dim one; the remainder joins it
+    # in a GeometryCollection (gt=7, round 6 — GEOS shape)
+    lo, hi = (g1, g2) if d1 < d2 else (g2, g1)
+    if _dim(lo) == 0:
+        cov = _covered_points(lo[1], lo[2], hi, eps)
+        rest = _pack_points(lo[1][~cov], lo[2][~cov])
+    else:
+        rest = _clip_line_by_polygon(lo, hi, False, eps_rel)
+    if not len(rest[1]):
+        return hi
+    return gc_pack([rest, hi])
 
 
 def union_polygons(geoms, eps_rel=1e-9):

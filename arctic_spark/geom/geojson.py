@@ -9,8 +9,9 @@ import json
 
 import numpy as np
 
-from .ragged import (LINESTRING, MULTILINESTRING, MULTIPOINT,
-                     MULTIPOLYGON, POINT, POLYGON)
+from .ragged import (GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING,
+                     MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, gc_iter,
+                     gc_pack)
 
 _TYPE_NAME = {POINT: "Point", LINESTRING: "LineString",
               POLYGON: "Polygon", MULTIPOINT: "MultiPoint",
@@ -22,6 +23,11 @@ _NAME_TYPE = {v: k for k, v in _TYPE_NAME.items()}
 def mapping_one(gt, xs, ys, rings, parts):
     """One geometry tuple → GeoJSON geometry mapping (dict)."""
     gt = int(gt)
+    if gt == GEOMETRYCOLLECTION:
+        g = (gt, np.asarray(xs, float), np.asarray(ys, float),
+             np.asarray(rings, np.int32), np.asarray(parts, np.int32))
+        return {"type": "GeometryCollection",
+                "geometries": [mapping_one(*c) for c in gc_iter(g)]}
     name = _TYPE_NAME[gt]
     pts = [[float(x), float(y)] for x, y in zip(xs, ys)]
     if gt == POINT:
@@ -59,8 +65,7 @@ def parse_mapping(obj):
     """GeoJSON geometry mapping → (gt, xs, ys, rings, parts) tuple."""
     name = obj["type"]
     if name == "GeometryCollection":
-        raise NotImplementedError(
-            "GeometryCollection is not representable in the ragged codec")
+        return gc_pack([parse_mapping(m) for m in obj["geometries"]])
     gt = _NAME_TYPE[name]
     c = obj["coordinates"]
     xs, ys, rings, parts = [], [], [], []

@@ -19,9 +19,11 @@ This is the Python-side twin of the engine's Spark-native GEOM struct
 - ``part_offsets``  int64[N+1]   geometry i owns parts [po[i], po[i+1]).
 
 Polygon rings are stored closed (first vertex repeated last), matching WKB.
-GeometryCollection is intentionally unsupported in the ragged/native form
-(the reference's spatial index errors on it too, geopolars/src/
-spatial_index.rs:258-276); it round-trips only through WKB bytes.
+GeometryCollection (gt=7) is supported since round 6 via typed part
+entries (see the GC block at the bottom of this module): codec
+round-trips, explode, and mixed-dimension boolean results; the spatial
+index still rejects GC operands (as the reference's does,
+geopolars/src/spatial_index.rs:258-276).
 """
 
 from __future__ import annotations
@@ -149,3 +151,72 @@ def single_part_counts(gt, nrings):
     if gt == POLYGON:
         return [nrings]
     raise ValueError(f"not single-part: {gt}")
+
+
+# ---------------------------------------------------------------------------
+# GeometryCollection (gt=7, round 6)
+#
+# A GC row reuses the same 5 arrays; only the meaning of each ``parts``
+# entry changes: parts[i] = sub_type * GC_SHIFT + nrings, where sub_type
+# is the part's OWN geometry class (POINT / LINESTRING / POLYGON) and
+# nrings its ring count. rings/coords stay plain, so every offsets walk
+# that first decodes ``parts % GC_SHIFT`` works unchanged. Multi* and
+# nested-GC children are flattened into single-type parts on ingest
+# (documented canonicalization: point-set identical, structure not
+# byte-preserved). Matches the reference's declared type id 7
+# (geopolars-geo/src/geoseries.rs:60-72).
+# ---------------------------------------------------------------------------
+
+GC_SHIFT = 1 << 24
+
+_GC_SUB_OF = {POINT: POINT, MULTIPOINT: POINT,
+              LINESTRING: LINESTRING, LINEARRING: LINESTRING,
+              MULTILINESTRING: LINESTRING,
+              POLYGON: POLYGON, MULTIPOLYGON: POLYGON}
+
+
+def gc_encode_parts(gt, parts):
+    """Encode a non-GC geometry's parts array for inclusion in a GC."""
+    sub = _GC_SUB_OF[gt]
+    return [sub * GC_SHIFT + int(nr) for nr in parts]
+
+
+def gc_pack(geoms):
+    """Build one GC tuple (7, xs, ys, rings, parts) from a list of
+    geometry tuples. Multi* children flatten to single-type parts;
+    nested GC children merge in as-is. Empty/None children are skipped;
+    a single surviving class does NOT re-type (callers wanting Multi*
+    normalization decide that themselves)."""
+    xs, ys, rings, parts = [], [], [], []
+    for g in geoms:
+        if g is None or g[0] == MISSING or len(g[1]) == 0:
+            continue
+        gt, x, y, r, p = g
+        xs.append(np.asarray(x, np.float64))
+        ys.append(np.asarray(y, np.float64))
+        rings.append(np.asarray(r, np.int32))
+        if gt == GEOMETRYCOLLECTION:
+            parts.extend(int(v) for v in p)
+        else:
+            parts.extend(gc_encode_parts(gt, p))
+    cat = lambda ps, dt: (np.concatenate(ps) if ps
+                          else np.empty(0, dt))
+    return (GEOMETRYCOLLECTION, cat(xs, np.float64), cat(ys, np.float64),
+            cat(rings, np.int32), np.asarray(parts, np.int32))
+
+
+def gc_iter(g):
+    """Yield (sub_gt, xs, ys, rings, parts) single-geometry tuples for
+    each part of a GC tuple."""
+    _, xs, ys, rings, parts = g
+    roff = 0
+    coff = 0
+    for enc in parts:
+        sub = int(enc) // GC_SHIFT
+        nr = int(enc) % GC_SHIFT
+        rl = rings[roff:roff + nr]
+        nc = int(np.sum(rl))
+        yield (sub, xs[coff:coff + nc], ys[coff:coff + nc], rl,
+               np.asarray(single_part_counts(sub, nr), np.int32))
+        roff += nr
+        coff += nc

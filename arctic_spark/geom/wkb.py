@@ -13,10 +13,11 @@ MultiPolygon, both byte orders on read, EWKB SRID header skipped. ISO
 ``decode(..., force_2d=True)`` accepts them and DROPS the extra
 dimensions (documented lossy ingest path — the engine is 2D).
 HOMOGENEOUS GeometryCollections decode to the corresponding Multi*
-(lossless re-typing); heterogeneous ones are rejected (the reference's
-spatial index likewise errors on GC,
-geopolars/src/spatial_index.rs:258-276). Encoding always writes
-little-endian 2D, matching what shapely.to_wkb produces by default.
+(lossless re-typing); heterogeneous ones decode to gt=7 with typed part
+entries since round 6 (see ragged.py's GC block; nested Multi*/GC
+children flatten to single-type parts — point-set identical, structure
+canonicalized). Encoding always writes little-endian 2D, matching what
+shapely.to_wkb produces by default.
 """
 
 from __future__ import annotations
@@ -25,8 +26,9 @@ import struct
 
 import numpy as np
 
-from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
-                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
+from .ragged import (GC_SHIFT, GEOMETRYCOLLECTION, LINESTRING, MISSING,
+                     MULTILINESTRING, MULTIPOINT, MULTIPOLYGON, POINT,
+                     POLYGON, RaggedGeometry, gc_iter)
 
 _EWKB_Z = 0x80000000
 _EWKB_M = 0x40000000
@@ -83,6 +85,7 @@ def _read_coords(buf, pos, n, little, xs_out, ys_out, ndims=2):
 _CLASS_OF = {POINT: 0, MULTIPOINT: 0, LINESTRING: 1, MULTILINESTRING: 1,
              POLYGON: 2, MULTIPOLYGON: 2}
 _MULTI_OF_CLASS = {0: MULTIPOINT, 1: MULTILINESTRING, 2: MULTIPOLYGON}
+_SINGLE_OF_CLASS = {0: POINT, 1: LINESTRING, 2: POLYGON}
 
 
 def _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out,
@@ -119,21 +122,36 @@ def _decode_one(buf, pos, xs_out, ys_out, rings_out, parts_out,
             return MULTILINESTRING, pos
         return MULTIPOLYGON, pos
     if t == 7:
-        # homogeneous collections re-type losslessly to the Multi*
+        # homogeneous collections re-type losslessly to the Multi*;
+        # heterogeneous ones decode to gt=7 with typed part entries
+        # (round 6; nested Multi*/GC children flatten to single-type
+        # parts — documented canonicalization)
         n, pos = _read_u32(buf, pos, little)
-        if n == 0:
-            raise WKBError("empty GeometryCollection not representable "
-                           "in the ragged encoding")
         kinds = set()
+        tagged = []            # (sub_class, plain part entries)
         for _ in range(n):
+            p0 = len(parts_out)
             ct, pos = _decode_one(buf, pos, xs_out, ys_out, rings_out,
                                   parts_out, force_2d)
-            kinds.add(_CLASS_OF[ct])
-        if len(kinds) > 1:
-            raise WKBError("heterogeneous GeometryCollection not "
-                           "supported by the ragged encoding; keep it "
-                           "as WKB bytes")
-        return _MULTI_OF_CLASS[kinds.pop()], pos
+            if ct == GEOMETRYCOLLECTION:
+                # child GC parts are already typed — keep verbatim
+                kinds.add("gc")
+                tagged.append((None, parts_out[p0:]))
+            else:
+                kinds.add(_CLASS_OF[ct])
+                tagged.append((_CLASS_OF[ct], parts_out[p0:]))
+            del parts_out[p0:]
+        if len(kinds) == 1 and "gc" not in kinds:
+            for _, entries in tagged:
+                parts_out.extend(entries)
+            return _MULTI_OF_CLASS[kinds.pop()], pos
+        for cls_id, entries in tagged:
+            if cls_id is None:
+                parts_out.extend(entries)       # already GC-encoded
+            else:
+                sub = _SINGLE_OF_CLASS[cls_id]
+                parts_out.extend(sub * GC_SHIFT + int(e) for e in entries)
+        return GEOMETRYCOLLECTION, pos
     raise WKBError(f"unsupported WKB type {t}")
 
 
@@ -242,6 +260,12 @@ def encode_geom(gt, xs, ys, rings, parts):
                                       ys[coff:coff + nc], rs))
             roff += nr
             coff += nc
+        return b"".join(out)
+    if gt == GEOMETRYCOLLECTION:
+        out = [b"\x01\x07\x00\x00\x00", struct.pack("<I", len(parts))]
+        for sgt, sxs, sys_, srings, _ in gc_iter((gt, xs, ys, rings,
+                                                  parts)):
+            out.append(_encode_single(sgt, sxs, sys_, srings))
         return b"".join(out)
     raise WKBError(f"cannot encode type {gt}")
 

@@ -11,15 +11,32 @@ import re
 
 import numpy as np
 
-from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
-                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
+from .ragged import (GEOMETRYCOLLECTION, LINESTRING, MISSING,
+                     MULTILINESTRING, MULTIPOINT, MULTIPOLYGON, POINT,
+                     POLYGON, RaggedGeometry, gc_iter, gc_pack)
 
 _NAME_TO_TYPE = {
     "POINT": POINT, "LINESTRING": LINESTRING, "POLYGON": POLYGON,
     "MULTIPOINT": MULTIPOINT, "MULTILINESTRING": MULTILINESTRING,
     "MULTIPOLYGON": MULTIPOLYGON,
+    "GEOMETRYCOLLECTION": GEOMETRYCOLLECTION,
 }
 _TYPE_TO_NAME = {v: k for k, v in _NAME_TO_TYPE.items()}
+
+
+def _split_top_commas(body):
+    """Split on commas at paren depth 0 ('POINT (1 2), LINESTRING (...)')."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(body[start:i])
+            start = i + 1
+    items.append(body[start:])
+    return [s.strip() for s in items if s.strip()]
 
 
 def _parse_coords(body):
@@ -113,6 +130,16 @@ def parse_one(text):
                 nrings += 1
             parts.append(nrings)
         return gt, xs, ys, rings, parts
+    if gt == GEOMETRYCOLLECTION:
+        children = []
+        for child in _split_top_commas(body):
+            cg, cx, cy, cr, cp = parse_one(child)
+            children.append((cg, np.asarray(cx, np.float64),
+                             np.asarray(cy, np.float64),
+                             np.asarray(cr, np.int32),
+                             np.asarray(cp, np.int32)))
+        _, xs, ys, rings, parts = gc_pack(children)
+        return gt, xs.tolist(), ys.tolist(), rings.tolist(), parts.tolist()
     raise AssertionError
 
 
@@ -177,6 +204,11 @@ def format_one(gt, xs, ys, rings, parts):
             roff += nr
             out.append(f"({', '.join(polys)})")
         return f"{name} ({', '.join(out)})"
+    if gt == GEOMETRYCOLLECTION:
+        g = (gt, np.asarray(xs, np.float64), np.asarray(ys, np.float64),
+             np.asarray(rings, np.int32), np.asarray(parts, np.int32))
+        subs = [format_one(*child) for child in gc_iter(g)]
+        return f"{name} ({', '.join(subs)})"
     raise ValueError(f"cannot format type {gt}")
 
 

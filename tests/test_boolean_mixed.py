@@ -145,21 +145,40 @@ def test_collinear_overlap_ops():
     assert len(boolean_pair(c, a, "difference")[1]) == 0
     assert _length(boolean_pair(a, c, "difference")) == pytest.approx(2.0)
     assert _length(boolean_pair(a, c, "union")) == pytest.approx(4.0)
-    # overlap + an isolated crossing elsewhere would be a collection
+    # overlap + an isolated crossing elsewhere → GeometryCollection
+    # (round 6; used to raise)
+    from arctic_spark.geom.ragged import (GEOMETRYCOLLECTION as GC,
+                                          POINT as PT, gc_iter)
     d = _g("MULTILINESTRING ((2 0, 6 0), (1 -1, 1 1))")
-    with pytest.raises(NotImplementedError, match="GeometryCollection"):
-        boolean_pair(a, d, "intersection")
+    gc = boolean_pair(a, d, "intersection")
+    assert gc[0] == GC
+    kinds = sorted(s[0] for s in gc_iter(gc))
+    assert kinds == [PT, LINESTRING]
     # merely touching at an endpoint is NOT a 1-D overlap
     e = _g("LINESTRING (4 0, 4 4)")
     assert _length(boolean_pair(a, e, "union")) == pytest.approx(8.0)
 
 
-def test_mixed_dim_union_raises():
-    with pytest.raises(NotImplementedError, match="GeometryCollection"):
-        boolean_pair(_g("LINESTRING (0 0, 4 4)"), _g(SQUARE), "union")
-    with pytest.raises(NotImplementedError, match="GeometryCollection"):
-        boolean_pair(_g("POINT (1 1)"), _g(SQUARE),
+def test_mixed_dim_union_is_gc():
+    """Round 6: mixed-dimension union/symdiff return GeometryCollection
+    (used to raise NotImplementedError)."""
+    from arctic_spark.geom.ragged import (GEOMETRYCOLLECTION as GC,
+                                          POINT as PT, POLYGON as PG,
+                                          gc_iter)
+    u = boolean_pair(_g("LINESTRING (-2 1, 4 1)"), _g(SQUARE), "union")
+    assert u[0] == GC
+    assert sorted(s[0] for s in gc_iter(u)) == [LINESTRING, PG]
+    # fully-inside line: union collapses to the polygon alone
+    u2 = boolean_pair(_g("LINESTRING (0 0, 4 4)"), _g(SQUARE), "union")
+    assert u2[0] == PG
+    s = boolean_pair(_g("POINT (99 99)"), _g(SQUARE),
                      "symmetric_difference")
+    assert s[0] == GC
+    assert sorted(x[0] for x in gc_iter(s)) == [PT, PG]
+    # point inside the square: symdiff is just the square
+    s2 = boolean_pair(_g("POINT (1 1)"), _g(SQUARE),
+                      "symmetric_difference")
+    assert s2[0] == PG
 
 
 def test_empty_operand_typing():

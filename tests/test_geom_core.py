@@ -170,10 +170,12 @@ def test_wkb_malformed_inputs():
     with pytest.raises(wkb.WKBError, match="Z/M"):
         wkb.decode([b"\x01" + _struct.pack("<I", 1001)
                     + _struct.pack("<ddd", 1, 2, 3)])
-    # GeometryCollection documented rejection
-    with pytest.raises(wkb.WKBError, match="GeometryCollection"):
-        wkb.decode([b"\x01" + _struct.pack("<I", 7)
-                    + _struct.pack("<I", 0)])
+    # empty GeometryCollection decodes to an empty GC row (round 6;
+    # used to be a documented rejection)
+    rg_gc = wkb.decode([b"\x01" + _struct.pack("<I", 7)
+                        + _struct.pack("<I", 0)])
+    assert rg_gc.gt[0] == ragged.GEOMETRYCOLLECTION
+    assert len(rg_gc.xs) == 0
     # EWKB SRID flag is skipped, not fatal
     buf = (b"\x01" + _struct.pack("<I", 0x20000001)
            + _struct.pack("<I", 4326) + _struct.pack("<dd", 3.0, 7.0))
@@ -263,6 +265,13 @@ def test_wkb_force_2d_and_collections():
 
     rg = wkb_mod.decode([gc([pt(1, 1), pt(2, 2)])])
     assert rg.gt[0] == 4 and rg.xs.tolist() == [1.0, 2.0]   # MULTIPOINT
+    # heterogeneous GC decodes to gt=7 with typed parts (round 6; used
+    # to raise)
     line = struct.pack("<BII4d", 1, 2, 2, 0.0, 0.0, 1.0, 1.0)
-    with pytest.raises(wkb_mod.WKBError, match="heterogeneous"):
-        wkb_mod.decode([gc([pt(1, 1), line])])
+    rg = wkb_mod.decode([gc([pt(1, 1), line])])
+    from arctic_spark.geom.ragged import (GC_SHIFT, GEOMETRYCOLLECTION,
+                                          gc_iter)
+    assert rg.gt[0] == GEOMETRYCOLLECTION
+    subs = list(gc_iter(rg.geom(0)))
+    assert [s[0] for s in subs] == [0, 1]      # POINT, LINESTRING
+    assert rg.geom(0)[4].tolist() == [1, 1 * GC_SHIFT + 1]
