@@ -900,6 +900,35 @@ def geo_relate_classify(spark, sf):
         st.crosses(edge, a_sq).alias("edge_crosses"))
 
 
+def geo_validity_flags(spark, sf):
+    """is_valid / is_simple (round-6 full-OGC rewrite, geom/algos.py):
+    even keys build a bowtie (self-crossing ring → invalid, not simple),
+    odd keys the same vertices in square order (valid); every third key
+    builds a self-crossing zigzag line (valid per GEOS but NOT simple),
+    others a plain bent line."""
+    p = _t(spark, sf, "part")
+    x0 = (F.col("p_partkey") % 30).cast("double") * 5.0
+    y0 = (F.col("p_partkey") % 20).cast("double") * 5.0
+    w = (F.col("p_partkey") % 3).cast("double") + 2.0
+    bow = F.col("p_partkey") % 2 == 0
+    pxs = F.array(x0, x0 + w, x0 + w, x0)
+    pys = F.when(bow, F.array(y0, y0 + w, y0, y0 + w)) \
+           .otherwise(F.array(y0, y0, y0 + w, y0 + w))
+    poly = st.make_polygon(pxs, pys)
+    crossing = F.col("p_partkey") % 3 == 0
+    lys = F.when(crossing, F.array(y0, y0 + w, y0 + w, y0)) \
+           .otherwise(F.array(y0, y0, y0 + w, y0 + w))
+    lxs = F.when(crossing, F.array(x0, x0 + w, x0, x0 + w)) \
+           .otherwise(F.array(x0, x0 + w, x0 + w, x0))
+    line = st.make_line(lxs, lys)
+    return p.select(
+        "p_partkey",
+        st.is_valid(poly).alias("poly_valid"),
+        st.is_simple(poly).alias("poly_simple"),
+        st.is_valid(line).alias("line_valid"),
+        st.is_simple(line).alias("line_simple"))
+
+
 def geo_equals_dwithin(spark, sf):
     """Equality predicates + dwithin (SURVEY §2.3): geom_equals is
     invariant to ring rotation/orientation (B is A's ring re-started and
@@ -1104,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_ring_accessors": geo_ring_accessors,
         "geo_equals_dwithin": geo_equals_dwithin,
         "geo_relate_classify": geo_relate_classify,
+        "geo_validity_flags": geo_validity_flags,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
@@ -1996,6 +2026,14 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS empty,
                    TRUE AS rp_inside
             FROM t
+        """,
+        "geo_validity_flags": """
+            SELECT p_partkey,
+                   (p_partkey % 2 <> 0) AS poly_valid,
+                   (p_partkey % 2 <> 0) AS poly_simple,
+                   TRUE AS line_valid,
+                   (p_partkey % 3 <> 0) AS line_simple
+            FROM part
         """,
         "geo_relate_classify": """
             SELECT s_suppkey,

@@ -881,10 +881,11 @@ def _segs_intersect_batch(ax, ay, bx, by, i, j):
 
 
 def is_simple(rg: RaggedGeometry):
-    """No self-intersection between non-adjacent segments (per ring).
-    Grid-pruned vectorized pair test (reuses the boolean engine's
-    candidate generator) — replaces the O(S²) pure-Python loop, so
-    large geometries (coastlines, dissolved regions) stay tractable."""
+    """OGC simplicity. Lines: no self-intersection between non-adjacent
+    segments (across parts too — MultiLineString parts may only meet at
+    endpoints). Polygons: per-RING simplicity only (JTS semantics —
+    ring-ring touches are a validity question, not simplicity; round 6
+    aligned). Grid-pruned vectorized pair test."""
     from . import boolean as _bool
     out = np.zeros(len(rg), dtype=object)
     for i in range(len(rg)):
@@ -895,13 +896,14 @@ def is_simple(rg: RaggedGeometry):
         if g in (POINT, MULTIPOINT):
             out[i] = True
             continue
-        ax, ay, bx, by = [], [], [], []
+        ax, ay, bx, by, rid = [], [], [], [], []
         off = 0
-        for rl in rings:
+        for r_i, rl in enumerate(rings):
             ax.append(xs[off:off + rl - 1])
             bx.append(xs[off + 1:off + rl])
             ay.append(ys[off:off + rl - 1])
             by.append(ys[off + 1:off + rl])
+            rid.append(np.full(max(rl - 1, 0), r_i, dtype=np.int64))
             off += rl
         if not ax:
             out[i] = True
@@ -910,7 +912,11 @@ def is_simple(rg: RaggedGeometry):
         ay = np.concatenate(ay)
         bx = np.concatenate(bx)
         by = np.concatenate(by)
+        rid = np.concatenate(rid)
         ii, jj = _bool._grid_pairs(ax, ay, bx, by)
+        if g in (POLYGON, MULTIPOLYGON) and ii.size:
+            same = rid[ii] == rid[jj]
+            ii, jj = ii[same], jj[same]
         if ii.size == 0:
             out[i] = True
             continue
@@ -927,12 +933,76 @@ def is_simple(rg: RaggedGeometry):
     return out
 
 
+def _ring_has_spike(x, y):
+    """Consecutive-edge backtrack (collinear reversal) — a zero-width
+    spike; zero-length edges are skipped (repeated points are valid)."""
+    ex, ey = [], []
+    for j in range(len(x) - 1):
+        dx, dy = x[j + 1] - x[j], y[j + 1] - y[j]
+        if dx != 0 or dy != 0:
+            ex.append(dx)
+            ey.append(dy)
+    m = len(ex)
+    if m < 2:
+        return False
+    for j in range(m):
+        d1x, d1y = ex[j], ey[j]
+        d2x, d2y = ex[(j + 1) % m], ey[(j + 1) % m]
+        if d1x * d2y - d1y * d2x == 0 and d1x * d2x + d1y * d2y < 0:
+            return True
+    return False
+
+
+def _rings_conflict(x1, y1, x2, y2):
+    """Two distinct closed rings CROSS (proper interior-interior segment
+    crossing) or share a collinear overlap of positive length — both
+    invalid ring-ring configurations (isolated point touches are
+    allowed). bbox-pruned segment-pair walk via relate's classifier."""
+    from .relate import _seg_seg
+    if x1.max() < x2.min() or x2.max() < x1.min() \
+            or y1.max() < y2.min() or y2.max() < y1.min():
+        return False
+    for j in range(len(x1) - 1):
+        a = (x1[j], y1[j], x1[j + 1], y1[j + 1])
+        if a[0] == a[2] and a[1] == a[3]:
+            continue
+        for k in range(len(x2) - 1):
+            b = (x2[k], y2[k], x2[k + 1], y2[k + 1])
+            if b[0] == b[2] and b[1] == b[3]:
+                continue
+            r = _seg_seg(*a, *b)
+            if r is None:
+                continue
+            if r[0] == "iv":
+                return True
+            if 0.0 < r[1] < 1.0 and 0.0 < r[2] < 1.0:
+                return True
+    return False
+
+
+def _ring_vertex_side(px, py, x, y):
+    """First strict classification of (px,py) lists vs ring: 1 inside,
+    -1 outside, 0 if every probe lands on the boundary."""
+    for k in range(len(px) - 1):        # skip the closing duplicate
+        s = point_in_ring(px[k], py[k], x, y)
+        if s != 0:
+            return s
+    return 0
+
+
 def is_valid(rg: RaggedGeometry):
-    """Validity: rings closed with >= 4 vertices, simple boundary, and
-    every hole ring inside (or on) its part's exterior ring. Still short
-    of full OGC (no shell-vs-shell nesting check across multipolygon
-    parts; documented simplification)."""
-    simple = is_simple(rg)
+    """Full OGC polygon validity (round 6): rings closed with ≥4
+    vertices and individually simple; no zero-width spikes; no ring-ring
+    crossing or collinear ring overlap anywhere in the geometry
+    (isolated point touches allowed); no duplicate rings; every hole
+    inside its shell and not nested in a sibling hole; multipolygon
+    shells not nested in another part's interior (a shell inside a hole
+    — donut island — is valid). Non-polygonal geometries are always
+    valid (GEOS semantics — a self-crossing line is valid, just not
+    simple). Documented residual gaps vs GEOS: interior-connectivity
+    (a hole chain touching the shell at several points that disconnects
+    the interior) and crossings happening exactly AT a shared vertex are
+    not detected."""
     out = np.zeros(len(rg), dtype=object)
     for i in range(len(rg)):
         g, xs, ys, rings, parts = rg.geom(i)
@@ -940,36 +1010,78 @@ def is_valid(rg: RaggedGeometry):
             out[i] = None
             continue
         if g not in (POLYGON, MULTIPOLYGON):
-            out[i] = bool(simple[i])
+            out[i] = True
             continue
-        ok = bool(simple[i])
-        off = 0
-        for rl in rings:
-            if rl < 4 or xs[off] != xs[off + rl - 1] \
-                    or ys[off] != ys[off + rl - 1]:
-                ok = False
-            off += rl
-        if ok:
-            # hole-in-shell: every vertex of each hole ring must lie
-            # inside or on its part's exterior ring
-            roff = coff = 0
-            for nr in parts:
-                erl = rings[roff]
-                ex, ey = xs[coff:coff + erl], ys[coff:coff + erl]
-                hoff = coff + erl
-                for j in range(1, nr):
-                    rl = rings[roff + j]
-                    if any(point_in_ring(xs[hoff + k], ys[hoff + k],
-                                         ex, ey) == -1
-                           for k in range(rl)):
-                        ok = False
-                    hoff += rl
-                coff = hoff
-                roff += nr
-                if not ok:
-                    break
-        out[i] = ok
+        out[i] = _polygon_valid(xs, ys, rings, parts)
     return out
+
+
+def _polygon_valid(xs, ys, rings, parts):
+    # per-ring: closure, >=4 vertices, simplicity, spikes; collect views
+    ring_xy = []          # (x, y, part_idx, is_shell)
+    roff = coff = 0
+    for p_i, nr in enumerate(parts):
+        for j in range(nr):
+            rl = rings[roff + j]
+            x = xs[coff:coff + rl]
+            y = ys[coff:coff + rl]
+            if rl < 4 or x[0] != x[-1] or y[0] != y[-1]:
+                return False
+            if _ring_has_spike(x, y):
+                return False
+            ring_xy.append((x, y, p_i, j == 0))
+            coff += rl
+        roff += nr
+    one = RaggedGeometry.from_pylists(
+        [POLYGON] * len(ring_xy),
+        [r[0].tolist() for r in ring_xy], [r[1].tolist() for r in ring_xy],
+        [[len(r[0])] for r in ring_xy], [[1] for r in ring_xy])
+    simple = is_simple(one)
+    if not all(bool(s) for s in simple):
+        return False
+    # pairwise ring checks: crossing/overlap, duplicates
+    for a in range(len(ring_xy)):
+        x1, y1 = ring_xy[a][0], ring_xy[a][1]
+        for b in range(a + 1, len(ring_xy)):
+            x2, y2 = ring_xy[b][0], ring_xy[b][1]
+            if _rings_conflict(x1, y1, x2, y2):
+                return False
+            if len(x1) == len(x2) and equals_pair(
+                    (POLYGON, x1, y1,
+                     np.array([len(x1)], np.int32),
+                     np.array([1], np.int32)),
+                    (POLYGON, x2, y2,
+                     np.array([len(x2)], np.int32),
+                     np.array([1], np.int32))):
+                return False                      # duplicate rings
+    # containment structure (no crossings by now → one strict vertex
+    # classification decides each whole-ring relation)
+    shells = [r for r in ring_xy if r[3]]
+    holes = [r for r in ring_xy if not r[3]]
+    # holes inside their own part's shell, not nested in sibling holes
+    for h in holes:
+        shell = next(s for s in shells if s[2] == h[2])
+        if _ring_vertex_side(h[0], h[1], shell[0], shell[1]) == -1:
+            return False
+        for h2 in holes:
+            if h2 is h or h2[2] != h[2]:
+                continue
+            if _ring_vertex_side(h[0], h[1], h2[0], h2[1]) == 1:
+                return False
+    # multipolygon shells: not inside another part (unless inside one of
+    # that part's holes — donut island)
+    for s1 in shells:
+        for s2 in shells:
+            if s1 is s2:
+                continue
+            if _ring_vertex_side(s1[0], s1[1], s2[0], s2[1]) == 1:
+                in_hole = any(
+                    h[2] == s2[2]
+                    and _ring_vertex_side(s1[0], s1[1], h[0], h[1]) == 1
+                    for h in holes)
+                if not in_hole:
+                    return False
+    return True
 
 
 # ---------------------------------------------------------------------------

