@@ -10,9 +10,18 @@ repeated calls accumulate cached blocks until the session dies
 Every such helper now pins its handles on the OBJECT IT RETURNS via
 ``pin``; callers free them with ``release(result)`` (or
 ``GeoDataFrame.release()``) once the result has been materialized to its
-final destination. Releasing is safe at any point — Spark recomputes an
-unpersisted lineage — it only costs re-execution if the result is
-consumed again afterwards.
+final destination.
+
+CORRECTNESS CAVEAT (ADVICE r5): for most pinned plans releasing early
+only costs re-execution, but for the KEYLESS left spatial join the
+persisted block is load-bearing — ``__l_rowid`` comes from
+``monotonically_increasing_id``, so if the result is consumed again
+AFTER ``release()``, the matched/unmatched branches recompute with
+fresh ids and can silently drop or duplicate left rows. Rule: only
+``release()`` a keyless left join once its output has been fully
+materialized (written/collected) and will not be recomputed; pass
+``left_key=`` to make release safe at any point (deterministic
+identity, nothing persisted).
 """
 
 from __future__ import annotations
@@ -35,7 +44,11 @@ def pinned(obj):
 
 def release(obj, blocking: bool = False):
     """Unpersist every handle pinned on ``obj`` (and, for wrappers that
-    expose ``.df``, on the wrapped DataFrame too). Idempotent."""
+    expose ``.df``, on the wrapped DataFrame too). Idempotent.
+
+    For results of the KEYLESS left spatial join, call this only after
+    the output is fully materialized — see the module docstring's
+    correctness caveat (recomputed monotonically_increasing_ids)."""
     seen = []
     for target in (obj, getattr(obj, "df", None)):
         if target is None:

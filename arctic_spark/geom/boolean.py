@@ -597,20 +597,36 @@ def _line_segments(g):
             np.concatenate(bxs), np.concatenate(bys))
 
 
+# Dense pair-matrix kernels are CHUNKED so two large line operands
+# (e.g. 50k-vertex coastlines) never allocate an n1×n2 float64 block
+# bigger than ~32 MB in the UDF worker (ADVICE r5: the un-chunked
+# matrices could reach multi-GB and OOM the executor's Python worker).
+_PAIR_BUDGET = 4_000_000
+
+
 def _near_segments(px, py, ax, ay, bx, by, eps):
-    """Each query point within eps of ANY segment (points × segs)."""
+    """Each query point within eps of ANY segment (points × segs),
+    evaluated in bounded blocks over the segment axis."""
     if ax.size == 0 or px.size == 0:
         return np.zeros(px.size, bool)
-    dx = (bx - ax)[None, :]
-    dy = (by - ay)[None, :]
-    rx = px[:, None] - ax[None, :]
-    ry = py[:, None] - ay[None, :]
-    ln2 = dx * dx + dy * dy
-    t = np.clip(np.divide(rx * dx + ry * dy, ln2,
-                          out=np.zeros_like(rx), where=ln2 > 0), 0.0, 1.0)
-    qx = rx - t * dx
-    qy = ry - t * dy
-    return ((qx * qx + qy * qy) <= eps * eps).any(axis=1)
+    out = np.zeros(px.size, bool)
+    step = max(1, _PAIR_BUDGET // max(px.size, 1))
+    for s0 in range(0, ax.size, step):
+        s1 = min(s0 + step, ax.size)
+        dx = (bx[s0:s1] - ax[s0:s1])[None, :]
+        dy = (by[s0:s1] - ay[s0:s1])[None, :]
+        rx = px[:, None] - ax[s0:s1][None, :]
+        ry = py[:, None] - ay[s0:s1][None, :]
+        ln2 = dx * dx + dy * dy
+        t = np.clip(np.divide(rx * dx + ry * dy, ln2,
+                              out=np.zeros_like(rx), where=ln2 > 0),
+                    0.0, 1.0)
+        qx = rx - t * dx
+        qy = ry - t * dy
+        out |= ((qx * qx + qy * qy) <= eps * eps).any(axis=1)
+        if out.all():
+            break
+    return out
 
 
 def _covered_points(px, py, g, eps):
@@ -650,34 +666,40 @@ def _point_set_op(g1, g2, op):
 
 def _collinear_overlap(g1, g2, eps):
     """True if any segment of g1 overlaps a segment of g2 collinearly
-    over more than an eps-length extent."""
+    over more than an eps-length extent. Chunked over g1's segment axis
+    (bounded blocks, early exit) — see _PAIR_BUDGET."""
     a1x, a1y, b1x, b1y = _line_segments(g1)
     a2x, a2y, b2x, b2y = _line_segments(g2)
     if a1x.size == 0 or a2x.size == 0:
         return False
-    d1x = (b1x - a1x)[:, None]
-    d1y = (b1y - a1y)[:, None]
     d2x = (b2x - a2x)[None, :]
     d2y = (b2y - a2y)[None, :]
-    wx = a2x[None, :] - a1x[:, None]
-    wy = a2y[None, :] - a1y[:, None]
-    denom = d1x * d2y - d1y * d2x
-    l1 = np.hypot(d1x, d1y)
-    par = (np.abs(denom) <= eps * np.maximum(l1, eps)
-           * np.maximum(np.hypot(d2x, d2y), eps))
-    if not par.any():
-        return False
-    off_line = np.abs(wx * d1y - wy * d1x)
-    coll = par & (off_line <= eps * np.maximum(l1, eps))
-    if not coll.any():
-        return False
-    l1sq = np.maximum(d1x * d1x + d1y * d1y, 1e-300)
-    ta = (wx * d1x + wy * d1y) / l1sq
-    tb = ((wx + d2x) * d1x + (wy + d2y) * d1y) / l1sq
-    lo = np.minimum(ta, tb)
-    hi = np.maximum(ta, tb)
-    ext = np.minimum(hi, 1.0) - np.maximum(lo, 0.0)
-    return bool((coll & (ext * l1 > eps)).any())
+    l2 = np.maximum(np.hypot(d2x, d2y), eps)
+    step = max(1, _PAIR_BUDGET // max(a2x.size, 1))
+    for s0 in range(0, a1x.size, step):
+        s1 = min(s0 + step, a1x.size)
+        d1x = (b1x[s0:s1] - a1x[s0:s1])[:, None]
+        d1y = (b1y[s0:s1] - a1y[s0:s1])[:, None]
+        wx = a2x[None, :] - a1x[s0:s1][:, None]
+        wy = a2y[None, :] - a1y[s0:s1][:, None]
+        denom = d1x * d2y - d1y * d2x
+        l1 = np.hypot(d1x, d1y)
+        par = np.abs(denom) <= eps * np.maximum(l1, eps) * l2
+        if not par.any():
+            continue
+        off_line = np.abs(wx * d1y - wy * d1x)
+        coll = par & (off_line <= eps * np.maximum(l1, eps))
+        if not coll.any():
+            continue
+        l1sq = np.maximum(d1x * d1x + d1y * d1y, 1e-300)
+        ta = (wx * d1x + wy * d1y) / l1sq
+        tb = ((wx + d2x) * d1x + (wy + d2y) * d1y) / l1sq
+        lo = np.minimum(ta, tb)
+        hi = np.maximum(ta, tb)
+        ext = np.minimum(hi, 1.0) - np.maximum(lo, 0.0)
+        if bool((coll & (ext * l1 > eps)).any()):
+            return True
+    return False
 
 
 def _split_line_sub_segments(line, other, eps):
@@ -781,35 +803,41 @@ def _line_line_intersection(g1, g2, eps):
 
 
 def _line_line_points(g1, g2, eps):
-    """Pairwise crossing/touch points of two lineish operands."""
+    """Pairwise crossing/touch points of two lineish operands. Chunked
+    over g1's segment axis (bounded blocks) — see _PAIR_BUDGET."""
     a1x, a1y, b1x, b1y = _line_segments(g1)
     a2x, a2y, b2x, b2y = _line_segments(g2)
     if a1x.size == 0 or a2x.size == 0:
         return _empty_of(0)
-    d1x = (b1x - a1x)[:, None]
-    d1y = (b1y - a1y)[:, None]
     d2x = (b2x - a2x)[None, :]
     d2y = (b2y - a2y)[None, :]
-    wx = a2x[None, :] - a1x[:, None]
-    wy = a2y[None, :] - a1y[:, None]
-    denom = d1x * d2y - d1y * d2x
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (wx * d2y - wy * d2x) / denom
-        u = (wx * d1y - wy * d1x) / denom
-    hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    if not hit.any():
-        return _empty_of(0)
-    ii, jj = np.nonzero(hit)
-    hx = a1x[ii] + t[ii, jj] * (b1x - a1x)[ii]
-    hy = a1y[ii] + t[ii, jj] * (b1y - a1y)[ii]
     quant = max(eps, 1e-300)
     seen, px, py = set(), [], []
-    for x, y in zip(hx, hy):
-        k = (round(x / quant), round(y / quant))
-        if k not in seen:
-            seen.add(k)
-            px.append(x)
-            py.append(y)
+    step = max(1, _PAIR_BUDGET // max(a2x.size, 1))
+    for s0 in range(0, a1x.size, step):
+        s1 = min(s0 + step, a1x.size)
+        d1x = (b1x[s0:s1] - a1x[s0:s1])[:, None]
+        d1y = (b1y[s0:s1] - a1y[s0:s1])[:, None]
+        wx = a2x[None, :] - a1x[s0:s1][:, None]
+        wy = a2y[None, :] - a1y[s0:s1][:, None]
+        denom = d1x * d2y - d1y * d2x
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (wx * d2y - wy * d2x) / denom
+            u = (wx * d1y - wy * d1x) / denom
+        hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        if not hit.any():
+            continue
+        ii, jj = np.nonzero(hit)
+        hx = a1x[s0:s1][ii] + t[ii, jj] * (b1x[s0:s1] - a1x[s0:s1])[ii]
+        hy = a1y[s0:s1][ii] + t[ii, jj] * (b1y[s0:s1] - a1y[s0:s1])[ii]
+        for x, y in zip(hx, hy):
+            k = (round(x / quant), round(y / quant))
+            if k not in seen:
+                seen.add(k)
+                px.append(x)
+                py.append(y)
+    if not px:
+        return _empty_of(0)
     return _pack_points(px, py)
 
 

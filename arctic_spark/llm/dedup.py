@@ -200,8 +200,12 @@ def exact_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
 
 def dedup_exact(df: DataFrame, id_col="doc_id", text_col="text",
                 normalize=True) -> DataFrame:
-    """Keep one row (min id) per identical-text class — the 100 TB-safe
-    formulation: window-free pre-aggregation, single shuffle."""
+    """Keep one row (min id) per identical-text class. Plan: ONE shuffle
+    on the 16-byte fingerprint key, then a per-partition row_number
+    window picks the survivor — no second pass over the data (a
+    groupBy-min + semi-join formulation would shuffle twice). The window
+    sort is per duplicate-class, so skew is bounded by the largest
+    duplicate class, not the partition."""
     key = fingerprint(text_col) if normalize else F.md5(_c(text_col))
     w = Window.partitionBy(key).orderBy(_c(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))

@@ -53,6 +53,17 @@ BENCH_QUERIES = [
     "geo_nearest_supplier",
     "geo_boolean_intersection",
     "geo_buffer_line",
+    # round 6: previously-unbenched gates + new operators
+    "q_asof_nearest",
+    "dedup_simhash",
+    "embed_knn_lsh",
+    "embed_knn_ivf",
+    "geo_boolean_multidiff",
+    "geo_line_clip_len",
+    "geo_concave_join",
+    "geo_relate_classify",
+    "geo_hull_simplify",
+    "geo_ring_accessors",
 ]
 
 
@@ -78,9 +89,14 @@ def main():
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # methodology: v2 = per-query warm minimum of two back-to-back runs
+    # (since round 5; rounds 1-4 reported single-pass wall time — the
+    # version field keeps round-over-round history comparable, ADVICE
+    # r5 bench.py:67)
     print(json.dumps({"metric": "bench_total_wall", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf,
-                      "queries_cold": cold}))
+                      "queries_cold": cold,
+                      "methodology": "warm-min-of-2 (v2)"}))
     spark.stop()
 
 
