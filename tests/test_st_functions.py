@@ -220,7 +220,9 @@ def test_haversine_native_vs_vincenty(spark):
     geo = _vals(df, st.geodesic_length("g", "geodesic"))[0]
     assert hav == pytest.approx(343_500, rel=0.01)
     assert vin == pytest.approx(343_900, rel=0.01)  # ellipsoidal slightly longer
-    assert geo == vin
+    # r6: 'geodesic' is the real Karney algorithm, no longer a Vincenty
+    # alias — the two independent formulations agree to sub-millimeter
+    assert geo == pytest.approx(vin, abs=1e-3)
     with pytest.raises(ValueError):
         st.geodesic_length("g", "nope")
 
