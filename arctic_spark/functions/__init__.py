@@ -28,7 +28,7 @@ from .native import (affine_transform, area, bbox_intersects, boundary,
                      x, y)
 from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    geodesic_length, geom_equals, is_simple, is_valid,
-                   representative_point,
+                   relate, relate_pattern, representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
                    from_geojson, to_geojson,
                    difference, intersection, intersects, simplify,
@@ -78,6 +78,7 @@ __all__ = [
     "unary_union",
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
     "intersection", "difference", "union", "symmetric_difference",
+    "relate", "relate_pattern",
 ]
 
 

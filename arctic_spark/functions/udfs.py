@@ -417,6 +417,34 @@ def overlaps(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
     return _masked_bool_series(batch.overlaps(r1, r2), r1, r2)
 
 
+@pandas_udf(T.StringType())
+def relate(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Full DE-9IM matrix string (GEOS/GeoPandas ``relate``, round 6 —
+    geom/relate.py): 9 characters [II IB IE BI BB BE EI EB EE] over
+    {F,0,1,2}; null for missing operands."""
+    from ..geom import relate as _relate
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    return pd.Series([_relate.relate_matrix(r1.geom(i), r2.geom(i))
+                      for i in range(len(r1))], dtype="object")
+
+
+def relate_pattern(g1, g2, pattern: str):
+    """DE-9IM pattern predicate (GeoPandas ``relate_pattern``): 'T' =
+    any non-empty dimension, '*' = anything, F/0/1/2 exact."""
+    from ..geom import relate as _relate
+
+    @pandas_udf(T.BooleanType())
+    def _match(gg1: pd.DataFrame, gg2: pd.DataFrame) -> pd.Series:
+        r1, r2 = ragged_from_pdf(gg1), ragged_from_pdf(gg2)
+        out = []
+        for i in range(len(r1)):
+            m = _relate.relate_matrix(r1.geom(i), r2.geom(i))
+            out.append(None if m is None
+                       else _relate.matches_pattern(m, pattern))
+        return pd.Series(out, dtype="object")
+    return _match(g1, g2)
+
+
 @pandas_udf(GEOM_TYPE)
 def intersection(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
     """Row-aligned intersection (reference roadmap rst:71) — general

@@ -408,3 +408,243 @@ def crosses(r1, r2):
 
 def overlaps(r1, r2):
     return _batch(r1, r2, 2)
+
+
+# ---------------------------------------------------------------------------
+# full DE-9IM matrix (round 6): relate() / relate_pattern()
+#
+# The 9-character row-major string [II IB IE / BI BB BE / EI EB EE] with
+# entries F/0/1/2, GEOS-compatible, built from the same primitives as
+# the boolean predicates above. GeoPandas-parity `GeoSeries.relate`.
+# ---------------------------------------------------------------------------
+
+def _on_line(px, py, g):
+    """Is (px,py) on the lineish geometry g?"""
+    for x1, y1, x2, y2 in _segments(g):
+        cross = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+        if cross == 0 and min(x1, x2) <= px <= max(x1, x2) \
+                and min(y1, y2) <= py <= max(y1, y2):
+            return True
+    return False
+
+
+def _m_point_point(ga, gb):
+    ax, ay = ga[1], ga[2]
+    bx, by = gb[1], gb[2]
+    shared = a_extra = b_extra = False
+    for px, py in zip(ax, ay):
+        if bool(np.any((bx == px) & (by == py))):
+            shared = True
+        else:
+            a_extra = True
+    for px, py in zip(bx, by):
+        if not bool(np.any((ax == px) & (ay == py))):
+            b_extra = True
+    return ("0" if shared else "F") + "F" \
+        + ("0" if a_extra else "F") + "FFF" \
+        + ("0" if b_extra else "F") + "F2"
+
+
+def _m_point_line(ga, gb):
+    bnd_b = _line_boundary_set(gb)
+    ii = ib = ie = False
+    for px, py in zip(ga[1], ga[2]):
+        if _on_line(px, py, gb):
+            if (px, py) in bnd_b:
+                ib = True
+            else:
+                ii = True
+        else:
+            ie = True
+    eb = any(not bool(np.any((ga[1] == q[0]) & (ga[2] == q[1])))
+             for q in bnd_b)
+    return ("0" if ii else "F") + ("0" if ib else "F") \
+        + ("0" if ie else "F") + "FFF" \
+        + "1" + ("0" if eb else "F") + "2"
+
+
+def _m_point_poly(ga, gb):
+    ii = ib = ie = False
+    for px, py in zip(ga[1], ga[2]):
+        c = _classify_pt_poly(px, py, gb)
+        if c == 1:
+            ii = True
+        elif c == 0:
+            ib = True
+        else:
+            ie = True
+    return ("0" if ii else "F") + ("0" if ib else "F") \
+        + ("0" if ie else "F") + "FFF" + "212"
+
+
+def _m_line_line(ga, gb):
+    bnd_a = _line_boundary_set(ga)
+    bnd_b = _line_boundary_set(gb)
+    has_iv = False
+    has_pt_ii = False
+    for a in _segments(ga):
+        for b in _segments(gb):
+            r = _seg_seg(*a, *b)
+            if r is None:
+                continue
+            if r[0] == "iv":
+                has_iv = True
+            elif _contact_interior(r[1], *a, bnd_a) \
+                    and _contact_interior(r[2], *b, bnd_b):
+                has_pt_ii = True
+    ii = "1" if has_iv else ("0" if has_pt_ii else "F")
+    ib = "0" if any(_on_line(q[0], q[1], ga) and q not in bnd_a
+                    for q in bnd_b) else "F"
+    ie = "F" if _line_covered(ga, gb) else "1"
+    bi = bb = be = "F"
+    for p in bnd_a:
+        if p in bnd_b:
+            bb = "0"
+        elif _on_line(p[0], p[1], gb):
+            bi = "0"
+        else:
+            be = "0"
+    ei = "F" if _line_covered(gb, ga) else "1"
+    eb = "0" if any(not _on_line(q[0], q[1], ga) for q in bnd_b) else "F"
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
+def _m_line_poly(gl, gp):
+    bnd_l = _line_boundary_set(gl)
+    any_in = any_on = any_out = False
+    ib0 = False
+    for a in _segments(gl):
+        ps, _c = _noded_params(a, gp)
+        x1, y1, x2, y2 = a
+        for t0, t1 in zip(ps, ps[1:]):
+            if t1 <= t0:
+                continue
+            tm = 0.5 * (t0 + t1)
+            cls = _classify_pt_poly(x1 + tm * (x2 - x1),
+                                    y1 + tm * (y2 - y1), gp)
+            if cls == 1:
+                any_in = True
+            elif cls == -1:
+                any_out = True
+            else:
+                any_on = True
+        if not ib0:
+            for t in ps:
+                px_, py_ = x1 + t * (x2 - x1), y1 + t * (y2 - y1)
+                if _classify_pt_poly(px_, py_, gp) == 0 \
+                        and _contact_interior(t, *a, bnd_l):
+                    ib0 = True
+                    break
+    ii = "1" if any_in else "F"
+    ib = "1" if any_on else ("0" if ib0 else "F")
+    ie = "1" if any_out else "F"
+    bi = bb = be = "F"
+    for p in bnd_l:
+        c = _classify_pt_poly(p[0], p[1], gp)
+        if c == 1:
+            bi = "0"
+        elif c == 0:
+            bb = "0"
+        else:
+            be = "0"
+    # E(A) vs ∂B: a line covers the polygon's 1-D boundary only if every
+    # boundary segment collinear-overlaps the line completely
+    bnd_rings = (LINESTRING, gp[1], gp[2], gp[3],
+                 np.ones(len(gp[3]), np.int32))
+    eb = "F" if _line_covered(bnd_rings, gl) else "1"
+    return ii + ib + ie + bi + bb + be + "2" + eb + "2"
+
+
+def _m_poly_poly(ga, gb):
+    b_in_a = _boundary_enters(gb, ga)
+    a_in_b = _boundary_enters(ga, gb)
+    ii = (b_in_a or a_in_b or _rep_probe(ga, gb) or _rep_probe(gb, ga))
+    covers_ab = contains_pair(ga, gb)        # A covers B
+    covers_ba = contains_pair(gb, ga)        # B covers A
+    # boundary-boundary dimension
+    bb = "F"
+    for a in _segments(ga):
+        for b in _segments(gb):
+            r = _seg_seg(*a, *b)
+            if r is None:
+                continue
+            if r[0] == "iv":
+                bb = "1"
+                break
+            bb = "0"
+        if bb == "1":
+            break
+    return (("2" if ii else "F")
+            + ("1" if b_in_a else "F")
+            + ("F" if covers_ba else "2")
+            + ("1" if a_in_b else "F")
+            + bb
+            + ("F" if covers_ba else "1")
+            + ("F" if covers_ab else "2")
+            + ("F" if covers_ab else "1")
+            + "2")
+
+
+def _transpose(m):
+    return (m[0] + m[3] + m[6] + m[1] + m[4] + m[7] + m[2] + m[5] + m[8])
+
+
+def _dim_char(d):
+    return "012"[d]
+
+
+def relate_matrix(g1, g2):
+    """Full DE-9IM matrix string for a pair of geometry tuples (GEOS
+    ``relate``)."""
+    gt1, xs1 = g1[0], g1[1]
+    gt2, xs2 = g2[0], g2[1]
+    if gt1 == MISSING or gt2 == MISSING:
+        return None
+    e1, e2 = len(xs1) == 0, len(xs2) == 0
+    if e1 and e2:
+        return "FFFFFFFF2"
+    if e1 or e2:
+        lo, hi = (g1, g2) if e1 else (g2, g1)
+        d = _dim(hi[0])
+        ei = _dim_char(d)
+        if d == 2:
+            eb = "1"
+        elif d == 1:
+            eb = "0" if _line_boundary_set(hi) else "F"
+        else:
+            eb = "F"
+        m = "FFFFFF" + ei + eb + "2"
+        return m if e1 else _transpose(m)
+    d1, d2 = _dim(gt1), _dim(gt2)
+    swapped = d1 > d2
+    if swapped:
+        g1, g2, d1, d2 = g2, g1, d2, d1
+    if d1 == 0 and d2 == 0:
+        m = _m_point_point(g1, g2)
+    elif d1 == 0 and d2 == 1:
+        m = _m_point_line(g1, g2)
+    elif d1 == 0:
+        m = _m_point_poly(g1, g2)
+    elif d1 == 1 and d2 == 1:
+        m = _m_line_line(g1, g2)
+    elif d1 == 1:
+        m = _m_line_poly(g1, g2)
+    else:
+        m = _m_poly_poly(g1, g2)
+    return _transpose(m) if swapped else m
+
+
+def matches_pattern(matrix, pattern):
+    """DE-9IM pattern match: 'T' = any non-F dim, '*' = anything,
+    'F'/'0'/'1'/'2' exact."""
+    if matrix is None or len(pattern) != 9:
+        return False
+    for m, p in zip(matrix, pattern.upper()):
+        if p == "*":
+            continue
+        if p == "T":
+            if m == "F":
+                return False
+        elif m != p:
+            return False
+    return True

@@ -37,6 +37,20 @@ from .functions.udfs import intersects as _intersects_udf
 from .geodataframe import GeoDataFrame
 
 
+def _opaque(col):
+    """Identity wrapper Catalyst cannot see through: shuffle() of a
+    single-element array is value-identity but NON-DETERMINISTIC, so
+    CollapseProject and predicate pushdown (incl. the
+    InferFiltersFromGenerate isnotnull filter) cannot substitute a HEAVY
+    computed expression — geometry built from numeric columns — into
+    downstream operators. Without it the inferred null-guard filter was
+    pushed to the scan with the whole construction tree inlined 16x per
+    row. (A when(rand()>=-1, col) guard does NOT survive: the optimizer
+    folds range-trivial rand comparisons.) The value is deterministic —
+    only the optimizer's bookkeeping changes."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def _cells_for_bounds(xmin, ymin, xmax, ymax, cell_size):
     """array<struct<cx:int,cy:int>> of grid cells covering a bbox —
     pure Catalyst (nested sequence transform + flatten)."""
@@ -52,18 +66,51 @@ def _cells_for_bounds(xmin, ymin, xmax, ymax, cell_size):
                                                    cy.alias("cy")))))
 
 
-def _with_cells(df, geom_col, cell_size, prefix):
+def _with_cells(df, geom_col, cell_size, prefix, flags=False,
+                pad=0.0):
+    """Attach per-row join metadata columns (bbox, grid cell) and explode
+    one row per covered cell.
+
+    Every derived quantity — bounds, the cell array, and (with
+    ``flags=True``) the rect/convex fast-path flags — is computed inside
+    ONE ``_let``-bound struct column ``<prefix>meta``. This matters for
+    EXPRESSION-BUILT geometry (st.make_polygon over numeric columns, the
+    common ingest pattern): Catalyst inlines a computed column into every
+    reference, so deriving bbox/cells/flags as separate columns
+    re-evaluated the whole construction ~9x per row (measured: the
+    diamond-join candidate phase dropped from 6.4 s to 2.7 s at sf0.1
+    when the construction was no longer re-inlined). Parquet-scanned
+    geometry is unaffected (attribute references are free).
+
+    ``pad`` expands the bbox (dwithin's radius expansion)."""
     g = F.col(geom_col)
-    xmin, ymin, xmax, ymax = native.bounds(g)
-    out = (df.withColumn(prefix + "xmin", xmin)
-             .withColumn(prefix + "ymin", ymin)
-             .withColumn(prefix + "xmax", xmax)
-             .withColumn(prefix + "ymax", ymax)
-             .where(F.col(prefix + "xmin").isNotNull()))
-    cells = _cells_for_bounds(F.col(prefix + "xmin"), F.col(prefix + "ymin"),
-                              F.col(prefix + "xmax"), F.col(prefix + "ymax"),
-                              cell_size)
-    return out.withColumn(prefix + "cell", F.explode(cells))
+    cs = float(cell_size)
+    p = F.lit(float(pad))
+
+    def build(gg):
+        xmin, ymin, xmax, ymax = native.bounds(gg)
+        xmin, ymin = xmin - p, ymin - p
+        xmax, ymax = xmax + p, ymax + p
+        fields = [xmin.alias("xmin"), ymin.alias("ymin"),
+                  xmax.alias("xmax"), ymax.alias("ymax"),
+                  _cells_for_bounds(xmin, ymin, xmax, ymax, cs)
+                  .alias("cells")]
+        if flags:
+            fields += [native.is_axis_rect(gg).alias("rect"),
+                       native.is_convex(gg).alias("cvx")]
+        return F.struct(*fields)
+
+    meta = prefix + "meta"
+    # No explicit null-geometry filter: null bounds make the cells array
+    # null and explode() drops those rows. The meta column is wrapped in
+    # an optimizer-opaque identity (_opaque): constraint-inferred
+    # isnotnull predicates on its fields otherwise get pushed below this
+    # projection with the whole geometry-construction tree INLINED into
+    # the filter (measured 16 copies — the dominant cost for
+    # expression-built geometry inputs).
+    out = df.withColumn(meta, _opaque(native._let(g, build)))
+    return out.withColumn(prefix + "cell",
+                          F.explode(F.col(meta + ".cells")))
 
 
 def estimate_cell_size(df, geom_col="geometry", sample_fraction=0.01,
@@ -228,14 +275,8 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                       F.floor(F.col("__l_px") / csl).cast("int").alias("cx"),
                       F.floor(F.col("__l_py") / csl).cast("int").alias("cy"))))
     else:
-        lc = (_with_cells(ldfs, lg, cell_size, "__l_")
-              .withColumn("__l_rect", native.is_axis_rect(F.col(lg)))
-              .withColumn("__l_cvx", native.is_convex(F.col(lg))))
-    rc = _with_cells(rdfs, rg, cell_size, "__r_")
-    # hoist the rectangle/convexity checks to one column per right row
-    # (vs re-deriving them for every candidate pair in the refine)
-    rc = (rc.withColumn("__r_rect", native.is_axis_rect(F.col(rg)))
-            .withColumn("__r_cvx", native.is_convex(F.col(rg))))
+        lc = _with_cells(ldfs, lg, cell_size, "__l_", flags=True)
+    rc = _with_cells(rdfs, rg, cell_size, "__r_", flags=True)
     if broadcast_right:
         rc = F.broadcast(rc)
 
@@ -243,29 +284,27 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                      & (lc["__l_cell.cy"] == rc["__r_cell.cy"]), "inner")
 
     cs = F.lit(float(cell_size))
+    rx0, ry0 = F.col("__r_meta.xmin"), F.col("__r_meta.ymin")
+    rx1, ry1 = F.col("__r_meta.xmax"), F.col("__r_meta.ymax")
     if points_left:
         px_, py_ = F.col("__l_px"), F.col("__l_py")
-        bbox_ok = ((px_ >= F.col("__r_xmin")) & (px_ <= F.col("__r_xmax"))
-                   & (py_ >= F.col("__r_ymin")) & (py_ <= F.col("__r_ymax")))
+        bbox_ok = ((px_ >= rx0) & (px_ <= rx1)
+                   & (py_ >= ry0) & (py_ <= ry1))
         canonical = F.lit(True)
         helper_cols = ["__l_cell", "__l_px", "__l_py", "__r_cell",
-                       "__r_xmin", "__r_ymin", "__r_xmax", "__r_ymax",
-                       "__r_rect"]
+                       "__r_meta"]
     else:
+        lx0, ly0 = F.col("__l_meta.xmin"), F.col("__l_meta.ymin")
+        lx1, ly1 = F.col("__l_meta.xmax"), F.col("__l_meta.ymax")
         # bbox refine (cheap, native) — mirrors the R-tree candidate stage
-        bbox_ok = ((F.col("__l_xmin") <= F.col("__r_xmax"))
-                   & (F.col("__r_xmin") <= F.col("__l_xmax"))
-                   & (F.col("__l_ymin") <= F.col("__r_ymax"))
-                   & (F.col("__r_ymin") <= F.col("__l_ymax")))
+        bbox_ok = ((lx0 <= rx1) & (rx0 <= lx1)
+                   & (ly0 <= ry1) & (ry0 <= ly1))
         # canonical-cell pair dedup (zero extra shuffle)
-        ix = F.greatest(F.col("__l_xmin"), F.col("__r_xmin"))
-        iy = F.greatest(F.col("__l_ymin"), F.col("__r_ymin"))
+        ix = F.greatest(lx0, rx0)
+        iy = F.greatest(ly0, ry0)
         canonical = ((F.floor(ix / cs).cast("int") == F.col("__l_cell.cx"))
                      & (F.floor(iy / cs).cast("int") == F.col("__l_cell.cy")))
-        helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
-                       "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
-                       "__r_xmax", "__r_ymax", "__l_rect", "__r_rect",
-                       "__l_cvx", "__r_cvx"]
+        helper_cols = ["__l_cell", "__r_cell", "__l_meta", "__r_meta"]
     if points_left:
         # refine directly with the materialized coordinates: rectangle
         # right → two interval tests on the precomputed bbox columns
@@ -273,9 +312,9 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         # point right → equality
         rcol = F.col(rg)
         pxc, pyc = F.col("__l_px"), F.col("__l_py")
-        rect_inside = ((pxc > F.col("__r_xmin")) & (pxc < F.col("__r_xmax"))
-                       & (pyc > F.col("__r_ymin")) & (pyc < F.col("__r_ymax")))
-        refine = (F.when(F.col("__r_rect"), rect_inside)
+        rect_inside = ((pxc > rx0) & (pxc < rx1)
+                       & (pyc > ry0) & (pyc < ry1))
+        refine = (F.when(F.col("__r_meta.rect"), rect_inside)
                   .when(rcol["gt"].isin(3, 6),
                         native.contains_point(rcol, pxc, pyc))
                   .when(rcol["gt"] == 0,
@@ -284,26 +323,24 @@ def spatial_join(left, right, how="inner", predicate="intersects",
                                                udf_refine)))
     else:
         # axis-rect × axis-rect pairs are pure interval algebra on the
-        # hoisted bbox columns — for 'intersects' the bbox_ok filter
+        # hoisted bbox fields — for 'intersects' the bbox_ok filter
         # already IS the exact closed-interval test; for 'contains' it's
         # interval containment (boundary-inclusive, matching the
         # engine's documented covers-style contains). Zero geometry work,
         # zero Python for rectangle workloads (tiles, extents, bboxes) —
         # combined with udf_refine=False the whole refine stays inside
         # whole-stage codegen.
-        both_rect = F.col("__l_rect") & F.col("__r_rect")
+        both_rect = F.col("__l_meta.rect") & F.col("__r_meta.rect")
         if predicate == "intersects":
             rect_ans = F.lit(True)
         else:
-            rect_ans = ((F.col("__l_xmin") <= F.col("__r_xmin"))
-                        & (F.col("__r_xmax") <= F.col("__l_xmax"))
-                        & (F.col("__l_ymin") <= F.col("__r_ymin"))
-                        & (F.col("__r_ymax") <= F.col("__l_ymax")))
+            rect_ans = ((lx0 <= rx0) & (rx1 <= lx1)
+                        & (ly0 <= ry0) & (ry1 <= ly1))
         # convex×convex pairs (hoisted flags) refine with the native SAT /
         # half-plane expressions — exact for convex polygons, zero Python.
         # With udf_refine=False this makes ANY all-convex polygon workload
         # (tiles, diamonds, hulls, triangulations) a 100% JVM plan.
-        both_cvx = F.col("__l_cvx") & F.col("__r_cvx")
+        both_cvx = F.col("__l_meta.cvx") & F.col("__r_meta.cvx")
         if predicate == "intersects":
             cvx_ans = native.convex_intersects(F.col(lg), F.col(rg))
         else:
@@ -366,32 +403,23 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
     lg, rg = lgeom + lsuffix, rgeom + rsuffix
 
     # expand left bboxes by the radius so cell-equality is a superset
+    # (the meta-struct formulation of _with_cells keeps expression-built
+    # geometry evaluated once per row — see its docstring)
     cs = float(cell_size)
-    g = F.col(lg)
-    xmin, ymin, xmax, ymax = native.bounds(g)
-    lc = (ldfs.withColumn("__l_xmin", xmin - distance)
-              .withColumn("__l_ymin", ymin - distance)
-              .withColumn("__l_xmax", xmax + distance)
-              .withColumn("__l_ymax", ymax + distance)
-              .where(F.col("__l_xmin").isNotNull()))
-    lc = lc.withColumn("__l_cell", F.explode(_cells_for_bounds(
-        F.col("__l_xmin"), F.col("__l_ymin"), F.col("__l_xmax"),
-        F.col("__l_ymax"), cs)))
+    lc = _with_cells(ldfs, lg, cs, "__l_", pad=float(distance))
     rc = _with_cells(rdfs, rg, cs, "__r_")
     if broadcast_right:
         rc = F.broadcast(rc)
 
     joined = lc.join(rc, (lc["__l_cell.cx"] == rc["__r_cell.cx"])
                      & (lc["__l_cell.cy"] == rc["__r_cell.cy"]), "inner")
-    ix = F.greatest(F.col("__l_xmin"), F.col("__r_xmin"))
-    iy = F.greatest(F.col("__l_ymin"), F.col("__r_ymin"))
+    ix = F.greatest(F.col("__l_meta.xmin"), F.col("__r_meta.xmin"))
+    iy = F.greatest(F.col("__l_meta.ymin"), F.col("__r_meta.ymin"))
     canonical = ((F.floor(ix / F.lit(cs)).cast("int") == F.col("__l_cell.cx"))
                  & (F.floor(iy / F.lit(cs)).cast("int") == F.col("__l_cell.cy")))
     lcol, rcol = F.col(lg), F.col(rg)
     both_points = (lcol["gt"] == 0) & (rcol["gt"] == 0)
-    helper_cols = ["__l_cell", "__r_cell", "__l_xmin", "__l_ymin",
-                   "__l_xmax", "__l_ymax", "__r_xmin", "__r_ymin",
-                   "__r_xmax", "__r_ymax"]
+    helper_cols = ["__l_cell", "__r_cell", "__l_meta", "__r_meta"]
     base = joined.where(canonical)
     d = F.lit(float(distance))
     if points_only:

@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 
 from .geom import algos, batch, boolean, geojson, ragged, wkb, wkt
 from .geom.ragged import MISSING
+from .functions import udfs as _udfs
 from .functions.udfs import ragged_from_pdf, ragged_to_pdf
 from .sparktypes import GEOM_TYPE
 
@@ -206,6 +207,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_distance": st_distance,
         "st_buffer": st_buffer,
         "st_simplify": st_simplify,
+        "st_relate": _udfs.relate,
     }
     for name, fn in fns.items():
         spark.udf.register(name, fn)
