@@ -159,13 +159,8 @@ def _signed_area_span(g, o, n):
     return F.lit(0.5) * (a - b)
 
 
-@_geom_fn
-def area(g) -> Column:
-    """Planar area (exterior rings +, holes −, orientation-insensitive).
-
-    Reference semantics: geoseries.rs:16-19 (unsigned area, CRS units).
-    Single-ring polygons (the dominant case) skip the ring-offsets
-    machinery — the whole coordinate arrays are the ring."""
+def _area_core(g) -> Column:
+    """Polygon-family area machinery (no GC branch — see ``area``)."""
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     terms = F.transform(
@@ -174,10 +169,25 @@ def area(g) -> Column:
                          F.abs(_ring_signed_area(g, co, i)))
                    .otherwise(-F.abs(_ring_signed_area(g, co, i))))
     single = F.abs(_signed_area_span(g, F.lit(0), F.size(g["xs"])))
-    val = F.when(
+    return F.when(
         g["gt"].isin(POLYGON, MULTIPOLYGON),
         F.when(F.size(g["rings"]) == 1, single).otherwise(_fsum(terms))) \
         .otherwise(F.lit(0.0))
+
+
+@_geom_fn
+def area(g) -> Column:
+    """Planar area (exterior rings +, holes −, orientation-insensitive).
+
+    Reference semantics: geoseries.rs:16-19 (unsigned area, CRS units).
+    Single-ring polygons (the dominant case) skip the ring-offsets
+    machinery — the whole coordinate arrays are the ring.
+    GeometryCollections (gt=7, round 6) sum their polygon parts' areas
+    (GEOS semantics) via a native aggregate over dump_parts."""
+    gc_val = F.aggregate(
+        dump_parts(g), F.lit(0.0),
+        lambda acc, p: acc + F.coalesce(_area_core(p), F.lit(0.0)))
+    val = F.when(g["gt"] == 7, gc_val).otherwise(_area_core(g))
     return F.when(_valid(g), val)
 
 
@@ -191,11 +201,8 @@ def _length_span(g, o, n):
     return _fsum(F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b)))
 
 
-@_geom_fn
-def length(g) -> Column:
-    """Planar length: lines → total; polygons → exterior rings only
-    (reference doc geoseries.rs:41-46); points → 0. Single-ring
-    fast path skips the offsets machinery."""
+def _length_core(g) -> Column:
+    """Line/polygon length machinery (no GC branch — see ``length``)."""
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     all_rings = _fsum(F.transform(_ring_ids(g),
@@ -206,11 +213,23 @@ def length(g) -> Column:
                    .otherwise(F.lit(0.0))))
     single = _length_span(g, F.lit(0), F.size(g["xs"]))
     one_ring = F.size(g["rings"]) == 1
-    val = (F.when(g["gt"].isin(LINESTRING, MULTILINESTRING),
-                  F.when(one_ring, single).otherwise(all_rings))
-            .when(g["gt"].isin(POLYGON, MULTIPOLYGON),
-                  F.when(one_ring, single).otherwise(ext_rings))
-            .otherwise(F.lit(0.0)))
+    return (F.when(g["gt"].isin(LINESTRING, MULTILINESTRING),
+                   F.when(one_ring, single).otherwise(all_rings))
+             .when(g["gt"].isin(POLYGON, MULTIPOLYGON),
+                   F.when(one_ring, single).otherwise(ext_rings))
+             .otherwise(F.lit(0.0)))
+
+
+@_geom_fn
+def length(g) -> Column:
+    """Planar length: lines → total; polygons → exterior rings only
+    (reference doc geoseries.rs:41-46); points → 0. Single-ring
+    fast path skips the offsets machinery. GeometryCollections sum
+    their parts (round 6, GEOS semantics)."""
+    gc_val = F.aggregate(
+        dump_parts(g), F.lit(0.0),
+        lambda acc, p: acc + F.coalesce(_length_core(p), F.lit(0.0)))
+    val = F.when(g["gt"] == 7, gc_val).otherwise(_length_core(g))
     return F.when(_valid(g), val)
 
 

@@ -154,3 +154,13 @@ def test_spark_union_mixed_dims_gc(spark):
                      st.num_parts("u").alias("n")).collect()[0]
     assert row.t == "GeometryCollection"
     assert row.n == 3  # two outside line runs + the polygon
+
+
+def test_gc_area_length(spark):
+    """GEOS semantics: area/length of a GC sum over parts (round 6)."""
+    df = spark.createDataFrame([(1, GC_WKT)], "id int, w string") \
+        .select("id", st.from_wkt("w").alias("g"))
+    row = df.select(F.round(st.area("g"), 9).alias("a"),
+                    F.round(st.length("g"), 9).alias("l")).collect()[0]
+    assert row.a == pytest.approx(4.0)      # the 2x2 polygon
+    assert row.l == pytest.approx(3.0 * (2 ** 0.5) + 8.0)  # line + perimeter
