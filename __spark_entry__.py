@@ -790,15 +790,16 @@ def geo_hull_simplify(spark, sf):
         F.array(y0, y0, y0 + h, y0 + h, y0 + h / 3),
         F.array(one, one, one, one, one),
         F.array(one, one, one, one, one))
-    hull = st.convex_hull(mp)
     d = (F.col("p_partkey") % 3).cast("double") * 0.8
     line = st.make_line(F.array(x0, x0 + 1.0, x0 + 2.0),
                         F.array(y0, y0 + d, y0))
-    simp = st.simplify(line, 1.0)
+    # freeze: hull feeds two metrics (area + perimeter) — one UDF eval
+    p = p.withColumn("__hull", st.freeze(st.convex_hull(mp))) \
+         .withColumn("__simp", st.freeze(st.simplify(line, 1.0)))
     return p.select("p_partkey",
-                    F.round(st.area(hull), 6).alias("hull_area"),
-                    F.round(st.length(hull), 6).alias("hull_perim"),
-                    F.round(st.length(simp), 6).alias("simp_len"))
+                    F.round(st.area("__hull"), 6).alias("hull_area"),
+                    F.round(st.length("__hull"), 6).alias("hull_perim"),
+                    F.round(st.length("__simp"), 6).alias("simp_len"))
 
 
 def geo_affine_family(spark, sf):
@@ -842,11 +843,15 @@ def geo_ring_accessors(spark, sf):
     v = (F.col("o_custkey") % 3).cast("double") * 0.3
     hx, hy = 1.0 + u, 1.0 + v
     z = F.lit(0.0)
-    poly = st.geom_struct(
+    # st.freeze: 9 downstream metrics consume this constructed polygon —
+    # without the barrier Catalyst inlines the construction into each
+    # (measured 2.9 s of the query's 4.8 s at sf0.1)
+    o = o.withColumn("__poly", st.freeze(st.geom_struct(
         F.lit(3),
         F.array(z, w, w, z, z, hx, hx, hx + 1.0, hx + 1.0, hx),
         F.array(z, z, w, w, z, hy, hy + 1.0, hy + 1.0, hy, hy),
-        F.array(F.lit(5), F.lit(5)), F.array(F.lit(2)))
+        F.array(F.lit(5), F.lit(5)), F.array(F.lit(2)))))
+    poly = F.col("__poly")
     rp = st.representative_point(poly)
     clip = st.clip_by_rect(poly, -0.5, -0.5, 3.0, 100.0)
     hole = F.element_at(st.interiors(poly), 1)

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from . import native, udfs
 from .native import (affine_transform, area, bbox_intersects, boundary,
-                     bounds,
+                     bounds, freeze,
                      centroid, contains_point, distance_points, dump_parts,
                      geom_equals_exact, geom_lit, has_z, interiors,
                      dwithin_points, envelope, exterior, geom_struct,
@@ -78,7 +78,7 @@ __all__ = [
     "unary_union",
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
     "intersection", "difference", "union", "symmetric_difference",
-    "relate", "relate_pattern",
+    "relate", "relate_pattern", "freeze",
 ]
 
 

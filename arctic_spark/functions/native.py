@@ -52,6 +52,24 @@ def _let(col: Column, fn) -> Column:
 
 
 
+def freeze(col) -> Column:
+    """Optimizer-opaque identity: evaluate an EXPRESSION-BUILT geometry
+    (st.make_polygon / st.geom_struct over numeric columns) ONCE per row
+    even when many downstream expressions reference it. Catalyst has no
+    construction-time common-subexpression sharing — a computed column
+    referenced by N metrics is inlined N times, multiplying the whole
+    construction tree (measured 6-16x on metric fan-outs and join
+    distribute phases). shuffle() of a 1-element array is value-identity
+    but non-deterministic, which blocks CollapseProject and predicate
+    pushdown; a when(rand()>=-1,·) guard does NOT survive (the optimizer
+    folds range-trivial rand comparisons). Use after building geometry
+    that more than ~2 expressions will consume:
+
+        df = df.withColumn("g", st.freeze(st.make_polygon(xs, ys)))
+    """
+    return F.element_at(F.shuffle(F.array(_g(col))), 1)
+
+
 def _geom_fn(fn):
     """Decorator: bind the geometry argument once (see _let) before the
     body references it — keeps composed expressions like

@@ -38,17 +38,12 @@ from .geodataframe import GeoDataFrame
 
 
 def _opaque(col):
-    """Identity wrapper Catalyst cannot see through: shuffle() of a
-    single-element array is value-identity but NON-DETERMINISTIC, so
-    CollapseProject and predicate pushdown (incl. the
-    InferFiltersFromGenerate isnotnull filter) cannot substitute a HEAVY
-    computed expression — geometry built from numeric columns — into
-    downstream operators. Without it the inferred null-guard filter was
-    pushed to the scan with the whole construction tree inlined 16x per
-    row. (A when(rand()>=-1, col) guard does NOT survive: the optimizer
-    folds range-trivial rand comparisons.) The value is deterministic —
-    only the optimizer's bookkeeping changes."""
-    return F.element_at(F.shuffle(F.array(col)), 1)
+    """Optimizer-opaque identity (see functions.native.freeze): stops
+    CollapseProject / predicate pushdown from inlining the heavy
+    geometry-construction tree into downstream operators (the inferred
+    isnotnull null-guard was otherwise pushed to the scan with 16
+    inlined copies per row)."""
+    return native.freeze(col)
 
 
 def _cells_for_bounds(xmin, ymin, xmax, ymax, cell_size):
