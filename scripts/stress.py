@@ -107,6 +107,65 @@ def main():
         "vincenty").alias("m")).agg(F.sum("m")).collect()[0][0]
     report("vincenty (batched) over synthetic lines", t0, 1)
 
+    # round 6: Karney geodesic (exact incl. antipodal) at the same scale
+    t0 = time.perf_counter()
+    n = pts.select(st.geodesic_length(
+        st.make_line(F.array(st.x("geometry"), st.x("geometry") + 0.1),
+                     F.array(st.y("geometry") / 100.0,
+                             st.y("geometry") / 100.0 + 0.1)),
+        "geodesic").alias("m")).agg(F.sum("m")).collect()[0][0]
+    report("karney geodesic over synthetic lines", t0, 1)
+
+    # round 6: convex SAT join at scale — diamonds on both sides defeat
+    # the rect fast path, so every candidate refines through the native
+    # separating-axis expressions (zero Python in the plan)
+    n_dia = max(n_points // 2, 100_000)
+    dia = spark.range(n_dia).repartition(par).select(
+        F.col("id"),
+        st.make_polygon(
+            F.array((F.pmod(F.col("id") * 48271, F.lit(100_000)))
+                    .cast("double") / 10.0 - 3.0,
+                    (F.pmod(F.col("id") * 48271, F.lit(100_000)))
+                    .cast("double") / 10.0,
+                    (F.pmod(F.col("id") * 48271, F.lit(100_000)))
+                    .cast("double") / 10.0 + 3.0,
+                    (F.pmod(F.col("id") * 48271, F.lit(100_000)))
+                    .cast("double") / 10.0),
+            F.array((F.pmod(F.col("id") * 69621, F.lit(100_000)))
+                    .cast("double") / 10.0,
+                    (F.pmod(F.col("id") * 69621, F.lit(100_000)))
+                    .cast("double") / 10.0 - 3.0,
+                    (F.pmod(F.col("id") * 69621, F.lit(100_000)))
+                    .cast("double") / 10.0,
+                    (F.pmod(F.col("id") * 69621, F.lit(100_000)))
+                    .cast("double") / 10.0 + 3.0)).alias("geometry"))
+    big_dia = spark.range(n_polys).select(
+        F.col("id").alias("poly_id"),
+        st.make_polygon(
+            F.array((F.pmod(F.col("id") * 37, F.lit(100)) * 100)
+                    .cast("double"),
+                    (F.pmod(F.col("id") * 37, F.lit(100)) * 100 + 40)
+                    .cast("double"),
+                    (F.pmod(F.col("id") * 37, F.lit(100)) * 100 + 80)
+                    .cast("double"),
+                    (F.pmod(F.col("id") * 37, F.lit(100)) * 100 + 40)
+                    .cast("double")),
+            F.array((F.pmod(F.col("id") * 53, F.lit(100)) * 100 + 40)
+                    .cast("double"),
+                    (F.pmod(F.col("id") * 53, F.lit(100)) * 100)
+                    .cast("double"),
+                    (F.pmod(F.col("id") * 53, F.lit(100)) * 100 + 40)
+                    .cast("double"),
+                    (F.pmod(F.col("id") * 53, F.lit(100)) * 100 + 80)
+                    .cast("double"))).alias("geometry"))
+    t0 = time.perf_counter()
+    out = spatial_join(GeoDataFrame(dia), GeoDataFrame(big_dia),
+                       udf_refine=False, broadcast_right=True,
+                       cell_size=100.0)
+    n = out.df.count()
+    report(f"convex SAT join {n_dia:,} diamonds x {n_polys:,} diamonds",
+           t0, n)
+
     spark.stop()
 
 
