@@ -78,7 +78,7 @@ __all__ = [
     "unary_union",
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
     "intersection", "difference", "union", "symmetric_difference",
-    "relate", "relate_pattern", "freeze",
+    "relate", "relate_pattern", "freeze", "dwithin",
 ]
 
 
@@ -96,6 +96,23 @@ def unary_union(g):
 def disjoint(g1, g2):
     """NOT intersects (reference roadmap geoseries.rst:49)."""
     return ~intersects(g1, g2)
+
+
+def dwithin(g1, g2, distance):
+    """Row-aligned distance predicate (GeoPandas ``dwithin``): geometries
+    within ``distance`` of each other. Point/point pairs stay fully
+    native (interval arithmetic, no Python); general pairs use the
+    whole-batch vectorized distance kernel. For the JOIN formulation
+    (all pairs within a radius) use ``arctic_spark.joins.dwithin_join``."""
+    from .native import _g
+    a, b = _g(g1), _g(g2)
+    d = F.lit(float(distance))
+    both_points = (a["gt"] == 0) & (b["gt"] == 0)
+    return F.when(both_points, native.dwithin_points(a, b, d)) \
+            .otherwise(distance_kernel(a, b) <= d)
+
+
+distance_kernel = udfs.distance
 
 
 def within(g1, g2):

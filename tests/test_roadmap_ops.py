@@ -370,3 +370,20 @@ def test_is_valid_hole_outside_shell(spark):
     out = _df(spark, good, bad).select(
         "id", st.is_valid("g").alias("v")).orderBy("id").collect()
     assert out[0].v is True and out[1].v is False
+
+
+def test_dwithin_predicate(spark):
+    """Row-aligned st.dwithin (round 6): native for point pairs, kernel
+    distance for general pairs."""
+    rows = [(0, "POINT (0 0)", "POINT (3 4)"),          # dist 5
+            (1, "POINT (0 0)", "POINT (30 40)"),        # dist 50
+            (2, "POINT (1 1)", "POLYGON ((3 0, 5 0, 5 2, 3 2, 3 0))"),
+            (3, "LINESTRING (0 0, 0 10)", "POINT (6 5)")]
+    df = spark.createDataFrame(rows, "id int, w1 string, w2 string") \
+        .withColumn("g1", st.from_wkt("w1")).withColumn("g2", st.from_wkt("w2"))
+    out = {r.id: r.d for r in df.select(
+        "id", st.dwithin("g1", "g2", 5.5).alias("d")).collect()}
+    assert out[0] is True and out[1] is False
+    assert out[2] is True      # point to polygon dist 2
+    assert out[3] is False or out[3] is True  # dist 6 > 5.5 → False
+    assert out[3] is False
