@@ -905,6 +905,23 @@ def geo_relate_classify(spark, sf):
         st.crosses(edge, a_sq).alias("edge_crosses"))
 
 
+def geo_karney_meridian(spark, sf):
+    """Karney geodesic (round 6, geom/geodesic.py) against a closed-form
+    oracle: along a meridian the geodesic distance equals the meridian
+    arc, whose classic e⁸ series DuckDB can evaluate directly (series vs
+    engine agree to ~2 µm; rounding at 1 mm). Anchors method='geodesic'
+    in the hash gate — the general-azimuth accuracy is anchored by the
+    published Karney-2013 values in tests/test_geodesic.py."""
+    c = _t(spark, sf, "customer")
+    lat1 = (F.col("c_custkey") % 140).cast("double") - 70.0 + 0.25
+    lat2 = lat1 + (F.col("c_custkey") % 7).cast("double") + 1.5
+    line = st.make_line(F.array(F.lit(0.0), F.lit(0.0)),
+                        F.array(lat1, lat2))
+    return c.select(
+        "c_custkey",
+        F.round(st.geodesic_length(line, "geodesic"), 3).alias("meters"))
+
+
 def geo_validity_flags(spark, sf):
     """is_valid / is_simple (round-6 full-OGC rewrite, geom/algos.py):
     even keys build a bowtie (self-crossing ring → invalid, not simple),
@@ -1139,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_equals_dwithin": geo_equals_dwithin,
         "geo_relate_classify": geo_relate_classify,
         "geo_validity_flags": geo_validity_flags,
+        "geo_karney_meridian": geo_karney_meridian,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
@@ -2030,6 +2048,40 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ext_is_ring,
                    FALSE AS empty,
                    TRUE AS rp_inside
+            FROM t
+        """,
+        "geo_karney_meridian": """
+            WITH par AS (
+                SELECT 6378137.0 AS a,
+                       (1.0/298.257223563) * (2 - 1.0/298.257223563) AS e2
+            ), pw AS (
+                SELECT a, e2, e2*e2 AS e4, e2*e2*e2 AS e6,
+                       e2*e2*e2*e2 AS e8
+                FROM par
+            ), t AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 140 AS DOUBLE) - 70.0 + 0.25 AS lat1,
+                       CAST(c_custkey % 140 AS DOUBLE) - 70.0 + 0.25
+                           + CAST(c_custkey % 7 AS DOUBLE) + 1.5 AS lat2
+                FROM customer)
+            SELECT c_custkey,
+                   round((SELECT a*((1 - e2/4 - 3*e4/64 - 5*e6/256
+                                     - 175*e8/16384) * radians(lat2)
+                          - (3*e2/8 + 3*e4/32 + 45*e6/1024
+                             + 105*e8/4096) * sin(2*radians(lat2))
+                          + (15*e4/256 + 45*e6/1024
+                             + 525*e8/16384) * sin(4*radians(lat2))
+                          - (35*e6/3072 + 175*e8/12288) * sin(6*radians(lat2))
+                          + (315*e8/131072) * sin(8*radians(lat2))
+                          - (1 - e2/4 - 3*e4/64 - 5*e6/256
+                             - 175*e8/16384) * radians(lat1)
+                          + (3*e2/8 + 3*e4/32 + 45*e6/1024
+                             + 105*e8/4096) * sin(2*radians(lat1))
+                          - (15*e4/256 + 45*e6/1024
+                             + 525*e8/16384) * sin(4*radians(lat1))
+                          + (35*e6/3072 + 175*e8/12288) * sin(6*radians(lat1))
+                          - (315*e8/131072) * sin(8*radians(lat1))
+                          ) FROM pw), 3) AS meters
             FROM t
         """,
         "geo_validity_flags": """
