@@ -1003,11 +1003,19 @@ def is_valid(rg: RaggedGeometry):
     (a hole chain touching the shell at several points that disconnects
     the interior) and crossings happening exactly AT a shared vertex are
     not detected."""
+    from .ragged import GEOMETRYCOLLECTION, gc_iter
     out = np.zeros(len(rg), dtype=object)
     for i in range(len(rg)):
         g, xs, ys, rings, parts = rg.geom(i)
         if g == MISSING:
             out[i] = None
+            continue
+        if g == GEOMETRYCOLLECTION:
+            # valid iff every part is (point/line parts always are)
+            out[i] = all(
+                sub[0] not in (POLYGON, MULTIPOLYGON)
+                or _polygon_valid(sub[1], sub[2], sub[3], sub[4])
+                for sub in gc_iter((g, xs, ys, rings, parts)))
             continue
         if g not in (POLYGON, MULTIPOLYGON):
             out[i] = True

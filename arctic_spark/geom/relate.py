@@ -353,10 +353,15 @@ def _relate_poly_poly(ga, gb):
 
 def relate_tco(g1, g2):
     """(touches, crosses, overlaps) for a pair of per-geometry tuples
-    (gt, xs, ys, rings, parts); all three are symmetric in (g1, g2)."""
+    (gt, xs, ys, rings, parts); all three are symmetric in (g1, g2).
+    GeometryCollection operands (gt=7, typed part entries) answer False
+    conservatively — explode them first (GEOS likewise refuses GC in
+    relate)."""
     gt1, xs1 = g1[0], g1[1]
     gt2, xs2 = g2[0], g2[1]
     if gt1 == MISSING or gt2 == MISSING or len(xs1) == 0 or len(xs2) == 0:
+        return False, False, False
+    if gt1 == 7 or gt2 == 7:
         return False, False, False
     # bbox reject — every relation needs a∩b ≠ ∅
     if xs1.max() < xs2.min() or xs2.max() < xs1.min() \
@@ -595,10 +600,11 @@ def _dim_char(d):
 
 def relate_matrix(g1, g2):
     """Full DE-9IM matrix string for a pair of geometry tuples (GEOS
-    ``relate``)."""
+    ``relate``). GeometryCollection operands return None (GEOS throws
+    for GC in relate; explode parts first)."""
     gt1, xs1 = g1[0], g1[1]
     gt2, xs2 = g2[0], g2[1]
-    if gt1 == MISSING or gt2 == MISSING:
+    if gt1 == MISSING or gt2 == MISSING or gt1 == 7 or gt2 == 7:
         return None
     e1, e2 = len(xs1) == 0, len(xs2) == 0
     if e1 and e2:

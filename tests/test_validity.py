@@ -121,3 +121,21 @@ def test_simple_polygon_ring_touch_is_still_simple():
          "(2 0, 1 2, 3 2, 2 0))")
     assert _simple(w)
     assert _valid(w)
+
+
+def test_gc_validity():
+    """is_valid on GeometryCollections validates each part (round 6)."""
+    good = ("GEOMETRYCOLLECTION (POINT (1 1), "
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))")
+    bad = ("GEOMETRYCOLLECTION (POINT (1 1), "
+           "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0)))")   # bowtie part
+    assert _valid(good)
+    assert not _valid(bad)
+
+
+def test_relate_rejects_gc():
+    from arctic_spark.geom.relate import relate_matrix, relate_tco
+    rg = wkt.parse(["GEOMETRYCOLLECTION (POINT (1 1))",
+                    "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"])
+    assert relate_tco(rg.geom(0), rg.geom(1)) == (False, False, False)
+    assert relate_matrix(rg.geom(0), rg.geom(1)) is None
