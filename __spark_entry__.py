@@ -1101,6 +1101,28 @@ def dedup_simhash(spark, sf):
     return dedup.simhash_near_dup_pairs(d, max_hamming=3)
 
 
+def dedup_groups(spark, sf):
+    """Duplicate-GROUP clustering: distributed connected components over
+    a near-dup pair list (llm/graph.py — min-label propagation with
+    pointer jumping; every round is equi-joins + groupBy on a long key).
+    The pair rule (consecutive doc_id, same lang) is deliberately
+    SQL-expressible so the oracle can verify the transitive closure with
+    a recursive CTE — chains up to ~9 docs force multiple propagation
+    rounds, exercising the jump step, not just star graphs."""
+    from arctic_spark.llm import graph
+    d = _t(spark, sf, "documents")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                    & (F.col("a.lang") == F.col("b.lang")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    comp = graph.duplicate_groups(pairs)
+    w = Window.partitionBy("component")
+    return (comp.select(F.col("id").alias("doc_id"), "component")
+            .withColumn("group_size", F.count("*").over(w).cast("long"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1168,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn_ivf": embed_knn_ivf,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_groups": dedup_groups,
     }
 
 
@@ -2005,6 +2028,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        "dedup_groups": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, lbl) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS doc_id, min(lbl) AS component
+                     FROM reach GROUP BY id)
+            SELECT doc_id, component,
+                   count(*) OVER (PARTITION BY component) AS group_size
+            FROM comp ORDER BY doc_id
+        """,
         "geo_hull_simplify": """
             WITH t AS (
                 SELECT p_partkey,

@@ -2,6 +2,6 @@
 mandate): text analysis, deduplication, embedding similarity search,
 multimodal column plumbing."""
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, graph, multimodal, similarity, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "graph", "similarity", "multimodal"]

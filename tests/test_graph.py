@@ -1,0 +1,99 @@
+"""Connected-components / duplicate-group clustering (llm/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from arctic_spark.llm import graph
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = graph.connected_components(edges, **kw).collect()
+    return {r.id: r.component for r in rows}
+
+
+def test_cc_single_edge(spark):
+    assert _cc(spark, [(1, 2)]) == {1: 1, 2: 1}
+
+
+def test_cc_chain(spark):
+    # a 10-edge chain: pure propagation needs 10 rounds; pointer jumping
+    # collapses it well inside the default max_iterations bound
+    pairs = [(i, i + 1) for i in range(10)]
+    comp = _cc(spark, pairs)
+    assert set(comp.values()) == {0}
+    assert len(comp) == 11
+
+
+def test_cc_star_and_cycle(spark):
+    # star centered at 100 + a 4-cycle; edge direction is irrelevant
+    pairs = [(101, 100), (100, 102), (103, 100),
+             (1, 2), (2, 3), (3, 4), (4, 1)]
+    comp = _cc(spark, pairs)
+    assert {k: v for k, v in comp.items() if k >= 100} == {
+        100: 100, 101: 100, 102: 100, 103: 100}
+    assert {k: v for k, v in comp.items() if k < 100} == {
+        1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_merging_bridge(spark):
+    # two chains joined by a bridge edge — min id must win globally
+    pairs = [(10, 11), (11, 12), (20, 21), (21, 22), (12, 20)]
+    comp = _cc(spark, pairs)
+    assert set(comp.values()) == {10}
+
+
+def test_cc_self_loops_and_isolated_vertices(spark):
+    edges = spark.createDataFrame([(5, 5), (6, 7)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(5,), (6,), (7,), (9,)], "id long")
+    rows = graph.connected_components(edges, vertices=verts).collect()
+    comp = {r.id: r.component for r in rows}
+    # 5 has only a self-loop -> isolated via the vertex list; 9 isolated
+    assert comp == {5: 5, 6: 6, 7: 6, 9: 9}
+
+
+def test_dedup_by_pairs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string")
+    # {0,1,2} one cluster, {5,6} another, rest untouched
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)],
+                                  "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  graph.dedup_by_pairs(docs, pairs).collect())
+    assert kept == [0, 3, 4, 5, 7]
+
+
+def test_duplicate_groups_matches_bruteforce(spark):
+    import random
+    rnd = random.Random(7)
+    n = 60
+    pairs = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    comp = _cc(spark, pairs)
+
+    # brute-force union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in pairs:
+        for v in (a, b):
+            want[v] = find(v)
+    # normalize union-find roots to min-of-component
+    groups = {}
+    for v, r in want.items():
+        groups.setdefault(find(r), set()).add(v)
+    expect = {}
+    for root, members in groups.items():
+        m = min(members)
+        for v in members:
+            expect[v] = m
+    assert comp == expect
