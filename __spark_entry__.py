@@ -1101,6 +1101,28 @@ def dedup_simhash(spark, sf):
     return dedup.simhash_near_dup_pairs(d, max_hamming=3)
 
 
+def text_quality_gopher(spark, sf):
+    """Gopher-rules quality battery (llm/text.py): word-count bounds,
+    mean word length, top-bigram repetition fraction, duplicate-trigram
+    fraction, symbol-to-word ratio, alpha-word fraction and the composite
+    pass flag — every metric a native Catalyst expression (the
+    per-distinct-gram counting is nested higher-order functions in the
+    JVM), so a corpus-wide quality pass is one scan with zero Python."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return (d.select(
+        "doc_id",
+        text.token_count(t).alias("n_words"),
+        F.round(text.mean_word_length(t), 6).alias("mean_wl"),
+        F.round(text.top_ngram_fraction(t, 2), 6).alias("top_bigram_frac"),
+        F.round(text.duplicate_ngram_fraction(t, 3), 6)
+         .alias("dup_trigram_frac"),
+        F.round(text.symbol_to_word_ratio(t), 6).alias("symbol_ratio"),
+        F.round(text.alpha_word_fraction(t), 6).alias("alpha_frac"),
+        text.gopher_quality_flags(t).alias("passes"))
+        .orderBy("doc_id"))
+
+
 def dedup_groups(spark, sf):
     """Duplicate-GROUP clustering: distributed connected components over
     a near-dup pair list (llm/graph.py — min-label propagation with
@@ -1191,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_groups": dedup_groups,
+        "text_quality_gopher": text_quality_gopher,
     }
 
 
@@ -2028,6 +2051,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        "text_quality_gopher": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-zA-Z0-9]+'),
+                                   w -> length(w) > 0) AS ws,
+                       string_split_regex(trim(text), '\\s+') AS raw_ws
+                FROM documents),
+            grams AS (
+                SELECT doc_id, text, ws, raw_ws,
+                       CASE WHEN len(ws) >= 2 THEN
+                           list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])
+                       ELSE [] END AS bg,
+                       CASE WHEN len(ws) >= 3 THEN
+                           list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE [] END AS tg
+                FROM base),
+            metrics AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(raw_ws) END AS n_words,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST(list_aggregate(list_transform(ws,
+                               w -> length(w)), 'sum') AS DOUBLE) / len(ws)
+                       ELSE 0.0 END AS mean_wl,
+                       CASE WHEN len(bg) > 0 THEN
+                           CAST(list_max(list_transform(list_distinct(bg),
+                               d -> len(list_filter(bg, x -> x = d))))
+                               AS DOUBLE) / len(bg)
+                       ELSE 0.0 END AS top_bigram_frac,
+                       CASE WHEN len(tg) > 0 THEN
+                           CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                               / len(tg)
+                       ELSE 0.0 END AS dup_trigram_frac,
+                       CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                       ELSE len(raw_ws) END) > 0 THEN
+                           ((length(text) - length(replace(text, '#', '')))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) / 3.0)
+                           / (CASE WHEN length(trim(text)) = 0 THEN 1
+                                   ELSE len(raw_ws) END)
+                       ELSE 0.0 END AS symbol_ratio,
+                       CASE WHEN length(trim(text)) > 0
+                                 AND len(raw_ws) > 0 THEN
+                           CAST(len(list_filter(raw_ws,
+                               w -> length(regexp_replace(w, '[^a-zA-Z]',
+                                                          '', 'g')) > 0))
+                               AS DOUBLE) / len(raw_ws)
+                       ELSE 0.0 END AS alpha_frac
+                FROM grams)
+            SELECT doc_id, n_words, round(mean_wl, 6) AS mean_wl,
+                   round(top_bigram_frac, 6) AS top_bigram_frac,
+                   round(dup_trigram_frac, 6) AS dup_trigram_frac,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_wl BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND alpha_frac >= 0.8
+                    AND dup_trigram_frac <= 0.2) AS passes
+            FROM metrics ORDER BY doc_id
+        """,
         "dedup_groups": """
             WITH RECURSIVE pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -123,6 +123,111 @@ def lang_id(text) -> Column:
     return out
 
 
+def _word_ngrams(toks, n: int) -> Column:
+    """array<string> of word n-grams (with repeats — frequency analysis
+    needs multiplicity, unlike the distinct shingles in dedup.py)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(toks, 1 + j, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
+def top_ngram_fraction(text, n: int = 2) -> Column:
+    """Fraction of all word n-grams occupied by the single most frequent
+    n-gram — the Gopher repetition signal (docs dominated by one repeated
+    phrase are machine-generated boilerplate).  Entirely native: the
+    per-distinct-gram counting runs as nested higher-order functions
+    inside the JVM; per-row cost is O(distinct · total), bounded by
+    document length, never a shuffle."""
+    from ..functions.native import _let
+
+    def build(ng):
+        total = F.size(ng)
+        counts = F.transform(
+            F.array_distinct(ng),
+            lambda d: F.size(F.filter(ng, lambda x: x == d)))
+        return F.when(total > 0,
+                      F.array_max(counts).cast("double") / total) \
+                .otherwise(0.0)
+
+    return _let(_word_ngrams(word_tokens(text), n), build)
+
+
+def duplicate_ngram_fraction(text, n: int = 3) -> Column:
+    """Fraction of word n-grams that occur more than once in the doc
+    (Gopher's dup-n-gram family).  (total - distinct) / total."""
+    from ..functions.native import _let
+
+    def build(ng):
+        total = F.size(ng)
+        dup = total - F.size(F.array_distinct(ng))
+        return F.when(total > 0, dup.cast("double") / total).otherwise(0.0)
+
+    return _let(_word_ngrams(word_tokens(text), n), build)
+
+
+def symbol_to_word_ratio(text, symbols=("#", "...")) -> Column:
+    """Occurrences of flagged symbols ('#', ellipsis) per word — Gopher
+    rejects docs above 0.1."""
+    t = _c(text)
+    hits = sum((substring_count(t, s) for s in symbols), F.lit(0.0))
+    n = token_count(t)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+
+
+def alpha_word_fraction(text) -> Column:
+    """Fraction of whitespace words containing at least one alphabetic
+    character (Gopher requires > 0.8)."""
+    ws = F.split(F.trim(_c(text)), r"\s+")
+
+    def has_alpha(w):
+        return F.length(F.regexp_replace(w, "[^a-zA-Z]", "")) > 0
+
+    n = F.size(ws)
+    return F.when((F.length(F.trim(_c(text))) > 0) & (n > 0),
+                  F.size(F.filter(ws, has_alpha)).cast("double") / n) \
+            .otherwise(0.0)
+
+
+def bullet_line_fraction(text) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    lines = F.split(_c(text), r"\n")
+    n = F.size(lines)
+    hits = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+
+
+def ellipsis_line_fraction(text) -> Column:
+    """Fraction of lines ending with an ellipsis ('...' or '…')."""
+    lines = F.split(_c(text), r"\n")
+    n = F.size(lines)
+    hits = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+
+
+def gopher_quality_flags(text, min_words: int = 50, max_words: int = 100_000,
+                         min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_fraction: float = 0.8,
+                         max_dup_ngram: float = 0.2) -> Column:
+    """Boolean pass/fail of the standard Gopher-rules battery (word-count
+    bounds, mean-word-length bounds, symbol ratio, alpha-word fraction,
+    duplicate-3-gram fraction).  All native expressions — a corpus-wide
+    quality pass is a single scan with zero Python."""
+    t = _c(text)
+    n = token_count(t)
+    wl = mean_word_length(t)
+    return ((n >= min_words) & (n <= max_words)
+            & (wl >= min_mean_wl) & (wl <= max_mean_wl)
+            & (symbol_to_word_ratio(t) <= max_symbol_ratio)
+            & (alpha_word_fraction(t) >= min_alpha_fraction)
+            & (duplicate_ngram_fraction(t, 3) <= max_dup_ngram))
+
+
 def fingerprint(text) -> Column:
     """64-bit hex document fingerprint of whitespace-normalized, lowercased
     text (md5-derived so any SQL engine reproduces it bit-for-bit)."""

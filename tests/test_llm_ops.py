@@ -205,3 +205,62 @@ def test_ivf_topk_recall(spark):
             spark.createDataFrame([(0, [1.0] * 16)],
                                   "vec_id long, embedding array<double>"),
             dim=16, n_clusters=4)
+
+
+def test_gopher_repetition_metrics(spark):
+    rows = spark.createDataFrame(
+        [(1, "spam spam spam spam"),               # one token repeated
+         (2, "a b c d e f"),                        # all distinct
+         (3, "x y x y x y x y"),                    # "x y" dominates bigrams
+         (4, ""),
+         (5, "one")],                               # too short for bigrams
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in rows.select(
+        "doc_id",
+        text.top_ngram_fraction("text", 2).alias("top2"),
+        text.duplicate_ngram_fraction("text", 2).alias("dup2")).collect()}
+    # doc 1: bigrams = ['spam spam'] x3 -> top = 3/3, dup = 2/3
+    assert got[1].top2 == pytest.approx(1.0)
+    assert got[1].dup2 == pytest.approx(2 / 3)
+    # doc 2: 5 distinct bigrams
+    assert got[2].top2 == pytest.approx(1 / 5)
+    assert got[2].dup2 == 0.0
+    # doc 3: bigrams: 'x y' x4, 'y x' x3 -> top = 4/7
+    assert got[3].top2 == pytest.approx(4 / 7)
+    assert got[4].top2 == 0.0 and got[4].dup2 == 0.0
+    assert got[5].top2 == 0.0
+
+
+def test_gopher_symbol_alpha_lines(spark):
+    rows = spark.createDataFrame(
+        [(1, "read this ### now ... or else"),
+         (2, "- first\n- second\nplain\n* third"),
+         (3, "teaser one...\nnormal line\nteaser two…"),
+         (4, "123 456 word")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in rows.select(
+        "doc_id",
+        text.symbol_to_word_ratio("text").alias("sym"),
+        text.alpha_word_fraction("text").alias("alpha"),
+        text.bullet_line_fraction("text").alias("bullet"),
+        text.ellipsis_line_fraction("text").alias("ell")).collect()}
+    # doc 1: 3 '#' + 1 '...' over 7 words
+    assert got[1].sym == pytest.approx(4 / 7)
+    # '###' and '...' carry no letters -> 5/7 alpha words
+    assert got[1].alpha == pytest.approx(5 / 7)
+    assert got[2].bullet == pytest.approx(3 / 4)
+    assert got[3].ell == pytest.approx(2 / 3)
+    assert got[4].alpha == pytest.approx(1 / 3)
+
+
+def test_gopher_quality_flags(spark):
+    good = " ".join(f"word{i} text here" for i in range(30))  # 90 words
+    spammy = "buy " * 80                                       # dup-heavy
+    short = "too short"
+    rows = spark.createDataFrame(
+        [(1, good), (2, spammy), (3, short)], "doc_id long, text string")
+    got = dict(rows.select(
+        "doc_id", text.gopher_quality_flags("text").alias("ok")).collect())
+    assert got[1] is True
+    assert got[2] is False
+    assert got[3] is False
