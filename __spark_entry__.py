@@ -905,6 +905,40 @@ def geo_relate_classify(spark, sf):
         st.crosses(edge, a_sq).alias("edge_crosses"))
 
 
+def geo_line_refs(spark, sf):
+    """Linear referencing (round 6, native.py): interpolate / locate /
+    segmentize / reverse over an L-shaped 2-segment polyline built per
+    orders row. The oracle mirrors the engine's arithmetic literally
+    (same clamp/projection formula trees in double) so branch choices at
+    near-ties cannot diverge; the interpolate target straddles the
+    interior vertex across rows, exercising both segment branches."""
+    o = _t(spark, sf, "orders")
+    a = (F.col("o_orderkey") % 37).cast("double")
+    b = (F.col("o_orderkey") % 41).cast("double")
+    u = (F.col("o_custkey") % 13).cast("double") + 2.0
+    v = (F.col("o_orderkey") % 11).cast("double") + 3.0
+    line = st.make_line(F.array(a, a + u, a + u), F.array(b, b, b + v))
+    qx = a + (F.col("o_orderkey") % 5).cast("double")
+    qy = b + 1.0
+    q = st.point(qx, qy)
+    d = o.select("o_orderkey", st.freeze(line).alias("ln"),
+                 st.freeze(q).alias("q"))
+    interp = st.line_interpolate_point("ln", F.lit(0.6), normalized=True)
+    rev0 = st.line_interpolate_point(st.reverse("ln"), F.lit(0.0))
+    seg = st.segmentize("ln", 2.5)
+    return d.select(
+        "o_orderkey",
+        F.round(st.x(interp), 6).alias("ix"),
+        F.round(st.y(interp), 6).alias("iy"),
+        F.round(st.line_locate_point("ln", "q"), 6).alias("loc"),
+        F.round(st.line_locate_point("ln", "q", normalized=True), 6)
+         .alias("loc_frac"),
+        F.size(seg["xs"]).alias("seg_npts"),
+        F.round(st.length(seg), 6).alias("seg_len"),
+        F.round(st.x(rev0), 6).alias("rev_x"),
+        F.round(st.y(rev0), 6).alias("rev_y"))
+
+
 def geo_karney_meridian(spark, sf):
     """Karney geodesic (round 6, geom/geodesic.py) against a closed-form
     oracle: along a meridian the geodesic distance equals the meridian
@@ -1201,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_relate_classify": geo_relate_classify,
         "geo_validity_flags": geo_validity_flags,
         "geo_karney_meridian": geo_karney_meridian,
+        "geo_line_refs": geo_line_refs,
         "dedup_exact_stats": dedup_exact_stats,
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
@@ -2178,6 +2213,75 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS empty,
                    TRUE AS rp_inside
             FROM t
+        """,
+        "geo_line_refs": """
+            WITH pts AS (
+                SELECT o_orderkey,
+                       CAST(o_orderkey % 37 AS DOUBLE) AS a,
+                       CAST(o_orderkey % 41 AS DOUBLE) AS b,
+                       CAST(o_custkey % 13 AS DOUBLE) + 2.0 AS u,
+                       CAST(o_orderkey % 11 AS DOUBLE) + 3.0 AS v,
+                       CAST(o_orderkey % 37 AS DOUBLE)
+                           + CAST(o_orderkey % 5 AS DOUBLE) AS qx,
+                       CAST(o_orderkey % 41 AS DOUBLE) + 1.0 AS qy
+                FROM orders),
+            geom AS (
+                SELECT *, a AS x0, b AS y0, a + u AS x1, b AS y1,
+                       a + u AS x2, b + v AS y2
+                FROM pts),
+            lens AS (
+                SELECT *,
+                       sqrt((x1 - x0) * (x1 - x0)
+                            + (y1 - y0) * (y1 - y0)) AS len1,
+                       sqrt((x2 - x1) * (x2 - x1)
+                            + (y2 - y1) * (y2 - y1)) AS len2
+                FROM geom),
+            interp AS (
+                SELECT *, len1 + len2 AS total,
+                       greatest(0.0, least(0.6 * (len1 + len2),
+                                           len1 + len2)) AS target
+                FROM lens),
+            loc AS (
+                SELECT *,
+                       greatest(0.0, least(1.0,
+                           ((qx - x0) * (x1 - x0) + (qy - y0) * (y1 - y0))
+                           / ((x1 - x0) * (x1 - x0)
+                              + (y1 - y0) * (y1 - y0)))) AS t1,
+                       greatest(0.0, least(1.0,
+                           ((qx - x1) * (x2 - x1) + (qy - y1) * (y2 - y1))
+                           / ((x2 - x1) * (x2 - x1)
+                              + (y2 - y1) * (y2 - y1)))) AS t2
+                FROM interp),
+            dist AS (
+                SELECT *,
+                       (x0 + (x1 - x0) * t1 - qx) * (x0 + (x1 - x0) * t1 - qx)
+                       + (y0 + (y1 - y0) * t1 - qy)
+                         * (y0 + (y1 - y0) * t1 - qy) AS d1sq,
+                       (x1 + (x2 - x1) * t2 - qx) * (x1 + (x2 - x1) * t2 - qx)
+                       + (y1 + (y2 - y1) * t2 - qy)
+                         * (y1 + (y2 - y1) * t2 - qy) AS d2sq
+                FROM loc),
+            seg AS (
+                SELECT *,
+                       greatest(CAST(ceil(len1 / 2.5) AS INTEGER), 1) AS k1,
+                       greatest(CAST(ceil(len2 / 2.5) AS INTEGER), 1) AS k2
+                FROM dist)
+            SELECT o_orderkey,
+                   round(CASE WHEN len1 <= target
+                         THEN x1 + (x2 - x1) * ((target - len1) / len2)
+                         ELSE x0 + (x1 - x0) * (target / len1) END, 6) AS ix,
+                   round(CASE WHEN len1 <= target
+                         THEN y1 + (y2 - y1) * ((target - len1) / len2)
+                         ELSE y0 + (y1 - y0) * (target / len1) END, 6) AS iy,
+                   round(CASE WHEN d1sq <= d2sq THEN t1 * len1
+                         ELSE len1 + t2 * len2 END, 6) AS loc,
+                   round((CASE WHEN d1sq <= d2sq THEN t1 * len1
+                          ELSE len1 + t2 * len2 END) / total, 6) AS loc_frac,
+                   CAST(k1 + k2 + 1 AS INTEGER) AS seg_npts,
+                   round(len1 + len2, 6) AS seg_len,
+                   round(x2, 6) AS rev_x,
+                   round(y2, 6) AS rev_y
+            FROM seg
         """,
         "geo_karney_meridian": """
             WITH par AS (

@@ -34,6 +34,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    difference, intersection, intersects, simplify,
                    symmetric_difference, touches, crosses, overlaps, union)
 from .native import collect_agg, z
+from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
+                     reverse, segmentize)
 
 # reference naming aliases (SURVEY §2.2)
 length = native.length

@@ -1045,3 +1045,198 @@ def is_axis_rect(g) -> Column:
         & F.forall(xs, lambda v: (v == x0) | (v == x1))
         & F.forall(ys, lambda v: (v == y0) | (v == y1))
         & rectilinear)
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (round 6) — interpolate / locate / segmentize / reverse
+#
+# The reference's GeoPandas-parity direction implies shapely's linear-
+# referencing surface (interpolate/project, segmentize, reverse). All four
+# are pure Catalyst higher-order expressions here: per-segment arrays via
+# shifted slices, cumulative lengths via an array-building aggregate —
+# zero Python in the plan, so a 100 TB linear-referencing pass is one
+# codegen'd scan.
+# ---------------------------------------------------------------------------
+
+def _seg_len_arr(g) -> Column:
+    """array<double> of per-segment lengths of a single-ring line."""
+    n = F.size(g["xs"])
+    dx2 = F.zip_with(F.slice(g["xs"], 2, n - 1), F.slice(g["xs"], 1, n - 1),
+                     lambda a, b: (a - b) * (a - b))
+    dy2 = F.zip_with(F.slice(g["ys"], 2, n - 1), F.slice(g["ys"], 1, n - 1),
+                     lambda a, b: (a - b) * (a - b))
+    return F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b))
+
+
+def _cum_arr(lens) -> Column:
+    """[0, l0, l0+l1, ...] — cumulative distance at each vertex."""
+    return F.aggregate(
+        lens, F.array(F.lit(0.0)),
+        lambda acc, v: F.concat(acc, F.array(F.element_at(acc, -1) + v)))
+
+
+@_geom_fn
+def line_interpolate_point(g, distance, normalized: bool = False) -> Column:
+    """Point at the given distance along a LineString (clamped to the
+    line's ends; ``normalized=True`` reads ``distance`` as a fraction of
+    total length). Shapely/GEOS ``line_interpolate_point`` semantics;
+    non-LineString input → NULL."""
+    d = _lit(distance)
+
+    def build(s):
+        lens, cum = s["lens"], s["cum"]
+        total = F.element_at(cum, -1)
+        tgt = d * total if normalized else d
+        target = F.greatest(F.lit(0.0), F.least(tgt.cast("double"), total))
+        nseg = F.size(lens)
+        # vertices 1..nseg-1 passed before the target fall in cum[2..nseg]
+        k = F.size(F.filter(F.slice(cum, 2, nseg - 1),
+                            lambda c: c <= target))
+        seg = k + 1
+        ln = F.element_at(lens, seg)
+        t = F.when(ln > 0,
+                   (target - F.element_at(cum, seg)) / ln).otherwise(0.0)
+        ax = F.element_at(g["xs"], seg)
+        ay = F.element_at(g["ys"], seg)
+        px = F.when(nseg > 0,
+                    ax + (F.element_at(g["xs"], seg + 1) - ax) * t) \
+              .otherwise(F.element_at(g["xs"], 1))
+        py = F.when(nseg > 0,
+                    ay + (F.element_at(g["ys"], seg + 1) - ay) * t) \
+              .otherwise(F.element_at(g["ys"], 1))
+        return point(px, py)
+
+    lens = _seg_len_arr(g)
+    out = _let(F.struct(lens.alias("lens"), _cum_arr(lens).alias("cum")),
+               build)
+    return F.when(_valid(g) & (g["gt"] == LINESTRING)
+                  & (F.size(g["xs"]) > 0), out)
+
+
+def line_locate_point(line, pt, normalized: bool = False) -> Column:
+    """Distance along ``line`` of the point on it nearest to ``pt``
+    (shapely ``line_locate_point`` / GEOS Project). First-nearest segment
+    wins ties, matching GEOS. Pure Catalyst: per-segment projection
+    parameter + squared distance arrays, argmin via array_position."""
+    g, p = _g(line), _g(pt)
+
+    def build(s):
+        g_, p_ = s["g"], s["p"]
+        px = F.element_at(p_["xs"], 1)
+        py = F.element_at(p_["ys"], 1)
+
+        def derive(segs):
+            tarr = F.transform(
+                segs,
+                lambda e: _let(
+                    F.struct(
+                        ((e["x2"] - e["x1"]) * (e["x2"] - e["x1"])
+                         + (e["y2"] - e["y1"]) * (e["y2"] - e["y1"]))
+                        .alias("l2"),
+                        ((px - e["x1"]) * (e["x2"] - e["x1"])
+                         + (py - e["y1"]) * (e["y2"] - e["y1"]))
+                        .alias("dot")),
+                    lambda q: F.when(
+                        q["l2"] > 0,
+                        F.greatest(F.lit(0.0),
+                                   F.least(F.lit(1.0), q["dot"] / q["l2"])))
+                    .otherwise(0.0)))
+            d2 = F.zip_with(
+                segs, tarr,
+                lambda e, t: ((e["x1"] + (e["x2"] - e["x1"]) * t - px)
+                              * (e["x1"] + (e["x2"] - e["x1"]) * t - px)
+                              + (e["y1"] + (e["y2"] - e["y1"]) * t - py)
+                              * (e["y1"] + (e["y2"] - e["y1"]) * t - py)))
+            lens = F.transform(
+                segs, lambda e: F.sqrt(
+                    (e["x2"] - e["x1"]) * (e["x2"] - e["x1"])
+                    + (e["y2"] - e["y1"]) * (e["y2"] - e["y1"])))
+            return F.struct(tarr.alias("t"), d2.alias("d2"),
+                            lens.alias("lens"),
+                            _cum_arr(lens).alias("cum"))
+
+        def finish(q):
+            i = F.array_position(q["d2"], F.array_min(q["d2"])).cast("int")
+            res = (F.element_at(q["cum"], i)
+                   + F.element_at(q["t"], i) * F.element_at(q["lens"], i))
+            if normalized:
+                total = F.element_at(q["cum"], -1)
+                return F.when(total > 0, res / total).otherwise(0.0)
+            return res
+
+        return _let(derive(_edge_structs(g_)), finish)
+
+    out = _let(F.struct(g.alias("g"), p.alias("p")), build)
+    return F.when(_valid(g) & _valid(p) & (g["gt"] == LINESTRING)
+                  & (p["gt"] == POINT) & (F.size(g["xs"]) >= 2), out)
+
+
+@_geom_fn
+def segmentize(g, max_segment_length) -> Column:
+    """Insert vertices so no segment exceeds ``max_segment_length``
+    (shapely/GEOS segmentize: each segment splits into
+    ceil(len/max) equal pieces; original vertices are preserved).
+    Lines and polygons (any ring/part structure); point types pass
+    through unchanged; GeometryCollections pass through point parts
+    unchanged by the same per-ring walk (a 1-vertex ring has no
+    segments)."""
+    ml = _lit(max_segment_length).cast("double")
+    co = _offsets(g["rings"])
+
+    def new_ring(i):
+        o = F.element_at(co, i + 1)
+        n = F.element_at(g["rings"], i + 1)
+
+        def seg_pts(j):
+            ax = F.element_at(g["xs"], o + j + 1)
+            bx = F.element_at(g["xs"], o + j + 2)
+            ay = F.element_at(g["ys"], o + j + 1)
+            by = F.element_at(g["ys"], o + j + 2)
+            k = F.greatest(
+                F.ceil(F.sqrt((bx - ax) * (bx - ax)
+                              + (by - ay) * (by - ay)) / ml).cast("int"),
+                F.lit(1))
+            return F.struct(
+                F.transform(_seq0(k),
+                            lambda t: ax + (bx - ax)
+                            * t.cast("double") / k).alias("xs"),
+                F.transform(_seq0(k),
+                            lambda t: ay + (by - ay)
+                            * t.cast("double") / k).alias("ys"))
+
+        pieces = F.transform(_seq0(n - 1), seg_pts)
+        nx = F.concat(F.flatten(F.transform(pieces, lambda s: s["xs"])),
+                      F.slice(g["xs"], o + n, 1))
+        ny = F.concat(F.flatten(F.transform(pieces, lambda s: s["ys"])),
+                      F.slice(g["ys"], o + n, 1))
+        return F.struct(nx.alias("xs"), ny.alias("ys"),
+                        F.size(nx).cast("int").alias("cnt"))
+
+    def build(rr):
+        return geom_struct(
+            g["gt"],
+            F.flatten(F.transform(rr, lambda r: r["xs"])),
+            F.flatten(F.transform(rr, lambda r: r["ys"])),
+            F.transform(rr, lambda r: r["cnt"]),
+            g["parts"])
+
+    out = _let(F.transform(_ring_ids(g), new_ring), build)
+    return F.when(_valid(g),
+                  F.when(g["gt"].isin(POINT, MULTIPOINT), g).otherwise(out))
+
+
+@_geom_fn
+def reverse(g) -> Column:
+    """Reverse coordinate order within every ring / line part (GEOS
+    ``reverse``: lines flip direction, polygon rings flip orientation,
+    points unchanged — a 1-vertex ring reverses to itself, so the same
+    per-ring walk covers every type including GC parts)."""
+    co = _offsets(g["rings"])
+    nx = F.flatten(F.transform(_ring_ids(g),
+                               lambda i: F.reverse(_ring_x(g, co, i))))
+    ny = F.flatten(F.transform(_ring_ids(g),
+                               lambda i: F.reverse(_ring_y(g, co, i))))
+    return F.when(_valid(g),
+                  F.when(g["gt"].isin(POINT, MULTIPOINT), g)
+                  .otherwise(geom_struct(g["gt"], nx, ny, g["rings"],
+                                         g["parts"])))

@@ -1,0 +1,128 @@
+"""Linear referencing: line_interpolate_point / line_locate_point /
+segmentize / reverse (native.py, round 6) — shapely/GEOS semantics
+with hand-computed oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import st
+
+
+def _one(spark, cols):
+    return spark.range(1).select(*cols).collect()[0]
+
+
+def _line(xs, ys):
+    return st.make_line(F.array(*[F.lit(float(v)) for v in xs]),
+                        F.array(*[F.lit(float(v)) for v in ys]))
+
+
+def test_interpolate_basic_and_clamped(spark):
+    ln = st.freeze(_line([0, 3, 3], [0, 0, 4]))
+    r = _one(spark, [
+        st.x(st.line_interpolate_point(ln, F.lit(4.0))).alias("x1"),
+        st.y(st.line_interpolate_point(ln, F.lit(4.0))).alias("y1"),
+        st.x(st.line_interpolate_point(ln, F.lit(-5.0))).alias("xc"),
+        st.x(st.line_interpolate_point(ln, F.lit(99.0))).alias("xh"),
+        st.y(st.line_interpolate_point(ln, F.lit(99.0))).alias("yh"),
+        st.y(st.line_interpolate_point(ln, F.lit(0.5), normalized=True))
+          .alias("yn"),
+    ])
+    assert (r.x1, r.y1) == (3.0, 1.0)     # 1 unit up the second segment
+    assert r.xc == 0.0                    # clamped to start
+    assert (r.xh, r.yh) == (3.0, 4.0)     # clamped to end
+    assert r.yn == 0.5                    # half of total length 7
+
+    # exact-vertex target returns the vertex
+    r2 = _one(spark, [
+        st.x(st.line_interpolate_point(ln, F.lit(3.0))).alias("x"),
+        st.y(st.line_interpolate_point(ln, F.lit(3.0))).alias("y")])
+    assert (r2.x, r2.y) == (3.0, 0.0)
+
+
+def test_interpolate_non_line_is_null(spark):
+    r = _one(spark, [
+        st.line_interpolate_point(st.point(F.lit(1.0), F.lit(2.0)),
+                                  F.lit(0.5)).alias("g")])
+    assert r.g is None
+
+
+def test_interpolate_zero_length_line(spark):
+    ln = _line([2, 2], [3, 3])
+    r = _one(spark, [
+        st.x(st.line_interpolate_point(ln, F.lit(1.0))).alias("x"),
+        st.y(st.line_interpolate_point(ln, F.lit(1.0))).alias("y")])
+    assert (r.x, r.y) == (2.0, 3.0)
+
+
+def test_locate_point(spark):
+    ln = st.freeze(_line([0, 3, 3], [0, 0, 4]))
+    r = _one(spark, [
+        st.line_locate_point(ln, st.point(F.lit(3.0), F.lit(1.0)))
+          .alias("a"),
+        st.line_locate_point(ln, st.point(F.lit(1.0), F.lit(-2.0)))
+          .alias("b"),
+        st.line_locate_point(ln, st.point(F.lit(-9.0), F.lit(-9.0)))
+          .alias("c"),
+        st.line_locate_point(ln, st.point(F.lit(99.0), F.lit(99.0)))
+          .alias("d"),
+        st.line_locate_point(ln, st.point(F.lit(3.0), F.lit(1.0)),
+                             normalized=True).alias("n"),
+    ])
+    assert r.a == 4.0                     # on second segment
+    assert r.b == 1.0                     # projects onto first segment
+    assert r.c == 0.0                     # before start -> clamps to 0
+    assert r.d == 7.0                     # beyond end -> full length
+    assert r.n == pytest.approx(4.0 / 7.0)
+
+
+def test_segmentize_line_and_polygon(spark):
+    ln = _line([0, 3, 3], [0, 0, 4])
+    sq = st.make_polygon(
+        F.array(*[F.lit(v) for v in [0.0, 4.0, 4.0, 0.0, 0.0]]),
+        F.array(*[F.lit(v) for v in [0.0, 0.0, 4.0, 4.0, 0.0]]))
+    r = _one(spark, [
+        F.size(st.segmentize(ln, 0.5)["xs"]).alias("n"),
+        st.length(st.segmentize(ln, 0.5)).alias("len"),
+        F.size(st.segmentize(sq, 1.0)["xs"]).alias("pn"),
+        st.area(st.segmentize(sq, 1.0)).alias("pa"),
+        F.size(st.segmentize(st.point(F.lit(1.0), F.lit(1.0)),
+                             1.0)["xs"]).alias("pt_n"),
+    ])
+    assert r.n == 15                      # 6 + 8 pieces + final vertex
+    assert r.len == pytest.approx(7.0)
+    assert r.pn == 17                     # 4 edges x 4 pieces + closing
+    assert r.pa == pytest.approx(16.0)
+    assert r.pt_n == 1                    # points unchanged
+
+
+def test_segmentize_preserves_vertices(spark):
+    ln = _line([0, 1, 5], [0, 0, 0])
+    rows = _one(spark, [st.segmentize(ln, 2.0)["xs"].alias("xs")])
+    assert rows.xs == [0.0, 1.0, 3.0, 5.0]
+
+
+def test_reverse(spark):
+    ln = _line([0, 3, 3], [0, 0, 4])
+    r = _one(spark, [
+        st.reverse(ln)["xs"].alias("xs"),
+        st.reverse(ln)["ys"].alias("ys"),
+        st.x(st.reverse(st.point(F.lit(7.0), F.lit(8.0)))).alias("px"),
+    ])
+    assert r.xs == [3.0, 3.0, 0.0]
+    assert r.ys == [4.0, 0.0, 0.0]
+    assert r.px == 7.0
+
+
+def test_reverse_polygon_flips_orientation(spark):
+    sq = st.make_polygon(
+        F.array(*[F.lit(v) for v in [0.0, 4.0, 4.0, 0.0, 0.0]]),
+        F.array(*[F.lit(v) for v in [0.0, 0.0, 4.0, 4.0, 0.0]]))
+    # area is orientation-independent in the engine (abs), but the
+    # signed shoelace of the reversed exterior flips sign
+    from arctic_spark.functions.native import _signed_area_span
+    r = _one(spark, [
+        _signed_area_span(st.freeze(sq), F.lit(0), F.lit(5)).alias("s0"),
+        _signed_area_span(st.freeze(st.reverse(sq)), F.lit(0), F.lit(5))
+        .alias("s1")])
+    assert r.s0 == -r.s1 != 0
