@@ -1179,6 +1179,107 @@ def dedup_groups(spark, sf):
             .orderBy("doc_id"))
 
 
+def decontam_overlap(spark, sf):
+    """Benchmark decontamination (llm/pipeline.py): treat every 97th doc
+    as an eval-set document and find training docs sharing ≥30% of its
+    2-word shingles. The corpus side never shuffles — eval shingles are
+    broadcast (eval sets are thousands of docs; the corpus is the 100 TB
+    side) and only 16-byte md5 prefixes travel, never shingle strings."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    out = pipeline.contamination_pairs(d, bench, k=2, min_overlap_frac=0.15)
+    return out.select("doc_id", "bench_id", "n_overlap",
+                      F.round("bench_frac", 6).alias("bench_frac"))
+
+
+def sample_stratified(spark, sf):
+    """Deterministic stratified sampling (language rebalancing): keep
+    100% fr, 50% de, 25% en, 10% default — md5-threshold predicate, so
+    the exact member set is reproducible by any engine and invariant to
+    partitioning/cluster size. Zero shuffle: the sample is a scan-side
+    filter; only the per-stratum count aggregates."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    kept = pipeline.stratified_sample(
+        d, "lang", "doc_id", {"fr": 1.0, "de": 0.5, "en": 0.25},
+        default_fraction=0.1, seed="r6")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.min("doc_id").alias("min_id"),
+                 F.sum("doc_id").cast("long").alias("sum_ids")))
+
+
+def pack_sequences(spark, sf):
+    """Training-sequence packing (llm/pipeline.py): next-fit by doc_id
+    within each language under a 500-token budget, then per-bin
+    utilization stats. One shuffle on the group key; the per-group pass
+    is a single ordered applyInPandas scan with O(1) state. The oracle
+    replays the identical next-fit walk as a recursive CTE."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", text.token_count("text").alias("n_tokens"))
+    packed = pipeline.pack_sequences(d, budget=500, key="lang")
+    return (pipeline.pack_stats(packed, key="lang", budget=500)
+            .select("lang", "bin_id", "n_docs", "fill", "waste_frac"))
+
+
+def text_pii_scrub(spark, sf):
+    """PII scrubbing: the corpus carries no PII, so each doc gets a
+    deterministic synthetic email + IPv4 appended (same literals in the
+    oracle), then native regexp counting + redaction — a full-corpus
+    scrub is one scan with zero Python. The redacted text is fingerprinted
+    so the oracle checks the exact replacement output, not just counts."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    t2 = F.concat(F.col("text"), F.lit(" contact user"),
+                  F.col("doc_id").cast("string"), F.lit("@example.com or "),
+                  F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+                  F.lit(".7 now"))
+    red = pipeline.redact_pii(t2)
+    return d.select(
+        "doc_id",
+        pipeline.email_count(t2).alias("n_email"),
+        pipeline.ipv4_count(t2).alias("n_ip"),
+        F.substring(F.md5(red), 1, 16).alias("redacted_fp"))
+
+
+def text_chunking(spark, sf):
+    """Context-window chunking (llm/pipeline.py): 40-token chunks with a
+    10-token overlap, fully native (token slice by generated start
+    indices + posexplode — no shuffle, no Python). Chunk text is
+    md5-fingerprinted so boundaries are checked exactly."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    out = pipeline.chunk_documents(d, chunk_tokens=40, overlap=10)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_tokens",
+        F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_fp"))
+
+
+def text_vocab_topk(spark, sf):
+    """Corpus vocabulary: top-30 tokens by term frequency with document
+    frequency. Per-doc the token multiset pre-collapses to (distinct
+    token, count) inside codegen, so the explode fans out by distinct
+    tokens and docfreq is a plain count — no countDistinct hash sets
+    through the shuffle; the global top-k is a sort-limit (per-partition
+    top-k before the single-partition merge)."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    return pipeline.vocab_topk(d, k=30)
+
+
+def text_tfidf_keywords(spark, sf):
+    """Top-3 TF-IDF keywords per document (first 30 docs) — per-(doc,
+    token) tf, broadcast idf join, window top-k. Smoothed sklearn idf;
+    deterministic tie-break on the token string."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    out = pipeline.tfidf_topk_per_doc(d, k=3)
+    return (out.where(F.col("id") < 30)
+            .select(F.col("id").alias("doc_id"), "rank", "token", "tfidf"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1249,6 +1350,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_groups": dedup_groups,
         "text_quality_gopher": text_quality_gopher,
+        "decontam_overlap": decontam_overlap,
+        "sample_stratified": sample_stratified,
+        "pack_sequences": pack_sequences,
+        "text_pii_scrub": text_pii_scrub,
+        "text_chunking": text_chunking,
+        "text_vocab_topk": text_vocab_topk,
+        "text_tfidf_keywords": text_tfidf_keywords,
     }
 
 
@@ -2342,6 +2450,166 @@ def oracle_sql() -> dict[str, str]:
                    (c_custkey % 3 <> 0) AS almost_eq,
                    (c_custkey % 9 <= 4) AS within_4_5
             FROM customer
+        """,
+        "decontam_overlap": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-zA-Z0-9]+'), w -> length(w) > 0) AS w
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) >= 2 THEN
+                           list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])
+                           WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                           ELSE [] END) AS sh
+                FROM toks),
+            dsh AS (
+                SELECT doc_id, substr(md5(unnest(sh)), 1, 16) AS h FROM sh),
+            bsh AS (
+                SELECT doc_id AS bench_id, substr(md5(unnest(sh)), 1, 16) AS h
+                FROM sh WHERE doc_id % 97 = 0),
+            bsize AS (
+                SELECT bench_id, count(*) AS bench_size
+                FROM bsh GROUP BY bench_id),
+            hits AS (
+                SELECT d.doc_id, b.bench_id, count(*) AS n_overlap
+                FROM dsh d JOIN bsh b USING (h)
+                WHERE d.doc_id <> b.bench_id
+                GROUP BY d.doc_id, b.bench_id)
+            SELECT h.doc_id, h.bench_id, h.n_overlap,
+                   round(CAST(h.n_overlap AS DOUBLE) / s.bench_size, 6)
+                       AS bench_frac
+            FROM hits h JOIN bsize s USING (bench_id)
+            WHERE CAST(h.n_overlap AS DOUBLE) / s.bench_size >= 0.15
+        """,
+        "sample_stratified": """
+            WITH kept AS (
+                SELECT lang, doc_id
+                FROM documents
+                WHERE substr(md5('r6' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < CASE lang WHEN 'fr' THEN 'ffffffff'
+                                  WHEN 'de' THEN '80000000'
+                                  WHEN 'en' THEN '40000000'
+                                  ELSE '1999999a' END)
+            SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM kept GROUP BY lang
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE ord AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            walk AS (
+                SELECT lang, rn, n_tokens,
+                       CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.lang, o.rn, o.n_tokens,
+                       CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 500
+                            THEN w.bin_id + 1 ELSE w.bin_id END,
+                       CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 500
+                            THEN o.n_tokens ELSE w.fill + o.n_tokens END
+                FROM walk w JOIN ord o
+                  ON o.lang = w.lang AND o.rn = w.rn + 1)
+            SELECT lang, bin_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS fill,
+                   round(CAST(greatest(500 - sum(n_tokens), 0) AS DOUBLE)
+                         / 500, 6) AS waste_frac
+            FROM walk GROUP BY lang, bin_id
+        """,
+        "text_pii_scrub": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS t
+                FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(t,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                       AS n_ip,
+                   substr(md5(regexp_replace(regexp_replace(t,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g')), 1, 16) AS redacted_fp
+            FROM aug
+        """,
+        "text_chunking": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                                   w -> length(w) > 0) AS ws
+                FROM documents WHERE doc_id < 200),
+            starts AS (
+                SELECT doc_id, ws,
+                       generate_series(1,
+                           greatest((greatest(len(ws) - 10 - 1, 0) // 30) * 30
+                                    + 1, 1),
+                           30) AS ss
+                FROM toks WHERE len(ws) > 0),
+            chunks AS (
+                SELECT doc_id,
+                       unnest(ss) AS s,
+                       generate_subscripts(ss, 1) - 1 AS chunk_idx,
+                       ws
+                FROM starts)
+            SELECT doc_id, chunk_idx,
+                   len(ws[s:s+39]) AS n_tokens,
+                   substr(md5(array_to_string(ws[s:s+39], ' ')), 1, 16)
+                       AS chunk_fp
+            FROM chunks
+        """,
+        "text_vocab_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                              '[^a-zA-Z0-9]+'), w -> length(w) > 0)) AS token
+                FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY token
+            ORDER BY tf DESC, token ASC LIMIT 30
+        """,
+        "text_tfidf_keywords": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                              '[^a-zA-Z0-9]+'), w -> length(w) > 0)) AS token
+                FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            vocab AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM tok
+                GROUP BY token),
+            idf AS (
+                SELECT token,
+                       round(ln((n.n_docs + 1.0) / (df + 1.0)) + 1.0, 6)
+                           AS idf
+                FROM vocab, n),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok
+                GROUP BY doc_id, token),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       round(tf.tf * idf.idf, 6) AS tfidf
+                FROM tf JOIN idf USING (token)),
+            ranked AS (
+                SELECT doc_id, token, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) AS rank
+                FROM scored)
+            SELECT doc_id, rank, token, tfidf
+            FROM ranked WHERE rank <= 3 AND doc_id < 30
         """,
     }
 

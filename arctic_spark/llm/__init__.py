@@ -1,7 +1,9 @@
 """Large-scale training-data pipeline operators (the beyond-reference
 mandate): text analysis, deduplication, embedding similarity search,
+benchmark decontamination / sampling / packing / chunking pipelines,
 multimodal column plumbing."""
 
-from . import dedup, graph, multimodal, similarity, text
+from . import dedup, graph, multimodal, pipeline, similarity, text
 
-__all__ = ["text", "dedup", "graph", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "graph", "similarity", "multimodal",
+           "pipeline"]

@@ -1,0 +1,358 @@
+"""Training-data pipeline operators beyond dedup/similarity: benchmark
+decontamination, deterministic sampling, sequence packing, PII
+scrubbing, document chunking and corpus vocabulary statistics.
+
+Everything is built on the two pipeline invariants the rest of
+``arctic_spark.llm`` follows:
+
+- per-row work is pure Catalyst expressions (split / HOFs / regexp) so
+  it fuses into whole-stage codegen, and
+- every cross-row step is ONE equi-join or groupBy shuffle on a compact
+  key (a 16-byte hash, a stratum string, a group key) — never an
+  all-pairs product and never a driver-side collect.
+
+Randomness is md5-based and therefore deterministic and portable: any
+SQL engine reproduces the exact sample / bucket decisions bit-for-bit,
+which is what makes these operators oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .text import token_count, word_tokens
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_pairs(docs: DataFrame, bench: DataFrame,
+                        doc_id="doc_id", doc_text="text",
+                        bench_id="doc_id", bench_text="text",
+                        k: int = 5,
+                        min_overlap_frac: float = 0.5) -> DataFrame:
+    """(doc_id, bench_id, n_overlap, bench_frac) for every training doc
+    that shares ≥ ``min_overlap_frac`` of a benchmark document's k-word
+    shingles — the standard eval-set decontamination pass (the GPT-3 /
+    PaLM n-gram overlap check re-expressed as a Spark plan).
+
+    Plan shape: both sides shingle natively, explode to
+    (id, 16-byte shingle hash), equi-join on the hash. The benchmark
+    side of any real decontamination run is tiny relative to the corpus
+    (eval sets are thousands of docs, the corpus is billions), so it is
+    broadcast — the 100 TB corpus side is never shuffled at all; the
+    only aggregation key is (doc_id, bench_id), which post-join is a
+    vanishingly small set. Shingle STRINGS never travel: only md5
+    prefixes do.
+    """
+    dsh = (docs.select(_c(doc_id).alias("doc_id"),
+                       F.explode(shingles(doc_text, k)).alias("s"))
+           .select("doc_id", F.substring(F.md5("s"), 1, 16).alias("h")))
+    bsh = (bench.select(_c(bench_id).alias("bench_id"),
+                        F.explode(shingles(bench_text, k)).alias("s"))
+           .select("bench_id", F.substring(F.md5("s"), 1, 16).alias("h")))
+    bsizes = bsh.groupBy("bench_id").agg(F.count("*").alias("bench_size"))
+    hits = (dsh.join(F.broadcast(bsh), "h")
+            .where(F.col("doc_id") != F.col("bench_id"))
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").alias("n_overlap")))
+    out = (hits.join(F.broadcast(bsizes), "bench_id")
+           .withColumn("bench_frac",
+                       F.col("n_overlap").cast("double") / F.col("bench_size"))
+           .where(F.col("bench_frac") >= min_overlap_frac)
+           .select("doc_id", "bench_id", "n_overlap",
+                   F.round("bench_frac", 6).alias("bench_frac")))
+    return out
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, doc_id="doc_id",
+                  doc_text="text", bench_id="doc_id", bench_text="text",
+                  k: int = 5, min_overlap_frac: float = 0.5) -> DataFrame:
+    """Drop every training document contaminated by the benchmark set
+    (left anti-join on :func:`contamination_pairs` — one extra shuffle on
+    the doc id)."""
+    bad = contamination_pairs(docs, bench, doc_id, doc_text, bench_id,
+                              bench_text, k, min_overlap_frac) \
+        .select(F.col("doc_id").alias("__contaminated_id")).distinct()
+    return docs.join(bad, _c(doc_id) == F.col("__contaminated_id"),
+                     "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def _hash_threshold(fraction: float) -> str:
+    """Lowercase 8-hex-digit threshold such that a uniform md5 prefix is
+    `< threshold` with probability ``fraction``. String comparison of
+    equal-length lowercase hex == numeric comparison, so the predicate is
+    portable verbatim to any SQL engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def hash_sample_predicate(key, fraction: float, seed: str = "") -> Column:
+    """Boolean sampling predicate: deterministic, stable under re-runs,
+    partition layout and cluster size (unlike ``df.sample``), and
+    coordinated across tables — the same key always lands on the same
+    side of the split, so sampling a fact table and its join partner
+    keeps referential integrity."""
+    h = F.substring(F.md5(F.concat(F.lit(seed), _c(key).cast("string"))),
+                    1, 8)
+    return h < F.lit(_hash_threshold(fraction))
+
+
+def hash_sample(df: DataFrame, key, fraction: float, seed: str = "") \
+        -> DataFrame:
+    """Uniform deterministic sample: keep rows whose md5(seed‖key) prefix
+    falls below the fraction threshold. Pure scan-side filter — pushes
+    down past projections, no shuffle, no RNG state."""
+    return df.where(hash_sample_predicate(key, fraction, seed))
+
+
+def stratified_sample(df: DataFrame, strata, key,
+                      fractions: Mapping[str, float],
+                      default_fraction: float = 0.0,
+                      seed: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of low-resource languages, 10% of English). ``fractions``
+    maps stratum value → keep fraction; unlisted strata use
+    ``default_fraction``. Same scan-side zero-shuffle plan as
+    :func:`hash_sample` — the stratum column only selects the threshold
+    literal."""
+    h = F.substring(F.md5(F.concat(F.lit(seed), _c(key).cast("string"))),
+                    1, 8)
+    thr = F.lit(_hash_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(_c(strata) == value,
+                     F.lit(_hash_threshold(frac))).otherwise(thr)
+    return df.where(h < thr)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(df: DataFrame, id_col="doc_id", tokens_col="n_tokens",
+                   budget: int = 2048, key=None) -> DataFrame:
+    """Assign each document to a training-sequence bin under a token
+    budget using deterministic next-fit in ascending id order: walk docs
+    by id, keep filling the current bin while it fits, open a new bin
+    when it doesn't. Docs longer than the budget get a bin of their own.
+    Returns the input plus a ``bin_id`` column (bin ids are dense
+    per-group, starting at 0).
+
+    Next-fit (not first-fit-decreasing) is the deliberate choice for a
+    distributed engine: it is a single ordered pass with O(1) state, so
+    each group packs in one ``applyInPandas`` call with no candidate
+    search, and the result is reproducible from the sort order alone —
+    which is what makes it oracle-checkable in SQL. FFD packs ~5% denser
+    but needs a mutable bin table that does not stream.
+
+    ``key`` (optional column name(s)) scopes packing groups — e.g. pack
+    within (lang, source) so a sequence never mixes languages. At scale
+    each group's docs move in ONE shuffle (the groupBy key); group size
+    is bounded by the corpus partitioning choice, and the per-group scan
+    is a numpy cumsum-style loop over ints, not text.
+    """
+    keys = ([key] if isinstance(key, str) else list(key or []))
+    id_name = id_col if isinstance(id_col, str) else "id"
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    # copy — StructType.add would mutate the DataFrame's cached schema
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("bin_id", LongType())])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_name, kind="mergesort").reset_index(drop=True)
+        bins = []
+        cur_bin, fill = 0, 0
+        for t in pdf[tokens_col].astype("int64"):
+            if fill > 0 and fill + t > budget:
+                cur_bin += 1
+                fill = 0
+            fill += t
+            bins.append(cur_bin)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    res = grouped.applyInPandas(pack, schema=out_schema)
+    if not keys:
+        # drop the synthetic single-group key if we injected one
+        res = res.select(*[c for c in res.columns if c != "__g"])
+    return res
+
+
+def pack_stats(packed: DataFrame, key=None, budget: int = 2048) -> DataFrame:
+    """Per-bin utilization stats for a packed corpus: docs per bin, token
+    fill, waste fraction."""
+    keys = ([key] if isinstance(key, str) else list(key or []))
+    return (packed.groupBy(*keys, "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("fill"))
+            .withColumn("waste_frac",
+                        F.round(F.greatest(
+                            F.lit(budget) - F.col("fill"), F.lit(0))
+                            .cast("double") / F.lit(budget), 6)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Conservative patterns chosen to mean the same thing in Java regex
+# (Spark) and RE2 (DuckDB/Go) — no lookaround, no backrefs.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PHONE_RE = r"\b\+?[0-9][0-9()\- ]{7,14}[0-9]\b"
+
+
+def email_count(text) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(_EMAIL_RE), F.lit(0)))
+
+
+def ipv4_count(text) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(_IPV4_RE), F.lit(0)))
+
+
+def phone_count(text) -> Column:
+    return F.size(F.regexp_extract_all(_c(text), F.lit(_PHONE_RE), F.lit(0)))
+
+
+def redact_pii(text, email_token="<EMAIL>", ip_token="<IP>",
+               phone=False, phone_token="<PHONE>") -> Column:
+    """Replace emails / IPv4s (and optionally phone-shaped numbers) with
+    redaction tokens. Order matters: emails first (an email's host part
+    must not be half-eaten by the IP pattern). Native regexp_replace —
+    a full-corpus scrub is one scan with zero Python. Phone redaction is
+    off by default: the pattern is aggressive on digit runs and belongs
+    behind an explicit opt-in."""
+    t = F.regexp_replace(_c(text), _EMAIL_RE, email_token)
+    t = F.regexp_replace(t, _IPV4_RE, ip_token)
+    if phone:
+        t = F.regexp_replace(t, _PHONE_RE, phone_token)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, id_col="doc_id", text_col="text",
+                    chunk_tokens: int = 128, overlap: int = 0) -> DataFrame:
+    """Split each document into whitespace-token chunks of
+    ``chunk_tokens`` with ``overlap`` tokens of left context — the
+    context-window prep step for embedding / pretraining pipelines.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text). Fully native: the
+    token array is sliced by a generated start-index sequence inside
+    codegen and exploded — the only data movement is the explode fan-out
+    itself (row count × ~len/stride), with no shuffle and no Python.
+    A final partial chunk is kept (a trailing remainder shorter than the
+    stride is real text); degenerate all-whitespace docs yield no rows.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = word_tokens(text_col, lowercase=False)
+
+    starts = F.sequence(
+        F.lit(1),
+        # last start: stride-aligned position that still begins new text
+        F.greatest(
+            ((F.size(toks) - F.lit(overlap) - 1) / F.lit(stride))
+            .cast("int") * stride + 1,
+            F.lit(1)),
+        F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    base = df.select(
+        _c(id_col).alias("id"),
+        F.posexplode(
+            F.when(F.size(toks) > 0, chunks)
+             .otherwise(F.array().cast("array<array<string>>"))
+        ).alias("chunk_idx", "chunk_toks"))
+    return base.select(
+        "id", "chunk_idx",
+        F.size("chunk_toks").alias("n_tokens"),
+        F.concat_ws(" ", "chunk_toks").alias("chunk_text"))
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+def vocab_stats(df: DataFrame, text_col="text", lowercase=True) -> DataFrame:
+    """(token, tf, df) corpus vocabulary table: total term frequency and
+    document frequency per token.
+
+    Per-row the token multiset is pre-collapsed to (distinct token,
+    in-doc count) pairs inside codegen, so the explode fans out by
+    DISTINCT tokens per doc and docfreq is a plain count — no
+    countDistinct (which would carry a per-token hash set through the
+    shuffle) and no synthetic row id. One shuffle, on the token string,
+    with map-side partial aggregation collapsing the long tail."""
+    from ..functions.native import _let
+    toks = word_tokens(text_col, lowercase=lowercase)
+
+    def per_doc(ws):
+        return F.transform(
+            F.array_distinct(ws),
+            lambda t: F.struct(
+                t.alias("token"),
+                F.size(F.filter(ws, lambda x: x == t)).alias("cnt")))
+
+    exploded = df.select(F.explode(_let(toks, per_doc)).alias("tc"))
+    return (exploded.groupBy(F.col("tc.token").alias("token"))
+            .agg(F.sum("tc.cnt").cast("long").alias("tf"),
+                 F.count("*").cast("long").alias("df")))
+
+
+def vocab_topk(df: DataFrame, text_col="text", k: int = 20,
+               lowercase=True) -> DataFrame:
+    """Top-k corpus tokens by term frequency (deterministic tie-break on
+    the token string). The global top-k runs as a sort-limit — Spark
+    takes per-partition top-k before the single-partition merge, so no
+    full sort materializes."""
+    return (vocab_stats(df, text_col, lowercase)
+            .orderBy(F.desc("tf"), F.asc("token")).limit(k))
+
+
+def idf(vocab: DataFrame, n_docs: int) -> DataFrame:
+    """Smooth inverse document frequency over a :func:`vocab_stats`
+    table: ln((N+1)/(df+1)) + 1 (sklearn's smoothed variant)."""
+    return vocab.withColumn(
+        "idf", F.round(F.log((F.lit(float(n_docs)) + 1.0)
+                             / (F.col("df") + 1.0)) + 1.0, 6))
+
+
+def tfidf_topk_per_doc(df: DataFrame, id_col="doc_id", text_col="text",
+                       k: int = 3, lowercase=True) -> DataFrame:
+    """Top-k TF-IDF keywords per document: explode tokens → per-(doc,
+    token) tf → broadcast-join the idf table → window top-k per doc.
+    The vocab table is tiny relative to the corpus (vocabulary grows
+    sub-linearly), so the idf join is a broadcast — the corpus side
+    shuffles once, on (doc, token)."""
+    from pyspark.sql import Window
+    toks = word_tokens(text_col, lowercase=lowercase)
+    n_docs = df.count()
+    tf = (df.select(_c(id_col).alias("id"), F.explode(toks).alias("token"))
+          .groupBy("id", "token").agg(F.count("*").alias("tf")))
+    vocab = idf(vocab_stats(df, text_col, lowercase), n_docs)
+    scored = (tf.join(F.broadcast(vocab.select("token", "idf")), "token")
+              .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6)))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "rank", "token", "tfidf"))

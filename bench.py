@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "geo_relate_classify",
     "geo_hull_simplify",
     "geo_ring_accessors",
+    "decontam_overlap",
+    "pack_sequences",
+    "text_chunking",
+    "text_vocab_topk",
+    "text_tfidf_keywords",
+    "text_pii_scrub",
 ]
 
 

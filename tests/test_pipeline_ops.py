@@ -1,0 +1,221 @@
+"""Tests for arctic_spark.llm.pipeline: decontamination, deterministic
+sampling, sequence packing, PII scrubbing, chunking, vocab stats — all
+against hand-computed (or brute-force python) oracles."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark.llm import pipeline
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog every single day"),
+    (2, "the quick brown fox jumps over the lazy dog every single night"),
+    (3, "a completely different document about spark query engines"),
+    (4, "short doc"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_contamination_pairs(docs, spark):
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog every")],
+        "doc_id long, text string")
+    out = pipeline.contamination_pairs(docs, bench, k=5,
+                                       min_overlap_frac=0.5).collect()
+    # bench doc has 5 5-shingles; docs 1 and 2 contain 4 and 4 of them
+    by = {(r.doc_id, r.bench_id): r for r in out}
+    assert set(by) == {(1, 100), (2, 100)}
+    assert by[(1, 100)].n_overlap == 5
+    assert by[(1, 100)].bench_frac == 1.0
+    assert by[(2, 100)].n_overlap == 5
+
+
+def test_decontaminate_removes_hits(docs, spark):
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog every")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  pipeline.decontaminate(docs, bench, k=5).collect())
+    assert kept == [3, 4, 5]
+
+
+# -- sampling ---------------------------------------------------------------
+
+def _md5_prefix(s):
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+def test_hash_sample_matches_python(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    got = sorted(r.k for r in
+                 pipeline.hash_sample(df, "k", 0.25, seed="s1").collect())
+    thr = pipeline._hash_threshold(0.25)
+    want = sorted(i for i in range(2000) if _md5_prefix("s1" + str(i)) < thr)
+    assert got == want
+    # ~25% within tolerance
+    assert 0.2 < len(got) / 2000 < 0.3
+
+
+def test_hash_sample_deterministic_and_coordinated(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = set(r.k for r in pipeline.hash_sample(df, "k", 0.5).collect())
+    b = set(r.k for r in
+            pipeline.hash_sample(df.repartition(7), "k", 0.5).collect())
+    assert a == b  # invariant to partitioning
+
+
+def test_stratified_sample(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = pipeline.stratified_sample(
+        df, "lang", "k", {"en": 0.1, "fr": 1.0}).collect()
+    en = [r.k for r in out if r.lang == "en"]
+    fr = [r.k for r in out if r.lang == "fr"]
+    assert len(fr) == 500          # keep-all stratum is exact
+    assert 20 < len(en) < 90       # ~10% of 500
+    # unlisted stratum default=0
+    out2 = pipeline.stratified_sample(df, "lang", "k", {"fr": 1.0}).collect()
+    assert all(r.lang == "fr" for r in out2)
+
+
+# -- sequence packing -------------------------------------------------------
+
+def _next_fit(items, budget):
+    bins, cur, fill = [], 0, 0
+    for _id, t in items:
+        if fill > 0 and fill + t > budget:
+            cur += 1
+            fill = 0
+        fill += t
+        bins.append((_id, cur))
+    return dict(bins)
+
+
+def test_pack_sequences_next_fit(spark):
+    rows = [(i, (i * 37) % 90 + 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pipeline.pack_sequences(df, budget=128).collect()
+    want = _next_fit(sorted(rows), 128)
+    got = {r.doc_id: r.bin_id for r in packed}
+    assert got == want
+
+
+def test_pack_sequences_grouped_and_oversized(spark):
+    rows = [(1, "a", 100), (2, "a", 100), (3, "a", 300), (4, "a", 10),
+            (5, "b", 50), (6, "b", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, n_tokens long")
+    got = {(r.g, r.doc_id): r.bin_id
+           for r in pipeline.pack_sequences(df, budget=200, key="g").collect()}
+    # group a: [100,100] -> bin0; 300 oversized -> bin1 alone; 10 -> bin2
+    assert got[("a", 1)] == 0 and got[("a", 2)] == 0
+    assert got[("a", 3)] == 1
+    assert got[("a", 4)] == 2
+    # group b restarts at 0
+    assert got[("b", 5)] == 0 and got[("b", 6)] == 0
+    stats = {(r.g, r.bin_id): r
+             for r in pipeline.pack_stats(
+                 pipeline.pack_sequences(df, budget=200, key="g"),
+                 key="g", budget=200).collect()}
+    assert stats[("a", 0)].fill == 200 and stats[("a", 0)].waste_frac == 0.0
+    assert stats[("a", 1)].waste_frac == 0.0  # oversized clamps to 0
+    assert stats[("b", 0)].fill == 100 and stats[("b", 0)].waste_frac == 0.5
+
+
+# -- PII --------------------------------------------------------------------
+
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org and 10.0.255.1 now"),
+         (2, "no pii here"),
+         (3, "two a@b.io c@d.net and 1.2.3.4 5.6.7.8")],
+        "id long, text string")
+    out = {r.id: r for r in df.select(
+        "id",
+        pipeline.email_count("text").alias("em"),
+        pipeline.ipv4_count("text").alias("ip"),
+        pipeline.redact_pii("text").alias("red")).collect()}
+    assert (out[1].em, out[1].ip) == (1, 1)
+    assert out[1].red == "mail <EMAIL> and <IP> now"
+    assert (out[2].em, out[2].ip) == (0, 0)
+    assert out[2].red == "no pii here"
+    assert (out[3].em, out[3].ip) == (2, 2)
+    assert out[3].red == "two <EMAIL> <EMAIL> and <IP> <IP>"
+
+
+def test_pii_phone_optin(spark):
+    df = spark.createDataFrame([(1, "call +1 (555) 867-5309 today")],
+                               "id long, text string")
+    no = df.select(pipeline.redact_pii("text").alias("t")).first().t
+    yes = df.select(pipeline.redact_pii("text", phone=True).alias("t")) \
+            .first().t
+    assert "867-5309" in no
+    assert "867" not in yes and "<PHONE>" in yes
+
+
+# -- chunking ---------------------------------------------------------------
+
+def test_chunk_documents_no_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "only three words"),
+                                (3, "")], "doc_id long, text string")
+    out = pipeline.chunk_documents(df, chunk_tokens=4, overlap=0).collect()
+    by = {(r.id, r.chunk_idx): r for r in out}
+    assert len([k for k in by if k[0] == 1]) == 3   # 4+4+2
+    assert by[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert by[(1, 2)].chunk_text == "w8 w9"
+    assert by[(1, 2)].n_tokens == 2
+    assert by[(2, 0)].chunk_text == "only three words"
+    assert not [k for k in by if k[0] == 3]         # empty doc -> no chunks
+
+
+def test_chunk_documents_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = sorted(pipeline.chunk_documents(df, chunk_tokens=4, overlap=2)
+                 .collect(), key=lambda r: r.chunk_idx)
+    texts = [r.chunk_text for r in out]
+    # stride 2: starts at w0,w2,w4,w6 — w8 start would add no new tokens
+    assert texts[0] == "w0 w1 w2 w3"
+    assert texts[1] == "w2 w3 w4 w5"
+    assert texts[-1] == "w6 w7 w8 w9"
+    assert len(texts) == 4
+    # exact cover: doc of exactly chunk_tokens length -> one chunk only
+    df2 = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out2 = pipeline.chunk_documents(df2, chunk_tokens=4, overlap=2).collect()
+    assert len(out2) == 1
+
+
+# -- vocab ------------------------------------------------------------------
+
+def test_vocab_stats_and_topk(docs, spark):
+    vs = {r.token: (r.tf, r.df)
+          for r in pipeline.vocab_stats(docs).collect()}
+    assert vs["the"] == (4, 2)      # 2x in docs 1 and 2
+    assert vs["dog"] == (2, 2)
+    assert vs["spark"] == (1, 1)
+    top = pipeline.vocab_topk(docs, k=1).collect()
+    assert top[0].token == "the"
+    n_docs = docs.count()
+    iv = {r.token: r.idf for r in
+          pipeline.idf(pipeline.vocab_stats(docs), n_docs).collect()}
+    import math
+    assert abs(iv["the"] - (math.log((n_docs + 1) / 3) + 1)) < 1e-6
+
+
+def test_tfidf_topk_per_doc(docs):
+    out = pipeline.tfidf_topk_per_doc(docs, k=2)
+    rows = [r for r in out.collect() if r.id == 3]
+    assert len(rows) == 2
+    assert rows[0].rank == 1
+    # doc-3-only words should outrank shared ones
+    assert all(r.token in {"completely", "different", "document", "about",
+                           "spark", "query", "engines", "a"} for r in rows)
