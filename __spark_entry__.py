@@ -1179,6 +1179,50 @@ def dedup_groups(spark, sf):
             .orderBy("doc_id"))
 
 
+def geo_shape_metrics(spark, sf):
+    """Round-6 shape descriptors with closed-form oracles: minimum
+    rotated rectangle area of a diamond (rotating calipers — MRR aligns
+    with a hull edge: 4·rx·ry·max(rx²,ry²)/(rx²+ry²)), minimum bounding
+    radius (Welzl; diamond → max radius), discrete Hausdorff of a
+    translated rectangle (= |dx|), discrete Fréchet of a reversed
+    parallel segment (= hypot(L, d) — the coupling is forced to the
+    diagonal), and shortest-line length across a gap (= gap)."""
+    c = _t(spark, sf, "customer")
+    key = F.col("c_custkey")
+    rx = (key % 5 + 1).cast("double")
+    ry = (key % 3 + 1).cast("double")
+    w = (key % 4 + 2).cast("double")
+    h = (key % 2 + 1).cast("double")
+    dx = (key % 4).cast("double") * 0.25 + 0.5
+    ln = (key % 5 + 3).cast("double")
+    dd = (key % 2 + 1).cast("double")
+    gap = (key % 3 + 1).cast("double")
+    z = F.lit(0.0)
+    diamond = st.make_polygon(F.array(rx, z, -rx, z),
+                              F.array(z, ry, z, -ry))
+    rect = st.make_polygon(F.array(z, w, w, z), F.array(z, z, h, h))
+    rect_t = st.make_polygon(F.array(dx, w + dx, w + dx, dx),
+                             F.array(z, z, h, h))
+    rect_g = st.make_polygon(F.array(w + gap, 2 * w + gap, 2 * w + gap,
+                                     w + gap),
+                             F.array(z, z, h, h))
+    line_a = st.make_line(F.array(z, ln), F.array(z, z))
+    line_b = st.make_line(F.array(ln, z), F.array(dd, dd))
+    staged = (c.select("c_custkey", diamond.alias("dia"),
+                       rect.alias("r0"), rect_t.alias("rt"),
+                       rect_g.alias("rg"), line_a.alias("la"),
+                       line_b.alias("lb"))
+              .withColumn("mrr", st.minimum_rotated_rectangle("dia"))
+              .withColumn("sl", st.shortest_line("r0", "rg")))
+    return staged.select(
+        "c_custkey",
+        F.round(st.area("mrr"), 6).alias("mrr_area"),
+        F.round(st.minimum_bounding_radius("dia"), 6).alias("mbc_radius"),
+        F.round(st.hausdorff_distance("r0", "rt"), 6).alias("hausdorff"),
+        F.round(st.frechet_distance("la", "lb"), 6).alias("frechet"),
+        F.round(st.length("sl"), 6).alias("gap_len"))
+
+
 def decontam_overlap(spark, sf):
     """Benchmark decontamination (llm/pipeline.py): treat every 97th doc
     as an eval-set document and find training docs sharing ≥30% of its
@@ -1350,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_groups": dedup_groups,
         "text_quality_gopher": text_quality_gopher,
+        "geo_shape_metrics": geo_shape_metrics,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2450,6 +2495,24 @@ def oracle_sql() -> dict[str, str]:
                    (c_custkey % 3 <> 0) AS almost_eq,
                    (c_custkey % 9 <= 4) AS within_4_5
             FROM customer
+        """,
+        "geo_shape_metrics": """
+            SELECT c_custkey,
+                   round(4.0 * rx * ry * greatest(rx*rx, ry*ry)
+                         / (rx*rx + ry*ry), 6) AS mrr_area,
+                   round(greatest(rx, ry), 6) AS mbc_radius,
+                   round(dx, 6) AS hausdorff,
+                   round(sqrt(ln*ln + dd*dd), 6) AS frechet,
+                   round(gap, 6) AS gap_len
+            FROM (
+                SELECT c_custkey,
+                       CAST(c_custkey % 5 + 1 AS DOUBLE) AS rx,
+                       CAST(c_custkey % 3 + 1 AS DOUBLE) AS ry,
+                       CAST(c_custkey % 4 AS DOUBLE) * 0.25 + 0.5 AS dx,
+                       CAST(c_custkey % 5 + 3 AS DOUBLE) AS ln,
+                       CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
+                       CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
+                FROM customer)
         """,
         "decontam_overlap": """
             WITH toks AS (

@@ -32,7 +32,10 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
                    from_geojson, to_geojson,
                    difference, intersection, intersects, simplify,
-                   symmetric_difference, touches, crosses, overlaps, union)
+                   symmetric_difference, touches, crosses, overlaps, union,
+                   hausdorff_distance, frechet_distance,
+                   minimum_rotated_rectangle, minimum_bounding_radius,
+                   minimum_bounding_circle, shortest_line)
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
@@ -81,6 +84,8 @@ __all__ = [
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",
     "intersection", "difference", "union", "symmetric_difference",
     "relate", "relate_pattern", "freeze", "dwithin",
+    "hausdorff_distance", "frechet_distance", "minimum_rotated_rectangle",
+    "minimum_bounding_radius", "minimum_bounding_circle", "shortest_line",
 ]
 
 

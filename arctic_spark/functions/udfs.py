@@ -489,3 +489,93 @@ def symmetric_difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
     removes them by noding) — point-set equal, structure differs."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "symmetric_difference"))
+
+
+# ---- shape descriptors (round 6) -----------------------------------------
+
+@pandas_udf(T.DoubleType())
+def hausdorff_distance(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Row-aligned discrete Hausdorff distance (GeoPandas
+    ``hausdorff_distance``; JTS DiscreteHausdorffDistance semantics:
+    vertices of each side vs the full other geometry, symmetrized).
+    Whole-batch vectorized (geom/batch.py)."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    return pd.Series(batch.hausdorff(r1, r2))
+
+
+@pandas_udf(T.DoubleType())
+def frechet_distance(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """Row-aligned discrete Fréchet distance over vertex sequences
+    (GeoPandas ``frechet_distance``; JTS DiscreteFrechetDistance). O(n·m)
+    DP per row (geom/algos.py)."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    return pd.Series(algos.frechet(r1, r2))
+
+
+@pandas_udf(GEOM_TYPE)
+def minimum_rotated_rectangle(g: pd.DataFrame) -> pd.DataFrame:
+    """Smallest-area rectangle at any rotation (GeoPandas
+    ``minimum_rotated_rectangle`` / GEOS MinimumDiameter): rotating
+    calipers over the convex hull; degenerate inputs collapse to
+    Point/LineString like convex_hull."""
+    return ragged_to_pdf(algos.minimum_rotated_rectangle(ragged_from_pdf(g)))
+
+
+@pandas_udf(T.DoubleType())
+def minimum_bounding_radius(g: pd.DataFrame) -> pd.Series:
+    """Radius of the minimum enclosing circle (GeoPandas
+    ``minimum_bounding_radius``) — deterministic Welzl/MSW over the
+    convex hull's vertices."""
+    _, _, r = algos.minimum_bounding_circle_params(ragged_from_pdf(g))
+    return pd.Series(r)
+
+
+def minimum_bounding_circle(g, quad_segs: int = 8):
+    """Minimum enclosing circle as a polygon (GeoPandas
+    ``minimum_bounding_circle``): the exact Welzl center/radius rendered
+    as a 4·quad_segs-gon, matching the buffer's circle convention;
+    zero-radius inputs return the Point itself."""
+    @pandas_udf(GEOM_TYPE)
+    def _mbc(gg: pd.DataFrame) -> pd.DataFrame:
+        rg = ragged_from_pdf(gg)
+        cx, cy, r = algos.minimum_bounding_circle_params(rg)
+        n_v = 4 * quad_segs
+        ang = np.linspace(0, 2 * np.pi, n_v, endpoint=False)
+        ca, sa = np.cos(ang), np.sin(ang)
+        gts, xs, ys, rings, parts = [], [], [], [], []
+        for i in range(len(rg)):
+            if not np.isfinite(r[i]):
+                gts.append(None); xs.append(None); ys.append(None)
+                rings.append(None); parts.append(None)
+            elif r[i] == 0.0:
+                gts.append(0); xs.append([cx[i]]); ys.append([cy[i]])
+                rings.append([1]); parts.append([1])
+            else:
+                px = cx[i] + r[i] * ca
+                py = cy[i] + r[i] * sa
+                xs.append(px.tolist() + [px[0]])
+                ys.append(py.tolist() + [py[0]])
+                gts.append(3); rings.append([n_v + 1]); parts.append([1])
+        return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                             "ys": ys, "rings": rings, "parts": parts})
+    return _mbc(g)
+
+
+@pandas_udf(GEOM_TYPE)
+def shortest_line(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
+    """2-point LineString between the nearest points of g1 and g2
+    (GeoPandas/GEOS ``shortest_line``); intersecting pairs yield a
+    zero-length line at a shared point. Vectorized nearest-pair argmin
+    (geom/batch.py); null for empty/missing operands."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    ax, ay, bx, by, ok = batch.shortest_line(r1, r2)
+    gts, xs, ys, rings, parts = [], [], [], [], []
+    for i in range(len(r1)):
+        if not ok[i]:
+            gts.append(None); xs.append(None); ys.append(None)
+            rings.append(None); parts.append(None)
+        else:
+            gts.append(1); xs.append([ax[i], bx[i]]); ys.append([ay[i], by[i]])
+            rings.append([2]); parts.append([1])
+    return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                         "ys": ys, "rings": rings, "parts": parts})

@@ -1265,3 +1265,190 @@ def equals_pair(g1, g2):
     noded differently (extra collinear vertices) compare unequal;
     geom_equals_exact keeps the strict structural compare."""
     return _canonical_form(g1) == _canonical_form(g2)
+
+
+# ---------------------------------------------------------------------------
+# shape descriptors (round 6): minimum rotated rectangle, minimum
+# bounding circle, discrete Fréchet — GeoPandas surface beyond the
+# reference roadmap (GeoSeries.minimum_rotated_rectangle /
+# minimum_bounding_circle / minimum_bounding_radius / frechet_distance).
+# Per-row iterative algorithms; all batch entry points keep the
+# ragged-in / ragged-out convention.
+# ---------------------------------------------------------------------------
+
+def _hull_points(xs, ys):
+    """Convex hull vertex array (CCW, no closing repeat) of a point set —
+    monotone chain over unique points. Returns (k,2) array; k may be 1
+    (degenerate point) or 2 (collinear)."""
+    pts = np.unique(np.column_stack([xs, ys]), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(points):
+        h = []
+        for p in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 3:
+        return pts[:2] if n >= 2 else pts
+    return hull
+
+
+def minimum_rotated_rectangle(rg: RaggedGeometry):
+    """Smallest-area rectangle (any rotation) containing each geometry —
+    rotating calipers over the convex hull: the optimal rectangle has a
+    side collinear with a hull edge, so only hull-edge orientations are
+    candidates. Degenerate collapse mirrors convex_hull: 1 unique point
+    → Point, collinear → LineString between the extremes (GEOS
+    MinimumDiameter::getMinimumRectangle semantics)."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, _, _ = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if len(xs) == 0:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        hull = _hull_points(np.asarray(xs, float), np.asarray(ys, float))
+        if len(hull) == 1:
+            gts.append(POINT); oxs.append([hull[0, 0]])
+            oys.append([hull[0, 1]]); orings.append([1]); oparts.append([1])
+            continue
+        if len(hull) == 2:
+            gts.append(LINESTRING)
+            oxs.append(hull[:, 0].tolist()); oys.append(hull[:, 1].tolist())
+            orings.append([2]); oparts.append([1])
+            continue
+        best_area = np.inf
+        best = None
+        k = len(hull)
+        for e in range(k):
+            ux, uy = hull[(e + 1) % k] - hull[e]
+            ln = np.hypot(ux, uy)
+            if ln == 0:
+                continue
+            ux, uy = ux / ln, uy / ln
+            vx, vy = -uy, ux
+            pu = hull[:, 0] * ux + hull[:, 1] * uy
+            pv = hull[:, 0] * vx + hull[:, 1] * vy
+            u0, u1 = pu.min(), pu.max()
+            v0, v1 = pv.min(), pv.max()
+            area = (u1 - u0) * (v1 - v0)
+            if area < best_area:
+                best_area = area
+                best = (ux, uy, vx, vy, u0, u1, v0, v1)
+        ux, uy, vx, vy, u0, u1, v0, v1 = best
+        cx = [u0 * ux + v0 * vx, u1 * ux + v0 * vx,
+              u1 * ux + v1 * vx, u0 * ux + v1 * vx]
+        cy = [u0 * uy + v0 * vy, u1 * uy + v0 * vy,
+              u1 * uy + v1 * vy, u0 * uy + v1 * vy]
+        cx.append(cx[0]); cy.append(cy[0])
+        gts.append(POLYGON); oxs.append(cx); oys.append(cy)
+        orings.append([5]); oparts.append([1])
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def _circle_two(p, q):
+    c = (p + q) / 2.0
+    return c[0], c[1], float(np.hypot(*(p - c)))
+
+
+def _circumcircle(a, b, c):
+    """Circumcircle of a non-degenerate triangle, or None if collinear."""
+    d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+               + c[0] * (a[1] - b[1]))
+    if d == 0:
+        return None
+    a2, b2, c2 = a @ a, b @ b, c @ c
+    ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / d
+    uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / d
+    return ux, uy, float(np.hypot(a[0] - ux, a[1] - uy))
+
+
+def _welzl_msw(pts):
+    """Minimum enclosing circle, deterministic (no RNG): incremental
+    Welzl/MSW over the given order. O(n) expected on shuffled input;
+    the callers pass convex-hull vertices, which are few, so the
+    deterministic order's worst case is irrelevant."""
+    eps = 1e-9
+
+    def inside(cx, cy, r, p):
+        return np.hypot(p[0] - cx, p[1] - cy) <= r * (1 + 1e-12) + eps
+
+    n = len(pts)
+    cx, cy, r = pts[0][0], pts[0][1], 0.0
+    for i in range(1, n):
+        if inside(cx, cy, r, pts[i]):
+            continue
+        cx, cy, r = pts[i][0], pts[i][1], 0.0
+        for j in range(i):
+            if inside(cx, cy, r, pts[j]):
+                continue
+            cx, cy, r = _circle_two(pts[i], pts[j])
+            for q in range(j):
+                if inside(cx, cy, r, pts[q]):
+                    continue
+                cc = _circumcircle(pts[i], pts[j], pts[q])
+                if cc is not None:
+                    cx, cy, r = cc
+    return float(cx), float(cy), float(r)
+
+
+def minimum_bounding_circle_params(rg: RaggedGeometry):
+    """(cx, cy, radius) float64 arrays of the minimum enclosing circle of
+    each geometry's vertices (sufficient: the MEC of a geometry equals
+    the MEC of its convex hull's vertices). NaN for empty/missing."""
+    n = len(rg)
+    cxs = np.full(n, np.nan)
+    cys = np.full(n, np.nan)
+    rs = np.full(n, np.nan)
+    for i in range(n):
+        g, xs, ys, _, _ = rg.geom(i)
+        if g == MISSING or len(xs) == 0:
+            continue
+        hull = _hull_points(np.asarray(xs, float), np.asarray(ys, float))
+        cxs[i], cys[i], rs[i] = _welzl_msw(hull)
+    return cxs, cys, rs
+
+
+def frechet(r1: RaggedGeometry, r2: RaggedGeometry):
+    """Row-aligned discrete Fréchet distance over each geometry's vertex
+    sequence (JTS DiscreteFrechetDistance semantics: vertices in storage
+    order — for polygons that is the ring walk). O(n·m) dynamic program
+    per row; NaN for empty/missing."""
+    n = len(r1)
+    out = np.full(n, np.nan)
+    for i in range(n):
+        g1, x1, y1, _, _ = r1.geom(i)
+        g2, x2, y2, _, _ = r2.geom(i)
+        if g1 == MISSING or g2 == MISSING or len(x1) == 0 or len(x2) == 0:
+            continue
+        p = np.column_stack([x1, y1])
+        q = np.column_stack([x2, y2])
+        # pairwise distance matrix (rows small; vectorized)
+        d = np.hypot(p[:, None, 0] - q[None, :, 0],
+                     p[:, None, 1] - q[None, :, 1])
+        np_, nq = d.shape
+        ca = np.empty_like(d)
+        ca[0, 0] = d[0, 0]
+        for j in range(1, nq):
+            ca[0, j] = max(ca[0, j - 1], d[0, j])
+        for k in range(1, np_):
+            ca[k, 0] = max(ca[k - 1, 0], d[k, 0])
+            row_prev = ca[k - 1]
+            row = ca[k]
+            for j in range(1, nq):
+                row[j] = max(min(row_prev[j], row_prev[j - 1], row[j - 1]),
+                             d[k, j])
+        out[i] = ca[-1, -1]
+    return out

@@ -550,3 +550,207 @@ def overlaps(r1: RaggedGeometry, r2: RaggedGeometry) -> np.ndarray:
     """Exact DE-9IM overlaps (GEOS semantics, geom/relate.py)."""
     from . import relate
     return relate.overlaps(r1, r2)
+
+
+# ---------------------------------------------------------------------------
+# hausdorff / shortest_line (round 6) — vectorized nearest/farthest pair
+# machinery shared with the distance kernel.
+# ---------------------------------------------------------------------------
+
+def _oriented_hausdorff(best: np.ndarray, ra, rb, mask, n):
+    """max over vertices of ra of (min distance to rb), accumulated into
+    ``best`` per geometry. rb's target set is its segments when it has
+    any (line/polygon), else its vertices."""
+    vx, vy, vg = _vert_arrays(ra, mask)
+    if vg.size == 0:
+        return
+    # classify which rb geometries have segments
+    sbx_a, sby_a, sbx_b, sby_b, gsb, _ = _seg_arrays(rb, mask)
+    segful = np.zeros(n, dtype=bool)
+    if gsb.size:
+        segful[gsb] = True
+    # per-vertex minimum distance
+    vert_min = np.full(vx.size, np.inf)
+    seg_side = segful[vg]
+    if gsb.size and seg_side.any():
+        iv, isg = _pair_products(vg, gsb, n)
+        if iv.size:
+            d2 = _point_seg_dist2(vx[iv], vy[iv], sbx_a[isg], sby_a[isg],
+                                  sbx_b[isg], sby_b[isg])
+            np.minimum.at(vert_min, iv, d2)
+    if (~seg_side).any():
+        wx, wy, wg = _vert_arrays(rb, mask & ~segful)
+        if wg.size:
+            iv, iw = _pair_products(vg, wg, n)
+            if iv.size:
+                d2 = (vx[iv] - wx[iw]) ** 2 + (vy[iv] - wy[iw]) ** 2
+                np.minimum.at(vert_min, iv, d2)
+    done = np.isfinite(vert_min)
+    if done.any():
+        np.maximum.at(best, vg[done], vert_min[done])
+
+
+def hausdorff(r1: RaggedGeometry, r2: RaggedGeometry) -> np.ndarray:
+    """Row-aligned discrete Hausdorff distance (JTS
+    DiscreteHausdorffDistance semantics: vertices of each side against
+    the full other geometry, symmetrized max). NaN for empty/missing.
+    Exact for point/line inputs whose extreme is attained at a vertex —
+    like JTS, an approximation (lower bound) for smooth polygon-polygon
+    configurations."""
+    n = len(r1)
+    valid = (r1.gt != MISSING) & (r2.gt != MISSING) \
+        & (np.diff(r1.coord_offsets) > 0) & (np.diff(r2.coord_offsets) > 0)
+    best = np.full(n, -np.inf)
+    if valid.any():
+        _oriented_hausdorff(best, r1, r2, valid, n)
+        _oriented_hausdorff(best, r2, r1, valid, n)
+    out = np.sqrt(np.where(np.isfinite(best), np.maximum(best, 0.0), np.nan))
+    return np.where(valid, out, np.nan)
+
+
+def _nearest_candidates(ra, rb, mask, n, swap):
+    """Candidate nearest pairs: every vertex of ra against every segment
+    of rb (projection point) and, for segment-less rb, its vertices.
+    Returns flat arrays (geom_idx, d2, ax, ay, bx, by) where (ax,ay) is
+    the point on ra and (bx,by) on rb (swapped when ``swap``)."""
+    outs = []
+    vx, vy, vg = _vert_arrays(ra, mask)
+    if vg.size:
+        sax, say, sbx, sby, gs, _ = _seg_arrays(rb, mask)
+        if gs.size:
+            iv, isg = _pair_products(vg, gs, n)
+            if iv.size:
+                px, py = vx[iv], vy[iv]
+                x1, y1 = sax[isg], say[isg]
+                x2, y2 = sbx[isg], sby[isg]
+                dx, dy = x2 - x1, y2 - y1
+                ln2 = dx * dx + dy * dy
+                t = np.where(ln2 > 0,
+                             ((px - x1) * dx + (py - y1) * dy)
+                             / np.where(ln2 > 0, ln2, 1.0), 0.0)
+                t = np.clip(t, 0.0, 1.0)
+                qx, qy = x1 + t * dx, y1 + t * dy
+                d2 = (px - qx) ** 2 + (py - qy) ** 2
+                outs.append((vg[iv], d2, px, py, qx, qy))
+        # vertex-vertex for rb geoms without segments
+        segful = np.zeros(n, dtype=bool)
+        if gs.size:
+            segful[gs] = True
+        wx, wy, wg = _vert_arrays(rb, mask & ~segful)
+        if wg.size:
+            iv, iw = _pair_products(vg, wg, n)
+            if iv.size:
+                d2 = (vx[iv] - wx[iw]) ** 2 + (vy[iv] - wy[iw]) ** 2
+                outs.append((vg[iv], d2, vx[iv], vy[iv], wx[iw], wy[iw]))
+    if not outs:
+        z = np.empty(0)
+        return z.astype(np.int64), z, z, z, z, z
+    g = np.concatenate([o[0] for o in outs])
+    d2 = np.concatenate([o[1] for o in outs])
+    ax = np.concatenate([o[2] for o in outs])
+    ay = np.concatenate([o[3] for o in outs])
+    bx = np.concatenate([o[4] for o in outs])
+    by = np.concatenate([o[5] for o in outs])
+    if swap:
+        ax, ay, bx, by = bx, by, ax, ay
+    return g, d2, ax, ay, bx, by
+
+
+def shortest_line(r1: RaggedGeometry, r2: RaggedGeometry):
+    """Row-aligned shortest connecting line (GEOS/GeoPandas
+    ``shortest_line``): the 2-point LineString from the nearest point of
+    g1 to the nearest point of g2. Intersecting pairs return a
+    zero-length line at a shared point (a crossing-segment intersection
+    point or a vertex of one geometry on/inside the other).
+
+    Returns (ax, ay, bx, by, ok) float64/bool arrays — the UDF layer
+    assembles the LineStrings (ok=False → null).
+    """
+    from .algos import distance_pair
+    n = len(r1)
+    valid = (r1.gt != MISSING) & (r2.gt != MISSING) \
+        & (np.diff(r1.coord_offsets) > 0) & (np.diff(r2.coord_offsets) > 0)
+    inter = intersects(r1, r2) & valid
+    work = valid & ~inter
+    ax = np.full(n, np.nan); ay = np.full(n, np.nan)
+    bx = np.full(n, np.nan); by = np.full(n, np.nan)
+    if work.any():
+        g_a, d2_a, x1a, y1a, x2a, y2a = _nearest_candidates(
+            r1, r2, work, n, swap=False)
+        g_b, d2_b, x1b, y1b, x2b, y2b = _nearest_candidates(
+            r2, r1, work, n, swap=True)
+        g = np.concatenate([g_a, g_b]).astype(np.int64)
+        if g.size:
+            d2 = np.concatenate([d2_a, d2_b])
+            cx1 = np.concatenate([x1a, x1b]); cy1 = np.concatenate([y1a, y1b])
+            cx2 = np.concatenate([x2a, x2b]); cy2 = np.concatenate([y2a, y2b])
+            order = np.lexsort((d2, g))
+            gs = g[order]
+            first = np.ones(gs.size, dtype=bool)
+            first[1:] = gs[1:] != gs[:-1]
+            pick = order[first]
+            ax[g[pick]] = cx1[pick]; ay[g[pick]] = cy1[pick]
+            bx[g[pick]] = cx2[pick]; by[g[pick]] = cy2[pick]
+    # intersecting rows: find a shared point (rare, scalar path)
+    for i in np.nonzero(inter)[0]:
+        p = _shared_point(r1.geom(i), r2.geom(i))
+        if p is not None:
+            ax[i] = bx[i] = p[0]
+            ay[i] = by[i] = p[1]
+    ok = valid & np.isfinite(ax)
+    return ax, ay, bx, by, ok
+
+
+def _shared_point(g1, g2):
+    """Some point shared by two intersecting geometries: a proper
+    crossing of boundary segments, else a vertex of one on/inside the
+    other (boundary-inclusive) — together these cover every intersecting
+    configuration (overlap implies a boundary crossing or containment;
+    containment/touch implies a vertex of one on/in the other)."""
+    from .algos import _point_touches
+    from .relate import _segments
+    s1 = list(_segments(g1))
+    s2 = list(_segments(g2))
+    for a in s1:
+        for b in s2:
+            p = _seg_seg_point(*a, *b)
+            if p is not None:
+                return p
+    _, x1, y1, _, _ = g1
+    for px, py in zip(x1, y1):
+        if _point_touches(px, py, g2):
+            return (px, py)
+    _, x2, y2, _, _ = g2
+    for px, py in zip(x2, y2):
+        if _point_touches(px, py, g1):
+            return (px, py)
+    return None
+
+
+def _seg_seg_point(ax, ay, bx, by, cx, cy, dx, dy):
+    """An intersection point of two segments, or None."""
+    r1x, r1y = bx - ax, by - ay
+    r2x, r2y = dx - cx, dy - cy
+    den = r1x * r2y - r1y * r2x
+    if den != 0:
+        t = ((cx - ax) * r2y - (cy - ay) * r2x) / den
+        u = ((cx - ax) * r1y - (cy - ay) * r1x) / den
+        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+            return (ax + t * r1x, ay + t * r1y)
+        return None
+    # collinear/parallel: check endpoint containment
+    for px, py in ((ax, ay), (bx, by)):
+        if _pt_on_seg(px, py, cx, cy, dx, dy):
+            return (px, py)
+    for px, py in ((cx, cy), (dx, dy)):
+        if _pt_on_seg(px, py, ax, ay, bx, by):
+            return (px, py)
+    return None
+
+
+def _pt_on_seg(px, py, ax, ay, bx, by):
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    if abs(cross) > 1e-9 * max(1.0, abs(bx - ax) + abs(by - ay)):
+        return False
+    return (min(ax, bx) - 1e-12 <= px <= max(ax, bx) + 1e-12
+            and min(ay, by) - 1e-12 <= py <= max(ay, by) + 1e-12)

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "geo_relate_classify",
     "geo_hull_simplify",
     "geo_ring_accessors",
+    "geo_shape_metrics",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

@@ -1,0 +1,134 @@
+"""Tests for the round-6 shape descriptors: hausdorff/frechet distance,
+minimum rotated rectangle, minimum bounding circle, shortest_line —
+closed-form oracles on constructed geometries."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import st
+
+
+def _wkt_df(spark, pairs):
+    """rows of (id, wkt_a, wkt_b) -> df with geom columns a, b."""
+    df = spark.createDataFrame(pairs, "id long, wa string, wb string")
+    return (df.withColumn("a", st.from_wkt("wa"))
+            .withColumn("b", st.from_wkt("wb")))
+
+
+def test_hausdorff_translated_rect(spark):
+    # rect vs same rect translated by dx: HD = dx (attained at vertices)
+    df = _wkt_df(spark, [
+        (1, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))",
+            "POLYGON ((1.5 0, 5.5 0, 5.5 2, 1.5 2, 1.5 0))"),
+        (2, "LINESTRING (0 0, 10 0)", "LINESTRING (0 3, 10 3)"),
+        (3, "POINT (0 0)", "MULTIPOINT (3 4, 1 1)"),
+    ])
+    got = {r.id: r.h for r in df.select(
+        "id", st.hausdorff_distance("a", "b").alias("h")).collect()}
+    assert abs(got[1] - 1.5) < 1e-12
+    assert abs(got[2] - 3.0) < 1e-12
+    assert abs(got[3] - 5.0) < 1e-12  # farthest of the two points
+
+
+def test_frechet_parallel_lines(spark):
+    df = _wkt_df(spark, [
+        (1, "LINESTRING (0 0, 10 0)", "LINESTRING (0 2, 10 2)"),
+        # reversed direction forces the leash across the whole span
+        (2, "LINESTRING (0 0, 10 0)", "LINESTRING (10 2, 0 2)"),
+    ])
+    got = {r.id: r.f for r in df.select(
+        "id", st.frechet_distance("a", "b").alias("f")).collect()}
+    assert abs(got[1] - 2.0) < 1e-12
+    assert abs(got[2] - math.hypot(10, 2)) < 1e-12
+
+
+def test_minimum_rotated_rectangle_diamond(spark):
+    # diamond rx=3, ry=1: MRR area = 4*rx*ry*max(rx^2,ry^2)/(rx^2+ry^2)
+    df = _wkt_df(spark, [
+        (1, "POLYGON ((3 0, 0 1, -3 0, 0 -1, 3 0))", "POINT (0 0)"),
+        (2, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))", "POINT (0 0)"),
+        (3, "LINESTRING (0 0, 2 2, 4 4)", "POINT (0 0)"),  # collinear
+        (4, "POINT (5 5)", "POINT (0 0)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.area(st.minimum_rotated_rectangle("a")).alias("ar"),
+        st.geom_type_name(st.minimum_rotated_rectangle("a")).alias("t"))
+        .collect()}
+    want = 4 * 3 * 1 * 9 / 10
+    assert abs(out[1].ar - want) < 1e-9
+    assert abs(out[2].ar - 8.0) < 1e-9  # axis rect is its own MRR
+    assert out[3].t == "LineString"
+    assert out[4].t == "Point"
+
+
+def test_minimum_bounding_circle(spark):
+    df = _wkt_df(spark, [
+        (1, "POLYGON ((3 0, 0 1, -3 0, 0 -1, 3 0))", "POINT (0 0)"),
+        (2, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))", "POINT (0 0)"),
+        (3, "MULTIPOINT (0 0, 2 0, 1 1.7)", "POINT (0 0)"),  # acute triangle
+        (4, "POINT (7 8)", "POINT (0 0)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id", st.minimum_bounding_radius("a").alias("r"),
+        st.geom_type_name(st.minimum_bounding_circle("a")).alias("t"))
+        .collect()}
+    assert abs(out[1].r - 3.0) < 1e-9                     # diamond: max radius
+    assert abs(out[2].r - math.hypot(2, 1)) < 1e-9        # half-diagonal
+    # acute triangle -> circumradius R = abc/(4K)
+    a = 2.0
+    b = math.hypot(1, 1.7)
+    c = math.hypot(1, 1.7)
+    k = 0.5 * 2.0 * 1.7
+    assert abs(out[3].r - a * b * c / (4 * k)) < 1e-9
+    assert out[4].r == 0.0
+    assert out[4].t == "Point"
+    assert out[1].t == "Polygon"
+    # rendered circle is the inscribed 4*quad_segs-gon (buffer-circle
+    # convention): area = 0.5*n*r^2*sin(2*pi/n)
+    ar = df.where(F.col("id") == 1).select(
+        st.area(st.minimum_bounding_circle("a")).alias("ar")).first().ar
+    n = 32
+    assert abs(ar - 0.5 * n * 9.0 * math.sin(2 * math.pi / n)) < 1e-9
+
+
+def test_shortest_line_disjoint(spark):
+    df = _wkt_df(spark, [
+        # two rects separated by a gap of 2 in x
+        (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((4 0, 6 0, 6 2, 4 2, 4 0))"),
+        # point to segment interior (projection, not a vertex)
+        (2, "POINT (5 5)", "LINESTRING (0 0, 10 0)"),
+        # intersecting -> zero-length line at a shared point
+        (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+    ])
+    rows = {r.id: r for r in df.select(
+        "id",
+        st.length(st.shortest_line("a", "b")).alias("ln"),
+        st.x(st.line_interpolate_point(st.shortest_line("a", "b"), 0.0))
+          .alias("x0"),
+        st.y(st.line_interpolate_point(st.shortest_line("a", "b"), 1.0,
+                                       normalized=True)).alias("y1"))
+        .collect()}
+    assert abs(rows[1].ln - 2.0) < 1e-12
+    assert abs(rows[2].ln - 5.0) < 1e-12
+    assert rows[3].ln == 0.0
+    # gap line runs between the facing edges
+    assert abs(rows[1].x0 - 2.0) < 1e-12
+
+
+def test_shape_ops_null_and_empty(spark):
+    df = spark.createDataFrame([(1,)], "id long") \
+        .withColumn("p", st.point(F.lit(0.0), F.lit(0.0))) \
+        .withColumn("n", st.from_wkt(F.lit(None).cast("string")))
+    r = df.select(
+        st.hausdorff_distance("p", "n").alias("h"),
+        st.frechet_distance("n", "p").alias("f"),
+        st.minimum_bounding_radius("n").alias("r"),
+        st.shortest_line("p", "n").alias("sl")).first()
+    assert r.h is None or (isinstance(r.h, float) and math.isnan(r.h))
+    assert r.f is None or (isinstance(r.f, float) and math.isnan(r.f))
+    assert r.sl is None or r.sl.gt is None
