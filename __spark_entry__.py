@@ -1223,6 +1223,21 @@ def geo_shape_metrics(spark, sf):
         F.round(st.length("sl"), 6).alias("gap_len"))
 
 
+def geo_zorder_keys(spark, sf):
+    """Morton/Z-order spatial clustering key (io.write_geoparquet
+    spatial_sort): 16-bit quantization + magic-number bit spreading,
+    pure JVM integer ops inside codegen. The oracle replays the exact
+    shift/mask pipeline in SQL, so the key is checked bit-for-bit; the
+    coarse bucket (top 8 bits) is what range partitioning actually
+    splits on."""
+    c = _t(spark, sf, "customer")
+    x = (F.col("c_custkey") % 97).cast("double") / 9.7
+    y = (F.col("c_custkey") % 89).cast("double") / 8.9
+    key = st.zorder_key(x, y, (0.0, 0.0, 10.0, 10.0), bits=16)
+    return c.select("c_custkey", key.alias("zkey"),
+                    F.shiftright(key, 24).cast("long").alias("bucket"))
+
+
 def decontam_overlap(spark, sf):
     """Benchmark decontamination (llm/pipeline.py): treat every 97th doc
     as an eval-set document and find training docs sharing ≥30% of its
@@ -1395,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": dedup_groups,
         "text_quality_gopher": text_quality_gopher,
         "geo_shape_metrics": geo_shape_metrics,
+        "geo_zorder_keys": geo_zorder_keys,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2513,6 +2529,44 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        "geo_zorder_keys": """
+            WITH pts AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 97 AS DOUBLE) / 9.7 AS x,
+                       CAST(c_custkey % 89 AS DOUBLE) / 8.9 AS y
+                FROM customer),
+            q AS (
+                SELECT c_custkey,
+                       least(greatest(CAST(floor(x / 10.0 * 65535)
+                           AS BIGINT), 0), 65535) AS qx,
+                       least(greatest(CAST(floor(y / 10.0 * 65535)
+                           AS BIGINT), 0), 65535) AS qy
+                FROM pts),
+            s1 AS (
+                SELECT c_custkey,
+                       ((qx | (qx << 8)) & 16711935) AS ax,
+                       ((qy | (qy << 8)) & 16711935) AS ay
+                FROM q),
+            s2 AS (
+                SELECT c_custkey,
+                       ((ax | (ax << 4)) & 252645135) AS ax,
+                       ((ay | (ay << 4)) & 252645135) AS ay
+                FROM s1),
+            s3 AS (
+                SELECT c_custkey,
+                       ((ax | (ax << 2)) & 858993459) AS ax,
+                       ((ay | (ay << 2)) & 858993459) AS ay
+                FROM s2),
+            s4 AS (
+                SELECT c_custkey,
+                       ((ax | (ax << 1)) & 1431655765) AS ax,
+                       ((ay | (ay << 1)) & 1431655765) AS ay
+                FROM s3)
+            SELECT c_custkey,
+                   ((ax << 1) | ay) AS zkey,
+                   CAST(((ax << 1) | ay) // 16777216 AS BIGINT) AS bucket
+            FROM s4
         """,
         "decontam_overlap": """
             WITH toks AS (

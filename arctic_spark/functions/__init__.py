@@ -39,6 +39,7 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
+from .native import geom_zorder_key, zorder_key  # noqa: F401
 
 # reference naming aliases (SURVEY §2.2)
 length = native.length
@@ -86,6 +87,7 @@ __all__ = [
     "relate", "relate_pattern", "freeze", "dwithin",
     "hausdorff_distance", "frechet_distance", "minimum_rotated_rectangle",
     "minimum_bounding_radius", "minimum_bounding_circle", "shortest_line",
+    "zorder_key", "geom_zorder_key",
 ]
 
 

@@ -1240,3 +1240,56 @@ def reverse(g) -> Column:
                   F.when(g["gt"].isin(POINT, MULTIPOINT), g)
                   .otherwise(geom_struct(g["gt"], nx, ny, g["rings"],
                                          g["parts"])))
+
+
+# ---------------------------------------------------------------------------
+# space-filling-curve keys (round 6) — spatial file clustering
+# ---------------------------------------------------------------------------
+
+def _spread_bits16(v: Column) -> Column:
+    """Interleave-ready bit spread: 16-bit int → 32-bit with a zero
+    between every bit (classic magic-number Morton spreading, 4 shift/
+    mask steps — pure JVM integer ops inside codegen)."""
+    def m(k):
+        return F.lit(k).cast("long")
+    v = v.cast("long")
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(m(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(m(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(m(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(m(0x55555555))
+    return v
+
+
+def zorder_key(x, y, extent, bits: int = 16) -> Column:
+    """Morton/Z-order key of a point within ``extent`` =
+    (xmin, ymin, xmax, ymax): both coordinates quantized to ``bits``
+    levels and bit-interleaved into one long. Rows sorted by this key
+    are spatially clustered, so range-partitioned parquet files get
+    tight bbox min/max stats — the scan-time pruning analogue of a
+    clustered spatial index, with no index structure to build or ship.
+    Out-of-bounds coordinates clamp to the edge cells."""
+    if bits < 1 or bits > 16:
+        raise ValueError("bits must be in [1, 16]")
+    xmin, ymin, xmax, ymax = (float(b) for b in extent)
+    n = (1 << bits) - 1
+    sx = (xmax - xmin) or 1.0
+    sy = (ymax - ymin) or 1.0
+    qx = F.least(F.greatest(((_c_num(x) - xmin) / sx * n)
+                            .cast("long"), F.lit(0)), F.lit(n))
+    qy = F.least(F.greatest(((_c_num(y) - ymin) / sy * n)
+                            .cast("long"), F.lit(0)), F.lit(n))
+    return F.shiftleft(_spread_bits16(qx), 1) \
+            .bitwiseOR(_spread_bits16(qy)).cast("long")
+
+
+def _c_num(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def geom_zorder_key(g, extent, bits: int = 16) -> Column:
+    """Z-order key of a geometry's bbox center (the standard clustering
+    key for non-point geometries)."""
+    g = _g(g)
+    xmin, ymin, xmax, ymax = bounds(g)
+    return zorder_key((xmin + xmax) / 2.0, (ymin + ymax) / 2.0,
+                      extent, bits)

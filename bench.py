@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "geo_hull_simplify",
     "geo_ring_accessors",
     "geo_shape_metrics",
+    "geo_zorder_keys",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

@@ -1,0 +1,105 @@
+"""Z-order spatial clustering: key correctness vs a python Morton
+reference, and write_geoparquet(spatial_sort=...) producing spatially
+compact files (tight per-file bbox stats)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import GeoDataFrame, st
+from arctic_spark.io import read_geoparquet, write_geoparquet
+
+
+def _morton(qx, qy):
+    out = 0
+    for i in range(16):
+        out |= ((qy >> i) & 1) << (2 * i)
+        out |= ((qx >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    rows = [(i, (i * 37) % 100 / 10.0, (i * 53) % 100 / 10.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    extent = (0.0, 0.0, 10.0, 10.0)
+    got = {r.id: r.z for r in df.select(
+        "id", st.zorder_key("x", "y", extent).alias("z")).collect()}
+    n = (1 << 16) - 1
+    for i, x, y in rows:
+        qx = min(max(int((x - 0.0) / 10.0 * n), 0), n)
+        qy = min(max(int((y - 0.0) / 10.0 * n), 0), n)
+        assert got[i] == _morton(qx, qy), (i, x, y)
+
+
+def test_zorder_key_clamps_and_orders(spark):
+    df = spark.createDataFrame(
+        [(1, -5.0, -5.0), (2, 15.0, 15.0), (3, 0.0, 0.0)],
+        "id long, x double, y double")
+    ext = (0.0, 0.0, 10.0, 10.0)
+    r = {x.id: x.z for x in df.select(
+        "id", st.zorder_key("x", "y", ext).alias("z")).collect()}
+    assert r[1] == 0               # clamped to min corner
+    assert r[2] == (1 << 32) - 1   # clamped to max corner
+    assert r[3] == 0
+
+
+def test_spatial_sort_write_clusters_files(spark, tmp_path):
+    # scattered points over a 100x100 extent
+    df = (spark.range(0, 4000)
+          .withColumn("x", (F.col("id") * 137 % 1000) / 10.0)
+          .withColumn("y", (F.col("id") * 401 % 1000) / 10.0)
+          .withColumn("geometry", st.point(F.col("x"), F.col("y")))
+          .drop("x", "y"))
+    gdf = GeoDataFrame(df)
+    p_plain = str(tmp_path / "plain")
+    p_sorted = str(tmp_path / "zsorted")
+    write_geoparquet(gdf, p_plain)
+    write_geoparquet(gdf, p_sorted, spatial_sort="z", sort_partitions=8)
+
+    def file_spans(path):
+        spans = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            lo, hi = float("inf"), float("-inf")
+            nrows = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                nrows += g.num_rows
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == "bbox_xmin" and \
+                            col.statistics is not None:
+                        lo = min(lo, col.statistics.min)
+                        hi = max(hi, col.statistics.max)
+            if nrows > 0 and lo <= hi:
+                spans.append(hi - lo)
+        return spans
+
+    plain = file_spans(p_plain)
+    zs = file_spans(p_sorted)
+    assert plain and zs
+    # round-robin layout: every file spans ~the full extent; z-sorted
+    # files cover compact regions
+    assert sum(zs) / len(zs) < 0.6 * sum(plain) / len(plain)
+
+    # content unchanged
+    back = read_geoparquet(spark, p_sorted)
+    assert back.df.count() == 4000
+    ids = sorted(r.id for r in back.df.select("id").collect())
+    assert ids == list(range(4000))
+
+
+def test_spatial_sort_explicit_extent_and_validation(spark, tmp_path):
+    df = (spark.range(0, 100)
+          .withColumn("geometry", st.point(F.col("id").cast("double"),
+                                           F.lit(0.0))))
+    gdf = GeoDataFrame(df)
+    write_geoparquet(gdf, str(tmp_path / "e"), spatial_sort=(0, 0, 100, 1),
+                     sort_partitions=2)
+    assert read_geoparquet(spark, str(tmp_path / "e")).df.count() == 100
+    with pytest.raises(ValueError):
+        write_geoparquet(gdf, str(tmp_path / "bad"), spatial_sort="hilbert")
