@@ -168,3 +168,37 @@ def streaming_dedup_exact(docs: DataFrame, ts_col="ts", text_col="text",
         src = src.withWatermark(ts_col, watermark)
         return src.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
     return src.dropDuplicates(["__fp"]).drop("__fp")
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key: str, lower: str, upper: str,
+                                left_ts="ts", right_ts="ts",
+                                watermark="10 minutes",
+                                how: str = "inner") -> DataFrame:
+    """Stream-stream equi-join with an event-time interval constraint:
+    match rows sharing ``key`` whose right timestamp falls in
+    [left_ts - lower, left_ts + upper] — the streaming analogue of the
+    batch ``range_join`` (ad-impression × click attribution, sensor
+    correlation).
+
+    Both sides get watermarks and the join condition carries the time
+    bound, so Spark can size and EXPIRE the join state: each side
+    buffers only rows inside watermark + interval, making state bounded
+    regardless of stream lifetime — the required shape for a
+    stream-stream join that runs for months. Outer variants additionally
+    need the time bound to know when an unmatched row is safely
+    emittable. On batch frames the same plan is an ordinary
+    conditional equi-join (how the fast tests validate results)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("how must be 'inner' or 'leftOuter'")
+    l = left.alias("l")
+    r = right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (rts >= lts - F.expr(f"INTERVAL {lower}"))
+            & (rts <= lts + F.expr(f"INTERVAL {upper}")))
+    return l.join(r, cond, how)

@@ -203,3 +203,58 @@ def test_streaming_dedup_exact(spark, tmp_path):
         assert sorted(r.doc_id for r in got) == [1, 3]
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: impressions x clicks attribution
+    within [0s, +30s] per ad key — batch twin for exact results, then a
+    real two-file-stream micro-batch run with watermarked state."""
+    import json
+
+    from arctic_spark.streaming.ops import stream_stream_interval_join
+
+    imps_rows = [("2024-01-01 10:00:00", "ad1", 1),
+                 ("2024-01-01 10:00:10", "ad2", 2),
+                 ("2024-01-01 10:01:00", "ad1", 3)]
+    clk_rows = [("2024-01-01 10:00:05", "ad1", 101),   # matches imp 1
+                ("2024-01-01 10:00:50", "ad2", 102),   # 40s late -> no match
+                ("2024-01-01 10:01:20", "ad1", 103)]   # matches imp 3
+    imps = spark.createDataFrame(imps_rows, "ts string, ad string, imp long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    clks = spark.createDataFrame(clk_rows, "cts string, ad string, clk long") \
+        .withColumn("cts", F.to_timestamp("cts"))
+    out = stream_stream_interval_join(imps, clks, key="ad",
+                                      lower="0 seconds", upper="30 seconds",
+                                      left_ts="ts", right_ts="cts")
+    got = sorted((r.imp, r.clk) for r in out.select("l.imp", "r.clk")
+                 .collect())
+    assert got == [(1, 101), (3, 103)]
+
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(imps, clks, key="ad", lower="0 seconds",
+                                    upper="1 seconds", how="fullOuter")
+
+    # real micro-batch: two file streams
+    d1 = tmp_path / "imps"; d1.mkdir()
+    d2 = tmp_path / "clks"; d2.mkdir()
+    (d1 / "a.json").write_text("\n".join(json.dumps(
+        {"ts": t.replace(" ", "T"), "ad": a, "imp": i})
+        for t, a, i in imps_rows))
+    (d2 / "a.json").write_text("\n".join(json.dumps(
+        {"cts": t.replace(" ", "T"), "ad": a, "clk": c})
+        for t, a, c in clk_rows))
+    s_imps = spark.readStream.schema("ts timestamp, ad string, imp long") \
+        .json(str(d1))
+    s_clks = spark.readStream.schema("cts timestamp, ad string, clk long") \
+        .json(str(d2))
+    out_s = stream_stream_interval_join(
+        s_imps, s_clks, key="ad", lower="0 seconds", upper="30 seconds",
+        left_ts="ts", right_ts="cts", watermark="1 minute")
+    q = (out_s.select("l.imp", "r.clk").writeStream.format("memory")
+         .queryName("attrib").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT imp, clk FROM attrib").collect()
+        assert sorted((r.imp, r.clk) for r in rows) == [(1, 101), (3, 103)]
+    finally:
+        q.stop()
