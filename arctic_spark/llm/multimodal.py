@@ -1,17 +1,29 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The media codec libraries (Pillow/libav/etc.) are NOT in this container,
-so the decode kernels are STUBBED — ``decode_image_features`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic md5-seeded feature vector. Everything around the stub —
-schema, batching, partition sizing, UDF signatures — is real and tested:
-swapping in a real decoder is a one-function change.
+Since round 6 the decode path is REAL for every self-describing format
+that needs no codec library — parsed directly from bytes with numpy:
+
+- audio: WAV/RIFF (PCM 8/16/32-bit and IEEE float32) → samples,
+  sample-rate, channel mix-down, RMS / zero-crossing / spectral-centroid
+  features;
+- image: PPM (P6), PGM (P5), uncompressed BMP (24/32-bit) → pixel
+  array, per-channel stats, 8×8 luminance thumbnail features, and a
+  64-bit dHash perceptual hash (pairs with ``dedup.hamming64`` for
+  near-duplicate image detection at scale).
+
+Formats that require entropy codecs (JPEG/PNG/MP3/H.264) stay gated:
+``fake=True`` substitutes deterministic md5-seeded vectors, otherwise
+the job raises ``NotImplementedError`` at execution (the codec libs are
+not in this container; the distributed plumbing — schema, Arrow
+batching, UDF signatures — is identical either way, so wiring a codec
+is a per-format one-function change in ``_decode_image_bytes``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -42,6 +54,151 @@ def attach_media(df: DataFrame, payload_col: str, media_type: str,
         F.length(F.col(payload_col)).cast("long").alias("n_bytes")))
 
 
+# ---------------------------------------------------------------------------
+# byte-level parsers (pure numpy — no codec libraries)
+# ---------------------------------------------------------------------------
+
+def parse_wav(buf: bytes):
+    """Parse a RIFF/WAVE file: returns (sample_rate, n_channels,
+    float32 samples mixed down to mono in [-1, 1]). Supports PCM
+    (format 1) at 8/16/32 bit and IEEE float32 (format 3)."""
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, "u1").astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}bit")
+    if n_ch > 1:
+        x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return int(rate), int(n_ch), x
+
+
+def _parse_pnm(buf: bytes):
+    """PPM (P6) / PGM (P5) binary: returns HxWx3 / HxW uint8 array."""
+    if buf[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    toks = []
+    pos = 2
+    while len(toks) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":            # comment to end of line
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        toks.append(int(buf[start:pos]))
+    pos += 1                                     # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    ch = 3 if buf[:2] == b"P6" else 1
+    arr = np.frombuffer(buf, "u1", count=w * h * ch, offset=pos)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def _parse_bmp(buf: bytes):
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER): HxWx3 uint8 RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size, w, h) = struct.unpack_from("<Iii", buf, 14)
+    (planes, bpp) = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    flip = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    row_stride = (w * nb + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_off + r * row_stride
+        row = np.frombuffer(buf, "u1", count=w * nb, offset=off)
+        rows.append(row.reshape(w, nb)[:, :3][:, ::-1])   # BGR(A) -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
+def _decode_image_bytes(b: bytes, fmt_hint: str | None = None):
+    """Decode self-describing image bytes to an HxW[x3] uint8 array, or
+    raise for codec-dependent formats."""
+    if b[:2] in (b"P6", b"P5"):
+        return _parse_pnm(b)
+    if b[:2] == b"BM":
+        return _parse_bmp(b)
+    raise NotImplementedError(
+        f"image format {fmt_hint or b[:4]!r} requires a codec library "
+        "not present in this environment; pass fake=True to exercise "
+        "the pipeline with deterministic stubs")
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2]).astype(np.float32)
+
+
+def _downsample(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style downsample via integer bucket means (deterministic,
+    no interpolation library)."""
+    h, w = gray.shape
+    ri = (np.arange(h) * out_h // max(h, 1)).clip(0, out_h - 1)
+    ci = (np.arange(w) * out_w // max(w, 1)).clip(0, out_w - 1)
+    out = np.zeros((out_h, out_w), np.float64)
+    cnt = np.zeros((out_h, out_w), np.int64)
+    np.add.at(out, (ri[:, None], ci[None, :]), gray)
+    np.add.at(cnt, (ri[:, None], ci[None, :]), 1)
+    return (out / np.maximum(cnt, 1)).astype(np.float32)
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """67-dim real feature vector: [w, h, mean_luma] + flattened 8x8
+    luminance thumbnail (the aHash grid, unthresholded)."""
+    g = _gray(img)
+    thumb = _downsample(g, 8, 8).reshape(-1) / 255.0
+    h, w = g.shape
+    return np.concatenate([[w, h, float(g.mean()) / 255.0], thumb]) \
+        .astype(np.float32)
+
+
+def _dhash64(img: np.ndarray) -> int:
+    """64-bit difference-hash: 9x8 luminance grid, bit = left<right —
+    the standard perceptual near-dup signature (hamming distance ≤ ~10
+    ⇒ visually similar)."""
+    g = _downsample(_gray(img), 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic pseudo-features from payload bytes (md5-seeded)."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
@@ -49,27 +206,24 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# distributed decode operators
+# ---------------------------------------------------------------------------
+
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           dim: int = 64, fake: bool = False,
                           batch_size: int = 256) -> DataFrame:
-    """Append an `array<float>` feature column decoded from image bytes.
-
-    Real decode requires an image library absent from this container:
-    with ``fake=False`` the job raises NotImplementedError at execution.
-    ``fake=True`` produces deterministic md5-seeded vectors so the full
-    distributed plumbing (Arrow batches, schema, downstream ANN joins)
-    is exercised end-to-end.
-    """
+    """Append an ``array<float>`` feature column decoded from image
+    bytes. REAL decode for PPM/PGM/BMP (67-dim: dims + mean luma + 8×8
+    thumbnail); ``fake=True`` yields md5-seeded ``dim``-vectors for any
+    payload (plumbing tests / codec-dependent formats). Arrow-batched
+    mapInPandas — each executor decodes its partition, nothing ever
+    reaches the driver."""
     out_schema = T.StructType(df.schema.fields + [
         T.StructField("features", T.ArrayType(T.FloatType()))])
     cols = [f.name for f in df.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import PIL.Image  # noqa: F401
-            have_pil = True
-        except Exception:
-            have_pil = False
         for pdf in batches:
             feats = []
             for b in pdf[payload_col]:
@@ -77,15 +231,105 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                     feats.append(None)
                 elif fake:
                     feats.append(_fake_features(bytes(b), dim).tolist())
-                elif not have_pil:
-                    raise NotImplementedError(
-                        "image decode requires an imaging library not "
-                        "present in this environment; pass fake=True to "
-                        "exercise the pipeline with deterministic stubs")
-                else:  # pragma: no cover - no PIL in container
-                    raise NotImplementedError("real decode path not wired")
+                else:
+                    feats.append(
+                        _image_features(_decode_image_bytes(bytes(b)))
+                        .tolist())
             out = pdf[cols].copy()
             out["features"] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_meta_and_phash(df: DataFrame, payload_col: str = "payload") \
+        -> DataFrame:
+    """Append (width, height, phash64) decoded from self-describing
+    image bytes — the scale path for image near-dup dedup: join/band on
+    the 64-bit dHash exactly like ``dedup.simhash_near_dup_pairs`` bands
+    its text signatures (``dedup.hamming64`` verifies candidates)."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("phash64", T.LongType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, ph = [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    ws.append(None); hs.append(None); ph.append(None)
+                else:
+                    img = _decode_image_bytes(bytes(b))
+                    hh, w = img.shape[0], img.shape[1]
+                    ws.append(w); hs.append(hh)
+                    ph.append(_dhash64(img))
+            out = pdf[cols].copy()
+            out["width"] = pd.array(ws, dtype="Int32")
+            out["height"] = pd.array(hs, dtype="Int32")
+            out["phash64"] = pd.array(ph, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload") \
+        -> DataFrame:
+    """Append real audio descriptors decoded from WAV bytes:
+    (sample_rate, n_channels, n_samples, duration_ms, rms, peak,
+    zero_crossing_rate, spectral_centroid_hz). All numpy over the
+    mono mix-down; the FFT for the centroid runs per row inside the
+    executor batch."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType())])
+    cols = [f.name for f in df.schema.fields]
+    new = ["sample_rate", "n_channels", "n_samples", "duration_ms",
+           "rms", "peak", "zero_crossing_rate", "spectral_centroid_hz"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = {k: [] for k in new}
+            for b in pdf[payload_col]:
+                if b is None:
+                    for k in new:
+                        vals[k].append(None)
+                    continue
+                rate, n_ch, x = parse_wav(bytes(b))
+                n = len(x)
+                vals["sample_rate"].append(rate)
+                vals["n_channels"].append(n_ch)
+                vals["n_samples"].append(n)
+                vals["duration_ms"].append(int(n * 1000 / rate) if rate else 0)
+                if n:
+                    vals["rms"].append(float(np.sqrt(np.mean(x ** 2))))
+                    vals["peak"].append(float(np.abs(x).max()))
+                    vals["zero_crossing_rate"].append(
+                        float(np.mean(np.abs(np.diff(np.signbit(x))))))
+                    spec = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    tot = spec.sum()
+                    vals["spectral_centroid_hz"].append(
+                        float((freqs * spec).sum() / tot) if tot > 0 else 0.0)
+                else:
+                    for k in ("rms", "peak", "zero_crossing_rate",
+                              "spectral_centroid_hz"):
+                        vals[k].append(0.0)
+            out = pdf[cols].copy()
+            out["sample_rate"] = pd.array(vals["sample_rate"], dtype="Int32")
+            out["n_channels"] = pd.array(vals["n_channels"], dtype="Int32")
+            out["n_samples"] = pd.array(vals["n_samples"], dtype="Int64")
+            out["duration_ms"] = pd.array(vals["duration_ms"], dtype="Int64")
+            for k in ("rms", "peak", "zero_crossing_rate",
+                      "spectral_centroid_hz"):
+                out[k] = vals[k]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -96,7 +340,7 @@ def frame_sample_plan(df: DataFrame, payload_col: str = "payload",
     """Video frame-sampling *plan*: expands each video row into frame
     rows (frame_idx, ts_ms) based on metadata duration — the row
     explosion is native (sequence + explode); only the pixel decode of
-    each sampled frame would call into a codec (stubbed)."""
+    each sampled frame would call into a codec (gated)."""
     n_frames = F.greatest(
         (F.col("media_meta.duration_ms") / F.lit(every_ms)).cast("int"),
         F.lit(1))
