@@ -208,6 +208,12 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_buffer": st_buffer,
         "st_simplify": st_simplify,
         "st_relate": _udfs.relate,
+        # round-6 shape descriptors
+        "st_hausdorffdistance": _udfs.hausdorff_distance,
+        "st_frechetdistance": _udfs.frechet_distance,
+        "st_orientedenvelope": _geom_udf(algos.minimum_rotated_rectangle),
+        "st_minimumboundingradius": _udfs.minimum_bounding_radius,
+        "st_shortestline": _udfs.shortest_line,
     }
     for name, fn in fns.items():
         spark.udf.register(name, fn)

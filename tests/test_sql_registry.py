@@ -70,3 +70,32 @@ def test_sql_overlay_and_geojson(spark):
     import json
     assert json.loads(r.gj) == {"type": "Point", "coordinates": [1.5, 2.5]}
     assert r.rt == "POINT (3 4)"
+
+
+def test_sql_shape_descriptors(spark):
+    from arctic_spark.sql import register_sql_functions
+    names = register_sql_functions(spark)
+    assert "st_hausdorffdistance" in names
+    r = spark.sql("""
+        SELECT st_hausdorffdistance(
+                   st_geomfromtext('LINESTRING (0 0, 10 0)'),
+                   st_geomfromtext('LINESTRING (0 3, 10 3)')) AS hd,
+               st_frechetdistance(
+                   st_geomfromtext('LINESTRING (0 0, 10 0)'),
+                   st_geomfromtext('LINESTRING (0 2, 10 2)')) AS fr,
+               st_area(st_orientedenvelope(
+                   st_geomfromtext('POLYGON ((3 0, 0 1, -3 0, 0 -1, 3 0))')))
+                   AS mrr,
+               st_minimumboundingradius(
+                   st_geomfromtext('POLYGON ((3 0, 0 1, -3 0, 0 -1, 3 0))'))
+                   AS mbr,
+               st_length(st_shortestline(
+                   st_geomfromtext('POINT (5 5)'),
+                   st_geomfromtext('LINESTRING (0 0, 10 0)'))) AS sl
+    """).collect()[0]
+    import pytest as _pt
+    assert r.hd == _pt.approx(3.0)
+    assert r.fr == _pt.approx(2.0)
+    assert r.mrr == _pt.approx(4 * 3 * 1 * 9 / 10)
+    assert r.mbr == _pt.approx(3.0)
+    assert r.sl == _pt.approx(5.0)
