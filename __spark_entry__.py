@@ -1223,6 +1223,34 @@ def geo_shape_metrics(spark, sf):
         F.round(st.length("sl"), 6).alias("gap_len"))
 
 
+def geo_overlay_area(spark, sf):
+    """GeoPandas-style distributed overlay (joins.overlay): customer
+    rects × supplier rects on a shifted 8×8 block grid, pairwise
+    intersection geometry via the spatial join + boolean kernel. The
+    oracle is pure interval arithmetic (axis rects: overlap width ×
+    height), so the overlay's geometry output is value-checked, not just
+    counted."""
+    from arctic_spark.joins import overlay
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    lx = (ck % 8).cast("double") * 4.0 + 0.3
+    ly = ((ck / 8).cast("long") % 8).cast("double") * 4.0 + 0.3
+    rx = (sk % 8).cast("double") * 4.0 + 1.9
+    ry = ((sk / 8).cast("long") % 8).cast("double") * 4.0 + 1.9
+    left = GeoDataFrame(c.select(
+        "c_custkey", st.make_envelope(lx, ly, lx + 3.0, ly + 3.0)
+        .alias("geometry")))
+    right = GeoDataFrame(s.select(
+        "s_suppkey", st.make_envelope(rx, ry, rx + 3.0, ry + 3.0)
+        .alias("geometry")))
+    out = overlay(left, right, how="intersection", broadcast_right=True)
+    return out.df.select(
+        F.col("c_custkey_1").alias("c_custkey"),
+        F.col("s_suppkey_2").alias("s_suppkey"),
+        F.round(st.area("geometry"), 6).alias("ix_area"))
+
+
 def geo_zorder_keys(spark, sf):
     """Morton/Z-order spatial clustering key (io.write_geoparquet
     spatial_sort): 16-bit quantization + magic-number bit spreading,
@@ -1411,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gopher": text_quality_gopher,
         "geo_shape_metrics": geo_shape_metrics,
         "geo_zorder_keys": geo_zorder_keys,
+        "geo_overlay_area": geo_overlay_area,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2529,6 +2558,26 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        "geo_overlay_area": """
+            WITH l AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 8 AS DOUBLE) * 4.0 + 0.3 AS x0,
+                       CAST((c_custkey // 8) % 8 AS DOUBLE) * 4.0 + 0.3 AS y0
+                FROM customer),
+            r AS (
+                SELECT s_suppkey,
+                       CAST(s_suppkey % 8 AS DOUBLE) * 4.0 + 1.9 AS x0,
+                       CAST((s_suppkey // 8) % 8 AS DOUBLE) * 4.0 + 1.9 AS y0
+                FROM supplier)
+            SELECT l.c_custkey, r.s_suppkey,
+                   round((least(l.x0 + 3.0, r.x0 + 3.0)
+                          - greatest(l.x0, r.x0))
+                         * (least(l.y0 + 3.0, r.y0 + 3.0)
+                            - greatest(l.y0, r.y0)), 6) AS ix_area
+            FROM l JOIN r
+              ON least(l.x0 + 3.0, r.x0 + 3.0) - greatest(l.x0, r.x0) > 0
+             AND least(l.y0 + 3.0, r.y0 + 3.0) - greatest(l.y0, r.y0) > 0
         """,
         "geo_zorder_keys": """
             WITH pts AS (

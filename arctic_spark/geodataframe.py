@@ -155,6 +155,24 @@ class GeoDataFrame:
     def explode(self):
         return self._wrap(st.explode_parts(self._df, self.geometry_column))
 
+    def sjoin(self, other, how="inner", predicate="intersects", **kw):
+        """GeoPandas ``GeoDataFrame.sjoin``: the distributed grid
+        filter–refine spatial join (arctic_spark.joins.spatial_join)."""
+        from .joins import spatial_join
+        return spatial_join(self, other, how=how, predicate=predicate, **kw)
+
+    def sjoin_nearest(self, other, max_distance, **kw):
+        """GeoPandas ``sjoin_nearest``: radius-bounded k-NN join
+        (arctic_spark.joins.nearest_join)."""
+        from .joins import sjoin_nearest
+        return sjoin_nearest(self, other, max_distance, **kw)
+
+    def overlay(self, other, how="intersection", **kw):
+        """GeoPandas ``overlay``: distributed set overlay
+        (arctic_spark.joins.overlay — 'intersection' or 'difference')."""
+        from .joins import overlay
+        return overlay(self, other, how=how, **kw)
+
     def dissolve(self, by=None, aggfunc="first"):
         """GeoPandas ``dissolve``: group by ``by`` (or the whole frame)
         and merge each group's polygons with ``st.unary_union``; other

@@ -522,3 +522,66 @@ def nearest_join(left, right, max_distance, k=1, left_key=None,
 def sjoin_nearest(left, right, max_distance, **kw):
     """GeoPandas-style alias for nearest_join (radius-bounded)."""
     return nearest_join(left, right, max_distance, **kw)
+
+
+def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
+            left_key=None, **join_kw):
+    """Distributed GeoPandas-style set overlay of two polygonal frames.
+
+    - ``how='intersection'``: every intersecting (left, right) pair with
+      both attribute sets (suffixed) and the pairwise intersection as
+      the new ``geometry``; empty/degenerate intersections are dropped.
+      Plan: the grid filter–refine spatial join finds candidate pairs
+      (one shuffle on the cell key), then the boolean kernel runs
+      pair-local — no post-join shuffle.
+    - ``how='difference'``: each left row minus the UNION of every
+      right polygon it intersects, left attributes only (GeoPandas
+      semantics); lefts touching nothing pass through unchanged. Needs
+      a unique ``left_key`` (column or list) — the per-left aggregation
+      groups on it (one extra shuffle on the key, carrying only the
+      matched right geometries).
+
+    'union' / 'identity' / 'symmetric_difference' are not implemented
+    (each decomposes into the two primitives above plus concatenation —
+    raise now rather than ship untested semantics).
+    """
+    from .functions import udfs as _udfs
+    lgdf = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
+    rgdf = right if isinstance(right, GeoDataFrame) else GeoDataFrame(right)
+    gl, gr = lgdf.geometry_column, rgdf.geometry_column
+
+    if how == "intersection":
+        sj = spatial_join(lgdf, rgdf, how="inner", predicate="intersects",
+                          lsuffix=lsuffix, rsuffix=rsuffix, **join_kw)
+        lg, rg = gl + lsuffix, gr + rsuffix
+        out = (sj.df
+               .withColumn("geometry", _udfs.intersection(F.col(lg),
+                                                          F.col(rg)))
+               .where(~native.is_empty(F.col("geometry")))
+               .where(native.area(F.col("geometry")) > 0)
+               .drop(lg, rg))
+        return GeoDataFrame(out, geometry_column="geometry", crs=lgdf.crs)
+
+    if how == "difference":
+        if left_key is None:
+            raise ValueError("overlay(how='difference') needs left_key "
+                             "(unique column(s) on the left frame)")
+        keys = [left_key] if isinstance(left_key, str) else list(left_key)
+        sj = spatial_join(lgdf, rgdf, how="inner", predicate="intersects",
+                          lsuffix=lsuffix, rsuffix=rsuffix, **join_kw)
+        rg = gr + rsuffix
+        hit_union = (sj.df
+                     .groupBy(*[F.col(k + lsuffix).alias(k) for k in keys])
+                     .agg(_udfs.union_collected(
+                         F.collect_list(F.col(rg))).alias("__r_union")))
+        out = (lgdf.df.join(hit_union, on=keys, how="left")
+               .withColumn(gl, F.when(
+                   F.col("__r_union").isNull(), F.col(gl))
+                   .otherwise(_udfs.difference(F.col(gl),
+                                               F.col("__r_union"))))
+               .drop("__r_union")
+               .where(~native.is_empty(F.col(gl))))
+        return GeoDataFrame(out, geometry_column=gl, crs=lgdf.crs)
+
+    raise ValueError(f"overlay how={how!r} not supported "
+                     "(use 'intersection' or 'difference')")

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "geo_ring_accessors",
     "geo_shape_metrics",
     "geo_zorder_keys",
+    "geo_overlay_area",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

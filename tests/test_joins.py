@@ -278,3 +278,65 @@ def test_is_convex_flags(spark):
     df = df.select("name", "expect", native.is_convex(F.col("g")).alias("got"))
     for r in df.collect():
         assert bool(r.got) == r.expect, r.name
+
+
+def test_overlay_intersection_rect_grid(spark):
+    """Overlay intersection of two shifted rect grids: every pairwise
+    area has the closed interval-arithmetic form."""
+    from arctic_spark.joins import overlay
+
+    def rects(n, dx, dy, w, tag):
+        df = (spark.range(0, n)
+              .withColumn("x0", (F.col("id") % 3).cast("double") * 2.0 + dx)
+              .withColumn("y0", (F.col("id") / 3).cast("int")
+                          .cast("double") * 2.0 + dy))
+        g = st.make_envelope(F.col("x0"), F.col("y0"),
+                             F.col("x0") + w, F.col("y0") + w)
+        return GeoDataFrame(
+            df.select(F.col("id").alias(f"{tag}_id"), g.alias("geometry")))
+
+    a = rects(9, 0.0, 0.0, 1.5, "a")
+    b = rects(9, 0.7, 0.9, 1.5, "b")
+    out = overlay(a, b, how="intersection")
+    rows = out.df.select("a_id_1", "b_id_2",
+                         st.area("geometry").alias("ar")).collect()
+    # python oracle
+    import itertools
+    want = {}
+    for i, j in itertools.product(range(9), range(9)):
+        ax0, ay0 = (i % 3) * 2.0, (i // 3) * 2.0
+        bx0, by0 = (j % 3) * 2.0 + 0.7, (j // 3) * 2.0 + 0.9
+        w = min(ax0 + 1.5, bx0 + 1.5) - max(ax0, bx0)
+        h = min(ay0 + 1.5, by0 + 1.5) - max(ay0, by0)
+        if w > 0 and h > 0:
+            want[(i, j)] = w * h
+    got = {(r.a_id_1, r.b_id_2): r.ar for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_overlay_difference(spark):
+    from arctic_spark.joins import overlay
+    left = GeoDataFrame(spark.createDataFrame(
+        [(1,), (2,)], "lid long").withColumn(
+            "geometry", st.make_envelope(
+                F.lit(0.0) + (F.col("lid") - 1) * 10.0, F.lit(0.0),
+                F.lit(4.0) + (F.col("lid") - 1) * 10.0, F.lit(4.0))))
+    # two clips overlapping left row 1 only; row 2 untouched
+    right = GeoDataFrame(spark.createDataFrame(
+        [(1, 0.0, 0.0, 2.0, 2.0), (2, 2.0, 0.0, 4.0, 2.0)],
+        "rid long, x0 double, y0 double, x1 double, y1 double")
+        .withColumn("geometry", st.make_envelope(
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))))
+    out = overlay(left, right, how="difference", left_key="lid")
+    got = {r.lid: r.ar for r in out.df.select(
+        "lid", st.area("geometry").alias("ar")).collect()}
+    # row 1: 4x4 minus the union strip 4x2 -> 8 ; row 2: untouched 16
+    assert abs(got[1] - 8.0) < 1e-9
+    assert abs(got[2] - 16.0) < 1e-9
+
+    with pytest.raises(ValueError):
+        overlay(left, right, how="difference")
+    with pytest.raises(ValueError):
+        overlay(left, right, how="union")
