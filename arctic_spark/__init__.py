@@ -25,9 +25,13 @@ def __getattr__(name):
     # lazy top-level exports (avoid importing joins/temporal at package
     # import time)
     if name in ("spatial_join", "sjoin", "dwithin_join", "nearest_join",
-                "sjoin_nearest", "estimate_cell_size"):
+                "sjoin_nearest", "estimate_cell_size", "overlay"):
         from . import joins
         return getattr(joins, name)
+    if name in ("from_arrow", "from_geopandas", "from_pandas_wkb",
+                "to_pandas_wkb"):
+        from . import geodataframe
+        return getattr(geodataframe, name)
     if name == "asof_join":
         from .temporal import asof_join
         return asof_join
@@ -46,4 +50,6 @@ def __getattr__(name):
 __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "DEFAULT_GEO_COLUMN_NAME", "spatial_join", "sjoin",
            "dwithin_join", "nearest_join", "sjoin_nearest", "asof_join",
-           "range_join", "release", "register_sql_functions"]
+           "range_join", "release", "register_sql_functions", "overlay",
+           "from_arrow", "from_geopandas", "from_pandas_wkb",
+           "to_pandas_wkb"]

@@ -240,3 +240,34 @@ def from_pandas_wkb(spark, pdf, geometry_column=DEFAULT_GEO_COLUMN_NAME,
     df = spark.createDataFrame(pdf)
     df = df.withColumn(geometry_column, st.from_wkb(F.col(geometry_column)))
     return GeoDataFrame(df, geometry_column, crs)
+
+
+def from_arrow(spark, table, geometry_column=DEFAULT_GEO_COLUMN_NAME,
+               crs=DEFAULT_CRS) -> "GeoDataFrame":
+    """Ingest a pyarrow Table whose geometry column holds WKB binary —
+    the analogue of the reference's ``from_arrow``
+    (py-geopolars/python/geopolars/convert.py). Driver-side by design
+    (an Arrow table is already driver-resident); large datasets should
+    arrive via ``io.read_geoparquet`` instead."""
+    pdf = table.to_pandas()
+    return from_pandas_wkb(spark, pdf, geometry_column, crs)
+
+
+def from_geopandas(spark, gdf, crs=None) -> "GeoDataFrame":
+    """Ingest a GeoPandas GeoDataFrame (reference ``from_geopandas``,
+    convert.py:59-97) — import-gated: geopandas is not in this
+    container, so this converts through WKB when it is available and
+    raises ImportError otherwise."""
+    try:
+        import geopandas  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "from_geopandas needs the geopandas package; in this "
+            "environment convert via gdf.to_wkb() + from_pandas_wkb") \
+            from e
+    import pandas as pd
+    gcol = gdf.geometry.name
+    pdf = pd.DataFrame(gdf.drop(columns=[gcol]))
+    pdf[gcol] = gdf.geometry.to_wkb()
+    use_crs = crs or (str(gdf.crs) if gdf.crs else DEFAULT_CRS)
+    return from_pandas_wkb(spark, pdf, gcol, use_crs)

@@ -108,3 +108,38 @@ def test_estimate_utm_crs(spark):
     south = spark.createDataFrame([("POINT (151.2 -33.8)",)], "wkt string") \
         .withColumn("geometry", st.from_wkt("wkt"))
     assert GeoDataFrame(south).estimate_utm_crs() == "EPSG:32756"
+
+
+def test_from_arrow_roundtrip(spark):
+    """pyarrow Table with WKB geometry -> GeoDataFrame (reference
+    from_arrow parity, convert.py)."""
+    import pyarrow as pa
+
+    from arctic_spark import from_arrow, st, to_pandas_wkb
+    from arctic_spark.geodataframe import GeoDataFrame
+    from pyspark.sql import functions as F
+
+    src = GeoDataFrame(
+        spark.range(0, 5).withColumn(
+            "geometry", st.point(F.col("id").cast("double"), F.lit(1.0))))
+    pdf = to_pandas_wkb(src)
+    table = pa.Table.from_pandas(pdf)
+    back = from_arrow(spark, table)
+    got = {r.id: (r.x, r.y) for r in back.df.select(
+        "id", st.x("geometry").alias("x"), st.y("geometry").alias("y"))
+        .collect()}
+    assert got == {i: (float(i), 1.0) for i in range(5)}
+    assert back.crs == "EPSG:4326"
+
+
+def test_from_geopandas_import_gated(spark):
+    import pytest as _pt
+
+    from arctic_spark import from_geopandas
+    try:
+        import geopandas  # noqa: F401
+        _pt.skip("geopandas unexpectedly present")
+    except ImportError:
+        pass
+    with _pt.raises(ImportError):
+        from_geopandas(spark, object())
