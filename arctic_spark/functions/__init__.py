@@ -35,7 +35,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    symmetric_difference, touches, crosses, overlaps, union,
                    hausdorff_distance, frechet_distance,
                    minimum_rotated_rectangle, minimum_bounding_radius,
-                   minimum_bounding_circle, shortest_line)
+                   minimum_bounding_circle, shortest_line,
+                   line_merge, remove_repeated_points)
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
@@ -87,7 +88,8 @@ __all__ = [
     "relate", "relate_pattern", "freeze", "dwithin",
     "hausdorff_distance", "frechet_distance", "minimum_rotated_rectangle",
     "minimum_bounding_radius", "minimum_bounding_circle", "shortest_line",
-    "zorder_key", "geom_zorder_key",
+    "zorder_key", "geom_zorder_key", "line_merge",
+    "remove_repeated_points",
 ]
 
 

@@ -579,3 +579,22 @@ def shortest_line(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
             rings.append([2]); parts.append([1])
     return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
                          "ys": ys, "rings": rings, "parts": parts})
+
+
+@pandas_udf(GEOM_TYPE)
+def line_merge(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge MultiLineString parts into maximal chains (GeoPandas/GEOS
+    ``line_merge``; lines join only where exactly two ends meet).
+    Non-line input passes through (doc'd deviation from GEOS empty)."""
+    return ragged_to_pdf(algos.line_merge(ragged_from_pdf(g)))
+
+
+def remove_repeated_points(g, tolerance: float = 0.0):
+    """Drop consecutive vertices within ``tolerance`` (GeoPandas/GEOS
+    ``remove_repeated_points``); ring closure and minimal ring sizes
+    preserved."""
+    @pandas_udf(GEOM_TYPE)
+    def _rrp(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.remove_repeated_points(
+            ragged_from_pdf(gg), tolerance))
+    return _rrp(g)

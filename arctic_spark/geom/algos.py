@@ -17,8 +17,9 @@ import math
 
 import numpy as np
 
-from .ragged import (LINESTRING, MISSING, MULTILINESTRING, MULTIPOINT,
-                     MULTIPOLYGON, POINT, POLYGON, RaggedGeometry)
+from .ragged import (LINEARRING, LINESTRING, MISSING, MULTILINESTRING,
+                     MULTIPOINT, MULTIPOLYGON, POINT, POLYGON,
+                     RaggedGeometry)
 
 
 def _ring_starts(rg: RaggedGeometry):
@@ -1452,3 +1453,127 @@ def frechet(r1: RaggedGeometry, r2: RaggedGeometry):
                              d[k, j])
         out[i] = ca[-1, -1]
     return out
+
+
+def remove_repeated_points(rg: RaggedGeometry, tolerance: float = 0.0):
+    """Drop consecutive vertices closer than ``tolerance`` (GeoPandas /
+    GEOS ``remove_repeated_points``): per ring, a vertex is kept if it
+    is farther than tolerance from the last KEPT vertex. Ring closure is
+    preserved; rings are never reduced below their minimal vertex count
+    (4 closed for polygon rings, 2 for lines), matching GEOS."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    tol2 = float(tolerance) ** 2
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if g in (POINT, MULTIPOINT):
+            gts.append(int(g)); oxs.append(list(map(float, xs)))
+            oys.append(list(map(float, ys)))
+            orings.append([int(v) for v in rings])
+            oparts.append([int(v) for v in parts])
+            continue
+        nx, ny, nr = [], [], []
+        closed_min = 4 if g in (POLYGON, MULTIPOLYGON, LINEARRING) else 2
+        off = 0
+        for rl in rings:
+            rxs, rys = xs[off:off + rl], ys[off:off + rl]
+            off += rl
+            if rl == 0:
+                nr.append(0)
+                continue
+            closed = rl >= 2 and rxs[0] == rxs[-1] and rys[0] == rys[-1]
+            kept_x, kept_y = [float(rxs[0])], [float(rys[0])]
+            body = range(1, rl - 1) if closed else range(1, rl)
+            for j in body:
+                dx = rxs[j] - kept_x[-1]
+                dy = rys[j] - kept_y[-1]
+                if dx * dx + dy * dy > tol2:
+                    kept_x.append(float(rxs[j]))
+                    kept_y.append(float(rys[j]))
+            if closed:
+                kept_x.append(kept_x[0]); kept_y.append(kept_y[0])
+            if len(kept_x) < closed_min:
+                # under-minimum: keep original ring (GEOS behavior)
+                kept_x = list(map(float, rxs))
+                kept_y = list(map(float, rys))
+            nx.extend(kept_x); ny.extend(kept_y); nr.append(len(kept_x))
+        gts.append(int(g)); oxs.append(nx); oys.append(ny)
+        orings.append(nr)
+        oparts.append([int(v) for v in parts])
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def line_merge(rg: RaggedGeometry):
+    """Merge the lines of each (Multi)LineString into maximal chains
+    (GEOS/GeoPandas ``line_merge``): lines join only at endpoints where
+    EXACTLY two line ends meet. Returns LineString when one chain
+    remains, MultiLineString otherwise; non-line inputs pass through
+    unchanged (GEOS returns empty — documented deviation: pass-through
+    is more useful in a typed column)."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if g not in (LINESTRING, MULTILINESTRING) or len(rings) <= 1:
+            gts.append(int(g)); oxs.append(list(map(float, xs)))
+            oys.append(list(map(float, ys)))
+            orings.append([int(v) for v in rings])
+            oparts.append([int(v) for v in parts])
+            continue
+        # collect component lines
+        lines = []
+        off = 0
+        for rl in rings:
+            lines.append((list(map(float, xs[off:off + rl])),
+                          list(map(float, ys[off:off + rl]))))
+            off += rl
+        # endpoint -> list of (line idx, which end)
+        ends = {}
+        for li, (lx, ly) in enumerate(lines):
+            for end, (px, py) in (("s", (lx[0], ly[0])),
+                                  ("e", (lx[-1], ly[-1]))):
+                ends.setdefault((px, py), []).append((li, end))
+        used = [False] * len(lines)
+        chains = []
+        for li in range(len(lines)):
+            if used[li]:
+                continue
+            used[li] = True
+            cx, cy = list(lines[li][0]), list(lines[li][1])
+            # extend forward from the chain's tail, then backward from head
+            for direction in ("fwd", "bwd"):
+                while True:
+                    tip = (cx[-1], cy[-1]) if direction == "fwd" \
+                        else (cx[0], cy[0])
+                    cands = [(lj, e) for lj, e in ends.get(tip, [])
+                             if not used[lj]]
+                    here = [x for x in ends.get(tip, [])]
+                    if len(here) != 2 or len(cands) != 1:
+                        break      # junction (>2 ends) or dead end
+                    lj, e = cands[0]
+                    used[lj] = True
+                    jx, jy = lines[lj]
+                    seg_x = jx[1:] if e == "s" else jx[-2::-1]
+                    seg_y = jy[1:] if e == "s" else jy[-2::-1]
+                    if direction == "fwd":
+                        cx.extend(seg_x); cy.extend(seg_y)
+                    else:
+                        cx[:0] = seg_x[::-1]; cy[:0] = seg_y[::-1]
+            chains.append((cx, cy))
+        if len(chains) == 1:
+            cx, cy = chains[0]
+            gts.append(LINESTRING); oxs.append(cx); oys.append(cy)
+            orings.append([len(cx)]); oparts.append([1])
+        else:
+            nx, ny, nr = [], [], []
+            for cx, cy in chains:
+                nx.extend(cx); ny.extend(cy); nr.append(len(cx))
+            gts.append(MULTILINESTRING); oxs.append(nx); oys.append(ny)
+            orings.append(nr); oparts.append([1] * len(nr))
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

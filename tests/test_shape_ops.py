@@ -132,3 +132,47 @@ def test_shape_ops_null_and_empty(spark):
     assert r.h is None or (isinstance(r.h, float) and math.isnan(r.h))
     assert r.f is None or (isinstance(r.f, float) and math.isnan(r.f))
     assert r.sl is None or r.sl.gt is None
+
+
+def test_line_merge(spark):
+    df = _wkt_df(spark, [
+        # two touching segments -> one chain
+        (1, "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))", "POINT (0 0)"),
+        # second part reversed -> still merges
+        (2, "MULTILINESTRING ((0 0, 1 0), (2 0, 1 0))", "POINT (0 0)"),
+        # three ends meet at (1 0): junction, nothing merges
+        (3, "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 1))",
+            "POINT (0 0)"),
+        # disjoint parts stay apart
+        (4, "MULTILINESTRING ((0 0, 1 0), (5 5, 6 5))", "POINT (0 0)"),
+        (5, "LINESTRING (0 0, 3 3)", "POINT (0 0)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.geom_type_name(st.line_merge("a")).alias("t"),
+        st.num_parts(st.line_merge("a")).alias("n"),
+        st.length(st.line_merge("a")).alias("ln")).collect()}
+    assert (out[1].t, out[1].n) == ("LineString", 1)
+    assert abs(out[1].ln - 2.0) < 1e-12
+    assert (out[2].t, out[2].n) == ("LineString", 1)
+    assert out[3].t == "MultiLineString" and out[3].n == 3
+    assert out[4].t == "MultiLineString" and out[4].n == 2
+    assert out[5].t == "LineString"
+
+
+def test_remove_repeated_points(spark):
+    df = _wkt_df(spark, [
+        (1, "LINESTRING (0 0, 0 0, 1 0, 1 0, 2 0)", "POINT (0 0)"),
+        (2, "POLYGON ((0 0, 4 0, 4 0, 4 4, 0 4, 0 0))", "POINT (0 0)"),
+        # tolerance: drop vertices closer than 0.5 to the last kept
+        (3, "LINESTRING (0 0, 0.2 0, 1 0, 1.1 0, 2 0)", "POINT (0 0)"),
+    ])
+    got = {r.id: r for r in df.select(
+        "id",
+        F.size(st.remove_repeated_points("a")["xs"]).alias("nv"),
+        F.size(st.remove_repeated_points("a", 0.5)["xs"]).alias("nv_tol"),
+        st.area(st.remove_repeated_points("a")).alias("ar")).collect()}
+    assert got[1].nv == 3
+    assert got[2].nv == 5          # closed ring keeps closure
+    assert abs(got[2].ar - 16.0) < 1e-12
+    assert got[3].nv_tol == 3      # 0, 1, 2 survive
