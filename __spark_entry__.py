@@ -1231,8 +1231,11 @@ def geo_overlay_area(spark, sf):
     height), so the overlay's geometry output is value-checked, not just
     counted."""
     from arctic_spark.joins import overlay
-    c = _t(spark, sf, "customer")
-    s = _t(spark, sf, "supplier")
+    # bounded: identical input set at every SF ≥ 0.01 (the overlay cost
+    # is per candidate pair — an unbounded modular grid aliases into
+    # ~50x more pairs at sf0.1 without testing anything new)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 1500)
+    s = _t(spark, sf, "supplier").where(F.col("s_suppkey") <= 100)
     ck, sk = F.col("c_custkey"), F.col("s_suppkey")
     lx = (ck % 8).cast("double") * 4.0 + 0.3
     ly = ((ck / 8).cast("long") % 8).cast("double") * 4.0 + 0.3
@@ -2564,12 +2567,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_custkey,
                        CAST(c_custkey % 8 AS DOUBLE) * 4.0 + 0.3 AS x0,
                        CAST((c_custkey // 8) % 8 AS DOUBLE) * 4.0 + 0.3 AS y0
-                FROM customer),
+                FROM customer WHERE c_custkey <= 1500),
             r AS (
                 SELECT s_suppkey,
                        CAST(s_suppkey % 8 AS DOUBLE) * 4.0 + 1.9 AS x0,
                        CAST((s_suppkey // 8) % 8 AS DOUBLE) * 4.0 + 1.9 AS y0
-                FROM supplier)
+                FROM supplier WHERE s_suppkey <= 100)
             SELECT l.c_custkey, r.s_suppkey,
                    round((least(l.x0 + 3.0, r.x0 + 3.0)
                           - greatest(l.x0, r.x0))

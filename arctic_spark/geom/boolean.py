@@ -1113,10 +1113,77 @@ def _concat_as_multi(g1, g2):
     return (MULTIPOLYGON, xs, ys, rings, parts)
 
 
+def _axis_rect_mask(rg: RaggedGeometry):
+    """Boolean mask of rows that are single-ring axis-aligned rectangles
+    (closed 5-vertex ring, every edge axis-parallel, positive extent) —
+    whole-batch vectorized."""
+    n = len(rg)
+    counts = np.diff(rg.coord_offsets)
+    cand = (rg.gt == POLYGON) & (np.diff(rg.ring_offsets) == 1) \
+        & (counts == 5)
+    out = np.zeros(n, dtype=bool)
+    idx = np.nonzero(cand)[0]
+    if idx.size == 0:
+        return out
+    starts = rg.coord_offsets[idx]
+    offs = starts[:, None] + np.arange(5)[None, :]
+    x5 = rg.xs[offs]
+    y5 = rg.ys[offs]
+    closed = (x5[:, 0] == x5[:, 4]) & (y5[:, 0] == y5[:, 4])
+    dx = np.diff(x5, axis=1)
+    dy = np.diff(y5, axis=1)
+    axis_par = np.all((dx == 0) | (dy == 0), axis=1)
+    pos = (x5.max(axis=1) > x5.min(axis=1)) & (y5.max(axis=1) > y5.min(axis=1))
+    # rectangle = closed + axis-parallel edges + both extents positive
+    # (axis-parallel closed 4-gon with positive extents IS a rectangle)
+    out[idx] = closed & axis_par & pos
+    return out
+
+
 def row_boolean(r1: RaggedGeometry, r2: RaggedGeometry, op):
-    """Vector shape for the pandas UDFs: per-row boolean_pair."""
+    """Vector shape for the pandas UDFs: per-row boolean_pair, with a
+    whole-batch vectorized fast path for the dominant pipeline case —
+    ``intersection`` of two axis-aligned rectangles (tile clipping,
+    bbox overlays): the result rect is pure interval arithmetic, no
+    arrangement engine. Degenerate overlaps (touching edges/corners)
+    fall back to the exact kernel so GEOS line/point-contact semantics
+    are preserved."""
+    n = len(r1)
+    fast_ok = np.zeros(n, dtype=bool)
+    fx0 = fy0 = fx1 = fy1 = None
+    if op == "intersection" and n:
+        rect = _axis_rect_mask(r1) & _axis_rect_mask(r2)
+        if rect.any():
+            def _ext(rg, idx):
+                starts = rg.coord_offsets[idx]
+                offs = starts[:, None] + np.arange(5)[None, :]
+                return (rg.xs[offs].min(axis=1), rg.ys[offs].min(axis=1),
+                        rg.xs[offs].max(axis=1), rg.ys[offs].max(axis=1))
+            idx = np.nonzero(rect)[0]
+            ax0, ay0, ax1, ay1 = _ext(r1, idx)
+            bx0, by0, bx1, by1 = _ext(r2, idx)
+            ix0, iy0 = np.maximum(ax0, bx0), np.maximum(ay0, by0)
+            ix1, iy1 = np.minimum(ax1, bx1), np.minimum(ay1, by1)
+            strict = (ix1 > ix0) & (iy1 > iy0)
+            disjoint = (ix1 < ix0) | (iy1 < iy0)
+            keep = strict | disjoint
+            fast_ok[idx[keep]] = True
+            fx0 = np.full(n, np.nan); fy0 = np.full(n, np.nan)
+            fx1 = np.full(n, np.nan); fy1 = np.full(n, np.nan)
+            fx0[idx] = ix0; fy0[idx] = iy0
+            fx1[idx] = ix1; fy1[idx] = iy1
     gts, oxs, oys, orings, oparts = [], [], [], [], []
-    for i in range(len(r1)):
+    for i in range(n):
+        if fast_ok[i]:
+            if fx1[i] < fx0[i] or fy1[i] < fy0[i]:    # disjoint -> empty
+                gts.append(int(POLYGON)); oxs.append([]); oys.append([])
+                orings.append([]); oparts.append([])
+            else:
+                gts.append(int(POLYGON))
+                oxs.append([fx0[i], fx1[i], fx1[i], fx0[i], fx0[i]])
+                oys.append([fy0[i], fy0[i], fy1[i], fy1[i], fy0[i]])
+                orings.append([5]); oparts.append([1])
+            continue
         g1 = r1.geom(i)
         g2 = r2.geom(i)
         if g1[0] == MISSING or g2[0] == MISSING:
