@@ -1314,6 +1314,27 @@ def pack_sequences(spark, sf):
             .select("lang", "bin_id", "n_docs", "fill", "waste_frac"))
 
 
+def text_html_strip(spark, sf):
+    """HTML boilerplate removal (llm/text.strip_html): each doc wrapped
+    in synthesized markup (head/style/script/entities) by the query
+    itself, then stripped back natively — fingerprint-checked, so the
+    exact byte output of the regex chain is the gate, plus the
+    visible-text ratio signal."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>p{color:red}</style>"
+              "</head><body><h1>Doc &amp; title</h1><p class=\"x\">"),
+        F.col("text"),
+        F.lit("</p><script>var a = 1 < 2;</script>"
+              "<div>tail&nbsp;&lt;end&gt;</div></body></html>"))
+    stripped = text.strip_html(html)
+    return d.select(
+        "doc_id",
+        F.length(stripped).alias("n_chars"),
+        F.substring(F.md5(stripped), 1, 16).alias("text_fp"),
+        F.round(text.html_visible_ratio(html), 6).alias("visible_ratio"))
+
+
 def text_pii_scrub(spark, sf):
     """PII scrubbing: the corpus carries no PII, so each doc gets a
     deterministic synthetic email + IPv4 appended (same literals in the
@@ -1447,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
         "text_pii_scrub": text_pii_scrub,
+        "text_html_strip": text_html_strip,
         "text_chunking": text_chunking,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
@@ -2692,6 +2714,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(greatest(500 - sum(n_tokens), 0) AS DOUBLE)
                          / 500, 6) AS waste_frac
             FROM walk GROUP BY lang, bin_id
+        """,
+        "text_html_strip": """
+            WITH raw AS (
+                SELECT doc_id,
+                       '<html><head><title>t</title><style>p{color:red}'
+                       || '</style></head><body><h1>Doc &amp; title</h1>'
+                       || '<p class="x">' || text
+                       || '</p><script>var a = 1 < 2;</script>'
+                       || '<div>tail&nbsp;&lt;end&gt;</div></body></html>'
+                           AS html
+                FROM documents WHERE doc_id < 300),
+            stripped AS (
+                SELECT doc_id, html,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(html,
+                                           '(?is)<script[^>]*>.*?</script>',
+                                           ' ', 'g'),
+                                       '(?is)<style[^>]*>.*?</style>',
+                                       ' ', 'g'),
+                                   '(?s)<[^>]+>', ' ', 'g'),
+                               '&nbsp;', ' '), '&amp;', '&'),
+                               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '\\s+', ' ', 'g')) AS t
+                FROM raw)
+            SELECT doc_id, length(t) AS n_chars,
+                   substr(md5(t), 1, 16) AS text_fp,
+                   round(CASE WHEN length(html) > 0 THEN
+                       CAST(length(t) AS DOUBLE) / length(html)
+                       ELSE 0.0 END, 6) AS visible_ratio
+            FROM stripped
         """,
         "text_pii_scrub": """
             WITH aug AS (

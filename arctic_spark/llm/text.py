@@ -233,3 +233,30 @@ def fingerprint(text) -> Column:
     text (md5-derived so any SQL engine reproduces it bit-for-bit)."""
     norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
     return F.substring(F.md5(norm), 1, 16)
+
+
+def strip_html(text) -> Column:
+    """Plain text from HTML markup — the boilerplate-removal step of a
+    web-corpus ingest pipeline. Native regexp chain (script/style blocks
+    dropped, tags to spaces, the 5 common entities decoded, whitespace
+    collapsed); patterns are RE2-compatible (no backreferences), so any
+    SQL engine reproduces the output byte-for-byte. A real extractor
+    (readability/trafilatura) scores main-content blocks; this is the
+    deterministic, oracle-checkable core transform."""
+    t = _c(text)
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                    ("&gt;", ">"), ("&quot;", '"')):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_visible_ratio(raw_html) -> Column:
+    """len(stripped text) / len(raw html) — a cheap boilerplate-density
+    signal (markup-heavy pages score low)."""
+    t = _c(raw_html)
+    n = F.length(t)
+    return F.when(n > 0,
+                  F.length(strip_html(t)).cast("double") / n).otherwise(0.0)

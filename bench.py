@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_vocab_topk",
     "text_tfidf_keywords",
     "text_pii_scrub",
+    "text_html_strip",
 ]
 
 

@@ -219,3 +219,20 @@ def test_tfidf_topk_per_doc(docs):
     # doc-3-only words should outrank shared ones
     assert all(r.token in {"completely", "different", "document", "about",
                            "spark", "query", "engines", "a"} for r in rows)
+
+
+def test_strip_html(spark):
+    from arctic_spark.llm import text as T
+    df = spark.createDataFrame(
+        [(1, "<html><body><h1>Hi &amp; bye</h1><p>a  b</p>"
+             "<script>ignore<this></script><style>p{}</style></body></html>"),
+         (2, "no markup at all"),
+         (3, "")],
+        "id long, html string")
+    out = {r.id: r for r in df.select(
+        "id", T.strip_html("html").alias("t"),
+        T.html_visible_ratio("html").alias("vr")).collect()}
+    assert out[1].t == "Hi & bye a b"
+    assert out[2].t == "no markup at all"
+    assert out[2].vr == 1.0
+    assert out[3].t == "" and out[3].vr == 0.0
