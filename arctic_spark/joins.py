@@ -210,9 +210,27 @@ def spatial_join(left, right, how="inner", predicate="intersects",
     if how not in ("inner", "left"):
         raise ValueError(f"join type {how!r} not supported (reference "
                          "supports Inner/Left, spatial_index.rs:200-203)")
+    if predicate == "within":
+        # left-within-right == right-contains-left: run the contains
+        # join with the SIDES swapped (so every native fast path — rect
+        # interval algebra, convex SAT — applies unchanged), then
+        # restore left-first column order. Inner only: a left outer
+        # would need the unmatched add-back on the swapped build side.
+        if how != "inner":
+            raise ValueError("predicate='within' supports how='inner' "
+                             "only (use predicate='contains' with the "
+                             "frames swapped for outer semantics)")
+        lgdf0 = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
+        sw = spatial_join(right, left, how="inner", predicate="contains",
+                          lsuffix=rsuffix, rsuffix=lsuffix,
+                          cell_size=cell_size, udf_refine=udf_refine)
+        lcols = [c + lsuffix for c in lgdf0.df.columns]
+        rcols = [c for c in sw.df.columns if c not in lcols]
+        return GeoDataFrame(sw.df.select(*lcols, *rcols),
+                            lgdf0.geometry_column + lsuffix, lgdf0.crs)
     if predicate not in ("intersects", "contains"):
         raise ValueError(f"predicate {predicate!r} not supported; use "
-                         "'intersects' or 'contains'")
+                         "'intersects', 'contains' or 'within'")
 
     lgdf = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
     rgdf = right if isinstance(right, GeoDataFrame) else GeoDataFrame(right)

@@ -340,3 +340,23 @@ def test_overlay_difference(spark):
         overlay(left, right, how="difference")
     with pytest.raises(ValueError):
         overlay(left, right, how="union")
+
+
+def test_sjoin_within_predicate(spark):
+    """within == contains with sides swapped; column order stays
+    left-first."""
+    small = GeoDataFrame(spark.createDataFrame([(1,), (2,)], "sid long")
+        .withColumn("geometry", st.make_envelope(
+            F.col("sid").cast("double") * 10.0, F.lit(0.0),
+            F.col("sid").cast("double") * 10.0 + 1.0, F.lit(1.0))))
+    big = GeoDataFrame(spark.createDataFrame([(1,)], "bid long")
+        .withColumn("geometry", st.make_envelope(
+            F.lit(9.0), F.lit(-1.0), F.lit(12.0), F.lit(2.0))))
+    out = spatial_join(small, big, predicate="within")
+    rows = out.df.collect()
+    assert len(rows) == 1
+    assert rows[0].sid_left == 1 and rows[0].bid_right == 1
+    assert out.df.columns[0] == "sid_left"
+    assert out.geometry_column == "geometry_left"
+    with pytest.raises(ValueError):
+        spatial_join(small, big, how="left", predicate="within")
