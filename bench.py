@@ -96,6 +96,11 @@ def main():
             runs.append(round(time.perf_counter() - t0, 3))
         cold[name] = runs[0]
         timings[name] = min(runs)
+        # free persisted intermediates (minhash bands, join add-back
+        # pins, dwithin split-plans) so one query's cached blocks don't
+        # inflate every later query's time — the bench measures each
+        # query, not the session's accumulated cache pressure
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
