@@ -184,6 +184,13 @@ def _refine_predicate(lg, rg, predicate, udf_refine=True):
     under a `when` branch, so disabling it matters for all-point/polygon
     workloads."""
     lcol, rcol = F.col(lg), F.col(rg)
+    if predicate in ("touches", "crosses", "overlaps"):
+        # exact DE-9IM kernels (geom/relate.py via the batch UDFs) —
+        # no native fast path exists for these, so the refine is the
+        # kernel itself (candidates still bbox-pruned upstream)
+        from .functions import udfs as _udfs
+        kern = getattr(_udfs, predicate)
+        return F.coalesce(kern(lcol, rcol), F.lit(False))
     point_l = lcol["gt"] == 0
     point_r = rcol["gt"] == 0
     poly_l = lcol["gt"].isin(3, 6)
@@ -250,9 +257,21 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         rcols = [c for c in sw.df.columns if c not in lcols]
         return GeoDataFrame(sw.df.select(*lcols, *rcols),
                             lgdf0.geometry_column + lsuffix, lgdf0.crs)
-    if predicate not in ("intersects", "contains"):
+    if predicate not in ("intersects", "contains", "touches", "crosses",
+                         "overlaps"):
         raise ValueError(f"predicate {predicate!r} not supported; use "
-                         "'intersects', 'contains' or 'within'")
+                         "'intersects', 'contains', 'within', 'touches', "
+                         "'crosses' or 'overlaps'")
+    if predicate in ("touches", "crosses", "overlaps"):
+        # DE-9IM predicates refine through the exact kernel only — the
+        # rect/convex fast paths and the points_left plan encode
+        # intersects/contains algebra
+        if not udf_refine:
+            raise ValueError(f"predicate {predicate!r} needs the exact "
+                             "kernel; udf_refine=False unsupported")
+        if points_left:
+            raise ValueError(f"points_left fast path does not apply to "
+                             f"predicate {predicate!r}")
 
     lgdf = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
     rgdf = right if isinstance(right, GeoDataFrame) else GeoDataFrame(right)
@@ -365,7 +384,9 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         # zero Python for rectangle workloads (tiles, extents, bboxes) —
         # combined with udf_refine=False the whole refine stays inside
         # whole-stage codegen.
-        both_rect = F.col("__l_meta.rect") & F.col("__r_meta.rect")
+        fast_paths = predicate in ("intersects", "contains")
+        both_rect = F.col("__l_meta.rect") & F.col("__r_meta.rect") \
+            if fast_paths else F.lit(False)
         if predicate == "intersects":
             rect_ans = F.lit(True)
         else:
@@ -375,7 +396,8 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         # half-plane expressions — exact for convex polygons, zero Python.
         # With udf_refine=False this makes ANY all-convex polygon workload
         # (tiles, diamonds, hulls, triangulations) a 100% JVM plan.
-        both_cvx = F.col("__l_meta.cvx") & F.col("__r_meta.cvx")
+        both_cvx = F.col("__l_meta.cvx") & F.col("__r_meta.cvx") \
+            if fast_paths else F.lit(False)
         if predicate == "intersects":
             cvx_ans = native.convex_intersects(F.col(lg), F.col(rg))
         else:

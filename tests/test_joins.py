@@ -86,7 +86,7 @@ def test_unsupported_how(points_df, poly_df):
     with pytest.raises(ValueError, match="not supported"):
         spatial_join(points_df, poly_df, how="outer")
     with pytest.raises(ValueError, match="predicate"):
-        spatial_join(points_df, poly_df, predicate="touches")
+        spatial_join(points_df, poly_df, predicate="equals")
 
 
 def test_native_only_refine(points_df, poly_df):
@@ -360,3 +360,38 @@ def test_sjoin_within_predicate(spark):
     assert out.geometry_column == "geometry_left"
     with pytest.raises(ValueError):
         spatial_join(small, big, how="left", predicate="within")
+
+
+def test_sjoin_touches_overlaps_predicates(spark):
+    """DE-9IM join predicates: exact kernel refine after the grid
+    prefilter."""
+    a = GeoDataFrame(spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+         (2, "POLYGON ((10 0, 12 0, 12 2, 10 2, 10 0))")],
+        "aid long, wkt string").select(
+            "aid", st.from_wkt("wkt").alias("geometry")))
+    b = GeoDataFrame(spark.createDataFrame(
+        # touches a1 along an edge; overlaps a2
+        [(1, "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"),
+         (2, "POLYGON ((11 1, 13 1, 13 3, 11 3, 11 1))")],
+        "bid long, wkt string").select(
+            "bid", st.from_wkt("wkt").alias("geometry")))
+    t = spatial_join(a, b, predicate="touches").df.collect()
+    assert [(r.aid_left, r.bid_right) for r in t] == [(1, 1)]
+    o = spatial_join(a, b, predicate="overlaps").df.collect()
+    assert [(r.aid_left, r.bid_right) for r in o] == [(2, 2)]
+    with pytest.raises(ValueError, match="udf_refine"):
+        spatial_join(a, b, predicate="touches", udf_refine=False)
+
+
+def test_sjoin_crosses_predicate(spark):
+    lines = GeoDataFrame(spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 4 4)"), (2, "LINESTRING (10 10, 14 14)")],
+        "lid long, wkt string").select(
+            "lid", st.from_wkt("wkt").alias("geometry")))
+    polys = GeoDataFrame(spark.createDataFrame(
+        [(7, "POLYGON ((1 0, 3 0, 3 9, 1 9, 1 0))")],
+        "pid long, wkt string").select(
+            "pid", st.from_wkt("wkt").alias("geometry")))
+    out = spatial_join(lines, polys, predicate="crosses").df.collect()
+    assert [(r.lid_left, r.pid_right) for r in out] == [(1, 7)]
