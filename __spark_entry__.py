@@ -1254,6 +1254,45 @@ def geo_overlay_area(spark, sf):
         F.round(st.area("geometry"), 6).alias("ix_area"))
 
 
+def geo_delaunay(spark, sf):
+    """Delaunay triangulation (Bowyer–Watson UDF) with combinatorial +
+    measure-theoretic closed forms: a trapezoid hull (4 non-cocircular
+    corners) plus k strictly-interior jittered points triangulates into
+    exactly 2k+2 triangles whose areas sum to the trapezoid area —
+    invariant to which Delaunay diagonals are chosen, so it is oracle-
+    stable without pinning the triangulation itself."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    w = (key % 4 + 4).cast("double")          # bottom width
+    sh = (key % 3 + 1).cast("double")         # top shear (trapezoid)
+    k = (key % 3 + 1)                          # interior points
+    z = F.lit(0.0)
+    # interior jitter (fractional grids keep general position); x is
+    # shear-adjusted so every point stays strictly inside the
+    # parallelogram at its own height
+    def _jy(i):
+        return 0.7 + ((key * 7 + i * 31) % 13).cast("double") / 13.0 * 1.6
+
+    jx = F.transform(F.sequence(F.lit(1), k),
+                     lambda i: sh * _jy(i) / 3.0 + 1.0
+                     + ((key * 13 + i * 29) % 17).cast("double")
+                     / 17.0 * (w - 2.0))
+    jy = F.transform(F.sequence(F.lit(1), k), _jy)
+    xs = F.concat(F.array(z, w, w + sh, sh), jx)
+    ys = F.concat(F.array(z, z, F.lit(3.0), F.lit(3.0)), jy)
+    pts = st.geom_struct(F.lit(4), xs, ys,
+                         F.transform(xs, lambda _: F.lit(1)),
+                         F.transform(xs, lambda _: F.lit(1)))
+    d = c.select("c_custkey", k.alias("k"), w.alias("w"),
+                 pts.alias("pts")).withColumn(
+        "tri", st.delaunay_triangles(F.col("pts")))
+    return d.select(
+        "c_custkey",
+        st.num_parts("tri").alias("n_triangles"),
+        F.round(st.area("tri"), 6).alias("tri_area_sum"),
+        (F.col("k") * 2 + 2).cast("int").alias("expected_tris"))
+
+
 def geo_zorder_keys(spark, sf):
     """Morton/Z-order spatial clustering key (io.write_geoparquet
     spatial_sort): 16-bit quantization + magic-number bit spreading,
@@ -1464,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_metrics": geo_shape_metrics,
         "geo_zorder_keys": geo_zorder_keys,
         "geo_overlay_area": geo_overlay_area,
+        "geo_delaunay": geo_delaunay,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2583,6 +2623,15 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        "geo_delaunay": """
+            SELECT c_custkey,
+                   CAST(2 * (c_custkey % 3 + 1) + 2 AS INT) AS n_triangles,
+                   round(3.0 * CAST(c_custkey % 4 + 4 AS DOUBLE), 6)
+                       AS tri_area_sum,
+                   CAST(2 * (c_custkey % 3 + 1) + 2 AS INT)
+                       AS expected_tris
+            FROM customer WHERE c_custkey <= 2000
         """,
         "geo_overlay_area": """
             WITH l AS (

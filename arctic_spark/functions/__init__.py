@@ -36,7 +36,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    hausdorff_distance, frechet_distance,
                    minimum_rotated_rectangle, minimum_bounding_radius,
                    minimum_bounding_circle, shortest_line,
-                   line_merge, remove_repeated_points)
+                   line_merge, remove_repeated_points,
+                   delaunay_triangles)
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
@@ -89,7 +90,7 @@ __all__ = [
     "hausdorff_distance", "frechet_distance", "minimum_rotated_rectangle",
     "minimum_bounding_radius", "minimum_bounding_circle", "shortest_line",
     "zorder_key", "geom_zorder_key", "line_merge",
-    "remove_repeated_points",
+    "remove_repeated_points", "delaunay_triangles",
 ]
 
 

@@ -598,3 +598,11 @@ def remove_repeated_points(g, tolerance: float = 0.0):
         return ragged_to_pdf(algos.remove_repeated_points(
             ragged_from_pdf(gg), tolerance))
     return _rrp(g)
+
+
+@pandas_udf(GEOM_TYPE)
+def delaunay_triangles(g: pd.DataFrame) -> pd.DataFrame:
+    """Delaunay triangulation of each geometry's unique vertices
+    (GeoPandas 1.0 ``delaunay_triangles``; Bowyer–Watson,
+    geom/algos.py). Returns a MultiPolygon of CCW triangles."""
+    return ragged_to_pdf(algos.delaunay_triangles(ragged_from_pdf(g)))

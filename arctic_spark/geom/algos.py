@@ -1577,3 +1577,105 @@ def line_merge(rg: RaggedGeometry):
             gts.append(MULTILINESTRING); oxs.append(nx); oys.append(ny)
             orings.append(nr); oparts.append([1] * len(nr))
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def _bowyer_watson(pts: np.ndarray):
+    """Delaunay triangulation of a (n,2) unique point array — classic
+    Bowyer–Watson incremental insertion over a super-triangle.
+    Deterministic (points processed in lexicographic order). Returns a
+    list of (i, j, k) index triples into ``pts``. Near-degenerate
+    circumcircle tests use a relative epsilon; exactly-cocircular quads
+    pick a diagonal deterministically from the insertion order."""
+    n = len(pts)
+    if n < 3:
+        return []
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0)
+    cx0, cy0 = pts[:, 0].mean(), pts[:, 1].mean()
+    m = 64.0 * span
+    sup = np.array([[cx0 - 2 * m, cy0 - m], [cx0 + 2 * m, cy0 - m],
+                    [cx0, cy0 + 2 * m]])
+    allp = np.vstack([pts, sup])
+    s0, s1, s2 = n, n + 1, n + 2
+    tris = [(s0, s1, s2)]
+
+    def circum_contains(tri, p):
+        a, b, c = allp[tri[0]], allp[tri[1]], allp[tri[2]]
+        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                   + c[0] * (a[1] - b[1]))
+        if d == 0:
+            return False
+        a2, b2, c2 = a @ a, b @ b, c @ c
+        ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1])
+              + c2 * (a[1] - b[1])) / d
+        uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0])
+              + c2 * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        d2 = (p[0] - ux) ** 2 + (p[1] - uy) ** 2
+        return d2 < r2 * (1.0 - 1e-12)
+
+    for pi in order:
+        p = allp[pi]
+        bad = [t for t in tris if circum_contains(t, p)]
+        if not bad:
+            # numerically on a circumcircle boundary of no triangle —
+            # insert into the containing triangle instead
+            for t in tris:
+                a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
+                d1 = (p[0]-a[0])*(b[1]-a[1]) - (p[1]-a[1])*(b[0]-a[0])
+                d2 = (p[0]-b[0])*(c[1]-b[1]) - (p[1]-b[1])*(c[0]-b[0])
+                d3 = (p[0]-c[0])*(a[1]-c[1]) - (p[1]-c[1])*(a[0]-c[0])
+                if (d1 <= 0 and d2 <= 0 and d3 <= 0) or \
+                        (d1 >= 0 and d2 >= 0 and d3 >= 0):
+                    bad = [t]
+                    break
+            if not bad:
+                continue
+        # polygonal hole boundary = edges appearing in exactly one bad tri
+        edge_count = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                key = (min(e), max(e))
+                edge_count[key] = edge_count.get(key, 0) + 1
+        boundary = [e for e, c in edge_count.items() if c == 1]
+        tris = [t for t in tris if t not in bad]
+        for e in boundary:
+            tris.append((e[0], e[1], pi))
+    # drop super-triangle incident triangles
+    return [t for t in tris if all(v < n for v in t)]
+
+
+def delaunay_triangles(rg: RaggedGeometry):
+    """Delaunay triangulation of each geometry's unique vertices
+    (GeoPandas 1.0 ``delaunay_triangles``): returns a MultiPolygon whose
+    parts are the CCW triangles (shapely returns a GeometryCollection;
+    a typed Multi* is the engine's collection convention for
+    homogeneous parts). <3 unique points → empty polygon."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, _, _ = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        pts = np.unique(np.column_stack([np.asarray(xs, float),
+                                         np.asarray(ys, float)]), axis=0)
+        tris = _bowyer_watson(pts) if len(pts) >= 3 else []
+        if not tris:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        nx, ny, nr, npart = [], [], [], []
+        # deterministic part order: sort by vertex indices
+        for t in sorted(tuple(sorted(t)) for t in tris):
+            a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+            # CCW orientation
+            if (b[0]-a[0])*(c[1]-a[1]) - (b[1]-a[1])*(c[0]-a[0]) < 0:
+                b, c = c, b
+            nx.extend([a[0], b[0], c[0], a[0]])
+            ny.extend([a[1], b[1], c[1], a[1]])
+            nr.append(4); npart.append(1)
+        gts.append(MULTIPOLYGON if len(npart) > 1 else POLYGON)
+        oxs.append(nx); oys.append(ny); orings.append(nr)
+        oparts.append(npart)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

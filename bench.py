@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "geo_shape_metrics",
     "geo_zorder_keys",
     "geo_overlay_area",
+    "geo_delaunay",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

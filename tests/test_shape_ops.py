@@ -176,3 +176,23 @@ def test_remove_repeated_points(spark):
     assert got[2].nv == 5          # closed ring keeps closure
     assert abs(got[2].ar - 16.0) < 1e-12
     assert got[3].nv_tol == 3      # 0, 1, 2 survive
+
+
+def test_delaunay_triangles(spark):
+    df = _wkt_df(spark, [
+        # unit square + center point: 4 triangles, area 1
+        (1, "MULTIPOINT (0 0, 1 0, 1 1, 0 1, 0.5 0.5)", "POINT (0 0)"),
+        # triangle: 1 triangle
+        (2, "MULTIPOINT (0 0, 4 0, 0 3)", "POINT (0 0)"),
+        # collinear -> empty
+        (3, "MULTIPOINT (0 0, 1 1, 2 2)", "POINT (0 0)"),
+        (4, "POINT (5 5)", "POINT (0 0)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.num_parts(st.delaunay_triangles("a")).alias("n"),
+        st.area(st.delaunay_triangles("a")).alias("ar"),
+        st.is_empty(st.delaunay_triangles("a")).alias("emp")).collect()}
+    assert out[1].n == 4 and abs(out[1].ar - 1.0) < 1e-12
+    assert out[2].n == 1 and abs(out[2].ar - 6.0) < 1e-12
+    assert out[3].emp and out[4].emp
