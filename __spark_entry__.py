@@ -1293,6 +1293,44 @@ def geo_delaunay(spark, sf):
         (F.col("k") * 2 + 2).cast("int").alias("expected_tris"))
 
 
+def geo_voronoi(spark, sf):
+    """Voronoi diagram (half-plane cut UDF) with partition-property
+    closed forms: cells of the parallelogram corners + k interior
+    points partition the expanded envelope, so n_cells = k+4 and the
+    cell-area sum equals the envelope area exactly — invariant to the
+    diagram's internal structure."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    w = (key % 4 + 4).cast("double")
+    sh = (key % 3 + 1).cast("double")
+    k = (key % 3 + 1)
+    z = F.lit(0.0)
+
+    def _jy(i):
+        return 0.7 + ((key * 7 + i * 31) % 13).cast("double") / 13.0 * 1.6
+
+    jx = F.transform(F.sequence(F.lit(1), k),
+                     lambda i: sh * _jy(i) / 3.0 + 1.0
+                     + ((key * 13 + i * 29) % 17).cast("double")
+                     / 17.0 * (w - 2.0))
+    jy = F.transform(F.sequence(F.lit(1), k), _jy)
+    xs = F.concat(F.array(z, w, w + sh, sh), jx)
+    ys = F.concat(F.array(z, z, F.lit(3.0), F.lit(3.0)), jy)
+    pts = st.geom_struct(F.lit(4), xs, ys,
+                         F.transform(xs, lambda _: F.lit(1)),
+                         F.transform(xs, lambda _: F.lit(1)))
+    d = c.select("c_custkey", k.alias("k"), w.alias("w"), sh.alias("sh"),
+                 pts.alias("pts")).withColumn(
+        "vor", st.voronoi_polygons(F.col("pts"), extend=1.0))
+    span = F.col("w") + F.col("sh")          # x span > y span (=3) always
+    env_area = (span + 2.0 * span) * (3.0 + 2.0 * span)
+    return d.select(
+        "c_custkey",
+        st.num_parts("vor").alias("n_cells"),
+        F.round(st.area("vor"), 6).alias("cell_area_sum"),
+        F.round(env_area, 6).alias("envelope_area"))
+
+
 def geo_zorder_keys(spark, sf):
     """Morton/Z-order spatial clustering key (io.write_geoparquet
     spatial_sort): 16-bit quantization + magic-number bit spreading,
@@ -1504,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zorder_keys": geo_zorder_keys,
         "geo_overlay_area": geo_overlay_area,
         "geo_delaunay": geo_delaunay,
+        "geo_voronoi": geo_voronoi,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2623,6 +2662,21 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        "geo_voronoi": """
+            WITH p AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 3 + 1 AS INT) AS k,
+                       CAST(c_custkey % 4 + 4 AS DOUBLE)
+                       + CAST(c_custkey % 3 + 1 AS DOUBLE) AS span
+                FROM customer WHERE c_custkey <= 2000)
+            SELECT c_custkey,
+                   k + 4 AS n_cells,
+                   round(3.0 * span * (3.0 + 2.0 * span), 6)
+                       AS cell_area_sum,
+                   round(3.0 * span * (3.0 + 2.0 * span), 6)
+                       AS envelope_area
+            FROM p
         """,
         "geo_delaunay": """
             SELECT c_custkey,

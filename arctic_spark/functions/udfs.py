@@ -606,3 +606,16 @@ def delaunay_triangles(g: pd.DataFrame) -> pd.DataFrame:
     (GeoPandas 1.0 ``delaunay_triangles``; Bowyer–Watson,
     geom/algos.py). Returns a MultiPolygon of CCW triangles."""
     return ragged_to_pdf(algos.delaunay_triangles(ragged_from_pdf(g)))
+
+
+def voronoi_polygons(g, extend: float = 2.0):
+    """Voronoi cells of each geometry's unique vertices (GeoPandas 1.0
+    ``voronoi_polygons``): half-plane cuts against every neighbor,
+    clipped to the bbox expanded by ``extend``× the span. MultiPolygon,
+    one CCW cell per point in lexicographic order; the cells partition
+    the clip envelope."""
+    @pandas_udf(GEOM_TYPE)
+    def _vor(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.voronoi_polygons(ragged_from_pdf(gg),
+                                                    extend))
+    return _vor(g)

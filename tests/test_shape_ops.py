@@ -196,3 +196,21 @@ def test_delaunay_triangles(spark):
     assert out[1].n == 4 and abs(out[1].ar - 1.0) < 1e-12
     assert out[2].n == 1 and abs(out[2].ar - 6.0) < 1e-12
     assert out[3].emp and out[4].emp
+
+
+def test_voronoi_polygons(spark):
+    df = _wkt_df(spark, [
+        (1, "MULTIPOINT (0 0, 1 0, 2 0, 0 1, 1 1, 2 1, 0 2, 1 2, 2 2)",
+            "POINT (0 0)"),
+        (2, "POINT (3 3)", "POINT (0 0)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.num_parts(st.voronoi_polygons("a", extend=1.0)).alias("n"),
+        st.area(st.voronoi_polygons("a", extend=1.0)).alias("ar")).collect()}
+    # 3x3 grid, span 2, pad 2 -> envelope 6x6 partitioned into 9 cells
+    assert out[1].n == 9
+    assert abs(out[1].ar - 36.0) < 1e-9
+    # single point: whole envelope (pad = extend * 1.0 fallback span)
+    assert out[2].n == 1
+    assert abs(out[2].ar - 4.0) < 1e-9
