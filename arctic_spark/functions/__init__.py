@@ -42,6 +42,10 @@ from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
 from .native import geom_zorder_key, zorder_key  # noqa: F401
+from .native import extract_unique_points  # noqa: F401
+
+# GeoPandas naming alias: GeoSeries.project == line_locate_point
+project = line_locate_point
 
 # reference naming aliases (SURVEY §2.2)
 length = native.length
@@ -91,7 +95,7 @@ __all__ = [
     "minimum_bounding_radius", "minimum_bounding_circle", "shortest_line",
     "zorder_key", "geom_zorder_key", "line_merge",
     "remove_repeated_points", "delaunay_triangles",
-    "voronoi_polygons",
+    "voronoi_polygons", "extract_unique_points", "project",
 ]
 
 

@@ -1293,3 +1293,35 @@ def geom_zorder_key(g, extent, bits: int = 16) -> Column:
     xmin, ymin, xmax, ymax = bounds(g)
     return zorder_key((xmin + xmax) / 2.0, (ymin + ymax) / 2.0,
                       extent, bits)
+
+
+@_geom_fn
+def extract_unique_points(g) -> Column:
+    """MultiPoint of the distinct vertices in input order (GeoPandas /
+    GEOS ``extract_unique_points``). Fully native: order-preserving
+    dedup via a positional filter over zipped coordinates."""
+    from pyspark.sql.types import ArrayType, DoubleType
+    xs, ys = g["xs"], g["ys"]
+    idx = F.sequence(F.lit(1), F.size(xs))
+    # keep position i iff no earlier position has the same (x, y).
+    # NB sequence(1, 0) DESCENDS in Spark — the i==1 case must short-
+    # circuit before building the earlier-positions range.
+    keep = F.filter(idx, lambda i: F.when(i == 1, F.lit(True)).otherwise(
+        ~F.exists(
+            F.sequence(F.lit(1), i - 1),
+            lambda j: (F.element_at(xs, j) == F.element_at(xs, i))
+            & (F.element_at(ys, j) == F.element_at(ys, i)))))
+    nx = F.transform(keep, lambda i: F.element_at(xs, i))
+    ny = F.transform(keep, lambda i: F.element_at(ys, i))
+    n = F.size(keep)
+    return F.when(
+        _valid(g) & (F.size(xs) > 0),
+        geom_struct(F.lit(MULTIPOINT), nx, ny,
+                    F.transform(keep, lambda _: F.lit(1)),
+                    F.transform(keep, lambda _: F.lit(1)))) \
+        .otherwise(F.when(_valid(g),
+                          geom_struct(F.lit(MULTIPOINT),
+                                      F.array().cast("array<double>"),
+                                      F.array().cast("array<double>"),
+                                      F.array().cast("array<int>"),
+                                      F.array().cast("array<int>"))))

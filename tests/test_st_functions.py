@@ -254,3 +254,21 @@ def test_null_propagation(gdf):
     assert _vals(nulls, st.x(st.centroid("geometry"))) == [None]
     assert _vals(nulls, st.to_wkt(st.translate("geometry", 1.0, 1.0))) == [None]
     assert _vals(nulls, st.geom_type("geometry")) == [-1]
+
+
+def test_extract_unique_points_and_project_alias(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "MULTIPOINT (0 0, 1 0, 1 0, 2 2)"),
+         (2, "POLYGON ((0 0, 4 0, 4 4, 0 0))"),
+         (3, "LINESTRING (0 0, 5 0)")],
+        "id long, w string").withColumn("g", st.from_wkt("w"))
+    out = {r.id: r for r in df.select(
+        "id",
+        F.size(st.extract_unique_points("g")["xs"]).alias("n"),
+        st.geom_type_name(st.extract_unique_points("g")).alias("t"),
+        st.project("g", st.point(F.lit(3.0), F.lit(1.0))).alias("d"))
+        .collect()}
+    assert out[1].n == 3 and out[1].t == "MultiPoint"
+    assert out[2].n == 3           # closing repeat dropped
+    assert out[3].d == 3.0         # GeoPandas project == line_locate_point
