@@ -166,6 +166,49 @@ def main():
     report(f"convex SAT join {n_dia:,} diamonds x {n_polys:,} diamonds",
            t0, n)
 
+    # round 6: rect-overlay at scale — the vectorized axis-rect
+    # intersection fast path means a tile-clip overlay pays Arrow
+    # transfer, not the arrangement engine
+    t0 = time.perf_counter()
+    tot = sq.withColumn("ix", st.intersection("a", "b")) \
+            .where(st.area("ix") > 0).count()
+    report(f"rect-intersection overlay on {n_bool:,} pairs (fast path)",
+           t0, tot)
+
+    # round 6: training-pipeline ops at synthetic scale — shingle
+    # decontamination and chunking, all-native per-row work
+    n_docs = max(n_points // 10, 100_000)
+    docs = spark.range(n_docs).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit("w"), F.pmod(F.col("id") * (7 + 13 * j),
+                                        F.lit(997)).cast("string"))
+            for j in range(40)]).alias("text"))
+    from arctic_spark.llm import pipeline as pl
+    bench_docs = docs.where(F.col("doc_id") % 1000 == 0)
+    t0 = time.perf_counter()
+    n = pl.contamination_pairs(docs, bench_docs, k=5,
+                               min_overlap_frac=0.8).count()
+    dt = time.perf_counter() - t0
+    print(f"decontamination {n_docs:,} docs x {n_docs // 1000:,} bench: "
+          f"{dt:.1f}s, {n:,} flagged pairs, {n_docs / dt / 1e3:.0f}k docs/s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    n = pl.chunk_documents(docs, chunk_tokens=16, overlap=4).count()
+    dt = time.perf_counter() - t0
+    print(f"chunking {n_docs:,} docs: {dt:.1f}s, {n:,} chunks, "
+          f"{n_docs / dt / 1e3:.0f}k docs/s", flush=True)
+
+    t0 = time.perf_counter()
+    kept = pl.stratified_sample(
+        docs.withColumn("lang", F.pmod(F.col("doc_id"), F.lit(4))
+                        .cast("string")),
+        "lang", "doc_id", {"0": 1.0, "1": 0.5}, 0.1).count()
+    dt = time.perf_counter() - t0
+    print(f"stratified sample {n_docs:,} docs: {dt:.1f}s, {kept:,} kept",
+          flush=True)
+
     spark.stop()
 
 
