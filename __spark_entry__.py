@@ -1391,6 +1391,24 @@ def pack_sequences(spark, sf):
             .select("lang", "bin_id", "n_docs", "fill", "waste_frac"))
 
 
+def dedup_paragraph_stats(spark, sf):
+    """Cross-corpus paragraph dedup (llm/pipeline.dedup_paragraphs, the
+    C4 boilerplate rule): every doc gets a per-language shared footer
+    paragraph prepended; after dedup only the lowest doc_id of each
+    language keeps the footer, everyone keeps their unique body. The
+    reassembled text is fingerprint-checked."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    t2 = F.concat(F.lit("shared-footer-"), F.col("lang"), F.lit("\n\n"),
+                  F.col("text"))
+    out = pipeline.dedup_paragraphs(d.select("doc_id", t2.alias("text")),
+                                    id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.length("text").alias("n_chars"),
+        F.substring(F.md5("text"), 1, 16).alias("fp"))
+
+
 def text_html_strip(spark, sf):
     """HTML boilerplate removal (llm/text.strip_html): each doc wrapped
     in synthesized markup (head/style/script/entities) by the query
@@ -1548,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "text_pii_scrub": text_pii_scrub,
         "text_html_strip": text_html_strip,
+        "dedup_paragraph_stats": dedup_paragraph_stats,
         "text_chunking": text_chunking,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
@@ -2817,6 +2836,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(greatest(500 - sum(n_tokens), 0) AS DOUBLE)
                          / 500, 6) AS waste_frac
             FROM walk GROUP BY lang, bin_id
+        """,
+        "dedup_paragraph_stats": """
+            WITH m AS (
+                SELECT lang, min(doc_id) AS keeper
+                FROM documents GROUP BY lang),
+            assembled AS (
+                SELECT d.doc_id,
+                       CASE WHEN d.doc_id = m.keeper
+                            THEN 'shared-footer-' || d.lang
+                                 || chr(10) || chr(10) || d.text
+                            ELSE d.text END AS t
+                FROM documents d JOIN m ON d.lang = m.lang)
+            SELECT doc_id, length(t) AS n_chars,
+                   substr(md5(t), 1, 16) AS fp
+            FROM assembled
         """,
         "text_html_strip": """
             WITH raw AS (

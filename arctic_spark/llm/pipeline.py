@@ -365,3 +365,38 @@ def tfidf_topk_per_doc(df: DataFrame, id_col="doc_id", text_col="text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("id", "rank", "token", "tfidf"))
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus paragraph dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(df: DataFrame, id_col="doc_id", text_col="text",
+                     sep: str = "\n\n", min_chars: int = 1) -> DataFrame:
+    """Remove every DUPLICATED paragraph across the corpus, keeping the
+    first occurrence (lowest (doc_id, position)) — the C4 rule that
+    strips boilerplate paragraphs (cookie banners, license footers)
+    repeated across pages while keeping each document's unique prose.
+
+    Returns (id, text) with each document reassembled from its
+    surviving paragraphs in original order; documents losing every
+    paragraph are dropped (C4 drops fully-boilerplate pages).
+
+    Plan: posexplode paragraphs → ONE shuffle on the 16-byte paragraph
+    md5 (window min over (doc_id, pos) picks the canonical owner) →
+    regroup by doc. Paragraph text rides the shuffle once; at 100 TB
+    the win over a two-pass groupBy-then-join formulation is that the
+    decision and the payload travel together.
+    """
+    from pyspark.sql import Window
+    paras = df.select(
+        _c(id_col).alias("id"),
+        F.posexplode(F.split(_c(text_col), sep)).alias("pos", "para"))
+    paras = paras.where(F.length(F.trim("para")) >= min_chars)
+    w = Window.partitionBy(F.md5("para")).orderBy("id", "pos")
+    kept = (paras.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1))
+    return (kept.groupBy("id")
+            .agg(F.array_join(F.transform(F.array_sort(F.collect_list(
+                F.struct("pos", "para"))), lambda s: s["para"]),
+                sep).alias("text")))

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "text_tfidf_keywords",
     "text_pii_scrub",
     "text_html_strip",
+    "dedup_paragraph_stats",
 ]
 
 

@@ -236,3 +236,19 @@ def test_strip_html(spark):
     assert out[2].t == "no markup at all"
     assert out[2].vr == 1.0
     assert out[3].t == "" and out[3].vr == 0.0
+
+
+def test_dedup_paragraphs(spark):
+    boiler = "accept our cookies"
+    rows = [
+        (1, f"unique one\n\n{boiler}\n\nunique two"),
+        (2, f"{boiler}\n\nsomething else"),       # boiler already seen
+        (3, f"{boiler}"),                          # nothing survives
+        (4, "fresh content\n\nfresh content"),     # in-doc dup collapses too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.text for r in pipeline.dedup_paragraphs(df).collect()}
+    assert out[1] == f"unique one\n\n{boiler}\n\nunique two"  # first owner
+    assert out[2] == "something else"
+    assert 3 not in out                            # fully boilerplate
+    assert out[4] == "fresh content"
