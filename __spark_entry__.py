@@ -1409,6 +1409,34 @@ def dedup_paragraph_stats(spark, sf):
         F.substring(F.md5("text"), 1, 16).alias("fp"))
 
 
+def dedup_semantic(spark, sf):
+    """SemDeDup semantic dedup (llm/similarity.semdedup, arXiv:2303.09540):
+    embeddings are bucketed by nearest centroid (native IVF assignment),
+    cosine-duplicate pairs exist only within a cluster, and every vector
+    with a smaller-id duplicate above the threshold is dropped. The gate
+    uses deterministic seed centroids (the 8 smallest vec_ids) so the
+    oracle replays assignment + within-cluster pairing + the min-id
+    survivor rule exactly in SQL; production swaps in k-means centroids
+    (train_ivf_centroids) with the identical plan shape."""
+    em = _t(spark, sf, "embeddings")
+    cents = similarity.seed_centroids(em, 8)
+    pairs = similarity.semdedup_pairs(em, cents, threshold=0.35)
+    surv = similarity.semdedup(em, cents, threshold=0.35)
+    members = (em.select(
+        F.element_at(similarity.ivf_assign(F.col("embedding"), cents, 1), 1)
+         .alias("cluster"))
+        .groupBy("cluster").agg(F.count("*").alias("n_members")))
+    dropped = (pairs.select("cluster", "id_b").distinct()
+               .groupBy("cluster").agg(F.count("*").alias("n_dropped")))
+    stats = (members.join(dropped, "cluster", "left")
+             .withColumn("n_dropped", F.coalesce("n_dropped", F.lit(0))))
+    n_surv = surv.groupBy().agg(F.count("*").alias("c"))
+    return (stats.join(F.broadcast(n_surv))
+            .select("cluster", "n_members", "n_dropped",
+                    F.col("c").alias("n_survivors_total"))
+            .orderBy("cluster"))
+
+
 def text_html_strip(spark, sf):
     """HTML boilerplate removal (llm/text.strip_html): each doc wrapped
     in synthesized markup (head/style/script/entities) by the query
@@ -1567,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "text_html_strip": text_html_strip,
         "dedup_paragraph_stats": dedup_paragraph_stats,
+        "dedup_semantic": dedup_semantic,
         "text_chunking": text_chunking,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
@@ -2407,6 +2436,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        # SemDeDup replay: seed centroids are the 8 smallest vec_ids, so
+        # assignment (argmin L2, ties by centroid id), within-cluster
+        # pairing, the 0.35 cosine cut and the min-id survivor rule are
+        # all exactly reproducible in SQL. Distances/cosines sum in list
+        # order with doubles on both engines — bit-identical.
+        "dedup_semantic": """
+            WITH seeds AS (
+                SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+                FROM embeddings WHERE vec_id < 8),
+            d2 AS (
+                SELECT e.vec_id AS id, e.embedding AS v, s.cid,
+                       list_aggregate(list_transform(
+                           list_zip(e.embedding, s.cvec),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                           'sum') AS dist2
+                FROM embeddings e, seeds s),
+            asg AS (
+                SELECT id, v, cid AS cluster FROM (
+                    SELECT *, row_number() OVER (PARTITION BY id
+                        ORDER BY dist2 ASC, cid ASC) AS rn FROM d2)
+                WHERE rn = 1),
+            pairs AS (
+                SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+                       list_aggregate(list_transform(list_zip(a.v, b.v),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                           'sum')
+                       / (sqrt(list_aggregate(list_transform(a.v,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             'sum'))
+                        * sqrt(list_aggregate(list_transform(b.v,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             'sum'))) AS cos_sim
+                FROM asg a JOIN asg b
+                  ON a.cluster = b.cluster AND a.id < b.id),
+            dropped AS (
+                SELECT cluster, id_b FROM pairs WHERE cos_sim >= 0.35
+                GROUP BY cluster, id_b),
+            dc AS (SELECT cluster, count(*) AS n_dropped
+                   FROM dropped GROUP BY cluster),
+            members AS (SELECT cluster, count(*) AS n_members
+                        FROM asg GROUP BY cluster),
+            tot AS (SELECT (SELECT count(*) FROM embeddings)
+                         - (SELECT count(*) FROM dropped)
+                         AS n_survivors_total)
+            SELECT m.cluster, m.n_members,
+                   CAST(coalesce(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
+                   t.n_survivors_total
+            FROM members m LEFT JOIN dc USING (cluster), tot t
+            ORDER BY m.cluster
+        """,
         "text_quality_gopher": """
             WITH base AS (
                 SELECT doc_id, text,

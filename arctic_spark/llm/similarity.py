@@ -174,6 +174,65 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-bucketed cosine pruning
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", arXiv:2303.09540 — public paper)
+# ---------------------------------------------------------------------------
+
+def seed_centroids(df: DataFrame, n_clusters: int, id_col="vec_id",
+                   vec_col="embedding"):
+    """Deterministic centroids: the embeddings of the `n_clusters`
+    smallest ids. A degenerate but fully replayable alternative to
+    `train_ivf_centroids` (k-means cannot be replayed in SQL) — used by
+    the oracle gate; production callers should prefer k-means. The
+    collect is the index-build step: `n_clusters` rows, never the corpus.
+    """
+    rows = (df.select(_c(id_col).alias("i"), _c(vec_col).alias("v"))
+            .orderBy("i").limit(n_clusters).collect())
+    if len(rows) < n_clusters:
+        raise ValueError(f"need >= {n_clusters} vectors, got {len(rows)}")
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def semdedup_pairs(df: DataFrame, centroids, threshold: float = 0.9,
+                   id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Within-cluster cosine-duplicate pairs (cluster, id_a, id_b,
+    cos_sim), id_a < id_b, cos_sim >= threshold.
+
+    SemDeDup's trick is exactly the IVF inverted file: every vector is
+    assigned to its nearest centroid (native expressions, zero Python),
+    and candidate pairs exist ONLY within a cluster — the self-join's
+    equi-key is the cluster id, so the shuffle is O(n), never O(n²).
+    At 100 TB the per-cluster pair blowup is bounded by centroid count
+    (train enough centroids that clusters stay ~constant-sized) and
+    skewed clusters split by AQE.
+    """
+    assigned = df.select(
+        _c(id_col).alias("id"), _c(vec_col).alias("__v"),
+        F.element_at(ivf_assign(_c(vec_col), centroids, 1), 1)
+         .alias("cluster"))
+    a = assigned.select("cluster", F.col("id").alias("id_a"),
+                        F.col("__v").alias("__va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"),
+                        F.col("__v").alias("__vb"))
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn("cos_sim", cosine("__va", "__vb"))
+    return (out.where(F.col("cos_sim") >= threshold)
+            .select("cluster", "id_a", "id_b", "cos_sim"))
+
+
+def semdedup(df: DataFrame, centroids, threshold: float = 0.9,
+             id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Semantic dedup: drop every vector that has a smaller-id duplicate
+    (cos >= threshold) in its cluster; survivors keep all columns.
+    Deterministic min-id survivor rule (the paper keeps a random member;
+    min-id is the replayable equivalent)."""
+    pairs = semdedup_pairs(df, centroids, threshold, id_col, vec_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse k-means quantization + cluster-probed
 # search — the other classic scale path besides hyperplane LSH
 # ---------------------------------------------------------------------------

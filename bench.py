@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "text_html_strip",
     "dedup_paragraph_stats",
+    "dedup_semantic",
 ]
 
 

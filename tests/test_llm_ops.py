@@ -207,6 +207,39 @@ def test_ivf_topk_recall(spark):
             dim=16, n_clusters=4)
 
 
+def test_semdedup(spark):
+    rng = np.random.default_rng(7)
+    # 3 gaussian blobs; within-blob points are near-duplicates
+    centers = rng.standard_normal((3, 8)) * 10
+    X = np.vstack([c + rng.standard_normal((20, 8)) * 0.05 for c in centers])
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "vec_id long, embedding array<double>")
+    cents = similarity.seed_centroids(df, 3, "vec_id", "embedding")
+    assert cents == [X[i].tolist() for i in range(3)]
+
+    pairs = similarity.semdedup_pairs(df, cents, threshold=0.999)
+    rows = pairs.collect()
+    assert all(r.id_a < r.id_b and r.cos_sim >= 0.999 for r in rows)
+    surv = similarity.semdedup(df, cents, threshold=0.999)
+    dropped = {r.id_b for r in rows}
+    assert surv.count() == 60 - len(dropped)
+    # survivor set = complement of the dropped set, all columns kept
+    surv_ids = {r.vec_id for r in surv.select("vec_id").collect()}
+    assert surv_ids == set(range(60)) - dropped
+    # tight blobs + 0.05 sigma: blob members are mutual near-dups, so
+    # each blob collapses to (roughly) its min-id representative
+    assert surv.count() <= 12
+    # min-id of each cluster always survives
+    clus = {}
+    for r in rows:
+        clus.setdefault(r.cluster, set()).update((r.id_a, r.id_b))
+    for c, ids in clus.items():
+        assert min(ids) in surv_ids
+
+    # permissive threshold drops nothing when no pair clears it
+    assert similarity.semdedup(df, cents, threshold=1.1).count() == 60
+
+
 def test_gopher_repetition_metrics(spark):
     rows = spark.createDataFrame(
         [(1, "spam spam spam spam"),               # one token repeated
