@@ -1437,6 +1437,23 @@ def dedup_semantic(spark, sf):
             .orderBy("cluster"))
 
 
+def text_perplexity(spark, sf):
+    """Unigram-LM quality scoring (llm/pipeline.unigram_lm /
+    doc_unigram_logprob, the CCNet-style perplexity filter): the LM is
+    trained on doc_id < 400 and scores ALL docs, so tokens appearing
+    only in docs >= 400 hit the add-one OOV floor — both the in-vocab
+    and the OOV path are gated. Pre-collapsed distinct-token join
+    (fan-out by distinct tokens, not occurrences), broadcast LM, one
+    shuffle on the doc id."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    lm = pipeline.unigram_lm(d.where(F.col("doc_id") < 400))
+    out = pipeline.doc_unigram_logprob(d, lm)
+    return out.select(F.col("id").alias("doc_id"), "n_tokens",
+                      F.round("avg_neg_logp", 6).alias("avg_neg_logp"),
+                      F.round("perplexity", 6).alias("perplexity"))
+
+
 def text_html_strip(spark, sf):
     """HTML boilerplate removal (llm/text.strip_html): each doc wrapped
     in synthesized markup (head/style/script/entities) by the query
@@ -1596,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_strip": text_html_strip,
         "dedup_paragraph_stats": dedup_paragraph_stats,
         "dedup_semantic": dedup_semantic,
+        "text_perplexity": text_perplexity,
         "text_chunking": text_chunking,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
@@ -2436,6 +2454,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        # Unigram-LM replay: same tokenizer (split on non-alphanumerics,
+        # lowercase), same add-one smoothing (tf+1)/(N+V) with the LM
+        # trained on doc_id < 400, same OOV floor 1/(N+V); per-doc mean
+        # negative log-prob in nats and exp() perplexity.
+        "text_perplexity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-zA-Z0-9]+'),
+                                   w -> length(w) > 0) AS ws
+                FROM documents),
+            vocab AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT unnest(ws) AS token FROM toks
+                      WHERE doc_id < 400)
+                GROUP BY token),
+            tot AS (SELECT CAST(sum(tf) AS DOUBLE)
+                         + CAST(count(*) AS DOUBLE) AS denom FROM vocab),
+            occ AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+            scored AS (
+                SELECT o.doc_id,
+                       ln((coalesce(v.tf, 0) + 1.0) / t.denom) AS lp
+                FROM occ o LEFT JOIN vocab v USING (token), tot t),
+            per_doc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       -avg(lp) AS anl
+                FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(p.anl, 6) AS avg_neg_logp,
+                   round(exp(p.anl), 6) AS perplexity
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         # SemDeDup replay: seed centroids are the 8 smallest vec_ids, so
         # assignment (argmin L2, ties by centroid id), within-cluster
         # pairing, the 0.35 cosine cut and the min-id survivor rule are

@@ -368,6 +368,74 @@ def tfidf_topk_per_doc(df: DataFrame, id_col="doc_id", text_col="text",
 
 
 # ---------------------------------------------------------------------------
+# unigram language model scoring (perplexity-proxy quality signal, the
+# KenLM-style filter of CCNet/RedPajama pipelines — here a corpus-trained
+# add-one-smoothed unigram model, dependency-free and fully declarative)
+# ---------------------------------------------------------------------------
+
+def unigram_lm(df: DataFrame, text_col="text", lowercase=True) -> DataFrame:
+    """Train an add-one-smoothed unigram LM over the corpus: (token, tf,
+    logp, oov_logp) with p(t) = (tf+1)/(N+V) and p(OOV) = 1/(N+V), logs
+    in nats. Built on :func:`vocab_stats` (one shuffle on the token);
+    the scalar totals ride a broadcast 1-row aggregate, never the
+    driver."""
+    vocab = vocab_stats(df, text_col, lowercase)
+    totals = vocab.agg(F.sum("tf").alias("__N"),
+                       F.count("*").alias("__V"))
+    denom = F.col("__N") + F.col("__V")
+    return (vocab.crossJoin(F.broadcast(totals))
+            .select("token", "tf",
+                    F.log((F.col("tf") + 1.0) / denom).alias("logp"),
+                    F.log(F.lit(1.0) / denom).alias("oov_logp")))
+
+
+def doc_unigram_logprob(df: DataFrame, lm: DataFrame | None = None,
+                        id_col="doc_id", text_col="text",
+                        lowercase=True) -> DataFrame:
+    """Per-document unigram score: (id, n_tokens, avg_neg_logp,
+    perplexity) where avg_neg_logp is the mean negative log-probability
+    per token (nats) under `lm` (trained on `df` itself if omitted) and
+    perplexity = exp(avg_neg_logp). Low-perplexity docs look like the
+    corpus; high-perplexity docs are outliers/noise — the standard
+    CCNet-style quality cut.
+
+    Scale shape: the token multiset is pre-collapsed per doc inside
+    codegen (distinct token + in-doc count), so the LM join fans out by
+    DISTINCT tokens per doc, not occurrences; the LM table is broadcast
+    (vocabulary grows sub-linearly with the corpus) and the per-doc
+    aggregate collapses map-side. One shuffle, on the doc id. Docs with
+    zero tokens score n_tokens = 0 with NULL logprob/perplexity."""
+    from ..functions.native import _let
+    if lm is None:
+        lm = unigram_lm(df, text_col, lowercase)
+    toks = word_tokens(text_col, lowercase=lowercase)
+
+    def per_doc(ws):
+        return F.transform(
+            F.array_distinct(ws),
+            lambda t: F.struct(
+                t.alias("token"),
+                F.size(F.filter(ws, lambda x: x == t)).alias("cnt")))
+
+    t = df.select(_c(id_col).alias("id"),
+                  F.explode_outer(_let(toks, per_doc)).alias("tc"))
+    oov = lm.agg(F.first("oov_logp").alias("__oov"))
+    scored = (t.join(F.broadcast(lm.select("token", "logp")),
+                     t["tc.token"] == F.col("token"), "left")
+              .crossJoin(F.broadcast(oov))
+              .withColumn("__lp", F.when(F.col("tc").isNull(), F.lit(None))
+                          .otherwise(F.coalesce("logp", F.col("__oov")))))
+    out = (scored.groupBy("id")
+           .agg(F.coalesce(F.sum("tc.cnt"), F.lit(0)).cast("long")
+                .alias("n_tokens"),
+                (-F.sum(F.col("__lp") * F.col("tc.cnt"))).alias("__nl")))
+    avg = F.when(F.col("n_tokens") > 0,
+                 F.col("__nl") / F.col("n_tokens"))
+    return out.select("id", "n_tokens", avg.alias("avg_neg_logp"),
+                      F.exp(avg).alias("perplexity"))
+
+
+# ---------------------------------------------------------------------------
 # cross-corpus paragraph dedup (C4-style)
 # ---------------------------------------------------------------------------
 

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "text_html_strip",
     "dedup_paragraph_stats",
     "dedup_semantic",
+    "text_perplexity",
 ]
 
 

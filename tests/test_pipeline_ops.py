@@ -252,3 +252,33 @@ def test_dedup_paragraphs(spark):
     assert out[2] == "something else"
     assert 3 not in out                            # fully boilerplate
     assert out[4] == "fresh content"
+
+
+def test_unigram_lm_scoring(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string")
+    lm = {r.token: (r.tf, r.logp, r.oov_logp)
+          for r in pipeline.unigram_lm(df).collect()}
+    # N=5 tokens, V=3 vocab -> denom 8; p(a)=(3+1)/8, p(b)=p(c)=2/8
+    assert lm["a"][0] == 3
+    assert lm["a"][1] == pytest.approx(math.log(0.5))
+    assert lm["b"][1] == pytest.approx(math.log(0.25))
+    assert lm["a"][2] == pytest.approx(math.log(1 / 8))
+
+    out = {r.id: r for r in
+           pipeline.doc_unigram_logprob(df).collect()}
+    # doc 1: -(2 ln .5 + ln .25)/3 ; perplexity = 16^(1/3)
+    assert out[1].n_tokens == 3
+    assert out[1].avg_neg_logp == pytest.approx(
+        -(2 * math.log(.5) + math.log(.25)) / 3)
+    assert out[1].perplexity == pytest.approx(16 ** (1 / 3))
+    # empty doc scores NULL with zero tokens
+    assert out[3].n_tokens == 0 and out[3].perplexity is None
+
+    # OOV path: unseen token scores the add-one floor 1/(N+V)
+    q = spark.createDataFrame([(9, "d d")], "doc_id long, text string")
+    lm_df = pipeline.unigram_lm(df)
+    r9 = pipeline.doc_unigram_logprob(q, lm_df).collect()[0]
+    assert r9.avg_neg_logp == pytest.approx(-math.log(1 / 8))
