@@ -1293,6 +1293,36 @@ def geo_delaunay(spark, sf):
         (F.col("k") * 2 + 2).cast("int").alias("expected_tris"))
 
 
+def geo_concave_hull(spark, sf):
+    """Concave hull (chi-shape peel over Delaunay, st.concave_hull) with
+    hand-derived closed forms: an L-shaped unit lattice (S×S grid minus
+    the [2,S]² block) has chi-shape area 2S - 0.5 at max_edge_length=2
+    (the staircase plus the √2 corner diagonal) and convex-hull area
+    S² - (S-1)²/2 at ratio=1 — proven for S=3..7 against the
+    triangulation by direct construction (tests/test_shape_ops.py)."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    S = (key % 3 + 3).cast("int")
+    idx = F.sequence(F.lit(0), S)
+    pairs = F.flatten(F.transform(idx, lambda i: F.transform(
+        idx, lambda j: F.struct(i.cast("double").alias("x"),
+                                j.cast("double").alias("y")))))
+    kept = F.filter(pairs, lambda p: (p["x"] < 2) | (p["y"] < 2))
+    xs = F.transform(kept, lambda p: p["x"])
+    ys = F.transform(kept, lambda p: p["y"])
+    pts = st.geom_struct(F.lit(4), xs, ys,
+                         F.transform(xs, lambda _: F.lit(1)),
+                         F.transform(xs, lambda _: F.lit(1)))
+    d = (c.select("c_custkey", pts.alias("pts"))
+         .withColumn("chi", st.concave_hull(F.col("pts"),
+                                            max_edge_length=2.0))
+         .withColumn("cvx", st.concave_hull(F.col("pts"), ratio=1.0)))
+    return d.select(
+        "c_custkey",
+        F.round(st.area("chi"), 6).alias("chi_area"),
+        F.round(st.area("cvx"), 6).alias("convex_area"))
+
+
 def geo_voronoi(spark, sf):
     """Voronoi diagram (half-plane cut UDF) with partition-property
     closed forms: cells of the parallelogram corners + k interior
@@ -1606,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_overlay_area": geo_overlay_area,
         "geo_delaunay": geo_delaunay,
         "geo_voronoi": geo_voronoi,
+        "geo_concave_hull": geo_concave_hull,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2812,6 +2843,17 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        # chi-shape closed forms on the L lattice (see geo_concave_hull
+        # docstring): chi area 2S-0.5 at max_edge_length=2, convex area
+        # S² - (S-1)²/2 at ratio=1, S = 3 + key%3.
+        "geo_concave_hull": """
+            SELECT c_custkey,
+                   round(2.0 * (c_custkey % 3 + 3) - 0.5, 6) AS chi_area,
+                   round((c_custkey % 3 + 3) * (c_custkey % 3 + 3)
+                         - (c_custkey % 3 + 2) * (c_custkey % 3 + 2) / 2.0,
+                         6) AS convex_area
+            FROM customer WHERE c_custkey <= 2000
         """,
         "geo_voronoi": """
             WITH p AS (

@@ -608,6 +608,18 @@ def delaunay_triangles(g: pd.DataFrame) -> pd.DataFrame:
     return ragged_to_pdf(algos.delaunay_triangles(ragged_from_pdf(g)))
 
 
+def concave_hull(g, ratio: float = 0.0, max_edge_length: float = None):
+    """Concave hull (GeoPandas 1.0 / shapely 2 ``concave_hull``;
+    chi-shape peel over the Delaunay triangulation, geom/algos.py).
+    ``ratio=1`` reproduces the convex hull; ``max_edge_length`` is the
+    absolute-length variant (JTS ``concaveHullByLength``)."""
+    @pandas_udf(GEOM_TYPE)
+    def _ch(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.concave_hull(
+            ragged_from_pdf(gg), ratio, max_edge_length))
+    return _ch(g)
+
+
 def voronoi_polygons(g, extend: float = 2.0):
     """Voronoi cells of each geometry's unique vertices (GeoPandas 1.0
     ``voronoi_polygons``): half-plane cuts against every neighbor,

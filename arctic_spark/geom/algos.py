@@ -1681,6 +1681,119 @@ def delaunay_triangles(rg: RaggedGeometry):
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
+                 max_edge_length: float | None = None):
+    """Concave hull of each geometry's unique vertices (GeoPandas 1.0 /
+    shapely 2 ``concave_hull``; the chi-shape of Park & Oh 2012, the
+    algorithm behind JTS/GEOS ConcaveHull — public papers/code studied
+    for semantics only).
+
+    Peels Delaunay border triangles whose border edge exceeds the target
+    length, but only while removal keeps the boundary a simple ring: a
+    triangle is removable iff its vertex opposite the border edge is not
+    already on the boundary (so vertices are never abandoned and the
+    region stays simply connected). Target length = emin + ratio *
+    (emax - emin) over all triangulation edges (ratio=1 → convex hull,
+    ratio=0 → maximally concave), or an absolute ``max_edge_length``
+    (JTS ``concaveHullByLength``). Every input point ends up inside or
+    on the hull. <3 unique points → POINT / LINESTRING; collinear →
+    LINESTRING over the extent."""
+    import heapq
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, _, _ = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        pts = np.unique(np.column_stack([np.asarray(xs, float),
+                                         np.asarray(ys, float)]), axis=0)
+        n = len(pts)
+        if n == 0:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        if n == 1:
+            gts.append(POINT); oxs.append([pts[0, 0]])
+            oys.append([pts[0, 1]]); orings.append([1]); oparts.append([1])
+            continue
+        tris = _bowyer_watson(pts) if n >= 3 else []
+        if not tris:
+            # 2 points or all collinear: the extent line (lex order)
+            gts.append(LINESTRING)
+            oxs.append([pts[0, 0], pts[-1, 0]])
+            oys.append([pts[0, 1], pts[-1, 1]])
+            orings.append([2]); oparts.append([1])
+            continue
+        tris = [tuple(sorted(t)) for t in tris]
+        edge_tris: dict = {}
+        for ti, t in enumerate(tris):
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+                edge_tris.setdefault(e, []).append(ti)
+
+        def elen(e):
+            d = pts[e[0]] - pts[e[1]]
+            return float(np.hypot(d[0], d[1]))
+
+        lens = {e: elen(e) for e in edge_tris}
+        if max_edge_length is not None:
+            thr = float(max_edge_length)
+        else:
+            emin, emax = min(lens.values()), max(lens.values())
+            thr = emin + float(ratio) * (emax - emin)
+        alive = set(range(len(tris)))
+        border0 = [e for e, ts in edge_tris.items() if len(ts) == 1]
+        bvert = {v for e in border0 for v in e}
+        heap = [(-lens[e], e) for e in border0]
+        heapq.heapify(heap)
+        while heap:
+            negl, e = heapq.heappop(heap)
+            if -negl <= thr:
+                break
+            ts = [t for t in edge_tris[e] if t in alive]
+            if len(ts) != 1:
+                continue                      # stale (triangle removed)
+            ti = ts[0]
+            if len(alive) == 1:
+                break
+            t = tris[ti]
+            c = next(v for v in t if v not in e)
+            if c in bvert:
+                continue                      # irregular: would pinch
+            alive.remove(ti)
+            bvert.add(c)
+            for ne in ((min(e[0], c), max(e[0], c)),
+                       (min(e[1], c), max(e[1], c))):
+                heapq.heappush(heap, (-lens[ne], ne))
+        # trace the boundary ring (every boundary vertex has degree 2)
+        adj: dict = {}
+        for e, ts in edge_tris.items():
+            if sum(1 for t in ts if t in alive) == 1:
+                adj.setdefault(e[0], []).append(e[1])
+                adj.setdefault(e[1], []).append(e[0])
+        start = min(adj)
+        ring = [start]
+        prev, cur = None, start
+        while True:
+            nxts = [v for v in sorted(adj[cur]) if v != prev]
+            nxt = nxts[0] if nxts else prev
+            if nxt == start:
+                break
+            ring.append(nxt)
+            prev, cur = cur, nxt
+        rx = [pts[v][0] for v in ring]
+        ry = [pts[v][1] for v in ring]
+        area2 = sum(rx[j] * ry[(j + 1) % len(ring)]
+                    - rx[(j + 1) % len(ring)] * ry[j]
+                    for j in range(len(ring)))
+        if area2 < 0:
+            rx.reverse(); ry.reverse()
+        rx.append(rx[0]); ry.append(ry[0])
+        gts.append(POLYGON); oxs.append(rx); oys.append(ry)
+        orings.append([len(rx)]); oparts.append([1])
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
 def voronoi_polygons(rg: RaggedGeometry, extend: float = 2.0):
     """Voronoi diagram of each geometry's unique vertices (GeoPandas 1.0
     ``voronoi_polygons``): the dual of the Delaunay triangulation. Each

@@ -212,6 +212,9 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_hausdorffdistance": _udfs.hausdorff_distance,
         "st_frechetdistance": _udfs.frechet_distance,
         "st_orientedenvelope": _geom_udf(algos.minimum_rotated_rectangle),
+        "st_concavehull": _geom_udf(algos.concave_hull),
+        "st_delaunaytriangles": _geom_udf(algos.delaunay_triangles),
+        "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,
         "st_shortestline": _udfs.shortest_line,
     }

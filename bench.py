@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "geo_overlay_area",
     "geo_delaunay",
     "geo_voronoi",
+    "geo_concave_hull",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

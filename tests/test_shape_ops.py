@@ -214,3 +214,48 @@ def test_voronoi_polygons(spark):
     # single point: whole envelope (pad = extend * 1.0 fallback span)
     assert out[2].n == 1
     assert abs(out[2].ar - 4.0) < 1e-9
+
+
+def test_concave_hull(spark):
+    # L-shaped unit lattice (0..4 grid minus the [2,4]x[2,4] block):
+    # chi-shape closed forms derived by hand (see geo_concave_hull)
+    pts = [(i, j) for i in range(5) for j in range(5)
+           if not (i >= 2 and j >= 2)]
+    wkt = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    df = (spark.createDataFrame([(1, wkt)], "id long, w string")
+          .withColumn("g", st.from_wkt("w")))
+    df = (df.withColumn("chi", st.concave_hull("g", max_edge_length=2.0))
+          .withColumn("chi0", st.concave_hull("g", ratio=0.0))
+          .withColumn("cvx", st.concave_hull("g", ratio=1.0))
+          .withColumn("hull", st.convex_hull("g")))
+    r = df.select(st.area("chi").alias("a2"), st.area("chi0").alias("a0"),
+                  st.area("cvx").alias("ac"),
+                  st.area("hull").alias("ah"),
+                  st.geom_type_name("chi").alias("t")).collect()[0]
+    assert r.a2 == pytest.approx(7.5)   # keeps the sqrt(2) corner diagonal
+    assert r.a0 == pytest.approx(7.0)   # maximally concave: the pure L
+    assert r.ac == pytest.approx(11.5)  # ratio=1 == convex hull
+    assert r.ah == pytest.approx(11.5)
+    assert r.t == "Polygon"
+
+    # every input point stays inside or on the hull
+    pdf = (spark.createDataFrame([(float(x), float(y)) for x, y in pts],
+                                 "x double, y double")
+           .withColumn("p", st.point(F.col("x"), F.col("y"))))
+    hull = df.select(F.col("chi0").alias("h"))
+    n_in = (pdf.crossJoin(hull)
+            .where(st.intersects(F.col("h"), F.col("p"))).count())
+    assert n_in == len(pts)
+
+    # degenerate inputs: 1 point -> POINT, collinear -> extent LINESTRING
+    deg = (spark.createDataFrame(
+        [(1, "MULTIPOINT (5 5)"),
+         (2, "MULTIPOINT (0 0, 1 1, 2 2)")], "id long, w string")
+        .withColumn("g", st.from_wkt("w"))
+        .withColumn("h", st.concave_hull("g", ratio=0.5)))
+    out = {r.id: r for r in
+           deg.select("id", st.geom_type_name("h").alias("t"),
+                      st.length("h").alias("len")).collect()}
+    assert out[1].t == "Point"
+    assert out[2].t == "LineString"
+    assert out[2].len == pytest.approx(math.sqrt(8))
