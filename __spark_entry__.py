@@ -1323,6 +1323,45 @@ def geo_concave_hull(spark, sf):
         F.round(st.area("cvx"), 6).alias("convex_area"))
 
 
+def geo_polygonize(spark, sf):
+    """Polygonize (noding + face walk, st.polygonize) with combinatorial
+    closed forms: an m×n grid of full-span lines (m vertical, n
+    horizontal, spacings w/h from the key) plus a dangling tail closes
+    exactly (m-1)(n-1) faces whose areas sum to the full extent
+    (m-1)w × (n-1)h; the dangle must be trimmed, not polygonized."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    m = (key % 3 + 2).cast("int")
+    n = (key % 4 + 2).cast("int")
+    w = (key % 2 + 1).cast("double")
+    h = (key % 3 + 1).cast("double")
+    W = (m - 1).cast("double") * w            # full x span
+    H = (n - 1).cast("double") * h            # full y span
+    vseq = F.sequence(F.lit(0), m - 1)
+    hseq = F.sequence(F.lit(0), n - 1)
+    # vertical lines x=i*w, then horizontal lines y=j*h, then a dangle
+    xs = F.concat(
+        F.flatten(F.transform(vseq, lambda i: F.array(
+            i.cast("double") * w, i.cast("double") * w))),
+        F.flatten(F.transform(hseq, lambda j: F.array(F.lit(0.0), W))),
+        F.array(W, W + F.lit(3.0)))
+    ys = F.concat(
+        F.flatten(F.transform(vseq, lambda i: F.array(F.lit(0.0), H))),
+        F.flatten(F.transform(hseq, lambda j: F.array(
+            j.cast("double") * h, j.cast("double") * h))),
+        F.array(H, H + F.lit(2.0)))
+    nlines = m + n + 1
+    rings = F.transform(F.sequence(F.lit(1), nlines), lambda _: F.lit(2))
+    parts = F.transform(F.sequence(F.lit(1), nlines), lambda _: F.lit(1))
+    g = st.geom_struct(F.lit(5), xs, ys, rings, parts)
+    d = (c.select("c_custkey", g.alias("g"))
+         .withColumn("poly", st.polygonize(F.col("g"))))
+    return d.select(
+        "c_custkey",
+        st.num_parts("poly").alias("n_faces"),
+        F.round(st.area("poly"), 6).alias("face_area"))
+
+
 def geo_voronoi(spark, sf):
     """Voronoi diagram (half-plane cut UDF) with partition-property
     closed forms: cells of the parallelogram corners + k interior
@@ -1637,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_delaunay": geo_delaunay,
         "geo_voronoi": geo_voronoi,
         "geo_concave_hull": geo_concave_hull,
+        "geo_polygonize": geo_polygonize,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2843,6 +2883,18 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        # grid-of-lines closed forms (see geo_polygonize docstring):
+        # (m-1)(n-1) faces, total area (m-1)w*(n-1)h; m=2+key%3,
+        # n=2+key%4, w=1+key%2, h=1+key%3.
+        "geo_polygonize": """
+            SELECT c_custkey,
+                   CAST((c_custkey % 3 + 1) * (c_custkey % 4 + 1) AS INTEGER)
+                       AS n_faces,
+                   round((c_custkey % 3 + 1) * (c_custkey % 2 + 1) * 1.0
+                         * (c_custkey % 4 + 1) * (c_custkey % 3 + 1), 6)
+                       AS face_area
+            FROM customer WHERE c_custkey <= 2000
         """,
         # chi-shape closed forms on the L lattice (see geo_concave_hull
         # docstring): chi area 2S-0.5 at max_edge_length=2, convex area

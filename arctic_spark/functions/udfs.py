@@ -608,6 +608,15 @@ def delaunay_triangles(g: pd.DataFrame) -> pd.DataFrame:
     return ragged_to_pdf(algos.delaunay_triangles(ragged_from_pdf(g)))
 
 
+@pandas_udf(GEOM_TYPE)
+def polygonize(g: pd.DataFrame) -> pd.DataFrame:
+    """Faces of each row's noded line arrangement (GEOS/shapely
+    ``polygonize``: noding + dangle trim + minimal-face walk + nested
+    hole assignment, geom/boolean.py). (Multi)Polygon per row; rows
+    whose lines close no face → empty polygon."""
+    return ragged_to_pdf(algos.polygonize(ragged_from_pdf(g)))
+
+
 def concave_hull(g, ratio: float = 0.0, max_edge_length: float = None):
     """Concave hull (GeoPandas 1.0 / shapely 2 ``concave_hull``;
     chi-shape peel over the Delaunay triangulation, geom/algos.py).

@@ -1794,6 +1794,30 @@ def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def polygonize(rg: RaggedGeometry):
+    """Faces of each geometry's noded line arrangement (GEOS/shapely
+    ``polygonize`` applied per row): noding, dangle/cut-edge trimming,
+    minimal-face walking and cross-component hole assignment live in
+    geom/boolean.polygonize (the arrangement engine's machinery). Rows
+    whose lines close no face → empty polygon."""
+    from . import boolean as _bool
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g = rg.geom(i)
+        if g[0] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        t = _bool.polygonize(g)
+        if t is None:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        gts.append(t[0]); oxs.append(list(t[1])); oys.append(list(t[2]))
+        orings.append(list(t[3])); oparts.append(list(t[4]))
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
 def voronoi_polygons(rg: RaggedGeometry, extend: float = 2.0):
     """Voronoi diagram of each geometry's unique vertices (GeoPandas 1.0
     ``voronoi_polygons``): the dual of the Delaunay triangulation. Each

@@ -510,6 +510,145 @@ def _merge(polys_a, polys_b, op, eps_rel=1e-9):
     return _assemble(list(dedup.values()), quant, eps * eps)
 
 
+def polygonize(g, eps_rel=1e-9):
+    """Faces of the noded arrangement of a (Multi)LineString — the
+    GEOS/shapely ``polygonize`` semantics, built on the engine's own
+    noding: mutually intersect all segments (grid-pruned), trim dangles
+    and cut edges (iterative degree-1 peel), walk minimal faces with the
+    interior-left turn rule, keep CCW cycles as polygon shells, and
+    assign each connected component's CW outer cycle as a hole of the
+    smallest containing shell from ANOTHER component (nested islands →
+    donuts, exactly GEOS's EdgeRing hole assignment). The unbounded
+    face's CW cycle is contained by no shell and drops out. Returns a
+    (Multi)Polygon geometry tuple, or None when no face closes."""
+    ax, ay, bx, by = _line_segments(g)
+    if ax.size == 0:
+        return None
+    span = max(1.0, float(np.abs(ax).max()), float(np.abs(ay).max()),
+               float(np.abs(bx).max()), float(np.abs(by).max()))
+    quant = eps_rel * span
+    i, j = _grid_pairs(ax, ay, bx, by)
+    if i.size:
+        seg_idx, ts = _split_params_batch(ax, ay, bx, by, i, j)
+    else:
+        seg_idx, ts = np.empty(0, np.int64), np.empty(0)
+    px, py, qx, qy = _subdivide(ax, ay, bx, by, seg_idx, ts)
+    ok = np.hypot(qx - px, qy - py) > 0
+    px, py, qx, qy = px[ok], py[ok], qx[ok], qy[ok]
+
+    def key(x, y):
+        return (round(x / quant), round(y / quant))
+
+    # dedupe undirected sub-edges
+    und = {}
+    for k in range(px.size):
+        ka, kb = key(px[k], py[k]), key(qx[k], qy[k])
+        if ka == kb:
+            continue
+        und[(min(ka, kb), max(ka, kb))] = ((px[k], py[k]), (qx[k], qy[k]))
+    # iterative dangle/cut-edge trim: drop edges at degree-1 vertices
+    while True:
+        deg = {}
+        for ka, kb in und:
+            deg[ka] = deg.get(ka, 0) + 1
+            deg[kb] = deg.get(kb, 0) + 1
+        drop = [e for e in und if deg[e[0]] < 2 or deg[e[1]] < 2]
+        if not drop:
+            break
+        for e in drop:
+            del und[e]
+    if not und:
+        return None
+    # connected components (union-find on quantized vertices)
+    parent = {}
+
+    def find(v):
+        r = v
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(v, v) != v:
+            parent[v], v = r, parent[v]
+        return r
+
+    for ka, kb in und:
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            parent[ra] = rb
+    # directed edges, both ways
+    edges = []
+    for (p, q) in und.values():
+        edges.append((p, q))
+        edges.append((q, p))
+    out_by_start = {}
+    for idx, (a, b) in enumerate(edges):
+        out_by_start.setdefault(key(*a), []).append(idx)
+    # successor: max CCW turn from the reversed incoming direction;
+    # the reverse edge ranks lowest (taken only at a dead end)
+    succ = []
+    for a, b in edges:
+        kb, ka = key(*b), key(*a)
+        rev = math.atan2(a[1] - b[1], a[0] - b[0])
+        best, best_ang = None, -1.0
+        for c in out_by_start.get(kb, []):
+            ca, cb = edges[c]
+            ang = ((math.atan2(cb[1] - ca[1], cb[0] - ca[0]) - rev)
+                   % (2 * math.pi))
+            if key(*cb) == ka and key(*ca) == kb:
+                ang = 0.0                     # the reverse edge: last resort
+            elif ang == 0.0:
+                ang = 2 * math.pi
+            if ang > best_ang:
+                best_ang, best = ang, c
+        succ.append(best)
+    used = [False] * len(edges)
+    shells, cw_rings = [], []                  # (area, ring, component)
+    for s in range(len(edges)):
+        if used[s]:
+            continue
+        ring = []
+        cur = s
+        for _guard in range(len(edges) + 1):
+            if used[cur]:
+                break
+            used[cur] = True
+            ring.append(edges[cur][0])
+            cur = succ[cur]
+        if cur != s or len(ring) < 3:
+            continue
+        ring.append(ring[0])
+        a2 = _ring_signed_area(ring)
+        comp = find(key(*ring[0]))
+        if a2 > quant * quant:
+            shells.append((a2, ring, comp))
+        elif a2 < -quant * quant:
+            cw_rings.append((-a2, ring, comp))
+    if not shells:
+        return None
+    shells.sort(key=lambda t: t[0])
+    assembled = [[s[1]] for s in shells]
+    for ha, hr, hc in cw_rings:
+        for si, (sa, sr, sc) in enumerate(shells):
+            if sc != hc and sa > ha:
+                sx = np.array([p[0] for p in sr])
+                sy = np.array([p[1] for p in sr])
+                if _point_in_ring_np(hr[0][0], hr[0][1], sx, sy):
+                    assembled[si].append(hr)
+                    break
+    xs_out, ys_out, rings_arr, parts_arr = [], [], [], []
+    for part in assembled:
+        parts_arr.append(len(part))
+        for r in part:
+            rings_arr.append(len(r))
+            xs_out.extend(p[0] for p in r)
+            ys_out.extend(p[1] for p in r)
+    gt = POLYGON if len(assembled) == 1 else MULTIPOLYGON
+    if gt == POLYGON:
+        parts_arr = [len(rings_arr)]
+    return (gt, np.array(xs_out), np.array(ys_out),
+            np.array(rings_arr, dtype=np.int32),
+            np.array(parts_arr, dtype=np.int32))
+
+
 _EMPTY = (POLYGON, np.empty(0), np.empty(0),
           np.empty(0, np.int32), np.empty(0, np.int32))
 

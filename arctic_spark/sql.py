@@ -213,6 +213,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_frechetdistance": _udfs.frechet_distance,
         "st_orientedenvelope": _geom_udf(algos.minimum_rotated_rectangle),
         "st_concavehull": _geom_udf(algos.concave_hull),
+        "st_polygonize": _geom_udf(algos.polygonize),
         "st_delaunaytriangles": _geom_udf(algos.delaunay_triangles),
         "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "geo_delaunay",
     "geo_voronoi",
     "geo_concave_hull",
+    "geo_polygonize",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

@@ -259,3 +259,36 @@ def test_concave_hull(spark):
     assert out[1].t == "Point"
     assert out[2].t == "LineString"
     assert out[2].len == pytest.approx(math.sqrt(8))
+
+
+def test_polygonize(spark):
+    rows = [
+        # open ring line -> one square face
+        (1, "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"),
+        # tic-tac-toe: 3 vertical + 3 horizontal -> 4 unit faces
+        (2, "MULTILINESTRING ((0 0, 0 2), (1 0, 1 2), (2 0, 2 2),"
+            " (0 0, 2 0), (0 1, 2 1), (0 2, 2 2))"),
+        # square with a dangling tail: dangle trimmed, face kept
+        (3, "MULTILINESTRING ((0 0, 2 0, 2 2, 0 2, 0 0), (2 2, 5 5))"),
+        # nested squares -> donut + island (3 rings, 2 parts)
+        (4, "MULTILINESTRING ((0 0, 6 0, 6 6, 0 6, 0 0),"
+            " (2 2, 4 2, 4 4, 2 4, 2 2))"),
+        # two crossing open segments -> no face
+        (5, "MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))"),
+        # self-crossing bowtie: noded at (2,2) -> two triangle faces
+        (6, "LINESTRING (0 0, 4 4, 4 0, 0 4, 0 0)"),
+    ]
+    df = (spark.createDataFrame(rows, "id long, w string")
+          .withColumn("g", st.from_wkt("w"))
+          .withColumn("p", st.polygonize("g")))
+    out = {r.id: r for r in df.select(
+        "id", st.geom_type_name("p").alias("t"),
+        st.num_parts("p").alias("n"),
+        st.area("p").alias("a"),
+        st.is_empty("p").alias("e")).collect()}
+    assert (out[1].t, out[1].a) == ("Polygon", pytest.approx(16.0))
+    assert (out[2].n, out[2].a) == (4, pytest.approx(4.0))
+    assert (out[3].t, out[3].a) == ("Polygon", pytest.approx(4.0))
+    assert (out[4].n, out[4].a) == (2, pytest.approx(36.0))  # 32-donut + 4
+    assert out[5].e
+    assert (out[6].n, out[6].a) == (2, pytest.approx(8.0))
