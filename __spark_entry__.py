@@ -1362,6 +1362,55 @@ def geo_polygonize(spark, sf):
         F.round(st.area("poly"), 6).alias("face_area"))
 
 
+def geo_snap_shared_paths(spark, sf):
+    """snap + shared_paths closed forms: a jittered rectangle (per-key
+    deterministic ±0.05 perturbations) snapped to its integer-corner
+    MultiPoint at tolerance 0.2 recovers area w×h exactly; shared_paths
+    of the x-axis line against a two-part MultiLineString (one stretch
+    forward, one reversed) measures each direction class's length
+    exactly."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    w = (key % 3 + 2).cast("double")
+    h = (key % 4 + 1).cast("double")
+
+    def pert(i):
+        return ((key * 7 + i) % 11).cast("double") / 100.0 - 0.05
+
+    z = F.lit(0.0)
+    px = F.array(z + pert(0), w + pert(1), w + pert(2), z + pert(3),
+                 z + pert(0))
+    py = F.array(z + pert(4), z + pert(5), h + pert(6), h + pert(7),
+                 z + pert(4))
+    poly = st.geom_struct(F.lit(3), px, py, F.array(F.lit(5)),
+                          F.array(F.lit(1)))
+    tgt = st.geom_struct(F.lit(4), F.array(z, w, w, z),
+                         F.array(z, z, h, h),
+                         F.array(*[F.lit(1)] * 4), F.array(*[F.lit(1)] * 4))
+    sl = (key % 3 + 1).cast("double")
+    ol = (key % 4 + 1).cast("double")
+    la = st.geom_struct(F.lit(1), F.array(z, F.lit(10.0)), F.array(z, z),
+                        F.array(F.lit(2)), F.array(F.lit(1)))
+    lb = st.geom_struct(F.lit(5),
+                        F.array(F.lit(1.0), F.lit(1.0) + sl,
+                                F.lit(9.0), F.lit(9.0) - ol),
+                        F.array(z, z, z, z),
+                        F.array(F.lit(2), F.lit(2)),
+                        F.array(F.lit(1), F.lit(1)))
+    d = (c.select("c_custkey", poly.alias("poly"), tgt.alias("tgt"),
+                  la.alias("la"), lb.alias("lb"))
+         .withColumn("snapped", st.snap(F.col("poly"), F.col("tgt"), 0.2))
+         .withColumn("sp_same", st.shared_paths(F.col("la"), F.col("lb"),
+                                                "same"))
+         .withColumn("sp_opp", st.shared_paths(F.col("la"), F.col("lb"),
+                                               "opposite")))
+    return d.select(
+        "c_custkey",
+        F.round(st.area("snapped"), 6).alias("snap_area"),
+        F.round(st.length("sp_same"), 6).alias("same_len"),
+        F.round(st.length("sp_opp"), 6).alias("opp_len"))
+
+
 def geo_voronoi(spark, sf):
     """Voronoi diagram (half-plane cut UDF) with partition-property
     closed forms: cells of the parallelogram corners + k interior
@@ -1677,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_voronoi": geo_voronoi,
         "geo_concave_hull": geo_concave_hull,
         "geo_polygonize": geo_polygonize,
+        "geo_snap_shared_paths": geo_snap_shared_paths,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2883,6 +2933,17 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        # snap/shared_paths closed forms (see geo_snap_shared_paths):
+        # snapped jittered rect area = w*h; directional shared-path
+        # lengths are the constructed stretch lengths.
+        "geo_snap_shared_paths": """
+            SELECT c_custkey,
+                   round((c_custkey % 3 + 2) * (c_custkey % 4 + 1) * 1.0,
+                         6) AS snap_area,
+                   round((c_custkey % 3 + 1) * 1.0, 6) AS same_len,
+                   round((c_custkey % 4 + 1) * 1.0, 6) AS opp_len
+            FROM customer WHERE c_custkey <= 2000
         """,
         # grid-of-lines closed forms (see geo_polygonize docstring):
         # (m-1)(n-1) faces, total area (m-1)w*(n-1)h; m=2+key%3,

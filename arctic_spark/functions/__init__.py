@@ -38,7 +38,7 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    minimum_bounding_circle, shortest_line,
                    line_merge, remove_repeated_points,
                    delaunay_triangles, voronoi_polygons, concave_hull,
-                   polygonize)
+                   polygonize, snap, shared_paths)
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
@@ -96,8 +96,8 @@ __all__ = [
     "minimum_bounding_radius", "minimum_bounding_circle", "shortest_line",
     "zorder_key", "geom_zorder_key", "line_merge",
     "remove_repeated_points", "delaunay_triangles",
-    "voronoi_polygons", "concave_hull", "polygonize",
-    "extract_unique_points", "project",
+    "voronoi_polygons", "concave_hull", "polygonize", "snap",
+    "shared_paths", "extract_unique_points", "project",
 ]
 
 

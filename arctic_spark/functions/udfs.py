@@ -608,6 +608,57 @@ def delaunay_triangles(g: pd.DataFrame) -> pd.DataFrame:
     return ragged_to_pdf(algos.delaunay_triangles(ragged_from_pdf(g)))
 
 
+def snap(g1, g2, tolerance: float):
+    """Row-aligned GEOS/GeoPandas ``snap``: move g1 vertices onto nearby
+    g2 vertices, then insert g2 vertices into nearby g1 segments
+    (tolerance-bounded; geom/algos.snap)."""
+    @pandas_udf(GEOM_TYPE)
+    def _snap(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.snap(ragged_from_pdf(a),
+                                        ragged_from_pdf(b), tolerance))
+    return _snap(g1, g2)
+
+
+def shared_paths(g1, g2, direction: str = "both"):
+    """Collinear shared stretches of two lineal geometries
+    (GEOS/GeoPandas ``shared_paths``), measured along g1.
+    ``direction='same'`` / ``'opposite'`` returns that class as a
+    MultiLineString; ``'both'`` returns one MultiLineString of all
+    shared paths with same-direction parts FIRST (GEOS wraps the two
+    classes in a GeometryCollection — the ragged codec flattens GC
+    children, so the per-class selector carries the direction signal
+    instead)."""
+    if direction not in ("both", "same", "opposite"):
+        raise ValueError(f"unknown direction {direction!r}")
+
+    @pandas_udf(GEOM_TYPE)
+    def _sp(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        r1, r2 = ragged_from_pdf(a), ragged_from_pdf(b)
+        gts, xs, ys, rings, parts = [], [], [], [], []
+        for i in range(len(r1)):
+            t1, t2 = r1.geom(i), r2.geom(i)
+            if t1[0] == MISSING or t2[0] == MISSING:
+                gts.append(None); xs.append(None); ys.append(None)
+                rings.append(None); parts.append(None)
+                continue
+            same, opp = boolean.shared_paths(t1, t2)
+            if direction == "same":
+                sel = same
+            elif direction == "opposite":
+                sel = opp
+            else:
+                sel = (same[0], np.concatenate([same[1], opp[1]]),
+                       np.concatenate([same[2], opp[2]]),
+                       np.concatenate([same[3], opp[3]]),
+                       np.concatenate([same[4], opp[4]]))
+            gts.append(sel[0]); xs.append(list(sel[1]))
+            ys.append(list(sel[2])); rings.append(list(sel[3]))
+            parts.append(list(sel[4]))
+        return ragged_to_pdf(RaggedGeometry.from_pylists(
+            gts, xs, ys, rings, parts))
+    return _sp(g1, g2)
+
+
 @pandas_udf(GEOM_TYPE)
 def polygonize(g: pd.DataFrame) -> pd.DataFrame:
     """Faces of each row's noded line arrangement (GEOS/shapely

@@ -1794,6 +1794,86 @@ def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def snap(r1: RaggedGeometry, r2: RaggedGeometry, tolerance: float):
+    """Row-aligned GEOS ``snap``: vertices of g1 within ``tolerance`` of
+    a g2 vertex move onto the nearest one, then g2 vertices lying within
+    ``tolerance`` of a g1 segment's interior are inserted into it (the
+    two phases of GEOS's LineStringSnapper). Consecutive duplicates
+    collapse; ring closure is preserved. Like GEOS, the result is not
+    re-validated — snapping can produce invalid geometry at extreme
+    tolerances."""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    tol = float(tolerance)
+    for i in range(len(r1)):
+        g1 = r1.geom(i)
+        g2 = r2.geom(i)
+        if g1[0] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        gt, xs, ys, rings, parts = g1
+        if g2[0] == MISSING or len(g2[1]) == 0 or len(xs) == 0:
+            gts.append(gt); oxs.append(list(xs)); oys.append(list(ys))
+            orings.append(list(rings)); oparts.append(list(parts))
+            continue
+        tx = np.asarray(g2[1], float)
+        ty = np.asarray(g2[2], float)
+        nx, ny, nr = [], [], []
+        off = 0
+        for rl in rings:
+            rx = np.asarray(xs[off:off + rl], float)
+            ry = np.asarray(ys[off:off + rl], float)
+            off += rl
+            closed = rl >= 3 and rx[0] == rx[-1] and ry[0] == ry[-1]
+            if closed:
+                rx, ry = rx[:-1], ry[:-1]
+            # phase 1: vertex -> nearest target vertex within tolerance
+            d2 = ((rx[:, None] - tx[None, :]) ** 2
+                  + (ry[:, None] - ty[None, :]) ** 2)
+            j = d2.argmin(axis=1)
+            hit = d2[np.arange(rx.size), j] <= tol * tol
+            rx = np.where(hit, tx[j], rx)
+            ry = np.where(hit, ty[j], ry)
+            # phase 2: insert target vertices onto segment interiors
+            ox, oy = [], []
+            m = rx.size
+            nseg = m if closed else m - 1
+            for k in range(m):
+                ox.append(rx[k]); oy.append(ry[k])
+                if k >= nseg:
+                    continue
+                k2 = (k + 1) % m
+                dx, dy = rx[k2] - rx[k], ry[k2] - ry[k]
+                l2 = dx * dx + dy * dy
+                if l2 <= 0:
+                    continue
+                t = ((tx - rx[k]) * dx + (ty - ry[k]) * dy) / l2
+                px = tx - (rx[k] + t * dx)
+                py = ty - (ry[k] + t * dy)
+                near = ((px * px + py * py <= tol * tol)
+                        & (t > 0) & (t < 1))
+                # skip targets already coincident with either endpoint
+                near &= ~(((tx == rx[k]) & (ty == ry[k]))
+                          | ((tx == rx[k2]) & (ty == ry[k2])))
+                if near.any():
+                    idx = np.flatnonzero(near)
+                    for q in idx[np.argsort(t[idx], kind="stable")]:
+                        ox.append(tx[q]); oy.append(ty[q])
+            # collapse consecutive duplicates
+            cx, cy = [ox[0]], [oy[0]]
+            for k in range(1, len(ox)):
+                if ox[k] != cx[-1] or oy[k] != cy[-1]:
+                    cx.append(ox[k]); cy.append(oy[k])
+            if closed:
+                if cx[0] == cx[-1] and cy[0] == cy[-1] and len(cx) > 1:
+                    cx.pop(); cy.pop()
+                cx.append(cx[0]); cy.append(cy[0])
+            nx.extend(cx); ny.extend(cy); nr.append(len(cx))
+        gts.append(gt); oxs.append(nx); oys.append(ny)
+        orings.append(nr); oparts.append(list(parts))
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
 def polygonize(rg: RaggedGeometry):
     """Faces of each geometry's noded line arrangement (GEOS/shapely
     ``polygonize`` applied per row): noding, dangle/cut-edge trimming,

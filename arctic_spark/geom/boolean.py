@@ -510,6 +510,86 @@ def _merge(polys_a, polys_b, op, eps_rel=1e-9):
     return _assemble(list(dedup.values()), quant, eps * eps)
 
 
+def shared_paths(g1, g2, eps_rel=1e-9):
+    """GEOS ``shared_paths`` semantics: the 1-D stretches where two
+    lineal geometries run collinearly, split by relative direction.
+    Returns (same_mls, opposite_mls) — two MultiLineString tuples
+    (either possibly empty), measured along ``g1``. (GEOS wraps the two
+    in a GeometryCollection; the ragged codec flattens GC children to
+    single-type parts, so the two-member grouping is returned as a pair
+    here and the column API exposes a ``direction`` selector instead.)
+    Built on the engine's sub-segment splitter: g1 is noded at every
+    crossing and projected g2 vertex, covered sub-segments classify
+    direction by the sign of the dot product with the coincident g2
+    segment, and consecutive same-class sub-segments stitch back into
+    polylines."""
+    span = _geom_span(g1, g2)
+    eps = eps_rel * span
+    oax, oay, obx, oby = _line_segments(g2)
+    odx, ody = obx - oax, oby - oay
+    olen = np.hypot(odx, ody)
+
+    def direction(mx, my, dx, dy):
+        """+1 same / -1 opposite direction of the g2 segment collinearly
+        containing (mx, my); 0 if none (shouldn't happen for covered)."""
+        if oax.size == 0:
+            return 0
+        rx, ry = mx - oax, my - oay
+        ln2 = np.maximum(olen * olen, 1e-300)
+        t = np.clip((rx * odx + ry * ody) / ln2, 0.0, 1.0)
+        qx, qy = rx - t * odx, ry - t * ody
+        near = (qx * qx + qy * qy) <= eps * eps
+        cross = np.abs(dx * ody - dy * odx)
+        par = cross <= eps * np.maximum(olen, eps)
+        cand = near & par
+        if not cand.any():
+            return 0
+        k = int(np.flatnonzero(cand)[0])
+        return 1 if dx * odx[k] + dy * ody[k] >= 0 else -1
+
+    groups = {1: [], -1: []}
+    cur_cls, cur_x, cur_y = 0, [], []
+
+    def flush():
+        nonlocal cur_cls, cur_x, cur_y
+        if cur_cls != 0 and len(cur_x) >= 2:
+            groups[cur_cls].append((cur_x, cur_y))
+        cur_cls, cur_x, cur_y = 0, [], []
+
+    for sub in _split_line_sub_segments(g1, g2, eps):
+        if sub is None:
+            flush()
+            continue
+        x0, y0, x1, y1, cov = sub
+        if not cov:
+            flush()
+            continue
+        cls = direction((x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0)
+        if cls == 0:
+            flush()
+            continue
+        contiguous = (cur_cls == cls and cur_x
+                      and math.hypot(cur_x[-1] - x0, cur_y[-1] - y0) <= eps)
+        if not contiguous:
+            flush()
+            cur_cls = cls
+            cur_x, cur_y = [x0], [y0]
+        cur_x.append(x1)
+        cur_y.append(y1)
+    flush()
+
+    out = []
+    for cls in (1, -1):                        # GEOS order: same, opposite
+        xs, ys, rings = [], [], []
+        for cx, cy in groups[cls]:
+            xs.extend(cx); ys.extend(cy); rings.append(len(cx))
+        out.append((MULTILINESTRING, np.asarray(xs, np.float64),
+                    np.asarray(ys, np.float64),
+                    np.asarray(rings, np.int32),
+                    np.ones(len(rings), np.int32)))
+    return out[0], out[1]
+
+
 def polygonize(g, eps_rel=1e-9):
     """Faces of the noded arrangement of a (Multi)LineString — the
     GEOS/shapely ``polygonize`` semantics, built on the engine's own

@@ -130,6 +130,35 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         t = float(tol.iloc[0]) if len(tol) else 0.0
         return ragged_to_pdf(algos.simplify(ragged_from_pdf(g), t))
 
+    @pandas_udf(GEOM_TYPE)
+    def st_snap(g1: pd.DataFrame, g2: pd.DataFrame,
+                tol: pd.Series) -> pd.DataFrame:
+        t = float(tol.iloc[0]) if len(tol) else 0.0
+        return ragged_to_pdf(algos.snap(ragged_from_pdf(g1),
+                                        ragged_from_pdf(g2), t))
+
+    @pandas_udf(GEOM_TYPE)
+    def st_sharedpaths(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
+        """Both direction classes, same-direction parts first (the
+        DataFrame API's direction selector carries the class signal)."""
+        import numpy as np
+        r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+        gts, xs, ys, rings, parts = [], [], [], [], []
+        for i in range(len(r1)):
+            t1, t2 = r1.geom(i), r2.geom(i)
+            if t1[0] == MISSING or t2[0] == MISSING:
+                gts.append(None); xs.append(None); ys.append(None)
+                rings.append(None); parts.append(None)
+                continue
+            same, opp = boolean.shared_paths(t1, t2)
+            gts.append(same[0])
+            xs.append(list(same[1]) + list(opp[1]))
+            ys.append(list(same[2]) + list(opp[2]))
+            rings.append(list(same[3]) + list(opp[3]))
+            parts.append(list(same[4]) + list(opp[4]))
+        return ragged_to_pdf(ragged.RaggedGeometry.from_pylists(
+            gts, xs, ys, rings, parts))
+
     @pandas_udf(T.BooleanType())
     def st_equals(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
         r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
@@ -214,6 +243,8 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_orientedenvelope": _geom_udf(algos.minimum_rotated_rectangle),
         "st_concavehull": _geom_udf(algos.concave_hull),
         "st_polygonize": _geom_udf(algos.polygonize),
+        "st_snap": st_snap,
+        "st_sharedpaths": st_sharedpaths,
         "st_delaunaytriangles": _geom_udf(algos.delaunay_triangles),
         "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,

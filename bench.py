@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "geo_voronoi",
     "geo_concave_hull",
     "geo_polygonize",
+    "geo_snap_shared_paths",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

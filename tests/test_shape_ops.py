@@ -292,3 +292,54 @@ def test_polygonize(spark):
     assert (out[4].n, out[4].a) == (2, pytest.approx(36.0))  # 32-donut + 4
     assert out[5].e
     assert (out[6].n, out[6].a) == (2, pytest.approx(8.0))
+
+
+def test_shared_paths(spark):
+    df = _wkt_df(spark, [
+        # middle stretch shared, same direction
+        (1, "LINESTRING (0 0, 10 0)", "LINESTRING (3 0, 7 0)"),
+        # shared stretch traversed in opposite direction
+        (2, "LINESTRING (0 0, 10 0)", "LINESTRING (7 0, 3 0)"),
+        # two shared stretches, one each way
+        (3, "LINESTRING (0 0, 10 0)",
+            "MULTILINESTRING ((1 0, 3 0), (8 0, 6 0))"),
+        # crossing but never collinear -> both classes empty
+        (4, "LINESTRING (0 0, 10 0)", "LINESTRING (5 -1, 5 1)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.length(st.shared_paths("a", "b", "same")).alias("ls"),
+        st.length(st.shared_paths("a", "b", "opposite")).alias("lo"),
+        st.length(st.shared_paths("a", "b")).alias("lb")).collect()}
+    assert (out[1].ls, out[1].lo) == (pytest.approx(4.0), 0.0)
+    assert (out[2].ls, out[2].lo) == (0.0, pytest.approx(4.0))
+    assert out[3].ls == pytest.approx(2.0)
+    assert out[3].lo == pytest.approx(2.0)
+    assert out[3].lb == pytest.approx(4.0)
+    assert (out[4].ls, out[4].lo) == (0.0, 0.0)
+    with pytest.raises(ValueError):
+        st.shared_paths("a", "b", "sideways")
+
+
+def test_snap(spark):
+    df = _wkt_df(spark, [
+        # perturbed square snaps back onto the integer-grid target
+        (1, "POLYGON ((0.05 -0.04, 4.03 0.06, 3.96 3.97, 0.02 4.05,"
+            " 0.05 -0.04))",
+            "MULTIPOINT (0 0, 4 0, 4 4, 0 4)"),
+        # vertex insertion: target vertex near the segment interior
+        (2, "LINESTRING (0 0, 10 0)", "POINT (5 0.05)"),
+        # outside tolerance: unchanged
+        (3, "LINESTRING (0 0, 10 0)", "POINT (5 3)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.area(st.snap("a", "b", 0.1)).alias("ar"),
+        F.size(st.snap("a", "b", 0.1)["xs"]).alias("nv"),
+        st.length(st.snap("a", "b", 0.1)).alias("ln")).collect()}
+    assert out[1].ar == pytest.approx(16.0)
+    assert out[1].nv == 5
+    assert out[2].nv == 3                     # (0 0, 5 0.05, 10 0)
+    assert out[2].ln == pytest.approx(
+        2 * math.hypot(5, 0.05))
+    assert out[3].nv == 2 and out[3].ln == pytest.approx(10.0)
