@@ -1411,6 +1411,28 @@ def geo_snap_shared_paths(spark, sf):
         F.round(st.length("sp_opp"), 6).alias("opp_len"))
 
 
+def geo_offset_curve(spark, sf):
+    """offset_curve closed forms on a right-angle L polyline
+    (0,0)→(a,0)→(a,b): left offset by 0.5 miters the inner corner
+    (length a+b-2·0.5), right offset rounds the outer corner with 8
+    chords of 2·0.5·sin(π/32) (the quad_segs=8 buffer-arc convention) —
+    both exactly computable in SQL."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    a = (key % 3 + 3).cast("double")
+    b = (key % 4 + 2).cast("double")
+    z = F.lit(0.0)
+    line = st.geom_struct(F.lit(1), F.array(z, a, a), F.array(z, z, b),
+                          F.array(F.lit(3)), F.array(F.lit(1)))
+    d = (c.select("c_custkey", line.alias("line"))
+         .withColumn("oc_left", st.offset_curve(F.col("line"), 0.5))
+         .withColumn("oc_right", st.offset_curve(F.col("line"), -0.5)))
+    return d.select(
+        "c_custkey",
+        F.round(st.length("oc_left"), 6).alias("left_len"),
+        F.round(st.length("oc_right"), 6).alias("right_len"))
+
+
 def geo_voronoi(spark, sf):
     """Voronoi diagram (half-plane cut UDF) with partition-property
     closed forms: cells of the parallelogram corners + k interior
@@ -1727,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_concave_hull": geo_concave_hull,
         "geo_polygonize": geo_polygonize,
         "geo_snap_shared_paths": geo_snap_shared_paths,
+        "geo_offset_curve": geo_offset_curve,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -2933,6 +2956,17 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        # offset_curve closed forms (see geo_offset_curve): inner miter
+        # shortens each leg by the offset; outer round join adds 8
+        # chords of 2*0.5*sin(pi/32). a=3+key%3, b=2+key%4.
+        "geo_offset_curve": """
+            SELECT c_custkey,
+                   round((c_custkey % 3 + 3) + (c_custkey % 4 + 2) - 1.0,
+                         6) AS left_len,
+                   round((c_custkey % 3 + 3) + (c_custkey % 4 + 2)
+                         + 8 * sin(pi() / 32), 6) AS right_len
+            FROM customer WHERE c_custkey <= 2000
         """,
         # snap/shared_paths closed forms (see geo_snap_shared_paths):
         # snapped jittered rect area = w*h; directional shared-path

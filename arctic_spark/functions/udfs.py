@@ -608,6 +608,17 @@ def delaunay_triangles(g: pd.DataFrame) -> pd.DataFrame:
     return ragged_to_pdf(algos.delaunay_triangles(ragged_from_pdf(g)))
 
 
+def offset_curve(g, distance: float, quad_segs: int = 8):
+    """Line offset by ``distance`` — positive left, negative right,
+    direction preserved; round outer joins, mitered inner joins
+    (GEOS/GeoPandas ``offset_curve``; geom/algos.offset_curve)."""
+    @pandas_udf(GEOM_TYPE)
+    def _oc(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.offset_curve(
+            ragged_from_pdf(gg), distance, quad_segs))
+    return _oc(g)
+
+
 def snap(g1, g2, tolerance: float):
     """Row-aligned GEOS/GeoPandas ``snap``: move g1 vertices onto nearby
     g2 vertices, then insert g2 vertices into nearby g1 segments

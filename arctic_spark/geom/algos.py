@@ -1794,6 +1794,81 @@ def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def offset_curve(rg: RaggedGeometry, distance: float, quad_segs: int = 8):
+    """GEOS/GeoPandas ``offset_curve``: each line offset perpendicular
+    by ``distance`` — positive to the LEFT of the traversal direction,
+    negative to the right; direction preserved (GEOS >= 3.11 semantics).
+    Outer joins are round (``quad_segs`` chords per quarter circle, the
+    buffer-arc convention); inner joins meet at the offset-line
+    intersection (miter). Like GEOS, the result is not re-noded, so an
+    offset larger than a local feature can self-intersect. Non-line
+    rows pass through unchanged; distance 0 copies the input."""
+    d = float(distance)
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        gt, xs, ys, rings, parts = rg.geom(i)
+        if gt == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if gt not in (LINESTRING, MULTILINESTRING) or d == 0.0 \
+                or len(xs) == 0:
+            gts.append(gt); oxs.append(list(xs)); oys.append(list(ys))
+            orings.append(list(rings)); oparts.append(list(parts))
+            continue
+        nx, ny, nr = [], [], []
+        off = 0
+        for rl in rings:
+            rx = np.asarray(xs[off:off + rl], float)
+            ry = np.asarray(ys[off:off + rl], float)
+            off += rl
+            # drop zero-length duplicate steps
+            keep = np.r_[True, (np.diff(rx) != 0) | (np.diff(ry) != 0)]
+            rx, ry = rx[keep], ry[keep]
+            m = rx.size
+            if m < 2:
+                nx.extend(rx); ny.extend(ry); nr.append(int(m))
+                continue
+            dx, dy = np.diff(rx), np.diff(ry)
+            ln = np.hypot(dx, dy)
+            ux, uy = dx / ln, dy / ln
+            # left normal scaled by the signed distance
+            nxv, nyv = -uy * d, ux * d
+            cx, cy = [rx[0] + nxv[0]], [ry[0] + nyv[0]]
+            for k in range(1, m - 1):
+                a1x, a1y = rx[k] + nxv[k - 1], ry[k] + nyv[k - 1]
+                b0x, b0y = rx[k] + nxv[k], ry[k] + nyv[k]
+                cross = ux[k - 1] * uy[k] - uy[k - 1] * ux[k]
+                dot = ux[k - 1] * ux[k] + uy[k - 1] * uy[k]
+                turn = math.atan2(cross, dot)
+                if cross * d < 0:
+                    # outer side: round join sweeping the turn angle
+                    a0 = math.atan2(nyv[k - 1], nxv[k - 1])
+                    nstep = max(1, int(math.ceil(
+                        abs(turn) / (math.pi / 2) * quad_segs)))
+                    cx.append(a1x); cy.append(a1y)
+                    for s in range(1, nstep):
+                        a = a0 + turn * s / nstep
+                        cx.append(rx[k] + abs(d) * math.cos(a))
+                        cy.append(ry[k] + abs(d) * math.sin(a))
+                    cx.append(b0x); cy.append(b0y)
+                elif abs(cross) > 1e-12:
+                    # inner side: offset-line intersection (miter)
+                    denom = ux[k - 1] * uy[k] - uy[k - 1] * ux[k]
+                    t = ((b0x - a1x) * uy[k] - (b0y - a1y) * ux[k]) / denom
+                    cx.append(a1x + t * ux[k - 1])
+                    cy.append(a1y + t * uy[k - 1])
+                else:
+                    cx.append(a1x); cy.append(a1y)  # straight through
+            cx.append(rx[-1] + nxv[-1]); cy.append(ry[-1] + nyv[-1])
+            nx.extend(cx); ny.extend(cy); nr.append(len(cx))
+        gts.append(gt); oxs.append(nx); oys.append(ny)
+        orings.append(nr)
+        oparts.append([1] * len(nr) if gt == MULTILINESTRING
+                      else list(parts))
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
 def snap(r1: RaggedGeometry, r2: RaggedGeometry, tolerance: float):
     """Row-aligned GEOS ``snap``: vertices of g1 within ``tolerance`` of
     a g2 vertex move onto the nearest one, then g2 vertices lying within

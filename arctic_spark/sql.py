@@ -131,6 +131,11 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         return ragged_to_pdf(algos.simplify(ragged_from_pdf(g), t))
 
     @pandas_udf(GEOM_TYPE)
+    def st_offsetcurve(g: pd.DataFrame, dist: pd.Series) -> pd.DataFrame:
+        d = float(dist.iloc[0]) if len(dist) else 0.0
+        return ragged_to_pdf(algos.offset_curve(ragged_from_pdf(g), d))
+
+    @pandas_udf(GEOM_TYPE)
     def st_snap(g1: pd.DataFrame, g2: pd.DataFrame,
                 tol: pd.Series) -> pd.DataFrame:
         t = float(tol.iloc[0]) if len(tol) else 0.0
@@ -244,6 +249,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_concavehull": _geom_udf(algos.concave_hull),
         "st_polygonize": _geom_udf(algos.polygonize),
         "st_snap": st_snap,
+        "st_offsetcurve": st_offsetcurve,
         "st_sharedpaths": st_sharedpaths,
         "st_delaunaytriangles": _geom_udf(algos.delaunay_triangles),
         "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),

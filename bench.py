@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "geo_concave_hull",
     "geo_polygonize",
     "geo_snap_shared_paths",
+    "geo_offset_curve",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

@@ -343,3 +343,26 @@ def test_snap(spark):
     assert out[2].ln == pytest.approx(
         2 * math.hypot(5, 0.05))
     assert out[3].nv == 2 and out[3].ln == pytest.approx(10.0)
+
+
+def test_offset_curve(spark):
+    df = _wkt_df(spark, [
+        # straight line: parallel copy, same length
+        (1, "LINESTRING (0 0, 10 0)", "POINT (0 0)"),
+        # right-angle L: left offset miters inside, right offset arcs
+        (2, "LINESTRING (0 0, 4 0, 4 6)", "POINT (0 0)"),
+    ])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.length(st.offset_curve("a", 0.5)).alias("lpos"),
+        st.length(st.offset_curve("a", -0.5)).alias("lneg"),
+        st.y(st.line_interpolate_point(st.offset_curve("a", 0.5), 0.0))
+          .alias("y0")).collect()}
+    assert out[1].lpos == pytest.approx(10.0)
+    assert out[1].lneg == pytest.approx(10.0)
+    assert out[1].y0 == pytest.approx(0.5)       # left of +x is +y
+    # inner miter: (0,.5)->(3.5,.5)->(3.5,6): length 3.5 + 5.5
+    assert out[2].lpos == pytest.approx(9.0)
+    # outer round join: 4 + 6 + 8 chords of 2*0.5*sin(pi/32)
+    assert out[2].lneg == pytest.approx(
+        10.0 + 8 * 2 * 0.5 * math.sin(math.pi / 32))
