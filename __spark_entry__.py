@@ -1313,10 +1313,14 @@ def geo_concave_hull(spark, sf):
     pts = st.geom_struct(F.lit(4), xs, ys,
                          F.transform(xs, lambda _: F.lit(1)),
                          F.transform(xs, lambda _: F.lit(1)))
-    d = (c.select("c_custkey", pts.alias("pts"))
-         .withColumn("chi", st.concave_hull(F.col("pts"),
-                                            max_edge_length=2.0))
-         .withColumn("cvx", st.concave_hull(F.col("pts"), ratio=1.0)))
+    # st.freeze: stop projection collapse from inlining the UDF into
+    # downstream native HOF metrics (Unevaluable PythonUDF inside
+    # ArrayTransform otherwise)
+    d = (c.select("c_custkey", st.freeze(pts).alias("pts"))
+         .withColumn("chi", st.freeze(st.concave_hull(
+             F.col("pts"), max_edge_length=2.0)))
+         .withColumn("cvx", st.freeze(st.concave_hull(
+             F.col("pts"), ratio=1.0))))
     return d.select(
         "c_custkey",
         F.round(st.area("chi"), 6).alias("chi_area"),
@@ -1354,8 +1358,8 @@ def geo_polygonize(spark, sf):
     rings = F.transform(F.sequence(F.lit(1), nlines), lambda _: F.lit(2))
     parts = F.transform(F.sequence(F.lit(1), nlines), lambda _: F.lit(1))
     g = st.geom_struct(F.lit(5), xs, ys, rings, parts)
-    d = (c.select("c_custkey", g.alias("g"))
-         .withColumn("poly", st.polygonize(F.col("g"))))
+    d = (c.select("c_custkey", st.freeze(g).alias("g"))
+         .withColumn("poly", st.freeze(st.polygonize(F.col("g")))))
     return d.select(
         "c_custkey",
         st.num_parts("poly").alias("n_faces"),
@@ -1397,13 +1401,15 @@ def geo_snap_shared_paths(spark, sf):
                         F.array(z, z, z, z),
                         F.array(F.lit(2), F.lit(2)),
                         F.array(F.lit(1), F.lit(1)))
-    d = (c.select("c_custkey", poly.alias("poly"), tgt.alias("tgt"),
-                  la.alias("la"), lb.alias("lb"))
-         .withColumn("snapped", st.snap(F.col("poly"), F.col("tgt"), 0.2))
-         .withColumn("sp_same", st.shared_paths(F.col("la"), F.col("lb"),
-                                                "same"))
-         .withColumn("sp_opp", st.shared_paths(F.col("la"), F.col("lb"),
-                                               "opposite")))
+    d = (c.select("c_custkey", st.freeze(poly).alias("poly"),
+                  st.freeze(tgt).alias("tgt"), st.freeze(la).alias("la"),
+                  st.freeze(lb).alias("lb"))
+         .withColumn("snapped",
+                     st.freeze(st.snap(F.col("poly"), F.col("tgt"), 0.2)))
+         .withColumn("sp_same", st.freeze(st.shared_paths(
+             F.col("la"), F.col("lb"), "same")))
+         .withColumn("sp_opp", st.freeze(st.shared_paths(
+             F.col("la"), F.col("lb"), "opposite"))))
     return d.select(
         "c_custkey",
         F.round(st.area("snapped"), 6).alias("snap_area"),
@@ -1424,9 +1430,11 @@ def geo_offset_curve(spark, sf):
     z = F.lit(0.0)
     line = st.geom_struct(F.lit(1), F.array(z, a, a), F.array(z, z, b),
                           F.array(F.lit(3)), F.array(F.lit(1)))
-    d = (c.select("c_custkey", line.alias("line"))
-         .withColumn("oc_left", st.offset_curve(F.col("line"), 0.5))
-         .withColumn("oc_right", st.offset_curve(F.col("line"), -0.5)))
+    d = (c.select("c_custkey", st.freeze(line).alias("line"))
+         .withColumn("oc_left",
+                     st.freeze(st.offset_curve(F.col("line"), 0.5)))
+         .withColumn("oc_right",
+                     st.freeze(st.offset_curve(F.col("line"), -0.5))))
     return d.select(
         "c_custkey",
         F.round(st.length("oc_left"), 6).alias("left_len"),

@@ -44,6 +44,10 @@ def __getattr__(name):
     if name == "register_sql_functions":
         from .sql import register_sql_functions
         return register_sql_functions
+    if name in ("write_bucketed", "write_geoparquet", "read_geoparquet",
+                "from_wkt_df"):
+        from . import io
+        return getattr(io, name)
     raise AttributeError(name)
 
 
@@ -52,4 +56,5 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "dwithin_join", "nearest_join", "sjoin_nearest", "asof_join",
            "range_join", "release", "register_sql_functions", "overlay",
            "from_arrow", "from_geopandas", "from_pandas_wkb",
-           "to_pandas_wkb"]
+           "to_pandas_wkb", "write_bucketed", "write_geoparquet",
+           "read_geoparquet", "from_wkt_df"]

@@ -131,3 +131,32 @@ def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
         df = df.withColumn(gcol, st.from_wkb(F.col(gcol)))
         return GeoDataFrame(df, gcol, str(meta.get("crs") or DEFAULT_CRS))
     return df
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols,
+                   num_buckets: int = 64, sort_cols=None, path=None,
+                   mode="overwrite", fmt="parquet") -> None:
+    """Write a DataFrame as a bucketed (and optionally sorted) table —
+    the co-located-join layout for the 100 TB path.
+
+    Two fact tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle: Spark matches bucket files pairwise, so the
+    exchange that dominates a large equi-join at scale disappears from
+    the plan entirely (tests assert `Exchange` is absent). Adding
+    ``sort_cols`` on the join key also removes the per-task sort of a
+    sort-merge join. Bucketing must go through the table catalog
+    (``saveAsTable``) — plain ``.parquet(path)`` writes cannot carry
+    bucket metadata; pass ``path`` to keep the files at an external
+    location while the catalog tracks the layout.
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = (df.write.format(fmt).mode(mode)
+         .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

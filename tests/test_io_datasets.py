@@ -143,3 +143,37 @@ def test_from_geopandas_import_gated(spark):
         pass
     with _pt.raises(ImportError):
         from_geopandas(spark, object())
+
+
+def test_write_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketed-on-the-same-key tables join with NO Exchange in the
+    plan — the co-located layout the 100 TB path depends on."""
+    from arctic_spark.io import write_bucketed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") % 7)
+    write_bucketed(a, "t_buck_a", "id", num_buckets=4, sort_cols="id",
+                   path=str(tmp_path / "a"))
+    write_bucketed(b, "t_buck_b", "id", num_buckets=4, sort_cols="id",
+                   path=str(tmp_path / "b"))
+    try:
+        ta = spark.table("t_buck_a")
+        tb = spark.table("t_buck_b")
+        joined = ta.join(tb, "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        got = (joined.where(F.col("id") == 10)
+               .select("va", "vb").first())
+        assert (got.va, got.vb) == (20, 3)
+        # contrast: a plain parquet re-read of the same data DOES shuffle
+        pa = spark.read.parquet(str(tmp_path / "a"))
+        pb = spark.read.parquet(str(tmp_path / "b"))
+        plan2 = (pa.join(pb, "id")._jdf.queryExecution()
+                 .executedPlan().toString())
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
