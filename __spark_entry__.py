@@ -1557,6 +1557,28 @@ def dedup_paragraph_stats(spark, sf):
         F.substring(F.md5("text"), 1, 16).alias("fp"))
 
 
+def dedup_substring_stats(spark, sf):
+    """Exact substring (token-window) dedup — llm/dedup.dedup_substrings,
+    the Lee et al. 2021 window-hash formulation: each doc gets a shared
+    per-language 9-token preamble prepended; after dedup only the
+    lexicographically-least occurrence of every duplicated 8-token
+    window survives, so one doc per language keeps the preamble (and
+    exact-duplicate bodies in the corpus collapse to their first copy).
+    The rebuilt text is fingerprint-checked — a full hash-exact replay
+    of tokenize → stride-1 windows → md5 → canonical-min → span mask →
+    reassembly."""
+    d = _t(spark, sf, "documents")
+    t2 = F.concat(F.lit("shared preamble for lang "), F.col("lang"),
+                  F.lit(" alpha beta gamma delta "), F.col("text"))
+    out = dedup.dedup_substrings(
+        d.select("doc_id", t2.alias("text")), k=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                        lambda w: F.length(w) > 0)).alias("n_out_tokens"),
+        F.substring(F.md5("text"), 1, 16).alias("fp"))
+
+
 def dedup_semantic(spark, sf):
     """SemDeDup semantic dedup (llm/similarity.semdedup, arXiv:2303.09540):
     embeddings are bucketed by nearest centroid (native IVF assignment),
@@ -1765,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_strip": text_html_strip,
         "dedup_paragraph_stats": dedup_paragraph_stats,
         "dedup_semantic": dedup_semantic,
+        "dedup_substring_stats": dedup_substring_stats,
         "text_perplexity": text_perplexity,
         "text_chunking": text_chunking,
         "text_vocab_topk": text_vocab_topk,
@@ -2606,6 +2629,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        # Exact-substring-dedup replay: same whitespace tokens, stride-1
+        # 8-token windows keyed by a 16-char md5 prefix over a \\x1f
+        # join, canonical = min (doc_id, start) per window hash, token i
+        # drops iff covered by a non-canonical duplicated window,
+        # reassembly with single spaces, fingerprint compare.
+        "dedup_substring_stats": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(
+                           'shared preamble for lang ' || lang ||
+                           ' alpha beta gamma delta ' || text), '\\s+'),
+                           w -> length(w) > 0) AS toks
+                FROM documents),
+            wins AS (
+                SELECT doc_id, s.s AS start,
+                       substr(md5(array_to_string(
+                           toks[s.s + 1 : s.s + 8], chr(31))), 1, 16) AS wh
+                FROM base,
+                     LATERAL (SELECT unnest(range(0, len(toks) - 7)) AS s)
+                         AS s
+                WHERE len(toks) >= 8),
+            ranked AS (
+                SELECT doc_id, start, wh,
+                       count(*) OVER (PARTITION BY wh) AS n,
+                       min(struct_pack(d := doc_id, s := start))
+                           OVER (PARTITION BY wh) AS own
+                FROM wins),
+            dups AS (
+                SELECT doc_id, start FROM ranked
+                WHERE n > 1 AND NOT (doc_id = own.d AND start = own.s)),
+            toks_i AS (
+                SELECT doc_id, t.tok, t.i - 1 AS i
+                FROM base,
+                     LATERAL (SELECT unnest(toks) AS tok,
+                                     generate_subscripts(toks, 1) AS i)
+                         AS t),
+            kept AS (
+                SELECT t.doc_id, t.tok, t.i FROM toks_i t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM dups d
+                    WHERE d.doc_id = t.doc_id
+                      AND d.start <= t.i AND t.i < d.start + 8)),
+            rebuilt AS (
+                SELECT doc_id,
+                       coalesce(string_agg(tok, ' ' ORDER BY i), '')
+                           AS text,
+                       CAST(count(*) AS BIGINT) AS n_out_tokens
+                FROM kept GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(r.n_out_tokens, 0) AS BIGINT)
+                       AS n_out_tokens,
+                   substr(md5(coalesce(r.text, '')), 1, 16) AS fp
+            FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        """,
         # Unigram-LM replay: same tokenizer (split on non-alphanumerics,
         # lowercase), same add-one smoothing (tf+1)/(N+V) with the LM
         # trained on doc_id < 400, same OOV floor 1/(N+V); per-doc mean

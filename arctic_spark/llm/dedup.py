@@ -275,3 +275,85 @@ def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text",
     return (cand.withColumn("hamming", hamming64("sig_a", "sig_b"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (token-window) dedup — the window-hash formulation of
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" (arXiv:2107.06499, public paper): remove every duplicated
+# span of >= k consecutive tokens, keeping one canonical occurrence
+# ---------------------------------------------------------------------------
+
+def _ws_tokens(text) -> Column:
+    """Whitespace tokens preserving case/punctuation (reassembly joins
+    with single spaces, so formatting inside runs of whitespace is
+    normalized — the token stream itself is lossless)."""
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"),
+                    lambda w: F.length(w) > 0)
+
+
+def duplicate_windows(df: DataFrame, id_col="doc_id", text_col="text",
+                      k: int = 50) -> DataFrame:
+    """All NON-CANONICAL duplicated k-token windows: (id, start, wh)
+    where the same window hash occurs at more than one (doc, start)
+    corpus-wide and (id, start) is not the lexicographically-least
+    occurrence (the canonical copy that survives).
+
+    Scale shape: one row per token position (stride-1 windows), each
+    shipping only (id, int, 16-char hash prefix); ONE shuffle on the
+    window hash with a window-min to pick the owner. This is the
+    suffix-array-free Spark formulation of exact substring dedup —
+    volume O(total tokens), the same as tokenizing the corpus."""
+    toks = _ws_tokens(text_col)
+
+    def windows(ws):
+        n = F.size(ws)
+        return F.when(n >= k, F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda s: F.struct(s.alias("start"), F.substring(F.md5(
+                F.concat_ws("\x1f", F.slice(ws, s + 1, k))), 1, 16)
+                .alias("wh")))).otherwise(
+            F.array().cast("array<struct<start:int,wh:string>>"))
+
+    ex = (df.select(_c(id_col).alias("id"),
+                    F.explode(_let(toks, windows)).alias("w"))
+          .select("id", F.col("w.start").alias("start"),
+                  F.col("w.wh").alias("wh")))
+    w = Window.partitionBy("wh")
+    ranked = (ex.withColumn("__n", F.count("*").over(w))
+              .withColumn("__min", F.min(F.struct("id", "start")).over(w)))
+    return (ranked.where((F.col("__n") > 1)
+                         & ~((F.col("id") == F.col("__min.id"))
+                             & (F.col("start") == F.col("__min.start"))))
+            .select("id", "start", "wh"))
+
+
+def dedup_substrings(df: DataFrame, id_col="doc_id", text_col="text",
+                     k: int = 50) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021 semantics, canonical-copy
+    variant): every token covered by a non-canonical duplicated k-window
+    is dropped; the lexicographically-least occurrence of each duplicated
+    window survives intact. Returns (id, text) with the surviving tokens
+    rejoined by single spaces; docs shorter than k tokens pass through
+    modulo whitespace normalization.
+
+    The per-doc mask is computed natively: the duplicated window starts
+    arrive as one array per doc (a single groupBy), and token i drops
+    iff some start s satisfies s <= i < s+k (nested HOF exists —
+    interval-merge would reduce the O(tokens × spans) scan if span
+    lists ever get long)."""
+    toks = _ws_tokens(text_col)
+    dups = duplicate_windows(df, id_col, text_col, k)
+    spans = (dups.groupBy("id")
+             .agg(F.collect_list("start").alias("__starts")))
+    base = df.select(_c(id_col).alias("id"), _let(toks, lambda ws: ws)
+                     .alias("__toks"))
+    j = base.join(spans, "id", "left").withColumn(
+        "__starts", F.coalesce("__starts", F.array().cast("array<int>")))
+    kept = F.filter(
+        F.transform(F.col("__toks"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda p: ~F.exists(F.col("__starts"),
+                            lambda s: (s <= p["i"]) & (p["i"] < s + k)))
+    return j.select("id", F.concat_ws(
+        " ", F.transform(kept, lambda p: p["t"])).alias("text"))

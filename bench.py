@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "text_html_strip",
     "dedup_paragraph_stats",
     "dedup_semantic",
+    "dedup_substring_stats",
     "text_perplexity",
 ]
 

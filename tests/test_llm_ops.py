@@ -297,3 +297,31 @@ def test_gopher_quality_flags(spark):
     assert got[1] is True
     assert got[2] is False
     assert got[3] is False
+
+
+def test_dedup_substrings(spark):
+    rows = [
+        (1, "a b c d e f g h unique one tail"),
+        (2, "x y a b c d e f g h other stuff"),   # shares the a..h run
+        (3, "totally different words here only seven"),
+        (4, "a b c d e f g h"),                   # exactly the window
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.text for r in
+           dedup.dedup_substrings(df, k=8).collect()}
+    # canonical (lowest (doc, start)) keeps the span; later copies lose it
+    assert out[1] == "a b c d e f g h unique one tail"
+    assert out[2] == "x y other stuff"
+    assert out[3] == "totally different words here only seven"
+    assert out[4] == ""
+    assert out[5] == ""
+    dw = sorted((r.id, r.start) for r in
+                dedup.duplicate_windows(df, k=8).collect())
+    assert dw == [(2, 2), (4, 0)]
+    # in-doc repetition: second copy of the run inside ONE doc drops too
+    df2 = spark.createDataFrame(
+        [(1, "p q r s t u v w END p q r s t u v w")],
+        "doc_id long, text string")
+    out2 = dedup.dedup_substrings(df2, k=8).collect()[0].text
+    assert out2 == "p q r s t u v w END"
