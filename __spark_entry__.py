@@ -1441,6 +1441,46 @@ def geo_offset_curve(spark, sf):
         F.round(st.length("oc_right"), 6).alias("right_len"))
 
 
+def geo_make_valid(spark, sf):
+    """make_valid + node closed forms: a bowtie quad (self-crossing at
+    the center) repairs to two triangles of total area a·b/2; an island
+    wrongly encoded as a second shell becomes a true hole (area s²−4);
+    noding an X of two crossing segments yields exactly 4 sub-edges of
+    total length 2c√2."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    a = (key % 3 + 2).cast("double")
+    b = (key % 4 + 2).cast("double")
+    s = (key % 3 + 5).cast("double")
+    cc = (key % 5 + 1).cast("double")
+    z = F.lit(0.0)
+    bow = st.geom_struct(F.lit(3), F.array(z, a, a, z, z),
+                         F.array(z, b, z, b, z),
+                         F.array(F.lit(5)), F.array(F.lit(1)))
+    one, three = F.lit(1.0), F.lit(3.0)
+    shells = st.geom_struct(
+        F.lit(6),
+        F.array(z, s, s, z, z, one, three, three, one, one),
+        F.array(z, z, s, s, z, one, one, three, three, one),
+        F.array(F.lit(5), F.lit(5)), F.array(F.lit(1), F.lit(1)))
+    xlines = st.geom_struct(F.lit(5), F.array(z, cc, z, cc),
+                            F.array(z, cc, cc, z),
+                            F.array(F.lit(2), F.lit(2)),
+                            F.array(F.lit(1), F.lit(1)))
+    d = (c.select("c_custkey", st.freeze(bow).alias("bow"),
+                  st.freeze(shells).alias("shells"),
+                  st.freeze(xlines).alias("xl"))
+         .withColumn("v1", st.freeze(st.make_valid(F.col("bow"))))
+         .withColumn("v2", st.freeze(st.make_valid(F.col("shells"))))
+         .withColumn("nd", st.freeze(st.node(F.col("xl")))))
+    return d.select(
+        "c_custkey",
+        F.round(st.area("v1"), 6).alias("bow_area"),
+        F.round(st.area("v2"), 6).alias("donut_area"),
+        st.num_parts("nd").alias("n_node_edges"),
+        F.round(st.length("nd"), 6).alias("node_len"))
+
+
 def geo_voronoi(spark, sf):
     """Voronoi diagram (half-plane cut UDF) with partition-property
     closed forms: cells of the parallelogram corners + k interior
@@ -1780,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygonize": geo_polygonize,
         "geo_snap_shared_paths": geo_snap_shared_paths,
         "geo_offset_curve": geo_offset_curve,
+        "geo_make_valid": geo_make_valid,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -3041,6 +3082,19 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        # make_valid/node closed forms (see geo_make_valid): bowtie ->
+        # a*b/2, island-as-shell -> s*s-4, X-noding -> 4 edges, 2c*sqrt2.
+        "geo_make_valid": """
+            SELECT c_custkey,
+                   round((c_custkey % 3 + 2) * (c_custkey % 4 + 2) / 2.0,
+                         6) AS bow_area,
+                   round((c_custkey % 3 + 5) * (c_custkey % 3 + 5) - 4.0,
+                         6) AS donut_area,
+                   4 AS n_node_edges,
+                   round(2.0 * (c_custkey % 5 + 1) * sqrt(2), 6)
+                       AS node_len
+            FROM customer WHERE c_custkey <= 2000
         """,
         # offset_curve closed forms (see geo_offset_curve): inner miter
         # shortens each leg by the offset; outer round join adds 8

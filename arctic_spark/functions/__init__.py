@@ -38,7 +38,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    minimum_bounding_circle, shortest_line,
                    line_merge, remove_repeated_points,
                    delaunay_triangles, voronoi_polygons, concave_hull,
-                   polygonize, snap, shared_paths, offset_curve)
+                   polygonize, snap, shared_paths, offset_curve,
+                   make_valid, normalize, node)
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
@@ -97,7 +98,8 @@ __all__ = [
     "zorder_key", "geom_zorder_key", "line_merge",
     "remove_repeated_points", "delaunay_triangles",
     "voronoi_polygons", "concave_hull", "polygonize", "snap",
-    "shared_paths", "offset_curve", "extract_unique_points", "project",
+    "shared_paths", "offset_curve", "make_valid", "normalize", "node",
+    "extract_unique_points", "project",
 ]
 
 

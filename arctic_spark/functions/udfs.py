@@ -608,6 +608,30 @@ def delaunay_triangles(g: pd.DataFrame) -> pd.DataFrame:
     return ragged_to_pdf(algos.delaunay_triangles(ragged_from_pdf(g)))
 
 
+@pandas_udf(GEOM_TYPE)
+def make_valid(g: pd.DataFrame) -> pd.DataFrame:
+    """Repair invalid polygonal geometry (GEOS ``make_valid`` linework
+    strategy): node the boundary, polygonize faces, keep those inside an
+    odd number of original rings (geom/algos.make_valid)."""
+    return ragged_to_pdf(algos.make_valid(ragged_from_pdf(g)))
+
+
+@pandas_udf(GEOM_TYPE)
+def normalize(g: pd.DataFrame) -> pd.DataFrame:
+    """Canonical vertex ordering — the engine's geom_equals canonical
+    form (CCW min-start rings, sorted holes/parts/lines, sorted
+    multipoints); see geom/algos.normalize for the GEOS delta."""
+    return ragged_to_pdf(algos.normalize(ragged_from_pdf(g)))
+
+
+@pandas_udf(GEOM_TYPE)
+def node(g: pd.DataFrame) -> pd.DataFrame:
+    """Fully node linework (shapely/GEOS ``node``): every crossing/touch
+    becomes an endpoint; MultiLineString of unique sub-edges
+    (geom/algos.node_lines)."""
+    return ragged_to_pdf(algos.node_lines(ragged_from_pdf(g)))
+
+
 def offset_curve(g, distance: float, quad_segs: int = 8):
     """Line offset by ``distance`` — positive left, negative right,
     direction preserved; round outer joins, mitered inner joins

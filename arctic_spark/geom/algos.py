@@ -1794,6 +1794,198 @@ def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def normalize(rg: RaggedGeometry):
+    """Canonical vertex ordering (shapely/GEOS ``normalize`` purpose:
+    equal geometries normalize to identical structure). This engine's
+    canonical form — the same one ``geom_equals`` compares by — is:
+    multipoints sorted; each line part flipped to its lexicographically
+    smaller direction, parts sorted; polygon rings CCW starting at their
+    smallest vertex, holes sorted, parts sorted. (GEOS's own convention
+    differs in orientation sign; ours is self-consistent:
+    normalize(a) == normalize(b) structurally iff geom_equals(a, b).)"""
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        gt, xs, ys, rings, parts = rg.geom(i)
+        if gt == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if gt in (POINT, MULTIPOINT):
+            pts = sorted(zip(xs.tolist(), ys.tolist()))
+            gts.append(gt); oxs.append([p[0] for p in pts])
+            oys.append([p[1] for p in pts])
+            orings.append([1] * len(pts)); oparts.append([1] * len(pts))
+            continue
+        if gt in (LINESTRING, MULTILINESTRING):
+            out, off = [], 0
+            for rl in rings:
+                fwd = list(zip(xs[off:off + rl].tolist(),
+                               ys[off:off + rl].tolist()))
+                out.append(min(fwd, fwd[::-1]))
+                off += rl
+            out.sort()
+            gts.append(gt)
+            oxs.append([p[0] for part in out for p in part])
+            oys.append([p[1] for part in out for p in part])
+            orings.append([len(part) for part in out])
+            oparts.append([1] * len(out))
+            continue
+        poff = coff = 0
+        parts_out = []
+        for nr in parts:
+            rs = []
+            for j in range(nr):
+                rl = rings[poff + j]
+                rs.append(_canon_ring(xs[coff:coff + rl],
+                                      ys[coff:coff + rl]))
+                coff += rl
+            parts_out.append([rs[0]] + sorted(rs[1:]) if rs else [])
+            poff += nr
+        parts_out.sort(key=lambda p: p[0] if p else ())
+        nx, ny, nr_, np_ = [], [], [], []
+        for p in parts_out:
+            np_.append(len(p))
+            for r in p:
+                closed = list(r) + [r[0]] if r else []
+                nr_.append(len(closed))
+                nx.extend(v[0] for v in closed)
+                ny.extend(v[1] for v in closed)
+        gts.append(gt); oxs.append(nx); oys.append(ny)
+        orings.append(nr_); oparts.append(np_)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def node_lines(rg: RaggedGeometry):
+    """Fully node each geometry's linework (shapely/GEOS ``node``):
+    mutually intersect all segments and return the unique sub-edges as a
+    MultiLineString — every crossing and touch becomes an endpoint.
+    Original vertices remain nodes (GEOS keeps them too); collinear
+    chains between nodes are not re-merged (compose with ``line_merge``
+    for that). Deterministic lexicographic edge order."""
+    from . import boolean as _bool
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g = rg.geom(i)
+        if g[0] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        ax, ay, bx, by = _bool._line_segments(g)
+        if ax.size == 0:
+            gts.append(MULTILINESTRING); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        span = max(1.0, float(np.abs(ax).max()), float(np.abs(ay).max()),
+                   float(np.abs(bx).max()), float(np.abs(by).max()))
+        quant = 1e-9 * span
+        pi, pj = _bool._grid_pairs(ax, ay, bx, by)
+        if pi.size:
+            seg_idx, ts = _bool._split_params_batch(ax, ay, bx, by, pi, pj)
+        else:
+            seg_idx, ts = np.empty(0, np.int64), np.empty(0)
+        px, py, qx, qy = _bool._subdivide(ax, ay, bx, by, seg_idx, ts)
+        ok = np.hypot(qx - px, qy - py) > 0
+        px, py, qx, qy = px[ok], py[ok], qx[ok], qy[ok]
+        und = {}
+        for k in range(px.size):
+            ka = (round(px[k] / quant), round(py[k] / quant))
+            kb = (round(qx[k] / quant), round(qy[k] / quant))
+            if ka == kb:
+                continue
+            key = (min(ka, kb), max(ka, kb))
+            und[key] = min(und.get(key, ((px[k], py[k]), (qx[k], qy[k]))),
+                           ((px[k], py[k]), (qx[k], qy[k])))
+        edges = sorted(und.values())
+        nx, ny = [], []
+        for (p, q) in edges:
+            a, b = min(p, q), max(p, q)
+            nx.extend([a[0], b[0]]); ny.extend([a[1], b[1]])
+        gts.append(MULTILINESTRING); oxs.append(nx); oys.append(ny)
+        orings.append([2] * len(edges)); oparts.append([1] * len(edges))
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def make_valid(rg: RaggedGeometry):
+    """Repair invalid polygonal geometry (shapely/GEOS ``make_valid``,
+    linework strategy): node the boundary, walk the faces of the
+    arrangement (geom/boolean.polygonize), and keep each face whose
+    interior lies inside an ODD number of original rings — the even-odd
+    rule. A bowtie splits into two triangles, a self-overlap collapses
+    to single coverage, an island wrongly encoded as a second shell
+    becomes a true hole. Valid inputs round-trip (modulo vertex order);
+    points and lines pass through unchanged."""
+    from . import boolean as _bool
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g = rg.geom(i)
+        gt = g[0]
+        if gt == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if gt not in (POLYGON, MULTIPOLYGON) or len(g[1]) == 0:
+            gts.append(gt); oxs.append(list(g[1])); oys.append(list(g[2]))
+            orings.append(list(g[3])); oparts.append(list(g[4]))
+            continue
+        faces = _bool.polygonize(g)
+        if faces is None:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        # original rings for the parity test
+        rx_list = []
+        off = 0
+        for rl in g[3]:
+            rx_list.append((np.asarray(g[1][off:off + rl], float),
+                            np.asarray(g[2][off:off + rl], float)))
+            off += rl
+        fgt, fxs, fys, frings, fparts = faces
+        keep_parts = []
+        roff = coff = 0
+        for nr in fparts:
+            rls = frings[roff:roff + nr]
+            ncoord = int(np.sum(rls))
+            part = (POLYGON, fxs[coff:coff + ncoord],
+                    fys[coff:coff + ncoord], rls,
+                    np.asarray([nr], np.int32))
+            sub = RaggedGeometry.from_pylists(
+                [POLYGON], [list(part[1])], [list(part[2])],
+                [list(rls)], [[int(nr)]])
+            rpx, rpy = representative_point(sub)
+            cnt = sum(1 for (rxx, ryy) in rx_list
+                      if _ring_contains_point(rxx, ryy,
+                                              float(rpx[0]), float(rpy[0])))
+            if cnt % 2 == 1:
+                keep_parts.append(part)
+            roff += nr
+            coff += ncoord
+        if not keep_parts:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        nx, ny, nr_, np_ = [], [], [], []
+        for p in keep_parts:
+            np_.append(len(p[3]))
+            nr_.extend(int(v) for v in p[3])
+            nx.extend(p[1]); ny.extend(p[2])
+        gt_out = POLYGON if len(keep_parts) == 1 else MULTIPOLYGON
+        if gt_out == POLYGON:
+            np_ = [len(nr_)]
+        gts.append(gt_out); oxs.append(nx); oys.append(ny)
+        orings.append(nr_); oparts.append(np_)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def _ring_contains_point(rx, ry, px, py):
+    """Even-odd ray cast of one point against one ring (non-inclusive of
+    degenerate boundary cases — make_valid probes are interior points)."""
+    x1, y1, x2, y2 = rx[:-1], ry[:-1], rx[1:], ry[1:]
+    crossing = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    return bool((crossing & (px < xint)).sum() % 2)
+
+
 def offset_curve(rg: RaggedGeometry, distance: float, quad_segs: int = 8):
     """GEOS/GeoPandas ``offset_curve``: each line offset perpendicular
     by ``distance`` — positive to the LEFT of the traversal direction,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "geo_polygonize",
     "geo_snap_shared_paths",
     "geo_offset_curve",
+    "geo_make_valid",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

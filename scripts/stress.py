@@ -209,6 +209,36 @@ def main():
     print(f"stratified sample {n_docs:,} docs: {dt:.1f}s, {kept:,} kept",
           flush=True)
 
+    # exact substring dedup: stride-1 8-token windows over every doc —
+    # the window explode is the corpus token volume
+    from arctic_spark.llm import dedup as dd
+    t0 = time.perf_counter()
+    kept_chars = dd.dedup_substrings(docs, k=8) \
+        .agg(F.sum(F.length("text"))).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(f"substring dedup {n_docs:,} docs (40 toks each): {dt:.1f}s, "
+          f"{kept_chars or 0:,} kept chars, {n_docs / dt / 1e3:.0f}k docs/s",
+          flush=True)
+
+    # SemDeDup over synthetic embeddings (32-d). Cluster count bounds
+    # the quadratic within-cluster pair volume — the paper's own scale
+    # knob: n/k per cluster, here ~800 → ~40M candidate pairs total.
+    from arctic_spark.llm import similarity as sim
+    n_vec = min(max(n_points // 100, 10_000), 50_000)
+    em = spark.range(n_vec).repartition(par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(32)), lambda j:
+                    (F.pmod(F.col("id"), F.lit(64)) * 10 + F.pmod(
+                        F.col("id") * j * 2654435761, F.lit(97))
+                     .cast("double") / 97.0)).alias("embedding"))
+    cents = sim.seed_centroids(em, 64)
+    t0 = time.perf_counter()
+    surv = sim.semdedup(em, cents, threshold=0.999999).count()
+    dt = time.perf_counter() - t0
+    print(f"semdedup {n_vec:,} vecs x 64 clusters: {dt:.1f}s, "
+          f"{surv:,} survivors, {n_vec / dt / 1e3:.0f}k vecs/s",
+          flush=True)
+
     spark.stop()
 
 

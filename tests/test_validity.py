@@ -1,6 +1,10 @@
 """Full OGC is_valid (round 6) over the GeoPandas-documented invalid
 fixture classes, plus the GEOS-semantics alignment of is_simple."""
 
+import math
+
+import pytest
+
 from arctic_spark.geom import algos, wkt
 
 
@@ -139,3 +143,61 @@ def test_relate_rejects_gc():
                     "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"])
     assert relate_tco(rg.geom(0), rg.geom(1)) == (False, False, False)
     assert relate_matrix(rg.geom(0), rg.geom(1)) is None
+
+
+def test_make_valid(spark):
+    from arctic_spark import st
+    from pyspark.sql import functions as F
+    rows = [
+        # bowtie: splits into two triangles, total area 8
+        (1, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))"),
+        # island encoded as a second shell: becomes a true hole
+        (2, "MULTIPOLYGON (((0 0, 6 0, 6 6, 0 6, 0 0)),"
+            " ((2 2, 4 2, 4 4, 2 4, 2 2)))"),
+        # already valid: unchanged semantics
+        (3, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        # lines pass through untouched
+        (4, "LINESTRING (0 0, 5 5)"),
+    ]
+    df = (spark.createDataFrame(rows, "id long, w string")
+          .withColumn("g", st.from_wkt("w"))
+          .withColumn("v", st.make_valid("g")))
+    out = {r.id: r for r in df.select(
+        "id", st.geom_type_name("v").alias("t"),
+        st.area("v").alias("a"),
+        st.is_valid("v").alias("ok"),
+        st.num_parts("v").alias("n")).collect()}
+    assert (out[1].t, out[1].n) == ("MultiPolygon", 2)
+    assert out[1].a == pytest.approx(8.0)
+    assert out[1].ok
+    assert out[2].t == "Polygon" and out[2].a == pytest.approx(32.0)
+    assert out[2].ok
+    assert out[3].a == pytest.approx(4.0) and out[3].ok
+    assert out[4].t == "LineString"
+
+
+def test_normalize_and_node(spark):
+    from arctic_spark import st
+    from pyspark.sql import functions as F
+    df = (spark.createDataFrame(
+        [(1, "POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))",
+             "POLYGON ((0 2, 0 0, 2 0, 2 2, 0 2))"),
+         (2, "LINESTRING (5 5, 1 1)", "LINESTRING (1 1, 5 5)")],
+        "id long, wa string, wb string")
+        .withColumn("a", st.from_wkt("wa"))
+        .withColumn("b", st.from_wkt("wb")))
+    # rotated/reversed forms normalize to the identical structure
+    r = df.select(
+        "id",
+        st.geom_equals_exact(st.normalize("a"), st.normalize("b"))
+          .alias("eq")).collect()
+    assert all(x.eq for x in r)
+    # node: X crossing -> 4 sub-edges, total length preserved
+    nd = (spark.createDataFrame(
+        [(1, "MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))")], "id long, w string")
+        .withColumn("g", st.from_wkt("w"))
+        .withColumn("n", st.node("g")))
+    row = nd.select(st.num_parts("n").alias("np"),
+                    st.length("n").alias("ln")).first()
+    assert row.np == 4
+    assert row.ln == pytest.approx(2 * math.sqrt(8))
