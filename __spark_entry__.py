@@ -1300,7 +1300,7 @@ def geo_concave_hull(spark, sf):
     (the staircase plus the √2 corner diagonal) and convex-hull area
     S² - (S-1)²/2 at ratio=1 — proven for S=3..7 against the
     triangulation by direct construction (tests/test_shape_ops.py)."""
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 600)
     key = F.col("c_custkey")
     S = (key % 3 + 3).cast("int")
     idx = F.sequence(F.lit(0), S)
@@ -1333,7 +1333,7 @@ def geo_polygonize(spark, sf):
     horizontal, spacings w/h from the key) plus a dangling tail closes
     exactly (m-1)(n-1) faces whose areas sum to the full extent
     (m-1)w × (n-1)h; the dangle must be trimmed, not polygonized."""
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 600)
     key = F.col("c_custkey")
     m = (key % 3 + 2).cast("int")
     n = (key % 4 + 2).cast("int")
@@ -1373,7 +1373,7 @@ def geo_snap_shared_paths(spark, sf):
     of the x-axis line against a two-part MultiLineString (one stretch
     forward, one reversed) measures each direction class's length
     exactly."""
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 600)
     key = F.col("c_custkey")
     w = (key % 3 + 2).cast("double")
     h = (key % 4 + 1).cast("double")
@@ -1423,7 +1423,7 @@ def geo_offset_curve(spark, sf):
     (length a+b-2·0.5), right offset rounds the outer corner with 8
     chords of 2·0.5·sin(π/32) (the quad_segs=8 buffer-arc convention) —
     both exactly computable in SQL."""
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 600)
     key = F.col("c_custkey")
     a = (key % 3 + 3).cast("double")
     b = (key % 4 + 2).cast("double")
@@ -1447,7 +1447,7 @@ def geo_make_valid(spark, sf):
     wrongly encoded as a second shell becomes a true hole (area s²−4);
     noding an X of two crossing segments yields exactly 4 sub-edges of
     total length 2c√2."""
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 600)
     key = F.col("c_custkey")
     a = (key % 3 + 2).cast("double")
     b = (key % 4 + 2).cast("double")
@@ -3094,7 +3094,7 @@ def oracle_sql() -> dict[str, str]:
                    4 AS n_node_edges,
                    round(2.0 * (c_custkey % 5 + 1) * sqrt(2), 6)
                        AS node_len
-            FROM customer WHERE c_custkey <= 2000
+            FROM customer WHERE c_custkey <= 600
         """,
         # offset_curve closed forms (see geo_offset_curve): inner miter
         # shortens each leg by the offset; outer round join adds 8
@@ -3105,7 +3105,7 @@ def oracle_sql() -> dict[str, str]:
                          6) AS left_len,
                    round((c_custkey % 3 + 3) + (c_custkey % 4 + 2)
                          + 8 * sin(pi() / 32), 6) AS right_len
-            FROM customer WHERE c_custkey <= 2000
+            FROM customer WHERE c_custkey <= 600
         """,
         # snap/shared_paths closed forms (see geo_snap_shared_paths):
         # snapped jittered rect area = w*h; directional shared-path
@@ -3116,7 +3116,7 @@ def oracle_sql() -> dict[str, str]:
                          6) AS snap_area,
                    round((c_custkey % 3 + 1) * 1.0, 6) AS same_len,
                    round((c_custkey % 4 + 1) * 1.0, 6) AS opp_len
-            FROM customer WHERE c_custkey <= 2000
+            FROM customer WHERE c_custkey <= 600
         """,
         # grid-of-lines closed forms (see geo_polygonize docstring):
         # (m-1)(n-1) faces, total area (m-1)w*(n-1)h; m=2+key%3,
@@ -3128,7 +3128,7 @@ def oracle_sql() -> dict[str, str]:
                    round((c_custkey % 3 + 1) * (c_custkey % 2 + 1) * 1.0
                          * (c_custkey % 4 + 1) * (c_custkey % 3 + 1), 6)
                        AS face_area
-            FROM customer WHERE c_custkey <= 2000
+            FROM customer WHERE c_custkey <= 600
         """,
         # chi-shape closed forms on the L lattice (see geo_concave_hull
         # docstring): chi area 2S-0.5 at max_edge_length=2, convex area
@@ -3139,7 +3139,7 @@ def oracle_sql() -> dict[str, str]:
                    round((c_custkey % 3 + 3) * (c_custkey % 3 + 3)
                          - (c_custkey % 3 + 2) * (c_custkey % 3 + 2) / 2.0,
                          6) AS convex_area
-            FROM customer WHERE c_custkey <= 2000
+            FROM customer WHERE c_custkey <= 600
         """,
         "geo_voronoi": """
             WITH p AS (

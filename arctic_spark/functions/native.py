@@ -201,11 +201,33 @@ def area(g) -> Column:
     Single-ring polygons (the dominant case) skip the ring-offsets
     machinery — the whole coordinate arrays are the ring.
     GeometryCollections (gt=7, round 6) sum their polygon parts' areas
-    (GEOS semantics) via a native aggregate over dump_parts."""
-    gc_val = F.aggregate(
-        dump_parts(g), F.lit(0.0),
-        lambda acc, p: acc + F.coalesce(_area_core(p), F.lit(0.0)))
-    val = F.when(g["gt"] == 7, gc_val).otherwise(_area_core(g))
+    (GEOS semantics). ONE unified per-part walk serves plain Multi* and
+    GC rows — the typed-parts decode (sub·GC_SHIFT + nrings) is the
+    identity on plain parts arrays, so no duplicated branch tree (a
+    separate dump_parts-based GC branch cost +30% on NON-GC rows from
+    generated-code bloat alone)."""
+    from ..geom.ragged import GC_SHIFT
+    co = _offsets(g["rings"])
+    nr = F.transform(g["parts"], lambda e: e % GC_SHIFT)
+    ext = F.slice(_offsets(nr), 1, F.size(g["parts"]))
+    ring_sub = F.flatten(F.transform(
+        g["parts"],
+        lambda e: F.array_repeat((e / GC_SHIFT).cast("int"),
+                                 (e % GC_SHIFT).cast("int"))))
+    terms = F.transform(
+        _ring_ids(g),
+        lambda i: F.when((g["gt"] == 7)
+                         & (F.element_at(ring_sub, i + 1) != POLYGON),
+                         F.lit(0.0))
+                   .when(F.array_contains(ext, i),
+                         F.abs(_ring_signed_area(g, co, i)))
+                   .otherwise(-F.abs(_ring_signed_area(g, co, i))))
+    multi = _fsum(terms)
+    single = F.abs(_signed_area_span(g, F.lit(0), F.size(g["xs"])))
+    val = (F.when(g["gt"].isin(POLYGON, MULTIPOLYGON)
+                  & (F.size(g["rings"]) == 1), single)
+            .when(g["gt"].isin(POLYGON, MULTIPOLYGON, 7), multi)
+            .otherwise(F.lit(0.0)))
     return F.when(_valid(g), val)
 
 
@@ -243,11 +265,38 @@ def length(g) -> Column:
     """Planar length: lines → total; polygons → exterior rings only
     (reference doc geoseries.rs:41-46); points → 0. Single-ring
     fast path skips the offsets machinery. GeometryCollections sum
-    their parts (round 6, GEOS semantics)."""
-    gc_val = F.aggregate(
-        dump_parts(g), F.lit(0.0),
-        lambda acc, p: acc + F.coalesce(_length_core(p), F.lit(0.0)))
-    val = F.when(g["gt"] == 7, gc_val).otherwise(_length_core(g))
+    their parts (round 6, GEOS semantics). Same unified per-part walk
+    as ``area`` — one tree for plain Multi* and GC rows."""
+    from ..geom.ragged import GC_SHIFT
+    co = _offsets(g["rings"])
+    nr = F.transform(g["parts"], lambda e: e % GC_SHIFT)
+    ext = F.slice(_offsets(nr), 1, F.size(g["parts"]))
+    ring_sub = F.flatten(F.transform(
+        g["parts"],
+        lambda e: F.array_repeat((e / GC_SHIFT).cast("int"),
+                                 (e % GC_SHIFT).cast("int"))))
+
+    def want_ring(i):
+        line = F.when(g["gt"] == 7,
+                      F.element_at(ring_sub, i + 1) == LINESTRING) \
+                .otherwise(g["gt"].isin(LINESTRING, MULTILINESTRING))
+        poly = F.when(g["gt"] == 7,
+                      F.element_at(ring_sub, i + 1) == POLYGON) \
+                .otherwise(g["gt"].isin(POLYGON, MULTIPOLYGON))
+        return line | (poly & F.array_contains(ext, i))
+
+    terms = F.transform(
+        _ring_ids(g),
+        lambda i: F.when(want_ring(i), _ring_length(g, co, i))
+                   .otherwise(F.lit(0.0)))
+    multi = _fsum(terms)
+    single = _length_span(g, F.lit(0), F.size(g["xs"]))
+    val = (F.when(g["gt"].isin(LINESTRING, MULTILINESTRING, POLYGON,
+                               MULTIPOLYGON)
+                  & (F.size(g["rings"]) == 1), single)
+            .when(g["gt"].isin(LINESTRING, MULTILINESTRING, POLYGON,
+                               MULTIPOLYGON, 7), multi)
+            .otherwise(F.lit(0.0)))
     return F.when(_valid(g), val)
 
 

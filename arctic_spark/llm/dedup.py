@@ -1,7 +1,9 @@
 """Deduplication operators for web-scale corpora.
 
-Four families, all built on the same scale pattern — partition-local
-columnar kernels + one equi-join/groupBy shuffle on a compact key:
+Five families here (plus SemDeDup in llm/similarity.py and paragraph
+dedup in llm/pipeline.py), all built on the same scale pattern —
+partition-local columnar kernels + one equi-join/groupBy shuffle on a
+compact key:
 
 - exact: hash-groupBy on a normalized fingerprint (one shuffle on a
   16-byte key; at 100 TB this is the cheapest possible dedup).
@@ -11,6 +13,9 @@ columnar kernels + one equi-join/groupBy shuffle on a compact key:
 - SimHash: 64-bit weighted-projection signature; near-dups share bucket
   on bit-band prefixes.
 - n-gram Jaccard: exact verification kernel for candidate pairs.
+- exact substring (Lee et al. 2021): stride-1 k-token window hashes,
+  canonical-min owner, span-mask removal — suffix-array semantics at
+  O(total tokens) shuffle volume.
 
 MinHash permutations use the classic (a·x + b) mod p universal family
 over a 32-bit base hash derived from md5 (portable, engine-independent,

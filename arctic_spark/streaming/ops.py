@@ -202,3 +202,88 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
             & (rts >= lts - F.expr(f"INTERVAL {lower}"))
             & (rts <= lts + F.expr(f"INTERVAL {upper}")))
     return l.join(r, cond, how)
+
+
+_NDP_OUT = T.StructType([
+    T.StructField("band", T.StringType()),
+    T.StructField("anchor_id", T.LongType()),
+    T.StructField("dup_id", T.LongType()),
+])
+
+_NDP_STATE = T.StructType([
+    T.StructField("anchor_id", T.LongType()),
+])
+
+
+def _ndp_fn(timeout_ms: int):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (band,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+        ids = rows["doc_id"].to_numpy()
+        anchor = state.get[0] if state.exists else None
+        out = []
+        for i in ids:
+            i = int(i)
+            if anchor is None:
+                anchor = i
+            elif i != anchor:
+                out.append({"band": band, "anchor_id": anchor,
+                            "dup_id": i})
+        state.update((anchor,))
+        state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+    return fn
+
+
+def streaming_near_dup_pairs(docs: DataFrame, ts_col="ts",
+                             id_col="doc_id", text_col="text",
+                             num_hashes: int = 32, num_bands: int = 8,
+                             shingle_k: int = 3,
+                             state_timeout_ms: int = 600_000) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate DETECTION: emit a candidate
+    pair (anchor_id, dup_id, band) the moment a document shares an LSH
+    band with any earlier document — the streaming twin of
+    ``llm.dedup.minhash_lsh_pairs``.
+
+    Plan shape: band keys are computed natively (the same md5
+    universal-hash pipeline as the batch operator — no Python in the
+    signature path), the doc explodes to ``num_bands`` rows, and ONE
+    stateful operator keyed on the band string holds a single anchor id
+    per band (the first-seen doc — the stream-order analogue of the
+    batch min-id canonical owner). State is one long per live band,
+    expired by processing-time timeout, so it is bounded by the number
+    of distinct bands in the horizon, not stream lifetime. The same
+    pair can surface via several bands; downstream consumers dedup on
+    (anchor_id, dup_id) and exact-verify with
+    ``llm.dedup.ngram_jaccard`` — exactly the batch pipeline's
+    candidate→verify split.
+
+    On a batch frame the identical semantics run as min-anchor per band
+    + self-join (how the fast tests validate results)."""
+    from ..llm.dedup import minhash_bands, minhash_signature
+    sig = minhash_signature(text_col, num_hashes, shingle_k)
+    src = docs.select(
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("doc_id"),
+        F.explode(minhash_bands(sig, num_bands)).alias("band"))
+    if docs.isStreaming:
+        return (src.groupBy("band")
+                .applyInPandasWithState(
+                    _ndp_fn(state_timeout_ms),
+                    outputStructType=_NDP_OUT,
+                    stateStructType=_NDP_STATE,
+                    outputMode="append",
+                    timeoutConf="ProcessingTimeTimeout"))
+    # window formulation: one shuffle on the band and ONE reference to
+    # the minhash expression tree — a groupBy + self-join would inline
+    # the whole signature pipeline into both join branches (the round-2
+    # analysis blowup; this concretely hung a 3-row batch).
+    from pyspark.sql import Window
+    w = Window.partitionBy("band")
+    return (src.withColumn("__a", F.min(F.struct("ts", "doc_id")).over(w))
+            .where(F.col("doc_id") != F.col("__a.doc_id"))
+            .select("band", F.col("__a.doc_id").alias("anchor_id"),
+                    F.col("doc_id").alias("dup_id")))

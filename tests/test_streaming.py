@@ -258,3 +258,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert sorted((r.imp, r.clk) for r in rows) == [(1, 101), (3, 103)]
     finally:
         q.stop()
+
+
+def test_streaming_near_dup_pairs(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup detection: a doc sharing a band
+    with an EARLIER doc emits a candidate pair — batch twin for exact
+    semantics, then a two-batch file stream where the anchor arrives in
+    batch 1 and the near-dup in batch 2 (state carries across
+    micro-batches)."""
+    import json
+
+    from arctic_spark.streaming.ops import streaming_near_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and then naps in the warm afternoon sun")
+    near = base + " peacefully"               # high-jaccard near-dup
+    other = "completely different content about spark streaming state"
+
+    b = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, base),
+         ("2024-01-01 10:00:05", 2, near),
+         ("2024-01-01 10:00:10", 3, other)],
+        "ts string, doc_id long, text string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    pairs = (streaming_near_dup_pairs(b)
+             .select("anchor_id", "dup_id").distinct().collect())
+    got = {(r.anchor_id, r.dup_id) for r in pairs}
+    assert (1, 2) in got
+    assert all(a == 1 and d in (2,) or (a, d) == (1, 2) for a, d in got
+               if d != 3), got
+    assert not any(3 in p for p in got)       # distinct doc never pairs
+
+    # two-micro-batch stream (maxFilesPerTrigger=1): the anchor doc is
+    # batch 1, the near-dup arrives in batch 2 — state must carry
+    # across micro-batches for the pair to surface. NOTE: never
+    # processAllAvailable() on an applyInPandasWithState query with
+    # ProcessingTimeTimeout (it blocks until the timeout elapses, see
+    # test_sessionize_stateful_stream) — poll the sink.
+    import time as _time
+    src_dir = tmp_path / "ndp_in"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text(json.dumps(
+        {"ts": "2024-01-01T10:00:00", "doc_id": 1, "text": base}))
+    _time.sleep(1.1)   # file-source orders batches by mod time
+    (src_dir / "b2.json").write_text("\n".join([
+        json.dumps({"ts": "2024-01-01T10:00:05", "doc_id": 2,
+                    "text": near}),
+        json.dumps({"ts": "2024-01-01T10:00:06", "doc_id": 3,
+                    "text": other})]))
+    schema = "ts timestamp, doc_id long, text string"
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).json(str(src_dir)))
+    out = streaming_near_dup_pairs(src)
+    q = (out.writeStream.format("memory").queryName("ndp_pairs")
+         .outputMode("append").start())
+    try:
+        deadline = _time.time() + 120
+        got_s = set()
+        while _time.time() < deadline:
+            got_s = {(r.anchor_id, r.dup_id) for r in
+                     spark.sql("SELECT anchor_id, dup_id FROM ndp_pairs")
+                     .collect()}
+            if got_s:
+                break
+            _time.sleep(2)
+        assert (1, 2) in got_s
+        assert not any(3 in p for p in got_s)
+    finally:
+        q.stop()
