@@ -1619,6 +1619,24 @@ def dedup_substring_stats(spark, sf):
         F.substring(F.md5("text"), 1, 16).alias("fp"))
 
 
+def sample_mixture(spark, sf):
+    """Token-budget mixture sampling (llm/pipeline.mixture_plan /
+    mixture_sample): per-language keep fractions derived from OBSERVED
+    token counts so the sampled corpus hits a 60/30/10 en/fr/de mixture
+    over a 20k-token budget; the md5-uniform u < fraction cut is
+    deterministic and fully replayable (u has 48 bits, exactly
+    representable — the oracle compares the same integers)."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    weights = {"en": 0.6, "fr": 0.3, "de": 0.1}
+    out = pipeline.mixture_sample(d, "lang", "doc_id", weights, 20_000)
+    return (out.groupBy(F.col("lang").alias("domain"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(text.token_count(F.col("text"))).cast("long")
+                 .alias("n_tokens"))
+            .orderBy("domain"))
+
+
 def dedup_semantic(spark, sf):
     """SemDeDup semantic dedup (llm/similarity.semdedup, arXiv:2303.09540):
     embeddings are bucketed by nearest centroid (native IVF assignment),
@@ -1829,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph_stats": dedup_paragraph_stats,
         "dedup_semantic": dedup_semantic,
         "dedup_substring_stats": dedup_substring_stats,
+        "sample_mixture": sample_mixture,
         "text_perplexity": text_perplexity,
         "text_chunking": text_chunking,
         "text_vocab_topk": text_vocab_topk,
@@ -2670,6 +2689,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        # Mixture-sampling replay: same token counts, same per-domain
+        # fraction = min(1, budget*w / avail), same 48-bit md5-uniform
+        # cut (u-int < fraction * 2^48 — both sides exact doubles).
+        "sample_mixture": """
+            WITH tc AS (
+                SELECT doc_id, lang,
+                       CAST(len(list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), w -> length(w) > 0)) AS BIGINT)
+                           AS n_tok
+                FROM documents),
+            avail AS (
+                SELECT lang, sum(n_tok) AS avail_tokens
+                FROM tc GROUP BY lang),
+            plan AS (
+                SELECT lang,
+                       least(1.0, (CASE lang
+                                   WHEN 'en' THEN 20000 * 0.6
+                                   WHEN 'fr' THEN 20000 * 0.3
+                                   WHEN 'de' THEN 20000 * 0.1
+                                   ELSE 0.0 END)
+                             / greatest(CAST(avail_tokens AS DOUBLE), 1.0))
+                           AS fraction
+                FROM avail),
+            kept AS (
+                SELECT t.lang, t.n_tok
+                FROM tc t JOIN plan p ON t.lang = p.lang
+                WHERE CAST(CAST(concat('0x', substr(md5(
+                          CAST(t.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                          AS DOUBLE)
+                      < p.fraction * 281474976710656.0)
+            SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM kept GROUP BY lang ORDER BY lang
+        """,
         # Exact-substring-dedup replay: same whitespace tokens, stride-1
         # 8-token windows keyed by a 16-char md5 prefix over a \\x1f
         # join, canonical = min (doc_id, start) per window hash, token i

@@ -140,6 +140,61 @@ def stratified_sample(df: DataFrame, strata, key,
     return df.where(h < thr)
 
 
+def mixture_plan(df: DataFrame, domain_col, weights: Mapping[str, float],
+                 token_budget: int, tokens_col=None,
+                 text_col="text") -> DataFrame:
+    """Domain-mixture sampling plan: given target mixture ``weights``
+    (normalized over the listed domains) and a total ``token_budget``,
+    compute per-domain keep fractions from the OBSERVED token counts:
+    (domain, avail_tokens, target_tokens, fraction) with fraction =
+    min(1, target/avail). Unlisted domains get fraction 0. One
+    aggregation over the corpus (token counting is a native expression
+    if ``tokens_col`` is absent)."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    toks = _c(tokens_col) if tokens_col is not None else None
+    if toks is None:
+        from .text import token_count
+        toks = token_count(text_col)
+    avail = (df.groupBy(_c(domain_col).alias("domain"))
+             .agg(F.sum(toks).cast("long").alias("avail_tokens")))
+    tgt = F.lit(None).cast("double")
+    for dom, w in sorted(weights.items()):
+        tgt = F.when(F.col("domain") == dom,
+                     F.lit(float(token_budget) * w / wsum)).otherwise(tgt)
+    return (avail.withColumn("target_tokens", F.coalesce(tgt, F.lit(0.0)))
+            .withColumn("fraction", F.least(
+                F.lit(1.0),
+                F.col("target_tokens")
+                / F.greatest(F.col("avail_tokens").cast("double"),
+                             F.lit(1.0)))))
+
+
+def mixture_sample(df: DataFrame, domain_col, key,
+                   weights: Mapping[str, float], token_budget: int,
+                   tokens_col=None, text_col="text",
+                   seed: str = "") -> DataFrame:
+    """Sample a training mixture to a token budget: per-domain keep
+    fractions from :func:`mixture_plan`, applied as the deterministic
+    md5-uniform predicate (same u = hash(seed‖key) ∈ [0,1) machinery as
+    :func:`hash_sample`, but compared against a PER-ROW fraction column
+    so fractions can be data-derived). The plan table is tiny (one row
+    per domain) and broadcast; the filter itself needs no shuffle.
+    Expected sampled tokens per listed domain ≈ budget·weight (exact
+    determinism — the oracle replays the identical u < fraction cut)."""
+    plan = mixture_plan(df, domain_col, weights, token_budget,
+                        tokens_col, text_col)
+    u = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(seed), _c(key).cast("string"))), 1, 12), 16, 10)
+        .cast("double") / F.lit(float(1 << 48)))
+    return (df.join(F.broadcast(plan.select(
+                F.col("domain").alias("__dom"), "fraction")),
+                    _c(domain_col) == F.col("__dom"))
+            .where(u < F.col("fraction"))
+            .drop("__dom", "fraction"))
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_paragraph_stats",
     "dedup_semantic",
     "dedup_substring_stats",
+    "sample_mixture",
     "text_perplexity",
 ]
 

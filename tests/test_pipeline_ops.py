@@ -282,3 +282,43 @@ def test_unigram_lm_scoring(spark):
     lm_df = pipeline.unigram_lm(df)
     r9 = pipeline.doc_unigram_logprob(q, lm_df).collect()[0]
     assert r9.avg_neg_logp == pytest.approx(-math.log(1 / 8))
+
+
+def test_mixture_plan_and_sample(spark):
+    rows = []
+    # 3 domains: a has 1000 tokens (10 docs x 100), b 400, c 200
+    for i in range(10):
+        rows.append((i, "a", "w " * 100))
+    for i in range(10, 14):
+        rows.append((i, "b", "w " * 100))
+    for i in range(14, 16):
+        rows.append((i, "c", "w " * 100))
+    df = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    plan = {r.domain: r for r in pipeline.mixture_plan(
+        df, "dom", {"a": 0.5, "b": 0.5}, 600).collect()}
+    assert plan["a"].avail_tokens == 1000
+    assert plan["a"].fraction == pytest.approx(0.3)     # 300/1000
+    assert plan["b"].fraction == pytest.approx(0.75)    # 300/400
+    assert plan["c"].fraction == 0.0                    # unlisted
+    # capped at 1 when the budget exceeds availability
+    plan2 = {r.domain: r for r in pipeline.mixture_plan(
+        df, "dom", {"c": 1.0}, 10_000).collect()}
+    assert plan2["c"].fraction == 1.0
+
+    out = pipeline.mixture_sample(df, "dom", "doc_id",
+                                  {"a": 0.5, "b": 0.5}, 600)
+    got = out.groupBy("dom").count().collect()
+    by = {r.dom: r["count"] for r in got}
+    assert "c" not in by                                # fraction 0
+    assert set(by) <= {"a", "b"}
+    # determinism: same call, same rows
+    out2 = pipeline.mixture_sample(df, "dom", "doc_id",
+                                   {"a": 0.5, "b": 0.5}, 600)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in out2.collect())
+    # fraction 1.0 keeps every doc of the domain
+    keep_all = pipeline.mixture_sample(df, "dom", "doc_id",
+                                       {"c": 1.0}, 10_000)
+    assert sorted(r.doc_id for r in keep_all.collect()) == [14, 15]
+    with pytest.raises(ValueError):
+        pipeline.mixture_plan(df, "dom", {"a": 0.0}, 100)
