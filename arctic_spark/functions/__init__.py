@@ -45,6 +45,7 @@ from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      reverse, segmentize)
 from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import extract_unique_points  # noqa: F401
+from .native import collection_extract  # noqa: F401
 
 # GeoPandas naming alias: GeoSeries.project == line_locate_point
 project = line_locate_point
@@ -99,7 +100,7 @@ __all__ = [
     "remove_repeated_points", "delaunay_triangles",
     "voronoi_polygons", "concave_hull", "polygonize", "snap",
     "shared_paths", "offset_curve", "make_valid", "normalize", "node",
-    "extract_unique_points", "project",
+    "extract_unique_points", "collection_extract", "project",
 ]
 
 

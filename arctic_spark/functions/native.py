@@ -876,6 +876,63 @@ def num_parts(g) -> Column:
     return F.when(_valid(g), F.size(g["parts"]))
 
 
+_EXTRACT_SUB = {"point": POINT, "line": LINESTRING, "polygon": POLYGON,
+                0: POINT, 1: LINESTRING, 2: POLYGON}
+_EXTRACT_MULTI = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING,
+                  POLYGON: MULTIPOLYGON}
+
+
+def collection_extract(g, geom_type) -> Column:
+    """Extract the parts of one type from a GeometryCollection
+    (shapely/GEOS ``collection_extract``): ``geom_type`` is
+    'point'/'line'/'polygon' or the dimension 0/1/2. GC rows return the
+    matching parts as a Multi* (empty if none); non-GC rows pass
+    through when their family matches, else empty. Fully native —
+    coordinate/ring surgery is flatten-of-slices over the typed-parts
+    decode (see dump_parts), zero Python."""
+    sub = _EXTRACT_SUB[geom_type if not isinstance(geom_type, str)
+                       else geom_type.lower()]
+    multi = _EXTRACT_MULTI[sub]
+
+    def build(gg):
+        gc_shift = F.lit(1 << 24)
+        pdec = F.transform(gg["parts"], lambda v: v % gc_shift)
+        pro = _offsets(pdec)
+        co = _offsets(gg["rings"])
+        kept = F.filter(
+            _seq0(F.size(gg["parts"])),
+            lambda p: (F.element_at(gg["parts"], p + 1) / gc_shift)
+            .cast("int") == sub)
+
+        def part_slice(arr_field, p):
+            rp0 = F.element_at(pro, p + 1)
+            nr = F.element_at(pdec, p + 1)
+            cstart = F.element_at(co, rp0 + 1)
+            cend = F.element_at(co, rp0 + nr + 1)
+            return F.slice(gg[arr_field], cstart + 1, cend - cstart)
+
+        xs = F.flatten(F.transform(kept, lambda p: part_slice("xs", p)))
+        ys = F.flatten(F.transform(kept, lambda p: part_slice("ys", p)))
+        rings = F.flatten(F.transform(kept, lambda p: F.slice(
+            gg["rings"], F.element_at(pro, p + 1) + 1,
+            F.element_at(pdec, p + 1))))
+        parts = F.transform(kept, lambda p: F.element_at(pdec, p + 1)) \
+            if sub == POLYGON else \
+            F.transform(kept, lambda p: F.lit(1))
+        gc_out = geom_struct(F.lit(multi), xs, ys, rings, parts)
+        empty = geom_struct(
+            F.lit(multi), F.array().cast("array<double>"),
+            F.array().cast("array<double>"),
+            F.array().cast("array<int>"), F.array().cast("array<int>"))
+        fam_match = gg["gt"].isin(sub, multi)
+        return F.when(_valid(gg),
+                      F.when(gg["gt"] == 7, gc_out)
+                       .when(fam_match, gg)
+                       .otherwise(empty))
+
+    return _let(_g(g), build)
+
+
 # ---------------------------------------------------------------------------
 # affine family (reference geoseries.rs:12, :93-145, :174; shapely 6-param
 # order [a, b, d, e, xoff, yoff])

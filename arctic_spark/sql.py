@@ -136,6 +136,43 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         return ragged_to_pdf(algos.offset_curve(ragged_from_pdf(g), d))
 
     @pandas_udf(GEOM_TYPE)
+    def st_collectionextract(g: pd.DataFrame,
+                             dim: pd.Series) -> pd.DataFrame:
+        """dim 0/1/2 → points/lines/polygons of each (collection) row."""
+        from .geom.ragged import (GEOMETRYCOLLECTION, LINESTRING,
+                                  MULTILINESTRING, MULTIPOINT,
+                                  MULTIPOLYGON, POINT, POLYGON, gc_iter)
+        sub = {0: POINT, 1: LINESTRING, 2: POLYGON}[int(dim.iloc[0])]
+        multi = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING,
+                 POLYGON: MULTIPOLYGON}[sub]
+        rg = ragged_from_pdf(g)
+        gts, xs, ys, rings, parts = [], [], [], [], []
+        for i in range(len(rg)):
+            t = rg.geom(i)
+            if t[0] == MISSING:
+                gts.append(None); xs.append(None); ys.append(None)
+                rings.append(None); parts.append(None)
+                continue
+            if t[0] != GEOMETRYCOLLECTION:
+                if t[0] in (sub, multi):
+                    gts.append(int(t[0])); xs.append(list(t[1]))
+                    ys.append(list(t[2])); rings.append(list(t[3]))
+                    parts.append(list(t[4]))
+                else:
+                    gts.append(multi); xs.append([]); ys.append([])
+                    rings.append([]); parts.append([])
+                continue
+            nx, ny, nr, npart = [], [], [], []
+            for (sgt, sx, sy, sr, sp) in gc_iter(t):
+                if sgt == sub:
+                    nx.extend(sx); ny.extend(sy); nr.extend(int(v) for v in sr)
+                    npart.append(len(sr))
+            gts.append(multi); xs.append(nx); ys.append(ny)
+            rings.append(nr); parts.append(npart)
+        return ragged_to_pdf(ragged.RaggedGeometry.from_pylists(
+            gts, xs, ys, rings, parts))
+
+    @pandas_udf(GEOM_TYPE)
     def st_snap(g1: pd.DataFrame, g2: pd.DataFrame,
                 tol: pd.Series) -> pd.DataFrame:
         t = float(tol.iloc[0]) if len(tol) else 0.0
@@ -252,6 +289,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_normalize": _geom_udf(algos.normalize),
         "st_node": _geom_udf(algos.node_lines),
         "st_snap": st_snap,
+        "st_collectionextract": st_collectionextract,
         "st_offsetcurve": st_offsetcurve,
         "st_sharedpaths": st_sharedpaths,
         "st_delaunaytriangles": _geom_udf(algos.delaunay_triangles),

@@ -164,3 +164,33 @@ def test_gc_area_length(spark):
                     F.round(st.length("g"), 9).alias("l")).collect()[0]
     assert row.a == pytest.approx(4.0)      # the 2x2 polygon
     assert row.l == pytest.approx(3.0 * (2 ** 0.5) + 8.0)  # line + perimeter
+
+
+def test_collection_extract(spark):
+    from arctic_spark import st
+    from pyspark.sql import functions as F
+    rows = [
+        (1, "GEOMETRYCOLLECTION (POINT (1 2), "
+            "LINESTRING (0 0, 3 4), "
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)), "
+            "POINT (5 6))"),
+        (2, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),   # non-GC, matches poly
+        (3, "LINESTRING (0 0, 6 8)"),                  # non-GC, no match
+    ]
+    df = (spark.createDataFrame(rows, "id long, w string")
+          .withColumn("g", st.from_wkt("w")))
+    out = {r.id: r for r in df.select(
+        "id",
+        st.num_parts(st.collection_extract("g", "point")).alias("np"),
+        st.length(st.collection_extract("g", "line")).alias("ll"),
+        st.area(st.collection_extract("g", "polygon")).alias("pa"),
+        st.num_parts(st.collection_extract("g", 2)).alias("npoly"),
+        st.geom_type_name(st.collection_extract("g", "polygon")).alias("t"))
+        .collect()}
+    assert out[1].np == 2                      # two points
+    assert out[1].ll == pytest.approx(5.0)
+    assert out[1].pa == pytest.approx(15.0)    # holed polygon kept intact
+    assert out[1].npoly == 1
+    assert out[2].pa == pytest.approx(4.0)     # pass-through on match
+    assert out[3].pa == 0.0                    # empty on mismatch
+    assert st is not None
