@@ -1682,6 +1682,38 @@ def text_perplexity(spark, sf):
                       F.round("perplexity", 6).alias("perplexity"))
 
 
+def text_url_ops(spark, sf):
+    """URL hygiene ops (llm/text.url_host/url_registrable_domain/
+    url_normalize): synthetic crawl URLs with mixed-case hosts, default
+    ports, tracking params and fragments are normalized natively; the
+    oracle constructs the EXPECTED canonical string directly from the
+    same parts (stronger than replaying the regex chain — any
+    normalization bug breaks the fingerprint)."""
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    scheme = F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    port = F.when(k % 3 == 0,
+                  F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+                  ).otherwise(F.lit(""))
+    host = F.concat(F.lit("WWW.Site"), (k % 20).cast("string"),
+                    F.lit(".Example.COM"))
+    slash = F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit(""))
+    frag = F.when(k % 5 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    track = F.when(k % 2 == 0,
+                   F.concat(F.lit("?utm_source=x&id="), ks,
+                            F.lit("&fbclid=abc"))
+                   ).otherwise(F.concat(F.lit("?id="), ks))
+    url = F.concat(scheme, F.lit("://"), host, port, F.lit("/path"),
+                   (k % 5).cast("string"), slash, track, frag)
+    return d.select(
+        "doc_id",
+        text.url_host(url).alias("host"),
+        text.url_registrable_domain(url).alias("domain"),
+        F.substring(F.md5(text.url_normalize(url)), 1, 16)
+        .alias("norm_fp"))
+
+
 def text_html_strip(spark, sf):
     """HTML boilerplate removal (llm/text.strip_html): each doc wrapped
     in synthesized markup (head/style/script/entities) by the query
@@ -1848,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "dedup_substring_stats": dedup_substring_stats,
         "sample_mixture": sample_mixture,
+        "text_url_ops": text_url_ops,
         "text_perplexity": text_perplexity,
         "text_chunking": text_chunking,
         "text_vocab_topk": text_vocab_topk,
@@ -2689,6 +2722,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
+        # URL-ops oracle: the EXPECTED canonical outputs are rebuilt
+        # directly from the same doc_id-derived parts — scheme/host
+        # lowercased, default port gone, tracking params gone, fragment
+        # gone, '?id=' kept, trailing slash kept (not terminal: a query
+        # follows).
+        "text_url_ops": """
+            SELECT doc_id,
+                   'www.site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com' AS host,
+                   'example.com' AS domain,
+                   substr(md5(
+                       (CASE WHEN doc_id % 2 = 0 THEN 'http'
+                             ELSE 'https' END)
+                       || '://www.site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com/path'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                       || '?id=' || CAST(doc_id AS VARCHAR)), 1, 16)
+                       AS norm_fp
+            FROM documents
+        """,
         # Mixture-sampling replay: same token counts, same per-domain
         # fraction = min(1, budget*w / avail), same 48-bit md5-uniform
         # cut (u-int < fraction * 2^48 — both sides exact doubles).

@@ -260,3 +260,52 @@ def html_visible_ratio(raw_html) -> Column:
     n = F.length(t)
     return F.when(n > 0,
                   F.length(strip_html(t)).cast("double") / n).otherwise(0.0)
+
+
+# ---------------------------------------------------------------------------
+# URL analysis (crawl-corpus hygiene: host bucketing, canonicalization
+# for URL-level dedup, blocklist joins) — all native regexp chains
+# ---------------------------------------------------------------------------
+
+def url_host(url) -> Column:
+    """Lowercased host of a URL — scheme-optional, credentials/port/
+    path/query stripped. Native regexp, one expression."""
+    return F.lower(F.regexp_extract(
+        F.trim(_c(url)),
+        r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+
+def url_registrable_domain(url, n_labels: int = 2) -> Column:
+    """Last ``n_labels`` host labels — the eTLD+1 approximation used
+    for domain-level grouping when no public-suffix list is shipped
+    (documented approximation: 'foo.co.uk' needs n_labels=3)."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    start = F.greatest(F.size(parts) - (n_labels - 1), F.lit(1))
+    return F.concat_ws(".", F.slice(parts, start, F.lit(n_labels)))
+
+
+def url_normalize(url) -> Column:
+    """Canonical URL for URL-level dedup: drop the fragment, strip
+    common tracking parameters (utm_*, fbclid, gclid, ref), collapse
+    leftover ?/& separators, drop userinfo, lowercase the
+    scheme://host head, strip default ports (:80 http, :443 https) and
+    a trailing slash. Pure native regexp chain — a corpus-wide URL
+    dedup key costs one scan, zero Python."""
+    u = F.regexp_replace(F.trim(_c(url)), r"#.*$", "")
+    for _ in range(3):    # adjacent tracking params need repeat passes
+        u = F.regexp_replace(
+            u, r"([?&])(?:utm_[^&=#]*|fbclid|gclid|ref)=[^&]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    # drop userinfo (dedup-key semantics), lowercase, strip default port
+    head_norm = F.regexp_replace(
+        F.lower(head), r"^([a-z][a-z0-9+.-]*://)[^/@]*@", r"$1")
+    head_norm = F.regexp_replace(
+        F.regexp_replace(head_norm, r"^(http://[^:]+):80$", r"$1"),
+        r"^(https://[^:]+):443$", r"$1")
+    tail = _c(u).substr(F.length(head) + 1, F.length(u))
+    u = F.concat(head_norm, tail)
+    return F.regexp_replace(u, r"/$", "")

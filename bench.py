@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "dedup_substring_stats",
     "sample_mixture",
+    "text_url_ops",
     "text_perplexity",
 ]
 

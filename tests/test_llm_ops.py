@@ -325,3 +325,29 @@ def test_dedup_substrings(spark):
         "doc_id long, text string")
     out2 = dedup.dedup_substrings(df2, k=8).collect()[0].text
     assert out2 == "p q r s t u v w END"
+
+
+def test_url_ops(spark):
+    rows = [
+        (1, "HTTPS://User:pw@WWW.Example.COM:443/a/b/?utm_source=t&x=1#frag"),
+        (2, "http://sub.shop.example.co.uk:80/p?gclid=g&ref=r&q=2"),
+        (3, "example.com/plain"),                     # scheme-less
+        (4, "https://a.io/only/"),                    # trailing slash
+        (5, "http://b.net/?utm_a=1&utm_b=2&fbclid=x"),  # all-tracking query
+    ]
+    df = spark.createDataFrame(rows, "id long, u string")
+    out = {r.id: r for r in df.select(
+        "id", text.url_host("u").alias("h"),
+        text.url_registrable_domain("u").alias("d"),
+        text.url_registrable_domain("u", 3).alias("d3"),
+        text.url_normalize("u").alias("n")).collect()}
+    assert out[1].h == "www.example.com"
+    assert out[1].d == "example.com"
+    assert out[1].n == "https://www.example.com/a/b/?x=1"
+    assert out[2].h == "sub.shop.example.co.uk"
+    assert out[2].d == "co.uk"              # documented PSL-free approx
+    assert out[2].d3 == "example.co.uk"
+    assert out[2].n == "http://sub.shop.example.co.uk/p?q=2"
+    assert out[3].h == "example.com"
+    assert out[4].n == "https://a.io/only"  # terminal slash stripped
+    assert out[5].n == "http://b.net"
