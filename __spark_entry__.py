@@ -1441,6 +1441,38 @@ def geo_offset_curve(spark, sf):
         F.round(st.length("oc_right"), 6).alias("right_len"))
 
 
+def geo_line_substring(spark, sf):
+    """line_substring + azimuth closed forms on the right-angle L
+    polyline (0,0)→(a,0)→(a,b): the substring between distances 1 and
+    a+b−1 has length a+b−2 (interpolated endpoints, corner vertex
+    kept); the normalized middle half has length (a+b)/2; the azimuth
+    from the corner to the start is 3π/2 (due west) and to the end is 0
+    (due north)."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 2000)
+    key = F.col("c_custkey")
+    a = (key % 3 + 3).cast("double")
+    b = (key % 4 + 2).cast("double")
+    z = F.lit(0.0)
+    line = st.geom_struct(F.lit(1), F.array(z, a, a), F.array(z, z, b),
+                          F.array(F.lit(3)), F.array(F.lit(1)))
+    corner = st.point(a, z)
+    d = c.select("c_custkey", st.freeze(line).alias("ln"),
+                 st.freeze(corner).alias("corner"),
+                 a.alias("a"), b.alias("b"))
+    sub = st.line_substring(F.col("ln"), 1.0,
+                            F.col("a") + F.col("b") - 1.0)
+    half = st.line_substring(F.col("ln"), 0.25, 0.75, normalized=True)
+    return d.select(
+        "c_custkey",
+        F.round(st.length(sub), 6).alias("sub_len"),
+        F.round(st.length(half), 6).alias("half_len"),
+        F.round(st.azimuth(F.col("corner"), st.point(z, z)), 6)
+        .alias("az_west"),
+        F.round(st.azimuth(F.col("corner"),
+                           st.point(F.col("a"), F.col("b"))), 6)
+        .alias("az_north"))
+
+
 def geo_make_valid(spark, sf):
     """make_valid + node closed forms: a bowtie quad (self-crossing at
     the center) repairs to two triangles of total area a·b/2; an island
@@ -1871,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_snap_shared_paths": geo_snap_shared_paths,
         "geo_offset_curve": geo_offset_curve,
         "geo_make_valid": geo_make_valid,
+        "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
@@ -3189,6 +3222,19 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 2 + 1 AS DOUBLE) AS dd,
                        CAST(c_custkey % 3 + 1 AS DOUBLE) AS gap
                 FROM customer)
+        """,
+        # line_substring/azimuth closed forms (see geo_line_substring):
+        # interior substring length a+b-2; normalized middle half
+        # (a+b)/2; azimuth corner->origin = 3*pi/2, corner->top = 0.
+        "geo_line_substring": """
+            SELECT c_custkey,
+                   round((c_custkey % 3 + 3) + (c_custkey % 4 + 2) - 2.0,
+                         6) AS sub_len,
+                   round(((c_custkey % 3 + 3) + (c_custkey % 4 + 2))
+                         / 2.0, 6) AS half_len,
+                   round(3 * pi() / 2, 6) AS az_west,
+                   round(0.0, 6) AS az_north
+            FROM customer WHERE c_custkey <= 2000
         """,
         # make_valid/node closed forms (see geo_make_valid): bowtie ->
         # a*b/2, island-as-shell -> s*s-4, X-noding -> 4 edges, 2c*sqrt2.

@@ -42,7 +42,7 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    make_valid, normalize, node)
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
-                     reverse, segmentize)
+                     line_substring, azimuth, reverse, segmentize)
 from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import extract_unique_points  # noqa: F401
 from .native import collection_extract  # noqa: F401
@@ -101,6 +101,7 @@ __all__ = [
     "voronoi_polygons", "concave_hull", "polygonize", "snap",
     "shared_paths", "offset_curve", "make_valid", "normalize", "node",
     "extract_unique_points", "collection_extract", "project",
+    "line_substring", "azimuth",
 ]
 
 

@@ -1219,6 +1219,79 @@ def line_interpolate_point(g, distance, normalized: bool = False) -> Column:
                   & (F.size(g["xs"]) > 0), out)
 
 
+def line_substring(g, start, end, normalized: bool = False) -> Column:
+    """Portion of a LineString between two distances along it (shapely
+    ``substring`` / GeoPandas ``line_substring``): endpoints are
+    interpolated, interior vertices strictly between the cut distances
+    are kept, distances clamp to [0, length]. ``start > end`` returns
+    the REVERSED substring and ``start == end`` degenerates to a POINT
+    (shapely semantics). ``normalized=True`` reads fractions of total
+    length. Non-LineString input → NULL. Fully native."""
+    g = _g(g)
+    s0, s1 = _lit(start), _lit(end)
+
+    def build(s):
+        lens, cum = s["lens"], s["cum"]
+        total = F.element_at(cum, -1)
+        a = (s0 * total if normalized else s0).cast("double")
+        b = (s1 * total if normalized else s1).cast("double")
+        a = F.greatest(F.lit(0.0), F.least(a, total))
+        b = F.greatest(F.lit(0.0), F.least(b, total))
+        lo, hi = F.least(a, b), F.greatest(a, b)
+
+        def interp(target):
+            nseg = F.size(lens)
+            k = F.size(F.filter(F.slice(cum, 2, nseg - 1),
+                                lambda c: c <= target))
+            seg = k + 1
+            ln = F.element_at(lens, seg)
+            t = F.when(ln > 0, (target - F.element_at(cum, seg)) / ln) \
+                 .otherwise(F.lit(0.0))
+            ax = F.element_at(g["xs"], seg)
+            ay = F.element_at(g["ys"], seg)
+            return (ax + (F.element_at(g["xs"], seg + 1) - ax) * t,
+                    ay + (F.element_at(g["ys"], seg + 1) - ay) * t)
+
+        x0, y0 = interp(lo)
+        x1, y1 = interp(hi)
+        n = F.size(g["xs"])
+        mid = F.filter(F.sequence(F.lit(1), n),
+                       lambda i: (F.element_at(cum, i) > lo)
+                       & (F.element_at(cum, i) < hi))
+        xs = F.concat(F.array(x0),
+                      F.transform(mid, lambda i: F.element_at(g["xs"], i)),
+                      F.array(x1))
+        ys = F.concat(F.array(y0),
+                      F.transform(mid, lambda i: F.element_at(g["ys"], i)),
+                      F.array(y1))
+        xs = F.when(a > b, F.reverse(xs)).otherwise(xs)
+        ys = F.when(a > b, F.reverse(ys)).otherwise(ys)
+        line_out = geom_struct(F.lit(LINESTRING), xs, ys,
+                               F.array(F.size(xs)),
+                               F.array(F.lit(1)))
+        return F.when(lo == hi, point(x0, y0)).otherwise(line_out)
+
+    lens = _seg_len_arr(g)
+    out = _let(F.struct(lens.alias("lens"), _cum_arr(lens).alias("cum")),
+               build)
+    return F.when(_valid(g) & (g["gt"] == LINESTRING)
+                  & (F.size(g["xs"]) > 1), out)
+
+
+def azimuth(p1, p2) -> Column:
+    """Azimuth of the segment p1→p2 in radians clockwise from north,
+    in [0, 2π) — PostGIS ``ST_Azimuth`` semantics (atan2(Δx, Δy)).
+    NULL when the points coincide or either operand is not a POINT."""
+    a, b = _g(p1), _g(p2)
+    dx = F.element_at(b["xs"], 1) - F.element_at(a["xs"], 1)
+    dy = F.element_at(b["ys"], 1) - F.element_at(a["ys"], 1)
+    raw = F.atan2(dx, dy)
+    two_pi = 2.0 * math.pi
+    val = F.when(raw < 0, raw + two_pi).otherwise(raw)
+    return F.when(_valid(a) & _valid(b) & (a["gt"] == POINT)
+                  & (b["gt"] == POINT) & ((dx != 0) | (dy != 0)), val)
+
+
 def line_locate_point(line, pt, normalized: bool = False) -> Column:
     """Distance along ``line`` of the point on it nearest to ``pt``
     (shapely ``line_locate_point`` / GEOS Project). First-nearest segment

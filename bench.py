@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "geo_snap_shared_paths",
     "geo_offset_curve",
     "geo_make_valid",
+    "geo_line_substring",
     "decontam_overlap",
     "pack_sequences",
     "text_chunking",

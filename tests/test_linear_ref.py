@@ -126,3 +126,51 @@ def test_reverse_polygon_flips_orientation(spark):
         _signed_area_span(st.freeze(st.reverse(sq)), F.lit(0), F.lit(5))
         .alias("s1")])
     assert r.s0 == -r.s1 != 0
+
+
+def test_line_substring(spark):
+    df = (spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 4 0, 4 3)")], "id long, w string")
+        .withColumn("g", st.from_wkt("w")))
+    r = df.select(
+        st.length(st.line_substring("g", 1.0, 6.0)).alias("l1"),
+        st.length(st.line_substring("g", 0.0, 7.0)).alias("l2"),
+        # normalized quarter..three-quarter
+        st.length(st.line_substring("g", 0.25, 0.75, normalized=True))
+          .alias("l3"),
+        # reversed: start > end
+        st.x(st.line_interpolate_point(
+            st.line_substring("g", 6.0, 1.0), 0.0)).alias("rx0"),
+        # degenerate start == end -> POINT
+        st.geom_type_name(st.line_substring("g", 2.0, 2.0)).alias("tp"),
+        st.x(st.line_substring("g", 2.0, 2.0)).alias("px"),
+        # clamped beyond the ends
+        st.length(st.line_substring("g", -5.0, 99.0)).alias("lc"),
+        # vertex at the cut is not duplicated
+        F.size(st.line_substring("g", 0.0, 4.0)["xs"]).alias("nv")).first()
+    assert r.l1 == pytest.approx(5.0)
+    assert r.l2 == pytest.approx(7.0)
+    assert r.l3 == pytest.approx(3.5)
+    assert r.rx0 == pytest.approx(4.0)   # reversed starts at distance 6
+    assert r.tp == "Point" and r.px == pytest.approx(2.0)
+    assert r.lc == pytest.approx(7.0)
+    assert r.nv == 2                     # (0 0) -> (4 0), no dup vertex
+
+
+def test_azimuth(spark):
+    import math as m
+    df = spark.createDataFrame([(1,)], "id long") \
+        .withColumn("o", st.point(F.lit(0.0), F.lit(0.0)))
+    r = df.select(
+        st.azimuth("o", st.point(F.lit(0.0), F.lit(5.0))).alias("n"),
+        st.azimuth("o", st.point(F.lit(3.0), F.lit(0.0))).alias("e"),
+        st.azimuth("o", st.point(F.lit(0.0), F.lit(-2.0))).alias("s"),
+        st.azimuth("o", st.point(F.lit(-1.0), F.lit(0.0))).alias("w"),
+        st.azimuth("o", st.point(F.lit(1.0), F.lit(1.0))).alias("ne"),
+        st.azimuth("o", F.col("o")).alias("self")).first()
+    assert r.n == pytest.approx(0.0)
+    assert r.e == pytest.approx(m.pi / 2)
+    assert r.s == pytest.approx(m.pi)
+    assert r.w == pytest.approx(3 * m.pi / 2)
+    assert r.ne == pytest.approx(m.pi / 4)
+    assert r.self is None
