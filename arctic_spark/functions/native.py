@@ -432,8 +432,13 @@ def centroid(g) -> Column:
         s = F.lit(0.5) * _fsum(cr)
         sumx = F.zip_with(xc, xn, lambda a, b: a + b)
         sumy = F.zip_with(yc, yn, lambda a, b: a + b)
-        gx = _fsum(F.zip_with(sumx, cr, lambda a, c: a * c)) / (F.lit(6.0) * s)
-        gy = _fsum(F.zip_with(sumy, cr, lambda a, c: a * c)) / (F.lit(6.0) * s)
+        # zero-area ring (degenerate/self-cancelling, e.g. a symmetric
+        # bowtie): its weight aeff is 0, so its gx/gy never contribute —
+        # but the division must still be guarded (ANSI div-by-zero)
+        gx = F.when(s != 0, _fsum(F.zip_with(sumx, cr, lambda a, c: a * c))
+                    / (F.lit(6.0) * s)).otherwise(F.lit(0.0))
+        gy = F.when(s != 0, _fsum(F.zip_with(sumy, cr, lambda a, c: a * c))
+                    / (F.lit(6.0) * s)).otherwise(F.lit(0.0))
         aeff = F.when(F.array_contains(ext, i), F.abs(s)).otherwise(-F.abs(s))
         return F.struct((gx * aeff).alias("wx"), (gy * aeff).alias("wy"),
                         aeff.alias("a"))

@@ -271,3 +271,51 @@ def from_geopandas(spark, gdf, crs=None) -> "GeoDataFrame":
     pdf[gcol] = gdf.geometry.to_wkb()
     use_crs = crs or (str(gdf.crs) if gdf.crs else DEFAULT_CRS)
     return from_pandas_wkb(spark, pdf, gcol, use_crs)
+
+
+# ---------------------------------------------------------------------------
+# GeoPandas-style geometry-method sugar: gdf.buffer(1).centroid() chains
+# like a GeoSeries, each method rewriting the geometry column via the
+# corresponding st.* expression (reference GeoSeries methods,
+# py-geopolars/docs/source/reference/geoseries.rst — same surface, but
+# lazy/distributed: nothing executes until an action).
+# ---------------------------------------------------------------------------
+
+def _geom_transform_method(name):
+    def method(self, *args, **kwargs):
+        fn = getattr(st, name)
+        return self.with_geometry(
+            fn(F.col(self.geometry_column), *args, **kwargs))
+    method.__name__ = name
+    method.__doc__ = (f"GeoSeries-style ``{name}``: rewrite the geometry "
+                      f"column with ``st.{name}(geometry, ...)``; returns "
+                      f"a new GeoDataFrame, lazily.")
+    return method
+
+
+for _name in ("buffer", "simplify", "centroid", "convex_hull",
+              "concave_hull", "envelope", "boundary", "make_valid",
+              "normalize", "offset_curve", "segmentize", "reverse",
+              "representative_point", "exterior", "voronoi_polygons",
+              "delaunay_triangles", "polygonize", "line_merge",
+              "remove_repeated_points"):
+    setattr(GeoDataFrame, _name, _geom_transform_method(_name))
+
+
+def _geom_scalar_method(name, out_col=None):
+    col_name = out_col or name
+
+    def method(self, *args, **kwargs):
+        fn = getattr(st, name)
+        return self._wrap(self._df.withColumn(
+            col_name, fn(F.col(self.geometry_column), *args, **kwargs)))
+    method.__name__ = name
+    method.__doc__ = (f"GeoSeries-style ``{name}``: append a "
+                      f"``{col_name}`` column computed by "
+                      f"``st.{name}(geometry, ...)``.")
+    return method
+
+
+for _name in ("area", "length", "is_valid", "is_simple",
+              "is_empty", "geom_type_name"):
+    setattr(GeoDataFrame, _name, _geom_scalar_method(_name))

@@ -177,3 +177,28 @@ def test_write_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_buck_a")
         spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+
+def test_geoseries_style_methods(spark):
+    """GeoSeries-style sugar: geometry-transform methods chain and
+    scalar methods append columns, all lazily."""
+    df = (spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+         (2, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))")],   # bowtie
+        "id long, w string")
+        .withColumn("geometry", st.from_wkt("w")))
+    g = GeoDataFrame(df)
+    # chain: make_valid -> centroid -> geom type accessor
+    out = {r.id: r for r in
+           g.make_valid().area().df.select("id", "area").collect()}
+    assert out[1].area == pytest.approx(16.0)
+    assert out[2].area == pytest.approx(8.0)     # repaired bowtie
+    cent = g.centroid().geom_type_name().df.select("geom_type_name") \
+        .first()[0]
+    assert cent == "Point"
+    buf = g.buffer(1.0).area().df.where(F.col("id") == 1) \
+        .select("area").first()[0]
+    assert buf > 16.0
+    ln = g.boundary().length().df.where(F.col("id") == 1) \
+        .select("length").first()[0]
+    assert ln == pytest.approx(16.0)
