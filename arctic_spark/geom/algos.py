@@ -1681,6 +1681,20 @@ def delaunay_triangles(rg: RaggedGeometry):
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def _monotone_chain(pts):
+    """CCW convex hull vertices (open) of a unique-sorted (n,2) array."""
+    def half(points):
+        h = []
+        for p in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
 def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
                  max_edge_length: float | None = None):
     """Concave hull of each geometry's unique vertices (GeoPandas 1.0 /
@@ -1708,6 +1722,14 @@ def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
             continue
         pts = np.unique(np.column_stack([np.asarray(xs, float),
                                          np.asarray(ys, float)]), axis=0)
+        if len(pts):
+            # snap to a span-relative grid before triangulating —
+            # denormal/near-duplicate coordinates (found by hypothesis)
+            # otherwise feed the circumcircle test degenerate slivers
+            span = max(float(np.ptp(pts[:, 0])),
+                       float(np.ptp(pts[:, 1])), 1.0)
+            q = span * 1e-9
+            pts = np.unique(np.round(pts / q) * q, axis=0)
         n = len(pts)
         if n == 0:
             gts.append(POLYGON); oxs.append([]); oys.append([])
@@ -1786,6 +1808,20 @@ def concave_hull(rg: RaggedGeometry, ratio: float = 0.0,
         area2 = sum(rx[j] * ry[(j + 1) % len(ring)]
                     - rx[(j + 1) % len(ring)] * ry[j]
                     for j in range(len(ring)))
+        # numerical-degeneracy guard: a correct chi-shape is a subset of
+        # the convex hull, so its area can never exceed the hull's. A
+        # near-degenerate sliver triangulation (found by hypothesis) can
+        # break the boundary trace — fall back to the monotone-chain
+        # hull, the conservative superset.
+        hull = _monotone_chain(pts)
+        hull_area2 = abs(sum(
+            hull[j][0] * hull[(j + 1) % len(hull)][1]
+            - hull[(j + 1) % len(hull)][0] * hull[j][1]
+            for j in range(len(hull)))) if len(hull) >= 3 else 0.0
+        if len(hull) >= 3 and abs(area2) > hull_area2 * (1 + 1e-9):
+            rx = [p[0] for p in hull]
+            ry = [p[1] for p in hull]
+            area2 = hull_area2
         if area2 < 0:
             rx.reverse(); ry.reverse()
         rx.append(rx[0]); ry.append(ry[0])

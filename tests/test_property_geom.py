@@ -130,3 +130,72 @@ def test_hull_contains_bbox_of_points(mp):
     b = algos.bounds(rg)[0]
     assert hb[0] <= b[0] + 1e-9 and hb[1] <= b[1] + 1e-9
     assert hb[2] >= b[2] - 1e-9 and hb[3] >= b[3] - 1e-9
+
+
+@st_.composite
+def rand_multipoint(draw):
+    n = draw(st_.integers(3, 24))
+    xs = draw(st_.lists(st_.floats(min_value=-100, max_value=100,
+                                   allow_nan=False, width=64),
+                        min_size=n, max_size=n))
+    ys = draw(st_.lists(st_.floats(min_value=-100, max_value=100,
+                                   allow_nan=False, width=64),
+                        min_size=n, max_size=n))
+    return ragged.MULTIPOINT, xs, ys, [1] * n, [1] * n
+
+
+@given(rand_multipoint(), st_.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=40, deadline=None)
+def test_concave_hull_invariants(mp, ratio):
+    """Chi-shape invariants for ANY point set: hull area is monotone in
+    ratio (<= convex hull == ratio 1), and every input point lies in
+    the hull's bbox (full containment is checked deterministically in
+    test_shape_ops)."""
+    rg = ragged.RaggedGeometry.from_pylists(
+        [mp[0]], [mp[1]], [mp[2]], [mp[3]], [mp[4]])
+    chi = algos.concave_hull(rg, ratio=ratio)
+    cvx = algos.convex_hull(rg)           # independent monotone chain
+    a_chi = float(algos.area(chi)[0])
+    a_cvx = float(algos.area(cvx)[0])
+    assert a_chi <= a_cvx + 1e-6 * max(1.0, a_cvx)
+    g = chi.geom(0)
+    if g[0] == ragged.POLYGON and len(g[1]):
+        # hull vertices sit on the span-relative 1e-9 snap grid
+        span = max(max(mp[1]) - min(mp[1]), max(mp[2]) - min(mp[2]), 1.0)
+        tol = 2e-9 * span
+        assert min(g[1]) >= min(mp[1]) - tol
+        assert max(g[1]) <= max(mp[1]) + tol
+        assert min(g[2]) >= min(mp[2]) - tol
+        assert max(g[2]) <= max(mp[2]) + tol
+
+
+@given(rand_polygon())
+@settings(max_examples=40, deadline=None)
+def test_make_valid_fixed_point_on_valid(poly):
+    """make_valid on an already-valid star polygon preserves area
+    exactly (the faces of a valid boundary ARE the polygon)."""
+    rg = ragged.RaggedGeometry.from_pylists(
+        [poly[0]], [poly[1]], [poly[2]], [poly[3]], [poly[4]])
+    if not bool(algos.is_valid(rg)[0]):
+        return
+    a0 = float(algos.area(rg)[0])
+    mv = algos.make_valid(rg)
+    a1 = float(algos.area(mv)[0])
+    assert abs(a1 - a0) <= 1e-6 * max(1.0, a0)
+
+
+@given(rand_linestring(), st_.floats(min_value=0.0, max_value=1.0),
+       st_.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=40, deadline=None)
+def test_normalize_idempotent_and_equalish(line, _a, _b):
+    """normalize is idempotent, and a reversed line normalizes to the
+    identical structure."""
+    rg = ragged.RaggedGeometry.from_pylists(
+        [line[0]], [line[1]], [line[2]], [line[3]], [line[4]])
+    rev = ragged.RaggedGeometry.from_pylists(
+        [line[0]], [line[1][::-1]], [line[2][::-1]], [line[3]], [line[4]])
+    n1 = algos.normalize(rg).geom(0)
+    n2 = algos.normalize(algos.normalize(rg)).geom(0)
+    n3 = algos.normalize(rev).geom(0)
+    assert list(n1[1]) == list(n2[1]) == list(n3[1])
+    assert list(n1[2]) == list(n2[2]) == list(n3[2])
