@@ -1800,6 +1800,42 @@ def text_chunking(spark, sf):
         F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_fp"))
 
 
+def text_repetition(spark, sf):
+    """Gopher line/paragraph repetition signals (llm/text.py,
+    Rae et al. 2021 §A1.1): duplicate-line fraction, duplicate-line
+    CHARACTER fraction, and the paragraph-level pair — all native
+    (split + array_distinct + aggregate in codegen; a corpus-wide pass
+    is one scan, zero Python, zero shuffle).  The synthetic documents
+    are single-line, so the query first rebuilds each doc as structured
+    text — lines of 2 words, paragraphs of 4 lines — with pure HOF
+    arithmetic the oracle replays exactly; the tiny vocabulary then
+    yields real line collisions (birthday effect) without any injected
+    duplicates."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(2)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "))
+    nparas = F.ceil(F.size(lines) / F.lit(4)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nparas - 1),
+        lambda j: F.array_join(F.slice(lines, j * 4 + 1, 4), "\n"))
+    structured = F.when(F.size(toks) > 0, F.array_join(paras, "\n\n")) \
+                  .otherwise(F.lit(""))
+    t2 = d.select("doc_id", structured.alias("t2"))
+    return (t2.select(
+        "doc_id",
+        F.round(text.duplicate_line_fraction("t2"), 6).alias("dup_line_frac"),
+        F.round(text.duplicate_line_char_fraction("t2"), 6)
+         .alias("dup_line_char_frac"),
+        F.round(text.duplicate_paragraph_fraction("t2"), 6)
+         .alias("dup_para_frac"),
+        F.round(text.duplicate_paragraph_char_fraction("t2"), 6)
+         .alias("dup_para_char_frac"))
+        .orderBy("doc_id"))
+
+
 def text_vocab_topk(spark, sf):
     """Corpus vocabulary: top-30 tokens by term frequency with document
     frequency. Per-doc the token multiset pre-collapses to (distinct
@@ -1916,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_ops": text_url_ops,
         "text_perplexity": text_perplexity,
         "text_chunking": text_chunking,
+        "text_repetition": text_repetition,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
     }
@@ -3542,6 +3579,54 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5(array_to_string(ws[s:s+39], ' ')), 1, 16)
                        AS chunk_fp
             FROM chunks
+        """,
+        "text_repetition": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+            lns AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) > 0 THEN
+                           list_transform(
+                               range(0, CAST(ceil(len(toks) / 2.0) AS INT)),
+                               i -> array_to_string(
+                                   toks[i*2+1:i*2+2], ' '))
+                       ELSE [] END AS lines
+                FROM base),
+            paras AS (
+                SELECT doc_id, lines,
+                       CASE WHEN len(lines) > 0 THEN
+                           list_transform(
+                               range(0, CAST(ceil(len(lines) / 4.0) AS INT)),
+                               j -> array_to_string(
+                                   lines[j*4+1:j*4+4], chr(10)))
+                       ELSE [] END AS paras
+                FROM lns),
+            m AS (
+                SELECT doc_id,
+                       len(lines) AS nl,
+                       len(list_distinct(lines)) AS dl,
+                       list_aggregate(list_transform(lines,
+                           x -> length(x)), 'sum') AS cl,
+                       list_aggregate(list_transform(list_distinct(lines),
+                           x -> length(x)), 'sum') AS cdl,
+                       len(paras) AS np,
+                       len(list_distinct(paras)) AS dp,
+                       list_aggregate(list_transform(paras,
+                           x -> length(x)), 'sum') AS cp,
+                       list_aggregate(list_transform(list_distinct(paras),
+                           x -> length(x)), 'sum') AS cdp
+                FROM paras)
+            SELECT doc_id,
+                   CASE WHEN nl > 0 THEN round((nl - dl) / CAST(nl AS DOUBLE),
+                       6) ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN cl > 0 THEN round((cl - cdl) / CAST(cl AS DOUBLE),
+                       6) ELSE 0.0 END AS dup_line_char_frac,
+                   CASE WHEN np > 0 THEN round((np - dp) / CAST(np AS DOUBLE),
+                       6) ELSE 0.0 END AS dup_para_frac,
+                   CASE WHEN cp > 0 THEN round((cp - cdp) / CAST(cp AS DOUBLE),
+                       6) ELSE 0.0 END AS dup_para_char_frac
+            FROM m ORDER BY doc_id
         """,
         "text_vocab_topk": """
             WITH tok AS (

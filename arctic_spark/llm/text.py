@@ -168,6 +168,65 @@ def duplicate_ngram_fraction(text, n: int = 3) -> Column:
     return _let(_word_ngrams(word_tokens(text), n), build)
 
 
+def _nonblank_units(text, sep_regex: str) -> Column:
+    """array<string> of trimmed, non-empty units after splitting on
+    sep_regex (lines: '\\n'; paragraphs: '\\n{2,}')."""
+    return F.filter(
+        F.transform(F.split(_c(text), sep_regex), lambda u: F.trim(u)),
+        lambda u: F.length(u) > 0)
+
+
+def _dup_unit_fraction(units) -> Column:
+    """(total - distinct) / total — the excess-occurrence fraction."""
+    total = F.size(units)
+    dup = total - F.size(F.array_distinct(units))
+    return F.when(total > 0, dup.cast("double") / total).otherwise(0.0)
+
+
+def _dup_unit_char_fraction(units) -> Column:
+    """Characters in excess occurrences (total chars minus one copy of
+    each distinct unit) / total chars."""
+    def char_sum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, u: acc + F.length(u))
+    total = char_sum(units)
+    dup = total - char_sum(F.array_distinct(units))
+    return F.when(total > 0, dup.cast("double") / total).otherwise(0.0)
+
+
+def duplicate_line_fraction(text) -> Column:
+    """Fraction of non-blank lines that are excess occurrences of an
+    already-seen line — the Gopher repetition filter's line-level signal
+    (Rae et al. 2021 §A1.1; docs above ~0.30 are boilerplate).  Lines are
+    trimmed before comparison.  Counting is (total - distinct)/total, the
+    standard implementation of 'fraction of lines that are duplicates'.
+    Entirely native (split + array_distinct in codegen) — a corpus-wide
+    pass is one scan, zero Python, no shuffle."""
+    from ..functions.native import _let
+    return _let(_nonblank_units(text, r"\n"), _dup_unit_fraction)
+
+
+def duplicate_line_char_fraction(text) -> Column:
+    """Fraction of characters contained in excess duplicate lines
+    (Gopher rejects above ~0.20) — weighs long repeated lines more than
+    the count-based fraction."""
+    from ..functions.native import _let
+    return _let(_nonblank_units(text, r"\n"), _dup_unit_char_fraction)
+
+
+def duplicate_paragraph_fraction(text) -> Column:
+    """duplicate_line_fraction over paragraphs (blank-line-separated
+    blocks, i.e. split on 2+ consecutive newlines)."""
+    from ..functions.native import _let
+    return _let(_nonblank_units(text, r"\n{2,}"), _dup_unit_fraction)
+
+
+def duplicate_paragraph_char_fraction(text) -> Column:
+    """duplicate_line_char_fraction over paragraphs."""
+    from ..functions.native import _let
+    return _let(_nonblank_units(text, r"\n{2,}"), _dup_unit_char_fraction)
+
+
 def symbol_to_word_ratio(text, symbols=("#", "...")) -> Column:
     """Occurrences of flagged symbols ('#', ellipsis) per word — Gopher
     rejects docs above 0.1."""

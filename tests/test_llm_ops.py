@@ -264,6 +264,34 @@ def test_gopher_repetition_metrics(spark):
     assert got[5].top2 == 0.0
 
 
+def test_gopher_duplicate_line_metrics(spark):
+    rows = spark.createDataFrame(
+        [(1, "a b\nc d\na b\n\n\npara one\n\npara one"),
+         (2, "x\ny\nz"),                         # no dups
+         (3, ""),                                 # empty
+         (4, "long repeated line\nlong repeated line\nzz")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in rows.select(
+        "doc_id",
+        text.duplicate_line_fraction("text").alias("dlf"),
+        text.duplicate_line_char_fraction("text").alias("dlcf"),
+        text.duplicate_paragraph_fraction("text").alias("dpf"),
+        text.duplicate_paragraph_char_fraction("text").alias("dpcf"),
+    ).collect()}
+    # doc 1 lines: [a b, c d, a b, para one, para one] -> 2 excess of 5
+    assert got[1].dlf == pytest.approx(2 / 5)
+    # chars 3+3+3+8+8 = 25, distinct copy = 3+3+8 = 14
+    assert got[1].dlcf == pytest.approx(11 / 25)
+    # paragraphs: [a b\nc d\na b, para one, para one] -> 1 excess of 3
+    assert got[1].dpf == pytest.approx(1 / 3)
+    assert got[1].dpcf == pytest.approx(8 / 27)
+    assert got[2].dlf == 0.0 and got[2].dlcf == 0.0
+    assert got[3].dlf == 0.0 and got[3].dpcf == 0.0
+    # doc 4: 1 excess line of 3; 18 excess chars of 38
+    assert got[4].dlf == pytest.approx(1 / 3)
+    assert got[4].dlcf == pytest.approx(18 / 38)
+
+
 def test_gopher_symbol_alpha_lines(spark):
     rows = spark.createDataFrame(
         [(1, "read this ### now ... or else"),
