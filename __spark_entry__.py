@@ -1473,6 +1473,48 @@ def geo_line_substring(spark, sf):
         .alias("az_north"))
 
 
+def geo_orientation_flags(spark, sf):
+    """Orientation/structure accessors (round 6, all native:
+    count_coordinates, count_geometries, is_closed, is_ccw,
+    orient_polygons — shapely/GeoPandas parity): per order, a triangle
+    ring wound CCW on odd keys and CW on even keys, an open 3-point
+    line, and a 1-3 point MultiPoint. orient_polygons must make every
+    exterior CCW regardless of input winding (verified through
+    is_ccw∘exterior) while preserving area w·h/2 — every column a
+    closed form of key parity for the oracle."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    w = (k % 5).cast("double") + 1.0
+    h = (k % 7).cast("double") + 1.0
+    ccw_in = (k % 2) == 1
+    z = F.lit(0.0)
+    xs_ccw = F.array(z, w, z, z)
+    ys_ccw = F.array(z, z, h, z)
+    xs = F.when(ccw_in, xs_ccw).otherwise(F.reverse(xs_ccw))
+    ys = F.when(ccw_in, ys_ccw).otherwise(F.reverse(ys_ccw))
+    o = o.withColumn("__ring", st.freeze(st.make_line(xs, ys))) \
+         .withColumn("__poly", st.freeze(st.geom_struct(
+             F.lit(3), xs, ys, F.array(F.lit(4)), F.array(F.lit(1)))))
+    open_ln = st.make_line(F.slice(xs, 1, 3), F.slice(ys, 1, 3))
+    npts = (k % 3 + 1).cast("int")
+    one = F.lit(1)
+    mp = st.geom_struct(F.lit(4),
+                        F.slice(F.array(w, w + 1.0, w + 2.0), 1, npts),
+                        F.slice(F.array(h, h, h), 1, npts),
+                        F.slice(F.array(one, one, one), 1, npts),
+                        F.slice(F.array(one, one, one), 1, npts))
+    oriented = st.orient_polygons(F.col("__poly"))
+    return o.select(
+        "o_orderkey",
+        st.is_ccw("__ring").alias("ring_ccw"),
+        st.is_closed("__ring").alias("ring_closed"),
+        st.is_closed(open_ln).alias("open_closed"),
+        st.count_coordinates("__poly").alias("n_coords"),
+        st.count_geometries(mp).alias("n_geoms"),
+        st.is_ccw(st.exterior(oriented)).alias("oriented_ccw"),
+        F.round(st.area(oriented), 6).alias("tri_area"))
+
+
 def geo_make_valid(spark, sf):
     """make_valid + node closed forms: a bowtie quad (self-crossing at
     the center) repairs to two triangles of total area a·b/2; an island
@@ -1939,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_snap_shared_paths": geo_snap_shared_paths,
         "geo_offset_curve": geo_offset_curve,
         "geo_make_valid": geo_make_valid,
+        "geo_orientation_flags": geo_orientation_flags,
         "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
@@ -3275,6 +3318,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # make_valid/node closed forms (see geo_make_valid): bowtie ->
         # a*b/2, island-as-shell -> s*s-4, X-noding -> 4 edges, 2c*sqrt2.
+        "geo_orientation_flags": """
+            SELECT o_orderkey,
+                   (o_orderkey % 2 = 1) AS ring_ccw,
+                   TRUE AS ring_closed,
+                   FALSE AS open_closed,
+                   4 AS n_coords,
+                   CAST(o_orderkey % 3 + 1 AS INT) AS n_geoms,
+                   TRUE AS oriented_ccw,
+                   round(((o_orderkey % 5) + 1) * ((o_orderkey % 7) + 1)
+                         / 2.0, 6) AS tri_area
+            FROM orders
+        """,
         "geo_make_valid": """
             SELECT c_custkey,
                    round((c_custkey % 3 + 2) * (c_custkey % 4 + 2) / 2.0,

@@ -46,9 +46,14 @@ from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
 from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import extract_unique_points  # noqa: F401
 from .native import collection_extract  # noqa: F401
+from .native import (count_coordinates, count_geometries,  # noqa: F401
+                     is_ccw, is_closed, orient_polygons)
 
 # GeoPandas naming alias: GeoSeries.project == line_locate_point
 project = line_locate_point
+
+# shapely/GEOS naming alias: oriented_envelope == minimum_rotated_rectangle
+oriented_envelope = minimum_rotated_rectangle
 
 # reference naming aliases (SURVEY §2.2)
 length = native.length

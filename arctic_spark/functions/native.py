@@ -21,8 +21,8 @@ import math
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..geom.ragged import (LINESTRING, MULTILINESTRING, MULTIPOINT,
-                           MULTIPOLYGON, POINT, POLYGON)
+from ..geom.ragged import (GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING,
+                           MULTIPOINT, MULTIPOLYGON, POINT, POLYGON)
 
 _EARTH_RADIUS_M = 6_371_008.8  # mean earth radius, as georust geo uses
 
@@ -1424,6 +1424,89 @@ def reverse(g) -> Column:
                   F.when(g["gt"].isin(POINT, MULTIPOINT), g)
                   .otherwise(geom_struct(g["gt"], nx, ny, g["rings"],
                                          g["parts"])))
+
+
+@_geom_fn
+def count_coordinates(g) -> Column:
+    """Number of stored coordinates, closing ring vertices included
+    (shapely ``count_coordinates`` / GeoPandas ``count_coordinates``).
+    The ragged layout makes this a plain array size."""
+    return F.when(_valid(g), F.size(g["xs"]))
+
+
+@_geom_fn
+def count_geometries(g) -> Column:
+    """Number of member geometries: parts for Multi*/GeometryCollection,
+    1 for single non-empty geometries, 0 for empty (shapely
+    ``get_num_geometries``)."""
+    n = F.when(g["gt"].isin(MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
+                            GEOMETRYCOLLECTION),
+               F.when(g["gt"] == MULTIPOINT, F.size(g["xs"]))
+                .otherwise(F.size(g["parts"]))) \
+         .otherwise(F.when(F.size(g["xs"]) > 0, F.lit(1)).otherwise(0))
+    return F.when(_valid(g), n)
+
+
+@_geom_fn
+def is_closed(g) -> Column:
+    """True when every line part starts and ends on the same point
+    (GEOS ``isClosed``: LineString first==last; MultiLineString all
+    parts closed). Non-lineal types return false like GeoPandas."""
+    co = _offsets(g["rings"])
+    all_closed = F.forall(
+        _ring_ids(g),
+        lambda i: (F.element_at(g["xs"], F.element_at(co, i + 1) + 1)
+                   == F.element_at(g["xs"], F.element_at(co, i + 2)))
+        & (F.element_at(g["ys"], F.element_at(co, i + 1) + 1)
+           == F.element_at(g["ys"], F.element_at(co, i + 2))))
+    return F.when(_valid(g),
+                  F.when(g["gt"].isin(LINESTRING, MULTILINESTRING)
+                         & (F.size(g["xs"]) > 0), all_closed)
+                  .otherwise(F.lit(False)))
+
+
+@_geom_fn
+def is_ccw(g) -> Column:
+    """True for a closed LineString / LinearRing wound counter-clockwise
+    (signed shoelace area > 0) — shapely/GeoPandas ``is_ccw`` semantics:
+    open lines, points, polygons and multi-types return false."""
+    closed = ((F.element_at(g["xs"], 1) == F.element_at(g["xs"], -1))
+              & (F.element_at(g["ys"], 1) == F.element_at(g["ys"], -1))
+              & (F.size(g["xs"]) >= 4))
+    signed = _signed_area_span(g, F.lit(0), F.size(g["xs"]))
+    return F.when(_valid(g),
+                  F.when((g["gt"] == LINESTRING) & closed, signed > 0)
+                   .otherwise(F.lit(False)))
+
+
+@_geom_fn
+def orient_polygons(g, exterior_cw: bool = False) -> Column:
+    """Canonical ring winding for polygonal geometry (shapely
+    ``orient_polygons`` / ``polygon.orient(sign=1)``): exterior rings
+    counter-clockwise and holes clockwise (flipped wholesale when
+    ``exterior_cw``). Each ring is conditionally reversed on the sign of
+    its own shoelace area — a per-ring native walk like ``reverse``, so
+    zero Python. Non-polygonal types (and GC rows, whose polygon parts
+    would need the typed-part decode — documented) pass through
+    unchanged; zero-area degenerate rings count as clockwise."""
+    co = _offsets(g["rings"])
+    ext = _exterior_ring_ids(g)
+
+    def fix(get_ring):
+        def one(i):
+            want_ccw = F.array_contains(ext, i)
+            if exterior_cw:
+                want_ccw = ~want_ccw
+            cur_ccw = _ring_signed_area(g, co, i) > 0
+            r = get_ring(g, co, i)
+            return F.when(want_ccw == cur_ccw, r).otherwise(F.reverse(r))
+        return F.flatten(F.transform(_ring_ids(g), one))
+
+    return F.when(_valid(g),
+                  F.when(g["gt"].isin(POLYGON, MULTIPOLYGON),
+                         geom_struct(g["gt"], fix(_ring_x), fix(_ring_y),
+                                     g["rings"], g["parts"]))
+                  .otherwise(g))
 
 
 # ---------------------------------------------------------------------------

@@ -387,3 +387,60 @@ def test_dwithin_predicate(spark):
     assert out[2] is True      # point to polygon dist 2
     assert out[3] is False or out[3] is True  # dist 6 > 5.5 → False
     assert out[3] is False
+
+
+def test_orientation_accessors(spark):
+    """count_coordinates / count_geometries / is_closed / is_ccw (round 6
+    natives) — shapely semantics, hand-verified."""
+    df = _df(spark,
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",            # 0 CCW
+             "LINESTRING (0 0, 1 0, 1 1, 0 0)",                # 1 closed CCW
+             "LINESTRING (0 0, 0 1, 1 1, 0 0)",                # 2 closed CW
+             "LINESTRING (0 0, 1 1)",                          # 3 open
+             "MULTILINESTRING ((0 0, 1 0, 0 0), (5 5, 6 6, 5 5))",  # 4
+             "MULTILINESTRING ((0 0, 1 0, 0 0), (5 5, 6 6))",  # 5 mixed
+             "MULTIPOINT (0 0, 1 1, 2 2)",                     # 6
+             "POINT (3 3)")                                    # 7
+    out = {r.id: r for r in df.select(
+        "id",
+        st.count_coordinates("g").alias("nc"),
+        st.count_geometries("g").alias("ng"),
+        st.is_closed("g").alias("cl"),
+        st.is_ccw("g").alias("ccw")).collect()}
+    assert [out[i].nc for i in range(8)] == [5, 4, 4, 2, 6, 5, 3, 1]
+    assert [out[i].ng for i in range(8)] == [1, 1, 1, 1, 2, 2, 3, 1]
+    assert [out[i].cl for i in range(8)] == [False, True, True, False,
+                                             True, False, False, False]
+    assert [out[i].ccw for i in range(8)] == [False, True, False, False,
+                                              False, False, False, False]
+
+
+def test_orient_polygons(spark):
+    """orient_polygons: exterior → CCW, holes → CW, per-ring conditional
+    reverse; area preserved; non-polygons pass through."""
+    df = _df(spark,
+             "POLYGON ((0 0, 0 6, 6 6, 6 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+             "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+             "((5 5, 5 7, 7 7, 7 5, 5 5)))",
+             "LINESTRING (0 0, 0 1, 1 1, 0 0)")
+    orn = st.orient_polygons("g")
+    out = {r.id: r for r in df.select(
+        "id",
+        st.is_ccw(st.exterior(orn)).alias("ext_ccw"),
+        F.round(st.area(orn), 9).alias("area"),
+        orn["xs"].alias("xs")).collect()}
+    assert out[0].ext_ccw is True and out[0].area == 35.0
+    # hole (1 1, 2 1, 2 2, 1 2) was CCW -> reversed to CW
+    assert list(out[0].xs[5:]) == [1.0, 1.0, 2.0, 2.0, 1.0]
+    # exterior() is defined on single polygons only -> null for multi
+    assert out[1].ext_ccw is None and out[1].area == 8.0
+    # first part already CCW (untouched); second was CW -> reversed
+    assert list(out[1].xs[:5]) == [0.0, 2.0, 2.0, 0.0, 0.0]
+    assert list(out[1].xs[5:]) == [5.0, 7.0, 7.0, 5.0, 5.0]
+    # closed CW line untouched
+    assert list(out[2].xs) == [0.0, 0.0, 1.0, 0.0]
+    # exterior_cw=True flips the convention
+    cw = st.orient_polygons("g", exterior_cw=True)
+    r0 = df.where("id = 0").select(
+        st.is_ccw(st.exterior(cw)).alias("c")).collect()[0]
+    assert r0.c is False
