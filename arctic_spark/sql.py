@@ -248,6 +248,101 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
                 else bool(rg.coord_offsets[i + 1] == rg.coord_offsets[i])
                 for i in range(len(rg))]
 
+    def _npoints(rg):
+        return [None if rg.gt[i] == MISSING
+                else int(rg.coord_offsets[i + 1] - rg.coord_offsets[i])
+                for i in range(len(rg))]
+
+    def _numgeometries(rg):
+        out = []
+        for i in range(len(rg)):
+            t = rg.geom(i)
+            if t[0] == MISSING:
+                out.append(None)
+            elif t[0] == ragged.MULTIPOINT:
+                out.append(int(len(t[1])))
+            elif t[0] in (ragged.MULTILINESTRING, ragged.MULTIPOLYGON,
+                          ragged.GEOMETRYCOLLECTION):
+                out.append(int(len(t[4])))
+            else:
+                out.append(1 if len(t[1]) else 0)
+        return out
+
+    def _ring_bounds(rings):
+        o = 0
+        for n in rings:
+            yield o, int(n)
+            o += int(n)
+
+    def _isclosed(rg):
+        out = []
+        for i in range(len(rg)):
+            gt, xs, ys, rings, _ = rg.geom(i)
+            if gt == MISSING:
+                out.append(None)
+            elif gt in (ragged.LINESTRING, ragged.MULTILINESTRING) \
+                    and len(xs):
+                out.append(all(xs[o] == xs[o + n - 1]
+                               and ys[o] == ys[o + n - 1]
+                               for o, n in _ring_bounds(rings)))
+            else:
+                out.append(False)
+        return out
+
+    def _shoelace(xs, ys):
+        import numpy as np
+        return 0.5 * float(np.dot(xs[:-1], ys[1:])
+                           - np.dot(xs[1:], ys[:-1]))
+
+    def _isccw(rg):
+        out = []
+        for i in range(len(rg)):
+            gt, xs, ys, _, _ = rg.geom(i)
+            if gt == MISSING:
+                out.append(None)
+            elif gt == ragged.LINESTRING and len(xs) >= 4 \
+                    and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                out.append(_shoelace(xs, ys) > 0)
+            else:
+                out.append(False)
+        return out
+
+    @pandas_udf(GEOM_TYPE)
+    def st_forcepolygonccw(g: pd.DataFrame) -> pd.DataFrame:
+        """Exterior rings CCW, holes CW (PostGIS ST_ForcePolygonCCW) —
+        the SQL face of st.orient_polygons."""
+        rg = ragged_from_pdf(g)
+        gts, xs, ys, rings, parts = [], [], [], [], []
+        for i in range(len(rg)):
+            gt, x, y, r, p = rg.geom(i)
+            if gt == MISSING:
+                gts.append(None); xs.append(None); ys.append(None)
+                rings.append(None); parts.append(None)
+                continue
+            if gt not in (ragged.POLYGON, ragged.MULTIPOLYGON):
+                gts.append(int(gt)); xs.append(list(x)); ys.append(list(y))
+                rings.append([int(v) for v in r])
+                parts.append([int(v) for v in p])
+                continue
+            ext = set()
+            o = 0
+            for nr in p:
+                ext.add(o)
+                o += int(nr)
+            nx, ny = [], []
+            for ri, (o, n) in enumerate(_ring_bounds(r)):
+                rx, ry = list(x[o:o + n]), list(y[o:o + n])
+                want_ccw = ri in ext
+                cur_ccw = _shoelace(x[o:o + n], y[o:o + n]) > 0
+                if want_ccw != cur_ccw:
+                    rx.reverse(); ry.reverse()
+                nx.extend(rx); ny.extend(ry)
+            gts.append(int(gt)); xs.append(nx); ys.append(ny)
+            rings.append([int(v) for v in r])
+            parts.append([int(v) for v in p])
+        return ragged_to_pdf(ragged.RaggedGeometry.from_pylists(
+            gts, xs, ys, rings, parts))
+
     fns = {
         "st_geomfromtext": st_geomfromtext,
         "st_astext": st_astext,
@@ -296,6 +391,12 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,
         "st_shortestline": _udfs.shortest_line,
+        # round-6 orientation/structure accessors
+        "st_npoints": _scalar_udf(_npoints, T.IntegerType()),
+        "st_numgeometries": _scalar_udf(_numgeometries, T.IntegerType()),
+        "st_isclosed": _scalar_udf(_isclosed, T.BooleanType()),
+        "st_isccw": _scalar_udf(_isccw, T.BooleanType()),
+        "st_forcepolygonccw": st_forcepolygonccw,
     }
     for name, fn in fns.items():
         spark.udf.register(name, fn)

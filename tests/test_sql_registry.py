@@ -99,3 +99,31 @@ def test_sql_shape_descriptors(spark):
     assert r.mrr == _pt.approx(4 * 3 * 1 * 9 / 10)
     assert r.mbr == _pt.approx(3.0)
     assert r.sl == _pt.approx(5.0)
+
+
+def test_sql_orientation_accessors(spark):
+    from arctic_spark.sql import register_sql_functions
+    names = register_sql_functions(spark)
+    for n in ("st_npoints", "st_numgeometries", "st_isclosed",
+              "st_isccw", "st_forcepolygonccw"):
+        assert n in names
+    r = spark.sql("""
+        SELECT st_npoints(st_geomfromtext(
+                   'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS np,
+               st_numgeometries(st_geomfromtext(
+                   'MULTIPOINT (0 0, 1 1, 2 2)')) AS ng,
+               st_isclosed(st_geomfromtext(
+                   'LINESTRING (0 0, 1 0, 1 1, 0 0)')) AS cl,
+               st_isclosed(st_geomfromtext(
+                   'LINESTRING (0 0, 1 1)')) AS op,
+               st_isccw(st_geomfromtext(
+                   'LINESTRING (0 0, 1 0, 1 1, 0 0)')) AS ccw,
+               st_isccw(st_geomfromtext(
+                   'LINESTRING (0 0, 0 1, 1 1, 0 0)')) AS cw,
+               st_astext(st_forcepolygonccw(st_geomfromtext(
+                   'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))'))) AS fixed
+    """).collect()[0]
+    assert r.np == 5 and r.ng == 3
+    assert r.cl is True and r.op is False
+    assert r.ccw is True and r.cw is False
+    assert r.fixed == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
