@@ -1515,6 +1515,27 @@ def geo_orientation_flags(spark, sf):
         F.round(st.area(oriented), 6).alias("tri_area"))
 
 
+def geo_sample_points(spark, sf):
+    """st.sample_points (round 6, GeoPandas surface): uniform points in
+    polygons, FULLY NATIVE — 48-bit md5 candidate draws scaled into the
+    bbox, native ray-cast rejection, zero Python, deterministic under
+    any partitioning. On axis rectangles the acceptance ratio is 1, so
+    the first `size` candidates ARE the sample and DuckDB replays the
+    exact md5 arithmetic — a hash-exact gate on every coordinate."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    x0 = (k % 7).cast("double") * 3.0
+    y0 = (k % 5).cast("double") * 2.0
+    w = (k % 3).cast("double") + 1.0
+    h = (k % 4).cast("double") + 1.0
+    rect = st.make_envelope(x0, y0, x0 + w, y0 + h)
+    o = o.withColumn("__sp", st.sample_points(rect, 3, k, seed="sp"))
+    sp = F.col("__sp")
+    cols = [F.round(F.element_at(sp[ax], i + 1), 6).alias(f"p{ax[0]}{i}")
+            for i in range(3) for ax in ("xs", "ys")]
+    return o.select("o_orderkey", F.size(sp["xs"]).alias("n_pts"), *cols)
+
+
 def geo_make_valid(spark, sf):
     """make_valid + node closed forms: a bowtie quad (self-crossing at
     the center) repairs to two triangles of total area a·b/2; an island
@@ -1982,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_offset_curve": geo_offset_curve,
         "geo_make_valid": geo_make_valid,
         "geo_orientation_flags": geo_orientation_flags,
+        "geo_sample_points": geo_sample_points,
         "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
@@ -3318,6 +3340,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # make_valid/node closed forms (see geo_make_valid): bowtie ->
         # a*b/2, island-as-shell -> s*s-4, X-noding -> 4 edges, 2c*sqrt2.
+        "geo_sample_points": """
+            WITH base AS (
+                SELECT o_orderkey,
+                       (o_orderkey % 7) * 3.0 AS x0,
+                       (o_orderkey % 5) * 2.0 AS y0,
+                       (o_orderkey % 3) + 1.0 AS w,
+                       (o_orderkey % 4) + 1.0 AS h
+                FROM orders),
+            u AS (
+                SELECT o_orderkey, x0, y0, w, h,
+                       list_transform(range(0, 3), k ->
+                           CAST(CAST(concat('0x', substr(md5(
+                               CAST(o_orderkey AS VARCHAR) || ':sp:x:' ||
+                               CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
+                               AS DOUBLE) / 281474976710656.0) AS ux,
+                       list_transform(range(0, 3), k ->
+                           CAST(CAST(concat('0x', substr(md5(
+                               CAST(o_orderkey AS VARCHAR) || ':sp:y:' ||
+                               CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
+                               AS DOUBLE) / 281474976710656.0) AS uy
+                FROM base)
+            SELECT o_orderkey, 3 AS n_pts,
+                   round(x0 + ux[1] * w, 6) AS px0,
+                   round(y0 + uy[1] * h, 6) AS py0,
+                   round(x0 + ux[2] * w, 6) AS px1,
+                   round(y0 + uy[2] * h, 6) AS py1,
+                   round(x0 + ux[3] * w, 6) AS px2,
+                   round(y0 + uy[3] * h, 6) AS py2
+            FROM u
+        """,
         "geo_orientation_flags": """
             SELECT o_orderkey,
                    (o_orderkey % 2 = 1) AS ring_ccw,

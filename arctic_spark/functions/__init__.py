@@ -47,7 +47,7 @@ from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import extract_unique_points  # noqa: F401
 from .native import collection_extract  # noqa: F401
 from .native import (count_coordinates, count_geometries,  # noqa: F401
-                     is_ccw, is_closed, orient_polygons)
+                     is_ccw, is_closed, orient_polygons, sample_points)
 
 # GeoPandas naming alias: GeoSeries.project == line_locate_point
 project = line_locate_point

@@ -1509,6 +1509,54 @@ def orient_polygons(g, exterior_cw: bool = False) -> Column:
                   .otherwise(g))
 
 
+@_geom_fn
+def sample_points(g, size: int, key, seed: str = "",
+                  oversample: int = 8) -> Column:
+    """Uniform random points inside a polygonal geometry as a MultiPoint
+    (GeoPandas ``GeoSeries.sample_points``) — FULLY NATIVE and
+    deterministic: candidate k draws its coordinates from 48-bit
+    md5 uniforms of ``(key, seed, axis, k)`` (the same portable-hash
+    randomness as the deterministic samplers in ``llm.pipeline``),
+    scaled into the bbox, then filtered by the native ray-cast
+    even-odd point-in-polygon — rejection sampling with zero Python
+    and no RNG state, reproducible under any partitioning.
+
+    ``key`` is a per-row column (e.g. the primary key) seeding the draw —
+    Spark expressions cannot see a stable row identity, so determinism
+    must come from data.  ``size * oversample`` candidates are examined;
+    with acceptance ratio area(g)/area(bbox) = r the expected yield is
+    size·oversample·r, so the default 8 comfortably covers r ≳ ¼ —
+    raise it for thin/sliver polygons (short rows return however many
+    candidates landed inside, like a GeoPandas size shortfall never
+    does — documented deviation in exchange for a bounded plan).
+    Non-polygonal rows return MULTIPOINT EMPTY."""
+    n_cand = int(size) * int(oversample)
+    xmin, ymin, xmax, ymax = bounds(g)
+
+    def u(i, ax: str):
+        h = F.md5(F.concat(_lit(key).cast("string"),
+                           F.lit(f":{seed}:{ax}:"), i.cast("string")))
+        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+                / F.lit(281474976710656.0))
+
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cand - 1)),
+        lambda i: F.struct((xmin + u(i, "x") * (xmax - xmin)).alias("x"),
+                           (ymin + u(i, "y") * (ymax - ymin)).alias("y")))
+    inside = F.filter(cand, lambda p: contains_point(g, p["x"], p["y"]))
+    empty = F.array().cast("array<struct<x:double,y:double>>")
+    pts = F.when(g["gt"].isin(POLYGON, MULTIPOLYGON),
+                 F.slice(inside, 1, int(size))).otherwise(empty)
+    n = F.size(pts)
+    return F.when(
+        _valid(g),
+        geom_struct(F.lit(MULTIPOINT),
+                    F.transform(pts, lambda p: p["x"]),
+                    F.transform(pts, lambda p: p["y"]),
+                    F.array_repeat(F.lit(1), n),
+                    F.array_repeat(F.lit(1), n)))
+
+
 # ---------------------------------------------------------------------------
 # space-filling-curve keys (round 6) — spatial file clustering
 # ---------------------------------------------------------------------------

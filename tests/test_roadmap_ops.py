@@ -444,3 +444,32 @@ def test_orient_polygons(spark):
     r0 = df.where("id = 0").select(
         st.is_ccw(st.exterior(cw)).alias("c")).collect()[0]
     assert r0.c is False
+
+
+def test_sample_points(spark):
+    """Native deterministic sample_points: size respected, points
+    strictly inside (holes excluded), reproducible, non-polygons empty."""
+    rows = [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+            (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                "(2 2, 8 2, 8 8, 2 8, 2 2))"),
+            (3, "LINESTRING (0 0, 5 5)")]
+    df = spark.createDataFrame(rows, "id long, wkt string") \
+        .withColumn("g", st.from_wkt("wkt"))
+    sp = st.sample_points("g", 5, F.col("id"), seed="t")
+    out = {r.id: r for r in df.select(
+        "id", sp["xs"].alias("xs"), sp["ys"].alias("ys")).collect()}
+    assert len(out[1].xs) == 5
+    for x, y in zip(out[2].xs, out[2].ys):
+        assert 0 < x < 10 and 0 < y < 10
+        assert not (2 < x < 8 and 2 < y < 8)          # hole excluded
+    assert list(out[3].xs) == []
+    # deterministic: same key/seed -> identical draw
+    again = {r.id: list(r.xs) for r in df.select(
+        "id", st.sample_points("g", 5, F.col("id"), seed="t")["xs"]
+        .alias("xs")).collect()}
+    assert again[1] == list(out[1].xs)
+    # different seed -> different draw
+    other = {r.id: list(r.xs) for r in df.select(
+        "id", st.sample_points("g", 5, F.col("id"), seed="u")["xs"]
+        .alias("xs")).collect()}
+    assert other[1] != list(out[1].xs)
