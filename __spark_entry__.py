@@ -981,6 +981,7 @@ def geo_validity_flags(spark, sf):
         "p_partkey",
         st.is_valid(poly).alias("poly_valid"),
         st.is_simple(poly).alias("poly_simple"),
+        st.is_valid_reason(poly).alias("poly_reason"),
         st.is_valid(line).alias("line_valid"),
         st.is_simple(line).alias("line_simple"))
 
@@ -3285,6 +3286,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    (p_partkey % 2 <> 0) AS poly_valid,
                    (p_partkey % 2 <> 0) AS poly_simple,
+                   CASE WHEN p_partkey % 2 <> 0 THEN 'Valid Geometry'
+                        ELSE 'Ring Self-intersection' END AS poly_reason,
                    TRUE AS line_valid,
                    (p_partkey % 3 <> 0) AS line_simple
             FROM part

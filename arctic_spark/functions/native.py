@@ -1532,29 +1532,60 @@ def sample_points(g, size: int, key, seed: str = "",
     Non-polygonal rows return MULTIPOINT EMPTY."""
     n_cand = int(size) * int(oversample)
     xmin, ymin, xmax, ymax = bounds(g)
+    co = _offsets(g["rings"])
+    # Evaluate the per-row invariants ONCE (bbox + every ring's segment
+    # list + the md5 seed prefix): each of the size·oversample candidates
+    # references them, and Catalyst has no construction-time CSE — the
+    # un-bound form re-built the segment machinery per candidate
+    # (measured 26.7 s → 1.3 s at sf0.1 for the oracle query).
+    segs = F.flatten(F.transform(_ring_ids(g),
+                                 lambda i: _ring_segments(g, co, i)))
+    meta = F.struct(
+        F.when(g["gt"].isin(POLYGON, MULTIPOLYGON), True)
+         .otherwise(False).alias("ok"),
+        xmin.alias("x0"), ymin.alias("y0"),
+        (xmax - xmin).alias("w"), (ymax - ymin).alias("h"),
+        segs.alias("segs"),
+        _lit(key).cast("string").alias("key"))
 
-    def u(i, ax: str):
-        h = F.md5(F.concat(_lit(key).cast("string"),
-                           F.lit(f":{seed}:{ax}:"), i.cast("string")))
-        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
-                / F.lit(281474976710656.0))
+    def build(m):
+        def u(i, ax: str):
+            h = F.md5(F.concat(m["key"], F.lit(f":{seed}:{ax}:"),
+                               i.cast("string")))
+            return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+                    / F.lit(281474976710656.0))
 
-    cand = F.transform(
-        F.sequence(F.lit(0), F.lit(n_cand - 1)),
-        lambda i: F.struct((xmin + u(i, "x") * (xmax - xmin)).alias("x"),
-                           (ymin + u(i, "y") * (ymax - ymin)).alias("y")))
-    inside = F.filter(cand, lambda p: contains_point(g, p["x"], p["y"]))
-    empty = F.array().cast("array<struct<x:double,y:double>>")
-    pts = F.when(g["gt"].isin(POLYGON, MULTIPOLYGON),
-                 F.slice(inside, 1, int(size))).otherwise(empty)
-    n = F.size(pts)
-    return F.when(
-        _valid(g),
-        geom_struct(F.lit(MULTIPOINT),
-                    F.transform(pts, lambda p: p["x"]),
-                    F.transform(pts, lambda p: p["y"]),
-                    F.array_repeat(F.lit(1), n),
-                    F.array_repeat(F.lit(1), n)))
+        cand = F.transform(
+            F.sequence(F.lit(0), F.lit(n_cand - 1)),
+            lambda i: F.struct((m["x0"] + u(i, "x") * m["w"]).alias("x"),
+                               (m["y0"] + u(i, "y") * m["h"]).alias("y")))
+
+        def pip(p):
+            crossings = _isum(F.transform(
+                m["segs"],
+                lambda s: F.when(
+                    ((s["y1"] > p["y"]) != (s["y2"] > p["y"]))
+                    & (p["x"] < s["x1"] + (p["y"] - s["y1"])
+                       * (s["x2"] - s["x1"]) / (s["y2"] - s["y1"])),
+                    F.lit(1)).otherwise(F.lit(0))))
+            return crossings % 2 == 1
+
+        empty = F.array().cast("array<struct<x:double,y:double>>")
+        return F.when(m["ok"],
+                      F.slice(F.filter(cand, pip), 1, int(size))) \
+                .otherwise(empty)
+
+    pts_col = _let(meta, build)
+
+    def pack(pts):
+        n = F.size(pts)
+        return geom_struct(F.lit(MULTIPOINT),
+                           F.transform(pts, lambda p: p["x"]),
+                           F.transform(pts, lambda p: p["y"]),
+                           F.array_repeat(F.lit(1), n),
+                           F.array_repeat(F.lit(1), n))
+
+    return F.when(_valid(g), _let(pts_col, pack))
 
 
 # ---------------------------------------------------------------------------

@@ -376,6 +376,13 @@ def is_valid(g: pd.DataFrame) -> pd.Series:
     return pd.Series(algos.is_valid(ragged_from_pdf(g)))
 
 
+@pandas_udf(T.StringType())
+def is_valid_reason(g: pd.DataFrame) -> pd.Series:
+    """'Valid Geometry' or the GEOS-style message of the first violated
+    rule (GeoPandas 1.0 ``is_valid_reason``) — algos.is_valid_reason."""
+    return pd.Series(algos.is_valid_reason(ragged_from_pdf(g)))
+
+
 @pandas_udf(T.BooleanType())
 def geom_equals(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
     """Equality modulo ring rotation, orientation, part/hole order,

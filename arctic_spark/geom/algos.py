@@ -1026,6 +1026,12 @@ def is_valid(rg: RaggedGeometry):
 
 
 def _polygon_valid(xs, ys, rings, parts):
+    return _polygon_invalid_reason(xs, ys, rings, parts) is None
+
+
+def _polygon_invalid_reason(xs, ys, rings, parts):
+    """None when valid, else a GEOS-style reason string (the strings
+    GeoPandas ``is_valid_reason`` users match on)."""
     # per-ring: closure, >=4 vertices, simplicity, spikes; collect views
     ring_xy = []          # (x, y, part_idx, is_shell)
     roff = coff = 0
@@ -1034,10 +1040,12 @@ def _polygon_valid(xs, ys, rings, parts):
             rl = rings[roff + j]
             x = xs[coff:coff + rl]
             y = ys[coff:coff + rl]
-            if rl < 4 or x[0] != x[-1] or y[0] != y[-1]:
-                return False
+            if rl < 4:
+                return "Too few points in geometry component"
+            if x[0] != x[-1] or y[0] != y[-1]:
+                return "Points of LinearRing do not form a closed linestring"
             if _ring_has_spike(x, y):
-                return False
+                return "Ring Self-intersection"
             ring_xy.append((x, y, p_i, j == 0))
             coff += rl
         roff += nr
@@ -1047,14 +1055,12 @@ def _polygon_valid(xs, ys, rings, parts):
         [[len(r[0])] for r in ring_xy], [[1] for r in ring_xy])
     simple = is_simple(one)
     if not all(bool(s) for s in simple):
-        return False
+        return "Ring Self-intersection"
     # pairwise ring checks: crossing/overlap, duplicates
     for a in range(len(ring_xy)):
         x1, y1 = ring_xy[a][0], ring_xy[a][1]
         for b in range(a + 1, len(ring_xy)):
             x2, y2 = ring_xy[b][0], ring_xy[b][1]
-            if _rings_conflict(x1, y1, x2, y2):
-                return False
             if len(x1) == len(x2) and equals_pair(
                     (POLYGON, x1, y1,
                      np.array([len(x1)], np.int32),
@@ -1062,7 +1068,9 @@ def _polygon_valid(xs, ys, rings, parts):
                     (POLYGON, x2, y2,
                      np.array([len(x2)], np.int32),
                      np.array([1], np.int32))):
-                return False                      # duplicate rings
+                return "Duplicate Rings"
+            if _rings_conflict(x1, y1, x2, y2):
+                return "Self-intersection"
     # containment structure (no crossings by now → one strict vertex
     # classification decides each whole-ring relation)
     shells = [r for r in ring_xy if r[3]]
@@ -1071,12 +1079,12 @@ def _polygon_valid(xs, ys, rings, parts):
     for h in holes:
         shell = next(s for s in shells if s[2] == h[2])
         if _ring_vertex_side(h[0], h[1], shell[0], shell[1]) == -1:
-            return False
+            return "Hole lies outside shell"
         for h2 in holes:
             if h2 is h or h2[2] != h[2]:
                 continue
             if _ring_vertex_side(h[0], h[1], h2[0], h2[1]) == 1:
-                return False
+                return "Holes are nested"
     # multipolygon shells: not inside another part (unless inside one of
     # that part's holes — donut island)
     for s1 in shells:
@@ -1089,8 +1097,34 @@ def _polygon_valid(xs, ys, rings, parts):
                     and _ring_vertex_side(s1[0], s1[1], h[0], h[1]) == 1
                     for h in holes)
                 if not in_hole:
-                    return False
-    return True
+                    return "Nested shells"
+    return None
+
+
+def is_valid_reason(rg: RaggedGeometry):
+    """GEOS-style validity diagnostics (GeoPandas 1.0
+    ``GeoSeries.is_valid_reason``): 'Valid Geometry' or the first
+    violated rule's message — same detection machinery (and therefore
+    the same documented residual gaps) as :func:`is_valid`."""
+    from .ragged import GEOMETRYCOLLECTION, gc_iter
+    out = np.zeros(len(rg), dtype=object)
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            out[i] = None
+            continue
+        reason = None
+        if g == GEOMETRYCOLLECTION:
+            for sub in gc_iter((g, xs, ys, rings, parts)):
+                if sub[0] in (POLYGON, MULTIPOLYGON):
+                    reason = _polygon_invalid_reason(
+                        sub[1], sub[2], sub[3], sub[4])
+                    if reason is not None:
+                        break
+        elif g in (POLYGON, MULTIPOLYGON):
+            reason = _polygon_invalid_reason(xs, ys, rings, parts)
+        out[i] = "Valid Geometry" if reason is None else reason
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -391,6 +391,10 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,
         "st_shortestline": _udfs.shortest_line,
+        "st_isvalid": _scalar_udf(algos.is_valid, T.BooleanType()),
+        "st_issimple": _scalar_udf(algos.is_simple, T.BooleanType()),
+        "st_isvalidreason": _scalar_udf(algos.is_valid_reason,
+                                        T.StringType()),
         # round-6 orientation/structure accessors
         "st_npoints": _scalar_udf(_npoints, T.IntegerType()),
         "st_numgeometries": _scalar_udf(_numgeometries, T.IntegerType()),

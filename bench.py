@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "sample_mixture",
     "text_url_ops",
     "text_perplexity",
+    # round 6 (third session)
+    "text_repetition",
+    "geo_orientation_flags",
+    "geo_sample_points",
 ]
 
 

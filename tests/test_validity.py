@@ -201,3 +201,33 @@ def test_normalize_and_node(spark):
                     st.length("n").alias("ln")).first()
     assert row.np == 4
     assert row.ln == pytest.approx(2 * math.sqrt(8))
+
+
+def test_is_valid_reason():
+    """GEOS-style messages per invalid class (GeoPandas 1.0 surface)."""
+    def reason(w):
+        return algos.is_valid_reason(wkt.parse([w]))[0]
+
+    assert reason("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))") == "Valid Geometry"
+    assert reason("POINT (1 1)") == "Valid Geometry"
+    assert reason("LINESTRING (0 0, 2 2, 2 0, 0 2)") == "Valid Geometry"
+    assert reason("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))") \
+        == "Ring Self-intersection"                        # bowtie
+    assert reason("POLYGON ((0 0, 4 0, 4 4, 2 4, 2 6, 2 4, 0 4, 0 0))") \
+        == "Ring Self-intersection"                        # spike
+    assert reason("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                  "(20 20, 22 20, 22 22, 20 22, 20 20))") \
+        == "Hole lies outside shell"
+    assert reason("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                  "(1 1, 8 1, 8 8, 1 8, 1 1), "
+                  "(2 2, 3 2, 3 3, 2 3, 2 2))") == "Holes are nested"
+    assert reason("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                  "(1 1, 4 1, 4 4, 1 4, 1 1), "
+                  "(1 1, 4 1, 4 4, 1 4, 1 1))") == "Duplicate Rings"
+    assert reason("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+                  "((2 2, 4 2, 4 4, 2 4, 2 2)))") == "Nested shells"
+    assert reason("POLYGON ((0 0, 1 0, 0 0))") \
+        == "Too few points in geometry component"
+    # crossing hole/shell rings -> pairwise conflict
+    assert reason("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                  "(5 5, 15 5, 15 7, 5 7, 5 5))") == "Self-intersection"
