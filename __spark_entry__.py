@@ -1504,7 +1504,10 @@ def geo_orientation_flags(spark, sf):
                         F.slice(F.array(h, h, h), 1, npts),
                         F.slice(F.array(one, one, one), 1, npts),
                         F.slice(F.array(one, one, one), 1, npts))
-    oriented = st.orient_polygons(F.col("__poly"))
+    # two metrics consume the oriented polygon — freeze so the per-ring
+    # conditional-reverse machinery is evaluated once, not inlined twice
+    o = o.withColumn("__orn", st.freeze(st.orient_polygons(F.col("__poly"))))
+    oriented = F.col("__orn")
     return o.select(
         "o_orderkey",
         st.is_ccw("__ring").alias("ring_ccw"),
