@@ -1519,6 +1519,26 @@ def geo_orientation_flags(spark, sf):
         F.round(st.area(oriented), 6).alias("tri_area"))
 
 
+def geo_min_clearance(spark, sf):
+    """st.minimum_clearance (shapely/JTS MinimumClearance): per part,
+    a w×h rectangle (clearance = min side) and a right triangle with
+    legs a,b (clearance = the altitude onto the hypotenuse ab/√(a²+b²),
+    always ≤ the shorter leg) — both closed forms in SQL."""
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    w = (k % 5).cast("double") + 2.0
+    h = (k % 3).cast("double") + 1.0
+    a = (k % 4).cast("double") + 1.0
+    b = (k % 6).cast("double") + 2.0
+    z = F.lit(0.0)
+    rect = st.make_envelope(z, z, w, h)
+    tri = st.make_polygon(F.array(z, a, z), F.array(z, z, b))
+    return p.select(
+        "p_partkey",
+        F.round(st.minimum_clearance(rect), 6).alias("rect_mc"),
+        F.round(st.minimum_clearance(tri), 6).alias("tri_mc"))
+
+
 def geo_sample_points(spark, sf):
     """st.sample_points (round 6, GeoPandas surface): uniform points in
     polygons, FULLY NATIVE — 48-bit md5 candidate draws scaled into the
@@ -2008,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_make_valid": geo_make_valid,
         "geo_orientation_flags": geo_orientation_flags,
         "geo_sample_points": geo_sample_points,
+        "geo_min_clearance": geo_min_clearance,
         "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
@@ -3346,6 +3367,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # make_valid/node closed forms (see geo_make_valid): bowtie ->
         # a*b/2, island-as-shell -> s*s-4, X-noding -> 4 edges, 2c*sqrt2.
+        "geo_min_clearance": """
+            SELECT p_partkey,
+                   round(least((p_partkey % 5) + 2.0,
+                               (p_partkey % 3) + 1.0), 6) AS rect_mc,
+                   round(((p_partkey % 4) + 1.0) * ((p_partkey % 6) + 2.0)
+                         / sqrt(((p_partkey % 4) + 1.0)
+                                * ((p_partkey % 4) + 1.0)
+                                + ((p_partkey % 6) + 2.0)
+                                * ((p_partkey % 6) + 2.0)), 6) AS tri_mc
+            FROM part
+        """,
         "geo_sample_points": """
             WITH base AS (
                 SELECT o_orderkey,

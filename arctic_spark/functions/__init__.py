@@ -36,7 +36,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    symmetric_difference, touches, crosses, overlaps, union,
                    hausdorff_distance, frechet_distance,
                    minimum_rotated_rectangle, minimum_bounding_radius,
-                   minimum_bounding_circle, shortest_line,
+                   minimum_bounding_circle, minimum_clearance,
+                   shortest_line,
                    line_merge, remove_repeated_points,
                    delaunay_triangles, voronoi_polygons, concave_hull,
                    polygonize, snap, shared_paths, offset_curve,

@@ -537,6 +537,14 @@ def minimum_bounding_radius(g: pd.DataFrame) -> pd.Series:
     return pd.Series(r)
 
 
+@pandas_udf(T.DoubleType())
+def minimum_clearance(g: pd.DataFrame) -> pd.Series:
+    """JTS/GEOS MinimumClearance (shapely ``minimum_clearance``): the
+    largest vertex perturbation that cannot change the geometry's
+    structure — algos.minimum_clearance; inf for points/empty."""
+    return pd.Series(algos.minimum_clearance(ragged_from_pdf(g)))
+
+
 def minimum_bounding_circle(g, quad_segs: int = 8):
     """Minimum enclosing circle as a polygon (GeoPandas
     ``minimum_bounding_circle``): the exact Welzl center/radius rendered

@@ -1336,6 +1336,73 @@ def _hull_points(xs, ys):
     return hull
 
 
+def minimum_clearance(rg: RaggedGeometry):
+    """JTS/GEOS MinimumClearance (shapely ``minimum_clearance``): the
+    smallest of (a) the distance between any two distinct vertices and
+    (b) the distance from any vertex to a segment it is not an endpoint
+    of — the largest perturbation a vertex can survive without changing
+    the geometry's structure. Vectorized per row (V×V and V×S distance
+    matrices with adjacency masks). Points/empty → inf like shapely;
+    ring-closing duplicates are one vertex, not a zero pair; distinct
+    coincident vertices (e.g. two rings sharing a corner) honestly
+    report 0."""
+    out = np.full(len(rg), np.inf)
+    for i in range(len(rg)):
+        gt, xs, ys, rings, _parts = rg.geom(i)
+        if gt == MISSING:
+            out[i] = np.nan
+            continue
+        vx, vy, sa, sb = [], [], [], []   # vertices; segment endpoint ids
+        off = 0
+        for rl in rings:
+            ring_ids = []
+            for j in range(off, off + int(rl)):
+                # ring closure re-uses vertex 0; consecutive duplicates
+                # collapse to one vertex
+                keyed = (float(xs[j]), float(ys[j]))
+                if j == off + int(rl) - 1 and int(rl) >= 2 \
+                        and keyed == (float(xs[off]), float(ys[off])):
+                    ring_ids.append(ring_ids[0])
+                    continue
+                if ring_ids and keyed == (vx[ring_ids[-1]],
+                                          vy[ring_ids[-1]]):
+                    ring_ids.append(ring_ids[-1])
+                    continue
+                vx.append(keyed[0]); vy.append(keyed[1])
+                ring_ids.append(len(vx) - 1)
+            for a, b in zip(ring_ids[:-1], ring_ids[1:]):
+                if a != b:
+                    sa.append(a); sb.append(b)
+            off += int(rl)
+        n = len(vx)
+        if n < 2:
+            continue                      # single point → inf
+        px = np.asarray(vx); py = np.asarray(vy)
+        dx = px[:, None] - px[None, :]
+        dy = py[:, None] - py[None, :]
+        d2 = dx * dx + dy * dy
+        np.fill_diagonal(d2, np.inf)
+        best = float(np.sqrt(d2.min()))
+        if sa:
+            a = np.asarray(sa); b = np.asarray(sb)
+            ex = px[b] - px[a]
+            ey = py[b] - py[a]
+            ln2 = np.maximum(ex * ex + ey * ey, 1e-300)
+            rx = px[:, None] - px[a][None, :]
+            ry = py[:, None] - py[a][None, :]
+            t = np.clip((rx * ex[None, :] + ry * ey[None, :]) / ln2,
+                        0.0, 1.0)
+            qx = rx - t * ex[None, :]
+            qy = ry - t * ey[None, :]
+            vs = qx * qx + qy * qy
+            ids = np.arange(n)
+            vs[ids[:, None] == a[None, :]] = np.inf    # v is an endpoint
+            vs[ids[:, None] == b[None, :]] = np.inf
+            best = min(best, float(np.sqrt(vs.min())))
+        out[i] = best
+    return out
+
+
 def minimum_rotated_rectangle(rg: RaggedGeometry):
     """Smallest-area rectangle (any rotation) containing each geometry —
     rotating calipers over the convex hull: the optimal rectangle has a

@@ -390,6 +390,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_delaunaytriangles": _geom_udf(algos.delaunay_triangles),
         "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,
+        "st_minimumclearance": _udfs.minimum_clearance,
         "st_shortestline": _udfs.shortest_line,
         "st_isvalid": _scalar_udf(algos.is_valid, T.BooleanType()),
         "st_issimple": _scalar_udf(algos.is_simple, T.BooleanType()),

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "geo_orientation_flags",
     "geo_sample_points",
+    "geo_min_clearance",
 ]
 
 

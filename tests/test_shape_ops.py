@@ -366,3 +366,25 @@ def test_offset_curve(spark):
     # outer round join: 4 + 6 + 8 chords of 2*0.5*sin(pi/32)
     assert out[2].lneg == pytest.approx(
         10.0 + 8 * 2 * 0.5 * math.sin(math.pi / 32))
+
+
+def test_minimum_clearance(spark):
+    """JTS MinimumClearance: rect -> min side; right triangle -> altitude
+    onto the hypotenuse; holed polygon -> min(hole side, wall gap);
+    point -> inf (shapely semantics)."""
+    import math
+    rows = [(0, "POLYGON ((0 0, 6 0, 6 4, 0 4, 0 0))"),
+            (1, "POLYGON ((0 0, 4 0, 0 3, 0 0))"),
+            (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                "(4 4, 6 4, 6 6, 4 6, 4 4))"),
+            (3, "POINT (1 1)"),
+            (4, "LINESTRING (0 0, 10 0, 10 1)")]
+    df = spark.createDataFrame(rows, "id int, wkt string") \
+        .withColumn("g", st.from_wkt("wkt"))
+    out = {r.id: r.mc for r in df.select(
+        "id", st.minimum_clearance("g").alias("mc")).collect()}
+    assert out[0] == pytest.approx(4.0)
+    assert out[1] == pytest.approx(12.0 / 5.0)
+    assert out[2] == pytest.approx(2.0)
+    assert math.isinf(out[3])
+    assert out[4] == pytest.approx(1.0)
