@@ -51,8 +51,10 @@ from .native import collection_extract  # noqa: F401
 from .native import (count_coordinates, count_geometries,  # noqa: F401
                      is_ccw, is_closed, orient_polygons, sample_points)
 
-# GeoPandas naming alias: GeoSeries.project == line_locate_point
+# GeoPandas naming aliases: GeoSeries.project == line_locate_point,
+# GeoSeries.interpolate == line_interpolate_point
 project = line_locate_point
+interpolate = line_interpolate_point
 
 # shapely/GEOS naming alias: oriented_envelope == minimum_rotated_rectangle
 oriented_envelope = minimum_rotated_rectangle

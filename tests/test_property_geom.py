@@ -199,3 +199,50 @@ def test_normalize_idempotent_and_equalish(line, _a, _b):
     n3 = algos.normalize(rev).geom(0)
     assert list(n1[1]) == list(n2[1]) == list(n3[1])
     assert list(n1[2]) == list(n2[2]) == list(n3[2])
+
+
+@given(rand_polygon(), coord, coord)
+@settings(max_examples=40, deadline=None)
+def test_minimum_clearance_invariants(poly, tx, ty):
+    """clearance is positive for star polygons, bounded by the shortest
+    edge, and translation-invariant."""
+    rg = ragged.RaggedGeometry.from_pylists(
+        [poly[0]], [poly[1]], [poly[2]], [poly[3]], [poly[4]])
+    mc = float(algos.minimum_clearance(rg)[0])
+    xs, ys = poly[1], poly[2]
+    shortest_edge = min(
+        math.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i])
+        for i in range(len(xs) - 1))
+    assert 0.0 < mc <= shortest_edge + 1e-9
+    moved = ragged.RaggedGeometry.from_pylists(
+        [poly[0]], [[x + tx for x in xs]], [[y + ty for y in ys]],
+        [poly[3]], [poly[4]])
+    mc2 = float(algos.minimum_clearance(moved)[0])
+    # translation by huge offsets loses absolute precision; compare
+    # relative to the coordinate magnitude
+    scale = max(1.0, abs(tx), abs(ty))
+    assert abs(mc2 - mc) <= 1e-7 * scale
+
+
+@st_.composite
+def rand_quad(draw):
+    # arbitrary 4-gon: frequently self-intersecting (bowtie)
+    xs = [draw(coord) for _ in range(4)]
+    ys = [draw(coord) for _ in range(4)]
+    xs.append(xs[0]); ys.append(ys[0])
+    return ragged.POLYGON, xs, ys, [5], [1]
+
+
+@given(st_.one_of(rand_polygon(), rand_quad()))
+@settings(max_examples=60, deadline=None)
+def test_is_valid_reason_consistent(poly):
+    """is_valid_reason returns 'Valid Geometry' exactly when is_valid is
+    True, and a non-empty rule message otherwise."""
+    rg = ragged.RaggedGeometry.from_pylists(
+        [poly[0]], [poly[1]], [poly[2]], [poly[3]], [poly[4]])
+    valid = bool(algos.is_valid(rg)[0])
+    reason = algos.is_valid_reason(rg)[0]
+    if valid:
+        assert reason == "Valid Geometry"
+    else:
+        assert reason and reason != "Valid Geometry"
