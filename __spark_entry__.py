@@ -1519,6 +1519,26 @@ def geo_orientation_flags(spark, sf):
         F.round(st.area(oriented), 6).alias("tri_area"))
 
 
+def geo_geohash(spark, sf):
+    """st.geohash / st.geohash_decode (round 6): PostGIS ST_GeoHash
+    semantics as statically-unrolled long shift/mask arithmetic — one
+    whole-stage-codegen expression, zero HOFs, zero Python (verified
+    against published geohash values in tests). The oracle replays the
+    identical bit walk in DuckDB (generated, like the engine's own
+    unrolled form) at precisions 8 and 4, plus the exact decoded cell
+    center of the p=8 hash."""
+    e = _t(spark, sf, "events")
+    lon = (F.col("event_id") % 3600).cast("double") / 10.0 - 180.0 + 0.05
+    lat = (F.col("user_id") % 1800).cast("double") / 10.0 - 90.0 + 0.025
+    d = e.select("event_id", lon.alias("lon"), lat.alias("lat"))
+    d = (d.withColumn("gh8", st.geohash(F.col("lon"), F.col("lat"), 8))
+          .withColumn("gh4", st.geohash(F.col("lon"), F.col("lat"), 4)))
+    glon, glat = st.geohash_decode(F.col("gh8"), 8)
+    return d.select("event_id", "gh8", "gh4",
+                    F.round(glon, 9).alias("dec_lon"),
+                    F.round(glat, 9).alias("dec_lat"))
+
+
 def geo_min_clearance(spark, sf):
     """st.minimum_clearance (shapely/JTS MinimumClearance): per part,
     a w×h rectangle (clearance = min side) and a right triangle with
@@ -2029,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_orientation_flags": geo_orientation_flags,
         "geo_sample_points": geo_sample_points,
         "geo_min_clearance": geo_min_clearance,
+        "geo_geohash": geo_geohash,
         "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
@@ -2046,6 +2067,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
     }
+
+
+def _geohash_oracle_sql(p: int) -> str:
+    """DuckDB expression replaying st.geohash's exact bit walk at
+    precision p over columns lon/lat (statically unrolled, like the
+    engine's own codegen form)."""
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    sfx = str(p)
+    bx = (f"least(CAST(floor((lon + 180.0) / 360.0 * {1 << nlon}.0) "
+          f"AS BIGINT), {(1 << nlon) - 1}) AS bx{sfx}")
+    by = (f"least(CAST(floor((lat + 90.0) / 180.0 * {1 << nlat}.0) "
+          f"AS BIGINT), {(1 << nlat) - 1}) AS by{sfx}")
+    chars = []
+    for i in range(p):
+        terms = []
+        for b in range(5):
+            j = 5 * i + b
+            k = j // 2
+            src, n = (f"bx{sfx}", nlon) if j % 2 == 0 else (f"by{sfx}", nlat)
+            terms.append(f"(({src} >> {n - 1 - k}) & 1) * {1 << (4 - b)}")
+        chars.append(
+            "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST({' + '.join(terms)} AS INT) + 1, 1)")
+    return {"bx": bx, "by": by, "gh": " || ".join(chars),
+            "nlon": nlon, "nlat": nlat}
 
 
 def _minhash_oracle_sql(num_hashes=32, num_bands=8, threshold=0.5, seed=42):
@@ -2209,7 +2257,30 @@ _SIMHASH_ORACLE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    _gh8 = _geohash_oracle_sql(8)
+    _gh4 = _geohash_oracle_sql(4)
+    _geohash_sql = f"""
+            WITH pts AS (
+                SELECT event_id,
+                       (event_id % 3600) / 10.0 - 180.0 + 0.05 AS lon,
+                       (user_id % 1800) / 10.0 - 90.0 + 0.025 AS lat
+                FROM events),
+            bits AS (
+                SELECT event_id, lon, lat,
+                       {_gh8['bx']}, {_gh8['by']},
+                       {_gh4['bx']}, {_gh4['by']}
+                FROM pts)
+            SELECT event_id,
+                   {_gh8['gh']} AS gh8,
+                   {_gh4['gh']} AS gh4,
+                   round((bx8 + 0.5) / {1 << _gh8['nlon']}.0 * 360.0
+                         - 180.0, 9) AS dec_lon,
+                   round((by8 + 0.5) / {1 << _gh8['nlat']}.0 * 180.0
+                         - 90.0, 9) AS dec_lat
+            FROM bits
+        """
     return {
+        "geo_geohash": _geohash_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty,

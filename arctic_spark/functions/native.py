@@ -1632,6 +1632,87 @@ def _c_num(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon, lat, precision: int = 12) -> Column:
+    """Geohash string of a lon/lat point (PostGIS ``ST_GeoHash``):
+    ``precision`` base-32 characters, 5 bits each, lon/lat bits
+    interleaved MSB-first starting with longitude. Statically unrolled
+    per precision into pure long shift/mask arithmetic — one Catalyst
+    expression, zero higher-order functions, zero Python — so a
+    100 TB geohash-bucketing pass is plain whole-stage codegen (and the
+    key doubles as a spatial-clustering sort key like zorder_key).
+    Coordinates clamp to the valid lon/lat ranges."""
+    p = int(precision)
+    if p < 1 or p > 12:
+        raise ValueError("precision must be in [1, 12]")
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    fx = (F.least(F.greatest(_c_num(lon).cast("double"), F.lit(-180.0)),
+                  F.lit(180.0)) + 180.0) / 360.0
+    fy = (F.least(F.greatest(_c_num(lat).cast("double"), F.lit(-90.0)),
+                  F.lit(90.0)) + 90.0) / 180.0
+    bx = F.least(F.floor(fx * F.lit(float(1 << nlon))).cast("long"),
+                 F.lit((1 << nlon) - 1))
+    by = F.least(F.floor(fy * F.lit(float(1 << nlat))).cast("long"),
+                 F.lit((1 << nlat) - 1))
+
+    def gbit(j):
+        # global bit j (0 = MSB): even → lon bit j//2, odd → lat bit j//2
+        k = j // 2
+        src, n = (bx, nlon) if j % 2 == 0 else (by, nlat)
+        return F.shiftrightunsigned(src, n - 1 - k).bitwiseAND(F.lit(1))
+
+    chars = []
+    for i in range(p):
+        val = F.lit(0)
+        for b in range(5):
+            val = val + F.shiftleft(gbit(5 * i + b), 4 - b)
+        chars.append(F.lit(_GEOHASH_B32).substr(
+            (val + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_decode(gh, precision: int = 12):
+    """(lon, lat) center of a geohash cell (PostGIS
+    ``ST_PointFromGeoHash`` semantics at ``maxchars=precision``) — the
+    exact inverse bit walk of :func:`geohash`, statically unrolled, zero
+    Python. Shorter strings than ``precision`` decode what they have
+    (missing low bits read as 0 via the clamped char lookup)."""
+    p = int(precision)
+    if p < 1 or p > 12:
+        raise ValueError("precision must be in [1, 12]")
+    g = F.lower(_c_num(gh) if not isinstance(gh, str) else F.col(gh))
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    vals = [F.greatest(
+        F.instr(F.lit(_GEOHASH_B32), F.substring(g, i + 1, 1)) - 1,
+        F.lit(0)).cast("long") for i in range(p)]
+    lon_i = F.lit(0).cast("long")
+    lat_i = F.lit(0).cast("long")
+    for j in range(nbits):
+        bit = F.shiftrightunsigned(vals[j // 5],
+                                   4 - (j % 5)).bitwiseAND(F.lit(1))
+        if j % 2 == 0:
+            lon_i = lon_i.bitwiseOR(F.shiftleft(bit, nlon - 1 - j // 2))
+        else:
+            lat_i = lat_i.bitwiseOR(F.shiftleft(bit, nlat - 1 - j // 2))
+    lon = (lon_i.cast("double") + 0.5) / float(1 << nlon) * 360.0 - 180.0
+    lat = (lat_i.cast("double") + 0.5) / float(1 << nlat) * 180.0 - 90.0
+    return lon, lat
+
+
+def geom_geohash(g, precision: int = 12) -> Column:
+    """Geohash of a geometry's bbox center (the clustering/bucketing key
+    for non-point geometries, like geom_zorder_key)."""
+    g = _g(g)
+    xmin, ymin, xmax, ymax = bounds(g)
+    return geohash((xmin + xmax) / 2.0, (ymin + ymax) / 2.0, precision)
+
+
 def geom_zorder_key(g, extent, bits: int = 16) -> Column:
     """Z-order key of a geometry's bbox center (the standard clustering
     key for non-point geometries)."""

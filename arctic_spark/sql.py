@@ -343,6 +343,38 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         return ragged_to_pdf(ragged.RaggedGeometry.from_pylists(
             gts, xs, ys, rings, parts))
 
+    @pandas_udf(T.StringType())
+    def st_geohash(lon: pd.Series, lat: pd.Series,
+                   prec: pd.Series) -> pd.Series:
+        """Same bit walk as the native st.geohash (python replica for
+        the SQL surface)."""
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        p = int(prec.iloc[0]) if len(prec) else 12
+        nbits = 5 * p
+        nlon = (nbits + 1) // 2
+        nlat = nbits // 2
+        out = []
+        for lo, la in zip(lon, lat):
+            if lo is None or la is None or pd.isna(lo) or pd.isna(la):
+                out.append(None)
+                continue
+            fx = (min(max(float(lo), -180.0), 180.0) + 180.0) / 360.0
+            fy = (min(max(float(la), -90.0), 90.0) + 90.0) / 180.0
+            bx = min(int(fx * (1 << nlon)), (1 << nlon) - 1)
+            by = min(int(fy * (1 << nlat)), (1 << nlat) - 1)
+            chars = []
+            for i in range(p):
+                val = 0
+                for b in range(5):
+                    j = 5 * i + b
+                    k = j // 2
+                    bit = ((bx >> (nlon - 1 - k)) if j % 2 == 0
+                           else (by >> (nlat - 1 - k))) & 1
+                    val = (val << 1) | bit
+                chars.append(b32[val])
+            out.append("".join(chars))
+        return pd.Series(out, dtype="object")
+
     fns = {
         "st_geomfromtext": st_geomfromtext,
         "st_astext": st_astext,
@@ -392,6 +424,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,
         "st_minimumclearance": _udfs.minimum_clearance,
         "st_shortestline": _udfs.shortest_line,
+        "st_geohash": st_geohash,
         "st_isvalid": _scalar_udf(algos.is_valid, T.BooleanType()),
         "st_issimple": _scalar_udf(algos.is_simple, T.BooleanType()),
         "st_isvalidreason": _scalar_udf(algos.is_valid_reason,

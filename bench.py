@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "geo_orientation_flags",
     "geo_sample_points",
     "geo_min_clearance",
+    "geo_geohash",
 ]
 
 

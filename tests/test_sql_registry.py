@@ -127,3 +127,12 @@ def test_sql_orientation_accessors(spark):
     assert r.cl is True and r.op is False
     assert r.ccw is True and r.cw is False
     assert r.fixed == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+
+def test_sql_geohash(spark):
+    from arctic_spark.sql import register_sql_functions
+    names = register_sql_functions(spark)
+    assert "st_geohash" in names
+    r = spark.sql(
+        "SELECT st_geohash(-5.6D, 42.6D, 5) AS g").collect()[0]
+    assert r.g == "ezs42"

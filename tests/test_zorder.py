@@ -103,3 +103,48 @@ def test_spatial_sort_explicit_extent_and_validation(spark, tmp_path):
     assert read_geoparquet(spark, str(tmp_path / "e")).df.count() == 100
     with pytest.raises(ValueError):
         write_geoparquet(gdf, str(tmp_path / "bad"), spatial_sort="hilbert")
+
+
+def test_geohash_published_values(spark):
+    """st.geohash matches published geohash values (Wikipedia examples);
+    decode returns the exact cell center; out-of-range clamps."""
+    from pyspark.sql import functions as F
+    rows = [(0, 10.40744, 57.64911, "u4pruydqqvj8"),
+            (1, -5.6, 42.6, "ezs42"),
+            (2, -49.265506, -25.382708, "6gkzwgjzn820"),
+            (3, 180.0, 90.0, "zzzzzzzzzzzz"),
+            (4, -180.0, -90.0, "000000000000")]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double, exp string")
+    out = {r.id: r for r in df.select(
+        "id", "exp",
+        st.geohash(F.col("lon"), F.col("lat"), 12).alias("g12"),
+        st.geohash(F.col("lon"), F.col("lat"), 5).alias("g5")).collect()}
+    assert out[0].g12 == "u4pruydqqvj8"
+    assert out[1].g5 == "ezs42"
+    assert out[2].g12 == "6gkzwgjzn820"
+    assert out[3].g12 == "zzzzzzzzzzzz" and out[4].g12 == "000000000000"
+    # decode: center of the p=12 cell re-encodes to the same hash, and
+    # is within the cell's span of the original point
+    lon, lat = st.geohash_decode(F.col("g12"), 12)
+    d = df.select("id", "lon", "lat",
+                  st.geohash(F.col("lon"), F.col("lat"), 12).alias("g12")) \
+        .select("id", "lon", "lat", lon.alias("dlon"), lat.alias("dlat"),
+                st.geohash(lon, lat, 12).alias("re")) \
+        .collect()
+    for r in d:
+        assert abs(r.dlon - r.lon) <= 360.0 / (1 << 30)
+        assert abs(r.dlat - r.lat) <= 180.0 / (1 << 30)
+    # native plan: no python workers in either direction
+    plan = df.select(st.geohash(F.col("lon"), F.col("lat"), 8).alias("g")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_geom_geohash(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, "POLYGON ((10 50, 11 50, 11 51, 10 51, 10 50))")],
+                               "id int, wkt string") \
+        .withColumn("g", st.from_wkt("wkt"))
+    r = df.select(st.geom_geohash("g", 6).alias("gh"),
+                  st.geohash(F.lit(10.5), F.lit(50.5), 6).alias("c")).collect()[0]
+    assert r.gh == r.c
