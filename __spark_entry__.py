@@ -1539,6 +1539,26 @@ def geo_geohash(spark, sf):
                     F.round(glat, 9).alias("dec_lat"))
 
 
+def geo_hex_density(spark, sf):
+    """Hexagonal density binning (st.hex_key / st.hex_center, round 6):
+    axial fractional coordinates + cube rounding as pure codegen
+    arithmetic; groupBy on the (q, r) key is the ONE shuffle — the hex
+    analogue of the engine's square grid-cell density, with
+    equal-distance neighbors. The oracle replays the exact fractional /
+    rounding arithmetic (same IEEE literals) in DuckDB."""
+    e = _t(spark, sf, "events")
+    x = (F.col("event_id") % 1000).cast("double") / 7.0
+    y = (F.col("user_id") % 1000).cast("double") / 11.0
+    k = st.hex_key(x, y, 1.3)
+    d = e.select(k["q"].alias("q"), k["r"].alias("r"))
+    cx, cy = st.hex_center(F.col("q"), F.col("r"), 1.3)
+    return (d.groupBy("q", "r")
+            .agg(F.count("*").cast("long").alias("n_pts"))
+            .select("q", "r", "n_pts",
+                    F.round(cx, 6).alias("cx"),
+                    F.round(cy, 6).alias("cy")))
+
+
 def geo_min_clearance(spark, sf):
     """st.minimum_clearance (shapely/JTS MinimumClearance): per part,
     a w×h rectangle (clearance = min side) and a right triangle with
@@ -2050,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_sample_points": geo_sample_points,
         "geo_min_clearance": geo_min_clearance,
         "geo_geohash": geo_geohash,
+        "geo_hex_density": geo_hex_density,
         "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
@@ -2256,6 +2277,46 @@ _SIMHASH_ORACLE_SQL = """
 """
 
 
+def _hex_oracle_sql() -> str:
+    """DuckDB replay of st.hex_key/st.hex_center with the engine's own
+    IEEE double literals, so every fractional/rounding step is
+    bit-identical."""
+    from arctic_spark.functions.native import _SQRT3
+    c13 = repr(_SQRT3 / 3.0)
+    third = repr(1.0 / 3.0)
+    c23 = repr(2.0 / 3.0)
+    s3 = repr(_SQRT3)
+    return f"""
+            WITH pts AS (
+                SELECT (event_id % 1000) / 7.0 AS x,
+                       (user_id % 1000) / 11.0 AS y
+                FROM events),
+            fr AS (
+                SELECT (x / 1.3) * {c13} - (y / 1.3) * {third} AS fq,
+                       (y / 1.3) * {c23} AS frr
+                FROM pts),
+            rnd AS (
+                SELECT fq, frr,
+                       round(fq) AS rq, round(frr) AS rr,
+                       round(-fq - frr) AS rs,
+                       abs(round(fq) - fq) AS dq,
+                       abs(round(frr) - frr) AS dr,
+                       abs(round(-fq - frr) - (-fq - frr)) AS ds
+                FROM fr),
+            keys AS (
+                SELECT CAST(CASE WHEN dq > dr AND dq > ds
+                                 THEN -rs - rr ELSE rq END AS BIGINT) AS q,
+                       CAST(CASE WHEN NOT (dq > dr AND dq > ds)
+                                      AND dr > ds
+                                 THEN -rq - rs ELSE rr END AS BIGINT) AS r
+                FROM rnd)
+            SELECT q, r, CAST(count(*) AS BIGINT) AS n_pts,
+                   round((1.3 * {s3}) * (q + r / 2.0), 6) AS cx,
+                   round((1.3 * 1.5) * r, 6) AS cy
+            FROM keys GROUP BY q, r
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     _gh8 = _geohash_oracle_sql(8)
     _gh4 = _geohash_oracle_sql(4)
@@ -2281,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "geo_geohash": _geohash_sql,
+        "geo_hex_density": _hex_oracle_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty,

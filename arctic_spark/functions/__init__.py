@@ -47,6 +47,7 @@ from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      line_substring, azimuth, reverse, segmentize)
 from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import geohash, geohash_decode, geom_geohash  # noqa: F401
+from .native import hex_key, hex_center  # noqa: F401
 from .native import extract_unique_points  # noqa: F401
 from .native import collection_extract  # noqa: F401
 from .native import (count_coordinates, count_geometries,  # noqa: F401

@@ -1632,6 +1632,51 @@ def _c_num(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+_SQRT3 = 1.7320508075688772
+
+
+def hex_key(x, y, size) -> Column:
+    """Axial (q, r) coordinates of the pointy-top hexagon of side
+    ``size`` containing point (x, y) — the H3-style hex-binning key as a
+    struct<q:long, r:long>, computed with the standard fractional-axial
+    + cube-rounding construction (Amit Patel's hex-grid formulation),
+    entirely as codegen arithmetic (zero Python, zero HOFs). Hex bins
+    beat square cells for density/aggregation work because every
+    neighbor shares an edge and distances to all 6 neighbors are equal.
+    ``groupBy(hex_key(...))`` is the one-shuffle density plan at any
+    scale."""
+    xx = _c_num(x).cast("double") / _lit(size).cast("double")
+    yy = _c_num(y).cast("double") / _lit(size).cast("double")
+    q = xx * F.lit(_SQRT3 / 3.0) - yy * F.lit(1.0 / 3.0)
+    r = yy * F.lit(2.0 / 3.0)
+
+    def build(fr):
+        q_, r_ = fr["q"], fr["r"]
+        rq = F.round(q_, 0)
+        rr = F.round(r_, 0)
+        rs = F.round(-q_ - r_, 0)
+        dq = F.abs(rq - q_)
+        dr = F.abs(rr - r_)
+        ds = F.abs(rs - (-q_ - r_))
+        first = (dq > dr) & (dq > ds)
+        fq = F.when(first, -rs - rr).otherwise(rq)
+        fr_ = F.when(~first & (dr > ds), -rq - rs).otherwise(rr)
+        return F.struct(fq.cast("long").alias("q"),
+                        fr_.cast("long").alias("r"))
+
+    return _let(F.struct(q.alias("q"), r.alias("r")), build)
+
+
+def hex_center(q, r, size):
+    """(x, y) center of the pointy-top axial hex cell (q, r) — the
+    inverse of :func:`hex_key` up to in-cell position."""
+    s = _lit(size).cast("double")
+    qq = _c_num(q).cast("double")
+    rr = _c_num(r).cast("double")
+    return (s * F.lit(_SQRT3) * (qq + rr / 2.0),
+            s * F.lit(1.5) * rr)
+
+
 _GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "geo_sample_points",
     "geo_min_clearance",
     "geo_geohash",
+    "geo_hex_density",
 ]
 
 

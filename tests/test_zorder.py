@@ -148,3 +148,29 @@ def test_geom_geohash(spark):
     r = df.select(st.geom_geohash("g", 6).alias("gh"),
                   st.geohash(F.lit(10.5), F.lit(50.5), 6).alias("c")).collect()[0]
     assert r.gh == r.c
+
+
+def test_hex_key_nearest_center(spark):
+    """hex_key assigns every point to the hexagon whose center is
+    nearest (the defining property of the bin); centers round-trip; the
+    plan is pure JVM."""
+    import math, random
+    from pyspark.sql import functions as F
+    S = 2.0
+    random.seed(7)
+    pts = [(random.uniform(-8, 8), random.uniform(-8, 8))
+           for _ in range(300)]
+    pdf = spark.createDataFrame(pts, "x double, y double")
+    k = st.hex_key(F.col("x"), F.col("y"), S)
+    hx, hy = st.hex_center(k["q"], k["r"], S)
+    got = pdf.select("x", "y", hx.alias("cx"), hy.alias("cy")).collect()
+    centers = [(S * math.sqrt(3) * (q + r / 2), S * 1.5 * r)
+               for q in range(-20, 21) for r in range(-20, 21)]
+    for row in got:
+        d_assigned = math.hypot(row.x - row.cx, row.y - row.cy)
+        d_best = min(math.hypot(row.x - cx, row.y - cy)
+                     for cx, cy in centers)
+        assert d_assigned - d_best <= 1e-9
+    plan = pdf.select(k.alias("k")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
