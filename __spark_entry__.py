@@ -1963,6 +1963,30 @@ def text_repetition(spark, sf):
         .orderBy("doc_id"))
 
 
+def text_readability(spark, sf):
+    """Readability scoring (llm/text.py): syllable approximation
+    (vowel groups, ≥1/word), sentence count, Flesch Reading Ease and
+    Flesch–Kincaid grade — all native (one scan, zero Python). The
+    single-line synthetic docs are first given sentence structure
+    (7-word sentences joined by '. ') with HOF arithmetic; the oracle
+    computes the same metrics from closed forms over the original
+    token list."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(7)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda j: F.array_join(F.slice(toks, j * 7 + 1, 7), " "))
+    t2 = d.select("doc_id", F.array_join(chunks, ". ").alias("t2"))
+    return t2.select(
+        "doc_id",
+        text.token_count("t2").alias("n_words"),
+        text.sentence_count("t2").alias("n_sentences"),
+        text.syllable_count("t2").alias("n_syllables"),
+        F.round(text.flesch_reading_ease("t2"), 6).alias("fre"),
+        F.round(text.flesch_kincaid_grade("t2"), 6).alias("fkg"))
+
+
 def text_vocab_topk(spark, sf):
     """Corpus vocabulary: top-30 tokens by term frequency with document
     frequency. Per-doc the token multiset pre-collapses to (distinct
@@ -2085,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity": text_perplexity,
         "text_chunking": text_chunking,
         "text_repetition": text_repetition,
+        "text_readability": text_readability,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
     }
@@ -3905,6 +3930,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN cp > 0 THEN round((cp - cdp) / CAST(cp AS DOUBLE),
                        6) ELSE 0.0 END AS dup_para_char_frac
             FROM m ORDER BY doc_id
+        """,
+        "text_readability": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split(text, ' ')) END AS w,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-z0-9]+'),
+                                   t -> length(t) > 0) AS ws
+                FROM documents),
+            m AS (
+                SELECT doc_id, w,
+                       CASE WHEN w = 0 THEN 0
+                            ELSE CAST(ceil(w / 7.0) AS INT) END AS s,
+                       CASE WHEN w = 0 THEN 0
+                            ELSE list_aggregate(list_transform(ws,
+                                t -> greatest(len(string_split_regex(t,
+                                    '[aeiouy]+')) - 1, 1)), 'sum') END AS y
+                FROM base)
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   y AS n_syllables,
+                   CASE WHEN w > 0 AND s > 0 THEN
+                       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                             - 84.6 * (CAST(y AS DOUBLE)
+                                       / CAST(w AS DOUBLE)), 6)
+                   ELSE 0.0 END AS fre,
+                   CASE WHEN w > 0 AND s > 0 THEN
+                       round(0.39 * (CAST(w AS DOUBLE) / s)
+                             + 11.8 * (CAST(y AS DOUBLE)
+                                       / CAST(w AS DOUBLE))
+                             - 15.59, 6)
+                   ELSE 0.0 END AS fkg
+            FROM m
         """,
         "text_vocab_topk": """
             WITH tok AS (

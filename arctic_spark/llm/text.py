@@ -287,6 +287,72 @@ def gopher_quality_flags(text, min_words: int = 50, max_words: int = 100_000,
             & (duplicate_ngram_fraction(t, 3) <= max_dup_ngram))
 
 
+def syllable_count(text) -> Column:
+    """Approximate total syllables: per word, the number of maximal
+    vowel groups ([aeiouy]+), at least 1 — the standard cheap
+    approximation used by readability scores. Native: splitting a word
+    on the vowel-group regex yields groups+1 pieces."""
+    from ..functions.native import _let
+
+    def count(ws):
+        per_word = F.transform(
+            ws, lambda w: F.greatest(F.size(F.split(w, r"[aeiouy]+")) - 1,
+                                     F.lit(1)))
+        return F.aggregate(per_word, F.lit(0),
+                           lambda acc, v: acc + v)
+
+    return _let(word_tokens(text), count)
+
+
+def sentence_count(text) -> Column:
+    """Sentences = non-blank spans between [.!?]+ terminators, at least
+    1 for non-empty text (so ratio denominators are safe)."""
+    t = _c(text)
+    spans = F.filter(F.split(t, r"[.!?]+"),
+                     lambda s: F.length(F.trim(s)) > 0)
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
+            .otherwise(F.greatest(F.size(spans), F.lit(1)))
+
+
+def flesch_reading_ease(text) -> Column:
+    """Flesch Reading Ease: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words); 0 for empty text. One scan, zero Python —
+    the readability member of the quality-filter battery (low-score
+    docs are dense boilerplate/legalese, very high are word salad)."""
+    from ..functions.native import _let
+    stats = F.struct(token_count(text).alias("w"),
+                     sentence_count(text).alias("s"),
+                     syllable_count(text).alias("y"))
+
+    def build(m):
+        w = m["w"].cast("double")
+        return F.when(
+            (m["w"] > 0) & (m["s"] > 0),
+            F.lit(206.835) - F.lit(1.015) * (w / m["s"].cast("double"))
+            - F.lit(84.6) * (m["y"].cast("double") / w)).otherwise(0.0)
+
+    return _let(stats, build)
+
+
+def flesch_kincaid_grade(text) -> Column:
+    """Flesch–Kincaid grade level: 0.39·(words/sentences) +
+    11.8·(syllables/words) − 15.59; 0 for empty text."""
+    from ..functions.native import _let
+    stats = F.struct(token_count(text).alias("w"),
+                     sentence_count(text).alias("s"),
+                     syllable_count(text).alias("y"))
+
+    def build(m):
+        w = m["w"].cast("double")
+        return F.when(
+            (m["w"] > 0) & (m["s"] > 0),
+            F.lit(0.39) * (w / m["s"].cast("double"))
+            + F.lit(11.8) * (m["y"].cast("double") / w)
+            - F.lit(15.59)).otherwise(0.0)
+
+    return _let(stats, build)
+
+
 def fingerprint(text) -> Column:
     """64-bit hex document fingerprint of whitespace-normalized, lowercased
     text (md5-derived so any SQL engine reproduces it bit-for-bit)."""

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "text_perplexity",
     # round 6 (third session)
     "text_repetition",
+    "text_readability",
     "geo_orientation_flags",
     "geo_sample_points",
     "geo_min_clearance",

@@ -379,3 +379,26 @@ def test_url_ops(spark):
     assert out[3].h == "example.com"
     assert out[4].n == "https://a.io/only"  # terminal slash stripped
     assert out[5].n == "http://b.net"
+
+
+def test_readability_metrics(spark):
+    """Syllable approximation, sentence count, Flesch scores —
+    hand-computed values."""
+    rows = [(1, "The cat sat. The dog ran!"),
+            (2, "hello world"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id",
+        text.syllable_count("text").alias("y"),
+        text.sentence_count("text").alias("s"),
+        text.flesch_reading_ease("text").alias("fre"),
+        text.flesch_kincaid_grade("text").alias("fkg")).collect()}
+    # doc 1: words=6(whitespace: The cat sat. The dog ran! -> 6),
+    # syllables: the/cat/sat/the/dog/ran = 1 each -> 6, sentences 2
+    assert got[1].y == 6 and got[1].s == 2
+    assert got[1].fre == pytest.approx(206.835 - 1.015 * 3.0 - 84.6 * 1.0)
+    assert got[1].fkg == pytest.approx(0.39 * 3.0 + 11.8 * 1.0 - 15.59)
+    # hello=2 groups (e, o), world=1 -> 3 syllables, 1 sentence
+    assert got[2].y == 3 and got[2].s == 1
+    assert got[3].y == 0 and got[3].s == 0 and got[3].fre == 0.0
