@@ -53,6 +53,28 @@ def windowed_geo_density(points: DataFrame, cell_size: float,
                     "cell_x", "cell_y", "n"))
 
 
+def windowed_hex_density(points: DataFrame, hex_size: float,
+                         window="1 minute", watermark="2 minutes",
+                         ts_col="ts", geom_col="geometry") -> DataFrame:
+    """Streaming hex-bin density: the hexagonal twin of
+    :func:`windowed_geo_density` — native axial hex key (functions.
+    native.hex_key: cube rounding in codegen) × time window → count.
+    Hexagons give equal-distance neighbors, so streaming hotspot
+    detection doesn't over-weight the diagonal like square cells."""
+    from ..functions.native import hex_key
+    g = F.col(geom_col)
+    k = hex_key(native.x(g), native.y(g), hex_size)
+    src = points
+    if points.isStreaming:
+        src = points.withWatermark(ts_col, watermark)
+    return (src.withColumn("hex_q", k["q"]).withColumn("hex_r", k["r"])
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     "hex_q", "hex_r")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("window_start"),
+                    "hex_q", "hex_r", "n"))
+
+
 _SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),

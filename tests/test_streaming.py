@@ -326,3 +326,19 @@ def test_streaming_near_dup_pairs(spark, tmp_path):
         assert not any(3 in p for p in got_s)
     finally:
         q.stop()
+
+
+def test_windowed_hex_density_batch(events):
+    """Hex twin of windowed_geo_density: centers land in distinct hexes
+    and the counts match the square-cell test's distribution."""
+    from arctic_spark.streaming import windowed_hex_density
+    pts = events.withColumn(
+        "geometry", st.point((F.col("user_id") * 10).cast("double"),
+                             F.lit(5.0)))
+    out = windowed_hex_density(pts, hex_size=4.0, window="1 hour")
+    rows = out.collect()
+    total = sum(r.n for r in rows)
+    assert total == 5
+    # user 1 (x=10,y=5) x4 and user 2 (x=20,y=5) land in different hexes
+    by = {(r.hex_q, r.hex_r): r.n for r in rows}
+    assert sorted(by.values()) == [1, 4]
