@@ -1559,6 +1559,41 @@ def geo_hex_density(spark, sf):
                     F.round(cy, 6).alias("cy")))
 
 
+def geo_build_area(spark, sf):
+    """st.build_area (GEOS/PostGIS ST_BuildArea, round 6): linework of
+    2 (even keys) or 3 (odd keys) nested square rings → even-nesting
+    faces only: a donut (area w²−(w−2)²), plus the filled core
+    ((w−4)²) when the third ring exists — the PostGIS nested-rings
+    example as a closed form, with the part count checking the
+    donut+core structure."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    w = (k % 4).cast("double") + 6.0
+    z = F.lit(0.0)
+
+    def ring(a, b):
+        return ([a, b, b, a, a], [a, a, b, b, a])
+
+    r0x, r0y = ring(z, w)
+    r1x, r1y = ring(F.lit(1.0), w - 1.0)
+    r2x, r2y = ring(F.lit(2.0), w - 2.0)
+    xs_full = F.array(*(r0x + r1x + r2x))
+    ys_full = F.array(*(r0y + r1y + r2y))
+    n = F.when(k % 2 == 1, F.lit(15)).otherwise(F.lit(10))
+    nr = F.when(k % 2 == 1, F.lit(3)).otherwise(F.lit(2))
+    five = F.lit(5)
+    one = F.lit(1)
+    g = st.geom_struct(F.lit(5), F.slice(xs_full, 1, n),
+                       F.slice(ys_full, 1, n),
+                       F.slice(F.array(five, five, five), 1, nr),
+                       F.slice(F.array(one, one, one), 1, nr))
+    s = s.withColumn("__built", st.build_area(g))
+    return s.select(
+        "s_suppkey",
+        F.round(st.area("__built"), 6).alias("built_area"),
+        st.num_parts("__built").alias("n_parts"))
+
+
 def geo_min_clearance(spark, sf):
     """st.minimum_clearance (shapely/JTS MinimumClearance): per part,
     a w×h rectangle (clearance = min side) and a right triangle with
@@ -2095,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_min_clearance": geo_min_clearance,
         "geo_geohash": geo_geohash,
         "geo_hex_density": geo_hex_density,
+        "geo_build_area": geo_build_area,
         "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
@@ -3525,6 +3561,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # make_valid/node closed forms (see geo_make_valid): bowtie ->
         # a*b/2, island-as-shell -> s*s-4, X-noding -> 4 edges, 2c*sqrt2.
+        "geo_build_area": """
+            WITH base AS (
+                SELECT s_suppkey, (s_suppkey % 4) + 6.0 AS w
+                FROM supplier)
+            SELECT s_suppkey,
+                   CASE WHEN s_suppkey % 2 = 1 THEN
+                       round(w*w - (w-2)*(w-2) + (w-4)*(w-4), 6)
+                   ELSE round(w*w - (w-2)*(w-2), 6) END AS built_area,
+                   CASE WHEN s_suppkey % 2 = 1 THEN 2 ELSE 1 END
+                       AS n_parts
+            FROM base
+        """,
         "geo_min_clearance": """
             SELECT p_partkey,
                    round(least((p_partkey % 5) + 2.0,

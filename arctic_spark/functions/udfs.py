@@ -376,6 +376,14 @@ def is_valid(g: pd.DataFrame) -> pd.Series:
     return pd.Series(algos.is_valid(ragged_from_pdf(g)))
 
 
+@pandas_udf(GEOM_TYPE)
+def build_area(g: pd.DataFrame) -> pd.DataFrame:
+    """Areal geometry from constituent linework (GEOS/PostGIS
+    ST_BuildArea): polygonize faces, keep even-nesting-depth faces
+    (odd-depth faces are enclosed → holes) — algos.build_area."""
+    return ragged_to_pdf(algos.build_area(ragged_from_pdf(g)))
+
+
 @pandas_udf(T.StringType())
 def is_valid_reason(g: pd.DataFrame) -> pd.Series:
     """'Valid Geometry' or the GEOS-style message of the first violated

@@ -2113,6 +2113,74 @@ def make_valid(rg: RaggedGeometry):
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def build_area(rg: RaggedGeometry):
+    """GEOS/PostGIS ``ST_BuildArea``: the areal geometry formed by a
+    row's constituent linework. Faces come from the arrangement
+    engine's polygonize; a face nested inside an ODD number of other
+    faces is enclosed — it becomes a hole, not a shell — so only
+    even-depth faces are kept (three nested rings → donut + filled
+    core, the PostGIS example). Lines/collections in, polygonal out;
+    rows closing no face → empty polygon."""
+    from . import boolean as _bool
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g = rg.geom(i)
+        if g[0] == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        t = _bool.polygonize(g)
+        if t is None:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        # split faces into parts with their exterior rings + a probe pt
+        fxs, fys, frings, fparts = t[1], t[2], t[3], t[4]
+        parts = []
+        roff = coff = 0
+        for nr in fparts:
+            rls = frings[roff:roff + nr]
+            ncoord = int(np.sum(rls))
+            sub = RaggedGeometry.from_pylists(
+                [POLYGON], [list(fxs[coff:coff + ncoord])],
+                [list(fys[coff:coff + ncoord])],
+                [[int(v) for v in rls]], [[int(nr)]])
+            rpx, rpy = representative_point(sub)
+            n0 = int(rls[0])
+            parts.append({
+                "xs": fxs[coff:coff + ncoord],
+                "ys": fys[coff:coff + ncoord],
+                "rings": [int(v) for v in rls],
+                "ext": (np.asarray(fxs[coff:coff + n0], float),
+                        np.asarray(fys[coff:coff + n0], float)),
+                "rp": (float(rpx[0]), float(rpy[0]))})
+            roff += nr
+            coff += ncoord
+        keep = []
+        for a, pa in enumerate(parts):
+            depth = sum(
+                1 for b, pb in enumerate(parts)
+                if b != a and _ring_contains_point(
+                    pb["ext"][0], pb["ext"][1], *pa["rp"]))
+            if depth % 2 == 0:
+                keep.append(pa)
+        if not keep:
+            gts.append(POLYGON); oxs.append([]); oys.append([])
+            orings.append([]); oparts.append([])
+            continue
+        nx, ny, nr_, np_ = [], [], [], []
+        for pa in keep:
+            np_.append(len(pa["rings"]))
+            nr_.extend(pa["rings"])
+            nx.extend(pa["xs"]); ny.extend(pa["ys"])
+        gt_out = POLYGON if len(keep) == 1 else MULTIPOLYGON
+        if gt_out == POLYGON:
+            np_ = [len(nr_)]
+        gts.append(gt_out); oxs.append(nx); oys.append(ny)
+        orings.append(nr_); oparts.append(np_)
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
 def _ring_contains_point(rx, ry, px, py):
     """Even-odd ray cast of one point against one ring (non-inclusive of
     degenerate boundary cases — make_valid probes are interior points)."""

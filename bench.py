@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "geo_min_clearance",
     "geo_geohash",
     "geo_hex_density",
+    "geo_build_area",
 ]
 
 

@@ -388,3 +388,24 @@ def test_minimum_clearance(spark):
     assert out[2] == pytest.approx(2.0)
     assert math.isinf(out[3])
     assert out[4] == pytest.approx(1.0)
+
+
+def test_build_area(spark):
+    """ST_BuildArea semantics: nested rings -> donut (+ filled core at
+    depth 2); dangles close nothing; bowtie linework -> two triangles."""
+    rows = [(0, "MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                "(2 2, 8 2, 8 8, 2 8, 2 2), (4 4, 6 4, 6 6, 4 6, 4 4))"),
+            (1, "LINESTRING (0 0, 5 0, 5 5, 0 5, 0 0)"),
+            (2, "LINESTRING (0 0, 5 5)"),
+            (3, "LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")]
+    df = spark.createDataFrame(rows, "id int, wkt string") \
+        .withColumn("g", st.from_wkt("wkt")) \
+        .withColumn("b", st.build_area("g"))
+    out = {r.id: r for r in df.select(
+        "id", F.round(st.area("b"), 9).alias("a"),
+        st.num_parts("b").alias("np"),
+        st.is_empty("b").alias("e")).collect()}
+    assert out[0].a == 68.0 and out[0].np == 2      # donut + core
+    assert out[1].a == 25.0
+    assert out[2].e is True
+    assert out[3].a == 2.0 and out[3].np == 2       # two triangles
