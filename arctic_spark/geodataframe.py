@@ -190,6 +190,26 @@ class GeoDataFrame:
             out = self._df.agg(*aggs)
         return GeoDataFrame(out, geometry_column=gcol, crs=self.crs)
 
+    def get_coordinates(self, index_parts: bool = False):
+        """GeoPandas ``get_coordinates``: one row per stored coordinate
+        with columns x, y (plus ``coord_index`` when ``index_parts``) —
+        a native posexplode over the ragged arrays, no Python. Other
+        columns are carried through, so it composes with groupBy for
+        vertex-level analytics."""
+        gcol = self.geometry_column
+        others = [c for c in self._df.columns if c != gcol]
+        g = F.col(gcol)
+        zipped = F.arrays_zip(g["xs"].alias("x"), g["ys"].alias("y"))
+        out = (self._df
+               .select(*others, F.posexplode(zipped).alias("coord_index",
+                                                           "__c"))
+               .select(*others, "coord_index",
+                       F.col("__c")["x"].alias("x"),
+                       F.col("__c")["y"].alias("y")))
+        if not index_parts:
+            out = out.drop("coord_index")
+        return out
+
     def estimate_utm_crs(self):
         """EPSG code of the UTM zone containing the frame's centroid of
         bounds (reference roadmap geoseries.rst:139, GeoPandas

@@ -202,3 +202,18 @@ def test_geoseries_style_methods(spark):
     ln = g.boundary().length().df.where(F.col("id") == 1) \
         .select("length").first()[0]
     assert ln == pytest.approx(16.0)
+
+
+def test_get_coordinates(spark):
+    from arctic_spark import GeoDataFrame, st
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 1 2, 3 4)"), (2, "POINT (9 9)")],
+        "id long, wkt string").withColumn("geometry", st.from_wkt("wkt"))
+    gdf = GeoDataFrame(df.drop("wkt"))
+    out = gdf.get_coordinates(index_parts=True).orderBy("id", "coord_index")
+    rows = out.collect()
+    assert [(r.id, r.coord_index, r.x, r.y) for r in rows] == [
+        (1, 0, 0.0, 0.0), (1, 1, 1.0, 2.0), (1, 2, 3.0, 4.0),
+        (2, 0, 9.0, 9.0)]
+    assert "coord_index" not in gdf.get_coordinates().columns
