@@ -219,3 +219,55 @@ def test_spark_relate(spark):
         st.relate_pattern("g1", "g2", "T*T***T**").alias("ov")).collect()}
     assert rows[1].m == "212101212" and rows[1].ov is True
     assert rows[2].m == "FF2F11212" and rows[2].ov is False
+
+
+def test_relate_predicate_consistency_random():
+    """Property sweep (no Spark): on random axis-rect / segment pairs,
+    the DE-9IM matrix must agree with the derived predicates —
+    touches ⇒ interiors disjoint but geometries intersect; crosses/
+    overlaps ⇒ interior-interior contact; the three are mutually
+    exclusive; matrix[0] ('II') consistent with disjoint."""
+    import random
+
+    from arctic_spark.geom import wkt
+    from arctic_spark.geom.relate import (crosses_pair, overlaps_pair,
+                                          relate_matrix, touches_pair)
+
+    random.seed(13)
+
+    def rect(x0, y0, w, h):
+        return (f"POLYGON (({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, "
+                f"{x0} {y0+h}, {x0} {y0}))")
+
+    def seg(x0, y0, x1, y1):
+        return f"LINESTRING ({x0} {y0}, {x1} {y1})"
+
+    pairs = []
+    for _ in range(120):
+        # integer grid so edge/corner contact happens often
+        a = rect(random.randint(0, 4), random.randint(0, 4),
+                 random.randint(1, 3), random.randint(1, 3))
+        if random.random() < 0.5:
+            b = rect(random.randint(0, 4), random.randint(0, 4),
+                     random.randint(1, 3), random.randint(1, 3))
+        else:
+            b = seg(random.randint(-1, 5), random.randint(-1, 5),
+                    random.randint(-1, 5), random.randint(-1, 5))
+        pairs.append((a, b))
+    rg_a = wkt.parse([p[0] for p in pairs])
+    rg_b = wkt.parse([p[1] for p in pairs])
+    for i in range(len(pairs)):
+        ga, gb = rg_a.geom(i), rg_b.geom(i)
+        m = relate_matrix(ga, gb)
+        t = bool(touches_pair(ga, gb))
+        c = bool(crosses_pair(ga, gb))
+        o = bool(overlaps_pair(ga, gb))
+        assert (t + c + o) <= 1, (pairs[i], m, t, c, o)
+        ii = m[0] != "F"                # interior-interior contact
+        if t:
+            assert not ii, (pairs[i], m)
+        if c or o:
+            assert ii, (pairs[i], m)
+        disjoint = all(m[k] == "F" for k in (0, 1, 3, 4))
+        if disjoint:
+            assert not (t or c or o), (pairs[i], m)
