@@ -116,6 +116,20 @@ def main():
         "geodesic").alias("m")).agg(F.sum("m")).collect()[0][0]
     report("karney geodesic over synthetic lines", t0, 1)
 
+    # round 6 (third session): native spatial keys at scale — both are
+    # single codegen expressions, so throughput is scan-bound
+    lon = (st.x(F.col("geometry")) / 10_000.0) * 360.0 - 180.0
+    lat = (st.y(F.col("geometry")) / 10_000.0) * 180.0 - 90.0
+    t0 = time.perf_counter()
+    n = pts.select(st.geohash(lon, lat, 8).alias("gh")) \
+        .agg(F.approx_count_distinct("gh")).collect()[0][0]
+    report(f"geohash p=8 over {n_points:,} pts", t0, n)
+    t0 = time.perf_counter()
+    hk = st.hex_key(st.x(F.col("geometry")), st.y(F.col("geometry")), 50.0)
+    n = pts.select(hk["q"].alias("q"), hk["r"].alias("r")) \
+        .groupBy("q", "r").count().count()
+    report(f"hex density (one shuffle) over {n_points:,} pts", t0, n)
+
     # round 6: convex SAT join at scale — diamonds on both sides defeat
     # the rect fast path, so every candidate refines through the native
     # separating-axis expressions (zero Python in the plan)
