@@ -1559,6 +1559,29 @@ def geo_hex_density(spark, sf):
                     F.round(cy, 6).alias("cy")))
 
 
+def geo_split(spark, sf):
+    """st.split (shapely ops.split / PostGIS ST_Split, round 6): a w×h
+    rectangle split by a vertical line at x=c — the two pieces' count,
+    total area (w·h, conservation) and min piece area (min(c, w−c)·h)
+    are closed forms; the polygon÷line path runs boundary noding +
+    polygonize + inside-filter on the arrangement engine."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    w = (k % 5).cast("double") + 4.0
+    h = (k % 3).cast("double") + 2.0
+    c = (k % 3).cast("double") + 1.0
+    rect = st.make_envelope(F.lit(0.0), F.lit(0.0), w, h)
+    line = st.make_line(F.array(c, c), F.array(F.lit(-1.0), h + 1.0))
+    d = s.withColumn("geometry", st.split(rect, line)) \
+         .select("s_suppkey", "geometry")
+    ex = st.explode_parts(d, "geometry")
+    return (ex.groupBy("s_suppkey")
+            .agg(F.count("*").cast("long").alias("n_pieces"),
+                 F.round(F.sum(st.area("geometry")), 6).alias("tot_area"),
+                 F.round(F.min(st.area("geometry")), 6).alias("min_area"))
+            .orderBy("s_suppkey"))
+
+
 def geo_build_area(spark, sf):
     """st.build_area (GEOS/PostGIS ST_BuildArea, round 6): linework of
     2 (even keys) or 3 (odd keys) nested square rings → even-nesting
@@ -2131,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_geohash": geo_geohash,
         "geo_hex_density": geo_hex_density,
         "geo_build_area": geo_build_area,
+        "geo_split": geo_split,
         "geo_line_substring": geo_line_substring,
         "decontam_overlap": decontam_overlap,
         "sample_stratified": sample_stratified,
@@ -3561,6 +3585,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # make_valid/node closed forms (see geo_make_valid): bowtie ->
         # a*b/2, island-as-shell -> s*s-4, X-noding -> 4 edges, 2c*sqrt2.
+        "geo_split": """
+            WITH base AS (
+                SELECT s_suppkey,
+                       (s_suppkey % 5) + 4.0 AS w,
+                       (s_suppkey % 3) + 2.0 AS h,
+                       (s_suppkey % 3) + 1.0 AS c
+                FROM supplier)
+            SELECT s_suppkey,
+                   CAST(2 AS BIGINT) AS n_pieces,
+                   round(w * h, 6) AS tot_area,
+                   round(least(c, w - c) * h, 6) AS min_area
+            FROM base ORDER BY s_suppkey
+        """,
         "geo_build_area": """
             WITH base AS (
                 SELECT s_suppkey, (s_suppkey % 4) + 6.0 AS w

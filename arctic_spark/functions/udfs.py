@@ -377,6 +377,16 @@ def is_valid(g: pd.DataFrame) -> pd.Series:
 
 
 @pandas_udf(GEOM_TYPE)
+def split(g: pd.DataFrame, splitter: pd.DataFrame) -> pd.DataFrame:
+    """shapely ``ops.split`` / PostGIS ``ST_Split`` (row-aligned):
+    polygon÷line (arrangement-engine polygonize + inside filter),
+    line÷point(s), line÷line (cut at crossings). Pieces come back as
+    the matching Multi* — algos.split_geometry."""
+    return ragged_to_pdf(algos.split_geometry(
+        ragged_from_pdf(g), ragged_from_pdf(splitter)))
+
+
+@pandas_udf(GEOM_TYPE)
 def build_area(g: pd.DataFrame) -> pd.DataFrame:
     """Areal geometry from constituent linework (GEOS/PostGIS
     ST_BuildArea): polygonize faces, keep even-nesting-depth faces

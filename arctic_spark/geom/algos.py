@@ -2190,6 +2190,147 @@ def make_valid(rg: RaggedGeometry):
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
 
 
+def _split_line_by_points(g, pts, eps):
+    """Pieces of a lineish tuple cut at every splitter point lying on it
+    (within eps). Returns [(xs, ys), ...] per piece."""
+    out = []
+    off = 0
+    for rl in g[3]:
+        xs = np.asarray(g[1][off:off + rl], float)
+        ys = np.asarray(g[2][off:off + rl], float)
+        off += int(rl)
+        if rl < 2:
+            continue
+        cur_x, cur_y = [float(xs[0])], [float(ys[0])]
+        for j in range(int(rl) - 1):
+            ax, ay = float(xs[j]), float(ys[j])
+            bx, by = float(xs[j + 1]), float(ys[j + 1])
+            dx, dy = bx - ax, by - ay
+            l2 = dx * dx + dy * dy
+            cuts = []
+            for (px, py) in pts:
+                if l2 == 0:
+                    continue
+                t = ((px - ax) * dx + (py - ay) * dy) / l2
+                if -eps <= t <= 1 + eps:
+                    qx, qy = ax + t * dx, ay + t * dy
+                    if np.hypot(qx - px, qy - py) <= eps:
+                        cuts.append((min(max(t, 0.0), 1.0), px, py))
+            for t, px, py in sorted(cuts):
+                if abs(px - cur_x[-1]) <= eps and abs(py - cur_y[-1]) <= eps:
+                    continue          # cut at the running start point
+                cur_x.append(px); cur_y.append(py)
+                out.append((cur_x, cur_y))
+                cur_x, cur_y = [px], [py]
+            if abs(bx - cur_x[-1]) > eps or abs(by - cur_y[-1]) > eps:
+                cur_x.append(bx); cur_y.append(by)
+        if len(cur_x) >= 2:
+            out.append((cur_x, cur_y))
+    return out
+
+
+def split_geometry(rg: RaggedGeometry, rs: RaggedGeometry):
+    """Row-aligned shapely ``ops.split`` / PostGIS ``ST_Split``:
+
+    - polygon ÷ line — node the polygon boundary with the splitter and
+      polygonize (the arrangement engine); faces whose representative
+      point lies inside the original polygon are the pieces;
+    - line ÷ point(s) — cut at each splitter point on the line;
+    - line ÷ line — cut at the crossing points (boolean kernel).
+
+    Pieces return as the matching Multi* (homogeneous-pieces deviation
+    from shapely's GeometryCollection wrapper, doc'd); a splitter that
+    doesn't cut returns the input unchanged. Other type pairs raise."""
+    from . import boolean as _bool
+    from .ragged import MULTILINESTRING as MLS
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+
+    def emit(gt, xs, ys, rings, parts):
+        gts.append(gt); oxs.append(xs); oys.append(ys)
+        orings.append(rings); oparts.append(parts)
+
+    def emit_tuple(g):
+        emit(int(g[0]), list(g[1]), list(g[2]),
+             [int(v) for v in g[3]], [int(v) for v in g[4]])
+
+    def emit_line_pieces(pieces, g):
+        if len(pieces) <= 1:
+            emit_tuple(g)
+            return
+        nx, ny, nr = [], [], []
+        for xs, ys in pieces:
+            nx.extend(xs); ny.extend(ys); nr.append(len(xs))
+        emit(MLS, nx, ny, nr, [1] * len(nr))
+
+    for i in range(len(rg)):
+        g = rg.geom(i)
+        s = rs.geom(i)
+        if g[0] == MISSING or s[0] == MISSING:
+            emit(None, None, None, None, None)
+            continue
+        span = 1.0
+        if len(g[1]):
+            span = max(1.0,
+                       float(np.ptp(g[1])) if len(g[1]) else 1.0,
+                       float(np.ptp(g[2])) if len(g[2]) else 1.0)
+        eps = 1e-9 * span
+        if g[0] in (POLYGON, MULTIPOLYGON) and s[0] in (LINESTRING,
+                                                        MULTILINESTRING):
+            # combined linework: boundary rings + splitter parts
+            nx = list(g[1]) + list(s[1])
+            ny = list(g[2]) + list(s[2])
+            nr = [int(v) for v in g[3]] + [int(v) for v in s[3]]
+            combined = (MLS, np.asarray(nx, float), np.asarray(ny, float),
+                        np.asarray(nr, np.int32),
+                        np.asarray([1] * len(nr), np.int32))
+            faces = _bool.polygonize(combined)
+            if faces is None:
+                emit_tuple(g)
+                continue
+            fxs, fys, frings, fparts = faces[1], faces[2], faces[3], faces[4]
+            keep = []
+            roff = coff = 0
+            for npr in fparts:
+                rls = frings[roff:roff + npr]
+                ncoord = int(np.sum(rls))
+                sub = RaggedGeometry.from_pylists(
+                    [POLYGON], [list(fxs[coff:coff + ncoord])],
+                    [list(fys[coff:coff + ncoord])],
+                    [[int(v) for v in rls]], [[int(npr)]])
+                rpx, rpy = representative_point(sub)
+                if point_in_polygon(float(rpx[0]), float(rpy[0]),
+                                    g[1], g[2], g[3], g[4]):
+                    keep.append((list(fxs[coff:coff + ncoord]),
+                                 list(fys[coff:coff + ncoord]),
+                                 [int(v) for v in rls]))
+                roff += npr
+                coff += ncoord
+            if len(keep) <= 1:
+                emit_tuple(g)
+                continue
+            nx2, ny2, nr2, np2 = [], [], [], []
+            for xs, ys, rls in keep:
+                nx2.extend(xs); ny2.extend(ys); nr2.extend(rls)
+                np2.append(len(rls))
+            emit(MULTIPOLYGON, nx2, ny2, nr2, np2)
+        elif g[0] in (LINESTRING, MULTILINESTRING) \
+                and s[0] in (POINT, MULTIPOINT):
+            pts = list(zip(np.asarray(s[1], float).tolist(),
+                           np.asarray(s[2], float).tolist()))
+            emit_line_pieces(_split_line_by_points(g, pts, eps), g)
+        elif g[0] in (LINESTRING, MULTILINESTRING) \
+                and s[0] in (LINESTRING, MULTILINESTRING):
+            cross = _bool._line_line_points(g, s, eps)
+            pts = list(zip(np.asarray(cross[1], float).tolist(),
+                           np.asarray(cross[2], float).tolist()))
+            emit_line_pieces(_split_line_by_points(g, pts, eps), g)
+        else:
+            raise ValueError(
+                "split supports polygon/line, line/point and line/line "
+                f"operand pairs; got types {g[0]}/{s[0]}")
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
 def build_area(rg: RaggedGeometry):
     """GEOS/PostGIS ``ST_BuildArea``: the areal geometry formed by a
     row's constituent linework. Faces come from the arrangement

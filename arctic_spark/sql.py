@@ -413,6 +413,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_concavehull": _geom_udf(algos.concave_hull),
         "st_polygonize": _geom_udf(algos.polygonize),
         "st_buildarea": _geom_udf(algos.build_area),
+        "st_split": _udfs.split,
         "st_makevalid": _geom_udf(algos.make_valid),
         "st_normalize": _geom_udf(algos.normalize),
         "st_node": _geom_udf(algos.node_lines),

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "geo_geohash",
     "geo_hex_density",
     "geo_build_area",
+    "geo_split",
 ]
 
 

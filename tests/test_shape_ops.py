@@ -409,3 +409,30 @@ def test_build_area(spark):
     assert out[1].a == 25.0
     assert out[2].e is True
     assert out[3].a == 2.0 and out[3].np == 2       # two triangles
+
+
+def test_split(spark):
+    """ops.split semantics: polygon by line (incl. donut), line by
+    point, line by crossing line, no-op when the splitter misses."""
+    rows = [(0, "POLYGON ((0 0, 5 0, 5 4, 0 4, 0 0))",
+                "LINESTRING (3 -1, 3 5)"),
+            (1, "LINESTRING (0 0, 10 0)", "POINT (4 0)"),
+            (2, "LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)"),
+            (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+                "LINESTRING (10 10, 20 20)"),
+            (4, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                "(3 3, 7 3, 7 7, 3 7, 3 3))", "LINESTRING (5 -1, 5 11)")]
+    df = spark.createDataFrame(rows, "id int, w1 string, w2 string") \
+        .withColumn("g", st.from_wkt("w1")) \
+        .withColumn("s", st.from_wkt("w2")) \
+        .withColumn("out", st.split("g", "s"))
+    got = {r.id: r for r in df.select(
+        "id", st.num_parts("out").alias("np"),
+        F.round(st.area("out"), 9).alias("a"),
+        F.round(st.length("out"), 9).alias("ln")).collect()}
+    assert got[0].np == 2 and got[0].a == 20.0
+    assert got[1].np == 2 and got[1].ln == 10.0
+    assert got[2].np == 2 and got[2].ln == pytest.approx(
+        2 * (5.0 ** 2 + 5.0 ** 2) ** 0.5)
+    assert got[3].np == 1 and got[3].a == 16.0     # untouched
+    assert got[4].np == 2 and got[4].a == 84.0     # donut -> two C halves
