@@ -32,6 +32,9 @@ def __getattr__(name):
                 "to_pandas_wkb"):
         from . import geodataframe
         return getattr(geodataframe, name)
+    if name in ("cluster_within", "cluster_dbscan"):
+        from . import clustering
+        return getattr(clustering, name)
     if name == "asof_join":
         from .temporal import asof_join
         return asof_join
@@ -54,6 +57,7 @@ def __getattr__(name):
 __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "DEFAULT_GEO_COLUMN_NAME", "spatial_join", "sjoin",
            "dwithin_join", "nearest_join", "sjoin_nearest", "asof_join",
+           "cluster_within", "cluster_dbscan",
            "range_join", "release", "register_sql_functions", "overlay",
            "from_arrow", "from_geopandas", "from_pandas_wkb",
            "to_pandas_wkb", "write_bucketed", "write_geoparquet",

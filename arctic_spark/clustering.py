@@ -1,0 +1,134 @@
+"""Distributed spatial clustering: ST_ClusterWithin / ST_ClusterDBSCAN.
+
+PostGIS exposes both as single-node window/aggregate functions
+(``ST_ClusterWithin(geom, d)``, ``ST_ClusterDBSCAN(geom, eps,
+minpoints) OVER ()``); the reference engine has no clustering at all
+(its surface stops at pairwise predicates, `geopolars/src/
+spatial_index.rs:89-137`).  At 100 TB neither formulation survives — a
+window over the whole table is a single-partition sort.  This module
+re-expresses both as compositions the engine already scales:
+
+1. **neighbor pairs** — ``dwithin_join`` of the table with itself:
+   radius-sized grid cells, ONE equi-join shuffle on the cell id,
+   native distance refine (zero Python for point inputs);
+2. **transitive closure** — :func:`arctic_spark.llm.graph.
+   connected_components`: min-label propagation + pointer jumping,
+   O(log diameter) rounds of two-long-per-row shuffles;
+3. DBSCAN adds two keyed aggregations (neighbor counts → core flags,
+   border attachment via min-over-core-neighbors).
+
+Cluster labels are member ids (the min id in the cluster), so labels
+are deterministic and partitioning-independent — the property the
+closed-form oracles check.
+
+Semantics:
+
+- ``cluster_within(df, distance)``: single-linkage — two geometries
+  share a cluster iff connected by a chain of hops each ≤ ``distance``
+  (PostGIS ST_ClusterWithin / ST_ClusterIntersecting with a buffer).
+  Every row gets a cluster (singletons cluster with themselves).
+- ``cluster_dbscan(df, eps, min_points)``: sklearn/PostGIS DBSCAN.
+  A row is CORE iff ≥ ``min_points`` rows lie within ``eps`` of it
+  (count includes itself, sklearn ``min_samples`` convention).  Core
+  points within ``eps`` of each other share a cluster; non-core rows
+  within ``eps`` of a core row join that core's cluster (border; ties
+  across clusters break to the smallest label — PostGIS leaves this
+  arbitrary, we pin it for determinism); remaining rows are noise
+  (cluster NULL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .geodataframe import GeoDataFrame
+from .joins import dwithin_join
+from .llm.graph import connected_components
+
+
+def _neighbor_pairs(gdf: GeoDataFrame, distance: float, id_col: str,
+                    points_only: bool) -> DataFrame:
+    """Directed neighbor pairs (src, dst), src ≠ dst, dist ≤ distance.
+    Both directions are present (the self-join emits each unordered
+    pair twice)."""
+    from .cache import pin, pinned
+    pairs = dwithin_join(gdf, gdf, distance, points_only=points_only)
+    pdf = pairs.df if isinstance(pairs, GeoDataFrame) else pairs
+    a, b = id_col + "_left", id_col + "_right"
+    out = (pdf.select(F.col(a).cast("long").alias("src"),
+                      F.col(b).cast("long").alias("dst"))
+           .where(F.col("src") != F.col("dst")))
+    return pin(out, *pinned(pairs))
+
+
+def cluster_within(df, distance: float, id_col: str,
+                   points_only: bool = False) -> DataFrame:
+    """Single-linkage distance clustering (PostGIS ST_ClusterWithin).
+
+    Returns ``(id_col, cluster)`` — one row per input row, ``cluster``
+    = min id in the row's chain-connected component.  ``points_only=
+    True`` asserts point geometries and keeps the whole neighbor-pair
+    plan JVM-native.
+    """
+    gdf = df if isinstance(df, GeoDataFrame) else GeoDataFrame(df)
+    ids = gdf.df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = _neighbor_pairs(gdf, distance, id_col, points_only)
+    comp = connected_components(edges, src="src", dst="dst",
+                                vertices=ids, vertex_col="id")
+    out = comp.select(F.col("id").alias(id_col),
+                      F.col("component").alias("cluster"))
+    from .cache import pin, pinned
+    return pin(out, *pinned(edges))
+
+
+def cluster_dbscan(df, eps: float, min_points: int, id_col: str,
+                   points_only: bool = False) -> DataFrame:
+    """Distributed DBSCAN (PostGIS ST_ClusterDBSCAN semantics).
+
+    Returns ``(id_col, cluster)`` with ``cluster`` NULL for noise.
+    Plan: one dwithin self-join (grid-cell equi-join + native refine),
+    one groupBy(id) neighbor count, connected components over the
+    core-core edges, one more keyed aggregation to attach border
+    points.  Every shuffle is keyed on a single long — payload is
+    independent of geometry size.
+    """
+    gdf = df if isinstance(df, GeoDataFrame) else GeoDataFrame(df)
+    ids = gdf.df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = _neighbor_pairs(gdf, eps, id_col, points_only)
+
+    # The edge list feeds three consumers (counts, core-core closure,
+    # border attach) — materialize it once.
+    from pyspark import StorageLevel
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # core flag: neighbor count + self >= min_points
+    ncount = edges.groupBy("src").agg(F.count("*").alias("nn"))
+    core = (ids.join(ncount, ids["id"] == ncount["src"], "left")
+            .select("id", (F.coalesce(F.col("nn"), F.lit(0)) + 1
+                           >= F.lit(int(min_points))).alias("is_core")))
+    core = core.persist(StorageLevel.MEMORY_AND_DISK)
+    core_ids = core.where("is_core").select("id")
+
+    # connected components over core-core edges only
+    ce = (edges.join(core_ids.withColumnRenamed("id", "src"), "src", "semi")
+          .join(core_ids.withColumnRenamed("id", "dst"), "dst", "semi"))
+    comp = connected_components(ce, src="src", dst="dst",
+                                vertices=core_ids, vertex_col="id")
+
+    # border: non-core with ≥1 core neighbor → min core-cluster label
+    border = (edges
+              .join(comp.select(F.col("id").alias("dst"),
+                                F.col("component").alias("nbr_cluster")),
+                    "dst")
+              .groupBy("src").agg(F.min("nbr_cluster").alias("border_cluster")))
+
+    out = (core
+           .join(comp.select("id", F.col("component").alias("core_cluster")),
+                 "id", "left")
+           .join(border.withColumnRenamed("src", "id"), "id", "left")
+           .select(F.col("id").alias(id_col),
+                   F.when(F.col("is_core"), F.col("core_cluster"))
+                    .otherwise(F.col("border_cluster")).alias("cluster")))
+    from .cache import pin, pinned
+    return pin(out, edges, core, *pinned(edges))

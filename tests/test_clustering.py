@@ -1,0 +1,68 @@
+"""Spatial clustering: cluster_within / cluster_dbscan semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import GeoDataFrame, cluster_dbscan, cluster_within, st
+
+
+def _points(spark, pts):
+    df = spark.createDataFrame([(i, float(x), float(y))
+                                for i, (x, y) in enumerate(pts, start=1)],
+                               "id long, x double, y double")
+    return GeoDataFrame(df.select(
+        "id", st.point(F.col("x"), F.col("y")).alias("geometry")))
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    # chain A: ids 1-5 spaced 0.9 (single-linkage connects end-to-end
+    # even though endpoints are 3.6 apart); pair B: ids 6-7 (too small
+    # for DBSCAN min_points=3); singleton C: id 8
+    pts = ([(i * 0.9, 0.0) for i in range(5)]          # ids 1..5
+           + [(100.0, 0.0), (100.9, 0.0)]              # ids 6,7
+           + [(200.0, 0.0)])                           # id 8
+    return _points(spark, pts)
+
+
+def test_cluster_within_single_linkage(spark, fixture):
+    got = {r["id"]: r["cluster"]
+           for r in cluster_within(fixture, 1.0, "id",
+                                   points_only=True).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
+
+
+def test_cluster_within_smaller_radius_splits(spark, fixture):
+    got = {r["id"]: r["cluster"]
+           for r in cluster_within(fixture, 0.5, "id",
+                                   points_only=True).collect()}
+    # nothing is within 0.5 — everything is its own cluster
+    assert got == {i: i for i in range(1, 9)}
+
+
+def test_cluster_dbscan_core_border_noise(spark, fixture):
+    got = {r["id"]: r["cluster"]
+           for r in cluster_dbscan(fixture, 1.0, 3, "id",
+                                   points_only=True).collect()}
+    # chain: 2,3,4 core (self + 2 nbrs), 1 and 5 border -> attach to
+    # the core component labeled min core id = 2; pair 6,7 noise
+    # (counts = 2 < 3); singleton 8 noise
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2,
+                   6: None, 7: None, 8: None}
+
+
+def test_cluster_dbscan_min_points_2(spark, fixture):
+    got = {r["id"]: r["cluster"]
+           for r in cluster_dbscan(fixture, 1.0, 2, "id",
+                                   points_only=True).collect()}
+    # min_points=2: every point with >=1 neighbor is core
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: None}
+
+
+def test_cluster_dbscan_udf_path_matches_native(spark, fixture):
+    native = {r["id"]: r["cluster"]
+              for r in cluster_dbscan(fixture, 1.0, 3, "id",
+                                      points_only=True).collect()}
+    general = {r["id"]: r["cluster"]
+               for r in cluster_dbscan(fixture, 1.0, 3, "id").collect()}
+    assert native == general
