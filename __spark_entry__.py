@@ -2068,6 +2068,94 @@ def text_tfidf_keywords(spark, sf):
             .select(F.col("id").alias("doc_id"), "rank", "token", "tfidf"))
 
 
+def _cluster_points(sf_df):
+    """Supplier point blobs for the clustering oracles. Blob b =
+    suppkey div 8 on a 50-unit grid; EVEN blobs are 0.9-spaced chains
+    (single-linkage connects end-to-end; DBSCAN: interior points core,
+    endpoints border), ODD blobs are 3.0-spaced (isolated at eps=1).
+    Labels are min-member ids, so the oracle is a closed-form groupBy."""
+    k = F.col("s_suppkey").cast("long")
+    b = F.floor(k / 8).cast("long")
+    spacing = F.when(b % 2 == 0, F.lit(0.9)).otherwise(F.lit(3.0))
+    x = (b % 32).cast("double") * 50.0 + (k % 8).cast("double") * spacing
+    y = F.floor(b / 32).cast("double") * 50.0
+    return GeoDataFrame(sf_df.select(
+        k.alias("s_suppkey"), st.point(x, y).alias("geometry")))
+
+
+def geo_cluster_within(spark, sf):
+    """Single-linkage distance clustering (PostGIS ST_ClusterWithin,
+    round 6): dwithin self-join (radius grid cells, native point
+    refine, zero Python) + min-label connected components with pointer
+    jumping. Even blobs chain into one cluster labeled by their min id;
+    odd blobs (spacing 3 > 1) stay singletons."""
+    from arctic_spark import cluster_within
+    s = _t(spark, sf, "supplier")
+    pts = _cluster_points(s)
+    return (cluster_within(pts, 1.0, "s_suppkey", points_only=True)
+            .orderBy("s_suppkey"))
+
+
+def geo_cluster_dbscan(spark, sf):
+    """Distributed DBSCAN (PostGIS ST_ClusterDBSCAN semantics, round 6):
+    neighbor counts from the dwithin self-join, connected components
+    over core-core edges, border points attach to their min core
+    cluster, noise stays NULL. On the chain fixture the endpoints are
+    border (2 neighbors incl. self < 3), so the cluster label is the
+    SECOND-smallest id — the oracle's min(id)+1 closed form checks
+    core/border handling, not just connectivity."""
+    from arctic_spark import cluster_dbscan
+    s = _t(spark, sf, "supplier")
+    pts = _cluster_points(s)
+    return (cluster_dbscan(pts, 1.0, 3, "s_suppkey", points_only=True)
+            .orderBy("s_suppkey"))
+
+
+def geo_subdivide(spark, sf):
+    """PostGIS ST_Subdivide (round 6): regular 48-gons (radius from the
+    supplier key) recursively bbox-halved until every piece carries at
+    most 16 coordinates. The halving cut reuses the Sutherland-Hodgman
+    rect clip, so both halves compute identical intersection points on
+    the cut line and piece areas sum EXACTLY to the polygon area —
+    0.5·n·r²·sin(2π/n) closed-form in the oracle; the piece-size
+    contract (every piece ≤ 16 coords, ≥ 2 pieces) rides along as
+    booleans."""
+    import math
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    r = (k % 4).cast("double") + 2.0
+    step = 2.0 * math.pi / 48.0
+    idx = F.sequence(F.lit(0), F.lit(47))
+    ax = F.transform(idx, lambda i: r * F.cos(i.cast("double") * step))
+    ay = F.transform(idx, lambda i: r * F.sin(i.cast("double") * step))
+    d = (s.select("s_suppkey", st.make_polygon(ax, ay).alias("g0"))
+         .withColumn("geometry", st.subdivide(F.col("g0"), 16))
+         .select("s_suppkey", "geometry"))
+    ex = st.explode_parts(d, "geometry")
+    return (ex.groupBy("s_suppkey")
+            .agg(F.round(F.sum(st.area("geometry")), 6).alias("tot_area"),
+                 (F.max(st.count_coordinates("geometry")) <= 16)
+                 .alias("all_small"),
+                 (F.count("*") >= 2).alias("was_split"))
+            .orderBy("s_suppkey"))
+
+
+def text_bm25_topk(spark, sf):
+    """Okapi BM25 top-5 retrieval (round 6): queries are the first five
+    documents' leading 60 chars; corpus tokenizes once (token array +
+    doc length in one codegen expression), shuffles once on (doc,
+    token) and once on token for df; query terms + idf broadcast into
+    the postings join; per-query top-k via window. idf rounds to 6
+    before scoring so both engines rank identical IEEE doubles."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    q = (d.where(F.col("doc_id") < 5)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.substring("text", 1, 60).alias("query_text")))
+    return (pipeline.bm25_topk(d, q, k=5, k1=1.5, b=0.75)
+            .orderBy("query_id", "rank"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2172,6 +2260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": text_readability,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_keywords": text_tfidf_keywords,
+        "geo_cluster_within": geo_cluster_within,
+        "geo_cluster_dbscan": geo_cluster_dbscan,
+        "geo_subdivide": geo_subdivide,
+        "text_bm25_topk": text_bm25_topk,
     }
 
 
@@ -4089,6 +4181,84 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, rank, token, tfidf
             FROM ranked WHERE rank <= 3 AND doc_id < 30
+        """,
+        "geo_cluster_within": """
+            WITH pts AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS id,
+                       CAST(s_suppkey // 8 AS BIGINT) AS b
+                FROM supplier),
+            agg AS (SELECT b, count(*) AS c, min(id) AS mn
+                    FROM pts GROUP BY b)
+            SELECT p.id AS s_suppkey,
+                   CAST(CASE WHEN a.b % 2 = 0 THEN a.mn ELSE p.id END
+                        AS BIGINT) AS cluster
+            FROM pts p JOIN agg a ON p.b = a.b
+            ORDER BY s_suppkey
+        """,
+        "geo_cluster_dbscan": """
+            WITH pts AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS id,
+                       CAST(s_suppkey // 8 AS BIGINT) AS b
+                FROM supplier),
+            agg AS (SELECT b, count(*) AS c, min(id) AS mn
+                    FROM pts GROUP BY b)
+            SELECT p.id AS s_suppkey,
+                   CAST(CASE WHEN a.b % 2 = 0 AND a.c >= 3 THEN a.mn + 1
+                        END AS BIGINT) AS cluster
+            FROM pts p JOIN agg a ON p.b = a.b
+            ORDER BY s_suppkey
+        """,
+        "geo_subdivide": """
+            SELECT s_suppkey,
+                   round(0.5 * 48 * r * r * sin(2 * pi() / 48), 6)
+                       AS tot_area,
+                   TRUE AS all_small,
+                   TRUE AS was_split
+            FROM (SELECT s_suppkey,
+                         CAST(s_suppkey % 4 AS DOUBLE) + 2.0 AS r
+                  FROM supplier)
+            ORDER BY s_suppkey
+        """,
+        "text_bm25_topk": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                           '[^a-zA-Z0-9]+'), w -> length(w) > 0) AS ws
+                FROM documents),
+            lens AS (SELECT doc_id, ws, len(ws) AS dl FROM base),
+            tok AS (SELECT doc_id, dl, unnest(ws) AS token FROM lens),
+            tf AS (SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+                   FROM tok GROUP BY doc_id, token),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                             avg(dl) AS avgdl
+                      FROM lens),
+            q AS (SELECT DISTINCT doc_id AS query_id,
+                         unnest(list_filter(string_split_regex(
+                             lower(substr(text, 1, 60)), '[^a-zA-Z0-9]+'),
+                             w -> length(w) > 0)) AS token
+                  FROM documents WHERE doc_id < 5),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            scored AS (
+                SELECT q.query_id, tf.doc_id,
+                       round(sum(
+                           round(ln(1 + (s.n_docs - d.df + 0.5)
+                                    / (d.df + 0.5)), 6)
+                           * (tf.tf * 2.5)
+                           / (tf.tf + 1.5 * (0.25
+                              + 0.75 * tf.dl / s.avgdl))), 6) AS score
+                FROM tf
+                JOIN q ON tf.token = q.token
+                JOIN dfreq d ON tf.token = d.token
+                CROSS JOIN stats s
+                GROUP BY q.query_id, tf.doc_id),
+            ranked AS (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, rank, doc_id, score
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
     }
 

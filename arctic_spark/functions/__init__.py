@@ -28,7 +28,7 @@ from .native import (affine_transform, area, bbox_intersects, boundary,
                      x, y)
 from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    geodesic_length, geom_equals, is_simple, is_valid,
-                   is_valid_reason, build_area, split,
+                   is_valid_reason, build_area, split, subdivide,
                    relate, relate_pattern, representative_point,
                    geom_from_wkb, geom_from_wkt, geom_to_wkb, geom_to_wkt,
                    from_geojson, to_geojson,
@@ -112,7 +112,7 @@ __all__ = [
     "voronoi_polygons", "concave_hull", "polygonize", "snap",
     "shared_paths", "offset_curve", "make_valid", "normalize", "node",
     "extract_unique_points", "collection_extract", "project",
-    "line_substring", "azimuth",
+    "line_substring", "azimuth", "split", "build_area", "subdivide",
 ]
 
 

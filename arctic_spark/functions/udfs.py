@@ -386,6 +386,20 @@ def split(g: pd.DataFrame, splitter: pd.DataFrame) -> pd.DataFrame:
         ragged_from_pdf(g), ragged_from_pdf(splitter)))
 
 
+def subdivide(g, max_vertices: int = 128):
+    """PostGIS ``ST_Subdivide``: recursively bbox-halve polygons (and
+    vertex-chunk lines) whose coordinate count exceeds ``max_vertices``;
+    pieces come back as one Multi* per row (compose with
+    ``explode_parts`` for the PostGIS set-returning shape). Piece areas
+    / lengths sum exactly to the input's — algos.subdivide."""
+    mv = int(max_vertices)
+
+    @pandas_udf(GEOM_TYPE)
+    def _subdivide(gg: pd.DataFrame) -> pd.DataFrame:
+        return ragged_to_pdf(algos.subdivide(ragged_from_pdf(gg), mv))
+    return _subdivide(g)
+
+
 @pandas_udf(GEOM_TYPE)
 def build_area(g: pd.DataFrame) -> pd.DataFrame:
     """Areal geometry from constituent linework (GEOS/PostGIS

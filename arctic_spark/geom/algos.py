@@ -2662,3 +2662,115 @@ def voronoi_polygons(rg: RaggedGeometry, extend: float = 2.0):
         oxs.append(fx); oys.append(fy); orings.append(nr)
         oparts.append(npart)
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+# ---------------------------------------------------------------------------
+# Subdivide (PostGIS ST_Subdivide)
+# ---------------------------------------------------------------------------
+
+def _poly_pieces(xs, ys, rings, parts, max_v, depth, pieces):
+    """Recursively bbox-halve a (multi)polygon until every piece has at
+    most ``max_v`` coordinates; terminal pieces are appended per single
+    polygon part. Reuses the Sutherland-Hodgman ``clip_by_rect`` for the
+    halving cut, so piece areas sum exactly to the input area (the two
+    half-rect clips compute identical intersection points on the shared
+    cut line)."""
+    if len(xs) <= max_v or depth <= 0:
+        off = 0
+        ri = 0
+        for nrings in parts:
+            px, py, pr = [], [], []
+            for j in range(nrings):
+                rl = int(rings[ri + j])
+                px.extend(np.asarray(xs[off:off + rl]).tolist())
+                py.extend(np.asarray(ys[off:off + rl]).tolist())
+                pr.append(rl)
+                off += rl
+            ri += int(nrings)
+            pieces.append((px, py, pr))
+        return
+    xmin, xmax = float(np.min(xs)), float(np.max(xs))
+    ymin, ymax = float(np.min(ys)), float(np.max(ys))
+    if xmax - xmin >= ymax - ymin:
+        mid = 0.5 * (xmin + xmax)
+        rects = [(xmin, ymin, mid, ymax), (mid, ymin, xmax, ymax)]
+    else:
+        mid = 0.5 * (ymin + ymax)
+        rects = [(xmin, ymin, xmax, mid), (xmin, mid, xmax, ymax)]
+    gt_in = POLYGON if len(parts) == 1 else MULTIPOLYGON
+    one = RaggedGeometry.from_pylists(
+        [int(gt_in)], [np.asarray(xs).tolist()], [np.asarray(ys).tolist()],
+        [np.asarray(rings).tolist()], [np.asarray(parts).tolist()])
+    for rect in rects:
+        sub = clip_by_rect(one, *rect)
+        g2, x2, y2, r2, p2 = sub.geom(0)
+        if g2 == MISSING or len(x2) == 0:
+            continue
+        _poly_pieces(x2, y2, r2, p2, max_v, depth - 1, pieces)
+
+
+def subdivide(rg: RaggedGeometry, max_vertices: int = 128,
+              max_depth: int = 24):
+    """PostGIS ``ST_Subdivide``: split geometries whose coordinate count
+    exceeds ``max_vertices`` into simpler pieces, returned as one
+    Multi* per input row (compose with ``explode_parts`` for the
+    set-returning PostGIS shape).
+
+    - (Multi)Polygons: recursive bbox halving along the longer axis +
+      rectangle clip; piece areas sum exactly to the input area.
+    - (Multi)LineStrings: vertex-chunking into chained sub-lines of at
+      most ``max_vertices`` points (consecutive chunks share their
+      boundary vertex, so lengths sum exactly).
+    - Points / small geometries pass through unchanged.
+
+    ``max_depth`` bounds the polygon recursion (a piece still above the
+    limit at depth 0 is emitted as-is rather than looping forever on
+    pathological inputs).
+    """
+    max_v = max(8, int(max_vertices))
+    gts, oxs, oys, orings, oparts = [], [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g == MISSING:
+            gts.append(None); oxs.append(None); oys.append(None)
+            orings.append(None); oparts.append(None)
+            continue
+        if g in (POLYGON, MULTIPOLYGON) and len(xs) > max_v:
+            pieces = []
+            _poly_pieces(xs, ys, rings, parts, max_v, max_depth, pieces)
+            if not pieces:
+                gts.append(POLYGON); oxs.append([]); oys.append([])
+                orings.append([]); oparts.append([])
+                continue
+            fx, fy, fr, fp = [], [], [], []
+            for px, py, pr in pieces:
+                fx.extend(px); fy.extend(py); fr.extend(pr)
+                fp.append(len(pr))
+            gts.append(int(MULTIPOLYGON if len(pieces) > 1 else POLYGON))
+            oxs.append(fx); oys.append(fy); orings.append(fr)
+            oparts.append(fp)
+        elif g in (LINESTRING, MULTILINESTRING) and len(xs) > max_v:
+            fx, fy, fr = [], [], []
+            off = 0
+            for rl in rings:
+                rl = int(rl)
+                x, y = xs[off:off + rl], ys[off:off + rl]
+                start = 0
+                while start < rl - 1:
+                    end = min(start + max_v, rl)
+                    fx.extend(x[start:end].tolist())
+                    fy.extend(y[start:end].tolist())
+                    fr.append(end - start)
+                    if end == rl:
+                        break
+                    start = end - 1          # chain: share boundary vertex
+                off += rl
+            gts.append(int(MULTILINESTRING if len(fr) > 1 else LINESTRING))
+            oxs.append(fx); oys.append(fy); orings.append(fr)
+            oparts.append([1] * len(fr))
+        else:
+            gts.append(int(g)); oxs.append(np.asarray(xs).tolist())
+            oys.append(np.asarray(ys).tolist())
+            orings.append(np.asarray(rings).tolist())
+            oparts.append(np.asarray(parts).tolist())
+    return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)

@@ -523,3 +523,72 @@ def dedup_paragraphs(df: DataFrame, id_col="doc_id", text_col="text",
             .agg(F.array_join(F.transform(F.array_sort(F.collect_list(
                 F.struct("pos", "para"))), lambda s: s["para"]),
                 sep).alias("text")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi BM25 — the lexical-retrieval baseline every
+# RAG / hard-negative-mining pipeline needs; the reference engine has no
+# text surface at all)
+# ---------------------------------------------------------------------------
+
+def bm25_topk(corpus: DataFrame, queries: DataFrame, id_col="doc_id",
+              text_col="text", query_id_col="query_id",
+              query_text_col="query_text", k: int = 5, k1: float = 1.2,
+              b: float = 0.75, lowercase=True) -> DataFrame:
+    """Top-k documents per query by Okapi BM25.
+
+    score(q, d) = Σ_{t ∈ distinct(q)} idf(t) · tf·(k1+1) /
+                  (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (rounded to 6 — both
+    engines' ``ln`` can differ in the last ulp; everything downstream of
+    the rounding is exact IEEE arithmetic, so ranks are deterministic).
+
+    Scale shape: the corpus tokenizes once (token list + doc length
+    bound in ONE codegen expression), shuffles once on (doc, token) for
+    tf and once on token for df; the query table and the per-query-token
+    df/idf table are broadcast, so the postings join never shuffles the
+    corpus again. Top-k per query is a window over the (small) scored
+    candidate set. Returns (query_id, rank, doc_id, score).
+    """
+    from pyspark.sql import Window
+    from ..functions.native import _let
+    toks = word_tokens(text_col, lowercase=lowercase)
+
+    packed = _let(toks, lambda ws: F.struct(ws.alias("ws"),
+                                            F.size(ws).alias("dl")))
+    base = corpus.select(_c(id_col).alias("id"), packed.alias("s"))
+    tf = (base.select("id", F.col("s.dl").alias("dl"),
+                      F.explode("s.ws").alias("token"))
+          .groupBy("id", "token")
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+
+    stats = base.agg(F.count("*").cast("double").alias("n_docs"),
+                     F.avg("s.dl").alias("avgdl"))
+
+    qt = queries.select(
+        _c(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(
+            word_tokens(query_text_col, lowercase=lowercase)))
+        .alias("token"))
+
+    # df only for query tokens: full-corpus doc frequency, then semi-join
+    # down to the (tiny) query vocabulary before broadcasting
+    dfreq = (tf.groupBy("token").agg(F.count("*").alias("df"))
+             .join(F.broadcast(qt.select("token").distinct()), "token",
+                   "semi"))
+
+    idf_col = F.round(F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        6)
+    tf_part = (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf") + k1 * (1.0 - b
+                                      + b * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(qt), "token")
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "id")
+              .agg(F.round(F.sum(idf_col * tf_part), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("query_id", "rank", F.col("id").alias(id_col), "score"))

@@ -131,6 +131,11 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         return ragged_to_pdf(algos.simplify(ragged_from_pdf(g), t))
 
     @pandas_udf(GEOM_TYPE)
+    def st_subdivide(g: pd.DataFrame, mv: pd.Series) -> pd.DataFrame:
+        m = int(mv.iloc[0]) if len(mv) else 128
+        return ragged_to_pdf(algos.subdivide(ragged_from_pdf(g), m))
+
+    @pandas_udf(GEOM_TYPE)
     def st_offsetcurve(g: pd.DataFrame, dist: pd.Series) -> pd.DataFrame:
         d = float(dist.iloc[0]) if len(dist) else 0.0
         return ragged_to_pdf(algos.offset_curve(ragged_from_pdf(g), d))
@@ -414,6 +419,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_polygonize": _geom_udf(algos.polygonize),
         "st_buildarea": _geom_udf(algos.build_area),
         "st_split": _udfs.split,
+        "st_subdivide": st_subdivide,
         "st_makevalid": _geom_udf(algos.make_valid),
         "st_normalize": _geom_udf(algos.normalize),
         "st_node": _geom_udf(algos.node_lines),

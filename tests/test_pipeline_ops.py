@@ -322,3 +322,33 @@ def test_mixture_plan_and_sample(spark):
     assert sorted(r.doc_id for r in keep_all.collect()) == [14, 15]
     with pytest.raises(ValueError):
         pipeline.mixture_plan(df, "dom", {"a": 0.0}, 100)
+
+
+# -- BM25 retrieval ---------------------------------------------------------
+
+def test_bm25_topk_self_retrieval(docs, spark):
+    # each query is a document's own text -> that document ranks first
+    q = docs.select(F.col("doc_id").alias("query_id"),
+                    F.col("text").alias("query_text"))
+    out = pipeline.bm25_topk(docs, q, k=3).collect()
+    first = {r["query_id"]: r["doc_id"] for r in out if r["rank"] == 1}
+    for qid, did in first.items():
+        assert did == qid
+    # scores are positive and ranks dense per query
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["score"] > 0
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_rare_term_beats_common(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"),
+         (3, "alpha zeta unique")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(0, "unique")],
+                              "query_id long, query_text string")
+    out = pipeline.bm25_topk(corpus, q, k=3).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3

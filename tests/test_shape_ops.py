@@ -436,3 +436,48 @@ def test_split(spark):
         2 * (5.0 ** 2 + 5.0 ** 2) ** 0.5)
     assert got[3].np == 1 and got[3].a == 16.0     # untouched
     assert got[4].np == 2 and got[4].a == 84.0     # donut -> two C halves
+
+
+# -- subdivide (PostGIS ST_Subdivide) ---------------------------------------
+
+def test_subdivide_polygon_conserves_area(spark):
+    n = 40
+    pts = [(3.0 * math.cos(2 * math.pi * i / n),
+            3.0 * math.sin(2 * math.pi * i / n)) for i in range(n)]
+    xs = [p[0] for p in pts] + [pts[0][0]]
+    ys = [p[1] for p in pts] + [pts[0][1]]
+    df = spark.createDataFrame([(1, xs, ys)],
+                               "id long, xs array<double>, ys array<double>")
+    d = df.withColumn("geometry",
+                      st.subdivide(st.make_polygon(F.col("xs"), F.col("ys")), 12))
+    ex = st.explode_parts(d, "geometry")
+    rows = (ex.groupBy("id")
+            .agg(F.sum(st.area("geometry")).alias("tot"),
+                 F.max(st.count_coordinates("geometry")).alias("mx"),
+                 F.count("*").alias("n"))
+            .collect())
+    true_area = 0.5 * n * 9.0 * math.sin(2 * math.pi / n)
+    assert abs(rows[0]["tot"] - true_area) < 1e-9
+    assert rows[0]["mx"] <= 12
+    assert rows[0]["n"] >= 2
+
+
+def test_subdivide_small_passthrough_and_line_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(50)], [0.0] * 50)],
+        "id long, xs array<double>, ys array<double>")
+    d = df.withColumn("geometry",
+                      st.subdivide(st.make_line(F.col("xs"), F.col("ys")), 10))
+    ex = st.explode_parts(d, "geometry")
+    rows = (ex.groupBy("id")
+            .agg(F.sum(st.length("geometry")).alias("tot"),
+                 F.count("*").alias("n")).collect())
+    assert abs(rows[0]["tot"] - 49.0) < 1e-12
+    assert rows[0]["n"] > 1
+    # below the limit: unchanged single part
+    small = spark.createDataFrame(
+        [(1, [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0])],
+        "id long, xs array<double>, ys array<double>")
+    d2 = small.withColumn("geometry",
+                          st.subdivide(st.make_polygon(F.col("xs"), F.col("ys")), 16))
+    assert d2.select(st.num_parts("geometry")).collect()[0][0] == 1
