@@ -7,12 +7,15 @@ that needs no codec library — parsed directly from bytes with numpy:
 - audio: WAV/RIFF (PCM 8/16/32-bit and IEEE float32) → samples,
   sample-rate, channel mix-down, RMS / zero-crossing / spectral-centroid
   features;
-- image: PPM (P6), PGM (P5), uncompressed BMP (24/32-bit) → pixel
-  array, per-channel stats, 8×8 luminance thumbnail features, and a
-  64-bit dHash perceptual hash (pairs with ``dedup.hamming64`` for
-  near-duplicate image detection at scale).
+- image: PPM (P6), PGM (P5), uncompressed BMP (24/32-bit), and — since
+  round 7 — real PNG (stdlib ``zlib`` inflates IDAT; numpy reverses
+  the scanline filters; bit depths 1/2/4/8/16, gray/RGB/palette/alpha
+  color types) → pixel array, per-channel stats, 8×8 luminance
+  thumbnail features, and a 64-bit dHash perceptual hash (pairs with
+  ``dedup.hamming64`` for near-duplicate image detection at scale).
 
-Formats that require entropy codecs (JPEG/PNG/MP3/H.264) stay gated:
+Formats that require entropy codecs beyond DEFLATE (JPEG/MP3/H.264,
+PNG Adam7 aside — interlace is rejected) stay gated:
 ``fake=True`` substitutes deterministic md5-seeded vectors, otherwise
 the job raises ``NotImplementedError`` at execution (the codec libs are
 not in this container; the distributed plumbing — schema, Arrow
@@ -143,6 +146,132 @@ def _parse_bmp(buf: bytes):
     return img[::-1] if flip else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth)
+    → (h, stride) uint8 of raw bytes. Sub is a per-lane modular prefix
+    sum (vectorized cumsum); Up is a vector add; Average/Paeth carry a
+    true per-pixel recurrence, so those rows run a Python loop — PNG
+    pays an inherently sequential decode, unlike PPM/BMP."""
+    rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1))
+    rows = rows.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint16)
+    zero = np.zeros(stride, np.uint16)
+    for r in range(h):
+        f = int(rows[r, 0])
+        line = rows[r, 1:].astype(np.uint16)
+        prior = out[r - 1] if r else zero
+        if f == 0:
+            rec = line
+        elif f == 1:                                   # Sub
+            k = -(-stride // bpp)
+            lanes = np.zeros(k * bpp, np.int64)
+            lanes[:stride] = line
+            rec = (np.cumsum(lanes.reshape(k, bpp), axis=0) % 256) \
+                .reshape(-1)[:stride].astype(np.uint16)
+        elif f == 2:                                   # Up
+            rec = (line + prior) & 0xFF
+        elif f == 3:                                   # Average
+            rec = line.copy()
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(line[i]) + ((left + int(prior[i])) >> 1)) & 0xFF
+        elif f == 4:                                   # Paeth
+            rec = line.copy()
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                bb = int(prior[i])
+                c = int(out[r - 1, i - bpp]) if (r and i >= bpp) else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc
+                                                          else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[r] = rec
+    return out.astype(np.uint8)
+
+
+def _png_expand_bits(row_bytes: np.ndarray, depth: int, w: int) -> np.ndarray:
+    """Unpack sub-byte samples (depth 1/2/4, gray or palette indices)."""
+    if depth == 1:
+        return np.unpackbits(row_bytes, axis=1)[:, :w]
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    vals = (row_bytes[:, :, None] >> shifts[None, None, :]) & mask
+    return vals.reshape(row_bytes.shape[0], -1)[:, :w]
+
+
+def parse_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode, pure numpy + stdlib zlib (DEFLATE needs no
+    external codec — the container has zlib by definition of CPython).
+    Supports bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA); alpha is dropped, 16-bit
+    narrows to the high byte, interlace (Adam7) is rejected. Returns
+    HxW (gray) or HxWx3 (RGB) uint8."""
+    import zlib
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(buf):
+        (size,) = struct.unpack_from(">I", buf, pos)
+        cid = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", body, 0)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size                     # len + type + body + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if interlace:
+        raise NotImplementedError("PNG Adam7 interlace not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG: unknown color type {ctype}")
+    if ctype != 0 and ctype != 3 and depth < 8:
+        raise ValueError(f"PNG: depth {depth} invalid for color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    bits_px = depth * channels
+    stride = (w * bits_px + 7) // 8
+    bpp = max(1, bits_px // 8)
+    data = _png_unfilter(raw, h, stride, bpp)
+    if depth < 8:
+        samples = _png_expand_bits(data, depth, w)       # (h, w) indices/gray
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("PNG: palette image without PLTE")
+            return plte[samples]
+        scale = {1: 255, 2: 85, 4: 17}[depth]
+        return (samples * scale).astype(np.uint8)
+    if depth == 16:
+        data = data.reshape(h, w * channels, 2)[:, :, 0]  # high byte
+        arr = data.reshape(h, w, channels)
+    else:
+        arr = data.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        return plte[arr[:, :, 0]]
+    if ctype == 0:
+        return arr[:, :, 0]
+    if ctype == 4:
+        return arr[:, :, 0]                               # drop alpha
+    return arr[:, :, :3]                                  # RGB / drop alpha
+
+
 def _decode_image_bytes(b: bytes, fmt_hint: str | None = None):
     """Decode self-describing image bytes to an HxW[x3] uint8 array, or
     raise for codec-dependent formats."""
@@ -150,6 +279,8 @@ def _decode_image_bytes(b: bytes, fmt_hint: str | None = None):
         return _parse_pnm(b)
     if b[:2] == b"BM":
         return _parse_bmp(b)
+    if b[:8] == _PNG_SIG:
+        return parse_png(b)
     raise NotImplementedError(
         f"image format {fmt_hint or b[:4]!r} requires a codec library "
         "not present in this environment; pass fake=True to exercise "

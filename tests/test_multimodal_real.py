@@ -145,10 +145,138 @@ def test_image_phash_near_dup_pairs(spark):
 
 
 def test_codec_formats_still_gated(spark):
-    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))],
+    # JPEG needs an entropy codec -> still gated (PNG is real since r7)
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
                                "id long, payload binary")
     with pytest.raises(Exception):
         multimodal.decode_image_features(df).collect()
     # fake path still works for any payload
     out = multimodal.decode_image_features(df, dim=8, fake=True).collect()
     assert len(out[0].features) == 8
+
+
+# -- PNG (real decode: stdlib zlib DEFLATE + numpy unfilter) -----------------
+
+def _png_bytes(img: np.ndarray, filters=None, ctype=None, depth=8,
+               palette=None) -> bytes:
+    """Minimal PNG encoder for test fixtures: explicit per-row filter
+    types exercise every unfilter path."""
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+    if img.ndim == 2:
+        h, w = img.shape
+        ch = 1
+        ct = 0 if ctype is None else ctype
+    else:
+        h, w, ch = img.shape
+        ct = {3: 2, 4: 6, 2: 4}[ch] if ctype is None else ctype
+    bits_px = depth * ch
+    stride = (w * bits_px + 7) // 8
+    bpp = max(1, bits_px // 8)
+    if filters is None:
+        filters = [0] * h
+
+    if depth == 8:
+        rows = img.reshape(h, stride).astype(np.int64)
+    elif depth == 16:
+        wide = img.astype(np.uint16) * 257
+        rows = np.zeros((h, stride), np.int64)
+        flat = wide.reshape(h, -1)
+        rows[:, 0::2] = flat >> 8
+        rows[:, 1::2] = flat & 0xFF
+    else:                                    # sub-byte gray / palette
+        per = 8 // depth
+        pad = (-w) % per
+        vals = np.pad(img.reshape(h, w), ((0, 0), (0, pad)))
+        packed = np.zeros((h, stride), np.int64)
+        for j in range(per):
+            packed |= vals[:, j::per].astype(np.int64) << ((per - 1 - j)
+                                                           * depth)
+        rows = packed
+
+    out = []
+    prev = np.zeros(stride, np.int64)
+    for r in range(h):
+        f = filters[r]
+        line = rows[r]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            enc = (line - (left + prev) // 2) % 256
+        elif f == 4:
+            enc = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                enc[i] = (int(line[i]) - pred) % 256
+        out.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+    chunks = [chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        chunks.append(chunk(b"PLTE", bytes(np.asarray(palette,
+                                                      np.uint8).reshape(-1))))
+    chunks.append(chunk(b"IDAT", zlib.compress(b"".join(out))))
+    chunks.append(chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
+def test_png_roundtrip_all_filters():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (10, 7, 3)).astype(np.uint8)
+    for filters in ([0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
+                    [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]):
+        got = multimodal.parse_png(_png_bytes(img, filters=filters))
+        assert np.array_equal(got, img), filters
+
+
+def test_png_color_types():
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 255, (6, 9)).astype(np.uint8)
+    assert np.array_equal(multimodal.parse_png(_png_bytes(gray)), gray)
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 255, (5, 4, 4)).astype(np.uint8)
+    assert np.array_equal(multimodal.parse_png(_png_bytes(rgba)),
+                          rgba[:, :, :3])
+    # palette
+    pal = rng.integers(0, 255, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (7, 5)).astype(np.uint8)
+    got = multimodal.parse_png(_png_bytes(idx, ctype=3, palette=pal))
+    assert np.array_equal(got, pal[idx])
+    # 4-bit gray scales by 17
+    g4 = rng.integers(0, 16, (4, 10)).astype(np.uint8)
+    got4 = multimodal.parse_png(_png_bytes(g4, depth=4))
+    assert np.array_equal(got4, (g4 * 17).astype(np.uint8))
+    # 16-bit narrows to high byte (x*257 -> high byte == x)
+    g16 = rng.integers(0, 255, (3, 8)).astype(np.uint8)
+    got16 = multimodal.parse_png(_png_bytes(g16, depth=16))
+    assert np.array_equal(got16, g16)
+
+
+def test_png_phash_matches_ppm(spark):
+    w, h = 16, 8
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, w).astype(np.uint8)[None, :]
+    img[..., 1] = 128
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(img))),
+         (2, bytearray(_png_bytes(img, filters=[4] * h)))],
+        "id long, payload binary")
+    out = {r.id: r for r in multimodal.image_meta_and_phash(df).collect()}
+    assert (out[2].width, out[2].height) == (w, h)
+    assert out[1].phash64 == out[2].phash64
