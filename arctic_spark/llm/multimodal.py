@@ -10,7 +10,8 @@ that needs no codec library — parsed directly from bytes with numpy:
 - image: PPM (P6), PGM (P5), uncompressed BMP (24/32-bit), and — since
   round 7 — real PNG (stdlib ``zlib`` inflates IDAT; numpy reverses
   the scanline filters; bit depths 1/2/4/8/16, gray/RGB/palette/alpha
-  color types) → pixel array, per-channel stats, 8×8 luminance
+  color types) and real GIF (pure-Python LZW, global/local palettes,
+  4-pass interlace) → pixel array, per-channel stats, 8×8 luminance
   thumbnail features, and a 64-bit dHash perceptual hash (pairs with
   ``dedup.hamming64`` for near-duplicate image detection at scale).
 
@@ -272,6 +273,108 @@ def parse_png(buf: bytes) -> np.ndarray:
     return arr[:, :, :3]                                  # RGB / drop alpha
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decode (pure Python — LZW is table lookups, no
+    entropy math). Codes are packed LSB-first; the code width grows
+    when the table reaches 2^width, capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    out = bytearray()
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    prev = None
+    while bitpos + code_size <= total_bits:
+        code = (acc >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = fresh()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(table[prev] + entry[:1])
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF: corrupt LZW stream")
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = code
+    return bytes(out)
+
+
+def parse_gif(buf: bytes) -> np.ndarray:
+    """Real GIF decode (first frame), pure Python/numpy: logical screen
+    descriptor, global/local color table, LZW-compressed indices,
+    optional interlace. Returns HxWx3 uint8 RGB (frame-local size)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf, np.uint8, count=n * 3,
+                            offset=pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:                       # extension: skip sub-blocks
+            pos += 2
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:                     # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(buf, np.uint8, count=n * 3,
+                                    offset=pos).reshape(-1, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF: no color table")
+            mcs = buf[pos]
+            pos += 1
+            chunks = []
+            while pos < len(buf) and buf[pos] != 0:
+                ln = buf[pos]
+                chunks.append(buf[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(_gif_lzw_decode(b"".join(chunks), mcs),
+                                np.uint8, count=w * h).reshape(h, w)
+            if iflags & 0x40:                # 4-pass interlace reorder
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return pal[idx]
+        elif b0 == 0x3B:                     # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+    raise ValueError("GIF: no image data")
+
+
 def _decode_image_bytes(b: bytes, fmt_hint: str | None = None):
     """Decode self-describing image bytes to an HxW[x3] uint8 array, or
     raise for codec-dependent formats."""
@@ -281,6 +384,8 @@ def _decode_image_bytes(b: bytes, fmt_hint: str | None = None):
         return _parse_bmp(b)
     if b[:8] == _PNG_SIG:
         return parse_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return parse_gif(b)
     raise NotImplementedError(
         f"image format {fmt_hint or b[:4]!r} requires a codec library "
         "not present in this environment; pass fake=True to exercise "

@@ -280,3 +280,91 @@ def test_png_phash_matches_ppm(spark):
     out = {r.id: r for r in multimodal.image_meta_and_phash(df).collect()}
     assert (out[2].width, out[2].height) == (w, h)
     assert out[1].phash64 == out[2].phash64
+
+
+# -- GIF (real decode: pure-Python LZW) --------------------------------------
+
+def _pack_lsb(codes_widths):
+    acc = nbits = 0
+    out = bytearray()
+    for c, wd in codes_widths:
+        acc |= c << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(idx: np.ndarray, palette: np.ndarray,
+               interlace=False) -> bytes:
+    """Minimal GIF89a encoder: clear-code before every pixel (a valid,
+    trivially-correct LZW stream — dictionary growth is covered by the
+    hand-packed stream test)."""
+    h, w = idx.shape
+    k = 1
+    while (2 << k) < len(palette):
+        k += 1
+    pal = np.zeros((2 << k, 3), np.uint8)
+    pal[:len(palette)] = palette
+    mcs = max(2, k + 1)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    cw = mcs + 1
+    rows = idx
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = idx[order]
+    codes = [(clear, cw)]
+    for v in rows.reshape(-1):
+        codes.append((int(v), cw))
+        codes.append((clear, cw))
+    codes.append((end, cw))
+    data = _pack_lsb(codes)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | k, 0, 0)
+            + pal.tobytes()
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                    0x40 if interlace else 0)
+            + bytes([mcs]) + bytes(blocks) + b"\x00" + b"\x3B")
+
+
+def test_gif_lzw_dictionary_growth():
+    # mcs=2: codes [clear=4, 1, 2, 6, 7, end=5]; table grows 6:'12',
+    # 7:'21', 8:'122' and the width bumps to 4 bits after entry 7
+    stream = _pack_lsb([(4, 3), (1, 3), (2, 3), (6, 3), (7, 4), (5, 4)])
+    out = multimodal._gif_lzw_decode(stream, 2)
+    assert list(out) == [1, 2, 1, 2, 2, 1]
+
+
+def test_gif_roundtrip_and_interlace():
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 255, (8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, (11, 6)).astype(np.uint8)
+    got = multimodal.parse_gif(_gif_bytes(idx, pal))
+    assert np.array_equal(got, pal[idx])
+    got_i = multimodal.parse_gif(_gif_bytes(idx, pal, interlace=True))
+    assert np.array_equal(got_i, pal[idx])
+
+
+def test_gif_in_distributed_phash(spark):
+    w, h = 16, 8
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, w).astype(np.uint8)[None, :]
+    img[..., 1] = 128
+    # GIF is palette-based: build the exact palette of this gradient
+    uniq, inv = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    idx = inv.reshape(h, w).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(img))),
+         (2, bytearray(_gif_bytes(idx, uniq)))],
+        "id long, payload binary")
+    out = {r.id: r for r in multimodal.image_meta_and_phash(df).collect()}
+    assert (out[2].width, out[2].height) == (w, h)
+    assert out[1].phash64 == out[2].phash64
