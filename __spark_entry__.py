@@ -2156,6 +2156,37 @@ def text_bm25_topk(spark, sf):
             .orderBy("query_id", "rank"))
 
 
+def geo_trajectory_stats(spark, sf):
+    """Per-entity trajectory assembly (PostGIS ST_MakeLine(... ORDER BY
+    ts), round 6): event points collapse into one LineString per user
+    via a single groupBy shuffle + executor-side array_sort (struct
+    ordering tie-breaks equal timestamps on x, y — deterministic under
+    any partitioning); path length evaluates natively on the assembled
+    geometry. The oracle replays the walk with a lag() window."""
+    from arctic_spark.temporal import make_trajectories
+    # plain epoch-µs sort key on both engines: Spark's nanos→NTZ read
+    # and DuckDB's nanos→TIMESTAMP read truncate identically, and the
+    # session runs in UTC so the face value IS the epoch value
+    e = _t(spark, sf, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    x = (F.col("event_id") % 100).cast("double") / 3.0
+    y = ((F.col("event_id") * 7) % 89).cast("double") / 7.0
+    traj = make_trajectories(e, "user_id", "ts_us", x, y)
+    return (traj.select("user_id", "n_points", "duration",
+                        F.round(st.length("geometry"), 6).alias("path_len"))
+            .orderBy("user_id"))
+
+
+def text_ngram_topk(spark, sf):
+    """Corpus bigram frequency top-40 (n-gram LM counting pass, round
+    6): grams build natively per doc (zip_with over shifted slices,
+    multiplicity kept), one shuffle on the gram string, sort-limit
+    top-k."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    return pipeline.ngram_topk(d, n=2, k=40)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2264,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cluster_dbscan": geo_cluster_dbscan,
         "geo_subdivide": geo_subdivide,
         "text_bm25_topk": text_bm25_topk,
+        "geo_trajectory_stats": geo_trajectory_stats,
+        "text_ngram_topk": text_ngram_topk,
     }
 
 
@@ -4259,6 +4292,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, doc_id, score
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        "geo_trajectory_stats": """
+            WITH pts AS (
+                SELECT user_id, ts,
+                       CAST(event_id % 100 AS DOUBLE) / 3.0 AS x,
+                       CAST((event_id * 7) % 89 AS DOUBLE) / 7.0 AS y
+                FROM events),
+            seq AS (
+                SELECT user_id, ts, x, y,
+                       lag(x) OVER w AS px, lag(y) OVER w AS py
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, x, y))
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration,
+                   round(coalesce(sum(sqrt((x - px) * (x - px)
+                                           + (y - py) * (y - py))), 0.0),
+                         6) AS path_len
+            FROM seq GROUP BY user_id ORDER BY user_id
+        """,
+        "text_ngram_topk": """
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(lower(text),
+                           '[^a-zA-Z0-9]+'), w -> length(w) > 0) AS ws
+                FROM documents),
+            grams AS (
+                SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+                           list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])
+                       ELSE [] END) AS ngram
+                FROM toks)
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY ngram
+            ORDER BY n DESC, ngram ASC LIMIT 40
         """,
     }
 

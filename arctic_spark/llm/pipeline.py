@@ -592,3 +592,27 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, id_col="doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))
             .select("query_id", "rank", F.col("id").alias(id_col), "score"))
+
+
+def ngram_counts(df: DataFrame, n: int = 2, text_col="text",
+                 lowercase=True) -> DataFrame:
+    """Corpus n-gram frequency table (ngram, n) — the counting pass of
+    n-gram LM training / collocation mining. Gram lists build natively
+    per document (zip_with over shifted token slices — multiplicity
+    kept); ONE shuffle, on the gram string, with map-side partial
+    aggregation collapsing the head."""
+    from .text import _word_ngrams
+    toks = word_tokens(text_col, lowercase=lowercase)
+    grams = _word_ngrams(toks, n)
+    return (df.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def ngram_topk(df: DataFrame, n: int = 2, k: int = 40, text_col="text",
+               lowercase=True) -> DataFrame:
+    """Top-k corpus n-grams by frequency (deterministic tie-break on the
+    gram string); the global top-k is a sort-limit — per-partition
+    top-k before the single-partition merge."""
+    return (ngram_counts(df, n, text_col, lowercase)
+            .orderBy(F.desc("n"), F.asc("ngram")).limit(k))

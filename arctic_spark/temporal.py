@@ -169,3 +169,41 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
         unmatched = unmatched.withColumn(
             c + rsuffix, F.lit(None).cast(right.schema[c].dataType))
     return matched.unionByName(unmatched)
+
+
+def make_trajectories(df: DataFrame, id_col: str, ts_col: str, x, y):
+    """Per-entity trajectory assembly: points ordered by (timestamp, x,
+    y) collapse into one LineString per entity — the PostGIS
+    ``ST_MakeLine(geom ORDER BY ts)`` aggregate, the standard first step
+    of any movement/telemetry pipeline (the reference engine has no
+    temporal surface at all).
+
+    Plan shape: ONE groupBy(id) shuffle carrying (ts, x, y) structs;
+    ``array_sort`` orders each entity's points executor-side (struct
+    ordering is lexicographic, so equal timestamps tie-break on x then
+    y — deterministic under any partitioning); the coordinate arrays
+    and the LineString build natively from the sorted array. Entities
+    with a single point get a POINT geometry instead of a degenerate
+    one-vertex line.
+
+    Returns (id_col, geometry, n_points, duration) where duration is in
+    ``ts_col``'s units (last minus first observation).
+    """
+    from .functions import native as st_native
+
+    p = F.struct(F.col(ts_col).alias("ts"),
+                 x.alias("x"), y.alias("y"))
+    agg = (df.select(F.col(id_col), p.alias("p"))
+           .groupBy(id_col)
+           .agg(F.array_sort(F.collect_list("p")).alias("ps")))
+    xs = F.transform(F.col("ps"), lambda q: q["x"])
+    ys = F.transform(F.col("ps"), lambda q: q["y"])
+    line = F.when(F.size("ps") >= 2, st_native.make_line(xs, ys)) \
+        .otherwise(st_native.point(F.element_at(xs, 1),
+                                   F.element_at(ys, 1)))
+    return agg.select(
+        F.col(id_col),
+        line.alias("geometry"),
+        F.size("ps").cast("long").alias("n_points"),
+        (F.element_at(F.col("ps"), -1)["ts"]
+         - F.element_at(F.col("ps"), 1)["ts"]).alias("duration"))

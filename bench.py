@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     "geo_hex_density",
     "geo_build_area",
     "geo_split",
+    # round 6 (fourth session)
+    "geo_cluster_within",
+    "geo_cluster_dbscan",
+    "geo_subdivide",
+    "text_bm25_topk",
+    "geo_trajectory_stats",
+    "text_ngram_topk",
 ]
 
 

@@ -169,3 +169,43 @@ def test_asof_nearest(quotes_trades):
     with pytest.raises(ValueError, match="direction"):
         asof_join(trades, quotes, on="ts", by="sym", right_on="qts",
                   right_by="sym", direction="sideways")
+
+
+# -- trajectory assembly ----------------------------------------------------
+
+def test_make_trajectories(spark):
+    from pyspark.sql import functions as F
+    from arctic_spark import st
+    from arctic_spark.temporal import make_trajectories
+    rows = [  # user 1: a 3-4-5 right triangle walked out of order
+        (1, 30, 3.0, 4.0),
+        (1, 10, 0.0, 0.0),
+        (1, 20, 3.0, 0.0),
+        (2, 5, 7.0, 7.0),                      # singleton -> POINT
+    ]
+    df = spark.createDataFrame(rows, "uid long, t long, x double, y double")
+    out = make_trajectories(df, "uid", "t", F.col("x"), F.col("y"))
+    got = {r["uid"]: r for r in
+           out.withColumn("len", st.length("geometry"))
+              .withColumn("gt", st.geom_type_id("geometry")).collect()}
+    assert got[1]["n_points"] == 3
+    assert got[1]["duration"] == 20
+    assert abs(got[1]["len"] - 7.0) < 1e-12     # sorted by t: 3 across + 4 up
+    assert got[1]["gt"] == 1                    # LineString
+    assert got[2]["n_points"] == 1
+    assert got[2]["duration"] == 0
+    assert got[2]["gt"] == 0                    # Point fallback
+    assert got[2]["len"] == 0.0
+
+
+def test_make_trajectories_tie_breaks_deterministic(spark):
+    from pyspark.sql import functions as F
+    from arctic_spark import st
+    from arctic_spark.temporal import make_trajectories
+    # equal timestamps: struct sort falls back to (x, y)
+    rows = [(1, 10, 5.0, 0.0), (1, 10, 1.0, 0.0), (1, 10, 3.0, 0.0)]
+    df = spark.createDataFrame(rows, "uid long, t long, x double, y double")
+    out = make_trajectories(df.repartition(3), "uid", "t",
+                            F.col("x"), F.col("y"))
+    r = out.withColumn("len", st.length("geometry")).collect()[0]
+    assert r["len"] == 4.0                      # 1 -> 3 -> 5
