@@ -48,7 +48,7 @@ def __getattr__(name):
         from .sql import register_sql_functions
         return register_sql_functions
     if name in ("write_bucketed", "write_geoparquet", "read_geoparquet",
-                "from_wkt_df"):
+                "from_wkt_df", "read_geojson", "write_geojson"):
         from . import io
         return getattr(io, name)
     raise AttributeError(name)
@@ -61,4 +61,5 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "range_join", "release", "register_sql_functions", "overlay",
            "from_arrow", "from_geopandas", "from_pandas_wkb",
            "to_pandas_wkb", "write_bucketed", "write_geoparquet",
-           "read_geoparquet", "from_wkt_df"]
+           "read_geoparquet", "from_wkt_df", "read_geojson",
+           "write_geojson"]

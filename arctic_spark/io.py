@@ -113,6 +113,62 @@ def from_wkt_df(df: DataFrame, wkt_column: str,
     return GeoDataFrame(out, geometry_column, crs)
 
 
+def read_geojson(spark: SparkSession, path: str, lines: bool = False,
+                 geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                 crs=DEFAULT_CRS) -> GeoDataFrame:
+    """Distributed GeoJSON source (beyond the reference's GDAL-only read
+    path — no GDAL needed).
+
+    - ``lines=True``: newline-delimited features (RFC 8142 GeoJSONSeq /
+      ndjson) — the SCALE path: line-splittable, so a 100 TB directory
+      scans with full parallelism like any text source.
+    - ``lines=False``: classic ``FeatureCollection`` documents, read via
+      Spark's multiLine JSON (one document per file — parallel across
+      files, not within one; convert big single files to GeoJSONSeq).
+
+    Schema trick: ``geometry`` and ``properties`` are declared STRING in
+    the read schema, so Spark's JSON reader hands back their RAW JSON
+    text regardless of geometry type or property heterogeneity — the
+    geometry parses through ``st.from_geojson`` (one Arrow-batched pass)
+    and ``properties`` stays a JSON string column the caller can
+    ``from_json`` with their own schema (GeoJSON properties are
+    schema-free; forcing inference would make the scan schema depend on
+    the data)."""
+    feat_fields = "id STRING, geometry STRING, properties STRING"
+    if lines:
+        feats = spark.read.schema(feat_fields).json(path)
+    else:
+        raw = (spark.read.option("multiLine", "true")
+               .schema(f"type STRING, features ARRAY<STRUCT<{feat_fields}>>")
+               .json(path))
+        feats = raw.select(F.explode("features").alias("f")).select("f.*")
+    out = feats.withColumn(geometry_column,
+                           st.from_geojson(F.col("geometry")))
+    if geometry_column != "geometry":
+        out = out.drop("geometry")
+    return GeoDataFrame(out, geometry_column, crs)
+
+
+def write_geojson(gdf: GeoDataFrame, path: str, mode="overwrite",
+                  properties_col: str = None) -> None:
+    """Write newline-delimited GeoJSON features (RFC 8142 — the
+    splittable format ``read_geojson(lines=True)`` scans): one text line
+    per row, geometry via ``st.to_geojson``, remaining columns packed
+    into ``properties`` (or pass an existing JSON-string column)."""
+    df = gdf.df
+    gcol = gdf.geometry_column
+    others = [c for c in df.columns if c != gcol and c != properties_col]
+    props = (F.col(properties_col) if properties_col
+             else F.to_json(F.struct(*[F.col(c) for c in others])))
+    line = F.concat(
+        F.lit('{"type": "Feature", "geometry": '),
+        st.to_geojson(F.col(gcol)),
+        F.lit(', "properties": '),
+        F.coalesce(props, F.lit("null")),
+        F.lit("}"))
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
 def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
     """GDAL vector read (reference read_file, io/file.py:15-119) —
     import-gated on pyogrio, which is not in this container."""

@@ -543,13 +543,19 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, id_col="doc_id",
     engines' ``ln`` can differ in the last ulp; everything downstream of
     the rounding is exact IEEE arithmetic, so ranks are deterministic).
 
-    Scale shape: the corpus tokenizes once (token list + doc length
-    bound in ONE codegen expression), shuffles once on (doc, token) for
-    tf and once on token for df; the query table and the per-query-token
-    df/idf table are broadcast, so the postings join never shuffles the
-    corpus again. Top-k per query is a window over the (small) scored
-    candidate set. Returns (query_id, rank, doc_id, score).
+    Scale shape: the corpus tokenizes ONCE — the (doc, token, tf, dl)
+    postings table is the single expensive projection and it feeds
+    three consumers (df counts, corpus stats, scoring), so it persists
+    (pinned on the result for ``arctic_spark.release``); one shuffle on
+    (doc, token) builds it, one shuffle on token counts df. Corpus
+    stats derive from the postings (per-doc dl + a count-only scan for
+    N, so empty docs still weight avgdl). The query table and the
+    per-query-token df/idf table are broadcast, so the postings join
+    never shuffles the corpus again. Top-k per query is a window over
+    the (small) scored candidate set. Returns (query_id, rank, doc_id,
+    score).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
     from ..functions.native import _let
     toks = word_tokens(text_col, lowercase=lowercase)
@@ -560,10 +566,17 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, id_col="doc_id",
     tf = (base.select("id", F.col("s.dl").alias("dl"),
                       F.explode("s.ws").alias("token"))
           .groupBy("id", "token")
-          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
 
-    stats = base.agg(F.count("*").cast("double").alias("n_docs"),
-                     F.avg("s.dl").alias("avgdl"))
+    # avgdl = sum of per-doc lengths / total doc count: docs with zero
+    # tokens have no postings but still count in N (sum is unaffected)
+    n_total = corpus.agg(F.count("*").cast("double").alias("n_docs"))
+    dl_sum = (tf.groupBy("id").agg(F.min("dl").alias("dl"))
+              .agg(F.sum("dl").alias("dl_sum")))
+    stats = (n_total.crossJoin(dl_sum)
+             .select("n_docs",
+                     (F.col("dl_sum") / F.col("n_docs")).alias("avgdl")))
 
     qt = queries.select(
         _c(query_id_col).alias("query_id"),
@@ -589,9 +602,11 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, id_col="doc_id",
               .groupBy("query_id", "id")
               .agg(F.round(F.sum(idf_col * tf_part), 6).alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= int(k))
-            .select("query_id", "rank", F.col("id").alias(id_col), "score"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= int(k))
+           .select("query_id", "rank", F.col("id").alias(id_col), "score"))
+    from ..cache import pin
+    return pin(out, tf)
 
 
 def ngram_counts(df: DataFrame, n: int = 2, text_col="text",

@@ -253,6 +253,56 @@ def main():
           f"{surv:,} survivors, {n_vec / dt / 1e3:.0f}k vecs/s",
           flush=True)
 
+    # round 6 (fourth session): distributed DBSCAN at scale — blobs of 8
+    # chained points; the dwithin self-join + neighbor counts + CC rounds
+    # all shuffle on compact long keys
+    from arctic_spark.clustering import cluster_dbscan
+    n_clu = max(n_points // 10, 100_000)
+    blob = (F.col("id") / 8).cast("long")
+    cpts = spark.range(n_clu).repartition(par).select(
+        F.col("id"),
+        st.point((F.pmod(blob, F.lit(1000))).cast("double") * 50.0
+                 + (F.pmod(F.col("id"), F.lit(8))).cast("double") * 0.9,
+                 (blob / 1000).cast("long").cast("double") * 50.0)
+        .alias("geometry"))
+    t0 = time.perf_counter()
+    res = cluster_dbscan(GeoDataFrame(cpts), 1.0, 3, "id",
+                         points_only=True)
+    n = res.where(F.col("cluster").isNotNull()).count()
+    dt = time.perf_counter() - t0
+    print(f"dbscan {n_clu:,} pts ({n_clu // 8:,} blobs): {dt:.1f}s, "
+          f"{n:,} clustered, {n_clu / dt / 1e3:.0f}k pts/s", flush=True)
+
+    # BM25: 500k-doc corpus x 100 queries through the broadcast postings
+    # join (corpus shuffles once on (doc, token), once on token)
+    qdocs = docs.where(F.col("doc_id") % (n_docs // 100) == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    t0 = time.perf_counter()
+    n = pl.bm25_topk(docs, qdocs, k=10).count()
+    dt = time.perf_counter() - t0
+    print(f"bm25 {n_docs:,} docs x ~100 queries: {dt:.1f}s, "
+          f"{n:,} result rows, {n_docs / dt / 1e3:.0f}k docs/s", flush=True)
+
+    # trajectory assembly: n_points events -> n/50 entities, one shuffle
+    from arctic_spark.temporal import make_trajectories
+    # prime moduli: the uid stride must not divide the coordinate
+    # period, or every trajectory collapses to a single repeated point
+    ev = spark.range(n_points).repartition(par).select(
+        (F.col("id") % (n_points // 50)).alias("uid"),
+        (F.col("id") * 1_000_003).alias("t"),
+        (F.pmod(F.col("id") * 48271, F.lit(99_991)).cast("double") / 10.0)
+        .alias("x"),
+        (F.pmod(F.col("id") * 69621, F.lit(99_991)).cast("double") / 10.0)
+        .alias("y"))
+    t0 = time.perf_counter()
+    tl = make_trajectories(ev, "uid", "t", F.col("x"), F.col("y")) \
+        .agg(F.sum(st.length("geometry"))).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(f"trajectories {n_points:,} events -> {n_points // 50:,} lines: "
+          f"{dt:.1f}s, total path {tl:,.0f}, "
+          f"{n_points / dt / 1e6:.2f}M events/s", flush=True)
+
     spark.stop()
 
 

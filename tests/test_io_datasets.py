@@ -217,3 +217,50 @@ def test_get_coordinates(spark):
         (1, 0, 0.0, 0.0), (1, 1, 1.0, 2.0), (1, 2, 3.0, 4.0),
         (2, 0, 9.0, 9.0)]
     assert "coord_index" not in gdf.get_coordinates().columns
+
+
+# -- GeoJSON source/sink ----------------------------------------------------
+
+def test_read_geojson_feature_collection(spark, tmp_path):
+    import json as _json
+    from arctic_spark import read_geojson, st
+    from pyspark.sql import functions as F
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "a",
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+         "properties": {"name": "alpha", "pop": 10}},
+        {"type": "Feature", "id": "b",
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]},
+         "properties": {"name": "beta", "pop": 20}},
+    ]}
+    p = tmp_path / "fc.geojson"
+    p.write_text(_json.dumps(fc))
+    gdf = read_geojson(spark, str(p))
+    rows = {r["id"]: r for r in
+            gdf.df.withColumn("gt", st.geom_type_id("geometry"))
+                  .withColumn("area", st.area("geometry")).collect()}
+    assert rows["a"]["gt"] == 0
+    assert rows["b"]["gt"] == 3 and rows["b"]["area"] == 16.0
+    # properties survive as raw JSON text
+    assert _json.loads(rows["a"]["properties"])["name"] == "alpha"
+    assert _json.loads(rows["b"]["properties"])["pop"] == 20
+
+
+def test_geojson_lines_roundtrip(spark, tmp_path):
+    import json as _json
+    from arctic_spark import GeoDataFrame, read_geojson, write_geojson, st
+    from pyspark.sql import functions as F
+    df = spark.range(5).select(
+        F.col("id"),
+        st.point(F.col("id").cast("double"),
+                 (F.col("id") * 2).cast("double")).alias("geometry"))
+    out = str(tmp_path / "seq")
+    write_geojson(GeoDataFrame(df), out)
+    back = read_geojson(spark, out, lines=True)
+    got = sorted((int(_json.loads(r["properties"])["id"]),
+                  st_x, st_y) for r, st_x, st_y in
+                 ((r, r["x"], r["y"]) for r in
+                  back.df.withColumn("x", st.x("geometry"))
+                         .withColumn("y", st.y("geometry")).collect()))
+    assert got == [(i, float(i), float(2 * i)) for i in range(5)]
