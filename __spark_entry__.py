@@ -2111,6 +2111,27 @@ def geo_cluster_dbscan(spark, sf):
             .orderBy("s_suppkey"))
 
 
+def geo_cluster_kmeans(spark, sf):
+    """Deterministic distributed k-means (PostGIS ST_ClusterKMeans
+    analogue, round 6): farthest-first init from the min-id point (one
+    seed per blob — separation ≫ diameter), native literal-centroid
+    argmin assignment, one groupBy-mean per Lloyd round (only k rows
+    ever reach the driver), min-member-id relabel. Tight 8-point blobs
+    on a 50-unit grid ⇒ k-means recovers the blob partition exactly and
+    the label is the closed-form per-blob min id."""
+    from arctic_spark.clustering import cluster_kmeans
+    s = _t(spark, sf, "supplier")
+    kk = F.col("s_suppkey").cast("long")
+    b = F.floor(kk / 8).cast("long")
+    x = (b % 32).cast("double") * 50.0 + (kk % 8).cast("double") * 0.05
+    y = F.floor(b / 32).cast("double") * 50.0
+    pts = GeoDataFrame(s.select(kk.alias("s_suppkey"),
+                                st.point(x, y).alias("geometry")))
+    n = int(s.agg(F.max("s_suppkey")).collect()[0][0])
+    return cluster_kmeans(pts, n // 8 + 1, "s_suppkey") \
+        .orderBy("s_suppkey")
+
+
 def geo_subdivide(spark, sf):
     """PostGIS ST_Subdivide (round 6): regular 48-gons (radius from the
     supplier key) recursively bbox-halved until every piece carries at
@@ -2293,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords": text_tfidf_keywords,
         "geo_cluster_within": geo_cluster_within,
         "geo_cluster_dbscan": geo_cluster_dbscan,
+        "geo_cluster_kmeans": geo_cluster_kmeans,
         "geo_subdivide": geo_subdivide,
         "text_bm25_topk": text_bm25_topk,
         "geo_trajectory_stats": geo_trajectory_stats,
@@ -4238,6 +4260,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.id AS s_suppkey,
                    CAST(CASE WHEN a.b % 2 = 0 AND a.c >= 3 THEN a.mn + 1
                         END AS BIGINT) AS cluster
+            FROM pts p JOIN agg a ON p.b = a.b
+            ORDER BY s_suppkey
+        """,
+        "geo_cluster_kmeans": """
+            WITH pts AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS id,
+                       CAST(s_suppkey // 8 AS BIGINT) AS b
+                FROM supplier),
+            agg AS (SELECT b, min(id) AS mn FROM pts GROUP BY b)
+            SELECT p.id AS s_suppkey, a.mn AS cluster
             FROM pts p JOIN agg a ON p.b = a.b
             ORDER BY s_suppkey
         """,

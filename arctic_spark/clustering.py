@@ -132,3 +132,71 @@ def cluster_dbscan(df, eps: float, min_points: int, id_col: str,
                     .otherwise(F.col("border_cluster")).alias("cluster")))
     from .cache import pin, pinned
     return pin(out, edges, core, *pinned(edges))
+
+
+def cluster_kmeans(df, k: int, id_col: str, max_iterations: int = 10,
+                   tol: float = 1e-9) -> DataFrame:
+    """Distributed k-means on geometry centroids (PostGIS
+    ST_ClusterKMeans semantics, but deterministic).
+
+    Init is farthest-first traversal from the minimum-id point (ties on
+    distance break to the smaller id), which makes the whole run
+    reproducible — PostGIS's random k-means++ init is not — and
+    guarantees one seed per blob whenever cluster separation exceeds
+    cluster diameter. Lloyd iterations assign natively (literal
+    centroid array + vectorized squared distances — the IVF assignment
+    expression over the [x, y] "embedding") and re-estimate centroids
+    with one groupBy(cluster) mean per round; only the k centroid rows
+    ever reach the driver (the same bounded-driver pattern as the IVF
+    trainer). Returns ``(id_col, cluster)`` with ``cluster`` = min
+    member id — label-stable under any partitioning.
+    """
+    from .functions import native as st_native
+    from .llm.similarity import ivf_assign
+    from pyspark import StorageLevel
+
+    gdf = df if isinstance(df, GeoDataFrame) else GeoDataFrame(df)
+    g = F.col(gdf.geometry_column)
+    cen = st_native.centroid(g)
+    pts = (gdf.df.select(F.col(id_col).cast("long").alias("id"),
+                         st_native.x(cen).alias("x"),
+                         st_native.y(cen).alias("y"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+
+    first = pts.orderBy("id").limit(1).collect()
+    if not first:
+        return pts.select(F.col("id").alias(id_col),
+                          F.lit(None).cast("long").alias("cluster"))
+    cents = [(float(first[0]["x"]), float(first[0]["y"]))]
+    while len(cents) < int(k):
+        dmin = None
+        for cx, cy in cents:
+            d = ((F.col("x") - cx) * (F.col("x") - cx)
+                 + (F.col("y") - cy) * (F.col("y") - cy))
+            dmin = d if dmin is None else F.least(dmin, d)
+        far = (pts.orderBy(F.desc(dmin.alias("d")), F.asc("id"))
+               .limit(1).collect())
+        cents.append((float(far[0]["x"]), float(far[0]["y"])))
+
+    vec = F.array(F.col("x"), F.col("y"))
+    for _ in range(int(max_iterations)):
+        assign = F.element_at(ivf_assign(vec, cents, 1), 1)
+        means = (pts.withColumn("c", assign).groupBy("c")
+                 .agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+                 .collect())
+        new = list(cents)
+        for r in means:                       # empty clusters keep seeds
+            new[r["c"]] = (float(r["mx"]), float(r["my"]))
+        moved = max(abs(a[0] - b[0]) + abs(a[1] - b[1])
+                    for a, b in zip(cents, new))
+        cents = new
+        if moved <= tol:
+            break
+
+    assign = F.element_at(ivf_assign(vec, cents, 1), 1)
+    assigned = pts.withColumn("__c", assign)
+    relabel = assigned.groupBy("__c").agg(F.min("id").alias("cluster"))
+    out = (assigned.join(F.broadcast(relabel), "__c")
+           .select(F.col("id").alias(id_col), "cluster"))
+    from .cache import pin
+    return pin(out, pts)

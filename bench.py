@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "geo_trajectory_stats",
     "text_ngram_topk",
+    "geo_cluster_kmeans",
 ]
 
 

@@ -66,3 +66,39 @@ def test_cluster_dbscan_udf_path_matches_native(spark, fixture):
     general = {r["id"]: r["cluster"]
                for r in cluster_dbscan(fixture, 1.0, 3, "id").collect()}
     assert native == general
+
+
+def test_cluster_kmeans_recovers_blobs(spark):
+    from arctic_spark import GeoDataFrame
+    from arctic_spark.clustering import cluster_kmeans
+    # 3 tight blobs far apart; ids interleaved across blobs so the
+    # min-id relabel is nontrivial
+    pts = []
+    for i in range(12):
+        blob = i % 3
+        pts.append((i + 1, blob * 100.0 + (i // 3) * 0.1, blob * 50.0))
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    gdf = GeoDataFrame(df.select(
+        "id", st.point(F.col("x"), F.col("y")).alias("geometry")))
+    got = {r["id"]: r["cluster"]
+           for r in cluster_kmeans(gdf, 3, "id").collect()}
+    # blob 0: ids 1,4,7,10 -> label 1; blob 1: 2,5,8,11 -> 2; blob 2: 3..
+    expect = {i + 1: (i % 3) + 1 for i in range(12)}
+    assert got == expect
+
+
+def test_cluster_kmeans_k1_and_determinism(spark):
+    from arctic_spark import GeoDataFrame
+    from arctic_spark.clustering import cluster_kmeans
+    df = spark.createDataFrame([(i, float(i), 0.0) for i in range(1, 8)],
+                               "id long, x double, y double")
+    gdf = GeoDataFrame(df.select(
+        "id", st.point(F.col("x"), F.col("y")).alias("geometry")))
+    one = {r["id"]: r["cluster"] for r in cluster_kmeans(gdf, 1, "id").collect()}
+    assert set(one.values()) == {1}
+    a = sorted(cluster_kmeans(gdf, 3, "id").collect())
+    b = sorted(cluster_kmeans(
+        GeoDataFrame(df.repartition(5).select(
+            "id", st.point(F.col("x"), F.col("y")).alias("geometry"))),
+        3, "id").collect())
+    assert a == b
