@@ -48,7 +48,8 @@ def __getattr__(name):
         from .sql import register_sql_functions
         return register_sql_functions
     if name in ("write_bucketed", "write_geoparquet", "read_geoparquet",
-                "from_wkt_df", "read_geojson", "write_geojson"):
+                "from_wkt_df", "read_geojson", "write_geojson",
+                "read_shapefile"):
         from . import io
         return getattr(io, name)
     raise AttributeError(name)
@@ -62,4 +63,4 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "from_arrow", "from_geopandas", "from_pandas_wkb",
            "to_pandas_wkb", "write_bucketed", "write_geoparquet",
            "read_geoparquet", "from_wkt_df", "read_geojson",
-           "write_geojson"]
+           "write_geojson", "read_shapefile"]

@@ -608,11 +608,90 @@ def _clip_ring_rect(x, y, xmin, ymin, xmax, ymax):
     return xs, ys
 
 
+def _clip_pass_batch(x, y, lens, axis, bound, keep_ge):
+    """One Sutherland-Hodgman half-plane pass over a whole batch of
+    concatenated OPEN rings (``lens`` per ring, zeros allowed). Emits
+    exactly what the scalar ``_clip_ring_rect`` pass emits, with the
+    identical intersection arithmetic — results are bit-equal."""
+    n = x.size
+    if n == 0:
+        return x, y, np.zeros_like(lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    ends = starts + lens
+    rid = np.repeat(np.arange(lens.size), lens)
+    prv = np.arange(n) - 1
+    nz = lens > 0
+    prv[starts[nz]] = ends[nz] - 1
+    v = x if axis == 0 else y
+    ci = (v >= bound) if keep_ge else (v <= bound)
+    pi = ci[prv]
+    straddle = ci ^ pi
+    counts = ci.astype(np.int64) + straddle
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    ox = np.empty(offs[-1])
+    oy = np.empty(offs[-1])
+    px_, py_ = x[prv], y[prv]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if axis == 0:
+            t = (bound - px_) / (x - px_)
+            ixx = np.full(n, float(bound))
+            ixy = py_ + t * (y - py_)
+        else:
+            t = (bound - py_) / (y - py_)
+            ixy = np.full(n, float(bound))
+            ixx = px_ + t * (x - px_)
+    first = offs[:-1]
+    ox[first[straddle]] = ixx[straddle]
+    oy[first[straddle]] = ixy[straddle]
+    curpos = first + straddle
+    ox[curpos[ci]] = x[ci]
+    oy[curpos[ci]] = y[ci]
+    new_lens = np.bincount(rid, counts, minlength=lens.size) \
+        .astype(np.int64)
+    return ox, oy, new_lens
+
+
+def _clip_rings_batch(x, y, lens, xmin, ymin, xmax, ymax):
+    """Clip a batch of concatenated open rings to a rectangle: four
+    half-plane passes, all numpy. Returns (x, y, lens); rings shrinking
+    below 3 vertices come back with their surviving count — the caller
+    applies the scalar path's final <3 → empty rule."""
+    x, y, lens = _clip_pass_batch(x, y, lens, 0, xmin, True)
+    x, y, lens = _clip_pass_batch(x, y, lens, 0, xmax, False)
+    x, y, lens = _clip_pass_batch(x, y, lens, 1, ymin, True)
+    x, y, lens = _clip_pass_batch(x, y, lens, 1, ymax, False)
+    return x, y, lens
+
+
 def clip_by_rect(rg: RaggedGeometry, xmin, ymin, xmax, ymax):
     """Clip polygons to a rectangle (reference roadmap rst:68
     clip_by_rect). Points/lines: kept only if fully inside (simplified —
     matches shapely for points; line clipping returns the whole line if
-    inside, empty otherwise)."""
+    inside, empty otherwise).
+
+    Polygon rings across the WHOLE batch clip in four vectorized
+    half-plane passes (`_clip_rings_batch`) — the per-ring Python loop
+    only reassembles offsets. Bit-equal to the per-vertex scalar
+    formulation (same comparisons, same intersection arithmetic)."""
+    # ---- batch pass over every polygon ring in the input ------------
+    bx, by, blens, ring_geom = [], [], [], []
+    for i in range(len(rg)):
+        g, xs, ys, rings, parts = rg.geom(i)
+        if g in (POLYGON, MULTIPOLYGON):
+            off = 0
+            for rl in rings:
+                rl = int(rl)
+                bx.append(xs[off:off + rl - 1])     # drop closing vertex
+                by.append(ys[off:off + rl - 1])
+                blens.append(rl - 1)
+                off += rl
+    if blens:
+        cx, cy, clens = _clip_rings_batch(
+            np.concatenate(bx) if bx else np.empty(0),
+            np.concatenate(by) if by else np.empty(0),
+            np.asarray(blens, dtype=np.int64), xmin, ymin, xmax, ymax)
+        couts = np.concatenate([[0], np.cumsum(clens)])
+    ring_i = 0
     gts, oxs, oys, orings, oparts = [], [], [], [], []
     for i in range(len(rg)):
         g, xs, ys, rings, parts = rg.geom(i)
@@ -621,21 +700,20 @@ def clip_by_rect(rg: RaggedGeometry, xmin, ymin, xmax, ymax):
             orings.append(None); oparts.append(None)
             continue
         if g in (POLYGON, MULTIPOLYGON):
-            nx, ny, nr, nparts = [], [], [], []
-            off = 0
-            ri = 0
+            px_parts, py_parts, nr, nparts = [], [], [], []
             for nrings in parts:
                 kept = 0
                 for j in range(nrings):
-                    rl = rings[ri + j]
-                    cx, cy = _clip_ring_rect(xs[off:off + rl],
-                                             ys[off:off + rl],
-                                             xmin, ymin, xmax, ymax)
-                    if len(cx):
-                        nx.extend(cx.tolist()); ny.extend(cy.tolist())
-                        nr.append(len(cx)); kept += 1
-                    off += rl
-                ri += nrings
+                    ln = int(clens[ring_i])
+                    s = int(couts[ring_i])
+                    ring_i += 1
+                    if ln >= 3:                 # scalar path: <3 → empty
+                        px_parts.append(cx[s:s + ln])
+                        px_parts.append(cx[s:s + 1])    # close ring
+                        py_parts.append(cy[s:s + ln])
+                        py_parts.append(cy[s:s + 1])
+                        nr.append(ln + 1)
+                        kept += 1
                 if kept:
                     nparts.append(kept)
             if not nr:
@@ -643,7 +721,9 @@ def clip_by_rect(rg: RaggedGeometry, xmin, ymin, xmax, ymax):
                 orings.append([]); oparts.append([])
             else:
                 out_gt = POLYGON if len(nparts) == 1 else MULTIPOLYGON
-                gts.append(out_gt); oxs.append(nx); oys.append(ny)
+                gts.append(out_gt)
+                oxs.append(np.concatenate(px_parts))
+                oys.append(np.concatenate(py_parts))
                 orings.append(nr); oparts.append(nparts)
         else:
             inside = (len(xs) > 0 and xs.min() >= xmin and xs.max() <= xmax

@@ -1,0 +1,185 @@
+"""Pure-numpy ESRI Shapefile (.shp) + dBase (.dbf) parsers.
+
+The reference reads shapefiles only through GDAL (`py-geopolars/python/
+geopolars/io/file.py:15-119` via pyogrio); this container has no GDAL,
+so the engine owns the decode — the format is simple enough that a
+dependency was never warranted:
+
+- ``.shp`` (ESRI Shapefile Technical Description, 1998): 100-byte
+  big-endian header, then records of [record#, content-length]
+  (big-endian) + shape payload (little-endian). Supported shapes:
+  Null (0), Point (1), PolyLine (3), Polygon (5), MultiPoint (8) and
+  their Z/M variants (11/13/15/18, 21/23/25/28 — Z/M values dropped,
+  2-D coordinates kept, matching ``from_wkb(force_2d=True)``).
+- ``.dbf`` (dBase III): fixed-width records described by a field
+  table; C (text), N/F (numeric), L (logical), D (date-as-text)
+  decode; deletion-flagged rows are skipped in lockstep with nothing —
+  shapefile pairs never mark deletions in practice, and we keep rows
+  aligned by index with the .shp records.
+
+Polygon ring grouping: the spec stores shells clockwise and holes
+counter-clockwise, with no explicit nesting. Shells are detected by
+winding; each hole is assigned to the shell whose ring contains its
+first vertex (falling back to the nearest preceding shell, the common
+writer layout).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .ragged import (LINESTRING, MULTILINESTRING, MULTIPOINT, POINT,
+                     POLYGON, MULTIPOLYGON)
+
+_SHAPE_BASE = {0: None, 1: POINT, 3: LINESTRING, 5: POLYGON,
+               8: MULTIPOINT,
+               11: POINT, 13: LINESTRING, 15: POLYGON, 18: MULTIPOINT,
+               21: POINT, 23: LINESTRING, 25: POLYGON, 28: MULTIPOINT}
+
+
+def _ring_signed_area(x, y):
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _point_in_ring(rx, ry, px, py):
+    x1, y1 = rx[:-1], ry[:-1]
+    x2, y2 = rx[1:], ry[1:]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+    return int(np.count_nonzero(cond & (px < xin))) % 2 == 1
+
+
+def _assemble_polygon(rings):
+    """Group shapefile rings into (xs, ys, ring_lens, parts) with
+    shells first in each part; returns data for POLYGON or
+    MULTIPOLYGON depending on shell count."""
+    shells, holes = [], []
+    for rx, ry in rings:
+        # spec: shells are CW (negative signed area)
+        (shells if _ring_signed_area(rx, ry) <= 0 else holes).append(
+            (rx, ry))
+    if not shells:                          # degenerate: treat all shells
+        shells, holes = holes, []
+    groups = [[s] for s in shells]
+    for hx, hy in holes:
+        placed = False
+        for gi, grp in enumerate(groups):
+            sx, sy = grp[0]
+            if _point_in_ring(sx, sy, float(hx[0]), float(hy[0])):
+                grp.append((hx, hy))
+                placed = True
+                break
+        if not placed and groups:
+            groups[-1].append((hx, hy))
+    xs, ys, rl, parts = [], [], [], []
+    for grp in groups:
+        for k, (rx, ry) in enumerate(grp):
+            # normalize winding to the engine's convention (exterior
+            # CCW, holes CW — orient_polygons): shapefile stores the
+            # opposite (shells CW, holes CCW)
+            a = _ring_signed_area(rx, ry)
+            if (k == 0 and a < 0) or (k > 0 and a > 0):
+                rx, ry = rx[::-1], ry[::-1]
+            xs.append(rx)
+            ys.append(ry)
+            rl.append(len(rx))
+        parts.append(len(grp))
+    return (np.concatenate(xs), np.concatenate(ys), rl, parts)
+
+
+def parse_shp(buf: bytes):
+    """Parse a .shp buffer → list of (gt, xs, ys, rings, parts) tuples
+    (None entries for Null shapes)."""
+    if len(buf) < 100:
+        raise ValueError("not a shapefile: truncated header")
+    (magic,) = struct.unpack_from(">i", buf, 0)
+    if magic != 9994:
+        raise ValueError("not a shapefile: bad magic")
+    (file_len_words,) = struct.unpack_from(">i", buf, 24)
+    end = min(len(buf), file_len_words * 2)
+    out = []
+    pos = 100
+    while pos + 8 <= end:
+        _recno, clen = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        body = buf[pos:pos + clen * 2]
+        pos += clen * 2
+        (stype,) = struct.unpack_from("<i", body, 0)
+        base = _SHAPE_BASE.get(stype, -2)
+        if base == -2:
+            raise ValueError(f"shapefile: unsupported shape type {stype}")
+        if base is None:
+            out.append(None)
+            continue
+        if base == POINT:
+            x, y = struct.unpack_from("<dd", body, 4)
+            out.append((POINT, np.array([x]), np.array([y]), [1], [1]))
+        elif base == MULTIPOINT:
+            (npts,) = struct.unpack_from("<i", body, 36)
+            pts = np.frombuffer(body, "<f8", count=npts * 2, offset=40)
+            out.append((MULTIPOINT, pts[0::2].copy(), pts[1::2].copy(),
+                        [1] * npts, [1] * npts))
+        else:                               # PolyLine / Polygon
+            nparts, npts = struct.unpack_from("<ii", body, 36)
+            part_idx = np.frombuffer(body, "<i4", count=nparts, offset=44)
+            pts = np.frombuffer(body, "<f8", count=npts * 2,
+                                offset=44 + 4 * nparts)
+            px, py = pts[0::2], pts[1::2]
+            bounds = list(part_idx) + [npts]
+            rings = [(px[bounds[i]:bounds[i + 1]].copy(),
+                      py[bounds[i]:bounds[i + 1]].copy())
+                     for i in range(nparts)
+                     if bounds[i + 1] > bounds[i]]
+            if base == LINESTRING:
+                xs = np.concatenate([r[0] for r in rings])
+                ys = np.concatenate([r[1] for r in rings])
+                rl = [len(r[0]) for r in rings]
+                gt = LINESTRING if len(rings) == 1 else MULTILINESTRING
+                out.append((gt, xs, ys, rl, [1] * len(rings)))
+            else:
+                xs, ys, rl, parts = _assemble_polygon(rings)
+                gt = POLYGON if len(parts) == 1 else MULTIPOLYGON
+                out.append((gt, xs, ys, rl, parts))
+    return out
+
+
+def parse_dbf(buf: bytes):
+    """Parse a .dbf buffer → (field_names, list of row tuples).
+    C→str, N/F→float (int-valued floats stay float for schema
+    stability), L→bool, D→'YYYYMMDD' str; empty → None."""
+    if len(buf) < 32:
+        raise ValueError("not a dbf: truncated header")
+    n_records = struct.unpack_from("<i", buf, 4)[0]
+    header_len, record_len = struct.unpack_from("<HH", buf, 8)
+    fields = []
+    pos = 32
+    while pos < header_len - 1 and buf[pos] != 0x0D:
+        name = buf[pos:pos + 11].split(b"\x00")[0].decode("latin-1")
+        ftype = chr(buf[pos + 11])
+        flen = buf[pos + 16]
+        fields.append((name, ftype, flen))
+        pos += 32
+    rows = []
+    pos = header_len
+    for _ in range(n_records):
+        rec = buf[pos:pos + record_len]
+        pos += record_len
+        if len(rec) < record_len or rec[0:1] == b"*":   # deleted
+            continue
+        vals = []
+        off = 1
+        for name, ftype, flen in fields:
+            raw = rec[off:off + flen]
+            off += flen
+            txt = raw.decode("latin-1").strip()
+            if ftype in ("N", "F"):
+                vals.append(float(txt) if txt else None)
+            elif ftype == "L":
+                vals.append(txt in ("Y", "y", "T", "t") if txt else None)
+            else:                            # C, D, anything else
+                vals.append(txt if txt else None)
+        rows.append(tuple(vals))
+    return [f[0] for f in fields], rows

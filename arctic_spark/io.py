@@ -169,6 +169,69 @@ def write_geojson(gdf: GeoDataFrame, path: str, mode="overwrite",
     df.select(line.alias("value")).write.mode(mode).text(path)
 
 
+def read_shapefile(spark: SparkSession, path: str,
+                   geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                   crs=DEFAULT_CRS) -> GeoDataFrame:
+    """ESRI Shapefile reader, GDAL-free (pure-numpy parsers in
+    ``arctic_spark.geom.shp``) — the reference can only reach .shp
+    through GDAL/pyogrio (io/file.py:15-119); this engine decodes the
+    format directly, so the §2.5 `read_file` surface is actually
+    exercisable in this environment.
+
+    ``path`` is the ``.shp`` file (or basename); the sibling ``.dbf``
+    supplies attribute columns when present (C→string, N/F→double,
+    L→boolean, D→string). Ingest is driver-side — the format itself is
+    capped at 2 GB by its 32-bit offsets, so a shapefile is by
+    definition small data; the distributed path is to convert to
+    (Geo)Parquet once via ``write_geoparquet`` and scan that.
+
+    Shapefile ring winding (shells CW, holes CCW) is normalized to the
+    engine's orientation (exterior CCW, holes CW); Z/M coordinates are
+    dropped like ``from_wkb(force_2d=True)``.
+    """
+    import os
+    from .geom import shp as _shp
+
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    with open(base + ".shp", "rb") as f:
+        geoms = _shp.parse_shp(f.read())
+    names, rows = [], None
+    for ext in (".dbf", ".DBF"):
+        if os.path.exists(base + ext):
+            with open(base + ext, "rb") as f:
+                names, rows = _shp.parse_dbf(f.read())
+            break
+    from pyspark.sql import types as T
+    from .sparktypes import GEOM_TYPE
+
+    def geom_cell(g):
+        if g is None:
+            return None
+        gt, xs, ys, rings, parts = g
+        return (int(gt), [float(v) for v in xs], [float(v) for v in ys],
+                [int(v) for v in rings], [int(v) for v in parts])
+
+    data = []
+    for i, g in enumerate(geoms):
+        attrs = tuple(rows[i]) if rows is not None and i < len(rows) \
+            else tuple(None for _ in names)
+        data.append(attrs + (geom_cell(g),))
+    fields = []
+    if rows is not None:
+        # dbf types: probe the parsed values (parse_dbf is type-stable)
+        for j, name in enumerate(names):
+            sample = next((r[j] for r in rows if r[j] is not None), None)
+            if isinstance(sample, float):
+                fields.append(T.StructField(name, T.DoubleType()))
+            elif isinstance(sample, bool):
+                fields.append(T.StructField(name, T.BooleanType()))
+            else:
+                fields.append(T.StructField(name, T.StringType()))
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    df = spark.createDataFrame(data, T.StructType(fields))
+    return GeoDataFrame(df, geometry_column, crs)
+
+
 def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
     """GDAL vector read (reference read_file, io/file.py:15-119) —
     import-gated on pyogrio, which is not in this container."""

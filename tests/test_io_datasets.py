@@ -264,3 +264,94 @@ def test_geojson_lines_roundtrip(spark, tmp_path):
                   back.df.withColumn("x", st.x("geometry"))
                          .withColumn("y", st.y("geometry")).collect()))
     assert got == [(i, float(i), float(2 * i)) for i in range(5)]
+
+
+# -- Shapefile source (GDAL-free) -------------------------------------------
+
+def _shp_record(shape_type, payload):
+    import struct
+    body = struct.pack("<i", shape_type) + payload
+    return body
+
+
+def _shp_bytes(records):
+    import struct
+    recs = b""
+    for i, body in enumerate(records, start=1):
+        recs += struct.pack(">ii", i, len(body) // 2) + body
+    total_words = (100 + len(recs)) // 2
+    hdr = struct.pack(">i", 9994) + b"\x00" * 20 \
+        + struct.pack(">i", total_words) \
+        + struct.pack("<ii", 1000, 5) + struct.pack("<8d", *([0.0] * 8))
+    return hdr + recs
+
+
+def _poly_payload(rings):
+    import struct
+    pts = [p for r in rings for p in r]
+    parts, off = [], 0
+    for r in rings:
+        parts.append(off)
+        off += len(r)
+    out = struct.pack("<4d", 0, 0, 0, 0)
+    out += struct.pack("<ii", len(rings), len(pts))
+    out += struct.pack(f"<{len(parts)}i", *parts)
+    for x, y in pts:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def _dbf_bytes(names_types_lens, rows):
+    import struct
+    fields = b""
+    rec_len = 1
+    for name, ftype, flen in names_types_lens:
+        fields += name.encode().ljust(11, b"\x00") + ftype.encode() \
+            + b"\x00" * 4 + bytes([flen, 0]) + b"\x00" * 14
+        rec_len += flen
+    hdr_len = 32 + len(fields) + 1
+    hdr = bytes([3, 126, 1, 1]) + struct.pack("<i", len(rows)) \
+        + struct.pack("<HH", hdr_len, rec_len) + b"\x00" * 20
+    recs = b""
+    for row in rows:
+        recs += b" "
+        for (name, ftype, flen), v in zip(names_types_lens, row):
+            s = ("" if v is None else str(v))
+            recs += (s.rjust(flen) if ftype in "NF"
+                     else s.ljust(flen))[:flen].encode()
+    return hdr + fields + bytes([0x0D]) + recs + bytes([0x1A])
+
+
+def test_read_shapefile(spark, tmp_path):
+    import struct
+    from arctic_spark import read_shapefile, st
+    from pyspark.sql import functions as F
+    # shell CW (shapefile convention) 10x10, hole CCW 2x2 at (4,4)
+    shell = [(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)]
+    hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+    point = _shp_record(1, struct.pack("<dd", 3.5, 7.25))
+    holed = _shp_record(5, _poly_payload([shell, hole]))
+    line = _shp_record(
+        3, _poly_payload([[(0, 0), (3, 4)], [(10, 0), (10, 5)]]))
+    null = _shp_record(0, b"")
+    shp = _shp_bytes([point, holed, line, null])
+    dbf = _dbf_bytes([("NAME", "C", 8), ("POP", "N", 10)],
+                     [("pt", 42), ("donut", 7), ("ln", None), ("none", 0)])
+    (tmp_path / "t.shp").write_bytes(shp)
+    (tmp_path / "t.dbf").write_bytes(dbf)
+    gdf = read_shapefile(spark, str(tmp_path / "t.shp"))
+    rows = (gdf.df
+            .withColumn("gt", st.geom_type_id("geometry"))
+            .withColumn("area", st.area("geometry"))
+            .withColumn("ln", st.length("geometry")).collect())
+    by_name = {r["NAME"]: r for r in rows}
+    assert by_name["pt"]["gt"] == 0 and by_name["pt"]["POP"] == 42.0
+    assert by_name["donut"]["gt"] == 3
+    assert by_name["donut"]["area"] == 96.0          # 100 - 4
+    assert by_name["ln"]["gt"] == 5                  # MultiLineString
+    assert by_name["ln"]["ln"] == 10.0               # 5 + 5
+    assert by_name["ln"]["POP"] is None
+    assert by_name["none"]["gt"] in (None, -1)       # Null shape = MISSING
+    # normalized winding: exterior CCW
+    assert gdf.df.select(st.is_ccw(st.exterior("geometry"))) \
+        .collect()[1][0] is True
