@@ -233,8 +233,24 @@ def read_shapefile(spark: SparkSession, path: str,
 
 
 def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
-    """GDAL vector read (reference read_file, io/file.py:15-119) —
-    import-gated on pyogrio, which is not in this container."""
+    """Vector-file read (reference read_file, io/file.py:15-119).
+
+    Natively-decoded formats need no GDAL: ``.shp`` routes to
+    :func:`read_shapefile`, ``.geojson``/``.json`` to
+    :func:`read_geojson` (``.geojsonl``/``.ndjson`` as line-delimited
+    features), parquet to :func:`read_geoparquet`. Anything else falls
+    through to the pyogrio/GDAL passthrough, import-gated (GDAL absent
+    in this container)."""
+    low = path.lower()
+    if not pyogrio_kwargs:
+        if low.endswith(".shp"):
+            return read_shapefile(spark, path)
+        if low.endswith((".geojson", ".json")):
+            return read_geojson(spark, path)
+        if low.endswith((".geojsonl", ".ndjson", ".geojsons")):
+            return read_geojson(spark, path, lines=True)
+        if low.endswith(".parquet"):
+            return read_geoparquet(spark, path)
     try:
         from pyogrio.raw import read_arrow  # noqa: F401
     except ImportError as e:

@@ -309,3 +309,98 @@ def streaming_near_dup_pairs(docs: DataFrame, ts_col="ts",
             .where(F.col("doc_id") != F.col("__a.doc_id"))
             .select("band", F.col("__a.doc_id").alias("anchor_id"),
                     F.col("doc_id").alias("dup_id")))
+
+
+_TRAJ_SCHEMA = T.StructType([
+    T.StructField("uid", T.LongType()),
+    T.StructField("traj_start", T.TimestampType()),
+    T.StructField("traj_end", T.TimestampType()),
+    T.StructField("n_points", T.LongType()),
+    T.StructField("path_len", T.DoubleType()),
+])
+
+_TRAJ_STATE = T.StructType([
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("last_ms", T.LongType()),
+    T.StructField("last_x", T.DoubleType()),
+    T.StructField("last_y", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("path_len", T.DoubleType()),
+])
+
+
+def _traj_fn(gap_ms: int):
+    import math
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (uid,) = key
+
+        def emit(start_ms, last_ms, n, plen):
+            return pd.DataFrame([{
+                "uid": uid,
+                "traj_start": pd.Timestamp(start_ms, unit="ms"),
+                "traj_end": pd.Timestamp(last_ms, unit="ms"),
+                "n_points": n, "path_len": plen}])
+
+        if state.hasTimedOut:
+            (start_ms, last_ms, _lx, _ly, n, plen) = state.get
+            state.remove()
+            yield emit(start_ms, last_ms, n, plen)
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        xs = rows["x"].to_numpy()
+        ys = rows["y"].to_numpy()
+        if state.exists:
+            (start_ms, last_ms, lx, ly, n, plen) = state.get
+        else:
+            start_ms, last_ms = int(ts_ms[0]), int(ts_ms[0])
+            lx, ly, n, plen = float(xs[0]), float(ys[0]), 0, 0.0
+        closed = []
+        for t, x, y in zip(ts_ms, xs, ys):
+            t = int(t)
+            if n > 0 and t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n, plen))
+                start_ms, n, plen = t, 0, 0.0
+                lx, ly = float(x), float(y)
+            if n > 0:
+                plen += math.hypot(float(x) - lx, float(y) - ly)
+            lx, ly = float(x), float(y)
+            last_ms = max(last_ms, t)
+            n += 1
+        state.update((start_ms, last_ms, lx, ly, n, plen))
+        state.setTimeoutDuration(gap_ms)
+        for c in closed:
+            yield emit(*c)
+    return fn
+
+
+def streaming_trajectories(points: DataFrame, gap="30 minutes",
+                           ts_col="ts", id_col="user_id",
+                           x_col="x", y_col="y") -> DataFrame:
+    """Stateful streaming trajectory builder — the streaming twin of
+    :func:`arctic_spark.temporal.make_trajectories`: per entity,
+    accumulate (start, end, n_points, incremental path length) in O(1)
+    state (last point + running totals — geometry itself would need
+    unbounded state, so the full LineString stays a batch op) and emit
+    the trajectory when a time gap exceeds ``gap`` (in-batch) or the
+    entity goes idle (processing-time timeout).
+
+    Ordering caveat (inherent to bounded state): points sort by event
+    time WITHIN each micro-batch; across batches they append in arrival
+    order. With a source that respects rough time order per entity the
+    result matches the batch operator's ordered walk."""
+    import re
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[m.group(2)]
+    gap_ms = int(m.group(1)) * mult
+    sel = points.select(F.col(id_col).cast("long").alias("uid"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(x_col).cast("double").alias("x"),
+                        F.col(y_col).cast("double").alias("y"))
+    return (sel.groupBy("uid")
+            .applyInPandasWithState(_traj_fn(gap_ms),
+                                    outputStructType=_TRAJ_SCHEMA,
+                                    stateStructType=_TRAJ_STATE,
+                                    outputMode="append",
+                                    timeoutConf="ProcessingTimeTimeout"))

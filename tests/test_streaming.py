@@ -342,3 +342,38 @@ def test_windowed_hex_density_batch(events):
     # user 1 (x=10,y=5) x4 and user 2 (x=20,y=5) land in different hexes
     by = {(r.hex_q, r.hex_r): r.n for r in rows}
     assert sorted(by.values()) == [1, 4]
+
+
+def test_streaming_trajectories(spark, tmp_path):
+    """Stateful trajectory builder on a file stream: a 2-hour gap closes
+    the first trajectory within batch 1 (3-4-5 right-triangle walk)."""
+    from arctic_spark.streaming import streaming_trajectories
+    import json as _json
+    src_dir = tmp_path / "traj_in"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": "2024-01-01T00:00:05", "user_id": 1, "x": 0.0, "y": 0.0},
+        {"ts": "2024-01-01T00:00:10", "user_id": 1, "x": 3.0, "y": 0.0},
+        {"ts": "2024-01-01T00:00:20", "user_id": 1, "x": 3.0, "y": 4.0},
+        {"ts": "2024-01-01T05:00:00", "user_id": 1, "x": 9.0, "y": 9.0},
+    ]))
+    schema = "ts timestamp, user_id long, x double, y double"
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    traj = streaming_trajectories(stream, gap="30 minutes")
+    q = (traj.writeStream.format("memory").queryName("trajs")
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM trajs").collect()
+            if rows:
+                break
+            time.sleep(2)
+        assert rows
+        r = rows[0]
+        assert r.uid == 1
+        assert r.n_points == 3
+        assert r.path_len == pytest.approx(7.0)     # 3 across + 4 up
+    finally:
+        q.stop()
