@@ -139,20 +139,19 @@ def cluster_kmeans(df, k: int, id_col: str, max_iterations: int = 10,
     """Distributed k-means on geometry centroids (PostGIS
     ST_ClusterKMeans semantics, but deterministic).
 
-    Init is farthest-first traversal from the minimum-id point (ties on
-    distance break to the smaller id), which makes the whole run
-    reproducible — PostGIS's random k-means++ init is not — and
-    guarantees one seed per blob whenever cluster separation exceeds
-    cluster diameter. Lloyd iterations assign natively (literal
-    centroid array + vectorized squared distances — the IVF assignment
-    expression over the [x, y] "embedding") and re-estimate centroids
-    with one groupBy(cluster) mean per round; only the k centroid rows
-    ever reach the driver (the same bounded-driver pattern as the IVF
-    trainer). Returns ``(id_col, cluster)`` with ``cluster`` = min
+    Init is farthest-first traversal over a bounded representative set
+    (min-id point per coarse grid cell, one shuffle; ~16k² cells so ≥k
+    natural clusters can't share a cell) starting from the minimum-id
+    representative — fully reproducible, unlike PostGIS's random
+    k-means++, and one seed lands per blob whenever cluster separation
+    exceeds cluster diameter. Lloyd iterations assign natively (k
+    scalar squared distances + array_min argmin with a deterministic
+    index tie-break) and re-estimate centroids with one
+    groupBy(cluster) mean per round; only representatives and the k
+    centroid rows ever reach the driver. Returns ``(id_col, cluster)`` with ``cluster`` = min
     member id — label-stable under any partitioning.
     """
     from .functions import native as st_native
-    from .llm.similarity import ivf_assign
     from pyspark import StorageLevel
 
     gdf = df if isinstance(df, GeoDataFrame) else GeoDataFrame(df)
@@ -163,25 +162,57 @@ def cluster_kmeans(df, k: int, id_col: str, max_iterations: int = 10,
                          st_native.y(cen).alias("y"))
            .persist(StorageLevel.MEMORY_AND_DISK))
 
-    first = pts.orderBy("id").limit(1).collect()
-    if not first:
+    # Deterministic farthest-first init over a BOUNDED representative
+    # set: one shuffle picks the min-id point of each coarse grid cell
+    # (grid fine enough that ≥k natural clusters can't share a cell:
+    # ~16k cells), the representatives collect to the driver (≤~16k
+    # rows regardless of data size), and farthest-first runs there in
+    # numpy — 2 jobs total instead of k driver round-trips.
+    import numpy as np
+    k = int(k)
+    bb = pts.agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                 F.min("y").alias("y0"), F.max("y").alias("y1"),
+                 F.count("*").alias("n")).collect()[0]
+    if not bb["n"]:
         return pts.select(F.col("id").alias(id_col),
                           F.lit(None).cast("long").alias("cluster"))
-    cents = [(float(first[0]["x"]), float(first[0]["y"]))]
-    while len(cents) < int(k):
-        dmin = None
-        for cx, cy in cents:
-            d = ((F.col("x") - cx) * (F.col("x") - cx)
-                 + (F.col("y") - cy) * (F.col("y") - cy))
-            dmin = d if dmin is None else F.least(dmin, d)
-        far = (pts.orderBy(F.desc(dmin.alias("d")), F.asc("id"))
-               .limit(1).collect())
-        cents.append((float(far[0]["x"]), float(far[0]["y"])))
+    div = max(int(np.ceil(4.0 * np.sqrt(max(k, 1)))), 1)
+    cw = max((bb["x1"] - bb["x0"]) / div, 1e-300)
+    ch = max((bb["y1"] - bb["y0"]) / div, 1e-300)
+    cellx = F.least(F.floor((F.col("x") - bb["x0"]) / cw), F.lit(div - 1))
+    celly = F.least(F.floor((F.col("y") - bb["y0"]) / ch), F.lit(div - 1))
+    reps = (pts.groupBy(cellx.alias("cx"), celly.alias("cy"))
+            .agg(F.min_by(F.struct("id", "x", "y"),
+                          F.col("id")).alias("r"))
+            .select("r.*").collect())
+    reps.sort(key=lambda r: r["id"])
+    rx = np.array([r["x"] for r in reps])
+    ry = np.array([r["y"] for r in reps])
+    k = min(k, len(reps))
+    cents = [(float(rx[0]), float(ry[0]))]
+    dmin = (rx - cents[0][0]) ** 2 + (ry - cents[0][1]) ** 2
+    while len(cents) < k:
+        j = int(np.argmax(dmin))             # ties → smallest rep index
+        cents.append((float(rx[j]), float(ry[j])))
+        dmin = np.minimum(dmin, (rx - rx[j]) ** 2 + (ry - ry[j]) ** 2)
 
-    vec = F.array(F.col("x"), F.col("y"))
+    def _assign(centroids):
+        # nearest-centroid index: k scalar squared distances + one
+        # array_min over (d, i) structs (lexicographic → deterministic
+        # tie-break on the centroid index). x/y are plain materialized
+        # attributes, so the k-wide inlining is k cheap scalar exprs —
+        # NOT the array-HOF IVF expression (which at k>100 dominated
+        # analysis+codegen time here).
+        dx = F.col("x")
+        dy = F.col("y")
+        return F.array_min(F.array(*[
+            F.struct(((dx - cx) * (dx - cx)
+                      + (dy - cy) * (dy - cy)).alias("d"),
+                     F.lit(i).alias("i"))
+            for i, (cx, cy) in enumerate(centroids)]))["i"]
+
     for _ in range(int(max_iterations)):
-        assign = F.element_at(ivf_assign(vec, cents, 1), 1)
-        means = (pts.withColumn("c", assign).groupBy("c")
+        means = (pts.withColumn("c", _assign(cents)).groupBy("c")
                  .agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
                  .collect())
         new = list(cents)
@@ -193,10 +224,12 @@ def cluster_kmeans(df, k: int, id_col: str, max_iterations: int = 10,
         if moved <= tol:
             break
 
-    assign = F.element_at(ivf_assign(vec, cents, 1), 1)
-    assigned = pts.withColumn("__c", assign)
+    # the final assignment feeds two consumers (the min-id relabel and
+    # the output join) — materialize it once
+    assigned = pts.withColumn("__c", _assign(cents)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     relabel = assigned.groupBy("__c").agg(F.min("id").alias("cluster"))
     out = (assigned.join(F.broadcast(relabel), "__c")
            .select(F.col("id").alias(id_col), "cluster"))
     from .cache import pin
-    return pin(out, pts)
+    return pin(out, pts, assigned)

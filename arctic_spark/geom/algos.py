@@ -1080,10 +1080,11 @@ def is_valid(rg: RaggedGeometry):
     shells not nested in another part's interior (a shell inside a hole
     — donut island — is valid). Non-polygonal geometries are always
     valid (GEOS semantics — a self-crossing line is valid, just not
-    simple). Documented residual gaps vs GEOS: interior-connectivity
-    (a hole chain touching the shell at several points that disconnects
-    the interior) and crossings happening exactly AT a shared vertex are
-    not detected."""
+    simple). Interior connectivity is checked since r6 (a hole — or
+    hole chain — touching the shell at two points pinches the interior:
+    cycle detection on the ring-touch multigraph, GEOS "Interior is
+    disconnected"). Documented residual gap vs GEOS: crossings happening
+    exactly AT a shared vertex are not detected."""
     from .ragged import GEOMETRYCOLLECTION, gc_iter
     out = np.zeros(len(rg), dtype=object)
     for i in range(len(rg)):
@@ -1178,7 +1179,57 @@ def _polygon_invalid_reason(xs, ys, rings, parts):
                     for h in holes)
                 if not in_hole:
                     return "Nested shells"
+    # interior connectivity (GEOS "Interior is disconnected"): with
+    # crossings/overlaps excluded above, rings of one part may only
+    # touch at isolated points; the interior splits exactly when the
+    # ring-touch MULTIGRAPH (nodes = rings, one edge per distinct touch
+    # point) contains a cycle — a hole touching the shell at two
+    # points, or a hole chain looping back
+    from collections import defaultdict
+    by_part = defaultdict(list)
+    for idx, r in enumerate(ring_xy):
+        by_part[r[2]].append(idx)
+    for idxs in by_part.values():
+        if len(idxs) < 2:
+            continue
+        parent = {i: i for i in idxs}
+
+        def _find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for ai in range(len(idxs)):
+            for bi in range(ai + 1, len(idxs)):
+                a, b = idxs[ai], idxs[bi]
+                for _ in _ring_touch_points(ring_xy[a][0], ring_xy[a][1],
+                                            ring_xy[b][0], ring_xy[b][1]):
+                    ra, rb = _find(a), _find(b)
+                    if ra == rb:
+                        return "Interior is disconnected"
+                    parent[ra] = rb
     return None
+
+
+def _ring_touch_points(x1, y1, x2, y2):
+    """Distinct coordinates where two non-crossing rings touch. With
+    crossings and collinear overlaps already excluded, every contact
+    between two straight-edge rings involves at least one vertex of one
+    ring sitting ON the other (vertex-vertex or vertex-on-edge), so
+    scanning both vertex sets suffices."""
+    pts = set()
+    for ax, ay, bx, by in ((x1, y1, x2, y2), (x2, y2, x1, y1)):
+        ex1, ey1 = bx[:-1], by[:-1]
+        ex2, ey2 = bx[1:], by[1:]
+        for px, py in zip(ax[:-1], ay[:-1]):
+            cross = (ex2 - ex1) * (py - ey1) - (ey2 - ey1) * (px - ex1)
+            on = ((cross == 0)
+                  & (np.minimum(ex1, ex2) <= px) & (px <= np.maximum(ex1, ex2))
+                  & (np.minimum(ey1, ey2) <= py) & (py <= np.maximum(ey1, ey2)))
+            if on.any():
+                pts.add((float(px), float(py)))
+    return pts
 
 
 def is_valid_reason(rg: RaggedGeometry):

@@ -231,3 +231,36 @@ def test_is_valid_reason():
     # crossing hole/shell rings -> pairwise conflict
     assert reason("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
                   "(5 5, 15 5, 15 7, 5 7, 5 5))") == "Self-intersection"
+
+
+def test_interior_disconnected(spark):
+    """GEOS 'Interior is disconnected': a hole (or hole chain) touching
+    the shell at two points pinches the interior apart."""
+    from arctic_spark.geom import algos
+    from arctic_spark.geom.ragged import RaggedGeometry, POLYGON
+
+    def mk(rings_xy, parts):
+        xs = [v for r in rings_xy for v in r[0]]
+        ys = [v for r in rings_xy for v in r[1]]
+        rl = [len(r[0]) for r in rings_xy]
+        return RaggedGeometry.from_pylists(
+            [POLYGON], [xs], [ys], [rl], [parts])
+
+    shell = ([0, 10, 10, 0, 0], [0, 0, 10, 10, 0])
+    # one shell touch: valid
+    g = mk([shell, ([0, 4, 2, 0], [5, 5, 8, 5])], [2])
+    assert algos.is_valid(g)[0] is True
+    # diamond hole spanning the full width: two shell touches -> pinch
+    g = mk([shell, ([0, 5, 10, 5, 0], [5, 4, 5, 6, 5])], [2])
+    assert algos.is_valid(g)[0] is False
+    assert algos.is_valid_reason(g)[0] == "Interior is disconnected"
+    # hole chain shell->a->b->shell closes a cycle
+    g = mk([shell,
+            ([0, 5, 5, 0, 0], [5, 3, 5, 5, 5]),
+            ([5, 10, 5, 5, 5], [5, 5, 7, 5, 5])], [3])
+    assert algos.is_valid(g)[0] is False
+    # same two holes but the second detached from the shell: valid
+    g = mk([shell,
+            ([0, 5, 5, 0, 0], [5, 3, 5, 5, 5]),
+            ([5, 9, 5, 5, 5], [5, 5, 7, 5, 5])], [3])
+    assert algos.is_valid(g)[0] is True
