@@ -102,3 +102,92 @@ def test_cluster_kmeans_k1_and_determinism(spark):
             "id", st.point(F.col("x"), F.col("y")).alias("geometry"))),
         3, "id").collect())
     assert a == b
+
+
+def test_cluster_within_matches_bruteforce_random(spark):
+    """Property: distributed single-linkage == driver-side union-find
+    over the exact pair list, on random points."""
+    import numpy as np
+    rng = np.random.default_rng(33)
+    n, d = 60, 1.5
+    xs = rng.uniform(0, 12, n)
+    ys = rng.uniform(0, 12, n)
+    df = spark.createDataFrame(
+        [(i + 1, float(xs[i]), float(ys[i])) for i in range(n)],
+        "id long, x double, y double")
+    gdf = GeoDataFrame(df.select(
+        "id", st.point(F.col("x"), F.col("y")).alias("geometry")))
+    got = {r["id"]: r["cluster"]
+           for r in cluster_within(gdf, d, "id", points_only=True).collect()}
+
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (xs[i] - xs[j]) ** 2 + (ys[i] - ys[j]) ** 2 <= d * d:
+                parent[find(i)] = find(j)
+    expect = {}
+    for i in range(n):
+        root = find(i)
+        expect.setdefault(root, []).append(i + 1)
+    labels = {m: min(ms) for ms in expect.values() for m in ms}
+    assert got == labels
+
+
+def test_cluster_dbscan_matches_bruteforce_random(spark):
+    """Property: distributed DBSCAN == driver-side reference DBSCAN
+    (core = ≥min_points within eps incl. self; border attaches to the
+    min core-cluster label) on random points."""
+    import numpy as np
+    rng = np.random.default_rng(44)
+    n, eps, mp = 70, 1.2, 4
+    xs = rng.uniform(0, 10, n)
+    ys = rng.uniform(0, 10, n)
+    df = spark.createDataFrame(
+        [(i + 1, float(xs[i]), float(ys[i])) for i in range(n)],
+        "id long, x double, y double")
+    gdf = GeoDataFrame(df.select(
+        "id", st.point(F.col("x"), F.col("y")).alias("geometry")))
+    got = {r["id"]: r["cluster"]
+           for r in cluster_dbscan(gdf, eps, mp, "id",
+                                   points_only=True).collect()}
+
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    nbr = d2 <= eps * eps
+    core = nbr.sum(axis=1) >= mp                 # includes self
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if core[i] and core[j] and nbr[i, j]:
+                parent[find(i)] = find(j)
+    comp_members = {}
+    for i in range(n):
+        if core[i]:
+            comp_members.setdefault(find(i), []).append(i + 1)
+    core_label = {}
+    for ms in comp_members.values():
+        lab = min(ms)
+        for m in ms:
+            core_label[m] = lab
+    expect = {}
+    for i in range(n):
+        if core[i]:
+            expect[i + 1] = core_label[i + 1]
+        else:
+            labs = [core_label[j + 1] for j in range(n)
+                    if core[j] and nbr[i, j] and j != i]
+            expect[i + 1] = min(labs) if labs else None
+    assert got == expect
