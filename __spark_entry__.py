@@ -2208,6 +2208,66 @@ def text_ngram_topk(spark, sf):
     return pipeline.ngram_topk(d, n=2, k=40)
 
 
+def q_sessionize(spark, sf):
+    """Batch gap-based sessionization (temporal.sessionize, round 6 —
+    the batch twin of the streaming sessionizer): per-user sessions at
+    an 8-hour inactivity gap, per-session stats. One shuffle for the
+    lag/cumsum windows + the per-session groupBy; the oracle replays
+    the identical integer-microsecond windows in SQL."""
+    from arctic_spark.temporal import session_stats
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    s = session_stats(e, "ts", "user_id", 28800.0,
+                      order_cols=("event_id",))
+    return s.select("user_id", "session_seq", "session_id", "n_events",
+                    F.round("duration_s", 6).alias("duration_s"))
+
+
+def q_percentiles(spark, sf):
+    """Exact distributed percentiles (inherited surface): per-flag
+    exact p50/p90/p99 of lineitem prices via Spark's sort-based
+    ``percentile`` — the same index = p·(n−1) linear interpolation
+    DuckDB's ``quantile_cont`` uses."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+        .alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+        .alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4)
+        .alias("p99"),
+        F.count("*").alias("n"))
+
+
+def geo_azimuth_project(spark, sf):
+    """ST_Azimuth → ST_Project round trip (PostGIS semantics, round 6):
+    projecting a by (distance(a,b), azimuth(a,b)) lands on b, so px/py
+    are oracled against b's own closed-form coordinates; the spherical
+    forward problem is oracled by its great-circle closed form.
+    Inputs keep destinations far from the antimeridian so the wrap
+    branch cannot straddle a 1-ulp engine difference."""
+    c = _t(spark, sf, "customer")
+    x1 = (F.col("c_custkey") % 97).cast("double") * 0.5
+    y1 = (F.col("c_custkey") % 89).cast("double") * 0.25
+    x2 = (F.col("c_nationkey") * 7 % 101).cast("double") * 0.5
+    y2 = (F.col("c_custkey") * 3 % 83).cast("double") * 0.25
+    a, b = st.point(x1, y1), st.point(x2, y2)
+    az = st.azimuth(a, b)
+    d = st.distance_points(a, b)
+    p = st.project_point(a, d, az)
+    lon = (F.col("c_custkey") % 160 - 80).cast("double") + 0.5
+    lat = (F.col("c_custkey") * 3 % 120 - 60).cast("double") + 0.25
+    brg = (F.col("c_custkey") % 7).cast("double") * 0.9
+    dist = ((F.col("c_custkey") % 1000) * 1000 + 50000).cast("double")
+    sp = st.project_spherical(st.point(lon, lat), dist, brg)
+    return c.select(
+        "c_custkey",
+        F.round(az, 6).alias("az"),
+        F.round(st.x(p), 6).alias("px"),
+        F.round(st.y(p), 6).alias("py"),
+        F.round(st.x(sp), 6).alias("slon"),
+        F.round(st.y(sp), 6).alias("slat"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2319,6 +2379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": text_bm25_topk,
         "geo_trajectory_stats": geo_trajectory_stats,
         "text_ngram_topk": text_ngram_topk,
+        "q_sessionize": q_sessionize,
+        "q_percentiles": q_percentiles,
+        "geo_azimuth_project": geo_azimuth_project,
     }
 
 
@@ -4358,6 +4421,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS n
             FROM grams GROUP BY ngram
             ORDER BY n DESC, ngram ASC LIMIT 40
+        """,
+        # sessionize: replay the identical integer-microsecond lag /
+        # cumsum windows (ts arrives as nanos; //1000 mirrors Spark's
+        # `ts div 1000` truncation exactly)
+        "q_sessionize": """
+            WITH t AS (
+                SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+                FROM events),
+            f AS (
+                SELECT user_id, event_id, us,
+                       CASE WHEN us - lag(us) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY us, event_id)
+                                > 28800000000
+                            OR lag(us) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS nf
+                FROM t),
+            s AS (
+                SELECT user_id, us,
+                       sum(nf) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                           AS session_seq
+                FROM f)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   user_id::VARCHAR || '#' || session_seq::VARCHAR
+                       AS session_id,
+                   count(*) AS n_events,
+                   round((max(us) - min(us)) / 1e6, 6) AS duration_s
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # azimuth/project: planar round trip lands on b (closed form);
+        # spherical forward problem replayed by its great-circle closed
+        # form. atan2(dx,dy) normalized to [0,2pi) exactly as the engine.
+        "geo_azimuth_project": """
+            WITH base AS (
+                SELECT c_custkey,
+                       (c_custkey % 97) * 0.5  AS x1,
+                       (c_custkey % 89) * 0.25 AS y1,
+                       (c_nationkey * 7 % 101) * 0.5  AS x2,
+                       (c_custkey * 3 % 83) * 0.25    AS y2,
+                       radians((c_custkey % 160 - 80) + 0.5) AS lon1,
+                       radians((c_custkey * 3 % 120 - 60) + 0.25) AS lat1,
+                       (c_custkey % 7) * 0.9 AS brg,
+                       ((c_custkey % 1000) * 1000 + 50000)
+                           / 6371008.8 AS delta
+                FROM customer),
+            az AS (
+                SELECT *,
+                       CASE WHEN x2 = x1 AND y2 = y1 THEN NULL
+                            WHEN atan2(x2 - x1, y2 - y1) < 0
+                            THEN atan2(x2 - x1, y2 - y1) + 2 * pi()
+                            ELSE atan2(x2 - x1, y2 - y1) END AS azr,
+                       asin(sin(lat1) * cos(delta)
+                            + cos(lat1) * sin(delta) * cos(brg)) AS lat2
+                FROM base)
+            SELECT c_custkey,
+                   round(azr, 6) AS az,
+                   round(CASE WHEN azr IS NULL THEN NULL
+                              ELSE x1 + sqrt((x2-x1)*(x2-x1)
+                                             + (y2-y1)*(y2-y1))
+                                   * sin(azr) END, 6) AS px,
+                   round(CASE WHEN azr IS NULL THEN NULL
+                              ELSE y1 + sqrt((x2-x1)*(x2-x1)
+                                             + (y2-y1)*(y2-y1))
+                                   * cos(azr) END, 6) AS py,
+                   round(degrees(lon1 + atan2(
+                           sin(brg) * sin(delta) * cos(lat1),
+                           cos(delta) - sin(lat1) * sin(lat2))), 6)
+                       AS slon,
+                   round(degrees(lat2), 6) AS slat
+            FROM az
         """,
     }
 

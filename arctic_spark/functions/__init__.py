@@ -45,6 +45,11 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
 from .native import collect_agg, z
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      line_substring, azimuth, reverse, segmentize)
+# PostGIS ST_Project (forward/destination point). `st.project` stays the
+# GeoPandas line-referencing alias below, so the destination-point ops get
+# unambiguous names.
+from .native import project_spherical  # noqa: F401
+from .native import project as project_point  # noqa: F401
 from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import geohash, geohash_decode, geom_geohash  # noqa: F401
 from .native import hex_key, hex_center  # noqa: F401
@@ -113,6 +118,7 @@ __all__ = [
     "shared_paths", "offset_curve", "make_valid", "normalize", "node",
     "extract_unique_points", "collection_extract", "project",
     "line_substring", "azimuth", "split", "build_area", "subdivide",
+    "project_point", "project_spherical",
 ]
 
 

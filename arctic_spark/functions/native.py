@@ -1297,6 +1297,53 @@ def azimuth(p1, p2) -> Column:
                   & (b["gt"] == POINT) & ((dx != 0) | (dy != 0)), val)
 
 
+def project(pt, distance, az) -> Column:
+    """Point at ``distance`` from ``pt`` along azimuth ``az`` (radians
+    clockwise from north — the :func:`azimuth` convention), planar:
+    PostGIS ``ST_Project(geometry, ...)``. Inverse of ``azimuth`` +
+    ``distance``: project(a, distance(a,b), azimuth(a,b)) == b up to
+    float rounding. NULL for non-points. Pure codegen expressions."""
+    a = _g(pt)
+    distance, az = _lit(distance), _lit(az)
+    px = F.element_at(a["xs"], 1) + distance * F.sin(az)
+    py = F.element_at(a["ys"], 1) + distance * F.cos(az)
+    return F.when(_valid(a) & (a["gt"] == POINT)
+                  & distance.isNotNull() & az.isNotNull(),
+                  point(px, py))
+
+
+def project_spherical(pt, distance, az,
+                      radius: float = 6371008.8) -> Column:
+    """Great-circle forward problem: destination of travelling
+    ``distance`` metres from lon/lat point ``pt`` on initial bearing
+    ``az`` (radians clockwise from north) over the mean-radius sphere —
+    PostGIS ``ST_Project(geography, ...)`` up to its ellipsoidal
+    refinement (spherical model doc'd, consistent with
+    ``geodesic_length(method='haversine')``). Standard closed form:
+
+      φ2 = asin(sin φ1 cos δ + cos φ1 sin δ cos θ)
+      λ2 = λ1 + atan2(sin θ sin δ cos φ1, cos δ − sin φ1 sin φ2)
+
+    with δ = distance/R; longitude normalized to [−180°, 180°). Pure
+    codegen expressions."""
+    a = _g(pt)
+    distance, az = _lit(distance), _lit(az)
+    lon1 = F.radians(F.element_at(a["xs"], 1))
+    lat1 = F.radians(F.element_at(a["ys"], 1))
+    d = distance / F.lit(float(radius))
+    sin_lat2 = (F.sin(lat1) * F.cos(d)
+                + F.cos(lat1) * F.sin(d) * F.cos(az))
+    lat2 = F.asin(sin_lat2)
+    lon2 = lon1 + F.atan2(F.sin(az) * F.sin(d) * F.cos(lat1),
+                          F.cos(d) - F.sin(lat1) * sin_lat2)
+    lon_deg = F.degrees(lon2)
+    # wrap to [-180, 180)
+    lon_deg = lon_deg - 360.0 * F.floor((lon_deg + 180.0) / 360.0)
+    return F.when(_valid(a) & (a["gt"] == POINT)
+                  & distance.isNotNull() & az.isNotNull(),
+                  point(lon_deg, F.degrees(lat2)))
+
+
 def line_locate_point(line, pt, normalized: bool = False) -> Column:
     """Distance along ``line`` of the point on it nearest to ``pt``
     (shapely ``line_locate_point`` / GEOS Project). First-nearest segment

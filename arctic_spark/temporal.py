@@ -207,3 +207,65 @@ def make_trajectories(df: DataFrame, id_col: str, ts_col: str, x, y):
         F.size("ps").cast("long").alias("n_points"),
         (F.element_at(F.col("ps"), -1)["ts"]
          - F.element_at(F.col("ps"), 1)["ts"]).alias("duration"))
+
+
+def sessionize(df: DataFrame, ts_col: str, by, gap_seconds: float,
+               order_cols=()) -> DataFrame:
+    """Batch gap-based sessionization (the batch twin of
+    ``streaming.ops.sessionize_by_gap``): a new session starts whenever
+    the time since the entity's previous event EXCEEDS ``gap_seconds``
+    (a gap exactly equal to the threshold stays in the same session,
+    matching the streaming operator).
+
+    Adds two columns: ``session_seq`` (1-based per-entity session
+    ordinal) and ``session_id`` (entity key + '#' + seq — globally
+    unique, stable under any partitioning).
+
+    Plan shape: ONE shuffle on ``by``; the new-session flag is a
+    ``lag`` comparison and the ordinal a running sum over the same
+    window — both stay in the single sort the shuffle already pays for.
+    No Python anywhere. Determinism: equal-timestamp neighbours have
+    gap 0, so their flags (and every later row's running sum) are
+    identical under either tie order; pass ``order_cols`` to pin a
+    total order anyway when exact row order matters downstream.
+
+    100 TB: the shuffle is keyed on the entity id — the same key any
+    per-entity analysis already shuffles on — and carries only the
+    input row; skewed entities are bounded by per-entity event counts,
+    not corpus size (AQE skew-split applies).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*by).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # integer microseconds via timestamp_diff: exact, engine-portable
+    # (no float seconds), and accepts TIMESTAMP and TIMESTAMP_NTZ alike
+    gap_us = int(round(gap_seconds * 1_000_000))
+    new_flag = F.when(
+        prev.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev, F.col(ts_col)) > gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy(*by).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = F.sum(new_flag).over(run).cast("long")
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in by],
+                      seq.cast("string"))
+    return df.withColumn("session_seq", seq).withColumn("session_id", key)
+
+
+def session_stats(df: DataFrame, ts_col: str, by, gap_seconds: float,
+                  order_cols=()) -> DataFrame:
+    """Per-session aggregates over :func:`sessionize`: event count,
+    start/end timestamps and duration in seconds. Two shuffles total
+    (the sessionize window + the groupBy — the second reuses the first's
+    hash partitioning on the leading ``by`` key, so AQE can plan it as a
+    local aggregation)."""
+    by = [by] if isinstance(by, str) else list(by)
+    s = sessionize(df, ts_col, by, gap_seconds, order_cols)
+    return (s.groupBy(*by, "session_seq", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 (F.timestamp_diff("MICROSECOND", F.min(ts_col),
+                                   F.max(ts_col)) / 1e6)
+                 .alias("duration_s")))
