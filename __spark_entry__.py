@@ -2268,6 +2268,31 @@ def geo_azimuth_project(spark, sf):
         F.round(st.y(sp), 6).alias("slat"))
 
 
+def geo_inscribed_circle(spark, sf):
+    """maximum_inscribed_circle (GEOS MaximumInscribedCircle /
+    polylabel, round 6) on 3-4-5-proportioned diamonds: half-diagonals
+    (3s, 4s) make the inradius EXACTLY 2.4*s (a Pythagorean-triple
+    closed form with one decimal digit, so the 1e-9-tolerance estimate
+    rounds exactly at 6 decimals) and the pole the diamond center. The
+    result LineString's first point is the center; its length the
+    radius."""
+    p = _t(spark, sf, "part")
+    cx = (F.col("p_partkey") % 83).cast("double") * 0.5
+    cy = (F.col("p_partkey") * 3 % 79).cast("double") * 0.5
+    s = (F.col("p_partkey") % 8).cast("double") * 0.25 + 0.5
+    diamond = st.make_polygon(
+        F.array(cx - 3 * s, cx, cx + 3 * s, cx),
+        F.array(cy, cy - 4 * s, cy, cy + 4 * s))
+    d = p.select("p_partkey", diamond.alias("g"))
+    d = d.withColumn("mic", st.maximum_inscribed_circle(F.col("g"), 1e-9))
+    start = st.line_interpolate_point(F.col("mic"), F.lit(0.0))
+    return d.select(
+        "p_partkey",
+        F.round(st.length(F.col("mic")), 6).alias("radius"),
+        F.round(st.x(start), 6).alias("cx"),
+        F.round(st.y(start), 6).alias("cy"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2382,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_percentiles": q_percentiles,
         "geo_azimuth_project": geo_azimuth_project,
+        "geo_inscribed_circle": geo_inscribed_circle,
     }
 
 
@@ -4503,6 +4529,15 @@ def oracle_sql() -> dict[str, str]:
                        AS slon,
                    round(degrees(lat2), 6) AS slat
             FROM az
+        """,
+        # inscribed circle: 3-4-5 diamond inradius closed form
+        "geo_inscribed_circle": """
+            SELECT p_partkey,
+                   round(2.4 * ((p_partkey % 8) * 0.25 + 0.5), 6)
+                       AS radius,
+                   round((p_partkey % 83) * 0.5, 6) AS cx,
+                   round((p_partkey * 3 % 79) * 0.5, 6) AS cy
+            FROM part
         """,
     }
 

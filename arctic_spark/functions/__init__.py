@@ -37,6 +37,7 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    hausdorff_distance, frechet_distance,
                    minimum_rotated_rectangle, minimum_bounding_radius,
                    minimum_bounding_circle, minimum_clearance,
+                   maximum_inscribed_circle,
                    shortest_line,
                    line_merge, remove_repeated_points,
                    delaunay_triangles, voronoi_polygons, concave_hull,
@@ -111,7 +112,8 @@ __all__ = [
     "intersection", "difference", "union", "symmetric_difference",
     "relate", "relate_pattern", "freeze", "dwithin",
     "hausdorff_distance", "frechet_distance", "minimum_rotated_rectangle",
-    "minimum_bounding_radius", "minimum_bounding_circle", "shortest_line",
+    "minimum_bounding_radius", "minimum_bounding_circle",
+    "maximum_inscribed_circle", "shortest_line",
     "zorder_key", "geom_zorder_key", "line_merge",
     "remove_repeated_points", "delaunay_triangles",
     "voronoi_polygons", "concave_hull", "polygonize", "snap",

@@ -608,6 +608,35 @@ def minimum_bounding_circle(g, quad_segs: int = 8):
     return _mbc(g)
 
 
+def maximum_inscribed_circle(g, tolerance: float = None):
+    """GEOS ``MaximumInscribedCircle`` / shapely 2.x
+    ``maximum_inscribed_circle``: the largest circle contained in a
+    (multi)polygon, returned GEOS-style as the 2-point LineString from
+    the circle center (the polylabel pole of inaccessibility) to the
+    nearest boundary point — so ``st.length`` of the result is the
+    radius and its first point the center. ``tolerance`` defaults to
+    max(bbox side)/1000 (shapely's default).
+    algos.maximum_inscribed_circle_params — vectorized pruned-grid
+    polylabel. Null for missing/empty/non-polygonal rows."""
+    @pandas_udf(GEOM_TYPE)
+    def _mic(gg: pd.DataFrame) -> pd.DataFrame:
+        rg = ragged_from_pdf(gg)
+        cx, cy, r, qx, qy = algos.maximum_inscribed_circle_params(
+            rg, tolerance)
+        gts, xs, ys, rings, parts = [], [], [], [], []
+        for i in range(len(rg)):
+            if not np.isfinite(r[i]):
+                gts.append(None); xs.append(None); ys.append(None)
+                rings.append(None); parts.append(None)
+            else:
+                gts.append(1)
+                xs.append([cx[i], qx[i]]); ys.append([cy[i], qy[i]])
+                rings.append([2]); parts.append([1])
+        return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                             "ys": ys, "rings": rings, "parts": parts})
+    return _mic(g)
+
+
 @pandas_udf(GEOM_TYPE)
 def shortest_line(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
     """2-point LineString between the nearest points of g1 and g2

@@ -2905,3 +2905,124 @@ def subdivide(rg: RaggedGeometry, max_vertices: int = 128,
             orings.append(np.asarray(rings).tolist())
             oparts.append(np.asarray(parts).tolist())
     return RaggedGeometry.from_pylists(gts, oxs, oys, orings, oparts)
+
+
+def maximum_inscribed_circle_params(rg: RaggedGeometry, tolerance=None):
+    """(cx, cy, radius, qx, qy) float64 arrays: the largest circle that
+    fits inside each (multi)polygon — GEOS ``MaximumInscribedCircle`` /
+    the Mapbox *polylabel* pole-of-inaccessibility, to within
+    ``tolerance`` (default max(width, height)/1000, shapely's default).
+    (qx, qy) is the boundary point nearest the center (the circle's
+    radius witness). NaN rows for missing/empty/non-polygonal input.
+
+    Method — level-synchronous pruned grid, the batch-friendly variant
+    of polylabel's priority queue: each round evaluates EVERY surviving
+    cell center's signed distance to the boundary in one vectorized
+    pass (cells x segments matrices), keeps cells whose upper bound
+    d + half*sqrt(2) can still beat the incumbent by > tolerance, and
+    splits them 4-way. Same guarantee as the queue form (no cell that
+    could contain a better pole is ever dropped), but the per-round
+    work is numpy, not a python heap, and the result is deterministic
+    (first-argmax tie-break over a deterministically ordered cell
+    list).
+
+    Bounded work: polygons whose optimal pole is a CONTINUUM (e.g. a
+    square with a centered hole has a 1-D ridge of equally-deep poles)
+    would keep ridge-length/half cells alive — exponential in the
+    round number for tiny tolerances (the classic polylabel queue has
+    the same worst case). Each round therefore keeps at most 4096
+    cells, preferring larger distances (deterministic (-d, index)
+    order). For isolated optima — every convex polygon, and real-world
+    shapes generally — the cap never binds and the tolerance guarantee
+    is exact; when it does bind, the result is still a valid inscribed
+    circle within half*sqrt(2) of optimal at the capping level (for
+    ridge cases, that means within tolerance anyway, since dropped and
+    kept cells share the same depth)."""
+    n = len(rg)
+    out = np.full((5, n), np.nan)
+    sqrt2 = math.sqrt(2.0)
+    for i in range(n):
+        gt, xs, ys, rings, parts = rg.geom(i)
+        if gt not in (POLYGON, MULTIPOLYGON) or len(xs) == 0:
+            continue
+        # segment arrays over every ring (closed storage: consecutive
+        # pairs inside each ring, skipping the ring-to-ring joints)
+        ax, ay, bx, by = [], [], [], []
+        coff = 0
+        for rl in rings:
+            ax.append(xs[coff:coff + rl - 1]); bx.append(xs[coff + 1:coff + rl])
+            ay.append(ys[coff:coff + rl - 1]); by.append(ys[coff + 1:coff + rl])
+            coff += rl
+        ax = np.concatenate(ax); ay = np.concatenate(ay)
+        bx = np.concatenate(bx); by = np.concatenate(by)
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        l2s = np.where(l2 == 0, 1.0, l2)
+        dys = np.where(dy == 0, 1.0, dy)
+
+        def signed(px, py):
+            # distance to nearest boundary segment
+            t = ((px[:, None] - ax) * dx + (py[:, None] - ay) * dy) / l2s
+            np.clip(t, 0.0, 1.0, out=t)
+            qx = ax + t * dx
+            qy = ay + t * dy
+            d2 = (px[:, None] - qx) ** 2 + (py[:, None] - qy) ** 2
+            d2[:, l2 == 0] = np.inf if d2.shape[1] else 0
+            # even-odd ray cast over all rings (holes flip parity)
+            crosses = (ay > py[:, None]) != (by > py[:, None])
+            xint = ax + (py[:, None] - ay) * dx / dys
+            parity = (crosses & (px[:, None] < xint)).sum(axis=1) % 2
+            d = np.sqrt(d2.min(axis=1))
+            return np.where(parity == 1, d, -d), d2
+
+        minx, maxx = xs.min(), xs.max()
+        miny, maxy = ys.min(), ys.max()
+        w, h = maxx - minx, maxy - miny
+        size = min(w, h)
+        if size == 0.0:  # degenerate (zero-area) polygon
+            out[0, i] = (minx + maxx) / 2.0
+            out[1, i] = (miny + maxy) / 2.0
+            out[2, i] = 0.0
+            out[3, i] = out[0, i]; out[4, i] = out[1, i]
+            continue
+        tol = tolerance if tolerance is not None else max(w, h) / 1000.0
+        half = size / 2.0
+        gx = minx + (np.arange(int(np.ceil(w / size))) * size + half)
+        gy = miny + (np.arange(int(np.ceil(h / size))) * size + half)
+        cx = np.repeat(gx, len(gy))
+        cy = np.tile(gy, len(gx))
+        # seed: centroid-of-vertices + bbox center (polylabel's seeds)
+        sx = np.array([xs.mean(), (minx + maxx) / 2.0])
+        sy = np.array([ys.mean(), (miny + maxy) / 2.0])
+        sd, _ = signed(sx, sy)
+        k = int(np.argmax(sd))
+        best_d, best_x, best_y = sd[k], sx[k], sy[k]
+        rounds = 0
+        while len(cx) and rounds < 64:
+            d, _ = signed(cx, cy)
+            k = int(np.argmax(d))
+            if d[k] > best_d:
+                best_d, best_x, best_y = d[k], cx[k], cy[k]
+            keep_idx = np.flatnonzero((d + half * sqrt2 - best_d) > tol)
+            if len(keep_idx) > 4096:
+                order = np.lexsort((keep_idx, -d[keep_idx]))
+                keep_idx = keep_idx[order[:4096]]
+            cx, cy = cx[keep_idx], cy[keep_idx]
+            half /= 2.0
+            if len(cx):
+                cx = np.concatenate([cx - half, cx + half, cx - half,
+                                     cx + half])
+                cy = np.concatenate([cy - half, cy - half, cy + half,
+                                     cy + half])
+            rounds += 1
+        # radius witness: closest boundary point from the pole
+        p = np.array([best_x]); q = np.array([best_y])
+        t = ((p[:, None] - ax) * dx + (q[:, None] - ay) * dy) / l2s
+        np.clip(t, 0.0, 1.0, out=t)
+        qxs = ax + t * dx; qys = ay + t * dy
+        d2 = (p[:, None] - qxs) ** 2 + (q[:, None] - qys) ** 2
+        j = int(np.argmin(d2[0]))
+        out[0, i], out[1, i] = best_x, best_y
+        out[2, i] = max(best_d, 0.0)
+        out[3, i], out[4, i] = qxs[0, j], qys[0, j]
+    return out[0], out[1], out[2], out[3], out[4]

@@ -431,6 +431,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_voronoipolygons": _geom_udf(algos.voronoi_polygons),
         "st_minimumboundingradius": _udfs.minimum_bounding_radius,
         "st_minimumclearance": _udfs.minimum_clearance,
+        "st_maximuminscribedcircle": _udfs.maximum_inscribed_circle,
         "st_shortestline": _udfs.shortest_line,
         "st_geohash": st_geohash,
         "st_isvalid": _scalar_udf(algos.is_valid, T.BooleanType()),
