@@ -2293,6 +2293,76 @@ def geo_inscribed_circle(spark, sf):
         F.round(st.y(start), 6).alias("cy"))
 
 
+# fixed demonstration merge rules for the oracled BPE encode gate (the
+# trainer is gated separately: its per-round argmax+rewrite loop is not
+# expressible as one SQL query, so text_bpe_train is a rows-only entry
+# and train==reference parity lives in tests/test_bpe.py)
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "r"),
+               ("er", "</w>"), ("a", "n"), ("o", "w"), ("s", "t"),
+               ("an", "</w>"), ("r", "ow")]
+
+
+def text_bpe_encode(spark, sf):
+    """BPE encoding (llm.tokenize.apply_bpe, round 6): a fixed merge
+    list applied corpus-wide as a chain of literal sentinel-wrapped
+    replaces — one whole-stage-codegen projection, zero Python. The
+    oracle replays the IDENTICAL replace chain in DuckDB (chr(31)/
+    chr(30) sentinels), so token counts and the joined token stream
+    hash must match byte-for-byte."""
+    from arctic_spark.llm import tokenize
+    d = _t(spark, sf, "documents").where(F.trim(F.col("text")) != "")
+    out = tokenize.apply_bpe(d, "text", _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("fp"))
+
+
+def text_bpe_train(spark, sf):
+    """BPE training (llm.tokenize.train_bpe, round 6): learn 25 merge
+    rules from the documents corpus — per-round distributed pair
+    counting over the distinct-word table, deterministic tie-breaks.
+    Rows-only gate (iterative argmax+rewrite is not one SQL query);
+    exact parity with the Sennrich reference implementation is locked
+    by tests/test_bpe.py."""
+    from arctic_spark.llm import tokenize
+    d = _t(spark, sf, "documents")
+    merges = tokenize.train_bpe(d, "text", num_merges=25,
+                                checkpoint_every=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string")
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of text_bpe_encode's exact replace chain."""
+    S, E = "chr(31)", "chr(30)"
+
+    def wrap(sym):
+        return f"{S} || '{sym}' || {E}"
+
+    enc = (f"regexp_replace(array_to_string(list_filter("
+           f"string_split_regex(text, '\\s+'), w -> w != ''), chr(10)),"
+           f" '(.)', {S} || '\\1' || {E}, 'g')")
+    enc = f"replace({enc}, chr(10), {wrap('</w>')})"
+    enc = f"({enc} || {wrap('</w>')})"
+    for a, b in _BPE_MERGES:
+        enc = (f"replace({enc}, {wrap(a)} || {wrap(b)}, "
+               f"{wrap(a + b)})")
+    joined = (f"replace(trim({enc}, chr(31) || chr(30)), "
+              f"{E} || {S}, ' ')")
+    return f"""
+        WITH enc AS (
+            SELECT doc_id, {joined} AS j
+            FROM documents WHERE trim(text) != ''
+        )
+        SELECT doc_id,
+               CAST(len(string_split(j, ' ')) AS INT) AS n_tokens,
+               md5(j) AS fp
+        FROM enc
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2408,6 +2478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "geo_azimuth_project": geo_azimuth_project,
         "geo_inscribed_circle": geo_inscribed_circle,
+        "text_bpe_encode": text_bpe_encode,
+        "text_bpe_train": text_bpe_train,
     }
 
 
@@ -4539,6 +4611,7 @@ def oracle_sql() -> dict[str, str]:
                    round((p_partkey * 3 % 79) * 0.5, 6) AS cy
             FROM part
         """,
+        "text_bpe_encode": _bpe_oracle_sql(),
     }
 
 

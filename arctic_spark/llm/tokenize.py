@@ -1,0 +1,180 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units",
+arXiv:1508.07909 — the algorithm GPT-style tokenizers descend from).
+The reference engine has none of this; it is part of the
+training-data-pipeline surface (vocabulary induction / token counting
+at corpus scale).
+
+Representation trick that keeps the whole thing JVM-native: a symbol
+sequence is ONE string with every symbol wrapped in sentinel bytes,
+``\\x1f`` (symbol start) and ``\\x1e`` (symbol end)::
+
+    "hello" -> "\\x1fh\\x1e\\x1fe\\x1e ... \\x1f</w>\\x1e"
+
+Then one full left-to-right non-overlapping BPE merge pass for the
+pair (a, b) is EXACTLY the literal string replacement::
+
+    replace(syms, "\\x1fa\\x1e\\x1fb\\x1e", "\\x1fab\\x1e")
+
+- alignment is structurally guaranteed: every match starts at a
+  ``\\x1f`` and must consume two COMPLETE sentinel-wrapped symbols, so
+  a pair ("a","b") can never match inside ("aa","b") or ("a","bc") —
+  the failure mode of naive space-joined replace;
+- ``replace`` scans left to right and resumes AFTER each replacement,
+  which is precisely canonical BPE merge order, including
+  self-adjacent runs ("a a a a a" -> "aa aa a", not "aa a aa");
+- adjacent occurrences share no characters (each occurrence spans
+  exactly two whole symbols), so one pass merges every occurrence.
+
+The sentinels are non-printing controls that whitespace-split words
+cannot contain.
+
+Scale design (100 TB): training runs on the DISTINCT-WORD table — one
+shuffle collapses the corpus to (word, count) rows (vocabulary-sized,
+~10-100M rows at web scale, independent of corpus length). Each merge
+round is one groupBy on a short pair key over that table plus a
+single-row collect (the argmax pair), and one codegen ``replace`` to
+rewrite the symbol strings; the working table is
+``localCheckpoint``-ed every few rounds (same driver-plan-growth
+reasoning as :mod:`arctic_spark.llm.graph`). Encoding is a chain of
+literal replaces — zero Python, zero shuffle, a pure projection whose
+rules ride the plan. The per-merge driver round-trip makes training
+O(num_merges) Spark jobs — the textbook algorithm, honest about its
+nature; production tokenizers bound it by training on a deterministic
+hash-sample (``pipeline.hash_sample``) and capping ``num_merges``.
+Corpus-wide counting is the part that needs the cluster, and that is
+the part that distributes here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+_S = "\x1f"   # symbol start sentinel
+_E = "\x1e"   # symbol end sentinel
+
+
+def _wrap(sym: str) -> str:
+    return _S + sym + _E
+
+
+def _spaced_symbols(word):
+    """Column: ``'hi'`` → ``'\\x1fh\\x1e\\x1fi\\x1e\\x1f</w>\\x1e'``."""
+    return F.concat(F.regexp_replace(word, "(.)", _S + "$1" + _E),
+                    F.lit(_wrap(END)))
+
+
+def _sym_array(enc):
+    """Column: sentinel string → array<string> of bare symbols."""
+    return F.transform(
+        F.filter(F.split(enc, _E), lambda s: s != F.lit("")),
+        lambda s: F.substring(s, 2, 1_000_000))
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text",
+                      min_count: int = 1) -> DataFrame:
+    """(word, n, syms): corpus word frequencies with initial
+    character-level symbol strings. ONE shuffle (groupBy word); the
+    output is vocabulary-sized, not corpus-sized. Pre-tokenization is
+    whitespace splitting (BPE's pre-tokenizer is a policy choice —
+    compose with the text.* normalizers upstream)."""
+    words = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                       .alias("word"))
+             .where(F.col("word") != ""))
+    out = (words.groupBy("word").agg(F.count("*").alias("n"))
+           .withColumn("syms", _spaced_symbols(F.col("word"))))
+    if min_count > 1:
+        out = out.where(F.col("n") >= min_count)
+    return out
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent symbol pairs weighted by word
+    frequency, with multiplicity (overlapping occurrences all count —
+    Sennrich's counting)."""
+    syms = _sym_array(F.col("syms"))
+    a = F.slice(syms, 1, F.size(syms) - 1)
+    b = F.slice(syms, 2, F.size(syms) - 1)
+    pairs = F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(_S), y))
+    ex = (vocab.select(F.explode(pairs).alias("pair"), "n")
+          .groupBy("pair").agg(F.sum("n").alias("cnt")))
+    sp = F.split(F.col("pair"), _S)
+    return ex.select(F.element_at(sp, 1).alias("left"),
+                     F.element_at(sp, 2).alias("right"),
+                     "pair", "cnt")
+
+
+def train_bpe(df: DataFrame, text_col: str = "text",
+              num_merges: int = 50, min_pair_count: int = 2,
+              min_count: int = 1,
+              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merge rules from the corpus; returns
+    them in rank order. Deterministic under any partitioning: count
+    ties break on the lexicographically smallest (left, right) pair.
+    Stops early when no pair reaches ``min_pair_count``."""
+    vocab = word_symbol_table(df, text_col, min_count=min_count) \
+        .localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    pinned = vocab
+    for i in range(num_merges):
+        top = (pair_counts(vocab)
+               .orderBy(F.col("cnt").desc(), F.col("left").asc(),
+                        F.col("right").asc())
+               .limit(1).collect())
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["left"], top[0]["right"]
+        merges.append((a, b))
+        vocab = vocab.withColumn(
+            "syms", F.replace(F.col("syms"), F.lit(_wrap(a) + _wrap(b)),
+                              F.lit(_wrap(a + b))))
+        if (i + 1) % checkpoint_every == 0:
+            nxt = vocab.localCheckpoint(eager=True)
+            pinned.unpersist()
+            pinned, vocab = nxt, nxt
+    pinned.unpersist()
+    return merges
+
+
+def apply_bpe(df: DataFrame, text_col: str, merges,
+              tokens_col: str = "tokens") -> DataFrame:
+    """Encode ``text_col`` with a learned merge list: adds
+    ``tokens_col`` (array<string>; word-final symbols carry the
+    ``</w>`` suffix unless already fused into them). The whole
+    document encodes as ONE sentinel string (words separated by their
+    ``</w>`` symbols), so the merge chain is a single
+    whole-stage-codegen projection of literal replaces — zero Python,
+    zero shuffle, rules riding the plan. Merges cannot leak across
+    word boundaries: a learned rule's left symbol is never word-final
+    (nothing follows a word-final symbol in training), so no rule can
+    match a (word-final, word-initial) symbol pair. Intended for merge
+    lists up to a few hundred rules per call; for bigger vocabularies
+    chain several calls (each is one projection)."""
+    line = F.array_join(
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda w: w != F.lit("")), "\n")
+    # wrap every char (newlines stay bare: '.' doesn't match \n), then
+    # turn each word boundary into an end-of-word symbol
+    enc = F.concat(
+        F.regexp_replace(
+            F.regexp_replace(line, "(.)", _S + "$1" + _E),
+            "\n", _wrap(END)),
+        F.lit(_wrap(END)))
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(_wrap(a) + _wrap(b)),
+                        F.lit(_wrap(a + b)))
+    toks = _sym_array(enc)
+    return df.withColumn(
+        tokens_col,
+        F.when(F.trim(F.col(text_col)) == "",
+               F.array().cast("array<string>")).otherwise(toks))
+
+
+def bpe_vocab(merges, base_symbols=None) -> list[str]:
+    """The vocabulary a merge list induces: optional base symbols plus
+    each merge's output symbol, in rank order."""
+    out = list(base_symbols) if base_symbols else []
+    out.extend(a + b for a, b in merges)
+    return out

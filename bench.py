@@ -106,6 +106,13 @@ BENCH_QUERIES = [
     "geo_trajectory_stats",
     "text_ngram_topk",
     "geo_cluster_kmeans",
+    # round 6 (fifth session)
+    "q_sessionize",
+    "q_percentiles",
+    "geo_azimuth_project",
+    "geo_inscribed_circle",
+    "text_bpe_encode",
+    "text_bpe_train",
 ]
 
 
