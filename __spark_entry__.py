@@ -2334,6 +2334,44 @@ def text_bpe_train(spark, sf):
         "rank int, left string, right string, merged string")
 
 
+def geo_segment_ops(spark, sf):
+    """dump_segments / angle / flip_coordinates / max_distance (round
+    6 PostGIS extras) on the 3-4-5 diamonds: every segment has length
+    exactly 5s, the flipped polygon keeps area 24s², the farthest
+    point from the center is a 4s half-diagonal, and the center angle
+    between adjacent vertices is 3π/2 clockwise — all closed forms;
+    segment azimuths replay through atan2."""
+    p = _t(spark, sf, "part")
+    cx = (F.col("p_partkey") % 83).cast("double") * 0.5
+    cy = (F.col("p_partkey") * 3 % 79).cast("double") * 0.5
+    s = (F.col("p_partkey") % 8).cast("double") * 0.25 + 0.5
+    diamond = st.make_polygon(
+        F.array(cx - 3 * s, cx, cx + 3 * s, cx),
+        F.array(cy, cy - 4 * s, cy, cy + 4 * s))
+    d = p.select("p_partkey", cx.alias("cx"), cy.alias("cy"),
+                 diamond.alias("g"))
+    center = st.point(F.col("cx"), F.col("cy"))
+    d = d.withColumn("md", st.max_distance(F.col("g"), center))
+    segs = F.posexplode(st.dump_segments(F.col("g")))
+    d = d.select("p_partkey", "cx", "cy", "g", "md",
+                 segs.alias("pos", "seg"))
+    sp = (F.col("p_partkey") % 8).cast("double") * 0.25 + 0.5
+    w1 = st.point(F.col("cx") - 3 * sp, F.col("cy"))
+    w2 = st.point(F.col("cx"), F.col("cy") - 4 * sp)
+    return d.select(
+        "p_partkey", "pos",
+        F.round(st.length(F.col("seg")), 6).alias("seg_len"),
+        F.round(st.azimuth(
+            st.line_interpolate_point(F.col("seg"), F.lit(0.0)),
+            st.line_interpolate_point(F.col("seg"), F.lit(1.0),
+                                      normalized=True)), 6).alias("az"),
+        F.round(st.area(st.flip_coordinates(F.col("g"))), 6)
+            .alias("flip_area"),
+        F.round(F.col("md"), 6).alias("md"),
+        F.round(st.angle(w1, st.point(F.col("cx"), F.col("cy")), w2), 6)
+            .alias("ang"))
+
+
 def _bpe_oracle_sql() -> str:
     """DuckDB replay of text_bpe_encode's exact replace chain."""
     S, E = "chr(31)", "chr(30)"
@@ -2480,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_inscribed_circle": geo_inscribed_circle,
         "text_bpe_encode": text_bpe_encode,
         "text_bpe_train": text_bpe_train,
+        "geo_segment_ops": geo_segment_ops,
     }
 
 
@@ -4612,6 +4651,31 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "text_bpe_encode": _bpe_oracle_sql(),
+        # segment dump / angle / flip / max-distance closed forms on the
+        # 3-4-5 diamonds (vertex order v1 W, v2 S, v3 E, v4 N)
+        "geo_segment_ops": """
+            WITH base AS (
+                SELECT p_partkey,
+                       (p_partkey % 83) * 0.5 AS cx,
+                       (p_partkey * 3 % 79) * 0.5 AS cy,
+                       (p_partkey % 8) * 0.25 + 0.5 AS s
+                FROM part),
+            segs AS (
+                SELECT p_partkey, cx, cy, s, unnest([0, 1, 2, 3]) AS pos
+                FROM base)
+            SELECT p_partkey, pos,
+                   round(5 * s, 6) AS seg_len,
+                   round(CASE pos
+                       WHEN 0 THEN atan2(3 * s, -4 * s)
+                       WHEN 1 THEN atan2(3 * s, 4 * s)
+                       WHEN 2 THEN atan2(-3 * s, 4 * s) + 2 * pi()
+                       WHEN 3 THEN atan2(-3 * s, -4 * s) + 2 * pi()
+                   END, 6) AS az,
+                   round(24 * s * s, 6) AS flip_area,
+                   round(4 * s, 6) AS md,
+                   round(3 * pi() / 2, 6) AS ang
+            FROM segs
+        """,
     }
 
 

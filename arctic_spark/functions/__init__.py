@@ -38,7 +38,8 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    minimum_rotated_rectangle, minimum_bounding_radius,
                    minimum_bounding_circle, minimum_clearance,
                    maximum_inscribed_circle,
-                   shortest_line,
+                   shortest_line, closest_point, longest_line,
+                   max_distance,
                    line_merge, remove_repeated_points,
                    delaunay_triangles, voronoi_polygons, concave_hull,
                    polygonize, snap, shared_paths, offset_curve,
@@ -51,6 +52,7 @@ from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
 # unambiguous names.
 from .native import project_spherical  # noqa: F401
 from .native import project as project_point  # noqa: F401
+from .native import flip_coordinates, angle, dump_segments  # noqa: F401
 from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import geohash, geohash_decode, geom_geohash  # noqa: F401
 from .native import hex_key, hex_center  # noqa: F401
@@ -120,7 +122,8 @@ __all__ = [
     "shared_paths", "offset_curve", "make_valid", "normalize", "node",
     "extract_unique_points", "collection_extract", "project",
     "line_substring", "azimuth", "split", "build_area", "subdivide",
-    "project_point", "project_spherical",
+    "project_point", "project_spherical", "flip_coordinates", "angle",
+    "dump_segments", "closest_point", "longest_line", "max_distance",
 ]
 
 

@@ -1844,3 +1844,61 @@ def extract_unique_points(g) -> Column:
                                       F.array().cast("array<double>"),
                                       F.array().cast("array<int>"),
                                       F.array().cast("array<int>"))))
+
+
+@_geom_fn
+def flip_coordinates(g) -> Column:
+    """Swap X and Y of every coordinate (PostGIS
+    ``ST_FlipCoordinates``): lat/lon axis-order repair. Pure struct
+    rebuild — zero arithmetic."""
+    return F.when(_valid(g), geom_struct(g["gt"], g["ys"], g["xs"],
+                                         g["rings"], g["parts"]))
+
+
+def angle(p1, p2, p3, p4=None) -> Column:
+    """PostGIS ``ST_Angle``. 3-point form: the clockwise angle at P2
+    from ray P2→P1 to ray P2→P3, i.e.
+    ``azimuth(P2,P3) − azimuth(P2,P1)`` normalized to [0, 2π).
+    4-point form: the clockwise angle from line P1→P2 to line P3→P4.
+    NULL when any ray is degenerate (coincident defining points)."""
+    if p4 is None:
+        a1 = azimuth(p2, p1)
+        a2 = azimuth(p2, p3)
+    else:
+        a1 = azimuth(p1, p2)
+        a2 = azimuth(p3, p4)
+    d = a2 - a1
+    two_pi = 2.0 * math.pi
+    return F.when(a1.isNotNull() & a2.isNotNull(),
+                  F.when(d < 0, d + two_pi).otherwise(d))
+
+
+@_geom_fn
+def dump_segments(g) -> Column:
+    """array<geometry> of every 2-point segment of a line or polygon
+    boundary, ring by ring (PostGIS ``ST_DumpSegments``) — compose with
+    ``F.explode`` for the row-expanding form, like ``dump_parts``.
+    Points yield an empty array. All whole-stage codegen: ring walks
+    are array slices, no Python."""
+    co = _offsets(g["rings"])
+    per_ring = F.transform(_ring_ids(g), lambda i: F.zip_with(
+        F.zip_with(F.slice(_ring_x(g, co, i), 1,
+                           F.element_at(g["rings"], i + 1) - 1),
+                   F.slice(_ring_y(g, co, i), 1,
+                           F.element_at(g["rings"], i + 1) - 1),
+                   lambda a, b: F.struct(a.alias("x1"), b.alias("y1"))),
+        F.zip_with(F.slice(_ring_x(g, co, i), 2,
+                           F.element_at(g["rings"], i + 1) - 1),
+                   F.slice(_ring_y(g, co, i), 2,
+                           F.element_at(g["rings"], i + 1) - 1),
+                   lambda a, b: F.struct(a.alias("x2"), b.alias("y2"))),
+        lambda s, e: geom_struct(
+            F.lit(LINESTRING),
+            F.array(s["x1"], e["x2"]), F.array(s["y1"], e["y2"]),
+            F.array(F.lit(2)), F.array(F.lit(1)))))
+    return F.when(_valid(g) & ~g["gt"].isin(POINT, MULTIPOINT),
+                  F.flatten(per_ring)) \
+        .when(_valid(g),
+              F.array().cast(
+                  "array<struct<gt:int,xs:array<double>,ys:array<double>,"
+                  "rings:array<int>,parts:array<int>>>"))

@@ -658,6 +658,80 @@ def shortest_line(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
 
 
 @pandas_udf(GEOM_TYPE)
+def closest_point(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
+    """The point OF g1 nearest to g2 (PostGIS ``ST_ClosestPoint``):
+    the first endpoint of ``shortest_line`` — same vectorized
+    nearest-pair machinery (geom/batch.py); for intersecting pairs, a
+    shared point. Null for empty/missing operands."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    ax, ay, _, _, ok = batch.shortest_line(r1, r2)
+    gts, xs, ys, rings, parts = [], [], [], [], []
+    for i in range(len(r1)):
+        if not ok[i]:
+            gts.append(None); xs.append(None); ys.append(None)
+            rings.append(None); parts.append(None)
+        else:
+            gts.append(0); xs.append([ax[i]]); ys.append([ay[i]])
+            rings.append([1]); parts.append([1])
+    return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                         "ys": ys, "rings": rings, "parts": parts})
+
+
+def _longest_pair(r1, r2):
+    """Per-row farthest vertex pair between two geometries. The max of
+    the distance function over two compact sets is attained at a
+    vertex-vertex pair (segment distance is convex along each segment,
+    so maxima sit at endpoints) — an exact vectorized outer-product
+    argmax per row, no sampling."""
+    n = len(r1)
+    ax = np.full(n, np.nan); ay = np.full(n, np.nan)
+    bx = np.full(n, np.nan); by = np.full(n, np.nan)
+    ok = np.zeros(n, dtype=bool)
+    for i in range(n):
+        g1t, x1, y1, _, _ = r1.geom(i)
+        g2t, x2, y2, _, _ = r2.geom(i)
+        if g1t == MISSING or g2t == MISSING or not len(x1) or not len(x2):
+            continue
+        d2 = (x1[:, None] - x2[None, :]) ** 2 \
+            + (y1[:, None] - y2[None, :]) ** 2
+        j = int(np.argmax(d2))
+        a, b = divmod(j, len(x2))
+        ax[i], ay[i], bx[i], by[i] = x1[a], y1[a], x2[b], y2[b]
+        ok[i] = True
+    return ax, ay, bx, by, ok
+
+
+@pandas_udf(GEOM_TYPE)
+def longest_line(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
+    """2-point LineString between the FARTHEST points of g1 and g2
+    (PostGIS ``ST_LongestLine``); its length is ``max_distance``.
+    First-argmax tie-break — deterministic under any partitioning."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    ax, ay, bx, by, ok = _longest_pair(r1, r2)
+    gts, xs, ys, rings, parts = [], [], [], [], []
+    for i in range(len(r1)):
+        if not ok[i]:
+            gts.append(None); xs.append(None); ys.append(None)
+            rings.append(None); parts.append(None)
+        else:
+            gts.append(1); xs.append([ax[i], bx[i]]); ys.append([ay[i], by[i]])
+            rings.append([2]); parts.append([1])
+    return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                         "ys": ys, "rings": rings, "parts": parts})
+
+
+@pandas_udf(T.DoubleType())
+def max_distance(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.Series:
+    """PostGIS ``ST_MaxDistance``: the farthest vertex-pair distance
+    (see ``longest_line``)."""
+    r1, r2 = ragged_from_pdf(g1), ragged_from_pdf(g2)
+    ax, ay, bx, by, ok = _longest_pair(r1, r2)
+    d = np.hypot(ax - bx, ay - by)
+    return pd.Series([float(d[i]) if ok[i] else None
+                      for i in range(len(r1))])
+
+
+@pandas_udf(GEOM_TYPE)
 def line_merge(g: pd.DataFrame) -> pd.DataFrame:
     """Merge MultiLineString parts into maximal chains (GeoPandas/GEOS
     ``line_merge``; lines join only where exactly two ends meet).

@@ -433,6 +433,9 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "st_minimumclearance": _udfs.minimum_clearance,
         "st_maximuminscribedcircle": _udfs.maximum_inscribed_circle,
         "st_shortestline": _udfs.shortest_line,
+        "st_closestpoint": _udfs.closest_point,
+        "st_longestline": _udfs.longest_line,
+        "st_maxdistance": _udfs.max_distance,
         "st_geohash": st_geohash,
         "st_isvalid": _scalar_udf(algos.is_valid, T.BooleanType()),
         "st_issimple": _scalar_udf(algos.is_simple, T.BooleanType()),

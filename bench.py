@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "geo_inscribed_circle",
     "text_bpe_encode",
     "text_bpe_train",
+    "geo_segment_ops",
 ]
 
 
