@@ -2349,7 +2349,7 @@ def geo_segment_ops(spark, sf):
         F.array(cx - 3 * s, cx, cx + 3 * s, cx),
         F.array(cy, cy - 4 * s, cy, cy + 4 * s))
     d = p.select("p_partkey", cx.alias("cx"), cy.alias("cy"),
-                 diamond.alias("g"))
+                 st.freeze(diamond).alias("g"))
     center = st.point(F.col("cx"), F.col("cy"))
     d = d.withColumn("md", st.max_distance(F.col("g"), center))
     segs = F.posexplode(st.dump_segments(F.col("g")))
@@ -2362,14 +2362,45 @@ def geo_segment_ops(spark, sf):
         "p_partkey", "pos",
         F.round(st.length(F.col("seg")), 6).alias("seg_len"),
         F.round(st.azimuth(
-            st.line_interpolate_point(F.col("seg"), F.lit(0.0)),
-            st.line_interpolate_point(F.col("seg"), F.lit(1.0),
-                                      normalized=True)), 6).alias("az"),
+            st.point(F.element_at(F.col("seg.xs"), 1),
+                     F.element_at(F.col("seg.ys"), 1)),
+            st.point(F.element_at(F.col("seg.xs"), 2),
+                     F.element_at(F.col("seg.ys"), 2))), 6).alias("az"),
         F.round(st.area(st.flip_coordinates(F.col("g"))), 6)
             .alias("flip_area"),
         F.round(F.col("md"), 6).alias("md"),
         F.round(st.angle(w1, st.point(F.col("cx"), F.col("cy")), w2), 6)
             .alias("ang"))
+
+
+def embed_dim_stats(spark, sf):
+    """Distributed embedding moments, the SQL-checkable face (round 6,
+    llm.embed.dimension_stats): per-dimension n/mean/var with sums in
+    exact DECIMAL over inputs rounded to 6 decimals — bit-identical
+    under any partitioning, so the hash gate is deterministic. One
+    posexplode + one shuffle."""
+    from arctic_spark.llm import embed
+    e = _t(spark, sf, "embeddings")
+    return embed.dimension_stats(e, "embedding")
+
+
+def embed_pca_norms(spark, sf):
+    """Distributed PCA end-to-end gate (round 6, llm.embed): partition
+    moment partials → driver eigh → FULL-RANK native projection. A
+    full-rank orthonormal rotation preserves centered norms, so
+    ||scores|| must equal ||x − μ|| — the oracle recomputes the right
+    side from scratch in SQL (per-dimension corpus means + row norms),
+    touching none of the engine's code. Catches centering bugs,
+    non-orthonormal components, and projection arithmetic at once;
+    round(·,4) absorbs the ~1e-11 rotation/mean float noise."""
+    from arctic_spark.llm import embed
+    e = _t(spark, sf, "embeddings")
+    mean, comps, _, _ = embed.pca(e, "embedding", k=64)
+    out = embed.project(e, mean, comps, "embedding")
+    norm2 = F.aggregate(F.col("pc"), F.lit(0.0),
+                        lambda acc, v: acc + v * v)
+    return out.select("vec_id",
+                      F.round(F.sqrt(norm2), 4).alias("cnorm"))
 
 
 def _bpe_oracle_sql() -> str:
@@ -2519,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": text_bpe_encode,
         "text_bpe_train": text_bpe_train,
         "geo_segment_ops": geo_segment_ops,
+        "embed_dim_stats": embed_dim_stats,
+        "embed_pca_norms": embed_pca_norms,
     }
 
 
@@ -4675,6 +4708,42 @@ def oracle_sql() -> dict[str, str]:
                    round(4 * s, 6) AS md,
                    round(3 * pi() / 2, 6) AS ang
             FROM segs
+        """,
+        # per-dimension moments: exact decimal sums, double divisions —
+        # the identical IEEE pipeline the engine runs
+        "embed_dim_stats": """
+            WITH ex AS (
+                SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                            AS DECIMAL(18,8)) AS x
+                FROM embeddings),
+            agg AS (
+                SELECT dim, count(*) AS n, sum(x) AS s1,
+                       sum(x * x) AS s2
+                FROM ex GROUP BY dim)
+            SELECT CAST(dim AS INT) AS dim, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   (CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS var
+            FROM agg
+        """,
+        # full-rank PCA rotation must preserve centered norms; the
+        # oracle recomputes ||x - mu|| from scratch
+        "embed_pca_norms": """
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            mu AS (
+                SELECT dim, avg(x) AS m FROM ex GROUP BY dim)
+            SELECT ex.vec_id,
+                   round(sqrt(sum((ex.x - mu.m) * (ex.x - mu.m))), 4)
+                       AS cnorm
+            FROM ex JOIN mu USING (dim)
+            GROUP BY ex.vec_id
         """,
     }
 

@@ -1286,15 +1286,22 @@ def line_substring(g, start, end, normalized: bool = False) -> Column:
 def azimuth(p1, p2) -> Column:
     """Azimuth of the segment p1→p2 in radians clockwise from north,
     in [0, 2π) — PostGIS ``ST_Azimuth`` semantics (atan2(Δx, Δy)).
-    NULL when the points coincide or either operand is not a POINT."""
-    a, b = _g(p1), _g(p2)
-    dx = F.element_at(b["xs"], 1) - F.element_at(a["xs"], 1)
-    dy = F.element_at(b["ys"], 1) - F.element_at(a["ys"], 1)
-    raw = F.atan2(dx, dy)
+    NULL when the points coincide or either operand is not a POINT.
+    Every intermediate is ``_let``-bound: composed uses (project,
+    angle) stay linear in the operand trees instead of re-inlining
+    them per reference."""
     two_pi = 2.0 * math.pi
-    val = F.when(raw < 0, raw + two_pi).otherwise(raw)
-    return F.when(_valid(a) & _valid(b) & (a["gt"] == POINT)
-                  & (b["gt"] == POINT) & ((dx != 0) | (dy != 0)), val)
+
+    def body(a, b):
+        dx0 = F.element_at(b["xs"], 1) - F.element_at(a["xs"], 1)
+        dy0 = F.element_at(b["ys"], 1) - F.element_at(a["ys"], 1)
+        return _let(dx0, lambda dx: _let(dy0, lambda dy: _let(
+            F.atan2(dx, dy), lambda raw:
+            F.when(_valid(a) & _valid(b) & (a["gt"] == POINT)
+                   & (b["gt"] == POINT) & ((dx != 0) | (dy != 0)),
+                   F.when(raw < 0, raw + two_pi).otherwise(raw)))))
+
+    return _let(_g(p1), lambda a: _let(_g(p2), lambda b: body(a, b)))
 
 
 def project(pt, distance, az) -> Column:
@@ -1303,13 +1310,15 @@ def project(pt, distance, az) -> Column:
     PostGIS ``ST_Project(geometry, ...)``. Inverse of ``azimuth`` +
     ``distance``: project(a, distance(a,b), azimuth(a,b)) == b up to
     float rounding. NULL for non-points. Pure codegen expressions."""
-    a = _g(pt)
-    distance, az = _lit(distance), _lit(az)
-    px = F.element_at(a["xs"], 1) + distance * F.sin(az)
-    py = F.element_at(a["ys"], 1) + distance * F.cos(az)
-    return F.when(_valid(a) & (a["gt"] == POINT)
-                  & distance.isNotNull() & az.isNotNull(),
-                  point(px, py))
+    def body(a, dd, zz):
+        px = F.element_at(a["xs"], 1) + dd * F.sin(zz)
+        py = F.element_at(a["ys"], 1) + dd * F.cos(zz)
+        return F.when(_valid(a) & (a["gt"] == POINT)
+                      & dd.isNotNull() & zz.isNotNull(),
+                      point(px, py))
+
+    return _let(_g(pt), lambda a: _let(_lit(distance), lambda dd: _let(
+        _lit(az), lambda zz: body(a, dd, zz))))
 
 
 def project_spherical(pt, distance, az,
@@ -1326,22 +1335,25 @@ def project_spherical(pt, distance, az,
 
     with δ = distance/R; longitude normalized to [−180°, 180°). Pure
     codegen expressions."""
-    a = _g(pt)
-    distance, az = _lit(distance), _lit(az)
-    lon1 = F.radians(F.element_at(a["xs"], 1))
-    lat1 = F.radians(F.element_at(a["ys"], 1))
-    d = distance / F.lit(float(radius))
-    sin_lat2 = (F.sin(lat1) * F.cos(d)
-                + F.cos(lat1) * F.sin(d) * F.cos(az))
-    lat2 = F.asin(sin_lat2)
-    lon2 = lon1 + F.atan2(F.sin(az) * F.sin(d) * F.cos(lat1),
-                          F.cos(d) - F.sin(lat1) * sin_lat2)
-    lon_deg = F.degrees(lon2)
-    # wrap to [-180, 180)
-    lon_deg = lon_deg - 360.0 * F.floor((lon_deg + 180.0) / 360.0)
-    return F.when(_valid(a) & (a["gt"] == POINT)
-                  & distance.isNotNull() & az.isNotNull(),
-                  point(lon_deg, F.degrees(lat2)))
+    def body(a, dd, zz):
+        lon1 = F.radians(F.element_at(a["xs"], 1))
+        return _let(F.radians(F.element_at(a["ys"], 1)), lambda lat1:
+                    _let(dd / F.lit(float(radius)), lambda delta: _let(
+                        F.sin(lat1) * F.cos(delta)
+                        + F.cos(lat1) * F.sin(delta) * F.cos(zz),
+                        lambda sin_lat2: _let(
+                            F.degrees(lon1 + F.atan2(
+                                F.sin(zz) * F.sin(delta) * F.cos(lat1),
+                                F.cos(delta) - F.sin(lat1) * sin_lat2)),
+                            lambda lon_deg:
+                            F.when(_valid(a) & (a["gt"] == POINT)
+                                   & dd.isNotNull() & zz.isNotNull(),
+                                   point(lon_deg - 360.0 * F.floor(
+                                       (lon_deg + 180.0) / 360.0),
+                                       F.degrees(F.asin(sin_lat2))))))))
+
+    return _let(_g(pt), lambda a: _let(_lit(distance), lambda dd: _let(
+        _lit(az), lambda zz: body(a, dd, zz))))
 
 
 def line_locate_point(line, pt, normalized: bool = False) -> Column:

@@ -2915,38 +2915,123 @@ def maximum_inscribed_circle_params(rg: RaggedGeometry, tolerance=None):
     (qx, qy) is the boundary point nearest the center (the circle's
     radius witness). NaN rows for missing/empty/non-polygonal input.
 
-    Method — level-synchronous pruned grid, the batch-friendly variant
-    of polylabel's priority queue: each round evaluates EVERY surviving
-    cell center's signed distance to the boundary in one vectorized
-    pass (cells x segments matrices), keeps cells whose upper bound
-    d + half*sqrt(2) can still beat the incumbent by > tolerance, and
-    splits them 4-way. Same guarantee as the queue form (no cell that
-    could contain a better pole is ever dropped), but the per-round
-    work is numpy, not a python heap, and the result is deterministic
-    (first-argmax tie-break over a deterministically ordered cell
-    list).
+    Two paths:
 
-    Bounded work: polygons whose optimal pole is a CONTINUUM (e.g. a
-    square with a centered hole has a 1-D ridge of equally-deep poles)
-    would keep ridge-length/half cells alive — exponential in the
-    round number for tiny tolerances (the classic polylabel queue has
-    the same worst case). Each round therefore keeps at most 4096
-    cells, preferring larger distances (deterministic (-d, index)
-    order). For isolated optima — every convex polygon, and real-world
-    shapes generally — the cap never binds and the tolerance guarantee
-    is exact; when it does bind, the result is still a valid inscribed
-    circle within half*sqrt(2) of optimal at the capping level (for
-    ridge cases, that means within tolerance anyway, since dropped and
-    kept cells share the same depth)."""
+    CONVEX FAST PATH (exact, no tolerance): for single-ring polygons
+    whose boundary turns consistently and has ≤ 16 distinct edges, the
+    problem is the Chebyshev-center LP — maximize r subject to
+    n_i·p + r ≤ b_i over the inward edge half-planes — whose optimum
+    sits where 3 constraints are tight. All C(S,3) edge-triple 3×3
+    systems for EVERY such polygon in the batch are solved in one
+    batched ``np.linalg.solve`` call, feasibility-checked against all
+    edges, and the max-r feasible candidate taken (first-argmax —
+    deterministic). Exact to solver precision (~1e-15·scale), so
+    closed-form oracles round stably.
+
+    GENERAL PATH (polylabel): level-synchronous pruned grid — each
+    round evaluates every surviving cell center's signed distance to
+    the boundary in one vectorized pass (cells × segments), keeps
+    cells whose bound d + half·√2 can still beat the incumbent by
+    > tolerance, splits 4-way. Polygons whose optimal pole is a
+    CONTINUUM (a centered-hole square has a 1-D ridge of equally-deep
+    poles) would keep ridge/half cells alive, so each round keeps at
+    most 4096 cells preferring larger d (deterministic (-d, index)
+    order); for isolated optima the cap never binds and the tolerance
+    guarantee is exact, and on ridges dropped and kept cells share the
+    same depth so the radius still converges."""
     n = len(rg)
     out = np.full((5, n), np.nan)
     sqrt2 = math.sqrt(2.0)
+
+    def _witness(i, ax, ay, bx, by, px, py):
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        l2s = np.where(l2 == 0, 1.0, l2)
+        t = ((px - ax) * dx + (py - ay) * dy) / l2s
+        np.clip(t, 0.0, 1.0, out=t)
+        qx = ax + t * dx
+        qy = ay + t * dy
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        d2[l2 == 0] = np.inf
+        j = int(np.argmin(d2))
+        out[3, i], out[4, i] = qx[j], qy[j]
+
+    # ---- classify ------------------------------------------------------
+    convex_buckets = {}   # n_edges -> list of (i, ax, ay, bx, by, sign)
+    general = []
     for i in range(n):
         gt, xs, ys, rings, parts = rg.geom(i)
         if gt not in (POLYGON, MULTIPOLYGON) or len(xs) == 0:
             continue
-        # segment arrays over every ring (closed storage: consecutive
-        # pairs inside each ring, skipping the ring-to-ring joints)
+        routed = False
+        if gt == POLYGON and len(rings) == 1 and rings[0] >= 4:
+            ax, ay = xs[:-1], ys[:-1]
+            bx, by = xs[1:], ys[1:]
+            dx, dy = bx - ax, by - ay
+            keep = (dx != 0) | (dy != 0)
+            ax, ay, bx, by = ax[keep], ay[keep], bx[keep], by[keep]
+            dx, dy = dx[keep], dy[keep]
+            S = len(ax)
+            if 3 <= S <= 16:
+                cross = dx * np.roll(dy, -1) - dy * np.roll(dx, -1)
+                area2 = float(np.sum(ax * by - bx * ay))
+                if area2 != 0 and (np.all(cross >= 0) or
+                                   np.all(cross <= 0)):
+                    sign = 1.0 if area2 > 0 else -1.0  # CCW -> +1
+                    convex_buckets.setdefault(S, []).append(
+                        (i, ax, ay, bx, by, sign))
+                    routed = True
+        if not routed:
+            general.append(i)
+
+    # ---- convex fast path ---------------------------------------------
+    from itertools import combinations
+    for S, items in convex_buckets.items():
+        m = len(items)
+        AX = np.stack([it[1] for it in items])
+        AY = np.stack([it[2] for it in items])
+        BX = np.stack([it[3] for it in items])
+        BY = np.stack([it[4] for it in items])
+        SG = np.array([it[5] for it in items])[:, None]
+        dx, dy = BX - AX, BY - AY
+        L = np.hypot(dx, dy)
+        # outward normal for CCW is (dy,-dx)/L; flip for CW rings
+        nx = SG * dy / L
+        ny = -SG * dx / L
+        bvec = nx * AX + ny * AY            # (m, S)
+        tri = np.array(list(combinations(range(S), 3)))   # (t, 3)
+        t = len(tri)
+        M = np.empty((m, t, 3, 3))
+        M[..., 0] = np.stack([nx[:, tri[:, j]] for j in range(3)], axis=-1)
+        M[..., 1] = np.stack([ny[:, tri[:, j]] for j in range(3)], axis=-1)
+        M[..., 2] = 1.0
+        rhs = np.stack([bvec[:, tri[:, j]] for j in range(3)], axis=-1)
+        det = np.linalg.det(M)
+        ok = np.abs(det) > 1e-12
+        Ms = np.where(ok[..., None, None], M,
+                      np.eye(3)[None, None, :, :])
+        sol = np.linalg.solve(Ms, rhs[..., None])[..., 0]   # (m, t, 3)
+        px, py, r = sol[..., 0], sol[..., 1], sol[..., 2]
+        scale = np.maximum(np.abs(bvec).max(axis=1), 1.0)[:, None]
+        slack = nx[:, None, :] * px[..., None] \
+            + ny[:, None, :] * py[..., None] + r[..., None] \
+            - bvec[:, None, :]                               # (m, t, S)
+        feas = ok & (r >= 0) & np.all(slack <= 1e-9 * scale[..., None],
+                                      axis=-1)
+        r = np.where(feas, r, -np.inf)
+        best = np.argmax(r, axis=1)
+        for row, (i, ax, ay, bx, by, _) in enumerate(items):
+            k = best[row]
+            if not np.isfinite(r[row, k]):
+                general.append(i)       # degenerate: fall through
+                continue
+            out[0, i], out[1, i] = px[row, k], py[row, k]
+            out[2, i] = max(r[row, k], 0.0)
+            _witness(i, ax, ay, bx, by, px[row, k], py[row, k])
+
+    # ---- general path (pruned-grid polylabel) --------------------------
+    for i in general:
+        gt, xs, ys, rings, parts = rg.geom(i)
         ax, ay, bx, by = [], [], [], []
         coff = 0
         for rl in rings:
@@ -2961,19 +3046,17 @@ def maximum_inscribed_circle_params(rg: RaggedGeometry, tolerance=None):
         dys = np.where(dy == 0, 1.0, dy)
 
         def signed(px, py):
-            # distance to nearest boundary segment
             t = ((px[:, None] - ax) * dx + (py[:, None] - ay) * dy) / l2s
             np.clip(t, 0.0, 1.0, out=t)
             qx = ax + t * dx
             qy = ay + t * dy
             d2 = (px[:, None] - qx) ** 2 + (py[:, None] - qy) ** 2
             d2[:, l2 == 0] = np.inf if d2.shape[1] else 0
-            # even-odd ray cast over all rings (holes flip parity)
             crosses = (ay > py[:, None]) != (by > py[:, None])
             xint = ax + (py[:, None] - ay) * dx / dys
             parity = (crosses & (px[:, None] < xint)).sum(axis=1) % 2
             d = np.sqrt(d2.min(axis=1))
-            return np.where(parity == 1, d, -d), d2
+            return np.where(parity == 1, d, -d)
 
         minx, maxx = xs.min(), xs.max()
         miny, maxy = ys.min(), ys.max()
@@ -2991,15 +3074,14 @@ def maximum_inscribed_circle_params(rg: RaggedGeometry, tolerance=None):
         gy = miny + (np.arange(int(np.ceil(h / size))) * size + half)
         cx = np.repeat(gx, len(gy))
         cy = np.tile(gy, len(gx))
-        # seed: centroid-of-vertices + bbox center (polylabel's seeds)
         sx = np.array([xs.mean(), (minx + maxx) / 2.0])
         sy = np.array([ys.mean(), (miny + maxy) / 2.0])
-        sd, _ = signed(sx, sy)
+        sd = signed(sx, sy)
         k = int(np.argmax(sd))
         best_d, best_x, best_y = sd[k], sx[k], sy[k]
         rounds = 0
         while len(cx) and rounds < 64:
-            d, _ = signed(cx, cy)
+            d = signed(cx, cy)
             k = int(np.argmax(d))
             if d[k] > best_d:
                 best_d, best_x, best_y = d[k], cx[k], cy[k]
@@ -3015,14 +3097,8 @@ def maximum_inscribed_circle_params(rg: RaggedGeometry, tolerance=None):
                 cy = np.concatenate([cy - half, cy - half, cy + half,
                                      cy + half])
             rounds += 1
-        # radius witness: closest boundary point from the pole
-        p = np.array([best_x]); q = np.array([best_y])
-        t = ((p[:, None] - ax) * dx + (q[:, None] - ay) * dy) / l2s
-        np.clip(t, 0.0, 1.0, out=t)
-        qxs = ax + t * dx; qys = ay + t * dy
-        d2 = (p[:, None] - qxs) ** 2 + (q[:, None] - qys) ** 2
-        j = int(np.argmin(d2[0]))
         out[0, i], out[1, i] = best_x, best_y
         out[2, i] = max(best_d, 0.0)
-        out[3, i], out[4, i] = qxs[0, j], qys[0, j]
+        _witness(i, ax, ay, bx, by, np.float64(best_x),
+                 np.float64(best_y))
     return out[0], out[1], out[2], out[3], out[4]

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "text_bpe_train",
     "geo_segment_ops",
+    "embed_dim_stats",
+    "embed_pca_norms",
 ]
 
 
