@@ -2403,6 +2403,61 @@ def embed_pca_norms(spark, sf):
                       F.round(F.sqrt(norm2), 4).alias("cnorm"))
 
 
+def graph_pagerank(spark, sf):
+    """Distributed fixed-point PageRank (round 6, llm.graph.pagerank):
+    3 power iterations over a 400-node lineitem-derived edge list.
+    Integer arithmetic end-to-end (BIGINT rank units of 1e-12), so the
+    ranks are bit-identical under any partitioning and the oracle —
+    the recurrence unrolled as chained SQL CTEs — hash-matches
+    exactly."""
+    from arctic_spark.cache import pin
+    from arctic_spark.llm.graph import pagerank
+    li = _t(spark, sf, "lineitem")
+    edges = li.select((F.col("l_orderkey") % 400).alias("src"),
+                      ((F.col("l_partkey") * 7) % 400).alias("dst"))
+    out = pagerank(edges, iterations=3)
+    return pin(out.select("id", "rank_fp"), out)
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10 ** 12,
+                         dnum: int = 850) -> str:
+    """The pagerank recurrence unrolled as chained CTEs (DuckDB ``//``
+    is the same positive-integer floor division as the engine's
+    truncating casts)."""
+    parts = [f"""
+        WITH e AS (
+            SELECT l_orderkey % 400 AS src,
+                   (l_partkey * 7) % 400 AS dst
+            FROM lineitem),
+        n AS (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT id, (SELECT {scale} // count(*) FROM n) AS r
+               FROM n)"""]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        s{i} AS (SELECT e.dst AS id,
+                        sum({prev}.r // deg.outdeg) AS s
+                 FROM e JOIN deg USING (src)
+                      JOIN {prev} ON {prev}.id = e.src
+                 GROUP BY e.dst),
+        d{i} AS (SELECT coalesce(sum(r), 0) AS d FROM {prev}
+                 WHERE id NOT IN (SELECT src FROM deg)),
+        r{i} AS (SELECT n.id,
+                        (({1000 - dnum} * (SELECT {scale} // count(*)
+                                           FROM n))
+                         + {dnum} * (coalesce(s{i}.s, 0)
+                                     + (SELECT d FROM d{i})
+                                       // (SELECT count(*) FROM n)))
+                        // 1000 AS r
+                 FROM n LEFT JOIN s{i} ON s{i}.id = n.id)""")
+        prev = f"r{i}"
+    parts.append(f"""
+        SELECT id, r AS rank_fp FROM {prev}""")
+    return "".join(parts)
+
+
 def _bpe_oracle_sql() -> str:
     """DuckDB replay of text_bpe_encode's exact replace chain."""
     S, E = "chr(31)", "chr(30)"
@@ -2552,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_segment_ops": geo_segment_ops,
         "embed_dim_stats": embed_dim_stats,
         "embed_pca_norms": embed_pca_norms,
+        "graph_pagerank": graph_pagerank,
     }
 
 
@@ -4745,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ex JOIN mu USING (dim)
             GROUP BY ex.vec_id
         """,
+        "graph_pagerank": _pagerank_oracle_sql(3),
     }
 
 

@@ -128,3 +128,99 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .where(F.col("component").isNull()
                    | (F.col("component") == F.col(id_col)))
             .drop("component"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iterations: int = 10,
+             vertices: DataFrame = None, vertex_col: str = "id",
+             scale: int = 10 ** 12,
+             checkpoint_every: int = 4) -> DataFrame:
+    """(id, rank_fp, rank) after ``iterations`` rounds of
+    power-iteration PageRank with damping ``d`` and the random-surfer
+    dangling completion (nodes without out-edges spread their rank
+    uniformly).
+
+    FIXED-POINT ARITHMETIC, the design decision that makes this
+    bit-reproducible: ranks are BIGINT multiples of 1/``scale``
+    (default 1e-12), and every step is integer math::
+
+        dnum    = round(damping * 1000)          # damping as /1000
+        r0      = scale // N
+        contrib = r(u) // outdeg(u)              # per out-edge
+        r'(v)   = ((1000 - dnum) * (scale // N)
+                   + dnum * (S(v) + D // N)) // 1000
+
+    with S(v) the BIGINT sum of inbound contribs and D the BIGINT
+    dangling mass. Integer sums are associative-commutative, so the
+    result is IDENTICAL under any partitioning, engine, or aggregation
+    order — a float PageRank differs in the last ulps run-to-run,
+    which would poison hash-level reproducibility gates and any
+    downstream exact dedup on rank. Truncation costs at most a few
+    units of 1/scale per node per iteration (1e-12 — far below any
+    ranking decision); total mass decays by the truncated remainders
+    instead of holding exactly 1, documented here. ``rank`` is the
+    double view ``rank_fp / scale``.
+
+    Scale design (100 TB edge lists): per iteration, ONE equi-join of
+    the rank table against the edge list on ``src`` (hash-partitioned
+    the same way every round) and ONE groupBy(dst) with map-side
+    partial BIGINT sums; the dangling mass is a scalar aggregate. The
+    rank table is ``localCheckpoint``-ed every ``checkpoint_every``
+    rounds (driver-plan growth, same reasoning as
+    connected_components). Shuffle payload: (long, long) pairs.
+    Parallel edges are honored (each instance carries a contribution,
+    and outdeg counts multiplicity)."""
+    dnum = int(round(float(damping) * 1000))
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id"))).distinct())
+    if vertices is not None:
+        nodes = nodes.union(
+            vertices.select(F.col(vertex_col).cast("long").alias("id"))) \
+            .distinct()
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    r0 = scale // n_nodes
+    base = (1000 - dnum) * r0
+    ranks = nodes.select("id", F.lit(r0).cast("long").alias("rank_fp"))
+    ranks = ranks.localCheckpoint(eager=True)
+    pinned = ranks
+
+    for it in range(iterations):
+        rd = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left") \
+            .select(ranks["id"].alias("u"), "rank_fp", "outdeg")
+        dangling = rd.where(F.col("outdeg").isNull()) \
+            .agg(F.sum("rank_fp").alias("s")).collect()[0]["s"]
+        dmass = int(dangling) if dangling is not None else 0
+        inbound = (rd.where(F.col("outdeg").isNotNull())
+                   .join(e, rd["u"] == e["src"])
+                   .select(F.col("dst").alias("id"),
+                           (F.col("rank_fp") / F.col("outdeg"))
+                           .cast("long").alias("c"))
+                   .groupBy("id").agg(F.sum("c").alias("s")))
+        new = (nodes.join(inbound, "id", "left")
+               .select("id",
+                       ((F.lit(base)
+                         + F.lit(dnum) * (F.coalesce(F.col("s"),
+                                                     F.lit(0).cast("long"))
+                                          + F.lit(dmass // n_nodes)))
+                        / 1000).cast("long").alias("rank_fp")))
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            nxt = new.localCheckpoint(eager=True)
+            pinned.unpersist()
+            pinned, ranks = nxt, nxt
+        else:
+            ranks = new
+    e.unpersist()
+    nodes.unpersist()
+    # the final checkpoint stays pinned on the result: a localCheckpoint
+    # cannot be recomputed once freed, so the caller releases it via
+    # cache.release(result) after materializing (cache.py convention)
+    from ..cache import pin
+    return pin(ranks.select(
+        "id", "rank_fp",
+        (F.col("rank_fp") / F.lit(float(scale))).alias("rank")), ranks)

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "geo_segment_ops",
     "embed_dim_stats",
     "embed_pca_norms",
+    "graph_pagerank",
 ]
 
 
