@@ -2403,6 +2403,29 @@ def embed_pca_norms(spark, sf):
                       F.round(F.sqrt(norm2), 4).alias("cnorm"))
 
 
+def q_salted_join(spark, sf):
+    """Skew-safe salted join (round 6, relational.salted_join): 70% of
+    lineitem lands on one hot key; the join salts the skewed side over
+    8 deterministic sub-keys and replicates the dim side per sub-key.
+    Salting is semantics-preserving, so the oracle is the PLAIN SQL
+    join — identical aggregates prove the rewrite changes the shuffle
+    layout, not the result."""
+    from arctic_spark.relational import salted_join
+    li = _t(spark, sf, "lineitem")
+    k = F.when(F.col("l_orderkey") % 10 < 7, F.lit(0)) \
+        .otherwise(F.col("l_orderkey") % 97)
+    skewed = li.select(k.cast("long").alias("k"),
+                       F.col("l_quantity").alias("qty"))
+    p = _t(spark, sf, "part")
+    dim = (p.groupBy((F.col("p_partkey") % 97).cast("long").alias("k"))
+           .agg(F.round(F.min("p_retailprice"), 2).alias("min_price")))
+    j = salted_join(skewed, dim, "k", salt=8)
+    return (j.groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.round(_dsum(F.col("qty")), 2).alias("sum_qty"),
+                 F.min("min_price").alias("min_price")))
+
+
 def graph_pagerank(spark, sf):
     """Distributed fixed-point PageRank (round 6, llm.graph.pagerank):
     3 power iterations over a 400-node lineitem-derived edge list.
@@ -2608,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dim_stats": embed_dim_stats,
         "embed_pca_norms": embed_pca_norms,
         "graph_pagerank": graph_pagerank,
+        "q_salted_join": q_salted_join,
     }
 
 
@@ -4802,6 +4826,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ex.vec_id
         """,
         "graph_pagerank": _pagerank_oracle_sql(3),
+        # salted join is semantics-preserving: oracle is the PLAIN join
+        "q_salted_join": """
+            WITH skewed AS (
+                SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                            ELSE l_orderkey % 97 END AS k,
+                       l_quantity AS qty
+                FROM lineitem),
+            dim AS (
+                SELECT p_partkey % 97 AS k,
+                       round(min(p_retailprice), 2) AS min_price
+                FROM part GROUP BY 1)
+            SELECT k, count(*) AS n,
+                   round(CAST(sum(CAST(qty AS DECIMAL(30,8))) AS DOUBLE),
+                         2) AS sum_qty,
+                   min(min_price) AS min_price
+            FROM skewed JOIN dim USING (k)
+            GROUP BY k
+        """,
     }
 
 

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "embed_dim_stats",
     "embed_pca_norms",
     "graph_pagerank",
+    "q_salted_join",
 ]
 
 
