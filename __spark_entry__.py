@@ -2426,6 +2426,25 @@ def q_salted_join(spark, sf):
                  F.min("min_price").alias("min_price")))
 
 
+def q_bloom_semijoin(spark, sf):
+    """Bloom scan-side pruning (round 6, relational.bloom_semi_filter):
+    lineitem is pruned AT THE SCAN by a 64 Kbit literal bloom of the
+    high-value order keys (no shuffle for the semi-join), then the real
+    join removes the bloom's false positives — so the oracle is the
+    PLAIN SQL join and must hash-match exactly."""
+    from arctic_spark.relational import bloom_semi_filter
+    o = _t(spark, sf, "orders")
+    hi = o.where(F.col("o_totalprice") > 280000.0) \
+        .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    li = _t(spark, sf, "lineitem") \
+        .select(F.col("l_orderkey").alias("k"), "l_quantity")
+    pruned = bloom_semi_filter(li, hi, "k")
+    return (pruned.join(hi, "k")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty")))
+
+
 def graph_pagerank(spark, sf):
     """Distributed fixed-point PageRank (round 6, llm.graph.pagerank):
     3 power iterations over a 400-node lineitem-derived edge list.
@@ -2632,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_norms": embed_pca_norms,
         "graph_pagerank": graph_pagerank,
         "q_salted_join": q_salted_join,
+        "q_bloom_semijoin": q_bloom_semijoin,
     }
 
 
@@ -4843,6 +4863,18 @@ def oracle_sql() -> dict[str, str]:
                    min(min_price) AS min_price
             FROM skewed JOIN dim USING (k)
             GROUP BY k
+        """,
+        # bloom pruning is a superset filter; the real join removes the
+        # false positives, so the oracle is the plain join
+        "q_bloom_semijoin": """
+            WITH hi AS (
+                SELECT o_orderkey AS k, o_orderpriority
+                FROM orders WHERE o_totalprice > 280000.0)
+            SELECT o_orderpriority, count(*) AS n,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8)))
+                              AS DOUBLE), 2) AS sum_qty
+            FROM lineitem JOIN hi ON l_orderkey = hi.k
+            GROUP BY o_orderpriority
         """,
     }
 

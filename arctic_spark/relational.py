@@ -70,3 +70,76 @@ def salted_join(skewed: DataFrame, other: DataFrame, on,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = lef.join(rig, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def build_bloom(keys: DataFrame, key_col: str, bits: int = 1 << 16,
+                hashes: int = 5) -> list[int]:
+    """Bloom filter over a key column as a python list of ``bits/64``
+    int64 words. Each partition builds its local filter in numpy
+    (mapInPandas — one array per partition, no shuffle) and the driver
+    ORs the partials, exactly the augmented-moment reduction pattern.
+    Hash family: xxhash64(key, seed=j) mod bits for j in 0..hashes-1 —
+    the SAME expression :func:`bloom_filter_expr` tests natively, so
+    build and probe agree bit-for-bit."""
+    from pyspark.sql import functions as F
+    import numpy as np
+    if bits % 64:
+        raise ValueError("bits must be a multiple of 64")
+    words = bits // 64
+    hashed = keys.select(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(bits))
+        .cast("long").alias(f"h{j}") for j in range(hashes)])
+
+    def partials(batches):
+        import pandas as pd
+        w = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            for j in range(hashes):
+                h = pdf[f"h{j}"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(w, h >> 6,
+                                 np.uint64(1) << (h.astype(np.uint64)
+                                                  & np.uint64(63)))
+        yield pd.DataFrame({"w": [w.astype(np.int64).tolist()]})
+
+    out = np.zeros(words, dtype=np.int64)
+    for r in hashed.mapInPandas(partials, "w array<long>").collect():
+        out |= np.asarray(r["w"], dtype=np.int64)
+    return out.tolist()
+
+
+def bloom_filter_expr(key, bloom: list[int], hashes: int = 5):
+    """Native membership-test Column for a :func:`build_bloom` filter:
+    true iff every seed's bit is set. The filter rides the plan as a
+    literal array — pure whole-stage-codegen bit arithmetic, no
+    broadcast table, no Python. False positives possible (that's the
+    contract), false negatives impossible."""
+    from pyspark.sql import functions as F
+    key = F.col(key) if isinstance(key, str) else key
+    bits = len(bloom) * 64
+    arr = F.array(*[F.lit(int(w)) for w in bloom])
+    cond = None
+    for j in range(hashes):
+        h = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(bits)).cast("long")
+        word = F.element_at(arr, (h / 64).cast("int") + 1)
+        # the python shiftleft() wrapper only takes a literal shift;
+        # the SQL function accepts a column
+        bit = word.bitwiseAND(F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (h % 64).cast("int")))
+        c = bit != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_semi_filter(df: DataFrame, keys: DataFrame, on: str,
+                      keys_col: str = None, bits: int = 1 << 16,
+                      hashes: int = 5) -> DataFrame:
+    """Scan-side semi-join pruning: keep only ``df`` rows whose ``on``
+    key MIGHT appear in ``keys`` (bloom membership — a superset of the
+    exact semi-join). The 100 TB story: instead of shuffling the big
+    side for a semi-join, ship a ~``bits/8``-byte literal into every
+    task and prune AT THE SCAN, before any exchange; the downstream
+    real join (if any) removes the bloom's false positives, so end
+    results are exact. ``keys`` should be the SMALL side (its keys are
+    hashed once; the filter build collects #partitions word arrays)."""
+    bloom = build_bloom(keys, keys_col or on, bits=bits, hashes=hashes)
+    return df.where(bloom_filter_expr(on, bloom, hashes=hashes))

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "embed_pca_norms",
     "graph_pagerank",
     "q_salted_join",
+    "q_bloom_semijoin",
 ]
 
 
