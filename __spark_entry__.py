@@ -137,6 +137,33 @@ def q4_order_priority(spark, sf):
             .agg(F.count("*").alias("order_count")))
 
 
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING over a grouped join key, then a
+    double join back to orders and customer — the group-then-join
+    pattern whose aggregate must survive the re-join."""
+    li = _t(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(_dsum(F.col("l_quantity")), 2).alias("tot_qty"))
+           .where(F.col("tot_qty") > 300))
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "c_custkey", "c_name",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "tot_qty"))
+
+
+def q_anti_join(spark, sf):
+    """Left-anti join (inherited surface): customers with NO order over
+    350k, counted per nation — NOT EXISTS in the oracle."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 350000.0)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_customers")))
+
+
 def q_window_latest_event(spark, sf):
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -2652,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "q_salted_join": q_salted_join,
         "q_bloom_semijoin": q_bloom_semijoin,
+        "q18_large_orders": q18_large_orders,
+        "q_anti_join": q_anti_join,
     }
 
 
@@ -4875,6 +4904,26 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE), 2) AS sum_qty
             FROM lineitem JOIN hi ON l_orderkey = hi.k
             GROUP BY o_orderpriority
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8)))
+                                  AS DOUBLE), 2) AS tot_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING tot_qty > 300)
+            SELECT o_orderkey, c_custkey, c_name,
+                   round(o_totalprice, 2) AS o_totalprice, tot_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+        """,
+        "q_anti_join": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 350000.0)
+            GROUP BY c_nationkey
         """,
     }
 
