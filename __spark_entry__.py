@@ -2453,6 +2453,46 @@ def q_salted_join(spark, sf):
                  F.min("min_price").alias("min_price")))
 
 
+def geo_project_geodesic(spark, sf):
+    """Karney DIRECT problem gate (round 6, st.project_geodesic).
+    Self-consistency closed forms: (1) travelling the meridian-arc
+    distance of latitude L due north from the equator must land at
+    exactly (lon0, L) — the distance is computed in-query from the
+    meridian I1 series (α0=0 ⇒ fixed literal coefficients), so the
+    UDF's bisection must invert it back; (2) the equatorial geodesic
+    is exact closed form: a·radians(Δλ) east lands at lon0+Δλ, lat 0.
+    The oracle emits the target coordinates directly."""
+    import math as _m
+    from arctic_spark.geom.geodesic import _B, _EP2, _i1_coeffs
+    sq = _m.sqrt(1.0 + _EP2)
+    a1, c1 = _i1_coeffs((sq - 1.0) / (sq + 1.0))
+    f_ = 1.0 / 298.257223563
+    c = _t(spark, sf, "customer")
+    key = F.col("c_custkey")
+    lat_t = (key % 140).cast("double") * 0.5 + 0.25
+    lon0 = ((key % 360) - 180).cast("double") * 0.5 + 0.25
+    dlon = (key % 100).cast("double") * 0.25 + 0.5
+    sigma = F.atan(F.lit(1.0 - f_) * F.tan(F.radians(lat_t)))
+    series = F.lit(0.0)
+    for l, cl in enumerate(c1, start=1):
+        series = series + F.lit(cl) * F.sin(2.0 * l * sigma)
+    d_mer = F.lit(_B) * F.lit(a1) * (sigma + series)
+    d_eq = F.lit(6378137.0) * F.radians(dlon)
+    start = st.point(lon0, F.lit(0.0))
+    d = c.select("c_custkey", lon0.alias("lon0"), d_mer.alias("dm"),
+                 d_eq.alias("de"), start.alias("p"))
+    d = d.withColumn("m", st.project_geodesic(F.col("p"), F.col("dm"),
+                                              F.lit(0.0)))
+    d = d.withColumn("e", st.project_geodesic(F.col("p"), F.col("de"),
+                                              F.lit(_m.pi / 2)))
+    return d.select(
+        "c_custkey",
+        F.round(st.x(F.col("m")), 6).alias("m_lon"),
+        F.round(st.y(F.col("m")), 6).alias("m_lat"),
+        F.round(st.x(F.col("e")), 6).alias("e_lon"),
+        F.round(st.y(F.col("e")), 6).alias("e_lat"))
+
+
 def q_bloom_semijoin(spark, sf):
     """Bloom scan-side pruning (round 6, relational.bloom_semi_filter):
     lineitem is pruned AT THE SCAN by a 64 Kbit literal bloom of the
@@ -2681,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_semijoin": q_bloom_semijoin,
         "q18_large_orders": q18_large_orders,
         "q_anti_join": q_anti_join,
+        "geo_project_geodesic": geo_project_geodesic,
     }
 
 
@@ -4924,6 +4965,19 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000.0)
             GROUP BY c_nationkey
+        """,
+        # direct-geodesic self-consistency: destinations are the exact
+        # closed-form targets
+        "geo_project_geodesic": """
+            SELECT c_custkey,
+                   round((c_custkey % 360 - 180) * 0.5 + 0.25, 6)
+                       AS m_lon,
+                   round((c_custkey % 140) * 0.5 + 0.25, 6) AS m_lat,
+                   round(((c_custkey % 360 - 180) * 0.5 + 0.25)
+                         + ((c_custkey % 100) * 0.25 + 0.5), 6)
+                       AS e_lon,
+                   CAST(0.0 AS DOUBLE) AS e_lat
+            FROM customer
         """,
     }
 

@@ -53,6 +53,7 @@ from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
 from .native import project_spherical  # noqa: F401
 from .native import project as project_point  # noqa: F401
 from .native import flip_coordinates, angle, dump_segments  # noqa: F401
+from .udfs import project_geodesic  # noqa: F401  (Karney direct)
 from .native import geom_zorder_key, zorder_key  # noqa: F401
 from .native import geohash, geohash_decode, geom_geohash  # noqa: F401
 from .native import hex_key, hex_center  # noqa: F401
@@ -122,7 +123,8 @@ __all__ = [
     "shared_paths", "offset_curve", "make_valid", "normalize", "node",
     "extract_unique_points", "collection_extract", "project",
     "line_substring", "azimuth", "split", "build_area", "subdivide",
-    "project_point", "project_spherical", "flip_coordinates", "angle",
+    "project_point", "project_spherical", "project_geodesic",
+    "flip_coordinates", "angle",
     "dump_segments", "closest_point", "longest_line", "max_distance",
 ]
 

@@ -275,6 +275,55 @@ def _vincenty_inverse(lon1, lat1, lon2, lat2, max_iter=200, tol=1e-12):
     return s.reshape(shape)
 
 
+def project_geodesic(pt, distance, az):
+    """PostGIS ``ST_Project(geography)`` with TRUE ellipsoidal
+    semantics: destination point of travelling ``distance`` metres on
+    initial azimuth ``az`` (radians clockwise from north) along the
+    WGS84 geodesic — the Karney direct problem
+    (geom/geodesic.py:direct, same auxiliary-sphere series as the
+    'geodesic' length method; round-trips against the independent
+    inverse solver to ~3e-8 m). Arrow-batched: one vectorized kernel
+    call per batch. Completes the forward family: `project_point`
+    (planar) / `project_spherical` (great circle) / this (ellipsoid).
+    Null for non-point/missing operands."""
+    @pandas_udf(GEOM_TYPE)
+    def _pg(g: pd.DataFrame, dist: pd.Series, azs: pd.Series) -> pd.DataFrame:
+        from ..geom.geodesic import direct as _direct
+        rg = ragged_from_pdf(g)
+        n = len(rg)
+        lon = np.full(n, np.nan)
+        lat = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            gt, xs, ys, _, _ = rg.geom(i)
+            if gt == 0 and len(xs) == 1:
+                lon[i], lat[i] = xs[0], ys[0]
+                ok[i] = True
+        dv = dist.to_numpy(dtype=np.float64, na_value=np.nan)
+        av = azs.to_numpy(dtype=np.float64, na_value=np.nan)
+        ok &= np.isfinite(dv) & np.isfinite(av)
+        lon2 = np.full(n, np.nan)
+        lat2 = np.full(n, np.nan)
+        if ok.any():
+            lon2[ok], lat2[ok], _ = _direct(lon[ok], lat[ok],
+                                            av[ok], dv[ok])
+        gts, xs_, ys_, rings, parts = [], [], [], [], []
+        for i in range(n):
+            if not ok[i]:
+                gts.append(None); xs_.append(None); ys_.append(None)
+                rings.append(None); parts.append(None)
+            else:
+                gts.append(0); xs_.append([lon2[i]]); ys_.append([lat2[i]])
+                rings.append([1]); parts.append([1])
+        return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"),
+                             "xs": xs_, "ys": ys_, "rings": rings,
+                             "parts": parts})
+    dist_col = F.lit(float(distance)) \
+        if isinstance(distance, (int, float)) else distance
+    az_col = F.lit(float(az)) if isinstance(az, (int, float)) else az
+    return _pg(pt, dist_col, az_col)
+
+
 def _geodesic_length_np(rg: RaggedGeometry, method: str):
     """Whole-batch ellipsoidal length: ALL segments of every geometry
     flatten into one array and ONE vectorized inverse-kernel call

@@ -170,3 +170,66 @@ def inverse(lon1, lat1, lon2, lat2, iters=64):
     coincident = (phi1 == phi2) & (lam12 == 0.0)
     s12 = np.where(coincident, 0.0, s12)
     return s12.reshape(shape)
+
+
+def direct(lon1, lat1, az1, s12, iters=60):
+    """Karney DIRECT problem on WGS84, vectorized: destination
+    (lon2, lat2, az2) after travelling ``s12`` metres from lon/lat
+    degrees on initial azimuth ``az1`` radians (clockwise from north).
+
+    Same architecture as :func:`inverse`: the auxiliary-sphere
+    formulation with the 6th-order I1/I3 series, and a fixed-depth
+    VECTORIZED BISECTION in place of a series reversion — here on the
+    arc position σ2, since I1(σ) is strictly increasing and
+    σ2 − σ1 ≤ s/b bounds the bracket (the integrand of the distance
+    integral is ≥ 1). Unconditionally convergent, no C1' reversion
+    coefficients to mistype; accuracy matches the series (~1e-9 m).
+    Negative distances travel the reciprocal azimuth."""
+    lon1 = np.asarray(lon1, float)
+    shape = lon1.shape
+    lon1 = lon1.ravel()
+    lat1 = np.asarray(lat1, float).ravel()
+    az1 = np.asarray(az1, float).ravel()
+    s12 = np.asarray(s12, float).ravel()
+    neg = s12 < 0
+    az1 = np.where(neg, az1 + np.pi, az1)
+    s12 = np.abs(s12)
+
+    phi1 = np.radians(lat1)
+    beta1 = np.arctan((1.0 - _F) * np.tan(phi1))
+    sa1, ca1 = np.sin(az1), np.cos(az1)
+    sb1, cb1 = np.sin(beta1), np.cos(beta1)
+    sin_a0 = sa1 * cb1
+    cos2_a0 = np.maximum(1.0 - sin_a0 * sin_a0, 0.0)
+    cos_a0 = np.sqrt(cos2_a0)
+    sigma1 = np.arctan2(sb1, cb1 * ca1)
+    omega1 = np.arctan2(sin_a0 * np.sin(sigma1), np.cos(sigma1))
+    k2 = _EP2 * cos2_a0
+    sq = np.sqrt(1.0 + k2)
+    eps = (sq - 1.0) / (sq + 1.0)
+    a1, c1 = _i1_coeffs(eps)
+
+    target = a1 * (sigma1 + _sin_series(sigma1, c1)) + s12 / _B
+    lo = sigma1.copy()
+    hi = sigma1 + s12 / _B + 1e-9
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        val = a1 * (mid + _sin_series(mid, c1))
+        take_hi = val < target
+        lo = np.where(take_hi, mid, lo)
+        hi = np.where(take_hi, hi, mid)
+    sigma2 = 0.5 * (lo + hi)
+
+    sb2 = cos_a0 * np.sin(sigma2)
+    cb2 = np.hypot(sin_a0, cos_a0 * np.cos(sigma2))
+    lat2 = np.degrees(np.arctan2(sb2, (1.0 - _F) * cb2))
+    omega2 = np.arctan2(sin_a0 * np.sin(sigma2), np.cos(sigma2))
+    a3, c3 = _i3_coeffs(eps)
+    lam12 = (omega2 - omega1) - _F * sin_a0 * (
+        a3 * (sigma2 + _sin_series(sigma2, c3))
+        - a3 * (sigma1 + _sin_series(sigma1, c3)))
+    lon2 = lon1 + np.degrees(lam12)
+    lon2 = lon2 - 360.0 * np.floor((lon2 + 180.0) / 360.0)
+    az2 = np.arctan2(sin_a0, cos_a0 * np.cos(sigma2))
+    return (lon2.reshape(shape), lat2.reshape(shape),
+            az2.reshape(shape))

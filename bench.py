@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "q_salted_join",
     "q_bloom_semijoin",
+    "q18_large_orders",
+    "q_anti_join",
+    "geo_project_geodesic",
 ]
 
 
