@@ -32,9 +32,16 @@ def __getattr__(name):
                 "to_pandas_wkb"):
         from . import geodataframe
         return getattr(geodataframe, name)
-    if name in ("cluster_within", "cluster_dbscan"):
+    if name in ("cluster_within", "cluster_dbscan", "cluster_kmeans"):
         from . import clustering
         return getattr(clustering, name)
+    if name in ("sessionize", "session_stats", "make_trajectories"):
+        from . import temporal
+        return getattr(temporal, name)
+    if name in ("salted_join", "skewed_keys", "bloom_semi_filter",
+                "build_bloom", "bloom_filter_expr"):
+        from . import relational
+        return getattr(relational, name)
     if name == "asof_join":
         from .temporal import asof_join
         return asof_join
@@ -60,6 +67,8 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "dwithin_join", "nearest_join", "sjoin_nearest", "asof_join",
            "cluster_within", "cluster_dbscan",
            "range_join", "release", "register_sql_functions", "overlay",
+           "sessionize", "session_stats", "make_trajectories",
+           "salted_join", "skewed_keys", "bloom_semi_filter",
            "from_arrow", "from_geopandas", "from_pandas_wkb",
            "to_pandas_wkb", "write_bucketed", "write_geoparquet",
            "read_geoparquet", "from_wkt_df", "read_geojson",
