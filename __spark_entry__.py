@@ -30,7 +30,15 @@ from arctic_spark.llm import dedup, similarity, text
 from arctic_spark.proj import transform_xy_struct
 
 
-_BIG_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+_BIG_TABLES = {"lineitem", "orders", "events", "documents", "embeddings",
+               # mid-size dims: ALSO single-row-group files, and several
+               # Python-kernel gate queries (shape metrics, hulls,
+               # inscribed circle, segment ops) build their geometry from
+               # these — without the split the whole Arrow/kernel stage
+               # runs on ONE core of 32 (measured 5.6 s -> ~1 s for
+               # geo_shape_metrics at sf0.1). nation/region stay as-is:
+               # broadcast-side lookups, never kernel inputs.
+               "customer", "supplier", "part"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -879,9 +887,14 @@ def geo_ring_accessors(spark, sf):
         F.array(z, z, w, w, z, hy, hy + 1.0, hy + 1.0, hy, hy),
         F.array(F.lit(5), F.lit(5)), F.array(F.lit(2)))))
     poly = F.col("__poly")
+    # exterior/interiors are each consumed by 2-3 metrics — bind them
+    # once too (same no-CSE reason as __poly; 5.0 s -> 4.1 s at sf0.1)
+    o = o.withColumn("__ext", st.freeze(st.exterior(poly)))
+    o = o.withColumn("__ints", st.freeze(st.interiors(poly)))
+    ext, ints = F.col("__ext"), F.col("__ints")
     rp = st.representative_point(poly)
     clip = st.clip_by_rect(poly, -0.5, -0.5, 3.0, 100.0)
-    hole = F.element_at(st.interiors(poly), 1)
+    hole = F.element_at(ints, 1)
     # interior test spelled as interval arithmetic (not contains_point:
     # a Python-UDF operand can't sit inside a native higher-order lambda)
     rx, ry = st.x(rp), st.y(rp)
@@ -892,11 +905,11 @@ def geo_ring_accessors(spark, sf):
         "o_orderkey",
         F.round(st.area(poly), 6).alias("full_area"),
         F.round(st.area(clip), 6).alias("clip_area"),
-        F.round(st.length(st.exterior(poly)), 6).alias("ext_len"),
+        F.round(st.length(ext), 6).alias("ext_len"),
         F.round(st.length(st.boundary(poly)), 6).alias("bnd_len"),
-        F.size(st.interiors(poly)).alias("n_holes"),
+        F.size(ints).alias("n_holes"),
         F.round(st.length(hole), 6).alias("hole_len"),
-        st.is_ring(st.exterior(poly)).alias("ext_is_ring"),
+        st.is_ring(ext).alias("ext_is_ring"),
         st.is_empty(poly).alias("empty"),
         rp_inside.alias("rp_inside"))
 

@@ -157,10 +157,22 @@ def cluster_kmeans(df, k: int, id_col: str, max_iterations: int = 10,
     gdf = df if isinstance(df, GeoDataFrame) else GeoDataFrame(df)
     g = F.col(gdf.geometry_column)
     cen = st_native.centroid(g)
-    pts = (gdf.df.select(F.col(id_col).cast("long").alias("id"),
-                         st_native.x(cen).alias("x"),
-                         st_native.y(cen).alias("y"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    # localCheckpoint, not persist: the general-geometry centroid tree
+    # (inlined twice, for x and y) is thousands of expression nodes, and
+    # EVERY subsequent driver action — the bbox agg, each Lloyd round's
+    # collect, the final relabel — would re-analyze it (~3-4 s of
+    # serial driver time per action, ~40 s over a 10-round fit at ANY
+    # data size). Truncating lineage leaves every round a 3-column
+    # leaf plan; the materialized (id, x, y) projection is the same
+    # working set the persist held.
+    # freeze the centroid so the tree exists ONCE in the plan (x and y
+    # would otherwise each inline a full copy — 2x the build and
+    # analysis cost before the checkpoint cuts it)
+    pts = (gdf.df.withColumn("__cen", st_native.freeze(cen))
+           .select(F.col(id_col).cast("long").alias("id"),
+                   st_native.x(F.col("__cen")).alias("x"),
+                   st_native.y(F.col("__cen")).alias("y"))
+           .localCheckpoint())
 
     # Deterministic farthest-first init over a BOUNDED representative
     # set: one shuffle picks the min-id point of each coarse grid cell
@@ -197,19 +209,34 @@ def cluster_kmeans(df, k: int, id_col: str, max_iterations: int = 10,
         dmin = np.minimum(dmin, (rx - rx[j]) ** 2 + (ry - ry[j]) ** 2)
 
     def _assign(centroids):
-        # nearest-centroid index: k scalar squared distances + one
-        # array_min over (d, i) structs (lexicographic → deterministic
-        # tie-break on the centroid index). x/y are plain materialized
-        # attributes, so the k-wide inlining is k cheap scalar exprs —
-        # NOT the array-HOF IVF expression (which at k>100 dominated
-        # analysis+codegen time here).
-        dx = F.col("x")
-        dy = F.col("y")
-        return F.array_min(F.array(*[
-            F.struct(((dx - cx) * (dx - cx)
-                      + (dy - cy) * (dy - cy)).alias("d"),
-                     F.lit(i).alias("i"))
-            for i, (cx, cy) in enumerate(centroids)]))["i"]
+        # nearest-centroid index as a CONSTANT-SIZE expression: the
+        # centroids ride the plan as two array LITERALS (one Literal
+        # node each, any k) probed by an aggregate-HOF argmin with a
+        # deterministic smallest-index tie-break. The earlier k-wide
+        # form (k inlined scalar struct exprs + array_min) made every
+        # downstream ACTION re-analyze an O(k) expression tree — at
+        # k≈126 that was ~3-4 s of driver time per Lloyd round and per
+        # consumer of the result, dominating the 1000-row data cost.
+        # The HOF lambda is interpreted, not codegen'd, but n·k
+        # interpreted float ops distribute across executors while the
+        # analyzer cost was serial on the driver.
+        cxa = F.lit([float(c[0]) for c in centroids])
+        cya = F.lit([float(c[1]) for c in centroids])
+        dx, dy = F.col("x"), F.col("y")
+        best = F.aggregate(
+            F.sequence(F.lit(1), F.lit(len(centroids))),
+            F.struct(F.lit(float("inf")).alias("d"),
+                     F.lit(-1).alias("i")),
+            lambda acc, i: F.when(
+                (F.element_at(cxa, i) - dx) * (F.element_at(cxa, i) - dx)
+                + (F.element_at(cya, i) - dy) * (F.element_at(cya, i) - dy)
+                < acc["d"],
+                F.struct(
+                    ((F.element_at(cxa, i) - dx) * (F.element_at(cxa, i) - dx)
+                     + (F.element_at(cya, i) - dy) * (F.element_at(cya, i) - dy)
+                     ).alias("d"),
+                    (i - 1).alias("i"))).otherwise(acc))
+        return best["i"]
 
     for _ in range(int(max_iterations)):
         means = (pts.withColumn("c", _assign(cents)).groupBy("c")
@@ -225,11 +252,14 @@ def cluster_kmeans(df, k: int, id_col: str, max_iterations: int = 10,
             break
 
     # the final assignment feeds two consumers (the min-id relabel and
-    # the output join) — materialize it once
-    assigned = pts.withColumn("__c", _assign(cents)) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the output join) — materialize it once AND truncate the lineage:
+    # localCheckpoint leaves downstream consumers a leaf-sized logical
+    # plan instead of re-optimizing the whole scan+assign tree on every
+    # action (standard practice for iterative fixed points — same
+    # cadence as PageRank/BPE here).
+    assigned = pts.withColumn("__c", _assign(cents)).localCheckpoint()
     relabel = assigned.groupBy("__c").agg(F.min("id").alias("cluster"))
     out = (assigned.join(F.broadcast(relabel), "__c")
            .select(F.col("id").alias(id_col), "cluster"))
     from .cache import pin
-    return pin(out, pts, assigned)
+    return pin(out, pts)
