@@ -2620,6 +2620,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- Driver-verification rotation (round 7) ---
+        # The driver's correctness gate only reaches the first ~50 dict
+        # entries. Rounds 1-6 verified the original first-50 block (the
+        # relational/geo-core/dedup head: q1..geo_line_refs + the r1-r3
+        # LLM head) -- recorded in CORRECTNESS_r01..r06.json.  This round
+        # the dict leads with the 58 queries that had NEVER been
+        # driver-checked (everything appended after round 3: pagerank,
+        # PCA, BPE, clustering, BM25, bloom/salted joins, the geo long
+        # tail).  Entries 51-58 overflow the ~50 gate but were
+        # independently sample-verified by the round-6 judge.  Rotate
+        # again next round so the remainder gets driver coverage.
+        "graph_pagerank": graph_pagerank,
+        "embed_pca_norms": embed_pca_norms,
+        "embed_dim_stats": embed_dim_stats,
+        "text_bpe_train": text_bpe_train,
+        "text_bpe_encode": text_bpe_encode,
+        "geo_cluster_kmeans": geo_cluster_kmeans,
+        "geo_cluster_dbscan": geo_cluster_dbscan,
+        "geo_cluster_within": geo_cluster_within,
+        "text_bm25_topk": text_bm25_topk,
+        "q_bloom_semijoin": q_bloom_semijoin,
+        "q_salted_join": q_salted_join,
+        "q_anti_join": q_anti_join,
+        "q_percentiles": q_percentiles,
+        "geo_project_geodesic": geo_project_geodesic,
+        "geo_azimuth_project": geo_azimuth_project,
+        "geo_inscribed_circle": geo_inscribed_circle,
+        "geo_segment_ops": geo_segment_ops,
+        "geo_trajectory_stats": geo_trajectory_stats,
+        "text_ngram_topk": text_ngram_topk,
+        "text_perplexity": text_perplexity,
+        "text_tfidf_keywords": text_tfidf_keywords,
+        "text_vocab_topk": text_vocab_topk,
+        "text_readability": text_readability,
+        "text_repetition": text_repetition,
+        "text_chunking": text_chunking,
+        "text_url_ops": text_url_ops,
+        "text_pii_scrub": text_pii_scrub,
+        "text_html_strip": text_html_strip,
+        "dedup_paragraph_stats": dedup_paragraph_stats,
+        "dedup_semantic": dedup_semantic,
+        "dedup_substring_stats": dedup_substring_stats,
+        "sample_mixture": sample_mixture,
+        "sample_stratified": sample_stratified,
+        "pack_sequences": pack_sequences,
+        "decontam_overlap": decontam_overlap,
+        "dedup_groups": dedup_groups,
+        "geo_subdivide": geo_subdivide,
+        "geo_line_substring": geo_line_substring,
+        "geo_split": geo_split,
+        "geo_build_area": geo_build_area,
+        "geo_min_clearance": geo_min_clearance,
+        "geo_geohash": geo_geohash,
+        "geo_hex_density": geo_hex_density,
+        "geo_orientation_flags": geo_orientation_flags,
+        "geo_offset_curve": geo_offset_curve,
+        "geo_snap_shared_paths": geo_snap_shared_paths,
+        "geo_polygonize": geo_polygonize,
+        "geo_voronoi": geo_voronoi,
+        "geo_delaunay": geo_delaunay,
+        "geo_zorder_keys": geo_zorder_keys,
+        "q_sessionize": q_sessionize,
+        "q18_large_orders": q18_large_orders,
+        "text_quality_gopher": text_quality_gopher,
+        "geo_shape_metrics": geo_shape_metrics,
+        "geo_sample_points": geo_sample_points,
+        "geo_overlay_area": geo_overlay_area,
+        "geo_make_valid": geo_make_valid,
+        "geo_concave_hull": geo_concave_hull,
+        # --- previously driver-verified (rounds 1-6) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_suppliers": q5_local_suppliers,
@@ -2677,64 +2747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn_ivf": embed_knn_ivf,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
-        "dedup_groups": dedup_groups,
-        "text_quality_gopher": text_quality_gopher,
-        "geo_shape_metrics": geo_shape_metrics,
-        "geo_zorder_keys": geo_zorder_keys,
-        "geo_overlay_area": geo_overlay_area,
-        "geo_delaunay": geo_delaunay,
-        "geo_voronoi": geo_voronoi,
-        "geo_concave_hull": geo_concave_hull,
-        "geo_polygonize": geo_polygonize,
-        "geo_snap_shared_paths": geo_snap_shared_paths,
-        "geo_offset_curve": geo_offset_curve,
-        "geo_make_valid": geo_make_valid,
-        "geo_orientation_flags": geo_orientation_flags,
-        "geo_sample_points": geo_sample_points,
-        "geo_min_clearance": geo_min_clearance,
-        "geo_geohash": geo_geohash,
-        "geo_hex_density": geo_hex_density,
-        "geo_build_area": geo_build_area,
-        "geo_split": geo_split,
-        "geo_line_substring": geo_line_substring,
-        "decontam_overlap": decontam_overlap,
-        "sample_stratified": sample_stratified,
-        "pack_sequences": pack_sequences,
-        "text_pii_scrub": text_pii_scrub,
-        "text_html_strip": text_html_strip,
-        "dedup_paragraph_stats": dedup_paragraph_stats,
-        "dedup_semantic": dedup_semantic,
-        "dedup_substring_stats": dedup_substring_stats,
-        "sample_mixture": sample_mixture,
-        "text_url_ops": text_url_ops,
-        "text_perplexity": text_perplexity,
-        "text_chunking": text_chunking,
-        "text_repetition": text_repetition,
-        "text_readability": text_readability,
-        "text_vocab_topk": text_vocab_topk,
-        "text_tfidf_keywords": text_tfidf_keywords,
-        "geo_cluster_within": geo_cluster_within,
-        "geo_cluster_dbscan": geo_cluster_dbscan,
-        "geo_cluster_kmeans": geo_cluster_kmeans,
-        "geo_subdivide": geo_subdivide,
-        "text_bm25_topk": text_bm25_topk,
-        "geo_trajectory_stats": geo_trajectory_stats,
-        "text_ngram_topk": text_ngram_topk,
-        "q_sessionize": q_sessionize,
-        "q_percentiles": q_percentiles,
-        "geo_azimuth_project": geo_azimuth_project,
-        "geo_inscribed_circle": geo_inscribed_circle,
-        "text_bpe_encode": text_bpe_encode,
-        "text_bpe_train": text_bpe_train,
-        "geo_segment_ops": geo_segment_ops,
-        "embed_dim_stats": embed_dim_stats,
-        "embed_pca_norms": embed_pca_norms,
-        "graph_pagerank": graph_pagerank,
-        "q_salted_join": q_salted_join,
-        "q_bloom_semijoin": q_bloom_semijoin,
-        "q18_large_orders": q18_large_orders,
-        "q_anti_join": q_anti_join,
-        "geo_project_geodesic": geo_project_geodesic,
     }
 
 
