@@ -2587,8 +2587,9 @@ def _bpe_oracle_sql() -> str:
     def wrap(sym):
         return f"{S} || '{sym}' || {E}"
 
+    clean = f"replace(replace(text, {S}, ''), {E}, '')"
     enc = (f"regexp_replace(array_to_string(list_filter("
-           f"string_split_regex(text, '\\s+'), w -> w != ''), chr(10)),"
+           f"string_split_regex({clean}, '\\s+'), w -> w != ''), chr(10)),"
            f" '(.)', {S} || '\\1' || {E}, 'g')")
     enc = f"replace({enc}, chr(10), {wrap('</w>')})"
     enc = f"({enc} || {wrap('</w>')})"

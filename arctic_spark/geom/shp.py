@@ -149,7 +149,15 @@ def parse_shp(buf: bytes):
 def parse_dbf(buf: bytes):
     """Parse a .dbf buffer → (field_names, list of row tuples).
     C→str, N/F→float (int-valued floats stay float for schema
-    stability), L→bool, D→'YYYYMMDD' str; empty → None."""
+    stability), L→bool, D→'YYYYMMDD' str; empty → None.
+
+    Deletion-flagged records emit an all-None placeholder tuple instead
+    of being skipped: read_shapefile aligns attributes to .shp
+    geometries BY INDEX, so silently dropping a record would shift
+    every subsequent attribute tuple onto the wrong geometry (ADVICE
+    r6). dBASE writers pair a tombstoned .dbf row with its geometry
+    still present in the .shp until a PACK, so index alignment with
+    null attributes is the faithful read."""
     if len(buf) < 32:
         raise ValueError("not a dbf: truncated header")
     n_records = struct.unpack_from("<i", buf, 4)[0]
@@ -167,7 +175,10 @@ def parse_dbf(buf: bytes):
     for _ in range(n_records):
         rec = buf[pos:pos + record_len]
         pos += record_len
-        if len(rec) < record_len or rec[0:1] == b"*":   # deleted
+        if len(rec) < record_len:                        # truncated tail
+            continue
+        if rec[0:1] == b"*":                             # deleted: keep slot
+            rows.append(tuple(None for _ in fields))
             continue
         vals = []
         off = 1

@@ -26,8 +26,12 @@ pair (a, b) is EXACTLY the literal string replacement::
 - adjacent occurrences share no characters (each occurrence spans
   exactly two whole symbols), so one pass merges every occurrence.
 
-The sentinels are non-printing controls that whitespace-split words
-cannot contain.
+The sentinels are non-printing control bytes — but they are NOT
+whitespace (``\\s`` doesn't match them), so input text could carry
+them and corrupt symbol alignment. Both training and encoding
+therefore ``translate`` the two bytes out of the input up front
+(ADVICE r6); losing U+001E/U+001F from training text is a no-op for
+any real corpus.
 
 Scale design (100 TB): training runs on the DISTINCT-WORD table — one
 shuffle collapses the corpus to (word, count) rows (vocabulary-sized,
@@ -80,8 +84,8 @@ def word_symbol_table(df: DataFrame, text_col: str = "text",
     output is vocabulary-sized, not corpus-sized. Pre-tokenization is
     whitespace splitting (BPE's pre-tokenizer is a policy choice —
     compose with the text.* normalizers upstream)."""
-    words = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
-                       .alias("word"))
+    clean = F.translate(F.col(text_col), _S + _E, "")
+    words = (df.select(F.explode(F.split(clean, r"\s+")).alias("word"))
              .where(F.col("word") != ""))
     out = (words.groupBy("word").agg(F.count("*").alias("n"))
            .withColumn("syms", _spaced_symbols(F.col("word"))))
@@ -152,8 +156,9 @@ def apply_bpe(df: DataFrame, text_col: str, merges,
     match a (word-final, word-initial) symbol pair. Intended for merge
     lists up to a few hundred rules per call; for bigger vocabularies
     chain several calls (each is one projection)."""
+    clean = F.translate(F.col(text_col), _S + _E, "")
     line = F.array_join(
-        F.filter(F.split(F.col(text_col), r"\s+"),
+        F.filter(F.split(clean, r"\s+"),
                  lambda w: w != F.lit("")), "\n")
     # wrap every char (newlines stay bare: '.' doesn't match \n), then
     # turn each word boundary into an end-of-word symbol

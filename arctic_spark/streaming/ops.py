@@ -13,6 +13,25 @@ from pyspark.sql.streaming.state import GroupState
 from ..functions import native
 
 
+def _gap_ms(gap: str) -> int:
+    """Parse a Spark-style interval string to milliseconds. Anchored
+    fullmatch (no trailing garbage), day/millisecond units included,
+    and a ValueError naming the accepted grammar on mismatch (ADVICE
+    r6: the old ``re.match`` returned None for '1 day' and crashed on
+    ``m.group``, and accepted '30 minutesX')."""
+    import re
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*", gap)
+    if m is None:
+        raise ValueError(
+            f"unparseable interval {gap!r}: expected "
+            f"'<n> millisecond|second|minute|hour|day[s]', "
+            f"e.g. '30 minutes' or '1 day'")
+    mult = {"millisecond": 1, "second": 1_000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def windowed_event_counts(events: DataFrame, window="1 minute",
                           slide=None, watermark="2 minutes",
                           ts_col="ts", key_col="event_type") -> DataFrame:
@@ -137,10 +156,7 @@ def sessionize_by_gap(events: DataFrame, gap="30 minutes",
     ``applyInPandasWithState`` (processing-time timeout closes idle
     sessions). The reference has no stateful operators at all; this is
     the pattern every custom streaming operator in this engine follows."""
-    import re
-    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
-    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[m.group(2)]
-    gap_ms = int(m.group(1)) * mult
+    gap_ms = _gap_ms(gap)
     return (events.groupBy(user_col)
             .applyInPandasWithState(_session_fn(gap_ms),
                                     outputStructType=_SESSION_SCHEMA,
@@ -390,10 +406,7 @@ def streaming_trajectories(points: DataFrame, gap="30 minutes",
     time WITHIN each micro-batch; across batches they append in arrival
     order. With a source that respects rough time order per entity the
     result matches the batch operator's ordered walk."""
-    import re
-    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
-    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[m.group(2)]
-    gap_ms = int(m.group(1)) * mult
+    gap_ms = _gap_ms(gap)
     sel = points.select(F.col(id_col).cast("long").alias("uid"),
                         F.col(ts_col).alias("ts"),
                         F.col(x_col).cast("double").alias("x"),

@@ -6,20 +6,40 @@ local[$SPARK_GRAFT_CPUS]. Each query is forced end-to-end with the noop
 sink (full materialization of every output column, no driver collect
 bottleneck).
 
-Each query runs twice back-to-back and reports the MIN of the two — the
-first execution pays one-off costs (python worker pool growth, JIT of
-the generated stage code, parquet footer reads) that a long-running
-cluster amortizes away; the warm number is the steady-state cost the
-100 TB projection cares about. Cold (first-run) times are emitted as a
-secondary map for visibility.
-"""
+Methodology v4 (honest steady state):
 
-from __future__ import annotations
+* Before any query runs, the Python worker pool is warmed with a
+  trivial pandas UDF over ``defaultParallelism`` partitions that
+  imports the geometry/LLM kernel stack.  Without this, the first wide
+  pandas-UDF stage of the session pays a 30-process fork + numpy/
+  pandas/pyarrow import storm that measured 6-25 s locally (r6's
+  "geo_boolean_intersection 13.2 s" driver number was exactly this).
+  A long-running cluster has warm executors, so the spawn cost is a
+  one-off the bench removes once, up front, for every query equally.
+* Each query then runs TWICE FROM SCRATCH — the DataFrame is rebuilt
+  (fresh ``fn(spark, sf_dir)`` call) and the cache cleared between the
+  passes — and the MIN of the two full passes is reported.  v3 reran
+  the SAME DataFrame, which for queries that persist or
+  ``localCheckpoint`` intermediates during build (pagerank, BPE train,
+  kmeans/dbscan, minhash bands) measured reads of their own cached
+  blocks, not the algorithm (r6 VERDICT: pagerank "warm" 0.017 s).  At
+  steady state on a real pipeline every submission recomputes its
+  intermediates; plan-compile time is a per-query constant that
+  amortizes at scale but is small (<1 s) once the session is warm.
+
+Output: ONE JSON line.  The driver's capture keeps only ~2000 trailing
+characters, so the line carries the 25 round-1..5 headline queries
+(round-over-round comparable) plus the total over ALL queries; the
+full per-query map (both passes) is written to BENCH_local_full.json
+next to this file.
+"""
 
 import json
 import os
 import sys
 import time
+
+import pandas as pd
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -28,6 +48,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from arctic_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
+    # rounds 1-5 headline set (reported inline, round-over-round)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_suppliers",
@@ -88,7 +109,6 @@ BENCH_QUERIES = [
     "sample_mixture",
     "text_url_ops",
     "text_perplexity",
-    # round 6 (third session)
     "text_repetition",
     "text_readability",
     "geo_orientation_flags",
@@ -98,7 +118,6 @@ BENCH_QUERIES = [
     "geo_hex_density",
     "geo_build_area",
     "geo_split",
-    # round 6 (fourth session)
     "geo_cluster_within",
     "geo_cluster_dbscan",
     "geo_subdivide",
@@ -106,7 +125,6 @@ BENCH_QUERIES = [
     "geo_trajectory_stats",
     "text_ngram_topk",
     "geo_cluster_kmeans",
-    # round 6 (fifth session)
     "q_sessionize",
     "q_percentiles",
     "geo_azimuth_project",
@@ -124,53 +142,83 @@ BENCH_QUERIES = [
     "geo_project_geodesic",
 ]
 
+HEADLINE = BENCH_QUERIES[:25]
+
+
+def _warm_worker_pool(spark):
+    """Spawn and warm one Python worker per core before timing starts.
+
+    A pandas-UDF stage with N concurrent tasks needs N live workers;
+    Spark grows the pool lazily, so whichever query first runs a wide
+    UDF stage pays N forks, each importing numpy/pandas/pyarrow plus
+    this package's kernel stack (~1-2 s per worker, with heavy
+    contention when 32 fork at once).  Importing the kernels here means
+    every timed query sees the warm pool a real cluster would have.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _pool_warm(s: pd.Series) -> pd.Series:
+        import arctic_spark.geom.algos    # noqa: F401
+        import arctic_spark.geom.batch    # noqa: F401
+        import arctic_spark.geom.boolean  # noqa: F401
+        import arctic_spark.geom.relate   # noqa: F401
+        import arctic_spark.llm.dedup     # noqa: F401
+        return s
+
+    n = spark.sparkContext.defaultParallelism
+    (spark.range(n * 8, numPartitions=n).select(_pool_warm("id"))
+     .write.format("noop").mode("overwrite").save())
+
+
+def _run_once(spark, fn, sf_dir):
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("arctic_spark-bench")
     qs = entrymod.queries()
 
-    # warmup: JIT + python worker pool spin-up on a trivial job
-    spark.range(1000).selectExpr("sum(id)").collect()
+    _warm_worker_pool(spark)
 
-    timings, cold = {}, {}
+    timings, pass1, pass2 = {}, {}, {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        c = round(time.perf_counter() - t0, 3)
-        # steady-state rerun of the SAME DataFrame: Catalyst
-        # analysis/optimization/codegen are already done, so this
-        # measures plan EXECUTION — the cost that scales with data.
-        # (Plan-compile time is a per-query constant: at 100 TB it
-        # amortizes to zero, but at sf0.1 it dominated the
-        # construction-heavy gate queries — up to 0.7 s of a 0.8 s
-        # "runtime" was driver-side analysis, measured r6.)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        w = round(time.perf_counter() - t0, 3)
-        cold[name] = c
-        timings[name] = min(c, w)
-        # free persisted intermediates (minhash bands, join add-back
-        # pins, dwithin split-plans) so one query's cached blocks don't
-        # inflate every later query's time — the bench measures each
-        # query, not the session's accumulated cache pressure
+        a = _run_once(spark, fn, sf_dir)
+        # drop persisted intermediates (minhash bands, join pins,
+        # cluster checkpoints) so the second pass recomputes them —
+        # min(two full passes) is the steady-state cost of the
+        # ALGORITHM, not of re-reading its own cached blocks
         spark.catalog.clearCache()
+        b = _run_once(spark, fn, sf_dir)
+        spark.catalog.clearCache()
+        pass1[name], pass2[name] = a, b
+        timings[name] = min(a, b)
     total = round(sum(timings.values()), 3)
+    headline_total = round(sum(timings[n] for n in HEADLINE), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    # methodology: v3 = warm is a re-execution of the already-analyzed
-    # plan (steady-state execution; plan compile amortized as at
-    # scale); cold = build + compile + first execution. v2 (rounds
-    # 5-6a) re-built the DataFrame for the warm run, so warm included
-    # plan compilation; rounds 1-4 reported single-pass wall time. The
-    # version field keeps round-over-round history comparable (ADVICE
-    # r5 bench.py:67).
-    print(json.dumps({"metric": "bench_total_wall", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf,
-                      "queries_cold": cold,
-                      "methodology": "steady-state-rerun (v3)"}))
+    full = {"metric": "bench_total_wall", "value": total, "unit": "sec",
+            "sf": sf, "n_queries": len(BENCH_QUERIES),
+            "headline_total": headline_total,
+            "queries": timings, "pass1": pass1, "pass2": pass2,
+            "methodology": "rebuild-both-passes, warm worker pool (v4)"}
+    with open(os.path.join(REPO, "BENCH_local_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # stdout line stays under the driver's ~2000-char capture: inline
+    # per-query numbers only for the 25 round-1..5 headline queries
+    line = {"metric": "bench_total_wall", "value": total, "unit": "sec",
+            "sf": sf, "n_queries": len(BENCH_QUERIES),
+            "headline_total": headline_total,
+            "full_file": "BENCH_local_full.json",
+            "methodology": "rebuild-both-passes, warm worker pool (v4)",
+            "queries": {n: timings[n] for n in HEADLINE}}
+    print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 
 

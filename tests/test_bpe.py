@@ -138,3 +138,18 @@ def test_encode_plan_is_jvm_only(spark):
 def test_vocab_list():
     assert tk.bpe_vocab([("a", "b"), ("ab", "c")], ["a", "b", "c"]) == \
         ["a", "b", "c", "ab", "abc"]
+
+
+def test_sentinel_bytes_in_input_are_stripped(spark):
+    # U+001F/U+001E are the internal symbol sentinels; raw occurrences
+    # in the input must not corrupt alignment (ADVICE r6)
+    dirty = "a\x1fb \x1ecd"
+    df = spark.createDataFrame([(dirty,), ("ab cd",)], "text string")
+    rows = tk.apply_bpe(df, "text", [("a", "b")]) \
+        .select("tokens").collect()
+    assert [list(r["tokens"]) for r in rows] == [
+        ["ab", tk.END, "c", "d", tk.END]] * 2
+    vocab = tk.word_symbol_table(df, "text").collect()
+    assert sorted(r["word"] for r in vocab) == ["ab", "cd"]
+    assert all("\x1f\x1f" not in r["syms"].replace("\x1e\x1f", "")
+               for r in vocab)

@@ -97,3 +97,19 @@ def test_duplicate_groups_matches_bruteforce(spark):
         for v in members:
             expect[v] = m
     assert comp == expect
+
+
+def test_pagerank_empty_graph_raises(spark):
+    import pytest
+    from arctic_spark.llm.graph import pagerank
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="at least one vertex"):
+        pagerank(empty)
+
+
+def test_pagerank_scale_bound_raises(spark):
+    import pytest
+    from arctic_spark.llm.graph import pagerank
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="2\\*\\*53"):
+        pagerank(e, scale=2 ** 53)

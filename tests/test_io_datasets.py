@@ -355,3 +355,21 @@ def test_read_shapefile(spark, tmp_path):
     # normalized winding: exterior CCW
     assert gdf.df.select(st.is_ccw(st.exterior("geometry"))) \
         .collect()[1][0] is True
+
+
+def test_dbf_deleted_record_keeps_index_alignment():
+    # a deletion-flagged .dbf record must hold its slot (all-None row)
+    # so attributes stay aligned to .shp geometries by index (ADVICE r6)
+    from arctic_spark.geom.shp import parse_dbf
+    raw = _dbf_bytes([("NAME", "C", 8), ("POP", "N", 10)],
+                     [("first", 1), ("dead", 2), ("third", 3)])
+    # flip record 2's deletion flag to '*' — records start after the
+    # 0x0D header terminator, each 1 + 8 + 10 bytes long
+    start = raw.index(b"\x0d") + 1
+    rec_len = 19
+    raw = bytearray(raw)
+    assert raw[start + rec_len] == 0x20
+    raw[start + rec_len] = 0x2A
+    names, rows = parse_dbf(bytes(raw))
+    assert names == ["NAME", "POP"]
+    assert rows == [("first", 1.0), (None, None), ("third", 3.0)]

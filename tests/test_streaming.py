@@ -377,3 +377,15 @@ def test_streaming_trajectories(spark, tmp_path):
         assert r.path_len == pytest.approx(7.0)     # 3 across + 4 up
     finally:
         q.stop()
+
+
+def test_gap_parser_units_and_errors():
+    import pytest
+    from arctic_spark.streaming.ops import _gap_ms
+    assert _gap_ms("1 day") == 86_400_000
+    assert _gap_ms("500 milliseconds") == 500
+    assert _gap_ms("30 minutes") == 1_800_000
+    assert _gap_ms("1 hour") == 3_600_000
+    for bad in ("30 minutesX", "soon", "5 fortnights", ""):
+        with pytest.raises(ValueError, match="unparseable interval"):
+            _gap_ms(bad)
