@@ -586,10 +586,10 @@ def difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
 def union(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
     """g1 ∪ g2 (rst:77): arbitrary polygonal operands; mixed-dimension
     unions return a GeometryCollection of the higher-dim operand plus
-    the uncovered remainder of the lower-dim one (round 6). Structural
-    caveat: line∪line of CROSSING (non-overlapping) lines concatenates
-    the inputs without noding at the crossings — point-set equal to
-    GEOS, but part counts differ from GEOS's noded output."""
+    the uncovered remainder of the lower-dim one (round 6). line∪line
+    results are NODED at crossings, interior touches, and overlap
+    endpoints since round 7 — part structure matches GEOS OverlayNG,
+    not just its point set."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "union"))
 
@@ -597,9 +597,9 @@ def union(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
 @pandas_udf(GEOM_TYPE)
 def symmetric_difference(g1: pd.DataFrame, g2: pd.DataFrame) -> pd.DataFrame:
     """g1 Δ g2 for arbitrary polygonal operands (rst:74); mixed
-    dimensions return a GeometryCollection (round 6). Same no-renoding
-    caveat as ``union``: crossing lines keep their crossing points (GEOS
-    removes them by noding) — point-set equal, structure differs."""
+    dimensions return a GeometryCollection (round 6). Like ``union``,
+    line results are noded at crossings since round 7 (GEOS OverlayNG
+    part-structure parity)."""
     return ragged_to_pdf(boolean.row_boolean(
         ragged_from_pdf(g1), ragged_from_pdf(g2), "symmetric_difference"))
 

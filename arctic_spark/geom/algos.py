@@ -1061,6 +1061,73 @@ def _rings_conflict(x1, y1, x2, y2):
     return False
 
 
+def _ring_self_touch(x, y):
+    """Non-consecutive repeated vertex inside ONE ring — a pinch point.
+    GEOS flags this 'Ring Self-intersection' even when the ring only
+    touches itself without crossing (the point-touch allowance applies
+    between DIFFERENT rings, never within one). Consecutive repeats and
+    the closing duplicate are valid (r6 VERDICT #5 / shared-vertex gap)."""
+    pts = []
+    for j in range(len(x) - 1):                 # skip closing duplicate
+        p = (float(x[j]), float(y[j]))
+        if pts and p == pts[-1]:
+            continue
+        pts.append(p)
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts.pop()
+    return len(set(pts)) != len(pts)
+
+
+def _ring_dirs_at(x, y, p):
+    """Outgoing edge directions of a ring at contact point ``p`` —
+    one per incident edge endpoint, two (±edge) when ``p`` sits
+    strictly inside an edge."""
+    px, py = p
+    dirs = []
+    for j in range(len(x) - 1):
+        ax_, ay_, bx_, by_ = float(x[j]), float(y[j]), \
+            float(x[j + 1]), float(y[j + 1])
+        if ax_ == bx_ and ay_ == by_:
+            continue
+        if (ax_, ay_) == (px, py):
+            dirs.append((bx_ - ax_, by_ - ay_))
+        elif (bx_, by_) == (px, py):
+            dirs.append((ax_ - bx_, ay_ - by_))
+        else:
+            cross = (bx_ - ax_) * (py - ay_) - (by_ - ay_) * (px - ax_)
+            if cross == 0 and min(ax_, bx_) <= px <= max(ax_, bx_) \
+                    and min(ay_, by_) <= py <= max(ay_, by_):
+                dirs.append((bx_ - ax_, by_ - ay_))
+                dirs.append((ax_ - bx_, ay_ - by_))
+    return dirs
+
+
+def _rings_cross_at_contact(x1, y1, x2, y2):
+    """Two rings that meet at a point and ALTERNATE around it (ring1,
+    ring2, ring1, ring2 in angular order) CROSS there — invalid, and
+    invisible to the segment-pair classifier because every incident
+    segment pair meets only at endpoints (the r6-documented
+    shared-vertex gap, closed r7; also covers a vertex of one ring
+    crossing through an EDGE interior of the other). Non-alternating
+    contact (both ring2 wedge arms on one side of ring1) is the legal
+    isolated point touch."""
+    import math as _m
+    for p in _ring_touch_points(x1, y1, x2, y2):
+        d1 = _ring_dirs_at(x1, y1, p)
+        d2 = _ring_dirs_at(x2, y2, p)
+        if len(d1) != 2 or len(d2) != 2:
+            # a ring revisiting the point is flagged by the
+            # self-touch check; degenerate configs skip
+            continue
+        ang = sorted([(_m.atan2(dy, dx), tag)
+                      for tag, ds in ((0, d1), (1, d2))
+                      for dx, dy in ds])
+        tags = [t for _, t in ang]
+        if tags in ([0, 1, 0, 1], [1, 0, 1, 0]):
+            return True
+    return False
+
+
 def _ring_vertex_side(px, py, x, y):
     """First strict classification of (px,py) lists vs ring: 1 inside,
     -1 outside, 0 if every probe lands on the boundary."""
@@ -1083,8 +1150,12 @@ def is_valid(rg: RaggedGeometry):
     simple). Interior connectivity is checked since r6 (a hole — or
     hole chain — touching the shell at two points pinches the interior:
     cycle detection on the ring-touch multigraph, GEOS "Interior is
-    disconnected"). Documented residual gap vs GEOS: crossings happening
-    exactly AT a shared vertex are not detected."""
+    disconnected"). Since r7 the shared-vertex gap is closed: a ring
+    revisiting one of its own vertices is a pinch ("Ring
+    Self-intersection"), and two rings whose edges ALTERNATE angularly
+    around a contact point (shared vertex or vertex-on-edge) cross
+    there ("Self-intersection") even though no segment pair crosses
+    properly."""
     from .ragged import GEOMETRYCOLLECTION, gc_iter
     out = np.zeros(len(rg), dtype=object)
     for i in range(len(rg)):
@@ -1127,6 +1198,8 @@ def _polygon_invalid_reason(xs, ys, rings, parts):
                 return "Points of LinearRing do not form a closed linestring"
             if _ring_has_spike(x, y):
                 return "Ring Self-intersection"
+            if _ring_self_touch(x, y):
+                return "Ring Self-intersection"
             ring_xy.append((x, y, p_i, j == 0))
             coff += rl
         roff += nr
@@ -1151,6 +1224,8 @@ def _polygon_invalid_reason(xs, ys, rings, parts):
                      np.array([1], np.int32))):
                 return "Duplicate Rings"
             if _rings_conflict(x1, y1, x2, y2):
+                return "Self-intersection"
+            if _rings_cross_at_contact(x1, y1, x2, y2):
                 return "Self-intersection"
     # containment structure (no crossings by now → one strict vertex
     # classification decides each whole-ring relation)

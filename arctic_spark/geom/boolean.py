@@ -1002,6 +1002,86 @@ def _line_select_coverage(line, other, keep_covered, eps):
     return _pack_lines(out_parts)
 
 
+def _node_line_at_points(line, pts, eps):
+    """Split a lineish operand at the given node points — GEOS/OverlayNG
+    parity: line output breaks at every computed intersection node, so
+    union/difference/symmetric_difference of crossing lines return the
+    noded pieces, not the concatenated inputs (r6 VERDICT #4). A node
+    strictly inside a segment splits it there; a node coincident with
+    an interior VERTEX breaks the chain at that vertex; nodes at part
+    endpoints split nothing. Chains between nodes keep their interior
+    vertices."""
+    if not len(pts[1]):
+        return line
+    npx, npy = np.asarray(pts[1], float), np.asarray(pts[2], float)
+    e2 = eps * eps
+    out_parts = []
+    xs, ys, rings = line[1], line[2], line[3]
+    off = 0
+    for rl in rings:
+        lx, ly = xs[off:off + rl], ys[off:off + rl]
+        off += rl
+        if rl < 2:
+            continue
+        cur_x, cur_y = [float(lx[0])], [float(ly[0])]
+        for i in range(rl - 1):
+            ax_, ay_ = float(lx[i]), float(ly[i])
+            bx_, by_ = float(lx[i + 1]), float(ly[i + 1])
+            dx, dy = bx_ - ax_, by_ - ay_
+            seg2 = dx * dx + dy * dy
+            if seg2 <= 0:
+                continue
+            if i > 0 and len(cur_x) >= 2:
+                # interior vertex coincident with a node → chain break
+                if (((npx - ax_) ** 2 + (npy - ay_) ** 2) <= e2).any():
+                    out_parts.append((cur_x, cur_y))
+                    cur_x, cur_y = [ax_], [ay_]
+            t = ((npx - ax_) * dx + (npy - ay_) * dy) / seg2
+            qx = ax_ + t * dx - npx
+            qy = ay_ + t * dy - npy
+            on = (t > 0) & (t < 1) & (qx * qx + qy * qy <= e2)
+            for tv in sorted(t[on]):
+                mx_, my_ = ax_ + tv * dx, ay_ + tv * dy
+                if (mx_ - cur_x[-1]) ** 2 + (my_ - cur_y[-1]) ** 2 <= e2:
+                    continue
+                cur_x.append(mx_)
+                cur_y.append(my_)
+                out_parts.append((cur_x, cur_y))
+                cur_x, cur_y = [mx_], [my_]
+            cur_x.append(bx_)
+            cur_y.append(by_)
+        if len(cur_x) >= 2:
+            out_parts.append((cur_x, cur_y))
+    return _pack_lines(out_parts)
+
+
+def _part_endpoints(g):
+    """First/last coordinates of every part of a lineish tuple."""
+    xs, ys, rings = g[1], g[2], g[3]
+    ex, ey = [], []
+    off = 0
+    for rl in rings:
+        if rl:
+            ex += [float(xs[off]), float(xs[off + rl - 1])]
+            ey += [float(ys[off]), float(ys[off + rl - 1])]
+        off += rl
+    return np.asarray(ex, float), np.asarray(ey, float)
+
+
+def _off_overlap_points(g1, g2, eps):
+    """Crossing/touch points of g1×g2 that do NOT lie on their 1-D
+    coincident stretches — the node set for renoding the non-overlap
+    pieces of a line/line union, difference, or symmetric difference."""
+    pts = _line_line_points(g1, g2, eps)
+    if not len(pts[1]):
+        return pts
+    overlap = _line_select_coverage(g1, g2, True, eps)
+    if len(overlap[1]):
+        on = _near_segments(pts[1], pts[2], *_line_segments(overlap), eps)
+        pts = _pack_points(pts[1][~on], pts[2][~on])
+    return pts
+
+
 def _line_line_intersection(g1, g2, eps):
     """Intersection of two lineish operands: collinear 1-D overlap parts
     (MultiLineString) OR crossing/touch points (MultiPoint). A result
@@ -1209,15 +1289,22 @@ def _mixed_boolean(g1, g2, op, eps_rel):
             return _pack_points(g1[1][~cov], g1[2][~cov])
         if d2 == 2:
             return _clip_line_by_polygon(g1, g2, False, eps_rel)
+        # crossings remove zero 1-D measure but NODE the result
+        # (GEOS/OverlayNG parity, r7); coincident portions are removed
+        pts = _off_overlap_points(g1, g2, eps)
         if _collinear_overlap(g1, g2, eps):
-            # remove the 1-D coincident portions (crossings alone
-            # remove zero measure and fall through below)
-            return _line_select_coverage(g1, g2, False, eps)
-        return g1  # crossings remove zero 1-D measure
+            return _node_line_at_points(
+                _line_select_coverage(g1, g2, False, eps), pts, eps)
+        return _node_line_at_points(g1, pts, eps)
     # union / symmetric_difference
     if d1 == 0 and d2 == 0:
         return _point_set_op(g1, g2, op)
     if d1 == 1 and d2 == 1:
+        # both branches NODE every piece at the off-overlap crossing/
+        # touch points (GEOS/OverlayNG parity since r7 — crossing lines
+        # return the split sub-chains, matching GEOS part structure,
+        # not just its point set)
+        pts = _off_overlap_points(g1, g2, eps)
         if _collinear_overlap(g1, g2, eps):
             # union: g1 + (g2 − g1); symdiff: (g1 − g2) + (g2 − g1) —
             # both reduce to the coverage-select difference, so the
@@ -1225,14 +1312,25 @@ def _mixed_boolean(g1, g2, op, eps_rel):
             left = g1 if op == "union" \
                 else _line_select_coverage(g1, g2, False, eps)
             right = _line_select_coverage(g2, g1, False, eps)
+            lpts = pts
+            if op == "union":
+                # the kept subject also nodes at the overlap-stretch
+                # endpoints (degree-3 nodes in the GEOS arrangement)
+                ex, ey = _part_endpoints(
+                    _line_select_coverage(g1, g2, True, eps))
+                if ex.size:
+                    lpts = _pack_points(
+                        np.concatenate([np.asarray(pts[1], float), ex]),
+                        np.concatenate([np.asarray(pts[2], float), ey]))
+            left = _node_line_at_points(left, lpts, eps)
+            right = _node_line_at_points(right, pts, eps)
             if not len(left[1]):
                 return right
             if not len(right[1]):
                 return left
             return _concat_lines(left, right)
-        # no 1-D overlap → union == symdiff == concatenation (equal as
-        # point sets; crossings are not re-noded)
-        return _concat_lines(g1, g2)
+        return _concat_lines(_node_line_at_points(g1, pts, eps),
+                             _node_line_at_points(g2, pts, eps))
     # mixed dimension (0/1, 0/2, 1/2): the higher-dim operand absorbs
     # the covered portion of the lower-dim one; the remainder joins it
     # in a GeometryCollection (gt=7, round 6 — GEOS shape)

@@ -209,3 +209,80 @@ def test_line_along_boundary_is_covered():
     assert _length(ix) == pytest.approx(6.0)
     df = boolean_pair(seg, _g(SQUARE), "difference")
     assert len(df[1]) == 0
+
+
+# ---- r7: GEOS OverlayNG noding of line/line results ---------------------
+
+def _parts(g):
+    xs, ys, rings = g[1], g[2], g[3]
+    out, off = [], 0
+    for rl in rings:
+        out.append(list(zip(xs[off:off + rl].tolist(),
+                            ys[off:off + rl].tolist())))
+        off += rl
+    return out
+
+
+def test_union_crossing_lines_is_noded():
+    # GEOS: MULTILINESTRING of 4 pieces split at the crossing (5, 0)
+    a = _g("LINESTRING (0 0, 10 0)")
+    b = _g("LINESTRING (5 -5, 5 5)")
+    out = boolean_pair(a, b, "union")
+    assert out[0] == MULTILINESTRING
+    assert _parts(out) == [[(0, 0), (5, 0)], [(5, 0), (10, 0)],
+                           [(5, -5), (5, 0)], [(5, 0), (5, 5)]]
+    sym = boolean_pair(a, b, "symmetric_difference")
+    assert _parts(sym) == _parts(out)
+
+
+def test_difference_crossing_lines_is_noded():
+    a = _g("LINESTRING (0 0, 10 0)")
+    b = _g("LINESTRING (5 -5, 5 5)")
+    out = boolean_pair(a, b, "difference")
+    assert _parts(out) == [[(0, 0), (5, 0)], [(5, 0), (10, 0)]]
+
+
+def test_union_interior_touch_nodes_touched_side_only():
+    # b's endpoint on a's interior: a splits at (3,0), b stays whole
+    a = _g("LINESTRING (0 0, 10 0)")
+    b = _g("LINESTRING (3 0, 3 4)")
+    out = boolean_pair(a, b, "union")
+    assert _parts(out) == [[(0, 0), (3, 0)], [(3, 0), (10, 0)],
+                           [(3, 0), (3, 4)]]
+
+
+def test_union_overlap_nodes_subject_at_overlap_endpoints():
+    # collinear overlap on [5,10]: GEOS nodes the kept subject there
+    a = _g("LINESTRING (0 0, 10 0)")
+    b = _g("LINESTRING (5 0, 12 0)")
+    out = boolean_pair(a, b, "union")
+    assert _parts(out) == [[(0, 0), (5, 0)], [(5, 0), (10, 0)],
+                           [(10, 0), (12, 0)]]
+    sym = boolean_pair(a, b, "symmetric_difference")
+    assert _parts(sym) == [[(0, 0), (5, 0)], [(10, 0), (12, 0)]]
+
+
+def test_union_chain_keeps_interior_vertices_between_nodes():
+    # crossing at (0.5, 0); the chain through (1,0) is NOT a node
+    a = _g("LINESTRING (0 0, 1 0, 2 0)")
+    b = _g("LINESTRING (0.5 -1, 0.5 1)")
+    out = boolean_pair(a, b, "union")
+    assert _parts(out) == [[(0, 0), (0.5, 0)], [(0.5, 0), (1, 0), (2, 0)],
+                           [(0.5, -1), (0.5, 0)], [(0.5, 0), (0.5, 1)]]
+
+
+def test_union_identical_lines_is_one_line():
+    a = _g("LINESTRING (0 0, 10 0)")
+    out = boolean_pair(a, _g("LINESTRING (0 0, 10 0)"), "union")
+    assert out[0] == LINESTRING
+    assert _parts(out) == [[(0, 0), (10, 0)]]
+
+
+def test_union_overlap_plus_offoverlap_crossing():
+    # overlap on [5,10] AND an off-overlap crossing at (2,0)
+    a = _g("LINESTRING (0 0, 10 0)")
+    b = _g("LINESTRING (5 0, 10 0, 10 5, 2 5, 2 -5)")
+    out = boolean_pair(a, b, "union")
+    assert _parts(out) == [
+        [(0, 0), (2, 0)], [(2, 0), (5, 0)], [(5, 0), (10, 0)],
+        [(10, 0), (10, 5), (2, 5), (2, 0)], [(2, 0), (2, -5)]]

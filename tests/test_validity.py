@@ -264,3 +264,53 @@ def test_interior_disconnected(spark):
             ([0, 5, 5, 0, 0], [5, 3, 5, 5, 5]),
             ([5, 9, 5, 5, 5], [5, 5, 7, 5, 5])], [3])
     assert algos.is_valid(g)[0] is True
+
+
+def _reason(w):
+    return algos.is_valid_reason(wkt.parse([w]))[0]
+
+
+# ---- r7: shared-vertex / contact-point crossings (the r6 gap) ------------
+
+def test_figure8_self_touch_ring_invalid():
+    # one ring revisiting (5,5): pinch — invalid even without a proper
+    # segment crossing
+    w = "POLYGON ((0 0, 5 5, 10 0, 10 10, 5 5, 0 10, 0 0))"
+    assert not _valid(w)
+    assert _reason(w) == "Ring Self-intersection"
+
+
+def test_rings_crossing_at_shared_vertex_invalid():
+    # second shell's wedge at (3,3)… one arm inside the square, one out
+    w = ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+         "((3 3, 6 4, 4 6, 3 3)))")
+    assert not _valid(w)
+    assert _reason(w) == "Self-intersection"
+
+
+def test_vertex_through_edge_interior_invalid():
+    # triangle vertex at (5,0) strictly inside the square's bottom edge,
+    # with its arms on BOTH sides of that edge: crossing
+    w = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+         "((5 0, 8 -3, 8 3, 5 0)))")
+    assert not _valid(w)
+    assert _reason(w) == "Self-intersection"
+
+
+def test_point_touches_stay_valid():
+    # kissing squares: single-point contact, no alternation
+    assert _valid("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+                  "((4 4, 8 4, 8 8, 4 8, 4 4)))")
+    # hole touching shell at one vertex
+    assert _valid("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                  "(5 0, 7 3, 3 3, 5 0))")
+    # vertex-on-edge touch with both arms on one side
+    assert _valid("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+                  "((5 0, 8 -3, 2 -3, 5 0)))")
+    # wedge-kiss at a shared vertex with both arms outside
+    assert _valid("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+                  "((4 4, 8 2, 2 8, 4 4)))")
+
+
+def test_consecutive_repeated_points_still_valid():
+    assert _valid("POLYGON ((0 0, 0 0, 10 0, 10 10, 0 10, 0 0))")
