@@ -48,12 +48,15 @@ def _signed_ring_areas(rg: RaggedGeometry):
 
 
 def _per_geom_ring_role(rg: RaggedGeometry):
-    """bool[R]: True where ring is an exterior ring of its part."""
+    """bool[R]: True where ring is an exterior ring of its part.
+    GC-packed parts values (sub·GC_SHIFT + nrings, geom/ragged.py) are
+    unpacked — the raw value indexed a ring 16M slots away (r7 fix)."""
+    from .ragged import GC_SHIFT
     role = np.zeros(len(rg.rings), dtype=bool)
     ri = 0
     for nr in rg.parts:
         role[ri] = True
-        ri += nr
+        ri += int(nr) % GC_SHIFT
     return role
 
 
@@ -62,7 +65,10 @@ def area(rg: RaggedGeometry):
 
     Exterior rings contribute +|area|, holes −|area| (orientation-
     insensitive, matching GEOS semantics the reference documents at
-    geoseries.rs:16-19)."""
+    geoseries.rs:16-19). GeometryCollections sum their polygon parts
+    (GEOS; r7 — previously GC rows returned 0.0 or crashed on the
+    packed parts encoding)."""
+    from .ragged import GC_SHIFT, GEOMETRYCOLLECTION
     ring_a = np.abs(_signed_ring_areas(rg))
     is_ext = _per_geom_ring_role(rg)
     signed = np.where(is_ext, ring_a, -ring_a)
@@ -75,6 +81,15 @@ def area(rg: RaggedGeometry):
             out[i] = np.nan
         elif g in (POLYGON, MULTIPOLYGON):
             out[i] = signed[ri:ri + nr].sum()
+        elif g == GEOMETRYCOLLECTION:
+            pi0, pi1 = rg.part_offsets[i], rg.part_offsets[i + 1]
+            ri2, tot = ri, 0.0
+            for pv in rg.parts[pi0:pi1]:
+                sub, nr2 = int(pv) // GC_SHIFT, int(pv) % GC_SHIFT
+                if sub == POLYGON:
+                    tot += signed[ri2:ri2 + nr2].sum()
+                ri2 += nr2
+            out[i] = tot
         ri += nr
     return out
 
@@ -85,7 +100,9 @@ def length(rg: RaggedGeometry):
     LineString → sum of segment lengths; Polygon → exterior ring length
     only, matching the reference doc 'For a Polygon it returns the length
     of the exterior ring' (geoseries.rs:41-46); Multi* → sum over parts;
-    Point → 0."""
+    Point → 0. GeometryCollections sum line parts' full length plus
+    polygon parts' exterior rings (GEOS; r7)."""
+    from .ragged import GC_SHIFT, GEOMETRYCOLLECTION
     xs, ys = rg.xs, rg.ys
     if len(xs) == 0:
         return np.where(rg.gt == MISSING, np.nan, 0.0)
@@ -111,6 +128,17 @@ def length(rg: RaggedGeometry):
             for nr in rg.parts[pi0:pi1]:
                 tot += ring_len[ri2]
                 ri2 += nr
+            out[i] = tot
+        elif g == GEOMETRYCOLLECTION:
+            pi0, pi1 = rg.part_offsets[i], rg.part_offsets[i + 1]
+            ri2, tot = int(r0), 0.0
+            for pv in rg.parts[pi0:pi1]:
+                sub, nr2 = int(pv) // GC_SHIFT, int(pv) % GC_SHIFT
+                if sub in (LINESTRING, MULTILINESTRING):
+                    tot += ring_len[ri2:ri2 + nr2].sum()
+                elif sub == POLYGON:
+                    tot += ring_len[ri2]
+                ri2 += nr2
             out[i] = tot
         ri = r1
     return out
