@@ -1155,6 +1155,35 @@ def embed_knn_ivf(spark, sf):
                       F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _pq_fixed_codebooks(m=8, n_codes=4, dsub=8):
+    """Deterministic synthetic PQ codebooks for the correctness gate:
+    w[j][i][t] = ((31j + 17i + 7t) mod 23) / 23 — replayable as SQL
+    literals in DuckDB, so encode + ADC are hash-exact. TRAINED
+    codebooks (driver k-means, not SQL-expressible) are covered by
+    recall tests in tests/test_llm_ops.py."""
+    return [[[((31 * j + 17 * i + 7 * t) % 23) / 23.0
+              for t in range(dsub)]
+             for i in range(n_codes)]
+            for j in range(m)]
+
+
+def embed_pq_adc(spark, sf):
+    """Product-quantization ADC search (llm.similarity.pq_topk, round
+    7; Jégou 2011): corpus vectors encode to m=8 code ids over fixed
+    codebooks (native argmin per subspace), queries build their
+    8x4 ADC lookup table natively, and approximate squared-L2 top-5 is
+    LUT sums + a window — the candidate join ships (id, codes), never
+    vectors. The small-corpus gate uses the labeled cross-join
+    baseline; the IVF-gated bucket path (pq_topk(centroids=...)) and
+    exact re-rank are covered by tests."""
+    em = _t(spark, sf, "embeddings")
+    books = _pq_fixed_codebooks()
+    q = em.where(F.col("vec_id") % 50 == 0)
+    out = similarity.pq_topk(q, em, books, k=5, tie_decimals=6)
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("adc_dist2", 6).alias("adc_dist2"))
+
+
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidate pairs. The md5-based universal-hash
     pipeline is deterministic given the seed, so the oracle replays the
@@ -2746,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "embed_knn_lsh": embed_knn_lsh,
         "embed_knn_ivf": embed_knn_ivf,
+        "embed_pq_adc": embed_pq_adc,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
     }
@@ -3672,6 +3702,59 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
                 FROM sims)
             SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+            FROM ranked WHERE rank <= 5
+        """,
+        # PQ-ADC oracle: the fixed codebooks replay as a range()-built
+        # literal table; encode = argmin over per-subspace squared
+        # distances (ties to the lowest code id, same as Spark's
+        # array_sort on (d, i) structs), ADC = sum of the query's LUT
+        # entries at the corpus codes. Rounding to 6 absorbs the
+        # engines' different float-summation orders.
+        "embed_pq_adc": """
+            WITH cb AS (
+                SELECT rj.j, ri.i, rt.t,
+                       CAST(((31*rj.j + 17*ri.i + 7*rt.t) % 23) AS DOUBLE)
+                       / 23.0 AS w
+                FROM range(8) rj(j), range(4) ri(i), range(8) rt(t)),
+            qs AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings
+                WHERE vec_id % 50 = 0),
+            cd AS (
+                SELECT c.vec_id, cb.j, cb.i,
+                       SUM((CAST(c.embedding[cb.j*8 + cb.t + 1] AS DOUBLE)
+                            - cb.w)
+                           * (CAST(c.embedding[cb.j*8 + cb.t + 1] AS DOUBLE)
+                              - cb.w)) AS d
+                FROM embeddings c, cb
+                GROUP BY c.vec_id, cb.j, cb.i),
+            codes AS (
+                SELECT vec_id, j, i AS code FROM (
+                    SELECT vec_id, j, i,
+                           row_number() OVER (PARTITION BY vec_id, j
+                                              ORDER BY d, i) AS rn
+                    FROM cd) WHERE rn = 1),
+            qd AS (
+                SELECT q.query_id, cb.j, cb.i,
+                       SUM((CAST(q.embedding[cb.j*8 + cb.t + 1] AS DOUBLE)
+                            - cb.w)
+                           * (CAST(q.embedding[cb.j*8 + cb.t + 1] AS DOUBLE)
+                              - cb.w)) AS d
+                FROM qs q, cb
+                GROUP BY q.query_id, cb.j, cb.i),
+            adc AS (
+                SELECT qd.query_id, c.vec_id AS neighbor_id,
+                       SUM(qd.d) AS adc
+                FROM codes c
+                JOIN qd ON qd.j = c.j AND qd.i = c.code
+                WHERE c.vec_id != qd.query_id
+                GROUP BY qd.query_id, c.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, adc,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(adc, 6) ASC, neighbor_id ASC)
+                           AS rank
+                FROM adc)
+            SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist2
             FROM ranked WHERE rank <= 5
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),

@@ -306,3 +306,169 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int = 5,
     return (sim.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 7) — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(df: DataFrame, dim: int, m: int = 8,
+                       n_codes: int = 16, vec_col: str = "embedding",
+                       sample_limit: int = 4096, iters: int = 15,
+                       seed: int = 42):
+    """Per-subspace Lloyd k-means on a bounded driver sample (the
+    index-build step; the corpus is never collected): the vector is cut
+    into ``m`` contiguous subspaces of ``dim/m`` dims, each learning
+    ``n_codes`` centroids. Returns codebooks as a plain (m, n_codes,
+    dim/m) nested list — broadcastable literals, like
+    :func:`train_ivf_centroids`.
+
+    Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search" (IEEE TPAMI) — the standard memory-bound ANN design: a
+    corpus vector is stored as m code ids (m bytes at n_codes=256)
+    instead of dim floats, a 32-128x compression that decides whether a
+    100 TB embedding corpus fits the cluster at all."""
+    import numpy as np
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    rows = df.select(_c(vec_col).alias("v")).limit(sample_limit).collect()
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    if len(X) < n_codes:
+        raise ValueError(f"need >= {n_codes} sample vectors, got {len(X)}")
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), n_codes, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _subvec_dist2(vec, j, dsub, centroid):
+    """Squared L2 between vec[j*dsub:(j+1)*dsub] and a literal centroid."""
+    sub = F.slice(_c(vec), j * dsub + 1, dsub)
+    return F.aggregate(
+        F.zip_with(sub, F.array(*[F.lit(float(w)) for w in centroid]),
+                   lambda x, w: (x.cast("double") - w)
+                   * (x.cast("double") - w)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(vec, codebooks) -> Column:
+    """array<int> of the m nearest-centroid code ids — fully native
+    (per-centroid squared distances per subspace, argmin via array_sort
+    on (dist, id) structs, ties to the lowest id). The encoded corpus
+    carries m ints instead of dim floats through every downstream
+    shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        scored = F.array(*[
+            F.struct(_subvec_dist2(vec, j, dsub, c).alias("d"),
+                     F.lit(i).alias("i"))
+            for i, c in enumerate(codebooks[j])])
+        codes.append(F.element_at(F.array_sort(scored), 1)["i"])
+    return F.array(*codes)
+
+
+def pq_lut(vec, codebooks) -> Column:
+    """array<array<double>>: the per-query ADC lookup table —
+    LUT[j][c] = ||query_sub_j − codebook[j][c]||². Computed once per
+    query row; scoring a candidate is then m array lookups."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.array(*[
+        F.array(*[_subvec_dist2(vec, j, dsub, c)
+                  for c in codebooks[j]])
+        for j in range(m)])
+
+
+def pq_adc_dist2(lut, codes) -> Column:
+    """Approximate squared L2 from a query's LUT and a corpus row's
+    codes: sum_j LUT[j][codes[j]]."""
+    m_ids = F.sequence(F.lit(1), F.size(codes))
+    return F.aggregate(
+        F.zip_with(m_ids, codes, lambda j, c:
+                   F.element_at(F.element_at(lut, j), c + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, codebooks, k: int = 5,
+            centroids=None, nprobe: int = 2,
+            query_id="vec_id", query_vec="embedding",
+            corpus_id="vec_id", corpus_vec="embedding",
+            exclude_self: bool = True, rerank: int = 0,
+            tie_decimals: int | None = None) -> DataFrame:
+    """PQ-ADC approximate top-k by squared L2. The corpus side ships
+    ONLY (id, bucket, m codes) into the candidate join — never the
+    vectors — so shuffle payload per corpus row is ~4m bytes regardless
+    of dim; queries carry their m×n_codes LUT (built natively, once per
+    query row).
+
+    With ``centroids`` (a :func:`train_ivf_centroids` coarse quantizer)
+    this is IVF-ADC: corpus rows live in one coarse bucket, queries
+    probe ``nprobe`` — the candidate generation is ONE equi-join on the
+    bucket id. Without it, candidates are the full cross (labeled
+    small-corpus/oracle baseline only). ``rerank > 0`` re-scores the
+    top ``rerank`` ADC candidates per query exactly (one join back to
+    the corpus vectors by id — at scale a point-lookup-sized join).
+
+    ``tie_decimals``: rank on ``round(dist, tie_decimals)`` before the
+    neighbor-id tie-break. Candidates sharing all m codes have
+    MATHEMATICALLY equal ADC distance, but the two engines' float
+    summation orders differ at ~1e-15 — rounding makes the tie land on
+    the id deterministically (the oracle gate uses 6)."""
+    ccols = [_c(corpus_id).alias("neighbor_id"),
+             pq_encode(_c(corpus_vec), codebooks).alias("__codes")]
+    qcols = [_c(query_id).alias("query_id"),
+             pq_lut(_c(query_vec), codebooks).alias("__lut")]
+    if centroids is not None:
+        ccols.append(F.element_at(
+            ivf_assign(_c(corpus_vec), centroids, 1), 1).alias("__bucket"))
+        qcols.append(F.explode(
+            ivf_assign(_c(query_vec), centroids, nprobe)).alias("__bucket"))
+    cjoin = corpus.select(*ccols)
+    qjoin = queries.select(*qcols)
+    cand = (qjoin.join(cjoin, on="__bucket") if centroids is not None
+            else qjoin.crossJoin(cjoin))
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        pq_adc_dist2(F.col("__lut"), F.col("__codes")).alias("adc_dist2"))
+    adc_key = (F.round("adc_dist2", tie_decimals)
+               if tie_decimals is not None else F.col("adc_dist2"))
+    w = Window.partitionBy("query_id").orderBy(
+        adc_key.asc(), F.col("neighbor_id").asc())
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= max(k, rerank)))
+    if rerank <= 0:
+        return top.where(F.col("rank") <= k) \
+            .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    # exact re-rank of the ADC shortlist: ids-only join back to vectors
+    cv = corpus.select(_c(corpus_id).alias("neighbor_id"),
+                       _c(corpus_vec).alias("__cv"))
+    qv = queries.select(_c(query_id).alias("query_id"),
+                        _c(query_vec).alias("__qv"))
+    sub = F.zip_with(F.col("__qv"), F.col("__cv"),
+                     lambda a, b: (a.cast("double") - b.cast("double"))
+                     * (a.cast("double") - b.cast("double")))
+    exact = (top.join(cv, "neighbor_id").join(qv, "query_id")
+             .withColumn("dist2", F.aggregate(sub, F.lit(0.0),
+                                              lambda a, v: a + v)))
+    d_key = (F.round("dist2", tie_decimals)
+             if tie_decimals is not None else F.col("dist2"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        d_key.asc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist2", "rank"))

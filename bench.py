@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q_anti_join",
     "geo_project_geodesic",
+    # round 7
+    "embed_pq_adc",
 ]
 
 HEADLINE = BENCH_QUERIES[:25]

@@ -303,6 +303,80 @@ def main():
           f"{dt:.1f}s, total path {tl:,.0f}, "
           f"{n_points / dt / 1e6:.2f}M events/s", flush=True)
 
+    # ---- round 7 (VERDICT r6 #9): the r6 flagships at 10-100x bench --
+
+    # PageRank on a 10M-edge graph (1M nodes, skewed in-degree): per
+    # round ONE rank-edge equi-join + ONE groupBy(dst), dangling mass a
+    # broadcast single-row aggregate inside the same plan (r7)
+    from arctic_spark.llm import graph as gr
+    n_edge = max(n_points * 2, 10_000_000)
+    n_node = 1_000_000
+    edges = spark.range(n_edge).repartition(par).select(
+        F.pmod(F.col("id") * 48271, F.lit(n_node)).alias("src"),
+        # quadratic residues concentrate mass -> skewed in-degree
+        F.pmod(F.col("id") * F.col("id") + 17, F.lit(n_node)).alias("dst"))
+    t0 = time.perf_counter()
+    pr = gr.pagerank(edges, iterations=5, checkpoint_every=5)
+    top = pr.orderBy(F.col("rank_fp").desc()).limit(3).collect()
+    dt = time.perf_counter() - t0
+    from arctic_spark.cache import release
+    release(pr)
+    print(f"pagerank {n_edge:,} edges x 5 rounds: {dt:.1f}s, "
+          f"top rank {top[0]['rank']:.2e}, "
+          f"{n_edge * 5 / dt / 1e6:.1f}M edge-visits/s", flush=True)
+
+    # PCA at d=64 over 5M embeddings: (d+1)^2 moment partials per
+    # partition, NO shuffle, driver eigh on a 64x64 matrix
+    from arctic_spark.llm import embed as emb
+    n_vec2 = max(n_points, 5_000_000)
+    em2 = spark.range(n_vec2).repartition(par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda j:
+                    F.pmod(F.col("id") * j * 2654435761, F.lit(9973))
+                    .cast("double") / 9973.0).alias("embedding"))
+    t0 = time.perf_counter()
+    mean, comps, vals, ratio = emb.pca(em2, k=4, dim=64)
+    dt = time.perf_counter() - t0
+    print(f"pca d=64 k=4 over {n_vec2:,} vecs: {dt:.1f}s, "
+          f"explained {float(ratio.sum()):.3f}, "
+          f"{n_vec2 / dt / 1e6:.2f}M vecs/s", flush=True)
+
+    # bloom build at 1e8 keys: per-partition numpy partials, zero
+    # shuffle; the driver OR is words*partitions (sized here to keep
+    # the local collect ~256 MB — a real cluster would treeAggregate
+    # the partials instead of a flat driver OR at larger bit widths)
+    from arctic_spark import relational as rel
+    n_keys = max(n_points * 20, 100_000_000)
+    keys = spark.range(n_keys).repartition(par) \
+        .select(F.col("id").alias("k"))
+    t0 = time.perf_counter()
+    bloom = rel.build_bloom(keys, "k", bits=1 << 26, hashes=5)
+    dt = time.perf_counter() - t0
+    import numpy as _np
+    fill = float(_np.unpackbits(
+        _np.asarray(bloom[:65536], dtype=_np.int64).view(_np.uint8)).mean())
+    print(f"bloom build {n_keys:,} keys (2^26 bits): {dt:.1f}s, "
+          f"fill {fill:.2f}, {n_keys / dt / 1e6:.1f}M keys/s", flush=True)
+
+    # BM25 at 5M docs x 50 queries: corpus tokenizes once, one
+    # (doc, token) shuffle + broadcast query side
+    n_docs5 = max(n_points, 5_000_000)
+    docs5 = spark.range(n_docs5).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit("w"), F.pmod(F.col("id") * (7 + 13 * j),
+                                        F.lit(9973)).cast("string"))
+            for j in range(20)]).alias("text"))
+    q5 = docs5.where(F.col("doc_id") % (n_docs5 // 50) == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    t0 = time.perf_counter()
+    n = pl.bm25_topk(docs5, q5, k=10).count()
+    dt = time.perf_counter() - t0
+    print(f"bm25 {n_docs5:,} docs x ~50 queries: {dt:.1f}s, "
+          f"{n:,} result rows, {n_docs5 / dt / 1e3:.0f}k docs/s",
+          flush=True)
+
     spark.stop()
 
 
