@@ -42,6 +42,32 @@ def _valid(g) -> Column:
 
 
 
+_EXPR_MEMO: dict = {}
+
+
+def memo_col(key, builder) -> Column:
+    """Memoize a constructed Column on (live SparkContext, key).
+
+    Building a big expression tree is py4j gateway chatter — hundreds
+    to thousands of round-trips (a contains_point tree ~700, an 8×64
+    literal-centroid argmin ~3000). pyspark Columns are immutable
+    unresolved expressions, freely reusable across DataFrames, so any
+    builder parameterized only by hashable inputs (column NAMES,
+    literal tuples) can pay construction once per session. Keyed by the
+    active SparkContext's id so a restarted JVM never sees stale
+    JavaObjects (r7)."""
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    k = (id(sc), key)
+    col = _EXPR_MEMO.get(k)
+    if col is None:
+        col = builder()
+        if len(_EXPR_MEMO) > 256:
+            _EXPR_MEMO.clear()
+        _EXPR_MEMO[k] = col
+    return col
+
+
 def _let(col: Column, fn) -> Column:
     """Bind an expression once as a higher-order-function lambda variable
     (Catalyst has no construction-time common-subexpression sharing, so a

@@ -176,32 +176,13 @@ def estimate_cell_size(df, geom_col="geometry", sample_fraction=0.01,
     return out
 
 
-_COL_MEMO: dict = {}
-
-
-def _memo_col(key, builder):
-    """Memoize a constructed Column expression on (SparkContext, key).
-
-    Column building is pure py4j chatter — a contains_point tree alone
-    is ~700 gateway round-trips (~0.7 s); a spatial join builds several
-    such trees, all parameterized ONLY by column NAMES, which are
-    canonical inside spatial_join ('geometry_left', '__l_px', ...).
-    pyspark Columns are immutable unresolved expressions, freely
-    reusable across DataFrames, so the second join in a session gets
-    its refine predicate for free (measured: build phase 4.0 s → ~0.1 s
-    on repeat joins; the driver bench runs 7+ join queries per
-    session). Keyed by the live SparkContext so a restarted JVM never
-    sees stale JavaObjects."""
-    from pyspark import SparkContext
-    sc = SparkContext._active_spark_context
-    k = (id(sc), key)
-    col = _COL_MEMO.get(k)
-    if col is None:
-        col = builder()
-        if len(_COL_MEMO) > 256:
-            _COL_MEMO.clear()
-        _COL_MEMO[k] = col
-    return col
+# Memoized Column construction (py4j-chatter elimination): a spatial
+# join builds several ~700-round-trip expression trees, all
+# parameterized ONLY by column NAMES, which are canonical inside
+# spatial_join ('geometry_left', '__l_px', ...). Measured: build phase
+# 4.0 s → ~0.1 s on repeat joins; the driver bench runs 7+ join queries
+# per session.
+_memo_col = native.memo_col
 
 
 def _refine_predicate(lg, rg, predicate, udf_refine=True):

@@ -209,7 +209,7 @@ def semdedup_pairs(df: DataFrame, centroids, threshold: float = 0.9,
     """
     assigned = df.select(
         _c(id_col).alias("id"), _c(vec_col).alias("__v"),
-        F.element_at(ivf_assign(_c(vec_col), centroids, 1), 1)
+        F.element_at(ivf_assign(vec_col, centroids, 1), 1)
          .alias("cluster"))
     a = assigned.select("cluster", F.col("id").alias("id_a"),
                         F.col("__v").alias("__va"))
@@ -272,13 +272,23 @@ def _centroid_dist2(vec, centroid):
 def ivf_assign(vec, centroids, nprobe: int = 1) -> Column:
     """array<int> of the `nprobe` nearest centroid ids — fully native
     (per-centroid squared distances + literal-sorted top-n via
-    array_sort on (dist, id) structs)."""
-    scored = F.array(*[
-        F.struct(_centroid_dist2(vec, c).alias("d"),
-                 F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)])
-    ranked = F.array_sort(scored)
-    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    array_sort on (dist, id) structs). String column names memoize the
+    constructed tree per session (native.memo_col — an 8x64
+    literal-centroid argmin is ~3000 py4j round-trips to build, and
+    semdedup/ivf/pq pipelines build it 3-4x per query)."""
+    def build():
+        scored = F.array(*[
+            F.struct(_centroid_dist2(vec, c).alias("d"),
+                     F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)])
+        ranked = F.array_sort(scored)
+        return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    if isinstance(vec, str):
+        from ..functions.native import memo_col
+        key = ("ivf_assign", vec, nprobe,
+               tuple(tuple(c) for c in centroids))
+        return memo_col(key, build)
+    return build()
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int = 5,
@@ -291,11 +301,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int = 5,
     so at scale this is one hash join + per-bucket exact re-rank."""
     c = corpus.select(
         _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("__cv"),
-        F.element_at(ivf_assign(_c(corpus_vec), centroids, 1), 1)
+        F.element_at(ivf_assign(corpus_vec, centroids, 1), 1)
          .alias("__bucket"))
     q = queries.select(
         _c(query_id).alias("query_id"), _c(query_vec).alias("__qv"),
-        F.explode(ivf_assign(_c(query_vec), centroids, nprobe))
+        F.explode(ivf_assign(query_vec, centroids, nprobe))
          .alias("__bucket"))
     cand = q.join(c, on="__bucket")
     if exclude_self:
@@ -352,6 +362,10 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int = 8,
     return books
 
 
+def _books_key(codebooks):
+    return tuple(tuple(tuple(c) for c in book) for book in codebooks)
+
+
 def _subvec_dist2(vec, j, dsub, centroid):
     """Squared L2 between vec[j*dsub:(j+1)*dsub] and a literal centroid."""
     sub = F.slice(_c(vec), j * dsub + 1, dsub)
@@ -370,14 +384,20 @@ def pq_encode(vec, codebooks) -> Column:
     shuffle."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = []
-    for j in range(m):
-        scored = F.array(*[
-            F.struct(_subvec_dist2(vec, j, dsub, c).alias("d"),
-                     F.lit(i).alias("i"))
-            for i, c in enumerate(codebooks[j])])
-        codes.append(F.element_at(F.array_sort(scored), 1)["i"])
-    return F.array(*codes)
+
+    def build():
+        codes = []
+        for j in range(m):
+            scored = F.array(*[
+                F.struct(_subvec_dist2(vec, j, dsub, c).alias("d"),
+                         F.lit(i).alias("i"))
+                for i, c in enumerate(codebooks[j])])
+            codes.append(F.element_at(F.array_sort(scored), 1)["i"])
+        return F.array(*codes)
+    if isinstance(vec, str):
+        from ..functions.native import memo_col
+        return memo_col(("pq_encode", vec, _books_key(codebooks)), build)
+    return build()
 
 
 def pq_lut(vec, codebooks) -> Column:
@@ -386,10 +406,16 @@ def pq_lut(vec, codebooks) -> Column:
     query row; scoring a candidate is then m array lookups."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    return F.array(*[
-        F.array(*[_subvec_dist2(vec, j, dsub, c)
-                  for c in codebooks[j]])
-        for j in range(m)])
+
+    def build():
+        return F.array(*[
+            F.array(*[_subvec_dist2(vec, j, dsub, c)
+                      for c in codebooks[j]])
+            for j in range(m)])
+    if isinstance(vec, str):
+        from ..functions.native import memo_col
+        return memo_col(("pq_lut", vec, _books_key(codebooks)), build)
+    return build()
 
 
 def pq_adc_dist2(lut, codes) -> Column:
@@ -428,14 +454,14 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, codebooks, k: int = 5,
     summation orders differ at ~1e-15 — rounding makes the tie land on
     the id deterministically (the oracle gate uses 6)."""
     ccols = [_c(corpus_id).alias("neighbor_id"),
-             pq_encode(_c(corpus_vec), codebooks).alias("__codes")]
+             pq_encode(corpus_vec, codebooks).alias("__codes")]
     qcols = [_c(query_id).alias("query_id"),
-             pq_lut(_c(query_vec), codebooks).alias("__lut")]
+             pq_lut(query_vec, codebooks).alias("__lut")]
     if centroids is not None:
         ccols.append(F.element_at(
-            ivf_assign(_c(corpus_vec), centroids, 1), 1).alias("__bucket"))
+            ivf_assign(corpus_vec, centroids, 1), 1).alias("__bucket"))
         qcols.append(F.explode(
-            ivf_assign(_c(query_vec), centroids, nprobe)).alias("__bucket"))
+            ivf_assign(query_vec, centroids, nprobe)).alias("__bucket"))
     cjoin = corpus.select(*ccols)
     qjoin = queries.select(*qcols)
     cand = (qjoin.join(cjoin, on="__bucket") if centroids is not None
