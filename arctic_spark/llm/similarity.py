@@ -70,17 +70,26 @@ def _hyperplanes(dim: int, num_planes: int, seed: int):
 
 def lsh_bucket(vec, planes) -> Column:
     """Sign-pattern bucket id (bigint) of a vector under random
-    hyperplanes — fully native per-plane dot products."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(_c(vec), F.array(*[F.lit(float(w)) for w in p]),
-                       lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket.bitwiseOR(
-            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i))
-             .otherwise(F.lit(0).cast("long")))
-    return bucket
+    hyperplanes — fully native per-plane dot products. String column
+    names memoize the constructed tree per session (native.memo_col —
+    an LSH query builds num_tables × num_planes dot trees of dim
+    literals on BOTH sides of the candidate join)."""
+    def build():
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(_c(vec), F.array(*[F.lit(float(w)) for w in p]),
+                           lambda x, w: x.cast("double") * w),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bucket = bucket.bitwiseOR(
+                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+                 .otherwise(F.lit(0).cast("long")))
+        return bucket
+    if isinstance(vec, str):
+        from ..functions.native import memo_col
+        return memo_col(("lsh_bucket", vec,
+                         tuple(tuple(p) for p in planes)), build)
+    return build()
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
@@ -153,7 +162,7 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         def bucketize(d, idc, vc, ida):
             buckets = F.array(*[
                 F.struct(F.lit(t).alias("t"),
-                         lsh_bucket(F.col(vc), planes).alias("b"))
+                         lsh_bucket(vc, planes).alias("b"))
                 for t, planes in tables])
             return d.select(_c(idc).alias(ida),
                             F.explode(buckets).alias("tb"))
