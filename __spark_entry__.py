@@ -892,7 +892,10 @@ def geo_ring_accessors(spark, sf):
     o = o.withColumn("__ext", st.freeze(st.exterior(poly)))
     o = o.withColumn("__ints", st.freeze(st.interiors(poly)))
     ext, ints = F.col("__ext"), F.col("__ints")
-    rp = st.representative_point(poly)
+    # rp feeds 8 comparison operands via rx/ry — without the freeze
+    # each would re-inline the whole representative-point tree (r7)
+    o = o.withColumn("__rp", st.freeze(st.representative_point(poly)))
+    rp = F.col("__rp")
     clip = st.clip_by_rect(poly, -0.5, -0.5, 3.0, 100.0)
     hole = F.element_at(ints, 1)
     # interior test spelled as interval arithmetic (not contains_point:
