@@ -1954,6 +1954,32 @@ def dedup_semantic(spark, sf):
             .orderBy("cluster"))
 
 
+def _clf_fixed_weights(dims=64):
+    """Deterministic literal weights for the classifier gate:
+    w[i] = ((37i + 11) mod 21 − 10)/10 — replayed as a SQL list literal
+    in DuckDB. TRAINED weights (distributed logistic regression, not
+    SQL-expressible) are covered by accuracy/consistency tests."""
+    return [((37 * i + 11) % 21 - 10) / 10.0 for i in range(dims)]
+
+
+def text_classify_quality(spark, sf):
+    """Model-based quality scoring (llm.classify, round 7; fastText-
+    style hashed bag-of-words, Joulin 2016): every token md5-hashes to
+    one of 64 buckets, the document logit is bias + mean bucket weight,
+    the score its sigmoid, the keep flag a 0.5 threshold — ONE native
+    expression over one corpus scan, weights riding the plan as a
+    single array literal. The md5 bucket hash is the engine's portable
+    32-bit primitive, so DuckDB replays scoring bit-for-bit (sigmoid
+    rounded to 6 to absorb libm exp differences)."""
+    from arctic_spark.llm import classify
+    d = _t(spark, sf, "documents")
+    w = _clf_fixed_weights()
+    score = classify.score_text("text", w, bias=-0.1)
+    return (d.withColumn("quality", F.round(score, 6))
+            .select("doc_id", "quality",
+                    (F.col("quality") >= 0.5).alias("keep")))
+
+
 def text_perplexity(spark, sf):
     """Unigram-LM quality scoring (llm/pipeline.unigram_lm /
     doc_unigram_logprob, the CCNet-style perplexity filter): the LM is
@@ -2684,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_trajectory_stats": geo_trajectory_stats,
         "text_ngram_topk": text_ngram_topk,
         "text_perplexity": text_perplexity,
+        "text_classify_quality": text_classify_quality,
         "text_tfidf_keywords": text_tfidf_keywords,
         "text_vocab_topk": text_vocab_topk,
         "text_readability": text_readability,
@@ -3875,6 +3902,33 @@ def oracle_sql() -> dict[str, str]:
         # lowercase), same add-one smoothing (tf+1)/(N+V) with the LM
         # trained on doc_id < 400, same OOV floor 1/(N+V); per-doc mean
         # negative log-prob in nats and exp() perplexity.
+        # classifier gate: fixed weights as a DuckDB list literal; the
+        # md5 bucket hash is the portable 32-bit primitive; list_sum
+        # follows token order like Spark's aggregate, and round(,6)
+        # absorbs libm exp() differences in the sigmoid.
+        "text_classify_quality": f"""
+            WITH cw AS (
+                SELECT [{', '.join(str(v) for v in _clf_fixed_weights())}]
+                       AS w),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t != '') AS tk
+                FROM documents),
+            z AS (
+                SELECT doc_id,
+                       -0.1 + CASE WHEN len(tk) > 0 THEN
+                           list_sum(list_transform(tk, t ->
+                               cw.w[(CAST(concat('0x', substr(md5(t), 1, 8))
+                                          AS BIGINT) % 64) + 1]))
+                           / len(tk)
+                       ELSE 0.0 END AS logit
+                FROM toks, cw)
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS quality,
+                   round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+            FROM z
+        """,
         "text_perplexity": """
             WITH toks AS (
                 SELECT doc_id,

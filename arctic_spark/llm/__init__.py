@@ -3,8 +3,8 @@ mandate): text analysis, deduplication, embedding similarity search,
 benchmark decontamination / sampling / packing / chunking pipelines,
 multimodal column plumbing."""
 
-from . import (dedup, embed, graph, multimodal, pipeline,
-               similarity, text, tokenize)
+from . import (classify, dedup, embed, graph, multimodal,
+               pipeline, similarity, text, tokenize)
 
 __all__ = ["text", "dedup", "graph", "similarity", "multimodal",
-           "pipeline", "embed", "tokenize"]
+           "pipeline", "embed", "tokenize", "classify"]

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "geo_project_geodesic",
     # round 7
     "embed_pq_adc",
+    "text_classify_quality",
 ]
 
 HEADLINE = BENCH_QUERIES[:25]

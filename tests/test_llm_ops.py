@@ -487,3 +487,72 @@ def test_pq_ivf_gated_candidates(spark):
     a = {(r.query_id, r.neighbor_id) for r in out}
     b = {(r.query_id, r.neighbor_id) for r in ungated}
     assert len(a & b) / len(b) >= 0.8
+
+
+# ---- hashed-feature text classifier (round 7) -----------------------------
+
+def test_classifier_trains_separable_corpus(spark):
+    import random
+    from arctic_spark.llm import classify
+    rnd = random.Random(3)
+    GOOD = ["science", "verified", "study", "report", "data", "method"]
+    BAD = ["clickbait", "shocking", "miracle", "free", "winner", "spam"]
+    rows = [(i, " ".join(rnd.choice(GOOD if i % 2 == 0 else BAD)
+                         for _ in range(12)),
+             1.0 if i % 2 == 0 else 0.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, text string, label double")
+    w, b = classify.train_text_classifier(df, "text", "label",
+                                          dims=256, iters=15, lr=2.0)
+    scored = df.withColumn("p", classify.score_text("text", w, b)).collect()
+    acc = sum(1 for r in scored
+              if (r.p >= 0.5) == (r.label == 1.0)) / len(scored)
+    assert acc >= 0.98
+    # scoring is zero-Python (weights ride the plan as one literal)
+    plan = df.select(classify.score_text("text", w, b).alias("p")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_classifier_hash_consistency_and_edges(spark):
+    # python trainer hashing == native token_bucket, and empty/null
+    # docs score sigmoid(bias)
+    import hashlib
+    import math
+    from pyspark.sql import functions as F
+    from arctic_spark.llm import classify
+    toks = ["hello", "Wörld", "42", "a b".split()[0]]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = [r.b for r in df.select(
+        classify.token_bucket(F.col("t"), 64).alias("b")).collect()]
+    want = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 64
+            for t in toks]
+    assert got == want
+    w = [0.5] * 16
+    d2 = spark.createDataFrame([(1, ""), (2, "   "), (3, None), (4, "x y")],
+                               "id long, text string")
+    rows = {r.id: r.p for r in d2.withColumn(
+        "p", classify.score_text("text", w, bias=-1.0)).collect()}
+    base = 1.0 / (1.0 + math.exp(1.0))
+    assert rows[1] == pytest.approx(base)
+    assert rows[2] == pytest.approx(base)
+    assert rows[3] == pytest.approx(base)
+    assert rows[4] == pytest.approx(1.0 / (1.0 + math.exp(1.0 - 0.5)))
+    with pytest.raises(ValueError, match="weights has"):
+        classify.score_text("text", [0.0] * 3, 0.0, dims=4)
+    from arctic_spark.llm.classify import train_text_classifier
+    empty = spark.createDataFrame([], "text string, label double")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_text_classifier(empty, "text", "label", dims=8, iters=1)
+
+
+def test_classifier_training_is_deterministic(spark):
+    from arctic_spark.llm import classify
+    rows = [(i, f"tok{i % 7} tok{i % 3} filler", float(i % 2))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, text string, label double")
+    w1, b1 = classify.train_text_classifier(df, "text", "label",
+                                            dims=32, iters=5)
+    w2, b2 = classify.train_text_classifier(
+        df.repartition(7), "text", "label", dims=32, iters=5)
+    assert b1 == pytest.approx(b2, abs=1e-12)
+    assert w1 == pytest.approx(w2, abs=1e-12)
