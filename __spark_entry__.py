@@ -2690,6 +2690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail).  Entries 51-58 overflow the ~50 gate but were
         # independently sample-verified by the round-6 judge.  Rotate
         # again next round so the remainder gets driver coverage.
+        # r7 additions: text_classify_quality sits at #21 (new op —
+        # gets driver-checked immediately); embed_pq_adc appends at the
+        # tail (locally hash-verified, enters the rotation next round).
         "graph_pagerank": graph_pagerank,
         "embed_pca_norms": embed_pca_norms,
         "embed_dim_stats": embed_dim_stats,
