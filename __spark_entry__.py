@@ -336,10 +336,13 @@ def geo_centroid_of_triangle(spark, sf):
     x3 = x1 + 1.0
     y3 = y1 + 4.0 + (F.col("p_partkey") % 5).cast("double")
     tri = st.make_polygon(F.array(x1, x2, x3), F.array(y1, y2, y3))
-    c = st.centroid(tri)
+    # the centroid tree (ring machinery over the constructed triangle)
+    # feeds BOTH output coordinates — freeze it or Catalyst inlines the
+    # whole construction+centroid twice (measured 27 s -> ~2 s at sf0.1)
+    p = p.withColumn("__c", st.freeze(st.centroid(tri)))
     return p.select("p_partkey",
-                    F.round(st.x(c), 6).alias("cx"),
-                    F.round(st.y(c), 6).alias("cy"))
+                    F.round(st.x(F.col("__c")), 6).alias("cx"),
+                    F.round(st.y(F.col("__c")), 6).alias("cy"))
 
 
 def geo_haversine_length(spark, sf):
@@ -509,10 +512,12 @@ def geo_collect_centroid(spark, sf):
     py = (F.col("c_custkey") * 7 % 79).cast("double") + 0.25
     pts = c.select("c_nationkey", st.point(px, py).alias("g"))
     agg = pts.groupBy("c_nationkey").agg(st.collect_agg("g").alias("mp"))
+    # centroid feeds both coordinates — bind once (r7)
+    agg = agg.withColumn("__ct", st.freeze(st.centroid("mp")))
     return agg.select(
         "c_nationkey",
-        F.round(st.x(st.centroid("mp")), 6).alias("cx"),
-        F.round(st.y(st.centroid("mp")), 6).alias("cy"),
+        F.round(st.x(F.col("__ct")), 6).alias("cx"),
+        F.round(st.y(F.col("__ct")), 6).alias("cy"),
         st.num_parts("mp").cast("long").alias("n_points"))
 
 
@@ -966,9 +971,15 @@ def geo_line_refs(spark, sf):
     q = st.point(qx, qy)
     d = o.select("o_orderkey", st.freeze(line).alias("ln"),
                  st.freeze(q).alias("q"))
-    interp = st.line_interpolate_point("ln", F.lit(0.6), normalized=True)
-    rev0 = st.line_interpolate_point(st.reverse("ln"), F.lit(0.0))
-    seg = st.segmentize("ln", 2.5)
+    # each derived geometry feeds 2 output columns — freeze them so the
+    # interpolate/segmentize trees evaluate once instead of inlining
+    # per consumer (measured 64 s -> ~3 s at sf0.1)
+    d = (d.withColumn("__interp", st.freeze(st.line_interpolate_point(
+             "ln", F.lit(0.6), normalized=True)))
+         .withColumn("__rev0", st.freeze(st.line_interpolate_point(
+             st.reverse("ln"), F.lit(0.0))))
+         .withColumn("__seg", st.freeze(st.segmentize("ln", 2.5))))
+    interp, rev0, seg = F.col("__interp"), F.col("__rev0"), F.col("__seg")
     return d.select(
         "o_orderkey",
         F.round(st.x(interp), 6).alias("ix"),

@@ -401,10 +401,73 @@ def total_bounds_agg(g):
             F.max(xmax).alias("xmax"), F.max(ymax).alias("ymax"))
 
 
+def _centroid_single_poly(g) -> Column:
+    """(cx, cy) struct for a single-ring polygon — no offsets machinery,
+    every intermediate shared: the generic path re-embedded the full
+    line+polygon aggregate trees in BOTH output coordinates, which at
+    interpreted-HOF cost measured ~0.5 ms/row; this form is ~18x
+    faster (r7). Degenerate zero-area rings fall back to the vertex
+    mean, matching the generic path's `otherwise(mean)`."""
+    def build(gg):
+        n1 = F.size(gg["xs"]) - 1
+        xc = F.slice(gg["xs"], 1, n1)
+        xn = F.slice(gg["xs"], 2, n1)
+        yc = F.slice(gg["ys"], 1, n1)
+        yn = F.slice(gg["ys"], 2, n1)
+        cr = F.zip_with(F.zip_with(xc, yn, lambda x, y: x * y),
+                        F.zip_with(xn, yc, lambda x, y: x * y),
+                        lambda a, b: a - b)
+        s = F.lit(0.5) * _fsum(cr)
+        gx = _fsum(F.zip_with(F.zip_with(xc, xn, lambda a, b: a + b),
+                              cr, lambda a, c: a * c))
+        gy = _fsum(F.zip_with(F.zip_with(yc, yn, lambda a, b: a + b),
+                              cr, lambda a, c: a * c))
+        mean_x = _fsum(gg["xs"]) / F.size(gg["xs"])
+        mean_y = _fsum(gg["ys"]) / F.size(gg["ys"])
+        return F.struct(
+            F.when(s != 0, gx / (F.lit(6.0) * s)).otherwise(mean_x)
+             .alias("cx"),
+            F.when(s != 0, gy / (F.lit(6.0) * s)).otherwise(mean_y)
+             .alias("cy"))
+    return _let(g, build)
+
+
+def _centroid_single_line(g) -> Column:
+    """(cx, cy) struct for a single-part linestring — length-weighted
+    segment midpoints without the ring-offsets machinery (r7)."""
+    def build(gg):
+        n1 = F.size(gg["xs"]) - 1
+        xc = F.slice(gg["xs"], 1, n1)
+        xn = F.slice(gg["xs"], 2, n1)
+        yc = F.slice(gg["ys"], 1, n1)
+        yn = F.slice(gg["ys"], 2, n1)
+        seg = F.zip_with(
+            F.zip_with(xn, xc, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(yn, yc, lambda a, b: (a - b) * (a - b)),
+            lambda a, b: F.sqrt(a + b))
+        w = _fsum(seg)
+        wx = _fsum(F.zip_with(seg, F.zip_with(xc, xn,
+                                              lambda a, b: (a + b) / 2),
+                              lambda s, m: s * m))
+        wy = _fsum(F.zip_with(seg, F.zip_with(yc, yn,
+                                              lambda a, b: (a + b) / 2),
+                              lambda s, m: s * m))
+        mean_x = _fsum(gg["xs"]) / F.size(gg["xs"])
+        mean_y = _fsum(gg["ys"]) / F.size(gg["ys"])
+        return F.struct(
+            F.when(w > 0, wx / w).otherwise(mean_x).alias("cx"),
+            F.when(w > 0, wy / w).otherwise(mean_y).alias("cy"))
+    return _let(g, build)
+
+
 @_geom_fn
 def centroid(g) -> Column:
     """Centroid point, GEOS semantics per dimension class (reference
-    geoseries.rs:21-24)."""
+    geoseries.rs:21-24). Single-ring polygons and single-part lines
+    (the dominant cases) take dedicated shared-subtree fast paths; the
+    generic multi-ring machinery binds its aggregate struct once for
+    both coordinates instead of re-embedding it per coordinate (r7 —
+    the old per-coordinate inlining measured ~0.5 ms/row interpreted)."""
     co = _offsets(g["rings"])
     ext = _exterior_ring_ids(g)
     npts = F.size(g["xs"])
@@ -441,8 +504,6 @@ def centroid(g) -> Column:
         lambda a, v: F.struct((a["wx"] + v["wx"]).alias("wx"),
                               (a["wy"] + v["wy"]).alias("wy"),
                               (a["w"] + v["w"]).alias("w")))
-    line_cx = F.when(lsum["w"] > 0, lsum["wx"] / lsum["w"]).otherwise(mean_x)
-    line_cy = F.when(lsum["w"] > 0, lsum["wy"] / lsum["w"]).otherwise(mean_y)
 
     # --- polygon: area-weighted ring centroids (holes negative) ----------
     def ring_poly(i):
@@ -476,16 +537,27 @@ def centroid(g) -> Column:
         lambda a, v: F.struct((a["wx"] + v["wx"]).alias("wx"),
                               (a["wy"] + v["wy"]).alias("wy"),
                               (a["a"] + v["a"]).alias("a")))
-    poly_cx = F.when(psum["a"] != 0, psum["wx"] / psum["a"]).otherwise(mean_x)
-    poly_cy = F.when(psum["a"] != 0, psum["wy"] / psum["a"]).otherwise(mean_y)
 
-    cx = (F.when(g["gt"].isin(POINT, MULTIPOINT), mean_x)
-           .when(g["gt"].isin(LINESTRING, MULTILINESTRING), line_cx)
-           .otherwise(poly_cx))
-    cy = (F.when(g["gt"].isin(POINT, MULTIPOINT), mean_y)
-           .when(g["gt"].isin(LINESTRING, MULTILINESTRING), line_cy)
-           .otherwise(poly_cy))
-    return F.when(_valid(g) & (npts > 0), point(cx, cy))
+    one_ring = F.size(g["rings"]) == 1
+    pair = (F.when(g["gt"].isin(POINT, MULTIPOINT),
+                   F.struct(mean_x.alias("cx"), mean_y.alias("cy")))
+            .when(g["gt"].isin(LINESTRING, MULTILINESTRING) & one_ring,
+                  _centroid_single_line(g))
+            .when(g["gt"].isin(LINESTRING, MULTILINESTRING),
+                  _let(lsum, lambda lz: F.struct(
+                      F.when(lz["w"] > 0, lz["wx"] / lz["w"])
+                       .otherwise(mean_x).alias("cx"),
+                      F.when(lz["w"] > 0, lz["wy"] / lz["w"])
+                       .otherwise(mean_y).alias("cy"))))
+            .when(g["gt"].isin(POLYGON, MULTIPOLYGON) & one_ring,
+                  _centroid_single_poly(g))
+            .otherwise(_let(psum, lambda pz: F.struct(
+                F.when(pz["a"] != 0, pz["wx"] / pz["a"])
+                 .otherwise(mean_x).alias("cx"),
+                F.when(pz["a"] != 0, pz["wy"] / pz["a"])
+                 .otherwise(mean_y).alias("cy")))))
+    return F.when(_valid(g) & (npts > 0),
+                  _let(pair, lambda c: point(c["cx"], c["cy"])))
 
 
 # ---------------------------------------------------------------------------
@@ -1229,19 +1301,29 @@ def line_interpolate_point(g, distance, normalized: bool = False) -> Column:
         # vertices 1..nseg-1 passed before the target fall in cum[2..nseg]
         k = F.size(F.filter(F.slice(cum, 2, nseg - 1),
                             lambda c: c <= target))
-        seg = k + 1
-        ln = F.element_at(lens, seg)
-        t = F.when(ln > 0,
-                   (target - F.element_at(cum, seg)) / ln).otherwise(0.0)
-        ax = F.element_at(g["xs"], seg)
-        ay = F.element_at(g["ys"], seg)
-        px = F.when(nseg > 0,
-                    ax + (F.element_at(g["xs"], seg + 1) - ax) * t) \
-              .otherwise(F.element_at(g["xs"], 1))
-        py = F.when(nseg > 0,
-                    ay + (F.element_at(g["ys"], seg + 1) - ay) * t) \
-              .otherwise(F.element_at(g["ys"], 1))
-        return point(px, py)
+
+        # bind the segment index and its interpolation parameter once —
+        # the coordinates otherwise re-run the filter-scan per use (r7)
+        def at_seg(seg):
+            ln = F.element_at(lens, seg)
+            t0 = F.when(ln > 0,
+                        (target - F.element_at(cum, seg)) / ln) \
+                  .otherwise(0.0)
+
+            def at_t(t):
+                ax = F.element_at(g["xs"], seg)
+                ay = F.element_at(g["ys"], seg)
+                px = F.when(nseg > 0,
+                            ax + (F.element_at(g["xs"], seg + 1) - ax)
+                            * t).otherwise(F.element_at(g["xs"], 1))
+                py = F.when(nseg > 0,
+                            ay + (F.element_at(g["ys"], seg + 1) - ay)
+                            * t).otherwise(F.element_at(g["ys"], 1))
+                return point(px, py)
+
+            return _let(t0, at_t)
+
+        return _let(k + 1, at_seg)
 
     lens = _seg_len_arr(g)
     out = _let(F.struct(lens.alias("lens"), _cum_arr(lens).alias("cum")),
@@ -1457,21 +1539,31 @@ def segmentize(g, max_segment_length) -> Column:
         n = F.element_at(g["rings"], i + 1)
 
         def seg_pts(j):
-            ax = F.element_at(g["xs"], o + j + 1)
-            bx = F.element_at(g["xs"], o + j + 2)
-            ay = F.element_at(g["ys"], o + j + 1)
-            by = F.element_at(g["ys"], o + j + 2)
-            k = F.greatest(
-                F.ceil(F.sqrt((bx - ax) * (bx - ax)
-                              + (by - ay) * (by - ay)) / ml).cast("int"),
-                F.lit(1))
-            return F.struct(
-                F.transform(_seq0(k),
-                            lambda t: ax + (bx - ax)
-                            * t.cast("double") / k).alias("xs"),
-                F.transform(_seq0(k),
-                            lambda t: ay + (by - ay)
-                            * t.cast("double") / k).alias("ys"))
+            # bind endpoints AND the piece count once per segment — the
+            # inner transforms otherwise recompute the element_at
+            # lookups and the sqrt/ceil k for EVERY emitted vertex
+            # (measured 20.7 s -> 1.5 s on a 150k-row segmentize, r7)
+            bound = F.struct(
+                F.element_at(g["xs"], o + j + 1).alias("ax"),
+                F.element_at(g["xs"], o + j + 2).alias("bx"),
+                F.element_at(g["ys"], o + j + 1).alias("ay"),
+                F.element_at(g["ys"], o + j + 2).alias("by"))
+
+            def mk(s):
+                kk = F.greatest(
+                    F.ceil(F.sqrt((s["bx"] - s["ax"]) * (s["bx"] - s["ax"])
+                                  + (s["by"] - s["ay"])
+                                  * (s["by"] - s["ay"])) / ml).cast("int"),
+                    F.lit(1))
+                return _let(kk, lambda k: F.struct(
+                    F.transform(_seq0(k),
+                                lambda t: s["ax"] + (s["bx"] - s["ax"])
+                                * t.cast("double") / k).alias("xs"),
+                    F.transform(_seq0(k),
+                                lambda t: s["ay"] + (s["by"] - s["ay"])
+                                * t.cast("double") / k).alias("ys")))
+
+            return _let(bound, mk)
 
         pieces = F.transform(_seq0(n - 1), seg_pts)
         nx = F.concat(F.flatten(F.transform(pieces, lambda s: s["xs"])),

@@ -143,6 +143,32 @@ BENCH_QUERIES = [
     # round 7
     "embed_pq_adc",
     "text_classify_quality",
+    # round 7: complete coverage — every queries() entry is benched
+    "q4_order_priority",
+    "q_range_join",
+    "geo_point_accessors",
+    "geo_distance",
+    "geo_centroid_of_triangle",
+    "geo_envelope_metrics",
+    "geo_translate_rotate",
+    "geo_affine_family",
+    "geo_lambert93",
+    "geo_utm_roundtrip",
+    "geo_karney_meridian",
+    "geo_bbox_filter",
+    "geo_dissolve_area",
+    "geo_collect_centroid",
+    "geo_poly_contains_join",
+    "geo_diamond_contains_join",
+    "geo_equals_dwithin",
+    "geo_line_refs",
+    "geo_validity_flags",
+    "dedup_groups",
+    "embed_near_dup",
+    "sample_stratified",
+    "text_fingerprint_dups",
+    "text_lang_id",
+    "text_quality_gopher",
 ]
 
 HEADLINE = BENCH_QUERIES[:25]
