@@ -1228,16 +1228,20 @@ def text_quality_gopher(spark, sf):
     JVM), so a corpus-wide quality pass is one scan with zero Python."""
     d = _t(spark, sf, "documents")
     t = F.col("text")
+    # the metric struct feeds 5 output columns AND the pass flag — bind
+    # it once (the duplicate-trigram counting is the most expensive
+    # native text expression; unbound it evaluated twice per metric, r7)
+    d = d.withColumn("__m", st.freeze(text.gopher_metrics(t)))
+    m = F.col("__m")
     return (d.select(
         "doc_id",
-        text.token_count(t).alias("n_words"),
-        F.round(text.mean_word_length(t), 6).alias("mean_wl"),
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_wl"], 6).alias("mean_wl"),
         F.round(text.top_ngram_fraction(t, 2), 6).alias("top_bigram_frac"),
-        F.round(text.duplicate_ngram_fraction(t, 3), 6)
-         .alias("dup_trigram_frac"),
-        F.round(text.symbol_to_word_ratio(t), 6).alias("symbol_ratio"),
-        F.round(text.alpha_word_fraction(t), 6).alias("alpha_frac"),
-        text.gopher_quality_flags(t).alias("passes"))
+        F.round(m["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
+        F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(m["alpha_frac"], 6).alias("alpha_frac"),
+        text.gopher_flags_from_metrics(m).alias("passes"))
         .orderBy("doc_id"))
 
 

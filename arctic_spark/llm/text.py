@@ -268,6 +268,38 @@ def ellipsis_line_fraction(text) -> Column:
     return F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
 
 
+def gopher_metrics(text) -> Column:
+    """All Gopher-rule inputs as ONE struct column (n_words, mean_wl,
+    dup_trigram_frac, symbol_ratio, alpha_frac). Consumers that need
+    several metrics AND the pass flag should bind this once
+    (``st.freeze``) and feed :func:`gopher_flags_from_metrics` — the
+    n-gram counting is the most expensive native text expression, and
+    Catalyst re-inlines it per reference (r7: the gate query computed
+    every metric twice, 9.2 s → ~5 s at sf0.1)."""
+    t = _c(text)
+    return F.struct(token_count(t).alias("n_words"),
+                    mean_word_length(t).alias("mean_wl"),
+                    duplicate_ngram_fraction(t, 3).alias("dup_trigram_frac"),
+                    symbol_to_word_ratio(t).alias("symbol_ratio"),
+                    alpha_word_fraction(t).alias("alpha_frac"))
+
+
+def gopher_flags_from_metrics(m, min_words: int = 50,
+                              max_words: int = 100_000,
+                              min_mean_wl: float = 3.0,
+                              max_mean_wl: float = 10.0,
+                              max_symbol_ratio: float = 0.1,
+                              min_alpha_fraction: float = 0.8,
+                              max_dup_ngram: float = 0.2) -> Column:
+    """Pass/fail from a bound :func:`gopher_metrics` struct."""
+    m = _c(m)
+    return ((m["n_words"] >= min_words) & (m["n_words"] <= max_words)
+            & (m["mean_wl"] >= min_mean_wl) & (m["mean_wl"] <= max_mean_wl)
+            & (m["symbol_ratio"] <= max_symbol_ratio)
+            & (m["alpha_frac"] >= min_alpha_fraction)
+            & (m["dup_trigram_frac"] <= max_dup_ngram))
+
+
 def gopher_quality_flags(text, min_words: int = 50, max_words: int = 100_000,
                          min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
                          max_symbol_ratio: float = 0.1,
@@ -276,15 +308,13 @@ def gopher_quality_flags(text, min_words: int = 50, max_words: int = 100_000,
     """Boolean pass/fail of the standard Gopher-rules battery (word-count
     bounds, mean-word-length bounds, symbol ratio, alpha-word fraction,
     duplicate-3-gram fraction).  All native expressions — a corpus-wide
-    quality pass is a single scan with zero Python."""
-    t = _c(text)
-    n = token_count(t)
-    wl = mean_word_length(t)
-    return ((n >= min_words) & (n <= max_words)
-            & (wl >= min_mean_wl) & (wl <= max_mean_wl)
-            & (symbol_to_word_ratio(t) <= max_symbol_ratio)
-            & (alpha_word_fraction(t) >= min_alpha_fraction)
-            & (duplicate_ngram_fraction(t, 3) <= max_dup_ngram))
+    quality pass is a single scan with zero Python. The metric struct
+    binds once via _let so each metric evaluates once."""
+    from ..functions.native import _let
+    return _let(gopher_metrics(text),
+                lambda m: gopher_flags_from_metrics(
+                    m, min_words, max_words, min_mean_wl, max_mean_wl,
+                    max_symbol_ratio, min_alpha_fraction, max_dup_ngram))
 
 
 def syllable_count(text) -> Column:
