@@ -2141,7 +2141,17 @@ def text_readability(spark, sf):
     single-line synthetic docs are first given sentence structure
     (7-word sentences joined by '. ') with HOF arithmetic; the oracle
     computes the same metrics from closed forms over the original
-    token list."""
+    token list.
+
+    r8 hash robustness: FRE/FKG are emitted as BIGINT micro-units
+    (``CAST(ROUND(x * 1e6) AS BIGINT)``) on BOTH sides — the r7
+    driver hash-failed on value-correct rows because ``round(x, 6)``
+    re-encodes the 6-decimal value as a double and the two engines'
+    round implementations (BigDecimal HALF_UP vs libm) can differ by
+    1 ulp on the re-encoded double; integer micro-units skip the
+    re-encoding, and both engines' integer rounding of the same
+    IEEE-identical rational expression agrees everywhere (half-away
+    from zero on exact .5 in both)."""
     d = _t(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     nch = F.ceil(F.size(toks) / F.lit(7)).cast("int")
@@ -2154,8 +2164,10 @@ def text_readability(spark, sf):
         text.token_count("t2").alias("n_words"),
         text.sentence_count("t2").alias("n_sentences"),
         text.syllable_count("t2").alias("n_syllables"),
-        F.round(text.flesch_reading_ease("t2"), 6).alias("fre"),
-        F.round(text.flesch_kincaid_grade("t2"), 6).alias("fkg"))
+        F.round(text.flesch_reading_ease("t2") * F.lit(1e6), 0)
+         .cast("long").alias("fre"),
+        F.round(text.flesch_kincaid_grade("t2") * F.lit(1e6), 0)
+         .cast("long").alias("fkg"))
 
 
 def text_vocab_topk(spark, sf):
@@ -2357,7 +2369,19 @@ def geo_azimuth_project(spark, sf):
     are oracled against b's own closed-form coordinates; the spherical
     forward problem is oracled by its great-circle closed form.
     Inputs keep destinations far from the antimeridian so the wrap
-    branch cannot straddle a 1-ulp engine difference."""
+    branch cannot straddle a 1-ulp engine difference.
+
+    r8 hash robustness: every float output is quantized to BIGINT
+    micro-units (``CAST(ROUND(x * 1e6) AS BIGINT)``) on BOTH sides.
+    The r7 driver hash-failed with matching values because
+    ``round(trig, 6)`` re-encodes an unrepresentable 6-decimal value
+    as a double, and Spark (BigDecimal HALF_UP) and DuckDB (libm
+    float rounding) can land on doubles 1 ulp apart even when the
+    decimal values agree — integer micro-units have no such
+    re-encoding step, and a 1-ulp libm difference in the trig itself
+    (~1e-9 in the scaled value) cannot move an integer boundary."""
+    def _q6(col):
+        return F.round(col * F.lit(1e6), 0).cast("long")
     c = _t(spark, sf, "customer")
     x1 = (F.col("c_custkey") % 97).cast("double") * 0.5
     y1 = (F.col("c_custkey") % 89).cast("double") * 0.25
@@ -2374,11 +2398,11 @@ def geo_azimuth_project(spark, sf):
     sp = st.project_spherical(st.point(lon, lat), dist, brg)
     return c.select(
         "c_custkey",
-        F.round(az, 6).alias("az"),
-        F.round(st.x(p), 6).alias("px"),
-        F.round(st.y(p), 6).alias("py"),
-        F.round(st.x(sp), 6).alias("slon"),
-        F.round(st.y(sp), 6).alias("slat"))
+        _q6(az).alias("az"),
+        _q6(st.x(p)).alias("px"),
+        _q6(st.y(p)).alias("py"),
+        _q6(st.x(sp)).alias("slon"),
+        _q6(st.y(sp)).alias("slat"))
 
 
 def geo_inscribed_circle(spark, sf):
@@ -2407,9 +2431,9 @@ def geo_inscribed_circle(spark, sf):
 
 
 # fixed demonstration merge rules for the oracled BPE encode gate (the
-# trainer is gated separately: its per-round argmax+rewrite loop is not
-# expressible as one SQL query, so text_bpe_train is a rows-only entry
-# and train==reference parity lives in tests/test_bpe.py)
+# trainer has its own oracle: the argmax+rewrite loop unrolled as
+# chained DuckDB CTEs, _bpe_train_oracle_sql; Sennrich-reference
+# parity additionally lives in tests/test_bpe.py)
 _BPE_MERGES = [("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "r"),
                ("er", "</w>"), ("a", "n"), ("o", "w"), ("s", "t"),
                ("an", "</w>"), ("r", "ow")]
@@ -2435,16 +2459,18 @@ def text_bpe_train(spark, sf):
     """BPE training (llm.tokenize.train_bpe, round 6): learn 25 merge
     rules from the documents corpus — per-round distributed pair
     counting over the distinct-word table, deterministic tie-breaks.
-    Rows-only gate (iterative argmax+rewrite is not one SQL query);
-    exact parity with the Sennrich reference implementation is locked
-    by tests/test_bpe.py."""
+    r8: fully oracled — the 25 argmax+rewrite rounds are unrolled as
+    chained DuckDB CTEs (_bpe_train_oracle_sql), closing the r7
+    ``no_oracle`` driver row; Sennrich-reference parity additionally
+    lives in tests/test_bpe.py."""
     from arctic_spark.llm import tokenize
     d = _t(spark, sf, "documents")
     merges = tokenize.train_bpe(d, "text", num_merges=25,
                                 checkpoint_every=8)
     return spark.createDataFrame(
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string, merged string")
+        "rank int, left string, right string, merged string") \
+        .orderBy("rank")
 
 
 def geo_segment_ops(spark, sf):
@@ -2604,14 +2630,17 @@ def graph_pagerank(spark, sf):
     Integer arithmetic end-to-end (BIGINT rank units of 1e-12), so the
     ranks are bit-identical under any partitioning and the oracle —
     the recurrence unrolled as chained SQL CTEs — hash-matches
-    exactly."""
+    exactly. r8: the result is ordered on id and the oracle casts its
+    HUGEINT sum down to BIGINT, removing the two remaining degrees of
+    freedom (row order after the final shuffle; DuckDB's 128-bit sum
+    type) the r7 driver hash could disagree on."""
     from arctic_spark.cache import pin
     from arctic_spark.llm.graph import pagerank
     li = _t(spark, sf, "lineitem")
     edges = li.select((F.col("l_orderkey") % 400).alias("src"),
                       ((F.col("l_partkey") * 7) % 400).alias("dst"))
     out = pagerank(edges, iterations=3)
-    return pin(out.select("id", "rank_fp"), out)
+    return pin(out.select("id", "rank_fp").orderBy("id"), out)
 
 
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10 ** 12,
@@ -2649,7 +2678,8 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10 ** 12,
                  FROM n LEFT JOIN s{i} ON s{i}.id = n.id)""")
         prev = f"r{i}"
     parts.append(f"""
-        SELECT id, r AS rank_fp FROM {prev}""")
+        SELECT id, CAST(r AS BIGINT) AS rank_fp FROM {prev}
+        ORDER BY id""")
     return "".join(parts)
 
 
@@ -2681,6 +2711,64 @@ def _bpe_oracle_sql() -> str:
                md5(j) AS fp
         FROM enc
     """
+
+
+def _bpe_train_oracle_sql(num_merges: int = 25) -> str:
+    """The BPE training loop (llm/tokenize.py train_bpe) unrolled as
+    chained DuckDB CTEs — the same unrolling trick as
+    :func:`_pagerank_oracle_sql`. Per merge round: a pair-count CTE
+    over the (word, n, syms) vocabulary table, the argmax merge via a
+    deterministic-tie-break ``ORDER BY cnt DESC, l, r LIMIT 1``
+    scalar subquery, and a ``replace()`` rewrite of the
+    sentinel-wrapped symbol strings (identical alignment guarantee as
+    the engine's own representation, see tokenize.py module doc).
+    ``AS MATERIALIZED`` pins each round's vocabulary: v{i} is
+    referenced twice (pair counting + next rewrite), so without it
+    DuckDB's inlining would double the expression tree per round.
+    min_pair_count=2 is the WHERE cnt >= 2 guard; at the driver's SFs
+    every one of the 25 rounds clears it."""
+    S, E = "chr(31)", "chr(30)"
+    parts = [f"""
+        WITH w0 AS (
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(list_filter(string_split_regex(
+                      replace(replace(text, {S}, ''), {E}, ''),
+                      '\\s+'), w -> w != '')) AS word
+                  FROM documents)
+            GROUP BY word),
+        v0 AS MATERIALIZED (
+            SELECT word, n,
+                   regexp_replace(word, '(.)', {S} || '\\1' || {E},
+                                  'g') || {S} || '</w>' || {E} AS syms
+            FROM w0)"""]
+    for i in range(1, num_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(f""",
+        p{i} AS (
+            SELECT arr[j] AS l, arr[j + 1] AS r, sum(n) AS cnt
+            FROM (SELECT n, list_transform(list_filter(
+                      string_split(syms, {E}), s -> s != ''),
+                      s -> s[2:]) AS arr
+                  FROM {prev}),
+                 UNNEST(range(1, len(arr))) AS t(j)
+            GROUP BY l, r),
+        m{i} AS MATERIALIZED (
+            SELECT l, r FROM p{i} WHERE cnt >= 2
+            ORDER BY cnt DESC, l, r LIMIT 1),
+        v{i} AS MATERIALIZED (
+            SELECT word, n,
+                   replace(syms,
+                           {S} || (SELECT l FROM m{i}) || {E} ||
+                           {S} || (SELECT r FROM m{i}) || {E},
+                           {S} || (SELECT l FROM m{i}) ||
+                                  (SELECT r FROM m{i}) || {E}) AS syms
+            FROM {prev})""")
+    sels = [f"""SELECT {i} AS "rank", l AS "left", r AS "right",
+                       l || r AS merged FROM m{i}"""
+            for i in range(1, num_merges + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(sels)
+                 + '\nORDER BY "rank"')
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -4771,16 +4859,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, w AS n_words, s AS n_sentences,
                    y AS n_syllables,
                    CASE WHEN w > 0 AND s > 0 THEN
-                       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                       CAST(round((206.835
+                             - 1.015 * (CAST(w AS DOUBLE) / s)
                              - 84.6 * (CAST(y AS DOUBLE)
-                                       / CAST(w AS DOUBLE)), 6)
-                   ELSE 0.0 END AS fre,
+                                       / CAST(w AS DOUBLE))) * 1e6)
+                            AS BIGINT)
+                   ELSE 0 END AS fre,
                    CASE WHEN w > 0 AND s > 0 THEN
-                       round(0.39 * (CAST(w AS DOUBLE) / s)
+                       CAST(round((0.39 * (CAST(w AS DOUBLE) / s)
                              + 11.8 * (CAST(y AS DOUBLE)
                                        / CAST(w AS DOUBLE))
-                             - 15.59, 6)
-                   ELSE 0.0 END AS fkg
+                             - 15.59) * 1e6) AS BIGINT)
+                   ELSE 0 END AS fkg
             FROM m
         """,
         "text_vocab_topk": """
@@ -5012,20 +5102,22 @@ def oracle_sql() -> dict[str, str]:
                             + cos(lat1) * sin(delta) * cos(brg)) AS lat2
                 FROM base)
             SELECT c_custkey,
-                   round(azr, 6) AS az,
-                   round(CASE WHEN azr IS NULL THEN NULL
+                   CAST(round(azr * 1e6) AS BIGINT) AS az,
+                   CAST(round(CASE WHEN azr IS NULL THEN NULL
                               ELSE x1 + sqrt((x2-x1)*(x2-x1)
                                              + (y2-y1)*(y2-y1))
-                                   * sin(azr) END, 6) AS px,
-                   round(CASE WHEN azr IS NULL THEN NULL
+                                   * sin(azr) END * 1e6) AS BIGINT)
+                       AS px,
+                   CAST(round(CASE WHEN azr IS NULL THEN NULL
                               ELSE y1 + sqrt((x2-x1)*(x2-x1)
                                              + (y2-y1)*(y2-y1))
-                                   * cos(azr) END, 6) AS py,
-                   round(degrees(lon1 + atan2(
+                                   * cos(azr) END * 1e6) AS BIGINT)
+                       AS py,
+                   CAST(round(degrees(lon1 + atan2(
                            sin(brg) * sin(delta) * cos(lat1),
-                           cos(delta) - sin(lat1) * sin(lat2))), 6)
-                       AS slon,
-                   round(degrees(lat2), 6) AS slat
+                           cos(delta) - sin(lat1) * sin(lat2))) * 1e6)
+                        AS BIGINT) AS slon,
+                   CAST(round(degrees(lat2) * 1e6) AS BIGINT) AS slat
             FROM az
         """,
         # inscribed circle: 3-4-5 diamond inradius closed form
@@ -5038,6 +5130,7 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "text_bpe_encode": _bpe_oracle_sql(),
+        "text_bpe_train": _bpe_train_oracle_sql(25),
         # segment dump / angle / flip / max-distance closed forms on the
         # 3-4-5 diamonds (vertex order v1 W, v2 S, v3 E, v4 N)
         "geo_segment_ops": """
