@@ -43,6 +43,7 @@ def _valid(g) -> Column:
 
 
 _EXPR_MEMO: dict = {}
+_MEMO_CTX = None      # strong ref to the SparkContext the memo belongs to
 
 
 def memo_col(key, builder) -> Column:
@@ -53,18 +54,25 @@ def memo_col(key, builder) -> Column:
     literal-centroid argmin ~3000). pyspark Columns are immutable
     unresolved expressions, freely reusable across DataFrames, so any
     builder parameterized only by hashable inputs (column NAMES,
-    literal tuples) can pay construction once per session. Keyed by the
-    active SparkContext's id so a restarted JVM never sees stale
-    JavaObjects (r7)."""
+    literal tuples) can pay construction once per session. The memo is
+    scoped to the active SparkContext OBJECT: the module holds a strong
+    reference to the context it cached for, so CPython cannot recycle
+    that object's identity while entries exist, and any different
+    context (a stop/restart) clears the whole memo — a restarted JVM
+    never sees Columns bound to defunct py4j objects (ADVICE r7: the
+    old ``id(sc)`` key could alias a recycled address)."""
+    global _MEMO_CTX
     from pyspark import SparkContext
     sc = SparkContext._active_spark_context
-    k = (id(sc), key)
-    col = _EXPR_MEMO.get(k)
+    if sc is not _MEMO_CTX:
+        _EXPR_MEMO.clear()
+        _MEMO_CTX = sc
+    col = _EXPR_MEMO.get(key)
     if col is None:
         col = builder()
         if len(_EXPR_MEMO) > 256:
             _EXPR_MEMO.clear()
-        _EXPR_MEMO[k] = col
+        _EXPR_MEMO[key] = col
     return col
 
 

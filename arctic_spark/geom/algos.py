@@ -1147,6 +1147,16 @@ def _rings_cross_at_contact(x1, y1, x2, y2):
             # a ring revisiting the point is flagged by the
             # self-touch check; degenerate configs skip
             continue
+        # an arm of one ring exactly collinear (same direction) with
+        # an arm of the other is a tangential collinear contact, not a
+        # transversal crossing — the angular sort would tie-break the
+        # equal angles on tag arbitrarily and could fabricate (or
+        # hide) alternation (ADVICE r7). Any actual collinear EDGE
+        # overlap between the rings is caught by the segment-overlap
+        # check, so skipping the alternation test here is safe.
+        if any(ux * vy - uy * vx == 0 and ux * vx + uy * vy > 0
+               for ux, uy in d1 for vx, vy in d2):
+            continue
         ang = sorted([(_m.atan2(dy, dx), tag)
                       for tag, ds in ((0, d1), (1, d2))
                       for dx, dy in ds])

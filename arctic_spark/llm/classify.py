@@ -94,13 +94,23 @@ def train_text_classifier(df: DataFrame, text_col: str, label_col: str,
 
         def partials(batches):
             import hashlib
+            import re
             import pandas as pd
+            from pyspark import TaskContext
+            # mirror score_text's Java-regex \s+ split (ASCII-only
+            # whitespace) exactly — Python str.split() is
+            # Unicode-aware and would bucket U+00A0/U+2028-bearing
+            # tokens differently in training vs native scoring
+            # (ADVICE r7)
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")
+            pid = TaskContext.get().partitionId()
             gw = np.zeros(dims)
             gb = 0.0
             n = 0
             for pdf in batches:
                 for t, y in zip(pdf["t"], pdf["y"]):
-                    toks = ("" if t is None else t).split()
+                    toks = [w for w in ws.split("" if t is None else t)
+                            if w]
                     if toks:
                         idx = np.array([
                             int(hashlib.md5(tok.encode("utf-8"))
@@ -117,12 +127,18 @@ def train_text_classifier(df: DataFrame, text_col: str, label_col: str,
                         np.add.at(gw, idx, err * x)
                     gb += err
                     n += 1
-            yield pd.DataFrame({"g": [np.append(gw, [gb, n]).tolist()]})
+            # partition id leads the partial: sorting on it gives a
+            # TOTAL, stable order for the driver sum — value-prefix
+            # sorting could tie and leave collect order visible
+            # (ADVICE r7)
+            yield pd.DataFrame(
+                {"g": [np.append([float(pid)],
+                                 np.append(gw, [gb, n])).tolist()]})
 
         parts = [np.asarray(r["g"]) for r in
                  src.mapInPandas(partials, "g array<double>").collect()]
-        parts.sort(key=lambda a: tuple(a[:2]))       # deterministic sum
-        tot = np.sum(parts, axis=0)
+        parts.sort(key=lambda a: a[0])               # deterministic sum
+        tot = np.sum(parts, axis=0)[1:]
         return tot[:dims], tot[dims], tot[dims + 1]
 
     for _ in range(int(iters)):

@@ -204,9 +204,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ranks = ranks.localCheckpoint(eager=True)
     pinned = ranks
 
+    rd_cached: list = []
     for it in range(iterations):
         rd = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left") \
             .select(ranks["id"].alias("u"), "rank_fp", "outdeg")
+        # rd feeds BOTH the dangling-mass branch and the inbound
+        # branch; without a materialization point the uncheckpointed
+        # lineage would double per round (up to 2^checkpoint_every
+        # subtree copies for the optimizer to walk — ADVICE r7). A
+        # lazy persist makes CacheManager swap every occurrence of
+        # the rd subtree for one InMemoryRelation leaf at execution,
+        # keeping per-iteration plans linear; no extra action is
+        # spent (the checkpoint cadence still owns the only actions).
+        rd = rd.persist(StorageLevel.MEMORY_AND_DISK)
+        rd_cached.append(rd)
         # dangling mass as a single-row broadcast aggregate in the same
         # plan: its per-node share is D DIV N, integer floor division
         dshare = (rd.where(F.col("outdeg").isNull())
@@ -230,6 +241,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             nxt = new.localCheckpoint(eager=True)
             pinned.unpersist()
             pinned, ranks = nxt, nxt
+            # the eager checkpoint materialized this window's chain;
+            # its intermediate rd caches are dead weight now
+            for c in rd_cached:
+                c.unpersist()
+            rd_cached.clear()
         else:
             ranks = new
     e.unpersist()
