@@ -1342,6 +1342,43 @@ def geo_overlay_area(spark, sf):
         F.round(st.area("geometry"), 6).alias("ix_area"))
 
 
+def geo_overlay_union(spark, sf):
+    """Full GeoPandas overlay(how='union') (joins.overlay, round 8):
+    intersection pieces + both sides' leftovers in one frame, NULL
+    attributes on the absent side. Fixture: per 4.0-cell customer
+    rects (0.3..3.3 within the cell, area 9) and supplier rects
+    (1.9..3.5, area 2.56) overlap in exactly the 1.4×1.4 square
+    (1.96) of their shared cell and never cross cells, every cell
+    holds ≥1 customer and ≥1 supplier, and same-cell rects of one
+    side are identical — so every piece area is a closed form: 1.96
+    per pair, 9−1.96 per left leftover, 2.56−1.96 per right
+    leftover. The engine computes the leftovers through the real
+    union+difference boolean kernels; the oracle is pure interval
+    arithmetic."""
+    from arctic_spark.joins import overlay
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 1500)
+    s = _t(spark, sf, "supplier").where(F.col("s_suppkey") <= 100)
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    lx = (ck % 8).cast("double") * 4.0 + 0.3
+    ly = ((ck / 8).cast("long") % 8).cast("double") * 4.0 + 0.3
+    rx = (sk % 8).cast("double") * 4.0 + 1.9
+    ry = ((sk / 8).cast("long") % 8).cast("double") * 4.0 + 1.9
+    left = GeoDataFrame(c.select(
+        "c_custkey", st.make_envelope(lx, ly, lx + 3.0, ly + 3.0)
+        .alias("geometry")))
+    right = GeoDataFrame(s.select(
+        "s_suppkey", st.make_envelope(rx, ry, rx + 1.6, ry + 1.6)
+        .alias("geometry")))
+    out = overlay(left, right, how="union", left_key="c_custkey",
+                  right_key="s_suppkey", broadcast_right=True)
+    return (out.df.select(
+        F.col("c_custkey_1").alias("c_custkey"),
+        F.col("s_suppkey_2").alias("s_suppkey"),
+        F.round(st.area("geometry"), 6).alias("piece_area"))
+        .orderBy(F.coalesce(F.col("c_custkey"), F.lit(-1)),
+                 F.coalesce(F.col("s_suppkey"), F.lit(-1))))
+
+
 def geo_delaunay(spark, sf):
     """Delaunay triangulation (Bowyer–Watson UDF) with combinatorial +
     measure-theoretic closed forms: a trapezoid hull (4 non-cocircular
@@ -2782,24 +2819,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver-verification rotation (round 7) ---
+        # --- Driver-verification rotation (round 8) ---
         # The driver's correctness gate only reaches the first ~50 dict
-        # entries. Rounds 1-6 verified the original first-50 block (the
-        # relational/geo-core/dedup head: q1..geo_line_refs + the r1-r3
-        # LLM head) -- recorded in CORRECTNESS_r01..r06.json.  This round
-        # the dict leads with the 58 queries that had NEVER been
-        # driver-checked (everything appended after round 3: pagerank,
-        # PCA, BPE, clustering, BM25, bloom/salted joins, the geo long
-        # tail).  Entries 51-58 overflow the ~50 gate but were
-        # independently sample-verified by the round-6 judge.  Rotate
-        # again next round so the remainder gets driver coverage.
-        # r7 additions: text_classify_quality sits at #21 (new op —
-        # gets driver-checked immediately); embed_pq_adc appends at the
-        # tail (locally hash-verified, enters the rotation next round).
+        # entries; CORRECTNESS_r01..r07 together cover every entry
+        # except the 10 that overflowed r7's window. This round leads
+        # with (a) the 4 queries whose r7 driver rows were red and are
+        # now hash-hardened (pagerank ORDER BY + BIGINT oracle cast;
+        # azimuth/readability BIGINT micro-unit quantization; BPE train
+        # gained a real chained-CTE oracle), (b) geo_overlay_union (new
+        # r8 op), (c) the 10 never-driver-checked r7 overflow entries,
+        # then r7-green entries fill the rest of the window.
         "graph_pagerank": graph_pagerank,
+        "geo_azimuth_project": geo_azimuth_project,
+        "text_readability": text_readability,
+        "text_bpe_train": text_bpe_train,
+        "geo_overlay_union": geo_overlay_union,
+        "geo_zorder_keys": geo_zorder_keys,
+        "q_sessionize": q_sessionize,
+        "q18_large_orders": q18_large_orders,
+        "text_quality_gopher": text_quality_gopher,
+        "geo_shape_metrics": geo_shape_metrics,
+        "geo_sample_points": geo_sample_points,
+        "geo_overlay_area": geo_overlay_area,
+        "geo_make_valid": geo_make_valid,
+        "geo_concave_hull": geo_concave_hull,
+        "embed_pq_adc": embed_pq_adc,
+        # --- r7-green block (driver rows in CORRECTNESS_r07) ---
         "embed_pca_norms": embed_pca_norms,
         "embed_dim_stats": embed_dim_stats,
-        "text_bpe_train": text_bpe_train,
         "text_bpe_encode": text_bpe_encode,
         "geo_cluster_kmeans": geo_cluster_kmeans,
         "geo_cluster_dbscan": geo_cluster_dbscan,
@@ -2810,7 +2857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_percentiles": q_percentiles,
         "geo_project_geodesic": geo_project_geodesic,
-        "geo_azimuth_project": geo_azimuth_project,
         "geo_inscribed_circle": geo_inscribed_circle,
         "geo_segment_ops": geo_segment_ops,
         "geo_trajectory_stats": geo_trajectory_stats,
@@ -2819,7 +2865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classify_quality": text_classify_quality,
         "text_tfidf_keywords": text_tfidf_keywords,
         "text_vocab_topk": text_vocab_topk,
-        "text_readability": text_readability,
         "text_repetition": text_repetition,
         "text_chunking": text_chunking,
         "text_url_ops": text_url_ops,
@@ -2846,15 +2891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygonize": geo_polygonize,
         "geo_voronoi": geo_voronoi,
         "geo_delaunay": geo_delaunay,
-        "geo_zorder_keys": geo_zorder_keys,
-        "q_sessionize": q_sessionize,
-        "q18_large_orders": q18_large_orders,
-        "text_quality_gopher": text_quality_gopher,
-        "geo_shape_metrics": geo_shape_metrics,
-        "geo_sample_points": geo_sample_points,
-        "geo_overlay_area": geo_overlay_area,
-        "geo_make_valid": geo_make_valid,
-        "geo_concave_hull": geo_concave_hull,
         # --- previously driver-verified (rounds 1-6) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2911,7 +2947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "embed_knn_lsh": embed_knn_lsh,
         "embed_knn_ivf": embed_knn_ivf,
-        "embed_pq_adc": embed_pq_adc,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
     }
@@ -4584,6 +4619,40 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN r
               ON least(l.x0 + 3.0, r.x0 + 3.0) - greatest(l.x0, r.x0) > 0
              AND least(l.y0 + 3.0, r.y0 + 3.0) - greatest(l.y0, r.y0) > 0
+        """,
+        # union overlay: the fixture confines every interaction to one
+        # grid cell (see geo_overlay_union docstring), so every piece
+        # area is a constant closed form per null-pattern branch
+        "geo_overlay_union": """
+            WITH cg AS (
+                SELECT c_custkey, c_custkey % 8 AS cx,
+                       (c_custkey // 8) % 8 AS cy
+                FROM customer WHERE c_custkey <= 1500),
+            sg AS (
+                SELECT s_suppkey, s_suppkey % 8 AS cx,
+                       (s_suppkey // 8) % 8 AS cy
+                FROM supplier WHERE s_suppkey <= 100)
+            SELECT * FROM (
+                SELECT c_custkey, s_suppkey,
+                       CAST(1.96 AS DOUBLE) AS piece_area
+                FROM cg JOIN sg USING (cx, cy)
+                UNION ALL
+                SELECT cg.c_custkey, CAST(NULL AS BIGINT),
+                       CASE WHEN EXISTS (SELECT 1 FROM sg
+                                         WHERE sg.cx = cg.cx
+                                           AND sg.cy = cg.cy)
+                            THEN CAST(7.04 AS DOUBLE)
+                            ELSE CAST(9.0 AS DOUBLE) END
+                FROM cg
+                UNION ALL
+                SELECT CAST(NULL AS BIGINT), sg.s_suppkey,
+                       CASE WHEN EXISTS (SELECT 1 FROM cg
+                                         WHERE cg.cx = sg.cx
+                                           AND cg.cy = sg.cy)
+                            THEN CAST(0.6 AS DOUBLE)
+                            ELSE CAST(2.56 AS DOUBLE) END
+                FROM sg)
+            ORDER BY coalesce(c_custkey, -1), coalesce(s_suppkey, -1)
         """,
         "geo_zorder_keys": """
             WITH pts AS (

@@ -613,8 +613,10 @@ def sjoin_nearest(left, right, max_distance, **kw):
 
 
 def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
-            left_key=None, **join_kw):
-    """Distributed GeoPandas-style set overlay of two polygonal frames.
+            left_key=None, right_key=None, **join_kw):
+    """Distributed GeoPandas-style set overlay of two polygonal frames
+    (all six GeoPandas ``how`` modes; reference rst:157 names
+    clip/overlay as the roadmap surface).
 
     - ``how='intersection'``: every intersecting (left, right) pair with
       both attribute sets (suffixed) and the pairwise intersection as
@@ -628,10 +630,22 @@ def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
       a unique ``left_key`` (column or list) — the per-left aggregation
       groups on it (one extra shuffle on the key, carrying only the
       matched right geometries).
+    - ``how='identity'`` (needs ``left_key``): intersection pieces plus
+      the left leftovers — GeoPandas' union restricted to the left
+      frame's extent. Right attributes are NULL on leftover rows.
+    - ``how='union'`` (needs ``left_key`` AND ``right_key``): identity
+      plus the right leftovers.
+    - ``how='symmetric_difference'`` (needs both keys): both sides'
+      leftovers, no intersection pieces.
 
-    'union' / 'identity' / 'symmetric_difference' are not implemented
-    (each decomposes into the two primitives above plus concatenation —
-    raise now rather than ship untested semantics).
+    The composite modes are plan-level concatenations
+    (``unionByName``) of the two primitives run per side — each input
+    is scanned at most twice and every piece keeps the primitives'
+    one-shuffle structure, so the composition adds no new shuffle
+    stage, only parallel branches. All modes emit the unified
+    GeoPandas column layout: left attributes (``lsuffix``), right
+    attributes (``rsuffix``), ``geometry``; attributes of the absent
+    side are NULL.
     """
     from .functions import udfs as _udfs
     lgdf = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
@@ -671,5 +685,41 @@ def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
                .where(~native.is_empty(F.col(gl))))
         return GeoDataFrame(out, geometry_column=gl, crs=lgdf.crs)
 
-    raise ValueError(f"overlay how={how!r} not supported "
-                     "(use 'intersection' or 'difference')")
+    if how in ("union", "identity", "symmetric_difference"):
+        if left_key is None:
+            raise ValueError(f"overlay(how={how!r}) needs left_key "
+                             "(unique column(s) on the left frame)")
+        if how != "identity" and right_key is None:
+            raise ValueError(f"overlay(how={how!r}) needs right_key "
+                             "(unique column(s) on the right frame)")
+        parts = []
+        if how != "symmetric_difference":
+            parts.append(overlay(lgdf, rgdf, "intersection",
+                                 lsuffix=lsuffix, rsuffix=rsuffix,
+                                 **join_kw).df)
+        ld = overlay(lgdf, rgdf, "difference", left_key=left_key,
+                     lsuffix=lsuffix, rsuffix=rsuffix, **join_kw).df
+        parts.append(ld.select(
+            *[F.col(c).alias(c + lsuffix)
+              for c in ld.columns if c != gl],
+            F.col(gl).alias("geometry")))
+        if how != "identity":
+            rd = overlay(rgdf, lgdf, "difference", left_key=right_key,
+                         lsuffix=rsuffix, rsuffix=lsuffix,
+                         **join_kw).df
+            parts.append(rd.select(
+                *[F.col(c).alias(c + rsuffix)
+                  for c in rd.columns if c != gr],
+                F.col(gr).alias("geometry")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        lcols = [c + lsuffix for c in lgdf.df.columns if c != gl]
+        rcols = [c + rsuffix for c in rgdf.df.columns if c != gr]
+        out = out.select(*lcols, *rcols, "geometry")
+        return GeoDataFrame(out, geometry_column="geometry",
+                            crs=lgdf.crs)
+
+    raise ValueError(f"overlay how={how!r} not supported (use "
+                     "'intersection', 'difference', 'union', "
+                     "'identity' or 'symmetric_difference')")

@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     # round 7
     "embed_pq_adc",
     "text_classify_quality",
+    # round 8
+    "geo_overlay_union",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",

@@ -342,6 +342,60 @@ def test_overlay_difference(spark):
         overlay(left, right, how="union")
 
 
+def test_overlay_union_identity_symdiff(spark):
+    """The three composite overlay modes vs closed-form areas.
+
+    left: lid1 = (0,0,4,4), lid2 = (10,0,14,4).
+    right: rid1 = (0,0,2,2) wholly inside lid1;
+           rid2 = (2,0,6,2) half in lid1, half outside.
+    """
+    from arctic_spark.joins import overlay
+    left = GeoDataFrame(spark.createDataFrame(
+        [(1,), (2,)], "lid long").withColumn(
+            "geometry", st.make_envelope(
+                (F.col("lid") - 1) * 10.0, F.lit(0.0),
+                F.lit(4.0) + (F.col("lid") - 1) * 10.0, F.lit(4.0))))
+    right = GeoDataFrame(spark.createDataFrame(
+        [(1, 0.0, 0.0, 2.0, 2.0), (2, 2.0, 0.0, 6.0, 2.0)],
+        "rid long, x0 double, y0 double, x1 double, y1 double")
+        .select("rid", st.make_envelope(
+            F.col("x0"), F.col("y0"), F.col("x1"),
+            F.col("y1")).alias("geometry")))
+
+    def rows_of(how, **kw):
+        out = overlay(left, right, how=how, left_key="lid",
+                      lsuffix="_1", rsuffix="_2", **kw)
+        assert out.df.columns == ["lid_1", "rid_2", "geometry"]
+        key = (lambda t: (t[0] if t[0] is not None else -1,
+                          t[1] if t[1] is not None else -1, t[2]))
+        return sorted(
+            ((r.lid_1, r.rid_2, round(r.ar, 9)) for r in out.df.select(
+                "lid_1", "rid_2",
+                st.area("geometry").alias("ar")).collect()), key=key)
+
+    key = (lambda t: (t[0] if t[0] is not None else -1,
+                      t[1] if t[1] is not None else -1, t[2]))
+    # union: 2 intersection pieces + 2 left leftovers + 1 right
+    # leftover (rid1 is wholly consumed by lid1)
+    assert rows_of("union", right_key="rid") == sorted([
+        (1, 1, 4.0), (1, 2, 4.0),        # intersections
+        (1, None, 8.0), (2, None, 16.0),  # left minus right union
+        (None, 2, 4.0),                   # rid2's outside half
+    ], key=key)
+    # identity: union restricted to the left extent
+    assert rows_of("identity") == sorted([
+        (1, 1, 4.0), (1, 2, 4.0), (1, None, 8.0), (2, None, 16.0)],
+        key=key)
+    # symmetric difference: both leftovers, no intersection pieces
+    assert rows_of("symmetric_difference", right_key="rid") == sorted([
+        (1, None, 8.0), (2, None, 16.0), (None, 2, 4.0)], key=key)
+    # composite modes demand their keys
+    with pytest.raises(ValueError):
+        overlay(left, right, how="union", left_key="lid")
+    with pytest.raises(ValueError):
+        overlay(left, right, how="identity")
+
+
 def test_sjoin_within_predicate(spark):
     """within == contains with sides swapped; column order stays
     left-first."""
