@@ -341,22 +341,69 @@ def main():
           f"explained {float(ratio.sum()):.3f}, "
           f"{n_vec2 / dt / 1e6:.2f}M vecs/s", flush=True)
 
-    # bloom build at 1e8 keys: per-partition numpy partials, zero
-    # shuffle; the driver OR is words*partitions (sized here to keep
-    # the local collect ~256 MB — a real cluster would treeAggregate
-    # the partials instead of a flat driver OR at larger bit widths)
+    # bloom build at 1e8 keys at PRODUCTION sizing (2^30 bits = 10.7
+    # bits/key, 128 MiB filter): per-partition numpy partials (one
+    # binary blob each, zero shuffle) fold through treeReduce — the
+    # driver receives ONE 128 MiB array, not #partitions of them
+    # (r7's flat driver OR would have collected par x 128 MiB here)
     from arctic_spark import relational as rel
     n_keys = max(n_points * 20, 100_000_000)
     keys = spark.range(n_keys).repartition(par) \
         .select(F.col("id").alias("k"))
     t0 = time.perf_counter()
-    bloom = rel.build_bloom(keys, "k", bits=1 << 26, hashes=5)
+    bloom = rel.build_bloom(keys, "k", bits=1 << 30, hashes=5)
     dt = time.perf_counter() - t0
     import numpy as _np
     fill = float(_np.unpackbits(
         _np.asarray(bloom[:65536], dtype=_np.int64).view(_np.uint8)).mean())
-    print(f"bloom build {n_keys:,} keys (2^26 bits): {dt:.1f}s, "
-          f"fill {fill:.2f}, {n_keys / dt / 1e6:.1f}M keys/s", flush=True)
+    print(f"bloom build {n_keys:,} keys (2^30 bits, treeReduce): "
+          f"{dt:.1f}s, fill {fill:.2f}, {n_keys / dt / 1e6:.1f}M keys/s",
+          flush=True)
+
+    # PQ-ADC top-k over 5M x 64-d vectors (r8): corpus encodes to m=8
+    # code ids (native argmin), IVF coarse quantizer gates candidates
+    # to nprobe=2 buckets of 16 — the candidate equi-join ships
+    # (id, bucket, 8 ints) per corpus row, never the 64 floats
+    from arctic_spark.llm import similarity as sim
+    n_vpq = max(n_points, 5_000_000)
+    empq = spark.range(n_vpq).repartition(par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda j:
+                    F.pmod(F.col("id") * j * 2654435761, F.lit(9973))
+                    .cast("double") / 9973.0).alias("embedding"))
+    books = sim.train_pq_codebooks(empq, dim=64, m=8, n_codes=16,
+                                   sample_limit=2048, iters=8)
+    cents = sim.train_ivf_centroids(empq, dim=64, n_clusters=16,
+                                    sample_limit=2048, iters=8)
+    qpq = empq.where(F.col("vec_id") % (n_vpq // 50) == 0)
+    t0 = time.perf_counter()
+    n = sim.pq_topk(qpq, empq, books, k=5, centroids=cents,
+                    nprobe=2).count()
+    dt = time.perf_counter() - t0
+    print(f"pq-adc topk 5 over {n_vpq:,} x 64-d vecs (~50 queries, "
+          f"ivf nprobe=2): {dt:.1f}s, {n:,} result rows, "
+          f"{n_vpq / dt / 1e3:.0f}k vecs/s", flush=True)
+
+    # classifier scoring over 5M docs (r8): one native expression
+    # (md5 bucket + array-literal weights), zero Python, one scan
+    from arctic_spark.llm import classify as clf
+    n_docs_c = max(n_points, 5_000_000)
+    docsc = spark.range(n_docs_c).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit("w"), F.pmod(F.col("id") * (7 + 13 * j),
+                                        F.lit(9973)).cast("string"))
+            for j in range(20)]).alias("text"))
+    wts = [((i * 2654435761) % 1999 - 999) / 999.0 for i in range(64)]
+    t0 = time.perf_counter()
+    kept = (docsc.select(clf.score_text("text", wts, bias=-0.1)
+                         .alias("q"))
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .collect()[0])
+    dt = time.perf_counter() - t0
+    print(f"classifier scoring over {n_docs_c:,} docs: {dt:.1f}s, "
+          f"mean score {kept['s'] / kept['n']:.3f}, "
+          f"{n_docs_c / dt / 1e3:.0f}k docs/s", flush=True)
 
     # BM25 at 5M docs x 50 queries: corpus tokenizes once, one
     # (doc, token) shuffle + broadcast query side
