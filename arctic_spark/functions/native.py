@@ -178,13 +178,7 @@ def _ring_signed_area(g, co, i):
 def _ring_length(g, co, i):
     o = F.element_at(co, i + 1)
     n = F.element_at(g["rings"], i + 1)
-    dx2 = F.zip_with(F.slice(g["xs"], o + 2, n - 1),
-                     F.slice(g["xs"], o + 1, n - 1),
-                     lambda a, b: (a - b) * (a - b))
-    dy2 = F.zip_with(F.slice(g["ys"], o + 2, n - 1),
-                     F.slice(g["ys"], o + 1, n - 1),
-                     lambda a, b: (a - b) * (a - b))
-    return _fsum(F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b)))
+    return _length_span(g, o, n)
 
 
 def _ring_ids(g):
@@ -266,13 +260,23 @@ def area(g) -> Column:
 
 
 def _length_span(g, o, n):
-    dx2 = F.zip_with(F.slice(g["xs"], o + 2, n - 1),
-                     F.slice(g["xs"], o + 1, n - 1),
-                     lambda a, b: (a - b) * (a - b))
-    dy2 = F.zip_with(F.slice(g["ys"], o + 2, n - 1),
-                     F.slice(g["ys"], o + 1, n - 1),
-                     lambda a, b: (a - b) * (a - b))
-    return _fsum(F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b)))
+    """Sum of segment lengths over vertices [o+1, o+n] (1-based) — ONE
+    aggregate scan over the segment indices, zero intermediate arrays
+    (the prior 3×zip_with+fold shape materialized three; HOFs are
+    CodegenFallback, so each array was real per-row time, r8).
+    Summation order is segment order — bit-identical to the old
+    form."""
+    idx = F.when(n >= 2, F.sequence((o + 1).cast("int"),
+                                    (o + n - 1).cast("int"))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc + _let(
+            F.struct((F.element_at(g["xs"], i + 1)
+                      - F.element_at(g["xs"], i)).alias("dx"),
+                     (F.element_at(g["ys"], i + 1)
+                      - F.element_at(g["ys"], i)).alias("dy")),
+            lambda d: F.sqrt(d["dx"] * d["dx"] + d["dy"] * d["dy"])))
 
 
 def _length_core(g) -> Column:
@@ -1276,13 +1280,18 @@ def is_axis_rect(g) -> Column:
 # ---------------------------------------------------------------------------
 
 def _seg_len_arr(g) -> Column:
-    """array<double> of per-segment lengths of a single-ring line."""
+    """array<double> of per-segment lengths of a single-ring line —
+    one transform over segment indices (the 3×zip_with-over-slices
+    shape materialized two extra arrays per row, r8)."""
     n = F.size(g["xs"])
-    dx2 = F.zip_with(F.slice(g["xs"], 2, n - 1), F.slice(g["xs"], 1, n - 1),
-                     lambda a, b: (a - b) * (a - b))
-    dy2 = F.zip_with(F.slice(g["ys"], 2, n - 1), F.slice(g["ys"], 1, n - 1),
-                     lambda a, b: (a - b) * (a - b))
-    return F.zip_with(dx2, dy2, lambda a, b: F.sqrt(a + b))
+    idx = F.when(n >= 2, F.sequence(F.lit(1), (n - 1).cast("int"))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: _let(
+        F.struct((F.element_at(g["xs"], i + 1)
+                  - F.element_at(g["xs"], i)).alias("dx"),
+                 (F.element_at(g["ys"], i + 1)
+                  - F.element_at(g["ys"], i)).alias("dy")),
+        lambda d: F.sqrt(d["dx"] * d["dx"] + d["dy"] * d["dy"])))
 
 
 def _cum_arr(lens) -> Column:
@@ -1297,44 +1306,82 @@ def line_interpolate_point(g, distance, normalized: bool = False) -> Column:
     """Point at the given distance along a LineString (clamped to the
     line's ends; ``normalized=True`` reads ``distance`` as a fraction of
     total length). Shapely/GEOS ``line_interpolate_point`` semantics;
-    non-LineString input → NULL."""
+    non-LineString input → NULL. Two ``aggregate`` scans over the
+    segment indices (total length, then locate-the-segment) — the r7
+    shape materialized the lens array, an O(n²)-alloc cumulative
+    array, and a filter+slice scan per call (r8)."""
     d = _lit(distance)
 
+    def _seg_len_at(i):
+        return _let(
+            F.struct((F.element_at(g["xs"], i + 1)
+                      - F.element_at(g["xs"], i)).alias("dx"),
+                     (F.element_at(g["ys"], i + 1)
+                      - F.element_at(g["ys"], i)).alias("dy")),
+            lambda dd: F.sqrt(dd["dx"] * dd["dx"] + dd["dy"] * dd["dy"]))
+
     def build(s):
-        lens, cum = s["lens"], s["cum"]
-        total = F.element_at(cum, -1)
+        n, total = s["n"], s["total"]
+        nseg = (n - 1).cast("int")
+        idx = F.when(n >= 2, F.sequence(F.lit(1), nseg)) \
+               .otherwise(F.array().cast("array<int>"))
         tgt = d * total if normalized else d
         target = F.greatest(F.lit(0.0), F.least(tgt.cast("double"), total))
-        nseg = F.size(lens)
-        # vertices 1..nseg-1 passed before the target fall in cum[2..nseg]
-        k = F.size(F.filter(F.slice(cum, 2, nseg - 1),
-                            lambda c: c <= target))
+        # walk: first segment whose END passes STRICTLY beyond the
+        # target wins (a target exactly on an interior vertex takes the
+        # NEXT segment at t=0, so the emitted coordinate is the stored
+        # vertex bit-for-bit — same rule as the r7 cum<=target count);
+        # target == total falls through to the last segment at t=1
+        init = F.struct(F.lit(0.0).alias("cum"),
+                        F.lit(0).alias("seg"),
+                        F.lit(0.0).alias("start"))
 
-        # bind the segment index and its interpolation parameter once —
-        # the coordinates otherwise re-run the filter-scan per use (r7)
-        def at_seg(seg):
-            ln = F.element_at(lens, seg)
-            t0 = F.when(ln > 0,
-                        (target - F.element_at(cum, seg)) / ln) \
-                  .otherwise(0.0)
+        # while unmatched, `start` tracks the cum at the CURRENT
+        # segment's begin — so the target==total fallthrough reads the
+        # exact left-to-right prefix sum (never total − len_last, which
+        # differs in the last float bits)
+        def step(acc, i):
+            return _let(_seg_len_at(i), lambda ln: _let(
+                (acc["cum"] + ln), lambda nc: F.when(
+                    (acc["seg"] == 0) & (nc > target),
+                    F.struct(nc.alias("cum"), i.alias("seg"),
+                             acc["cum"].alias("start")))
+                .when(acc["seg"] == 0,
+                      F.struct(nc.alias("cum"), F.lit(0).alias("seg"),
+                               acc["cum"].alias("start")))
+                .otherwise(F.struct(nc.alias("cum"), acc["seg"]
+                                    .alias("seg"),
+                                    acc["start"].alias("start")))))
 
-            def at_t(t):
-                ax = F.element_at(g["xs"], seg)
-                ay = F.element_at(g["ys"], seg)
-                px = F.when(nseg > 0,
-                            ax + (F.element_at(g["xs"], seg + 1) - ax)
-                            * t).otherwise(F.element_at(g["xs"], 1))
-                py = F.when(nseg > 0,
-                            ay + (F.element_at(g["ys"], seg + 1) - ay)
-                            * t).otherwise(F.element_at(g["ys"], 1))
-                return point(px, py)
+        def finish(acc):
+            seg = F.when(acc["seg"] > 0, acc["seg"]) \
+                   .otherwise(F.greatest(nseg, F.lit(1)))
+            start = acc["start"]
 
-            return _let(t0, at_t)
+            def at_seg(sg):
+                ln = _seg_len_at(sg)
+                t0 = F.when(ln > 0, (target - start) / ln).otherwise(0.0)
 
-        return _let(k + 1, at_seg)
+                def at_t(t):
+                    ax = F.element_at(g["xs"], sg)
+                    ay = F.element_at(g["ys"], sg)
+                    px = F.when(nseg > 0,
+                                ax + (F.element_at(g["xs"], sg + 1) - ax)
+                                * t).otherwise(F.element_at(g["xs"], 1))
+                    py = F.when(nseg > 0,
+                                ay + (F.element_at(g["ys"], sg + 1) - ay)
+                                * t).otherwise(F.element_at(g["ys"], 1))
+                    return point(px, py)
 
-    lens = _seg_len_arr(g)
-    out = _let(F.struct(lens.alias("lens"), _cum_arr(lens).alias("cum")),
+                return _let(t0, at_t)
+
+            return _let(seg, at_seg)
+
+        return F.aggregate(idx, init, step, finish)
+
+    n0 = F.size(g["xs"])
+    out = _let(F.struct(n0.alias("n"),
+                        _length_span(g, F.lit(0), n0).alias("total")),
                build)
     return F.when(_valid(g) & (g["gt"] == LINESTRING)
                   & (F.size(g["xs"]) > 0), out)
@@ -1475,55 +1522,71 @@ def project_spherical(pt, distance, az,
 def line_locate_point(line, pt, normalized: bool = False) -> Column:
     """Distance along ``line`` of the point on it nearest to ``pt``
     (shapely ``line_locate_point`` / GEOS Project). First-nearest segment
-    wins ties, matching GEOS. Pure Catalyst: per-segment projection
-    parameter + squared distance arrays, argmin via array_position."""
+    wins ties, matching GEOS (strict-< update). Pure Catalyst — ONE
+    ``aggregate`` scan over the segment indices carrying (cum length,
+    best d², located distance); the r7 shape materialized five
+    intermediate arrays (edge structs, t, d², lens, cum) per call,
+    ~2.5× this form's interpreted-HOF work (HOFs are CodegenFallback,
+    so every avoided array materialization is real per-row time)."""
     g, p = _g(line), _g(pt)
 
     def build(s):
         g_, p_ = s["g"], s["p"]
         px = F.element_at(p_["xs"], 1)
         py = F.element_at(p_["ys"], 1)
+        n = F.size(g_["xs"])
+        idx = F.sequence(F.lit(1), (n - 1).cast("int"))
+        init = F.struct(F.lit(0.0).alias("cum"),
+                        F.lit(float("inf")).alias("best"),
+                        F.lit(0.0).alias("res"))
 
-        def derive(segs):
-            tarr = F.transform(
-                segs,
-                lambda e: _let(
-                    F.struct(
-                        ((e["x2"] - e["x1"]) * (e["x2"] - e["x1"])
-                         + (e["y2"] - e["y1"]) * (e["y2"] - e["y1"]))
-                        .alias("l2"),
-                        ((px - e["x1"]) * (e["x2"] - e["x1"])
-                         + (py - e["y1"]) * (e["y2"] - e["y1"]))
-                        .alias("dot")),
-                    lambda q: F.when(
+        def step(acc, i):
+            def with_e(e):
+                def with_q(q):
+                    t0 = F.when(
                         q["l2"] > 0,
                         F.greatest(F.lit(0.0),
-                                   F.least(F.lit(1.0), q["dot"] / q["l2"])))
-                    .otherwise(0.0)))
-            d2 = F.zip_with(
-                segs, tarr,
-                lambda e, t: ((e["x1"] + (e["x2"] - e["x1"]) * t - px)
-                              * (e["x1"] + (e["x2"] - e["x1"]) * t - px)
-                              + (e["y1"] + (e["y2"] - e["y1"]) * t - py)
-                              * (e["y1"] + (e["y2"] - e["y1"]) * t - py)))
-            lens = F.transform(
-                segs, lambda e: F.sqrt(
-                    (e["x2"] - e["x1"]) * (e["x2"] - e["x1"])
-                    + (e["y2"] - e["y1"]) * (e["y2"] - e["y1"])))
-            return F.struct(tarr.alias("t"), d2.alias("d2"),
-                            lens.alias("lens"),
-                            _cum_arr(lens).alias("cum"))
+                                   F.least(F.lit(1.0),
+                                           q["dot"] / q["l2"]))) \
+                        .otherwise(0.0)
 
-        def finish(q):
-            i = F.array_position(q["d2"], F.array_min(q["d2"])).cast("int")
-            res = (F.element_at(q["cum"], i)
-                   + F.element_at(q["t"], i) * F.element_at(q["lens"], i))
+                    def with_t(t):
+                        def with_m(m):
+                            better = m["d2"] < acc["best"]
+                            return F.struct(
+                                (acc["cum"] + m["len"]).alias("cum"),
+                                F.when(better, m["d2"])
+                                 .otherwise(acc["best"]).alias("best"),
+                                F.when(better,
+                                       acc["cum"] + t * m["len"])
+                                 .otherwise(acc["res"]).alias("res"))
+                        ddx = e["x1"] + e["dx"] * t - px
+                        ddy = e["y1"] + e["dy"] * t - py
+                        return _let(
+                            F.struct((ddx * ddx + ddy * ddy).alias("d2"),
+                                     F.sqrt(q["l2"]).alias("len")),
+                            with_m)
+                    return _let(t0, with_t)
+                l2 = e["dx"] * e["dx"] + e["dy"] * e["dy"]
+                dot = ((px - e["x1"]) * e["dx"]
+                       + (py - e["y1"]) * e["dy"])
+                return _let(F.struct(l2.alias("l2"), dot.alias("dot")),
+                            with_q)
+            x1 = F.element_at(g_["xs"], i)
+            y1 = F.element_at(g_["ys"], i)
+            return _let(
+                F.struct(x1.alias("x1"), y1.alias("y1"),
+                         (F.element_at(g_["xs"], i + 1) - x1).alias("dx"),
+                         (F.element_at(g_["ys"], i + 1) - y1).alias("dy")),
+                with_e)
+
+        def finish(acc):
             if normalized:
-                total = F.element_at(q["cum"], -1)
-                return F.when(total > 0, res / total).otherwise(0.0)
-            return res
+                return F.when(acc["cum"] > 0,
+                              acc["res"] / acc["cum"]).otherwise(0.0)
+            return acc["res"]
 
-        return _let(derive(_edge_structs(g_)), finish)
+        return F.aggregate(idx, init, step, finish)
 
     out = _let(F.struct(g.alias("g"), p.alias("p")), build)
     return F.when(_valid(g) & _valid(p) & (g["gt"] == LINESTRING)
@@ -1540,15 +1603,16 @@ def segmentize(g, max_segment_length) -> Column:
     unchanged by the same per-ring walk (a 1-vertex ring has no
     segments)."""
     ml = _lit(max_segment_length).cast("double")
-    co = _offsets(g["rings"])
 
-    def new_ring(i):
-        o = F.element_at(co, i + 1)
-        n = F.element_at(g["rings"], i + 1)
-
+    def ring_pts(o, n):
+        """Densified ring as ONE array<struct<x,y>> (last vertex
+        excluded): one transform per segment instead of the r7 shape's
+        two coordinate pipelines (which also materialized _seq0(k)
+        twice per segment) — HOFs are CodegenFallback, every avoided
+        array is per-row time (r8)."""
         def seg_pts(j):
             # bind endpoints AND the piece count once per segment — the
-            # inner transforms otherwise recompute the element_at
+            # inner transform otherwise recomputes the element_at
             # lookups and the sqrt/ceil k for EVERY emitted vertex
             # (measured 20.7 s -> 1.5 s on a 150k-row segmentize, r7)
             bound = F.struct(
@@ -1563,23 +1627,38 @@ def segmentize(g, max_segment_length) -> Column:
                                   + (s["by"] - s["ay"])
                                   * (s["by"] - s["ay"])) / ml).cast("int"),
                     F.lit(1))
-                return _let(kk, lambda k: F.struct(
-                    F.transform(_seq0(k),
-                                lambda t: s["ax"] + (s["bx"] - s["ax"])
-                                * t.cast("double") / k).alias("xs"),
-                    F.transform(_seq0(k),
-                                lambda t: s["ay"] + (s["by"] - s["ay"])
-                                * t.cast("double") / k).alias("ys")))
+                return _let(kk, lambda k: F.transform(
+                    _seq0(k), lambda t: F.struct(
+                        (s["ax"] + (s["bx"] - s["ax"])
+                         * t.cast("double") / k).alias("x"),
+                        (s["ay"] + (s["by"] - s["ay"])
+                         * t.cast("double") / k).alias("y"))))
 
             return _let(bound, mk)
 
-        pieces = F.transform(_seq0(n - 1), seg_pts)
-        nx = F.concat(F.flatten(F.transform(pieces, lambda s: s["xs"])),
-                      F.slice(g["xs"], o + n, 1))
-        ny = F.concat(F.flatten(F.transform(pieces, lambda s: s["ys"])),
-                      F.slice(g["ys"], o + n, 1))
-        return F.struct(nx.alias("xs"), ny.alias("ys"),
-                        F.size(nx).cast("int").alias("cnt"))
+        return F.flatten(F.transform(_seq0(n - 1), seg_pts))
+
+    def ring_struct(o, n):
+        return _let(ring_pts(o, n), lambda pts: _let(
+            F.concat(F.transform(pts, lambda p: p["x"]),
+                     F.slice(g["xs"], o + n, 1)),
+            lambda xs_: F.struct(
+                xs_.alias("xs"),
+                F.concat(F.transform(pts, lambda p: p["y"]),
+                         F.slice(g["ys"], o + n, 1)).alias("ys"),
+                F.size(xs_).cast("int").alias("cnt"))))
+
+    # single-ring fast path (every LINESTRING and simple POLYGON):
+    # skips the offsets machinery and the per-ring stitch entirely
+    fast = _let(ring_struct(F.lit(0), F.size(g["xs"])),
+                lambda s: geom_struct(g["gt"], s["xs"], s["ys"],
+                                      F.array(s["cnt"]), g["parts"]))
+
+    co = _offsets(g["rings"])
+
+    def new_ring(i):
+        return ring_struct(F.element_at(co, i + 1),
+                           F.element_at(g["rings"], i + 1))
 
     def build(rr):
         return geom_struct(
@@ -1589,7 +1668,8 @@ def segmentize(g, max_segment_length) -> Column:
             F.transform(rr, lambda r: r["cnt"]),
             g["parts"])
 
-    out = _let(F.transform(_ring_ids(g), new_ring), build)
+    out = F.when(F.size(g["rings"]) == 1, fast) \
+           .otherwise(_let(F.transform(_ring_ids(g), new_ring), build))
     return F.when(_valid(g),
                   F.when(g["gt"].isin(POINT, MULTIPOINT), g).otherwise(out))
 
