@@ -166,13 +166,7 @@ def _ring_signed_area(g, co, i):
     """0.5 * shoelace sum of closed ring i."""
     o = F.element_at(co, i + 1)
     n = F.element_at(g["rings"], i + 1)
-    a = _fsum(F.zip_with(F.slice(g["xs"], o + 1, n - 1),
-                         F.slice(g["ys"], o + 2, n - 1),
-                         lambda x, ny: x * ny))
-    b = _fsum(F.zip_with(F.slice(g["xs"], o + 2, n - 1),
-                         F.slice(g["ys"], o + 1, n - 1),
-                         lambda nx, y: nx * y))
-    return F.lit(0.5) * (a - b)
+    return _signed_area_span(g, o, n)
 
 
 def _ring_length(g, co, i):
@@ -195,14 +189,24 @@ def _exterior_ring_ids(g):
 # ---------------------------------------------------------------------------
 
 def _signed_area_span(g, o, n):
-    """0.5 * shoelace over coords [o, o+n) (o 0-based Column/int)."""
-    a = _fsum(F.zip_with(F.slice(g["xs"], o + 1, n - 1),
-                         F.slice(g["ys"], o + 2, n - 1),
-                         lambda x, ny: x * ny))
-    b = _fsum(F.zip_with(F.slice(g["xs"], o + 2, n - 1),
-                         F.slice(g["ys"], o + 1, n - 1),
-                         lambda nx, y: nx * y))
-    return F.lit(0.5) * (a - b)
+    """0.5 * shoelace over coords [o, o+n) (o 0-based Column/int) —
+    ONE aggregate carrying both shoelace partial sums (the prior
+    shape materialized four slice arrays + two zip_withs per
+    evaluation; HOFs are CodegenFallback, r8). Each sum accumulates
+    in the same left-to-right order as before — bit-identical."""
+    idx = F.when(n >= 2, F.sequence((o + 1).cast("int"),
+                                    (o + n - 1).cast("int"))) \
+           .otherwise(F.array().cast("array<int>"))
+    acc = F.aggregate(
+        idx,
+        F.struct(F.lit(0.0).alias("a"), F.lit(0.0).alias("b")),
+        lambda s, i: F.struct(
+            (s["a"] + F.element_at(g["xs"], i)
+             * F.element_at(g["ys"], i + 1)).alias("a"),
+            (s["b"] + F.element_at(g["xs"], i + 1)
+             * F.element_at(g["ys"], i)).alias("b")),
+        lambda s: F.lit(0.5) * (s["a"] - s["b"]))
+    return acc
 
 
 def _area_core(g) -> Column:
@@ -211,9 +215,10 @@ def _area_core(g) -> Column:
     ext = _exterior_ring_ids(g)
     terms = F.transform(
         _ring_ids(g),
-        lambda i: F.when(F.array_contains(ext, i),
-                         F.abs(_ring_signed_area(g, co, i)))
-                   .otherwise(-F.abs(_ring_signed_area(g, co, i))))
+        lambda i: _let(
+            F.abs(_ring_signed_area(g, co, i)),
+            lambda ar: F.when(F.array_contains(ext, i), ar)
+                        .otherwise(-ar)))
     single = F.abs(_signed_area_span(g, F.lit(0), F.size(g["xs"])))
     return F.when(
         g["gt"].isin(POLYGON, MULTIPOLYGON),
@@ -247,9 +252,10 @@ def area(g) -> Column:
         lambda i: F.when((g["gt"] == 7)
                          & (F.element_at(ring_sub, i + 1) != POLYGON),
                          F.lit(0.0))
-                   .when(F.array_contains(ext, i),
-                         F.abs(_ring_signed_area(g, co, i)))
-                   .otherwise(-F.abs(_ring_signed_area(g, co, i))))
+                   .otherwise(_let(
+                       F.abs(_ring_signed_area(g, co, i)),
+                       lambda ar: F.when(F.array_contains(ext, i), ar)
+                                   .otherwise(-ar))))
     multi = _fsum(terms)
     single = F.abs(_signed_area_span(g, F.lit(0), F.size(g["xs"])))
     val = (F.when(g["gt"].isin(POLYGON, MULTIPOLYGON)
