@@ -137,19 +137,33 @@ def _word_ngrams(toks, n: int) -> Column:
 def top_ngram_fraction(text, n: int = 2) -> Column:
     """Fraction of all word n-grams occupied by the single most frequent
     n-gram — the Gopher repetition signal (docs dominated by one repeated
-    phrase are machine-generated boilerplate).  Entirely native: the
-    per-distinct-gram counting runs as nested higher-order functions
-    inside the JVM; per-row cost is O(distinct · total), bounded by
-    document length, never a shuffle."""
+    phrase are machine-generated boilerplate).  Entirely native: sort
+    the n-gram array once and take the longest equal run in ONE
+    aggregate scan — O(total log total) per row; the r7 shape counted
+    each distinct gram with its own filter pass (O(distinct · total)
+    and an array allocation per distinct gram), the dominant cost of
+    the gopher gate query (r8). Max run length == max multiplicity, so
+    values are unchanged."""
     from ..functions.native import _let
 
     def build(ng):
         total = F.size(ng)
-        counts = F.transform(
-            F.array_distinct(ng),
-            lambda d: F.size(F.filter(ng, lambda x: x == d)))
-        return F.when(total > 0,
-                      F.array_max(counts).cast("double") / total) \
+        # tokens are non-empty [a-z0-9]+ joined by spaces, so "\x00"
+        # can never collide with a real n-gram
+        init = F.struct(F.lit("\x00").alias("prev"),
+                        F.lit(0).alias("cur"),
+                        F.lit(0).alias("best"))
+
+        def step(acc, x):
+            cur = F.when(x == acc["prev"], acc["cur"] + 1) \
+                   .otherwise(F.lit(1))
+            return _let(cur, lambda c: F.struct(
+                x.alias("prev"), c.alias("cur"),
+                F.greatest(acc["best"], c).alias("best")))
+
+        best = F.aggregate(F.array_sort(ng), init, step,
+                           lambda acc: acc["best"])
+        return F.when(total > 0, best.cast("double") / total) \
                 .otherwise(0.0)
 
     return _let(_word_ngrams(word_tokens(text), n), build)
@@ -275,13 +289,57 @@ def gopher_metrics(text) -> Column:
     (``st.freeze``) and feed :func:`gopher_flags_from_metrics` — the
     n-gram counting is the most expensive native text expression, and
     Catalyst re-inlines it per reference (r7: the gate query computed
-    every metric twice, 9.2 s → ~5 s at sf0.1)."""
+    every metric twice, 9.2 s → ~5 s at sf0.1).
+
+    r8: tokenizes ONCE. The standalone metrics re-run trim + the two
+    regex splits per metric (3× whitespace split, 2× word-token split
+    per row across the five); here both token views bind via _let and
+    every metric reads the bound arrays. Each metric's arithmetic is
+    the standalone function's, verbatim — values unchanged."""
+    from ..functions.native import _let
     t = _c(text)
-    return F.struct(token_count(t).alias("n_words"),
-                    mean_word_length(t).alias("mean_wl"),
-                    duplicate_ngram_fraction(t, 3).alias("dup_trigram_frac"),
-                    symbol_to_word_ratio(t).alias("symbol_ratio"),
-                    alpha_word_fraction(t).alias("alpha_frac"))
+    hits = sum((substring_count(t, s) for s in ("#", "...")), F.lit(0.0))
+
+    def has_alpha(w):
+        return F.length(F.regexp_replace(w, "[^a-zA-Z]", "")) > 0
+
+    def with_bound(s):
+        ws, wt, tlen = s["ws"], s["wt"], s["tlen"]
+
+        def with_n(n_words):
+            mean_wl = F.when(
+                F.size(wt) > 0,
+                F.aggregate(wt, F.lit(0),
+                            lambda a, w: a + F.length(w))
+                .cast("double") / F.size(wt)).otherwise(0.0)
+            dup3 = _let(
+                _word_ngrams(wt, 3),
+                lambda ng: _let(F.size(ng), lambda total: F.when(
+                    total > 0,
+                    (total - F.size(F.array_distinct(ng)))
+                    .cast("double") / total).otherwise(0.0)))
+            symbol_ratio = F.when(n_words > 0,
+                                  hits.cast("double") / n_words) \
+                            .otherwise(0.0)
+            alpha = F.when((tlen > 0) & (F.size(ws) > 0),
+                           F.size(F.filter(ws, has_alpha))
+                           .cast("double") / F.size(ws)).otherwise(0.0)
+            return F.struct(n_words.alias("n_words"),
+                            mean_wl.alias("mean_wl"),
+                            dup3.alias("dup_trigram_frac"),
+                            symbol_ratio.alias("symbol_ratio"),
+                            alpha.alias("alpha_frac"))
+
+        return _let(F.when(tlen == 0, F.lit(0)).otherwise(F.size(ws)),
+                    with_n)
+
+    def with_tt(tt):
+        return _let(F.struct(F.length(tt).alias("tlen"),
+                             F.split(tt, r"\s+").alias("ws"),
+                             word_tokens(t).alias("wt")),
+                    with_bound)
+
+    return _let(F.trim(t), with_tt)
 
 
 def gopher_flags_from_metrics(m, min_words: int = 50,
