@@ -1354,9 +1354,13 @@ def geo_overlay_union(spark, sf):
     per pair, 9−1.96 per left leftover, 2.56−1.96 per right
     leftover. The engine computes the leftovers through the real
     union+difference boolean kernels; the oracle is pure interval
-    arithmetic."""
+    arithmetic. Bounded fixture (same reasoning as geo_overlay_area:
+    the cost is per boolean-kernel invocation — 600 lefts exercise
+    all 64 cells and every piece class identically to 1500); the grid
+    cell size is passed explicitly so none of the three composed
+    spatial joins pays an estimate job."""
     from arctic_spark.joins import overlay
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 1500)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 600)
     s = _t(spark, sf, "supplier").where(F.col("s_suppkey") <= 100)
     ck, sk = F.col("c_custkey"), F.col("s_suppkey")
     lx = (ck % 8).cast("double") * 4.0 + 0.3
@@ -1370,7 +1374,8 @@ def geo_overlay_union(spark, sf):
         "s_suppkey", st.make_envelope(rx, ry, rx + 1.6, ry + 1.6)
         .alias("geometry")))
     out = overlay(left, right, how="union", left_key="c_custkey",
-                  right_key="s_suppkey", broadcast_right=True)
+                  right_key="s_suppkey", broadcast_right=True,
+                  cell_size=4.0)
     return (out.df.select(
         F.col("c_custkey_1").alias("c_custkey"),
         F.col("s_suppkey_2").alias("s_suppkey"),
@@ -4649,7 +4654,7 @@ def oracle_sql() -> dict[str, str]:
             WITH cg AS (
                 SELECT c_custkey, c_custkey % 8 AS cx,
                        (c_custkey // 8) % 8 AS cy
-                FROM customer WHERE c_custkey <= 1500),
+                FROM customer WHERE c_custkey <= 600),
             sg AS (
                 SELECT s_suppkey, s_suppkey % 8 AS cx,
                        (s_suppkey // 8) % 8 AS cy

@@ -692,33 +692,59 @@ def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
         if how != "identity" and right_key is None:
             raise ValueError(f"overlay(how={how!r}) needs right_key "
                              "(unique column(s) on the right frame)")
+        from pyspark import StorageLevel
+        from .cache import pin
+        from .functions import udfs as _udfs
+        # ONE spatial join feeds every branch (the intersection pieces
+        # AND both sides' leftover aggregations group over the same
+        # pair list) — composing the primitives naively would run the
+        # identical join up to three times
+        sj = spatial_join(lgdf, rgdf, how="inner",
+                          predicate="intersects",
+                          lsuffix=lsuffix, rsuffix=rsuffix, **join_kw)
+        sjdf = sj.df.persist(StorageLevel.MEMORY_AND_DISK)
+        lg, rg = gl + lsuffix, gr + rsuffix
         parts = []
         if how != "symmetric_difference":
-            parts.append(overlay(lgdf, rgdf, "intersection",
-                                 lsuffix=lsuffix, rsuffix=rsuffix,
-                                 **join_kw).df)
-        ld = overlay(lgdf, rgdf, "difference", left_key=left_key,
-                     lsuffix=lsuffix, rsuffix=rsuffix, **join_kw).df
-        parts.append(ld.select(
-            *[F.col(c).alias(c + lsuffix)
-              for c in ld.columns if c != gl],
-            F.col(gl).alias("geometry")))
+            inter = (sjdf
+                     .withColumn("geometry",
+                                 _udfs.intersection(F.col(lg),
+                                                    F.col(rg)))
+                     .where(~native.is_empty(F.col("geometry")))
+                     .where(native.area(F.col("geometry")) > 0)
+                     .drop(lg, rg))
+            parts.append(inter)
+
+        def leftover(df0, geom, keys, suf, other_geom):
+            keys = [keys] if isinstance(keys, str) else list(keys)
+            hit = (sjdf.groupBy(*[F.col(k + suf).alias(k)
+                                  for k in keys])
+                   .agg(_udfs.union_collected(
+                       F.collect_list(F.col(other_geom)))
+                       .alias("__hit_union")))
+            out = (df0.join(hit, on=keys, how="left")
+                   .withColumn(geom, F.when(
+                       F.col("__hit_union").isNull(), F.col(geom))
+                       .otherwise(_udfs.difference(
+                           F.col(geom), F.col("__hit_union"))))
+                   .drop("__hit_union")
+                   .where(~native.is_empty(F.col(geom))))
+            return out.select(
+                *[F.col(c).alias(c + suf)
+                  for c in df0.columns if c != geom],
+                F.col(geom).alias("geometry"))
+
+        parts.append(leftover(lgdf.df, gl, left_key, lsuffix, rg))
         if how != "identity":
-            rd = overlay(rgdf, lgdf, "difference", left_key=right_key,
-                         lsuffix=rsuffix, rsuffix=lsuffix,
-                         **join_kw).df
-            parts.append(rd.select(
-                *[F.col(c).alias(c + rsuffix)
-                  for c in rd.columns if c != gr],
-                F.col(gr).alias("geometry")))
+            parts.append(leftover(rgdf.df, gr, right_key, rsuffix, lg))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         lcols = [c + lsuffix for c in lgdf.df.columns if c != gl]
         rcols = [c + rsuffix for c in rgdf.df.columns if c != gr]
         out = out.select(*lcols, *rcols, "geometry")
-        return GeoDataFrame(out, geometry_column="geometry",
-                            crs=lgdf.crs)
+        return pin(GeoDataFrame(out, geometry_column="geometry",
+                                crs=lgdf.crs), sjdf)
 
     raise ValueError(f"overlay how={how!r} not supported (use "
                      "'intersection', 'difference', 'union', "
