@@ -56,7 +56,8 @@ def __getattr__(name):
         return register_sql_functions
     if name in ("write_bucketed", "write_geoparquet", "read_geoparquet",
                 "from_wkt_df", "read_geojson", "write_geojson",
-                "read_shapefile"):
+                "read_shapefile", "read_geopackage",
+                "write_geopackage", "read_file"):
         from . import io
         return getattr(io, name)
     raise AttributeError(name)
@@ -72,4 +73,5 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "from_arrow", "from_geopandas", "from_pandas_wkb",
            "to_pandas_wkb", "write_bucketed", "write_geoparquet",
            "read_geoparquet", "from_wkt_df", "read_geojson",
-           "write_geojson", "read_shapefile"]
+           "write_geojson", "read_shapefile", "read_geopackage",
+           "write_geopackage", "read_file"]

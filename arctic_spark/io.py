@@ -232,6 +232,181 @@ def read_shapefile(spark: SparkSession, path: str,
     return GeoDataFrame(df, geometry_column, crs)
 
 
+def read_geopackage(spark: SparkSession, path: str, layer: str = None,
+                    geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                    crs=None) -> GeoDataFrame:
+    """OGC GeoPackage reader, GDAL-free (stdlib ``sqlite3`` + the
+    package's own WKB codec; blob format per the public GeoPackage
+    Encoding Standard — see ``geom/gpkg.py``). The reference reaches
+    .gpkg only through GDAL/pyogrio (io/file.py:15-119).
+
+    ``layer`` defaults to the only feature layer (raises listing the
+    options when several exist). CRS comes from
+    ``gpkg_spatial_ref_sys`` unless overridden. Ingest is driver-side
+    like :func:`read_shapefile` — a .gpkg is one SQLite file (not
+    block-splittable); the distributed path is to convert to
+    (Geo)Parquet once via ``write_geoparquet`` and scan that."""
+    import sqlite3
+    from .geom import gpkg as _g
+    from .geom import wkb as _wkb
+    from .geom.ragged import MISSING
+    from pyspark.sql import types as T
+    from .sparktypes import GEOM_TYPE
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        layers = _g.feature_layers(con)
+        if not layers:
+            raise ValueError(f"{path}: no feature layers in "
+                             "gpkg_contents")
+        if layer is None:
+            if len(layers) > 1:
+                raise ValueError(
+                    f"{path} has {len(layers)} feature layers "
+                    f"({[t for t, _, _ in layers]}); pass layer=")
+            name, gcol, srs_id = layers[0]
+        else:
+            match = [l for l in layers if l[0] == layer]
+            if not match:
+                raise ValueError(f"layer {layer!r} not in "
+                                 f"{[t for t, _, _ in layers]}")
+            name, gcol, srs_id = match[0]
+        cur = con.execute(f'SELECT * FROM "{name}"')
+        cols = [d[0] for d in cur.description]
+        gidx = cols.index(gcol)
+        raw = cur.fetchall()
+        wkbs = [_g.parse_gpkg_blob(r[gidx]) for r in raw]
+        rg = _wkb.decode([w[1] if w else None for w in wkbs])
+        file_crs = crs or _g.srs_string(con, srs_id) or DEFAULT_CRS
+    finally:
+        con.close()
+
+    data = []
+    for i, r in enumerate(raw):
+        attrs = tuple(v for j, v in enumerate(r) if j != gidx)
+        g = rg.geom(i)
+        if g[0] == MISSING:
+            cell = None
+        else:
+            gt, xs, ys, rings, parts = g
+            cell = (int(gt), [float(v) for v in xs],
+                    [float(v) for v in ys],
+                    [int(v) for v in rings], [int(v) for v in parts])
+        data.append(attrs + (cell,))
+
+    fields = []
+    for j, cname in enumerate(cols):
+        if j == gidx:
+            continue
+        sample = next((r[j] for r in raw if r[j] is not None), None)
+        if isinstance(sample, bool):
+            t = T.BooleanType()
+        elif isinstance(sample, int):
+            t = T.LongType()
+        elif isinstance(sample, float):
+            t = T.DoubleType()
+        elif isinstance(sample, (bytes, bytearray)):
+            t = T.BinaryType()
+        else:
+            t = T.StringType()
+        fields.append(T.StructField(cname, t))
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    df = spark.createDataFrame(data, T.StructType(fields))
+    return GeoDataFrame(df, geometry_column, file_crs)
+
+
+def write_geopackage(gdf: GeoDataFrame, path: str, layer: str = "layer",
+                     mode: str = "overwrite") -> None:
+    """OGC GeoPackage writer (stdlib ``sqlite3``): creates the
+    mandatory metadata tables (``gpkg_spatial_ref_sys``,
+    ``gpkg_contents``, ``gpkg_geometry_columns``) and one feature
+    table whose geometry column holds GeoPackageBinary blobs (GP
+    header + this package's WKB encoding). Output is driver-side
+    (``collect``) — SQLite is a single local file, so this is for
+    BOUNDED exports (results, samples, fixtures); bulk data belongs
+    in :func:`write_geoparquet`. ``mode='overwrite'`` replaces an
+    existing layer of the same name; ``'errorifexists'`` raises."""
+    import os
+    import sqlite3
+    from .geom import gpkg as _g
+    from .geom import wkb as _wkb
+    from pyspark.sql import types as T
+
+    df, gcol = gdf.df, gdf.geometry_column
+    crs = (gdf.crs or "").upper()
+    srs_id, org = 0, "NONE"
+    if ":" in crs:
+        org, _, num = crs.partition(":")
+        if num.isdigit():
+            srs_id = int(num)
+    rows = df.collect()
+    schema = df.schema
+
+    def sql_type(f):
+        if isinstance(f.dataType, (T.LongType, T.IntegerType,
+                                   T.ShortType, T.ByteType)):
+            return "INTEGER"
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            return "REAL"
+        if isinstance(f.dataType, T.BooleanType):
+            return "BOOLEAN"
+        if isinstance(f.dataType, T.BinaryType):
+            return "BLOB"
+        return "TEXT"
+
+    attrs = [f for f in schema.fields if f.name != gcol]
+    con = sqlite3.connect(path)
+    try:
+        _g.init_gpkg(con, srs_id=srs_id, organization=org)
+        exists = con.execute(
+            "SELECT 1 FROM gpkg_contents WHERE table_name = ?",
+            (layer,)).fetchone()
+        if exists:
+            if mode != "overwrite":
+                raise ValueError(f"layer {layer!r} exists in {path} "
+                                 "(mode='errorifexists')")
+            con.execute(f'DROP TABLE IF EXISTS "{layer}"')
+            con.execute("DELETE FROM gpkg_contents WHERE table_name=?",
+                        (layer,))
+            con.execute("DELETE FROM gpkg_geometry_columns "
+                        "WHERE table_name=?", (layer,))
+        col_ddl = ", ".join(
+            [f'"{f.name}" {sql_type(f)}' for f in attrs]
+            + [f'"{gcol}" BLOB'])
+        con.execute(f'CREATE TABLE "{layer}" '
+                    f"(fid INTEGER PRIMARY KEY AUTOINCREMENT, "
+                    f"{col_ddl})")
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, "
+            "identifier, srs_id) VALUES (?, 'features', ?, ?)",
+            (layer, layer, srs_id))
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES "
+            "(?, ?, 'GEOMETRY', ?, 0, 0)", (layer, gcol, srs_id))
+        names = [f.name for f in attrs]
+        ph = ", ".join(["?"] * (len(names) + 1))
+        ins = (f'INSERT INTO "{layer}" '
+               f"({', '.join(chr(34) + n + chr(34) for n in names)}"
+               f"{', ' if names else ''}\"{gcol}\") VALUES ({ph})")
+        for r in rows:
+            g = r[gcol]
+            if g is None or g["gt"] is None:
+                blob = None
+            else:
+                wkb = _wkb.encode_geom(
+                    int(g["gt"]),
+                    [float(v) for v in g["xs"]],
+                    [float(v) for v in g["ys"]],
+                    [int(v) for v in g["rings"]],
+                    [int(v) for v in g["parts"]])
+                blob = _g.make_gpkg_blob(wkb, srs_id)
+            con.execute(ins, tuple(r[n] for n in names) + (blob,))
+        con.commit()
+    finally:
+        con.close()
+    assert os.path.exists(path)
+
+
 def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
     """Vector-file read (reference read_file, io/file.py:15-119).
 
@@ -245,6 +420,8 @@ def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
     if not pyogrio_kwargs:
         if low.endswith(".shp"):
             return read_shapefile(spark, path)
+        if low.endswith(".gpkg"):
+            return read_geopackage(spark, path)
         if low.endswith((".geojson", ".json")):
             return read_geojson(spark, path)
         if low.endswith((".geojsonl", ".ndjson", ".geojsons")):

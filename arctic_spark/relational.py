@@ -76,23 +76,28 @@ def build_bloom(keys: DataFrame, key_col: str, bits: int = 1 << 16,
                 hashes: int = 5) -> list[int]:
     """Bloom filter over a key column as a python list of ``bits/64``
     int64 words. Each partition builds its local filter in numpy
-    (mapInPandas — one BINARY blob per partition, no shuffle) and the
-    partials fold through ``treeReduce`` — executors OR pairs of
-    filters level by level, so the driver receives ONE ``bits/8``-byte
-    array, never #partitions of them. At production sizing (2^30 bits
-    = 128 MiB × a 1000-partition scan) the r7 flat driver-OR would
-    have shipped ~128 GB to the driver; the tree ships 128 MiB
-    (VERDICT r7 #5). Partials travel as raw little-endian int64 bytes,
-    not array<long> rows, so nothing ever inflates into per-element
-    Python objects. Hash family: xxhash64(key, seed=j) mod bits for j
-    in 0..hashes-1 — the SAME expression :func:`bloom_filter_expr`
-    tests natively, so build and probe agree bit-for-bit."""
+    (mapInPandas, no input shuffle) and emits it as ≤4 MiB CHUNK rows
+    (chunk_id, raw int64 bytes); chunks OR-combine distributed via
+    ``reduceByKey`` on the chunk id, so the driver receives each
+    region of the final filter exactly once (``bits/8`` bytes total)
+    and NO task or heap ever holds a whole partial per input
+    partition. At production sizing (2^30 bits = 128 MiB × a
+    1000-partition scan) the r7 flat driver-OR would have shipped
+    ~128 GB to the driver (VERDICT r7 #5), and whole-partial
+    tree-reduction still parks #concurrent-tasks × 128 MiB rows in
+    one local-mode JVM heap — segmented reduction bounds every task
+    at a few chunks. Chunks travel as raw little-endian int64 bytes,
+    never per-element Python objects. Hash family: xxhash64(key,
+    seed=j) mod bits for j in 0..hashes-1 — the SAME expression
+    :func:`bloom_filter_expr` tests natively, so build and probe
+    agree bit-for-bit."""
     from pyspark.sql import functions as F
-    import math
     import numpy as np
     if bits % 64:
         raise ValueError("bits must be a multiple of 64")
     words = bits // 64
+    chunk_words = min(words, 1 << 19)          # ≤ 4 MiB per chunk row
+    nchunks = (words + chunk_words - 1) // chunk_words
     hashed = keys.select(*[
         F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(bits))
         .cast("long").alias(f"h{j}") for j in range(hashes)])
@@ -106,30 +111,75 @@ def build_bloom(keys: DataFrame, key_col: str, bits: int = 1 << 16,
                 np.bitwise_or.at(w, h >> 6,
                                  np.uint64(1) << (h.astype(np.uint64)
                                                   & np.uint64(63)))
-        yield pd.DataFrame({"w": [w.astype(np.int64).tobytes()]})
+        wi = w.view(np.int64)
+        for c in range(nchunks):
+            yield pd.DataFrame({
+                "cid": [c],
+                "w": [wi[c * chunk_words:(c + 1) * chunk_words]
+                      .tobytes()]})
 
-    part_rdd = (hashed.mapInPandas(partials, "w binary").rdd
-                .map(lambda r: np.frombuffer(r["w"], dtype=np.int64)))
-    n_parts = max(part_rdd.getNumPartitions(), 1)
-    depth = max(2, int(math.ceil(math.log(n_parts, 4))) if n_parts > 1
-                else 2)
-    try:
-        out = part_rdd.treeReduce(lambda a, b: a | b, depth)
-    except ValueError:        # empty RDD (keys frame had no partitions)
-        out = np.zeros(words, dtype=np.int64)
-    return out.tolist()
+    red = (hashed.mapInPandas(partials, "cid int, w binary").rdd
+           .map(lambda r: (r["cid"],
+                           np.frombuffer(r["w"], dtype=np.int64)))
+           .reduceByKey(lambda a, b: a | b,
+                        numPartitions=min(nchunks, 32)))
+    chunks = dict(red.collect())
+    if not chunks:
+        return [0] * words
+    last = words - (nchunks - 1) * chunk_words
+    return np.concatenate(
+        [chunks.get(c, np.zeros(
+            chunk_words if c < nchunks - 1 else last,
+            dtype=np.int64)) for c in range(nchunks)]).tolist()
 
 
 def bloom_filter_expr(key, bloom: list[int], hashes: int = 5):
-    """Native membership-test Column for a :func:`build_bloom` filter:
-    true iff every seed's bit is set. The filter rides the plan as a
-    literal array — pure whole-stage-codegen bit arithmetic, no
-    broadcast table, no Python. False positives possible (that's the
-    contract), false negatives impossible."""
+    """Membership-test Column for a :func:`build_bloom` filter: true
+    iff every seed's bit is set. False positives possible (that's the
+    contract), false negatives impossible.
+
+    Two physical strategies, same semantics (the seed hashes are the
+    SAME native ``xxhash64`` expressions in both, so build and probe
+    agree bit-for-bit by construction):
+
+    - filters up to 2^22 bits (64 KiB of words) ride the plan as ONE
+      array literal — pure whole-stage-codegen bit arithmetic, no
+      broadcast table, no Python;
+    - larger filters (the production sizing — a 2^30-bit filter is
+      128 MiB; a literal that size is absurd as an expression tree
+      and unshippable through py4j) broadcast the word array once and
+      probe through a vectorized Arrow-batched gather over the
+      natively-computed hash columns — one numpy index per seed, no
+      per-row Python."""
     from pyspark.sql import functions as F
     key = F.col(key) if isinstance(key, str) else key
     bits = len(bloom) * 64
-    arr = F.array(*[F.lit(int(w)) for w in bloom])
+
+    if len(bloom) > (1 << 16):
+        import numpy as np
+        from pyspark.sql import SparkSession
+        from pyspark.sql.functions import pandas_udf
+        sc = SparkSession.getActiveSession().sparkContext
+        barr = sc.broadcast(np.asarray(bloom, dtype=np.int64))
+
+        @pandas_udf("boolean")
+        def _probe(*hcols):
+            import pandas as pd
+            w = barr.value.view(np.uint64)
+            ok = None
+            for h in hcols:
+                hv = h.to_numpy(dtype=np.int64)
+                bit = ((w[hv >> 6]
+                        >> (hv.astype(np.uint64) & np.uint64(63)))
+                       & np.uint64(1)).astype(bool)
+                ok = bit if ok is None else (ok & bit)
+            return pd.Series(ok)
+
+        return _probe(*[
+            F.pmod(F.xxhash64(key, F.lit(j)), F.lit(bits)).cast("long")
+            for j in range(hashes)])
+
+    arr = F.lit([int(w) for w in bloom])
     cond = None
     for j in range(hashes):
         h = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(bits)).cast("long")
