@@ -278,12 +278,50 @@ def read_geopackage(spark: SparkSession, path: str, layer: str = None,
         wkbs = [_g.parse_gpkg_blob(r[gidx]) for r in raw]
         rg = _wkb.decode([w[1] if w else None for w in wkbs])
         file_crs = crs or _g.srs_string(con, srs_id) or DEFAULT_CRS
+        decl = {r[1]: (r[2] or "").upper() for r in
+                con.execute(f'PRAGMA table_info("{name}")')}
     finally:
         con.close()
 
+    # declared SQLite type drives the Spark type (SQLite stores
+    # BOOLEAN as 0/1 integers — value probing alone can't see it);
+    # typeless columns fall back to value probing
+    fields, bool_idx = [], set()
+    for j, cname in enumerate(cols):
+        if j == gidx:
+            continue
+        d = decl.get(cname, "")
+        if "BOOL" in d:
+            t = T.BooleanType()
+            bool_idx.add(j)
+        elif "INT" in d:
+            t = T.LongType()
+        elif d in ("REAL", "DOUBLE", "FLOAT") or "REAL" in d:
+            t = T.DoubleType()
+        elif "BLOB" in d:
+            t = T.BinaryType()
+        elif "CHAR" in d or "TEXT" in d or "CLOB" in d:
+            t = T.StringType()
+        else:
+            sample = next((r[j] for r in raw if r[j] is not None), None)
+            if isinstance(sample, bool):
+                t = T.BooleanType()
+                bool_idx.add(j)
+            elif isinstance(sample, int):
+                t = T.LongType()
+            elif isinstance(sample, float):
+                t = T.DoubleType()
+            elif isinstance(sample, (bytes, bytearray)):
+                t = T.BinaryType()
+            else:
+                t = T.StringType()
+        fields.append(T.StructField(cname, t))
+
     data = []
     for i, r in enumerate(raw):
-        attrs = tuple(v for j, v in enumerate(r) if j != gidx)
+        attrs = tuple(
+            (bool(v) if j in bool_idx and v is not None else v)
+            for j, v in enumerate(r) if j != gidx)
         g = rg.geom(i)
         if g[0] == MISSING:
             cell = None
@@ -293,23 +331,6 @@ def read_geopackage(spark: SparkSession, path: str, layer: str = None,
                     [float(v) for v in ys],
                     [int(v) for v in rings], [int(v) for v in parts])
         data.append(attrs + (cell,))
-
-    fields = []
-    for j, cname in enumerate(cols):
-        if j == gidx:
-            continue
-        sample = next((r[j] for r in raw if r[j] is not None), None)
-        if isinstance(sample, bool):
-            t = T.BooleanType()
-        elif isinstance(sample, int):
-            t = T.LongType()
-        elif isinstance(sample, float):
-            t = T.DoubleType()
-        elif isinstance(sample, (bytes, bytearray)):
-            t = T.BinaryType()
-        else:
-            t = T.StringType()
-        fields.append(T.StructField(cname, t))
     fields.append(T.StructField(geometry_column, GEOM_TYPE))
     df = spark.createDataFrame(data, T.StructType(fields))
     return GeoDataFrame(df, geometry_column, file_crs)

@@ -117,8 +117,9 @@ def test_gpkg_blob_variants(spark, tmp_path):
                 ("be", blob_env))
     con.commit()
     con.close()
-    back = read_geopackage(spark, path)
-    r = back.df.select("tag", st.x("geom").alias("x"),
-                       st.y("geom").alias("y")).collect()[0]
+    back = read_geopackage(spark, path)      # geometry renamed to the
+    assert back.geometry_column == "geometry"  # engine default
+    r = back.df.select("tag", st.x("geometry").alias("x"),
+                       st.y("geometry").alias("y")).collect()[0]
     assert r.tag == "be" and (r.x, r.y) == (7.0, 8.0)
     assert back.crs == "EPSG:4326"
