@@ -342,10 +342,11 @@ def main():
           f"{n_vec2 / dt / 1e6:.2f}M vecs/s", flush=True)
 
     # bloom build at 1e8 keys at PRODUCTION sizing (2^30 bits = 10.7
-    # bits/key, 128 MiB filter): per-partition numpy partials (one
-    # binary blob each, zero shuffle) fold through treeReduce — the
-    # driver receives ONE 128 MiB array, not #partitions of them
-    # (r7's flat driver OR would have collected par x 128 MiB here)
+    # bits/key, 128 MiB filter): per-partition numpy partials emit as
+    # <=4 MiB chunk rows and OR-combine via reduceByKey on the chunk
+    # id — the driver receives each filter region once (r7's flat
+    # driver OR would have collected par x 128 MiB here; whole-partial
+    # tree reduction OOMed the single local JVM)
     from arctic_spark import relational as rel
     n_keys = max(n_points * 20, 100_000_000)
     keys = spark.range(n_keys).repartition(par) \
@@ -356,9 +357,9 @@ def main():
     import numpy as _np
     fill = float(_np.unpackbits(
         _np.asarray(bloom[:65536], dtype=_np.int64).view(_np.uint8)).mean())
-    print(f"bloom build {n_keys:,} keys (2^30 bits, treeReduce): "
-          f"{dt:.1f}s, fill {fill:.2f}, {n_keys / dt / 1e6:.1f}M keys/s",
-          flush=True)
+    print(f"bloom build {n_keys:,} keys (2^30 bits, chunked "
+          f"reduceByKey): {dt:.1f}s, fill {fill:.2f}, "
+          f"{n_keys / dt / 1e6:.1f}M keys/s", flush=True)
 
     # PQ-ADC top-k over 5M x 64-d vectors (r8): corpus encodes to m=8
     # code ids (native argmin), IVF coarse quantizer gates candidates
