@@ -271,6 +271,12 @@ def train_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
 
 
 def _centroid_dist2(vec, centroid):
+    """||vec − literal centroid||² — zip_with against the literal
+    centroid array + one aggregate. NOTE (r8, measured): do NOT unroll
+    this into scalar element_at chains — the argmin parent
+    (array_sort) is CodegenFallback, so the whole subtree evaluates
+    interpreted, where a HOF's tight internal array loop beats
+    thousands of boxed scalar node evals ~2.5×."""
     return F.aggregate(
         F.zip_with(_c(vec), F.array(*[F.lit(float(w)) for w in centroid]),
                    lambda x, w: (x.cast("double") - w)
@@ -375,14 +381,24 @@ def _books_key(codebooks):
     return tuple(tuple(tuple(c) for c in book) for book in codebooks)
 
 
-def _subvec_dist2(vec, j, dsub, centroid):
-    """Squared L2 between vec[j*dsub:(j+1)*dsub] and a literal centroid."""
-    sub = F.slice(_c(vec), j * dsub + 1, dsub)
+def _vec_dist2(sub, centroid):
+    """Squared L2 between an already-bound subvector Column and a
+    literal centroid (see _centroid_dist2's note on why this stays a
+    HOF loop rather than unrolled scalars)."""
     return F.aggregate(
         F.zip_with(sub, F.array(*[F.lit(float(w)) for w in centroid]),
                    lambda x, w: (x.cast("double") - w)
                    * (x.cast("double") - w)),
         F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _subvec_dist2(vec, j, dsub, centroid):
+    """Squared L2 between vec[j*dsub:(j+1)*dsub] and a literal
+    centroid. Callers scoring MANY centroids against the same
+    subspace should slice once and use :func:`_vec_dist2` (pq_encode
+    and pq_lut do — the r7 shape re-sliced per centroid, 16 slices
+    per subspace per row)."""
+    return _vec_dist2(F.slice(_c(vec), j * dsub + 1, dsub), centroid)
 
 
 def pq_encode(vec, codebooks) -> Column:
@@ -393,16 +409,24 @@ def pq_encode(vec, codebooks) -> Column:
     shuffle."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    from ..functions.native import _let
 
     def build():
-        codes = []
-        for j in range(m):
-            scored = F.array(*[
-                F.struct(_subvec_dist2(vec, j, dsub, c).alias("d"),
-                         F.lit(i).alias("i"))
-                for i, c in enumerate(codebooks[j])])
-            codes.append(F.element_at(F.array_sort(scored), 1)["i"])
-        return F.array(*codes)
+        # NB: _let rides F.transform, which feeds the ARRAY INDEX to
+        # two-parameter lambdas — the per-subspace binder must stay
+        # unary, so j binds through a factory closure
+        def argmin_for(book):
+            def one(sub):
+                scored = F.array(*[
+                    F.struct(_vec_dist2(sub, c).alias("d"),
+                             F.lit(i).alias("i"))
+                    for i, c in enumerate(book)])
+                return F.element_at(F.array_sort(scored), 1)["i"]
+            return one
+        return F.array(*[
+            _let(F.slice(_c(vec), j * dsub + 1, dsub),
+                 argmin_for(codebooks[j]))
+            for j in range(m)])
     if isinstance(vec, str):
         from ..functions.native import memo_col
         return memo_col(("pq_encode", vec, _books_key(codebooks)), build)
@@ -415,12 +439,15 @@ def pq_lut(vec, codebooks) -> Column:
     query row; scoring a candidate is then m array lookups."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    from ..functions.native import _let
 
     def build():
-        return F.array(*[
-            F.array(*[_subvec_dist2(vec, j, dsub, c)
-                      for c in codebooks[j]])
-            for j in range(m)])
+        def one(j):
+            return _let(
+                F.slice(_c(vec), j * dsub + 1, dsub),
+                lambda sub: F.array(*[_vec_dist2(sub, c)
+                                      for c in codebooks[j]]))
+        return F.array(*[one(j) for j in range(m)])
     if isinstance(vec, str):
         from ..functions.native import memo_col
         return memo_col(("pq_lut", vec, _books_key(codebooks)), build)
