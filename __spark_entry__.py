@@ -1384,6 +1384,37 @@ def geo_overlay_union(spark, sf):
                  F.coalesce(F.col("s_suppkey"), F.lit(-1))))
 
 
+def io_gpkg_roundtrip(spark, sf):
+    """GDAL-free OGC GeoPackage write → read round trip as a
+    driver-gated query (round 8; io.write_geopackage /
+    read_geopackage over stdlib sqlite3 + the engine's WKB codec):
+    nation rows become axis rects, travel through a real .gpkg file
+    (GP blobs, spec metadata tables) and come back; area/centroid of
+    the decoded geometry are closed forms of the key, so the oracle
+    value-checks the whole encode→decode path, not just row
+    plumbing."""
+    import os
+    import tempfile
+    from arctic_spark import io as aio
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    x = (k % 5).cast("double") * 3.0
+    y = (k % 3).cast("double") * 2.0
+    gdf = GeoDataFrame(n.select(
+        "n_nationkey", "n_name",
+        st.make_envelope(x, y, x + 2.0, y + 1.5).alias("geometry")))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"arctic_gpkg_rt_{os.getpid()}.gpkg")
+    aio.write_geopackage(gdf, path, layer="nations")
+    back = aio.read_geopackage(spark, path)
+    return (back.df.select(
+        "n_nationkey", "n_name",
+        F.round(st.area("geometry"), 6).alias("area"),
+        F.round(st.x(st.centroid("geometry")), 6).alias("cx"),
+        F.round(st.y(st.centroid("geometry")), 6).alias("cy"))
+        .orderBy("n_nationkey"))
+
+
 def geo_delaunay(spark, sf):
     """Delaunay triangulation (Bowyer–Watson UDF) with combinatorial +
     measure-theoretic closed forms: a trapezoid hull (4 non-cocircular
@@ -2861,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": text_readability,
         "text_bpe_train": text_bpe_train,
         "geo_overlay_union": geo_overlay_union,
+        "io_gpkg_roundtrip": io_gpkg_roundtrip,
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
         "q18_large_orders": q18_large_orders,
@@ -4680,6 +4712,15 @@ def oracle_sql() -> dict[str, str]:
                             ELSE CAST(2.56 AS DOUBLE) END
                 FROM sg)
             ORDER BY coalesce(c_custkey, -1), coalesce(s_suppkey, -1)
+        """,
+        # gpkg round trip: rect geometry is a closed form of the key,
+        # so the oracle replays area/centroid directly from nation
+        "io_gpkg_roundtrip": """
+            SELECT n_nationkey, n_name,
+                   CAST(3.0 AS DOUBLE) AS area,
+                   round((n_nationkey % 5) * 3.0 + 1.0, 6) AS cx,
+                   round((n_nationkey % 3) * 2.0 + 0.75, 6) AS cy
+            FROM nation ORDER BY n_nationkey
         """,
         "geo_zorder_keys": """
             WITH pts AS (

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "text_classify_quality",
     # round 8
     "geo_overlay_union",
+    "io_gpkg_roundtrip",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",
