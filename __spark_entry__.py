@@ -1384,6 +1384,31 @@ def geo_overlay_union(spark, sf):
                  F.coalesce(F.col("s_suppkey"), F.lit(-1))))
 
 
+def dsir_select_docs(spark, sf):
+    """DSIR data selection (llm/pipeline, round 8; Xie et al. 2023,
+    arXiv:2302.03169): raw documents importance-resampled toward a
+    target domain (here the doc_id % 10 == 0 subset) under hashed
+    unigram+bigram bag models with add-one smoothing, sampled without
+    replacement via deterministic Gumbel-top-k (md5 uniforms). Both
+    bucket LMs are one shuffle and broadcast as a 256-row log-ratio
+    table; the oracle replays tokenization, md5 bucketing, both LMs,
+    the per-doc weight fold and the exact Gumbel keys, value-checking
+    the selected set. Weights/keys emitted as BIGINT micro-units (the
+    r8 hash-robustness convention for float outputs)."""
+    from arctic_spark.llm import pipeline
+    d = _t(spark, sf, "documents")
+    target = d.where(F.col("doc_id") % 10 == 0)
+    out = pipeline.dsir_select(d, target, k=40, buckets=256, seed="r8")
+    return (out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_feat"),
+        F.round(F.col("logw") * F.lit(1e6), 0).cast("long")
+        .alias("logw_u"),
+        F.round(F.col("key") * F.lit(1e6), 0).cast("long")
+        .alias("key_u"))
+        .orderBy("doc_id"))
+
+
 def io_gpkg_roundtrip(spark, sf):
     """GDAL-free OGC GeoPackage write → read round trip as a
     driver-gated query (round 8; io.write_geopackage /
@@ -2893,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": text_bpe_train,
         "geo_overlay_union": geo_overlay_union,
         "io_gpkg_roundtrip": io_gpkg_roundtrip,
+        "dsir_select": dsir_select_docs,
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
         "q18_large_orders": q18_large_orders,
@@ -4712,6 +4738,65 @@ def oracle_sql() -> dict[str, str]:
                             ELSE CAST(2.56 AS DOUBLE) END
                 FROM sg)
             ORDER BY coalesce(c_custkey, -1), coalesce(s_suppkey, -1)
+        """,
+        # DSIR: full replay — tokenization, md5 bucketing, both add-one
+        # bucket LMs, the per-doc weight fold, and the exact Gumbel keys
+        "dsir_select": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-zA-Z0-9]+'),
+                                   w -> length(w) > 0) AS w
+                FROM documents),
+            feats AS (
+                SELECT doc_id, unnest(
+                    list_concat(w, CASE WHEN len(w) >= 2 THEN
+                        list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])
+                        ELSE [] END)) AS f
+                FROM toks),
+            fb AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(f), 1, 8))
+                            AS BIGINT) % 256 AS bucket
+                FROM feats),
+            rc AS (SELECT bucket, count(*) AS c FROM fb GROUP BY bucket),
+            tc AS (SELECT bucket, count(*) AS c FROM fb
+                   WHERE doc_id % 10 = 0 GROUP BY bucket),
+            rn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n
+                   FROM rc),
+            tn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n
+                   FROM tc),
+            ratio AS (
+                SELECT b.bucket,
+                       ln((coalesce(tc.c, 0) + 1.0)
+                          / ((SELECT n FROM tn) + 256.0))
+                     - ln((coalesce(rc.c, 0) + 1.0)
+                          / ((SELECT n FROM rn) + 256.0)) AS logr
+                FROM (SELECT unnest(range(0, 256)) AS bucket) b
+                LEFT JOIN rc ON rc.bucket = b.bucket
+                LEFT JOIN tc ON tc.bucket = b.bucket),
+            pdc AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb
+                    GROUP BY doc_id, bucket),
+            w AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feat,
+                       sum(cnt * logr) AS logw
+                FROM pdc JOIN ratio USING (bucket) GROUP BY doc_id),
+            keyed AS (
+                SELECT doc_id, n_feat, logw,
+                       logw + (-ln(-ln(
+                           (CAST(concat('0x', substr(md5(
+                                CAST(doc_id AS VARCHAR) || 'r8'),
+                                1, 8)) AS BIGINT) + 0.5)
+                           / 4294967296.0))) AS key
+                FROM w),
+            sel AS (
+                SELECT * FROM keyed
+                ORDER BY round(key, 9) DESC, doc_id LIMIT 40)
+            SELECT doc_id, n_feat,
+                   CAST(round(logw * 1e6) AS BIGINT) AS logw_u,
+                   CAST(round(key * 1e6) AS BIGINT) AS key_u
+            FROM sel ORDER BY doc_id
         """,
         # gpkg round trip: rect geometry is a closed form of the key,
         # so the oracle replays area/centroid directly from nation

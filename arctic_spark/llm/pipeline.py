@@ -631,3 +631,99 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 40, text_col="text",
     top-k before the single-partition merge."""
     return (ngram_counts(df, n, text_col, lowercase)
             .orderBy(F.desc("n"), F.asc("ngram")).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+# feature distribution looks like a TARGET domain, by importance weight
+# p_target(features)/p_raw(features) under bag-of-hashed-n-grams models,
+# sampled without replacement via the Gumbel-top-k trick (public
+# folklore; see e.g. Vieira 2014). The standard pretraining-data
+# curation step between raw crawl and domain-tuned corpus.
+# ---------------------------------------------------------------------------
+
+def dsir_features(text_col="text", buckets: int = 1024) -> Column:
+    """array<long> of hashed unigram+bigram feature buckets for one
+    document (multiplicity kept — DSIR's features are bag counts).
+    md5-based bucketing (the engine's portable 32-bit primitive, same
+    as llm.classify) so any SQL oracle replays it bit-for-bit."""
+    from .classify import token_bucket
+    from .text import _word_ngrams
+    from ..functions.native import _let
+
+    def build(toks):
+        feats = F.concat(toks, _word_ngrams(toks, 2))
+        return F.transform(feats,
+                           lambda t: token_bucket(t, buckets))
+    return _let(word_tokens(text_col), build)
+
+
+def _dsir_bucket_logp(df: DataFrame, text_col: str, buckets: int,
+                      feats: Column) -> DataFrame:
+    """(bucket, logp) over ALL ``buckets`` ids: add-one-smoothed hashed
+    feature distribution, log((c_b + 1) / (N + B)). One shuffle on the
+    bucket id; the total rides a broadcast 1-row aggregate."""
+    spark = df.sparkSession
+    allb = spark.range(buckets).select(F.col("id").alias("bucket"))
+    cnt = (df.select(F.explode(feats).alias("bucket"))
+           .groupBy("bucket").agg(F.count("*").alias("c")))
+    tot = cnt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("N"))
+    return (allb.join(cnt, "bucket", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                          / (F.col("N") + F.lit(float(buckets))))
+                    .alias("logp")))
+
+
+def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
+                     id_col="doc_id", text_col="text",
+                     buckets: int = 1024) -> DataFrame:
+    """(id, n_feat, logw): per-raw-document importance log-weight
+    Σ_b cnt_b · (log p_target(b) − log p_raw(b)).
+
+    Scale shape: both bucket LMs are ONE shuffle each on the bucket id
+    and are exactly ``buckets`` rows, so the log-ratio table broadcasts;
+    per-doc bucket counts shuffle on (id, bucket) with map-side
+    partials, then one shuffle on the id folds the weight. Documents
+    with no features (empty after tokenization) have no weight and
+    cannot be selected."""
+    feats = dsir_features(text_col, buckets)
+    ratio = (_dsir_bucket_logp(target_df, text_col, buckets, feats)
+             .withColumnRenamed("logp", "logp_t")
+             .join(_dsir_bucket_logp(raw_df, text_col, buckets, feats),
+                   "bucket")
+             .select("bucket",
+                     (F.col("logp_t") - F.col("logp")).alias("logr")))
+    percount = (raw_df.select(F.col(id_col).alias("id"),
+                              F.explode(feats).alias("bucket"))
+                .groupBy("id", "bucket").agg(F.count("*").alias("cnt")))
+    return (percount.join(F.broadcast(ratio), "bucket")
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("n_feat"),
+                 F.sum(F.col("cnt") * F.col("logr")).alias("logw")))
+
+
+def dsir_select(raw_df: DataFrame, target_df: DataFrame, k: int,
+                id_col="doc_id", text_col="text", buckets: int = 1024,
+                seed: str = "dsir") -> DataFrame:
+    """Importance-resample ``k`` raw documents toward the target
+    domain: Gumbel-top-k over the log-weights — key = logw + G where
+    G = −log(−log(u)) and u is a deterministic md5-uniform of
+    (id, seed), which samples without replacement with probability
+    ∝ exp(logw) (the Gumbel-max trick). Fully deterministic given the
+    seed, so an oracle replays the exact selected set; ranking
+    quantizes the key to 9 decimals with an id tie-break so a
+    cross-engine log() ulp cannot reorder the cut. Returns (id,
+    n_feat, logw, key), the selected k."""
+    w = dsir_log_weights(raw_df, target_df, id_col, text_col, buckets)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(seed))),
+        1, 8), 16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.col("logw") + (-F.log(-F.log(u)))
+    return (w.withColumn("key", key)
+            .orderBy(F.round(F.col("key"), 9).desc(),
+                     F.col("id").asc())
+            .limit(int(k)))

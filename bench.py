@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     # round 8
     "geo_overlay_union",
     "io_gpkg_roundtrip",
+    "dsir_select",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",

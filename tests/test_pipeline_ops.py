@@ -352,3 +352,59 @@ def test_bm25_rare_term_beats_common(spark):
                               "query_id long, query_text string")
     out = pipeline.bm25_topk(corpus, q, k=3).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 3
+
+
+# -- DSIR (Xie 2023) ---------------------------------------------------------
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing the target domain's vocabulary must carry higher
+    importance log-weights than off-domain docs."""
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta"),       # target-like
+         (2, "alpha beta gamma beta alpha gamma"),  # target-like
+         (3, "zulu yankee xray whiskey victor"),    # off-domain
+         (4, "zulu zulu yankee yankee xray")],      # off-domain
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha gamma beta alpha")],
+        "doc_id long, text string")
+    w = {r.id: r.logw for r in pipeline.dsir_log_weights(
+        raw, target, buckets=64).collect()}
+    assert min(w[1], w[2]) > max(w[3], w[4])
+    # per-doc feature counts: unigrams + bigrams, multiplicity kept
+    nf = {r.id: r.n_feat for r in pipeline.dsir_log_weights(
+        raw, target, buckets=64).collect()}
+    assert nf[1] == 5 + 4 and nf[3] == 5 + 4
+
+
+def test_dsir_select_deterministic_and_weighted(spark):
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 == 0 else
+          "zulu yankee xray") for i in range(40)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma beta alpha")],
+        "doc_id long, text string")
+    sel1 = sorted(r.id for r in pipeline.dsir_select(
+        raw, target, k=10, buckets=64, seed="t").collect())
+    sel2 = sorted(r.id for r in pipeline.dsir_select(
+        raw, target, k=10, buckets=64, seed="t").collect())
+    assert sel1 == sel2 and len(sel1) == 10       # deterministic
+    # the on-domain half dominates the Gumbel-top-k draw: the weight
+    # gap (orders of magnitude in logw) swamps Gumbel noise
+    assert sum(1 for i in sel1 if i % 2 == 0) >= 9
+    sel3 = sorted(r.id for r in pipeline.dsir_select(
+        raw, target, k=10, buckets=64, seed="other").collect())
+    assert sel3 != sel1 or True  # different seed may differ; no crash
+
+
+def test_dsir_empty_docs_excluded(spark):
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(9, "alpha beta alpha")], "doc_id long, text string")
+    w = pipeline.dsir_log_weights(raw, target, buckets=32).collect()
+    assert {r.id for r in w} == {1}
+    sel = pipeline.dsir_select(raw, target, k=5, buckets=32).collect()
+    assert [r.id for r in sel] == [1]
