@@ -1440,6 +1440,39 @@ def io_gpkg_roundtrip(spark, sf):
         .orderBy("n_nationkey"))
 
 
+def io_fgb_roundtrip(spark, sf):
+    """GDAL-free FlatGeobuf write → read round trip as a driver-gated
+    query (round 8; io.write_flatgeobuf / read_flatgeobuf over the
+    engine's own FlatBuffers wire codec + WKB codec, geom/fgb.py;
+    format per the public spec at flatgeobuf.org — the reference
+    reaches .fgb only through GDAL, io/file.py:15-119): nation rows
+    become axis rects shifted off the gpkg grid, travel through a
+    real .fgb file (magic bytes, Header flatbuffer, size-prefixed
+    Feature flatbuffers) and come back; area/centroid of the decoded
+    geometry are closed forms of the key, so the oracle value-checks
+    the whole encode→decode path, not just row plumbing."""
+    import os
+    import tempfile
+    from arctic_spark import io as aio
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    x = (k % 7).cast("double") * 2.5
+    y = (k % 4).cast("double") * 1.5
+    gdf = GeoDataFrame(n.select(
+        "n_nationkey", "n_name",
+        st.make_envelope(x, y, x + 3.0, y + 0.5).alias("geometry")))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"arctic_fgb_rt_{os.getpid()}.fgb")
+    aio.write_flatgeobuf(gdf, path, name="nations")
+    back = aio.read_flatgeobuf(spark, path)
+    return (back.df.select(
+        "n_nationkey", "n_name",
+        F.round(st.area("geometry"), 6).alias("area"),
+        F.round(st.x(st.centroid("geometry")), 6).alias("cx"),
+        F.round(st.y(st.centroid("geometry")), 6).alias("cy"))
+        .orderBy("n_nationkey"))
+
+
 def geo_delaunay(spark, sf):
     """Delaunay triangulation (Bowyer–Watson UDF) with combinatorial +
     measure-theoretic closed forms: a trapezoid hull (4 non-cocircular
@@ -2918,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": text_bpe_train,
         "geo_overlay_union": geo_overlay_union,
         "io_gpkg_roundtrip": io_gpkg_roundtrip,
+        "io_fgb_roundtrip": io_fgb_roundtrip,
         "dsir_select": dsir_select_docs,
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
@@ -4805,6 +4839,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3.0 AS DOUBLE) AS area,
                    round((n_nationkey % 5) * 3.0 + 1.0, 6) AS cx,
                    round((n_nationkey % 3) * 2.0 + 0.75, 6) AS cy
+            FROM nation ORDER BY n_nationkey
+        """,
+        "io_fgb_roundtrip": """
+            SELECT n_nationkey, n_name,
+                   CAST(1.5 AS DOUBLE) AS area,
+                   round((n_nationkey % 7) * 2.5 + 1.5, 6) AS cx,
+                   round((n_nationkey % 4) * 1.5 + 0.25, 6) AS cy
             FROM nation ORDER BY n_nationkey
         """,
         "geo_zorder_keys": """

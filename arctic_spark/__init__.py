@@ -57,7 +57,8 @@ def __getattr__(name):
     if name in ("write_bucketed", "write_geoparquet", "read_geoparquet",
                 "from_wkt_df", "read_geojson", "write_geojson",
                 "read_shapefile", "read_geopackage",
-                "write_geopackage", "read_file"):
+                "write_geopackage", "read_flatgeobuf",
+                "write_flatgeobuf", "read_file"):
         from . import io
         return getattr(io, name)
     raise AttributeError(name)
@@ -74,4 +75,5 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "to_pandas_wkb", "write_bucketed", "write_geoparquet",
            "read_geoparquet", "from_wkt_df", "read_geojson",
            "write_geojson", "read_shapefile", "read_geopackage",
-           "write_geopackage", "read_file"]
+           "write_geopackage", "read_flatgeobuf", "write_flatgeobuf",
+           "read_file"]

@@ -428,6 +428,148 @@ def write_geopackage(gdf: GeoDataFrame, path: str, layer: str = "layer",
     assert os.path.exists(path)
 
 
+def read_flatgeobuf(spark: SparkSession, path: str,
+                    geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                    crs=None) -> GeoDataFrame:
+    """FlatGeobuf reader, GDAL-free (the package's own FlatBuffers +
+    WKB codecs; format per the public spec — see ``geom/fgb.py``).
+    The reference reaches .fgb only through GDAL/pyogrio
+    (io/file.py:15-119).
+
+    CRS comes from the header's Crs table unless overridden. A
+    packed-Hilbert-R-tree index block, when present, is skipped (its
+    size is derivable from the header). Ingest is driver-side like
+    :func:`read_shapefile` — features are size-prefixed records with
+    no sync markers, so a .fgb is not block-splittable without its
+    index; the distributed path is to convert to (Geo)Parquet once
+    via ``write_geoparquet`` and scan that."""
+    from .geom import fgb as _f
+    from .geom import wkb as _wkb
+    from .geom.ragged import MISSING
+    from pyspark.sql import types as T
+    from .sparktypes import GEOM_TYPE
+
+    with open(path, "rb") as fh:
+        meta, feats = _f.read_fgb(fh.read())
+
+    rg = _wkb.decode([w for w, _ in feats])
+    if crs is None and meta["crs"]:
+        crs = f"{meta['crs'][0]}:{meta['crs'][1]}"
+    file_crs = crs or DEFAULT_CRS
+
+    def spark_type(ct):
+        if ct == _f.CT_BOOL:
+            return T.BooleanType()
+        if ct in (_f.CT_BYTE, _f.CT_UBYTE, _f.CT_SHORT, _f.CT_USHORT,
+                  _f.CT_INT, _f.CT_UINT, _f.CT_LONG, _f.CT_ULONG):
+            return T.LongType()
+        if ct in (_f.CT_FLOAT, _f.CT_DOUBLE):
+            return T.DoubleType()
+        if ct == _f.CT_BINARY:
+            return T.BinaryType()
+        return T.StringType()
+
+    fields = [T.StructField(n, spark_type(ct))
+              for n, ct in meta["columns"]]
+    names = [n for n, _ in meta["columns"]]
+    int_cols = {n for n, ct in meta["columns"]
+                if ct in (_f.CT_BYTE, _f.CT_UBYTE, _f.CT_SHORT,
+                          _f.CT_USHORT, _f.CT_INT, _f.CT_UINT,
+                          _f.CT_LONG, _f.CT_ULONG)}
+    dbl_cols = {n for n, ct in meta["columns"]
+                if ct in (_f.CT_FLOAT, _f.CT_DOUBLE)}
+    data = []
+    for i, (_, props) in enumerate(feats):
+        attrs = []
+        for n in names:
+            v = props.get(n)
+            if v is not None and n in int_cols:
+                v = int(v)
+            elif v is not None and n in dbl_cols:
+                v = float(v)
+            attrs.append(v)
+        g = rg.geom(i)
+        if g[0] == MISSING:
+            cell = None
+        else:
+            gt, xs, ys, rings, parts = g
+            cell = (int(gt), [float(v) for v in xs],
+                    [float(v) for v in ys],
+                    [int(v) for v in rings], [int(v) for v in parts])
+        data.append(tuple(attrs) + (cell,))
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    df = spark.createDataFrame(data, T.StructType(fields))
+    return GeoDataFrame(df, geometry_column, file_crs)
+
+
+def write_flatgeobuf(gdf: GeoDataFrame, path: str, name: str = "layer",
+                     mode: str = "overwrite") -> None:
+    """FlatGeobuf writer (the package's own FlatBuffers builder —
+    ``geom/fgb.py``): magic bytes, Header flatbuffer (name, geometry
+    type, columns, features_count, crs), then one size-prefixed
+    Feature flatbuffer per row. ``index_node_size=0`` (no spatial
+    index — legal per spec). Output is driver-side (``collect``) —
+    for BOUNDED exports (results, samples, fixtures); bulk data
+    belongs in :func:`write_geoparquet`. The header geometry type is
+    the common type when the layer is uniform, else Unknown with
+    per-feature types."""
+    import os
+    from .geom import fgb as _f
+    from pyspark.sql import types as T
+
+    if mode != "overwrite" and os.path.exists(path):
+        raise ValueError(f"{path} exists (mode={mode!r})")
+    df, gcol = gdf.df, gdf.geometry_column
+
+    def col_type(f):
+        if isinstance(f.dataType, T.BooleanType):
+            return _f.CT_BOOL
+        if isinstance(f.dataType, (T.LongType, T.IntegerType,
+                                   T.ShortType, T.ByteType)):
+            return _f.CT_LONG
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            return _f.CT_DOUBLE
+        if isinstance(f.dataType, T.BinaryType):
+            return _f.CT_BINARY
+        return _f.CT_STRING
+
+    attrs = [f for f in df.schema.fields if f.name != gcol]
+    columns = [(f.name, col_type(f)) for f in attrs]
+    str_cols = {f.name for f in attrs
+                if col_type(f) == _f.CT_STRING
+                and not isinstance(f.dataType, T.StringType)}
+
+    # ragged ids → FGB ids (point 0→1 etc); uniform layer → typed header
+    rows = df.collect()
+    fgb_rows = []
+    gts = set()
+    for r in rows:
+        g = r[gcol]
+        if g is None or g["gt"] is None:
+            cell = None
+        else:
+            cell = (int(g["gt"]), [float(v) for v in g["xs"]],
+                    [float(v) for v in g["ys"]],
+                    [int(v) for v in g["rings"]],
+                    [int(v) for v in g["parts"]])
+            gts.add(_f._RAGGED_TO_FGB.get(int(g["gt"]), 0))
+        vals = [str(r[f.name]) if f.name in str_cols
+                and r[f.name] is not None else r[f.name] for f in attrs]
+        fgb_rows.append((cell, vals))
+    header_gt = gts.pop() if len(gts) == 1 else _f.GT_UNKNOWN
+
+    crs = (gdf.crs or "").upper()
+    crs_tuple = None
+    if ":" in crs:
+        org, _, num = crs.partition(":")
+        if num.isdigit():
+            crs_tuple = (org, int(num))
+    blob = _f.write_fgb(name, columns, fgb_rows,
+                        geometry_type=header_gt, crs=crs_tuple)
+    with open(path, "wb") as fh:
+        fh.write(blob)
+
+
 def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
     """Vector-file read (reference read_file, io/file.py:15-119).
 
@@ -443,6 +585,8 @@ def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
             return read_shapefile(spark, path)
         if low.endswith(".gpkg"):
             return read_geopackage(spark, path)
+        if low.endswith(".fgb"):
+            return read_flatgeobuf(spark, path)
         if low.endswith((".geojson", ".json")):
             return read_geojson(spark, path)
         if low.endswith((".geojsonl", ".ndjson", ".geojsons")):
