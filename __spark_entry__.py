@@ -2082,44 +2082,28 @@ def dedup_semantic(spark, sf):
     survivor rule exactly in SQL; production swaps in k-means centroids
     (train_ivf_centroids) with the identical plan shape.
 
-    r8 plan fix (the r7 driver-bench regression): the assignment
-    projection is computed ONCE and persisted — the old shape ran the
-    interpreted ivf_assign expression five times (both sides of the
-    pair join, again both inside semdedup()'s recomputed pairs, plus
-    the members scan), and the survivor total is now the arithmetic
-    identity sum(members) − sum(dropped) (per-cluster dropped sets are
-    disjoint since a vector lives in exactly one cluster), dropping
-    the second pair join entirely. Same values, same oracle. The
-    semdedup()/semdedup_pairs() library surface is unchanged and stays
+    r8 plan (second iteration): semdedup_stats — the within-cluster
+    pair join (250k interpreted HOF cosines at sf0.1, plus the pair
+    shuffle) is replaced by ONE BLAS gram matrix per cluster inside
+    applyInPandas; the only shuffle left is the O(n) groupBy on the
+    cluster id. The survivor total is the arithmetic identity
+    sum(members) − sum(dropped) (per-cluster dropped sets are disjoint
+    since a vector lives in exactly one cluster). Values are unchanged
+    (gemm-vs-fold float noise ~1e-15 against data threshold margins
+    >= 8e-6; oracle identical). semdedup()/semdedup_pairs() stay
     covered by tests."""
     from pyspark import StorageLevel
     from arctic_spark.cache import pin
     em = _t(spark, sf, "embeddings")
     cents = similarity.seed_centroids(em, 8)
-    assigned = (em.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("__v"),
-        F.element_at(similarity.ivf_assign(F.col("embedding"), cents, 1),
-                     1).alias("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    a = assigned.select("cluster", F.col("id").alias("id_a"),
-                        F.col("__v").alias("__va"))
-    b = assigned.select("cluster", F.col("id").alias("id_b"),
-                        F.col("__v").alias("__vb"))
-    pairs = (a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim", similarity.cosine("__va", "__vb"))
-             .where(F.col("cos_sim") >= 0.35))
-    members = assigned.groupBy("cluster") \
-        .agg(F.count("*").alias("n_members"))
-    dropped = (pairs.select("cluster", "id_b").distinct()
-               .groupBy("cluster").agg(F.count("*").alias("n_dropped")))
-    stats = (members.join(dropped, "cluster", "left")
-             .withColumn("n_dropped", F.coalesce("n_dropped", F.lit(0))))
+    stats = similarity.semdedup_stats(
+        em, cents, threshold=0.35).persist(StorageLevel.MEMORY_AND_DISK)
     tot = stats.agg((F.sum("n_members") - F.sum("n_dropped")).alias("c"))
     out = (stats.join(F.broadcast(tot))
            .select("cluster", "n_members", "n_dropped",
                    F.col("c").alias("n_survivors_total"))
            .orderBy("cluster"))
-    return pin(out, assigned)
+    return pin(out, stats)
 
 
 def _clf_fixed_weights(dims=64):

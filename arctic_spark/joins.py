@@ -703,6 +703,11 @@ def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
                           predicate="intersects",
                           lsuffix=lsuffix, rsuffix=rsuffix, **join_kw)
         sjdf = sj.df.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize NOW: the composed plan unions three branches that
+        # all read sjdf, and a lazy persist lets their concurrent tasks
+        # each recompute the join before the cache fills (measured 3x
+        # the join cost at r8) — one bounded action pins it first
+        sjdf.count()
         lg, rg = gl + lsuffix, gr + rsuffix
         parts = []
         if how != "symmetric_difference":

@@ -21,6 +21,7 @@ broadcast table.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -99,13 +100,40 @@ def pca(df: DataFrame, vec_col: str = "embedding", k: int = 2,
 
 
 def project(df: DataFrame, mean, components, vec_col: str = "embedding",
-            out_col: str = "pc") -> DataFrame:
+            out_col: str = "pc", method: str = "arrow") -> DataFrame:
     """Add ``out_col`` = array<double> of PCA scores
-    ``components @ (x - mean)``. The mean and components are plan
-    literals: the whole projection is native zip_with/aggregate
-    expressions inside whole-stage codegen — zero Python, zero
-    shuffle."""
+    ``components @ (x - mean)``. Zero shuffle either way; two
+    execution strategies:
+
+    - ``method='arrow'`` (default): ONE vectorized pandas UDF — each
+      Arrow batch is a single BLAS gemm ``(X - mean) @ C.T``. Spark's
+      array HOFs do not participate in whole-stage codegen (they are
+      interpreted), so for k x d literal dot products the Arrow gemm
+      is the fast path at every scale (r8: the k=64, d=64 gate spent
+      ~5.5 s/pass analyzing + interpreting a 4096-literal expression
+      tree over 2000 rows; the gemm is <0.5 s). Gemm pairwise
+      summation differs from the fold's sequential order by ~1e-15
+      relative — callers that compare against an exact replay should
+      round (the gates round to 4).
+    - ``method='native'``: mean and components ride the plan as
+      literals and the projection is pure zip_with/aggregate
+      expressions — zero Python processes, SQL-replayable shape.
+    """
     mean = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(components, dtype=np.float64)
+    if method == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def _proj(col: pd.Series) -> pd.Series:
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in col])
+            if len(x) == 0:
+                return pd.Series([], dtype=object)
+            s = (x - mean) @ comps.T
+            return pd.Series(list(s))
+
+        return df.withColumn(out_col, _proj(_c(vec_col)))
     centered = F.zip_with(
         _c(vec_col).cast("array<double>"),
         F.array(*[F.lit(float(v)) for v in mean]),
@@ -119,8 +147,7 @@ def project(df: DataFrame, mean, components, vec_col: str = "embedding",
             F.lit(0.0), lambda acc, v: acc + v)
 
     return (df.withColumn("__ctr", centered)
-            .withColumn(out_col,
-                        F.array(*[dot(c) for c in np.asarray(components)]))
+            .withColumn(out_col, F.array(*[dot(c) for c in comps]))
             .drop("__ctr"))
 
 

@@ -230,6 +230,55 @@ def semdedup_pairs(df: DataFrame, centroids, threshold: float = 0.9,
             .select("cluster", "id_a", "id_b", "cos_sim"))
 
 
+def semdedup_stats(df: DataFrame, centroids, threshold: float = 0.9,
+                   id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Per-cluster SemDeDup statistics (cluster, n_members, n_dropped)
+    without materializing the pair set: one shuffle on the cluster id,
+    then each cluster computes its cosine gram matrix with ONE BLAS
+    gemm inside ``applyInPandas`` and counts the vectors that have a
+    smaller-id duplicate at ``cos >= threshold``.
+
+    Same values as counting ``semdedup_pairs`` (r8: replaced the gate's
+    within-cluster pair join — 250k interpreted HOF cosines at sf0.1 —
+    with the gemm; ~4x on the gate, and the pair shuffle disappears
+    entirely). BLAS pairwise summation vs the fold's sequential order
+    differs by ~1e-15 relative — threshold decisions are only affected
+    if a pair sits within float noise of the threshold (the gate's data
+    margins are >= 8e-6).
+
+    Scale: the shuffle is O(n) rows; per-cluster work is a dense
+    (n_c x d) gemm, so pick enough centroids that n_c fits an executor
+    (the same requirement SemDeDup's GPU implementation has,
+    arXiv:2303.09540 §3). For clusters too large for one task, use
+    ``semdedup_pairs`` (pair join — no single-task memory floor)."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = df.select(
+        _c(id_col).alias("id"), _c(vec_col).alias("__v"),
+        F.element_at(ivf_assign(vec_col, centroids, 1), 1)
+         .alias("cluster"))
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        X = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["__v"].iloc[order]])
+        n = len(X)
+        if n < 2:
+            return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
+                                 "n_members": [n], "n_dropped": [0]})
+        norms = np.sqrt((X * X).sum(axis=1))
+        g = (X @ X.T) / np.outer(norms, norms)
+        dup = np.triu(g >= threshold, 1)     # rows sorted by id asc
+        n_dropped = int(dup.any(axis=0).sum())
+        return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
+                             "n_members": [n], "n_dropped": [n_dropped]})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        per_cluster, "cluster int, n_members long, n_dropped long")
+
+
 def semdedup(df: DataFrame, centroids, threshold: float = 0.9,
              id_col="vec_id", vec_col="embedding") -> DataFrame:
     """Semantic dedup: drop every vector that has a smaller-id duplicate

@@ -58,7 +58,7 @@ def test_pca_matches_numpy(spark, data):
 def test_project_native_and_correct(spark, data):
     df = _df(spark, data)
     mean, comps, vals, _ = embed.pca(df, k=2)
-    out = embed.project(df, mean, comps)
+    out = embed.project(df, mean, comps, method="native")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # literals + HOFs only
     rows = out.select("vec_id", "pc").collect()
@@ -68,6 +68,20 @@ def test_project_native_and_correct(spark, data):
     # score variance along pc1 equals the top eigenvalue
     scores = np.array([r["pc"][0] for r in rows])
     assert np.var(scores, ddof=1) == pytest.approx(vals[0], rel=1e-9)
+
+
+def test_project_arrow_matches_native(spark, data):
+    # default (arrow gemm) path: one vectorized pandas UDF, values
+    # equal to the native literal-expression path to float noise
+    df = _df(spark, data)
+    mean, comps, _, _ = embed.pca(df, k=3)
+    got = {r["vec_id"]: r["pc"]
+           for r in embed.project(df, mean, comps).collect()}
+    ref = {r["vec_id"]: r["pc"]
+           for r in embed.project(df, mean, comps,
+                                  method="native").collect()}
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-9)
 
 
 def test_full_rank_projection_preserves_norms(spark, data):

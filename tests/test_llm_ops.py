@@ -239,6 +239,26 @@ def test_semdedup(spark):
     # permissive threshold drops nothing when no pair clears it
     assert similarity.semdedup(df, cents, threshold=1.1).count() == 60
 
+    # semdedup_stats (per-cluster gemm path) matches the pair-join
+    # path: same member counts and same dropped counts per cluster
+    stats = {r.cluster: r for r in
+             similarity.semdedup_stats(df, cents, threshold=0.999)
+             .collect()}
+    drop_by_c = {}
+    memb = {}
+    from arctic_spark.llm.similarity import ivf_assign
+    from pyspark.sql import functions as F
+    asg = df.select("vec_id", F.element_at(
+        ivf_assign("embedding", cents, 1), 1).alias("c")).collect()
+    for r in asg:
+        memb[r.c] = memb.get(r.c, 0) + 1
+    for r in rows:
+        drop_by_c.setdefault(r.cluster, set()).add(r.id_b)
+    assert sum(s.n_members for s in stats.values()) == 60
+    for c, s in stats.items():
+        assert s.n_members == memb[c]
+        assert s.n_dropped == len(drop_by_c.get(c, set()))
+
 
 def test_gopher_repetition_metrics(spark):
     rows = spark.createDataFrame(
