@@ -15,13 +15,16 @@ that needs no codec library — parsed directly from bytes with numpy:
   thumbnail features, and a 64-bit dHash perceptual hash (pairs with
   ``dedup.hamming64`` for near-duplicate image detection at scale).
 
-Formats that require entropy codecs beyond DEFLATE (JPEG/MP3/H.264,
-PNG Adam7 aside — interlace is rejected) stay gated:
-``fake=True`` substitutes deterministic md5-seeded vectors, otherwise
-the job raises ``NotImplementedError`` at execution (the codec libs are
-not in this container; the distributed plumbing — schema, Arrow
-batching, UDF signatures — is identical either way, so wiring a codec
-is a per-format one-function change in ``_decode_image_bytes``).
+Baseline JPEG decodes natively too (round 8 — ``llm/jpeg.py``
+implements the ITU-T T.81 baseline process from scratch: Huffman +
+DCT + chroma upsampling, plus a minimal encoder for fixtures).
+Formats whose entropy codecs remain out of scope (MP3/H.264,
+progressive JPEG, PNG Adam7 interlace) stay gated: ``fake=True``
+substitutes deterministic md5-seeded vectors, otherwise the job
+raises ``NotImplementedError`` at execution (the distributed
+plumbing — schema, Arrow batching, UDF signatures — is identical
+either way, so wiring a codec is a per-format one-function change in
+``_decode_image_bytes``).
 """
 
 from __future__ import annotations
@@ -386,6 +389,9 @@ def _decode_image_bytes(b: bytes, fmt_hint: str | None = None):
         return parse_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return parse_gif(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import parse_jpeg
+        return parse_jpeg(b)
     raise NotImplementedError(
         f"image format {fmt_hint or b[:4]!r} requires a codec library "
         "not present in this environment; pass fake=True to exercise "

@@ -145,13 +145,23 @@ def test_image_phash_near_dup_pairs(spark):
 
 
 def test_codec_formats_still_gated(spark):
-    # JPEG needs an entropy codec -> still gated (PNG is real since r7)
-    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
-                               "id long, payload binary")
+    # baseline JPEG decodes natively since r8 (llm/jpeg.py); unknown
+    # entropy formats (here an MP3 frame header) stay gated
+    from arctic_spark.llm.jpeg import encode_jpeg
+    img = np.full((16, 16), 70, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, quality=92)))],
+        "id long, payload binary")
+    out = multimodal.decode_image_features(df).collect()
+    f = out[0].features
+    assert f[0] == 16.0 and f[1] == 16.0          # decoded dims
+    assert abs(f[2] - 70 / 255) < 0.01            # mean of flat gray
+    bad = spark.createDataFrame([(1, bytearray(b"\xff\xfb\x90\x00mp3"))],
+                                "id long, payload binary")
     with pytest.raises(Exception):
-        multimodal.decode_image_features(df).collect()
+        multimodal.decode_image_features(bad).collect()
     # fake path still works for any payload
-    out = multimodal.decode_image_features(df, dim=8, fake=True).collect()
+    out = multimodal.decode_image_features(bad, dim=8, fake=True).collect()
     assert len(out[0].features) == 8
 
 
