@@ -1473,6 +1473,93 @@ def io_fgb_roundtrip(spark, sf):
         .orderBy("n_nationkey"))
 
 
+def mm_jpeg_phash(spark, sf):
+    """Multimodal pipeline gate (round 8 — first driver-gated
+    multimodal row): per nation key a constant grayscale image of
+    key-derived dims travels through the REAL from-scratch baseline
+    JPEG codec (llm/jpeg.py, ITU-T T.81) — distributed encode in
+    mapInPandas, then image_meta_and_phash (decode → dims + 64-bit
+    dHash) and decode_image_features (decode → mean luma). Every
+    output is a closed form of the key: the gray level v is chosen
+    ≡ 128 (mod 3) so the quality-90 DC quantizer (step 3) divides the
+    DC coefficient exactly and the round trip is bit-exact; a
+    constant image has dHash 0 and mean v/255. The oracle replays the
+    arithmetic — so a wrong Huffman table, DCT transpose, quantizer
+    or upsampling path all break the hash."""
+    from arctic_spark.llm import multimodal
+    n = _t(spark, sf, "nation").select("n_nationkey")
+
+    def gen(batches):
+        import numpy as np
+        from arctic_spark.llm.jpeg import encode_jpeg
+        for pdf in batches:
+            payloads = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                h, w = 16 + k % 8, 16 + k % 5
+                v = 128 + 3 * ((k * 5) % 33 - 16)
+                img = np.full((h, w), v, dtype=np.uint8)
+                payloads.append(encode_jpeg(img, quality=90))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    d = n.mapInPandas(gen, schema="n_nationkey long, payload binary")
+    meta = multimodal.image_meta_and_phash(d)
+    feats = multimodal.decode_image_features(meta)
+    return (feats.select(
+        "n_nationkey", "width", "height", "phash64",
+        F.round(F.element_at("features", 3) * 255, 0).cast("long")
+        .alias("mean_u"))
+        .orderBy("n_nationkey"))
+
+
+def mm_wav_stats(spark, sf):
+    """Audio pipeline gate (round 8 — driver-gated WAV row): per
+    nation key a 16-bit PCM RIFF/WAVE payload holding a square wave
+    (period 8, amplitude exactly 0.5 after the /32768 normalization)
+    is built in mapInPandas and decoded by decode_audio_features
+    (llm/multimodal.parse_wav). Square waves make every emitted
+    descriptor a closed form: rms = peak = 0.5 exactly (0.25 is a
+    dyadic float), zero-crossing count = n/4 − 1 over n−1 gaps,
+    duration = n/8 ms at 8 kHz. Floats ride as BIGINT micro-units
+    (r8 hash-robustness convention). The FFT-based spectral centroid
+    is intentionally not selected (not SQL-replayable)."""
+    from arctic_spark.llm import multimodal
+    n = _t(spark, sf, "nation").select("n_nationkey")
+
+    def gen(batches):
+        import struct as _s
+        import numpy as np
+        for pdf in batches:
+            payloads = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                ns = 800 + 40 * (k % 5)
+                blk = np.array([16384] * 4 + [-16384] * 4,
+                               dtype="<i2")
+                x = np.tile(blk, ns // 8)
+                data = x.tobytes()
+                hdr = (b"RIFF" + _s.pack("<I", 36 + len(data))
+                       + b"WAVEfmt " + _s.pack("<IHHIIHH", 16, 1, 1,
+                                               8000, 16000, 2, 16)
+                       + b"data" + _s.pack("<I", len(data)))
+                payloads.append(hdr + data)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    d = n.mapInPandas(gen, schema="n_nationkey long, payload binary")
+    a = multimodal.decode_audio_features(d)
+    u = lambda c: F.round(F.col(c) * 1e6, 0).cast("long")  # noqa: E731
+    return (a.select(
+        "n_nationkey", "sample_rate", "n_channels", "n_samples",
+        "duration_ms", u("rms").alias("rms_u"),
+        u("peak").alias("peak_u"),
+        u("zero_crossing_rate").alias("zcr_u"))
+        .orderBy("n_nationkey"))
+
+
 def geo_delaunay(spark, sf):
     """Delaunay triangulation (Bowyer–Watson UDF) with combinatorial +
     measure-theoretic closed forms: a trapezoid hull (4 non-cocircular
@@ -2936,6 +3023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_overlay_union": geo_overlay_union,
         "io_gpkg_roundtrip": io_gpkg_roundtrip,
         "io_fgb_roundtrip": io_fgb_roundtrip,
+        "mm_jpeg_phash": mm_jpeg_phash,
+        "mm_wav_stats": mm_wav_stats,
         "dsir_select": dsir_select_docs,
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
@@ -4831,6 +4920,30 @@ def oracle_sql() -> dict[str, str]:
                    round((n_nationkey % 7) * 2.5 + 1.5, 6) AS cx,
                    round((n_nationkey % 4) * 1.5 + 0.25, 6) AS cy
             FROM nation ORDER BY n_nationkey
+        """,
+        "mm_jpeg_phash": """
+            SELECT n_nationkey,
+                   CAST(16 + n_nationkey % 5 AS INT) AS width,
+                   CAST(16 + n_nationkey % 8 AS INT) AS height,
+                   CAST(0 AS BIGINT) AS phash64,
+                   CAST(128 + 3 * ((n_nationkey * 5) % 33 - 16)
+                        AS BIGINT) AS mean_u
+            FROM nation ORDER BY n_nationkey
+        """,
+        "mm_wav_stats": """
+            WITH p AS (SELECT n_nationkey,
+                              800 + 40 * (n_nationkey % 5) AS ns
+                       FROM nation)
+            SELECT n_nationkey,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(ns AS BIGINT) AS n_samples,
+                   CAST(ns / 8 AS BIGINT) AS duration_ms,
+                   CAST(500000 AS BIGINT) AS rms_u,
+                   CAST(500000 AS BIGINT) AS peak_u,
+                   CAST(round((ns / 4.0 - 1.0) / (ns - 1.0) * 1e6, 0)
+                        AS BIGINT) AS zcr_u
+            FROM p ORDER BY n_nationkey
         """,
         "geo_zorder_keys": """
             WITH pts AS (
