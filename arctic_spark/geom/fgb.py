@@ -259,8 +259,19 @@ class Builder:
 
 
 # ---------------------------------------------------------------------------
-# Packed Hilbert R-tree size (to skip the index block on read)
+# Packed Hilbert R-tree (the optional index block)
 # ---------------------------------------------------------------------------
+
+def _level_sizes(num_items, node_size):
+    """Node count per level, leaf level first, per the public
+    packedrtree layout."""
+    sizes = [num_items]
+    n = num_items
+    while n != 1:
+        n = (n + node_size - 1) // node_size
+        sizes.append(n)
+    return sizes
+
 
 def packed_rtree_size(num_items, node_size):
     """Byte size of the optional index: 40-byte nodes (4 float64
@@ -269,12 +280,171 @@ def packed_rtree_size(num_items, node_size):
     if num_items == 0 or node_size == 0:
         return 0
     node_size = min(max(int(node_size), 2), 65535)
-    n = num_items
-    num_nodes = n
-    while n != 1:
-        n = (n + node_size - 1) // node_size
-        num_nodes += n
-    return num_nodes * 40
+    return sum(_level_sizes(num_items, node_size)) * 40
+
+
+def hilbert_u32(x, y):
+    """Order-16 Hilbert curve index of uint16 grid coordinates, the
+    branch-free bit-trick formulation used by the FlatGeobuf
+    implementations (public-domain algorithm from the
+    rawrunprotected/hilbert_curves gist). Vectorized over numpy
+    uint32 arrays."""
+    x = np.asarray(x, dtype=np.uint32)
+    y = np.asarray(y, dtype=np.uint32)
+    M = np.uint32(0xFFFF)
+    a = x ^ y
+    b = M ^ a
+    c = M ^ (x | y)
+    d = x & (y ^ M)
+    A = a | (b >> 1)
+    B = (a >> 1) ^ a
+    C = ((c >> 1) ^ (b & (d >> 1))) ^ c
+    D = ((a & (c >> 1)) ^ (d >> 1)) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 2)) ^ (b & (b >> 2))
+    B = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
+    C = c ^ ((a & (c >> 2)) ^ (b & (d >> 2)))
+    D = d ^ ((b & (c >> 2)) ^ ((a ^ b) & (d >> 2)))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 4)) ^ (b & (b >> 4))
+    B = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
+    C = c ^ ((a & (c >> 4)) ^ (b & (d >> 4)))
+    D = d ^ ((b & (c >> 4)) ^ ((a ^ b) & (d >> 4)))
+    a, b, c, d = A, B, C, D
+    C = c ^ ((a & (c >> 8)) ^ (b & (d >> 8)))
+    D = d ^ ((b & (c >> 8)) ^ ((a ^ b) & (d >> 8)))
+    a = C ^ (C >> 1)
+    b = D ^ (D >> 1)
+    i0 = x ^ y
+    i1 = b | (M ^ (i0 | a))
+
+    def spread(v):                    # 16 even bits -> 32
+        v = (v | (v << 8)) & np.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint32(0x33333333)
+        v = (v | (v << 1)) & np.uint32(0x55555555)
+        return v
+    return (spread(i1) << 1) | spread(i0)
+
+
+def hilbert_order(bboxes, extent=None):
+    """Sort order of feature bboxes along the order-16 Hilbert curve
+    over the total extent — the layout FlatGeobuf requires when an
+    index is present."""
+    bb = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+    finite = np.isfinite(bb).all(axis=1)
+    if extent is None:
+        if finite.any():
+            extent = (bb[finite, 0].min(), bb[finite, 1].min(),
+                      bb[finite, 2].max(), bb[finite, 3].max())
+        else:
+            extent = (0.0, 0.0, 1.0, 1.0)
+    minx, miny, maxx, maxy = extent
+    w = (maxx - minx) or 1.0
+    h = (maxy - miny) or 1.0
+    cx = (bb[:, 0] + bb[:, 2]) / 2.0
+    cy = (bb[:, 1] + bb[:, 3]) / 2.0
+    hx = np.zeros(len(bb), dtype=np.uint32)
+    hy = np.zeros(len(bb), dtype=np.uint32)
+    hx[finite] = np.clip(((cx[finite] - minx) / w * 0xFFFF), 0,
+                         0xFFFF).astype(np.uint32)
+    hy[finite] = np.clip(((cy[finite] - miny) / h * 0xFFFF), 0,
+                         0xFFFF).astype(np.uint32)
+    return np.argsort(hilbert_u32(hx, hy), kind="stable"), extent
+
+
+_NODE_DT = np.dtype([("minx", "<f8"), ("miny", "<f8"),
+                     ("maxx", "<f8"), ("maxy", "<f8"),
+                     ("off", "<u8")])
+
+
+def build_packed_rtree(bboxes, feat_offsets, node_size=16):
+    """Packed Hilbert R-tree bytes over features ALREADY in Hilbert
+    order. Layout per the public spec: root level first, leaves last;
+    leaf ``off`` = feature byte offset in the DATA section, internal
+    ``off`` = node index of the first child."""
+    node_size = min(max(int(node_size), 2), 65535)
+    n = len(bboxes)
+    sizes = _level_sizes(n, node_size)          # leaf level first
+    starts = []                                 # start index per level,
+    total = sum(sizes)                          # root-first layout
+    acc = 0
+    for s in reversed(sizes):                   # root, ..., leaves
+        starts.append(acc)
+        acc += s
+    starts = starts[::-1]                       # leaf level first again
+    nodes = np.zeros(total, dtype=_NODE_DT)
+    leaf0 = starts[0]
+    bb = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+    nodes["minx"][leaf0:] = bb[:, 0]
+    nodes["miny"][leaf0:] = bb[:, 1]
+    nodes["maxx"][leaf0:] = bb[:, 2]
+    nodes["maxy"][leaf0:] = bb[:, 3]
+    nodes["off"][leaf0:] = np.asarray(feat_offsets, dtype=np.uint64)
+    for lvl in range(len(sizes) - 1):
+        cstart, csize = starts[lvl], sizes[lvl]
+        pstart = starts[lvl + 1]
+        for j in range(sizes[lvl + 1]):
+            lo = cstart + j * node_size
+            hi = min(lo + node_size, cstart + csize)
+            p = pstart + j
+            nodes["minx"][p] = nodes["minx"][lo:hi].min()
+            nodes["miny"][p] = nodes["miny"][lo:hi].min()
+            nodes["maxx"][p] = nodes["maxx"][lo:hi].max()
+            nodes["maxy"][p] = nodes["maxy"][lo:hi].max()
+            nodes["off"][p] = lo
+    return nodes.tobytes()
+
+
+def search_packed_rtree(buf, base, num_items, node_size, bbox):
+    """Feature byte offsets (DATA-relative, ascending) whose leaf
+    bboxes intersect ``bbox``, via the index at byte ``base``."""
+    node_size = min(max(int(node_size), 2), 65535)
+    sizes = _level_sizes(num_items, node_size)
+    total = sum(sizes)
+    nodes = np.frombuffer(buf, dtype=_NODE_DT, count=total, offset=base)
+    leaf0 = total - num_items
+    qminx, qminy, qmaxx, qmaxy = bbox
+    out = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        nd = nodes[i]
+        if (nd["minx"] > qmaxx or nd["maxx"] < qminx
+                or nd["miny"] > qmaxy or nd["maxy"] < qminy):
+            continue
+        if i >= leaf0:
+            out.append(int(nd["off"]))
+        else:
+            lo = int(nd["off"])
+            # children of node i span [off, off + node_size) capped to
+            # the child level's extent
+            lvl_end = leaf0 if lo >= leaf0 else total
+            for lvl_start, sz in _iter_levels(sizes):
+                if lvl_start <= lo < lvl_start + sz:
+                    lvl_end = lvl_start + sz
+                    break
+            stack.extend(range(lo, min(lo + node_size, lvl_end)))
+    return sorted(out)
+
+
+def _iter_levels(sizes):
+    """(start_index, size) per level in root-first storage order."""
+    acc = 0
+    for s in reversed(sizes):
+        yield acc, s
+        acc += s
+
+
+def cell_bbox(cell):
+    """(minx, miny, maxx, maxy) of a ragged geometry cell; empty/null
+    → an empty box that never intersects and is ignored by extents."""
+    if cell is None or len(cell[1]) == 0:
+        return (np.inf, np.inf, -np.inf, -np.inf)
+    xs = np.asarray(cell[1], dtype=np.float64)
+    ys = np.asarray(cell[2], dtype=np.float64)
+    return (float(xs.min()), float(ys.min()),
+            float(xs.max()), float(ys.max()))
 
 
 # ---------------------------------------------------------------------------
@@ -476,12 +646,33 @@ def encode_properties(values, col_types):
 # File-level read / write
 # ---------------------------------------------------------------------------
 
-def read_fgb(data):
+def _geom_xy_bbox(tab):
+    """(minx, miny, maxx, maxy) straight off a Geometry table's flat
+    xy vectors (parts recursed); empty geometry → empty box."""
+    xy = tab.vector(1, "<f8")
+    boxes = []
+    if xy is not None and len(xy):
+        boxes.append((xy[0::2].min(), xy[1::2].min(),
+                      xy[0::2].max(), xy[1::2].max()))
+    for p in tab.table_vector(7):
+        boxes.append(_geom_xy_bbox(p))
+    if not boxes:
+        return (np.inf, np.inf, -np.inf, -np.inf)
+    return (min(b[0] for b in boxes), min(b[1] for b in boxes),
+            max(b[2] for b in boxes), max(b[3] for b in boxes))
+
+
+def read_fgb(data, bbox=None):
     """Parse a FlatGeobuf byte string →
     (header_meta, [(wkb_or_None, {col_name: value})...]).
 
     header_meta: dict with name, geometry_type, columns
-    [(name, type_id)], crs (org, code) or None, features_count."""
+    [(name, type_id)], crs (org, code) or None, features_count.
+
+    ``bbox=(minx, miny, maxx, maxy)`` keeps only intersecting
+    features — via the packed Hilbert R-tree when the file has one
+    (only the matching feature records are even parsed), else by a
+    linear scan testing each geometry's flat-coordinate bbox."""
     data = bytes(data)
     if len(data) < 8 or data[:7] != MAGIC:
         raise FgbError("not a FlatGeobuf file (bad magic)")
@@ -503,19 +694,26 @@ def read_fgb(data):
         code = crs_tab.scalar(1, "<i", 0)
         if org or code:
             crs = (org or "EPSG", code)
+    index_base = p
     p += packed_rtree_size(fcount, node_size)
+    data_base = p
     col_types = [t for _, t in cols]
     col_names = [n for n, _ in cols]
-    feats = []
-    n = len(data)
-    while p + 4 <= n:
-        fsize = _u32(data, p)
-        p += 4
-        ft = root_table(memoryview(data)[p:p + fsize])
-        p += fsize
+    meta = {"name": name, "geometry_type": header_gt,
+            "columns": cols, "crs": crs, "features_count": fcount}
+
+    def parse_feature(fpos, want_bbox):
+        fsize = _u32(data, fpos)
+        ft = root_table(memoryview(data)[fpos + 4:fpos + 4 + fsize])
         gtab = ft.table(0)
+        if want_bbox is not None:
+            if gtab is None:
+                return None, fpos + 4 + fsize
+            gminx, gminy, gmaxx, gmaxy = _geom_xy_bbox(gtab)
+            if (gminx > want_bbox[2] or gmaxx < want_bbox[0]
+                    or gminy > want_bbox[3] or gmaxy < want_bbox[1]):
+                return None, fpos + 4 + fsize
         wkb = _geom_to_wkb(gtab, header_gt) if gtab is not None else None
-        # per-feature column override (rare; spec allows it)
         fcols = ft.table_vector(2)
         if fcols:
             ctypes = [c.scalar(1, "<B", 0) for c in fcols]
@@ -523,9 +721,23 @@ def read_fgb(data):
         else:
             ctypes, cnames = col_types, col_names
         props = parse_properties(ft.bytes_vector(1), ctypes)
-        feats.append((wkb, {cnames[i]: v for i, v in props.items()}))
-    meta = {"name": name, "geometry_type": header_gt,
-            "columns": cols, "crs": crs, "features_count": fcount}
+        return ((wkb, {cnames[i]: v for i, v in props.items()}),
+                fpos + 4 + fsize)
+
+    feats = []
+    if bbox is not None and node_size and fcount:
+        # index path: only matching records are parsed at all
+        for off in search_packed_rtree(data, index_base, fcount,
+                                       node_size, bbox):
+            # leaf bboxes already guarantee intersection
+            feat, _ = parse_feature(data_base + off, None)
+            feats.append(feat)
+        return meta, feats
+    n = len(data)
+    while p + 4 <= n:
+        feat, p = parse_feature(p, bbox)
+        if feat is not None:
+            feats.append(feat)
     return meta, feats
 
 
@@ -536,14 +748,44 @@ def write_fgb(name, columns, rows, geometry_type=GT_UNKNOWN,
     columns: [(name, col_type_id)]; rows: iterable of
     (ragged_cell_or_None, [values aligned with columns]) where
     ragged_cell = (gt, xs, ys, rings, parts). crs: (org, code) or
-    None. By default no spatial index is written
-    (``index_node_size=0``, legal per spec). A non-zero
-    ``index_node_size`` emits a ZERO-FILLED index block of the
-    correct packed-rtree size — a testing hook for sequential
-    readers' skip logic, not a usable spatial index."""
+    None. ``index_node_size > 0`` writes a REAL packed Hilbert
+    R-tree index (features are re-ordered along the Hilbert curve as
+    the spec requires; leaf offsets point at the size-prefixed
+    feature records) and the header carries the layer envelope;
+    ``0`` writes no index (also legal)."""
     rows = list(rows)
     col_types = [t for _, t in columns]
     with_type = geometry_type == GT_UNKNOWN
+
+    def feature_bytes(cell, values):
+        fb = Builder()
+        fields = []
+        props = encode_properties(
+            {i: v for i, v in enumerate(values)}, col_types)
+        if props:
+            fields.append((1, "ref", fb.byte_vector(props)))
+        if cell is not None:
+            gt, xs, ys, rings, parts = cell
+            goff = build_geometry(fb, gt, xs, ys, rings, parts,
+                                  with_type)
+            fields.insert(0, (0, "ref", goff))
+        return fb.finish_size_prefixed(fb.table(fields))
+
+    envelope = None
+    index_bytes = b""
+    if index_node_size and rows:
+        bboxes = np.array([cell_bbox(c) for c, _ in rows])
+        order, extent = hilbert_order(bboxes)
+        rows = [rows[i] for i in order]
+        bboxes = bboxes[order]
+        feats = [feature_bytes(c, v) for c, v in rows]
+        offs = np.cumsum([0] + [len(f) for f in feats[:-1]])
+        index_bytes = build_packed_rtree(bboxes, offs, index_node_size)
+        if np.isfinite(extent).all():
+            envelope = extent
+    else:
+        index_node_size = 0
+        feats = [feature_bytes(c, v) for c, v in rows]
 
     out = [MAGIC + b"\x01"]
     bld = Builder()
@@ -556,6 +798,9 @@ def write_fgb(name, columns, rows, geometry_type=GT_UNKNOWN,
     noff = bld.string(name) if name else None
     if noff:
         fields.append((0, "ref", noff))
+    if envelope is not None:
+        env_off = bld.scalar_vector(list(envelope), "<f8", 8, 8)
+        fields.append((1, "ref", env_off))
     fields.append((2, "scalar", ("<B", geometry_type, 1)))
     if col_offs:
         fields.append((7, "ref", bld.offset_vector(col_offs)))
@@ -567,21 +812,6 @@ def write_fgb(name, columns, rows, geometry_type=GT_UNKNOWN,
                              (1, "scalar", ("<i", int(crs[1]), 4))])
         fields.append((10, "ref", crs_off))
     out.append(bld.finish_size_prefixed(bld.table(fields)))
-    if index_node_size:
-        out.append(b"\x00" * packed_rtree_size(len(rows),
-                                               index_node_size))
-
-    for cell, values in rows:
-        fb = Builder()
-        fields = []
-        props = encode_properties(
-            {i: v for i, v in enumerate(values)}, col_types)
-        if props:
-            fields.append((1, "ref", fb.byte_vector(props)))
-        if cell is not None:
-            gt, xs, ys, rings, parts = cell
-            goff = build_geometry(fb, gt, xs, ys, rings, parts,
-                                  with_type)
-            fields.insert(0, (0, "ref", goff))
-        out.append(fb.finish_size_prefixed(fb.table(fields)))
+    out.append(index_bytes)
+    out.extend(feats)
     return b"".join(out)

@@ -430,19 +430,21 @@ def write_geopackage(gdf: GeoDataFrame, path: str, layer: str = "layer",
 
 def read_flatgeobuf(spark: SparkSession, path: str,
                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
-                    crs=None) -> GeoDataFrame:
+                    crs=None, bbox=None) -> GeoDataFrame:
     """FlatGeobuf reader, GDAL-free (the package's own FlatBuffers +
     WKB codecs; format per the public spec — see ``geom/fgb.py``).
     The reference reaches .fgb only through GDAL/pyogrio
     (io/file.py:15-119).
 
-    CRS comes from the header's Crs table unless overridden. A
-    packed-Hilbert-R-tree index block, when present, is skipped (its
-    size is derivable from the header). Ingest is driver-side like
-    :func:`read_shapefile` — features are size-prefixed records with
-    no sync markers, so a .fgb is not block-splittable without its
-    index; the distributed path is to convert to (Geo)Parquet once
-    via ``write_geoparquet`` and scan that."""
+    CRS comes from the header's Crs table unless overridden.
+    ``bbox=(minx, miny, maxx, maxy)`` returns only intersecting
+    features — when the file carries its packed Hilbert R-tree the
+    lookup traverses the index and parses only the matching feature
+    records (the format's cloud-optimized read path); without an
+    index it linear-scans and tests each geometry's coordinate bbox.
+    Ingest is driver-side like :func:`read_shapefile`; the bulk
+    distributed path is to convert to (Geo)Parquet once via
+    ``write_geoparquet`` and scan that."""
     from .geom import fgb as _f
     from .geom import wkb as _wkb
     from .geom.ragged import MISSING
@@ -450,7 +452,7 @@ def read_flatgeobuf(spark: SparkSession, path: str,
     from .sparktypes import GEOM_TYPE
 
     with open(path, "rb") as fh:
-        meta, feats = _f.read_fgb(fh.read())
+        meta, feats = _f.read_fgb(fh.read(), bbox=bbox)
 
     rg = _wkb.decode([w for w, _ in feats])
     if crs is None and meta["crs"]:
@@ -503,16 +505,19 @@ def read_flatgeobuf(spark: SparkSession, path: str,
 
 
 def write_flatgeobuf(gdf: GeoDataFrame, path: str, name: str = "layer",
-                     mode: str = "overwrite") -> None:
+                     mode: str = "overwrite",
+                     index_node_size: int = 16) -> None:
     """FlatGeobuf writer (the package's own FlatBuffers builder —
     ``geom/fgb.py``): magic bytes, Header flatbuffer (name, geometry
-    type, columns, features_count, crs), then one size-prefixed
-    Feature flatbuffer per row. ``index_node_size=0`` (no spatial
-    index — legal per spec). Output is driver-side (``collect``) —
-    for BOUNDED exports (results, samples, fixtures); bulk data
-    belongs in :func:`write_geoparquet`. The header geometry type is
-    the common type when the layer is uniform, else Unknown with
-    per-feature types."""
+    type, columns, features_count, envelope, crs), a REAL packed
+    Hilbert R-tree index (features re-ordered along the Hilbert
+    curve as the spec requires; ``index_node_size=0`` omits it), then
+    one size-prefixed Feature flatbuffer per row. Output is
+    driver-side (``collect``) — for BOUNDED exports (results,
+    samples, fixtures); bulk data belongs in
+    :func:`write_geoparquet`. The header geometry type is the common
+    type when the layer is uniform, else Unknown with per-feature
+    types."""
     import os
     from .geom import fgb as _f
     from pyspark.sql import types as T
@@ -565,7 +570,8 @@ def write_flatgeobuf(gdf: GeoDataFrame, path: str, name: str = "layer",
         if num.isdigit():
             crs_tuple = (org, int(num))
     blob = _f.write_fgb(name, columns, fgb_rows,
-                        geometry_type=header_gt, crs=crs_tuple)
+                        geometry_type=header_gt, crs=crs_tuple,
+                        index_node_size=index_node_size)
     with open(path, "wb") as fh:
         fh.write(blob)
 

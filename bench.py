@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "geo_overlay_union",
     "io_gpkg_roundtrip",
     "dsir_select",
+    "io_fgb_roundtrip",
+    "mm_jpeg_phash",
+    "mm_wav_stats",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",

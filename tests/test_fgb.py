@@ -106,17 +106,57 @@ def test_fgb_property_types_and_nulls():
     assert feats[0][0] is None and feats[1][0] is None
 
 
-def test_fgb_index_block_skipped():
-    rows = [(_cell_point(float(i), 0.0), [i]) for i in range(100)]
+def test_fgb_index_block_roundtrip():
+    rows = [(_cell_point(float(i % 10), float(i // 10)), [i])
+            for i in range(100)]
     blob = FG.write_fgb("idx", [("k", FG.CT_LONG)], rows,
                         geometry_type=FG.GT_POINT, index_node_size=16)
-    # the zero-filled index block really is in the file
     plain = FG.write_fgb("idx", [("k", FG.CT_LONG)], rows,
                          geometry_type=FG.GT_POINT)
-    assert len(blob) == len(plain) + FG.packed_rtree_size(100, 16)
+    # indexed file = plain + index block + the envelope the header
+    # gains (4 doubles + vector/vtable overhead)
+    extra = len(blob) - len(plain) - FG.packed_rtree_size(100, 16)
+    assert 0 <= extra <= 64
+    # full read skips the index; Hilbert re-ordering permutes rows but
+    # loses nothing
     meta, feats = FG.read_fgb(blob)
     assert len(feats) == 100
-    assert [f[1]["k"] for f in feats] == list(range(100))
+    assert sorted(f[1]["k"] for f in feats) == list(range(100))
+
+
+def test_fgb_bbox_search_index_vs_scan():
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 100, (400, 2))
+    rows = [(_cell_point(float(x), float(y)), [i])
+            for i, (x, y) in enumerate(pts)]
+    idx = FG.write_fgb("p", [("k", FG.CT_LONG)], rows,
+                       geometry_type=FG.GT_POINT, index_node_size=8)
+    noidx = FG.write_fgb("p", [("k", FG.CT_LONG)], rows,
+                         geometry_type=FG.GT_POINT)
+    for bbox in [(10, 10, 30, 40), (0, 0, 100, 100), (95, 95, 99, 99),
+                 (200, 200, 300, 300)]:
+        want = {i for i, (x, y) in enumerate(pts)
+                if bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3]}
+        got_idx = {f[1]["k"] for f in FG.read_fgb(idx, bbox=bbox)[1]}
+        got_scan = {f[1]["k"] for f in FG.read_fgb(noidx, bbox=bbox)[1]}
+        assert got_idx == want
+        assert got_scan == want
+
+
+def test_hilbert_curve_locality():
+    # the coarse top-level grid of an order-16 Hilbert curve is itself
+    # a Hilbert traversal: consecutive cells are 4-neighbors
+    step = 1 << 10                       # 64x64 coarse grid
+    g = np.arange(64)
+    xx, yy = np.meshgrid(g, g)
+    xs = (xx.ravel() * step).astype(np.uint32)
+    ys = (yy.ravel() * step).astype(np.uint32)
+    h = FG.hilbert_u32(xs, ys)
+    assert len(np.unique(h)) == len(h)   # injective on the grid
+    order = np.argsort(h)
+    ox, oy = xx.ravel()[order], yy.ravel()[order]
+    d = np.abs(np.diff(ox.astype(int))) + np.abs(np.diff(oy.astype(int)))
+    assert (d == 1).all()                # unit steps along the curve
 
 
 def test_packed_rtree_size():
