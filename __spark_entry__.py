@@ -1560,6 +1560,108 @@ def mm_wav_stats(spark, sf):
         .orderBy("n_nationkey"))
 
 
+def _unigram_fixed_logp():
+    """Fixed unigram-LM piece table for the driver gate: every
+    lowercase letter plus common multi-char pieces, log-probs as
+    NEGATIVE INTEGER micro-units so Viterbi sums are integer-exact on
+    both engines (the trainer's learned float table is covered by
+    tests — EM isn't SQL-replayable; the ENCODER is, see the
+    bitmask-enumeration oracle)."""
+    lp = {chr(97 + i): -(3000000 + ((i * 137) % 900) * 1000)
+          for i in range(26)}
+    multi = {"th": -2500000, "he": -2600000, "in": -2400000,
+             "er": -2700000, "an": -2550000, "re": -2650000,
+             "on": -2450000, "at": -2750000, "en": -2350000,
+             "nd": -2850000, "or": -2950000, "es": -2050000,
+             "ing": -3100000, "the": -2900000, "ion": -3200000,
+             "ent": -3300000, "and": -3150000, "tion": -3900000}
+    lp.update(multi)
+    return lp
+
+
+def tok_unigram_encode(spark, sf):
+    """Unigram-LM Viterbi encoder gate (llm/unigram.py, round 8; Kudo
+    2018 arXiv:1804.10959 — the SentencePiece algorithm family's
+    second member next to BPE). The first 12 alphabetic words of each
+    document (truncated to 8 chars — native preprocessing) are
+    segmented by the lattice Viterbi DP under a fixed integer-μ
+    piece table; the oracle recomputes the per-word OPTIMUM by brute
+    bitmask enumeration of all 2^(len−1) segmentations in SQL — an
+    independent formulation of the same maximum, so any DP bug
+    (transition window, tie handling, score accumulation) mismatches.
+    Only the max score rides the hash (tie-safe by definition);
+    integer units make sums exact on both engines."""
+    from arctic_spark.llm import unigram
+    d = _t(spark, sf, "documents")
+    words = F.transform(
+        F.slice(F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"),
+                         lambda w: w != F.lit("")), 1, 12),
+        lambda w: F.substring(w, 1, 8))
+    base = d.select("doc_id", words.alias("words"))
+    out = unigram.viterbi_encode(base, None, _unigram_fixed_logp(), 8,
+                                 words_col="words")
+    return (out.select("doc_id",
+                       F.size("words").cast("int").alias("n_words"),
+                       F.col("score").cast("long").alias("score_u"))
+            .orderBy("doc_id"))
+
+
+def _unigram_oracle_sql():
+    vals = ", ".join(f"('{p}', {v})"
+                     for p, v in sorted(_unigram_fixed_logp().items()))
+    return f"""
+        WITH v(piece, lp) AS (VALUES {vals}),
+        toks AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z]+'),
+                                   x -> x <> '')[1:12],
+                       x -> substr(x, 1, 8)) AS ws
+            FROM documents),
+        words AS (
+            SELECT doc_id, i, w
+            FROM toks, LATERAL (SELECT unnest(ws) AS w,
+                                       generate_subscripts(ws, 1) AS i)),
+        masks AS (
+            SELECT doc_id, i, w,
+                   unnest(range(0, 1 << (length(w) - 1))) AS mask
+            FROM words),
+        seg AS (
+            SELECT doc_id, i, w, mask,
+                   list_transform(
+                       list_zip(bounds[1:len(bounds) - 1], bounds[2:]),
+                       p -> substr(w, CAST(p[1] AS INT) + 1,
+                                   CAST(p[2] - p[1] AS INT))) AS pieces
+            FROM (SELECT *,
+                      list_concat(list_concat(
+                          [0],
+                          list_filter(range(1, length(w)),
+                              b -> ((mask >> (b - 1)) & 1) = 1)),
+                          [length(w)]) AS bounds
+                  FROM masks)),
+        pieced AS (
+            SELECT doc_id, i, mask, len(pieces) AS np,
+                   unnest(pieces) AS piece
+            FROM seg),
+        scored AS (
+            SELECT p.doc_id, p.i, p.mask,
+                   sum(vv.lp) AS s, count(vv.lp) AS m, max(p.np) AS np
+            FROM pieced p LEFT JOIN v vv ON vv.piece = p.piece
+            GROUP BY p.doc_id, p.i, p.mask),
+        best AS (
+            SELECT doc_id, i, max(s) AS ws
+            FROM scored WHERE m = np GROUP BY doc_id, i),
+        agg AS (
+            SELECT doc_id, count(*) AS nw, CAST(sum(ws) AS BIGINT) AS su
+            FROM best GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS INT) AS n_words,
+               CAST(coalesce(a.su, 0) AS BIGINT) AS score_u
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def geo_delaunay(spark, sf):
     """Delaunay triangulation (Bowyer–Watson UDF) with combinatorial +
     measure-theoretic closed forms: a trapezoid hull (4 non-cocircular
@@ -3025,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_fgb_roundtrip": io_fgb_roundtrip,
         "mm_jpeg_phash": mm_jpeg_phash,
         "mm_wav_stats": mm_wav_stats,
+        "tok_unigram_encode": tok_unigram_encode,
         "dsir_select": dsir_select_docs,
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
@@ -4945,6 +5048,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS zcr_u
             FROM p ORDER BY n_nationkey
         """,
+        "tok_unigram_encode": _unigram_oracle_sql(),
         "geo_zorder_keys": """
             WITH pts AS (
                 SELECT c_custkey,

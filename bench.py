@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "io_fgb_roundtrip",
     "mm_jpeg_phash",
     "mm_wav_stats",
+    "tok_unigram_encode",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",
