@@ -425,6 +425,79 @@ def main():
           f"{n:,} result rows, {n_docs5 / dt / 1e3:.0f}k docs/s",
           flush=True)
 
+    # r8 second session: semdedup_stats — the gram-matrix path at 20x
+    # the pair-join stress size (1M vecs, 256 clusters → ~4k/cluster,
+    # one 4k x 4k gemm per cluster, one O(n) shuffle total)
+    n_vec2 = min(max(n_points // 5, 100_000), 1_000_000)
+    em2 = spark.range(n_vec2).repartition(par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(32)), lambda j:
+                    (F.pmod(F.col("id"), F.lit(256)) * 10 + F.pmod(
+                        F.col("id") * j * 2654435761, F.lit(97))
+                     .cast("double") / 97.0)).alias("embedding"))
+    cents2 = sim.seed_centroids(em2, 256)
+    t0 = time.perf_counter()
+    stats = sim.semdedup_stats(em2, cents2, threshold=0.999999) \
+        .agg(F.sum("n_members").alias("m"),
+             F.sum("n_dropped").alias("d")).collect()[0]
+    dt = time.perf_counter() - t0
+    print(f"semdedup_stats {n_vec2:,} vecs x 256 clusters (gemm): "
+          f"{dt:.1f}s, {stats['m'] - stats['d']:,} survivors, "
+          f"{n_vec2 / dt / 1e3:.0f}k vecs/s", flush=True)
+
+    # r8 second session: unigram-LM Viterbi encoding throughput
+    # (broadcast piece table, one Arrow pass, zero shuffles)
+    from arctic_spark.llm import unigram as ug
+    n_docs_u = max(n_points // 10, 100_000)
+    docs_u = spark.range(n_docs_u).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.translate(F.concat_ws(" ", *[
+            F.pmod(F.col("id") * (7 + 13 * j), F.lit(99991))
+            .cast("string") for j in range(20)]),
+            "0123456789", "theringsad").alias("text"))
+    lp = {chr(97 + i): -3.0 - (i % 7) * 0.25 for i in range(26)}
+    lp.update({"th": -2.5, "he": -2.6, "in": -2.4, "ri": -2.7,
+               "ng": -2.55, "the": -2.9, "ing": -3.1, "ad": -2.45,
+               "sa": -2.65})
+    t0 = time.perf_counter()
+    n = ug.viterbi_encode(docs_u, "text", lp, 8) \
+        .agg(F.sum("n_pieces")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(f"unigram viterbi encode {n_docs_u:,} docs (20 words each): "
+          f"{dt:.1f}s, {n:,} pieces, {n_docs_u / dt / 1e3:.0f}k docs/s",
+          flush=True)
+
+    # r8 second session: from-scratch JPEG codec throughput — encode
+    # AND decode+dHash per image, all inside executors (mapInPandas)
+    from arctic_spark.llm import multimodal as mm
+    n_img = max(n_points // 50, 20_000)
+    base = spark.range(n_img).repartition(par)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from arctic_spark.llm.jpeg import encode_jpeg
+        for pdf in batches:
+            payloads = []
+            for k in pdf["id"]:
+                k = int(k)
+                yy, xx = np.mgrid[0:32, 0:32]
+                img = ((xx * (k % 7 + 1) + yy * (k % 5 + 1)) % 256) \
+                    .astype(np.uint8)
+                payloads.append(encode_jpeg(img, quality=80))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    t0 = time.perf_counter()
+    n = mm.image_meta_and_phash(
+        base.mapInPandas(gen, schema="id long, payload binary")) \
+        .agg(F.approx_count_distinct("phash64")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(f"jpeg encode+decode+dhash {n_img:,} 32x32 images: {dt:.1f}s, "
+          f"{n:,} distinct hashes, {n_img / dt / 1e3:.1f}k imgs/s",
+          flush=True)
+
     spark.stop()
 
 
