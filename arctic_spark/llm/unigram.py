@@ -147,6 +147,58 @@ def viterbi_segment(word: str, logp: dict, max_len: int):
     return pieces[::-1], best[n][0]
 
 
+def sample_segment(word: str, logp: dict, max_len: int,
+                   alpha: float = 0.5, seed: str = "0"):
+    """Sample ONE segmentation from the unigram posterior sharpened by
+    ``alpha`` (P(seg) ∝ P_model(seg)^alpha) — the paper's subword
+    regularization (Kudo 2018 §3: training-time stochastic
+    segmentations act as data augmentation). Forward-filtering /
+    backward-sampling over the lattice; DETERMINISTIC given ``seed``
+    (md5-derived uniforms, reproducible across any partitioning).
+    Returns (pieces, logp_model_score); unsegmentable → ([], -inf)."""
+    import hashlib
+    n = len(word)
+    alpha_lp = {p: v * alpha for p, v in logp.items()}
+    fwd = [NEG_INF] * (n + 1)
+    fwd[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            if fwd[i] == NEG_INF:
+                continue
+            lp = alpha_lp.get(word[i:j])
+            if lp is not None:
+                fwd[j] = _logsumexp2(fwd[j], fwd[i] + lp)
+    if fwd[n] == NEG_INF:
+        return [], NEG_INF
+    pieces = []
+    j = n
+    k = 0
+    while j > 0:
+        # categorical over predecessors i with weight fwd[i] + lp(i, j)
+        cands = []
+        for i in range(max(0, j - max_len), j):
+            lp = alpha_lp.get(word[i:j])
+            if lp is not None and fwd[i] != NEG_INF:
+                cands.append((i, fwd[i] + lp))
+        mx = max(w for _, w in cands)
+        ws = [(i, math.exp(w - mx)) for i, w in cands]
+        tot = sum(w for _, w in ws)
+        h = hashlib.md5(f"{seed}|{word}|{k}".encode()).digest()
+        u = int.from_bytes(h[:8], "big") / 2.0 ** 64 * tot
+        acc = 0.0
+        pick = ws[-1][0]
+        for i, w in ws:
+            acc += w
+            if u < acc:
+                pick = i
+                break
+        pieces.append(word[pick:j])
+        j = pick
+        k += 1
+    pieces = pieces[::-1]
+    return pieces, sum(logp[p] for p in pieces)
+
+
 # ---------------------------------------------------------------------------
 # distributed trainer
 # ---------------------------------------------------------------------------

@@ -77,6 +77,36 @@ def test_digamma():
                                                  abs=1e-10)
 
 
+def test_sample_segment_distribution():
+    # alpha=1: empirical segmentation frequencies track the exact
+    # posterior P(seg | word) over many seeds
+    word = "abab"
+    segs = brute_segmentations(word, LOGP, 3)
+    z = math.log(sum(math.exp(s) for _, s in segs))
+    want = {tuple(p): math.exp(s - z) for p, s in segs}
+    counts = {}
+    n = 4000
+    for t in range(n):
+        ps, sc = U.sample_segment(word, LOGP, 3, alpha=1.0, seed=str(t))
+        assert "".join(ps) == word
+        assert sc == pytest.approx(sum(LOGP[p] for p in ps))
+        counts[tuple(ps)] = counts.get(tuple(ps), 0) + 1
+    assert set(counts) == set(want)
+    for seg, p in want.items():
+        assert counts[seg] / n == pytest.approx(p, abs=0.03)
+    # determinism: same seed, same draw
+    a = U.sample_segment(word, LOGP, 3, seed="fixed")
+    b = U.sample_segment(word, LOGP, 3, seed="fixed")
+    assert a == b
+    # alpha -> large concentrates on the Viterbi best
+    best = U.viterbi_segment(word, LOGP, 3)[0]
+    hits = sum(U.sample_segment(word, LOGP, 3, alpha=60.0,
+                                seed=str(t))[0] == best
+               for t in range(50))
+    assert hits == 50
+    assert U.sample_segment("qqq", {"a": -1.0}, 3) == ([], U.NEG_INF)
+
+
 def test_train_recovers_planted_pieces(spark):
     # corpus dominated by two multi-char units: "ab" and "cde"
     rows = [(i, "abab abcde cdecde ab cde abab cde") for i in range(40)]
