@@ -2447,7 +2447,10 @@ def text_repetition(spark, sf):
         lambda j: F.array_join(F.slice(lines, j * 4 + 1, 4), "\n"))
     structured = F.when(F.size(toks) > 0, F.array_join(paras, "\n\n")) \
                   .otherwise(F.lit(""))
-    t2 = d.select("doc_id", structured.alias("t2"))
+    # freeze: the rebuilt text feeds 3+ metric expressions — without
+    # the barrier Catalyst collapses the projection and inlines the
+    # whole HOF rebuild into every metric (r8 second session)
+    t2 = d.select("doc_id", st.freeze(structured).alias("t2"))
     return (t2.select(
         "doc_id",
         F.round(text.duplicate_line_fraction("t2"), 6).alias("dup_line_frac"),

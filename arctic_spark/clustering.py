@@ -98,9 +98,12 @@ def cluster_dbscan(df, eps: float, min_points: int, id_col: str,
     edges = _neighbor_pairs(gdf, eps, id_col, points_only)
 
     # The edge list feeds three consumers (counts, core-core closure,
-    # border attach) — materialize it once.
+    # border attach) — materialize it once, EAGERLY: a lazy persist
+    # lets the consumers' concurrent tasks each recompute the dwithin
+    # join before the cache fills (the r8 overlay lesson).
     from pyspark import StorageLevel
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
 
     # core flag: neighbor count + self >= min_points
     ncount = edges.groupBy("src").agg(F.count("*").alias("nn"))
@@ -108,6 +111,7 @@ def cluster_dbscan(df, eps: float, min_points: int, id_col: str,
             .select("id", (F.coalesce(F.col("nn"), F.lit(0)) + 1
                            >= F.lit(int(min_points))).alias("is_core")))
     core = core.persist(StorageLevel.MEMORY_AND_DISK)
+    core.count()        # eager: both semi-joins of `ce` read it at once
     core_ids = core.where("is_core").select("id")
 
     # connected components over core-core edges only

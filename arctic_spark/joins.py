@@ -447,6 +447,10 @@ def spatial_join(left, right, how="inner", predicate="intersects",
 
     from .cache import pin
     matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager: the matched/unmatched branches run concurrently in the
+    # final action and would otherwise race the cache and each compute
+    # the spatial join (the r8 overlay lesson)
+    matched.count()
     lcols = [c for c in ldfs.columns if c != "__l_rowid"]
     unmatched = ldfs.join(matched.select("__l_rowid"),
                           "__l_rowid", "left_anti")

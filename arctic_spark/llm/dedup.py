@@ -167,8 +167,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text",
                   F.col("sig"), num_bands)).alias("band")))
     # both sides of the self-join read `banded`; persisting it means the
     # 32-permutation signature is evaluated once per document, not twice
-    # (payload is just id + 16-byte band key — tiny even at 100 TB)
+    # (payload is just id + 16-byte band key — tiny even at 100 TB).
+    # Materialize EAGERLY: the self-join's two scan stages run
+    # concurrently, and a lazy persist lets both compute the signature
+    # before the cache fills (the r8 overlay lesson).
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
