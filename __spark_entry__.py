@@ -1662,6 +1662,98 @@ def _unigram_oracle_sql():
     """
 
 
+def lm_kn_score(spark, sf):
+    """Interpolated Kneser-Ney trigram LM trained ON the documents
+    corpus, then scoring its own documents (llm/ngram_lm.py, round 8;
+    Chen & Goodman 1998). The gate emits each doc's first-10-position
+    probability sum: the oracle replays EVERYTHING — BOS/EOS padding,
+    bigram/trigram counting, the continuation-count tables N1+(·vw) /
+    N1+(·v·) / N1+(v·) / N1+(·w) / N1+(··), both backoff weights and
+    the three-level interpolation chain — in DuckDB CTEs with the
+    identical expression structure, so a wrong discount placement,
+    type-vs-token count confusion, or backoff fall-through mismatches
+    the hash. Probability sums ride as BIGINT micro-units (r8 float
+    convention)."""
+    from arctic_spark.llm import ngram_lm as L
+    d = _t(spark, sf, "documents")
+    model = L.kn_model(L.ngram_counts(d, "text", 3), discount=0.75)
+    out = L.kn_score(d, "text", model, "doc_id", max_positions=10)
+    return (out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_pos").cast("int").alias("n_pos"),
+        F.round(F.col("sum_p") * 1e6, 0).cast("long").alias("sum_p_u"))
+        .orderBy("doc_id"))
+
+
+_KN_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_concat(list_concat(['<s>', '<s>'],
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z]+'),
+                               x -> x <> '')), ['</s>']) AS ws
+        FROM documents),
+    g3 AS (
+        SELECT doc_id, i, ws[i] AS u, ws[i+1] AS v, ws[i+2] AS w
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)),
+    g2 AS (
+        SELECT ws[i] AS v, ws[i+1] AS w
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+    c3 AS (SELECT u, v, w, count(*) AS cnt FROM g3 GROUP BY u, v, w),
+    c2 AS (SELECT v, w, count(*) AS cnt FROM g2
+           WHERE NOT (v = '<s>' AND w = '<s>') GROUP BY v, w),
+    n1w AS (SELECT w, count(*) AS n1w FROM c2 GROUP BY w),
+    n1tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM c2),
+    uni AS (SELECT w, n1w / (SELECT t FROM n1tot) AS p1 FROM n1w),
+    n1vw AS (SELECT v, w, count(DISTINCT u) AS n1vw
+             FROM c3 GROUP BY v, w),
+    n1vd AS (SELECT v, sum(n1vw) AS n1vd FROM n1vw GROUP BY v),
+    nrv AS (SELECT v, count(*) AS nrv FROM c2 GROUP BY v),
+    bibo AS (SELECT d.v, 0.75 * r.nrv / d.n1vd AS bo2, d.n1vd
+             FROM n1vd d JOIN nrv r USING (v)),
+    bi AS (SELECT h.v, h.w,
+                  greatest(h.n1vw - 0.75, 0.0) / b.n1vd
+                  + b.bo2 * u1.p1 AS p2
+           FROM n1vw h JOIN bibo b ON b.v = h.v
+                       JOIN uni u1 ON u1.w = h.w),
+    chh AS (SELECT u, v, sum(cnt) AS ch, count(*) AS n1h
+            FROM c3 GROUP BY u, v),
+    tribo AS (SELECT u, v, 0.75 * n1h / ch AS bo3 FROM chh),
+    tri AS (SELECT t.u, t.v, t.w,
+                   greatest(t.cnt - 0.75, 0.0) / h.ch AS p3h
+            FROM c3 t JOIN chh h USING (u, v)),
+    pos AS (SELECT doc_id, u, v, w FROM g3 WHERE i <= 10),
+    sc AS (
+        SELECT p.doc_id,
+               CASE WHEN tb.bo3 IS NOT NULL
+                    THEN coalesce(t.p3h, 0.0) + tb.bo3 *
+                         (CASE WHEN bb.bo2 IS NOT NULL
+                               THEN coalesce(b.p2,
+                                             bb.bo2 * coalesce(u1.p1,
+                                                               0.0))
+                               ELSE coalesce(u1.p1, 0.0) END)
+                    ELSE (CASE WHEN bb.bo2 IS NOT NULL
+                               THEN coalesce(b.p2,
+                                             bb.bo2 * coalesce(u1.p1,
+                                                               0.0))
+                               ELSE coalesce(u1.p1, 0.0) END)
+               END AS p
+        FROM pos p
+        LEFT JOIN tri t ON t.u = p.u AND t.v = p.v AND t.w = p.w
+        LEFT JOIN tribo tb ON tb.u = p.u AND tb.v = p.v
+        LEFT JOIN bi b ON b.v = p.v AND b.w = p.w
+        LEFT JOIN bibo bb ON bb.v = p.v
+        LEFT JOIN uni u1 ON u1.w = p.w),
+    agg AS (SELECT doc_id, count(*) AS n_pos, sum(p) AS sp
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_pos, 0) AS INT) AS n_pos,
+           CAST(round(coalesce(a.sp, 0.0) * 1e6, 0) AS BIGINT)
+               AS sum_p_u
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 def geo_delaunay(spark, sf):
     """Delaunay triangulation (Bowyer–Watson UDF) with combinatorial +
     measure-theoretic closed forms: a trapezoid hull (4 non-cocircular
@@ -3131,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_phash": mm_jpeg_phash,
         "mm_wav_stats": mm_wav_stats,
         "tok_unigram_encode": tok_unigram_encode,
+        "lm_kn_score": lm_kn_score,
         "dsir_select": dsir_select_docs,
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
@@ -5052,6 +5145,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p ORDER BY n_nationkey
         """,
         "tok_unigram_encode": _unigram_oracle_sql(),
+        "lm_kn_score": _KN_ORACLE,
         "geo_zorder_keys": """
             WITH pts AS (
                 SELECT c_custkey,

@@ -1,0 +1,194 @@
+"""Distributed interpolated Kneser-Ney n-gram language model
+(Chen & Goodman 1998, "An empirical study of smoothing techniques for
+language modeling"; the KenLM lineage, Heafield 2011 — public papers).
+
+The canonical corpus-level LM for data curation: perplexity filtering
+(CCNet-style), domain scoring, decontamination-adjacent n-gram
+statistics. ``llm/text.py``'s perplexity op scores under a FIXED
+externally-given table; this module TRAINS the table from the corpus
+itself.
+
+Model (order 3, fixed discount D — Chen & Goodman's interpolated KN;
+the "modified" three-discount variant is a straightforward extension
+and is intentionally not implemented to keep the arithmetic
+SQL-replayable):
+
+    P3(w | u v)  = max(c(uvw) - D, 0) / c(uv)
+                 + D * N1+(uv·) / c(uv) * P2(w | v)
+    P2(w | v)    = max(N1+(·vw) - D, 0) / N1+(·v·)
+                 + D * N1+(v·) / N1+(·v·) * P1(w)
+    P1(w)        = N1+(·w) / N1+(··)
+
+where N1+ counts DISTINCT context types (the Kneser-Ney continuation
+counts), not raw occurrences.
+
+Scale design (100 TB):
+
+* Counting is ONE pass: each document emits its padded token array,
+  n-grams of every order come from native slice/transform expressions,
+  and a single explode + groupBy per order shuffles compact string
+  keys. Counts/types tables are DataFrames — the model is never
+  collected to the driver.
+* The probability components attach to scoring positions through
+  ordinary equi-joins (broadcast when the model is small, shuffle
+  joins at scale). Unseen histories fall back through the
+  interpolation chain with plain ``coalesce`` — no per-row Python
+  anywhere; the whole pipeline is native Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+EOS = "</s>"
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_arrays(df: DataFrame, col: str, order: int = 3) -> DataFrame:
+    """(doc_id-preserving) padded token arrays: (order-1) BOS markers,
+    the lowercased alphabetic words, one EOS."""
+    words = F.filter(F.split(F.lower(_c(col)), "[^a-z]+"),
+                     lambda w: w != F.lit(""))
+    pad = F.array(*[F.lit(BOS)] * (order - 1))
+    toks = F.concat(pad, words, F.array(F.lit(EOS)))
+    return df.withColumn("__toks", toks)
+
+
+def _grams(toks, n):
+    """Array of space-joined n-grams of the padded token array."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def ngram_counts(df: DataFrame, col: str = "text",
+                 order: int = 3) -> dict:
+    """Raw n-gram occurrence counts per order: {n: DataFrame(gram,
+    cnt)} — one explode + one shuffle per order over compact string
+    keys. BOS padding means every position has a full history; grams
+    consisting only of BOS are excluded (they carry no probability
+    mass)."""
+    t = token_arrays(df, col, order)
+    out = {}
+    for n in range(1, order + 1):
+        g = (t.select(F.explode(_grams(F.col("__toks"), n))
+                      .alias("gram"))
+             .where(F.col("gram") != " ".join([BOS] * n))
+             .groupBy("gram").agg(F.count("*").alias("cnt")))
+        out[n] = g
+    return out
+
+
+def kn_model(counts: dict, discount: float = 0.75) -> dict:
+    """Interpolated-KN probability component tables from the count
+    DataFrames (order 3). Returns DataFrames:
+
+    - ``uni``: (w, p1) — continuation unigram.
+    - ``bi``:  (v, w, p2) for every SEEN bigram type, where p2 is the
+      FULL interpolated P2(w|v) (its own backoff to p1 folded in).
+    - ``bi_bo``: (v, bo2) — backoff weight D·N1+(v·)/N1+(·v·) for
+      seen-v histories (unseen v → P2 = P1 directly).
+    - ``tri``: (u, v, w, p3_head, ...) head term + the trigram
+      backoff pieces; full P3 assembles at scoring time as
+      p3_head + bo3 * P2 so unseen trigrams with seen history reuse
+      the same bo3 row.
+    - ``tri_bo``: (u, v, bo3, c_h) per seen history c(uv) > 0.
+    """
+    c1, c2, c3 = counts[1], counts[2], counts[3]
+    D = float(discount)
+
+    s2 = c2.select(F.split("gram", " ").alias("p"), "cnt") \
+        .select(F.element_at("p", 1).alias("v"),
+                F.element_at("p", 2).alias("w"), "cnt")
+    s3 = c3.select(F.split("gram", " ").alias("p"), "cnt") \
+        .select(F.element_at("p", 1).alias("u"),
+                F.element_at("p", 2).alias("v"),
+                F.element_at("p", 3).alias("w"), "cnt")
+
+    # continuation unigram: N1+(·w) / N1+(··)
+    n1_w = s2.groupBy("w").agg(F.count("*").alias("n1w"))
+    n1_tot = s2.count()
+    uni = n1_w.select("w", (F.col("n1w") / F.lit(float(n1_tot)))
+                      .alias("p1"))
+
+    # bigram continuation machinery: N1+(·vw), N1+(·v·), N1+(v·)
+    n1_vw = s3.groupBy("v", "w").agg(
+        F.count_distinct("u").alias("n1vw"))
+    n1_v_dot = n1_vw.groupBy("v").agg(F.sum("n1vw").alias("n1vd"))
+    n1_right_v = s2.groupBy("v").agg(F.count("*").alias("nrv"))
+    bi_bo = (n1_v_dot.join(n1_right_v, "v")
+             .select("v", (F.lit(D) * F.col("nrv") / F.col("n1vd"))
+                     .alias("bo2"), F.col("n1vd")))
+    bi_head = (n1_vw.join(bi_bo.select("v", "n1vd"), "v")
+               .select("v", "w",
+                       (F.greatest(F.col("n1vw") - F.lit(D), F.lit(0.0))
+                        / F.col("n1vd")).alias("p2_head")))
+    bi = (bi_head.join(bi_bo.select("v", "bo2"), "v")
+          .join(uni, "w")
+          .select("v", "w",
+                  (F.col("p2_head") + F.col("bo2") * F.col("p1"))
+                  .alias("p2")))
+
+    # trigram head + backoff weight per seen history (u, v)
+    c_h = s3.groupBy("u", "v").agg(F.sum("cnt").alias("ch"),
+                                   F.count("*").alias("n1h"))
+    tri_bo = c_h.select("u", "v",
+                        (F.lit(D) * F.col("n1h") / F.col("ch"))
+                        .alias("bo3"), "ch")
+    tri = (s3.join(c_h, ["u", "v"])
+           .select("u", "v", "w",
+                   (F.greatest(F.col("cnt") - F.lit(D), F.lit(0.0))
+                    / F.col("ch")).alias("p3_head")))
+    return {"uni": uni, "bi": bi, "bi_bo": bi_bo.select("v", "bo2"),
+            "tri": tri, "tri_bo": tri_bo.select("u", "v", "bo3")}
+
+
+def kn_score(df: DataFrame, col: str, model: dict,
+             id_col: str = "doc_id", order: int = 3,
+             max_positions: int = None) -> DataFrame:
+    """Per-document interpolated-KN probability sums: (id, n_pos,
+    sum_p) where sum_p = Σ_positions P(w | history) under the trained
+    model and n_pos counts scored positions (words + EOS). The
+    backoff chain is pure coalesce logic over the joined component
+    tables:
+
+        P = p3_head + bo3·P2         if history (u,v) seen
+          = P2                        elif v seen
+          = P1                        else
+        with P2 analogously from (bi, bi_bo, uni).
+
+    ``max_positions`` truncates each document (for bounded oracles).
+    Joins are plain equi-joins on string keys; at scale the model
+    side shuffles, small models broadcast automatically via AQE."""
+    t = token_arrays(df, col, order)
+    grams = _grams(F.col("__toks"), order)
+    if max_positions is not None:
+        grams = F.slice(grams, 1, max_positions)
+    pos = (t.select(_c(id_col).alias("id"),
+                    F.posexplode(grams).alias("pos", "g"))
+           .select("id", "pos", F.split("g", " ").alias("p"))
+           .select("id", "pos",
+                   F.element_at("p", 1).alias("u"),
+                   F.element_at("p", 2).alias("v"),
+                   F.element_at("p", 3).alias("w")))
+    j = (pos.join(model["tri"], ["u", "v", "w"], "left")
+         .join(model["tri_bo"], ["u", "v"], "left")
+         .join(model["bi"], ["v", "w"], "left")
+         .join(model["bi_bo"], ["v"], "left")
+         .join(model["uni"], ["w"], "left"))
+    p1 = F.coalesce(F.col("p1"), F.lit(0.0))
+    p2 = F.when(F.col("bo2").isNotNull(),
+                F.coalesce(F.col("p2"), F.col("bo2") * p1)) \
+        .otherwise(p1)
+    p = F.when(F.col("bo3").isNotNull(),
+               F.coalesce(F.col("p3_head"), F.lit(0.0))
+               + F.col("bo3") * p2) \
+        .otherwise(p2)
+    return (j.groupBy("id")
+            .agg(F.count("*").alias("n_pos"),
+                 F.sum(p).alias("sum_p")))

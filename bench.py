@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "mm_jpeg_phash",
     "mm_wav_stats",
     "tok_unigram_encode",
+    "lm_kn_score",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",

@@ -1,0 +1,127 @@
+"""Interpolated Kneser-Ney LM (llm/ngram_lm.py; Chen & Goodman 1998).
+Verified against an independent pure-Python reference implementation
+built straight from the paper's formulas over brute-force counts."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from arctic_spark.llm import ngram_lm as L
+
+
+def ref_counts(texts, order=3):
+    c = {n: Counter() for n in range(1, order + 1)}
+    docs = []
+    for t in texts:
+        ws = [w for w in re.split("[^a-z]+", t.lower()) if w]
+        toks = [L.BOS] * (order - 1) + ws + [L.EOS]
+        docs.append(toks)
+        for n in range(1, order + 1):
+            for i in range(len(toks) - n + 1):
+                g = tuple(toks[i:i + n])
+                if all(x == L.BOS for x in g):
+                    continue
+                c[n][g] += 1
+    return c, docs
+
+
+def ref_model(c, D=0.75):
+    """Reference interpolated KN directly from the formulas."""
+    n1_w = Counter(w for (_, w) in c[2])
+    n1_tot = len(c[2])
+    n1_vw = Counter((v, w) for (_, v, w) in c[3])
+    n1_vd = Counter()                      # N1+(·v·) = sum_w N1+(·vw)
+    for (v, _), k in n1_vw.items():
+        n1_vd[v] += k
+    nrv = Counter(v for (v, _) in c[2])
+    ch = Counter()
+    n1h = Counter()
+    for (u, v, w), k in c[3].items():
+        ch[(u, v)] += k
+        n1h[(u, v)] += 1
+
+    def p1(w):
+        return n1_w.get(w, 0) / n1_tot
+
+    def p2(w, v):
+        if v not in n1_vd:
+            return p1(w)
+        head = max(n1_vw.get((v, w), 0) - D, 0.0) / n1_vd[v]
+        bo = D * nrv[v] / n1_vd[v]
+        return head + bo * p1(w)
+
+    def p3(w, u, v):
+        if (u, v) not in ch:
+            return p2(w, v)
+        head = max(c[3].get((u, v, w), 0) - D, 0.0) / ch[(u, v)]
+        bo = D * n1h[(u, v)] / ch[(u, v)]
+        return head + bo * p2(w, v)
+
+    return p1, p2, p3
+
+
+CORPUS = ["the cat sat on the mat",
+          "the dog sat on the log",
+          "a cat and a dog",
+          "the cat and the cat again",
+          "dogs do not sit on logs"]
+
+
+def test_reference_model_normalizes():
+    c, _ = ref_counts(CORPUS)
+    p1, p2, p3 = ref_model(c)
+    vocab = {w for (w,) in c[1]} | {L.EOS}
+    vocab.discard(L.BOS)
+    assert sum(p1(w) for w in vocab) == pytest.approx(1.0, abs=1e-9)
+    for v in ["the", "cat", "on"]:
+        assert sum(p2(w, v) for w in vocab) == pytest.approx(1.0,
+                                                             abs=1e-9)
+    for (u, v) in [("the", "cat"), ("sat", "on"), (L.BOS, L.BOS)]:
+        assert sum(p3(w, u, v) for w in vocab) == pytest.approx(
+            1.0, abs=1e-9)
+
+
+def test_counts_match_reference(spark):
+    df = spark.createDataFrame(list(enumerate(CORPUS)),
+                               "doc_id long, text string")
+    counts = L.ngram_counts(df, "text", 3)
+    c, _ = ref_counts(CORPUS)
+    for n in (1, 2, 3):
+        got = {tuple(r["gram"].split(" ")): r["cnt"]
+               for r in counts[n].collect()}
+        assert got == dict(c[n])
+
+
+def test_kn_score_matches_reference(spark):
+    df = spark.createDataFrame(list(enumerate(CORPUS)),
+                               "doc_id long, text string")
+    model = L.kn_model(L.ngram_counts(df, "text", 3), discount=0.75)
+    got = {r["id"]: r for r in
+           L.kn_score(df, "text", model, "doc_id").collect()}
+    c, docs = ref_counts(CORPUS)
+    p1, p2, p3 = ref_model(c, 0.75)
+    for i, toks in enumerate(docs):
+        want = 0.0
+        npos = 0
+        for k in range(2, len(toks)):
+            want += p3(toks[k], toks[k - 2], toks[k - 1])
+            npos += 1
+        assert got[i]["n_pos"] == npos
+        assert got[i]["sum_p"] == pytest.approx(want, abs=1e-10)
+
+
+def test_kn_score_unseen_words_and_truncation(spark):
+    train = spark.createDataFrame(list(enumerate(CORPUS)),
+                                  "doc_id long, text string")
+    model = L.kn_model(L.ngram_counts(train, "text", 3))
+    test = spark.createDataFrame(
+        [(0, "the zebra sat on the xylophone and more and more and more")],
+        "doc_id long, text string")
+    rows = L.kn_score(test, "text", model, "doc_id",
+                      max_positions=5).collect()
+    assert rows[0]["n_pos"] == 5
+    # unseen words get the continuation-unigram floor of 0, but seen
+    # positions contribute: sum is strictly between 0 and n_pos
+    assert 0.0 < rows[0]["sum_p"] < 5.0
