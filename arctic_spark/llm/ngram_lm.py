@@ -191,4 +191,20 @@ def kn_score(df: DataFrame, col: str, model: dict,
         .otherwise(p2)
     return (j.groupBy("id")
             .agg(F.count("*").alias("n_pos"),
-                 F.sum(p).alias("sum_p")))
+                 F.sum(p).alias("sum_p"),
+                 F.sum(F.log2(F.greatest(p, F.lit(1e-12))))
+                 .alias("sum_log2_p")))
+
+
+def kn_perplexity(df: DataFrame, col: str, model: dict,
+                  id_col: str = "doc_id", order: int = 3) -> DataFrame:
+    """Per-document perplexity under the trained model:
+    ppl = 2^(−Σ log2 P / n_pos), with a 1e-12 probability floor for
+    out-of-vocabulary continuations (the continuation-unigram of an
+    unseen word is 0 — standard practice is a floor or an explicit
+    <unk>). The CCNet-style curation signal: bucket documents by ppl
+    terciles to split head/middle/tail quality bands."""
+    s = kn_score(df, col, model, id_col, order)
+    return s.select("id", "n_pos",
+                    F.pow(F.lit(2.0), -F.col("sum_log2_p")
+                          / F.col("n_pos")).alias("ppl"))

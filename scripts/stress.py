@@ -467,6 +467,26 @@ def main():
           f"{dt:.1f}s, {n:,} pieces, {n_docs_u / dt / 1e3:.0f}k docs/s",
           flush=True)
 
+    # r8 second session: Kneser-Ney LM — train on 500k docs (three
+    # count shuffles on compact string keys) and score the corpus
+    # (coalesce-chained equi-joins); the model is never collected
+    from arctic_spark.llm import ngram_lm as LM
+    n_docs_k = max(n_points // 10, 100_000)
+    docs_k = spark.range(n_docs_k).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.translate(F.concat_ws(" ", *[
+            F.pmod(F.col("id") * (7 + 13 * j), F.lit(9973))
+            .cast("string") for j in range(20)]),
+            "0123456789", "theringsad").alias("text"))
+    t0 = time.perf_counter()
+    model = LM.kn_model(LM.ngram_counts(docs_k, "text", 3))
+    tot = LM.kn_score(docs_k, "text", model, "doc_id") \
+        .agg(F.sum("sum_p")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(f"kneser-ney train+score {n_docs_k:,} docs (20 words each): "
+          f"{dt:.1f}s, sum_p {tot:,.0f}, "
+          f"{n_docs_k / dt / 1e3:.0f}k docs/s", flush=True)
+
     # r8 second session: from-scratch JPEG codec throughput — encode
     # AND decode+dHash per image, all inside executors (mapInPandas)
     from arctic_spark.llm import multimodal as mm

@@ -112,6 +112,21 @@ def test_kn_score_matches_reference(spark):
         assert got[i]["sum_p"] == pytest.approx(want, abs=1e-10)
 
 
+def test_kn_perplexity(spark):
+    train = spark.createDataFrame(list(enumerate(CORPUS)),
+                                  "doc_id long, text string")
+    model = L.kn_model(L.ngram_counts(train, "text", 3))
+    # an in-corpus doc scores far lower perplexity than word salad
+    test = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "log mat dogs a not cat do")],
+        "doc_id long, text string")
+    ppl = {r.id: r.ppl for r in
+           L.kn_perplexity(test, "text", model, "doc_id").collect()}
+    assert ppl[0] < ppl[1]
+    assert ppl[0] > 1.0
+
+
 def test_kn_score_unseen_words_and_truncation(spark):
     train = spark.createDataFrame(list(enumerate(CORPUS)),
                                   "doc_id long, text string")
