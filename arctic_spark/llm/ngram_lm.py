@@ -84,6 +84,105 @@ def ngram_counts(df: DataFrame, col: str = "text",
     return out
 
 
+def estimate_discounts(count_df: DataFrame) -> tuple:
+    """Modified-KN discounts (D1, D2, D3+) from the count-of-counts of
+    one n-gram count table (Chen & Goodman 1998 eq. 26; KenLM's
+    default estimator): with n_k = |{grams with count k}| and
+    Y = n1/(n1+2·n2),
+
+        D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,  D3+ = 3 − 4Y·n4/n3.
+
+    Driver-side over a 4-row aggregate (count-of-counts of k ≤ 4)."""
+    rows = (count_df.where(F.col("cnt") <= 4)
+            .groupBy("cnt").agg(F.count("*").alias("n"))
+            .collect())
+    n = {int(r["cnt"]): int(r["n"]) for r in rows}
+    n1, n2, n3, n4 = (n.get(k, 0) for k in (1, 2, 3, 4))
+    if n1 == 0 or n2 == 0 or n3 == 0:
+        return 0.75, 0.75, 0.75          # degenerate corpus fallback
+    y = n1 / (n1 + 2.0 * n2)
+    d1 = max(1.0 - 2.0 * y * n2 / n1, 0.0)
+    d2 = max(2.0 - 3.0 * y * n3 / n2, 0.0)
+    d3 = max(3.0 - 4.0 * y * n4 / n3, 0.0) if n4 else 1.5
+    return d1, d2, d3
+
+
+def _dcol(cnt_col, d1, d2, d3):
+    """Count-dependent discount column: D(c) = D1/D2/D3+ for
+    c = 1 / 2 / ≥3 (modified KN)."""
+    return (F.when(cnt_col >= 3, F.lit(float(d3)))
+            .when(cnt_col == 2, F.lit(float(d2)))
+            .otherwise(F.lit(float(d1))))
+
+
+def kn_model_modified(counts: dict) -> dict:
+    """MODIFIED Kneser-Ney model tables (Chen & Goodman's three-
+    discount variant — what KenLM builds by default): per-order
+    discounts estimated from count-of-counts, the head term uses
+    D(c) chosen by the gram's own count, and the backoff weight is
+    (D1·N1(h·) + D2·N2(h·) + D3+·N3+(h·)) / c(h) so each
+    distribution still sums to one. Same table layout as
+    :func:`kn_model`, so :func:`kn_score` / :func:`kn_perplexity`
+    work unchanged. The driver gate stays on the single-discount
+    model (simpler SQL replay); this variant is covered by the
+    reference-implementation parity tests."""
+    c2, c3 = counts[2], counts[3]
+
+    s2 = c2.select(F.split("gram", " ").alias("p"), "cnt") \
+        .select(F.element_at("p", 1).alias("v"),
+                F.element_at("p", 2).alias("w"), "cnt")
+    s3 = c3.select(F.split("gram", " ").alias("p"), "cnt") \
+        .select(F.element_at("p", 1).alias("u"),
+                F.element_at("p", 2).alias("v"),
+                F.element_at("p", 3).alias("w"), "cnt")
+
+    n1_w = s2.groupBy("w").agg(F.count("*").alias("n1w"))
+    n1_tot = s2.count()
+    uni = n1_w.select("w", (F.col("n1w") / F.lit(float(n1_tot)))
+                      .alias("p1"))
+
+    # bigram level over continuation counts
+    n1_vw = s3.groupBy("v", "w").agg(
+        F.count_distinct("u").alias("n1vw"))
+    bd1, bd2, bd3 = estimate_discounts(
+        n1_vw.select(F.col("n1vw").alias("cnt")))
+    n1_v_dot = n1_vw.groupBy("v").agg(
+        F.sum("n1vw").alias("n1vd"),
+        F.sum(F.when(F.col("n1vw") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("n1vw") == 2, 1).otherwise(0)).alias("k2"),
+        F.sum(F.when(F.col("n1vw") >= 3, 1).otherwise(0)).alias("k3"))
+    bi_bo = n1_v_dot.select(
+        "v", ((F.lit(bd1) * F.col("k1") + F.lit(bd2) * F.col("k2")
+               + F.lit(bd3) * F.col("k3")) / F.col("n1vd"))
+        .alias("bo2"), "n1vd")
+    bi = (n1_vw.join(bi_bo, "v").join(uni, "w")
+          .select("v", "w",
+                  (F.greatest(F.col("n1vw")
+                              - _dcol(F.col("n1vw"), bd1, bd2, bd3),
+                              F.lit(0.0)) / F.col("n1vd")
+                   + F.col("bo2") * F.col("p1")).alias("p2")))
+
+    # trigram level over raw counts
+    td1, td2, td3 = estimate_discounts(c3)
+    c_h = s3.groupBy("u", "v").agg(
+        F.sum("cnt").alias("ch"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).alias("k2"),
+        F.sum(F.when(F.col("cnt") >= 3, 1).otherwise(0)).alias("k3"))
+    tri_bo = c_h.select(
+        "u", "v", ((F.lit(td1) * F.col("k1") + F.lit(td2) * F.col("k2")
+                    + F.lit(td3) * F.col("k3")) / F.col("ch"))
+        .alias("bo3"))
+    tri = (s3.join(c_h.select("u", "v", "ch"), ["u", "v"])
+           .select("u", "v", "w",
+                   (F.greatest(F.col("cnt")
+                               - _dcol(F.col("cnt"), td1, td2, td3),
+                               F.lit(0.0)) / F.col("ch"))
+                   .alias("p3_head")))
+    return {"uni": uni, "bi": bi, "bi_bo": bi_bo.select("v", "bo2"),
+            "tri": tri, "tri_bo": tri_bo}
+
+
 def kn_model(counts: dict, discount: float = 0.75) -> dict:
     """Interpolated-KN probability component tables from the count
     DataFrames (order 3). Returns DataFrames:

@@ -112,6 +112,80 @@ def test_kn_score_matches_reference(spark):
         assert got[i]["sum_p"] == pytest.approx(want, abs=1e-10)
 
 
+def ref_model_modified(c, bds, tds):
+    """Reference modified KN with given (D1,D2,D3) per level."""
+    n1_w = Counter(w for (_, w) in c[2])
+    n1_tot = len(c[2])
+    n1_vw = Counter((v, w) for (_, v, w) in c[3])
+    n1_vd = Counter()
+    for (v, _), k in n1_vw.items():
+        n1_vd[v] += k
+    ch = Counter()
+    for (u, v, w), k in c[3].items():
+        ch[(u, v)] += k
+
+    def disc(cnt, ds):
+        return ds[0] if cnt == 1 else ds[1] if cnt == 2 else ds[2]
+
+    def p1(w):
+        return n1_w.get(w, 0) / n1_tot
+
+    def p2(w, v):
+        if v not in n1_vd:
+            return p1(w)
+        ks = Counter(min(k, 3) for (vv, _), k in n1_vw.items()
+                     if vv == v)
+        bo = (bds[0] * ks[1] + bds[1] * ks[2] + bds[2] * ks[3]) \
+            / n1_vd[v]
+        k = n1_vw.get((v, w), 0)
+        head = max(k - disc(k, bds), 0.0) / n1_vd[v] if k else 0.0
+        return head + bo * p1(w)
+
+    def p3(w, u, v):
+        if (u, v) not in ch:
+            return p2(w, v)
+        ks = Counter(min(k, 3) for (uu, vv, _), k in c[3].items()
+                     if (uu, vv) == (u, v))
+        bo = (tds[0] * ks[1] + tds[1] * ks[2] + tds[2] * ks[3]) \
+            / ch[(u, v)]
+        k = c[3].get((u, v, w), 0)
+        head = max(k - disc(k, tds), 0.0) / ch[(u, v)] if k else 0.0
+        return head + bo * p2(w, v)
+
+    return p1, p2, p3
+
+
+def test_modified_kn_matches_reference_and_normalizes(spark):
+    df = spark.createDataFrame(list(enumerate(CORPUS)),
+                               "doc_id long, text string")
+    counts = L.ngram_counts(df, "text", 3)
+    bds = L.estimate_discounts(
+        counts[3].select(L.F.split("gram", " ").alias("p"), "cnt")
+        .select(L.F.element_at("p", 2).alias("v"),
+                L.F.element_at("p", 3).alias("w"))
+        .groupBy("v", "w").agg(L.F.count("*").alias("cnt")))
+    tds = L.estimate_discounts(counts[3])
+    model = L.kn_model_modified(counts)
+    got = {r["id"]: r for r in
+           L.kn_score(df, "text", model, "doc_id").collect()}
+    c, docs = ref_counts(CORPUS)
+    p1, p2, p3 = ref_model_modified(c, bds, tds)
+    # normalization at every level (the three-discount backoff weight
+    # must exactly rebate the discounted head mass)
+    vocab = {w for (w,) in c[1]} | {L.EOS}
+    vocab.discard(L.BOS)
+    for v in ["the", "cat", "on"]:
+        assert sum(p2(w, v) for w in vocab) == pytest.approx(1.0,
+                                                             abs=1e-9)
+    for (u, v) in [("the", "cat"), ("sat", "on")]:
+        assert sum(p3(w, u, v) for w in vocab) == pytest.approx(
+            1.0, abs=1e-9)
+    for i, toks in enumerate(docs):
+        want = sum(p3(toks[k], toks[k - 2], toks[k - 1])
+                   for k in range(2, len(toks)))
+        assert got[i]["sum_p"] == pytest.approx(want, abs=1e-10)
+
+
 def test_kn_perplexity(spark):
     train = spark.createDataFrame(list(enumerate(CORPUS)),
                                   "doc_id long, text string")
