@@ -3203,16 +3203,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver-verification rotation (round 8) ---
+        # --- Driver-verification rotation (round 8, both sessions) ---
         # The driver's correctness gate only reaches the first ~50 dict
         # entries; CORRECTNESS_r01..r07 together cover every entry
         # except the 10 that overflowed r7's window. This round leads
         # with (a) the 4 queries whose r7 driver rows were red and are
         # now hash-hardened (pagerank ORDER BY + BIGINT oracle cast;
         # azimuth/readability BIGINT micro-unit quantization; BPE train
-        # gained a real chained-CTE oracle), (b) geo_overlay_union (new
-        # r8 op), (c) the 10 never-driver-checked r7 overflow entries,
-        # then r7-green entries fill the rest of the window.
+        # gained a real chained-CTE oracle), (b) the 8 new r8 ops —
+        # session 1: geo_overlay_union, io_gpkg_roundtrip, dsir_select;
+        # session 2: io_fgb_roundtrip, mm_jpeg_phash, mm_wav_stats,
+        # tok_unigram_encode, lm_kn_score — (c) the 10 never-driver-
+        # checked r7 overflow entries, then r7-green entries fill the
+        # rest of the window. Local full-sweep record (session 2):
+        # 125 pass / 0 fail / 0 rows-only at sf0.01.
         "graph_pagerank": graph_pagerank,
         "geo_azimuth_project": geo_azimuth_project,
         "text_readability": text_readability,
