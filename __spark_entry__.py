@@ -168,7 +168,7 @@ def q_anti_join(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 350000.0)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-            .groupBy("c_nationkey")
+            .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
             .agg(F.count("*").alias("n_customers")))
 
 
@@ -271,7 +271,7 @@ def geo_point_accessors(spark, sf):
     py = (F.col("c_custkey") * 3 % 160 - 80).cast("double") + 0.25
     g = st.point(px, py)
     return c.select("c_custkey", st.x(g).alias("x"), st.y(g).alias("y"),
-                    st.geom_type(g).alias("gt"))
+                    st.geom_type(g).cast("long").alias("gt"))
 
 
 def geo_distance(spark, sf):
@@ -451,9 +451,9 @@ def geo_explode_multipoint(spark, sf):
                         F.array(F.lit(1), F.lit(1)))
     df = e.select("event_id", mp.alias("geometry"))
     exploded = st.explode_parts(df, "geometry", keep_index=True)
-    return exploded.select("event_id", "part_index",
-                           st.x("geometry").alias("x"),
-                           st.y("geometry").alias("y"))
+    return exploded.select(
+        "event_id", F.col("part_index").cast("long").alias("part_index"),
+        st.x("geometry").alias("x"), st.y("geometry").alias("y"))
 
 
 def geo_utm_roundtrip(spark, sf):
@@ -499,7 +499,7 @@ def geo_dissolve_area(spark, sf):
            .agg(st.unary_union(F.col("g")).alias("u"))
     return agg.select("s_suppkey",
                       F.round(st.area("u"), 6).alias("union_area"),
-                      st.num_parts("u").alias("n_parts"))
+                      st.num_parts("u").cast("long").alias("n_parts"))
 
 
 def geo_collect_centroid(spark, sf):
@@ -515,7 +515,7 @@ def geo_collect_centroid(spark, sf):
     # centroid feeds both coordinates — bind once (r7)
     agg = agg.withColumn("__ct", st.freeze(st.centroid("mp")))
     return agg.select(
-        "c_nationkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
         F.round(st.x(F.col("__ct")), 6).alias("cx"),
         F.round(st.y(F.col("__ct")), 6).alias("cy"),
         st.num_parts("mp").cast("long").alias("n_points"))
@@ -987,7 +987,7 @@ def geo_line_refs(spark, sf):
         F.round(st.line_locate_point("ln", "q"), 6).alias("loc"),
         F.round(st.line_locate_point("ln", "q", normalized=True), 6)
          .alias("loc_frac"),
-        F.size(seg["xs"]).alias("seg_npts"),
+        F.size(seg["xs"]).cast("long").alias("seg_npts"),
         F.round(st.length(seg), 6).alias("seg_len"),
         F.round(st.x(rev0), 6).alias("rev_x"),
         F.round(st.y(rev0), 6).alias("rev_y"))
@@ -1126,7 +1126,9 @@ def embed_cosine_topk(spark, sf):
     em = _t(spark, sf, "embeddings")
     q = em.where(F.col("vec_id") < 20)
     out = similarity.brute_force_topk(q, em, k=5)
-    return out.select("query_id", "rank", "neighbor_id",
+    return out.select("query_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id",
                       F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -1139,7 +1141,9 @@ def embed_knn_lsh(spark, sf):
     q = em.where(F.col("vec_id") < 20)
     out = similarity.lsh_topk(q, em, dim=64, k=5, num_planes=6,
                               num_tables=3)
-    return out.select("query_id", "rank", "neighbor_id",
+    return out.select("query_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id",
                       F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -1165,7 +1169,9 @@ def embed_knn_ivf(spark, sf):
     cents = similarity.train_ivf_centroids(em, dim=64, n_clusters=8)
     q = em.where(F.col("vec_id") < 20)
     out = similarity.ivf_topk(q, em, cents, k=5, nprobe=8)
-    return out.select("query_id", "rank", "neighbor_id",
+    return out.select("query_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id",
                       F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -1194,7 +1200,9 @@ def embed_pq_adc(spark, sf):
     books = _pq_fixed_codebooks()
     q = em.where(F.col("vec_id") % 50 == 0)
     out = similarity.pq_topk(q, em, books, k=5, tie_decimals=6)
-    return out.select("query_id", "rank", "neighbor_id",
+    return out.select("query_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id",
                       F.round("adc_dist2", 6).alias("adc_dist2"))
 
 
@@ -1216,7 +1224,8 @@ def dedup_simhash(spark, sf):
     4 pigeonhole prefix blocks, the block self-join and the hamming
     verify in DuckDB — hash-exact."""
     d = _t(spark, sf, "documents")
-    return dedup.simhash_near_dup_pairs(d, max_hamming=3)
+    out = dedup.simhash_near_dup_pairs(d, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def text_quality_gopher(spark, sf):
@@ -1508,7 +1517,8 @@ def mm_jpeg_phash(spark, sf):
     meta = multimodal.image_meta_and_phash(d)
     feats = multimodal.decode_image_features(meta)
     return (feats.select(
-        "n_nationkey", "width", "height", "phash64",
+        "n_nationkey", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"), "phash64",
         F.round(F.element_at("features", 3) * 255, 0).cast("long")
         .alias("mean_u"))
         .orderBy("n_nationkey"))
@@ -1553,7 +1563,9 @@ def mm_wav_stats(spark, sf):
     a = multimodal.decode_audio_features(d)
     u = lambda c: F.round(F.col(c) * 1e6, 0).cast("long")  # noqa: E731
     return (a.select(
-        "n_nationkey", "sample_rate", "n_channels", "n_samples",
+        "n_nationkey",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"), "n_samples",
         "duration_ms", u("rms").alias("rms_u"),
         u("peak").alias("peak_u"),
         u("zero_crossing_rate").alias("zcr_u"))
@@ -1788,9 +1800,9 @@ def geo_delaunay(spark, sf):
         "tri", st.delaunay_triangles(F.col("pts")))
     return d.select(
         "c_custkey",
-        st.num_parts("tri").alias("n_triangles"),
+        st.num_parts("tri").cast("long").alias("n_triangles"),
         F.round(st.area("tri"), 6).alias("tri_area_sum"),
-        (F.col("k") * 2 + 2).cast("int").alias("expected_tris"))
+        (F.col("k") * 2 + 2).cast("long").alias("expected_tris"))
 
 
 def geo_concave_hull(spark, sf):
@@ -2012,8 +2024,8 @@ def geo_orientation_flags(spark, sf):
         st.is_ccw("__ring").alias("ring_ccw"),
         st.is_closed("__ring").alias("ring_closed"),
         st.is_closed(open_ln).alias("open_closed"),
-        st.count_coordinates("__poly").alias("n_coords"),
-        st.count_geometries(mp).alias("n_geoms"),
+        st.count_coordinates("__poly").cast("long").alias("n_coords"),
+        st.count_geometries(mp).cast("long").alias("n_geoms"),
         st.is_ccw(st.exterior(oriented)).alias("oriented_ccw"),
         F.round(st.area(oriented), 6).alias("tri_area"))
 
@@ -2113,7 +2125,7 @@ def geo_build_area(spark, sf):
     return s.select(
         "s_suppkey",
         F.round(st.area("__built"), 6).alias("built_area"),
-        st.num_parts("__built").alias("n_parts"))
+        st.num_parts("__built").cast("long").alias("n_parts"))
 
 
 def geo_min_clearance(spark, sf):
@@ -2309,7 +2321,7 @@ def dedup_paragraph_stats(spark, sf):
                                     id_col="doc_id")
     return out.select(
         F.col("id").alias("doc_id"),
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars"),
         F.substring(F.md5("text"), 1, 16).alias("fp"))
 
 
@@ -2331,7 +2343,8 @@ def dedup_substring_stats(spark, sf):
     return out.select(
         F.col("id").alias("doc_id"),
         F.size(F.filter(F.split(F.col("text"), r"\s+"),
-                        lambda w: F.length(w) > 0)).alias("n_out_tokens"),
+                        lambda w: F.length(w) > 0)).cast("long")
+         .alias("n_out_tokens"),
         F.substring(F.md5("text"), 1, 16).alias("fp"))
 
 
@@ -2381,7 +2394,8 @@ def dedup_semantic(spark, sf):
         em, cents, threshold=0.35).persist(StorageLevel.MEMORY_AND_DISK)
     tot = stats.agg((F.sum("n_members") - F.sum("n_dropped")).alias("c"))
     out = (stats.join(F.broadcast(tot))
-           .select("cluster", "n_members", "n_dropped",
+           .select(F.col("cluster").cast("long").alias("cluster"),
+                   "n_members", "n_dropped",
                    F.col("c").alias("n_survivors_total"))
            .orderBy("cluster"))
     return pin(out, stats)
@@ -2478,7 +2492,7 @@ def text_html_strip(spark, sf):
     stripped = text.strip_html(html)
     return d.select(
         "doc_id",
-        F.length(stripped).alias("n_chars"),
+        F.length(stripped).cast("long").alias("n_chars"),
         F.substring(F.md5(stripped), 1, 16).alias("text_fp"),
         F.round(text.html_visible_ratio(html), 6).alias("visible_ratio"))
 
@@ -2498,8 +2512,8 @@ def text_pii_scrub(spark, sf):
     red = pipeline.redact_pii(t2)
     return d.select(
         "doc_id",
-        pipeline.email_count(t2).alias("n_email"),
-        pipeline.ipv4_count(t2).alias("n_ip"),
+        pipeline.email_count(t2).cast("long").alias("n_email"),
+        pipeline.ipv4_count(t2).cast("long").alias("n_ip"),
         F.substring(F.md5(red), 1, 16).alias("redacted_fp"))
 
 
@@ -2512,7 +2526,9 @@ def text_chunking(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     out = pipeline.chunk_documents(d, chunk_tokens=40, overlap=10)
     return out.select(
-        F.col("id").alias("doc_id"), "chunk_idx", "n_tokens",
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_fp"))
 
 
@@ -2564,31 +2580,45 @@ def text_readability(spark, sf):
     computes the same metrics from closed forms over the original
     token list.
 
-    r8 hash robustness: FRE/FKG are emitted as BIGINT micro-units
-    (``CAST(ROUND(x * 1e6) AS BIGINT)``) on BOTH sides — the r7
-    driver hash-failed on value-correct rows because ``round(x, 6)``
-    re-encodes the 6-decimal value as a double and the two engines'
-    round implementations (BigDecimal HALF_UP vs libm) can differ by
-    1 ulp on the re-encoded double; integer micro-units skip the
-    re-encoding, and both engines' integer rounding of the same
-    IEEE-identical rational expression agrees everywhere (half-away
-    from zero on exact .5 in both)."""
+    r9 hash hardening (VERDICT r8 prescription — the row was red two
+    rounds running despite value-exact local compares): (a) syllables
+    now count regex MATCHES (regexp_extract_all) on both sides instead
+    of split pieces, removing the engine-version-sensitive
+    trailing-empty-string semantics of split; (b) FRE/FKG are emitted
+    as PURE-BIGINT scaled numerators — fre_num = 206835·s·w − 1015·w²
+    − 84600·s·y (FRE × 1000·s·w) and fkg_num = 39·w² + 1180·s·y −
+    1559·s·w (FKG × 100·s·w) — zero doubles, zero round(), nothing an
+    engine version can bend; the real scores are recoverable from the
+    emitted (w, s) denominators; (c) ORDER BY doc_id both sides."""
     d = _t(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     nch = F.ceil(F.size(toks) / F.lit(7)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nch - 1),
         lambda j: F.array_join(F.slice(toks, j * 7 + 1, 7), " "))
-    t2 = d.select("doc_id", F.array_join(chunks, ". ").alias("t2"))
-    return t2.select(
+    # freeze t2 AND the three metric columns: each feeds 2+ downstream
+    # expressions and Catalyst has no construction-time CSE (the HOF
+    # trees would inline into every numerator term otherwise)
+    t2 = d.select("doc_id", st.freeze(F.array_join(chunks, ". "))
+                  .alias("t2"))
+    m = t2.select(
         "doc_id",
-        text.token_count("t2").alias("n_words"),
-        text.sentence_count("t2").alias("n_sentences"),
-        text.syllable_count("t2").alias("n_syllables"),
-        F.round(text.flesch_reading_ease("t2") * F.lit(1e6), 0)
-         .cast("long").alias("fre"),
-        F.round(text.flesch_kincaid_grade("t2") * F.lit(1e6), 0)
-         .cast("long").alias("fkg"))
+        st.freeze(text.token_count("t2").cast("long")).alias("n_words"),
+        st.freeze(text.sentence_count("t2").cast("long"))
+          .alias("n_sentences"),
+        st.freeze(text.syllable_count("t2").cast("long"))
+          .alias("n_syllables"))
+    w, s, y = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    ok = (w > 0) & (s > 0)
+    return m.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.when(ok, F.lit(206835) * s * w - F.lit(1015) * w * w
+               - F.lit(84600) * s * y)
+         .otherwise(F.lit(0)).cast("long").alias("fre_num"),
+        F.when(ok, F.lit(39) * w * w + F.lit(1180) * s * y
+               - F.lit(1559) * s * w)
+         .otherwise(F.lit(0)).cast("long").alias("fkg_num")) \
+        .orderBy("doc_id")
 
 
 def text_vocab_topk(spark, sf):
@@ -2611,7 +2641,9 @@ def text_tfidf_keywords(spark, sf):
     d = _t(spark, sf, "documents")
     out = pipeline.tfidf_topk_per_doc(d, k=3)
     return (out.where(F.col("id") < 30)
-            .select(F.col("id").alias("doc_id"), "rank", "token", "tfidf"))
+            .select(F.col("id").alias("doc_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    "token", "tfidf"))
 
 
 def _cluster_points(sf_df):
@@ -2720,6 +2752,7 @@ def text_bm25_topk(spark, sf):
          .select(F.col("doc_id").alias("query_id"),
                  F.substring("text", 1, 60).alias("query_text")))
     return (pipeline.bm25_topk(d, q, k=5, k1=1.5, b=0.75)
+            .withColumn("rank", F.col("rank").cast("long"))
             .orderBy("query_id", "rank"))
 
 
@@ -2872,7 +2905,7 @@ def text_bpe_encode(spark, sf):
     out = tokenize.apply_bpe(d, "text", _BPE_MERGES)
     return out.select(
         "doc_id",
-        F.size("tokens").alias("n_tokens"),
+        F.size("tokens").cast("long").alias("n_tokens"),
         F.md5(F.array_join("tokens", " ")).alias("fp"))
 
 
@@ -3128,7 +3161,7 @@ def _bpe_oracle_sql() -> str:
             FROM documents WHERE trim(text) != ''
         )
         SELECT doc_id,
-               CAST(len(string_split(j, ' ')) AS INT) AS n_tokens,
+               CAST(len(string_split(j, ' ')) AS BIGINT) AS n_tokens,
                md5(j) AS fp
         FROM enc
     """
@@ -3528,7 +3561,7 @@ _SIMHASH_ORACLE_SQL = """
         FROM blocks a JOIN blocks b
           ON a.blk = b.blk AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
-           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
     FROM cand
     WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
@@ -3720,7 +3753,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS x,
                    CAST(c_custkey * 3 % 160 - 80 AS DOUBLE) + 0.25 AS y,
-                   0 AS gt
+                   CAST(0 AS BIGINT) AS gt
             FROM customer
         """,
         "geo_distance": """
@@ -3914,7 +3947,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, part_index,
                    CAST(event_id % 100 AS DOUBLE) + part_index AS x,
                    CAST(user_id % 100 AS DOUBLE) + 2 * part_index AS y
-            FROM events, (SELECT 0 AS part_index UNION ALL SELECT 1) p
+            FROM events, (SELECT CAST(0 AS BIGINT) AS part_index UNION ALL
+                          SELECT CAST(1 AS BIGINT)) p
         """,
         "geo_dissolve_area": """
             SELECT s_suppkey,
@@ -3922,12 +3956,12 @@ def oracle_sql() -> dict[str, str]:
                          - greatest(0, 3 - CAST(s_suppkey % 4 AS DOUBLE))
                          * greatest(0, 2 - CAST(s_suppkey % 3 AS DOUBLE)),
                          6) AS union_area,
-                   CASE WHEN s_suppkey % 4 = 3 AND s_suppkey % 3 = 2
-                        THEN 2 ELSE 1 END AS n_parts
+                   CAST(CASE WHEN s_suppkey % 4 = 3 AND s_suppkey % 3 = 2
+                        THEN 2 ELSE 1 END AS BIGINT) AS n_parts
             FROM supplier
         """,
         "geo_collect_centroid": """
-            SELECT c_nationkey,
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                    round(avg(CAST(c_custkey % 83 AS DOUBLE) + 0.5), 6) AS cx,
                    round(avg(CAST(c_custkey * 7 % 79 AS DOUBLE) + 0.25), 6) AS cy,
                    count(*) AS n_points
@@ -4539,7 +4573,7 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT (SELECT count(*) FROM embeddings)
                          - (SELECT count(*) FROM dropped)
                          AS n_survivors_total)
-            SELECT m.cluster, m.n_members,
+            SELECT CAST(m.cluster AS BIGINT) AS cluster, m.n_members,
                    CAST(coalesce(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
                    t.n_survivors_total
             FROM members m LEFT JOIN dc USING (cluster), tot t
@@ -4736,7 +4770,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE len1 + t2 * len2 END, 6) AS loc,
                    round((CASE WHEN d1sq <= d2sq THEN t1 * len1
                           ELSE len1 + t2 * len2 END) / total, 6) AS loc_frac,
-                   CAST(k1 + k2 + 1 AS INTEGER) AS seg_npts,
+                   CAST(k1 + k2 + 1 AS BIGINT) AS seg_npts,
                    round(len1 + len2, 6) AS seg_len,
                    round(x2, 6) AS rev_x,
                    round(y2, 6) AS rev_y
@@ -4858,8 +4892,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s_suppkey % 2 = 1 THEN
                        round(w*w - (w-2)*(w-2) + (w-4)*(w-4), 6)
                    ELSE round(w*w - (w-2)*(w-2), 6) END AS built_area,
-                   CASE WHEN s_suppkey % 2 = 1 THEN 2 ELSE 1 END
-                       AS n_parts
+                   CAST(CASE WHEN s_suppkey % 2 = 1 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_parts
             FROM base
         """,
         "geo_min_clearance": """
@@ -4908,8 +4942,8 @@ def oracle_sql() -> dict[str, str]:
                    (o_orderkey % 2 = 1) AS ring_ccw,
                    TRUE AS ring_closed,
                    FALSE AS open_closed,
-                   4 AS n_coords,
-                   CAST(o_orderkey % 3 + 1 AS INT) AS n_geoms,
+                   CAST(4 AS BIGINT) AS n_coords,
+                   CAST(o_orderkey % 3 + 1 AS BIGINT) AS n_geoms,
                    TRUE AS oriented_ccw,
                    round(((o_orderkey % 5) + 1) * ((o_orderkey % 7) + 1)
                          / 2.0, 6) AS tri_area
@@ -4988,10 +5022,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geo_delaunay": """
             SELECT c_custkey,
-                   CAST(2 * (c_custkey % 3 + 1) + 2 AS INT) AS n_triangles,
+                   CAST(2 * (c_custkey % 3 + 1) + 2 AS BIGINT)
+                       AS n_triangles,
                    round(3.0 * CAST(c_custkey % 4 + 4 AS DOUBLE), 6)
                        AS tri_area_sum,
-                   CAST(2 * (c_custkey % 3 + 1) + 2 AS INT)
+                   CAST(2 * (c_custkey % 3 + 1) + 2 AS BIGINT)
                        AS expected_tris
             FROM customer WHERE c_custkey <= 2000
         """,
@@ -5125,9 +5160,9 @@ def oracle_sql() -> dict[str, str]:
             FROM nation ORDER BY n_nationkey
         """,
         "mm_jpeg_phash": """
-            SELECT n_nationkey,
-                   CAST(16 + n_nationkey % 5 AS INT) AS width,
-                   CAST(16 + n_nationkey % 8 AS INT) AS height,
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CAST(16 + n_nationkey % 5 AS BIGINT) AS width,
+                   CAST(16 + n_nationkey % 8 AS BIGINT) AS height,
                    CAST(0 AS BIGINT) AS phash64,
                    CAST(128 + 3 * ((n_nationkey * 5) % 33 - 16)
                         AS BIGINT) AS mean_u
@@ -5137,9 +5172,9 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (SELECT n_nationkey,
                               800 + 40 * (n_nationkey % 5) AS ns
                        FROM nation)
-            SELECT n_nationkey,
-                   CAST(8000 AS INT) AS sample_rate,
-                   CAST(1 AS INT) AS n_channels,
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
                    CAST(ns AS BIGINT) AS n_samples,
                    CAST(ns / 8 AS BIGINT) AS duration_ms,
                    CAST(500000 AS BIGINT) AS rms_u,
@@ -5413,30 +5448,28 @@ def oracle_sql() -> dict[str, str]:
                                    t -> length(t) > 0) AS ws
                 FROM documents),
             m AS (
-                SELECT doc_id, w,
-                       CASE WHEN w = 0 THEN 0
-                            ELSE CAST(ceil(w / 7.0) AS INT) END AS s,
-                       CASE WHEN w = 0 THEN 0
+                SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                       CAST(CASE WHEN w = 0 THEN 0
+                            ELSE ceil(w / 7.0) END AS BIGINT)
+                           AS n_sentences,
+                       CAST(CASE WHEN w = 0 THEN 0
                             ELSE list_aggregate(list_transform(ws,
-                                t -> greatest(len(string_split_regex(t,
-                                    '[aeiouy]+')) - 1, 1)), 'sum') END AS y
+                                t -> greatest(len(regexp_extract_all(t,
+                                    '[aeiouy]+')), 1)), 'sum') END
+                           AS BIGINT) AS n_syllables
                 FROM base)
-            SELECT doc_id, w AS n_words, s AS n_sentences,
-                   y AS n_syllables,
-                   CASE WHEN w > 0 AND s > 0 THEN
-                       CAST(round((206.835
-                             - 1.015 * (CAST(w AS DOUBLE) / s)
-                             - 84.6 * (CAST(y AS DOUBLE)
-                                       / CAST(w AS DOUBLE))) * 1e6)
-                            AS BIGINT)
-                   ELSE 0 END AS fre,
-                   CASE WHEN w > 0 AND s > 0 THEN
-                       CAST(round((0.39 * (CAST(w AS DOUBLE) / s)
-                             + 11.8 * (CAST(y AS DOUBLE)
-                                       / CAST(w AS DOUBLE))
-                             - 15.59) * 1e6) AS BIGINT)
-                   ELSE 0 END AS fkg
-            FROM m
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CAST(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                        206835 * n_sentences * n_words
+                        - 1015 * n_words * n_words
+                        - 84600 * n_sentences * n_syllables
+                   ELSE 0 END AS BIGINT) AS fre_num,
+                   CAST(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                        39 * n_words * n_words
+                        + 1180 * n_sentences * n_syllables
+                        - 1559 * n_sentences * n_words
+                   ELSE 0 END AS BIGINT) AS fkg_num
+            FROM m ORDER BY doc_id
         """,
         "text_vocab_topk": """
             WITH tok AS (
@@ -5733,7 +5766,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT dim, count(*) AS n, sum(x) AS s1,
                        sum(x * x) AS s2
                 FROM ex GROUP BY dim)
-            SELECT CAST(dim AS INT) AS dim, n,
+            SELECT CAST(dim AS BIGINT) AS dim, n,
                    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
                    (CAST(s2 AS DOUBLE)
                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
@@ -5801,7 +5834,8 @@ def oracle_sql() -> dict[str, str]:
                      JOIN customer ON o_custkey = c_custkey
         """,
         "q_anti_join": """
-            SELECT c_nationkey, count(*) AS n_customers
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS n_customers
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey

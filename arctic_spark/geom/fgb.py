@@ -342,13 +342,15 @@ def hilbert_order(bboxes, extent=None):
     minx, miny, maxx, maxy = extent
     w = (maxx - minx) or 1.0
     h = (maxy - miny) or 1.0
-    cx = (bb[:, 0] + bb[:, 2]) / 2.0
-    cy = (bb[:, 1] + bb[:, 3]) / 2.0
+    # centers only for finite rows — empty/null geometries carry
+    # (inf, -inf) bboxes and inf + -inf raises RuntimeWarning (ADVICE r8)
+    cx = (bb[finite, 0] + bb[finite, 2]) / 2.0
+    cy = (bb[finite, 1] + bb[finite, 3]) / 2.0
     hx = np.zeros(len(bb), dtype=np.uint32)
     hy = np.zeros(len(bb), dtype=np.uint32)
-    hx[finite] = np.clip(((cx[finite] - minx) / w * 0xFFFF), 0,
+    hx[finite] = np.clip(((cx - minx) / w * 0xFFFF), 0,
                          0xFFFF).astype(np.uint32)
-    hy[finite] = np.clip(((cy[finite] - miny) / h * 0xFFFF), 0,
+    hy[finite] = np.clip(((cy - miny) / h * 0xFFFF), 0,
                          0xFFFF).astype(np.uint32)
     return np.argsort(hilbert_u32(hx, hy), kind="stable"), extent
 

@@ -462,8 +462,12 @@ def read_flatgeobuf(spark: SparkSession, path: str,
     def spark_type(ct):
         if ct == _f.CT_BOOL:
             return T.BooleanType()
+        if ct == _f.CT_ULONG:
+            # FGB ulong is a full uint64; values >= 2^63 are legal and
+            # would overflow LongType at createDataFrame (ADVICE r8)
+            return T.DecimalType(20, 0)
         if ct in (_f.CT_BYTE, _f.CT_UBYTE, _f.CT_SHORT, _f.CT_USHORT,
-                  _f.CT_INT, _f.CT_UINT, _f.CT_LONG, _f.CT_ULONG):
+                  _f.CT_INT, _f.CT_UINT, _f.CT_LONG):
             return T.LongType()
         if ct in (_f.CT_FLOAT, _f.CT_DOUBLE):
             return T.DoubleType()
@@ -477,7 +481,8 @@ def read_flatgeobuf(spark: SparkSession, path: str,
     int_cols = {n for n, ct in meta["columns"]
                 if ct in (_f.CT_BYTE, _f.CT_UBYTE, _f.CT_SHORT,
                           _f.CT_USHORT, _f.CT_INT, _f.CT_UINT,
-                          _f.CT_LONG, _f.CT_ULONG)}
+                          _f.CT_LONG)}
+    ulong_cols = {n for n, ct in meta["columns"] if ct == _f.CT_ULONG}
     dbl_cols = {n for n, ct in meta["columns"]
                 if ct in (_f.CT_FLOAT, _f.CT_DOUBLE)}
     data = []
@@ -487,6 +492,9 @@ def read_flatgeobuf(spark: SparkSession, path: str,
             v = props.get(n)
             if v is not None and n in int_cols:
                 v = int(v)
+            elif v is not None and n in ulong_cols:
+                import decimal
+                v = decimal.Decimal(int(v))
             elif v is not None and n in dbl_cols:
                 v = float(v)
             attrs.append(v)

@@ -706,22 +706,32 @@ def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
         sj = spatial_join(lgdf, rgdf, how="inner",
                           predicate="intersects",
                           lsuffix=lsuffix, rsuffix=rsuffix, **join_kw)
-        sjdf = sj.df.persist(StorageLevel.MEMORY_AND_DISK)
+        lg, rg = gl + lsuffix, gr + rsuffix
+        # Per-pair intersection computed ONCE inside the persisted
+        # frame (r9, VERDICT r8 task #4): the intersection branch emits
+        # it directly, and BOTH leftover aggregations union the clipped
+        # pieces instead of the full opposite polygons — identity
+        # l − ∪rᵢ = l − ∪(l∩rᵢ) (and symmetrically for the right side),
+        # so the general boolean kernel sees one intersection per pair
+        # total plus unions over already-clipped (much smaller) inputs,
+        # instead of re-running intersection in one branch and
+        # full-polygon union+difference in two more.
+        sjdf = (sj.df
+                .withColumn("__piece",
+                            _udfs.intersection(F.col(lg), F.col(rg)))
+                .persist(StorageLevel.MEMORY_AND_DISK))
         # materialize NOW: the composed plan unions three branches that
         # all read sjdf, and a lazy persist lets their concurrent tasks
         # each recompute the join before the cache fills (measured 3x
         # the join cost at r8) — one bounded action pins it first
         sjdf.count()
-        lg, rg = gl + lsuffix, gr + rsuffix
         parts = []
         if how != "symmetric_difference":
             inter = (sjdf
-                     .withColumn("geometry",
-                                 _udfs.intersection(F.col(lg),
-                                                    F.col(rg)))
+                     .withColumn("geometry", F.col("__piece"))
                      .where(~native.is_empty(F.col("geometry")))
                      .where(native.area(F.col("geometry")) > 0)
-                     .drop(lg, rg))
+                     .drop(lg, rg, "__piece"))
             parts.append(inter)
 
         def leftover(df0, geom, keys, suf, other_geom):
@@ -729,7 +739,7 @@ def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
             hit = (sjdf.groupBy(*[F.col(k + suf).alias(k)
                                   for k in keys])
                    .agg(_udfs.union_collected(
-                       F.collect_list(F.col(other_geom)))
+                       F.collect_list(F.col("__piece")))
                        .alias("__hit_union")))
             out = (df0.join(hit, on=keys, how="left")
                    .withColumn(geom, F.when(

@@ -164,7 +164,7 @@ def dimension_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     # to double, so both engines run the identical IEEE ops.
     x = F.round(F.col("__v").cast("double"), 6).cast("decimal(18,8)")
     ex = df.select(F.posexplode(_c(vec_col)).alias("__d", "__v")) \
-        .select((F.col("__d") + 1).alias("dim"), x.alias("x"))
+        .select((F.col("__d") + 1).cast("long").alias("dim"), x.alias("x"))
     agg = (ex.groupBy("dim")
            .agg(F.count("*").alias("n"),
                 F.sum("x").alias("s1"),

@@ -298,6 +298,13 @@ def parse_jpeg(buf: bytes) -> np.ndarray:
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scomps.append((comp, tda >> 4, tda & 15))
+            if ns < len(frame["comps"]):
+                # A legal multi-scan (non-interleaved) baseline file
+                # puts each component in its own SOS; decoding only the
+                # first would silently return a Y-only image (ADVICE r8)
+                raise NotImplementedError(
+                    "multi-scan baseline not supported: first SOS covers "
+                    f"{ns} of {len(frame['comps'])} frame components")
             return _decode_scan(b, p + ln, frame, scomps, qt, huff,
                                 restart)
         p += ln
@@ -410,7 +417,7 @@ def _cat(v):
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def _sym_stream(zz_blocks, preds_key):
+def _sym_stream(zz_blocks):
     """Per block: DC category symbol + AC (run, size) symbols with the
     value bits; returns [(dcsym, dcval, [(acsym, acval, acsize)])]."""
     out = []
@@ -518,7 +525,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                     bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"]
                                                          + bx)
                     mcu_blocks[c["id"]].append(c["zz"][bi])
-    streams = {cid: _sym_stream(blks, cid)
+    streams = {cid: _sym_stream(blks)
                for cid, blks in mcu_blocks.items()}
 
     # shared Huffman tables: class 0 for luma (comp 1), class 1 chroma

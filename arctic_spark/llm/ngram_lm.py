@@ -198,7 +198,7 @@ def kn_model(counts: dict, discount: float = 0.75) -> dict:
       the same bo3 row.
     - ``tri_bo``: (u, v, bo3, c_h) per seen history c(uv) > 0.
     """
-    c1, c2, c3 = counts[1], counts[2], counts[3]
+    c2, c3 = counts[2], counts[3]  # continuation unigram derives from c2
     D = float(discount)
 
     s2 = c2.select(F.split("gram", " ").alias("p"), "cnt") \

@@ -378,14 +378,19 @@ def gopher_quality_flags(text, min_words: int = 50, max_words: int = 100_000,
 def syllable_count(text) -> Column:
     """Approximate total syllables: per word, the number of maximal
     vowel groups ([aeiouy]+), at least 1 — the standard cheap
-    approximation used by readability scores. Native: splitting a word
-    on the vowel-group regex yields groups+1 pieces."""
+    approximation used by readability scores. Native: counts regex
+    MATCHES (regexp_extract_all) rather than split pieces — split-based
+    counting (`size(split(w, '[aeiouy]+')) - 1`) depends on whether the
+    engine keeps trailing empty strings, which varies across SQL-engine
+    versions; match counting is the same integer everywhere (r8 verdict
+    root cause for the text_readability driver-hash mismatch)."""
     from ..functions.native import _let
 
     def count(ws):
         per_word = F.transform(
-            ws, lambda w: F.greatest(F.size(F.split(w, r"[aeiouy]+")) - 1,
-                                     F.lit(1)))
+            ws, lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0)),
+                F.lit(1)))
         return F.aggregate(per_word, F.lit(0),
                            lambda acc, v: acc + v)
 

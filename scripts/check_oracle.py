@@ -68,6 +68,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    global_width_warns = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -91,6 +92,27 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
+        # Int-width audit (VERDICT r8 task #2): the driver hashes values
+        # after stringification, so width alone doesn't fail — but 20
+        # audited int/BIGINT/HUGEINT mismatches were free hash risk.
+        # Normalize: every integer output column is BIGINT on BOTH
+        # sides. This check keeps new gates from reintroducing it.
+        _SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+        _DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+        try:
+            duck_types = {r[0].lower(): r[1] for r in con.execute(
+                f"DESCRIBE ({oracles[name].rstrip().rstrip(';')})"
+            ).fetchall()}
+            for col, dt in df.dtypes:
+                ddt = duck_types.get(col.lower(), "")
+                s_int, d_int = dt in _SPARK_INT, ddt in _DUCK_INT
+                if (s_int or d_int) and not (dt == "bigint"
+                                             and ddt == "BIGINT"):
+                    print(f"WIDTH {name}: {col} spark={dt} duck={ddt}")
+                    global_width_warns.append((name, col, dt, ddt))
+        except Exception as e:  # DESCRIBE quirks shouldn't fail the gate
+            print(f"WIDTH {name}: describe error: {str(e)[:120]}")
         ok = True
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL  {name}: columns spark={spark_cols} duck={duck_cols}")
@@ -111,7 +133,8 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only, "
+          f"{len(global_width_warns)} width warnings")
     spark.stop()
     return 1 if n_fail else 0
 
