@@ -173,6 +173,60 @@ def union_collected(groups: pd.Series) -> pd.DataFrame:
                          "ys": ys, "rings": rings, "parts": parts})
 
 
+@pandas_udf(GEOM_TYPE)
+def difference_collected(g1: pd.DataFrame, groups: pd.Series) -> pd.DataFrame:
+    """``subject − union(collected clips)`` in ONE boundary-arrangement
+    pass per row (boolean.difference_many — no intermediate dissolved
+    clip geometry). Fuses overlay's composite-mode leftover chain: the
+    former union_collected → join → difference shape paid two Arrow
+    stages and serialized the dissolved union through the join; this
+    runs once right after the collect_list aggregation (r9, VERDICT r8
+    task #4). Non-polygonal clip entries (degenerate touch
+    intersections) remove zero measure and are skipped; a non-polygonal
+    subject falls back to the pairwise kernel against the dissolved
+    clips."""
+    from ..geom.ragged import POLYGON, MULTIPOLYGON
+    r1 = ragged_from_pdf(g1)
+    gts, xs, ys, rings, parts = [], [], [], [], []
+    for i in range(len(r1)):
+        s = r1.geom(i)
+        arr = groups.iloc[i]
+        clips = []
+        if arr is not None:
+            for e in arr:
+                if e is None or e.get("gt") is None:
+                    continue
+                gt = int(e["gt"])
+                if gt not in (POLYGON, MULTIPOLYGON):
+                    continue
+                clips.append((gt,
+                              np.asarray(e["xs"], dtype=np.float64),
+                              np.asarray(e["ys"], dtype=np.float64),
+                              np.asarray(e["rings"], dtype=np.int64),
+                              np.asarray(e["parts"], dtype=np.int64)))
+        if s[0] == MISSING:
+            out = None
+        elif not clips:
+            out = s
+        elif s[0] in (POLYGON, MULTIPOLYGON) and len(s[1]):
+            out = boolean.difference_many(s, clips)
+        else:
+            u = algos.union_polygons(clips)
+            out = (s if u is None
+                   else boolean.boolean_pair(s, u, "difference"))
+        if out is None or out[0] == MISSING:
+            gts.append(None); xs.append(None); ys.append(None)
+            rings.append(None); parts.append(None)
+        else:
+            gts.append(int(out[0]))
+            xs.append(np.asarray(out[1], dtype=np.float64))
+            ys.append(np.asarray(out[2], dtype=np.float64))
+            rings.append(np.asarray(out[3], dtype=np.int64))
+            parts.append(np.asarray(out[4], dtype=np.int64))
+    return pd.DataFrame({"gt": pd.array(gts, dtype="Int32"), "xs": xs,
+                         "ys": ys, "rings": rings, "parts": parts})
+
+
 # ---- binary row-aligned ops ----------------------------------------------
 
 def _masked_bool_series(vals: np.ndarray, r1, r2) -> pd.Series:

@@ -734,28 +734,36 @@ def overlay(left, right, how="intersection", lsuffix="_1", rsuffix="_2",
                      .drop(lg, rg, "__piece"))
             parts.append(inter)
 
-        def leftover(df0, geom, keys, suf, other_geom):
+        def leftover(df0, geom, keys, suf):
             keys = [keys] if isinstance(keys, str) else list(keys)
+            # fused kernel: subject − union(pieces) is ONE arrangement
+            # pass (difference_collected) right after the collect_list
+            # agg — the subject rides the agg as first() (functionally
+            # dependent on the key), so no dissolved-union geometry is
+            # serialized through the join and the whole leftover costs
+            # one Arrow stage instead of two
             hit = (sjdf.groupBy(*[F.col(k + suf).alias(k)
                                   for k in keys])
-                   .agg(_udfs.union_collected(
-                       F.collect_list(F.col("__piece")))
-                       .alias("__hit_union")))
+                   .agg(F.first(F.col(geom + suf)).alias("__subj"),
+                        F.collect_list(F.col("__piece")).alias("__ps"))
+                   .select(*keys, F.lit(True).alias("__hit"),
+                           _udfs.difference_collected(
+                               F.col("__subj"), F.col("__ps"))
+                           .alias("__leftover")))
             out = (df0.join(hit, on=keys, how="left")
-                   .withColumn(geom, F.when(
-                       F.col("__hit_union").isNull(), F.col(geom))
-                       .otherwise(_udfs.difference(
-                           F.col(geom), F.col("__hit_union"))))
-                   .drop("__hit_union")
+                   .withColumn(geom, F.when(F.col("__hit").isNull(),
+                                            F.col(geom))
+                       .otherwise(F.col("__leftover")))
+                   .drop("__leftover", "__hit")
                    .where(~native.is_empty(F.col(geom))))
             return out.select(
                 *[F.col(c).alias(c + suf)
                   for c in df0.columns if c != geom],
                 F.col(geom).alias("geometry"))
 
-        parts.append(leftover(lgdf.df, gl, left_key, lsuffix, rg))
+        parts.append(leftover(lgdf.df, gl, left_key, lsuffix))
         if how != "identity":
-            parts.append(leftover(rgdf.df, gr, right_key, rsuffix, lg))
+            parts.append(leftover(rgdf.df, gr, right_key, rsuffix))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
