@@ -383,6 +383,25 @@ def geo_lambert93(spark, sf):
                     F.round(xy["y"], 4).alias("py"))
 
 
+def geo_conus_albers(spark, sf):
+    """to_crs EPSG:4326 → EPSG:5070 (NAD83 / Conus Albers — the r9
+    Albers Equal-Area kernel, Snyder 1987 pp. 98-103; reference
+    ops/proj.rs:33-70 handles any pair via PROJ). Points span CONUS;
+    the oracle replays the complete ellipsoidal Albers forward
+    (m/q/n/C/rho0 derived from raw EPSG parameters) in DuckDB CTEs.
+    Outputs are BIGINT tenth-mm micro-units per the hardened-gate
+    convention."""
+    c = _t(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 45 - 120).cast("double") + 0.5
+    lat = (F.col("c_custkey") * 3 % 22 + 26).cast("double") + 0.25
+    xy = transform_xy_struct(lon, lat, "EPSG:4326", "EPSG:5070")
+    return (c.select(
+        "c_custkey",
+        F.round(xy["x"] * F.lit(1e4), 0).cast("long").alias("ax_u"),
+        F.round(xy["y"] * F.lit(1e4), 0).cast("long").alias("ay_u"))
+        .orderBy("c_custkey"))
+
+
 def geo_pip_join(spark, sf):
     """Distributed filter–refine spatial join (SURVEY §2.4): customer
     points in region strip polygons; grid-cell shuffle + native ray-cast
@@ -3236,90 +3255,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver-verification rotation (round 8, both sessions) ---
-        # The driver's correctness gate only reaches the first ~50 dict
-        # entries; CORRECTNESS_r01..r07 together cover every entry
-        # except the 10 that overflowed r7's window. This round leads
-        # with (a) the 4 queries whose r7 driver rows were red and are
-        # now hash-hardened (pagerank ORDER BY + BIGINT oracle cast;
-        # azimuth/readability BIGINT micro-unit quantization; BPE train
-        # gained a real chained-CTE oracle), (b) the 8 new r8 ops —
-        # session 1: geo_overlay_union, io_gpkg_roundtrip, dsir_select;
-        # session 2: io_fgb_roundtrip, mm_jpeg_phash, mm_wav_stats,
-        # tok_unigram_encode, lm_kn_score — (c) the 10 never-driver-
-        # checked r7 overflow entries, then r7-green entries fill the
-        # rest of the window. Local full-sweep record (session 2):
-        # 125 pass / 0 fail / 0 rows-only at sf0.01.
-        "graph_pagerank": graph_pagerank,
-        "geo_azimuth_project": geo_azimuth_project,
+        # --- Driver-verification rotation (round 9) ---
+        # The driver's gate reaches the first ~50 entries. This round
+        # leads with (a) text_readability — the fixed two-round-red row
+        # (regexp-match syllables + pure-BIGINT numerators), (b)
+        # geo_conus_albers — the new r9 Albers Equal-Area kernel, (c)
+        # every gate whose query or library path changed this round:
+        # the two overlay gates (fused leftover kernel), embed_pq_adc
+        # (Arrow-gemm encode default), dedup_semantic (zero-norm
+        # clamp), io_fgb_roundtrip (Hilbert NaN guard + ulong map), and
+        # the 24 width-normalized gates (every int output BIGINT both
+        # sides), then (d) the oldest-green r1-6 block so pre-r7 rows
+        # get driver re-verification. Local sweep before rotation:
+        # 125 pass / 0 fail / 0 width warnings.
         "text_readability": text_readability,
-        "text_bpe_train": text_bpe_train,
+        "geo_conus_albers": geo_conus_albers,
         "geo_overlay_union": geo_overlay_union,
-        "io_gpkg_roundtrip": io_gpkg_roundtrip,
+        "geo_overlay_area": geo_overlay_area,
+        "embed_pq_adc": embed_pq_adc,
+        "dedup_semantic": dedup_semantic,
         "io_fgb_roundtrip": io_fgb_roundtrip,
+        "q_anti_join": q_anti_join,
+        "geo_point_accessors": geo_point_accessors,
+        "geo_explode_multipoint": geo_explode_multipoint,
+        "geo_dissolve_area": geo_dissolve_area,
+        "geo_collect_centroid": geo_collect_centroid,
+        "geo_line_refs": geo_line_refs,
+        "embed_cosine_topk": embed_cosine_topk,
+        "embed_knn_lsh": embed_knn_lsh,
+        "embed_knn_ivf": embed_knn_ivf,
+        "dedup_simhash": dedup_simhash,
         "mm_jpeg_phash": mm_jpeg_phash,
         "mm_wav_stats": mm_wav_stats,
-        "tok_unigram_encode": tok_unigram_encode,
-        "lm_kn_score": lm_kn_score,
-        "dsir_select": dsir_select_docs,
-        "geo_zorder_keys": geo_zorder_keys,
-        "q_sessionize": q_sessionize,
-        "q18_large_orders": q18_large_orders,
-        "text_quality_gopher": text_quality_gopher,
-        "geo_shape_metrics": geo_shape_metrics,
-        "geo_sample_points": geo_sample_points,
-        "geo_overlay_area": geo_overlay_area,
-        "geo_make_valid": geo_make_valid,
-        "geo_concave_hull": geo_concave_hull,
-        "embed_pq_adc": embed_pq_adc,
-        # --- r7-green block (driver rows in CORRECTNESS_r07) ---
-        "embed_pca_norms": embed_pca_norms,
-        "embed_dim_stats": embed_dim_stats,
-        "text_bpe_encode": text_bpe_encode,
-        "geo_cluster_kmeans": geo_cluster_kmeans,
-        "geo_cluster_dbscan": geo_cluster_dbscan,
-        "geo_cluster_within": geo_cluster_within,
-        "text_bm25_topk": text_bm25_topk,
-        "q_bloom_semijoin": q_bloom_semijoin,
-        "q_salted_join": q_salted_join,
-        "q_anti_join": q_anti_join,
-        "q_percentiles": q_percentiles,
-        "geo_project_geodesic": geo_project_geodesic,
-        "geo_inscribed_circle": geo_inscribed_circle,
-        "geo_segment_ops": geo_segment_ops,
-        "geo_trajectory_stats": geo_trajectory_stats,
-        "text_ngram_topk": text_ngram_topk,
-        "text_perplexity": text_perplexity,
-        "text_classify_quality": text_classify_quality,
-        "text_tfidf_keywords": text_tfidf_keywords,
-        "text_vocab_topk": text_vocab_topk,
-        "text_repetition": text_repetition,
-        "text_chunking": text_chunking,
-        "text_url_ops": text_url_ops,
-        "text_pii_scrub": text_pii_scrub,
-        "text_html_strip": text_html_strip,
-        "dedup_paragraph_stats": dedup_paragraph_stats,
-        "dedup_semantic": dedup_semantic,
-        "dedup_substring_stats": dedup_substring_stats,
-        "sample_mixture": sample_mixture,
-        "sample_stratified": sample_stratified,
-        "pack_sequences": pack_sequences,
-        "decontam_overlap": decontam_overlap,
-        "dedup_groups": dedup_groups,
-        "geo_subdivide": geo_subdivide,
-        "geo_line_substring": geo_line_substring,
-        "geo_split": geo_split,
-        "geo_build_area": geo_build_area,
-        "geo_min_clearance": geo_min_clearance,
-        "geo_geohash": geo_geohash,
-        "geo_hex_density": geo_hex_density,
-        "geo_orientation_flags": geo_orientation_flags,
-        "geo_offset_curve": geo_offset_curve,
-        "geo_snap_shared_paths": geo_snap_shared_paths,
-        "geo_polygonize": geo_polygonize,
-        "geo_voronoi": geo_voronoi,
         "geo_delaunay": geo_delaunay,
-        # --- previously driver-verified (rounds 1-6) ---
+        "geo_orientation_flags": geo_orientation_flags,
+        "geo_build_area": geo_build_area,
+        "dedup_paragraph_stats": dedup_paragraph_stats,
+        "dedup_substring_stats": dedup_substring_stats,
+        "text_html_strip": text_html_strip,
+        "text_pii_scrub": text_pii_scrub,
+        "text_chunking": text_chunking,
+        "text_tfidf_keywords": text_tfidf_keywords,
+        "text_bm25_topk": text_bm25_topk,
+        "text_bpe_encode": text_bpe_encode,
+        "embed_dim_stats": embed_dim_stats,
+        # --- oldest-green r1-6 block (driver re-verification) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_suppliers": q5_local_suppliers,
@@ -3331,7 +3311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_asof_nearest": q_asof_nearest,
         "q_range_join": q_range_join,
-        "geo_point_accessors": geo_point_accessors,
         "geo_distance": geo_distance,
         "geo_triangle_area": geo_triangle_area,
         "geo_envelope_metrics": geo_envelope_metrics,
@@ -3343,11 +3322,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_join": geo_pip_join,
         "geo_pip_join_large": geo_pip_join_large,
         "geo_dwithin_pairs": geo_dwithin_pairs,
-        "geo_explode_multipoint": geo_explode_multipoint,
-        "geo_collect_centroid": geo_collect_centroid,
-        "geo_dissolve_area": geo_dissolve_area,
         "geo_utm_roundtrip": geo_utm_roundtrip,
         "geo_bbox_filter": geo_bbox_filter,
+        "dedup_exact_stats": dedup_exact_stats,
+        "text_token_stats": text_token_stats,
+        "text_lang_id": text_lang_id,
+        # --- remaining entries (green r7/r8 rows, unchanged) ---
+        "graph_pagerank": graph_pagerank,
+        "geo_azimuth_project": geo_azimuth_project,
+        "text_bpe_train": text_bpe_train,
+        "io_gpkg_roundtrip": io_gpkg_roundtrip,
+        "tok_unigram_encode": tok_unigram_encode,
+        "lm_kn_score": lm_kn_score,
+        "dsir_select": dsir_select_docs,
+        "geo_zorder_keys": geo_zorder_keys,
+        "q_sessionize": q_sessionize,
+        "q18_large_orders": q18_large_orders,
+        "text_quality_gopher": text_quality_gopher,
+        "geo_shape_metrics": geo_shape_metrics,
+        "geo_sample_points": geo_sample_points,
+        "geo_make_valid": geo_make_valid,
+        "geo_concave_hull": geo_concave_hull,
+        "embed_pca_norms": embed_pca_norms,
+        "geo_cluster_kmeans": geo_cluster_kmeans,
+        "geo_cluster_dbscan": geo_cluster_dbscan,
+        "geo_cluster_within": geo_cluster_within,
+        "q_bloom_semijoin": q_bloom_semijoin,
+        "q_salted_join": q_salted_join,
+        "q_percentiles": q_percentiles,
+        "geo_project_geodesic": geo_project_geodesic,
+        "geo_inscribed_circle": geo_inscribed_circle,
+        "geo_segment_ops": geo_segment_ops,
+        "geo_trajectory_stats": geo_trajectory_stats,
+        "text_ngram_topk": text_ngram_topk,
+        "text_perplexity": text_perplexity,
+        "text_classify_quality": text_classify_quality,
+        "text_vocab_topk": text_vocab_topk,
+        "text_repetition": text_repetition,
+        "text_url_ops": text_url_ops,
+        "sample_mixture": sample_mixture,
+        "sample_stratified": sample_stratified,
+        "pack_sequences": pack_sequences,
+        "decontam_overlap": decontam_overlap,
+        "dedup_groups": dedup_groups,
+        "geo_subdivide": geo_subdivide,
+        "geo_line_substring": geo_line_substring,
+        "geo_split": geo_split,
+        "geo_min_clearance": geo_min_clearance,
+        "geo_geohash": geo_geohash,
+        "geo_hex_density": geo_hex_density,
+        "geo_offset_curve": geo_offset_curve,
+        "geo_snap_shared_paths": geo_snap_shared_paths,
+        "geo_polygonize": geo_polygonize,
+        "geo_voronoi": geo_voronoi,
         "geo_poly_join": geo_poly_join,
         "geo_poly_contains_join": geo_poly_contains_join,
         "geo_diamond_join": geo_diamond_join,
@@ -3365,18 +3392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_relate_classify": geo_relate_classify,
         "geo_validity_flags": geo_validity_flags,
         "geo_karney_meridian": geo_karney_meridian,
-        "geo_line_refs": geo_line_refs,
-        "dedup_exact_stats": dedup_exact_stats,
-        "text_token_stats": text_token_stats,
-        "text_lang_id": text_lang_id,
         "text_fingerprint_dups": text_fingerprint_dups,
         "text_ngram_jaccard": text_ngram_jaccard,
-        "embed_cosine_topk": embed_cosine_topk,
         "embed_near_dup": embed_near_dup,
-        "embed_knn_lsh": embed_knn_lsh,
-        "embed_knn_ivf": embed_knn_ivf,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
     }
 
 
@@ -3903,6 +3922,55 @@ def oracle_sql() -> dict[str, str]:
                    round(fe + rho * sin(th), 4) AS px,
                    round(fn + rho0 - rho * cos(th), 4) AS py
             FROM proj
+        """,
+        "geo_conus_albers": """
+            WITH ell AS (
+                SELECT 6378137.0 AS a,
+                       (1.0/298.257222101) * (2 - 1.0/298.257222101) AS e2
+            ), par AS (
+                SELECT a, e2, sqrt(e2) AS e,
+                       radians(29.5) AS p1, radians(45.5) AS p2,
+                       radians(23.0) AS p0, radians(-96.0) AS lam0
+                FROM ell
+            ), mq AS (
+                SELECT *,
+                       cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1)) AS m1,
+                       cos(p2)/sqrt(1 - e2*sin(p2)*sin(p2)) AS m2,
+                       (1-e2)*(sin(p0)/(1 - e2*sin(p0)*sin(p0))
+                           - (1/(2*e))*ln((1 - e*sin(p0))
+                                          /(1 + e*sin(p0)))) AS q0,
+                       (1-e2)*(sin(p1)/(1 - e2*sin(p1)*sin(p1))
+                           - (1/(2*e))*ln((1 - e*sin(p1))
+                                          /(1 + e*sin(p1)))) AS q1,
+                       (1-e2)*(sin(p2)/(1 - e2*sin(p2)*sin(p2))
+                           - (1/(2*e))*ln((1 - e*sin(p2))
+                                          /(1 + e*sin(p2)))) AS q2
+                FROM par
+            ), nn AS (
+                SELECT *, (m1*m1 - m2*m2)/(q2 - q1) AS n FROM mq
+            ), cc AS (
+                SELECT *, m1*m1 + n*q1 AS bigc FROM nn
+            ), k AS (
+                SELECT *, a*sqrt(bigc - n*q0)/n AS rho0 FROM cc
+            ), pts AS (
+                SELECT c_custkey,
+                       radians(CAST(c_custkey % 45 - 120 AS DOUBLE) + 0.5)
+                           AS lam,
+                       radians(CAST(c_custkey * 3 % 22 + 26 AS DOUBLE)
+                               + 0.25) AS phi
+                FROM customer
+            ), prj AS (
+                SELECT c_custkey,
+                       a*sqrt(bigc - n*((1-e2)*(sin(phi)
+                           /(1 - e2*sin(phi)*sin(phi))
+                           - (1/(2*e))*ln((1 - e*sin(phi))
+                                          /(1 + e*sin(phi))))))/n AS rho,
+                       n*(lam - lam0) AS th, rho0
+                FROM pts, k)
+            SELECT c_custkey,
+                   CAST(round(rho*sin(th)*1e4) AS BIGINT) AS ax_u,
+                   CAST(round((rho0 - rho*cos(th))*1e4) AS BIGINT) AS ay_u
+            FROM prj ORDER BY c_custkey
         """,
         "geo_pip_join": """
             SELECT r.r_name AS r_name, count(*) AS n_points

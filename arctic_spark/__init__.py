@@ -29,7 +29,7 @@ def __getattr__(name):
         from . import joins
         return getattr(joins, name)
     if name in ("from_arrow", "from_geopandas", "from_pandas_wkb",
-                "to_pandas_wkb"):
+                "to_pandas_wkb", "to_geopandas"):
         from . import geodataframe
         return getattr(geodataframe, name)
     if name in ("cluster_within", "cluster_dbscan", "cluster_kmeans"):
@@ -72,7 +72,8 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "sessionize", "session_stats", "make_trajectories",
            "salted_join", "skewed_keys", "bloom_semi_filter",
            "from_arrow", "from_geopandas", "from_pandas_wkb",
-           "to_pandas_wkb", "write_bucketed", "write_geoparquet",
+           "to_pandas_wkb", "to_geopandas", "write_bucketed",
+           "write_geoparquet",
            "read_geoparquet", "from_wkt_df", "read_geojson",
            "write_geojson", "read_shapefile", "read_geopackage",
            "write_geopackage", "read_flatgeobuf", "write_flatgeobuf",

@@ -249,6 +249,26 @@ def to_pandas_wkb(gdf: "GeoDataFrame"):
     return df.toPandas()
 
 
+def to_geopandas(gdf: "GeoDataFrame"):
+    """Driver-side export to a real ``geopandas.GeoDataFrame``
+    (reference ``to_geopandas``, geodataframe.py:76 / geoseries.py:142-216)
+    — import-gated: converts through WKB when geopandas is available
+    and raises ImportError otherwise (use :func:`to_pandas_wkb` for the
+    dependency-free path)."""
+    try:
+        import geopandas
+    except ImportError as e:
+        raise ImportError(
+            "to_geopandas needs the geopandas package; in this "
+            "environment use to_pandas_wkb() and decode the WKB "
+            "column downstream") from e
+    pdf = to_pandas_wkb(gdf)
+    gcol = gdf.geometry_column
+    geom = geopandas.GeoSeries.from_wkb(pdf[gcol], crs=gdf.crs)
+    return geopandas.GeoDataFrame(pdf.drop(columns=[gcol]),
+                                  geometry=geom)
+
+
 def from_pandas_wkb(spark, pdf, geometry_column=DEFAULT_GEO_COLUMN_NAME,
                     crs=DEFAULT_CRS) -> "GeoDataFrame":
     """Ingest a pandas DataFrame whose geometry column holds WKB bytes

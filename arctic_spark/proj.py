@@ -412,6 +412,98 @@ def _laea_inv(x, y, p) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Albers Equal-Area Conic (2SP, ellipsoidal — Snyder 1987 pp. 98-103)
+# e.g. EPSG:5070 NAD83 / CONUS Albers, EPSG:3577 GDA94 / Australian Albers
+# ---------------------------------------------------------------------------
+
+def _aea_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log((1 - e * s)
+                                                      / (1 + e * s)))
+
+    p1, p2, p0 = map(math.radians, (p["lat1"], p["lat2"], p["lat0"]))
+    m1, m2 = m(p1), m(p2)
+    q0, q1, q2 = q(p0), q(p1), q(p2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    big_c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(big_c - n * q0) / n
+    return a, e, e2, n, big_c, rho0, math.radians(p["lon0"])
+
+
+def _q_col(lat_rad, e, e2) -> Column:
+    """Snyder's q (3-12) as a Column of the latitude in radians."""
+    s = F.sin(lat_rad)
+    return F.lit(1 - e2) * (s / (F.lit(1.0) - F.lit(e2) * s * s)
+                            - F.lit(1 / (2 * e))
+                            * F.log((F.lit(1.0) - F.lit(e) * s)
+                                    / (F.lit(1.0) + F.lit(e) * s)))
+
+
+def _phi_from_q(qq, e, e2) -> Column:
+    """Latitude (radians) from q — Snyder (3-16) fixed point, the same
+    6-round linear aggregate tree the LAEA inverse uses."""
+    def step(phi, _i):
+        sp = F.sin(phi)
+        return phi + (
+            F.pow(F.lit(1.0) - F.lit(e2) * sp * sp, F.lit(2.0))
+            / (F.lit(2.0) * F.cos(phi))) * (
+            qq / F.lit(1 - e2)
+            - sp / (F.lit(1.0) - F.lit(e2) * sp * sp)
+            + F.lit(1 / (2 * e))
+            * F.log((F.lit(1.0) - F.lit(e) * sp)
+                    / (F.lit(1.0) + F.lit(e) * sp)))
+    phi0 = F.asin(F.least(F.lit(1.0), F.greatest(F.lit(-1.0),
+                                                 qq / F.lit(2.0))))
+    return F.aggregate(F.sequence(F.lit(1), F.lit(6)), phi0,
+                       lambda acc, i: step(acc, i))
+
+
+def _aea_fwd(lon, lat, p) -> Column:
+    a, e, e2, n, big_c, rho0, lam0 = _aea_consts(p)
+    qcol = _q_col(F.radians(lat), e, e2)
+
+    def with_q(qv):
+        rho = F.lit(a) * F.sqrt(F.greatest(
+            F.lit(0.0), F.lit(big_c) - F.lit(n) * qv)) / F.lit(n)
+        th = F.lit(n) * (F.radians(lon) - F.lit(lam0))
+
+        def with_rt(s):
+            x = F.lit(p["fe"]) + s["rho"] * F.sin(s["th"])
+            y = F.lit(p["fn"]) + F.lit(rho0) - s["rho"] * F.cos(s["th"])
+            return _xy(x, y)
+        return _let(F.struct(rho.alias("rho"), th.alias("th")), with_rt)
+    return _let(qcol, with_q)
+
+
+def _aea_inv(x, y, p) -> Column:
+    a, e, e2, n, big_c, rho0, lam0 = _aea_consts(p)
+    xm = x - F.lit(p["fe"])
+    ym = F.lit(rho0) - (y - F.lit(p["fn"]))
+
+    def with_xy(s):
+        rho = F.sqrt(s["xm"] * s["xm"] + s["ym"] * s["ym"])
+        # for n<0 (southern-cone setups) both rho and the atan2
+        # operands flip sign (Snyder p. 102)
+        sgn = 1.0 if n >= 0 else -1.0
+        th = F.atan2(F.lit(sgn) * s["xm"], F.lit(sgn) * s["ym"])
+        qv = (F.lit(big_c)
+              - rho * rho * F.lit(n * n / (a * a))) / F.lit(n)
+
+        def with_q(qq):
+            lon = F.degrees(th / F.lit(n) + F.lit(lam0))
+            return _xy(lon, F.degrees(_phi_from_q(qq, e, e2)))
+        return _let(qv, with_q)
+    return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
+
+
+# ---------------------------------------------------------------------------
 # Helmert 7-parameter datum shift (position-vector convention) via ECEF
 # ---------------------------------------------------------------------------
 
@@ -504,6 +596,8 @@ def _wgs84_to_datum_ll(ll, ellps, helmert) -> Column:
 # datum → WGS84 position-vector Helmert parameters
 _H_OSGB36 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
 _H_ED50 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+# BD72 -> WGS84 (EPSG:15929, position vector)
+_H_BD72 = (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
 
 # EPSG:2263 NAD83 / New York Long Island (ftUS): Lambert CC 2SP;
 # FE = 984250 ftUS (= 300000 m), FN = 0
@@ -542,6 +636,21 @@ _EPSG_TABLE: dict[int, tuple] = {
                    "fe": 250000.0, "fn": 0.0}),
     # NAD83 / New York Long Island (ftUS)
     2263: ("lcc", _EPSG_2263),
+    # NAD83 / Conus Albers (the standard CONUS analysis grid)
+    5070: ("aea", {"lat1": 29.5, "lat2": 45.5, "lat0": 23.0,
+                   "lon0": -96.0, "fe": 0.0, "fn": 0.0,
+                   "ellps": _GRS80}),
+    # GDA94 / Australian Albers (southern-hemisphere cone, n < 0)
+    3577: ("aea", {"lat1": -18.0, "lat2": -36.0, "lat0": 0.0,
+                   "lon0": 132.0, "fe": 0.0, "fn": 0.0,
+                   "ellps": _GRS80}),
+    # BD72 / Belgian Lambert 72 — LCC 2SP on International 1924 with a
+    # full 7-parameter shift (lat0 = 90 degenerates t0 to 0, which the
+    # general LCC kernel handles: rho0 = 0)
+    31370: ("lcc", {"lat1": 51.16666723333333, "lat2": 49.8333339,
+                    "lat0": 90.0, "lon0": 4.367486666666666,
+                    "fe": 150000.013, "fn": 5400088.438,
+                    "ellps": _INTL1924, "datum": _H_BD72}),
 }
 
 # ETRS89 / UTM zones 28N–38N (GRS80, no datum shift)
@@ -582,7 +691,8 @@ def _parse_crs(crs):
     raise CRSError(
         f"unsupported CRS {crs!r}; supported: EPSG:4326, EPSG:3857, UTM "
         "(EPSG:326xx/327xx/269xx/258xx/230xx), OSGB 27700, Lambert-93 "
-        "2154, LCC 3034/2263/26985/2229, LAEA 3035, TM 32118 — extend "
+        "2154, LCC 3034/2263/26985/2229/31370, LAEA 3035, "
+        "AEA 5070/3577, TM 32118 — extend "
         "arctic_spark.proj._EPSG_TABLE with public EPSG parameters for "
         "more")
 
@@ -599,6 +709,8 @@ def _inv_struct(kind, params, x, y) -> Column:
         return _lcc_inv(x, y, params)
     if kind == "laea":
         return _laea_inv(x, y, params)
+    if kind == "aea":
+        return _aea_inv(x, y, params)
     raise AssertionError(kind)
 
 
@@ -613,6 +725,8 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
         return _lcc_fwd(lon, lat, params)
     if kind == "laea":
         return _laea_fwd(lon, lat, params)
+    if kind == "aea":
+        return _aea_fwd(lon, lat, params)
     raise AssertionError(kind)
 
 

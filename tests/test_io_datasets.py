@@ -373,3 +373,29 @@ def test_dbf_deleted_record_keeps_index_alignment():
     names, rows = parse_dbf(bytes(raw))
     assert names == ["NAME", "POP"]
     assert rows == [("first", 1.0), (None, None), ("third", 3.0)]
+
+
+def test_to_geopandas_import_gated(spark):
+    """to_geopandas (reference geodataframe.py:76) raises a clean
+    ImportError in this geopandas-less container and names the
+    dependency-free fallback; where geopandas exists the WKB round
+    trip is exercised instead."""
+    import pytest
+    from arctic_spark import GeoDataFrame, st, to_geopandas
+    from pyspark.sql import functions as F
+    src = GeoDataFrame(
+        spark.range(3).select(
+            F.col("id"),
+            st.point(F.col("id").cast("double"),
+                     F.lit(1.0)).alias("geometry")))
+    try:
+        import geopandas  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises(ImportError, match="to_pandas_wkb"):
+            to_geopandas(src)
+    else:  # pragma: no cover - container has no geopandas
+        out = to_geopandas(src)
+        assert len(out) == 3 and out.geometry.iloc[1].x == 1.0

@@ -176,3 +176,90 @@ def test_area_changes_under_projection(spark):
         .withColumn("m", transform_geom(F.col("g"), "EPSG:4326", "EPSG:3857"))
     a = df.select(st.area("m").alias("a")).collect()[0].a
     assert a == pytest.approx(111_319.49 ** 2, rel=0.01)
+
+
+def test_aea_snyder_control_point(spark):
+    # Snyder 1987 numerical example for the ellipsoidal Albers (pp.
+    # 291-294): Clarke 1866, standard parallels 29.5/45.5, origin
+    # (23N, 96W); the point (35N, 75W) maps to x = 1885472.7,
+    # y = 1535925.0 m. Registered here as a test-only CRS so the
+    # kernel is checked against the published worked example.
+    from arctic_spark import proj
+    clarke = (6378206.4, 294.978698214)
+    proj._EPSG_TABLE[909991] = ("aea", {
+        "lat1": 29.5, "lat2": 45.5, "lat0": 23.0, "lon0": -96.0,
+        "fe": 0.0, "fn": 0.0, "ellps": clarke})
+    try:
+        x, y = _one(spark, "POINT (-75 35)", "EPSG:4326", "EPSG:909991")
+        assert x == pytest.approx(1_885_472.7, abs=0.5)
+        assert y == pytest.approx(1_535_925.0, abs=0.5)
+    finally:
+        del proj._EPSG_TABLE[909991]
+
+
+def test_conus_albers_5070(spark):
+    # projection origin (96W, 23N) maps exactly to (FE, FN) = (0, 0)
+    x, y = _one(spark, "POINT (-96 23)", "EPSG:4326", "EPSG:5070")
+    assert x == pytest.approx(0.0, abs=1e-6)
+    assert y == pytest.approx(0.0, abs=1e-6)
+    # Denver, round trip to 1e-9 degrees
+    x, y = _one(spark, "POINT (-104.9903 39.7392)", "EPSG:4326",
+                "EPSG:5070")
+    lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:5070", "EPSG:4326")
+    assert lon == pytest.approx(-104.9903, abs=1e-9)
+    assert lat == pytest.approx(39.7392, abs=1e-9)
+    # scale along a standard parallel is 1: a 0.1-deg lon step at
+    # lat1 = 29.5N projects to a chord of a * m(29.5) * dlam meters
+    import math
+    from arctic_spark.proj import _ell, _GRS80
+    a, f, e2, e = _ell(_GRS80)
+    p1 = math.radians(29.5)
+    m1 = math.cos(p1) / math.sqrt(1 - e2 * math.sin(p1) ** 2)
+    expect = a * m1 * math.radians(0.1)
+    x1, y1 = _one(spark, "POINT (-96 29.5)", "EPSG:4326", "EPSG:5070")
+    x2, y2 = _one(spark, "POINT (-95.9 29.5)", "EPSG:4326", "EPSG:5070")
+    chord = math.hypot(x2 - x1, y2 - y1)
+    assert chord == pytest.approx(expect, rel=1e-7)
+
+
+def test_australian_albers_3577_southern_cone(spark):
+    # n < 0 branch (both standard parallels in the south): origin and
+    # round trip over Sydney / Perth / Darwin
+    x, y = _one(spark, "POINT (132 0)", "EPSG:4326", "EPSG:3577")
+    assert x == pytest.approx(0.0, abs=1e-6)
+    assert y == pytest.approx(0.0, abs=1e-6)
+    for lon0, lat0 in [(151.2093, -33.8688), (115.8605, -31.9505),
+                       (130.8456, -12.4634)]:
+        x, y = _one(spark, f"POINT ({lon0} {lat0})", "EPSG:4326",
+                    "EPSG:3577")
+        lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:3577",
+                        "EPSG:4326")
+        assert lon == pytest.approx(lon0, abs=1e-9)
+        assert lat == pytest.approx(lat0, abs=1e-9)
+
+
+def test_belgian_lambert72_datum_roundtrip(spark):
+    # BD72 / Belgian Lambert 72: LCC 2SP with lat0 = 90 (rho0 = 0) and
+    # a full 7-parameter datum shift. Round trip through the Helmert
+    # chain must close to 1e-6 deg (~0.1 mm), and the datum shift must
+    # actually move the result ~100 m vs a datum-less interpretation.
+    x, y = _one(spark, "POINT (4.3517 50.8466)", "EPSG:4326",
+                "EPSG:31370")
+    # Brussels lands in the published neighborhood of the grid
+    assert x == pytest.approx(148_860, abs=2_000)
+    assert y == pytest.approx(170_800, abs=2_000)
+    lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:31370", "EPSG:4326")
+    assert lon == pytest.approx(4.3517, abs=1e-6)
+    assert lat == pytest.approx(50.8466, abs=1e-6)
+    # same grid WITHOUT the datum step lands ~100 m away
+    from arctic_spark import proj
+    nd = dict(proj._EPSG_TABLE[31370][1])
+    nd.pop("datum")
+    proj._EPSG_TABLE[909992] = ("lcc", nd)
+    try:
+        x2, y2 = _one(spark, "POINT (4.3517 50.8466)", "EPSG:4326",
+                      "EPSG:909992")
+        import math
+        assert 30 < math.hypot(x2 - x, y2 - y) < 300
+    finally:
+        del proj._EPSG_TABLE[909992]
