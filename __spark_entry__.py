@@ -934,7 +934,7 @@ def geo_ring_accessors(spark, sf):
         F.round(st.area(clip), 6).alias("clip_area"),
         F.round(st.length(ext), 6).alias("ext_len"),
         F.round(st.length(st.boundary(poly)), 6).alias("bnd_len"),
-        F.size(ints).alias("n_holes"),
+        F.size(ints).cast("long").alias("n_holes"),
         F.round(st.length(hole), 6).alias("hole_len"),
         st.is_ring(ext).alias("ext_is_ring"),
         st.is_empty(poly).alias("empty"),
@@ -1263,7 +1263,7 @@ def text_quality_gopher(spark, sf):
     m = F.col("__m")
     return (d.select(
         "doc_id",
-        m["n_words"].alias("n_words"),
+        m["n_words"].cast("long").alias("n_words"),
         F.round(m["mean_wl"], 6).alias("mean_wl"),
         F.round(text.top_ngram_fraction(t, 2), 6).alias("top_bigram_frac"),
         F.round(m["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
@@ -1632,7 +1632,7 @@ def tok_unigram_encode(spark, sf):
     out = unigram.viterbi_encode(base, None, _unigram_fixed_logp(), 8,
                                  words_col="words")
     return (out.select("doc_id",
-                       F.size("words").cast("int").alias("n_words"),
+                       F.size("words").cast("long").alias("n_words"),
                        F.col("score").cast("long").alias("score_u"))
             .orderBy("doc_id"))
 
@@ -1686,7 +1686,7 @@ def _unigram_oracle_sql():
         agg AS (
             SELECT doc_id, count(*) AS nw, CAST(sum(ws) AS BIGINT) AS su
             FROM best GROUP BY doc_id)
-        SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS INT) AS n_words,
+        SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
                CAST(coalesce(a.su, 0) AS BIGINT) AS score_u
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
@@ -1711,7 +1711,7 @@ def lm_kn_score(spark, sf):
     out = L.kn_score(d, "text", model, "doc_id", max_positions=10)
     return (out.select(
         F.col("id").alias("doc_id"),
-        F.col("n_pos").cast("int").alias("n_pos"),
+        F.col("n_pos").cast("long").alias("n_pos"),
         F.round(F.col("sum_p") * 1e6, 0).cast("long").alias("sum_p_u"))
         .orderBy("doc_id"))
 
@@ -1777,7 +1777,7 @@ _KN_ORACLE = """
         LEFT JOIN uni u1 ON u1.w = p.w),
     agg AS (SELECT doc_id, count(*) AS n_pos, sum(p) AS sp
             FROM sc GROUP BY doc_id)
-    SELECT d.doc_id, CAST(coalesce(a.n_pos, 0) AS INT) AS n_pos,
+    SELECT d.doc_id, CAST(coalesce(a.n_pos, 0) AS BIGINT) AS n_pos,
            CAST(round(coalesce(a.sp, 0.0) * 1e6, 0) AS BIGINT)
                AS sum_p_u
     FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -1893,7 +1893,7 @@ def geo_polygonize(spark, sf):
          .withColumn("poly", st.freeze(st.polygonize(F.col("g")))))
     return d.select(
         "c_custkey",
-        st.num_parts("poly").alias("n_faces"),
+        st.num_parts("poly").cast("long").alias("n_faces"),
         F.round(st.area("poly"), 6).alias("face_area"))
 
 
@@ -2185,7 +2185,8 @@ def geo_sample_points(spark, sf):
     sp = F.col("__sp")
     cols = [F.round(F.element_at(sp[ax], i + 1), 6).alias(f"p{ax[0]}{i}")
             for i in range(3) for ax in ("xs", "ys")]
-    return o.select("o_orderkey", F.size(sp["xs"]).alias("n_pts"), *cols)
+    return o.select("o_orderkey",
+                    F.size(sp["xs"]).cast("long").alias("n_pts"), *cols)
 
 
 def geo_make_valid(spark, sf):
@@ -2224,7 +2225,7 @@ def geo_make_valid(spark, sf):
         "c_custkey",
         F.round(st.area("v1"), 6).alias("bow_area"),
         F.round(st.area("v2"), 6).alias("donut_area"),
-        st.num_parts("nd").alias("n_node_edges"),
+        st.num_parts("nd").cast("long").alias("n_node_edges"),
         F.round(st.length("nd"), 6).alias("node_len"))
 
 
@@ -2261,7 +2262,7 @@ def geo_voronoi(spark, sf):
     env_area = (span + 2.0 * span) * (3.0 + 2.0 * span)
     return d.select(
         "c_custkey",
-        st.num_parts("vor").alias("n_cells"),
+        st.num_parts("vor").cast("long").alias("n_cells"),
         F.round(st.area("vor"), 6).alias("cell_area_sum"),
         F.round(env_area, 6).alias("envelope_area"))
 
@@ -2942,7 +2943,7 @@ def text_bpe_train(spark, sf):
                                 checkpoint_every=8)
     return spark.createDataFrame(
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string, merged string") \
+        "rank long, left string, right string, merged string") \
         .orderBy("rank")
 
 
@@ -2971,7 +2972,7 @@ def geo_segment_ops(spark, sf):
     w1 = st.point(F.col("cx") - 3 * sp, F.col("cy"))
     w2 = st.point(F.col("cx"), F.col("cy") - 4 * sp)
     return d.select(
-        "p_partkey", "pos",
+        "p_partkey", F.col("pos").cast("long").alias("pos"),
         F.round(st.length(F.col("seg")), 6).alias("seg_len"),
         F.round(st.azimuth(
             st.point(F.element_at(F.col("seg.xs"), 1),
@@ -3236,8 +3237,8 @@ def _bpe_train_oracle_sql(num_merges: int = 25) -> str:
                            {S} || (SELECT l FROM m{i}) ||
                                   (SELECT r FROM m{i}) || {E}) AS syms
             FROM {prev})""")
-    sels = [f"""SELECT {i} AS "rank", l AS "left", r AS "right",
-                       l || r AS merged FROM m{i}"""
+    sels = [f"""SELECT CAST({i} AS BIGINT) AS "rank", l AS "left",
+                       r AS "right", l || r AS merged FROM m{i}"""
             for i in range(1, num_merges + 1)]
     parts.append("\n" + "\nUNION ALL\n".join(sels)
                  + '\nORDER BY "rank"')
@@ -3255,19 +3256,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver-verification rotation (round 9) ---
-        # The driver's gate reaches the first ~50 entries. This round
-        # leads with (a) text_readability — the fixed two-round-red row
-        # (regexp-match syllables + pure-BIGINT numerators), (b)
-        # geo_conus_albers — the new r9 Albers Equal-Area kernel, (c)
-        # every gate whose query or library path changed this round:
-        # the two overlay gates (fused leftover kernel), embed_pq_adc
-        # (Arrow-gemm encode default), dedup_semantic (zero-norm
-        # clamp), io_fgb_roundtrip (Hilbert NaN guard + ulong map), and
-        # the 24 width-normalized gates (every int output BIGINT both
-        # sides), then (d) the oldest-green r1-6 block so pre-r7 rows
-        # get driver re-verification. Local sweep before rotation:
-        # 125 pass / 0 fail / 0 width warnings.
+        # --- Driver-verification rotation (round 9, updated) ---
+        # Window = first ~50 entries. Leads with text_readability (the
+        # fixed two-round-red row), geo_conus_albers (new r9 AEA
+        # kernel), then EVERY gate whose query/oracle/library path
+        # changed this round: overlay trim, Arrow PQ encode, semdedup
+        # clamp, FGB/GPKG io, and the 45-site width normalization
+        # (every integer output BIGINT on both engines — includes the
+        # 12 warnings the DESCRIBE audit surfaced on the second full
+        # sweep). Oldest-green r1-6 entries fill the remaining window
+        # slots. Local sweeps this round: 126 pass / 0 fail / 0
+        # width warnings.
         "text_readability": text_readability,
         "geo_conus_albers": geo_conus_albers,
         "geo_overlay_union": geo_overlay_union,
@@ -3299,6 +3298,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": text_bm25_topk,
         "text_bpe_encode": text_bpe_encode,
         "embed_dim_stats": embed_dim_stats,
+        "geo_make_valid": geo_make_valid,
+        "geo_polygonize": geo_polygonize,
+        "geo_ring_accessors": geo_ring_accessors,
+        "geo_sample_points": geo_sample_points,
+        "geo_segment_ops": geo_segment_ops,
+        "geo_voronoi": geo_voronoi,
+        "io_gpkg_roundtrip": io_gpkg_roundtrip,
+        "lm_kn_score": lm_kn_score,
+        "text_bpe_train": text_bpe_train,
+        "text_quality_gopher": text_quality_gopher,
+        "tok_unigram_encode": tok_unigram_encode,
         # --- oldest-green r1-6 block (driver re-verification) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3330,18 +3340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remaining entries (green r7/r8 rows, unchanged) ---
         "graph_pagerank": graph_pagerank,
         "geo_azimuth_project": geo_azimuth_project,
-        "text_bpe_train": text_bpe_train,
-        "io_gpkg_roundtrip": io_gpkg_roundtrip,
-        "tok_unigram_encode": tok_unigram_encode,
-        "lm_kn_score": lm_kn_score,
         "dsir_select": dsir_select_docs,
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
         "q18_large_orders": q18_large_orders,
-        "text_quality_gopher": text_quality_gopher,
         "geo_shape_metrics": geo_shape_metrics,
-        "geo_sample_points": geo_sample_points,
-        "geo_make_valid": geo_make_valid,
         "geo_concave_hull": geo_concave_hull,
         "embed_pca_norms": embed_pca_norms,
         "geo_cluster_kmeans": geo_cluster_kmeans,
@@ -3352,7 +3355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "geo_project_geodesic": geo_project_geodesic,
         "geo_inscribed_circle": geo_inscribed_circle,
-        "geo_segment_ops": geo_segment_ops,
         "geo_trajectory_stats": geo_trajectory_stats,
         "text_ngram_topk": text_ngram_topk,
         "text_perplexity": text_perplexity,
@@ -3373,8 +3375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hex_density": geo_hex_density,
         "geo_offset_curve": geo_offset_curve,
         "geo_snap_shared_paths": geo_snap_shared_paths,
-        "geo_polygonize": geo_polygonize,
-        "geo_voronoi": geo_voronoi,
         "geo_poly_join": geo_poly_join,
         "geo_poly_contains_join": geo_poly_contains_join,
         "geo_diamond_join": geo_diamond_join,
@@ -3387,7 +3387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_buffer_line": geo_buffer_line,
         "geo_hull_simplify": geo_hull_simplify,
         "geo_affine_family": geo_affine_family,
-        "geo_ring_accessors": geo_ring_accessors,
         "geo_equals_dwithin": geo_equals_dwithin,
         "geo_relate_classify": geo_relate_classify,
         "geo_validity_flags": geo_validity_flags,
@@ -4768,7 +4767,7 @@ def oracle_sql() -> dict[str, str]:
                    round(3.0 * w - 1.0, 6) AS clip_area,
                    round(4.0 * w, 6) AS ext_len,
                    round(4.0 * w + 4.0, 6) AS bnd_len,
-                   1 AS n_holes,
+                   CAST(1 AS BIGINT) AS n_holes,
                    4.0 AS hole_len,
                    TRUE AS ext_is_ring,
                    FALSE AS empty,
@@ -4996,7 +4995,7 @@ def oracle_sql() -> dict[str, str]:
                                CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
                                AS DOUBLE) / 281474976710656.0) AS uy
                 FROM base)
-            SELECT o_orderkey, 3 AS n_pts,
+            SELECT o_orderkey, CAST(3 AS BIGINT) AS n_pts,
                    round(x0 + ux[1] * w, 6) AS px0,
                    round(y0 + uy[1] * h, 6) AS py0,
                    round(x0 + ux[2] * w, 6) AS px1,
@@ -5023,7 +5022,7 @@ def oracle_sql() -> dict[str, str]:
                          6) AS bow_area,
                    round((c_custkey % 3 + 5) * (c_custkey % 3 + 5) - 4.0,
                          6) AS donut_area,
-                   4 AS n_node_edges,
+                   CAST(4 AS BIGINT) AS n_node_edges,
                    round(2.0 * (c_custkey % 5 + 1) * sqrt(2), 6)
                        AS node_len
             FROM customer WHERE c_custkey <= 600
@@ -5055,7 +5054,7 @@ def oracle_sql() -> dict[str, str]:
         # n=2+key%4, w=1+key%2, h=1+key%3.
         "geo_polygonize": """
             SELECT c_custkey,
-                   CAST((c_custkey % 3 + 1) * (c_custkey % 4 + 1) AS INTEGER)
+                   CAST((c_custkey % 3 + 1) * (c_custkey % 4 + 1) AS BIGINT)
                        AS n_faces,
                    round((c_custkey % 3 + 1) * (c_custkey % 2 + 1) * 1.0
                          * (c_custkey % 4 + 1) * (c_custkey % 3 + 1), 6)
@@ -5081,7 +5080,7 @@ def oracle_sql() -> dict[str, str]:
                        + CAST(c_custkey % 3 + 1 AS DOUBLE) AS span
                 FROM customer WHERE c_custkey <= 2000)
             SELECT c_custkey,
-                   k + 4 AS n_cells,
+                   CAST(k + 4 AS BIGINT) AS n_cells,
                    round(3.0 * span * (3.0 + 2.0 * span), 6)
                        AS cell_area_sum,
                    round(3.0 * span * (3.0 + 2.0 * span), 6)
@@ -5214,14 +5213,14 @@ def oracle_sql() -> dict[str, str]:
         # gpkg round trip: rect geometry is a closed form of the key,
         # so the oracle replays area/centroid directly from nation
         "io_gpkg_roundtrip": """
-            SELECT n_nationkey, n_name,
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(3.0 AS DOUBLE) AS area,
                    round((n_nationkey % 5) * 3.0 + 1.0, 6) AS cx,
                    round((n_nationkey % 3) * 2.0 + 0.75, 6) AS cy
             FROM nation ORDER BY n_nationkey
         """,
         "io_fgb_roundtrip": """
-            SELECT n_nationkey, n_name,
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(1.5 AS DOUBLE) AS area,
                    round((n_nationkey % 7) * 2.5 + 1.5, 6) AS cx,
                    round((n_nationkey % 4) * 1.5 + 0.25, 6) AS cy
@@ -5809,7 +5808,7 @@ def oracle_sql() -> dict[str, str]:
             segs AS (
                 SELECT p_partkey, cx, cy, s, unnest([0, 1, 2, 3]) AS pos
                 FROM base)
-            SELECT p_partkey, pos,
+            SELECT p_partkey, CAST(pos AS BIGINT) AS pos,
                    round(5 * s, 6) AS seg_len,
                    round(CASE pos
                        WHEN 0 THEN atan2(3 * s, -4 * s)

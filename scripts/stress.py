@@ -518,6 +518,116 @@ def main():
           f"{n:,} distinct hashes, {n_img / dt / 1e3:.1f}k imgs/s",
           flush=True)
 
+    # r9: PQ-ADC encode at full corpus size — the Arrow-gemm path
+    # (one BLAS gemm per batch per subspace); r8's interpreted-HOF
+    # argmin measured 239 s on the same shape
+    t0 = time.perf_counter()
+    empq.select("vec_id", sim.pq_encode_arrow("embedding", books)
+                .alias("codes")) \
+        .write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"pq encode (arrow gemm) {n_vpq:,} x 64-d m=8: {dt:.1f}s, "
+          f"{n_vpq / dt / 1e3:.0f}k vecs/s", flush=True)
+
+    # r9: Kneser-Ney at full corpus size (task: 5M docs) — one native
+    # pass + one shuffle per order, scoring via coalesce-chained joins
+    n_docs_k2 = max(n_points, 1_000_000)
+    docs_k2 = spark.range(n_docs_k2).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.translate(F.concat_ws(" ", *[
+            F.pmod(F.col("id") * (7 + 13 * j), F.lit(9973))
+            .cast("string") for j in range(20)]),
+            "0123456789", "theringsad").alias("text"))
+    t0 = time.perf_counter()
+    model2 = LM.kn_model(LM.ngram_counts(docs_k2, "text", 3))
+    tot2 = LM.kn_score(docs_k2, "text", model2, "doc_id") \
+        .agg(F.sum("sum_p")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(f"kneser-ney train+score {n_docs_k2:,} docs (20 words each): "
+          f"{dt:.1f}s, sum_p {tot2:,.0f}, "
+          f"{n_docs_k2 / dt / 1e3:.0f}k docs/s", flush=True)
+
+    # r9: unigram trainer over ~2M distinct words — the E-step is one
+    # mapInPandas over the (distinct word, count) table + a vocab-sized
+    # shuffle; driver work stays vocab-bounded
+    n_docs_t = max(n_points // 5, 200_000)
+    docs_t = spark.range(n_docs_t).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.translate(F.concat_ws(" ", *[
+            (F.col("id") * (7 + 13 * j) % F.lit(2_000_003))
+            .cast("string") for j in range(2)]),
+            "0123456789", "theringsad").alias("text"))
+    t0 = time.perf_counter()
+    logp_t, hist_t = ug.train_unigram(docs_t, "text", vocab_size=400,
+                                      em_rounds=1, seed_size=1000)
+    dt = time.perf_counter() - t0
+    nw = docs_t.select(F.explode(F.split("text", " "))).distinct().count()
+    print(f"unigram trainer {n_docs_t:,} docs / {nw:,} distinct words: "
+          f"{dt:.1f}s, vocab {len(logp_t)}, "
+          f"{len(hist_t)} EM fits", flush=True)
+
+    # r9: composite overlay (how='union') at ~500k candidate pairs —
+    # one spatial join + per-pair intersection persisted, fused
+    # difference_collected leftovers (one arrangement pass per side)
+    from arctic_spark.joins import overlay as _overlay
+    n_ov = 500_000
+    ko = F.col("id")
+    cellx = (ko % 1000).cast("double") * 8.0
+    celly = (ko / 1000).cast("long").cast("double") * 8.0
+    lov = GeoDataFrame(spark.range(n_ov).repartition(par).select(
+        ko.alias("lk"),
+        st.make_envelope(cellx + 0.5, celly + 0.5,
+                         cellx + 4.5, celly + 4.5).alias("geometry")))
+    rov = GeoDataFrame(spark.range(n_ov).repartition(par).select(
+        ko.alias("rk"),
+        st.make_envelope(cellx + 2.5, celly + 2.5,
+                         cellx + 6.5, celly + 6.5).alias("geometry")))
+    t0 = time.perf_counter()
+    n = _overlay(lov, rov, how="union", left_key="lk", right_key="rk",
+                 cell_size=8.0).df.count()
+    dt = time.perf_counter() - t0
+    print(f"overlay union {n_ov:,} pairs (intersection + both "
+          f"leftovers): {dt:.1f}s, {n:,} rows, "
+          f"{n_ov / dt / 1e3:.0f}k pairs/s", flush=True)
+
+    # r9: FGB/GPKG conversion throughput. Both writers serialize ONE
+    # file on the driver (the formats are single-file containers —
+    # same bound as the reference's GDAL path); the scale path is
+    # convert-to-GeoParquet, which is distributed on both sides.
+    import tempfile
+    import os
+    from arctic_spark import io as aio
+    n_f = 200_000
+    gsrc = GeoDataFrame(spark.range(n_f).select(
+        F.col("id").alias("fid"),
+        st.point((F.col("id") % 3600).cast("double") / 10.0 - 180.0,
+                 (F.col("id") % 1700).cast("double") / 10.0 - 85.0)
+        .alias("geometry")))
+    with tempfile.TemporaryDirectory() as td:
+        fgb = os.path.join(td, "pts.fgb")
+        t0 = time.perf_counter()
+        aio.write_flatgeobuf(gsrc, fgb)
+        n = aio.read_flatgeobuf(spark, fgb).df.count()
+        dt = time.perf_counter() - t0
+        print(f"fgb write+read {n_f:,} points (single-file, "
+              f"driver-bound by format): {dt:.1f}s, {n:,} rows, "
+              f"{n_f / dt / 1e3:.0f}k feats/s", flush=True)
+        gpkg = os.path.join(td, "pts.gpkg")
+        t0 = time.perf_counter()
+        aio.write_geopackage(gsrc, gpkg)
+        n = aio.read_geopackage(spark, gpkg).df.count()
+        dt = time.perf_counter() - t0
+        print(f"gpkg write+read {n_f:,} points (single-file sqlite): "
+              f"{dt:.1f}s, {n:,} rows, {n_f / dt / 1e3:.0f}k feats/s",
+              flush=True)
+        pq = os.path.join(td, "pts.parquet")
+        t0 = time.perf_counter()
+        aio.write_geoparquet(aio.read_flatgeobuf(spark, fgb), pq)
+        n = aio.read_geoparquet(spark, pq).df.count()
+        dt = time.perf_counter() - t0
+        print(f"fgb -> geoparquet convert {n_f:,} points (distributed "
+              f"sink): {dt:.1f}s, {n:,} rows", flush=True)
+
     spark.stop()
 
 
