@@ -599,7 +599,7 @@ def main():
     from arctic_spark import io as aio
     n_f = 200_000
     gsrc = GeoDataFrame(spark.range(n_f).select(
-        F.col("id").alias("fid"),
+        F.col("id").alias("pid"),
         st.point((F.col("id") % 3600).cast("double") / 10.0 - 180.0,
                  (F.col("id") % 1700).cast("double") / 10.0 - 85.0)
         .alias("geometry")))
