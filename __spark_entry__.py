@@ -1437,6 +1437,39 @@ def dsir_select_docs(spark, sf):
         .orderBy("doc_id"))
 
 
+def io_kml_roundtrip(spark, sf):
+    """Native KML write → read round trip as a driver-gated query (r9;
+    io.write_kml / read_kml over stdlib xml.etree — the reference
+    reads KML only through GDAL, io/file.py:15-119): nation rows
+    become triangles, travel through a real .kml document (Placemark
+    name + ExtendedData attribute + coordinates) and come back;
+    area/centroid of the decoded geometry and the attribute strings
+    are closed forms of the key, so the oracle value-checks the whole
+    XML encode→parse path."""
+    import os
+    import tempfile
+    from arctic_spark import io as aio
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    x = (k % 6).cast("double") * 4.0
+    y = (k % 4).cast("double") * 3.0
+    tri = st.make_polygon(F.array(x, x + 2.0, x, x),
+                          F.array(y, y, y + 3.0, y))
+    gdf = GeoDataFrame(n.select(
+        "n_name", k.cast("string").alias("nk"), tri.alias("geometry")))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"arctic_kml_rt_{os.getpid()}.kml")
+    aio.write_kml(gdf, path, name_column="n_name")
+    back = aio.read_kml(spark, path)
+    return (back.df.select(
+        F.col("name").alias("n_name"),
+        F.col("nk").cast("long").alias("n_nationkey"),
+        F.round(st.area("geometry"), 6).alias("area"),
+        F.round(st.x(st.centroid("geometry")), 6).alias("cx"),
+        F.round(st.y(st.centroid("geometry")), 6).alias("cy"))
+        .orderBy("n_nationkey"))
+
+
 def io_gpkg_roundtrip(spark, sf):
     """GDAL-free OGC GeoPackage write → read round trip as a
     driver-gated query (round 8; io.write_geopackage /
@@ -3274,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_adc": embed_pq_adc,
         "dedup_semantic": dedup_semantic,
         "io_fgb_roundtrip": io_fgb_roundtrip,
+        "io_kml_roundtrip": io_kml_roundtrip,
         "q_anti_join": q_anti_join,
         "geo_point_accessors": geo_point_accessors,
         "geo_explode_multipoint": geo_explode_multipoint,
@@ -5212,6 +5246,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # gpkg round trip: rect geometry is a closed form of the key,
         # so the oracle replays area/centroid directly from nation
+        "io_kml_roundtrip": """
+            SELECT n_name,
+                   CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CAST(3.0 AS DOUBLE) AS area,
+                   round((n_nationkey % 6) * 4.0 + 2.0/3.0, 6) AS cx,
+                   round((n_nationkey % 4) * 3.0 + 1.0, 6) AS cy
+            FROM nation ORDER BY n_nationkey
+        """,
         "io_gpkg_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(3.0 AS DOUBLE) AS area,

@@ -584,6 +584,115 @@ def write_flatgeobuf(gdf: GeoDataFrame, path: str, name: str = "layer",
         fh.write(blob)
 
 
+def _tuple_cell(g):
+    """Engine geometry tuple → GEOM struct cell (or None)."""
+    from .geom.ragged import MISSING
+    if g is None or g[0] == MISSING:
+        return None
+    gt, xs, ys, rings, parts = g
+    return (int(gt), [float(v) for v in xs], [float(v) for v in ys],
+            [int(v) for v in rings], [int(v) for v in parts])
+
+
+def read_kml(spark: SparkSession, path: str,
+             geometry_column=DEFAULT_GEO_COLUMN_NAME) -> GeoDataFrame:
+    """Native KML reader (stdlib XML — no GDAL; the reference reads KML
+    only through GDAL, io/file.py:15-119). Emits name, description, one
+    string column per ExtendedData key, and the geometry; KML is always
+    EPSG:4326. Single-document parse on the driver (KML is a
+    single-file container) — the scale path is convert-to-GeoParquet,
+    same note as the FGB/GPKG readers."""
+    from pyspark.sql import types as T
+
+    from .geom import kml as _k
+    from .sparktypes import GEOM_TYPE
+    with open(path, "r", encoding="utf-8") as fh:
+        feats = _k.parse_kml(fh.read())
+    keys = []
+    for f in feats:
+        for k in f["data"]:
+            if k not in keys:
+                keys.append(k)
+    fields = [T.StructField("name", T.StringType()),
+              T.StructField("description", T.StringType())]
+    fields += [T.StructField(k, T.StringType()) for k in keys]
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    data = [(f["name"], f["description"],
+             *[f["data"].get(k) for k in keys], _tuple_cell(f["geom"]))
+            for f in feats]
+    df = spark.createDataFrame(data, T.StructType(fields))
+    return GeoDataFrame(df, geometry_column, "EPSG:4326")
+
+
+def write_kml(gdf: GeoDataFrame, path: str,
+              name_column: str = None, document_name: str = "layer",
+              mode: str = "overwrite") -> None:
+    """Native KML writer: every non-geometry column rides as an
+    ExtendedData ``Data`` pair (``name_column``, when given, becomes
+    the Placemark name instead). Driver-side single-file sink — the
+    same bound the format imposes on any writer."""
+    import os
+
+    from .geom import kml as _k
+    from .geom.ragged import RaggedGeometry  # noqa: F401
+
+    if mode != "overwrite" and os.path.exists(path):
+        raise ValueError(f"{path} exists (mode={mode!r})")
+    gcol = gdf.geometry_column
+    cols = [c for c in gdf.df.columns if c != gcol]
+    rows = gdf.df.select(*cols, F.col(gcol).alias("__g")).collect()
+    feats = []
+    for r in rows:
+        g = r["__g"]
+        geom = None
+        if g is not None and g["gt"] is not None:
+            geom = (int(g["gt"]), list(g["xs"]), list(g["ys"]),
+                    list(g["rings"]), list(g["parts"]))
+        data = {c: r[c] for c in cols}
+        nm = None
+        if name_column is not None:
+            nm = data.pop(name_column, None)
+        feats.append({"name": nm, "description": None,
+                      "data": data, "geom": geom})
+    text = _k.dumps_kml(feats, document_name=document_name)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+
+
+def read_gpx(spark: SparkSession, path: str, layer: str = "tracks",
+             geometry_column=DEFAULT_GEO_COLUMN_NAME) -> GeoDataFrame:
+    """Native GPX reader (stdlib XML — no GDAL): ``layer`` selects
+    'waypoints' (Points + name/ele/time), 'routes' (LineStrings) or
+    'tracks' (MultiLineStrings), mirroring the GDAL driver's layer
+    split. WGS84 by specification; driver-side single-file parse."""
+    from pyspark.sql import types as T
+
+    from .geom import gpx as _g
+    from .sparktypes import GEOM_TYPE
+    with open(path, "r", encoding="utf-8") as fh:
+        feats = _g.parse_gpx(fh.read(), layer=layer)
+    if layer == "waypoints":
+        fields = [T.StructField("name", T.StringType()),
+                  T.StructField("ele", T.DoubleType()),
+                  T.StructField("time", T.StringType())]
+        data = [(f["name"], f["ele"], f["time"], _tuple_cell(f["geom"]))
+                for f in feats]
+    elif layer == "routes":
+        fields = [T.StructField("name", T.StringType()),
+                  T.StructField("n_points", T.LongType())]
+        data = [(f["name"], f["n_points"], _tuple_cell(f["geom"]))
+                for f in feats]
+    else:
+        fields = [T.StructField("name", T.StringType()),
+                  T.StructField("n_segments", T.LongType()),
+                  T.StructField("n_points", T.LongType())]
+        data = [(f["name"], f["n_segments"], f["n_points"],
+                 _tuple_cell(f["geom"])) for f in feats]
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    df = spark.createDataFrame(data, T.StructType(fields))
+    return GeoDataFrame(df, geometry_column, "EPSG:4326")
+
+
 def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
     """Vector-file read (reference read_file, io/file.py:15-119).
 
@@ -601,6 +710,10 @@ def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
             return read_geopackage(spark, path)
         if low.endswith(".fgb"):
             return read_flatgeobuf(spark, path)
+        if low.endswith(".kml"):
+            return read_kml(spark, path)
+        if low.endswith(".gpx"):
+            return read_gpx(spark, path)
         if low.endswith((".geojson", ".json")):
             return read_geojson(spark, path)
         if low.endswith((".geojsonl", ".ndjson", ".geojsons")):

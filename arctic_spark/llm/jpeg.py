@@ -8,8 +8,17 @@ byte unstuffing and restart-marker handling, DC prediction +
 RECEIVE/EXTEND, run-length AC with ZRL/EOB, dequantization, inverse
 zigzag, 8x8 inverse DCT as one numpy tensor contraction, chroma
 upsampling by replication, and the JFIF BT.601 YCbCr -> RGB
-transform. Decodes real-world baseline JPEGs (progressive /
-arithmetic / hierarchical modes raise ``NotImplementedError``).
+transform. Decodes real-world baseline JPEGs, and — since r9 — the
+PROGRESSIVE DCT process (SOF2, T.81 Annex G): multi-scan spectral
+selection and successive approximation, interleaved/non-interleaved
+DC scans, DC refinement bits, AC first-pass EOBn run lengths, and the
+G.1.2.3 AC correction-bit refinement procedure; coefficients
+accumulate across scans and dequant+IDCT run once at EOI. A matching
+progressive ENCODER (``encode_jpeg_progressive``) makes the whole
+Annex-G surface round-trip-testable with no codec library: its
+decode output is bit-identical to decoding the baseline encode of
+the same image (the scan script is coefficient-lossless). Arithmetic
+and hierarchical modes raise ``NotImplementedError``.
 
 A minimal encoder is included so the decoder is testable without any
 codec library in the container: 8x8 FDCT + Annex-K-style
@@ -23,7 +32,8 @@ generation; it is not tuned for compression ratio.
 
 The reference engine has no media layer at all — this closes the
 "entropy-coded formats are container-gated" residual for JPEG
-(PNG/GIF/BMP/PPM/WAV were already native; MP3/H.264 remain gated).
+(PNG/GIF/BMP/PPM/WAV were already native; progressive JPEG is native
+both directions since r9; MP3/H.264 remain gated).
 """
 
 from __future__ import annotations
@@ -233,6 +243,7 @@ def parse_jpeg(buf: bytes) -> np.ndarray:
     huff = {}                 # (class, id) -> HuffTable
     frame = None
     restart = 0
+    prog_coefs = None         # progressive: id -> accumulated coef grid
     p = 2
     while p < len(b):
         if b[p] != 0xFF:
@@ -273,11 +284,23 @@ def parse_jpeg(buf: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m == 0xC2:                        # SOF2 (progressive DCT)
+            prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], \
+                struct.unpack_from(">H", seg, 3)[0], seg[5]
+            if prec != 8:
+                raise JpegError(f"{prec}-bit precision not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], \
+                    seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG is supported "
-                f"(got SOF marker {m:#x})")
+                "only baseline sequential and progressive (SOF2) JPEG "
+                f"are supported (got SOF marker {m:#x})")
         elif m == 0xC4:                        # DHT
             q = 0
             while q < len(seg):
@@ -298,6 +321,14 @@ def parse_jpeg(buf: bytes) -> np.ndarray:
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scomps.append((comp, tda >> 4, tda & 15))
+            if frame.get("progressive"):
+                if prog_coefs is None:
+                    prog_coefs = _prog_alloc(frame)
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                p = _prog_scan(b, p + ln, frame, scomps, huff, restart,
+                               prog_coefs, ss, se, ahal >> 4, ahal & 15)
+                continue
             if ns < len(frame["comps"]):
                 # A legal multi-scan (non-interleaved) baseline file
                 # puts each component in its own SOS; decoding only the
@@ -308,6 +339,8 @@ def parse_jpeg(buf: bytes) -> np.ndarray:
             return _decode_scan(b, p + ln, frame, scomps, qt, huff,
                                 restart)
         p += ln
+    if frame is not None and frame.get("progressive") and prog_coefs:
+        return _prog_finish(frame, prog_coefs, qt)
     raise JpegError("no SOS segment found")
 
 
@@ -393,6 +426,214 @@ def _decode_scan(b, pos, frame, scomps, qt, huff, restart):
 
 
 # ---------------------------------------------------------------------------
+# Progressive decode (T.81 Annex G: spectral selection + successive
+# approximation, Huffman entropy coding). Coefficients accumulate in
+# per-component block grids across scans; dequant + IDCT run once at EOI.
+# ---------------------------------------------------------------------------
+
+def _prog_grid(frame, c):
+    """Per-component block-grid dims: (padded-to-MCU bw/bh for storage
+    and interleaved DC scans, data bw/bh for non-interleaved scans —
+    T.81 A.2.2: non-interleaved dimensions come from the component's
+    own size, not the MCU grid)."""
+    hmax = max(k["h"] for k in frame["comps"])
+    vmax = max(k["v"] for k in frame["comps"])
+    mcx = -(-frame["w"] // (8 * hmax))
+    mcy = -(-frame["h"] // (8 * vmax))
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    return (mcx * c["h"], mcy * c["v"], -(-cw // 8), -(-ch // 8),
+            mcx, mcy)
+
+
+def _prog_alloc(frame):
+    out = {}
+    for c in frame["comps"]:
+        bw, bh, _, _, _, _ = _prog_grid(frame, c)
+        out[c["id"]] = np.zeros((bh, bw, 64), dtype=np.int32)
+    return out
+
+
+def _next_marker(b, p):
+    """First position at/after p holding a real marker (skips stuffed
+    0xFF00 and intra-scan RSTn)."""
+    while p < len(b) - 1:
+        if b[p] == 0xFF and b[p + 1] != 0x00 \
+                and not (0xD0 <= b[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(b)
+
+
+def _prog_scan(b, pos, frame, scomps, huff, restart, coefs,
+               ss, se, ah, al):
+    """Decode one progressive SOS into the accumulated grids; returns
+    the buffer position of the next marker."""
+    rdr = _BitReader(b, pos)
+    ns = len(scomps)
+    if ss == 0:                                   # DC scan
+        if se != 0:
+            raise JpegError("DC scan with Se != 0")
+        preds = [0] * ns
+        if ns > 1:                                # interleaved, MCU order
+            _, _, _, _, mcx, mcy = _prog_grid(frame, scomps[0][0])
+            nmcu = mcx * mcy
+            for mi in range(nmcu):
+                if restart and mi and mi % restart == 0:
+                    rdr.align_restart(mi // restart - 1)
+                    preds = [0] * ns
+                my, mx = divmod(mi, mcx)
+                for ci, (c, td, _ta) in enumerate(scomps):
+                    grid = coefs[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = grid[my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                t = rdr.decode_huff(huff[(0, td)])
+                                preds[ci] += _extend(rdr.receive(t), t)
+                                zz[0] = preds[ci] << al
+                            else:                 # refinement: 1 bit
+                                if rdr.bit():
+                                    zz[0] |= 1 << al
+        else:                                     # single component
+            c, td, _ta = scomps[0]
+            grid = coefs[c["id"]]
+            _, _, bwn, bhn, _, _ = _prog_grid(frame, c)
+            pred = 0
+            for bi in range(bwn * bhn):
+                if restart and bi and bi % restart == 0:
+                    rdr.align_restart(bi // restart - 1)
+                    pred = 0
+                zz = grid[bi // bwn, bi % bwn]
+                if ah == 0:
+                    t = rdr.decode_huff(huff[(0, td)])
+                    pred += _extend(rdr.receive(t), t)
+                    zz[0] = pred << al
+                else:
+                    if rdr.bit():
+                        zz[0] |= 1 << al
+        return _next_marker(b, rdr.p)
+    # AC scan: always non-interleaved (T.81 G.1.1.1.1)
+    if ns != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    c, _td, ta = scomps[0]
+    act = huff[(1, ta)]
+    grid = coefs[c["id"]]
+    _, _, bwn, bhn, _, _ = _prog_grid(frame, c)
+    eobrun = 0
+    for bi in range(bwn * bhn):
+        if restart and bi and bi % restart == 0:
+            rdr.align_restart(bi // restart - 1)
+            eobrun = 0
+        zz = grid[bi // bwn, bi % bwn]
+        if ah == 0:                               # first pass (G.1.2.2)
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rdr.decode_huff(act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16                   # ZRL
+                        continue
+                    eobrun = (1 << r) - 1         # EOBn
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise JpegError("AC index out of band")
+                zz[k] = _extend(rdr.receive(s), s) << al
+                k += 1
+        else:                                     # refinement (G.1.2.3)
+            eobrun = _refine_ac(zz, rdr, act, ss, se, al, eobrun)
+    return _next_marker(b, rdr.p)
+
+
+def _refine_ac(zz, rdr, act, ss, se, al, eobrun):
+    """Successive-approximation AC refinement for one block — the
+    T.81 G.1.2.3 correction-bit procedure: newly-nonzero coefficients
+    arrive as ±1<<Al; every already-nonzero coefficient passed over
+    (including during an EOB run) receives one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode_huff(act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # EOBn INCLUDING the current block: its remaining
+                    # band still consumes correction bits in the tail
+                    # below, which then decrements the run
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("refinement scan with s != 1")
+                val = p1 if rdr.bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    if rdr.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k > se:
+                break
+            if val:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0 and rdr.bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_finish(frame, coefs, qt):
+    """All scans consumed: dequantize + IDCT each component grid and
+    assemble exactly like the baseline tail."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    out_comps = []
+    for c in frame["comps"]:
+        grid = coefs[c["id"]]                     # (bh, bw, 64) zigzag
+        bh, bw = grid.shape[:2]
+        q = qt[c["tq"]]
+        zzm = grid.reshape(-1, 64).astype(np.float64)
+        blocks = np.zeros((bh * bw, 64))
+        blocks[:, ZIGZAG] = zzm * q[ZIGZAG]
+        blocks = blocks.reshape(-1, 8, 8)
+        pix = np.einsum("ur,nuv,vc->nrc", _T, blocks, _T) + 128.0
+        plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        out_comps.append(plane[:h, :w])
+    if len(out_comps) == 1:
+        return np.clip(np.round(out_comps[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_comps[0], out_comps[1] - 128.0, out_comps[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Encoder (for round-trip tests and fixtures)
 # ---------------------------------------------------------------------------
 
@@ -415,6 +656,293 @@ def _quantize_blocks(plane, qtab):
 
 def _cat(v):
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _emit_eobrun(ops, eobrun, br):
+    """Flush a pending EOB run (+ buffered correction bits) into the
+    op stream; returns the reset (eobrun, br)."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        ops.append(("sym", r << 4))
+        if r:
+            ops.append(("bits", eobrun - (1 << r), r))
+        for bit in br:
+            ops.append(("bits", bit, 1))
+        br = []
+    return 0, br
+
+
+def _ac_first_ops(blocks, al):
+    """Spectral-selection first-pass AC ops (T.81 G.1.2.2 encoder) for
+    one component's blocks (band 1..63, point transform ``>> al``)."""
+    ops = []
+    eobrun = 0
+    for zz in blocks:
+        ts = [(abs(int(v)) >> al) for v in zz]
+        last = 0
+        for k in range(63, 0, -1):
+            if ts[k]:
+                last = k
+                break
+        if last == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _emit_eobrun(ops, eobrun, [])
+            continue
+        eobrun, _ = _emit_eobrun(ops, eobrun, [])
+        r = 0
+        for k in range(1, last + 1):
+            t = ts[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                ops.append(("sym", 0xF0))          # ZRL
+                r -= 16
+            s = t.bit_length()
+            ops.append(("sym", (r << 4) | s))
+            v = t if int(zz[k]) > 0 else -t
+            ops.append(("bits", v if v > 0 else v + (1 << s) - 1, s))
+            r = 0
+        if last < 63:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _emit_eobrun(ops, eobrun, [])
+    _emit_eobrun(ops, eobrun, [])
+    return ops
+
+
+def _ac_refine_ops(blocks, al):
+    """Successive-approximation AC refinement ops (T.81 G.1.2.3
+    encoder, the libjpeg buffered-correction-bit structure): newly
+    significant coefficients ((abs >> al) == 1) emit (run, 1) + sign;
+    history-nonzero coefficients emit one correction bit, buffered
+    until the next symbol (or the EOB-run flush)."""
+    ops = []
+    eobrun = 0
+    br = []                                        # scan-level buffer
+    for zz in blocks:
+        ts = [(abs(int(v)) >> al) for v in zz]
+        eob = 0                                    # last newly-signif k
+        for k in range(1, 64):
+            if ts[k] == 1:
+                eob = k
+        r = 0
+        block_br = []
+        for k in range(1, 64):
+            t = ts[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                eobrun, br = _emit_eobrun(ops, eobrun, br)
+                ops.append(("sym", 0xF0))
+                for bit in block_br:
+                    ops.append(("bits", bit, 1))
+                block_br = []
+                r -= 16
+            if t > 1:                              # history nonzero
+                block_br.append(t & 1)
+                continue
+            # newly significant
+            eobrun, br = _emit_eobrun(ops, eobrun, br)
+            ops.append(("sym", (r << 4) | 1))
+            ops.append(("bits", 1 if int(zz[k]) > 0 else 0, 1))
+            for bit in block_br:
+                ops.append(("bits", bit, 1))
+            block_br = []
+            r = 0
+        if r > 0 or block_br:
+            eobrun += 1
+            br.extend(block_br)
+            if eobrun == 0x7FFF:
+                eobrun, br = _emit_eobrun(ops, eobrun, br)
+    _emit_eobrun(ops, eobrun, br)
+    return ops
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """Encode as a PROGRESSIVE (SOF2) JPEG with successive
+    approximation — the scan script exercises every Annex-G decode
+    path: interleaved DC first scan (Al=1), DC refinement (raw bits),
+    per-component AC spectral-selection first scans (Al=1, EOB runs),
+    and per-component AC refinement scans (correction bits). Tables
+    are per-scan fixed-length canonical Huffman, re-emitted in the
+    same slot before each scan (legal: DHT redefines the slot)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    scale = _quality_scale(quality)
+    qlum = np.clip(np.round(QT_LUMA * scale), 1, 255)
+    qchr = np.clip(np.round(QT_CHROMA * scale), 1, 255)
+
+    def pad_to(p, mult):
+        hh = -(-p.shape[0] // mult) * mult
+        ww = -(-p.shape[1] // mult) * mult
+        out = np.empty((hh, ww))
+        out[:p.shape[0], :p.shape[1]] = p
+        out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+        return out
+
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0,
+                  "plane": pad_to(img.astype(np.float64), 8)}]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, bch = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        if subsample:
+            ypad = pad_to(y, 16)
+
+            def box(p):
+                p = pad_to(p, 16)
+                return (p.reshape(p.shape[0] // 2, 2,
+                                  p.shape[1] // 2, 2).mean(axis=(1, 3)))
+            comps = [{"id": 1, "h": 2, "v": 2, "tq": 0, "plane": ypad},
+                     {"id": 2, "h": 1, "v": 1, "tq": 1,
+                      "plane": box(cb)},
+                     {"id": 3, "h": 1, "v": 1, "tq": 1,
+                      "plane": box(cr)}]
+        else:
+            comps = [{"id": 1, "h": 1, "v": 1, "tq": 0,
+                      "plane": pad_to(y, 8)},
+                     {"id": 2, "h": 1, "v": 1, "tq": 1,
+                      "plane": pad_to(cb, 8)},
+                     {"id": 3, "h": 1, "v": 1, "tq": 1,
+                      "plane": pad_to(cr, 8)}]
+    for c in comps:
+        c["zz"] = _quantize_blocks(c["plane"],
+                                   qlum if c["tq"] == 0 else qchr)
+        c["bw"] = c["plane"].shape[1] // 8
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    AL = 1
+
+    # headers -------------------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+
+    def dqt(tid, tab):
+        return (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(int(v) for v in tab[ZIGZAG]))
+    out += dqt(0, qlum)
+    if not gray:
+        out += dqt(1, qchr)
+    nc = len(comps)
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * nc) \
+        + bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in comps:
+        out += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+
+    def dht(tc, th, ht):
+        return (b"\xff\xc4" + struct.pack(">H", 19 + sum(ht.bits))
+                + bytes([(tc << 4) | th]) + bytes(ht.bits)
+                + bytes(ht.vals))
+
+    def sos(scomps, ss, se, ah, alv):
+        seg = bytearray(b"\xff\xda")
+        seg += struct.pack(">H", 6 + 2 * len(scomps))
+        seg += bytes([len(scomps)])
+        for cid, td, ta in scomps:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | alv])
+        return seg
+
+    def write_ops(ops, table):
+        emap = table.encode_map() if table is not None else None
+        wtr = _BitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                code, ln = emap[op[1]]
+                wtr.bits(code, ln)
+            else:
+                wtr.bits(op[1], op[2])
+        wtr.flush()
+        return wtr.out
+
+    # scan 1: DC first, interleaved, Al=1 ----------------------------------
+    dc_ops = []                                    # (table_id, op)
+    preds = {c["id"]: 0 for c in comps}
+    for mi in range(mcx * mcy):
+        my, mx = divmod(mi, mcx)
+        for c in comps:
+            tid = 0 if c["tq"] == 0 else 1
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    bi = (my * c["v"] + by) * c["bw"] \
+                        + (mx * c["h"] + bx)
+                    dc = int(c["zz"][bi][0]) >> AL
+                    diff = dc - preds[c["id"]]
+                    preds[c["id"]] = dc
+                    t = _cat(diff)
+                    dc_ops.append((tid, ("sym", t)))
+                    if t:
+                        dc_ops.append((tid, (
+                            "bits",
+                            diff if diff >= 0 else diff + (1 << t) - 1,
+                            t)))
+    tabs = {tid: _fixed_length_table(
+        [op[1] for t2, op in dc_ops if t2 == tid and op[0] == "sym"])
+        for tid in {0 if c["tq"] == 0 else 1 for c in comps}}
+    for tid, ht in tabs.items():
+        out += dht(0, tid, ht)
+    out += sos([(c["id"], 0 if c["tq"] == 0 else 1, 0)
+                for c in comps], 0, 0, 0, AL)
+    emaps = {tid: ht.encode_map() for tid, ht in tabs.items()}
+    wtr = _BitWriter()
+    for tid, op in dc_ops:
+        if op[0] == "sym":
+            code, ln = emaps[tid][op[1]]
+            wtr.bits(code, ln)
+        else:
+            wtr.bits(op[1], op[2])
+    wtr.flush()
+    out += wtr.out
+
+    # scan 2: DC refinement (raw bits, no table) ---------------------------
+    out += sos([(c["id"], 0, 0) for c in comps], 0, 0, AL, 0)
+    wtr = _BitWriter()
+    for mi in range(mcx * mcy):
+        my, mx = divmod(mi, mcx)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    bi = (my * c["v"] + by) * c["bw"] \
+                        + (mx * c["h"] + bx)
+                    wtr.bits(int(c["zz"][bi][0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # per-component AC blocks in the decoder's non-interleaved order
+    def ac_blocks(c):
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        bwn, bhn = -(-cw // 8), -(-ch // 8)
+        return [c["zz"][(bi // bwn) * c["bw"] + bi % bwn]
+                for bi in range(bwn * bhn)]
+
+    # scans 3..: AC first then AC refinement, per component -----------------
+    for maker, ah, alv in ((_ac_first_ops, 0, AL),
+                           (_ac_refine_ops, AL, 0)):
+        for c in comps:
+            ops = maker(ac_blocks(c), alv if ah == 0 else 0)
+            # refinement ops use al of the SCAN (=0 here): history is
+            # everything above bit 0, i.e. the Al=1 first pass
+            syms = [op[1] for op in ops if op[0] == "sym"]
+            ht = _fixed_length_table(syms)
+            out += dht(1, 0, ht)
+            out += sos([(c["id"], 0, 0)], 1, 63, ah, alv)
+            out += write_ops(ops, ht)
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _sym_stream(zz_blocks):

@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "mm_wav_stats",
     "tok_unigram_encode",
     "lm_kn_score",
+    # round 9 additions
+    "geo_conus_albers",
+    "io_kml_roundtrip",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",
@@ -224,7 +227,11 @@ def main():
     _warm_worker_pool(spark)
 
     timings, pass1, pass2 = {}, {}, {}
-    for name in BENCH_QUERIES:
+    # safety net (r9): a queries() entry missing from BENCH_QUERIES is
+    # appended rather than silently unbenched (r9's first run missed
+    # geo_conus_albers this way)
+    bench_list = list(BENCH_QUERIES) + sorted(set(qs) - set(BENCH_QUERIES))
+    for name in bench_list:
         fn = qs[name]
         a = _run_once(spark, fn, sf_dir)
         # drop persisted intermediates (minhash bands, join pins,
@@ -241,7 +248,7 @@ def main():
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     full = {"metric": "bench_total_wall", "value": total, "unit": "sec",
-            "sf": sf, "n_queries": len(BENCH_QUERIES),
+            "sf": sf, "n_queries": len(bench_list),
             "headline_total": headline_total,
             "queries": timings, "pass1": pass1, "pass2": pass2,
             "methodology": "rebuild-both-passes, warm worker pool (v4)"}
@@ -251,7 +258,7 @@ def main():
     # stdout line stays under the driver's ~2000-char capture: inline
     # per-query numbers only for the 25 round-1..5 headline queries
     line = {"metric": "bench_total_wall", "value": total, "unit": "sec",
-            "sf": sf, "n_queries": len(BENCH_QUERIES),
+            "sf": sf, "n_queries": len(bench_list),
             "headline_total": headline_total,
             "full_file": "BENCH_local_full.json",
             "methodology": "rebuild-both-passes, warm worker pool (v4)",

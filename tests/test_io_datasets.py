@@ -399,3 +399,98 @@ def test_to_geopandas_import_gated(spark):
     else:  # pragma: no cover - container has no geopandas
         out = to_geopandas(src)
         assert len(out) == 3 and out.geometry.iloc[1].x == 1.0
+
+
+def test_kml_roundtrip(spark, tmp_path):
+    """Native KML write → read round trip (reference reads KML only
+    through GDAL, io/file.py:15-119): geometry, Placemark name, and
+    ExtendedData attributes all survive; KML is pinned to EPSG:4326."""
+    from pyspark.sql import functions as F
+    from arctic_spark import GeoDataFrame, st
+    from arctic_spark.io import read_kml, write_kml
+    src = GeoDataFrame(spark.range(4).select(
+        F.concat(F.lit("pm"), F.col("id")).alias("label"),
+        F.col("id").cast("string").alias("k"),
+        st.point(F.col("id").cast("double"),
+                 F.col("id").cast("double") * 2 + 0.5).alias("geometry")))
+    p = str(tmp_path / "t.kml")
+    write_kml(src, p, name_column="label")
+    back = read_kml(spark, p)
+    assert back.crs == "EPSG:4326"
+    rows = back.df.orderBy("name").collect()
+    assert [r["name"] for r in rows] == ["pm0", "pm1", "pm2", "pm3"]
+    assert [r["k"] for r in rows] == ["0", "1", "2", "3"]
+    xs = back.df.select(st.x("geometry").alias("x"),
+                        st.y("geometry").alias("y")).orderBy("x").collect()
+    assert [(r.x, r.y) for r in xs] == [(0.0, 0.5), (1.0, 2.5),
+                                        (2.0, 4.5), (3.0, 6.5)]
+
+
+def test_kml_polygon_multigeometry_and_dispatch(spark, tmp_path):
+    """Polygon with a hole and MultiGeometry parse through the KML
+    namespace-agnostic path; read_file dispatches on .kml."""
+    from arctic_spark import st
+    from arctic_spark.io import read_file
+    from pyspark.sql import functions as F
+    kml = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+<Placemark><name>poly</name><Polygon>
+ <outerBoundaryIs><LinearRing><coordinates>
+  0,0 10,0 10,10 0,10 0,0</coordinates></LinearRing></outerBoundaryIs>
+ <innerBoundaryIs><LinearRing><coordinates>
+  2,2 4,2 4,4 2,4 2,2</coordinates></LinearRing></innerBoundaryIs>
+</Polygon></Placemark>
+<Placemark><name>multi</name><MultiGeometry>
+ <Point><coordinates>1,1</coordinates></Point>
+ <Point><coordinates>2,2</coordinates></Point>
+</MultiGeometry></Placemark>
+</Document></kml>"""
+    p = str(tmp_path / "d.kml")
+    with open(p, "w") as fh:
+        fh.write(kml)
+    back = read_file(spark, p)
+    rows = back.df.select(
+        "name",
+        st.area("geometry").alias("a"),
+        st.num_parts("geometry").cast("long").alias("np")) \
+        .orderBy("name").collect()
+    by = {r["name"]: r for r in rows}
+    assert by["poly"]["a"] == 96.0          # 100 - 4 hole
+    assert by["multi"]["np"] == 2
+
+
+def test_gpx_layers(spark, tmp_path):
+    """GPX waypoints/routes/tracks parse into the three GDAL-style
+    layers with the right geometry types and attribute columns."""
+    from arctic_spark import st
+    from arctic_spark.io import read_gpx
+    gpx = """<?xml version="1.0" encoding="UTF-8"?>
+<gpx version="1.1" creator="t" xmlns="http://www.topografix.com/GPX/1/1">
+ <wpt lat="51.5" lon="-0.12"><ele>11.0</ele><name>london</name>
+   <time>2020-01-01T00:00:00Z</time></wpt>
+ <wpt lat="48.85" lon="2.35"><name>paris</name></wpt>
+ <rte><name>r1</name>
+   <rtept lat="0" lon="0"/><rtept lat="1" lon="1"/>
+   <rtept lat="2" lon="3"/></rte>
+ <trk><name>t1</name>
+  <trkseg><trkpt lat="0" lon="0"/><trkpt lat="0" lon="1"/></trkseg>
+  <trkseg><trkpt lat="5" lon="5"/><trkpt lat="6" lon="5"/>
+          <trkpt lat="7" lon="5"/></trkseg>
+ </trk>
+</gpx>"""
+    p = str(tmp_path / "d.gpx")
+    with open(p, "w") as fh:
+        fh.write(gpx)
+    w = read_gpx(spark, p, layer="waypoints")
+    rows = w.df.orderBy("name").collect()
+    assert [r["name"] for r in rows] == ["london", "paris"]
+    assert rows[0]["ele"] == 11.0 and rows[1]["ele"] is None
+    r = read_gpx(spark, p, layer="routes").df.collect()[0]
+    assert r["n_points"] == 3
+    t = read_gpx(spark, p, layer="tracks")
+    row = t.df.select(
+        "name", "n_segments",
+        st.num_parts("geometry").cast("long").alias("np"),
+        st.length("geometry").alias("len")).collect()[0]
+    assert row["name"] == "t1" and row["n_segments"] == 2
+    assert row["np"] == 2 and row["len"] == 3.0

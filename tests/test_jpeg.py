@@ -66,14 +66,65 @@ def test_decoder_single_dc_coefficient():
     assert (img == 255).all()
 
 
-def test_decoder_rejects_progressive_and_garbage():
+def test_decoder_rejects_unsupported_and_garbage():
     with pytest.raises(J.JpegError):
         J.parse_jpeg(b"\x89PNG\r\n")
     b = bytearray(_hand_jpeg_flat_gray())
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2                        # SOF2: progressive
+    b[i + 1] = 0xC3                        # SOF3: lossless sequential
     with pytest.raises(NotImplementedError):
         J.parse_jpeg(bytes(b))
+    # a baseline full-band scan relabeled SOF2 is MALFORMED progressive
+    # (a progressive DC scan must have Se = 0) — clean error, not junk
+    b = bytearray(_hand_jpeg_flat_gray())
+    b[i + 1] = 0xC2
+    with pytest.raises(J.JpegError):
+        J.parse_jpeg(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — r9
+# ---------------------------------------------------------------------------
+
+def test_progressive_parity_gray_and_color():
+    """The progressive scan script (DC Al=1 + DC refinement + AC
+    spectral selection Al=1 + AC refinement) reconstructs the EXACT
+    quantized coefficients, so progressive decode must match the
+    baseline encode of the same image bit-for-bit."""
+    rng = np.random.default_rng(7)
+    for shape in ((16, 16), (23, 17), (8, 8), (31, 9)):
+        for color in (False, True):
+            img = rng.integers(
+                0, 256, shape + ((3,) if color else ()), dtype=np.uint8)
+            base = J.parse_jpeg(J.encode_jpeg(img, quality=80))
+            pb = J.encode_jpeg_progressive(img, quality=80)
+            assert pb.count(b"\xff\xda") == (8 if color else 4)
+            assert np.array_equal(J.parse_jpeg(pb), base)
+
+
+def test_progressive_parity_420_subsampled():
+    """4:2:0 progressive: the non-interleaved AC scans cover the
+    component-sized block grid (T.81 A.2.2) while interleaved DC scans
+    cover the MCU-padded grid — sizes where these differ are the trap
+    (w % 16 <= 8)."""
+    rng = np.random.default_rng(11)
+    for shape in ((24, 24), (40, 33), (17, 24)):
+        img = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        base = J.parse_jpeg(J.encode_jpeg(img, quality=75,
+                                          subsample=True))
+        prog = J.parse_jpeg(J.encode_jpeg_progressive(
+            img, quality=75, subsample=True))
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_eob_runs_smooth_image():
+    """A smooth gradient quantizes to long all-zero AC tails — the
+    EOBn run-length path (encode and decode) dominates."""
+    yy, xx = np.mgrid[0:48, 0:40]
+    img = ((xx + yy) * 2 % 256).astype(np.uint8)
+    base = J.parse_jpeg(J.encode_jpeg(img, quality=60))
+    prog = J.parse_jpeg(J.encode_jpeg_progressive(img, quality=60))
+    assert np.array_equal(prog, base)
 
 
 # ---------------------------------------------------------------------------
