@@ -1576,6 +1576,56 @@ def mm_jpeg_phash(spark, sf):
         .orderBy("n_nationkey"))
 
 
+def mm_jpeg_progressive(spark, sf):
+    """Progressive-JPEG pipeline gate (r9): per nation key a
+    key-seeded gradient image is encoded BOTH ways — baseline (SOF0)
+    and progressive (SOF2, spectral selection + successive
+    approximation, 4:2:0 on even keys) — and both decode
+    executor-side through the from-scratch T.81 codec. The
+    progressive scan script is coefficient-lossless, so the two
+    decodes must be pixel-identical: n_diff is 0 by construction and
+    the SOS count is the fixed scan-script length (4 gray / 8 color),
+    making every output a closed form of the key. A wrong EOBn run
+    length, refinement correction bit, or non-interleaved grid
+    dimension breaks n_diff; a scan-script change breaks n_sos."""
+    n = _t(spark, sf, "nation").select("n_nationkey")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from arctic_spark.llm.jpeg import (encode_jpeg,
+                                           encode_jpeg_progressive,
+                                           parse_jpeg)
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                h, w = 24 + k % 5, 17 + k % 7
+                color = k % 2 == 1
+                yy, xx = np.mgrid[0:h, 0:w]
+                base_plane = ((xx * (k % 7 + 1) + yy * (k % 5 + 2))
+                              % 256).astype(np.uint8)
+                img = (np.stack([base_plane,
+                                 np.roll(base_plane, 1, 0),
+                                 np.roll(base_plane, 1, 1)], axis=-1)
+                       if color else base_plane)
+                b = encode_jpeg(img, quality=80, subsample=color)
+                p = encode_jpeg_progressive(img, quality=80,
+                                            subsample=color)
+                db, dp = parse_jpeg(b), parse_jpeg(p)
+                rows.append((k, int(dp.shape[1]), int(dp.shape[0]),
+                             int((db.astype(np.int64)
+                                  != dp.astype(np.int64)).sum()),
+                             p.count(b"\xff\xda")))
+            yield pd.DataFrame(rows, columns=[
+                "n_nationkey", "width", "height", "n_diff", "n_sos"])
+
+    out = n.mapInPandas(
+        gen, schema="n_nationkey long, width long, height long, "
+                    "n_diff long, n_sos long")
+    return out.orderBy("n_nationkey")
+
+
 def mm_wav_stats(spark, sf):
     """Audio pipeline gate (round 8 — driver-gated WAV row): per
     nation key a 16-bit PCM RIFF/WAVE payload holding a square wave
@@ -3308,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "io_fgb_roundtrip": io_fgb_roundtrip,
         "io_kml_roundtrip": io_kml_roundtrip,
+        "mm_jpeg_progressive": mm_jpeg_progressive,
         "q_anti_join": q_anti_join,
         "geo_point_accessors": geo_point_accessors,
         "geo_explode_multipoint": geo_explode_multipoint,
@@ -5275,6 +5326,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS phash64,
                    CAST(128 + 3 * ((n_nationkey * 5) % 33 - 16)
                         AS BIGINT) AS mean_u
+            FROM nation ORDER BY n_nationkey
+        """,
+        "mm_jpeg_progressive": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CAST(17 + n_nationkey % 7 AS BIGINT) AS width,
+                   CAST(24 + n_nationkey % 5 AS BIGINT) AS height,
+                   CAST(0 AS BIGINT) AS n_diff,
+                   CAST(CASE WHEN n_nationkey % 2 = 1 THEN 8 ELSE 4 END
+                        AS BIGINT) AS n_sos
             FROM nation ORDER BY n_nationkey
         """,
         "mm_wav_stats": """

@@ -693,7 +693,8 @@ def read_gpx(spark: SparkSession, path: str, layer: str = "tracks",
     return GeoDataFrame(df, geometry_column, "EPSG:4326")
 
 
-def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
+def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
+              max_features=None, **pyogrio_kwargs):
     """Vector-file read (reference read_file, io/file.py:15-119).
 
     Natively-decoded formats need no GDAL: ``.shp`` routes to
@@ -701,25 +702,53 @@ def read_file(spark: SparkSession, path: str, **pyogrio_kwargs):
     :func:`read_geojson` (``.geojsonl``/``.ndjson`` as line-delimited
     features), parquet to :func:`read_geoparquet`. Anything else falls
     through to the pyogrio/GDAL passthrough, import-gated (GDAL absent
-    in this container)."""
+    in this container).
+
+    The reference forwards scan-time pushdown args to GDAL
+    (io/file.py:48-86); the native dispatch honors the common three:
+    ``bbox=(xmin, ymin, xmax, ymax)`` (a REAL packed-Hilbert-index
+    pushdown for .fgb — only intersecting leaves are decoded — a
+    lazy bbox-intersects filter elsewhere), ``columns`` (projection;
+    Catalyst prunes the scan for parquet) and ``max_features``
+    (limit). Remaining pyogrio kwargs (where/fids/sql/layer) stay on
+    the GDAL passthrough."""
     low = path.lower()
     if not pyogrio_kwargs:
+        out = None
         if low.endswith(".shp"):
-            return read_shapefile(spark, path)
-        if low.endswith(".gpkg"):
-            return read_geopackage(spark, path)
-        if low.endswith(".fgb"):
-            return read_flatgeobuf(spark, path)
-        if low.endswith(".kml"):
-            return read_kml(spark, path)
-        if low.endswith(".gpx"):
-            return read_gpx(spark, path)
-        if low.endswith((".geojson", ".json")):
-            return read_geojson(spark, path)
-        if low.endswith((".geojsonl", ".ndjson", ".geojsons")):
-            return read_geojson(spark, path, lines=True)
-        if low.endswith(".parquet"):
-            return read_geoparquet(spark, path)
+            out = read_shapefile(spark, path)
+        elif low.endswith(".gpkg"):
+            out = read_geopackage(spark, path)
+        elif low.endswith(".fgb"):
+            out = read_flatgeobuf(spark, path, bbox=bbox)
+            bbox = None                       # index already applied it
+        elif low.endswith(".kml"):
+            out = read_kml(spark, path)
+        elif low.endswith(".gpx"):
+            out = read_gpx(spark, path)
+        elif low.endswith((".geojson", ".json")):
+            out = read_geojson(spark, path)
+        elif low.endswith((".geojsonl", ".ndjson", ".geojsons")):
+            out = read_geojson(spark, path, lines=True)
+        elif low.endswith(".parquet"):
+            out = read_geoparquet(spark, path)
+        if out is not None:
+            gcol = out.geometry_column
+            if bbox is not None:
+                xmin, ymin, xmax, ymax = bbox
+                x0, y0, x1, y1 = st.bounds(F.col(gcol))
+                out = GeoDataFrame(out.df.where(
+                    (x0 <= float(xmax)) & (float(xmin) <= x1)
+                    & (y0 <= float(ymax)) & (float(ymin) <= y1)),
+                    gcol, out.crs)
+            if columns is not None:
+                keep = [c for c in out.df.columns
+                        if c in set(columns) or c == gcol]
+                out = GeoDataFrame(out.df.select(*keep), gcol, out.crs)
+            if max_features is not None:
+                out = GeoDataFrame(out.df.limit(int(max_features)),
+                                   gcol, out.crs)
+            return out
     try:
         from pyogrio.raw import read_arrow  # noqa: F401
     except ImportError as e:

@@ -494,3 +494,31 @@ def test_gpx_layers(spark, tmp_path):
         st.length("geometry").alias("len")).collect()[0]
     assert row["name"] == "t1" and row["n_segments"] == 2
     assert row["np"] == 2 and row["len"] == 3.0
+
+
+def test_read_file_pushdown_args(spark, tmp_path):
+    """read_file's scan-time pushdown surface (reference
+    io/file.py:48-86 forwards these to GDAL): bbox uses the REAL
+    packed-Hilbert index for .fgb and a bounds filter elsewhere;
+    columns projects; max_features limits."""
+    from pyspark.sql import functions as F
+    from arctic_spark import GeoDataFrame, st
+    from arctic_spark.io import read_file, write_flatgeobuf, write_kml
+    src = GeoDataFrame(spark.range(100).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("n"), F.col("id")).alias("tag"),
+        st.point((F.col("id") % 10).cast("double"),
+                 (F.col("id") / 10).cast("long").cast("double"))
+        .alias("geometry")))
+    fgb = str(tmp_path / "p.fgb")
+    write_flatgeobuf(src, fgb)
+    out = read_file(spark, fgb, bbox=(2.5, 2.5, 4.5, 4.5))
+    assert out.df.count() == 4          # x in {3,4}, y in {3,4}
+    out = read_file(spark, fgb, columns=["pid"], max_features=7)
+    assert set(out.df.columns) == {"pid", "geometry"}
+    assert out.df.count() == 7
+    kml = str(tmp_path / "p.kml")
+    write_kml(GeoDataFrame(src.df.withColumn(
+        "pid", F.col("pid").cast("string"))), kml)
+    out = read_file(spark, kml, bbox=(2.5, 2.5, 4.5, 4.5))
+    assert out.df.count() == 4
