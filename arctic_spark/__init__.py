@@ -77,4 +77,4 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "read_geoparquet", "from_wkt_df", "read_geojson",
            "write_geojson", "read_shapefile", "read_geopackage",
            "write_geopackage", "read_flatgeobuf", "write_flatgeobuf",
-           "read_file", "read_kml", "write_kml", "read_gpx"]
+           "read_file", "read_kml", "write_kml", "read_gpx", "read_gml"]

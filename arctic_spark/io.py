@@ -659,6 +659,38 @@ def write_kml(gdf: GeoDataFrame, path: str,
         fh.write(text)
 
 
+def read_gml(spark: SparkSession, path: str, swap_axes: bool = False,
+             geometry_column=DEFAULT_GEO_COLUMN_NAME,
+             crs=DEFAULT_CRS) -> GeoDataFrame:
+    """Native GML reader (stdlib XML — no GDAL; the reference reads
+    GML only through GDAL, io/file.py:15-119): OGC simple-features
+    geometries in GML 2 and 3 forms (pos/posList/coordinates,
+    exterior/outerBoundaryIs, Curve segments, Multi* members), WFS
+    feature-member structure, simple-text properties + gml:id as
+    string columns. ``swap_axes=True`` flips lat-first documents (the
+    GML3/EPSG:4326 axis-order trap — same contract as GDAL's invert
+    switch). Driver-side single-document parse; the scale path is
+    convert-to-GeoParquet."""
+    from pyspark.sql import types as T
+
+    from .geom import gml as _g
+    from .sparktypes import GEOM_TYPE
+    with open(path, "r", encoding="utf-8") as fh:
+        feats = _g.parse_gml(fh.read(), swap_axes=swap_axes)
+    keys = []
+    for f in feats:
+        for k in f["data"]:
+            if k not in keys:
+                keys.append(k)
+    fields = [T.StructField("gml_id", T.StringType())]
+    fields += [T.StructField(k, T.StringType()) for k in keys]
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    data = [(f["gml_id"], *[f["data"].get(k) for k in keys],
+             _tuple_cell(f["geom"])) for f in feats]
+    df = spark.createDataFrame(data, T.StructType(fields))
+    return GeoDataFrame(df, geometry_column, crs)
+
+
 def read_gpx(spark: SparkSession, path: str, layer: str = "tracks",
              geometry_column=DEFAULT_GEO_COLUMN_NAME) -> GeoDataFrame:
     """Native GPX reader (stdlib XML — no GDAL): ``layer`` selects
@@ -726,6 +758,8 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
             out = read_kml(spark, path)
         elif low.endswith(".gpx"):
             out = read_gpx(spark, path)
+        elif low.endswith(".gml"):
+            out = read_gml(spark, path)
         elif low.endswith((".geojson", ".json")):
             out = read_geojson(spark, path)
         elif low.endswith((".geojsonl", ".ndjson", ".geojsons")):

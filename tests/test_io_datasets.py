@@ -522,3 +522,59 @@ def test_read_file_pushdown_args(spark, tmp_path):
         "pid", F.col("pid").cast("string"))), kml)
     out = read_file(spark, kml, bbox=(2.5, 2.5, 4.5, 4.5))
     assert out.df.count() == 4
+
+
+def test_gml_reader_wfs_document(spark, tmp_path):
+    """GML 3 WFS-style FeatureCollection: pos/posList/exterior parse,
+    feature attributes + gml:id survive, Curve segments chain, GML2
+    coordinates + outerBoundaryIs parse, swap_axes flips lat-first."""
+    from arctic_spark import st
+    from arctic_spark.io import read_gml, read_file
+    gml = """<?xml version="1.0"?>
+<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs"
+    xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://x">
+ <gml:featureMember>
+  <app:City gml:id="c1"><app:name>alpha</app:name>
+   <app:geom><gml:Point><gml:pos>10 20</gml:pos></gml:Point></app:geom>
+  </app:City>
+ </gml:featureMember>
+ <gml:featureMember>
+  <app:Road gml:id="r1"><app:name>beta</app:name>
+   <app:geom><gml:Curve><gml:segments>
+     <gml:LineStringSegment><gml:posList>0 0 1 0</gml:posList>
+     </gml:LineStringSegment>
+     <gml:LineStringSegment><gml:posList>1 0 1 2</gml:posList>
+     </gml:LineStringSegment>
+   </gml:segments></gml:Curve></app:geom>
+  </app:Road>
+ </gml:featureMember>
+ <gml:featureMember>
+  <app:Zone gml:id="z1"><app:name>gamma</app:name>
+   <app:geom><gml:Polygon>
+    <gml:outerBoundaryIs><gml:LinearRing>
+     <gml:coordinates>0,0 4,0 4,4 0,4 0,0</gml:coordinates>
+    </gml:LinearRing></gml:outerBoundaryIs>
+    <gml:innerBoundaryIs><gml:LinearRing>
+     <gml:coordinates>1,1 2,1 2,2 1,2 1,1</gml:coordinates>
+    </gml:LinearRing></gml:innerBoundaryIs>
+   </gml:Polygon></app:geom>
+  </app:Zone>
+ </gml:featureMember>
+</wfs:FeatureCollection>"""
+    p = str(tmp_path / "d.gml")
+    with open(p, "w") as fh:
+        fh.write(gml)
+    out = read_file(spark, p)          # dispatch on .gml
+    rows = {r["gml_id"]: r for r in out.df.select(
+        "gml_id", "name",
+        st.x(st.centroid("geometry")).alias("cx"),
+        st.area("geometry").alias("a"),
+        st.length("geometry").alias("ln")).collect()}
+    assert rows["c1"]["name"] == "alpha" and rows["c1"]["cx"] == 10.0
+    assert rows["r1"]["ln"] == 3.0     # chained segments share a vertex
+    assert rows["z1"]["a"] == 15.0     # 16 - 1 hole
+    sw = read_gml(spark, p, swap_axes=True)
+    r = sw.df.where("gml_id = 'c1'").select(
+        st.x("geometry").alias("x"), st.y("geometry").alias("y")) \
+        .collect()[0]
+    assert (r.x, r.y) == (20.0, 10.0)
