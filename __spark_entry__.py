@@ -1776,6 +1776,107 @@ def _unigram_oracle_sql():
     """
 
 
+_WP_FIXED_VOCAB = [
+    "jo", "##in", "ha", "##sh", "row", "b", "##at", "##ch", "s",
+    "##can", "cust", "##om", "##er", "col", "##umn", "sm", "##all",
+    "me", "##rge", "sl", "##ow", "or", "##der", "v", "##ector", "li",
+    "##ne", "d", "##ata", "t", "##able", "a", "##gg", "va", "##lue",
+    "k", "##ey", "st", "##ream", "w", "##indow", "sp", "##ark", "p",
+    "##art", "g", "##roup", "##ig", "so", "##rt", "q", "##uery", "fa",
+    "##st", "th", "##e", "du", "##p",
+]
+
+
+def tok_wordpiece_encode(spark, sf):
+    """WordPiece greedy encoder gate (llm/wordpiece.py, r9; Schuster &
+    Nakajima 2012 / the BERT WordpieceTokenizer): every document
+    encodes word-by-word with longest-match-first pieces under a fixed
+    vocabulary (initial pieces bare, continuations ##-prefixed; an
+    untokenizable word becomes a single [UNK] — the 'filter' words in
+    the fixture exercise that path). The oracle REPLAYS the greedy
+    walk in DuckDB: 8 chained CTE steps (max word length in the
+    documents table), each taking the longest matching vocabulary
+    piece at the current position via a correlated max_by subquery,
+    accumulating the token string and count per word, then
+    reassembling per document — so the hash covers the exact token
+    SEQUENCE, not just counts."""
+    from arctic_spark.llm import wordpiece
+    d = _t(spark, sf, "documents")
+    out = wordpiece.wordpiece_encode(
+        d.select("doc_id", "text"), "text", _WP_FIXED_VOCAB)
+    return (out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.substring(F.md5(F.array_join("tokens", " ")), 1, 16)
+         .alias("fp"))
+        .orderBy("doc_id"))
+
+
+def _wordpiece_oracle_sql(max_steps=8):
+    """DuckDB replay of the BERT greedy longest-match walk with the
+    gate's literal vocabulary (pieces stored bare + continuation flag;
+    tokens re-prefixed on emission)."""
+    rows = ", ".join(
+        f"('{p[2:]}', true)" if p.startswith("##") else f"('{p}', false)"
+        for p in _WP_FIXED_VOCAB)
+    steps = []
+    prev = "s0"
+    for i in range(1, max_steps + 1):
+        steps.append(f"""
+            p{i} AS (
+                SELECT doc_id, wi, w, pos, acc, np, dead,
+                       (SELECT max_by(v.piece, len(v.piece))
+                        FROM vocab v
+                        WHERE v.cont = (pos > 0)
+                          AND substr(w, pos + 1, len(v.piece)) = v.piece)
+                           AS bp
+                FROM {prev}),
+            s{i} AS (
+                SELECT doc_id, wi, w,
+                       CASE WHEN dead OR pos >= len(w) OR bp IS NULL
+                            THEN pos ELSE pos + len(bp) END AS pos,
+                       CASE WHEN dead OR pos >= len(w) OR bp IS NULL
+                            THEN acc
+                            WHEN pos = 0 THEN bp
+                            ELSE acc || ' ##' || bp END AS acc,
+                       CASE WHEN dead OR pos >= len(w) OR bp IS NULL
+                            THEN np ELSE np + 1 END AS np,
+                       dead OR (pos < len(w) AND bp IS NULL) AS dead
+                FROM p{i})""")
+        prev = f"s{i}"
+    return f"""
+        WITH vocab(piece, cont) AS (VALUES {rows}),
+        words AS (
+            SELECT doc_id, wi, w FROM (
+                SELECT doc_id,
+                       unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS wi
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(text,
+                                 '\\s+'), x -> x <> '') AS ws
+                      FROM documents))),
+        s0 AS (SELECT doc_id, wi, w, 0 AS pos,
+                      CAST('' AS VARCHAR) AS acc, 0 AS np,
+                      false AS dead
+               FROM words),{",".join(steps)},
+        fin AS (
+            SELECT doc_id, wi,
+                   CASE WHEN dead THEN '[UNK]' ELSE acc END AS tok,
+                   CASE WHEN dead THEN 1 ELSE np END AS ntok
+            FROM {prev}),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY wi) AS s,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens
+            FROM fin GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               substr(md5(coalesce(a.s, '')), 1, 16) AS fp
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def lm_kn_score(spark, sf):
     """Interpolated Kneser-Ney trigram LM trained ON the documents
     corpus, then scoring its own documents (llm/ngram_lm.py, round 8;
@@ -3394,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": text_bpe_train,
         "text_quality_gopher": text_quality_gopher,
         "tok_unigram_encode": tok_unigram_encode,
+        "tok_wordpiece_encode": tok_wordpiece_encode,
         # --- oldest-green r1-6 block (driver re-verification) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -5353,6 +5455,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p ORDER BY n_nationkey
         """,
         "tok_unigram_encode": _unigram_oracle_sql(),
+        "tok_wordpiece_encode": _wordpiece_oracle_sql(),
         "lm_kn_score": _KN_ORACLE,
         "geo_zorder_keys": """
             WITH pts AS (

@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     # round 9 additions
     "geo_conus_albers",
     "io_kml_roundtrip",
+    "mm_jpeg_progressive",
+    "tok_wordpiece_encode",
     # round 7: complete coverage — every queries() entry is benched
     "q4_order_priority",
     "q_range_join",
