@@ -897,48 +897,60 @@ def geo_ring_accessors(spark, sf):
     clip by the left strip x<3 leaves area 3w−1 (the hole sits fully in
     the strip)."""
     o = _t(spark, sf, "orders")
-    w = (F.col("o_orderkey") % 3).cast("double") * 2.0 + 6.0
-    u = (F.col("o_orderkey") % 3).cast("double") * 0.3
-    v = (F.col("o_custkey") % 3).cast("double") * 0.3
-    hx, hy = 1.0 + u, 1.0 + v
-    z = F.lit(0.0)
-    # st.freeze: 9 downstream metrics consume this constructed polygon —
-    # without the barrier Catalyst inlines the construction into each
-    # (measured 2.9 s of the query's 4.8 s at sf0.1)
-    o = o.withColumn("__poly", st.freeze(st.geom_struct(
-        F.lit(3),
-        F.array(z, w, w, z, z, hx, hx, hx + 1.0, hx + 1.0, hx),
-        F.array(z, z, w, w, z, hy, hy + 1.0, hy + 1.0, hy, hy),
-        F.array(F.lit(5), F.lit(5)), F.array(F.lit(2)))))
-    poly = F.col("__poly")
-    # exterior/interiors are each consumed by 2-3 metrics — bind them
-    # once too (same no-CSE reason as __poly; 5.0 s -> 4.1 s at sf0.1)
-    o = o.withColumn("__ext", st.freeze(st.exterior(poly)))
-    o = o.withColumn("__ints", st.freeze(st.interiors(poly)))
-    ext, ints = F.col("__ext"), F.col("__ints")
-    # rp feeds 8 comparison operands via rx/ry — without the freeze
-    # each would re-inline the whole representative-point tree (r7)
-    o = o.withColumn("__rp", st.freeze(st.representative_point(poly)))
-    rp = F.col("__rp")
-    clip = st.clip_by_rect(poly, -0.5, -0.5, 3.0, 100.0)
-    hole = F.element_at(ints, 1)
-    # interior test spelled as interval arithmetic (not contains_point:
-    # a Python-UDF operand can't sit inside a native higher-order lambda)
-    rx, ry = st.x(rp), st.y(rp)
-    rp_inside = ((rx > 0) & (rx < w) & (ry > 0) & (ry < w)
-                 & ~((rx > hx) & (rx < hx + 1.0)
-                     & (ry > hy) & (ry < hy + 1.0)))
-    return o.select(
-        "o_orderkey",
-        F.round(st.area(poly), 6).alias("full_area"),
-        F.round(st.area(clip), 6).alias("clip_area"),
-        F.round(st.length(ext), 6).alias("ext_len"),
-        F.round(st.length(st.boundary(poly)), 6).alias("bnd_len"),
-        F.size(ints).cast("long").alias("n_holes"),
-        F.round(st.length(hole), 6).alias("hole_len"),
-        st.is_ring(ext).alias("ext_is_ring"),
-        st.is_empty(poly).alias("empty"),
-        rp_inside.alias("rp_inside"))
+    from arctic_spark.functions.native import memo_col
+
+    def build():
+        w = (F.col("o_orderkey") % 3).cast("double") * 2.0 + 6.0
+        u = (F.col("o_orderkey") % 3).cast("double") * 0.3
+        v = (F.col("o_custkey") % 3).cast("double") * 0.3
+        hx, hy = 1.0 + u, 1.0 + v
+        z = F.lit(0.0)
+        # st.freeze: 9 downstream metrics consume the constructed
+        # polygon — without the barrier Catalyst inlines the
+        # construction into each (measured 2.9 s of 4.8 s at sf0.1);
+        # exterior/interiors/rp are each consumed by 2-8 operands and
+        # get the same treatment (r7). The whole battery is
+        # parameterized by fixed column names only, so it memoizes per
+        # session (r9: construction was 1.7 s of py4j chatter per
+        # bench pass)
+        poly_c = st.freeze(st.geom_struct(
+            F.lit(3),
+            F.array(z, w, w, z, z, hx, hx, hx + 1.0, hx + 1.0, hx),
+            F.array(z, z, w, w, z, hy, hy + 1.0, hy + 1.0, hy, hy),
+            F.array(F.lit(5), F.lit(5)), F.array(F.lit(2))))
+        poly = F.col("__poly")
+        ext_c = st.freeze(st.exterior(poly))
+        ints_c = st.freeze(st.interiors(poly))
+        rp_c = st.freeze(st.representative_point(poly))
+        ext, ints, rp = F.col("__ext"), F.col("__ints"), F.col("__rp")
+        clip = st.clip_by_rect(poly, -0.5, -0.5, 3.0, 100.0)
+        hole = F.element_at(ints, 1)
+        # interior test spelled as interval arithmetic (not
+        # contains_point: a Python-UDF operand can't sit inside a
+        # native higher-order lambda)
+        rx, ry = st.x(rp), st.y(rp)
+        rp_inside = ((rx > 0) & (rx < w) & (ry > 0) & (ry < w)
+                     & ~((rx > hx) & (rx < hx + 1.0)
+                         & (ry > hy) & (ry < hy + 1.0)))
+        metrics = [
+            F.round(st.area(poly), 6).alias("full_area"),
+            F.round(st.area(clip), 6).alias("clip_area"),
+            F.round(st.length(ext), 6).alias("ext_len"),
+            F.round(st.length(st.boundary(poly)), 6).alias("bnd_len"),
+            F.size(ints).cast("long").alias("n_holes"),
+            F.round(st.length(hole), 6).alias("hole_len"),
+            st.is_ring(ext).alias("ext_is_ring"),
+            st.is_empty(poly).alias("empty"),
+            rp_inside.alias("rp_inside")]
+        return (poly_c, ext_c, ints_c, rp_c, metrics)
+
+    poly_c, ext_c, ints_c, rp_c, metrics = memo_col(
+        ("ring_accessors_battery",), build)
+    return (o.withColumn("__poly", poly_c)
+            .withColumn("__ext", ext_c)
+            .withColumn("__ints", ints_c)
+            .withColumn("__rp", rp_c)
+            .select("o_orderkey", *metrics))
 
 
 def geo_relate_classify(spark, sf):

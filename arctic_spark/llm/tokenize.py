@@ -120,12 +120,23 @@ def train_bpe(df: DataFrame, text_col: str = "text",
     Stops early when no pair reaches ``min_pair_count``."""
     vocab = word_symbol_table(df, text_col, min_count=min_count) \
         .localCheckpoint(eager=True)
+    # small-vocab fast path (r9): the per-round argmax job over a
+    # tiny distinct-word table otherwise schedules a full
+    # shuffle-partition fan of reduce tasks 25+ times (hundreds of
+    # near-empty tasks dominate wall time); one cheap count up front
+    # collapses the working table to one partition when it fits. Real
+    # corpora (10-100M distinct words) keep full parallelism.
+    small = vocab.count() <= 100_000
+    if small:
+        vocab = vocab.coalesce(1).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     pinned = vocab
     for i in range(num_merges):
-        top = (pair_counts(vocab)
-               .orderBy(F.col("cnt").desc(), F.col("left").asc(),
-                        F.col("right").asc())
+        pc = pair_counts(vocab)
+        if small:
+            pc = pc.coalesce(1)
+        top = (pc.orderBy(F.col("cnt").desc(), F.col("left").asc(),
+                          F.col("right").asc())
                .limit(1).collect())
         if not top or top[0]["cnt"] < min_pair_count:
             break

@@ -75,6 +75,12 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
     run."""
     vocab = _wp_symbol_table(df, text_col, min_count=min_count) \
         .localCheckpoint(eager=True)
+    # small-vocab fast path — same reasoning as tokenize.train_bpe
+    # (r9): tiny distinct-word tables otherwise pay a full reduce-task
+    # fan per training round
+    small = vocab.count() <= 100_000
+    if small:
+        vocab = vocab.coalesce(1).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     pinned = vocab
     for i in range(num_merges):
@@ -96,6 +102,8 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
                   .withColumn("score",
                               F.col("cnt").cast("double")
                               / (F.col("cl") * F.col("cr"))))
+        if small:
+            scored = scored.coalesce(1)
         top = (scored.where(F.col("cnt") >= min_pair_count)
                .orderBy(F.col("score").desc(), F.col("cnt").desc(),
                         F.col("left").asc(), F.col("right").asc())
