@@ -3521,17 +3521,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver-verification rotation (round 9, updated) ---
+        # --- Driver-verification rotation (round 9, final) ---
         # Window = first ~50 entries. Leads with text_readability (the
-        # fixed two-round-red row), geo_conus_albers (new r9 AEA
-        # kernel), then EVERY gate whose query/oracle/library path
-        # changed this round: overlay trim, Arrow PQ encode, semdedup
-        # clamp, FGB/GPKG io, and the 45-site width normalization
-        # (every integer output BIGINT on both engines — includes the
-        # 12 warnings the DESCRIBE audit surfaced on the second full
-        # sweep). Oldest-green r1-6 entries fill the remaining window
-        # slots. Local sweeps this round: 126 pass / 0 fail / 0
-        # width warnings.
+        # fixed two-round-red row: regexp-match syllables +
+        # pure-BIGINT numerators), geo_conus_albers (new AEA kernel),
+        # then EVERY gate whose query/oracle/library path changed this
+        # round: io_kml_roundtrip + mm_jpeg_progressive +
+        # tok_wordpiece_encode (new r9 ops), the overlay trim, Arrow
+        # PQ encode/assign, semdedup clamp, FGB/GPKG io, the 45-site
+        # width normalization, and the memoized expression batteries
+        # (ring_accessors, line_refs, segment_ops, shape_metrics,
+        # orientation_flags, the io gates, bpe/wordpiece trainers).
+        # Oldest-green r1-6 entries fill the remaining window slots.
+        # Final local sweep this round: 129 pass / 0 fail / 0
+        # rows-only / 0 width warnings; pytest 499.
         "text_readability": text_readability,
         "geo_conus_albers": geo_conus_albers,
         "geo_overlay_union": geo_overlay_union,
@@ -3570,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_ring_accessors": geo_ring_accessors,
         "geo_sample_points": geo_sample_points,
         "geo_segment_ops": geo_segment_ops,
+        "geo_shape_metrics": geo_shape_metrics,
         "geo_voronoi": geo_voronoi,
         "io_gpkg_roundtrip": io_gpkg_roundtrip,
         "lm_kn_score": lm_kn_score,
@@ -3612,7 +3616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zorder_keys": geo_zorder_keys,
         "q_sessionize": q_sessionize,
         "q18_large_orders": q18_large_orders,
-        "geo_shape_metrics": geo_shape_metrics,
         "geo_concave_hull": geo_concave_hull,
         "embed_pca_norms": embed_pca_norms,
         "geo_cluster_kmeans": geo_cluster_kmeans,
