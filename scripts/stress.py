@@ -590,6 +590,29 @@ def main():
           f"leftovers): {dt:.1f}s, {n:,} rows, "
           f"{n_ov / dt / 1e3:.0f}k pairs/s", flush=True)
 
+    # r9: WordPiece greedy encoding throughput (broadcast vocab, one
+    # Arrow pass, zero shuffles — same plan shape as unigram Viterbi)
+    from arctic_spark.llm import wordpiece as WP
+    n_docs_w = max(n_points // 10, 100_000)
+    docs_w = spark.range(n_docs_w).repartition(par).select(
+        F.col("id").alias("doc_id"),
+        F.translate(F.concat_ws(" ", *[
+            F.pmod(F.col("id") * (7 + 13 * j), F.lit(99991))
+            .cast("string") for j in range(20)]),
+            "0123456789", "theringsad").alias("text"))
+    wvoc = ["t", "h", "e", "r", "i", "n", "g", "s", "a", "d",
+            "##t", "##h", "##e", "##r", "##i", "##n", "##g", "##s",
+            "##a", "##d", "th", "##he", "##in", "##ng", "ri", "##ing",
+            "the", "##ad", "sa", "##er", "he", "##at", "##es", "##ed",
+            "##re", "##an"]
+    t0 = time.perf_counter()
+    tot_w = WP.wordpiece_encode(docs_w, "text", wvoc) \
+        .agg(F.sum(F.size("tokens"))).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(f"wordpiece greedy encode {n_docs_w:,} docs (20 words each): "
+          f"{dt:.1f}s, {tot_w:,} tokens, {n_docs_w / dt / 1e3:.0f}k "
+          "docs/s", flush=True)
+
     # r9: FGB/GPKG conversion throughput. Both writers serialize ONE
     # file on the driver (the formats are single-file containers —
     # same bound as the reference's GDAL path); the scale path is
