@@ -669,6 +669,14 @@ def _parse_crs(crs):
     c = _norm(crs)
     if c in ("EPSG:4326", "CRS84", "OGC:CRS84", "WGS84"):
         return "lonlat", None
+    if c in ("EPSG:4269", "EPSG:4258", "EPSG:4617", "EPSG:4283",
+             "EPSG:9000", "EPSG:4148"):
+        # NAD83 / ETRS89 / NAD83(CSRS) / GDA94 / ITRF-family / Hartebeesthoek
+        # geographic CRS: all realized within ~1-2 m of WGS84 with no
+        # published single Helmert (plate motion dominates); treated as
+        # the lon/lat hub, matching common GIS practice and GDAL's
+        # default null transform for these pairs
+        return "lonlat", None
     if c in ("EPSG:3857", "EPSG:900913", "EPSG:3785"):
         return "webmerc", None
     if c.startswith("EPSG:"):
@@ -690,7 +698,8 @@ def _parse_crs(crs):
             return _EPSG_TABLE[code]
     raise CRSError(
         f"unsupported CRS {crs!r}; supported: EPSG:4326, EPSG:3857, UTM "
-        "(EPSG:326xx/327xx/269xx/258xx/230xx), OSGB 27700, Lambert-93 "
+        "(EPSG:326xx/327xx/269xx/258xx/230xx), geographic NAD83/ETRS89/"
+        "GDA94 (4269/4258/4617/4283), OSGB 27700, Lambert-93 "
         "2154, LCC 3034/2263/26985/2229/31370, LAEA 3035, "
         "AEA 5070/3577, TM 32118 — extend "
         "arctic_spark.proj._EPSG_TABLE with public EPSG parameters for "

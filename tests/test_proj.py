@@ -263,3 +263,16 @@ def test_belgian_lambert72_datum_roundtrip(spark):
         assert 30 < math.hypot(x2 - x, y2 - y) < 300
     finally:
         del proj._EPSG_TABLE[909992]
+
+
+def test_geographic_datum_aliases(spark):
+    # NAD83/ETRS89/GDA94 geographic CRS route through the lon/lat hub
+    # (documented ~1-2 m null-transform convention): a NAD83 point
+    # projects into a NAD83 State Plane zone identically to 4326 input
+    x1, y1 = _one(spark, "POINT (-76.5 40.0)", "EPSG:4269", "EPSG:32118")
+    x2, y2 = _one(spark, "POINT (-76.5 40.0)", "EPSG:4326", "EPSG:32118")
+    assert x1 == x2 and y1 == y2
+    lon, lat = _one(spark, f"POINT ({x1} {y1})", "EPSG:32118",
+                    "EPSG:4269")
+    assert lon == pytest.approx(-76.5, abs=1e-9)
+    assert lat == pytest.approx(40.0, abs=1e-9)
