@@ -3511,6 +3511,62 @@ def _bpe_train_oracle_sql(num_merges: int = 25) -> str:
 
 
 # ---------------------------------------------------------------------------
+# mergeable sketches (HLL / KMV / CMS) — arctic_spark/sketches.py
+# ---------------------------------------------------------------------------
+
+def sketch_hll_registers(spark, sf):
+    """HyperLogLog register table (Flajolet 2007) over orders.o_custkey,
+    p=8 → 256 registers. The sketch is ONE bounded groupBy (≤ m groups,
+    map-side combined) and merge is register-wise max — the shape that
+    makes per-shard distinct counts composable at 100 TB. Registers are
+    pure integers (bucket = h & 255, rho via length(bin(h >> 8)) — no
+    floating log2), so the oracle replays them bit-exactly."""
+    from arctic_spark import sketches as sk
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("v"))
+    return (sk.hll_sketch(o, "v", p=8)
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    F.col("rho").cast("long").alias("rho"))
+            .orderBy("bucket"))
+
+
+def sketch_kmv_minima(spark, sf):
+    """KMV distinct sketch (Bar-Yossef 2002): the 64 smallest distinct
+    60-bit hashes of part.p_name. Physically a TakeOrderedAndProject —
+    per-partition top-k, only k hashes reach the driver; the estimate
+    (k-1)·2^60/h_k and Jaccard overlap are pure functions of these
+    rows, so hashing them hash-checks the whole estimator."""
+    from arctic_spark import sketches as sk
+    p = _t(spark, sf, "part")
+    mins = sk.kmv_sketch(p, "p_name", k=64)
+    w = Window.orderBy("h")
+    return (mins.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", F.col("h").cast("long").alias("h"))
+            .orderBy("rank"))
+
+
+def sketch_cms_freq(spark, sf):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over
+    lineitem.l_suppkey, depth=4 × width=512, probed at the 20 most
+    frequent keys next to their exact counts. Build = ONE groupBy over
+    ≤ d·w counter rows (each input row fans out to d cells via
+    posexplode); probe = broadcast join of the tiny counter table. The
+    gate asserts the replayed estimate, which by construction never
+    undercounts."""
+    from arctic_spark import sketches as sk
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").cast("string").alias("v"))
+    cms = sk.cms_sketch(li, "v", depth=4, width=512)
+    probes = (li.groupBy("v").agg(F.count("*").alias("exact_cnt"))
+                .orderBy(F.desc("exact_cnt"), "v").limit(20))
+    est = sk.cms_query(cms, probes, "v", depth=4, width=512)
+    return (est.select(F.col("v").cast("long").alias("l_suppkey"),
+                       F.col("exact_cnt").cast("long").alias("exact_cnt"),
+                       F.col("cms_est").cast("long").alias("cms_est"))
+            .orderBy("l_suppkey"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -3535,6 +3591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Oldest-green r1-6 entries fill the remaining window slots.
         # Final local sweep this round: 129 pass / 0 fail / 0
         # rows-only / 0 width warnings; pytest 499.
+        # Session-3 additions lead: the mergeable-sketch family
+        # (arctic_spark/sketches.py — HLL registers, KMV minima,
+        # Count-Min probes), each bit-exactly replayed in DuckDB.
+        "sketch_hll_registers": sketch_hll_registers,
+        "sketch_kmv_minima": sketch_kmv_minima,
+        "sketch_cms_freq": sketch_cms_freq,
         "text_readability": text_readability,
         "geo_conus_albers": geo_conus_albers,
         "geo_overlay_union": geo_overlay_union,
@@ -6197,6 +6259,57 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000.0)
             GROUP BY c_nationkey
+        """,
+        # HLL registers: bucket = h & (m-1), rho = leading-zero rank of
+        # the remaining 52 bits, computed via length(bin(w)) — exact
+        # integer arithmetic, no log2
+        "sketch_hll_registers": """
+            WITH h AS (
+                SELECT CAST(concat('0x', substr(md5(
+                           CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM orders WHERE o_custkey IS NOT NULL),
+            b AS (SELECT h & 255 AS bucket, h >> 8 AS w FROM h)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN w = 0 THEN 53
+                                 ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "sketch_kmv_minima": """
+            WITH d AS (
+                SELECT DISTINCT CAST(concat('0x', substr(md5(p_name), 1, 15))
+                                     AS BIGINT) AS h
+                FROM part WHERE p_name IS NOT NULL),
+            k AS (SELECT h FROM d ORDER BY h LIMIT 64)
+            SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS "rank",
+                   CAST(h AS BIGINT) AS h
+            FROM k ORDER BY "rank"
+        """,
+        # CMS: depth 4 salted md5 rows, width 512; probe = min over the
+        # four counters for the 20 most frequent suppkeys
+        "sketch_cms_freq": """
+            WITH tok AS (
+                SELECT CAST(l_suppkey AS VARCHAR) AS v FROM lineitem
+                WHERE l_suppkey IS NOT NULL),
+            dd AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+            ctr AS (
+                SELECT dd.d AS d,
+                       (CAST(concat('0x', substr(md5(concat(dd.d, '|', tok.v)),
+                             1, 15)) AS BIGINT) & 511) AS c,
+                       COUNT(*) AS cnt
+                FROM tok CROSS JOIN dd GROUP BY 1, 2),
+            exact AS (
+                SELECT v, COUNT(*) AS exact_cnt FROM tok GROUP BY v
+                ORDER BY exact_cnt DESC, v LIMIT 20),
+            probe AS (
+                SELECT exact.v, exact.exact_cnt, dd.d AS d,
+                       (CAST(concat('0x', substr(md5(concat(dd.d, '|', exact.v)),
+                             1, 15)) AS BIGINT) & 511) AS c
+                FROM exact CROSS JOIN dd)
+            SELECT CAST(p.v AS BIGINT) AS l_suppkey,
+                   CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+                   CAST(MIN(coalesce(ctr.cnt, 0)) AS BIGINT) AS cms_est
+            FROM probe p LEFT JOIN ctr ON p.d = ctr.d AND p.c = ctr.c
+            GROUP BY p.v, p.exact_cnt ORDER BY l_suppkey
         """,
         # direct-geodesic self-consistency: destinations are the exact
         # closed-form targets

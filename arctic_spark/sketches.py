@@ -1,0 +1,249 @@
+"""Mergeable distributed sketches: HyperLogLog, KMV, Count-Min.
+
+At 100 TB the questions "how many distinct users", "how big is the
+overlap between two corpora", and "how often does this token appear"
+cannot afford exact shuffles of the raw keys.  This module provides the
+three classic mergeable summaries, built so that
+
+* every hash is the repo's portable md5 primitive
+  (``conv(substr(md5(x),1,15),16,10)`` — a 60-bit uniform that DuckDB
+  reproduces as ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``),
+  making each sketch bit-exactly replayable in an oracle-SQL gate; and
+* merge is an exact algebraic operation (register-wise ``max`` for HLL,
+  min-k for KMV, counter-wise ``+`` for CMS), so
+  ``sketch(A ∪ B) == merge(sketch(A), sketch(B))`` holds EXACTLY — the
+  property that makes per-partition / per-day / per-shard sketches
+  composable without re-reading the data.
+
+Scale shape: each sketch is ONE narrow aggregation.  HLL shuffles at
+most ``m = 2**p`` register rows; KMV is a Spark ``TakeOrderedAndProject``
+(per-partition top-k, k rows to the driver); CMS shuffles at most
+``depth × width`` counter rows.  None of them ever moves the raw keys.
+
+The reference engine delegates aggregation to its host query engine
+(SURVEY §2.1/§2.6); approximate-distinct sketches are part of this
+repo's training-data-pipeline surface, not reference parity.
+
+References: Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog" (AofA
+2007); Bar-Yossef et al., "Counting distinct elements in a data stream"
+(RANDOM 2002, the KMV estimator); Cormode & Muthukrishnan, "An improved
+data stream summary: the count-min sketch" (J. Algorithms 2005).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "h60",
+    "hll_sketch", "hll_merge", "hll_estimate", "hll_estimate_components",
+    "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_jaccard",
+    "cms_sketch", "cms_merge", "cms_query",
+]
+
+#: Size of the hash universe: 60 bits (15 hex digits) keeps the value
+#: positive in a signed 64-bit BIGINT on both engines.
+H60 = 1 << 60
+_H60_BITS = 60
+
+
+def h60(col, salt: int | None = None) -> Column:
+    """The portable 60-bit md5 hash used by every sketch.
+
+    ``salt`` prefixes the value with ``"<salt>|"`` so independent hash
+    rows (CMS depths, minhash permutations) stay uncorrelated while
+    remaining replayable in SQL.
+    """
+    s = F.col(col) if isinstance(col, str) else col
+    s = s.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(f"{salt}|"), s)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_sketch(df: DataFrame, col, p: int = 10) -> DataFrame:
+    """Build an HLL register table: ``(bucket long, rho long)``.
+
+    ``m = 2**p`` registers; only non-empty registers are materialized
+    (an absent bucket means register value 0).  The ONE shuffle is the
+    ``groupBy(bucket).max(rho)`` over at most ``m`` groups — map-side
+    partial aggregation means each task emits ≤ m rows regardless of
+    input size.
+
+    rho = position of the leftmost 1-bit in the remaining
+    ``60 - p`` bits, counted from 1; an all-zero remainder scores
+    ``60 - p + 1``.  Computed exactly via ``length(bin(w))`` (no
+    floating log2, whose power-of-two edge cases differ by ULPs).
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    rem_bits = _H60_BITS - p
+    h = h60(col)
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(w)))
+    return (df.where(c.isNotNull())
+              .select(bucket.alias("bucket"), rho.cast("long").alias("rho"))
+              .groupBy("bucket").agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact merge: register-wise max.  ``hll_sketch(A ∪ B)`` equals
+    ``hll_merge(hll_sketch(A), hll_sketch(B))`` row for row."""
+    return (a.unionByName(b)
+             .groupBy("bucket").agg(F.max("rho").alias("rho")))
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate_components(registers: DataFrame, p: int) -> DataFrame:
+    """One-row DataFrame of the integer estimate inputs.
+
+    ``sum_scaled = Σ_j 2**(K - M_j)`` with ``K = 60 - p + 1`` (the max
+    possible rho) is the harmonic denominator as an EXACT BIGINT: the
+    smallest term is 2**0 = 1 and the total is bounded by
+    ``m · 2**K = 2**61``, inside BIGINT for every legal p.  ``n_zero``
+    counts empty registers.  The float estimate is a pure function of
+    these two integers — checking them checks the estimate, with zero
+    doubles in the gate.
+    """
+    m = 1 << p
+    k_scale = _H60_BITS - p + 1  # max rho → smallest term is 2**0 = 1
+    return registers.agg(
+        (F.coalesce(F.sum(F.expr(
+            f"shiftleft(cast(1 as bigint), cast({k_scale} - rho as int))")),
+            F.lit(0).cast("long"))
+         + (F.lit(m).cast("long") - F.count("*"))
+         * F.lit(1 << k_scale).cast("long")).alias("sum_scaled"),
+        (F.lit(m).cast("long") - F.count("*")).alias("n_zero"),
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int) -> float:
+    """Driver-side estimate from the register table (collects ≤ m rows).
+
+    Standard HLL: ``alpha_m · m² / Σ 2^-M_j`` with the small-range
+    linear-counting correction when E ≤ 2.5m and empty registers exist.
+    """
+    m = 1 << p
+    vals = {r["bucket"]: r["rho"] for r in registers.collect()}
+    s = sum(2.0 ** -vals.get(j, 0) for j in range(m))
+    e = _hll_alpha(m) * m * m / s
+    zeros = m - sum(1 for v in vals.values() if v > 0)
+    if e <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return e
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(df: DataFrame, col, k: int = 256) -> DataFrame:
+    """The k smallest distinct 60-bit hashes: ``(h long)`` ascending.
+
+    Physically a ``TakeOrderedAndProject`` after a distinct — each task
+    keeps its own top-k, the driver merges k·partitions candidates.  At
+    100 TB only hashes move, never the keys.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (df.where(c.isNotNull())
+              .select(h60(col).alias("h")).distinct()
+              .orderBy("h").limit(k))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Exact merge: k smallest of the union of both hash sets."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> float:
+    """(k-1) / h_k in hash-space units; exact count when fewer than k
+    distinct values exist (the sketch IS the distinct set then)."""
+    hs = [r["h"] for r in sketch.collect()]
+    if len(hs) < k:
+        return float(len(hs))
+    return (k - 1) * H60 / float(max(hs))
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 256) -> float:
+    """Jaccard similarity estimate from two KMV sketches: the fraction
+    of the union's k minima present in both (Beyer et al. 2007).
+    Driver-side over ≤ 3k hash values."""
+    sa = {r["h"] for r in a.collect()}
+    sb = {r["h"] for r in b.collect()}
+    union_k = sorted(sa | sb)[:k]
+    if not union_k:
+        return 0.0
+    both = sum(1 for h in union_k if h in sa and h in sb)
+    return both / len(union_k)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def cms_sketch(df: DataFrame, col, depth: int = 4, width: int = 1024,
+               weight=None) -> DataFrame:
+    """Counter table ``(d long, c long, cnt long)`` — at most
+    ``depth × width`` rows after the ONE groupBy; absent (d, c) means 0.
+
+    Each input row increments ``depth`` counters, one per salted hash
+    row; the fan-out is a ``posexplode`` of a depth-length array, so no
+    join and no per-depth extra pass.  ``weight`` (optional column)
+    turns it into a weighted CMS.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.array(*[h60(col, salt=d).bitwiseAND(F.lit(width - 1))
+                       for d in range(depth)])
+    wexpr = (F.lit(1).cast("long") if weight is None
+             else (F.col(weight) if isinstance(weight, str) else weight).cast("long"))
+    return (df.where(c.isNotNull())
+              .select(F.posexplode(hashes).alias("d", "c"), wexpr.alias("w"))
+              .groupBy("d", "c").agg(F.sum("w").alias("cnt")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact merge: counter-wise sum."""
+    return (a.unionByName(b)
+             .groupBy("d", "c").agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_query(sketch: DataFrame, probes: DataFrame, col,
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query a set of probe values: adds ``cms_est`` (the min over
+    the depth counters — an upper bound on the true count with the
+    usual (ε, δ) guarantee) to the probe rows.
+
+    The sketch side is tiny (≤ depth·width rows) and broadcast; the
+    probe side never shuffles.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.array(*[h60(col, salt=d).bitwiseAND(F.lit(width - 1))
+                       for d in range(depth)])
+    exploded = probes.select("*", F.posexplode(hashes).alias("d", "c"))
+    counters = sketch.select("d", "c", F.col("cnt").alias("__cms_cnt"))
+    joined = exploded.join(F.broadcast(counters), ["d", "c"], "left")
+    probe_cols = [f for f in probes.columns]
+    return (joined.groupBy(*probe_cols)
+                  .agg(F.min(F.coalesce(F.col("__cms_cnt"),
+                                        F.lit(0).cast("long")))
+                        .alias("cms_est")))
