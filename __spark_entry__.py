@@ -1212,7 +1212,8 @@ def embed_knn_ivf(spark, sf):
     em = _t(spark, sf, "embeddings")
     cents = similarity.train_ivf_centroids(em, dim=64, n_clusters=8)
     q = em.where(F.col("vec_id") < 20)
-    out = similarity.ivf_topk(q, em, cents, k=5, nprobe=8)
+    out = similarity.ivf_topk(q, em, cents, k=5, nprobe=8,
+                              assign_method="native")
     return out.select("query_id",
                       F.col("rank").cast("long").alias("rank"),
                       "neighbor_id",
@@ -2664,7 +2665,8 @@ def dedup_semantic(spark, sf):
     em = _t(spark, sf, "embeddings")
     cents = similarity.seed_centroids(em, 8)
     stats = similarity.semdedup_stats(
-        em, cents, threshold=0.35).persist(StorageLevel.MEMORY_AND_DISK)
+        em, cents, threshold=0.35,
+        assign_method="native").persist(StorageLevel.MEMORY_AND_DISK)
     tot = stats.agg((F.sum("n_members") - F.sum("n_dropped")).alias("c"))
     out = (stats.join(F.broadcast(tot))
            .select(F.col("cluster").cast("long").alias("cluster"),

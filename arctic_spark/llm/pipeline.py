@@ -543,52 +543,63 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, id_col="doc_id",
     engines' ``ln`` can differ in the last ulp; everything downstream of
     the rounding is exact IEEE arithmetic, so ranks are deterministic).
 
-    Scale shape: the corpus tokenizes ONCE — the (doc, token, tf, dl)
-    postings table is the single expensive projection and it feeds
-    three consumers (df counts, corpus stats, scoring), so it persists
-    (pinned on the result for ``arctic_spark.release``); one shuffle on
-    (doc, token) builds it, one shuffle on token counts df. Corpus
-    stats derive from the postings (per-doc dl + a count-only scan for
-    N, so empty docs still weight avgdl). The query table and the
-    per-query-token df/idf table are broadcast, so the postings join
-    never shuffles the corpus again. Top-k per query is a window over
-    the (small) scored candidate set. Returns (query_id, rank, doc_id,
+    Scale shape (r9): the postings shuffle carries ONLY occurrences of
+    QUERY tokens — the exploded token stream broadcast-semi-joins
+    against the (tiny) query vocabulary map-side BEFORE the
+    (doc, token) groupBy, so the full corpus token stream never
+    shuffles and never persists (the previous shape shuffled and
+    cached every occurrence: 100M rows at the 5M-doc stress size; only
+    the surviving postings do now — values bit-identical since df, tf,
+    dl, avgdl and N are unchanged for query tokens). Corpus N/avgdl
+    come from one scan-side aggregate over per-doc lengths (zero-token
+    docs contribute dl = 0, exactly matching the postings-side sum
+    where they had no rows). The query table and the per-query-token
+    df/idf table are broadcast, so the corpus shuffles at most its
+    query-matching postings. Top-k per query is a window over the
+    (small) scored candidate set. Returns (query_id, rank, doc_id,
     score).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
-    from ..functions.native import _let
     toks = word_tokens(text_col, lowercase=lowercase)
 
-    packed = _let(toks, lambda ws: F.struct(ws.alias("ws"),
-                                            F.size(ws).alias("dl")))
-    base = corpus.select(_c(id_col).alias("id"), packed.alias("s"))
-    tf = (base.select("id", F.col("s.dl").alias("dl"),
-                      F.explode("s.ws").alias("token"))
-          .groupBy("id", "token")
-          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-
-    # avgdl = sum of per-doc lengths / total doc count: docs with zero
-    # tokens have no postings but still count in N (sum is unaffected)
-    n_total = corpus.agg(F.count("*").cast("double").alias("n_docs"))
-    dl_sum = (tf.groupBy("id").agg(F.min("dl").alias("dl"))
-              .agg(F.sum("dl").alias("dl_sum")))
-    stats = (n_total.crossJoin(dl_sum)
-             .select("n_docs",
-                     (F.col("dl_sum") / F.col("n_docs")).alias("avgdl")))
+    # the token array MUST be materialized in its own projection below
+    # the Generate: if size(split(..)) rides the projection above the
+    # explode, persisting tf defeats column pruning and the split
+    # re-runs once per EXPLODED row (measured 90 s vs 13 s at 200k
+    # docs). Two references to a non-cheap expression block
+    # CollapseProject, so ws is computed once per input row.
+    tokd = corpus.select(_c(id_col).alias("id"), toks.alias("ws"))
+    base = tokd.select("id", F.size("ws").alias("dl"),
+                       F.explode("ws").alias("token"))
 
     qt = queries.select(
         _c(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(
             word_tokens(query_text_col, lowercase=lowercase)))
         .alias("token"))
+    qvocab = qt.select("token").distinct()
 
-    # df only for query tokens: full-corpus doc frequency, then semi-join
-    # down to the (tiny) query vocabulary before broadcasting
-    dfreq = (tf.groupBy("token").agg(F.count("*").alias("df"))
-             .join(F.broadcast(qt.select("token").distinct()), "token",
-                   "semi"))
+    tf = (base.join(F.broadcast(qvocab), "token", "semi")
+          .groupBy("id", "token")
+          .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    # eager materialization: tf feeds the dfreq broadcast AND the main
+    # scored path — a lazy persist lets the two concurrent consumers
+    # each recompute the full explode subtree before any cache block
+    # lands (r9 measured 320 s vs ~195 s at the 5M-doc stress)
+    tf.count()
+
+    # N and avgdl in ONE corpus aggregate — no postings dependency;
+    # a single-reference size(split) needs no freeze and the count-only
+    # column pruning keeps this pass cheap (~3 s at 5M docs)
+    stats = corpus.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum(F.size(toks)) / F.count("*")).alias("avgdl"))
+
+    # doc frequency per query token straight off the restricted
+    # postings (they already cover exactly the query vocabulary)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
 
     idf_col = F.round(F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),

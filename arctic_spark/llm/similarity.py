@@ -207,21 +207,28 @@ def seed_centroids(df: DataFrame, n_clusters: int, id_col="vec_id",
 
 
 def semdedup_pairs(df: DataFrame, centroids, threshold: float = 0.9,
-                   id_col="vec_id", vec_col="embedding") -> DataFrame:
+                   id_col="vec_id", vec_col="embedding",
+                   assign_method: str = "arrow") -> DataFrame:
     """Within-cluster cosine-duplicate pairs (cluster, id_a, id_b,
     cos_sim), id_a < id_b, cos_sim >= threshold.
 
     SemDeDup's trick is exactly the IVF inverted file: every vector is
-    assigned to its nearest centroid (native expressions, zero Python),
-    and candidate pairs exist ONLY within a cluster — the self-join's
-    equi-key is the cluster id, so the shuffle is O(n), never O(n²).
-    At 100 TB the per-cluster pair blowup is bounded by centroid count
-    (train enough centroids that clusters stay ~constant-sized) and
-    skewed clusters split by AQE.
+    assigned to its nearest centroid, and candidate pairs exist ONLY
+    within a cluster — the self-join's equi-key is the cluster id, so
+    the shuffle is O(n), never O(n²). At 100 TB the per-cluster pair
+    blowup is bounded by centroid count (train enough centroids that
+    clusters stay ~constant-sized) and skewed clusters split by AQE.
+
+    ``assign_method``: 'arrow' (default — ONE BLAS gemm per batch; the
+    native literal-expression argmin is interpreted per row and was
+    the measured bottleneck of the whole pipeline at 1M×64-d) or
+    'native' (pure-expression, the exact SQL-replay shape the oracle
+    gate uses).
     """
+    assign = ivf_assign_arrow if assign_method == "arrow" else ivf_assign
     assigned = df.select(
         _c(id_col).alias("id"), _c(vec_col).alias("__v"),
-        F.element_at(ivf_assign(vec_col, centroids, 1), 1)
+        F.element_at(assign(vec_col, centroids, 1), 1)
          .alias("cluster"))
     a = assigned.select("cluster", F.col("id").alias("id_a"),
                         F.col("__v").alias("__va"))
@@ -234,7 +241,8 @@ def semdedup_pairs(df: DataFrame, centroids, threshold: float = 0.9,
 
 
 def semdedup_stats(df: DataFrame, centroids, threshold: float = 0.9,
-                   id_col="vec_id", vec_col="embedding") -> DataFrame:
+                   id_col="vec_id", vec_col="embedding",
+                   assign_method: str = "arrow") -> DataFrame:
     """Per-cluster SemDeDup statistics (cluster, n_members, n_dropped)
     without materializing the pair set: one shuffle on the cluster id,
     then each cluster computes its cosine gram matrix with ONE BLAS
@@ -257,9 +265,10 @@ def semdedup_stats(df: DataFrame, centroids, threshold: float = 0.9,
     import numpy as np
     import pandas as pd
 
+    assign = ivf_assign_arrow if assign_method == "arrow" else ivf_assign
     assigned = df.select(
         _c(id_col).alias("id"), _c(vec_col).alias("__v"),
-        F.element_at(ivf_assign(vec_col, centroids, 1), 1)
+        F.element_at(assign(vec_col, centroids, 1), 1)
          .alias("cluster"))
 
     def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -287,12 +296,14 @@ def semdedup_stats(df: DataFrame, centroids, threshold: float = 0.9,
 
 
 def semdedup(df: DataFrame, centroids, threshold: float = 0.9,
-             id_col="vec_id", vec_col="embedding") -> DataFrame:
+             id_col="vec_id", vec_col="embedding",
+             assign_method: str = "arrow") -> DataFrame:
     """Semantic dedup: drop every vector that has a smaller-id duplicate
     (cos >= threshold) in its cluster; survivors keep all columns.
     Deterministic min-id survivor rule (the paper keeps a random member;
     min-id is the replayable equivalent)."""
-    pairs = semdedup_pairs(df, centroids, threshold, id_col, vec_col)
+    pairs = semdedup_pairs(df, centroids, threshold, id_col, vec_col,
+                           assign_method=assign_method)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, on=id_col, how="left_anti")
 
@@ -397,18 +408,24 @@ def ivf_assign_arrow(vec, centroids, nprobe: int = 1) -> Column:
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int = 5,
              nprobe: int = 2, query_id="vec_id", query_vec="embedding",
              corpus_id="vec_id", corpus_vec="embedding",
-             exclude_self=True) -> DataFrame:
+             exclude_self=True, assign_method: str = "arrow") -> DataFrame:
     """IVF search: corpus rows live in their nearest-centroid bucket
     (ONE bucket each — the inverted file); queries probe their `nprobe`
     nearest buckets. The bucket id is the single equi-join/shuffle key,
-    so at scale this is one hash join + per-bucket exact re-rank."""
+    so at scale this is one hash join + per-bucket exact re-rank.
+
+    ``assign_method='arrow'`` (default) runs the corpus-side coarse
+    assignment as one BLAS gemm per batch — the interpreted-HOF native
+    expression was the measured end-to-end bottleneck at 5M×64-d
+    (r9); 'native' keeps the pure-expression SQL-replay shape."""
+    assign = ivf_assign_arrow if assign_method == "arrow" else ivf_assign
     c = corpus.select(
         _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("__cv"),
-        F.element_at(ivf_assign(corpus_vec, centroids, 1), 1)
+        F.element_at(assign(corpus_vec, centroids, 1), 1)
          .alias("__bucket"))
     q = queries.select(
         _c(query_id).alias("query_id"), _c(query_vec).alias("__qv"),
-        F.explode(ivf_assign(query_vec, centroids, nprobe))
+        F.explode(assign(query_vec, centroids, nprobe))
          .alias("__bucket"))
     cand = q.join(c, on="__bucket")
     if exclude_self:

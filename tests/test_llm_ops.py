@@ -259,6 +259,25 @@ def test_semdedup(spark):
         assert s.n_members == memb[c]
         assert s.n_dropped == len(drop_by_c.get(c, set()))
 
+    # the arrow (gemm) coarse assignment is the default scale path;
+    # it must agree with the native SQL-replay expression end-to-end
+    native = (similarity.semdedup_stats(df, cents, threshold=0.999,
+                                        assign_method="native")
+              .orderBy("cluster").collect())
+    arrow = (similarity.semdedup_stats(df, cents, threshold=0.999,
+                                       assign_method="arrow")
+             .orderBy("cluster").collect())
+    assert native == arrow
+    ivf_nat = {(r.query_id, r.rank): r.neighbor_id for r in
+               similarity.ivf_topk(df.where("vec_id < 5"), df, cents, k=3,
+                                   nprobe=2, assign_method="native")
+               .collect()}
+    ivf_arr = {(r.query_id, r.rank): r.neighbor_id for r in
+               similarity.ivf_topk(df.where("vec_id < 5"), df, cents, k=3,
+                                   nprobe=2, assign_method="arrow")
+               .collect()}
+    assert ivf_nat == ivf_arr
+
 
 def test_gopher_repetition_metrics(spark):
     rows = spark.createDataFrame(
