@@ -3513,6 +3513,94 @@ def _bpe_train_oracle_sql(num_merges: int = 25) -> str:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shapes r9: outer-join histogram / max-over-aggregate /
+# correlated scalar aggregate / scalar-subquery + anti-join (§2.1)
+# ---------------------------------------------------------------------------
+
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause predicate
+    (the filter must not collapse the outer side), per-customer order
+    counts including zero, then the distribution histogram — a
+    two-level aggregation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    joined = c.join(o, (c.c_custkey == o.o_custkey) &
+                       (o.o_orderpriority != "1-URGENT"), "left")
+    counts = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count"))
+    return (counts.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: an aggregate (quarterly revenue per supplier)
+    equi-joined against its own MAX — the view + scalar-subquery
+    pattern. The revenue sums in exact DECIMAL then rounds, so the
+    equality join on the rounded double is deterministic."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) &
+        (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").cast("long").alias("supplier_no"))
+           .agg(F.round(_dsum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf, "supplier")
+    return (rev.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("max_revenue"))
+            .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+            .select("supplier_no", "s_name", "total_revenue")
+            .orderBy("supplier_no"))
+
+
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape: correlated scalar aggregate — lineitems below
+    20% of their part's average quantity. The threshold compare runs in
+    EXACT decimal cross-multiplied form (qty·5·n < Σqty), so no
+    division/round boundary exists for either engine to flip; the
+    correlation is a window over the part key (one shuffle, no
+    re-join). Quantities carry ≤2 decimals → DECIMAL(12,2) is exact
+    and the products stay inside both engines' precision caps."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    qd = F.col("l_quantity").cast("decimal(12,2)")
+    j = (j.withColumn("qs", F.sum(qd).over(w))
+          .withColumn("qc", F.count("*").over(w).cast("decimal(10,0)")))
+    flt = j.where(qd * 5 * F.col("qc") < F.col("qs"))
+    return flt.agg(
+        F.round(_dsum(F.col("l_extendedprice")) / 7.0, 2)
+         .alias("avg_yearly"),
+        F.count("*").alias("n_lines"))
+
+
+def q22_global_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape: scalar AVG subquery (customers above the mean
+    positive balance) + anti join (no orders) + aggregation per nation.
+    The above-average test cross-multiplies in exact decimal
+    (bal·n > Σbal) — no double division, no boundary. The anti side is
+    URGENT orders (plain "no orders" is empty at every driver SF —
+    a vacuous gate)."""
+    c = _t(spark, sf, "customer")
+    bd = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = (c.where(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(bd).alias("s_pos"),
+                F.count("*").cast("decimal(10,0)").alias("n_pos")))
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    rich = (c.join(F.broadcast(pos))
+            .where(bd * F.col("n_pos") > F.col("s_pos")))
+    noord = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (noord.groupBy(F.col("c_nationkey").cast("long")
+                          .alias("c_nationkey"))
+            .agg(F.count("*").alias("numcust"),
+                 F.round(_dsum(F.col("c_acctbal")), 2).alias("totacctbal"))
+            .orderBy("c_nationkey"))
+
+
+# ---------------------------------------------------------------------------
 # mergeable sketches (HLL / KMV / CMS) — arctic_spark/sketches.py
 # ---------------------------------------------------------------------------
 
@@ -3599,6 +3687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": sketch_hll_registers,
         "sketch_kmv_minima": sketch_kmv_minima,
         "sketch_cms_freq": sketch_cms_freq,
+        # Session-3 TPC-H shapes: outer-join histogram, max-over-agg,
+        # correlated scalar agg, scalar subquery + anti join.
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "text_readability": text_readability,
         "geo_conus_albers": geo_conus_albers,
         "geo_overlay_union": geo_overlay_union,
@@ -6261,6 +6355,65 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000.0)
             GROUP BY c_nationkey
+        """,
+        "q13_customer_distribution": """
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey) c_orders
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT CAST(l_suppkey AS BIGINT) AS supplier_no,
+                       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(30,8))) AS DOUBLE), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey)
+            SELECT supplier_no, s_name, total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY supplier_no
+        """,
+        "q17_small_quantity_revenue": """
+            WITH j AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23'),
+            s AS (
+                SELECT l_partkey,
+                       sum(CAST(l_quantity AS DECIMAL(12,2))) AS qs,
+                       CAST(count(*) AS DECIMAL(10,0)) AS qc
+                FROM j GROUP BY l_partkey)
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM j JOIN s USING (l_partkey)
+            WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * qc < qs
+        """,
+        "q22_global_sales_opportunity": """
+            WITH pos AS (
+                SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_pos,
+                       CAST(count(*) AS DECIMAL(10,0)) AS n_pos
+                FROM customer WHERE c_acctbal > 0.0)
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,8)))
+                              AS DOUBLE), 2) AS totacctbal
+            FROM customer CROSS JOIN pos
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > s_pos
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         # HLL registers: bucket = h & (m-1), rho = leading-zero rank of
         # the remaining 52 bits, computed via length(bin(w)) — exact
