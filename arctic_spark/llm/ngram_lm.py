@@ -125,8 +125,12 @@ def kn_model_modified(counts: dict) -> dict:
     :func:`kn_model`, so :func:`kn_score` / :func:`kn_perplexity`
     work unchanged. The driver gate stays on the single-discount
     model (simpler SQL replay); this variant is covered by the
-    reference-implementation parity tests."""
-    c2, c3 = counts[2], counts[3]
+    reference-implementation parity tests. Count tables persist as in
+    :func:`kn_model` (``_pinned`` key)."""
+    from pyspark import StorageLevel
+    c2 = counts[2].persist(StorageLevel.MEMORY_AND_DISK)
+    c3 = counts[3].persist(StorageLevel.MEMORY_AND_DISK)
+    c3.count()
 
     s2 = c2.select(F.split("gram", " ").alias("p"), "cnt") \
         .select(F.element_at("p", 1).alias("v"),
@@ -180,7 +184,7 @@ def kn_model_modified(counts: dict) -> dict:
                                F.lit(0.0)) / F.col("ch"))
                    .alias("p3_head")))
     return {"uni": uni, "bi": bi, "bi_bo": bi_bo.select("v", "bo2"),
-            "tri": tri, "tri_bo": tri_bo}
+            "tri": tri, "tri_bo": tri_bo, "_pinned": [c2, c3]}
 
 
 def kn_model(counts: dict, discount: float = 0.75) -> dict:
@@ -197,8 +201,21 @@ def kn_model(counts: dict, discount: float = 0.75) -> dict:
       p3_head + bo3 * P2 so unseen trigrams with seen history reuse
       the same bo3 row.
     - ``tri_bo``: (u, v, bo3, c_h) per seen history c(uv) > 0.
+
+    The bigram/trigram COUNT tables persist (``_pinned`` key): every
+    model component re-derives from them, so without the cache each of
+    the ~6 consumers re-runs the full corpus explode+shuffle — measured
+    2.3x end-to-end on the 2M-doc train+score stress (r9). Callers
+    free them with ``for d in model["_pinned"]: d.unpersist()`` once
+    scoring is done. ``n1_tot``'s count() doubles as the eager
+    materialization of c2 (single consumer before the branches); c3
+    materializes eagerly via a count() for the same lazy-persist-race
+    reason.
     """
-    c2, c3 = counts[2], counts[3]  # continuation unigram derives from c2
+    from pyspark import StorageLevel
+    c2 = counts[2].persist(StorageLevel.MEMORY_AND_DISK)
+    c3 = counts[3].persist(StorageLevel.MEMORY_AND_DISK)
+    c3.count()
     D = float(discount)
 
     s2 = c2.select(F.split("gram", " ").alias("p"), "cnt") \
@@ -244,7 +261,8 @@ def kn_model(counts: dict, discount: float = 0.75) -> dict:
                    (F.greatest(F.col("cnt") - F.lit(D), F.lit(0.0))
                     / F.col("ch")).alias("p3_head")))
     return {"uni": uni, "bi": bi, "bi_bo": bi_bo.select("v", "bo2"),
-            "tri": tri, "tri_bo": tri_bo.select("u", "v", "bo3")}
+            "tri": tri, "tri_bo": tri_bo.select("u", "v", "bo3"),
+            "_pinned": [c2, c3]}
 
 
 def kn_score(df: DataFrame, col: str, model: dict,
