@@ -137,6 +137,34 @@ def hll_estimate_components(registers: DataFrame, p: int) -> DataFrame:
     )
 
 
+def hll_estimate_by(registers: DataFrame, p: int, *by) -> DataFrame:
+    """Grouped HLL estimates from a register table carrying extra key
+    columns (e.g. the window column of a streaming aggregation, a
+    day/domain partition of stored per-shard registers): one row per
+    key group with the integer components plus the standard estimate
+    (``alpha_m·m²/Σ2^-M`` with linear-counting small-range correction)
+    as a double. Stays fully distributed — one aggregation over
+    register rows, never the raw data."""
+    m = 1 << p
+    k_scale = _H60_BITS - p + 1
+    comps = registers.groupBy(*by).agg(
+        (F.coalesce(F.sum(F.expr(
+            f"shiftleft(cast(1 as bigint), cast({k_scale} - rho as int))")),
+            F.lit(0).cast("long"))
+         + (F.lit(m).cast("long") - F.count("*"))
+         * F.lit(1 << k_scale).cast("long")).alias("sum_scaled"),
+        (F.lit(m).cast("long") - F.count("*")).alias("n_zero"),
+    )
+    alpha = _hll_alpha(m)
+    raw = (F.lit(alpha * m * m * float(1 << k_scale))
+           / F.col("sum_scaled").cast("double"))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m))
+                                     / F.col("n_zero").cast("double"))
+    est = F.when((raw <= 2.5 * m) & (F.col("n_zero") > 0), linear) \
+           .otherwise(raw)
+    return comps.withColumn("n_distinct_est", est)
+
+
 def hll_estimate(registers: DataFrame, p: int) -> float:
     """Driver-side estimate from the register table (collects ≤ m rows).
 

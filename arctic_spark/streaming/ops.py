@@ -417,3 +417,43 @@ def streaming_trajectories(points: DataFrame, gap="30 minutes",
                                     stateStructType=_TRAJ_STATE,
                                     outputMode="append",
                                     timeoutConf="ProcessingTimeTimeout"))
+
+
+def windowed_hll_registers(events: DataFrame, window="1 minute",
+                           watermark="2 minutes", ts_col="ts",
+                           key_col="user_id", p: int = 10) -> DataFrame:
+    """Streaming distinct-count sketch: per-window HyperLogLog register
+    table (window_start, window_end, bucket, rho).
+
+    The register update IS a streaming max-aggregation, so the state
+    store holds at most ``2**p`` rows per open window regardless of
+    stream volume — the property that makes exact-distinct impossible
+    but HLL natural under unbounded input. Downstream,
+    :func:`arctic_spark.sketches.hll_estimate_by` turns register rows
+    into per-window estimates (batch or foreachBatch), and windows
+    sketched on different streams/days MERGE exactly by another
+    ``max`` over (window, bucket).
+
+    Works identically on a batch DataFrame (unified semantics) — the
+    tests assert batch ≡ stream and that the per-window registers
+    equal :func:`arctic_spark.sketches.hll_sketch` run on the window's
+    slice."""
+    from .. import sketches as sk
+
+    m = 1 << p
+    rem_bits = 60 - p
+    h = sk.h60(key_col)
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(w)))
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.where(F.col(key_col).isNotNull())
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     bucket.alias("bucket"))
+            .agg(F.max(rho.cast("long")).alias("rho"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "bucket", "rho"))

@@ -389,3 +389,62 @@ def test_gap_parser_units_and_errors():
     for bad in ("30 minutesX", "soon", "5 fortnights", ""):
         with pytest.raises(ValueError, match="unparseable interval"):
             _gap_ms(bad)
+
+
+def test_windowed_hll_registers_batch(spark, events):
+    """Batch semantics: per-window registers equal hll_sketch run on
+    the window's slice, and the estimate is exact at tiny cardinality
+    (linear-counting regime)."""
+    from arctic_spark import sketches as sk
+    from arctic_spark.streaming import windowed_hll_registers
+
+    regs = windowed_hll_registers(events, window="1 hour", p=8,
+                                  key_col="user_id")
+    rows = regs.collect()
+    assert all(0 <= r.bucket < 256 and 1 <= r.rho <= 53 for r in rows)
+    # the single 1-hour window covers all events; its registers must
+    # equal a plain hll_sketch over the distinct user ids
+    win0 = [(r.bucket, r.rho) for r in
+            sorted(rows, key=lambda r: r.bucket)]
+    direct = [(r.bucket, r.rho) for r in
+              sk.hll_sketch(events.select(F.col("user_id").alias("v")),
+                            "v", p=8).orderBy("bucket").collect()]
+    assert win0 == direct
+    est = sk.hll_estimate_by(regs, 8, "window_start").collect()
+    # 2 distinct users → linear counting is exact to well under 0.5
+    assert len(est) == 1
+    assert abs(est[0].n_distinct_est - 2) < 0.1
+
+
+def test_windowed_hll_registers_stream(spark):
+    """Streaming: rate source → per-window HLL registers → memory
+    sink; state is bounded by 2^p rows per window by construction."""
+    from arctic_spark.streaming import windowed_hll_registers
+
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", "200").load()
+           .withColumn("user_id", F.col("value") % 97)
+           .withColumnRenamed("timestamp", "ts"))
+    out = windowed_hll_registers(src, window="2 seconds",
+                                 watermark="2 seconds", p=6,
+                                 key_col="user_id")
+    q = (out.writeStream.format("memory").queryName("hll_regs")
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM hll_regs").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(1)
+        assert len(rows) >= 5
+        assert all(0 <= r.bucket < 64 and 1 <= r.rho <= 55 for r in rows)
+        # per-window bucket uniqueness (it IS a register table)
+        seen = set()
+        for r in rows:
+            key = (r.window_start, r.bucket)
+            assert key not in seen
+            seen.add(key)
+    finally:
+        q.stop()
