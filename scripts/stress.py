@@ -651,6 +651,40 @@ def main():
         print(f"fgb -> geoparquet convert {n_f:,} points (distributed "
               f"sink): {dt:.1f}s, {n:,} rows", flush=True)
 
+    # r9 session 3: mergeable sketches at full stress size — the whole
+    # point is that only register/hash/counter rows ever shuffle
+    from arctic_spark import sketches as sk
+    n_keys = n_points * 20  # 100M key observations, ~n_points distinct
+    keyed = spark.range(n_keys).repartition(par).select(
+        F.pmod(F.col("id") * 2654435761, F.lit(n_points))
+        .cast("string").alias("v"))
+    t0 = time.perf_counter()
+    regs = sk.hll_sketch(keyed, "v", p=12)
+    est = sk.hll_estimate(regs, p=12)
+    dt = time.perf_counter() - t0
+    err = abs(est - n_points) / n_points
+    print(f"hll p=12 over {n_keys:,} observations: {dt:.1f}s, "
+          f"est {est:,.0f} (err {err:.1%}), "
+          f"{n_keys / dt / 1e6:.1f}M rows/s", flush=True)
+    t0 = time.perf_counter()
+    kest = sk.kmv_estimate(sk.kmv_sketch(keyed, "v", k=1024), k=1024)
+    dt = time.perf_counter() - t0
+    kerr = abs(kest - n_points) / n_points
+    print(f"kmv k=1024 over {n_keys:,} observations: {dt:.1f}s, "
+          f"est {kest:,.0f} (err {kerr:.1%}), "
+          f"{n_keys / dt / 1e6:.1f}M rows/s", flush=True)
+    t0 = time.perf_counter()
+    cms = sk.cms_sketch(keyed, "v", depth=4, width=65536)
+    probes = keyed.groupBy("v").agg(F.count("*").alias("cnt")) \
+        .orderBy(F.desc("cnt"), "v").limit(100)
+    got = sk.cms_query(cms, probes, "v", depth=4, width=65536) \
+        .agg(F.max(F.col("cms_est") - F.col("cnt")).alias("worst")) \
+        .collect()[0]["worst"]
+    dt = time.perf_counter() - t0
+    print(f"cms 4x65536 over {n_keys:,} observations + 100 probes: "
+          f"{dt:.1f}s, worst overcount {got}, "
+          f"{n_keys / dt / 1e6:.1f}M rows/s", flush=True)
+
     spark.stop()
 
 
