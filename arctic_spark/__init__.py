@@ -54,6 +54,19 @@ def __getattr__(name):
     if name == "register_sql_functions":
         from .sql import register_sql_functions
         return register_sql_functions
+    if name == "sketches":
+        # NOT `from . import sketches`: _handle_fromlist asks the
+        # package for the attribute first, which re-enters this
+        # __getattr__ and recurses forever
+        import importlib
+        return importlib.import_module(".sketches", __name__)
+    if name in ("hll_sketch", "hll_merge", "hll_estimate",
+                "hll_estimate_by", "kmv_sketch", "kmv_merge",
+                "kmv_estimate", "kmv_jaccard", "cms_sketch",
+                "cms_merge", "cms_query"):
+        import importlib
+        return getattr(importlib.import_module(".sketches", __name__),
+                       name)
     if name in ("write_bucketed", "write_geoparquet", "read_geoparquet",
                 "from_wkt_df", "read_geojson", "write_geojson",
                 "read_shapefile", "read_geopackage",
@@ -77,4 +90,7 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "read_geoparquet", "from_wkt_df", "read_geojson",
            "write_geojson", "read_shapefile", "read_geopackage",
            "write_geopackage", "read_flatgeobuf", "write_flatgeobuf",
+           "sketches", "hll_sketch", "hll_merge", "hll_estimate",
+           "hll_estimate_by", "kmv_sketch", "kmv_merge", "kmv_estimate",
+           "kmv_jaccard", "cms_sketch", "cms_merge", "cms_query",
            "read_file", "read_kml", "write_kml", "read_gpx", "read_gml"]
