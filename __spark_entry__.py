@@ -3601,6 +3601,43 @@ def q22_global_sales_opportunity(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# graph analytics: triangle counting / common neighbors (llm/graph.py)
+# ---------------------------------------------------------------------------
+
+def graph_triangles(spark, sf):
+    """Per-vertex triangle counts over a deterministic event graph
+    (u = user_id mod 97, v = event_id mod 97). The classic two-join
+    formulation: wedges self-join the canonical u<v edge list on the
+    LOW endpoint (the skew mitigation — hubs only pair with higher-id
+    neighbors), a second equi-join closes them. Integer-only, fully
+    replayable."""
+    from arctic_spark.llm.graph import triangle_count
+    e = _t(spark, sf, "events").select(
+        F.pmod("user_id", F.lit(97)).alias("src"),
+        F.pmod("event_id", F.lit(97)).alias("dst"))
+    return (triangle_count(e)
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("n_triangles").cast("long").alias("n_triangles"))
+            .orderBy("id"))
+
+
+def graph_common_neighbors(spark, sf):
+    """Common-neighbors link-prediction scores over the same event
+    graph, thresholded at >= 40 shared neighbors (keeps the gate
+    row-bounded at any SF). One adjacency self-join on the shared
+    middle vertex."""
+    from arctic_spark.llm.graph import common_neighbors
+    e = _t(spark, sf, "events").select(
+        F.pmod("user_id", F.lit(97)).alias("src"),
+        F.pmod("event_id", F.lit(97)).alias("dst"))
+    return (common_neighbors(e, min_common=40)
+            .select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"),
+                    F.col("n_common").cast("long").alias("n_common"))
+            .orderBy("u", "v"))
+
+
+# ---------------------------------------------------------------------------
 # mergeable sketches (HLL / KMV / CMS) — arctic_spark/sketches.py
 # ---------------------------------------------------------------------------
 
@@ -3693,6 +3730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        # Session-3 graph analytics (llm/graph.py).
+        "graph_triangles": graph_triangles,
+        "graph_common_neighbors": graph_common_neighbors,
         "text_readability": text_readability,
         "geo_conus_albers": geo_conus_albers,
         "geo_overlay_union": geo_overlay_union,
@@ -6414,6 +6454,48 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # triangle counting: canonical u<v edges, wedge self-join on the
+        # low endpoint, closing-edge join, 3-corner fan-out
+        "graph_triangles": """
+            WITH raw AS (
+                SELECT (user_id % 97) AS a, (event_id % 97) AS b
+                FROM events),
+            e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b),
+            wedges AS (
+                SELECT w1.u AS a, w1.v AS b, w2.v AS c
+                FROM e w1 JOIN e w2 ON w1.u = w2.u AND w1.v < w2.v),
+            tri AS (
+                SELECT wedges.a, wedges.b, wedges.c
+                FROM wedges JOIN e ON wedges.b = e.u AND wedges.c = e.v),
+            corners AS (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+            SELECT CAST(id AS BIGINT) AS id,
+                   count(*) AS n_triangles
+            FROM corners GROUP BY id ORDER BY id
+        """,
+        "graph_common_neighbors": """
+            WITH raw AS (
+                SELECT (user_id % 97) AS a, (event_id % 97) AS b
+                FROM events),
+            e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b),
+            adj AS (
+                SELECT u AS n, v AS x FROM e
+                UNION ALL SELECT v, u FROM e),
+            pairs AS (
+                SELECT a.x AS u, b.x AS v
+                FROM adj a JOIN adj b ON a.n = b.n AND a.x < b.x)
+            SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+                   count(*) AS n_common
+            FROM pairs GROUP BY u, v
+            HAVING count(*) >= 40
+            ORDER BY u, v
         """,
         # HLL registers: bucket = h & (m-1), rho = leading-zero rank of
         # the remaining 52 bits, computed via length(bin(w)) — exact

@@ -37,7 +37,9 @@ def _tokens(text_col) -> Column:
     """Whitespace tokens, empties dropped (the portable tokenizer both
     engines and the python trainer reproduce exactly)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    # non-whitespace runs == split-on-\s+ with empties dropped; the
+    # regexp form is codegen, the filter() HOF is interpreted (r9)
+    return F.regexp_extract_all(c, F.lit(r"\S+"), 0)
 
 
 def token_bucket(tok, dims: int) -> Column:

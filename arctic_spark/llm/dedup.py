@@ -297,8 +297,9 @@ def _ws_tokens(text) -> Column:
     """Whitespace tokens preserving case/punctuation (reassembly joins
     with single spaces, so formatting inside runs of whitespace is
     normalized — the token stream itself is lossless)."""
-    return F.filter(F.split(F.trim(_c(text)), r"\s+"),
-                    lambda w: F.length(w) > 0)
+    # \S+ runs == split-on-whitespace with empties dropped (trim
+    # included); regexp_extract_all stays in codegen (r9)
+    return F.regexp_extract_all(_c(text), F.lit(r"\S+"), 0)
 
 
 def duplicate_windows(df: DataFrame, id_col="doc_id", text_col="text",

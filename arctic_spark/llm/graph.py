@@ -257,3 +257,68 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return pin(ranks.select(
         "id", "rank_fp",
         (F.col("rank_fp") / F.lit(float(scale))).alias("rank")), ranks)
+
+
+def canonical_edges(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Undirected edge list in canonical form: (u, v) with u < v,
+    self-loops dropped, duplicates collapsed. The required input shape
+    for :func:`triangle_count` / :func:`common_neighbors`."""
+    e = edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b")) \
+        .where(F.col("a") != F.col("b"))
+    return (e.select(F.least("a", "b").alias("u"),
+                     F.greatest("a", "b").alias("v"))
+            .distinct())
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts: (id, n_triangles).
+
+    The classic two-join formulation over the canonical (u < v) edge
+    list: wedges (u, v, w) with u < v < w come from one self-join of
+    the edge table on its lower endpoint, and each wedge closes into a
+    triangle iff (v, w) is itself an edge — a second equi-join. Every
+    triangle is generated exactly once (its vertices appear in sorted
+    order), then fans out to its three corners for the per-vertex
+    aggregate.
+
+    Scale: two equi-joins + one groupBy, all keyed on vertex ids —
+    never an all-pairs product; the wedge table is Σ_u deg(u)² on the
+    LOW endpoint only, the standard mitigation for skewed hubs (a
+    high-degree vertex only forms wedges with its higher-id
+    neighbors). Fully SQL-replayable (deterministic, no floats).
+    """
+    e = canonical_edges(edges, src, dst)
+    w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = (w1.join(w2, "a").where(F.col("b") < F.col("c")))
+    tri = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"])
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+    return (corners.groupBy("id")
+            .agg(F.count("*").alias("n_triangles")))
+
+
+def common_neighbors(edges: DataFrame, src: str = "src",
+                     dst: str = "dst", min_common: int = 1) -> DataFrame:
+    """Link-prediction candidates: unordered vertex pairs (u, v) with
+    their number of shared neighbors (the common-neighbors score; its
+    normalized form is Adamic-Adar / Jaccard). One self-join of the
+    adjacency list on the shared neighbor — the wedge join again, so
+    the same skew bound applies. Pairs already connected by an edge
+    are NOT excluded (callers anti-join against the edge list when
+    predicting new links)."""
+    e = canonical_edges(edges, src, dst)
+    # full adjacency (both directions) keyed on the shared middle
+    adj = (e.select(F.col("u").alias("n"), F.col("v").alias("x"))
+           .unionByName(
+               e.select(F.col("v").alias("n"), F.col("u").alias("x"))))
+    a = adj.select("n", F.col("x").alias("u"))
+    b = adj.select("n", F.col("x").alias("v"))
+    pairs = a.join(b, "n").where(F.col("u") < F.col("v"))
+    return (pairs.groupBy("u", "v")
+            .agg(F.count("*").alias("n_common"))
+            .where(F.col("n_common") >= int(min_common)))

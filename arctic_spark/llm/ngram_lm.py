@@ -52,8 +52,9 @@ def _c(col):
 def token_arrays(df: DataFrame, col: str, order: int = 3) -> DataFrame:
     """(doc_id-preserving) padded token arrays: (order-1) BOS markers,
     the lowercased alphabetic words, one EOS."""
-    words = F.filter(F.split(F.lower(_c(col)), "[^a-z]+"),
-                     lambda w: w != F.lit(""))
+    # [a-z]+ runs == split on [^a-z]+ with empties dropped; the
+    # regexp form stays in codegen (the filter() HOF is interpreted)
+    words = F.regexp_extract_all(F.lower(_c(col)), F.lit("[a-z]+"), 0)
     pad = F.array(*[F.lit(BOS)] * (order - 1))
     toks = F.concat(pad, words, F.array(F.lit(EOS)))
     return df.withColumn("__toks", toks)

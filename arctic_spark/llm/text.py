@@ -23,12 +23,21 @@ def token_count(text) -> Column:
 
 
 def word_tokens(text, lowercase=True) -> Column:
-    """array<string> of word tokens (BPE-ish pre-tokenization: split on
-    non-alphanumerics, drop empties)."""
+    """array<string> of word tokens (BPE-ish pre-tokenization: the
+    alphanumeric runs of the string — identical to splitting on
+    non-alphanumerics and dropping empties, since [a-zA-Z0-9]+ and
+    [^a-zA-Z0-9]+ are exact complements).
+
+    Implemented as ONE codegen regexp_extract_all: the previous
+    filter(split(..)) dropped out of whole-stage codegen (array HOFs
+    are interpreted) and cost 26x more per corpus pass (36.5 s vs
+    1.4 s at 2M docs, r9) — this expression is on the hot path of
+    every text operator (BM25, TF-IDF, vocab, n-grams, chunking,
+    decontamination)."""
     t = _c(text)
     if lowercase:
         t = F.lower(t)
-    return F.filter(F.split(t, r"[^a-zA-Z0-9]+"), lambda w: F.length(w) > 0)
+    return F.regexp_extract_all(t, F.lit("[a-zA-Z0-9]+"), 0)
 
 
 def char_count(text, ch: str) -> Column:

@@ -169,8 +169,7 @@ def apply_bpe(df: DataFrame, text_col: str, merges,
     chain several calls (each is one projection)."""
     clean = F.translate(F.col(text_col), _S + _E, "")
     line = F.array_join(
-        F.filter(F.split(clean, r"\s+"),
-                 lambda w: w != F.lit("")), "\n")
+        F.regexp_extract_all(clean, F.lit(r"\S+"), 0), "\n")
     # wrap every char (newlines stay bare: '.' doesn't match \n), then
     # turn each word boundary into an end-of-word symbol
     enc = F.concat(

@@ -113,3 +113,50 @@ def test_pagerank_scale_bound_raises(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="2\\*\\*53"):
         pagerank(e, scale=2 ** 53)
+
+
+def _brute_triangles(edge_set):
+    """Per-vertex triangle counts by brute enumeration."""
+    import itertools
+    verts = sorted({x for e in edge_set for x in e})
+    has = lambda a, b: (min(a, b), max(a, b)) in edge_set
+    out = {}
+    for a, b, c in itertools.combinations(verts, 3):
+        if has(a, b) and has(b, c) and has(a, c):
+            for v in (a, b, c):
+                out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_triangle_count_matches_brute(spark):
+    import random
+    from arctic_spark.llm.graph import triangle_count
+    rng = random.Random(42)
+    edges = {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(30), rng.randrange(30))
+                          for _ in range(120)) if a != b}
+    # feed them unsorted, duplicated, and with self-loops to prove
+    # canonicalization
+    rows = [(b, a) for a, b in edges] + list(edges)[:10] + [(5, 5)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.id: r.n_triangles
+           for r in triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_common_neighbors_matches_brute(spark):
+    from arctic_spark.llm.graph import common_neighbors
+    # square 1-2-3-4-1 plus diagonal 1-3
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long")
+    got = {(r.u, r.v): r.n_common
+           for r in common_neighbors(df).collect()}
+    # neighbors: 1:{2,3,4} 2:{1,3} 3:{1,2,4} 4:{1,3}
+    assert got[(2, 4)] == 2          # share 1 and 3
+    assert got[(1, 3)] == 2          # share 2 and 4
+    assert got[(2, 3)] == 1          # share 1
+    assert got[(1, 2)] == 1          # share 3
+    assert (5, 6) not in got
+    strict = {(r.u, r.v) for r in
+              common_neighbors(df, min_common=2).collect()}
+    assert strict == {(2, 4), (1, 3)}
