@@ -281,8 +281,15 @@ def kn_score(df: DataFrame, col: str, model: dict,
         with P2 analogously from (bi, bi_bo, uni).
 
     ``max_positions`` truncates each document (for bounded oracles).
-    Joins are plain equi-joins on string keys; at scale the model
-    side shuffles, small models broadcast automatically via AQE."""
+
+    Scale shape (r9): the big position stream is NOT pushed through
+    all five model joins. The DISTINCT trigram types observed in the
+    scoring corpus (types ≪ tokens — Zipf) go through the five
+    component joins once, producing a (u, v, w) → p lookup table; the
+    position stream then makes exactly TWO shuffles — one equi-join on
+    the trigram key against that table, one groupBy(id) — instead of
+    five. Per-position values are identical (each position still
+    carries its gram's interpolated p)."""
     t = token_arrays(df, col, order)
     grams = _grams(F.col("__toks"), order)
     if max_positions is not None:
@@ -294,7 +301,8 @@ def kn_score(df: DataFrame, col: str, model: dict,
                    F.element_at("p", 1).alias("u"),
                    F.element_at("p", 2).alias("v"),
                    F.element_at("p", 3).alias("w")))
-    j = (pos.join(model["tri"], ["u", "v", "w"], "left")
+    types = pos.select("u", "v", "w").distinct()
+    j = (types.join(model["tri"], ["u", "v", "w"], "left")
          .join(model["tri_bo"], ["u", "v"], "left")
          .join(model["bi"], ["v", "w"], "left")
          .join(model["bi_bo"], ["v"], "left")
@@ -307,10 +315,12 @@ def kn_score(df: DataFrame, col: str, model: dict,
                F.coalesce(F.col("p3_head"), F.lit(0.0))
                + F.col("bo3") * p2) \
         .otherwise(p2)
-    return (j.groupBy("id")
+    ptable = j.select("u", "v", "w", p.alias("__p"))
+    scored = pos.join(ptable, ["u", "v", "w"])
+    return (scored.groupBy("id")
             .agg(F.count("*").alias("n_pos"),
-                 F.sum(p).alias("sum_p"),
-                 F.sum(F.log2(F.greatest(p, F.lit(1e-12))))
+                 F.sum("__p").alias("sum_p"),
+                 F.sum(F.log2(F.greatest(F.col("__p"), F.lit(1e-12))))
                  .alias("sum_log2_p")))
 
 
