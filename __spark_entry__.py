@@ -3672,6 +3672,25 @@ def sketch_kmv_minima(spark, sf):
             .orderBy("rank"))
 
 
+def sketch_sample_rows(spark, sf):
+    """Deterministic mergeable uniform sample (bottom-64 orders by the
+    md5 hash of o_orderkey) with the sampled totalprice in exact-cent
+    BIGINTs: the quantile/mean estimators are pure functions of these
+    rows, so hashing them hash-checks the whole sampler. Physically a
+    TakeOrderedAndProject — k rows move, never the table."""
+    from arctic_spark import sketches as sk
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.round(F.col("o_totalprice").cast("decimal(30,8)") * 100, 0)
+         .cast("long").alias("price_cents"))
+    samp = sk.sample_sketch(o, "k", k=64, cols=["price_cents"])
+    w = Window.orderBy("__h")
+    return (samp.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", F.col("__h").cast("long").alias("h"),
+                    "price_cents")
+            .orderBy("rank"))
+
+
 def sketch_cms_freq(spark, sf):
     """Count-Min sketch (Cormode & Muthukrishnan 2005) over
     lineitem.l_suppkey, depth=4 × width=512, probed at the 20 most
@@ -3717,6 +3736,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # local 138/138 sweep, which uses the driver's exact comparator.
 _WINDOW = [
     "sketch_hll_registers", "sketch_kmv_minima", "sketch_cms_freq",
+    "sketch_sample_rows",
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_global_sales_opportunity",
     "graph_triangles", "graph_common_neighbors",
@@ -3735,7 +3755,6 @@ _WINDOW = [
     "embed_knn_ivf", "embed_knn_lsh", "embed_dim_stats",
     "mm_jpeg_phash", "mm_wav_stats", "io_gpkg_roundtrip",
     "geo_ring_accessors", "geo_line_refs", "geo_segment_ops",
-    "geo_shape_metrics",
 ]
 
 
@@ -3749,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": sketch_hll_registers,
         "sketch_kmv_minima": sketch_kmv_minima,
         "sketch_cms_freq": sketch_cms_freq,
+        "sketch_sample_rows": sketch_sample_rows,
         # Session-3 TPC-H shapes: outer-join histogram, max-over-agg,
         # correlated scalar agg, scalar subquery + anti join.
         "q13_customer_distribution": q13_customer_distribution,
@@ -6550,6 +6570,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS "rank",
                    CAST(h AS BIGINT) AS h
             FROM k ORDER BY "rank"
+        """,
+        "sketch_sample_rows": """
+            WITH s AS (
+                SELECT CAST(concat('0x', substr(md5(
+                           CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                           AS h,
+                       CAST(round(CAST(o_totalprice AS DECIMAL(30,8)) * 100,
+                                  0) AS BIGINT) AS price_cents
+                FROM orders
+                ORDER BY h LIMIT 64)
+            SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS "rank",
+                   CAST(h AS BIGINT) AS h, price_cents
+            FROM s ORDER BY "rank"
         """,
         # CMS: depth 4 salted md5 rows, width 512; probe = min over the
         # four counters for the 20 most frequent suppkeys

@@ -41,6 +41,8 @@ __all__ = [
     "h60",
     "hll_sketch", "hll_merge", "hll_estimate", "hll_estimate_components",
     "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_jaccard",
+    "kmv_union_estimate", "kmv_intersect_estimate",
+    "sample_sketch", "sample_merge", "sample_quantiles",
     "cms_sketch", "cms_merge", "cms_query",
 ]
 
@@ -275,3 +277,59 @@ def cms_query(sketch: DataFrame, probes: DataFrame, col,
                   .agg(F.min(F.coalesce(F.col("__cms_cnt"),
                                         F.lit(0).cast("long")))
                         .alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable uniform sample (bottom-k by hash) + quantiles
+# ---------------------------------------------------------------------------
+
+def sample_sketch(df: DataFrame, key, k: int = 1024, cols=None) -> DataFrame:
+    """Bottom-k rows by the 60-bit md5 hash of ``key``: a DETERMINISTIC
+    uniform sample of the distinct-key rows that merges exactly
+    (bottom-k of a union = bottom-k over the merged sketches), unlike
+    reservoir sampling whose result depends on encounter order.
+
+    Output: ``__h`` (the hash, ascending) plus ``cols`` (default: all
+    input columns). Same physical shape as :func:`kmv_sketch` —
+    TakeOrderedAndProject, only k rows reach the driver side of the
+    sort. Because the hash is the portable md5 primitive, the sample
+    is bit-reproducible in SQL, so estimates computed from it
+    (quantiles, means) gate exactly.
+    """
+    keep = list(df.columns) if cols is None else list(cols)
+    return (df.select(h60(key).alias("__h"), *keep)
+            .orderBy("__h").limit(k))
+
+
+def sample_merge(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
+    """Exact merge: bottom-k of the union (dedup by hash — the same
+    key row may appear in both shards)."""
+    return (a.unionByName(b).dropDuplicates(["__h"])
+            .orderBy("__h").limit(k))
+
+
+def sample_quantiles(sketch: DataFrame, col, qs=(0.25, 0.5, 0.75)):
+    """Empirical quantiles of the sampled rows (driver-side over ≤ k
+    rows): the value at rank ``ceil(q·n)`` (1-based) of the sorted
+    sample — the classic type-1 estimator, integer rank arithmetic so
+    both engines agree exactly on the same sample."""
+    import math
+    vals = sorted(r[0] for r in sketch.select(col).collect()
+                  if r[0] is not None)
+    n = len(vals)
+    if n == 0:
+        return [None for _ in qs]
+    return [vals[min(max(math.ceil(q * n), 1), n) - 1] for q in qs]
+
+
+def kmv_union_estimate(a: DataFrame, b: DataFrame, k: int = 256) -> float:
+    """|A ∪ B| estimate: the KMV estimator on the exact merge."""
+    return kmv_estimate(kmv_merge(a, b, k), k)
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame,
+                           k: int = 256) -> float:
+    """|A ∩ B| estimate: Jaccard(a, b) · |A ∪ B| (Beyer et al. 2007) —
+    the standard theta-sketch-style set operation from two mergeable
+    distinct sketches, no re-scan of either input."""
+    return kmv_jaccard(a, b, k) * kmv_union_estimate(a, b, k)

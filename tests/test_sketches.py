@@ -124,3 +124,40 @@ def test_cms_weighted(spark):
     assert got["a"] >= 15 and got["b"] >= 7
     # width 64 over 2 keys: collisions possible but min-over-3 should be tight
     assert got["a"] <= 22 and got["b"] <= 22
+
+
+def test_sample_sketch_deterministic_and_merge(spark, values):
+    sk_all = sk.sample_sketch(values.dropDuplicates(["v"]), "v", k=128)
+    rows = sk_all.collect()
+    assert len(rows) == 128
+    # deterministic: same input -> same sample
+    again = sk.sample_sketch(values.dropDuplicates(["v"]), "v", k=128)
+    assert rows == again.collect()
+    # exact mergeability over a disjoint split
+    a = values.dropDuplicates(["v"]).where(F.col("v") < "key-3")
+    b = values.dropDuplicates(["v"]).where(F.col("v") >= "key-3")
+    merged = sk.sample_merge(sk.sample_sketch(a, "v", k=128),
+                             sk.sample_sketch(b, "v", k=128), k=128)
+    assert merged.orderBy("__h").collect() == rows
+
+
+def test_sample_quantiles(spark):
+    df = spark.createDataFrame([(f"k{i}", float(i)) for i in range(2000)],
+                               ["k", "x"])
+    s = sk.sample_sketch(df, "k", k=512)
+    q25, q50, q75 = sk.sample_quantiles(s, "x", (0.25, 0.5, 0.75))
+    # uniform sample of a uniform 0..1999 grid: quantiles within ~10%
+    assert abs(q50 - 1000) < 200
+    assert abs(q25 - 500) < 200 and abs(q75 - 1500) < 200
+    assert sk.sample_quantiles(s.where("x < -1"), "x") == [None] * 3
+
+
+def test_kmv_set_operations(spark):
+    a = spark.createDataFrame([(f"k{i}",) for i in range(1000)], ["v"])
+    b = spark.createDataFrame([(f"k{i}",) for i in range(500, 1500)], ["v"])
+    ska = sk.kmv_sketch(a, "v", k=256)
+    skb = sk.kmv_sketch(b, "v", k=256)
+    u = sk.kmv_union_estimate(ska, skb, k=256)
+    i = sk.kmv_intersect_estimate(ska, skb, k=256)
+    assert abs(u - 1500) / 1500 < 0.2
+    assert abs(i - 500) / 500 < 0.45   # intersect compounds two errors
