@@ -301,6 +301,13 @@ def kn_score(df: DataFrame, col: str, model: dict,
                    F.element_at("p", 1).alias("u"),
                    F.element_at("p", 2).alias("v"),
                    F.element_at("p", 3).alias("w")))
+    # pos feeds BOTH the types distinct and the probability join — the
+    # persist (eagerly materialized against the lazy-cache race) makes
+    # the corpus tokenize+explode run once, not twice; pinned on the
+    # result for arctic_spark.release
+    from pyspark import StorageLevel
+    pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+    pos.count()
     types = pos.select("u", "v", "w").distinct()
     j = (types.join(model["tri"], ["u", "v", "w"], "left")
          .join(model["tri_bo"], ["u", "v"], "left")
@@ -317,11 +324,13 @@ def kn_score(df: DataFrame, col: str, model: dict,
         .otherwise(p2)
     ptable = j.select("u", "v", "w", p.alias("__p"))
     scored = pos.join(ptable, ["u", "v", "w"])
-    return (scored.groupBy("id")
-            .agg(F.count("*").alias("n_pos"),
-                 F.sum("__p").alias("sum_p"),
-                 F.sum(F.log2(F.greatest(F.col("__p"), F.lit(1e-12))))
-                 .alias("sum_log2_p")))
+    out = (scored.groupBy("id")
+           .agg(F.count("*").alias("n_pos"),
+                F.sum("__p").alias("sum_p"),
+                F.sum(F.log2(F.greatest(F.col("__p"), F.lit(1e-12))))
+                .alias("sum_log2_p")))
+    from ..cache import pin
+    return pin(out, pos, *model.get("_pinned", []))
 
 
 def kn_perplexity(df: DataFrame, col: str, model: dict,

@@ -665,17 +665,27 @@ for _z in range(28, 39):
         "fe": 500000.0, "fn": 0.0, "datum": _H_ED50})
 
 
+# WGS84-coincident geographic CRS (≤ ~1-2 m, no published single
+# Helmert): NAD83 4269 / NAD83(2011) 6318 / ETRS89 4258 / NAD83(CSRS)
+# 4617 / GDA94 4283 / GDA2020 7844 / Hartebeesthoek94 4148 / ITRF
+# geographic 2D 8988-9000 (ITRF88..ITRF2014) + 9989 (ITRF2020)
+_LONLAT_HUB_CODES = frozenset(
+    ["EPSG:4269", "EPSG:4258", "EPSG:4617", "EPSG:4283",
+     "EPSG:4148", "EPSG:6318", "EPSG:7844", "EPSG:9989"]
+    + [f"EPSG:{k}" for k in range(8988, 9001)])
+
+
 def _parse_crs(crs):
     c = _norm(crs)
     if c in ("EPSG:4326", "CRS84", "OGC:CRS84", "WGS84"):
         return "lonlat", None
-    if c in ("EPSG:4269", "EPSG:4258", "EPSG:4617", "EPSG:4283",
-             "EPSG:9000", "EPSG:4148"):
-        # NAD83 / ETRS89 / NAD83(CSRS) / GDA94 / ITRF-family / Hartebeesthoek
-        # geographic CRS: all realized within ~1-2 m of WGS84 with no
-        # published single Helmert (plate motion dominates); treated as
-        # the lon/lat hub, matching common GIS practice and GDAL's
-        # default null transform for these pairs
+    if c in _LONLAT_HUB_CODES:
+        # NAD83 (incl. 2011) / ETRS89 / NAD83(CSRS) / GDA94 / GDA2020 /
+        # Hartebeesthoek94 / the ITRF geographic family: all realized
+        # within ~1-2 m of WGS84 with no published single Helmert
+        # (plate motion dominates); treated as the lon/lat hub,
+        # matching common GIS practice and GDAL's default null
+        # transform for these pairs
         return "lonlat", None
     if c in ("EPSG:3857", "EPSG:900913", "EPSG:3785"):
         return "webmerc", None
@@ -699,7 +709,8 @@ def _parse_crs(crs):
     raise CRSError(
         f"unsupported CRS {crs!r}; supported: EPSG:4326, EPSG:3857, UTM "
         "(EPSG:326xx/327xx/269xx/258xx/230xx), geographic NAD83/ETRS89/"
-        "GDA94 (4269/4258/4617/4283), OSGB 27700, Lambert-93 "
+        "GDA94/GDA2020/Hartebeesthoek94/ITRF (4269/4258/4617/4283/6318/"
+        "7844/4148/8988-9000/9989), OSGB 27700, Lambert-93 "
         "2154, LCC 3034/2263/26985/2229/31370, LAEA 3035, "
         "AEA 5070/3577, TM 32118 — extend "
         "arctic_spark.proj._EPSG_TABLE with public EPSG parameters for "

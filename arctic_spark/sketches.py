@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "h60",
+    "h60", "hll_bucket_rho",
     "hll_sketch", "hll_merge", "hll_estimate", "hll_estimate_components",
     "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_jaccard",
     "kmv_union_estimate", "kmv_intersect_estimate",
@@ -70,6 +70,23 @@ def h60(col, salt: int | None = None) -> Column:
 # HyperLogLog
 # ---------------------------------------------------------------------------
 
+def hll_bucket_rho(col, p: int):
+    """The (bucket, rho) register-update columns shared by the batch
+    sketch and the streaming windowed aggregation — ONE definition so
+    the two can never desynchronize (streaming registers must equal
+    hll_sketch on the window slice and merge via hll_merge)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    rem_bits = _H60_BITS - p
+    h = h60(col)
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(w)))
+    return bucket, rho.cast("long")
+
+
 def hll_sketch(df: DataFrame, col, p: int = 10) -> DataFrame:
     """Build an HLL register table: ``(bucket long, rho long)``.
 
@@ -84,18 +101,10 @@ def hll_sketch(df: DataFrame, col, p: int = 10) -> DataFrame:
     ``60 - p + 1``.  Computed exactly via ``length(bin(w))`` (no
     floating log2, whose power-of-two edge cases differ by ULPs).
     """
-    if not 4 <= p <= 18:
-        raise ValueError(f"p must be in [4, 18], got {p}")
-    m = 1 << p
-    rem_bits = _H60_BITS - p
-    h = h60(col)
+    bucket, rho = hll_bucket_rho(col, p)
     c = F.col(col) if isinstance(col, str) else col
-    bucket = h.bitwiseAND(F.lit(m - 1))
-    w = F.shiftright(h, p)
-    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
-        F.lit(rem_bits + 1) - F.length(F.bin(w)))
     return (df.where(c.isNotNull())
-              .select(bucket.alias("bucket"), rho.cast("long").alias("rho"))
+              .select(bucket.alias("bucket"), rho.alias("rho"))
               .groupBy("bucket").agg(F.max("rho").alias("rho")))
 
 
@@ -245,7 +254,7 @@ def cms_sketch(df: DataFrame, col, depth: int = 4, width: int = 1024,
     hashes = F.array(*[h60(col, salt=d).bitwiseAND(F.lit(width - 1))
                        for d in range(depth)])
     wexpr = (F.lit(1).cast("long") if weight is None
-             else (F.col(weight) if isinstance(weight, str) else weight).cast("long"))
+             else (F.col(weight) if isinstance(weight, str) else weight))
     return (df.where(c.isNotNull())
               .select(F.posexplode(hashes).alias("d", "c"), wexpr.alias("w"))
               .groupBy("d", "c").agg(F.sum("w").alias("cnt")))
@@ -284,28 +293,41 @@ def cms_query(sketch: DataFrame, probes: DataFrame, col,
 # ---------------------------------------------------------------------------
 
 def sample_sketch(df: DataFrame, key, k: int = 1024, cols=None) -> DataFrame:
-    """Bottom-k rows by the 60-bit md5 hash of ``key``: a DETERMINISTIC
-    uniform sample of the distinct-key rows that merges exactly
-    (bottom-k of a union = bottom-k over the merged sketches), unlike
-    reservoir sampling whose result depends on encounter order.
+    """Bottom-k DISTINCT KEYS by the 60-bit md5 hash of ``key``: a
+    deterministic uniform sample that merges exactly (bottom-k of a
+    union = bottom-k over the merged sketches), unlike reservoir
+    sampling whose result depends on encounter order.
+
+    Duplicate keys collapse to ONE row before the bottom-k — the
+    lexicographically-least companion tuple (min over the struct of
+    ``cols``) — so the result is deterministic and slot usage is one
+    per key even when the same key appears in both shards of a merge.
 
     Output: ``__h`` (the hash, ascending) plus ``cols`` (default: all
-    input columns). Same physical shape as :func:`kmv_sketch` —
-    TakeOrderedAndProject, only k rows reach the driver side of the
-    sort. Because the hash is the portable md5 primitive, the sample
-    is bit-reproducible in SQL, so estimates computed from it
-    (quantiles, means) gate exactly.
+    input columns except the hash). One bounded groupBy (map-side
+    combined) then a TakeOrderedAndProject — only k rows reach the
+    driver side of the sort. Because the hash is the portable md5
+    primitive, the sample is bit-reproducible in SQL, so estimates
+    computed from it (quantiles, means) gate exactly.
     """
     keep = list(df.columns) if cols is None else list(cols)
-    return (df.select(h60(key).alias("__h"), *keep)
-            .orderBy("__h").limit(k))
+    return (df.select(h60(key).alias("__h"),
+                      F.struct(*keep).alias("__s"))
+            .groupBy("__h").agg(F.min("__s").alias("__s"))
+            .orderBy("__h").limit(k)
+            .select("__h", "__s.*"))
 
 
 def sample_merge(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
-    """Exact merge: bottom-k of the union (dedup by hash — the same
-    key row may appear in both shards)."""
-    return (a.unionByName(b).dropDuplicates(["__h"])
-            .orderBy("__h").limit(k))
+    """Exact merge: bottom-k of the union, duplicate hashes collapsed
+    by the same deterministic min-struct rule as :func:`sample_sketch`
+    (the same key may appear in both shards)."""
+    cols = [c for c in a.columns if c != "__h"]
+    return (a.unionByName(b)
+            .select("__h", F.struct(*cols).alias("__s"))
+            .groupBy("__h").agg(F.min("__s").alias("__s"))
+            .orderBy("__h").limit(k)
+            .select("__h", "__s.*"))
 
 
 def sample_quantiles(sketch: DataFrame, col, qs=(0.25, 0.5, 0.75)):

@@ -438,22 +438,16 @@ def windowed_hll_registers(events: DataFrame, window="1 minute",
     tests assert batch ≡ stream and that the per-window registers
     equal :func:`arctic_spark.sketches.hll_sketch` run on the window's
     slice."""
-    from .. import sketches as sk
+    from ..sketches import hll_bucket_rho
 
-    m = 1 << p
-    rem_bits = 60 - p
-    h = sk.h60(key_col)
-    bucket = h.bitwiseAND(F.lit(m - 1))
-    w = F.shiftright(h, p)
-    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
-        F.lit(rem_bits + 1) - F.length(F.bin(w)))
+    bucket, rho = hll_bucket_rho(key_col, p)
     src = events
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
     return (src.where(F.col(key_col).isNotNull())
             .groupBy(F.window(ts_col, window).alias("win"),
                      bucket.alias("bucket"))
-            .agg(F.max(rho.cast("long")).alias("rho"))
+            .agg(F.max(rho).alias("rho"))
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "bucket", "rho"))

@@ -491,6 +491,8 @@ def main():
     print(f"kneser-ney train+score {n_docs_k:,} docs (20 words each): "
           f"{dt:.1f}s, sum_p {tot:,.0f}, "
           f"{n_docs_k / dt / 1e3:.0f}k docs/s", flush=True)
+    for _d in model["_pinned"]:
+        _d.unpersist()
 
     # r8 second session: from-scratch JPEG codec throughput — encode
     # AND decode+dHash per image, all inside executors (mapInPandas)
@@ -551,6 +553,8 @@ def main():
     print(f"kneser-ney train+score {n_docs_k2:,} docs (20 words each): "
           f"{dt:.1f}s, sum_p {tot2:,.0f}, "
           f"{n_docs_k2 / dt / 1e3:.0f}k docs/s", flush=True)
+    for _d in model2["_pinned"]:
+        _d.unpersist()
 
     # r9: unigram trainer over ~2M distinct words — the E-step is one
     # mapInPandas over the (distinct word, count) table + a vocab-sized

@@ -161,3 +161,21 @@ def test_kmv_set_operations(spark):
     i = sk.kmv_intersect_estimate(ska, skb, k=256)
     assert abs(u - 1500) / 1500 < 0.2
     assert abs(i - 500) / 500 < 0.45   # intersect compounds two errors
+
+
+def test_sample_sketch_duplicate_keys_deterministic(spark):
+    # same key with DIFFERENT companion tuples: one slot per key, the
+    # lexicographically-least companion survives, merge stays exact
+    rows = [("a", 2), ("a", 1), ("b", 9), ("c", 5), ("c", 4)]
+    df = spark.createDataFrame(rows, ["k", "x"])
+    s = sk.sample_sketch(df, "k", k=10, cols=["k", "x"])
+    got = {r.k: r.x for r in s.collect()}
+    assert got == {"a": 1, "b": 9, "c": 4}
+    # merge of overlapping shards == sketch of the union
+    a = spark.createDataFrame(rows[:3], ["k", "x"])
+    b = spark.createDataFrame(rows[2:], ["k", "x"])
+    merged = sk.sample_merge(sk.sample_sketch(a, "k", k=10, cols=["k", "x"]),
+                             sk.sample_sketch(b, "k", k=10, cols=["k", "x"]),
+                             k=10)
+    assert (merged.orderBy("__h").collect()
+            == s.orderBy("__h").collect())
