@@ -303,7 +303,7 @@ def _ws_tokens(text) -> Column:
 
 
 def duplicate_windows(df: DataFrame, id_col="doc_id", text_col="text",
-                      k: int = 50) -> DataFrame:
+                      k: int = 50, method: str = "arrow") -> DataFrame:
     """All NON-CANONICAL duplicated k-token windows: (id, start, wh)
     where the same window hash occurs at more than one (doc, start)
     corpus-wide and (id, start) is not the lexicographically-least
@@ -313,22 +313,60 @@ def duplicate_windows(df: DataFrame, id_col="doc_id", text_col="text",
     shipping only (id, int, 16-char hash prefix); ONE shuffle on the
     window hash with a window-min to pick the owner. This is the
     suffix-array-free Spark formulation of exact substring dedup —
-    volume O(total tokens), the same as tokenizing the corpus."""
+    volume O(total tokens), the same as tokenizing the corpus.
+
+    ``method='arrow'`` (default) computes the window hashes in one
+    vectorized pandas pass over the SPARK-tokenized arrays —
+    hashlib.md5 of the identical "\\x1f"-joined utf-8 window bytes, so
+    the hashes are byte-for-byte the native expression's (asserted in
+    tests) while replacing an interpreted O(tokens × k)
+    slice+concat+md5 HOF per position. ``method='native'`` keeps the
+    pure-expression SQL-replayable shape."""
     toks = _ws_tokens(text_col)
 
-    def windows(ws):
-        n = F.size(ws)
-        return F.when(n >= k, F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda s: F.struct(s.alias("start"), F.substring(F.md5(
-                F.concat_ws("\x1f", F.slice(ws, s + 1, k))), 1, 16)
-                .alias("wh")))).otherwise(
-            F.array().cast("array<struct<start:int,wh:string>>"))
+    if method == "arrow":
+        import hashlib
+        import pandas as pd
 
-    ex = (df.select(_c(id_col).alias("id"),
-                    F.explode(_let(toks, windows)).alias("w"))
-          .select("id", F.col("w.start").alias("start"),
-                  F.col("w.wh").alias("wh")))
+        def win_iter(batches):
+            for pdf in batches:
+                ids, starts, whs = [], [], []
+                for i, ws in zip(pdf["id"], pdf["__ws"]):
+                    n = len(ws)
+                    if n < k:
+                        continue
+                    joined = list(ws)
+                    for s in range(n - k + 1):
+                        h = hashlib.md5(
+                            "\x1f".join(joined[s:s + k]).encode("utf-8")
+                        ).hexdigest()[:16]
+                        ids.append(i)
+                        starts.append(s)
+                        whs.append(h)
+                yield pd.DataFrame({"id": ids, "start": starts,
+                                    "wh": whs})
+
+        tokd = df.select(_c(id_col).alias("id"), toks.alias("__ws"))
+        id_t = tokd.schema["id"].dataType.simpleString()
+        ex = tokd.mapInPandas(win_iter,
+                              f"id {id_t}, start int, wh string")
+    elif method == "native":
+        def windows(ws):
+            n = F.size(ws)
+            return F.when(n >= k, F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda s: F.struct(s.alias("start"), F.substring(F.md5(
+                    F.concat_ws("\x1f", F.slice(ws, s + 1, k))), 1, 16)
+                    .alias("wh")))).otherwise(
+                F.array().cast("array<struct<start:int,wh:string>>"))
+
+        ex = (df.select(_c(id_col).alias("id"),
+                        F.explode(_let(toks, windows)).alias("w"))
+              .select("id", F.col("w.start").alias("start"),
+                      F.col("w.wh").alias("wh")))
+    else:
+        raise ValueError(f"method must be 'arrow' or 'native', "
+                         f"got {method!r}")
     w = Window.partitionBy("wh")
     ranked = (ex.withColumn("__n", F.count("*").over(w))
               .withColumn("__min", F.min(F.struct("id", "start")).over(w)))

@@ -392,6 +392,18 @@ def test_dedup_substrings(spark):
         "doc_id long, text string")
     out2 = dedup.dedup_substrings(df2, k=8).collect()[0].text
     assert out2 == "p q r s t u v w END"
+    # the arrow window hasher is byte-for-byte the native expression
+    # (same \x1f-joined utf-8 md5), incl. non-ascii tokens
+    df3 = spark.createDataFrame(
+        [(i, f"wörd-{i % 3} ünïcode {' '.join(f't{j}' for j in range(10))}")
+         for i in range(30)], "doc_id long, text string")
+    nat = sorted((r.id, r.start, r.wh) for r in
+                 dedup.duplicate_windows(df3, k=5, method="native")
+                 .collect())
+    arr = sorted((r.id, r.start, r.wh) for r in
+                 dedup.duplicate_windows(df3, k=5, method="arrow")
+                 .collect())
+    assert nat == arr and len(arr) > 0
 
 
 def test_url_ops(spark):
