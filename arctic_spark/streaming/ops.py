@@ -451,3 +451,38 @@ def windowed_hll_registers(events: DataFrame, window="1 minute",
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "bucket", "rho"))
+
+
+def windowed_cms_counters(events: DataFrame, window="1 minute",
+                          watermark="2 minutes", ts_col="ts",
+                          key_col="user_id", depth: int = 4,
+                          width: int = 1024) -> DataFrame:
+    """Streaming frequency sketch: per-window Count-Min counter table
+    (window_start, window_end, d, c, cnt) — the trending-topics /
+    heavy-hitter shape under unbounded input.
+
+    State is bounded at ``depth × width`` counter rows per open window
+    regardless of stream volume (each event increments depth counters
+    via a posexplode, aggregated by streaming sum). Point-query the
+    sink with :func:`arctic_spark.sketches.cms_query` (group the
+    counters by window first), and counters from different
+    streams/days MERGE exactly by another sum over (window, d, c).
+
+    Works identically on a batch DataFrame — the tests assert the
+    per-window counters equal :func:`arctic_spark.sketches.cms_sketch`
+    on the window's slice."""
+    from ..sketches import h60
+
+    hashes = F.array(*[h60(key_col, salt=d).bitwiseAND(F.lit(width - 1))
+                       for d in range(depth)])
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.where(F.col(key_col).isNotNull())
+            .select(F.window(ts_col, window).alias("win"),
+                    F.posexplode(hashes).alias("d", "c"))
+            .groupBy("win", "d", "c")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "d", "c", "cnt"))

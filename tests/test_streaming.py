@@ -448,3 +448,59 @@ def test_windowed_hll_registers_stream(spark):
             seen.add(key)
     finally:
         q.stop()
+
+
+def test_windowed_cms_counters_batch(spark, events):
+    """Batch semantics: per-window counters equal cms_sketch on the
+    window's slice; point query recovers exact counts (tiny input, no
+    collisions at width 256)."""
+    from arctic_spark import sketches as sk
+    from arctic_spark.streaming import windowed_cms_counters
+
+    ctrs = windowed_cms_counters(events, window="1 hour", depth=3,
+                                 width=256, key_col="user_id")
+    rows = ctrs.collect()
+    assert all(0 <= r.d < 3 and 0 <= r.c < 256 for r in rows)
+    got = sorted((r.d, r.c, r.cnt) for r in rows)
+    direct = sorted((r.d, r.c, r.cnt) for r in sk.cms_sketch(
+        events.select(F.col("user_id").alias("v")), "v",
+        depth=3, width=256).collect())
+    assert got == direct
+    probes = events.groupBy(F.col("user_id").alias("v")) \
+                   .agg(F.count("*").alias("cnt"))
+    est = sk.cms_query(ctrs.select("d", "c", "cnt"), probes, "v",
+                       depth=3, width=256)
+    for r in est.collect():
+        assert r.cms_est >= r.cnt
+
+
+def test_windowed_cms_counters_stream(spark):
+    from arctic_spark.streaming import windowed_cms_counters
+
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", "200").load()
+           .withColumn("user_id", F.col("value") % 37)
+           .withColumnRenamed("timestamp", "ts"))
+    out = windowed_cms_counters(src, window="2 seconds",
+                                watermark="2 seconds", depth=2,
+                                width=64, key_col="user_id")
+    q = (out.writeStream.format("memory").queryName("cms_ctrs")
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM cms_ctrs").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(1)
+        assert len(rows) >= 5
+        assert all(0 <= r.d < 2 and 0 <= r.c < 64 and r.cnt >= 1
+                   for r in rows)
+        seen = set()
+        for r in rows:
+            key = (r.window_start, r.d, r.c)
+            assert key not in seen
+            seen.add(key)
+    finally:
+        q.stop()
