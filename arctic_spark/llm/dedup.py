@@ -332,6 +332,11 @@ def duplicate_windows(df: DataFrame, id_col="doc_id", text_col="text",
             for pdf in batches:
                 ids, starts, whs = [], [], []
                 for i, ws in zip(pdf["id"], pdf["__ws"]):
+                    # NULL text tokenizes to a NULL array, delivered
+                    # here as None — skip like the native path, whose
+                    # size(NULL) >= k guard is false (ADVICE r9)
+                    if ws is None:
+                        continue
                     n = len(ws)
                     if n < k:
                         continue

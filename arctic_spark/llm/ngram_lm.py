@@ -330,7 +330,10 @@ def kn_score(df: DataFrame, col: str, model: dict,
                 F.sum(F.log2(F.greatest(F.col("__p"), F.lit(1e-12))))
                 .alias("sum_log2_p")))
     from ..cache import pin
-    return pin(out, pos, *model.get("_pinned", []))
+    # pin only the scoring-side persist; the model's _pinned count
+    # tables are owned by the caller (release() on one score result
+    # must not unpersist the shared model) (ADVICE r9)
+    return pin(out, pos)
 
 
 def kn_perplexity(df: DataFrame, col: str, model: dict,

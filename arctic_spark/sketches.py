@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "h60", "hll_bucket_rho",
-    "hll_sketch", "hll_merge", "hll_estimate", "hll_estimate_components",
+    "hll_sketch", "hll_merge", "hll_estimate", "hll_estimate_by",
+    "hll_estimate_components",
     "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_jaccard",
     "kmv_union_estimate", "kmv_intersect_estimate",
     "sample_sketch", "sample_merge", "sample_quantiles",

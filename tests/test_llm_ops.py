@@ -396,7 +396,9 @@ def test_dedup_substrings(spark):
     # (same \x1f-joined utf-8 md5), incl. non-ascii tokens
     df3 = spark.createDataFrame(
         [(i, f"wörd-{i % 3} ünïcode {' '.join(f't{j}' for j in range(10))}")
-         for i in range(30)], "doc_id long, text string")
+         for i in range(30)]
+        + [(100, None), (101, "")],  # NULL/empty text must not crash
+        "doc_id long, text string")
     nat = sorted((r.id, r.start, r.wh) for r in
                  dedup.duplicate_windows(df3, k=5, method="native")
                  .collect())
@@ -404,6 +406,7 @@ def test_dedup_substrings(spark):
                  dedup.duplicate_windows(df3, k=5, method="arrow")
                  .collect())
     assert nat == arr and len(arr) > 0
+    assert not any(i >= 100 for i, _, _ in arr)
 
 
 def test_url_ops(spark):
