@@ -402,6 +402,27 @@ def geo_conus_albers(spark, sf):
         .orderBy("c_custkey"))
 
 
+def geo_param_crs(spark, sf):
+    """to_crs via the r10 generic parameter engine: EPSG:3112 (GDA94 /
+    Geoscience Australia Lambert — a SOUTHERN-cone LCC, n < 0) built
+    purely from its public proj4 string, no registry row (reference
+    ops/proj.rs:33-70 accepts any CRS string; this is the closed-form
+    analogue). The oracle replays the complete ellipsoidal LCC forward
+    from the same raw parameters in DuckDB CTEs. BIGINT tenth-mm
+    micro-units per the hardened-gate convention."""
+    c = _t(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 30 + 120).cast("double") + 0.5
+    lat = -(F.col("c_custkey") * 3 % 26 + 12).cast("double") - 0.25
+    p4 = ("+proj=lcc +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=134 "
+          "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+    xy = transform_xy_struct(lon, lat, "EPSG:4326", p4)
+    return (c.select(
+        "c_custkey",
+        F.round(xy["x"] * F.lit(1e4), 0).cast("long").alias("gx_u"),
+        F.round(xy["y"] * F.lit(1e4), 0).cast("long").alias("gy_u"))
+        .orderBy("c_custkey"))
+
+
 def geo_pip_join(spark, sf):
     """Distributed filter–refine spatial join (SURVEY §2.4): customer
     points in region strip polygons; grid-cell shuffle + native ray-cast
@@ -3780,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_common_neighbors": graph_common_neighbors,
         "text_readability": text_readability,
         "geo_conus_albers": geo_conus_albers,
+        "geo_param_crs": geo_param_crs,
         "geo_overlay_union": geo_overlay_union,
         "geo_overlay_area": geo_overlay_area,
         "embed_pq_adc": embed_pq_adc,
@@ -4440,6 +4462,56 @@ def oracle_sql() -> dict[str, str]:
                    round(fe + rho * sin(th), 4) AS px,
                    round(fn + rho0 - rho * cos(th), 4) AS py
             FROM proj
+        """,
+        "geo_param_crs": """
+            WITH ell AS (
+                SELECT 6378137.0 AS a,
+                       (1.0/298.257222101) * (2 - 1.0/298.257222101) AS e2
+            ), par AS (
+                SELECT a, e2, sqrt(e2) AS e,
+                       radians(-18.0) AS p1, radians(-36.0) AS p2,
+                       radians(0.0) AS p0, radians(134.0) AS lam0
+                FROM ell
+            ), mt AS (
+                SELECT *,
+                       cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1)) AS m1,
+                       cos(p2)/sqrt(1 - e2*sin(p2)*sin(p2)) AS m2,
+                       tan(pi()/4 - p1/2)
+                           / pow((1 - e*sin(p1))/(1 + e*sin(p1)), e/2) AS t1,
+                       tan(pi()/4 - p2/2)
+                           / pow((1 - e*sin(p2))/(1 + e*sin(p2)), e/2) AS t2,
+                       tan(pi()/4 - p0/2)
+                           / pow((1 - e*sin(p0))/(1 + e*sin(p0)), e/2) AS t0
+                FROM par
+            ), nn AS (
+                SELECT *, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n FROM mt
+            ), cc AS (
+                SELECT *, m1/(n * pow(t1, n)) AS bigf FROM nn
+            ), k AS (
+                SELECT *, a * bigf * pow(t0, n) AS rho0 FROM cc
+            ), pts AS (
+                SELECT c_custkey,
+                       radians(CAST(c_custkey % 30 + 120 AS DOUBLE) + 0.5)
+                           AS lam,
+                       radians(-(CAST(c_custkey * 3 % 26 + 12 AS DOUBLE))
+                               - 0.25) AS phi
+                FROM customer
+            ), proj AS (
+                SELECT c_custkey,
+                       k.a * k.bigf * pow(
+                           tan(pi()/4 - phi/2)
+                           / pow((1 - k.e*sin(phi))/(1 + k.e*sin(phi)),
+                                 k.e/2),
+                           k.n) AS rho,
+                       k.n * (lam - k.lam0) AS th,
+                       k.rho0
+                FROM pts, k
+            )
+            SELECT c_custkey,
+                   CAST(round(rho * sin(th) * 1e4) AS BIGINT) AS gx_u,
+                   CAST(round((rho0 - rho * cos(th)) * 1e4) AS BIGINT)
+                       AS gy_u
+            FROM proj ORDER BY c_custkey
         """,
         "geo_conus_albers": """
             WITH ell AS (

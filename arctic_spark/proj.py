@@ -113,6 +113,34 @@ def _webmerc_inv(x, y) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Mercator (ellipsoidal, 1SP) — Snyder 1987 pp. 41-44; +proj=merc
+# ---------------------------------------------------------------------------
+
+def _merc_fwd(lon, lat, p) -> Column:
+    a, _f, _e2, e = _ell(p["ellps"])
+    k0, unit = p.get("k0", 1.0), p.get("unit", 1.0)
+    lam0 = math.radians(p["lon0"])
+    sphi = F.sin(F.radians(lat))
+    # isometric latitude psi = atanh(sin phi) - e atanh(e sin phi)
+    psi = _let(sphi, lambda s: _atanh(s) - F.lit(e) * _atanh(F.lit(e) * s))
+    return _xy(F.lit(p["fe"])
+               + F.lit(a * k0 / unit) * (F.radians(lon) - F.lit(lam0)),
+               F.lit(p["fn"]) + F.lit(a * k0 / unit) * psi)
+
+
+def _merc_inv(x, y, p) -> Column:
+    a, _f, e2, e = _ell(p["ellps"])
+    k0, unit = p.get("k0", 1.0), p.get("unit", 1.0)
+    psi = (y - F.lit(p["fn"])) * F.lit(unit / (a * k0))
+    lon = (F.lit(float(p["lon0"]))
+           + F.degrees((x - F.lit(p["fe"])) * F.lit(unit / (a * k0))))
+    # conformal latitude chi = atan(sinh psi), then the shared Newton
+    lat = _let(F.atan(F.sinh(psi)),
+               lambda ch: F.degrees(F.atan(_tau_newton(ch, e, e2))))
+    return _xy(lon, lat)
+
+
+# ---------------------------------------------------------------------------
 # Transverse Mercator — Krüger series, order 6, any ellipsoid
 # ---------------------------------------------------------------------------
 
@@ -157,6 +185,27 @@ def _tm_m0(c, lat0):
 
 def _atanh(x):
     return F.lit(0.5) * F.log((F.lit(1.0) + x) / (F.lit(1.0) - x))
+
+
+def _tau_newton(ch, e, e2) -> Column:
+    """Geodetic tan(lat) from a conformal-latitude column `ch` — the
+    tau/tau' Newton iteration (Karney 2011 §3), run inside aggregate so
+    the expression tree stays linear. Shared by the TM and ellipsoidal
+    Mercator inverses."""
+    def step(tau, _i):
+        sigma = F.sinh(F.lit(e) * _atanh(
+            F.lit(e) * tau / F.sqrt(F.lit(1.0) + tau * tau)))
+        taup = (tau * F.sqrt(F.lit(1.0) + sigma * sigma)
+                - sigma * F.sqrt(F.lit(1.0) + tau * tau))
+        dtau = ((F.tan(ch) - taup)
+                * (F.lit(1.0) + F.lit(1 - e2) * tau * tau)
+                / (F.lit(1 - e2)
+                   * F.sqrt((F.lit(1.0) + taup * taup)
+                            * (F.lit(1.0) + tau * tau))))
+        return tau + dtau
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(5)),
+                       F.tan(ch), lambda acc, i: step(acc, i))
 
 
 def _tm_fwd(lon, lat, p) -> Column:
@@ -211,22 +260,7 @@ def _tm_inv(x, y, p) -> Column:
             chi = F.asin(F.sin(pr["xip"]) / F.cosh(pr["etap"]))
 
             def with_chi(ch):
-                # conformal → geodetic: tau/tau' Newton (Karney 2011 §3),
-                # run inside aggregate so the tree stays linear
-                def step(tau, _i):
-                    sigma = F.sinh(F.lit(e) * _atanh(
-                        F.lit(e) * tau / F.sqrt(F.lit(1.0) + tau * tau)))
-                    taup = (tau * F.sqrt(F.lit(1.0) + sigma * sigma)
-                            - sigma * F.sqrt(F.lit(1.0) + tau * tau))
-                    dtau = ((F.tan(ch) - taup)
-                            * (F.lit(1.0) + F.lit(1 - e2) * tau * tau)
-                            / (F.lit(1 - e2)
-                               * F.sqrt((F.lit(1.0) + taup * taup)
-                                        * (F.lit(1.0) + tau * tau))))
-                    return tau + dtau
-
-                tau = F.aggregate(F.sequence(F.lit(1), F.lit(5)),
-                                  F.tan(ch), lambda acc, i: step(acc, i))
+                tau = _tau_newton(ch, e, e2)
                 lon = (F.lit(float(p["lon0"]))
                        + F.degrees(F.atan2(F.sinh(pr["etap"]),
                                            F.cos(pr["xip"]))))
@@ -253,9 +287,15 @@ def _lcc_consts(p):
                    / (1 + e * math.sin(phi))) ** (e / 2))
 
     p1, p2, p0 = map(math.radians, (p["lat1"], p["lat2"], p["lat0"]))
-    n = ((math.log(m(p1)) - math.log(m(p2)))
-         / (math.log(t(p1)) - math.log(t(p2))))
-    big_f = m(p1) / (n * t(p1) ** n)
+    if abs(p["lat1"] - p["lat2"]) < 1e-12:
+        # 1SP limit (lat1 → lat2): n → sin(lat1) by L'Hôpital; the
+        # scale factor k0 at the natural origin multiplies F
+        # (Snyder 1987 p. 107, eq. 15-* single-parallel forms)
+        n = math.sin(p1)
+    else:
+        n = ((math.log(m(p1)) - math.log(m(p2)))
+             / (math.log(t(p1)) - math.log(t(p2))))
+    big_f = p.get("k0", 1.0) * m(p1) / (n * t(p1) ** n)
     rho0 = a * big_f * t(p0) ** n
     return a, e, n, big_f, rho0, math.radians(p["lon0"])
 
@@ -291,7 +331,11 @@ def _lcc_inv(x, y, p) -> Column:
                        + (F.lit(rho0) - s["ym"]) * (F.lit(rho0) - s["ym"]))
         rho_s = F.when(F.lit(n) < 0, -rho_s).otherwise(rho_s)
         tp = F.pow(rho_s / F.lit(a * big_f), F.lit(1.0 / n))
-        th = F.atan2(s["xm"], F.lit(rho0) - s["ym"])
+        # southern cone (n < 0): the signs of x and (rho0 - y) reverse
+        # in theta (Snyder 1987 p. 107, "taking signs into account")
+        sgn = 1.0 if n > 0 else -1.0
+        th = F.atan2(F.lit(sgn) * s["xm"],
+                     F.lit(sgn) * (F.lit(rho0) - s["ym"]))
 
         def with_tp(tpv):
             # fixed-point latitude iteration, linear tree via aggregate
@@ -675,7 +719,207 @@ _LONLAT_HUB_CODES = frozenset(
     + [f"EPSG:{k}" for k in range(8988, 9001)])
 
 
+# ---------------------------------------------------------------------------
+# Generic projected-CRS parameter engine: to_crs accepts a proj4-style
+# string ("+proj=lcc +lat_1=... +ellps=GRS80 ...") or a parameter dict
+# ({"proj": "lcc", "lat_1": ..., ...}) and derives the kernel parameters
+# for ANY CRS in an implemented projection family — no per-EPSG registry
+# row needed. This closes the parity gap vs the reference's PROJ-backed
+# to_crs (geopolars-geo/src/ops/proj.rs:33-70, which builds a transformer
+# from any CRS string). All names/values follow the public PROJ.4
+# parameter conventions.
+# ---------------------------------------------------------------------------
+
+#: PROJ +ellps= names → (semi-major a, inverse flattening rf).
+#: Public EPSG ellipsoid parameters; rf=inf encodes a sphere.
+_ELLPS_NAMES = {
+    "WGS84": _WGS84,
+    "GRS80": _GRS80,
+    "airy": _AIRY1830,
+    "intl": _INTL1924,
+    "clrk66": (6378206.4, 6378206.4 / (6378206.4 - 6356583.8)),
+    "clrk80ign": (6378249.2, 6378249.2 / (6378249.2 - 6356515.0)),
+    "bessel": (6377397.155, 299.1528128),
+    "krass": (6378245.0, 298.3),
+    "GRS67": (6378160.0, 298.247167427),
+    "aust_SA": (6378160.0, 298.25),
+    "WGS72": (6378135.0, 298.26),
+    "sphere": (6370997.0, float("inf")),
+}
+
+#: PROJ +datum= shorthand → (ellipsoid, Helmert-to-WGS84 or None).
+_DATUM_NAMES = {
+    "WGS84": (_WGS84, None),
+    "NAD83": (_GRS80, None),   # null transform, see _LONLAT_HUB_CODES
+    "OSGB36": (_AIRY1830, _H_OSGB36),
+}
+
+#: PROJ +pm= named prime meridians (degrees east of Greenwich).
+_PM_NAMES = {"greenwich": 0.0, "paris": 2.33722917, "lisbon": -9.13190611,
+             "rome": 12.45233333, "bogota": -74.08091667}
+
+#: PROJ +units= names → meters per unit.
+_UNIT_NAMES = {"m": 1.0, "meter": 1.0, "metre": 1.0, "km": 1000.0,
+               "us-ft": _FT_US, "ft": 0.3048}
+
+
+def _parse_proj4(s: str) -> dict:
+    """'+proj=lcc +lat_1=49 +south' → {'proj': 'lcc', 'lat_1': '49',
+    'south': True}. Values stay strings; flags become True."""
+    d = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if not tok or tok == "no_defs":
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            d[k] = v
+        else:
+            d[tok] = True
+    return d
+
+
+def _resolve_ellps(d, proj):
+    """Ellipsoid precedence per PROJ: explicit +a (+rf/+b/+f) > +R >
+    +ellps > +datum > WGS84 default."""
+    if "a" in d:
+        a = float(d["a"])
+        if "rf" in d:
+            return (a, float(d["rf"]))
+        if "b" in d:
+            b = float(d["b"])
+            return (a, a / (a - b)) if a != b else (a, float("inf"))
+        if "f" in d:
+            f = float(d["f"])
+            return (a, 1.0 / f) if f else (a, float("inf"))
+        return (a, float("inf"))
+    if "R" in d:
+        return (float(d["R"]), float("inf"))
+    if "ellps" in d:
+        name = str(d["ellps"])
+        if name not in _ELLPS_NAMES:
+            raise CRSError(f"unknown ellipsoid {name!r}; known: "
+                           f"{sorted(_ELLPS_NAMES)}")
+        return _ELLPS_NAMES[name]
+    if "datum" in d:
+        name = str(d["datum"])
+        if name not in _DATUM_NAMES:
+            raise CRSError(f"unknown datum {name!r}; known: "
+                           f"{sorted(_DATUM_NAMES)} — pass +ellps and "
+                           "+towgs84 explicitly for others")
+        return _DATUM_NAMES[name][0]
+    return _WGS84
+
+
+def _params_from_dict(d: dict):
+    """(kind, params) from a proj4-style parameter dict. Raises CRSError
+    for families the closed-form engine doesn't implement."""
+    proj = str(d.get("proj", "")).lower()
+    if not proj:
+        raise CRSError("parameter CRS needs a 'proj' key (tmerc, utm, "
+                       "merc, webmerc, lcc, aea, laea, longlat)")
+
+    def fl(k, dv=0.0):
+        v = d.get(k, None)
+        return dv if v is None else float(v)
+
+    ellps = _resolve_ellps(d, proj)
+
+    datum = None
+    if "towgs84" in d:
+        v = d["towgs84"]
+        vals = ([float(t) for t in str(v).split(",")]
+                if not isinstance(v, (list, tuple)) else [float(t) for t in v])
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        if len(vals) != 7:
+            raise CRSError("+towgs84 takes 3 or 7 comma-separated values")
+        if any(vals):
+            datum = tuple(vals)
+    elif "datum" in d and str(d["datum"]) in _DATUM_NAMES:
+        datum = _DATUM_NAMES[str(d["datum"])][1]
+
+    pm = d.get("pm", 0.0)
+    if isinstance(pm, str):
+        try:
+            pm = float(pm)
+        except ValueError:
+            key = pm.lower()
+            if key not in _PM_NAMES:
+                raise CRSError(f"unknown prime meridian {pm!r}")
+            pm = _PM_NAMES[key]
+
+    unit = 1.0
+    if "to_meter" in d:
+        unit = float(d["to_meter"])
+    elif "units" in d:
+        u = str(d["units"]).lower()
+        if u not in _UNIT_NAMES:
+            raise CRSError(f"unknown unit {d['units']!r}; known: "
+                           f"{sorted(_UNIT_NAMES)} — or pass +to_meter")
+        unit = _UNIT_NAMES[u]
+
+    if proj in ("longlat", "latlong", "lonlat", "latlon"):
+        if datum is None:
+            return "lonlat", None
+        return "lonlat", {"ellps": ellps, "datum": datum}
+
+    # +x_0/+y_0 are ALWAYS meters in PROJ; kernel fe/fn are native units
+    base = {"ellps": ellps, "lon0": fl("lon_0") + pm,
+            "fe": fl("x_0") / unit, "fn": fl("y_0") / unit}
+    if unit != 1.0:
+        base["unit"] = unit
+    if datum is not None:
+        base["datum"] = datum
+    k0 = fl("k", fl("k_0", 1.0))
+
+    if proj == "utm":
+        if "zone" not in d:
+            raise CRSError("+proj=utm requires +zone")
+        z = int(float(d["zone"]))
+        if not 1 <= z <= 60:
+            raise CRSError(f"UTM zone {z} out of range 1-60")
+        return "tm", {**base, "lon0": 6 * z - 183 + pm, "k0": _K0_UTM,
+                      "fe": 500000.0 / unit,
+                      "fn": (10_000_000.0 if d.get("south") else 0.0) / unit}
+    if proj == "tmerc":
+        return "tm", {**base, "lat0": fl("lat_0"), "k0": k0}
+    if proj == "merc":
+        if "lat_ts" in d:
+            # scale from the latitude of true scale: k0 = m(lat_ts)
+            _a, _f, e2, _e = _ell(ellps)
+            phi_ts = math.radians(float(d["lat_ts"]))
+            k0 = (math.cos(phi_ts)
+                  / math.sqrt(1 - e2 * math.sin(phi_ts) ** 2))
+        return "merc", {**base, "k0": k0}
+    if proj == "webmerc":
+        return "webmerc", None
+    if proj == "lcc":
+        lat1 = fl("lat_1", fl("lat_0"))
+        lat2 = fl("lat_2", lat1)  # no lat_2 → 1SP (lat1 = origin)
+        p = {**base, "lat1": lat1, "lat2": lat2, "lat0": fl("lat_0", lat1)}
+        if k0 != 1.0:
+            p["k0"] = k0
+        return "lcc", p
+    if proj == "aea":
+        return "aea", {**base, "lat1": fl("lat_1"),
+                       "lat2": fl("lat_2", fl("lat_1")),
+                       "lat0": fl("lat_0")}
+    if proj == "laea":
+        return "laea", {**base, "lat0": fl("lat_0")}
+    raise CRSError(
+        f"unsupported projection family {proj!r}; the closed-form engine "
+        "implements tmerc, utm, merc, webmerc, lcc (1SP/2SP), aea, laea "
+        "and longlat (+towgs84 datum shifts on any of them)")
+
+
 def _parse_crs(crs):
+    if isinstance(crs, dict):
+        return _params_from_dict(crs)
+    if isinstance(crs, str):
+        s = crs.strip()
+        if s.startswith("+") or "+proj=" in s:
+            return _params_from_dict(_parse_proj4(s))
     c = _norm(crs)
     if c in ("EPSG:4326", "CRS84", "OGC:CRS84", "WGS84"):
         return "lonlat", None
@@ -712,9 +956,10 @@ def _parse_crs(crs):
         "GDA94/GDA2020/Hartebeesthoek94/ITRF (4269/4258/4617/4283/6318/"
         "7844/4148/8988-9000/9989), OSGB 27700, Lambert-93 "
         "2154, LCC 3034/2263/26985/2229/31370, LAEA 3035, "
-        "AEA 5070/3577, TM 32118 — extend "
-        "arctic_spark.proj._EPSG_TABLE with public EPSG parameters for "
-        "more")
+        "AEA 5070/3577, TM 32118 — or pass the CRS's proj4-style string "
+        "('+proj=lcc +lat_1=... +ellps=GRS80 ...') / parameter dict and "
+        "the engine derives the kernel parameters for any tmerc/utm/merc/"
+        "lcc/aea/laea CRS directly")
 
 
 def _inv_struct(kind, params, x, y) -> Column:
@@ -723,6 +968,8 @@ def _inv_struct(kind, params, x, y) -> Column:
         return _xy(x * F.lit(1.0), y * F.lit(1.0))
     if kind == "webmerc":
         return _webmerc_inv(x, y)
+    if kind == "merc":
+        return _merc_inv(x, y, params)
     if kind == "tm":
         return _tm_inv(x, y, params)
     if kind == "lcc":
@@ -739,6 +986,8 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
         return _xy(lon * F.lit(1.0), lat * F.lit(1.0))
     if kind == "webmerc":
         return _webmerc_fwd(lon, lat)
+    if kind == "merc":
+        return _merc_fwd(lon, lat, params)
     if kind == "tm":
         return _tm_fwd(lon, lat, params)
     if kind == "lcc":

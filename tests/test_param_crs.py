@@ -1,0 +1,235 @@
+"""Generic projected-CRS parameter engine (r10): to_crs accepts
+proj4-style strings / parameter dicts and derives kernel parameters for
+any CRS in an implemented family — the parity answer to the reference's
+PROJ-backed arbitrary-pair to_crs (geopolars-geo/src/ops/proj.rs:33-70).
+
+Verification strategy (offline container, no PROJ):
+  1. parameter-built CRS ≡ the hand-audited EPSG registry rows, exactly
+     (same kernels, same derived constants);
+  2. published worked examples: the OSGB control point (OS "A guide to
+     coordinate systems in Great Britain") and Snyder 1987's LCC and
+     Mercator numerical examples on Clarke 1866 — the same sources the
+     registry kernels were verified against in earlier rounds;
+  3. fwd/inv round-trips + geometric invariants for non-registry EPSG
+     codes built purely from their public proj4 definitions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arctic_spark import GeoDataFrame, st
+from arctic_spark.proj import CRSError, transform_geom, transform_xy
+
+from tests.test_proj import _one
+
+
+# public proj4 definitions (epsg.io parameter-table data)
+P2154 = ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+         "+x_0=700000 +y_0=6600000 +ellps=GRS80 "
+         "+towgs84=0,0,0,0,0,0,0 +units=m +no_defs")
+P5070 = ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+         "+x_0=0 +y_0=0 +datum=NAD83 +units=m +no_defs")
+P27700 = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+          "+x_0=400000 +y_0=-100000 +ellps=airy "
+          "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"
+          " +units=m +no_defs")
+P2229 = ("+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 "
+         "+lat_0=33.5 +lon_0=-118 +x_0=2000000.0001016 "
+         "+y_0=500000.0001016 +ellps=GRS80 +units=us-ft +no_defs")
+OSGB36_LL = ("+proj=longlat +ellps=airy "
+             "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,"
+             "-20.4894 +no_defs")
+
+
+def test_proj4_string_matches_registry(spark):
+    """A parameter-built CRS must reproduce the registry row EXACTLY —
+    same kernel, same driver-side constants."""
+    for p4, code, pt in [
+        (P2154, "EPSG:2154", "POINT (2.3522 48.8566)"),
+        (P5070, "EPSG:5070", "POINT (-100.25 41.5)"),
+        (P27700, "EPSG:27700", "POINT (-0.1276 51.5074)"),
+        ("+proj=utm +zone=31 +datum=WGS84", "EPSG:32631",
+         "POINT (2.2945 48.8584)"),
+        ("+proj=utm +zone=56 +south +datum=WGS84", "EPSG:32756",
+         "POINT (151.2093 -33.8688)"),
+    ]:
+        xp, yp = _one(spark, pt, "EPSG:4326", p4)
+        xr, yr = _one(spark, pt, "EPSG:4326", code)
+        assert xp == pytest.approx(xr, abs=1e-6), (p4, code)
+        assert yp == pytest.approx(yr, abs=1e-6), (p4, code)
+    # ftUS State Plane: proj4 carries x_0/y_0 in METERS; the registry
+    # row carries fe/fn in native ftUS — same grid either way
+    xp, yp = _one(spark, "POINT (-118.2437 34.0522)", "EPSG:4326", P2229)
+    xr, yr = _one(spark, "POINT (-118.2437 34.0522)", "EPSG:4326",
+                  "EPSG:2229")
+    assert xp == pytest.approx(xr, abs=1e-3)
+    assert yp == pytest.approx(yr, abs=1e-3)
+
+
+def test_dict_form_matches_registry(spark):
+    d = {"proj": "laea", "lat_0": 52, "lon_0": 10,
+         "x_0": 4321000, "y_0": 3210000, "ellps": "GRS80"}
+    xp, yp = _one(spark, "POINT (10.75 52.25)", "EPSG:4326", d)
+    xr, yr = _one(spark, "POINT (10.75 52.25)", "EPSG:4326", "EPSG:3035")
+    assert xp == pytest.approx(xr, abs=1e-6)
+    assert yp == pytest.approx(yr, abs=1e-6)
+
+
+def test_osgb_published_control_point(spark):
+    """The OS worked example (Caister water tower): OSGB36 geographic
+    52°39'27.2531"N 1°43'4.5177"E → E 651409.903 N 313177.270. Both CRS
+    built from parameters only; the identical towgs84 cancels through
+    the WGS84 hub (sub-mm ECEF round-trip)."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = _one(spark, f"POINT ({lon} {lat})", OSGB36_LL, P27700)
+    assert x == pytest.approx(651409.903, abs=0.01)
+    assert y == pytest.approx(313177.270, abs=0.01)
+
+
+def test_snyder_lcc_numerical_example(spark):
+    """Snyder 1987 p. 296 (ellipsoidal LCC 2SP, Clarke 1866): standard
+    parallels 33/45N, origin (23N, 96W); (35N, 75W) → x = 1894410.9,
+    y = 1564649.5 (published to 0.1 m)."""
+    p4 = ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 "
+          "+x_0=0 +y_0=0 +ellps=clrk66")
+    x, y = _one(spark, "POINT (-75 35)", "EPSG:4326", p4)
+    assert x == pytest.approx(1894410.9, abs=0.5)
+    assert y == pytest.approx(1564649.5, abs=0.5)
+    lon, lat = _one(spark, f"POINT ({x} {y})", p4, "EPSG:4326")
+    assert lon == pytest.approx(-75.0, abs=1e-9)
+    assert lat == pytest.approx(35.0, abs=1e-9)
+
+
+def test_snyder_mercator_numerical_example(spark):
+    """Snyder 1987 pp. 44-45 (ellipsoidal Mercator, Clarke 1866,
+    central meridian 180W): (35N, 75W) → x = 11688673.7,
+    y = 4139145.6 (published to 0.1 m)."""
+    p4 = "+proj=merc +lon_0=-180 +ellps=clrk66"
+    x, y = _one(spark, "POINT (-75 35)", "EPSG:4326", p4)
+    assert x == pytest.approx(11688673.7, abs=0.5)
+    assert y == pytest.approx(4139145.6, abs=0.5)
+    lon, lat = _one(spark, f"POINT ({x} {y})", p4, "EPSG:4326")
+    assert lon == pytest.approx(-75.0, abs=1e-9)
+    assert lat == pytest.approx(35.0, abs=1e-9)
+
+
+def test_mercator_sphere_equals_webmercator(spark):
+    """+proj=merc on the WGS84 sphere (R = a) is exactly EPSG:3857."""
+    p4 = "+proj=merc +R=6378137"
+    for pt in ["POINT (1 0)", "POINT (-73.9857 40.7484)"]:
+        xp, yp = _one(spark, pt, "EPSG:4326", p4)
+        xr, yr = _one(spark, pt, "EPSG:4326", "EPSG:3857")
+        assert xp == pytest.approx(xr, abs=1e-6)
+        assert yp == pytest.approx(yr, abs=1e-6)
+
+
+def test_mercator_lat_ts(spark):
+    """+lat_ts resolves to k0 = m(lat_ts); at lat_ts the local scale is
+    true, so small longitude steps map to a·m(lat_ts)·dλ meters."""
+    import math
+    p4 = "+proj=merc +lat_ts=30 +ellps=GRS80"
+    x1, _ = _one(spark, "POINT (1 30)", "EPSG:4326", p4)
+    a, rf = 6378137.0, 298.257222101
+    f = 1 / rf
+    e2 = f * (2 - f)
+    m30 = math.cos(math.radians(30)) / math.sqrt(
+        1 - e2 * math.sin(math.radians(30)) ** 2)
+    assert x1 == pytest.approx(a * m30 * math.radians(1), abs=1e-6)
+
+
+def test_lcc_1sp_limit_and_k0(spark):
+    """The 1SP branch (lat_1 == lat_2, n = sin lat_1) is the analytic
+    limit of the 2SP form; k_0 scales the grid around the origin."""
+    one = "+proj=lcc +lat_1=45 +lon_0=8 +ellps=GRS80"
+    two = "+proj=lcc +lat_1=44.9999 +lat_2=45.0001 +lat_0=45 +lon_0=8 " \
+          "+ellps=GRS80"
+    x1, y1 = _one(spark, "POINT (9.5 46.25)", "EPSG:4326", one)
+    x2, y2 = _one(spark, "POINT (9.5 46.25)", "EPSG:4326", two)
+    assert x1 == pytest.approx(x2, abs=1e-3)
+    assert y1 == pytest.approx(y2, abs=1e-3)
+    scaled = "+proj=lcc +lat_1=45 +lon_0=8 +k_0=0.9999 +ellps=GRS80"
+    xs, ys = _one(spark, "POINT (9.5 46.25)", "EPSG:4326", scaled)
+    assert xs == pytest.approx(0.9999 * x1, abs=1e-6)
+    assert ys == pytest.approx(0.9999 * y1, abs=1e-6)
+
+
+def test_ntf_lambert_zone2_paris_meridian(spark):
+    """EPSG:27572 (NTF / Lambert zone II) from its public proj4: LCC 1SP
+    on Clarke 1880 IGN, +pm=paris, 3-param NTF datum shift. Round-trip
+    through the WGS84 hub + plausibility for central Paris."""
+    p4 = ("+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+          "+x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515 "
+          "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs")
+    x, y = _one(spark, "POINT (2.3522 48.8566)", "EPSG:4326", p4)
+    assert x == pytest.approx(600_000, abs=5_000)    # near zone origin lon
+    assert y == pytest.approx(2_428_000, abs=5_000)  # Paris ~ Y 2,428 km
+    lon, lat = _one(spark, f"POINT ({x} {y})", p4, "EPSG:4326")
+    assert lon == pytest.approx(2.3522, abs=1e-7)
+    assert lat == pytest.approx(48.8566, abs=1e-7)
+
+
+def test_nonregistry_epsg_roundtrips(spark):
+    """Non-registry EPSG codes from their public proj4 definitions:
+    fwd/inv identity + coarse placement."""
+    cases = [
+        # EPSG:3112 GDA94 / Geoscience Australia Lambert — Sydney
+        ("+proj=lcc +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=134 "
+         "+x_0=0 +y_0=0 +ellps=GRS80", (151.2093, -33.8688),
+         (1_500_000, 2_000_000), (-4_000_000, -3_500_000)),
+        # EPSG:2193 NZGD2000 / NZTM — Wellington
+        ("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+         "+y_0=10000000 +ellps=GRS80", (174.7762, -41.2865),
+         (1_700_000, 1_800_000), (5_400_000, 5_500_000)),
+        # EPSG:3083 NAD83 / Texas Centric Albers Equal Area — Austin
+        ("+proj=aea +lat_1=27.5 +lat_2=35 +lat_0=18 +lon_0=-100 "
+         "+x_0=1500000 +y_0=6000000 +ellps=GRS80", (-97.7431, 30.2672),
+         (1_600_000, 1_800_000), (7_300_000, 7_500_000)),
+        # EPSG:2180 ETRS89 / Poland CS92 — Warsaw
+        ("+proj=tmerc +lat_0=0 +lon_0=19 +k=0.9993 +x_0=500000 "
+         "+y_0=-5300000 +ellps=GRS80", (21.0122, 52.2297),
+         (600_000, 700_000), (400_000, 550_000)),
+    ]
+    for p4, (lon, lat), (xlo, xhi), (ylo, yhi) in cases:
+        x, y = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
+        assert xlo < x < xhi, (p4, x)
+        assert ylo < y < yhi, (p4, y)
+        lon2, lat2 = _one(spark, f"POINT ({x} {y})", p4, "EPSG:4326")
+        assert lon2 == pytest.approx(lon, abs=1e-9)
+        assert lat2 == pytest.approx(lat, abs=1e-9)
+
+
+def test_gdf_to_crs_accepts_param_form(spark):
+    df = spark.createDataFrame([("POINT (174.7762 -41.2865)",)],
+                               "wkt string") \
+        .withColumn("geometry", st.from_wkt("wkt")).drop("wkt")
+    nztm = "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 " \
+           "+y_0=10000000 +ellps=GRS80"
+    g2 = GeoDataFrame(df).to_crs(nztm)
+    assert g2.crs == nztm
+    r = g2.df.select(st.x("geometry").alias("x")).collect()[0]
+    assert 1_700_000 < r.x < 1_800_000
+    back = g2.to_crs("EPSG:4326").df.select(
+        st.x("geometry").alias("x")).collect()[0]
+    assert back.x == pytest.approx(174.7762, abs=1e-9)
+
+
+def test_param_crs_errors():
+    for bad in [
+        "+proj=stere +lat_0=90 +ellps=WGS84",   # unimplemented family
+        "+proj=lcc +lat_1=45 +ellps=NOPE",      # unknown ellipsoid
+        "+proj=utm",                            # zone missing
+        "+proj=utm +zone=77",                   # zone out of range
+        {"proj": "tmerc", "towgs84": "1,2"},    # bad towgs84 arity
+        {"lat_1": 45},                          # no proj key
+        "+proj=merc +units=parsec",             # unknown unit
+        "+proj=lcc +lat_1=45 +pm=atlantis",     # unknown prime meridian
+    ]:
+        with pytest.raises(CRSError):
+            transform_xy(F.lit(0.0), F.lit(0.0), "EPSG:4326", bad)
+
+
+def test_longlat_param_is_hub(spark):
+    """+proj=longlat with no shift is the WGS84 hub — a no-op."""
+    x, y = _one(spark, "POINT (12.5 -33.25)", "EPSG:4326",
+                "+proj=longlat +datum=WGS84 +no_defs")
+    assert (x, y) == (12.5, -33.25)
