@@ -1530,6 +1530,42 @@ def io_kml_roundtrip(spark, sf):
         .orderBy("n_nationkey"))
 
 
+def io_ipc_roundtrip(spark, sf):
+    """Arrow IPC (.arrow / Feather V2) write → read round trip as a
+    driver-gated query (r10; io.write_ipc / read_ipc — the reference's
+    ONLY bundled data format, datasets/__init__.py:39-42): nation rows
+    become rects, travel through a real IPC file (WKB geometry column +
+    GeoParquet-style 'geo' schema metadata carrying the CRS) and come
+    back; area/centroid of the decoded geometry are closed forms of the
+    key, so the oracle value-checks the whole encode→decode path."""
+    import os
+    import tempfile
+    from arctic_spark import io as aio
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    x = (k % 9).cast("double") * 2.0
+    y = (k % 5).cast("double") * 1.0
+    gdf = GeoDataFrame(n.select(
+        "n_nationkey", "n_name",
+        st.make_envelope(x, y, x + 3.0, y + 0.5).alias("geometry")),
+        crs="EPSG:4326")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"arctic_ipc_rt_{os.getpid()}.arrow")
+    aio.write_ipc(gdf, path)
+    back = aio.read_ipc(spark, path)
+    assert back.crs == "EPSG:4326"
+    from arctic_spark.functions.native import memo_col
+    ctr = memo_col(("io_gate_centroid", "geometry"),
+                   lambda: st.centroid(F.col("geometry")))
+    return (back.df.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.round(st.area("geometry"), 6).alias("area"),
+        F.round(st.x(ctr), 6).alias("cx"),
+        F.round(st.y(ctr), 6).alias("cy"))
+        .orderBy("n_nationkey"))
+
+
 def io_gpkg_roundtrip(spark, sf):
     """GDAL-free OGC GeoPackage write → read round trip as a
     driver-gated query (round 8; io.write_geopackage /
@@ -3808,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "io_fgb_roundtrip": io_fgb_roundtrip,
         "io_kml_roundtrip": io_kml_roundtrip,
+        "io_ipc_roundtrip": io_ipc_roundtrip,
         "mm_jpeg_progressive": mm_jpeg_progressive,
         "q_anti_join": q_anti_join,
         "geo_point_accessors": geo_point_accessors,
@@ -5809,6 +5846,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3.0 AS DOUBLE) AS area,
                    round((n_nationkey % 6) * 4.0 + 2.0/3.0, 6) AS cx,
                    round((n_nationkey % 4) * 3.0 + 1.0, 6) AS cy
+            FROM nation ORDER BY n_nationkey
+        """,
+        "io_ipc_roundtrip": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(1.5 AS DOUBLE) AS area,
+                   round((n_nationkey % 9) * 2.0 + 1.5, 6) AS cx,
+                   round((n_nationkey % 5) * 1.0 + 0.25, 6) AS cy
             FROM nation ORDER BY n_nationkey
         """,
         "io_gpkg_roundtrip": """

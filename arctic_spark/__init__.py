@@ -71,7 +71,9 @@ def __getattr__(name):
                 "from_wkt_df", "read_geojson", "write_geojson",
                 "read_shapefile", "read_geopackage",
                 "write_geopackage", "read_flatgeobuf",
-                "write_flatgeobuf", "read_file"):
+                "write_flatgeobuf", "read_file",
+                "read_kml", "write_kml", "read_gpx", "read_gml",
+                "read_ipc", "write_ipc"):
         from . import io
         return getattr(io, name)
     raise AttributeError(name)
@@ -93,4 +95,5 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "sketches", "hll_sketch", "hll_merge", "hll_estimate",
            "hll_estimate_by", "kmv_sketch", "kmv_merge", "kmv_estimate",
            "kmv_jaccard", "cms_sketch", "cms_merge", "cms_query",
-           "read_file", "read_kml", "write_kml", "read_gpx", "read_gml"]
+           "read_file", "read_kml", "write_kml", "read_gpx", "read_gml",
+           "read_ipc", "write_ipc"]

@@ -725,6 +725,107 @@ def read_gpx(spark: SparkSession, path: str, layer: str = "tracks",
     return GeoDataFrame(df, geometry_column, "EPSG:4326")
 
 
+def _crs_from_geo_meta(colmeta) -> str:
+    """Best-effort CRS string from GeoParquet/GeoArrow 'geo' column
+    metadata: PROJJSON dicts carry id.authority/code; WKT strings carry
+    an EPSG AUTHORITY/ID tail; short 'EPSG:n' strings pass through."""
+    crs = colmeta.get("crs")
+    if crs is None:
+        return DEFAULT_CRS
+    if isinstance(crs, dict):  # PROJJSON
+        ident = crs.get("id") or {}
+        if ident.get("authority") and ident.get("code") is not None:
+            return f"{ident['authority']}:{ident['code']}"
+        return DEFAULT_CRS
+    s = str(crs)
+    if ":" in s and len(s) < 24 and "[" not in s:
+        return s
+    import re
+    hits = re.findall(r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?', s)
+    return f"EPSG:{hits[-1]}" if hits else DEFAULT_CRS
+
+
+def read_ipc(spark: SparkSession, path: str, geometry_column=None,
+             columns=None, max_features=None):
+    """Arrow IPC / Feather-V2 reader (``.arrow``) — the reference's ONLY
+    bundled data format: its dataset loader reads .arrow files
+    (py-geopolars/python/geopolars/datasets/__init__.py:39-42) and its
+    benches read data/cities.arrow (geopolars/benches/affine.rs:8-21).
+    Honors GeoPandas/GeoArrow ``geo`` schema metadata: primary geometry
+    column, WKB encoding, CRS (PROJJSON or WKT). Unsigned Arrow integer
+    columns widen to int64 (Spark has no unsigned types). Returns a
+    GeoDataFrame when a geometry column is found (WKB decoded to the
+    GEOM struct), else a plain DataFrame.
+
+    Driver-side single-file ingest by design — IPC files are not
+    row-group-splittable the way parquet is; data at scale belongs in
+    :func:`read_geoparquet`."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    try:
+        with ipc.open_file(path) as r:
+            table = r.read_all()
+    except pa.ArrowInvalid:
+        with ipc.open_stream(path) as r:   # stream-format fallback
+            table = r.read_all()
+    meta = table.schema.metadata or {}
+    geo = {}
+    if b"geo" in meta:
+        try:
+            geo = json.loads(meta[b"geo"])
+        except (ValueError, UnicodeDecodeError):
+            geo = {}
+    gcol = geometry_column or geo.get("primary_column") or (
+        DEFAULT_GEO_COLUMN_NAME
+        if DEFAULT_GEO_COLUMN_NAME in table.column_names else None)
+    crs = DEFAULT_CRS
+    if gcol and gcol in geo.get("columns", {}):
+        crs = _crs_from_geo_meta(geo["columns"][gcol])
+    fields, widened = [], False
+    for f in table.schema:
+        t = f.type
+        if pa.types.is_unsigned_integer(t):
+            t, widened = pa.int64(), True
+        fields.append(pa.field(f.name, t))
+    if widened:
+        table = table.cast(pa.schema(fields))
+    if columns is not None:
+        keep = [c for c in table.column_names
+                if c in set(columns) or c == gcol]
+        table = table.select(keep)
+    if max_features is not None:
+        table = table.slice(0, int(max_features))
+    pdf = table.to_pandas()
+    if gcol and gcol in pdf.columns:
+        from .geodataframe import from_pandas_wkb
+        return from_pandas_wkb(spark, pdf, gcol, crs)
+    return spark.createDataFrame(pdf)
+
+
+def write_ipc(gdf: GeoDataFrame, path: str) -> None:
+    """Arrow IPC (Feather V2) writer: geometry encodes to a WKB binary
+    column plus GeoParquet-style ``geo`` schema metadata (primary
+    column, encoding, CRS) — the same layout the reference's bundled
+    .arrow datasets use, so :func:`read_ipc`, GeoPandas and the
+    reference's loader all round-trip it. Driver-side single file (the
+    companion of :func:`read_ipc`); distributed output belongs in
+    :func:`write_geoparquet`."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from .geodataframe import to_pandas_wkb
+    gcol = gdf.geometry_column
+    pdf = to_pandas_wkb(gdf)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    meta = dict(table.schema.metadata or {})
+    meta[b"geo"] = json.dumps(
+        {"version": "1.0.0", "primary_column": gcol,
+         "columns": {gcol: {"encoding": "WKB",
+                            "crs": str(gdf.crs)}}}).encode()
+    table = table.replace_schema_metadata(meta)
+    with ipc.new_file(path, table.schema) as w:
+        w.write_table(table)
+
+
 def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
               max_features=None, **pyogrio_kwargs):
     """Vector-file read (reference read_file, io/file.py:15-119).
@@ -764,6 +865,12 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
             out = read_geojson(spark, path)
         elif low.endswith((".geojsonl", ".ndjson", ".geojsons")):
             out = read_geojson(spark, path, lines=True)
+        elif low.endswith((".arrow", ".feather", ".ipc")):
+            out = read_ipc(spark, path, columns=columns,
+                           max_features=max_features)
+            if not isinstance(out, GeoDataFrame):
+                return out            # attribute-only table
+            columns = max_features = None     # applied Arrow-side
         elif low.endswith(".parquet"):
             out = read_geoparquet(spark, path)
         if out is not None:
