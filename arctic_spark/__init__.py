@@ -28,8 +28,8 @@ def __getattr__(name):
                 "sjoin_nearest", "estimate_cell_size", "overlay"):
         from . import joins
         return getattr(joins, name)
-    if name in ("from_arrow", "from_geopandas", "from_pandas_wkb",
-                "to_pandas_wkb", "to_geopandas"):
+    if name in ("from_arrow", "to_arrow", "from_geopandas",
+                "from_pandas_wkb", "to_pandas_wkb", "to_geopandas"):
         from . import geodataframe
         return getattr(geodataframe, name)
     if name in ("cluster_within", "cluster_dbscan", "cluster_kmeans"):
@@ -86,7 +86,7 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "range_join", "release", "register_sql_functions", "overlay",
            "sessionize", "session_stats", "make_trajectories",
            "salted_join", "skewed_keys", "bloom_semi_filter",
-           "from_arrow", "from_geopandas", "from_pandas_wkb",
+           "from_arrow", "to_arrow", "from_geopandas", "from_pandas_wkb",
            "to_pandas_wkb", "to_geopandas", "write_bucketed",
            "write_geoparquet",
            "read_geoparquet", "from_wkt_df", "read_geojson",

@@ -283,14 +283,109 @@ def from_pandas_wkb(spark, pdf, geometry_column=DEFAULT_GEO_COLUMN_NAME,
 
 
 def from_arrow(spark, table, geometry_column=DEFAULT_GEO_COLUMN_NAME,
-               crs=DEFAULT_CRS) -> "GeoDataFrame":
-    """Ingest a pyarrow Table whose geometry column holds WKB binary —
-    the analogue of the reference's ``from_arrow``
-    (py-geopolars/python/geopolars/convert.py). Driver-side by design
-    (an Arrow table is already driver-resident); large datasets should
-    arrive via ``io.read_geoparquet`` instead."""
+               crs=DEFAULT_CRS, geom_type=None) -> "GeoDataFrame":
+    """Ingest a pyarrow Table (or a bare geometry Array) — the analogue
+    of the reference's ``from_arrow``
+    (py-geopolars/python/geopolars/convert.py).
+
+    A binary geometry column decodes as WKB. A NESTED geometry column
+    decodes as GeoArrow struct encoding — Point struct{x,y}, LineString
+    list<struct>, Polygon list<list<struct>> (the reference's encodings,
+    geoseries.py:86-107) PLUS the Multi* nestings the reference raises
+    NotImplementedError on (geoseries.py:109-138) and the interleaved
+    fixed_size_list Point variant. ``geom_type`` ('multipoint', …)
+    disambiguates the shared physical layouts (LineString/MultiPoint,
+    Polygon/MultiLineString); extension names win when present.
+
+    Driver-side by design (an Arrow table is already driver-resident);
+    large datasets should arrive via ``io.read_geoparquet`` instead."""
+    import pyarrow as pa
+    if isinstance(table, (pa.Array, pa.ChunkedArray)):
+        table = pa.table({geometry_column: table})
+    gcol = geometry_column
+    if gcol in table.column_names:
+        t = table.schema.field(gcol).type
+        base = t.storage_type if isinstance(t, pa.ExtensionType) else t
+        if not (pa.types.is_binary(base) or pa.types.is_large_binary(base)
+                or pa.types.is_string(base)):
+            from pyspark.sql import types as T
+            from .geom.geoarrow import decode_geoarrow
+            from .sparktypes import GEOM_TYPE
+            geoms = decode_geoarrow(table.column(gcol), geom_type)
+            attrs = table.drop_columns([gcol])
+            recs = attrs.to_pylist() if attrs.num_columns else \
+                [{} for _ in geoms]
+            data = [tuple(r.values()) + (g,) for r, g in zip(recs, geoms)]
+            fields = [T.StructField(f.name, _pa_to_spark(f.type))
+                      for f in attrs.schema]
+            fields.append(T.StructField(gcol, GEOM_TYPE))
+            df = spark.createDataFrame(data, T.StructType(fields))
+            return GeoDataFrame(df, gcol, crs)
     pdf = table.to_pandas()
-    return from_pandas_wkb(spark, pdf, geometry_column, crs)
+    return from_pandas_wkb(spark, pdf, gcol, crs)
+
+
+def _pa_to_spark(t):
+    """Arrow attribute type → Spark type (driver-side ingest helper)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_integer(t):
+        return T.LongType()
+    if pa.types.is_floating(t):
+        return T.DoubleType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    if pa.types.is_timestamp(t):
+        return T.TimestampType()
+    if pa.types.is_date(t):
+        return T.DateType()
+    return T.StringType()
+
+
+def to_arrow(gdf: "GeoDataFrame", encoding: str = "geoarrow"):
+    """Driver-side export to a pyarrow Table (reference ``to_arrow``
+    surface). ``encoding='geoarrow'`` emits the nested struct encoding
+    (single geometry type required — incl. the Multi* nestings the
+    reference can't emit); mixed-type columns FALL BACK to WKB exactly
+    like the reference's from_geopandas does for mixed input
+    (geoseries.py:71-73). ``encoding='wkb'`` forces the binary path.
+    Schema metadata carries the GeoParquet-style ``geo`` blob with the
+    encoding name and CRS."""
+    import json
+    import pyarrow as pa
+    gcol = gdf.geometry_column
+    if encoding not in ("geoarrow", "wkb"):
+        raise ValueError(f"encoding must be 'geoarrow' or 'wkb', "
+                         f"got {encoding!r}")
+    enc_name = "WKB"
+    if encoding == "geoarrow":
+        from .geom.geoarrow import encode_geoarrow, extension_name
+        rows = gdf.df.collect()
+        sch = gdf.df.schema
+        try:
+            garr, kind = encode_geoarrow([r[gcol] for r in rows])
+            enc_name = extension_name(kind)
+            cols, names = [], []
+            for f in sch.fields:
+                if f.name == gcol:
+                    cols.append(garr)
+                else:
+                    cols.append(pa.array([r[f.name] for r in rows]))
+                names.append(f.name)
+            table = pa.table(dict(zip(names, cols)))
+        except ValueError:
+            encoding = "wkb"   # mixed types: reference-style fallback
+    if encoding == "wkb":
+        pdf = to_pandas_wkb(gdf)
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+    meta = dict(table.schema.metadata or {})
+    meta[b"geo"] = json.dumps(
+        {"version": "1.0.0", "primary_column": gcol,
+         "columns": {gcol: {"encoding": enc_name,
+                            "crs": str(gdf.crs)}}}).encode()
+    return table.replace_schema_metadata(meta)
 
 
 def from_geopandas(spark, gdf, crs=None) -> "GeoDataFrame":
