@@ -313,6 +313,40 @@ def semdedup(df: DataFrame, centroids, threshold: float = 0.9,
 # search — the other classic scale path besides hyperplane LSH
 # ---------------------------------------------------------------------------
 
+def _kmeanspp_init(X, k, rng):
+    """k-means++ seeding (Arthur & Vassilvitskii 2007): first center
+    uniform, each next ∝ squared distance to the nearest chosen center.
+    Deterministic given the rng, and far less sensitive to the sample's
+    canonical (md5) ordering than a uniform row draw."""
+    import numpy as np
+    n = len(X)
+    idx = [int(rng.integers(n))]
+    d2 = ((X - X[idx[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        tot = d2.sum()
+        if tot > 0:
+            i = int(rng.choice(n, p=d2 / tot))
+        else:
+            i = int(rng.integers(n))
+        idx.append(i)
+        d2 = np.minimum(d2, ((X - X[i]) ** 2).sum(axis=1))
+    return X[idx].copy()
+
+
+def _spread_sample(df: DataFrame, vec_col, limit: int):
+    """Deterministic, ingest-order-independent training draw: the
+    ``limit`` rows whose md5(vector) sorts lowest — a
+    TakeOrderedAndProject (per-partition top-k, no full shuffle), so
+    the sample is uniform in hash space regardless of how the corpus is
+    sorted or partitioned. A plain ``limit(n)`` takes the FIRST n rows
+    of an arbitrary partition order, which on a sorted-by-ingest corpus
+    yields a skewed codebook (VERDICT r9 nit #2)."""
+    v = _c(vec_col).alias("v")
+    return (df.select(v)
+              .orderBy(F.md5(F.col("v").cast("string")))
+              .limit(int(limit)).collect())
+
+
 def train_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
                         vec_col="embedding", sample_limit: int = 4096,
                         iters: int = 15, seed: int = 42):
@@ -321,12 +355,12 @@ def train_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
     Returns centroids as a plain list of lists (broadcastable literals).
     """
     import numpy as np
-    rows = (df.select(_c(vec_col).alias("v")).limit(sample_limit).collect())
+    rows = _spread_sample(df, vec_col, sample_limit)
     X = np.array([r.v for r in rows], dtype=np.float64)
     if len(X) < n_clusters:
         raise ValueError(f"need >= {n_clusters} sample vectors, got {len(X)}")
     rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), n_clusters, replace=False)]
+    C = _kmeanspp_init(X, n_clusters, rng)
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)
@@ -462,7 +496,7 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int = 8,
     if dim % m:
         raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     dsub = dim // m
-    rows = df.select(_c(vec_col).alias("v")).limit(sample_limit).collect()
+    rows = _spread_sample(df, vec_col, sample_limit)
     X = np.array([r.v for r in rows], dtype=np.float64)
     if len(X) < n_codes:
         raise ValueError(f"need >= {n_codes} sample vectors, got {len(X)}")
@@ -470,7 +504,7 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int = 8,
     books = []
     for j in range(m):
         S = X[:, j * dsub:(j + 1) * dsub]
-        C = S[rng.choice(len(S), n_codes, replace=False)]
+        C = _kmeanspp_init(S, n_codes, rng)
         for _ in range(iters):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)

@@ -279,6 +279,30 @@ def test_semdedup(spark):
     assert ivf_nat == ivf_arr
 
 
+def test_codebook_training_is_order_independent(spark):
+    """IVF/PQ codebooks train on an md5-spread sample, so ingest order
+    and partitioning must not change the result (r10, VERDICT r9 #2)."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(500)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    b = spark.createDataFrame(shuffled,
+                              "vec_id long, embedding array<double>") \
+        .repartition(7)
+    ca = similarity.train_ivf_centroids(a, dim=8, n_clusters=4,
+                                        sample_limit=200)
+    cb = similarity.train_ivf_centroids(b, dim=8, n_clusters=4,
+                                        sample_limit=200)
+    assert ca == cb
+    pa_ = similarity.train_pq_codebooks(a, dim=8, m=2, n_codes=4,
+                                        sample_limit=200)
+    pb = similarity.train_pq_codebooks(b, dim=8, m=2, n_codes=4,
+                                       sample_limit=200)
+    assert pa_ == pb
+
+
 def test_gopher_repetition_metrics(spark):
     rows = spark.createDataFrame(
         [(1, "spam spam spam spam"),               # one token repeated
@@ -509,11 +533,29 @@ def test_pq_adc_recall_and_rerank(spark):
     got = {}
     for r in approx:
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
-    hits = sum(len(want[k0] & got.get(k0, set())) for k0 in want)
     # ADC-only is genuinely lossy for fine in-blob ranking: quantization
-    # error ~ the blob noise scale. Numpy ground truth on this exact
-    # fixture is 7/15 — the Spark path must match that, not beat it.
-    assert hits / 15 >= 0.4
+    # error ~ the blob noise scale. The binding check is exact parity
+    # with an independent numpy ADC replay of the SAME codebooks
+    # (encode corpus to nearest code per subspace, rank queries by the
+    # LUT sum, excluding self) — not a recall threshold that shifts
+    # with codebook luck (r10).
+    B = np.array(books)                       # (m, n_codes, dsub)
+    m_sub, _nc, dsub = B.shape
+    codes = np.stack([
+        ((X[:, j * dsub:(j + 1) * dsub][:, None, :] - B[j][None, :, :])
+         ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(m_sub)], axis=1)       # (n, m)
+    np_adc = {}
+    for qi in range(5):
+        lut = np.stack([
+            ((B[j] - X[qi][j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+            for j in range(m_sub)])           # (m, n_codes)
+        d = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+        d[qi] = np.inf                        # exclude_self
+        order = np.lexsort((np.arange(len(d)), d))
+        np_adc[qi] = set(order[:3].tolist())
+    assert got == np_adc
+    hits = sum(len(want[k0] & got.get(k0, set())) for k0 in want)
     # exact re-rank of a 10-candidate ADC shortlist: near-perfect
     rr = similarity.pq_topk(q, df, books, k=3, rerank=10).collect()
     got_rr = {}
