@@ -244,6 +244,7 @@ def parse_jpeg(buf: bytes) -> np.ndarray:
     frame = None
     restart = 0
     prog_coefs = None         # progressive: id -> accumulated coef grid
+    seq_coefs = None          # multi-scan baseline: same grid layout
     p = 2
     while p < len(b):
         if b[p] != 0xFF:
@@ -329,18 +330,26 @@ def parse_jpeg(buf: bytes) -> np.ndarray:
                 p = _prog_scan(b, p + ln, frame, scomps, huff, restart,
                                prog_coefs, ss, se, ahal >> 4, ahal & 15)
                 continue
-            if ns < len(frame["comps"]):
-                # A legal multi-scan (non-interleaved) baseline file
-                # puts each component in its own SOS; decoding only the
-                # first would silently return a Y-only image (ADVICE r8)
-                raise NotImplementedError(
-                    "multi-scan baseline not supported: first SOS covers "
-                    f"{ns} of {len(frame['comps'])} frame components")
+            if ns < len(frame["comps"]) or seq_coefs is not None:
+                # A legal multi-scan baseline file spreads the frame's
+                # components over several SOS segments (one
+                # non-interleaved scan per component is the common
+                # layout). Accumulate full-precision coefficients in
+                # the progressive-style grids and finish at EOI —
+                # decoding only the first SOS would silently return a
+                # Y-only image (ADVICE r8; unified r10, VERDICT r9 #3)
+                if seq_coefs is None:
+                    seq_coefs = _prog_alloc(frame)
+                p = _seq_scan(b, p + ln, frame, scomps, huff, restart,
+                              seq_coefs)
+                continue
             return _decode_scan(b, p + ln, frame, scomps, qt, huff,
                                 restart)
         p += ln
     if frame is not None and frame.get("progressive") and prog_coefs:
         return _prog_finish(frame, prog_coefs, qt)
+    if frame is not None and seq_coefs:
+        return _prog_finish(frame, seq_coefs, qt)
     raise JpegError("no SOS segment found")
 
 
@@ -463,6 +472,67 @@ def _next_marker(b, p):
             return p
         p += 1
     return len(b)
+
+
+def _seq_block(rdr, dct, act, zz, preds, cid):
+    """One full-precision 0..63 sequential data unit into a zigzag
+    coefficient vector (the baseline block procedure of _decode_scan,
+    targeted at the shared progressive-style grids)."""
+    t = rdr.decode_huff(dct)
+    preds[cid] += _extend(rdr.receive(t), t)
+    zz[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = rdr.decode_huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break                                  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC index out of range")
+        zz[k] = _extend(rdr.receive(s), s)
+        k += 1
+
+
+def _seq_scan(b, pos, frame, scomps, huff, restart, coefs):
+    """One SEQUENTIAL (baseline) SOS decoded into the shared
+    per-component coefficient grids — the multi-scan baseline path
+    (T.81 lets a baseline frame spread its components over several
+    scans, e.g. one non-interleaved SOS per component). Reuses the
+    progressive machinery's grid accumulation and _prog_finish
+    dequant/IDCT, so a 3-scan sequential file decodes identically to
+    the same image in the interleaved single-scan layout."""
+    rdr = _BitReader(b, pos)
+    preds = {c["id"]: 0 for c, _, _ in scomps}
+    if len(scomps) == 1:                          # non-interleaved
+        c, td, ta = scomps[0]
+        dct, act = huff[(0, td)], huff[(1, ta)]
+        grid = coefs[c["id"]]
+        _, _, bwn, bhn, _, _ = _prog_grid(frame, c)
+        for bi in range(bwn * bhn):
+            if restart and bi and bi % restart == 0:
+                rdr.align_restart(bi // restart - 1)
+                preds[c["id"]] = 0
+            _seq_block(rdr, dct, act, grid[bi // bwn, bi % bwn],
+                       preds, c["id"])
+        return _next_marker(b, rdr.p)
+    _, _, _, _, mcx, mcy = _prog_grid(frame, scomps[0][0])
+    for mi in range(mcx * mcy):                   # interleaved, MCU order
+        if restart and mi and mi % restart == 0:
+            rdr.align_restart(mi // restart - 1)
+            preds = {c["id"]: 0 for c, _, _ in scomps}
+        my, mx = divmod(mi, mcx)
+        for c, td, ta in scomps:
+            grid = coefs[c["id"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    _seq_block(rdr, huff[(0, td)], huff[(1, ta)],
+                               grid[my * c["v"] + by, mx * c["h"] + bx],
+                               preds, c["id"])
+    return _next_marker(b, rdr.p)
 
 
 def _prog_scan(b, pos, frame, scomps, huff, restart, coefs,
@@ -980,11 +1050,17 @@ def _sym_stream(zz_blocks):
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                multi_scan: bool = False) -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
     baseline JPEG. ``subsample=True`` uses 4:2:0 chroma (box mean),
     else 4:4:4. Tables: Annex-K quantization scaled by ``quality``,
-    per-image fixed-length canonical Huffman (module docstring)."""
+    per-image fixed-length canonical Huffman (module docstring).
+
+    ``multi_scan=True`` (4:4:4 color only) emits one NON-INTERLEAVED
+    SOS per component instead of one interleaved scan — the legal
+    multi-scan baseline layout of T.81, used as the byte fixture for
+    the multi-scan decode path (r10)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -1098,6 +1174,38 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     if not gray:
         out += dht(0, 1, dc1) + dht(1, 1, ac1)
 
+    emaps = {cid: (dc.encode_map(), ac.encode_map())
+             for cid, (_, dc, ac) in tabs.items()}
+
+    if multi_scan:
+        if gray or subsample:
+            raise ValueError("multi_scan needs 4:4:4 color (one "
+                             "non-interleaved scan per component)")
+        # one SOS per component; with 1x1 sampling the MCU order IS the
+        # component's raster order, and _sym_stream's DC chain is
+        # already per-component, so the streams reuse verbatim
+        for c in comps:
+            tid = tabs[c["id"]][0]
+            out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1])
+            out += bytes([c["id"], (tid << 4) | tid])
+            out += bytes([0, 63, 0])
+            wtr = _BitWriter()
+            dmap, amap = emaps[c["id"]]
+            for t, dval, acs in streams[c["id"]]:
+                code, ln = dmap[t]
+                wtr.bits(code, ln)
+                if t:
+                    wtr.bits(dval, t)
+                for sym, val, s in acs:
+                    code, ln = amap[sym]
+                    wtr.bits(code, ln)
+                    if s:
+                        wtr.bits(val, s)
+            wtr.flush()
+            out += wtr.out
+        out += b"\xff\xd9"                             # EOI
+        return bytes(out)
+
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
     for c in comps:
         tid = tabs[c["id"]][0]
@@ -1105,8 +1213,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     out += bytes([0, 63, 0])
 
     wtr = _BitWriter()
-    emaps = {cid: (dc.encode_map(), ac.encode_map())
-             for cid, (_, dc, ac) in tabs.items()}
     idxs = {cid: 0 for cid in streams}
     for mi in range(mcx * mcy):
         for c in comps:

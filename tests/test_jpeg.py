@@ -187,3 +187,44 @@ def test_multimodal_dispatch_decodes_jpeg():
     out = _decode_image_bytes(J.encode_jpeg(img, quality=92))
     assert out.shape == (16, 16)
     assert np.abs(out.astype(int) - 99).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# multi-scan baseline (r10): one non-interleaved SOS per component
+# ---------------------------------------------------------------------------
+
+def _rand_rgb(rng, h, w):
+    return (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+
+def test_multi_scan_baseline_decodes_identically():
+    """A legal 3-scan non-interleaved baseline file (each component in
+    its own SOS) must decode byte-identically to the SAME image encoded
+    as one interleaved scan — the coefficients are equal, only the scan
+    layout differs (T.81 multi-scan baseline; VERDICT r9 #3)."""
+    rng = np.random.default_rng(17)
+    for h, w in [(16, 16), (13, 22)]:            # aligned + ragged dims
+        img = _rand_rgb(rng, h, w)
+        single = J.encode_jpeg(img, quality=80)
+        multi = J.encode_jpeg(img, quality=80, multi_scan=True)
+        # structure: exactly three SOS markers, each covering 1 component
+        sos_at = [i for i in range(len(multi) - 1)
+                  if multi[i] == 0xFF and multi[i + 1] == 0xDA]
+        assert len(sos_at) == 3
+        for pos in sos_at:
+            ns = multi[pos + 4]
+            assert ns == 1
+        a = J.parse_jpeg(single)
+        b = J.parse_jpeg(multi)
+        assert a.shape == b.shape == (h, w, 3)
+        assert np.array_equal(a, b)
+
+
+def test_multi_scan_gray_subsample_rejected():
+    rng = np.random.default_rng(3)
+    gray = (rng.random((16, 16)) * 255).astype(np.uint8)
+    with pytest.raises(ValueError):
+        J.encode_jpeg(gray, multi_scan=True)
+    with pytest.raises(ValueError):
+        J.encode_jpeg(_rand_rgb(rng, 16, 16), subsample=True,
+                      multi_scan=True)
