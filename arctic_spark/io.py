@@ -843,8 +843,12 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
     pushdown for .fgb — only intersecting leaves are decoded — a
     lazy bbox-intersects filter elsewhere), ``columns`` (projection;
     Catalyst prunes the scan for parquet) and ``max_features``
-    (limit). Remaining pyogrio kwargs (where/fids/sql/layer) stay on
-    the GDAL passthrough."""
+    (limit) — plus ``where`` (r10): an attribute-filter SQL expression
+    applied post-parse as ``df.where(...)``; the reference forwards it
+    to GDAL's OGR SQL (io/file.py:48-86), and simple comparison/IN/LIKE
+    predicates read identically in Spark SQL. Remaining pyogrio kwargs
+    (fids/sql/layer) stay on the GDAL passthrough."""
+    where = pyogrio_kwargs.pop("where", None)
     low = path.lower()
     if not pyogrio_kwargs:
         out = None
@@ -866,11 +870,24 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
         elif low.endswith((".geojsonl", ".ndjson", ".geojsons")):
             out = read_geojson(spark, path, lines=True)
         elif low.endswith((".arrow", ".feather", ".ipc")):
-            out = read_ipc(spark, path, columns=columns,
-                           max_features=max_features)
+            # where must filter BEFORE the projection and any row
+            # limit, so hold columns/max_features back from the
+            # Arrow-side pushdown when a predicate is present
+            out = read_ipc(spark, path,
+                           columns=None if where else columns,
+                           max_features=None if where else max_features)
             if not isinstance(out, GeoDataFrame):
+                if where is not None:
+                    out = out.where(where)
+                    if columns is not None:
+                        keep = [c for c in out.columns
+                                if c in set(columns)]
+                        out = out.select(*keep)
+                    if max_features is not None:
+                        out = out.limit(int(max_features))
                 return out            # attribute-only table
-            columns = max_features = None     # applied Arrow-side
+            if where is None:
+                columns = max_features = None  # applied Arrow-side
         elif low.endswith(".parquet"):
             out = read_geoparquet(spark, path)
         if out is not None:
@@ -882,6 +899,10 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
                     (x0 <= float(xmax)) & (float(xmin) <= x1)
                     & (y0 <= float(ymax)) & (float(ymin) <= y1)),
                     gcol, out.crs)
+            if where is not None:
+                # filter before the projection so the predicate may
+                # reference columns the caller is not keeping
+                out = GeoDataFrame(out.df.where(where), gcol, out.crs)
             if columns is not None:
                 keep = [c for c in out.df.columns
                         if c in set(columns) or c == gcol]
@@ -897,6 +918,8 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
             "read_file requires pyogrio/GDAL which is not available in "
             "this environment; use read_geoparquet / from_wkt_df instead"
         ) from e
+    if where is not None:                             # pragma: no cover
+        pyogrio_kwargs["where"] = where
     meta, table = read_arrow(path, **pyogrio_kwargs)  # pragma: no cover
     pdf = table.to_pandas()
     gcol = meta.get("geometry_name") or "wkb_geometry"

@@ -1,0 +1,103 @@
+"""read_file(where=...) on the native format dispatch (r10): the
+reference forwards `where` SQL to GDAL (io/file.py:48-86); the native
+readers honor it as a post-parse filter, applied before the column
+projection and before max_features."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import arctic_spark
+from arctic_spark import GeoDataFrame, st
+from arctic_spark import io as aio
+
+
+def _gdf(spark):
+    rows = [(i, f"n{i}", f"POINT ({i} {i + 0.5})") for i in range(6)]
+    df = spark.createDataFrame(rows, "k long, name string, wkt string") \
+        .select("k", "name", st.from_wkt("wkt").alias("geometry"))
+    return GeoDataFrame(df, crs="EPSG:4326")
+
+
+def _tmp(ext):
+    return os.path.join(tempfile.gettempdir(),
+                        f"arctic_where_{os.getpid()}{ext}")
+
+
+@pytest.mark.parametrize("ext,writer,kcol,namecol", [
+    # the geojson reader carries attributes as a JSON `properties`
+    # string — the where expression digs in with get_json_object
+    (".geojsonl", lambda g, p: aio.write_geojson(g, p),
+     "CAST(get_json_object(properties, '$.k') AS BIGINT)", "properties"),
+    (".gpkg", lambda g, p: aio.write_geopackage(g, p, layer="t"),
+     "k", "name"),
+    (".fgb", lambda g, p: aio.write_flatgeobuf(g, p), "k", "name"),
+    (".arrow", lambda g, p: aio.write_ipc(g, p), "k", "name"),
+])
+def test_where_on_native_formats(spark, ext, writer, kcol, namecol):
+    gdf = _gdf(spark)
+    path = _tmp(ext)
+    try:
+        writer(gdf, path)
+        out = arctic_spark.read_file(spark, path, where=f"{kcol} >= 4")
+        ks = sorted(r.k for r in out.df.select(
+            F.expr(kcol).cast("long").alias("k")).collect())
+        assert ks == [4, 5], ext
+        # where runs BEFORE max_features (filter-then-limit) and may
+        # reference columns the projection drops
+        out2 = arctic_spark.read_file(spark, path, where=f"{kcol} >= 2",
+                                      columns=[namecol], max_features=2)
+        assert out2.df.count() == 2
+        assert set(out2.df.columns) == {namecol.split(".")[0], "geometry"}
+    finally:
+        import shutil
+        if os.path.isdir(path):
+            shutil.rmtree(path)        # Spark text writer emits a dir
+        elif os.path.exists(path):
+            os.remove(path)
+
+
+def test_where_on_geoparquet_dir(spark):
+    gdf = _gdf(spark)
+    path = _tmp(".parquet")
+    try:
+        aio.write_geoparquet(gdf, path)
+        out = arctic_spark.read_file(spark, path, where="k IN (1, 3)")
+        ks = sorted(r.k for r in out.df.select("k").collect())
+        assert ks == [1, 3]
+    finally:
+        import shutil
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+
+def test_where_on_kml_string_attr(spark):
+    gdf = _gdf(spark)
+    path = _tmp(".kml")
+    try:
+        aio.write_kml(gdf, path, name_column="name")
+        out = arctic_spark.read_file(spark, path,
+                                     where="name LIKE 'n1%'")
+        assert [r.name for r in out.df.select("name").collect()] == ["n1"]
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+
+
+def test_where_on_attribute_only_arrow(spark):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    path = _tmp("_plain.arrow")
+    try:
+        t = pa.table({"k": list(range(10)), "v": [f"s{i}" for i in range(10)]})
+        with ipc.new_file(path, t.schema) as w:
+            w.write_table(t)
+        out = arctic_spark.read_file(spark, path, where="k % 2 = 0",
+                                     max_features=3)
+        assert out.count() == 3
+        assert all(r.k % 2 == 0 for r in out.collect())
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
