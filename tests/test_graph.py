@@ -160,3 +160,22 @@ def test_common_neighbors_matches_brute(spark):
     strict = {(r.u, r.v) for r in
               common_neighbors(df, min_common=2).collect()}
     assert strict == {(2, 4), (1, 3)}
+
+
+def test_triangle_orientations_agree(spark):
+    """Degree orientation (r10 default) and the r9 id orientation count
+    the same triangles — including under a skewed hub with a SMALL id
+    (the case id-orientation handles worst)."""
+    import random
+    from arctic_spark.llm.graph import triangle_count
+    rnd = random.Random(23)
+    edges = {(0, k) for k in range(1, 40)}          # hub at id 0
+    edges |= {(rnd.randrange(1, 40), rnd.randrange(1, 40))
+              for _ in range(120)}
+    rows = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    deg = sorted((r.id, r.n_triangles) for r in
+                 triangle_count(df, orient="degree").collect())
+    idd = sorted((r.id, r.n_triangles) for r in
+                 triangle_count(df, orient="id").collect())
+    assert deg == idd and len(deg) > 0
