@@ -335,15 +335,18 @@ def _kmeanspp_init(X, k, rng):
 
 def _spread_sample(df: DataFrame, vec_col, limit: int):
     """Deterministic, ingest-order-independent training draw: the
-    ``limit`` rows whose md5(vector) sorts lowest — a
+    ``limit`` rows whose xxhash64(vector) sorts lowest — a
     TakeOrderedAndProject (per-partition top-k, no full shuffle), so
     the sample is uniform in hash space regardless of how the corpus is
     sorted or partitioned. A plain ``limit(n)`` takes the FIRST n rows
     of an arbitrary partition order, which on a sorted-by-ingest corpus
-    yields a skewed codebook (VERDICT r9 nit #2)."""
+    yields a skewed codebook (VERDICT r9 nit #2). xxhash64 hashes the
+    double array directly JVM-side — the first cut used
+    md5(cast(v as string)), whose per-row 64-double string formatting
+    doubled the embed_knn_ivf gate's wall time (r10 bench A/B)."""
     v = _c(vec_col).alias("v")
     return (df.select(v)
-              .orderBy(F.md5(F.col("v").cast("string")))
+              .orderBy(F.xxhash64(F.col("v")))
               .limit(int(limit)).collect())
 
 
