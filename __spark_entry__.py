@@ -3657,6 +3657,149 @@ def q22_global_sales_opportunity(spark, sf):
             .orderBy("c_nationkey"))
 
 
+def q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape (r10): bidirectional nation-pair trade volume —
+    the classic TWO-ALIAS dimension join (nation joins once for the
+    supplier side, once for the customer side) + year extraction,
+    restricted to NATION_3↔NATION_8 shipments in either direction
+    (the two nations with suppliers at every SF; full shipdate range — the two-nation selectivity is ~1/300 of
+    lineitem already, and the smallest SF must stay non-empty). Dims
+    broadcast; the one shuffle is the lineitem⋈orders fact join."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("2002-01-01")))
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")))
+    pair = (((F.col("supp_nation") == "NATION_3")
+             & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8")
+               & (F.col("cust_nation") == "NATION_3")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(_dsum(rev), 2).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape (r10): national market share — NATION_3's slice
+    of ASIA-region PROMO-part order revenue per order year. The share
+    is a double-division boundary, so the gate emits numerator and
+    denominator as exact-decimal CENTS (BIGINT): both engines compute
+    the identical decimal sum, convert to the identical double, and
+    scale — no cross-engine ulp to flip."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    cn = (c.join(F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_nk"))),
+        F.col("c_nationkey") == F.col("c_nk")))
+    sn = (s.join(F.broadcast(_t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk")))
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(cn, o.o_custkey == cn.c_custkey)
+         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", rev) \
+        .otherwise(F.lit(0.0))
+    return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(_dsum(nat) * 100, 0).cast("long")
+                 .alias("nation_cents"),
+                 F.round(_dsum(rev) * 100, 0).cast("long")
+                 .alias("total_cents"))
+            .orderBy("o_year"))
+
+
+def q10_returned_items(spark, sf):
+    """TPC-H Q10 shape (r10): top-20 customers by revenue lost to
+    returns (l_returnflag = 'R') for orders placed in 1996Q1, grouped
+    over the customer attributes + nation name. Revenue emits as exact
+    CENTS (BIGINT — the hardened-gate convention; a round(double, 2)
+    here hit the .595 half-cent boundary, where the engines' double
+    rounding disagrees by one cent), and the (revenue DESC, custkey
+    ASC) order over those exact cents cuts the limit identically on
+    both engines."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("c_nk"))
+            .groupBy(F.col("c_custkey").cast("long").alias("c_custkey"),
+                     "c_name", "n_name",
+                     F.round("c_acctbal", 2).alias("c_acctbal"))
+            .agg(F.round(_dsum(rev) * 100, 0).cast("long")
+                 .alias("revenue_cents"))
+            .orderBy(F.col("revenue_cents").desc(),
+                     F.col("c_custkey").asc())
+            .limit(20))
+
+
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape (r10): promotion revenue share for one ship
+    month — the CASE-inside-aggregate pattern. Emitted as exact-cents
+    numerator/denominator (see q8) instead of the 100·promo/total
+    division."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01")))
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(_dsum(promo) * 100, 0).cast("long")
+                 .alias("promo_cents"),
+                 F.round(_dsum(rev) * 100, 0).cast("long")
+                 .alias("total_cents"),
+                 F.count("*").alias("n_lines")))
+
+
+def q19_disjunctive_filter(spark, sf):
+    """TPC-H Q19 shape (r10): the disjunction-of-conjunctions predicate
+    (three (brand, size-range, quantity-range) branches OR-ed) over the
+    part⋈lineitem join — the classic optimizer test that the OR of
+    ANDs still prunes at the scan and the join stays broadcast."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (((b == "Brand#11") & sz.between(1, 10) & q.between(1, 11))
+            | ((b == "Brand#22") & sz.between(1, 20) & q.between(10, 20))
+            | ((b == "Brand#33") & sz.between(1, 30) & q.between(20, 30)))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(cond).agg(
+        F.round(_dsum(rev), 2).alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
 # ---------------------------------------------------------------------------
 # graph analytics: triangle counting / common neighbors (llm/graph.py)
 # ---------------------------------------------------------------------------
@@ -3796,6 +3939,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # value-verified by the local 141/141 sweep (driver's comparator).
 _WINDOW = [
     "geo_param_crs", "io_ipc_roundtrip",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q14_promo_revenue", "q19_disjunctive_filter",
     "geo_lambert93", "geo_conus_albers", "geo_webmercator",
     "geo_utm_roundtrip",
     "lm_kn_score", "text_perplexity",
@@ -3814,9 +3959,10 @@ _WINDOW = [
     "geo_inscribed_circle", "geo_trajectory_stats", "text_url_ops",
     "sample_stratified", "pack_sequences", "dedup_groups",
     "geo_line_substring", "geo_split", "geo_min_clearance",
-    "geo_geohash", "geo_hex_density", "geo_offset_curve",
-    "geo_snap_shared_paths", "geo_azimuth_project", "geo_zorder_keys",
-    "embed_near_dup", "dedup_minhash_lsh",
+    "geo_geohash", "geo_hex_density",
+    # (geo_offset_curve, geo_snap_shared_paths, geo_azimuth_project,
+    # geo_zorder_keys, embed_near_dup, dedup_minhash_lsh: next
+    # rotation — the window caps at ~50)
 ]
 
 
@@ -3837,6 +3983,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        # Round-10 TPC-H shapes: two-alias dim join, market share,
+        # top-k returns, CASE-in-aggregate, disjunctive filter.
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
         # Session-3 graph analytics (llm/graph.py).
         "graph_triangles": graph_triangles,
         "graph_common_neighbors": graph_common_neighbors,
@@ -6625,6 +6778,88 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+            FROM lineitem, orders, customer, supplier,
+                 nation n1, nation n2
+            WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND o_custkey = c_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END AS DECIMAL(30,8)))
+                              AS DOUBLE) * 100, 0) AS BIGINT)
+                       AS nation_cents,
+                   CAST(round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,8))) AS DOUBLE) * 100, 0)
+                       AS BIGINT) AS total_cents
+            FROM lineitem, orders, customer, supplier, part,
+                 nation n1, nation n2, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND s_nationkey = n2.n_nationkey
+              AND p_type = 'PROMO'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q10_returned_items": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+                   round(c_acctbal, 2) AS c_acctbal,
+                   CAST(round(CAST(sum(CAST(l_extendedprice
+                              * (1 - l_discount) AS DECIMAL(30,8)))
+                              AS DOUBLE) * 100, 0) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem, orders, customer, nation
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_cents DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT CAST(round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END AS DECIMAL(30,8)))
+                              AS DOUBLE) * 100, 0) AS BIGINT)
+                       AS promo_cents,
+                   CAST(round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,8))) AS DOUBLE) * 100, 0)
+                       AS BIGINT) AS total_cents,
+                   count(*) AS n_lines
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        """,
+        "q19_disjunctive_filter": """
+            SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 1 AND 11)
+                   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 20
+                       AND l_quantity BETWEEN 10 AND 20)
+                   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 30
+                       AND l_quantity BETWEEN 20 AND 30))
         """,
         # triangle counting: canonical u<v edges, wedge self-join on the
         # low endpoint, closing-edge join, 3-corner fan-out
