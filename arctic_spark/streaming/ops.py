@@ -453,6 +453,78 @@ def windowed_hll_registers(events: DataFrame, window="1 minute",
                     "bucket", "rho"))
 
 
+_KMV_OUT_SCHEMA = T.StructType([
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("h", T.LongType()),
+])
+_KMV_STATE_SCHEMA = T.StructType([
+    T.StructField("mins", T.ArrayType(T.LongType())),
+])
+
+
+def _kmv_fn(k: int):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+        (ws,) = key
+        if state.hasTimedOut:      # defensive: NoTimeout configured
+            state.remove()
+            return
+        cur = (np.array(state.get[0], dtype="int64")
+               if state.exists else np.array([], dtype="int64"))
+        for pdf in pdfs:
+            cur = np.unique(np.concatenate(
+                [cur, pdf["h"].to_numpy()]))[:k]
+        state.update((cur.tolist(),))
+        yield pd.DataFrame({"window_start": ws, "h": cur})
+    return fn
+
+
+def windowed_kmv_minima(events: DataFrame, window="1 minute",
+                        watermark="2 minutes", ts_col="ts",
+                        key_col="user_id", k: int = 64) -> DataFrame:
+    """Streaming k-minimum-values distinct sketch per tumbling window:
+    (window_start, h) — the k smallest DISTINCT 60-bit hashes of the
+    window's keys, exactly :func:`arctic_spark.sketches.kmv_sketch` of
+    the window's slice (batch ≡ stream asserted in tests; r10,
+    completing the streaming twins of the batch sketch family next to
+    :func:`windowed_hll_registers` / :func:`windowed_cms_counters`).
+
+    A k-minima set is an order statistic, not a built-in streaming
+    aggregate, so this is a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): state per open window is ONE row
+    holding ≤k longs — bounded regardless of stream volume — and each
+    micro-batch folds its hashes into the set with the same
+    numpy ``unique[:k]`` the batch sketch uses. Each update emits the
+    window's current minima (update mode); sketches from different
+    windows/streams MERGE exactly via
+    :func:`arctic_spark.sketches.kmv_merge`, and
+    :func:`arctic_spark.sketches.kmv_estimate` reads the sink rows
+    directly. Batch input runs the identical fold through
+    ``applyInPandas`` (unified semantics)."""
+    from ..sketches import h60
+    hcol = h60(key_col).alias("h")
+    base = (events.where(F.col(key_col).isNotNull())
+            if not events.isStreaming
+            else events.withWatermark(ts_col, watermark)
+            .where(F.col(key_col).isNotNull()))
+    src = (base.select(F.window(ts_col, window).alias("win"), hcol)
+           .select(F.col("win.start").alias("window_start"), "h"))
+    if not events.isStreaming:
+        def fold(pdf):
+            import numpy as np
+            hs = np.unique(pdf["h"].to_numpy())[:k]
+            return pd.DataFrame(
+                {"window_start": pdf["window_start"].iloc[0], "h": hs})
+        return src.groupBy("window_start").applyInPandas(
+            fold, _KMV_OUT_SCHEMA)
+    return (src.groupBy("window_start")
+            .applyInPandasWithState(_kmv_fn(k),
+                                    outputStructType=_KMV_OUT_SCHEMA,
+                                    stateStructType=_KMV_STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf="NoTimeout"))
+
+
 def windowed_cms_counters(events: DataFrame, window="1 minute",
                           watermark="2 minutes", ts_col="ts",
                           key_col="user_id", depth: int = 4,

@@ -504,3 +504,66 @@ def test_windowed_cms_counters_stream(spark):
             seen.add(key)
     finally:
         q.stop()
+
+
+def test_windowed_kmv_minima_batch(spark, events):
+    """Batch semantics: per-window minima equal kmv_sketch run on the
+    window's slice, and the estimate is exact below k."""
+    from arctic_spark import sketches as sk
+    from arctic_spark.streaming import windowed_kmv_minima
+
+    out = windowed_kmv_minima(events, window="1 hour", key_col="user_id",
+                              k=16)
+    rows = out.collect()
+    wins = {r.window_start for r in rows}
+    assert len(wins) == 1          # the fixture fits one 1-hour window
+    got = sorted(r.h for r in rows)
+    direct = [r.h for r in sk.kmv_sketch(
+        events.select(F.col("user_id").alias("v")), "v", k=16).collect()]
+    assert got == direct
+    # fewer than k distinct users → the sketch IS the distinct set
+    assert len(got) == events.select("user_id").distinct().count()
+
+
+def test_windowed_kmv_minima_stream(spark, tmp_path):
+    """Streaming: two micro-batches (maxFilesPerTrigger=1) fold into
+    the bounded per-window state; the k smallest distinct hashes over
+    ALL update-mode emissions equal the batch sketch of the full input
+    (each emission is the window's current minima, monotonically
+    improving)."""
+    import os
+    from arctic_spark import sketches as sk
+    from arctic_spark.streaming import windowed_kmv_minima
+
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i % 50:02d}") for i in range(200)],
+        "user_id long, ts_s string") \
+        .select((F.col("user_id") * 131 % 997).alias("user_id"),
+                F.col("ts_s").cast("timestamp").alias("ts"))
+    d = os.path.join(str(tmp_path), "kmv_in")
+    base.where(F.col("user_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    base.where(F.col("user_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(d)
+    src = (spark.readStream.schema("user_id long, ts timestamp")
+           .option("maxFilesPerTrigger", "1").parquet(d))
+    out = windowed_kmv_minima(src, window="1 minute",
+                              watermark="2 minutes",
+                              key_col="user_id", k=24)
+    q = (out.writeStream.format("memory").queryName("kmv_mins")
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kmv_mins").collect()
+    assert rows
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.window_start, set()).add(r.h)
+    batch = windowed_kmv_minima(base, window="1 minute",
+                                key_col="user_id", k=24).collect()
+    exp_by_win = {}
+    for r in batch:
+        exp_by_win.setdefault(r.window_start, []).append(r.h)
+    assert set(by_win) == set(exp_by_win)
+    for w, hs in by_win.items():
+        assert sorted(hs)[:24] == sorted(exp_by_win[w])
