@@ -127,3 +127,54 @@ def explode_bench(spark: SparkSession, n=45_000, seed=5) -> GeoDataFrame:
             F.array(F.lit(1), F.lit(1)),
             F.array(F.lit(1), F.lit(1))).alias("geometry"))
     return GeoDataFrame(df)
+
+
+# ---------------------------------------------------------------------------
+# Reference dataset-loader API parity (r10): geopolars.datasets exposes
+# `available` and `get_path(name)` over bundled Arrow IPC files
+# (py-geopolars/python/geopolars/datasets/__init__.py:8-42). This repo
+# ships no binary artifacts, so get_path resolves the reference
+# checkout's actual files when present; load_dataset falls back to the
+# seeded synthetic same-shape twins above otherwise.
+# ---------------------------------------------------------------------------
+
+#: reference datasets/__init__.py:11
+available = ("naturalearth_cities", "nybb", "naturalearth_lowres")
+
+_REF_DATASET_DIR = \
+    "/root/reference/py-geopolars/python/geopolars/datasets"
+
+
+def get_path(dataset: str) -> str:
+    """Path of the named bundled dataset's .arrow file (reference
+    ``datasets.get_path``, datasets/__init__.py:16-42 — same error
+    message shape for unknown names)."""
+    import os
+    if dataset not in available:
+        raise ValueError(
+            f"The dataset '{dataset}' is not available. "
+            f"Available datasets are {', '.join(available)}")
+    p = os.path.join(_REF_DATASET_DIR, f"{dataset}.arrow")
+    if os.path.exists(p):
+        return p
+    raise FileNotFoundError(
+        f"bundled dataset file {p} not found (this repo ships no "
+        "binary artifacts); use load_dataset() for the synthetic "
+        "same-shape twin")
+
+
+def load_dataset(spark: SparkSession, dataset: str) -> GeoDataFrame:
+    """GeoDataFrame for a named dataset: the reference's ACTUAL bundled
+    .arrow file via :func:`arctic_spark.io.read_ipc` when the checkout
+    is present (naturalearth_cities 243 rows, nybb 5 @ EPSG:2263,
+    naturalearth_lowres 177 — the reference conftest's fixture shapes),
+    else the deterministic synthetic twin of the same shape."""
+    try:
+        path = get_path(dataset)
+    except FileNotFoundError:
+        gen = {"naturalearth_cities": naturalearth_cities,
+               "nybb": nybb,
+               "naturalearth_lowres": lowres_countries}[dataset]
+        return gen(spark)
+    from .io import read_ipc
+    return read_ipc(spark, path)

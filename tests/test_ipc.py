@@ -152,3 +152,20 @@ def test_crs_meta_parsing():
     wkt1 = ('PROJCS["x",GEOGCS["y",AUTHORITY["EPSG","4269"]],'
             'AUTHORITY["EPSG","2263"]]')
     assert _crs_from_geo_meta({"crs": wkt1}) == "EPSG:2263"
+
+
+def test_dataset_loader_api(spark):
+    """Reference datasets API parity: available tuple, get_path error
+    shape, and load_dataset row-count invariants (the reference
+    conftest's fixtures, py-geopolars/tests/unit/conftest.py:7-12)."""
+    from arctic_spark import datasets as ds
+    assert ds.available == ("naturalearth_cities", "nybb",
+                            "naturalearth_lowres")
+    with pytest.raises(ValueError, match="not available"):
+        ds.get_path("atlantis")
+    cities = ds.load_dataset(spark, "naturalearth_cities")
+    assert cities.df.count() == 243
+    nyb = ds.load_dataset(spark, "nybb")
+    assert nyb.df.count() == 5
+    low = ds.load_dataset(spark, "naturalearth_lowres")
+    assert low.df.count() == 177
