@@ -2014,6 +2014,145 @@ def lm_kn_score(spark, sf):
         .orderBy("doc_id"))
 
 
+def lm_kn_modified(spark, sf):
+    """MODIFIED Kneser-Ney trigram LM (Chen & Goodman 1998's
+    three-discount variant — what KenLM builds by default;
+    llm/ngram_lm.kn_model_modified, r10 gate): the per-level discounts
+    D1/D2/D3+ are ESTIMATED from the corpus count-of-counts, the head
+    term discounts by the gram's own count bucket, and the backoff
+    mass is (D1·N1 + D2·N2 + D3+·N3+)/denominator. The oracle replays
+    the discount estimation (Y = n1/(n1+2n2) and the three formulas,
+    exact float op order) and the count-dependent interpolation in
+    DuckDB CTEs — the data-dependent discounts are verified, not
+    pinned. Probability sums ride as BIGINT micro-units."""
+    from arctic_spark.llm import ngram_lm as L
+    d = _t(spark, sf, "documents")
+    model = L.kn_model_modified(L.ngram_counts(d, "text", 3))
+    out = L.kn_score(d, "text", model, "doc_id", max_positions=10)
+    return (out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("sum_p") * 1e6, 0).cast("long").alias("sum_p_u"))
+        .orderBy("doc_id"))
+
+
+_KN_MOD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_concat(list_concat(['<s>', '<s>'],
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z]+'),
+                               x -> x <> '')), ['</s>']) AS ws
+        FROM documents),
+    g3 AS (
+        SELECT doc_id, i, ws[i] AS u, ws[i+1] AS v, ws[i+2] AS w
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)),
+    g2 AS (
+        SELECT ws[i] AS v, ws[i+1] AS w
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+    c3 AS (SELECT u, v, w, count(*) AS cnt FROM g3 GROUP BY u, v, w),
+    c2 AS (SELECT v, w, count(*) AS cnt FROM g2
+           WHERE NOT (v = '<s>' AND w = '<s>') GROUP BY v, w),
+    n1w AS (SELECT w, count(*) AS n1w FROM c2 GROUP BY w),
+    n1tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM c2),
+    uni AS (SELECT w, n1w / (SELECT t FROM n1tot) AS p1 FROM n1w),
+    n1vw AS (SELECT v, w, count(*) AS n1vw FROM c3 GROUP BY v, w),
+    bn AS (SELECT sum(CASE WHEN n1vw = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN n1vw = 2 THEN 1 ELSE 0 END) AS n2,
+                  sum(CASE WHEN n1vw = 3 THEN 1 ELSE 0 END) AS n3,
+                  sum(CASE WHEN n1vw = 4 THEN 1 ELSE 0 END) AS n4
+           FROM n1vw),
+    bd AS (SELECT
+        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75
+             ELSE greatest(1.0 - 2.0 * (n1 / (n1 + 2.0 * n2))
+                               * n2 / n1, 0.0) END AS d1,
+        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75
+             ELSE greatest(2.0 - 3.0 * (n1 / (n1 + 2.0 * n2))
+                               * n3 / n2, 0.0) END AS d2,
+        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75
+             WHEN n4 = 0 THEN 1.5
+             ELSE greatest(3.0 - 4.0 * (n1 / (n1 + 2.0 * n2))
+                               * n4 / n3, 0.0) END AS d3
+        FROM bn),
+    n1vd AS (SELECT v, sum(n1vw) AS n1vd,
+                    sum(CASE WHEN n1vw = 1 THEN 1 ELSE 0 END) AS k1,
+                    sum(CASE WHEN n1vw = 2 THEN 1 ELSE 0 END) AS k2,
+                    sum(CASE WHEN n1vw >= 3 THEN 1 ELSE 0 END) AS k3
+             FROM n1vw GROUP BY v),
+    bibo AS (SELECT v, (bd.d1 * k1 + bd.d2 * k2 + bd.d3 * k3) / n1vd
+                        AS bo2, n1vd
+             FROM n1vd CROSS JOIN bd),
+    bi AS (SELECT h.v, h.w,
+                  greatest(h.n1vw - (CASE WHEN h.n1vw >= 3 THEN bd.d3
+                                          WHEN h.n1vw = 2 THEN bd.d2
+                                          ELSE bd.d1 END), 0.0) / b.n1vd
+                  + b.bo2 * u1.p1 AS p2
+           FROM n1vw h CROSS JOIN bd
+                JOIN bibo b ON b.v = h.v
+                JOIN uni u1 ON u1.w = h.w),
+    tn AS (SELECT sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n2,
+                  sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END) AS n3,
+                  sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END) AS n4
+           FROM c3),
+    td AS (SELECT
+        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75
+             ELSE greatest(1.0 - 2.0 * (n1 / (n1 + 2.0 * n2))
+                               * n2 / n1, 0.0) END AS d1,
+        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75
+             ELSE greatest(2.0 - 3.0 * (n1 / (n1 + 2.0 * n2))
+                               * n3 / n2, 0.0) END AS d2,
+        CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75
+             WHEN n4 = 0 THEN 1.5
+             ELSE greatest(3.0 - 4.0 * (n1 / (n1 + 2.0 * n2))
+                               * n4 / n3, 0.0) END AS d3
+        FROM tn),
+    chh AS (SELECT u, v, sum(cnt) AS ch,
+                   sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS k1,
+                   sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS k2,
+                   sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS k3
+            FROM c3 GROUP BY u, v),
+    tribo AS (SELECT u, v, (td.d1 * k1 + td.d2 * k2 + td.d3 * k3) / ch
+                       AS bo3
+              FROM chh CROSS JOIN td),
+    tri AS (SELECT t.u, t.v, t.w,
+                   greatest(t.cnt - (CASE WHEN t.cnt >= 3 THEN td.d3
+                                          WHEN t.cnt = 2 THEN td.d2
+                                          ELSE td.d1 END), 0.0) / h.ch
+                       AS p3h
+            FROM c3 t CROSS JOIN td JOIN chh h USING (u, v)),
+    pos AS (SELECT doc_id, u, v, w FROM g3 WHERE i <= 10),
+    sc AS (
+        SELECT p.doc_id,
+               CASE WHEN tb.bo3 IS NOT NULL
+                    THEN coalesce(t.p3h, 0.0) + tb.bo3 *
+                         (CASE WHEN bb.bo2 IS NOT NULL
+                               THEN coalesce(b.p2,
+                                             bb.bo2 * coalesce(u1.p1,
+                                                               0.0))
+                               ELSE coalesce(u1.p1, 0.0) END)
+                    ELSE (CASE WHEN bb.bo2 IS NOT NULL
+                               THEN coalesce(b.p2,
+                                             bb.bo2 * coalesce(u1.p1,
+                                                               0.0))
+                               ELSE coalesce(u1.p1, 0.0) END)
+               END AS p
+        FROM pos p
+        LEFT JOIN tri t ON t.u = p.u AND t.v = p.v AND t.w = p.w
+        LEFT JOIN tribo tb ON tb.u = p.u AND tb.v = p.v
+        LEFT JOIN bi b ON b.v = p.v AND b.w = p.w
+        LEFT JOIN bibo bb ON bb.v = p.v
+        LEFT JOIN uni u1 ON u1.w = p.w),
+    agg AS (SELECT doc_id, count(*) AS n_pos, sum(p) AS sp
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_pos, 0) AS BIGINT) AS n_pos,
+           CAST(round(coalesce(a.sp, 0.0) * 1e6, 0) AS BIGINT)
+               AS sum_p_u
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 _KN_ORACLE = """
     WITH toks AS (
         SELECT doc_id,
@@ -3943,7 +4082,7 @@ _WINDOW = [
     "q14_promo_revenue", "q19_disjunctive_filter",
     "geo_lambert93", "geo_conus_albers", "geo_webmercator",
     "geo_utm_roundtrip",
-    "lm_kn_score", "text_perplexity",
+    "lm_kn_score", "lm_kn_modified", "text_perplexity",
     "graph_triangles", "graph_common_neighbors",
     "sketch_kmv_minima", "sketch_hll_registers",
     "embed_knn_ivf", "embed_pq_adc", "dedup_semantic",
@@ -4037,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_voronoi": geo_voronoi,
         "io_gpkg_roundtrip": io_gpkg_roundtrip,
         "lm_kn_score": lm_kn_score,
+        "lm_kn_modified": lm_kn_modified,
         "text_bpe_train": text_bpe_train,
         "text_quality_gopher": text_quality_gopher,
         "tok_unigram_encode": tok_unigram_encode,
@@ -6063,6 +6203,7 @@ def oracle_sql() -> dict[str, str]:
         "tok_unigram_encode": _unigram_oracle_sql(),
         "tok_wordpiece_encode": _wordpiece_oracle_sql(),
         "lm_kn_score": _KN_ORACLE,
+        "lm_kn_modified": _KN_MOD_ORACLE,
         "geo_zorder_keys": """
             WITH pts AS (
                 SELECT c_custkey,
