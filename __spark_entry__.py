@@ -2014,6 +2014,25 @@ def lm_kn_score(spark, sf):
         .orderBy("doc_id"))
 
 
+def sketch_kmv_windows(spark, sf):
+    """Per-window KMV distinct sketches: the r10 streaming twin
+    (streaming.windowed_kmv_minima) run in its batch mode — the
+    IDENTICAL numpy unique[:k] fold the stateful streaming operator
+    applies per micro-batch — over epoch-aligned 1-day tumbling
+    windows of the events table: the k smallest distinct 60-bit
+    user-id hashes per day. The window emits as an epoch-day BIGINT
+    (no timezone/format strings in the hash); the oracle replays
+    windowing + md5 minima per day in SQL."""
+    from arctic_spark.streaming import windowed_kmv_minima
+    e = _t(spark, sf, "events")
+    out = windowed_kmv_minima(e, window="1 day", ts_col="ts",
+                              key_col="user_id", k=8)
+    return (out.select(
+        F.expr("unix_timestamp(window_start) div 86400").alias("day_k"),
+        F.col("h"))
+        .orderBy("day_k", "h"))
+
+
 def lm_kn_modified(spark, sf):
     """MODIFIED Kneser-Ney trigram LM (Chen & Goodman 1998's
     three-discount variant — what KenLM builds by default;
@@ -4084,7 +4103,7 @@ _WINDOW = [
     "geo_utm_roundtrip",
     "lm_kn_score", "lm_kn_modified", "text_perplexity",
     "graph_triangles", "graph_common_neighbors",
-    "sketch_kmv_minima", "sketch_hll_registers",
+    "sketch_kmv_minima", "sketch_kmv_windows", "sketch_hll_registers",
     "embed_knn_ivf", "embed_pq_adc", "dedup_semantic",
     "dedup_substring_stats",
     "mm_jpeg_phash", "mm_jpeg_progressive",
@@ -4177,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_gpkg_roundtrip": io_gpkg_roundtrip,
         "lm_kn_score": lm_kn_score,
         "lm_kn_modified": lm_kn_modified,
+        "sketch_kmv_windows": sketch_kmv_windows,
         "text_bpe_train": text_bpe_train,
         "text_quality_gopher": text_quality_gopher,
         "tok_unigram_encode": tok_unigram_encode,
@@ -6204,6 +6224,20 @@ def oracle_sql() -> dict[str, str]:
         "tok_wordpiece_encode": _wordpiece_oracle_sql(),
         "lm_kn_score": _KN_ORACLE,
         "lm_kn_modified": _KN_MOD_ORACLE,
+        "sketch_kmv_windows": """
+            WITH hv AS (
+                SELECT DISTINCT
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_k,
+                       CAST(concat('0x', substr(md5(
+                            CAST(user_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS h
+                FROM events WHERE user_id IS NOT NULL),
+            k AS (SELECT day_k, h,
+                         row_number() OVER (PARTITION BY day_k
+                                            ORDER BY h) AS rn
+                  FROM hv)
+            SELECT day_k, h FROM k WHERE rn <= 8 ORDER BY day_k, h
+        """,
         "geo_zorder_keys": """
             WITH pts AS (
                 SELECT c_custkey,
