@@ -4116,9 +4116,9 @@ _WINDOW = [
     "embed_pca_norms", "q_percentiles", "geo_project_geodesic",
     "geo_inscribed_circle", "geo_trajectory_stats", "text_url_ops",
     "sample_stratified", "pack_sequences", "dedup_groups",
-    "geo_line_substring", "geo_split", "geo_min_clearance",
-    "geo_geohash", "geo_hex_density",
-    # (geo_offset_curve, geo_snap_shared_paths, geo_azimuth_project,
+    "geo_line_substring", "geo_split",
+    # (geo_min_clearance, geo_geohash, geo_hex_density,
+    # geo_offset_curve, geo_snap_shared_paths, geo_azimuth_project,
     # geo_zorder_keys, embed_near_dup, dedup_minhash_lsh: next
     # rotation — the window caps at ~50)
 ]
