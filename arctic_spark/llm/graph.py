@@ -340,19 +340,32 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
 
 def common_neighbors(edges: DataFrame, src: str = "src",
-                     dst: str = "dst", min_common: int = 1) -> DataFrame:
+                     dst: str = "dst", min_common: int = 1,
+                     max_degree: int = None) -> DataFrame:
     """Link-prediction candidates: unordered vertex pairs (u, v) with
     their number of shared neighbors (the common-neighbors score; its
     normalized form is Adamic-Adar / Jaccard). One self-join of the
-    adjacency list on the shared neighbor — the wedge join again, so
-    the same skew bound applies. Pairs already connected by an edge
-    are NOT excluded (callers anti-join against the edge list when
-    predicting new links)."""
+    adjacency list on the shared neighbor. Pairs already connected by
+    an edge are NOT excluded (callers anti-join against the edge list
+    when predicting new links).
+
+    Unlike triangle counting, this op's OUTPUT is per-wedge, so no
+    orientation trick can bound a super-hub's C(deg, 2) candidate
+    pairs — they are genuinely part of the answer. ``max_degree``
+    (r10) applies the standard scale mitigation: middle vertices with
+    degree above the cap contribute no wedges (a vertex shared by
+    100k others scores every pair of them — rarely useful signal and
+    quadratic cost; papers routinely drop super-hubs). None (default)
+    keeps exact semantics."""
     e = canonical_edges(edges, src, dst)
     # full adjacency (both directions) keyed on the shared middle
     adj = (e.select(F.col("u").alias("n"), F.col("v").alias("x"))
            .unionByName(
                e.select(F.col("v").alias("n"), F.col("u").alias("x"))))
+    if max_degree is not None:
+        deg = (adj.groupBy("n").agg(F.count("*").alias("__d"))
+               .where(F.col("__d") <= int(max_degree)).select("n"))
+        adj = adj.join(deg, "n", "left_semi")
     a = adj.select("n", F.col("x").alias("u"))
     b = adj.select("n", F.col("x").alias("v"))
     pairs = a.join(b, "n").where(F.col("u") < F.col("v"))

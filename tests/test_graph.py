@@ -179,3 +179,23 @@ def test_triangle_orientations_agree(spark):
     idd = sorted((r.id, r.n_triangles) for r in
                  triangle_count(df, orient="id").collect())
     assert deg == idd and len(deg) > 0
+
+
+def test_common_neighbors_max_degree_cap(spark):
+    """max_degree drops super-hub MIDDLE vertices from wedge
+    generation; uncapped semantics are unchanged (None default)."""
+    from arctic_spark.llm.graph import common_neighbors
+    # star: hub 0 connects 1..10; plus a 1-2-3 path
+    rows = [(0, k) for k in range(1, 11)] + [(1, 2), (2, 3)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    full = {(r.u, r.v): r.n_common
+            for r in common_neighbors(df).collect()}
+    # all 45 pairs of hub neighbors share the hub
+    assert len([1 for (u, v) in full if u >= 1 and v <= 10]) >= 45
+    capped = {(r.u, r.v): r.n_common
+              for r in common_neighbors(df, max_degree=5).collect()}
+    # hub (degree 10) contributes nothing; only low-degree middles
+    # survive: (0,2) via middles 1 AND 3 (both adjacent to 0 and 2)
+    assert (4, 5) not in capped          # was hub-only
+    assert capped.get((0, 2)) == 2       # via middle vertices 1 and 3
+    assert capped.get((1, 3)) == 1       # via middle vertex 2
