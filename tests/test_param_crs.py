@@ -233,3 +233,76 @@ def test_longlat_param_is_hub(spark):
     x, y = _one(spark, "POINT (12.5 -33.25)", "EPSG:4326",
                 "+proj=longlat +datum=WGS84 +no_defs")
     assert (x, y) == (12.5, -33.25)
+
+
+def test_random_parameter_roundtrips(spark):
+    """Seeded randomized kernel check: for every projection family the
+    parameter engine serves, random parameter sets x random in-domain
+    points must round-trip fwd->inv to 1e-8 degrees. Catches kernel
+    edge regressions (southern cones, k0 scaling, false-origin signs)
+    that curated EPSG fixtures can miss."""
+    import random
+    rnd = random.Random(99)
+
+    def mk_case(i):
+        fam = ("tmerc", "lcc2", "lcc1", "aea", "laea", "merc")[i % 6]
+        lon0 = rnd.uniform(-170, 170)
+        x0 = rnd.uniform(0, 8e5)
+        y0 = rnd.uniform(-2e6, 2e6)
+        sgn = rnd.choice([-1.0, 1.0])
+        if fam == "tmerc":
+            p4 = (f"+proj=tmerc +lat_0={rnd.uniform(-60, 60):.4f} "
+                  f"+lon_0={lon0:.4f} +k={rnd.uniform(0.9992, 1.0):.6f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=GRS80")
+            pts = [(lon0 + rnd.uniform(-3.5, 3.5),
+                    rnd.uniform(-80, 80)) for _ in range(3)]
+        elif fam == "lcc2":
+            l1 = sgn * rnd.uniform(15, 50)
+            l2 = l1 + sgn * rnd.uniform(3, 18)
+            p4 = (f"+proj=lcc +lat_1={l1:.4f} +lat_2={l2:.4f} "
+                  f"+lat_0={sgn * rnd.uniform(5, 55):.4f} "
+                  f"+lon_0={lon0:.4f} +x_0={x0:.1f} +y_0={y0:.1f} "
+                  f"+ellps=WGS84")
+            pts = [(lon0 + rnd.uniform(-20, 20),
+                    sgn * rnd.uniform(8, 68)) for _ in range(3)]
+        elif fam == "lcc1":
+            l1 = sgn * rnd.uniform(20, 60)
+            p4 = (f"+proj=lcc +lat_1={l1:.4f} +lon_0={lon0:.4f} "
+                  f"+k_0={rnd.uniform(0.998, 1.0):.6f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=intl")
+            pts = [(lon0 + rnd.uniform(-15, 15),
+                    l1 + rnd.uniform(-10, 10)) for _ in range(3)]
+        elif fam == "aea":
+            l1 = sgn * rnd.uniform(10, 45)
+            l2 = l1 + sgn * rnd.uniform(5, 20)
+            p4 = (f"+proj=aea +lat_1={l1:.4f} +lat_2={l2:.4f} "
+                  f"+lat_0={sgn * rnd.uniform(0, 40):.4f} "
+                  f"+lon_0={lon0:.4f} +x_0={x0:.1f} +y_0={y0:.1f} "
+                  f"+ellps=GRS80")
+            pts = [(lon0 + rnd.uniform(-25, 25),
+                    sgn * rnd.uniform(5, 70)) for _ in range(3)]
+        elif fam == "laea":
+            lat0 = rnd.uniform(-75, 75)
+            p4 = (f"+proj=laea +lat_0={lat0:.4f} +lon_0={lon0:.4f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=GRS80")
+            pts = [(lon0 + rnd.uniform(-30, 30),
+                    lat0 + rnd.uniform(-25, 25)) for _ in range(3)]
+        else:  # merc
+            if rnd.random() < 0.5:
+                scale = f"+lat_ts={rnd.uniform(0, 45):.4f}"
+            else:
+                scale = f"+k={rnd.uniform(0.85, 1.0):.6f}"
+            p4 = (f"+proj=merc +lon_0={lon0:.4f} {scale} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=WGS84")
+            pts = [(lon0 + rnd.uniform(-90, 90),
+                    rnd.uniform(-78, 78)) for _ in range(3)]
+        return p4, pts
+
+    for i in range(18):
+        p4, pts = mk_case(i)
+        for lon, lat in pts:
+            x, y = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
+            assert x == x and y == y, (p4, lon, lat)   # no NaN
+            lon2, lat2 = _one(spark, f"POINT ({x} {y})", p4, "EPSG:4326")
+            assert lon2 == pytest.approx(lon, abs=1e-8), (p4, lon, lat)
+            assert lat2 == pytest.approx(lat, abs=1e-8), (p4, lon, lat)
