@@ -930,6 +930,35 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
     return df
 
 
+def write_file(gdf: GeoDataFrame, path: str, **kwargs) -> None:
+    """Extension-dispatched vector write — the sink mirror of
+    :func:`read_file` (r10). The reference has NO write path at all
+    (SURVEY §2.5: `to_file` is commented out of its roadmap,
+    geoseries.rst:124); this engine routes by extension:
+    ``.parquet`` → :func:`write_geoparquet` (the distributed format),
+    ``.geojson/.geojsonl/.ndjson`` → :func:`write_geojson`
+    (newline-delimited, splittable), ``.gpkg`` →
+    :func:`write_geopackage`, ``.fgb`` → :func:`write_flatgeobuf`,
+    ``.kml`` → :func:`write_kml`, ``.arrow/.feather/.ipc`` →
+    :func:`write_ipc`. Extra kwargs forward to the format writer."""
+    low = path.lower()
+    if low.endswith(".parquet"):
+        return write_geoparquet(gdf, path, **kwargs)
+    if low.endswith((".geojson", ".geojsonl", ".ndjson", ".geojsons")):
+        return write_geojson(gdf, path, **kwargs)
+    if low.endswith(".gpkg"):
+        return write_geopackage(gdf, path, **kwargs)
+    if low.endswith(".fgb"):
+        return write_flatgeobuf(gdf, path, **kwargs)
+    if low.endswith(".kml"):
+        return write_kml(gdf, path, **kwargs)
+    if low.endswith((".arrow", ".feather", ".ipc")):
+        return write_ipc(gdf, path, **kwargs)
+    raise ValueError(
+        f"unsupported output extension for {path!r}; supported: "
+        ".parquet .geojson(.l) .gpkg .fgb .kml .arrow/.feather/.ipc")
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols,
                    num_buckets: int = 64, sort_cols=None, path=None,
                    mode="overwrite", fmt="parquet") -> None:

@@ -101,3 +101,25 @@ def test_where_on_attribute_only_arrow(spark):
     finally:
         if os.path.exists(path):
             os.remove(path)
+
+
+def test_write_file_dispatch_roundtrips(spark):
+    """write_file routes by extension and read_file reads every output
+    back (the reference has NO write path at all — SURVEY §2.5)."""
+    import shutil
+    gdf = _gdf(spark)
+    for ext, kw in [(".parquet", {}), (".geojsonl", {}),
+                    (".gpkg", {"layer": "t"}), (".fgb", {}),
+                    (".kml", {"name_column": "name"}), (".arrow", {})]:
+        path = _tmp("_wf" + ext)
+        try:
+            aio.write_file(gdf, path, **kw)
+            back = arctic_spark.read_file(spark, path)
+            assert back.df.count() == 6, ext
+        finally:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.remove(path)
+    with pytest.raises(ValueError, match="unsupported output"):
+        aio.write_file(gdf, "/tmp/x.xyz")
