@@ -355,6 +355,7 @@ def to_arrow(gdf: "GeoDataFrame", encoding: str = "geoarrow"):
     encoding name and CRS."""
     import json
     import pyarrow as pa
+    from .proj import crs_to_string as _crs_str
     gcol = gdf.geometry_column
     if encoding not in ("geoarrow", "wkb"):
         raise ValueError(f"encoding must be 'geoarrow' or 'wkb', "
@@ -384,7 +385,7 @@ def to_arrow(gdf: "GeoDataFrame", encoding: str = "geoarrow"):
     meta[b"geo"] = json.dumps(
         {"version": "1.0.0", "primary_column": gcol,
          "columns": {gcol: {"encoding": enc_name,
-                            "crs": str(gdf.crs)}}}).encode()
+                            "crs": _crs_str(gdf.crs)}}}).encode()
     return table.replace_schema_metadata(meta)
 
 

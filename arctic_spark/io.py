@@ -732,6 +732,8 @@ def _crs_from_geo_meta(colmeta) -> str:
     crs = colmeta.get("crs")
     if crs is None:
         return DEFAULT_CRS
+    if isinstance(crs, str) and crs.lstrip().startswith("+"):
+        return crs                 # proj4 parameter string (r10 engine)
     if isinstance(crs, dict):  # PROJJSON
         ident = crs.get("id") or {}
         if ident.get("authority") and ident.get("code") is not None:
@@ -813,6 +815,7 @@ def write_ipc(gdf: GeoDataFrame, path: str) -> None:
     import pyarrow as pa
     import pyarrow.ipc as ipc
     from .geodataframe import to_pandas_wkb
+    from .proj import crs_to_string as _crs_str
     gcol = gdf.geometry_column
     pdf = to_pandas_wkb(gdf)
     table = pa.Table.from_pandas(pdf, preserve_index=False)
@@ -820,7 +823,7 @@ def write_ipc(gdf: GeoDataFrame, path: str) -> None:
     meta[b"geo"] = json.dumps(
         {"version": "1.0.0", "primary_column": gcol,
          "columns": {gcol: {"encoding": "WKB",
-                            "crs": str(gdf.crs)}}}).encode()
+                            "crs": _crs_str(gdf.crs)}}}).encode()
     table = table.replace_schema_metadata(meta)
     with ipc.new_file(path, table.schema) as w:
         w.write_table(table)

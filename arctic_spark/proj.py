@@ -913,6 +913,24 @@ def _params_from_dict(d: dict):
         "and longlat (+towgs84 datum shifts on any of them)")
 
 
+def crs_to_string(crs) -> str:
+    """Serialization form of any accepted CRS spec: EPSG strings pass
+    through, parameter DICTS render as a canonical proj4 string (so
+    file metadata round-trips through _parse_crs instead of a Python
+    repr), proj4 strings pass through."""
+    if isinstance(crs, dict):
+        parts = []
+        for k, v in crs.items():
+            if v is True:
+                parts.append(f"+{k}")
+            elif isinstance(v, (list, tuple)):
+                parts.append(f"+{k}=" + ",".join(str(t) for t in v))
+            else:
+                parts.append(f"+{k}={v}")
+        return " ".join(parts)
+    return str(crs)
+
+
 def _parse_crs(crs):
     if isinstance(crs, dict):
         return _params_from_dict(crs)

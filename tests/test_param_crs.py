@@ -306,3 +306,33 @@ def test_random_parameter_roundtrips(spark):
             lon2, lat2 = _one(spark, f"POINT ({x} {y})", p4, "EPSG:4326")
             assert lon2 == pytest.approx(lon, abs=1e-8), (p4, lon, lat)
             assert lat2 == pytest.approx(lat, abs=1e-8), (p4, lon, lat)
+
+
+def test_param_crs_survives_file_metadata(spark):
+    """A dict/proj4 CRS round-trips through IPC file metadata: the
+    writer serializes dict CRS as a canonical proj4 string and the
+    reader hands it back usable by the parameter engine."""
+    import os
+    import tempfile
+    from arctic_spark import io as aio
+    d = {"proj": "laea", "lat_0": 52, "lon_0": 10,
+         "x_0": 4321000, "y_0": 3210000, "ellps": "GRS80"}
+    df = spark.createDataFrame([("POINT (4321000 3210000)",)],
+                               "wkt string") \
+        .select(st.from_wkt("wkt").alias("geometry"))
+    gdf = GeoDataFrame(df, crs=d)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"arctic_crs_rt_{os.getpid()}.arrow")
+    try:
+        aio.write_ipc(gdf, path)
+        back = aio.read_ipc(spark, path)
+        assert isinstance(back.crs, str) and back.crs.startswith("+proj=laea")
+        # the recovered CRS drives the engine: grid origin → (10, 52)
+        out = back.to_crs("EPSG:4326")
+        r = out.df.select(st.x("geometry").alias("x"),
+                          st.y("geometry").alias("y")).collect()[0]
+        assert r.x == pytest.approx(10.0, abs=1e-9)
+        assert r.y == pytest.approx(52.0, abs=1e-9)
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
