@@ -360,27 +360,40 @@ def to_arrow(gdf: "GeoDataFrame", encoding: str = "geoarrow"):
     if encoding not in ("geoarrow", "wkb"):
         raise ValueError(f"encoding must be 'geoarrow' or 'wkb', "
                          f"got {encoding!r}")
-    enc_name = "WKB"
-    if encoding == "geoarrow":
-        from .geom.geoarrow import encode_geoarrow, extension_name
-        rows = gdf.df.collect()
-        sch = gdf.df.schema
-        try:
-            garr, kind = encode_geoarrow([r[gcol] for r in rows])
-            enc_name = extension_name(kind)
-            cols, names = [], []
-            for f in sch.fields:
-                if f.name == gcol:
-                    cols.append(garr)
-                else:
-                    cols.append(pa.array([r[f.name] for r in rows]))
-                names.append(f.name)
-            table = pa.table(dict(zip(names, cols)))
-        except ValueError:
-            encoding = "wkb"   # mixed types: reference-style fallback
     if encoding == "wkb":
+        enc_name = "WKB"
         pdf = to_pandas_wkb(gdf)
         table = pa.Table.from_pandas(pdf, preserve_index=False)
+    else:
+        import numpy as np
+        from .geom.geoarrow import encode_geoarrow, extension_name
+        from .geom.wkb import encode_geom
+        rows = gdf.df.collect()
+        geoms = [r[gcol] for r in rows]
+        try:
+            garr, kind = encode_geoarrow(geoms)
+            enc_name = extension_name(kind)
+        except ValueError:
+            # mixed types: reference-style WKB fallback
+            # (geoseries.py:71-73) — encoded driver-side from the rows
+            # ALREADY collected, not via a second Spark job; and only
+            # the geometry encode is inside the try, so an attribute
+            # conversion error raises instead of silently flipping
+            # the declared encoding (review r10)
+            enc_name = "WKB"
+            garr = pa.array(
+                [None if g is None or g["gt"] is None or g["gt"] < 0
+                 else encode_geom(int(g["gt"]),
+                                  np.asarray(g["xs"], dtype=np.float64),
+                                  np.asarray(g["ys"], dtype=np.float64),
+                                  np.asarray(g["rings"], dtype=np.int32),
+                                  np.asarray(g["parts"], dtype=np.int32))
+                 for g in geoms], pa.binary())
+        cols = {}
+        for f in gdf.df.schema.fields:
+            cols[f.name] = garr if f.name == gcol else \
+                pa.array([r[f.name] for r in rows])
+        table = pa.table(cols)
     meta = dict(table.schema.metadata or {})
     meta[b"geo"] = json.dumps(
         {"version": "1.0.0", "primary_column": gcol,

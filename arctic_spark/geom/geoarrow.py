@@ -95,13 +95,9 @@ def _closed(ring):
 def decode_geoarrow(arr, geom_type=None):
     """pyarrow (Chunked)Array in GeoArrow encoding → list of GEOM-struct
     row tuples (gt, xs, ys, rings, parts), None for null rows."""
-    import pyarrow as pa
-    if isinstance(arr, pa.ChunkedArray):
-        atype = arr.type
-        vals = arr.to_pylist()
-    else:
-        atype = arr.type
-        vals = arr.to_pylist()
+    # Array and ChunkedArray share .type/.to_pylist()
+    atype = arr.type
+    vals = arr.to_pylist()
     kind = infer_geom_kind(atype, geom_type)
     out = []
     for v in vals:

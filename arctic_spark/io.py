@@ -873,12 +873,14 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
         elif low.endswith((".geojsonl", ".ndjson", ".geojsons")):
             out = read_geojson(spark, path, lines=True)
         elif low.endswith((".arrow", ".feather", ".ipc")):
-            # where must filter BEFORE the projection and any row
-            # limit, so hold columns/max_features back from the
-            # Arrow-side pushdown when a predicate is present
+            # bbox/where must filter BEFORE the projection and any row
+            # limit (the order every other format gets from the shared
+            # block below), so hold columns/max_features back from the
+            # Arrow-side pushdown whenever a filter is present
+            filtered = where is not None or bbox is not None
             out = read_ipc(spark, path,
-                           columns=None if where else columns,
-                           max_features=None if where else max_features)
+                           columns=None if filtered else columns,
+                           max_features=None if filtered else max_features)
             if not isinstance(out, GeoDataFrame):
                 if where is not None:
                     out = out.where(where)
@@ -889,7 +891,7 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
                     if max_features is not None:
                         out = out.limit(int(max_features))
                 return out            # attribute-only table
-            if where is None:
+            if not filtered:
                 columns = max_features = None  # applied Arrow-side
         elif low.endswith(".parquet"):
             out = read_geoparquet(spark, path)

@@ -63,20 +63,16 @@ def token_arrays(df: DataFrame, col: str, order: int = 3) -> DataFrame:
 def _grams(toks, n):
     """Array of space-joined n-grams of the padded token array.
 
-    Built as zip_with over n shifted slices (r10): n-1 per-DOC slice
-    allocations + one concat pass, instead of transform(sequence)'s
-    per-GRAM slice+array_join allocations. Array HOFs are interpreted
-    either way, so allocation count is the cost driver — same-session
-    A/B on the 2M-doc trigram count pass: 12.4 → 7.1 s. Output strings
-    are identical."""
+    Delegates to ``llm.text._word_ngrams`` — the same
+    zip_with-over-shifted-slices kernel (n-1 per-DOC slice allocations
+    + one concat pass, instead of transform(sequence)'s per-GRAM
+    slice+array_join; same-session A/B on the 2M-doc trigram count
+    pass: 12.4 → 7.1 s). Consolidated r10 so the two HOF kernels
+    can't drift."""
     if n == 1:
         return toks
-    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    g = F.slice(toks, 1, length)
-    for k in range(2, n + 1):
-        g = F.zip_with(g, F.slice(toks, k, length),
-                       lambda x, y: F.concat_ws(" ", x, y))
-    return g
+    from .text import _word_ngrams
+    return _word_ngrams(toks, n)
 
 
 def ngram_counts(df: DataFrame, col: str = "text",

@@ -860,9 +860,17 @@ def _params_from_dict(d: dict):
         unit = _UNIT_NAMES[u]
 
     if proj in ("longlat", "latlong", "lonlat", "latlon"):
-        if datum is None:
+        if datum is None and pm == 0.0:
             return "lonlat", None
-        return "lonlat", {"ellps": ellps, "datum": datum}
+        p = {"ellps": ellps}
+        if datum is not None:
+            p["datum"] = datum
+        if pm != 0.0:
+            # geographic CRS on a non-Greenwich prime meridian (e.g.
+            # NTF Paris, EPSG:4807): longitudes are degrees east of
+            # pm, so the hub conversion shifts by +pm (review r10)
+            p["pm"] = float(pm)
+        return "lonlat", p
 
     # +x_0/+y_0 are ALWAYS meters in PROJ; kernel fe/fn are native units
     base = {"ellps": ellps, "lon0": fl("lon_0") + pm,
@@ -895,9 +903,18 @@ def _params_from_dict(d: dict):
     if proj == "webmerc":
         return "webmerc", None
     if proj == "lcc":
-        lat1 = fl("lat_1", fl("lat_0"))
-        lat2 = fl("lat_2", lat1)  # no lat_2 → 1SP (lat1 = origin)
-        p = {**base, "lat1": lat1, "lat2": lat2, "lat0": fl("lat_0", lat1)}
+        # PROJ defaults (lcc.cpp): lat_2 defaults to lat_1; lat_0
+        # defaults to lat_1 ONLY in that 1SP case, else to 0 — the
+        # first cut defaulted lat_0 to lat_1 for 2SP too, shifting
+        # northings of strings that omit +lat_0 (review r10)
+        lat1 = fl("lat_1", 0.0)
+        if "lat_2" in d:
+            lat2 = fl("lat_2")
+            lat0 = fl("lat_0", 0.0)
+        else:
+            lat2 = lat1
+            lat0 = fl("lat_0", lat1)
+        p = {**base, "lat1": lat1, "lat2": lat2, "lat0": lat0}
         if k0 != 1.0:
             p["k0"] = k0
         return "lcc", p
@@ -983,7 +1000,9 @@ def _parse_crs(crs):
 def _inv_struct(kind, params, x, y) -> Column:
     """(x, y) in `kind` CRS → struct<x:lon, y:lat> on the CRS's datum."""
     if kind == "lonlat":
-        return _xy(x * F.lit(1.0), y * F.lit(1.0))
+        pm = (params or {}).get("pm", 0.0) if isinstance(params, dict) \
+            else 0.0
+        return _xy(x + F.lit(float(pm)), y * F.lit(1.0))
     if kind == "webmerc":
         return _webmerc_inv(x, y)
     if kind == "merc":
@@ -1001,7 +1020,9 @@ def _inv_struct(kind, params, x, y) -> Column:
 
 def _fwd_struct(kind, params, lon, lat) -> Column:
     if kind == "lonlat":
-        return _xy(lon * F.lit(1.0), lat * F.lit(1.0))
+        pm = (params or {}).get("pm", 0.0) if isinstance(params, dict) \
+            else 0.0
+        return _xy(lon - F.lit(float(pm)), lat * F.lit(1.0))
     if kind == "webmerc":
         return _webmerc_fwd(lon, lat)
     if kind == "merc":

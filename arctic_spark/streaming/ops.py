@@ -462,11 +462,14 @@ _KMV_STATE_SCHEMA = T.StructType([
 ])
 
 
-def _kmv_fn(k: int):
+def _kmv_fn(k: int, idle_ms: int):
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         import numpy as np
         (ws,) = key
-        if state.hasTimedOut:      # defensive: NoTimeout configured
+        if state.hasTimedOut:
+            # idle window: its final minima were already emitted on the
+            # last update — evict so closed windows don't accumulate in
+            # the state store forever (review r10)
             state.remove()
             return
         cur = (np.array(state.get[0], dtype="int64")
@@ -475,6 +478,7 @@ def _kmv_fn(k: int):
             cur = np.unique(np.concatenate(
                 [cur, pdf["h"].to_numpy()]))[:k]
         state.update((cur.tolist(),))
+        state.setTimeoutDuration(idle_ms)
         yield pd.DataFrame({"window_start": ws, "h": cur})
     return fn
 
@@ -494,8 +498,12 @@ def windowed_kmv_minima(events: DataFrame, window="1 minute",
     (``applyInPandasWithState``): state per open window is ONE row
     holding ≤k longs — bounded regardless of stream volume — and each
     micro-batch folds its hashes into the set with the same
-    numpy ``unique[:k]`` the batch sketch uses. Each update emits the
-    window's current minima (update mode); sketches from different
+    numpy ``unique[:k]`` the batch sketch uses; windows idle past the
+    watermark duration evict their state (processing-time timeout —
+    the final minima were already emitted on the last update), so
+    CLOSED windows don't pile up in the state store either. Each
+    update emits the window's current minima (update mode); sketches
+    from different
     windows/streams MERGE exactly via
     :func:`arctic_spark.sketches.kmv_merge`, and
     :func:`arctic_spark.sketches.kmv_estimate` reads the sink rows
@@ -517,12 +525,13 @@ def windowed_kmv_minima(events: DataFrame, window="1 minute",
                 {"window_start": pdf["window_start"].iloc[0], "h": hs})
         return src.groupBy("window_start").applyInPandas(
             fold, _KMV_OUT_SCHEMA)
+    idle_ms = max(_gap_ms(watermark), _gap_ms(window))
     return (src.groupBy("window_start")
-            .applyInPandasWithState(_kmv_fn(k),
+            .applyInPandasWithState(_kmv_fn(k, idle_ms),
                                     outputStructType=_KMV_OUT_SCHEMA,
                                     stateStructType=_KMV_STATE_SCHEMA,
                                     outputMode="update",
-                                    timeoutConf="NoTimeout"))
+                                    timeoutConf="ProcessingTimeTimeout"))
 
 
 def windowed_cms_counters(events: DataFrame, window="1 minute",

@@ -169,3 +169,18 @@ def test_dataset_loader_api(spark):
     assert nyb.df.count() == 5
     low = ds.load_dataset(spark, "naturalearth_lowres")
     assert low.df.count() == 177
+
+
+@needs_ref
+def test_read_file_arrow_bbox_before_limit(spark):
+    """bbox filters BEFORE max_features on the .arrow dispatch, like
+    every other format (review r10: the Arrow-side slice used to run
+    first and could starve the bbox filter)."""
+    full = arctic_spark.read_file(spark, REF_DATA,
+                                  bbox=(-20, -20, 20, 20))
+    n_in_box = full.df.count()
+    assert n_in_box > 3
+    lim = arctic_spark.read_file(spark, REF_DATA,
+                                 bbox=(-20, -20, 20, 20),
+                                 max_features=3)
+    assert lim.df.count() == 3      # limit applies to FILTERED rows

@@ -336,3 +336,29 @@ def test_param_crs_survives_file_metadata(spark):
     finally:
         if os.path.exists(path):
             os.remove(path)
+
+
+def test_lcc_lat0_proj_defaults(spark):
+    """PROJ's lcc defaults (lcc.cpp): with an explicit lat_2, omitted
+    lat_0 is 0 — NOT lat_1 (review r10); in the 1SP case omitted lat_0
+    IS lat_1."""
+    base = "+proj=lcc +lat_1=33 +lat_2=45 +lon_0=-96 +ellps=clrk66"
+    x0, y0 = _one(spark, "POINT (-75 35)", "EPSG:4326", base)
+    xe, ye = _one(spark, "POINT (-75 35)", "EPSG:4326",
+                  base + " +lat_0=0")
+    assert (x0, y0) == (xe, ye)
+    # and the Snyder fixture (lat_0=23) must differ in y
+    xs_, ys_ = _one(spark, "POINT (-75 35)", "EPSG:4326",
+                    base + " +lat_0=23")
+    assert abs(ys_ - y0) > 1e5 and xs_ == pytest.approx(x0, abs=1e-6)
+
+
+def test_longlat_prime_meridian(spark):
+    """+pm on a GEOGRAPHIC CRS shifts longitudes (review r10): 0°E of
+    Paris is 2.33722917°E of Greenwich."""
+    p4 = "+proj=longlat +datum=WGS84 +pm=paris"
+    lon, lat = _one(spark, "POINT (0 48.85)", p4, "EPSG:4326")
+    assert lon == pytest.approx(2.33722917, abs=1e-9)
+    assert lat == pytest.approx(48.85, abs=1e-12)
+    back_lon, _ = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
+    assert back_lon == pytest.approx(0.0, abs=1e-9)
