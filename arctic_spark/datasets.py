@@ -141,20 +141,31 @@ def explode_bench(spark: SparkSession, n=45_000, seed=5) -> GeoDataFrame:
 #: reference datasets/__init__.py:11
 available = ("naturalearth_cities", "nybb", "naturalearth_lowres")
 
-_REF_DATASET_DIR = \
-    "/root/reference/py-geopolars/python/geopolars/datasets"
+#: Directory of the reference checkout's bundled .arrow files.
+#: Resolved from $ARCTIC_SPARK_REF_DATA so the shipped library carries
+#: no machine-specific absolute path (ADVICE r10); the dev-box default
+#: points at the local read-only reference mount used by the parity
+#: fixtures.
+def _ref_dataset_dir() -> str:
+    import os
+    return os.environ.get(
+        "ARCTIC_SPARK_REF_DATA",
+        "/root/reference/py-geopolars/python/geopolars/datasets")
 
 
 def get_path(dataset: str) -> str:
     """Path of the named bundled dataset's .arrow file (reference
     ``datasets.get_path``, datasets/__init__.py:16-42 — same error
-    message shape for unknown names)."""
+    message shape for unknown names). Depends on an external dataset
+    mount located via ``$ARCTIC_SPARK_REF_DATA``; when the mount is
+    absent use :func:`load_dataset`, which falls back to the
+    deterministic synthetic twins."""
     import os
     if dataset not in available:
         raise ValueError(
             f"The dataset '{dataset}' is not available. "
             f"Available datasets are {', '.join(available)}")
-    p = os.path.join(_REF_DATASET_DIR, f"{dataset}.arrow")
+    p = os.path.join(_ref_dataset_dir(), f"{dataset}.arrow")
     if os.path.exists(p):
         return p
     raise FileNotFoundError(

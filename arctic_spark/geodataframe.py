@@ -341,7 +341,17 @@ def _pa_to_spark(t):
         return T.TimestampType()
     if pa.types.is_date(t):
         return T.DateType()
-    return T.StringType()
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_dictionary(t) or pa.types.is_null(t)):
+        return T.StringType()
+    # decimal/list/struct/... used to silently map to StringType and
+    # then fail Spark's type verification with a confusing error deep
+    # inside createDataFrame (ADVICE r10)
+    raise TypeError(
+        f"unsupported Arrow attribute type {t} in the nested-GeoArrow "
+        "ingest path; supported scalar attribute types: bool, int, "
+        "float, binary, timestamp, date, string/dictionary — cast the "
+        "column before from_arrow, or use the WKB encoding path")
 
 
 def to_arrow(gdf: "GeoDataFrame", encoding: str = "geoarrow"):

@@ -884,6 +884,12 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
             if not isinstance(out, GeoDataFrame):
                 if where is not None:
                     out = out.where(where)
+                if filtered:
+                    # columns/max_features were withheld from the
+                    # Arrow-side pushdown above; re-apply them here
+                    # whatever triggered the withholding — bbox alone
+                    # (meaningless on an attribute-only table) used to
+                    # silently drop both (ADVICE r10)
                     if columns is not None:
                         keep = [c for c in out.columns
                                 if c in set(columns)]

@@ -100,15 +100,29 @@ def _norm(crs) -> str:
 # Web Mercator (EPSG:3857) — spherical, closed form
 # ---------------------------------------------------------------------------
 
-def _webmerc_fwd(lon, lat) -> Column:
-    return _xy(F.lit(_A) * F.radians(lon),
-               F.lit(_A) * F.log(F.tan(F.lit(math.pi / 4)
-                                       + F.radians(lat) / 2)))
+def _webmerc_fwd(lon, lat, p=None) -> Column:
+    # optional params thread +lon_0/+x_0/+y_0/+units/+ellps through the
+    # spherical kernel (PROJ webmerc accepts all of them; the bare
+    # EPSG:3857 path keeps the closed zero-parameter form) — ADVICE r10
+    a = _ell(p["ellps"])[0] if p else _A
+    unit = p.get("unit", 1.0) if p else 1.0
+    fe, fn = (p["fe"], p["fn"]) if p else (0.0, 0.0)
+    lam0 = math.radians(p["lon0"]) if p else 0.0
+    s = a / unit
+    return _xy(F.lit(fe) + F.lit(s) * (F.radians(lon) - F.lit(lam0)),
+               F.lit(fn) + F.lit(s) * F.log(F.tan(F.lit(math.pi / 4)
+                                                  + F.radians(lat) / 2)))
 
 
-def _webmerc_inv(x, y) -> Column:
-    return _xy(F.degrees(x / F.lit(_A)),
-               F.degrees(F.lit(2.0) * F.atan(F.exp(y / F.lit(_A)))
+def _webmerc_inv(x, y, p=None) -> Column:
+    a = _ell(p["ellps"])[0] if p else _A
+    unit = p.get("unit", 1.0) if p else 1.0
+    fe, fn = (p["fe"], p["fn"]) if p else (0.0, 0.0)
+    lon0 = float(p["lon0"]) if p else 0.0
+    s = unit / a
+    return _xy(F.lit(lon0) + F.degrees((x - F.lit(fe)) * F.lit(s)),
+               F.degrees(F.lit(2.0)
+                         * F.atan(F.exp((y - F.lit(fn)) * F.lit(s)))
                          - F.lit(math.pi / 2)))
 
 
@@ -475,7 +489,12 @@ def _aea_consts(p):
     p1, p2, p0 = map(math.radians, (p["lat1"], p["lat2"], p["lat0"]))
     m1, m2 = m(p1), m(p2)
     q0, q1, q2 = q(p0), q(p1), q(p2)
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if abs(p1 - p2) < 1e-10:
+        # 1SP Albers limit (Snyder 1987 p. 98): n → sin(lat1) as
+        # lat2 → lat1; the 2SP quotient is 0/0 there (ADVICE r10)
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
     big_c = m1 * m1 + n * q1
     rho0 = a * math.sqrt(big_c - n * q0) / n
     return a, e, e2, n, big_c, rho0, math.radians(p["lon0"])
@@ -901,7 +920,14 @@ def _params_from_dict(d: dict):
                   / math.sqrt(1 - e2 * math.sin(phi_ts) ** 2))
         return "merc", {**base, "k0": k0}
     if proj == "webmerc":
-        return "webmerc", None
+        # thread false easting/northing, lon_0, units, non-WGS84 radius
+        # and datum shifts through the kernel instead of silently
+        # dropping them (ADVICE r10)
+        if (datum is None and pm == 0.0 and unit == 1.0
+                and fl("x_0") == 0.0 and fl("y_0") == 0.0
+                and fl("lon_0") == 0.0 and ellps == _WGS84):
+            return "webmerc", None
+        return "webmerc", base
     if proj == "lcc":
         # PROJ defaults (lcc.cpp): lat_2 defaults to lat_1; lat_0
         # defaults to lat_1 ONLY in that 1SP case, else to 0 — the
@@ -1004,7 +1030,7 @@ def _inv_struct(kind, params, x, y) -> Column:
             else 0.0
         return _xy(x + F.lit(float(pm)), y * F.lit(1.0))
     if kind == "webmerc":
-        return _webmerc_inv(x, y)
+        return _webmerc_inv(x, y, params)
     if kind == "merc":
         return _merc_inv(x, y, params)
     if kind == "tm":
@@ -1024,7 +1050,7 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
             else 0.0
         return _xy(lon - F.lit(float(pm)), lat * F.lit(1.0))
     if kind == "webmerc":
-        return _webmerc_fwd(lon, lat)
+        return _webmerc_fwd(lon, lat, params)
     if kind == "merc":
         return _merc_fwd(lon, lat, params)
     if kind == "tm":

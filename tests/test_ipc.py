@@ -184,3 +184,35 @@ def test_read_file_arrow_bbox_before_limit(spark):
                                  bbox=(-20, -20, 20, 20),
                                  max_features=3)
     assert lim.df.count() == 3      # limit applies to FILTERED rows
+
+
+def test_get_path_env_override(monkeypatch, tmp_path):
+    """get_path resolves the reference mount via $ARCTIC_SPARK_REF_DATA
+    (ADVICE r10) — no hardcoded machine path in the shipped library."""
+    from arctic_spark import datasets
+    monkeypatch.setenv("ARCTIC_SPARK_REF_DATA", str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        datasets.get_path("nybb")
+    p = tmp_path / "nybb.arrow"
+    p.write_bytes(b"\x00")
+    assert datasets.get_path("nybb") == str(p)
+
+
+def test_from_arrow_unsupported_attr_type_message(spark):
+    """Unsupported Arrow attribute types in the nested-GeoArrow ingest
+    raise a descriptive error instead of a deep createDataFrame type
+    failure (ADVICE r10)."""
+    import decimal
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from arctic_spark import GeoDataFrame, st
+    from arctic_spark.geodataframe import from_arrow, to_arrow
+    gdf = GeoDataFrame(
+        spark.createDataFrame([("POINT (1 2)",), ("POINT (3 4)",)],
+                              "wkt string")
+        .select(st.from_wkt("wkt").alias("geometry")), crs="EPSG:4326")
+    t = to_arrow(gdf, encoding="geoarrow")
+    t = t.append_column("d", pa.array([decimal.Decimal("1.5"),
+                                       decimal.Decimal("2.5")]))
+    with pytest.raises(TypeError, match="unsupported Arrow attribute"):
+        from_arrow(spark, t)

@@ -362,3 +362,40 @@ def test_longlat_prime_meridian(spark):
     assert lat == pytest.approx(48.85, abs=1e-12)
     back_lon, _ = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
     assert back_lon == pytest.approx(0.0, abs=1e-9)
+
+
+def test_aea_1sp_limit(spark):
+    """1SP Albers (lat_2 omitted or == lat_1) uses the Snyder p. 98
+    limit n = sin(lat_1) instead of dividing 0/0 (ADVICE r10): the
+    1SP grid is the continuous limit of 2SP as lat_2 -> lat_1."""
+    one_sp = "+proj=aea +lat_1=29.5 +lat_0=23 +lon_0=-96 +ellps=GRS80"
+    near = one_sp + " +lat_2=29.5001"
+    x1, y1 = _one(spark, "POINT (-100.25 41.5)", "EPSG:4326", one_sp)
+    xn, yn = _one(spark, "POINT (-100.25 41.5)", "EPSG:4326", near)
+    assert x1 == pytest.approx(xn, abs=50.0)
+    assert y1 == pytest.approx(yn, abs=50.0)
+    # and the round-trip closes through the 1SP inverse
+    lon, lat = _one(spark, f"POINT ({x1} {y1})", one_sp, "EPSG:4326")
+    assert lon == pytest.approx(-100.25, abs=1e-9)
+    assert lat == pytest.approx(41.5, abs=1e-9)
+
+
+def test_webmerc_param_threading(spark):
+    """+x_0/+y_0/+lon_0 on a webmerc spec shift the grid instead of
+    being silently dropped (ADVICE r10)."""
+    xb, yb = _one(spark, "POINT (3 45)", "EPSG:4326", "EPSG:3857")
+    xs_, ys_ = _one(spark, "POINT (3 45)", "EPSG:4326",
+                    "+proj=webmerc +x_0=100000 +y_0=-250000 +datum=WGS84")
+    assert xs_ == pytest.approx(xb + 100000.0, abs=1e-6)
+    assert ys_ == pytest.approx(yb - 250000.0, abs=1e-6)
+    # lon_0 recenters: lon_0=3 puts 3E on the grid meridian
+    xc, yc = _one(spark, "POINT (3 45)", "EPSG:4326",
+                  "+proj=webmerc +lon_0=3 +datum=WGS84")
+    assert xc == pytest.approx(0.0, abs=1e-6)
+    assert yc == pytest.approx(yb, abs=1e-6)
+    # round-trip through the parameterized inverse
+    lon, lat = _one(spark, f"POINT ({xs_} {ys_})",
+                    "+proj=webmerc +x_0=100000 +y_0=-250000 +datum=WGS84",
+                    "EPSG:4326")
+    assert lon == pytest.approx(3.0, abs=1e-9)
+    assert lat == pytest.approx(45.0, abs=1e-9)

@@ -123,3 +123,25 @@ def test_write_file_dispatch_roundtrips(spark):
                 os.remove(path)
     with pytest.raises(ValueError, match="unsupported output"):
         aio.write_file(gdf, "/tmp/x.xyz")
+
+
+def test_bbox_only_attribute_arrow_keeps_projection(spark):
+    """bbox + columns/max_features on an attribute-only .arrow table:
+    bbox cannot apply (no geometry) but the withheld projection and
+    limit must still be re-applied (ADVICE r10)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    path = _tmp("_plain_bbox.arrow")
+    try:
+        t = pa.table({"k": list(range(10)),
+                      "v": [f"s{i}" for i in range(10)],
+                      "w": [i * 2 for i in range(10)]})
+        with ipc.new_file(path, t.schema) as w:
+            w.write_table(t)
+        out = arctic_spark.read_file(spark, path, bbox=(0, 0, 1, 1),
+                                     columns=["k"], max_features=4)
+        assert out.columns == ["k"]
+        assert out.count() == 4
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
