@@ -1648,6 +1648,48 @@ def io_fgb_roundtrip(spark, sf):
         .orderBy("n_nationkey"))
 
 
+def io_multifile_union(spark, sf):
+    """Distributed multi-file ingest gate (r11, VERDICT r10 #1 —
+    io.read_files): nation rows become rects, split ACROSS FOUR real
+    .gpkg files by key residue, then the whole directory reads back in
+    ONE read_files call that distributes one file per task and runs
+    the pure-Python GeoPackage codec executor-side. area/centroid of
+    the decoded geometry are closed forms of the key, so the oracle
+    value-checks the union of all four files' encode→decode paths AND
+    that no file was dropped or double-read."""
+    import os
+    import shutil
+    import tempfile
+    from arctic_spark import io as aio
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    x = (k % 8).cast("double") * 2.0
+    y = (k % 6).cast("double") * 1.5
+    gdf = GeoDataFrame(n.select(
+        "n_nationkey", "n_name",
+        st.make_envelope(x, y, x + 4.0, y + 0.5).alias("geometry")))
+    d = os.path.join(tempfile.gettempdir(),
+                     f"arctic_multifile_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i in range(4):
+        part = GeoDataFrame(gdf.df.where(k % 4 == i), "geometry",
+                            gdf.crs)
+        aio.write_geopackage(part, os.path.join(d, f"part{i}.gpkg"),
+                             layer="nations")
+    back = aio.read_files(spark, d)
+    assert back.df.rdd.getNumPartitions() <= 4
+    from arctic_spark.functions.native import memo_col
+    ctr = memo_col(("io_gate_centroid", "geometry"),
+                   lambda: st.centroid(F.col("geometry")))
+    return (back.df.select(
+        "n_nationkey", "n_name",
+        F.round(st.area("geometry"), 6).alias("area"),
+        F.round(st.x(ctr), 6).alias("cx"),
+        F.round(st.y(ctr), 6).alias("cy"))
+        .orderBy("n_nationkey"))
+
+
 def mm_jpeg_phash(spark, sf):
     """Multimodal pipeline gate (round 8 — first driver-gated
     multimodal row): per nation key a constant grayscale image of
@@ -4159,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_adc": embed_pq_adc,
         "dedup_semantic": dedup_semantic,
         "io_fgb_roundtrip": io_fgb_roundtrip,
+        "io_multifile_union": io_multifile_union,
         "io_kml_roundtrip": io_kml_roundtrip,
         "io_ipc_roundtrip": io_ipc_roundtrip,
         "mm_jpeg_progressive": mm_jpeg_progressive,
@@ -6171,6 +6214,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.5 AS DOUBLE) AS area,
                    round((n_nationkey % 9) * 2.0 + 1.5, 6) AS cx,
                    round((n_nationkey % 5) * 1.0 + 0.25, 6) AS cy
+            FROM nation ORDER BY n_nationkey
+        """,
+        "io_multifile_union": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(2.0 AS DOUBLE) AS area,
+                   round((n_nationkey % 8) * 2.0 + 2.0, 6) AS cx,
+                   round((n_nationkey % 6) * 1.5 + 0.25, 6) AS cy
             FROM nation ORDER BY n_nationkey
         """,
         "io_gpkg_roundtrip": """
