@@ -423,6 +423,28 @@ def geo_param_crs(spark, sf):
         .orderBy("c_custkey"))
 
 
+def geo_polar_stere(spark, sf):
+    """to_crs via the r11 polar stereographic kernel (VERDICT r10 #2):
+    an EPSG:3031-style Antarctic Polar Stereographic (variant B,
+    lat_ts=-71 south) built purely from its public proj4 string — the
+    forward verified against the EPSG GN7-2 worked examples in
+    tests/test_param_crs.py. The oracle replays the complete
+    ellipsoidal forward (t = tan(pi/4+phi/2)((1-e sin)/(1+e sin))^e/2
+    south aspect, k0 from the standard parallel) from the same raw
+    parameters in DuckDB CTEs. BIGINT tenth-mm micro-units."""
+    c = _t(spark, sf, "customer")
+    lon = ((F.col("c_custkey") % 72) * 5 - 180).cast("double") + 0.5
+    lat = (-(F.col("c_custkey") * 7 % 25 + 65)).cast("double") - 0.25
+    p4 = ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 "
+          "+x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs")
+    xy = transform_xy_struct(lon, lat, "EPSG:4326", p4)
+    return (c.select(
+        "c_custkey",
+        F.round(xy["x"] * F.lit(1e4), 0).cast("long").alias("gx_u"),
+        F.round(xy["y"] * F.lit(1e4), 0).cast("long").alias("gy_u"))
+        .orderBy("c_custkey"))
+
+
 def geo_pip_join(spark, sf):
     """Distributed filter–refine spatial join (SURVEY §2.4): customer
     points in region strip polygons; grid-cell shuffle + native ray-cast
@@ -4196,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": text_readability,
         "geo_conus_albers": geo_conus_albers,
         "geo_param_crs": geo_param_crs,
+        "geo_polar_stere": geo_polar_stere,
         "geo_overlay_union": geo_overlay_union,
         "geo_overlay_area": geo_overlay_area,
         "embed_pq_adc": embed_pq_adc,
@@ -4860,6 +4883,45 @@ def oracle_sql() -> dict[str, str]:
                    round(fe + rho * sin(th), 4) AS px,
                    round(fn + rho0 - rho * cos(th), 4) AS py
             FROM proj
+        """,
+        "geo_polar_stere": """
+            WITH ell AS (
+                SELECT 6378137.0 AS a,
+                       (1.0/298.257223563) * (2 - 1.0/298.257223563)
+                           AS e2
+            ), par AS (
+                SELECT a, e2, sqrt(e2) AS e,
+                       radians(71.0) AS pf, radians(0.0) AS lam0
+                FROM ell
+            ), kk AS (
+                SELECT *,
+                       cos(pf)/sqrt(1 - e2*sin(pf)*sin(pf)) AS mf,
+                       tan(pi()/4 - pf/2)
+                           * pow((1 + e*sin(pf))/(1 - e*sin(pf)), e/2)
+                           AS tf,
+                       sqrt(pow(1+e, 1+e) * pow(1-e, 1-e)) AS cbig
+                FROM par
+            ), kz AS (
+                SELECT *, mf * cbig / (2 * tf) AS k0 FROM kk
+            ), pts AS (
+                SELECT c_custkey,
+                       radians(CAST((c_custkey % 72) * 5 - 180 AS DOUBLE)
+                               + 0.5) AS lam,
+                       radians(-(CAST(c_custkey * 7 % 25 + 65 AS DOUBLE))
+                               - 0.25) AS phi
+                FROM customer
+            ), proj AS (
+                SELECT c_custkey,
+                       2 * kz.a * kz.k0 * (tan(pi()/4 + phi/2)
+                           * pow((1 - kz.e*sin(phi))/(1 + kz.e*sin(phi)),
+                                 kz.e/2)) / kz.cbig AS rho,
+                       lam - kz.lam0 AS th
+                FROM pts, kz
+            )
+            SELECT c_custkey,
+                   CAST(round(rho * sin(th) * 1e4) AS BIGINT) AS gx_u,
+                   CAST(round(rho * cos(th) * 1e4) AS BIGINT) AS gy_u
+            FROM proj ORDER BY c_custkey
         """,
         "geo_param_crs": """
             WITH ell AS (

@@ -567,6 +567,236 @@ def _aea_inv(x, y, p) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Shared isometric-latitude machinery for the stereographic / Swiss
+# families (r11): psi(phi) = atanh(sin phi) - e atanh(e sin phi); the
+# inverse goes conformal-latitude -> tau Newton (same iteration the TM
+# and Mercator inverses share).
+# ---------------------------------------------------------------------------
+
+def _iso_f(phi: float, e: float) -> float:
+    s = math.sin(phi)
+    return math.atanh(s) - e * math.atanh(e * s)
+
+
+def _iso_col(lat_rad, e) -> Column:
+    s = F.sin(lat_rad)
+    return _atanh(s) - F.lit(e) * _atanh(F.lit(e) * s)
+
+
+def _phi_from_iso(psi, e, e2) -> Column:
+    """Geodetic latitude (radians) from isometric latitude:
+    chi = atan(sinh psi), then the shared tau Newton."""
+    return _let(F.atan(F.sinh(psi)),
+                lambda ch: F.atan(_tau_newton(ch, e, e2)))
+
+
+# ---------------------------------------------------------------------------
+# Polar Stereographic (ellipsoidal) — Snyder 1987 pp. 160-162; EPSG
+# method 9810 (variant A, +k) / 9829 (variant B, +lat_ts). e.g.
+# EPSG:3413/3976 (NSIDC sea-ice grids), EPSG:3031 (Antarctic),
+# EPSG:32661/32761 (UPS), 5041/5042.
+# ---------------------------------------------------------------------------
+
+def _stere_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+    south = bool(p.get("south"))
+    # t = exp(-psi): tan(pi/4 - phi/2) * ((1+e sin)/(1-e sin))^(e/2)
+    cbig = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    if p.get("lat_ts") is not None:
+        # variant B: scale from the standard parallel
+        phi_f = math.radians(abs(float(p["lat_ts"])))
+        m_f = math.cos(phi_f) / math.sqrt(1 - e2 * math.sin(phi_f) ** 2)
+        t_f = math.exp(-_iso_f(phi_f, e))
+        k0 = m_f * cbig / (2 * t_f)
+    else:
+        k0 = p.get("k0", 1.0)
+    return a, e, e2, k0, cbig, south, math.radians(p["lon0"])
+
+
+def _stere_fwd(lon, lat, p) -> Column:
+    a, e, e2, k0, cbig, south, lam0 = _stere_consts(p)
+    unit = p.get("unit", 1.0)
+    sgn = -1.0 if south else 1.0
+    phi = F.lit(sgn) * F.radians(lat)       # north-polar working aspect
+    rho = F.lit(2 * a * k0 / cbig) * F.exp(-_iso_col(phi, e))
+    th = F.radians(lon) - F.lit(lam0)
+
+    def with_rt(s):
+        x = F.lit(p["fe"]) + s["rho"] * F.sin(s["th"]) / F.lit(unit)
+        # south aspect flips the northing axis (Snyder p. 161)
+        y = F.lit(p["fn"]) - F.lit(sgn) * s["rho"] * F.cos(s["th"]) \
+            / F.lit(unit)
+        return _xy(x, y)
+    return _let(F.struct(rho.alias("rho"), th.alias("th")), with_rt)
+
+
+def _stere_inv(x, y, p) -> Column:
+    a, e, e2, k0, cbig, south, lam0 = _stere_consts(p)
+    unit = p.get("unit", 1.0)
+    sgn = -1.0 if south else 1.0
+    xm = (x - F.lit(p["fe"])) * F.lit(unit)
+    ym = (y - F.lit(p["fn"])) * F.lit(unit)
+
+    def with_xy(s):
+        rho = F.sqrt(s["xm"] * s["xm"] + s["ym"] * s["ym"])
+        t = rho * F.lit(cbig / (2 * a * k0))
+        chi = F.lit(math.pi / 2) - F.lit(2.0) * F.atan(t)
+        lat = F.degrees(F.lit(sgn)
+                        * F.atan(_tau_newton(chi, e, e2)))
+        # a polar grid covers all longitudes: wrap to [-180, 180)
+        # (lam0 can put the principal atan2 value out of range)
+        raw = F.degrees(F.lit(lam0)
+                        + F.atan2(s["xm"], F.lit(-sgn) * s["ym"]))
+        lon = F.pmod(raw + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+        return _xy(lon, lat)
+    return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
+
+
+# ---------------------------------------------------------------------------
+# Oblique Stereographic (double stereographic via the conformal sphere)
+# — EPSG method 9809, the Dutch RD projection (EPSG:28992). Constants
+# per EPSG Guidance Note 7-2; w = c*exp(2n*psi) collapses to
+# sin(chi) = tanh(n*psi + ln(c)/2).
+# ---------------------------------------------------------------------------
+
+def _sterea_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+    phi0 = math.radians(p["lat0"])
+    s0 = math.sin(phi0)
+    n = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+    big_r = a * math.sqrt(1 - e2) / (1 - e2 * s0 * s0)
+    w1 = math.exp(2 * n * _iso_f(phi0, e))
+    schi0p = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - schi0p) / ((n - s0) * (1 + schi0p))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    k0 = p.get("k0", 1.0)
+    return (a, e, e2, n, big_r, chi0, math.log(c), k0,
+            math.radians(p["lon0"]))
+
+
+def _sterea_fwd(lon, lat, p) -> Column:
+    a, e, e2, n, big_r, chi0, lnc, k0, lam0 = _sterea_consts(p)
+    unit = p.get("unit", 1.0)
+    rk2 = 2 * big_r * k0
+    chi = F.asin(F.tanh(F.lit(n) * _iso_col(F.radians(lat), e)
+                        + F.lit(lnc / 2)))
+    dl = F.lit(n) * (F.radians(lon) - F.lit(lam0))
+
+    def with_cd(s):
+        sch, cch = F.sin(s["chi"]), F.cos(s["chi"])
+        b = (F.lit(1.0) + sch * F.lit(math.sin(chi0))
+             + cch * F.lit(math.cos(chi0)) * F.cos(s["dl"]))
+
+        def with_b(bb):
+            x = F.lit(p["fe"]) + F.lit(rk2) * cch * F.sin(s["dl"]) \
+                / bb / F.lit(unit)
+            y = F.lit(p["fn"]) + F.lit(rk2) * (
+                sch * F.lit(math.cos(chi0))
+                - cch * F.lit(math.sin(chi0)) * F.cos(s["dl"])) \
+                / bb / F.lit(unit)
+            return _xy(x, y)
+        return _let(b, with_b)
+    return _let(F.struct(chi.alias("chi"), dl.alias("dl")), with_cd)
+
+
+def _sterea_inv(x, y, p) -> Column:
+    a, e, e2, n, big_r, chi0, lnc, k0, lam0 = _sterea_consts(p)
+    unit = p.get("unit", 1.0)
+    rk2 = 2 * big_r * k0
+    g = rk2 * math.tan(math.pi / 4 - chi0 / 2)
+    h = 2 * rk2 * math.tan(chi0) + g
+    xm = (x - F.lit(p["fe"])) * F.lit(unit)
+    ym = (y - F.lit(p["fn"])) * F.lit(unit)
+
+    def with_xy(s):
+        i = F.atan2(s["xm"], F.lit(h) + s["ym"])
+        j = F.atan2(s["xm"], F.lit(g) - s["ym"]) - i
+
+        def with_ij(t):
+            chi = F.lit(chi0) + F.lit(2.0) * F.atan(
+                (s["ym"] - s["xm"] * F.tan(t["j"] / 2)) / F.lit(rk2))
+            dl = t["j"] + F.lit(2.0) * t["i"]
+
+            def with_chi(ch):
+                psi = (_atanh(F.sin(ch)) - F.lit(lnc / 2)) / F.lit(n)
+                lat = F.degrees(_phi_from_iso(psi, e, e2))
+                lon = F.degrees(F.lit(lam0) + dl / F.lit(n))
+                return _xy(lon, lat)
+            return _let(chi, with_chi)
+        return _let(F.struct(i.alias("i"), j.alias("j")), with_ij)
+    return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
+
+
+# ---------------------------------------------------------------------------
+# Swiss Oblique Mercator (EPSG method 9814: ellipsoid -> conformal
+# sphere -> sphere rotation -> spherical Mercator) — CH1903 EPSG:21781
+# and CH1903+/LV95 EPSG:2056. Formulas per the published swisstopo
+# projection note; sin(b) = tanh(alpha*psi + K).
+# ---------------------------------------------------------------------------
+
+def _somerc_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+    phi0 = math.radians(p["lat0"])
+    s0 = math.sin(phi0)
+    alpha = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+    big_r = a * math.sqrt(1 - e2) / (1 - e2 * s0 * s0)
+    b0 = math.asin(s0 / alpha)
+    big_k = math.atanh(math.sin(b0)) - alpha * _iso_f(phi0, e)
+    big_r *= p.get("k0", 1.0)
+    return a, e, e2, alpha, big_r, b0, big_k, math.radians(p["lon0"])
+
+
+def _somerc_fwd(lon, lat, p) -> Column:
+    a, e, e2, alpha, big_r, b0, big_k, lam0 = _somerc_consts(p)
+    unit = p.get("unit", 1.0)
+    sb = F.tanh(F.lit(alpha) * _iso_col(F.radians(lat), e)
+                + F.lit(big_k))
+    ll = F.lit(alpha) * (F.radians(lon) - F.lit(lam0))
+
+    def with_bl(s):
+        cb = F.sqrt(F.lit(1.0) - s["sb"] * s["sb"])
+        # rotate the conformal sphere so (b0, 0) maps to the equator
+        sbb = (F.lit(math.cos(b0)) * s["sb"]
+               - F.lit(math.sin(b0)) * cb * F.cos(s["l"]))
+        lbb = F.atan2(cb * F.sin(s["l"]),
+                      F.lit(math.cos(b0)) * cb * F.cos(s["l"])
+                      + F.lit(math.sin(b0)) * s["sb"])
+
+        def with_r(t):
+            x = F.lit(p["fe"]) + F.lit(big_r) * t["lbb"] / F.lit(unit)
+            y = F.lit(p["fn"]) + F.lit(big_r) * _atanh(t["sbb"]) \
+                / F.lit(unit)
+            return _xy(x, y)
+        return _let(F.struct(sbb.alias("sbb"), lbb.alias("lbb")),
+                    with_r)
+    return _let(F.struct(sb.alias("sb"), ll.alias("l")), with_bl)
+
+
+def _somerc_inv(x, y, p) -> Column:
+    a, e, e2, alpha, big_r, b0, big_k, lam0 = _somerc_consts(p)
+    unit = p.get("unit", 1.0)
+    lbb = (x - F.lit(p["fe"])) * F.lit(unit) / F.lit(big_r)
+    sbb = F.tanh((y - F.lit(p["fn"])) * F.lit(unit) / F.lit(big_r))
+
+    def with_bl(s):
+        cbb = F.sqrt(F.lit(1.0) - s["sbb"] * s["sbb"])
+        sb = (F.lit(math.cos(b0)) * s["sbb"]
+              + F.lit(math.sin(b0)) * cbb * F.cos(s["lbb"]))
+        l = F.atan2(cbb * F.sin(s["lbb"]),
+                    F.lit(math.cos(b0)) * cbb * F.cos(s["lbb"])
+                    - F.lit(math.sin(b0)) * s["sbb"])
+
+        def with_sl(t):
+            psi = (_atanh(t["sb"]) - F.lit(big_k)) / F.lit(alpha)
+            lat = F.degrees(_phi_from_iso(psi, e, e2))
+            lon = F.degrees(F.lit(lam0) + t["l"] / F.lit(alpha))
+            return _xy(lon, lat)
+        return _let(F.struct(sb.alias("sb"), l.alias("l")), with_sl)
+    return _let(F.struct(sbb.alias("sbb"), lbb.alias("lbb")), with_bl)
+
+
+# ---------------------------------------------------------------------------
 # Helmert 7-parameter datum shift (position-vector convention) via ECEF
 # ---------------------------------------------------------------------------
 
@@ -661,6 +891,12 @@ _H_OSGB36 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
 _H_ED50 = (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
 # BD72 -> WGS84 (EPSG:15929, position vector)
 _H_BD72 = (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
+# Amersfoort -> WGS84 (EPSG:15934, position vector)
+_H_AMERSFOORT = (565.417, 50.3319, 465.552,
+                 -0.398957, 0.343988, -1.8774, 4.0725)
+# CH1903 / CH1903+ -> WGS84 (EPSG:1676, geocentric translations)
+_H_CH1903 = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+_BESSEL = (6377397.155, 299.1528128)
 
 # EPSG:2263 NAD83 / New York Long Island (ftUS): Lambert CC 2SP;
 # FE = 984250 ftUS (= 300000 m), FN = 0
@@ -714,7 +950,43 @@ _EPSG_TABLE: dict[int, tuple] = {
                     "lat0": 90.0, "lon0": 4.367486666666666,
                     "fe": 150000.013, "fn": 5400088.438,
                     "ellps": _INTL1924, "datum": _H_BD72}),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North (variant B)
+    3413: ("stere", {"ellps": _WGS84, "lat_ts": 70.0, "lon0": -45.0,
+                     "fe": 0.0, "fn": 0.0}),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic South
+    3976: ("stere", {"ellps": _WGS84, "lat_ts": -70.0, "lon0": 0.0,
+                     "fe": 0.0, "fn": 0.0, "south": True}),
+    # WGS 84 / Antarctic Polar Stereographic
+    3031: ("stere", {"ellps": _WGS84, "lat_ts": -71.0, "lon0": 0.0,
+                     "fe": 0.0, "fn": 0.0, "south": True}),
+    # WGS 84 / UPS North and South (variant A, k0 = 0.994); 5041/5042
+    # are the modern E,N-order duplicates of 32661/32761
+    32661: ("stere", {"ellps": _WGS84, "k0": 0.994, "lon0": 0.0,
+                      "fe": 2000000.0, "fn": 2000000.0}),
+    32761: ("stere", {"ellps": _WGS84, "k0": 0.994, "lon0": 0.0,
+                      "fe": 2000000.0, "fn": 2000000.0, "south": True}),
+    # Amersfoort / RD New (Dutch national grid) — oblique
+    # stereographic (EPSG 9809) on Bessel 1841 + Helmert
+    28992: ("sterea", {"ellps": _BESSEL,
+                       "lat0": 52.15616055555555,
+                       "lon0": 5.38763888888889, "k0": 0.9999079,
+                       "fe": 155000.0, "fn": 463000.0,
+                       "datum": _H_AMERSFOORT}),
+    # CH1903 / LV03 and CH1903+ / LV95 — Swiss Oblique Mercator
+    # (EPSG 9814) on Bessel 1841
+    21781: ("somerc", {"ellps": _BESSEL,
+                       "lat0": 46.95240555555556,
+                       "lon0": 7.439583333333333,
+                       "fe": 600000.0, "fn": 200000.0,
+                       "datum": _H_CH1903}),
+    2056: ("somerc", {"ellps": _BESSEL,
+                      "lat0": 46.95240555555556,
+                      "lon0": 7.439583333333333,
+                      "fe": 2600000.0, "fn": 1200000.0,
+                      "datum": _H_CH1903}),
 }
+_EPSG_TABLE[5041] = _EPSG_TABLE[32661]
+_EPSG_TABLE[5042] = _EPSG_TABLE[32761]
 
 # ETRS89 / UTM zones 28N–38N (GRS80, no datum shift)
 for _z in range(28, 39):
@@ -836,7 +1108,8 @@ def _params_from_dict(d: dict):
     proj = str(d.get("proj", "")).lower()
     if not proj:
         raise CRSError("parameter CRS needs a 'proj' key (tmerc, utm, "
-                       "merc, webmerc, lcc, aea, laea, longlat)")
+                       "merc, webmerc, lcc, aea, laea, stere, sterea, "
+                       "somerc, longlat)")
 
     def fl(k, dv=0.0):
         v = d.get(k, None)
@@ -950,9 +1223,28 @@ def _params_from_dict(d: dict):
                        "lat0": fl("lat_0")}
     if proj == "laea":
         return "laea", {**base, "lat0": fl("lat_0")}
+    if proj == "stere":
+        lat0 = fl("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise CRSError(
+                "+proj=stere is implemented for the POLAR aspects "
+                "(lat_0 = +/-90) only; for the oblique double "
+                "stereographic (Dutch RD et al.) use +proj=sterea")
+        p = {**base, "k0": k0}
+        if lat0 < 0:
+            p["south"] = True
+        if "lat_ts" in d:
+            p["lat_ts"] = fl("lat_ts")
+            p.pop("k0")         # variant B: scale comes from lat_ts
+        return "stere", p
+    if proj == "sterea":
+        return "sterea", {**base, "lat0": fl("lat_0"), "k0": k0}
+    if proj == "somerc":
+        return "somerc", {**base, "lat0": fl("lat_0"), "k0": k0}
     raise CRSError(
         f"unsupported projection family {proj!r}; the closed-form engine "
-        "implements tmerc, utm, merc, webmerc, lcc (1SP/2SP), aea, laea "
+        "implements tmerc, utm, merc, webmerc, lcc (1SP/2SP), aea, laea, "
+        "stere (polar), sterea, somerc "
         "and longlat (+towgs84 datum shifts on any of them)")
 
 
@@ -1017,10 +1309,12 @@ def _parse_crs(crs):
         "GDA94/GDA2020/Hartebeesthoek94/ITRF (4269/4258/4617/4283/6318/"
         "7844/4148/8988-9000/9989), OSGB 27700, Lambert-93 "
         "2154, LCC 3034/2263/26985/2229/31370, LAEA 3035, "
-        "AEA 5070/3577, TM 32118 — or pass the CRS's proj4-style string "
+        "AEA 5070/3577, TM 32118, polar stereographic 3413/3976/3031 + "
+        "UPS 32661/32761/5041/5042, Dutch RD 28992, Swiss 21781/2056 — "
+        "or pass the CRS's proj4-style string "
         "('+proj=lcc +lat_1=... +ellps=GRS80 ...') / parameter dict and "
         "the engine derives the kernel parameters for any tmerc/utm/merc/"
-        "lcc/aea/laea CRS directly")
+        "lcc/aea/laea/stere/sterea/somerc CRS directly")
 
 
 def _inv_struct(kind, params, x, y) -> Column:
@@ -1041,6 +1335,12 @@ def _inv_struct(kind, params, x, y) -> Column:
         return _laea_inv(x, y, params)
     if kind == "aea":
         return _aea_inv(x, y, params)
+    if kind == "stere":
+        return _stere_inv(x, y, params)
+    if kind == "sterea":
+        return _sterea_inv(x, y, params)
+    if kind == "somerc":
+        return _somerc_inv(x, y, params)
     raise AssertionError(kind)
 
 
@@ -1061,6 +1361,12 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
         return _laea_fwd(lon, lat, params)
     if kind == "aea":
         return _aea_fwd(lon, lat, params)
+    if kind == "stere":
+        return _stere_fwd(lon, lat, params)
+    if kind == "sterea":
+        return _sterea_fwd(lon, lat, params)
+    if kind == "somerc":
+        return _somerc_fwd(lon, lat, params)
     raise AssertionError(kind)
 
 

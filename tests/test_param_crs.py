@@ -213,9 +213,10 @@ def test_gdf_to_crs_accepts_param_form(spark):
     assert back.x == pytest.approx(174.7762, abs=1e-9)
 
 
-def test_param_crs_errors():
+def test_param_crs_errors(spark):
     for bad in [
-        "+proj=stere +lat_0=90 +ellps=WGS84",   # unimplemented family
+        "+proj=stere +lat_0=52 +ellps=WGS84",   # oblique stere: sterea
+        "+proj=krovak +lat_0=49.5 +ellps=bessel",  # unimplemented
         "+proj=lcc +lat_1=45 +ellps=NOPE",      # unknown ellipsoid
         "+proj=utm",                            # zone missing
         "+proj=utm +zone=77",                   # zone out of range
@@ -245,7 +246,8 @@ def test_random_parameter_roundtrips(spark):
     rnd = random.Random(99)
 
     def mk_case(i):
-        fam = ("tmerc", "lcc2", "lcc1", "aea", "laea", "merc")[i % 6]
+        fam = ("tmerc", "lcc2", "lcc1", "aea", "laea", "merc",
+               "stere", "sterea", "somerc")[i % 9]
         lon0 = rnd.uniform(-170, 170)
         x0 = rnd.uniform(0, 8e5)
         y0 = rnd.uniform(-2e6, 2e6)
@@ -287,7 +289,7 @@ def test_random_parameter_roundtrips(spark):
                   f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=GRS80")
             pts = [(lon0 + rnd.uniform(-30, 30),
                     lat0 + rnd.uniform(-25, 25)) for _ in range(3)]
-        else:  # merc
+        elif fam == "merc":
             if rnd.random() < 0.5:
                 scale = f"+lat_ts={rnd.uniform(0, 45):.4f}"
             else:
@@ -296,6 +298,29 @@ def test_random_parameter_roundtrips(spark):
                   f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=WGS84")
             pts = [(lon0 + rnd.uniform(-90, 90),
                     rnd.uniform(-78, 78)) for _ in range(3)]
+        elif fam == "stere":                                    # r11
+            if rnd.random() < 0.5:
+                scale = f"+lat_ts={sgn * rnd.uniform(60, 85):.4f}"
+            else:
+                scale = f"+k={rnd.uniform(0.97, 1.0):.6f}"
+            p4 = (f"+proj=stere +lat_0={sgn * 90:.0f} {scale} "
+                  f"+lon_0={lon0:.4f} +x_0={x0:.1f} +y_0={y0:.1f} "
+                  f"+ellps=WGS84")
+            pts = [(rnd.uniform(-180, 180),
+                    sgn * rnd.uniform(55, 89.5)) for _ in range(3)]
+        elif fam == "sterea":                                   # r11
+            lat0 = rnd.uniform(-70, 70)
+            p4 = (f"+proj=sterea +lat_0={lat0:.4f} +lon_0={lon0:.4f} "
+                  f"+k={rnd.uniform(0.999, 1.0):.6f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=bessel")
+            pts = [(lon0 + rnd.uniform(-6, 6),
+                    lat0 + rnd.uniform(-6, 6)) for _ in range(3)]
+        else:  # somerc                                           r11
+            lat0 = rnd.uniform(-60, 60)
+            p4 = (f"+proj=somerc +lat_0={lat0:.4f} +lon_0={lon0:.4f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=bessel")
+            pts = [(lon0 + rnd.uniform(-4, 4),
+                    lat0 + rnd.uniform(-4, 4)) for _ in range(3)]
         return p4, pts
 
     for i in range(18):
@@ -399,3 +424,94 @@ def test_webmerc_param_threading(spark):
                     "EPSG:4326")
     assert lon == pytest.approx(3.0, abs=1e-9)
     assert lat == pytest.approx(45.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# r11: stereographic + Swiss families (VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+def test_polar_stereographic_epsg_worked_examples(spark):
+    """EPSG Guidance Note 7-2 worked examples, both variants.
+    Variant A (method 9810, UPS North): 73N 44E -> E 3320416.75,
+    N 632668.43. Variant B (method 9829, Australian Antarctic):
+    75S 120E -> E 7255380.79, N 7053389.56."""
+    x, y = _one(spark, "POINT (44 73)", "EPSG:4326",
+                "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 "
+                "+y_0=2000000 +datum=WGS84")
+    assert x == pytest.approx(3320416.75, abs=5e-3)
+    assert y == pytest.approx(632668.43, abs=5e-3)
+    x, y = _one(spark, "POINT (120 -75)", "EPSG:4326",
+                "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 "
+                "+x_0=6000000 +y_0=6000000 +datum=WGS84")
+    assert x == pytest.approx(7255380.79, abs=5e-3)
+    assert y == pytest.approx(7053389.56, abs=5e-3)
+    # UPS registry rows match the parameter-built grid
+    xr, yr = _one(spark, "POINT (44 73)", "EPSG:4326", "EPSG:32661")
+    assert xr == pytest.approx(3320416.75, abs=5e-3)
+    assert yr == pytest.approx(632668.43, abs=5e-3)
+    assert _one(spark, "POINT (44 73)", "EPSG:4326", "EPSG:5041") \
+        == (xr, yr)
+
+
+def test_oblique_stereographic_rd_new_epsg_example(spark):
+    """EPSG GN 7-2 method 9809 worked example (Amersfoort / RD New):
+    Amersfoort GEOGRAPHIC 53N 6E -> E 196105.283, N 557057.739 (pure
+    projection on Bessel — no datum shift in the published example)."""
+    x, y = _one(spark, "POINT (6 53)", "+proj=longlat +ellps=bessel",
+                "+proj=sterea +lat_0=52.15616055555555 "
+                "+lon_0=5.38763888888889 +k=0.9999079 "
+                "+x_0=155000 +y_0=463000 +ellps=bessel")
+    assert x == pytest.approx(196105.283, abs=1e-3)
+    assert y == pytest.approx(557057.739, abs=1e-3)
+
+
+def test_somerc_swisstopo_control_points(spark):
+    """Swiss Oblique Mercator vs swisstopo's published projection note:
+    the projection centre maps to (FE, FN) exactly and the Rigi test
+    point (47 03'28.956559233\"N, 8 29'11.11127154\"E) to LV03
+    E 679520.05, N 212273.44."""
+    bessel_ll = "+proj=longlat +ellps=bessel"
+    ch = ("+proj=somerc +lat_0=46.95240555555556 "
+          "+lon_0=7.439583333333333 +x_0=600000 +y_0=200000 "
+          "+ellps=bessel")
+    x, y = _one(spark, "POINT (7.439583333333333 46.95240555555556)",
+                bessel_ll, ch)
+    assert x == pytest.approx(600000.0, abs=1e-6)
+    assert y == pytest.approx(200000.0, abs=1e-6)
+    lat = 47 + 3 / 60 + 28.956559233 / 3600
+    lon = 8 + 29 / 60 + 11.11127154 / 3600
+    x, y = _one(spark, f"POINT ({lon} {lat})", bessel_ll, ch)
+    assert x == pytest.approx(679520.05, abs=5e-3)
+    assert y == pytest.approx(212273.44, abs=5e-3)
+    # LV95 (EPSG:2056) is the same grid shifted by (+2000000, +1000000)
+    x95, y95 = _one(spark, f"POINT ({lon} {lat})", bessel_ll,
+                    "+proj=somerc +lat_0=46.95240555555556 "
+                    "+lon_0=7.439583333333333 +x_0=2600000 "
+                    "+y_0=1200000 +ellps=bessel")
+    assert x95 == pytest.approx(x + 2000000.0, abs=1e-6)
+    assert y95 == pytest.approx(y + 1000000.0, abs=1e-6)
+
+
+def test_stere_family_registry_roundtrips(spark):
+    """Registry rows for the new families: WGS84 round-trips close to
+    float precision; Bessel-datum rows close under the double Helmert."""
+    cases = [("EPSG:3413", "POINT (-40 75)"),
+             ("EPSG:3976", "POINT (120 -75)"),
+             ("EPSG:3031", "POINT (45 -80)"),
+             ("EPSG:32661", "POINT (10 84)"),
+             ("EPSG:32761", "POINT (-130 -84)"),
+             ("EPSG:28992", "POINT (5.5 52.3)"),
+             ("EPSG:21781", "POINT (8.2 46.8)"),
+             ("EPSG:2056", "POINT (7.0 46.2)")]
+    for crs, pt in cases:
+        x, y = _one(spark, pt, "EPSG:4326", crs)
+        lon, lat = _one(spark, f"POINT ({x} {y})", crs, "EPSG:4326")
+        elon, elat = map(float, pt[7:-1].split())
+        assert lon == pytest.approx(elon, abs=1e-7), crs
+        assert lat == pytest.approx(elat, abs=1e-7), crs
+
+
+def test_stere_oblique_rejected():
+    from arctic_spark.proj import _parse_crs  # parse-only: no session
+    with pytest.raises(CRSError, match="sterea"):
+        _parse_crs("+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel")
