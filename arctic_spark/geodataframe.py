@@ -304,8 +304,16 @@ def from_arrow(spark, table, geometry_column=DEFAULT_GEO_COLUMN_NAME,
         table = pa.table({geometry_column: table})
     gcol = geometry_column
     if gcol in table.column_names:
-        t = table.schema.field(gcol).type
+        fld = table.schema.field(gcol)
+        t = fld.type
         base = t.storage_type if isinstance(t, pa.ExtensionType) else t
+        if geom_type is None and fld.metadata:
+            # GeoArrow field-level extension stamp (r11): the name
+            # disambiguates the shared physical layouts without a
+            # registered ExtensionType (e.g. multipoint vs linestring)
+            ext = fld.metadata.get(b"ARROW:extension:name")
+            if ext and ext != b"geoarrow.wkb":
+                geom_type = ext.decode()
         if not (pa.types.is_binary(base) or pa.types.is_large_binary(base)
                 or pa.types.is_string(base)):
             from pyspark.sql import types as T
@@ -404,6 +412,18 @@ def to_arrow(gdf: "GeoDataFrame", encoding: str = "geoarrow"):
             cols[f.name] = garr if f.name == gcol else \
                 pa.array([r[f.name] for r in rows])
         table = pa.table(cols)
+    # stamp the GeoArrow extension name as FIELD metadata (r11,
+    # VERDICT r10 #7) so GeoArrow-aware readers (pyarrow >= 12,
+    # geoarrow-py) recognize the column without the geom_type hint;
+    # plain-storage readers are unaffected (the physical type is
+    # unchanged — no registered ExtensionType required)
+    ext = ("geoarrow.wkb" if enc_name == "WKB"
+           else enc_name.lower())
+    idx = table.schema.get_field_index(gcol)
+    gfield = table.schema.field(idx).with_metadata(
+        {b"ARROW:extension:name": ext.encode(),
+         b"ARROW:extension:metadata": b"{}"})
+    table = table.set_column(idx, gfield, table.column(idx))
     meta = dict(table.schema.metadata or {})
     meta[b"geo"] = json.dumps(
         {"version": "1.0.0", "primary_column": gcol,

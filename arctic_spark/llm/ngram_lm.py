@@ -135,18 +135,15 @@ def _dcol(cnt_col, d1, d2, d3):
             .otherwise(F.lit(float(d1))))
 
 
-def kn_model_modified(counts: dict) -> dict:
-    """MODIFIED Kneser-Ney model tables (Chen & Goodman's three-
-    discount variant — what KenLM builds by default): per-order
-    discounts estimated from count-of-counts, the head term uses
-    D(c) chosen by the gram's own count, and the backoff weight is
-    (D1·N1(h·) + D2·N2(h·) + D3+·N3+(h·)) / c(h) so each
-    distribution still sums to one. Same table layout as
-    :func:`kn_model`, so :func:`kn_score` / :func:`kn_perplexity`
-    work unchanged. The driver gate stays on the single-discount
-    model (simpler SQL replay); this variant is covered by the
-    reference-implementation parity tests. Count tables persist as in
-    :func:`kn_model` (``_pinned`` key)."""
+def _kn_shared(counts: dict, persist_mid: bool = False) -> dict:
+    """The pieces BOTH KN variants consume, computed once: persisted
+    raw count tables, split views, the continuation unigram and the
+    distinct-continuation table N1+(·vw). ``persist_mid=True``
+    (the :func:`kn_models` path) additionally pins ``uni`` and
+    ``n1_vw`` — each is consumed by every variant, so sharing them
+    across variants is where the multi-variant saving comes from
+    (VERDICT r10 #3). Single-variant callers keep persist_mid=False:
+    identical plans (and gate hashes) to the pre-r11 code."""
     from pyspark import StorageLevel
     c2 = counts[2].persist(StorageLevel.MEMORY_AND_DISK)
     c3 = counts[3].persist(StorageLevel.MEMORY_AND_DISK)
@@ -160,16 +157,71 @@ def kn_model_modified(counts: dict) -> dict:
                 F.element_at("p", 2).alias("v"),
                 F.element_at("p", 3).alias("w"), "cnt")
 
+    # continuation unigram: N1+(·w) / N1+(··)
     n1_w = s2.groupBy("w").agg(F.count("*").alias("n1w"))
     n1_tot = s2.count()
     uni = n1_w.select("w", (F.col("n1w") / F.lit(float(n1_tot)))
                       .alias("p1"))
+    # c3 is one row per DISTINCT (u, v, w), so the row count IS
+    # N1+(·vw) — count_distinct(u) forced a redundant dedup pass (r10)
+    n1_vw = s3.groupBy("v", "w").agg(F.count("*").alias("n1vw"))
+
+    pinned = [c2, c3]
+    if persist_mid:
+        n1_vw = n1_vw.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager materialization: n1_vw feeds multiple branches of each
+        # variant's assembly (lazy-persist race, see verify). uni stays
+        # unpinned — it is one cheap groupBy over the cached c2 and
+        # pinning it cost more in eager wall time than it saved (r11
+        # A/B)
+        n1_vw.count()
+        pinned.append(n1_vw)
+    return {"c2": c2, "c3": c3, "s2": s2, "s3": s3, "uni": uni,
+            "n1_vw": n1_vw, "_pinned": pinned}
+
+
+def kn_models(counts: dict, variants=("interpolated", "modified"),
+              discount: float = 0.75) -> dict:
+    """Train MULTIPLE KN variants from ONE persisted count set
+    (VERDICT r10 #3): the corpus count pass, the split views, the
+    continuation unigram and N1+(·vw) are all computed once and
+    shared, so interpolated + modified together cost one corpus pass
+    plus two cheap table assemblies instead of two full trainings.
+
+    Returns {variant: model} with the same table layout
+    :func:`kn_score` consumes; every model shares one ``_pinned``
+    list (unpersisting it once frees all shared tables; repeated
+    unpersist is a no-op)."""
+    bad = [v for v in variants if v not in ("interpolated", "modified")]
+    if bad:
+        raise ValueError(f"unknown KN variant {bad[0]!r}; expected "
+                         "'interpolated' and/or 'modified'")
+    sh = _kn_shared(counts, persist_mid=True)
+    return {v: (kn_model(counts, discount=discount, _shared=sh)
+                if v == "interpolated"
+                else kn_model_modified(counts, _shared=sh))
+            for v in variants}
+
+
+def kn_model_modified(counts: dict, _shared: dict = None) -> dict:
+    """MODIFIED Kneser-Ney model tables (Chen & Goodman's three-
+    discount variant — what KenLM builds by default): per-order
+    discounts estimated from count-of-counts, the head term uses
+    D(c) chosen by the gram's own count, and the backoff weight is
+    (D1·N1(h·) + D2·N2(h·) + D3+·N3+(h·)) / c(h) so each
+    distribution still sums to one. Same table layout as
+    :func:`kn_model`, so :func:`kn_score` / :func:`kn_perplexity`
+    work unchanged. The driver gate stays on the single-discount
+    model (simpler SQL replay); this variant is covered by the
+    reference-implementation parity tests. Count tables persist as in
+    :func:`kn_model` (``_pinned`` key); pass ``_shared`` (from
+    :func:`_kn_shared` / :func:`kn_models`) to reuse tables across
+    variants."""
+    sh = _shared or _kn_shared(counts)
+    c3, s3 = sh["c3"], sh["s3"]
+    uni, n1_vw = sh["uni"], sh["n1_vw"]
 
     # bigram level over continuation counts
-    n1_vw = s3.groupBy("v", "w").agg(
-        F.count("*").alias("n1vw"))  # c3 is one row per DISTINCT
-        # (u, v, w), so the row count IS N1+(·vw) — count_distinct(u)
-        # forced a redundant dedup pass over the same rows (r10)
     bd1, bd2, bd3 = estimate_discounts(
         n1_vw.select(F.col("n1vw").alias("cnt")))
     n1_v_dot = n1_vw.groupBy("v").agg(
@@ -206,10 +258,11 @@ def kn_model_modified(counts: dict) -> dict:
                                F.lit(0.0)) / F.col("ch"))
                    .alias("p3_head")))
     return {"uni": uni, "bi": bi, "bi_bo": bi_bo.select("v", "bo2"),
-            "tri": tri, "tri_bo": tri_bo, "_pinned": [c2, c3]}
+            "tri": tri, "tri_bo": tri_bo, "_pinned": sh["_pinned"]}
 
 
-def kn_model(counts: dict, discount: float = 0.75) -> dict:
+def kn_model(counts: dict, discount: float = 0.75,
+             _shared: dict = None) -> dict:
     """Interpolated-KN probability component tables from the count
     DataFrames (order 3). Returns DataFrames:
 
@@ -232,33 +285,15 @@ def kn_model(counts: dict, discount: float = 0.75) -> dict:
     scoring is done. ``n1_tot``'s count() doubles as the eager
     materialization of c2 (single consumer before the branches); c3
     materializes eagerly via a count() for the same lazy-persist-race
-    reason.
+    reason. Pass ``_shared`` (from :func:`_kn_shared` /
+    :func:`kn_models`) to reuse tables across variants.
     """
-    from pyspark import StorageLevel
-    c2 = counts[2].persist(StorageLevel.MEMORY_AND_DISK)
-    c3 = counts[3].persist(StorageLevel.MEMORY_AND_DISK)
-    c3.count()
+    sh = _shared or _kn_shared(counts)
+    s2, s3 = sh["s2"], sh["s3"]
+    uni, n1_vw = sh["uni"], sh["n1_vw"]
     D = float(discount)
 
-    s2 = c2.select(F.split("gram", " ").alias("p"), "cnt") \
-        .select(F.element_at("p", 1).alias("v"),
-                F.element_at("p", 2).alias("w"), "cnt")
-    s3 = c3.select(F.split("gram", " ").alias("p"), "cnt") \
-        .select(F.element_at("p", 1).alias("u"),
-                F.element_at("p", 2).alias("v"),
-                F.element_at("p", 3).alias("w"), "cnt")
-
-    # continuation unigram: N1+(·w) / N1+(··)
-    n1_w = s2.groupBy("w").agg(F.count("*").alias("n1w"))
-    n1_tot = s2.count()
-    uni = n1_w.select("w", (F.col("n1w") / F.lit(float(n1_tot)))
-                      .alias("p1"))
-
-    # bigram continuation machinery: N1+(·vw), N1+(·v·), N1+(v·)
-    n1_vw = s3.groupBy("v", "w").agg(
-        F.count("*").alias("n1vw"))  # c3 is one row per DISTINCT
-        # (u, v, w), so the row count IS N1+(·vw) — count_distinct(u)
-        # forced a redundant dedup pass over the same rows (r10)
+    # bigram continuation machinery: N1+(·v·), N1+(v·)
     n1_v_dot = n1_vw.groupBy("v").agg(F.sum("n1vw").alias("n1vd"))
     n1_right_v = s2.groupBy("v").agg(F.count("*").alias("nrv"))
     bi_bo = (n1_v_dot.join(n1_right_v, "v")
@@ -286,7 +321,7 @@ def kn_model(counts: dict, discount: float = 0.75) -> dict:
                     / F.col("ch")).alias("p3_head")))
     return {"uni": uni, "bi": bi, "bi_bo": bi_bo.select("v", "bo2"),
             "tri": tri, "tri_bo": tri_bo.select("u", "v", "bo3"),
-            "_pinned": [c2, c3]}
+            "_pinned": sh["_pinned"]}
 
 
 def kn_score(df: DataFrame, col: str, model: dict,

@@ -343,11 +343,29 @@ def _spread_sample(df: DataFrame, vec_col, limit: int):
     yields a skewed codebook (VERDICT r9 nit #2). xxhash64 hashes the
     double array directly JVM-side — the first cut used
     md5(cast(v as string)), whose per-row 64-double string formatting
-    doubled the embed_knn_ivf gate's wall time (r10 bench A/B)."""
+    doubled the embed_knn_ivf gate's wall time (r10 bench A/B).
+
+    r11 (VERDICT r10 #4): the draw folds PARTITION-LOCALLY first — the
+    same Arrow top-k idiom as the KMV sketch (sketches.py) — so the
+    ordered-merge step only ever sees <= limit * partitions candidate
+    rows instead of ranking the whole corpus; at 100 TB the corpus
+    never feeds a TakeOrdered. Same hash order => identical sample."""
+    k = int(limit)
     v = _c(vec_col).alias("v")
-    return (df.select(v)
-              .orderBy(F.xxhash64(F.col("v")))
-              .limit(int(limit)).collect())
+    hashed = df.select(v).withColumn("__h", F.xxhash64(F.col("v")))
+    schema = hashed.schema
+
+    def _topk(batches):
+        import pandas as pd
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            best = cur.nsmallest(k, "__h")
+        if best is not None and len(best):
+            yield best
+
+    cand = hashed.mapInPandas(_topk, schema=schema)
+    return (cand.orderBy("__h").limit(k).select("v").collect())
 
 
 def train_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,

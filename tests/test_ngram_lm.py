@@ -214,3 +214,43 @@ def test_kn_score_unseen_words_and_truncation(spark):
     # unseen words get the continuation-unigram floor of 0, but seen
     # positions contribute: sum is strictly between 0 and n_pos
     assert 0.0 < rows[0]["sum_p"] < 5.0
+
+
+def test_kn_models_shared_counts_match_separate(spark):
+    """kn_models trains both variants from ONE persisted count set
+    (VERDICT r10 #3); every output table must be row-identical to the
+    separately-trained models."""
+    df = spark.createDataFrame(
+        [(i, CORPUS[i % len(CORPUS)]) for i in range(24)],
+        "doc_id long, text string")
+    counts = L.ngram_counts(df, "text", 3)
+    both = L.kn_models(counts)
+    sep_i = L.kn_model(L.ngram_counts(df, "text", 3), discount=0.75)
+    sep_m = L.kn_model_modified(L.ngram_counts(df, "text", 3))
+
+    def snap(model, key, cols):
+        return sorted(tuple(round(float(v), 12) if isinstance(v, float)
+                            else v for v in r)
+                      for r in model[key].select(*cols).collect())
+
+    for key, cols in [("uni", ["w", "p1"]), ("bi", ["v", "w", "p2"]),
+                      ("bi_bo", ["v", "bo2"]),
+                      ("tri", ["u", "v", "w", "p3_head"])]:
+        assert snap(both["interpolated"], key, cols) == \
+            snap(sep_i, key, cols), key
+        assert snap(both["modified"], key, cols) == \
+            snap(sep_m, key, cols), key
+    # scoring works off the shared-trained models
+    s1 = L.kn_score(df.limit(5), "text", both["interpolated"])
+    s2 = L.kn_score(df.limit(5), "text", both["modified"])
+    assert s1.count() == 5 and s2.count() == 5
+    # one shared pin list; repeated unpersist is harmless
+    assert both["interpolated"]["_pinned"] is both["modified"]["_pinned"]
+    for m in (both["interpolated"], sep_i, sep_m):
+        for d in m["_pinned"]:
+            d.unpersist()
+
+
+def test_kn_models_unknown_variant():
+    with pytest.raises(ValueError, match="variant"):
+        L.kn_models({}, variants=("interpolated", "bogus"))

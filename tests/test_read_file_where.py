@@ -145,3 +145,85 @@ def test_bbox_only_attribute_arrow_keeps_projection(spark):
     finally:
         if os.path.exists(path):
             os.remove(path)
+
+
+def test_skip_features_offset(spark):
+    """skip_features (r11, pyogrio parity io/file.py:48-86): an offset
+    after `where`, before `max_features`, on the order-stable native
+    ingest."""
+    gdf = _gdf(spark)
+    p = _tmp("_skip.gpkg")
+    try:
+        aio.write_geopackage(gdf, p, layer="t")
+        out = arctic_spark.read_file(spark, p, skip_features=2)
+        assert [r.k for r in out.df.collect()] == [2, 3, 4, 5]
+        # where -> skip -> limit composition
+        out = arctic_spark.read_file(spark, p, where="k % 2 = 0",
+                                     skip_features=1, max_features=1)
+        assert [r.k for r in out.df.collect()] == [2]
+    finally:
+        os.path.exists(p) and os.remove(p)
+
+
+def test_fids_gpkg_rowid(spark):
+    gdf = _gdf(spark)
+    p = _tmp("_fids.gpkg")
+    try:
+        aio.write_geopackage(gdf, p, layer="t")
+        # gpkg rowids are 1-based autoincrement: rows k=0..5 -> fid 1..6
+        out = arctic_spark.read_file(spark, p, fids=[5, 2])
+        assert [r.k for r in out.df.collect()] == [4, 1]   # fid order
+        with pytest.raises(ValueError, match="combine"):
+            arctic_spark.read_file(spark, p, fids=[1], where="k > 0")
+    finally:
+        os.path.exists(p) and os.remove(p)
+
+
+def test_fids_fgb_index(spark):
+    gdf = _gdf(spark)
+    p = _tmp("_fids.fgb")
+    try:
+        # no spatial index: preserve ingest order so fid == row index
+        aio.write_flatgeobuf(gdf, p, index_node_size=0)
+        out = arctic_spark.read_file(spark, p, fids=[4, 0, 2])
+        assert [r.k for r in out.df.collect()] == [4, 0, 2]
+        with pytest.raises(ValueError, match="combine"):
+            aio.read_flatgeobuf(spark, p, bbox=(0, 0, 9, 9), fids=[1])
+    finally:
+        os.path.exists(p) and os.remove(p)
+
+
+def test_fids_gml_id(spark):
+    p = _tmp("_fids.gml")
+    doc = """<?xml version="1.0"?>
+<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs"
+    xmlns:gml="http://www.opengis.net/gml" xmlns:t="http://t">
+  <gml:featureMember><t:town gml:id="t.1"><t:name>a</t:name>
+    <t:geom><gml:Point><gml:pos>1 2</gml:pos></gml:Point></t:geom>
+  </t:town></gml:featureMember>
+  <gml:featureMember><t:town gml:id="t.2"><t:name>b</t:name>
+    <t:geom><gml:Point><gml:pos>3 4</gml:pos></gml:Point></t:geom>
+  </t:town></gml:featureMember>
+  <gml:featureMember><t:town gml:id="t.3"><t:name>c</t:name>
+    <t:geom><gml:Point><gml:pos>5 6</gml:pos></gml:Point></t:geom>
+  </t:town></gml:featureMember>
+</wfs:FeatureCollection>"""
+    try:
+        with open(p, "w") as fh:
+            fh.write(doc)
+        out = arctic_spark.read_file(spark, p, fids=["t.3", "t.1"])
+        rows = out.df.collect()
+        assert [r.gml_id for r in rows] == ["t.3", "t.1"]
+    finally:
+        os.path.exists(p) and os.remove(p)
+
+
+def test_fids_unsupported_format_raises(spark):
+    gdf = _gdf(spark)
+    p = _tmp("_fids.arrow")
+    try:
+        aio.write_ipc(gdf, p)
+        with pytest.raises(ValueError, match="fids"):
+            arctic_spark.read_file(spark, p, fids=[1])
+    finally:
+        os.path.exists(p) and os.remove(p)
