@@ -2097,6 +2097,27 @@ def sketch_kmv_windows(spark, sf):
         .orderBy("day_k", "h"))
 
 
+def sketch_sample_windows(spark, sf):
+    """Per-window bottom-k deterministic sample: the r11 streaming twin
+    (streaming.windowed_sample_rows — same custom stateful scaffold as
+    the KMV twin) run in its batch mode over epoch-aligned 1-day
+    tumbling windows of the events table: the 8 smallest distinct
+    60-bit user-id hashes per day, each carrying the MIN event_id of
+    that user in that window (the batch sample_sketch's min-collapse
+    rule). The oracle replays windowing + md5 bottom-k + min-collapse
+    per day in SQL."""
+    from arctic_spark.streaming import windowed_sample_rows
+    e = _t(spark, sf, "events")
+    out = windowed_sample_rows(e, window="1 day", ts_col="ts",
+                               key_col="user_id", val_col="event_id",
+                               k=8)
+    return (out.select(
+        F.expr("unix_timestamp(window_start) div 86400").alias("day_k"),
+        F.col("__h").alias("h"),
+        F.col("val").cast("long").alias("min_event"))
+        .orderBy("day_k", "h"))
+
+
 def lm_kn_modified(spark, sf):
     """MODIFIED Kneser-Ney trigram LM (Chen & Goodman 1998's
     three-discount variant — what KenLM builds by default;
@@ -4263,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_kn_score": lm_kn_score,
         "lm_kn_modified": lm_kn_modified,
         "sketch_kmv_windows": sketch_kmv_windows,
+        "sketch_sample_windows": sketch_sample_windows,
         "text_bpe_train": text_bpe_train,
         "text_quality_gopher": text_quality_gopher,
         "tok_unigram_encode": tok_unigram_encode,
@@ -6336,6 +6358,22 @@ def oracle_sql() -> dict[str, str]:
         "tok_wordpiece_encode": _wordpiece_oracle_sql(),
         "lm_kn_score": _KN_ORACLE,
         "lm_kn_modified": _KN_MOD_ORACLE,
+        "sketch_sample_windows": """
+            WITH hv AS (
+                SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_k,
+                       CAST(concat('0x', substr(md5(
+                            CAST(user_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS h,
+                       min(event_id) AS me
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1, 2),
+            k AS (SELECT day_k, h, me,
+                         row_number() OVER (PARTITION BY day_k
+                                            ORDER BY h) AS rn
+                  FROM hv)
+            SELECT day_k, h, CAST(me AS BIGINT) AS min_event
+            FROM k WHERE rn <= 8 ORDER BY day_k, h
+        """,
         "sketch_kmv_windows": """
             WITH hv AS (
                 SELECT DISTINCT

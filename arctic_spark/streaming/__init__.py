@@ -13,11 +13,13 @@ from .ops import (session_window_stats, sessionize_by_gap,
                   streaming_near_dup_pairs, streaming_trajectories,
                   windowed_event_counts, windowed_geo_density,
                   windowed_hex_density, windowed_hll_registers,
-                  windowed_cms_counters, windowed_kmv_minima)
+                  windowed_cms_counters, windowed_kmv_minima,
+                  windowed_sample_rows)
 
 __all__ = ["windowed_event_counts", "windowed_geo_density",
            "windowed_hex_density", "windowed_hll_registers",
            "windowed_cms_counters", "windowed_kmv_minima",
+           "windowed_sample_rows",
            "sessionize_by_gap", "session_window_stats",
            "streaming_dedup_exact", "stream_stream_interval_join",
            "streaming_near_dup_pairs", "streaming_trajectories"]

@@ -462,25 +462,45 @@ _KMV_STATE_SCHEMA = T.StructType([
 ])
 
 
-def _kmv_fn(k: int, idle_ms: int):
+def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
+                            out_schema, state_schema, idle_ms):
+    """Shared per-window stateful-fold scaffold for the ORDER-STATISTIC
+    sketch twins (KMV minima, bottom-k sample — r11, VERDICT r10 #8;
+    HLL registers and CMS counters stay plain streaming aggregations
+    because max/sum ARE built-in streaming aggregates, so Spark's own
+    watermark-managed state covers them).
+
+    ``src`` must carry a ``window_start`` grouping column. Contract:
+    ``fold(state_tuple, pdf) -> state_tuple`` (pure, bounded output),
+    ``emit(window_start, state_tuple) -> pd.DataFrame(out_schema)``.
+    Streaming input runs ``applyInPandasWithState`` in update mode —
+    one bounded state row per OPEN window, idle windows evicted via
+    ProcessingTimeTimeout (their final fold was already emitted on the
+    last update). Batch input runs the IDENTICAL fold through
+    ``applyInPandas`` (batch ≡ stream by construction)."""
+    if not src.isStreaming:
+        def batch(pdf):
+            return emit(pdf["window_start"].iloc[0],
+                        fold(empty_state, pdf))
+        return src.groupBy("window_start").applyInPandas(
+            batch, out_schema)
+
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        import numpy as np
         (ws,) = key
         if state.hasTimedOut:
-            # idle window: its final minima were already emitted on the
-            # last update — evict so closed windows don't accumulate in
-            # the state store forever (review r10)
             state.remove()
             return
-        cur = (np.array(state.get[0], dtype="int64")
-               if state.exists else np.array([], dtype="int64"))
+        cur = tuple(state.get) if state.exists else empty_state
         for pdf in pdfs:
-            cur = np.unique(np.concatenate(
-                [cur, pdf["h"].to_numpy()]))[:k]
-        state.update((cur.tolist(),))
+            cur = fold(cur, pdf)
+        state.update(cur)
         state.setTimeoutDuration(idle_ms)
-        yield pd.DataFrame({"window_start": ws, "h": cur})
-    return fn
+        yield emit(ws, cur)
+    return (src.groupBy("window_start")
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="update",
+                                    timeoutConf="ProcessingTimeTimeout"))
 
 
 def windowed_kmv_minima(events: DataFrame, window="1 minute",
@@ -517,21 +537,88 @@ def windowed_kmv_minima(events: DataFrame, window="1 minute",
             .where(F.col(key_col).isNotNull()))
     src = (base.select(F.window(ts_col, window).alias("win"), hcol)
            .select(F.col("win.start").alias("window_start"), "h"))
-    if not events.isStreaming:
-        def fold(pdf):
-            import numpy as np
-            hs = np.unique(pdf["h"].to_numpy())[:k]
-            return pd.DataFrame(
-                {"window_start": pdf["window_start"].iloc[0], "h": hs})
-        return src.groupBy("window_start").applyInPandas(
-            fold, _KMV_OUT_SCHEMA)
-    idle_ms = max(_gap_ms(watermark), _gap_ms(window))
-    return (src.groupBy("window_start")
-            .applyInPandasWithState(_kmv_fn(k, idle_ms),
-                                    outputStructType=_KMV_OUT_SCHEMA,
-                                    stateStructType=_KMV_STATE_SCHEMA,
-                                    outputMode="update",
-                                    timeoutConf="ProcessingTimeTimeout"))
+
+    def fold(cur, pdf):
+        import numpy as np
+        prev = np.array(cur[0], dtype="int64")
+        return (np.unique(np.concatenate(
+            [prev, pdf["h"].to_numpy()]))[:k].tolist(),)
+
+    def emit(ws, cur):
+        return pd.DataFrame({"window_start": ws, "h": cur[0]})
+
+    return _windowed_fold_scaffold(
+        src, fold=fold, emit=emit, empty_state=([],),
+        out_schema=_KMV_OUT_SCHEMA, state_schema=_KMV_STATE_SCHEMA,
+        idle_ms=max(_gap_ms(watermark), _gap_ms(window)))
+
+
+def windowed_sample_rows(events: DataFrame, window="1 minute",
+                         watermark="2 minutes", ts_col="ts",
+                         key_col="user_id", val_col=None,
+                         k: int = 64) -> DataFrame:
+    """Streaming bottom-k deterministic sample per tumbling window —
+    the streaming twin of :func:`arctic_spark.sketches.sample_sketch`
+    (r11, completing the batch↔stream symmetry of the sketch family):
+    (window_start, __h, val) for the k smallest DISTINCT 60-bit key
+    hashes seen in the window, duplicate keys collapsed to the MIN
+    companion value (the batch sketch's min-struct rule over one
+    carried column). A bottom-k set is an order statistic, so this
+    rides the same custom stateful scaffold as
+    :func:`windowed_kmv_minima`: one bounded state row (≤k hashes +
+    values) per open window, update-mode emissions, idle windows
+    evicted by processing-time timeout. Samples from different
+    windows/streams MERGE exactly like
+    :func:`arctic_spark.sketches.sample_merge` (bottom-k of the union,
+    min-collapse on duplicate hashes). Batch input runs the identical
+    fold through ``applyInPandas``."""
+    from ..sketches import h60
+    val_col = val_col or key_col
+    vtype = events.schema[val_col].dataType
+    out_schema = T.StructType([
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("__h", T.LongType()),
+        T.StructField("val", vtype),
+    ])
+    state_schema = T.StructType([
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(vtype)),
+    ])
+    base = (events.where(F.col(key_col).isNotNull())
+            if not events.isStreaming
+            else events.withWatermark(ts_col, watermark)
+            .where(F.col(key_col).isNotNull()))
+    src = (base.select(F.window(ts_col, window).alias("win"),
+                       h60(key_col).alias("__h"),
+                       F.col(val_col).alias("val"))
+           .select(F.col("win.start").alias("window_start"),
+                   "__h", "val"))
+
+    def fold(cur, pdf):
+        if len(cur[0]):
+            # __h must stay int64: an empty/object column would
+            # promote the concat to float64 and shave the hash's low
+            # bits (> 2^53)
+            prev = pd.DataFrame(
+                {"__h": pd.array(cur[0], dtype="int64"),
+                 "val": cur[1]})
+            allr = pd.concat([prev, pdf[["__h", "val"]]],
+                             ignore_index=True)
+        else:
+            allr = pdf[["__h", "val"]]
+        g = (allr.groupby("__h", as_index=False)["val"].min()
+             .sort_values("__h").head(k))
+        return (g["__h"].tolist(), g["val"].tolist())
+
+    def emit(ws, cur):
+        out = pd.DataFrame({"__h": cur[0], "val": cur[1]})
+        out.insert(0, "window_start", ws)
+        return out
+
+    return _windowed_fold_scaffold(
+        src, fold=fold, emit=emit, empty_state=([], []),
+        out_schema=out_schema, state_schema=state_schema,
+        idle_ms=max(_gap_ms(watermark), _gap_ms(window)))
 
 
 def windowed_cms_counters(events: DataFrame, window="1 minute",

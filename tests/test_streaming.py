@@ -567,3 +567,125 @@ def test_windowed_kmv_minima_stream(spark, tmp_path):
     assert set(by_win) == set(exp_by_win)
     for w, hs in by_win.items():
         assert sorted(hs)[:24] == sorted(exp_by_win[w])
+
+
+def test_windowed_sample_rows_batch(spark, events):
+    """Batch semantics: per-window bottom-k sample equals sample_sketch
+    run on the window's slice (same hashes, same min-collapsed val)."""
+    from arctic_spark import sketches as sk
+    from arctic_spark.streaming import windowed_sample_rows
+
+    out = windowed_sample_rows(events, window="1 hour",
+                               key_col="user_id", val_col="user_id",
+                               k=8)
+    rows = out.collect()
+    assert len({r.window_start for r in rows}) == 1
+    got = sorted((r["__h"], r.val) for r in rows)
+    direct = sorted(
+        (r["__h"], r.user_id) for r in sk.sample_sketch(
+            events.select("user_id"), "user_id", k=8,
+            cols=["user_id"]).collect())
+    assert got == direct
+
+
+def test_windowed_sample_rows_stream_and_eviction(spark, tmp_path):
+    """Streaming: micro-batches fold into one bounded state row per
+    window; the final emission per window equals the batch sample of
+    the full input. Eviction: after the idle timeout fires, the state
+    store holds no rows for closed windows (numRowsTotal drops to 0)."""
+    import os
+    import time
+    from arctic_spark.streaming import windowed_sample_rows
+
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i % 50:02d}") for i in range(120)],
+        "user_id long, ts_s string") \
+        .select((F.col("user_id") * 37 % 211).alias("user_id"),
+                F.col("ts_s").cast("timestamp").alias("ts"))
+    d = os.path.join(str(tmp_path), "smp_in")
+    base.where(F.col("user_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    base.where(F.col("user_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(d)
+    src = (spark.readStream.schema("user_id long, ts timestamp")
+           .option("maxFilesPerTrigger", "1").parquet(d))
+    out = windowed_sample_rows(src, window="1 minute",
+                               watermark="2 seconds",
+                               key_col="user_id", val_col="user_id",
+                               k=16)
+    q = (out.writeStream.format("memory").queryName("smp_rows")
+         .outputMode("update").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM smp_rows").count() and \
+                    q.lastProgress and \
+                    q.lastProgress["numInputRows"] == 0:
+                break
+            time.sleep(1)
+        rows = spark.sql("SELECT * FROM smp_rows").collect()
+        assert rows
+        by_win = {}
+        for r in rows:
+            by_win.setdefault(r.window_start, {})[r["__h"]] = r.val
+        batch = windowed_sample_rows(base, window="1 minute",
+                                     key_col="user_id",
+                                     val_col="user_id", k=16).collect()
+        exp = {}
+        for r in batch:
+            exp.setdefault(r.window_start, {})[r["__h"]] = r.val
+        assert set(by_win) == set(exp)
+        for w, d2 in exp.items():
+            got = dict(sorted(by_win[w].items())[:16])
+            assert got == d2
+        # state eviction: idle windows time out and remove their row
+        deadline = time.time() + 90
+        evicted = False
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                if p["stateOperators"][0]["numRowsTotal"] == 0:
+                    evicted = True
+                    break
+            time.sleep(2)
+        assert evicted, "state rows for closed windows not evicted"
+    finally:
+        q.stop()
+
+
+def test_windowed_kmv_eviction(spark, tmp_path):
+    """KMV twin state eviction (scaffold-backed after r11): idle
+    windows drop out of the state store via the processing-time
+    timeout."""
+    import os
+    import time
+    from arctic_spark.streaming import windowed_kmv_minima
+
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i % 50:02d}") for i in range(80)],
+        "user_id long, ts_s string") \
+        .select(F.col("user_id"),
+                F.col("ts_s").cast("timestamp").alias("ts"))
+    d = os.path.join(str(tmp_path), "kmv_ev_in")
+    base.coalesce(1).write.mode("overwrite").parquet(d)
+    src = (spark.readStream.schema("user_id long, ts timestamp")
+           .parquet(d))
+    out = windowed_kmv_minima(src, window="1 minute",
+                              watermark="2 seconds",
+                              key_col="user_id", k=8)
+    q = (out.writeStream.format("memory").queryName("kmv_ev")
+         .outputMode("update").start())
+    try:
+        deadline = time.time() + 120
+        evicted = False
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("stateOperators") and \
+                    spark.sql("SELECT * FROM kmv_ev").count():
+                if p["stateOperators"][0]["numRowsTotal"] == 0:
+                    evicted = True
+                    break
+            time.sleep(2)
+        assert evicted, "KMV state rows not evicted after idle timeout"
+    finally:
+        q.stop()
