@@ -4181,31 +4181,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # sampling/packing, salted/bloom joins. Everything below the fold is
 # value-verified by the local 141/141 sweep (driver's comparator).
 _WINDOW = [
-    "geo_param_crs", "io_ipc_roundtrip",
-    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
-    "q14_promo_revenue", "q19_disjunctive_filter",
-    "geo_lambert93", "geo_conus_albers", "geo_webmercator",
-    "geo_utm_roundtrip",
-    "lm_kn_score", "lm_kn_modified", "text_perplexity",
-    "graph_triangles", "graph_common_neighbors",
-    "sketch_kmv_minima", "sketch_kmv_windows", "sketch_hll_registers",
+    # --- r11-NEW gates (must land in the driver's first-50 window) ---
+    "geo_polar_stere", "io_multifile_union", "sketch_sample_windows",
+    # --- r11-TOUCHED paths (shared KN counts, spread-sample fold,
+    # fids/skip on the native readers, read_ipc spill, scaffolded KMV,
+    # aea/webmerc advice fixes) ---
+    "lm_kn_score", "lm_kn_modified",
     "embed_knn_ivf", "embed_pq_adc", "dedup_semantic",
-    "dedup_substring_stats",
-    "mm_jpeg_phash", "mm_jpeg_progressive",
-    "io_fgb_roundtrip", "io_kml_roundtrip", "io_gpkg_roundtrip",
-    # --- oldest-green r7/r8 rotation block ---
-    "graph_pagerank", "dsir_select", "geo_subdivide",
-    "q_salted_join", "q_bloom_semijoin",
-    "geo_cluster_kmeans", "geo_cluster_dbscan", "geo_cluster_within",
-    "q_sessionize", "q18_large_orders", "geo_concave_hull",
-    "embed_pca_norms", "q_percentiles", "geo_project_geodesic",
-    "geo_inscribed_circle", "geo_trajectory_stats", "text_url_ops",
-    "sample_stratified", "pack_sequences", "dedup_groups",
-    "geo_line_substring", "geo_split",
-    # (geo_min_clearance, geo_geohash, geo_hex_density,
-    # geo_offset_curve, geo_snap_shared_paths, geo_azimuth_project,
-    # geo_zorder_keys, embed_near_dup, dedup_minhash_lsh: next
-    # rotation — the window caps at ~50)
+    "sketch_kmv_windows", "sketch_kmv_minima",
+    "io_ipc_roundtrip", "io_gpkg_roundtrip", "io_fgb_roundtrip",
+    "geo_param_crs", "geo_conus_albers",
+    # --- oldest-green rotation block (owed from the r10 list) ---
+    "geo_min_clearance", "geo_geohash", "geo_hex_density",
+    "geo_offset_curve", "geo_snap_shared_paths", "geo_azimuth_project",
+    "geo_zorder_keys", "embed_near_dup", "dedup_minhash_lsh",
+    "text_classify_quality", "q_range_join", "decontam_overlap",
+    "embed_dim_stats", "tok_unigram_encode",
+    "q_window_latest_event", "q_asof_join", "text_readability",
+    "text_bpe_encode", "tok_wordpiece_encode", "text_lang_id",
+    "text_bm25_topk", "embed_cosine_topk", "text_pii_scrub",
+    "sample_mixture", "graph_pagerank",
+    "dsir_select", "q1_pricing_summary", "q3_shipping_priority",
+    "q6_forecast_revenue", "geo_pip_join", "geo_poly_join",
+    "geo_boolean_intersection", "geo_overlay_union",
+    "geo_buffer_line", "geo_explode_multipoint",
+    # (q7/q8/q10/q14/q19, graph_*, mm_jpeg_*, text_perplexity,
+    # sketch_hll_registers, io_kml_roundtrip, dedup_substring_stats,
+    # geo_lambert93, geo_utm_roundtrip, the r7/r8 cluster/segment
+    # block: green r10 — next rotation; the window caps at ~50)
 ]
 
 
