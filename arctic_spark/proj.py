@@ -797,6 +797,96 @@ def _somerc_inv(x, y, p) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819) — S-JTSK, Czech/Slovak national grid:
+# ellipsoid -> conformal (Gaussian) sphere -> rotation to the oblique
+# pseudo-pole at azimuth alpha_C -> LCC-style cone n = sin(phi_P) on
+# the sphere. EPSG:5514 (Krovak East North: x = -westing,
+# y = -southing — PROJ's default orientation) / EPSG:5513 via +czech
+# (positive southing/westing).
+# ---------------------------------------------------------------------------
+
+def _krovak_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+    phic = math.radians(p["lat0"])
+    alphac = math.radians(p.get("alpha", 30.28813972222222))
+    phip = math.radians(78.5)        # pseudo standard parallel (fixed
+    # by the method definition, EPSG GN7-2 / PROJ krovak.cpp)
+    k = p.get("k0", 0.9999)
+    big_a = a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phic) ** 2)
+    big_b = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+    gamma0 = math.asin(math.sin(phic) / big_b)
+    lnt0 = math.atanh(math.sin(gamma0)) - big_b * _iso_f(phic, e)
+    n = math.sin(phip)
+    r0 = k * big_a / math.tan(phip)
+    lntanp = math.log(math.tan(math.pi / 4 + phip / 2))
+    return (e, e2, big_b, gamma0, lnt0, n, r0, lntanp, alphac,
+            math.radians(p["lon0"]))
+
+
+def _krovak_fwd(lon, lat, p) -> Column:
+    e, e2, big_b, g0, lnt0, n, r0, lntanp, ac, lam0 = _krovak_consts(p)
+    unit = p.get("unit", 1.0)
+    sgn = 1.0 if p.get("czech") else -1.0
+    su = F.tanh(F.lit(big_b) * _iso_col(F.radians(lat), e)
+                + F.lit(lnt0))
+    v = F.lit(big_b) * (F.lit(lam0) - F.radians(lon))
+
+    def with_uv(s):
+        cu = F.sqrt(F.lit(1.0) - s["su"] * s["su"])
+        st_ = (F.lit(math.cos(ac)) * s["su"]
+               + F.lit(math.sin(ac)) * cu * F.cos(s["v"]))
+
+        def with_t(stc):
+            ct = F.sqrt(F.lit(1.0) - stc * stc)
+            d = F.asin(cu * F.sin(s["v"]) / ct)
+            # r = r0 tan^n(pi/4+phiP/2) / tan^n(pi/4+T/2);
+            # ln tan(pi/4+T/2) = atanh(sin T)
+            r = F.lit(r0) * F.exp(
+                F.lit(n) * (F.lit(lntanp) - _atanh(stc)))
+
+            def with_rd(t):
+                xs = t["r"] * F.cos(F.lit(n) * t["d"])   # southing
+                yw = t["r"] * F.sin(F.lit(n) * t["d"])   # westing
+                x = F.lit(p["fe"]) + F.lit(sgn) * yw / F.lit(unit)
+                y = F.lit(p["fn"]) + F.lit(sgn) * xs / F.lit(unit)
+                return _xy(x, y)
+            return _let(F.struct(r.alias("r"), d.alias("d")), with_rd)
+        return _let(st_, with_t)
+    return _let(F.struct(su.alias("su"), v.alias("v")), with_uv)
+
+
+def _krovak_inv(x, y, p) -> Column:
+    e, e2, big_b, g0, lnt0, n, r0, lntanp, ac, lam0 = _krovak_consts(p)
+    unit = p.get("unit", 1.0)
+    sgn = 1.0 if p.get("czech") else -1.0
+    yw = F.lit(sgn) * (x - F.lit(p["fe"])) * F.lit(unit)
+    xs = F.lit(sgn) * (y - F.lit(p["fn"])) * F.lit(unit)
+
+    def with_xy(s):
+        r = F.sqrt(s["xs"] * s["xs"] + s["yw"] * s["yw"])
+        d = F.atan2(s["yw"], s["xs"]) / F.lit(n)
+        # atanh(sin T) = lntanp + (ln r0 - ln r)/n
+        st_ = F.tanh(F.lit(lntanp)
+                     + (F.lit(math.log(r0)) - F.log(r)) / F.lit(n))
+
+        def with_td(t):
+            ct = F.sqrt(F.lit(1.0) - t["st"] * t["st"])
+            su = (F.lit(math.cos(ac)) * t["st"]
+                  - F.lit(math.sin(ac)) * ct * F.cos(t["d"]))
+
+            def with_u(suu):
+                cu = F.sqrt(F.lit(1.0) - suu * suu)
+                v = F.asin(ct * F.sin(t["d"]) / cu)
+                lonc = F.degrees(F.lit(lam0) - v / F.lit(big_b))
+                psi = (_atanh(suu) - F.lit(lnt0)) / F.lit(big_b)
+                latc = F.degrees(_phi_from_iso(psi, e, e2))
+                return _xy(lonc, latc)
+            return _let(su, with_u)
+        return _let(F.struct(st_.alias("st"), d.alias("d")), with_td)
+    return _let(F.struct(xs.alias("xs"), yw.alias("yw")), with_xy)
+
+
+# ---------------------------------------------------------------------------
 # Helmert 7-parameter datum shift (position-vector convention) via ECEF
 # ---------------------------------------------------------------------------
 
@@ -896,6 +986,8 @@ _H_AMERSFOORT = (565.417, 50.3319, 465.552,
                  -0.398957, 0.343988, -1.8774, 4.0725)
 # CH1903 / CH1903+ -> WGS84 (EPSG:1676, geocentric translations)
 _H_CH1903 = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+# S-JTSK -> WGS84 (EPSG:1622, geocentric translations)
+_H_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
 _BESSEL = (6377397.155, 299.1528128)
 
 # EPSG:2263 NAD83 / New York Long Island (ftUS): Lambert CC 2SP;
@@ -979,6 +1071,22 @@ _EPSG_TABLE: dict[int, tuple] = {
                        "lon0": 7.439583333333333,
                        "fe": 600000.0, "fn": 200000.0,
                        "datum": _H_CH1903}),
+    # S-JTSK / Krovak East North (5514) and classic southing/westing
+    # (5513) — Krovak oblique conformal conic on Bessel. The cone's
+    # basic meridian is 42d30' east of FERRO = 24d50' east of
+    # GREENWICH (through eastern Slovakia — Czech points sit WEST of
+    # it, hence positive westings); EPSG's 5514 proj4 carries
+    # +lon_0=24.8333 with NO +pm (the Ferro variant is EPSG:2065,
+    # +lon_0=42.5 +pm=ferro — same grid through the pm fold)
+    5514: ("krovak", {"ellps": _BESSEL, "lat0": 49.5,
+                      "alpha": 30.28813972222222, "k0": 0.9999,
+                      "lon0": 24.833333333333332,
+                      "fe": 0.0, "fn": 0.0, "datum": _H_SJTSK}),
+    5513: ("krovak", {"ellps": _BESSEL, "lat0": 49.5,
+                      "alpha": 30.28813972222222, "k0": 0.9999,
+                      "lon0": 24.833333333333332,
+                      "fe": 0.0, "fn": 0.0, "czech": True,
+                      "datum": _H_SJTSK}),
     2056: ("somerc", {"ellps": _BESSEL,
                       "lat0": 46.95240555555556,
                       "lon0": 7.439583333333333,
@@ -1047,7 +1155,8 @@ _DATUM_NAMES = {
 
 #: PROJ +pm= named prime meridians (degrees east of Greenwich).
 _PM_NAMES = {"greenwich": 0.0, "paris": 2.33722917, "lisbon": -9.13190611,
-             "rome": 12.45233333, "bogota": -74.08091667}
+             "rome": 12.45233333, "bogota": -74.08091667,
+             "ferro": -17.666666666666668}
 
 #: PROJ +units= names → meters per unit.
 _UNIT_NAMES = {"m": 1.0, "meter": 1.0, "metre": 1.0, "km": 1000.0,
@@ -1241,10 +1350,17 @@ def _params_from_dict(d: dict):
         return "sterea", {**base, "lat0": fl("lat_0"), "k0": k0}
     if proj == "somerc":
         return "somerc", {**base, "lat0": fl("lat_0"), "k0": k0}
+    if proj == "krovak":
+        p = {**base, "lat0": fl("lat_0", 49.5),
+             "alpha": fl("alpha", 30.28813972222222),
+             "k0": fl("k", fl("k_0", 0.9999))}
+        if d.get("czech"):
+            p["czech"] = True
+        return "krovak", p
     raise CRSError(
         f"unsupported projection family {proj!r}; the closed-form engine "
         "implements tmerc, utm, merc, webmerc, lcc (1SP/2SP), aea, laea, "
-        "stere (polar), sterea, somerc "
+        "stere (polar), sterea, somerc, krovak "
         "and longlat (+towgs84 datum shifts on any of them)")
 
 
@@ -1341,6 +1457,8 @@ def _inv_struct(kind, params, x, y) -> Column:
         return _sterea_inv(x, y, params)
     if kind == "somerc":
         return _somerc_inv(x, y, params)
+    if kind == "krovak":
+        return _krovak_inv(x, y, params)
     raise AssertionError(kind)
 
 
@@ -1367,6 +1485,8 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
         return _sterea_fwd(lon, lat, params)
     if kind == "somerc":
         return _somerc_fwd(lon, lat, params)
+    if kind == "krovak":
+        return _krovak_fwd(lon, lat, params)
     raise AssertionError(kind)
 
 

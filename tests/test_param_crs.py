@@ -515,3 +515,47 @@ def test_stere_oblique_rejected():
     from arctic_spark.proj import _parse_crs  # parse-only: no session
     with pytest.raises(CRSError, match="sterea"):
         _parse_crs("+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel")
+
+
+def test_krovak_epsg_worked_example(spark):
+    """Krovak (EPSG method 9819) vs the EPSG GN7-2 worked example:
+    S-JTSK geographic 50 12'32.442"N, 16 50'59.179"E (Greenwich; the
+    cone's basic meridian is 24 50' E Greenwich = 42 30' E Ferro) ->
+    Southing 1050538.63, Westing 568991.00 (+czech axes); EPSG:5514
+    'East North' is the negated (westing, southing) pair."""
+    lat = 50 + 12 / 60 + 32.442 / 3600
+    lon = 16 + 50 / 60 + 59.179 / 3600
+    bessel_ll = "+proj=longlat +ellps=bessel"
+    czech = ("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+             "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 "
+             "+ellps=bessel +czech")
+    w, s_ = _one(spark, f"POINT ({lon} {lat})", bessel_ll, czech)
+    assert w == pytest.approx(568991.00, abs=0.02)
+    assert s_ == pytest.approx(1050538.63, abs=0.02)
+    en = czech.replace(" +czech", "")
+    x, y = _one(spark, f"POINT ({lon} {lat})", bessel_ll, en)
+    assert x == pytest.approx(-w, abs=1e-6)
+    assert y == pytest.approx(-s_, abs=1e-6)
+    # Ferro-referenced variant (EPSG:2065 parameters) is the same grid
+    ferro = czech.replace("+lon_0=24.833333333333332",
+                          "+lon_0=42.5 +pm=ferro")
+    wf, sf_ = _one(spark, f"POINT ({lon} {lat})", bessel_ll, ferro)
+    assert wf == pytest.approx(w, abs=5e-4)
+    assert sf_ == pytest.approx(s_, abs=5e-4)
+
+
+def test_krovak_registry_roundtrip(spark):
+    """EPSG:5514 registry row (incl. the S-JTSK 3-param shift): Czech
+    points land west of the basic meridian (negative x, 'east-north'
+    orientation) and round-trip through the WGS84 hub."""
+    x, y = _one(spark, "POINT (14.4213 50.0875)", "EPSG:4326",
+                "EPSG:5514")
+    assert -744000 < x < -741000 and -1044000 < y < -1042000
+    lon, lat = _one(spark, f"POINT ({x} {y})", "EPSG:5514", "EPSG:4326")
+    assert lon == pytest.approx(14.4213, abs=1e-7)
+    assert lat == pytest.approx(50.0875, abs=1e-7)
+    # 5513 is the positive southing/westing twin of the same grid
+    xs, ys = _one(spark, "POINT (14.4213 50.0875)", "EPSG:4326",
+                  "EPSG:5513")
+    assert xs == pytest.approx(-x, abs=1e-6)
+    assert ys == pytest.approx(-y, abs=1e-6)
