@@ -265,7 +265,7 @@ def read_geopackage(spark: SparkSession, path: str, layer: str = None,
 
 def _parse_gpkg_rows(path, layer=None,
                      geometry_column=DEFAULT_GEO_COLUMN_NAME,
-                     fids=None):
+                     fids=None, max_rows=None):
     """Pure GeoPackage parse: (fields incl geometry, rows, crs-or-None).
     Executor-safe — shared by :func:`read_geopackage` and the
     distributed multi-file path :func:`read_files` (r11). ``fids``
@@ -298,18 +298,26 @@ def _parse_gpkg_rows(path, layer=None,
                                  f"{[t for t, _, _ in layers]}")
             name, gcol, srs_id = match[0]
         if fids is None:
-            cur = con.execute(f'SELECT * FROM "{name}"')
+            lim = "" if max_rows is None else f" LIMIT {int(max_rows)}"
+            cur = con.execute(f'SELECT * FROM "{name}"{lim}')
             cols = [d[0] for d in cur.description]
             raw = cur.fetchall()
         else:
             ids = [int(f) for f in fids]
-            ph = ",".join("?" * len(ids))
+            ph = ",".join("?" * len(ids)) or "NULL"   # IN () is a
+            # sqlite syntax error; IN (NULL) matches nothing
             cur = con.execute(
                 f'SELECT rowid, * FROM "{name}" '
                 f"WHERE rowid IN ({ph})", ids)
             cols = [d[0] for d in cur.description][1:]
             by_id = {r[0]: r[1:] for r in cur.fetchall()}
-            raw = [by_id[i] for i in ids if i in by_id]
+            missing = [i for i in ids if i not in by_id]
+            if missing:
+                raise ValueError(
+                    f"{path}: fids {missing} not present in layer "
+                    f"{name!r} (pyogrio/GDAL errors on missing FIDs "
+                    "too)")
+            raw = [by_id[i] for i in ids]
         gidx = cols.index(gcol)
         wkbs = [_g.parse_gpkg_blob(r[gidx]) for r in raw]
         rg = _wkb.decode([w[1] if w else None for w in wkbs])
@@ -510,7 +518,12 @@ def _parse_fgb_rows(path, bbox=None,
         meta, feats = _f.read_fgb(fh.read(), bbox=bbox)
     if fids is not None:
         ids = [int(f) for f in fids]
-        feats = [feats[i] for i in ids if 0 <= i < len(feats)]
+        missing = [i for i in ids if not 0 <= i < len(feats)]
+        if missing:
+            raise ValueError(
+                f"{path}: feature indices {missing} out of range "
+                f"(file has {len(feats)} features)")
+        feats = [feats[i] for i in ids]
 
     rg = _wkb.decode([w for w, _ in feats])
     file_crs = f"{meta['crs'][0]}:{meta['crs'][1]}" if meta["crs"] else None
@@ -758,7 +771,11 @@ def _parse_gml_rows(path, swap_axes=False,
         feats = _g.parse_gml(fh.read(), swap_axes=swap_axes)
     if fids is not None:
         by_id = {f["gml_id"]: f for f in feats if f["gml_id"]}
-        feats = [by_id[str(i)] for i in fids if str(i) in by_id]
+        missing = [str(i) for i in fids if str(i) not in by_id]
+        if missing:
+            raise ValueError(f"{path}: gml:id values {missing} not "
+                             "present in the document")
+        feats = [by_id[str(i)] for i in fids]
     keys = []
     for f in feats:
         for k in f["data"]:
@@ -898,7 +915,17 @@ def _read_ipc_spill(spark, path, geometry_column, columns,
         fields.append(pa.field(name, t))
     out_schema = pa.schema(fields)
 
-    d = tempfile.mkdtemp(prefix="arctic_ipc_spill_")
+    base_dir = os.environ.get("ARCTIC_SPARK_SPILL_DIR")
+    d = tempfile.mkdtemp(prefix="arctic_ipc_spill_", dir=base_dir)
+    # the scan is lazy, so the copy cannot be deleted eagerly; reclaim
+    # it at driver exit instead of leaking one dataset-sized dir per
+    # spill read (review r11). On a real cluster point
+    # $ARCTIC_SPARK_SPILL_DIR at shared storage — executors must be
+    # able to read the spill (same visibility contract read_files
+    # documents for its input paths).
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     pq_path = os.path.join(d, "part-0.parquet")
     remaining = None if max_features is None else int(max_features)
     with pq.ParquetWriter(pq_path, out_schema) as w:
@@ -1160,11 +1187,19 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
     gc_kw = {} if (ext == ".arrow" and geometry_column is None) else \
         {"geometry_column": geometry_column or DEFAULT_GEO_COLUMN_NAME}
 
-    # ---- driver-side probe: union schema + CRS of the first K files
+    # ---- driver-side probe: union schema + CRS of the first K files.
+    # GeoPackage probes with a row LIMIT (schema + declared types live
+    # in SQLite metadata; a handful of rows cover the typeless-column
+    # value probe) so a huge first file never materializes on the
+    # driver; the other formats parse the probe file fully — the same
+    # cost as one single-file read (review r11)
+    probe_kw = dict(fmt_kwargs)
+    if ext == ".gpkg":
+        probe_kw["max_rows"] = 100
     merged, types_by_name = [], {}
     crs0 = None
     for p in files[:max(1, int(schema_files))]:
-        flds, _rows, fcrs = parser(p, **gc_kw, **fmt_kwargs)
+        flds, _rows, fcrs = parser(p, **gc_kw, **probe_kw)
         if crs0 is None and fcrs is not None:
             crs0 = str(fcrs)
         for f in flds:
@@ -1222,6 +1257,41 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
     return GeoDataFrame(df, gname, crs or crs0 or DEFAULT_CRS)
 
 
+def _apply_read_filters(out, bbox, where, skip_features, columns,
+                        max_features):
+    """The ONE post-read arg pipeline every read_file branch shares
+    (review r11): bbox intersects -> where -> skip_features offset ->
+    column projection -> max_features limit. Accepts a GeoDataFrame
+    (geometry column always kept by the projection) or a plain
+    DataFrame (attribute-only input; bbox is meaningless and must be
+    passed as None)."""
+    geo = isinstance(out, GeoDataFrame)
+    gcol = out.geometry_column if geo else None
+    df = out.df if geo else out
+    if bbox is not None:
+        if not geo:
+            raise ValueError("bbox= requires a geometry column")
+        xmin, ymin, xmax, ymax = bbox
+        x0, y0, x1, y1 = st.bounds(F.col(gcol))
+        df = df.where((x0 <= float(xmax)) & (float(xmin) <= x1)
+                      & (y0 <= float(ymax)) & (float(ymin) <= y1))
+    if where is not None:
+        # filter before the projection so the predicate may reference
+        # columns the caller is not keeping
+        df = df.where(where)
+    if skip_features is not None:
+        # pyogrio parity: an offset over the order-stable native
+        # ingest, after the attribute filter (r11)
+        df = df.offset(int(skip_features))
+    if columns is not None:
+        keep = [c for c in df.columns
+                if c in set(columns) or c == gcol]
+        df = df.select(*keep)
+    if max_features is not None:
+        df = df.limit(int(max_features))
+    return GeoDataFrame(df, gcol, out.crs) if geo else df
+
+
 def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
               max_features=None, **pyogrio_kwargs):
     """Vector-file read (reference read_file, io/file.py:15-119).
@@ -1273,7 +1343,16 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
         if _norm_ext(path) in _KNOWN_VECTOR_EXTS or \
                 not _expand_paths(path):
             multi = False
-    if multi and not pyogrio_kwargs:
+    if multi:
+        if pyogrio_kwargs:
+            raise ValueError(
+                f"unsupported read_file arguments {sorted(pyogrio_kwargs)} "
+                "with multi-file input (glob/directory/list); they are "
+                "GDAL-passthrough args and only apply to a single path")
+        if fids is not None:
+            raise ValueError(
+                "fids= is not supported with multi-file input — feature "
+                "ids are per-file; read the one file that carries them")
         files = _expand_paths(path)
         kinds = {_norm_ext(f) for f in files}
         if kinds and kinds <= {".geojson", ".json", ".geojsonl",
@@ -1287,38 +1366,8 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
             out = read_geoparquet(spark, path)   # native glob/dir scan
         else:
             out = read_files(spark, path)
-        if not isinstance(out, GeoDataFrame):   # attribute-only files
-            if where is not None:
-                out = out.where(where)
-            if skip_features is not None:
-                out = out.offset(int(skip_features))
-            if columns is not None:
-                out = out.select(*[c for c in out.columns
-                                   if c in set(columns)])
-            if max_features is not None:
-                out = out.limit(int(max_features))
-            return out
-        gcol = out.geometry_column
-        if bbox is not None:
-            xmin, ymin, xmax, ymax = bbox
-            x0, y0, x1, y1 = st.bounds(F.col(gcol))
-            out = GeoDataFrame(out.df.where(
-                (x0 <= float(xmax)) & (float(xmin) <= x1)
-                & (y0 <= float(ymax)) & (float(ymin) <= y1)),
-                gcol, out.crs)
-        if where is not None:
-            out = GeoDataFrame(out.df.where(where), gcol, out.crs)
-        if skip_features is not None:
-            out = GeoDataFrame(out.df.offset(int(skip_features)),
-                               gcol, out.crs)
-        if columns is not None:
-            keep = [c for c in out.df.columns
-                    if c in set(columns) or c == gcol]
-            out = GeoDataFrame(out.df.select(*keep), gcol, out.crs)
-        if max_features is not None:
-            out = GeoDataFrame(out.df.limit(int(max_features)),
-                               gcol, out.crs)
-        return out
+        return _apply_read_filters(out, bbox, where, skip_features,
+                                   columns, max_features)
     low = path.lower()
     if not pyogrio_kwargs:
         out = None
@@ -1356,53 +1405,21 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
                            columns=None if filtered else columns,
                            max_features=None if filtered else max_features)
             if not isinstance(out, GeoDataFrame):
-                if where is not None:
-                    out = out.where(where)
-                if skip_features is not None:
-                    out = out.offset(int(skip_features))
-                if filtered:
-                    # columns/max_features were withheld from the
-                    # Arrow-side pushdown above; re-apply them here
-                    # whatever triggered the withholding — bbox alone
-                    # (meaningless on an attribute-only table) used to
-                    # silently drop both (ADVICE r10)
-                    if columns is not None:
-                        keep = [c for c in out.columns
-                                if c in set(columns)]
-                        out = out.select(*keep)
-                    if max_features is not None:
-                        out = out.limit(int(max_features))
-                return out            # attribute-only table
+                # attribute-only table: when the pushdown was withheld
+                # (ADVICE r10) the shared helper re-applies
+                # columns/max_features; when it was NOT withheld they
+                # were already applied Arrow-side, so pass None
+                return _apply_read_filters(
+                    out, None, where, skip_features,
+                    columns if filtered else None,
+                    max_features if filtered else None)
             if not filtered:
                 columns = max_features = None  # applied Arrow-side
         elif low.endswith(".parquet"):
             out = read_geoparquet(spark, path)
         if out is not None:
-            gcol = out.geometry_column
-            if bbox is not None:
-                xmin, ymin, xmax, ymax = bbox
-                x0, y0, x1, y1 = st.bounds(F.col(gcol))
-                out = GeoDataFrame(out.df.where(
-                    (x0 <= float(xmax)) & (float(xmin) <= x1)
-                    & (y0 <= float(ymax)) & (float(ymin) <= y1)),
-                    gcol, out.crs)
-            if where is not None:
-                # filter before the projection so the predicate may
-                # reference columns the caller is not keeping
-                out = GeoDataFrame(out.df.where(where), gcol, out.crs)
-            if skip_features is not None:
-                # pyogrio parity: an offset over the order-stable
-                # native ingest, after the attribute filter (r11)
-                out = GeoDataFrame(out.df.offset(int(skip_features)),
-                                   gcol, out.crs)
-            if columns is not None:
-                keep = [c for c in out.df.columns
-                        if c in set(columns) or c == gcol]
-                out = GeoDataFrame(out.df.select(*keep), gcol, out.crs)
-            if max_features is not None:
-                out = GeoDataFrame(out.df.limit(int(max_features)),
-                                   gcol, out.crs)
-            return out
+            return _apply_read_filters(out, bbox, where, skip_features,
+                                       columns, max_features)
     try:
         from pyogrio.raw import read_arrow  # noqa: F401
     except ImportError as e:

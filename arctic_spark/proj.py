@@ -1333,7 +1333,7 @@ def _params_from_dict(d: dict):
     if proj == "laea":
         return "laea", {**base, "lat0": fl("lat_0")}
     if proj == "stere":
-        lat0 = fl("lat_0", 90.0)
+        lat0 = fl("lat_0", 0.0)   # PROJ default; non-polar raises below
         if abs(lat0) != 90.0:
             raise CRSError(
                 "+proj=stere is implemented for the POLAR aspects "
@@ -1354,6 +1354,11 @@ def _params_from_dict(d: dict):
         p = {**base, "lat0": fl("lat_0", 49.5),
              "alpha": fl("alpha", 30.28813972222222),
              "k0": fl("k", fl("k_0", 0.9999))}
+        if "lon_0" not in d:
+            # PROJ's krovak defaults lon_0 to 24d50' E Greenwich
+            # (krovak.cpp) — base defaulted it to 0 (review r11)
+            p["lon0"] = 24.833333333333332 + pm
+
         if d.get("czech"):
             p["czech"] = True
         return "krovak", p

@@ -216,7 +216,7 @@ def test_gdf_to_crs_accepts_param_form(spark):
 def test_param_crs_errors(spark):
     for bad in [
         "+proj=stere +lat_0=52 +ellps=WGS84",   # oblique stere: sterea
-        "+proj=krovak +lat_0=49.5 +ellps=bessel",  # unimplemented
+        "+proj=omerc +lat_0=4 +ellps=GRS80",       # unimplemented
         "+proj=lcc +lat_1=45 +ellps=NOPE",      # unknown ellipsoid
         "+proj=utm",                            # zone missing
         "+proj=utm +zone=77",                   # zone out of range

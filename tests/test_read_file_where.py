@@ -227,3 +227,21 @@ def test_fids_unsupported_format_raises(spark):
             arctic_spark.read_file(spark, p, fids=[1])
     finally:
         os.path.exists(p) and os.remove(p)
+
+
+def test_fids_multi_path_and_edge_cases(spark, tmp_path):
+    """Review r11: fids on multi-file input raises (it used to be
+    silently dropped); empty fids returns empty; missing fids raise
+    like pyogrio/GDAL."""
+    import os as _os
+    gdf = _gdf(spark)
+    p = _os.path.join(str(tmp_path), "a.gpkg")
+    aio.write_geopackage(gdf, p, layer="t")
+    with pytest.raises(ValueError, match="multi-file"):
+        arctic_spark.read_file(spark, str(tmp_path), fids=[2])
+    assert arctic_spark.read_file(spark, p, fids=[]).df.count() == 0
+    with pytest.raises(ValueError, match="not present"):
+        arctic_spark.read_file(spark, p, fids=[999]).df.count()
+    # list path + GDAL-only kwarg: clear error, not AttributeError
+    with pytest.raises(ValueError, match="multi-file"):
+        arctic_spark.read_file(spark, [p, p], layer="t")
