@@ -390,21 +390,27 @@ def write_geopackage(gdf: GeoDataFrame, path: str, layer: str = "layer",
     BOUNDED exports (results, samples, fixtures); bulk data belongs
     in :func:`write_geoparquet`. ``mode='overwrite'`` replaces an
     existing layer of the same name; ``'errorifexists'`` raises."""
+    _write_gpkg_file(path, gdf.df.schema, gdf.geometry_column,
+                     gdf.crs, gdf.df.collect(), layer=layer, mode=mode)
+
+
+def _write_gpkg_file(path, schema, gcol, crs, rows, layer="layer",
+                     mode="overwrite"):
+    """Pure GeoPackage file write from collected/partition rows —
+    executor-safe; shared by :func:`write_geopackage` (driver path)
+    and the distributed multi-file sink :func:`write_files` (r11)."""
     import os
     import sqlite3
     from .geom import gpkg as _g
     from .geom import wkb as _wkb
     from pyspark.sql import types as T
 
-    df, gcol = gdf.df, gdf.geometry_column
-    crs = (gdf.crs or "").upper()
+    crs = (crs or "").upper()
     srs_id, org = 0, "NONE"
     if ":" in crs:
         org, _, num = crs.partition(":")
         if num.isdigit():
             srs_id = int(num)
-    rows = df.collect()
-    schema = df.schema
 
     def sql_type(f):
         if isinstance(f.dataType, (T.LongType, T.IntegerType,
@@ -595,12 +601,21 @@ def write_flatgeobuf(gdf: GeoDataFrame, path: str, name: str = "layer",
     type when the layer is uniform, else Unknown with per-feature
     types."""
     import os
-    from .geom import fgb as _f
-    from pyspark.sql import types as T
 
     if mode != "overwrite" and os.path.exists(path):
         raise ValueError(f"{path} exists (mode={mode!r})")
-    df, gcol = gdf.df, gdf.geometry_column
+    _write_fgb_file(path, gdf.df.schema, gdf.geometry_column, gdf.crs,
+                    gdf.df.collect(), name=name,
+                    index_node_size=index_node_size)
+
+
+def _write_fgb_file(path, schema, gcol, crs, rows, name="layer",
+                    index_node_size=16):
+    """Pure FlatGeobuf file write from collected/partition rows —
+    executor-safe; shared by :func:`write_flatgeobuf` (driver path)
+    and the distributed multi-file sink :func:`write_files` (r11)."""
+    from .geom import fgb as _f
+    from pyspark.sql import types as T
 
     def col_type(f):
         if isinstance(f.dataType, T.BooleanType):
@@ -614,14 +629,13 @@ def write_flatgeobuf(gdf: GeoDataFrame, path: str, name: str = "layer",
             return _f.CT_BINARY
         return _f.CT_STRING
 
-    attrs = [f for f in df.schema.fields if f.name != gcol]
+    attrs = [f for f in schema.fields if f.name != gcol]
     columns = [(f.name, col_type(f)) for f in attrs]
     str_cols = {f.name for f in attrs
                 if col_type(f) == _f.CT_STRING
                 and not isinstance(f.dataType, T.StringType)}
 
     # ragged ids → FGB ids (point 0→1 etc); uniform layer → typed header
-    rows = df.collect()
     fgb_rows = []
     gts = set()
     for r in rows:
@@ -639,7 +653,7 @@ def write_flatgeobuf(gdf: GeoDataFrame, path: str, name: str = "layer",
         fgb_rows.append((cell, vals))
     header_gt = gts.pop() if len(gts) == 1 else _f.GT_UNKNOWN
 
-    crs = (gdf.crs or "").upper()
+    crs = (crs or "").upper()
     crs_tuple = None
     if ":" in crs:
         org, _, num = crs.partition(":")
@@ -715,12 +729,21 @@ def write_kml(gdf: GeoDataFrame, path: str,
 
     if mode != "overwrite" and os.path.exists(path):
         raise ValueError(f"{path} exists (mode={mode!r})")
-    gcol = gdf.geometry_column
-    cols = [c for c in gdf.df.columns if c != gcol]
-    rows = gdf.df.select(*cols, F.col(gcol).alias("__g")).collect()
+    _write_kml_file(path, gdf.df.schema, gdf.geometry_column, gdf.crs,
+                    gdf.df.collect(), name_column=name_column,
+                    document_name=document_name)
+
+
+def _write_kml_file(path, schema, gcol, crs, rows, name_column=None,
+                    document_name="layer"):
+    """Pure KML file write from collected/partition rows —
+    executor-safe; shared by :func:`write_kml` (driver path) and the
+    distributed multi-file sink :func:`write_files` (r11)."""
+    from .geom import kml as _k
+    cols = [f.name for f in schema.fields if f.name != gcol]
     feats = []
     for r in rows:
-        g = r["__g"]
+        g = r[gcol]
         geom = None
         if g is not None and g["gt"] is not None:
             geom = (int(g["gt"]), list(g["xs"]), list(g["ys"]),
@@ -1290,6 +1313,98 @@ def _apply_read_filters(out, bbox, where, skip_features, columns,
     if max_features is not None:
         df = df.limit(int(max_features))
     return GeoDataFrame(df, gcol, out.crs) if geo else df
+
+
+def _write_ipc_file(path, schema, gcol, crs, rows):
+    """Pure Arrow-IPC (Feather V2) file write from collected/partition
+    rows — executor-safe; the multi-file twin of :func:`write_ipc`
+    (same layout: WKB geometry column + GeoParquet-style ``geo``
+    schema metadata), used by :func:`write_files` (r11)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from .geom import wkb as _wkb
+    from .proj import crs_to_string as _crs_str
+    cols = {}
+    for f in schema.fields:
+        n = f.name
+        if n == gcol:
+            vals = []
+            for r in rows:
+                g = r[gcol]
+                if g is None or g["gt"] is None:
+                    vals.append(None)
+                else:
+                    vals.append(_wkb.encode_geom(
+                        int(g["gt"]), [float(v) for v in g["xs"]],
+                        [float(v) for v in g["ys"]],
+                        [int(v) for v in g["rings"]],
+                        [int(v) for v in g["parts"]]))
+            cols[n] = pa.array(vals, pa.binary())
+        else:
+            cols[n] = pa.array([r[n] for r in rows])
+    table = pa.table(cols)
+    meta = dict(table.schema.metadata or {})
+    meta[b"geo"] = json.dumps(
+        {"version": "1.0.0", "primary_column": gcol,
+         "columns": {gcol: {"encoding": "WKB",
+                            "crs": _crs_str(crs)}}}).encode()
+    table = table.replace_schema_metadata(meta)
+    with ipc.new_file(path, table.schema) as w:
+        w.write_table(table)
+
+
+#: normalized extension → executor-safe per-file writer (r11)
+_MULTI_FILE_WRITERS = {
+    ".fgb": _write_fgb_file,
+    ".kml": _write_kml_file,
+    ".gpkg": _write_gpkg_file,
+    ".arrow": _write_ipc_file,
+}
+
+
+def write_files(gdf: GeoDataFrame, directory: str, format: str = "fgb",
+                mode: str = "overwrite", num_files=None,
+                **fmt_kwargs) -> int:
+    """Distributed multi-file vector SINK (r11) — the write mirror of
+    :func:`read_files`: every partition serializes its rows with the
+    pure per-file encoder EXECUTOR-side and writes ONE file
+    (``part-NNNNN.<ext>``) into ``directory``, so exporting a 100 TB
+    table to FlatGeobuf/GeoPackage/KML/Arrow-IPC tiles scales with the
+    cluster instead of funnelling through a driver ``collect`` (the
+    single-file writers' documented bound). ``directory`` must be on
+    storage every executor can write (same contract as read_files'
+    input paths). ``num_files`` repartitions first; empty partitions
+    write no file. Returns the number of files written; GeoJSONSeq
+    needs no multi-file sink (:func:`write_geojson` is already a
+    distributed Spark text write). Round-trips through
+    :func:`read_files` row-identically (tests)."""
+    import os
+    import shutil
+    ext = format if str(format).startswith(".") else f".{format}"
+    ext = _EXT_ALIASES.get(ext.lower(), ext.lower())
+    if ext not in _MULTI_FILE_WRITERS:
+        raise ValueError(
+            f"unsupported write_files format {format!r}; supported: "
+            f"{sorted(_MULTI_FILE_WRITERS)} (+ .feather/.ipc as "
+            ".arrow); use write_geojson for distributed GeoJSONSeq "
+            "and write_geoparquet for parquet")
+    if os.path.exists(directory):
+        if mode != "overwrite":
+            raise ValueError(f"{directory} exists (mode={mode!r})")
+        shutil.rmtree(directory)
+    os.makedirs(directory)
+    schema, gcol, crs = gdf.df.schema, gdf.geometry_column, gdf.crs
+    df = gdf.df.repartition(int(num_files)) if num_files else gdf.df
+    writer = _MULTI_FILE_WRITERS[ext]
+
+    def task(idx, it):
+        rows = list(it)
+        if rows:
+            writer(os.path.join(directory, f"part-{idx:05d}{ext}"),
+                   schema, gcol, crs, rows, **fmt_kwargs)
+            yield 1
+
+    return int(df.rdd.mapPartitionsWithIndex(task).sum())
 
 
 def read_file(spark: SparkSession, path: str, bbox=None, columns=None,

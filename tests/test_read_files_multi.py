@@ -142,3 +142,42 @@ def test_multifile_shapefile_sidecars_skipped(spark, tmp_path):
     rows = out.df.orderBy("NAME").collect()
     assert [r.NAME for r in rows] == ["pt0", "pt1", "pt2"]
     assert all(r.geometry is not None for r in rows)
+
+
+@pytest.mark.parametrize("fmt", ["fgb", "gpkg", "arrow"])
+def test_write_files_roundtrip(spark, fmt, tmp_path):
+    """Distributed multi-file sink (r11): one file per non-empty
+    partition written executor-side; read_files round-trips
+    row-identically and the file count tracks the partitioning."""
+    d = os.path.join(str(tmp_path), f"out_{fmt}")
+    g = _gdf(spark, 0, n=40)
+    n_files = aio.write_files(g, d, format=fmt, num_files=4)
+    assert 1 <= n_files <= 4
+    assert len(os.listdir(d)) == n_files
+    back = aio.read_files(spark, d)
+    if fmt == "gpkg":
+        # the gpkg reader surfaces the writer's autoincrement fid PK
+        # (same as the single-file reader) — not part of the payload
+        back = GeoDataFrame(back.df.drop("fid"), "geometry", back.crs)
+    assert _collect_sorted(back) == _collect_sorted(g)
+    # errorifexists honors mode
+    with pytest.raises(ValueError, match="exists"):
+        aio.write_files(g, d, format=fmt, mode="errorifexists")
+
+
+def test_write_files_kml_named(spark, tmp_path):
+    d = os.path.join(str(tmp_path), "out_kml")
+    g = _gdf(spark, 100, n=12)
+    n_files = aio.write_files(g, d, format="kml", num_files=3,
+                              name_column="tag")
+    assert len(os.listdir(d)) == n_files
+    back = aio.read_files(spark, d)
+    assert back.df.count() == 12
+    assert sorted(r.name for r in back.df.collect()) == \
+        sorted(f"row{i}" for i in range(100, 112))
+
+
+def test_write_files_bad_format(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported write_files"):
+        aio.write_files(_gdf(spark, 0), str(tmp_path / "x"),
+                        format="shp")
