@@ -247,7 +247,7 @@ def test_random_parameter_roundtrips(spark):
 
     def mk_case(i):
         fam = ("tmerc", "lcc2", "lcc1", "aea", "laea", "merc",
-               "stere", "sterea", "somerc")[i % 9]
+               "stere", "sterea", "somerc", "krovak")[i % 10]
         lon0 = rnd.uniform(-170, 170)
         x0 = rnd.uniform(0, 8e5)
         y0 = rnd.uniform(-2e6, 2e6)
@@ -315,15 +315,26 @@ def test_random_parameter_roundtrips(spark):
                   f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=bessel")
             pts = [(lon0 + rnd.uniform(-6, 6),
                     lat0 + rnd.uniform(-6, 6)) for _ in range(3)]
-        else:  # somerc                                           r11
+        elif fam == "somerc":                                   # r11
             lat0 = rnd.uniform(-60, 60)
             p4 = (f"+proj=somerc +lat_0={lat0:.4f} +lon_0={lon0:.4f} "
                   f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=bessel")
             pts = [(lon0 + rnd.uniform(-4, 4),
                     lat0 + rnd.uniform(-4, 4)) for _ in range(3)]
+        else:  # krovak                                           r11
+            # the method's kernel is tied to its Czech parameters;
+            # randomize the grid placement + scale, points in-domain
+            p4 = (f"+proj=krovak +lat_0=49.5 "
+                  f"+lon_0=24.833333333333332 "
+                  f"+alpha=30.28813972222222 "
+                  f"+k={rnd.uniform(0.999, 1.0):.6f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=bessel"
+                  + (" +czech" if rnd.random() < 0.5 else ""))
+            pts = [(rnd.uniform(12.0, 22.5), rnd.uniform(47.8, 51.0))
+                   for _ in range(3)]
         return p4, pts
 
-    for i in range(18):
+    for i in range(20):
         p4, pts = mk_case(i)
         for lon, lat in pts:
             x, y = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
