@@ -263,6 +263,24 @@ def read_geopackage(spark: SparkSession, path: str, layer: str = None,
     return GeoDataFrame(df, geometry_column, crs or file_crs or DEFAULT_CRS)
 
 
+def _gpkg_decl_type(d):
+    """Declared-SQLite-type → Spark type, or None for typeless columns
+    (which fall back to value probing). One helper so the probe-time
+    typeless detection and the typing loop can never disagree."""
+    from pyspark.sql import types as T
+    if "BOOL" in d:
+        return T.BooleanType()
+    if "INT" in d:
+        return T.LongType()
+    if d in ("REAL", "DOUBLE", "FLOAT") or "REAL" in d:
+        return T.DoubleType()
+    if "BLOB" in d:
+        return T.BinaryType()
+    if "CHAR" in d or "TEXT" in d or "CLOB" in d:
+        return T.StringType()
+    return None
+
+
 def _parse_gpkg_rows(path, layer=None,
                      geometry_column=DEFAULT_GEO_COLUMN_NAME,
                      fids=None, max_rows=None):
@@ -324,6 +342,23 @@ def _parse_gpkg_rows(path, layer=None,
         file_crs = _g.srs_string(con, srs_id)
         decl = {r[1]: (r[2] or "").upper() for r in
                 con.execute(f'PRAGMA table_info("{name}")')}
+        # truncated probe reads (read_files schema probe, max_rows=100):
+        # a declared-typeless column whose first max_rows rows are all
+        # NULL would type as String here while the executor-side full
+        # parse value-probes it to Long/Double — fetch one non-NULL
+        # value with a targeted query instead (ADVICE r11)
+        typeless_probe = {}
+        if max_rows is not None and fids is None:
+            for j, cname in enumerate(cols):
+                if j == gidx or _gpkg_decl_type(decl.get(cname, "")):
+                    continue
+                if any(r[j] is not None for r in raw):
+                    continue
+                hit = con.execute(
+                    f'SELECT "{cname}" FROM "{name}" '
+                    f'WHERE "{cname}" IS NOT NULL LIMIT 1').fetchone()
+                if hit is not None:
+                    typeless_probe[cname] = hit[0]
     finally:
         con.close()
 
@@ -335,19 +370,15 @@ def _parse_gpkg_rows(path, layer=None,
         if j == gidx:
             continue
         d = decl.get(cname, "")
-        if "BOOL" in d:
-            t = T.BooleanType()
-            bool_idx.add(j)
-        elif "INT" in d:
-            t = T.LongType()
-        elif d in ("REAL", "DOUBLE", "FLOAT") or "REAL" in d:
-            t = T.DoubleType()
-        elif "BLOB" in d:
-            t = T.BinaryType()
-        elif "CHAR" in d or "TEXT" in d or "CLOB" in d:
-            t = T.StringType()
+        declared = _gpkg_decl_type(d)
+        if declared is not None:
+            t = declared
+            if isinstance(t, T.BooleanType):
+                bool_idx.add(j)
         else:
             sample = next((r[j] for r in raw if r[j] is not None), None)
+            if sample is None:
+                sample = typeless_probe.get(cname)
             if isinstance(sample, bool):
                 t = T.BooleanType()
                 bool_idx.add(j)
@@ -1248,12 +1279,20 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
     def _task(path_iter):
         for p in path_iter:
             flds, rows, fcrs = parser(p, **gc_kw, **fmt_kwargs)
-            if (check_crs and fcrs is not None and crs0 is not None
-                    and str(fcrs) != crs0):
-                raise ValueError(
-                    f"{p}: CRS {fcrs!r} differs from the first file's "
-                    f"{crs0!r}; pass crs= to override (reprojection is "
-                    "to_crs's job, not the reader's)")
+            if check_crs and fcrs is not None:
+                if crs0 is None:
+                    # the probed files carried no CRS (e.g. .shp with no
+                    # .prj) but this one declares — silently stamping
+                    # DEFAULT_CRS would be a lie (ADVICE r11)
+                    raise ValueError(
+                        f"{p}: declares CRS {fcrs!r} but the probed "
+                        "file(s) carried none; pass crs= explicitly")
+                if str(fcrs) != crs0:
+                    raise ValueError(
+                        f"{p}: CRS {fcrs!r} differs from the first "
+                        f"file's {crs0!r}; pass crs= to override "
+                        "(reprojection is to_crs's job, not the "
+                        "reader's)")
             fnames = [f.name for f in flds]
             extra = [n for n in fnames if n not in name_set]
             if extra:
@@ -1472,8 +1511,18 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
         kinds = {_norm_ext(f) for f in files}
         if kinds and kinds <= {".geojson", ".json", ".geojsonl",
                                ".ndjson", ".geojsons"}:
-            # Spark's own JSON/text scan handles globs/dirs/lists
+            # Spark's own JSON/text scan handles globs/dirs/lists —
+            # but one scan can only use ONE framing: a mixed set of
+            # FeatureCollection (.geojson) and line-delimited
+            # (.geojsonl) files would misparse the former under
+            # lines=True (ADVICE r11)
             lines = bool(kinds & {".geojsonl", ".ndjson", ".geojsons"})
+            if lines and kinds & {".geojson", ".json"}:
+                raise ValueError(
+                    f"mixed GeoJSON framings {sorted(kinds)} in one "
+                    "read_file call (FeatureCollection vs "
+                    "newline-delimited); read the two groups "
+                    "separately and union")
             out = read_geojson(spark,
                                path if isinstance(path, str) else files,
                                lines=lines)
@@ -1542,8 +1591,15 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
             "read_file requires pyogrio/GDAL which is not available in "
             "this environment; use read_geoparquet / from_wkt_df instead"
         ) from e
-    if where is not None:                             # pragma: no cover
-        pyogrio_kwargs["where"] = where
+    # the passthrough honors every popped pushdown arg GDAL-side —
+    # previously only `where` was re-added, so a call mixing e.g.
+    # layer= with fids=/skip_features= silently returned the full,
+    # un-offset feature set (ADVICE r11)
+    for k, v in (("where", where), ("fids", fids),            # pragma: no cover
+                 ("skip_features", skip_features), ("bbox", bbox),
+                 ("columns", columns), ("max_features", max_features)):
+        if v is not None:                                     # pragma: no cover
+            pyogrio_kwargs[k] = v
     meta, table = read_arrow(path, **pyogrio_kwargs)  # pragma: no cover
     pdf = table.to_pandas()
     gcol = meta.get("geometry_name") or "wkb_geometry"

@@ -245,3 +245,52 @@ def test_fids_multi_path_and_edge_cases(spark, tmp_path):
     # list path + GDAL-only kwarg: clear error, not AttributeError
     with pytest.raises(ValueError, match="multi-file"):
         arctic_spark.read_file(spark, [p, p], layer="t")
+
+
+def test_mixed_geojson_framings_raise(spark, tmp_path):
+    """ADVICE r11: one JSON scan can only use one framing — a dir
+    mixing FeatureCollection .geojson with line-delimited .geojsonl
+    raises instead of misparsing the former under lines=True."""
+    g = _gdf(spark)
+    aio.write_geojson(g, str(tmp_path / "a.geojsonl"))
+    (tmp_path / "b.geojson").write_text(
+        '{"type": "FeatureCollection", "features": []}')
+    with pytest.raises(ValueError, match="framings"):
+        arctic_spark.read_file(spark, str(tmp_path))
+
+
+def test_gdal_passthrough_forwards_pushdown_args(spark, monkeypatch):
+    """ADVICE r11: when a passthrough kwarg (layer=) skips the native
+    dispatch, the popped pushdown args (fids/skip_features/bbox/
+    columns/max_features/where) must re-join the pyogrio call instead
+    of being silently dropped."""
+    import sys
+    import types as pytypes
+
+    import pyarrow as pa
+    captured = {}
+
+    def fake_read_arrow(path, **kw):
+        captured.clear()
+        captured.update(kw)
+        return {"geometry_name": None, "crs": None}, pa.table({"a": [1]})
+
+    raw = pytypes.ModuleType("pyogrio.raw")
+    raw.read_arrow = fake_read_arrow
+    pkg = pytypes.ModuleType("pyogrio")
+    pkg.raw = raw
+    monkeypatch.setitem(sys.modules, "pyogrio", pkg)
+    monkeypatch.setitem(sys.modules, "pyogrio.raw", raw)
+
+    arctic_spark.read_file(spark, "/nonexistent/x.gdb", layer="l",
+                           fids=[1, 2])
+    assert captured["layer"] == "l" and captured["fids"] == [1, 2]
+    arctic_spark.read_file(spark, "/nonexistent/x.gdb", layer="l",
+                           where="a > 0", skip_features=3,
+                           max_features=5, columns=["a"],
+                           bbox=(0.0, 0.0, 1.0, 1.0))
+    assert captured["where"] == "a > 0"
+    assert captured["skip_features"] == 3
+    assert captured["max_features"] == 5
+    assert captured["columns"] == ["a"]
+    assert captured["bbox"] == (0.0, 0.0, 1.0, 1.0)

@@ -181,3 +181,43 @@ def test_write_files_bad_format(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported write_files"):
         aio.write_files(_gdf(spark, 0), str(tmp_path / "x"),
                         format="shp")
+
+
+def test_multifile_probe_no_crs_but_later_file_declares(spark, tmp_path,
+                                                        monkeypatch):
+    """ADVICE r11: when the probed file(s) carry no CRS but a later
+    file declares one, stamping DEFAULT_CRS silently would be a lie —
+    the task raises asking for an explicit crs=."""
+    d = str(tmp_path)
+    aio.write_flatgeobuf(_gdf(spark, 0), os.path.join(d, "a.fgb"))
+    aio.write_flatgeobuf(_gdf(spark, 10), os.path.join(d, "b.fgb"))
+    orig = aio._MULTI_PARSERS[".fgb"]
+
+    def wrapped(path, **kw):
+        flds, rows, crs = orig(path, **kw)
+        return flds, rows, (None if path.endswith("a.fgb") else crs)
+
+    monkeypatch.setitem(aio._MULTI_PARSERS, ".fgb", wrapped)
+    with pytest.raises(Exception, match="carried none"):
+        aio.read_files(spark, d).df.count()
+    # explicit crs= resolves it
+    assert aio.read_files(spark, d, crs="EPSG:4326").df.count() == 10
+
+
+def test_multifile_gpkg_typeless_column_null_head(spark, tmp_path):
+    """ADVICE r11: a declared-typeless gpkg column whose first 100 rows
+    (the probe window) are all NULL must still type from data — the
+    probe now runs a targeted `WHERE col IS NOT NULL LIMIT 1` query
+    instead of defaulting to String and failing the full parse."""
+    import sqlite3
+    p = os.path.join(str(tmp_path), "late.gpkg")
+    aio.write_geopackage(_gdf(spark, 0, n=120), p, layer="t")
+    con = sqlite3.connect(p)
+    con.execute('ALTER TABLE "t" ADD COLUMN extra')      # typeless
+    con.execute('UPDATE "t" SET extra = 7 WHERE rowid > 110')
+    con.commit()
+    con.close()
+    out = aio.read_files(spark, [p])
+    assert dict(out.df.dtypes)["extra"] == "bigint"
+    vals = [r.extra for r in out.df.collect()]
+    assert vals.count(7) == 10 and vals.count(None) == 110
