@@ -243,7 +243,7 @@ def _parse_shp_rows(path, geometry_column=DEFAULT_GEO_COLUMN_NAME):
 
 def read_geopackage(spark: SparkSession, path: str, layer: str = None,
                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
-                    crs=None, fids=None) -> GeoDataFrame:
+                    crs=None, fids=None, bbox=None) -> GeoDataFrame:
     """OGC GeoPackage reader, GDAL-free (stdlib ``sqlite3`` + the
     package's own WKB codec; blob format per the public GeoPackage
     Encoding Standard — see ``geom/gpkg.py``). The reference reaches
@@ -257,7 +257,7 @@ def read_geopackage(spark: SparkSession, path: str, layer: str = None,
     (Geo)Parquet once via ``write_geoparquet`` and scan that."""
     fields, data, file_crs = _parse_gpkg_rows(path, layer=layer,
                                               geometry_column=geometry_column,
-                                              fids=fids)
+                                              fids=fids, bbox=bbox)
     from pyspark.sql import types as T
     df = spark.createDataFrame(data, T.StructType(fields))
     return GeoDataFrame(df, geometry_column, crs or file_crs or DEFAULT_CRS)
@@ -283,13 +283,20 @@ def _gpkg_decl_type(d):
 
 def _parse_gpkg_rows(path, layer=None,
                      geometry_column=DEFAULT_GEO_COLUMN_NAME,
-                     fids=None, max_rows=None):
+                     fids=None, max_rows=None, bbox=None):
     """Pure GeoPackage parse: (fields incl geometry, rows, crs-or-None).
     Executor-safe — shared by :func:`read_geopackage` and the
     distributed multi-file path :func:`read_files` (r11). ``fids``
     selects features by SQLite rowid (the format's real FID — what
     the reference's pyogrio passthrough matches, io/file.py:48-86),
-    returned in the requested order."""
+    returned in the requested order. ``bbox`` keeps features whose
+    bounds intersect the box (r12): when the GeoPackage carries the
+    spec's optional ``rtree_<table>_<col>`` spatial index, candidate
+    rowids come from an R-tree range query so non-matching features
+    are never even fetched; the survivors (or, without an index, all
+    features) are refined EXACTLY on the decoded coordinates — the
+    R-tree stores float32-widened boxes, so refinement is mandatory
+    for intersects-parity with the .fgb path."""
     import sqlite3
     from .geom import gpkg as _g
     from .geom import wkb as _wkb
@@ -297,6 +304,9 @@ def _parse_gpkg_rows(path, layer=None,
     from pyspark.sql import types as T
     from .sparktypes import GEOM_TYPE
 
+    if fids is not None and bbox is not None:
+        raise ValueError("cannot combine fids with bbox (pyogrio "
+                         "raises the same)")
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         layers = _g.feature_layers(con)
@@ -317,7 +327,24 @@ def _parse_gpkg_rows(path, layer=None,
             name, gcol, srs_id = match[0]
         if fids is None:
             lim = "" if max_rows is None else f" LIMIT {int(max_rows)}"
-            cur = con.execute(f'SELECT * FROM "{name}"{lim}')
+            rtree_filter = ""
+            params = ()
+            if bbox is not None:
+                rt = f"rtree_{name}_{gcol}"
+                has_rt = con.execute(
+                    "SELECT 1 FROM sqlite_master WHERE name = ?",
+                    (rt,)).fetchone()
+                if has_rt:
+                    # R-tree range query: candidates whose stored box
+                    # intersects bbox (exact refine happens below)
+                    rtree_filter = (
+                        f' WHERE rowid IN (SELECT id FROM "{rt}" '
+                        "WHERE maxx >= ? AND minx <= ? "
+                        "AND maxy >= ? AND miny <= ?)")
+                    params = (float(bbox[0]), float(bbox[2]),
+                              float(bbox[1]), float(bbox[3]))
+            cur = con.execute(
+                f'SELECT * FROM "{name}"{rtree_filter}{lim}', params)
             cols = [d[0] for d in cur.description]
             raw = cur.fetchall()
         else:
@@ -406,6 +433,16 @@ def _parse_gpkg_rows(path, layer=None,
                     [float(v) for v in ys],
                     [int(v) for v in rings], [int(v) for v in parts])
         data.append(attrs + (cell,))
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+
+        def _hit(cell):
+            if cell is None or not cell[1]:
+                return False
+            return (min(cell[1]) <= xmax and max(cell[1]) >= xmin
+                    and min(cell[2]) <= ymax and max(cell[2]) >= ymin)
+
+        data = [r for r in data if _hit(r[-1])]
     fields.append(T.StructField(geometry_column, GEOM_TYPE))
     return fields, data, file_crs
 
@@ -533,6 +570,77 @@ def read_flatgeobuf(spark: SparkSession, path: str,
     return GeoDataFrame(df, geometry_column, crs or file_crs or DEFAULT_CRS)
 
 
+def _fgb_spark_type(ct):
+    """FlatGeobuf column-type id → Spark type (shared by the row and
+    Arrow-batch fgb parsers so they can never disagree)."""
+    from pyspark.sql import types as T
+    from .geom import fgb as _f
+    if ct == _f.CT_BOOL:
+        return T.BooleanType()
+    if ct == _f.CT_ULONG:
+        # FGB ulong is a full uint64; values >= 2^63 are legal and
+        # would overflow LongType at createDataFrame (ADVICE r8)
+        return T.DecimalType(20, 0)
+    if ct in (_f.CT_BYTE, _f.CT_UBYTE, _f.CT_SHORT, _f.CT_USHORT,
+              _f.CT_INT, _f.CT_UINT, _f.CT_LONG):
+        return T.LongType()
+    if ct in (_f.CT_FLOAT, _f.CT_DOUBLE):
+        return T.DoubleType()
+    if ct == _f.CT_BINARY:
+        return T.BinaryType()
+    return T.StringType()
+
+
+def _parse_fgb_batch(path, bbox=None,
+                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                     fids=None):
+    """Vectorized FlatGeobuf parse (r12, VERDICT r11 #1): (fields,
+    pyarrow.Table with geometry as a GEOM struct, crs-or-None). Same
+    feature decode (and packed-Hilbert bbox pruning) as
+    :func:`_parse_fgb_rows`, but attributes build column-wise into
+    Arrow arrays and the geometry struct comes straight from the
+    ragged numpy decode — no per-row tuple materialization."""
+    import decimal
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from .geom import fgb as _f
+    from .geom import wkb as _wkb
+    from .sparktypes import GEOM_TYPE
+
+    if fids is not None and bbox is not None:
+        raise ValueError("cannot combine fids with bbox (pyogrio "
+                         "raises the same)")
+    with open(path, "rb") as fh:
+        meta, feats = _f.read_fgb(fh.read(), bbox=bbox)
+    if fids is not None:
+        ids = [int(f) for f in fids]
+        missing = [i for i in ids if not 0 <= i < len(feats)]
+        if missing:
+            raise ValueError(
+                f"{path}: feature indices {missing} out of range "
+                f"(file has {len(feats)} features)")
+        feats = [feats[i] for i in ids]
+    rg = _wkb.decode([w for w, _ in feats])
+    file_crs = f"{meta['crs'][0]}:{meta['crs'][1]}" if meta["crs"] else None
+    fields, arrays = [], []
+    for n, ct in meta["columns"]:
+        fld = T.StructField(n, _fgb_spark_type(ct))
+        vals = [props.get(n) for _, props in feats]
+        if ct == _f.CT_ULONG:
+            vals = [None if v is None else decimal.Decimal(int(v))
+                    for v in vals]
+        fields.append(fld)
+        arrays.append(pa.array(vals, type=to_arrow_type(fld.dataType)))
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    arrays.append(_ragged_to_arrow_struct(rg))
+    table = pa.Table.from_arrays(arrays,
+                                 names=[f.name for f in fields])
+    return fields, table, file_crs
+
+
 def _parse_fgb_rows(path, bbox=None,
                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
                     fids=None):
@@ -565,23 +673,7 @@ def _parse_fgb_rows(path, bbox=None,
     rg = _wkb.decode([w for w, _ in feats])
     file_crs = f"{meta['crs'][0]}:{meta['crs'][1]}" if meta["crs"] else None
 
-    def spark_type(ct):
-        if ct == _f.CT_BOOL:
-            return T.BooleanType()
-        if ct == _f.CT_ULONG:
-            # FGB ulong is a full uint64; values >= 2^63 are legal and
-            # would overflow LongType at createDataFrame (ADVICE r8)
-            return T.DecimalType(20, 0)
-        if ct in (_f.CT_BYTE, _f.CT_UBYTE, _f.CT_SHORT, _f.CT_USHORT,
-                  _f.CT_INT, _f.CT_UINT, _f.CT_LONG):
-            return T.LongType()
-        if ct in (_f.CT_FLOAT, _f.CT_DOUBLE):
-            return T.DoubleType()
-        if ct == _f.CT_BINARY:
-            return T.BinaryType()
-        return T.StringType()
-
-    fields = [T.StructField(n, spark_type(ct))
+    fields = [T.StructField(n, _fgb_spark_type(ct))
               for n, ct in meta["columns"]]
     names = [n for n, _ in meta["columns"]]
     int_cols = {n for n, ct in meta["columns"]
@@ -1092,19 +1184,11 @@ def write_ipc(gdf: GeoDataFrame, path: str) -> None:
         w.write_table(table)
 
 
-def _parse_ipc_rows(path, geometry_column=None):
-    """Pure Arrow IPC parse: (fields incl geometry when present, rows,
-    crs-or-None). Executor-safe — the multi-file twin of
-    :func:`read_ipc` (r11): WKB geometry decodes straight to GEOM
-    cells (no pandas), attributes map through the same scalar type
-    mapping ``from_arrow`` uses."""
+def _load_ipc_table(path, geometry_column=None):
+    """Shared IPC open + geo-metadata sniff: (pyarrow.Table,
+    geometry-column-name-or-None, crs-or-None). Executor-safe."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
-    from pyspark.sql import types as T
-    from .geodataframe import _pa_to_spark
-    from .geom import wkb as _wkb
-    from .geom.ragged import MISSING
-    from .sparktypes import GEOM_TYPE
     try:
         with ipc.open_file(path) as r:
             table = r.read_all()
@@ -1124,6 +1208,73 @@ def _parse_ipc_rows(path, geometry_column=None):
     crs = None
     if gcol and gcol in geo.get("columns", {}):
         crs = _crs_from_geo_meta(geo["columns"][gcol])
+    return table, gcol, crs
+
+
+def _ragged_to_arrow_struct(rg):
+    """RaggedGeometry → pyarrow StructArray of the GEOM struct, fully
+    vectorized (r12): the flat numpy coordinate/ring/part arrays and
+    their offsets ARE Arrow list layout, so the batch builds with zero
+    per-row Python work; MISSING rows become null structs via the
+    validity mask — identical cells to the per-row ``rg.geom(i)``
+    tuples the pickled path produced."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+    from .sparktypes import GEOM_TYPE
+    pa_type = to_arrow_type(GEOM_TYPE)
+
+    def lst(offsets, values, vt):
+        return pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(values, type=vt))
+
+    gt = pa.array(rg.gt.astype(np.int32), type=pa.int32())
+    children = [gt,
+                lst(rg.coord_offsets, rg.xs, pa.float64()),
+                lst(rg.coord_offsets, rg.ys, pa.float64()),
+                lst(rg.ring_offsets, rg.rings, pa.int32()),
+                lst(rg.part_offsets, rg.parts, pa.int32())]
+    return pa.StructArray.from_arrays(
+        children, fields=list(pa_type), mask=pa.array(rg.is_missing()))
+
+
+def _parse_ipc_batch(path, geometry_column=None):
+    """Vectorized Arrow IPC parse (r12, VERDICT r11 #1): (fields,
+    pyarrow.Table with the geometry column already a GEOM struct,
+    crs-or-None). Attributes stay Arrow end-to-end; the WKB column
+    decodes through the numpy codec and re-emerges as a struct array
+    with no per-row Python materialization."""
+    from pyspark.sql import types as T
+    from .geodataframe import _pa_to_spark
+    from .geom import wkb as _wkb
+    from .sparktypes import GEOM_TYPE
+    table, gcol, crs = _load_ipc_table(path, geometry_column)
+    fields = []
+    for f in table.schema:
+        if gcol is not None and f.name == gcol:
+            continue
+        fields.append(T.StructField(f.name, _pa_to_spark(f.type)))
+    if gcol is not None and gcol in table.column_names:
+        rg = _wkb.decode(table.column(gcol).to_pylist())
+        garr = _ragged_to_arrow_struct(rg)
+        table = table.drop_columns([gcol]).append_column(gcol, garr)
+        fields.append(T.StructField(gcol, GEOM_TYPE))
+    return fields, table, crs
+
+
+def _parse_ipc_rows(path, geometry_column=None):
+    """Pure Arrow IPC parse: (fields incl geometry when present, rows,
+    crs-or-None). Executor-safe — the multi-file twin of
+    :func:`read_ipc` (r11): WKB geometry decodes straight to GEOM
+    cells (no pandas), attributes map through the same scalar type
+    mapping ``from_arrow`` uses."""
+    from pyspark.sql import types as T
+    from .geodataframe import _pa_to_spark
+    from .geom import wkb as _wkb
+    from .geom.ragged import MISSING
+    from .sparktypes import GEOM_TYPE
+    table, gcol, crs = _load_ipc_table(path, geometry_column)
     fields, cols = [], []
     for f in table.schema:
         if gcol is not None and f.name == gcol:
@@ -1158,6 +1309,14 @@ _MULTI_PARSERS = {
     ".gml": _parse_gml_rows,
     ".gpx": _parse_gpx_rows,
     ".arrow": _parse_ipc_rows,
+}
+
+#: normalized extension → vectorized (fields, pyarrow.Table, crs)
+#: parser (r12): formats whose decode can surface Arrow columns with
+#: no per-row Python materialization; read_files prefers these
+_MULTI_BATCH_PARSERS = {
+    ".fgb": _parse_fgb_batch,
+    ".arrow": _parse_ipc_batch,
 }
 
 _EXT_ALIASES = {".feather": ".arrow", ".ipc": ".arrow"}
@@ -1197,25 +1356,42 @@ def _expand_paths(spec):
 
 def read_files(spark: SparkSession, paths, geometry_column=None,
                crs=None, num_partitions=None, schema_files=1,
-               **fmt_kwargs):
+               schema_mode="strict", bbox=None, **fmt_kwargs):
     """Distributed multi-file ingest for the GDAL-free codecs (r11,
     VERDICT r10 #1). ``paths`` is a glob pattern, a directory, a list,
     or any mix — all files must share one format (shp / gpkg / fgb /
     kml / gpx / gml / arrow-ipc). The realistic 100 TB shape for these
     formats is MANY SMALL FILES (millions of GPX traces, tiled
     FGB/GPKG chunks): file paths are distributed one-slice-per-task
-    (``sc.parallelize`` + ``mapPartitions``) and the existing
-    pure-Python codecs run EXECUTOR-side — they are dependency-free
-    and partition-local, so the read scales with the cluster instead
-    of the driver. Paths must be visible from executors (shared
-    storage on a real cluster).
+    and the existing pure-Python codecs run EXECUTOR-side — they are
+    dependency-free and partition-local, so the read scales with the
+    cluster instead of the driver. Paths must be visible from
+    executors (shared storage on a real cluster). The exchange is
+    Arrow-vectorized (r12, VERDICT r11 #1): each task turns a parsed
+    file into ``pyarrow.RecordBatch`` chunks and hands them to Spark
+    through ``mapInArrow`` — columnar batch transfer instead of the
+    per-row pickling a ``parallelize``/``createDataFrame`` RDD pays,
+    so big-tile reads are no longer serialization-bound.
 
-    Schema: the first ``schema_files`` files are probed driver-side
-    and their attribute fields unioned by name; later files may omit
-    probed columns (filled with null) but a column absent from every
-    probed file raises with advice to raise ``schema_files``. CRS
-    comes from ``crs=`` or the first probed file; a file whose
+    Schema: the first ``schema_files`` files (an int, or ``'all'``)
+    are probed driver-side and their attribute fields unioned by
+    name; later files may omit probed columns (filled with null). A
+    column absent from every probed file raises with advice to raise
+    ``schema_files`` when ``schema_mode='strict'`` (default); with
+    ``schema_mode='union_null'`` such unprobed columns are DROPPED
+    (the probed schema is the contract) so one surprise file at
+    position 999 999 degrades softly instead of failing the job —
+    probe wider (``schema_files='all'``) when every column matters.
+    CRS comes from ``crs=`` or the first probed file; a file whose
     declared CRS differs raises (task-side) unless ``crs=`` overrides.
+
+    ``bbox=(xmin, ymin, xmax, ymax)`` (r12, VERDICT r11 #5) keeps
+    features whose bounds intersect the box and is pushed down
+    EXECUTOR-side where the format carries an index: ``.fgb`` prunes
+    via the packed-Hilbert R-tree (only matching feature records are
+    decoded), ``.gpkg`` via the optional ``rtree_<table>_<col>``
+    SQLite index when present; other formats decode then filter
+    per-feature before rows ever reach Spark.
 
     GeoJSON is deliberately absent here: newline-delimited GeoJSON is
     already line-splittable through Spark's own distributed text/JSON
@@ -1236,10 +1412,20 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
     if len(kinds) > 1:
         raise ValueError(f"mixed formats {sorted(kinds)} in one "
                          "read_files call; read each format separately")
+    if schema_mode not in ("strict", "union_null"):
+        raise ValueError("schema_mode must be 'strict' or 'union_null'")
     ext = kinds.pop()
     parser = _MULTI_PARSERS[ext]
     gc_kw = {} if (ext == ".arrow" and geometry_column is None) else \
         {"geometry_column": geometry_column or DEFAULT_GEO_COLUMN_NAME}
+
+    post_bbox = None
+    if bbox is not None:
+        bbox = tuple(float(v) for v in bbox)
+        if ext in (".fgb", ".gpkg"):
+            fmt_kwargs["bbox"] = bbox   # index pushdown inside the codec
+        else:
+            post_bbox = bbox            # exact per-feature filter below
 
     # ---- driver-side probe: union schema + CRS of the first K files.
     # GeoPackage probes with a row LIMIT (schema + declared types live
@@ -1250,10 +1436,14 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
     probe_kw = dict(fmt_kwargs)
     if ext == ".gpkg":
         probe_kw["max_rows"] = 100
+        probe_kw.pop("bbox", None)   # schema probe must not depend on it
+    n_probe = len(files) if schema_files == "all" \
+        else max(1, int(schema_files))
     merged, types_by_name = [], {}
     crs0 = None
-    for p in files[:max(1, int(schema_files))]:
-        flds, _rows, fcrs = parser(p, **gc_kw, **probe_kw)
+    probe_parser = _MULTI_BATCH_PARSERS.get(ext, parser)
+    for p in files[:n_probe]:
+        flds, _rows, fcrs = probe_parser(p, **gc_kw, **probe_kw)
         if crs0 is None and fcrs is not None:
             crs0 = str(fcrs)
         for f in flds:
@@ -1275,48 +1465,108 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
     names = [f.name for f in merged]
     name_set = set(names)
     check_crs = crs is None
+    strict = schema_mode == "strict"
+    spark_schema = T.StructType(merged)
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(spark_schema)
+    # geometry structs arrive from the codecs as tuples — pyarrow
+    # struct arrays want dicts, so remember each struct field's
+    # sub-names for the zip below
+    struct_subnames = {f.name: [sf.name for sf in f.dataType.fields]
+                       for f in merged
+                       if isinstance(f.dataType, T.StructType)}
+    BATCH_ROWS = 1 << 16              # bound one RecordBatch's memory
+    batch_parser = _MULTI_BATCH_PARSERS.get(ext)
 
-    def _task(path_iter):
-        for p in path_iter:
+    def _file_batches(p):
+        if batch_parser is not None:
+            flds, table, fcrs = batch_parser(p, **gc_kw, **fmt_kwargs)
+            rows = None
+        else:
             flds, rows, fcrs = parser(p, **gc_kw, **fmt_kwargs)
-            if check_crs and fcrs is not None:
-                if crs0 is None:
-                    # the probed files carried no CRS (e.g. .shp with no
-                    # .prj) but this one declares — silently stamping
-                    # DEFAULT_CRS would be a lie (ADVICE r11)
-                    raise ValueError(
-                        f"{p}: declares CRS {fcrs!r} but the probed "
-                        "file(s) carried none; pass crs= explicitly")
-                if str(fcrs) != crs0:
-                    raise ValueError(
-                        f"{p}: CRS {fcrs!r} differs from the first "
-                        f"file's {crs0!r}; pass crs= to override "
-                        "(reprojection is to_crs's job, not the "
-                        "reader's)")
-            fnames = [f.name for f in flds]
-            extra = [n for n in fnames if n not in name_set]
-            if extra:
+            table = None
+        if check_crs and fcrs is not None:
+            if crs0 is None:
+                # the probed files carried no CRS (e.g. .shp with no
+                # .prj) but this one declares — silently stamping
+                # DEFAULT_CRS would be a lie (ADVICE r11)
                 raise ValueError(
-                    f"{p}: columns {extra} absent from the probed "
-                    f"schema; raise schema_files= (currently probing "
-                    f"{max(1, int(schema_files))} file(s))")
-            if fnames == names:
-                for r in rows:
-                    yield tuple(r)
-            else:
-                idx = {n: i for i, n in enumerate(fnames)}
-                for r in rows:
-                    yield tuple(r[idx[n]] if n in idx else None
-                                for n in names)
+                    f"{p}: declares CRS {fcrs!r} but the probed "
+                    "file(s) carried none; pass crs= explicitly")
+            if str(fcrs) != crs0:
+                raise ValueError(
+                    f"{p}: CRS {fcrs!r} differs from the first "
+                    f"file's {crs0!r}; pass crs= to override "
+                    "(reprojection is to_crs's job, not the "
+                    "reader's)")
+        fnames = [f.name for f in flds]
+        extra = [n for n in fnames if n not in name_set]
+        if extra and strict:
+            raise ValueError(
+                f"{p}: columns {extra} absent from the probed "
+                f"schema; raise schema_files= (currently probing "
+                f"{n_probe} file(s)) or pass schema_mode='union_null' "
+                "to drop them")
+        if table is not None:
+            # vectorized path: align the parsed Arrow columns to the
+            # probed schema (cast where the file's physical type
+            # differs, null-fill the absent ones) and re-chunk
+            present = set(table.column_names)
+            arrays = []
+            for f, af in zip(merged, arrow_schema):
+                if f.name in present:
+                    arr = table.column(f.name)
+                    if arr.type != af.type:
+                        arr = arr.cast(af.type)
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                else:
+                    arr = pa.nulls(table.num_rows, af.type)
+                arrays.append(arr)
+            aligned = pa.Table.from_arrays(arrays, schema=arrow_schema)
+            yield from aligned.to_batches(max_chunksize=BATCH_ROWS)
+            return
+        idx = {n: i for i, n in enumerate(fnames)}
+        if not isinstance(rows, list):
+            rows = list(rows)
+        for s in range(0, len(rows), BATCH_ROWS):
+            chunk = rows[s:s + BATCH_ROWS]
+            arrays = []
+            for f, af in zip(merged, arrow_schema):
+                j = idx.get(f.name)
+                vals = ([r[j] for r in chunk] if j is not None
+                        else [None] * len(chunk))
+                sub = struct_subnames.get(f.name)
+                if sub is not None:
+                    vals = [None if v is None else dict(zip(sub, v))
+                            for v in vals]
+                arrays.append(pa.array(vals, type=af.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    def _task(batches):
+        for b in batches:
+            for p in b.column(0).to_pylist():
+                yield from _file_batches(p)
 
     sc = spark.sparkContext
     nparts = int(num_partitions) if num_partitions else \
         min(len(files), max(sc.defaultParallelism, 1) * 4)
-    rdd = sc.parallelize(files, nparts).mapPartitions(_task)
-    df = spark.createDataFrame(rdd, schema=T.StructType(merged))
+    # parallelize keeps contiguous, file-ordered path slices (a plain
+    # repartition would round-robin-shuffle and lose order stability,
+    # which skip_features= relies on); createDataFrame over an RDD
+    # preserves its partitioning
+    paths_df = spark.createDataFrame(
+        sc.parallelize([(p,) for p in files], nparts), "path string")
+    df = paths_df.mapInArrow(_task, spark_schema)
     if gname is None:
+        if bbox is not None:
+            raise ValueError("bbox= requires a geometry column")
         return df
-    return GeoDataFrame(df, gname, crs or crs0 or DEFAULT_CRS)
+    out = GeoDataFrame(df, gname, crs or crs0 or DEFAULT_CRS)
+    if post_bbox is not None:
+        out = _apply_read_filters(out, post_bbox, None, None, None, None)
+    return out
 
 
 def _apply_read_filters(out, bbox, where, skip_features, columns,
@@ -1544,7 +1794,8 @@ def read_file(spark: SparkSession, path: str, bbox=None, columns=None,
         if low.endswith(".shp"):
             out = read_shapefile(spark, path)
         elif low.endswith(".gpkg"):
-            out = read_geopackage(spark, path, fids=fids)
+            out = read_geopackage(spark, path, fids=fids, bbox=bbox)
+            bbox = None                       # codec already applied it
         elif low.endswith(".fgb"):
             out = read_flatgeobuf(spark, path, bbox=bbox, fids=fids)
             bbox = None                       # index already applied it

@@ -191,13 +191,13 @@ def test_multifile_probe_no_crs_but_later_file_declares(spark, tmp_path,
     d = str(tmp_path)
     aio.write_flatgeobuf(_gdf(spark, 0), os.path.join(d, "a.fgb"))
     aio.write_flatgeobuf(_gdf(spark, 10), os.path.join(d, "b.fgb"))
-    orig = aio._MULTI_PARSERS[".fgb"]
+    orig = aio._MULTI_BATCH_PARSERS[".fgb"]
 
     def wrapped(path, **kw):
         flds, rows, crs = orig(path, **kw)
         return flds, rows, (None if path.endswith("a.fgb") else crs)
 
-    monkeypatch.setitem(aio._MULTI_PARSERS, ".fgb", wrapped)
+    monkeypatch.setitem(aio._MULTI_BATCH_PARSERS, ".fgb", wrapped)
     with pytest.raises(Exception, match="carried none"):
         aio.read_files(spark, d).df.count()
     # explicit crs= resolves it
@@ -221,3 +221,113 @@ def test_multifile_gpkg_typeless_column_null_head(spark, tmp_path):
     assert dict(out.df.dtypes)["extra"] == "bigint"
     vals = [r.extra for r in out.df.collect()]
     assert vals.count(7) == 10 and vals.count(None) == 110
+
+
+# ---- r12: bbox pushdown + schema modes + Arrow exchange ------------
+
+
+def _bbox_expect(gdfs, bbox):
+    """Features whose bounds intersect bbox, via the reference filter."""
+    xmin, ymin, xmax, ymax = bbox
+    out = []
+    for g in gdfs:
+        d = g.df.select("k")
+        kept = g.df.where(
+            (st.bounds(F.col("geometry"))[0] <= xmax)
+            & (st.bounds(F.col("geometry"))[2] >= xmin)
+            & (st.bounds(F.col("geometry"))[1] <= ymax)
+            & (st.bounds(F.col("geometry"))[3] >= ymin))
+        out.extend(r.k for r in kept.select("k").collect())
+    return sorted(out)
+
+
+@pytest.mark.parametrize("fmt,writer", [
+    (".fgb", lambda g, p: aio.write_flatgeobuf(g, p)),   # Hilbert index
+    (".gpkg", lambda g, p: aio.write_geopackage(g, p)),  # no rtree → scan
+    (".kml", lambda g, p: aio.write_kml(g, p)),          # post-filter
+])
+def test_multifile_bbox_pushdown_row_identical(spark, fmt, writer,
+                                               tmp_path):
+    """read_files(bbox=) returns exactly the features whose bounds
+    intersect the box, regardless of whether the format prunes via an
+    index (.fgb), scans the codec (.gpkg), or post-filters (.kml)."""
+    d = str(tmp_path)
+    gdfs = [_gdf(spark, i * 10) for i in range(3)]
+    for i, g in enumerate(gdfs):
+        writer(g, os.path.join(d, f"p{i}{fmt}"))
+    bbox = (10.5, 0.5, 12.5, 1.5)    # inside file p1's envelopes
+    out = aio.read_files(spark, d, bbox=bbox)
+    got = sorted(int(float(r.k)) for r in
+                 out.df.selectExpr("CAST(k AS STRING) k").collect())
+    assert got == _bbox_expect(gdfs, bbox)
+    assert got                       # non-degenerate: something matched
+    full = aio.read_files(spark, d).df.count()
+    assert len(got) < full           # non-degenerate: something pruned
+
+
+def test_multifile_gpkg_rtree_index_used(spark, tmp_path):
+    """When the GeoPackage carries the spec's rtree_<table>_<col>
+    index, candidates come from an R-tree range query (float32-widened
+    boxes) and the exact refine keeps intersects-parity."""
+    import sqlite3
+    p = os.path.join(str(tmp_path), "idx.gpkg")
+    g = _gdf(spark, 0, n=50)
+    aio.write_geopackage(g, p, layer="t")
+    con = sqlite3.connect(p)
+    con.execute('CREATE VIRTUAL TABLE "rtree_t_geometry" USING '
+                "rtree(id, minx, maxx, miny, maxy)")
+    # envelopes are [k, 0, k+1, 2]
+    for k in range(50):
+        con.execute('INSERT INTO "rtree_t_geometry" VALUES (?,?,?,?,?)',
+                    (k + 1, float(k), float(k) + 1.0, 0.0, 2.0))
+    con.commit()
+    con.close()
+    bbox = (20.2, 0.5, 23.8, 1.0)
+    out = aio.read_files(spark, [p], bbox=bbox)
+    got = sorted(r.k for r in out.df.select("k").collect())
+    assert got == _bbox_expect([g], bbox) == [20, 21, 22, 23]
+    # sanity: a query box hitting nothing returns zero rows
+    assert aio.read_files(spark, [p],
+                          bbox=(900.0, 900.0, 901.0, 901.0)).df.count() == 0
+
+
+def test_multifile_schema_mode_union_null(spark, tmp_path):
+    """schema_mode='union_null': a task-side file with columns absent
+    from the probed schema DROPS them instead of failing the job; the
+    probed columns it lacks still null-fill. schema_files='all' probes
+    every file so nothing is unprobed."""
+    d = str(tmp_path)
+    aio.write_geopackage(
+        GeoDataFrame(_gdf(spark, 0).df.select("k", "geometry"),
+                     crs="EPSG:4326"), os.path.join(d, "a.gpkg"))
+    aio.write_geopackage(_gdf(spark, 10), os.path.join(d, "b.gpkg"))
+    # strict (default): b.gpkg's unprobed `tag` raises task-side
+    with pytest.raises(Exception, match="schema_files"):
+        aio.read_files(spark, d).df.count()
+    # union_null: tag dropped, read succeeds
+    out = aio.read_files(spark, d, schema_mode="union_null")
+    # (fid is the gpkg writer's autoincrement PK, present in both files)
+    assert sorted(out.df.columns) == ["fid", "geometry", "k"]
+    assert out.df.count() == 10
+    # schema_files='all' probes b.gpkg too → tag survives
+    out2 = aio.read_files(spark, d, schema_files="all")
+    assert "tag" in out2.df.columns
+    rows = out2.df.orderBy("k").collect()
+    assert [r.tag for r in rows[:5]] == [None] * 5
+    assert [r.tag for r in rows[5:]] == [f"row{i}" for i in range(10, 15)]
+    with pytest.raises(ValueError, match="schema_mode"):
+        aio.read_files(spark, d, schema_mode="bogus")
+
+
+def test_multifile_arrow_exchange_plan(spark, tmp_path):
+    """The r12 exchange is mapInArrow (columnar batches), not a
+    pickled-row RDD scan: the plan shows MapInArrow and no RDD scan
+    node feeds the result."""
+    d = str(tmp_path)
+    for i in range(2):
+        aio.write_flatgeobuf(_gdf(spark, i * 10),
+                             os.path.join(d, f"x{i}.fgb"))
+    out = aio.read_files(spark, d)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert out.df.count() == 10
