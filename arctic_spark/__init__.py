@@ -73,7 +73,8 @@ def __getattr__(name):
                 "write_geopackage", "read_flatgeobuf",
                 "write_flatgeobuf", "read_file",
                 "read_kml", "write_kml", "read_gpx", "read_gml",
-                "read_ipc", "write_ipc", "write_file", "read_files", "write_files"):
+                "read_ipc", "write_ipc", "write_file", "read_files",
+                "write_files", "list_layers"):
         from . import io
         return getattr(io, name)
     raise AttributeError(name)
@@ -96,4 +97,5 @@ __all__ = ["GeoDataFrame", "st", "get_spark", "version",
            "hll_estimate_by", "kmv_sketch", "kmv_merge", "kmv_estimate",
            "kmv_jaccard", "cms_sketch", "cms_merge", "cms_query",
            "read_file", "read_kml", "write_kml", "read_gpx", "read_gml",
-           "read_ipc", "write_ipc", "write_file", "read_files", "write_files"]
+           "read_ipc", "write_ipc", "write_file", "read_files",
+           "write_files", "list_layers"]

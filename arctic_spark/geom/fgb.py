@@ -398,9 +398,13 @@ def build_packed_rtree(bboxes, feat_offsets, node_size=16):
     return nodes.tobytes()
 
 
-def search_packed_rtree(buf, base, num_items, node_size, bbox):
+def search_packed_rtree(buf, base, num_items, node_size, bbox,
+                        with_items=False):
     """Feature byte offsets (DATA-relative, ascending) whose leaf
-    bboxes intersect ``bbox``, via the index at byte ``base``."""
+    bboxes intersect ``bbox``, via the index at byte ``base``.
+    ``with_items=True`` returns (offset, item_index) pairs instead —
+    the item index is the feature's position in the (Hilbert-ordered)
+    feature stream, i.e. its FlatGeobuf FID (r12)."""
     node_size = min(max(int(node_size), 2), 65535)
     sizes = _level_sizes(num_items, node_size)
     total = sum(sizes)
@@ -416,7 +420,7 @@ def search_packed_rtree(buf, base, num_items, node_size, bbox):
                 or nd["miny"] > qmaxy or nd["maxy"] < qminy):
             continue
         if i >= leaf0:
-            out.append(int(nd["off"]))
+            out.append((int(nd["off"]), i - leaf0))
         else:
             lo = int(nd["off"])
             # children of node i span [off, off + node_size) capped to
@@ -427,7 +431,8 @@ def search_packed_rtree(buf, base, num_items, node_size, bbox):
                     lvl_end = lvl_start + sz
                     break
             stack.extend(range(lo, min(lo + node_size, lvl_end)))
-    return sorted(out)
+    out.sort()
+    return out if with_items else [o for o, _ in out]
 
 
 def _iter_levels(sizes):
@@ -664,12 +669,15 @@ def _geom_xy_bbox(tab):
             max(b[2] for b in boxes), max(b[3] for b in boxes))
 
 
-def read_fgb(data, bbox=None):
+def read_fgb(data, bbox=None, want_fids=False):
     """Parse a FlatGeobuf byte string →
     (header_meta, [(wkb_or_None, {col_name: value})...]).
 
     header_meta: dict with name, geometry_type, columns
-    [(name, type_id)], crs (org, code) or None, features_count.
+    [(name, type_id)], crs (org, code) or None, features_count;
+    with ``want_fids=True`` also ``fids`` — the 0-based stream
+    position of every returned feature (the format's FID), correct
+    under bbox selection on both the indexed and linear paths (r12).
 
     ``bbox=(minx, miny, maxx, maxy)`` keeps only intersecting
     features — via the packed Hilbert R-tree when the file has one
@@ -726,20 +734,29 @@ def read_fgb(data, bbox=None):
         return ((wkb, {cnames[i]: v for i, v in props.items()}),
                 fpos + 4 + fsize)
 
-    feats = []
+    feats, fids = [], []
     if bbox is not None and node_size and fcount:
         # index path: only matching records are parsed at all
-        for off in search_packed_rtree(data, index_base, fcount,
-                                       node_size, bbox):
+        for off, item in search_packed_rtree(data, index_base, fcount,
+                                             node_size, bbox,
+                                             with_items=True):
             # leaf bboxes already guarantee intersection
             feat, _ = parse_feature(data_base + off, None)
             feats.append(feat)
+            fids.append(item)
+        if want_fids:
+            meta["fids"] = fids
         return meta, feats
     n = len(data)
+    item = 0
     while p + 4 <= n:
         feat, p = parse_feature(p, bbox)
         if feat is not None:
             feats.append(feat)
+            fids.append(item)
+        item += 1
+    if want_fids:
+        meta["fids"] = fids
     return meta, feats
 
 

@@ -146,10 +146,13 @@ def parse_shp(buf: bytes):
     return out
 
 
-def parse_dbf(buf: bytes):
+def parse_dbf(buf: bytes, encoding: str = "latin-1"):
     """Parse a .dbf buffer → (field_names, list of row tuples).
     C→str, N/F→float (int-valued floats stay float for schema
     stability), L→bool, D→'YYYYMMDD' str; empty → None.
+    ``encoding`` decodes C-field text (r12, reference io/file.py:19:
+    pyogrio's ``encoding=`` — dBASE files predate UTF-8 and commonly
+    carry cp1252/cp850/Shift-JIS text; default latin-1 never raises).
 
     Deletion-flagged records emit an all-None placeholder tuple instead
     of being skipped: read_shapefile aligns attributes to .shp
@@ -165,7 +168,7 @@ def parse_dbf(buf: bytes):
     fields = []
     pos = 32
     while pos < header_len - 1 and buf[pos] != 0x0D:
-        name = buf[pos:pos + 11].split(b"\x00")[0].decode("latin-1")
+        name = buf[pos:pos + 11].split(b"\x00")[0].decode(encoding)
         ftype = chr(buf[pos + 11])
         flen = buf[pos + 16]
         fields.append((name, ftype, flen))
@@ -185,7 +188,7 @@ def parse_dbf(buf: bytes):
         for name, ftype, flen in fields:
             raw = rec[off:off + flen]
             off += flen
-            txt = raw.decode("latin-1").strip()
+            txt = raw.decode(encoding, errors="replace").strip()
             if ftype in ("N", "F"):
                 vals.append(float(txt) if txt else None)
             elif ftype == "L":
