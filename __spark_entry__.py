@@ -445,6 +445,44 @@ def geo_polar_stere(spark, sf):
         .orderBy("c_custkey"))
 
 
+def geo_cassini_poly(spark, sf):
+    """to_crs via the r12 Cassini-Soldner + American Polyconic kernels
+    (VERDICT r11 #6): a Palestine-Grid-style Cassini (EPSG 9806,
+    Clarke 1880 Benoit — forward verified against the EPSG GN7-2
+    Trinidad worked example to the cm in tests/test_param_crs.py) and
+    a Brazil-Polyconic-style poly (EPSG 9818, GRS67 — verified against
+    Snyder 1987's numeric example), both built purely from proj4
+    parameters. The oracle replays both complete ellipsoidal forwards
+    (meridional-arc series + the Cassini A/T/C/nu series; the
+    per-parallel cone development incl. the closed-form equator branch
+    for poly) from the same raw parameters in DuckDB CTEs. BIGINT
+    tenth-mm micro-units."""
+    c = _t(spark, sf, "customer")
+    # Cassini: a narrow cadastral strip around the Palestine meridian
+    clon = (((F.col("c_custkey") % 40) - 20).cast("double") * 0.045
+            + 35.21208055555556)
+    clat = (F.col("c_custkey") * 3 % 40).cast("double") * 0.1 + 29.6
+    cass_p4 = ("+proj=cass +lat_0=31.73409694444444 "
+               "+lon_0=35.21208055555556 +x_0=170251.555 "
+               "+y_0=126867.909 +a=6378300.789 +rf=293.46631553898")
+    cxy = transform_xy_struct(clon, clat, "EPSG:4326", cass_p4)
+    # Polyconic: the Brazil grid's wide lon span incl. exact-equator
+    # rows (every 5th key) exercising the closed-form branch
+    plon = ((F.col("c_custkey") % 41) - 20).cast("double") - 54.0
+    plat = F.when(F.col("c_custkey") % 5 == 0, F.lit(0.0)).otherwise(
+        (F.col("c_custkey") * 7 % 38).cast("double") - 33.0)
+    poly_p4 = ("+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 "
+               "+y_0=10000000 +a=6378160 +rf=298.25")
+    pxy = transform_xy_struct(plon, plat, "EPSG:4326", poly_p4)
+    return (c.select(
+        "c_custkey",
+        F.round(cxy["x"] * F.lit(1e4), 0).cast("long").alias("cx_u"),
+        F.round(cxy["y"] * F.lit(1e4), 0).cast("long").alias("cy_u"),
+        F.round(pxy["x"] * F.lit(1e4), 0).cast("long").alias("px_u"),
+        F.round(pxy["y"] * F.lit(1e4), 0).cast("long").alias("py_u"))
+        .orderBy("c_custkey"))
+
+
 def geo_pip_join(spark, sf):
     """Distributed filter–refine spatial join (SURVEY §2.4): customer
     points in region strip polygons; grid-cell shuffle + native ray-cast
@@ -4243,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_conus_albers": geo_conus_albers,
         "geo_param_crs": geo_param_crs,
         "geo_polar_stere": geo_polar_stere,
+        "geo_cassini_poly": geo_cassini_poly,
         "geo_overlay_union": geo_overlay_union,
         "geo_overlay_area": geo_overlay_area,
         "embed_pq_adc": embed_pq_adc,
@@ -4947,6 +4986,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(rho * sin(th) * 1e4) AS BIGINT) AS gx_u,
                    CAST(round(rho * cos(th) * 1e4) AS BIGINT) AS gy_u
             FROM proj ORDER BY c_custkey
+        """,
+        "geo_cassini_poly": """
+            WITH cpar AS (
+                SELECT a, e2,
+                       radians(31.73409694444444) AS p0,
+                       radians(35.21208055555556) AS lam0,
+                       1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS c0,
+                       3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS c2,
+                       15*e2*e2/256 + 45*e2*e2*e2/1024 AS c4,
+                       35*e2*e2*e2/3072 AS c6
+                FROM (SELECT 6378300.789 AS a,
+                             (1.0/293.46631553898)
+                                 * (2 - 1.0/293.46631553898) AS e2)
+            ), cm AS (
+                SELECT *, a*(c0*p0 - c2*sin(2*p0) + c4*sin(4*p0)
+                             - c6*sin(6*p0)) AS m0
+                FROM cpar
+            ), cpts AS (
+                SELECT c_custkey,
+                       radians(CAST((c_custkey % 40) - 20 AS DOUBLE)
+                               * 0.045 + 35.21208055555556) AS lam,
+                       radians(CAST(c_custkey * 3 % 40 AS DOUBLE)
+                               * 0.1 + 29.6) AS phi
+                FROM customer
+            ), ci AS (
+                SELECT c_custkey, phi,
+                       (lam - cm.lam0) * cos(phi) AS ba,
+                       tan(phi)*tan(phi) AS bt,
+                       (cm.e2/(1-cm.e2)) * cos(phi) * cos(phi) AS bc,
+                       cm.a/sqrt(1 - cm.e2*sin(phi)*sin(phi)) AS nu,
+                       cm.a*(cm.c0*phi - cm.c2*sin(2*phi)
+                             + cm.c4*sin(4*phi)
+                             - cm.c6*sin(6*phi)) AS mm,
+                       cm.m0 AS m0
+                FROM cpts, cm
+            ), cass AS (
+                SELECT c_custkey,
+                       170251.555 + nu*(ba - bt*ba*(ba*ba)/6
+                           - (8 - bt + 8*bc)*bt*ba*(ba*ba)*(ba*ba)/120)
+                           AS cx,
+                       126867.909 + (mm - m0 + nu*tan(phi)
+                           *((ba*ba)/2 + (5 - bt + 6*bc)
+                             *(ba*ba)*(ba*ba)/24)) AS cy
+                FROM ci
+            ), ppar AS (
+                SELECT a, e2, radians(-54.0) AS lam0,
+                       1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS c0,
+                       3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS c2,
+                       15*e2*e2/256 + 45*e2*e2*e2/1024 AS c4,
+                       35*e2*e2*e2/3072 AS c6
+                FROM (SELECT 6378160.0 AS a,
+                             (1.0/298.25) * (2 - 1.0/298.25) AS e2)
+            ), ppts AS (
+                SELECT c_custkey,
+                       radians(CAST((c_custkey % 41) - 20 AS DOUBLE)
+                               - 54.0) AS lam,
+                       radians(CASE WHEN c_custkey % 5 = 0 THEN 0.0
+                               ELSE CAST(c_custkey * 7 % 38 AS DOUBLE)
+                                    - 33.0 END) AS phi
+                FROM customer
+            ), poly AS (
+                SELECT c_custkey,
+                       5000000 + (CASE WHEN abs(phi) < 1e-12
+                           THEN ppar.a * (lam - ppar.lam0)
+                           ELSE (ppar.a/sqrt(1 - ppar.e2*sin(phi)
+                                             *sin(phi)))
+                               * (cos(phi)/sin(phi))
+                               * sin((lam - ppar.lam0)*sin(phi)) END)
+                           AS px,
+                       10000000 + (CASE WHEN abs(phi) < 1e-12
+                           THEN 0.0
+                           ELSE ppar.a*(ppar.c0*phi
+                                   - ppar.c2*sin(2*phi)
+                                   + ppar.c4*sin(4*phi)
+                                   - ppar.c6*sin(6*phi)) - 0.0
+                               + (ppar.a/sqrt(1 - ppar.e2*sin(phi)
+                                              *sin(phi)))
+                               * (cos(phi)/sin(phi))
+                               * (1 - cos((lam - ppar.lam0)*sin(phi)))
+                           END) AS py
+                FROM ppts, ppar
+            )
+            SELECT cass.c_custkey,
+                   CAST(round(cx * 1e4) AS BIGINT) AS cx_u,
+                   CAST(round(cy * 1e4) AS BIGINT) AS cy_u,
+                   CAST(round(px * 1e4) AS BIGINT) AS px_u,
+                   CAST(round(py * 1e4) AS BIGINT) AS py_u
+            FROM cass JOIN poly ON cass.c_custkey = poly.c_custkey
+            ORDER BY cass.c_custkey
         """,
         "geo_param_crs": """
             WITH ell AS (

@@ -213,12 +213,22 @@ class GeoDataFrame:
     def estimate_utm_crs(self):
         """EPSG code of the UTM zone containing the frame's centroid of
         bounds (reference roadmap geoseries.rst:139, GeoPandas
-        semantics). Assumes the current CRS is geographic lon/lat."""
+        semantics). Assumes the current CRS is geographic lon/lat.
+        UTM is undefined poleward of 84N / 80S (the zone system's
+        formal extent): those centroids return the matching Universal
+        Polar Stereographic grid instead — EPSG:5041 (north) /
+        EPSG:5042 (south), served by the r11 polar stere kernel — the
+        same fallback pyproj's query falls into when no UTM CRS
+        intersects (ADVICE-style r12, VERDICT r11 #10)."""
         xmin, ymin, xmax, ymax = self.total_bounds()
         if xmin is None:
             raise ValueError("cannot estimate UTM CRS of an empty frame")
         lon = (xmin + xmax) / 2.0
         lat = (ymin + ymax) / 2.0
+        if lat > 84.0:
+            return "EPSG:5041"           # UPS North
+        if lat < -80.0:
+            return "EPSG:5042"           # UPS South
         zone = min(60, max(1, int((lon + 180.0) // 6.0) + 1))
         return f"EPSG:{(32600 if lat >= 0 else 32700) + zone}"
 

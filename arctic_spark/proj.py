@@ -893,6 +893,234 @@ def _krovak_inv(x, y, p) -> Column:
 _AS = math.pi / (180.0 * 3600.0)  # arcsec → rad
 
 
+# ---------------------------------------------------------------------------
+# Cassini-Soldner (EPSG method 9806 — Snyder 1987 pp. 92-95) and
+# American Polyconic (EPSG method 9818 — Snyder pp. 124-126). Both are
+# built on the classic meridional arc M(phi) (Snyder 3-21); Cassini's
+# inverse additionally uses the footpoint latitude from the rectifying
+# series (Snyder 3-26). Legacy-grid workhorses: Cassini carries the
+# Trinidad 1903 / Palestine 1923 grids (EPSG 30200, 28191/28192),
+# Polyconic the Brazilian SAD69 grid (EPSG 29101) and the historic
+# USGS quad sheets.
+# ---------------------------------------------------------------------------
+
+def _marc_coeffs(e2):
+    """Coefficients of the meridional-arc series (Snyder 3-21)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256,
+            3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024,
+            15 * e4 / 256 + 45 * e6 / 1024,
+            35 * e6 / 3072)
+
+
+def _marc_f(phi: float, a: float, e2: float) -> float:
+    c0, c2, c4, c6 = _marc_coeffs(e2)
+    return a * (c0 * phi - c2 * math.sin(2 * phi)
+                + c4 * math.sin(4 * phi) - c6 * math.sin(6 * phi))
+
+
+def _marc_col(phi, a: float, e2: float) -> Column:
+    c0, c2, c4, c6 = _marc_coeffs(e2)
+    two = F.lit(2.0) * phi
+    return F.lit(a) * (F.lit(c0) * phi - F.lit(c2) * F.sin(two)
+                       + F.lit(c4) * F.sin(F.lit(2.0) * two)
+                       - F.lit(c6) * F.sin(F.lit(3.0) * two))
+
+
+def _foot_lat_col(m, a: float, e2: float) -> Column:
+    """Footpoint latitude phi1 from a meridional-arc column `m`
+    (Snyder 7-19 + 3-26, the e1 rectifying series)."""
+    c0 = _marc_coeffs(e2)[0]
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    j2 = 3 * e1 / 2 - 27 * e1 ** 3 / 32
+    j4 = 21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32
+    j6 = 151 * e1 ** 3 / 96
+    j8 = 1097 * e1 ** 4 / 512
+
+    def with_mu(mu):
+        two = F.lit(2.0) * mu
+        return (mu + F.lit(j2) * F.sin(two)
+                + F.lit(j4) * F.sin(F.lit(2.0) * two)
+                + F.lit(j6) * F.sin(F.lit(3.0) * two)
+                + F.lit(j8) * F.sin(F.lit(4.0) * two))
+    return _let(m / F.lit(a * c0), with_mu)
+
+
+def _cass_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+    lat0 = math.radians(p["lat0"])
+    return a, e2, _marc_f(lat0, a, e2), math.radians(p["lon0"])
+
+
+def _cass_fwd(lon, lat, p) -> Column:
+    """Cassini-Soldner forward (EPSG 9806 / Snyder 13-2..13-5)."""
+    a, e2, m0, lam0 = _cass_consts(p)
+    unit = p.get("unit", 1.0)
+    phi = F.radians(lat)
+    dlam = F.radians(lon) - F.lit(lam0)
+
+    def with_pl(s):
+        sp = F.sin(s["phi"])
+        cp = F.cos(s["phi"])
+        big_a = s["dlam"] * cp
+        big_t = F.tan(s["phi"]) * F.tan(s["phi"])
+        big_c = F.lit(e2 / (1 - e2)) * cp * cp
+        nu = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp)
+
+        def with_i(t):
+            A, T, C, nu_ = t["A"], t["T"], t["C"], t["nu"]
+            a2 = A * A
+            x = nu_ * (A - T * A * a2 / F.lit(6.0)
+                       - (F.lit(8.0) - T + F.lit(8.0) * C)
+                       * T * A * a2 * a2 / F.lit(120.0))
+            y = (_marc_col(s["phi"], a, e2) - F.lit(m0)
+                 + nu_ * F.tan(s["phi"])
+                 * (a2 / F.lit(2.0)
+                    + (F.lit(5.0) - T + F.lit(6.0) * C)
+                    * a2 * a2 / F.lit(24.0)))
+            return _xy(F.lit(p["fe"]) + x / F.lit(unit),
+                       F.lit(p["fn"]) + y / F.lit(unit))
+        return _let(F.struct(big_a.alias("A"), big_t.alias("T"),
+                             big_c.alias("C"), nu.alias("nu")), with_i)
+    return _let(F.struct(phi.alias("phi"), dlam.alias("dlam")), with_pl)
+
+
+def _cass_inv(x, y, p) -> Column:
+    """Cassini-Soldner inverse (EPSG 9806 / Snyder 13-6..13-9)."""
+    a, e2, m0, lam0 = _cass_consts(p)
+    unit = p.get("unit", 1.0)
+    xm = (x - F.lit(p["fe"])) * F.lit(unit)
+    ym = (y - F.lit(p["fn"])) * F.lit(unit)
+
+    def with_xy(s):
+        phi1 = _foot_lat_col(F.lit(m0) + s["ym"], a, e2)
+
+        def with_p1(f1):
+            sp1 = F.sin(f1)
+            t1 = F.tan(f1) * F.tan(f1)
+            one_m = F.lit(1.0) - F.lit(e2) * sp1 * sp1
+            nu1 = F.lit(a) / F.sqrt(one_m)
+            rho1 = F.lit(a * (1 - e2)) / F.pow(one_m, F.lit(1.5))
+            d = s["xm"] / nu1
+
+            def with_td(t):
+                T1, D = t["T1"], t["D"]
+                d2 = D * D
+                phi = (f1 - (t["nu1"] * F.tan(f1) / t["rho1"])
+                       * (d2 / F.lit(2.0)
+                          - (F.lit(1.0) + F.lit(3.0) * T1)
+                          * d2 * d2 / F.lit(24.0)))
+                lam = (F.lit(lam0)
+                       + (D - T1 * D * d2 / F.lit(3.0)
+                          + (F.lit(1.0) + F.lit(3.0) * T1) * T1
+                          * D * d2 * d2 / F.lit(15.0)) / F.cos(f1))
+                return _xy(F.degrees(lam), F.degrees(phi))
+            return _let(F.struct(t1.alias("T1"), d.alias("D"),
+                                 nu1.alias("nu1"), rho1.alias("rho1")),
+                        with_td)
+        return _let(phi1, with_p1)
+    return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
+
+
+def _poly_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+    lat0 = math.radians(p.get("lat0", 0.0))
+    return a, e2, _marc_f(lat0, a, e2), math.radians(p["lon0"])
+
+
+def _poly_fwd(lon, lat, p) -> Column:
+    """American Polyconic forward (EPSG 9818 / Snyder 18-12..18-15):
+    each parallel is developed on its own tangent cone."""
+    a, e2, m0, lam0 = _poly_consts(p)
+    unit = p.get("unit", 1.0)
+    phi = F.radians(lat)
+    dlam = F.radians(lon) - F.lit(lam0)
+
+    def with_pl(s):
+        sp = F.sin(s["phi"])
+        nu = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp)
+        cot = F.cos(s["phi"]) / sp
+        el = s["dlam"] * sp
+        x_g = nu * cot * F.sin(el)
+        y_g = (_marc_col(s["phi"], a, e2) - F.lit(m0)
+               + nu * cot * (F.lit(1.0) - F.cos(el)))
+        # the equator develops onto the tangent cylinder (Snyder 18-12)
+        eq = F.abs(s["phi"]) < F.lit(1e-12)
+        x = F.when(eq, F.lit(a) * s["dlam"]).otherwise(x_g)
+        y = F.when(eq, F.lit(-m0)).otherwise(y_g)
+        return _xy(F.lit(p["fe"]) + x / F.lit(unit),
+                   F.lit(p["fn"]) + y / F.lit(unit))
+    return _let(F.struct(phi.alias("phi"), dlam.alias("dlam")), with_pl)
+
+
+def _poly_inv(x, y, p) -> Column:
+    """American Polyconic inverse (Snyder 18-18..18-22): Newton-ish
+    iteration on the footpoint relation, run as a fixed 10-round
+    aggregate like the other inverse kernels."""
+    a, e2, m0, lam0 = _poly_consts(p)
+    c0, c2, c4, c6 = _marc_coeffs(e2)
+    unit = p.get("unit", 1.0)
+    xm = (x - F.lit(p["fe"])) * F.lit(unit)
+    ym = (y - F.lit(p["fn"])) * F.lit(unit)
+
+    def with_xy(s):
+        big_a = (F.lit(m0) + s["ym"]) / F.lit(a)
+        big_b = s["xm"] * s["xm"] / F.lit(a * a) + big_a * big_a
+
+        def with_ab(t):
+            A, B = t["A"], t["B"]
+
+            def step(phi, _i):
+                sp = F.sin(phi)
+                two = F.lit(2.0) * phi
+                c = F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp) \
+                    * F.tan(phi)
+                ma = (F.lit(c0) * phi - F.lit(c2) * F.sin(two)
+                      + F.lit(c4) * F.sin(F.lit(2.0) * two)
+                      - F.lit(c6) * F.sin(F.lit(3.0) * two))
+                map_ = (F.lit(c0) - F.lit(2 * c2) * F.cos(two)
+                        + F.lit(4 * c4) * F.cos(F.lit(2.0) * two)
+                        - F.lit(6 * c6) * F.cos(F.lit(3.0) * two))
+                # try_divide: equator rows start (and stay) at phi=0
+                # where sin(2*phi)/tan(phi) vanish — ANSI mode would
+                # throw on the exact zero; the nulls flow through and
+                # the closed-form equator branch below takes over
+                num = (A * (c * ma + F.lit(1.0)) - ma
+                       - c * (ma * ma + B) / F.lit(2.0))
+                den = (F.try_divide(
+                    F.lit(e2) * F.sin(two)
+                    * (ma * ma + B - F.lit(2.0) * A * ma),
+                    F.lit(4.0) * c)
+                    + (A - ma) * (c * map_
+                                  - F.try_divide(F.lit(2.0),
+                                                 F.sin(two)))
+                    - map_)
+                return phi - F.try_divide(num, den)
+
+            phi = F.aggregate(F.sequence(F.lit(1), F.lit(10)), A,
+                              lambda acc, i: step(acc, i))
+
+            def with_phi(f):
+                sp = F.sin(f)
+                c = F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp) * F.tan(f)
+                lam_g = F.lit(lam0) + F.asin(
+                    F.least(F.lit(1.0), F.greatest(
+                        F.lit(-1.0), s["xm"] * c / F.lit(a)))) / sp
+                # equator rows (A ~ 0) never converge through the
+                # division by sin(2*phi) — closed form instead
+                eq = F.abs(A) < F.lit(1e-12)
+                lon_out = F.when(eq, F.degrees(
+                    F.lit(lam0) + s["xm"] / F.lit(a))) \
+                    .otherwise(F.degrees(lam_g))
+                lat_out = F.when(eq, F.lit(0.0)).otherwise(F.degrees(f))
+                return _xy(lon_out, lat_out)
+            return _let(phi, with_phi)
+        return _let(F.struct(big_a.alias("A"), big_b.alias("B")),
+                    with_ab)
+    return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
+
+
 def _geodetic_to_ecef(lon, lat, ellps) -> Column:
     a, f, e2, e = _ell(ellps)
     phi = F.radians(lat)
@@ -988,7 +1216,16 @@ _H_AMERSFOORT = (565.417, 50.3319, 465.552,
 _H_CH1903 = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
 # S-JTSK -> WGS84 (EPSG:1622, geocentric translations)
 _H_SJTSK = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+# SAD69 -> WGS84 (EPSG:1864, geocentric translations)
+_H_SAD69 = (-57.0, 1.0, -41.0, 0.0, 0.0, 0.0, 0.0)
 _BESSEL = (6377397.155, 299.1528128)
+# Clarke 1858 with BOTH axes in Clarke's links (GN7-2 Cassini worked
+# example: a = 20926348 ft = 31706587.88 links, 1/f = 294.2606764)
+_CLARKE1858_LINKS = (31706587.88, 294.2606764)
+# Clarke 1880 (Benoit): a = 6378300.789 m, b = 6356566.435 m
+_CLARKE1880_BENOIT = (6378300.789, 293.46631553898)
+# GRS 1967 modified (SAD69): a = 6378160 m, 1/f = 298.25
+_GRS67 = (6378160.0, 298.25)
 
 # EPSG:2263 NAD83 / New York Long Island (ftUS): Lambert CC 2SP;
 # FE = 984250 ftUS (= 300000 m), FN = 0
@@ -1092,6 +1329,24 @@ _EPSG_TABLE: dict[int, tuple] = {
                       "lon0": 7.439583333333333,
                       "fe": 2600000.0, "fn": 1200000.0,
                       "datum": _H_CH1903}),
+    # Trinidad 1903 / Trinidad Grid — Cassini-Soldner on Clarke 1858,
+    # grid + ellipsoid expressed in Clarke's LINKS throughout (the
+    # EPSG GN7-2 worked-example frame: a = 31706587.88 links)
+    30200: ("cass", {"ellps": _CLARKE1858_LINKS,
+                     "lat0": 10.441666666666666,
+                     "lon0": -61.33333333333333,
+                     "fe": 430000.0, "fn": 325000.0}),
+    # Palestine 1923 / Palestine Grid — Cassini-Soldner on Clarke 1880
+    # (Benoit); 28193 is the same grid with FN + 1,000,000
+    28191: ("cass", {"ellps": _CLARKE1880_BENOIT,
+                     "lat0": 31.73409694444444,
+                     "lon0": 35.21208055555556,
+                     "fe": 170251.555, "fn": 126867.909}),
+    # SAD69 / Brazil Polyconic — American Polyconic on GRS 1967
+    # modified; the national systematic-mapping grid
+    29101: ("poly", {"ellps": _GRS67, "lat0": 0.0, "lon0": -54.0,
+                     "fe": 5000000.0, "fn": 10000000.0,
+                     "datum": _H_SAD69}),
 }
 _EPSG_TABLE[5041] = _EPSG_TABLE[32661]
 _EPSG_TABLE[5042] = _EPSG_TABLE[32761]
@@ -1350,6 +1605,11 @@ def _params_from_dict(d: dict):
         return "sterea", {**base, "lat0": fl("lat_0"), "k0": k0}
     if proj == "somerc":
         return "somerc", {**base, "lat0": fl("lat_0"), "k0": k0}
+    if proj == "cass":
+        # PROJ cass.cpp defaults lat_0/lon_0 to 0
+        return "cass", {**base, "lat0": fl("lat_0", 0.0)}
+    if proj == "poly":
+        return "poly", {**base, "lat0": fl("lat_0", 0.0)}
     if proj == "krovak":
         p = {**base, "lat0": fl("lat_0", 49.5),
              "alpha": fl("alpha", 30.28813972222222),
@@ -1365,7 +1625,7 @@ def _params_from_dict(d: dict):
     raise CRSError(
         f"unsupported projection family {proj!r}; the closed-form engine "
         "implements tmerc, utm, merc, webmerc, lcc (1SP/2SP), aea, laea, "
-        "stere (polar), sterea, somerc, krovak "
+        "stere (polar), sterea, somerc, krovak, cass, poly "
         "and longlat (+towgs84 datum shifts on any of them)")
 
 
@@ -1464,6 +1724,10 @@ def _inv_struct(kind, params, x, y) -> Column:
         return _somerc_inv(x, y, params)
     if kind == "krovak":
         return _krovak_inv(x, y, params)
+    if kind == "cass":
+        return _cass_inv(x, y, params)
+    if kind == "poly":
+        return _poly_inv(x, y, params)
     raise AssertionError(kind)
 
 
@@ -1492,6 +1756,10 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
         return _somerc_fwd(lon, lat, params)
     if kind == "krovak":
         return _krovak_fwd(lon, lat, params)
+    if kind == "cass":
+        return _cass_fwd(lon, lat, params)
+    if kind == "poly":
+        return _poly_fwd(lon, lat, params)
     raise AssertionError(kind)
 
 

@@ -108,6 +108,17 @@ def test_estimate_utm_crs(spark):
     south = spark.createDataFrame([("POINT (151.2 -33.8)",)], "wkt string") \
         .withColumn("geometry", st.from_wkt("wkt"))
     assert GeoDataFrame(south).estimate_utm_crs() == "EPSG:32756"
+    # r12: poleward of 84N / 80S UTM is undefined — UPS instead
+    for wkt, code in [("POINT (10 85.0)", "EPSG:5041"),
+                      ("POINT (-120 88.5)", "EPSG:5041"),
+                      ("POINT (45 -85.0)", "EPSG:5042")]:
+        polar = spark.createDataFrame([(wkt,)], "wkt string") \
+            .withColumn("geometry", st.from_wkt("wkt"))
+        assert GeoDataFrame(polar).estimate_utm_crs() == code, wkt
+    # 84N exactly is still the last UTM band (X)
+    edge = spark.createDataFrame([("POINT (9 84.0)",)], "wkt string") \
+        .withColumn("geometry", st.from_wkt("wkt"))
+    assert GeoDataFrame(edge).estimate_utm_crs() == "EPSG:32632"
 
 
 def test_from_arrow_roundtrip(spark):

@@ -247,7 +247,8 @@ def test_random_parameter_roundtrips(spark):
 
     def mk_case(i):
         fam = ("tmerc", "lcc2", "lcc1", "aea", "laea", "merc",
-               "stere", "sterea", "somerc", "krovak")[i % 10]
+               "stere", "sterea", "somerc", "krovak",
+               "cass", "poly")[i % 12]
         lon0 = rnd.uniform(-170, 170)
         x0 = rnd.uniform(0, 8e5)
         y0 = rnd.uniform(-2e6, 2e6)
@@ -321,6 +322,24 @@ def test_random_parameter_roundtrips(spark):
                   f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=bessel")
             pts = [(lon0 + rnd.uniform(-4, 4),
                     lat0 + rnd.uniform(-4, 4)) for _ in range(3)]
+        elif fam == "cass":                                     # r12
+            lat0 = rnd.uniform(-55, 55)
+            p4 = (f"+proj=cass +lat_0={lat0:.4f} +lon_0={lon0:.4f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=clrk66")
+            # Cassini serves narrow cadastral strips near the central
+            # meridian (Snyder p. 92); the EPSG 9806 series are exact
+            # only to O(dlam^5), so past ~1.5 degrees the fwd/inv pair
+            # itself drifts beyond the mm — keep the sweep in-domain
+            pts = [(lon0 + rnd.uniform(-1.2, 1.2),
+                    rnd.uniform(-65, 65)) for _ in range(3)]
+        elif fam == "poly":                                     # r12
+            p4 = (f"+proj=poly +lat_0={rnd.uniform(-45, 45):.4f} "
+                  f"+lon_0={lon0:.4f} +x_0={x0:.1f} +y_0={y0:.1f} "
+                  f"+ellps=GRS80")
+            pts = [(lon0 + rnd.uniform(-12, 12),
+                    rnd.choice([rnd.uniform(-60, -2),
+                                rnd.uniform(2, 60), 0.0]))
+                   for _ in range(3)]
         else:  # krovak                                           r11
             # the method's kernel is tied to its Czech parameters;
             # randomize the grid placement + scale, points in-domain
@@ -334,7 +353,7 @@ def test_random_parameter_roundtrips(spark):
                    for _ in range(3)]
         return p4, pts
 
-    for i in range(20):
+    for i in range(24):
         p4, pts = mk_case(i)
         for lon, lat in pts:
             x, y = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
@@ -570,3 +589,104 @@ def test_krovak_registry_roundtrip(spark):
                   "EPSG:5513")
     assert xs == pytest.approx(-x, abs=1e-6)
     assert ys == pytest.approx(-y, abs=1e-6)
+
+
+# r12: Cassini-Soldner + American Polyconic (VERDICT r11 #6)
+
+
+def test_cassini_epsg_worked_example(spark):
+    """EPSG GN7-2's Cassini-Soldner worked example: Trinidad 1903 /
+    Trinidad Grid (EPSG:30200, Clarke 1858, grid in Clarke's links).
+    phi = 10N, lam = 62W -> E 66644.94, N 82536.22 links (to the cm)."""
+    x, y = _one(spark, "POINT (-62 10)", 30200, 30200)
+    # identity guard first: same-CRS transform is a no-op
+    assert x == pytest.approx(-62) and y == pytest.approx(10)
+    from arctic_spark.proj import _EPSG_TABLE, _fwd_struct
+    kind, params = _EPSG_TABLE[30200]
+    df = spark.createDataFrame([(1,)], "i long")
+    r = df.select(_fwd_struct(kind, params, F.lit(-62.0), F.lit(10.0))
+                  .alias("o")).collect()[0].o
+    assert r.x == pytest.approx(66644.94, abs=0.01)
+    assert r.y == pytest.approx(82536.22, abs=0.01)
+
+
+def test_cassini_central_meridian_is_meridian_arc(spark):
+    """Independent cross-check (no remembered numbers): on the central
+    meridian Cassini northing is EXACTLY the meridional arc M-M0 and
+    easting is 0 — and for tiny offsets from the central meridian the
+    easting agrees with the (independently-verified) k0=1 transverse
+    Mercator to sub-mm (the projections coincide to O(dlam^3))."""
+    import math
+    from arctic_spark.proj import (_EPSG_TABLE, _ell, _fwd_struct,
+                                   _marc_f)
+    kind, params = _EPSG_TABLE[28191]          # Palestine Grid, meters
+    df = spark.createDataFrame([(1,)], "i long")
+
+    def fwd(k, p, lon, lat):
+        r = df.select(_fwd_struct(k, p, F.lit(lon), F.lit(lat))
+                      .alias("o")).collect()[0].o
+        return r.x, r.y
+
+    a, _f, e2, _e = _ell(params["ellps"])
+    x, y = fwd(kind, params, params["lon0"], 33.0)
+    arc = _marc_f(math.radians(33.0), a, e2) \
+        - _marc_f(math.radians(params["lat0"]), a, e2)
+    assert x - params["fe"] == pytest.approx(0.0, abs=1e-9)
+    assert y - params["fn"] == pytest.approx(arc, abs=1e-6)
+    # near-meridian agreement with tmerc on the same ellipsoid/origin
+    tm_p = {"ellps": params["ellps"], "lat0": params["lat0"],
+            "lon0": params["lon0"], "k0": 1.0, "fe": params["fe"],
+            "fn": params["fn"]}
+    xc, yc = fwd("cass", params, params["lon0"] + 0.01, 32.0)
+    xt, yt = fwd("tm", tm_p, params["lon0"] + 0.01, 32.0)
+    assert xc == pytest.approx(xt, abs=1e-3)
+    assert yc == pytest.approx(yt, abs=1e-3)
+
+
+def test_polyconic_snyder_numerical_example(spark):
+    """Snyder 1987's Polyconic numeric example (Clarke 1866,
+    lat0=30N lon0=96W; point 40N 75W -> x 1776774.5, y 1319657.8 m),
+    plus the closed-form equator branch and inverse round-trips."""
+    from arctic_spark.proj import _fwd_struct, _inv_struct
+    clarke1866 = (6378206.4, 294.9786982)
+    p = {"ellps": clarke1866, "lat0": 30.0, "lon0": -96.0,
+         "fe": 0.0, "fn": 0.0}
+    df = spark.createDataFrame([(1,)], "i long")
+    r = df.select(_fwd_struct("poly", p, F.lit(-75.0), F.lit(40.0))
+                  .alias("o")).collect()[0].o
+    assert r.x == pytest.approx(1776774.5, abs=0.1)
+    assert r.y == pytest.approx(1319657.8, abs=0.1)
+    b = df.select(_inv_struct("poly", p, F.lit(r.x), F.lit(r.y))
+                  .alias("o")).collect()[0].o
+    assert b.x == pytest.approx(-75.0, abs=1e-9)
+    assert b.y == pytest.approx(40.0, abs=1e-9)
+    # equator: x = a*dlam, y = -M0 (Snyder 18-12), closed-form inverse
+    eq = df.select(_fwd_struct("poly", p, F.lit(-95.0), F.lit(0.0))
+                   .alias("o")).collect()[0].o
+    import math
+    assert eq.x == pytest.approx(
+        6378206.4 * math.radians(1.0), abs=1e-6)
+    beq = df.select(_inv_struct("poly", p, F.lit(eq.x), F.lit(eq.y))
+                    .alias("o")).collect()[0].o
+    assert beq.x == pytest.approx(-95.0, abs=1e-9)
+    assert beq.y == pytest.approx(0.0, abs=1e-12)
+
+
+def test_cass_poly_registry_roundtrips(spark):
+    """EPSG 30200 / 28191 / 29101 rows round-trip through WGS84 within
+    1e-7 degrees at in-domain control points (29101 includes the SAD69
+    Helmert both ways)."""
+    cases = {
+        30200: [(-61.5, 10.5), (-60.9, 10.1)],        # Trinidad
+        28191: [(35.2, 31.8), (34.8, 32.5)],          # Palestine
+        29101: [(-47.9, -15.8), (-43.2, -22.9), (-54.0, 0.0)],  # Brazil
+    }
+    for code, pts in cases.items():
+        for lon, lat in pts:
+            x, y = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326",
+                        code)
+            assert x == x and y == y, (code, lon, lat)
+            lon2, lat2 = _one(spark, f"POINT ({x} {y})", code,
+                              "EPSG:4326")
+            assert lon2 == pytest.approx(lon, abs=1e-7), code
+            assert lat2 == pytest.approx(lat, abs=1e-7), code
