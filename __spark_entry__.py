@@ -483,6 +483,47 @@ def geo_cassini_poly(spark, sf):
         .orderBy("c_custkey"))
 
 
+def geo_z_accessors(spark, sf):
+    """Z-preserving WKB round-trip + real z/has_z accessors (r12,
+    VERDICT r11 #4): 3D points built with st.point_z encode to ISO
+    WKB Z (st.to_wkb), decode back through st.from_wkb(keep_z=True)
+    into the 6-field Z geometry struct, and the x/y/z/has_z accessors
+    read the round-tripped values — Z survives ingest→export instead
+    of being dropped while the compute kernels stay 2D. Every 5th key
+    nulls its zs (the NULL-zs cell = a 2D source), asserting to_wkb
+    emits plain 2D WKB there and the accessors report z null /
+    has_z false after the round trip. The oracle is the identity
+    replay: the synthesized coordinates themselves. BIGINT
+    micro-units."""
+    c = _t(spark, sf, "customer")
+    x = (F.col("c_custkey") % 360).cast("double") * 0.5 - 90.0
+    y = (F.col("c_custkey") * 3 % 170).cast("double") * 0.5 - 42.5
+    zv = (F.col("c_custkey") * 7 % 9000).cast("double") * 0.25
+    g3 = c.select("c_custkey",
+                  st.point_z(x, y, zv).alias("g3"))
+    g3 = g3.withColumn(
+        "g", F.struct(
+            F.col("g3.gt").alias("gt"), F.col("g3.xs").alias("xs"),
+            F.col("g3.ys").alias("ys"),
+            F.col("g3.rings").alias("rings"),
+            F.col("g3.parts").alias("parts"),
+            F.when(F.col("c_custkey") % 5 != 0, F.col("g3.zs"))
+            .alias("zs")))
+    wkb_col = g3.select("c_custkey", st.to_wkb(F.col("g")).alias("w"))
+    back = wkb_col.withColumn("gz", st.from_wkb(F.col("w"),
+                                                keep_z=True))
+    return (back.select(
+        "c_custkey",
+        F.round(st.x(F.col("gz")) * F.lit(1e6), 0).cast("long")
+        .alias("x_u"),
+        F.round(st.y(F.col("gz")) * F.lit(1e6), 0).cast("long")
+        .alias("y_u"),
+        F.round(st.z(F.col("gz"), carries_z=True) * F.lit(1e6), 0)
+        .cast("long").alias("z_u"),
+        st.has_z(F.col("gz"), carries_z=True).alias("had_z"))
+        .orderBy("c_custkey"))
+
+
 def geo_pip_join(spark, sf):
     """Distributed filter–refine spatial join (SURVEY §2.4): customer
     points in region strip polygons; grid-cell shuffle + native ray-cast
@@ -4282,6 +4323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_param_crs": geo_param_crs,
         "geo_polar_stere": geo_polar_stere,
         "geo_cassini_poly": geo_cassini_poly,
+        "geo_z_accessors": geo_z_accessors,
         "geo_overlay_union": geo_overlay_union,
         "geo_overlay_area": geo_overlay_area,
         "embed_pq_adc": embed_pq_adc,
@@ -4986,6 +5028,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(rho * sin(th) * 1e4) AS BIGINT) AS gx_u,
                    CAST(round(rho * cos(th) * 1e4) AS BIGINT) AS gy_u
             FROM proj ORDER BY c_custkey
+        """,
+        "geo_z_accessors": """
+            SELECT c_custkey,
+                   CAST(round((CAST(c_custkey % 360 AS DOUBLE) * 0.5
+                               - 90.0) * 1e6) AS BIGINT) AS x_u,
+                   CAST(round((CAST(c_custkey * 3 % 170 AS DOUBLE)
+                               * 0.5 - 42.5) * 1e6) AS BIGINT) AS y_u,
+                   CASE WHEN c_custkey % 5 = 0 THEN NULL
+                        ELSE CAST(round((CAST(c_custkey * 7 % 9000
+                                              AS DOUBLE) * 0.25) * 1e6)
+                                  AS BIGINT) END AS z_u,
+                   (c_custkey % 5 != 0) AS had_z
+            FROM customer ORDER BY c_custkey
         """,
         "geo_cassini_poly": """
             WITH cpar AS (

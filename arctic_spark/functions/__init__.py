@@ -45,6 +45,7 @@ from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
                    polygonize, snap, shared_paths, offset_curve,
                    make_valid, normalize, node)
 from .native import collect_agg, z
+from .native import force_2d, point_z  # noqa: F401  (r12 Z surface)
 from .native import (line_interpolate_point, line_locate_point,  # noqa: F401
                      line_substring, azimuth, reverse, segmentize)
 # PostGIS ST_Project (forward/destination point). `st.project` stays the

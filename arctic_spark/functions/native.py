@@ -842,16 +842,59 @@ def interiors(g) -> Column:
             F.array(F.lit(1)))))
 
 
-def z(g) -> Column:
-    """Always null — 2D engine (reference roadmap geoseries.rst:32; the
-    reference's WKB codec is likewise 2D-only)."""
+def z(g, carries_z: bool = False) -> Column:
+    """Z ordinate of POINT geometries (reference roadmap
+    geoseries.rst:32). The compute kernels are 2D; Z rides the
+    optional Z geometry struct produced by
+    ``st.from_wkb(keep_z=True)`` / ``st.point_z`` (r12, VERDICT r11
+    #4). Pass ``carries_z=True`` when the column IS the 6-field Z
+    struct — Spark columns are schema-less at expression-build time,
+    so the 2D default cannot reference the ``zs`` field without
+    failing analysis on plain 2D geometry columns (null there, as
+    before)."""
     g = _g(g)
-    return F.when(_valid(g), F.lit(None).cast("double"))
+    if not carries_z:
+        return F.when(_valid(g), F.lit(None).cast("double"))
+    from ..geom.ragged import POINT as _PT
+    return F.when(
+        _valid(g) & g["zs"].isNotNull() & (g["gt"] == _PT),
+        F.element_at(g["zs"], 1)).cast("double")
 
 
-def has_z(g) -> Column:
+def has_z(g, carries_z: bool = False) -> Column:
+    """True where the cell carries a Z ordinate (geoseries.rst:44) —
+    always False on plain 2D geometry columns; pass ``carries_z=True``
+    for the 6-field Z struct (see :func:`z`)."""
     g = _g(g)
-    return F.when(_valid(g), F.lit(False))
+    if not carries_z:
+        return F.when(_valid(g), F.lit(False))
+    return F.when(_valid(g), g["zs"].isNotNull())
+
+
+def force_2d(g) -> Column:
+    """Project any geometry struct to the plain 2D shape (drops the
+    ``zs`` field if present — the explicit opt-in the reference's
+    ``force_2d`` read arg performs, io/file.py:22). Analyzes against
+    BOTH struct shapes (field access by name)."""
+    g = _g(g)
+    return F.when(_valid(g), geom_struct(
+        g["gt"], g["xs"], g["ys"], g["rings"], g["parts"]))
+
+
+def point_z(px, py, pz) -> Column:
+    """3D point constructor → the Z geometry struct (r12). The 2D
+    kernels read its first five fields; ``st.to_wkb`` emits ISO WKB Z
+    from it and ``st.z``/``st.has_z`` (carries_z=True) read it."""
+    px, py, pz = _lit(px), _lit(py), _lit(pz)
+    return F.when(
+        px.isNotNull() & py.isNotNull() & pz.isNotNull(),
+        F.struct(
+            F.lit(POINT).cast("int").alias("gt"),
+            F.array(px).cast("array<double>").alias("xs"),
+            F.array(py).cast("array<double>").alias("ys"),
+            F.array(F.lit(1)).cast("array<int>").alias("rings"),
+            F.array(F.lit(1)).cast("array<int>").alias("parts"),
+            F.array(pz).cast("array<double>").alias("zs")))
 
 
 def geom_equals_exact(g1, g2) -> Column:

@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..geom import algos, batch, boolean, geojson, wkb, wkt
 from ..geom.ragged import MISSING, RaggedGeometry
-from ..sparktypes import GEOM_TYPE
+from ..sparktypes import GEOM_TYPE, GEOM_TYPE_Z
 
 
 def ragged_from_pdf(pdf: pd.DataFrame) -> RaggedGeometry:
@@ -77,15 +77,61 @@ def _geom_from_wkb_force2d(buf: pd.Series) -> pd.DataFrame:
     return ragged_to_pdf(rg)
 
 
-def from_wkb(buf, force_2d: bool = False):
-    """WKB → geometry. ``force_2d=True`` accepts Z/M input and drops the
-    extra dimensions (lossy, documented — the engine is 2D); homogeneous
-    GeometryCollections decode as the corresponding Multi* either way."""
+@pandas_udf(GEOM_TYPE_Z)
+def _geom_from_wkb_keepz(buf: pd.Series) -> pd.DataFrame:
+    rg, zs, had_z = wkb.decode_z(
+        [None if b is None else bytes(b) for b in buf])
+    pdf = ragged_to_pdf(rg)
+    if len(rg) == 0:
+        pdf["zs"] = []
+        return pdf
+    zsplit = np.split(zs, rg.coord_offsets[1:-1])
+    pdf["zs"] = pd.Series(
+        [zsplit[i] if (rg.gt[i] != MISSING and had_z[i]) else None
+         for i in range(len(rg))], dtype="object")
+    return pdf
+
+
+def from_wkb(buf, force_2d: bool = False, keep_z: bool = False):
+    """WKB → geometry. ``force_2d=True`` accepts Z/M input and drops
+    the extra dimensions (lossy, documented — the compute kernels are
+    2D); ``keep_z=True`` (r12, VERDICT r11 #4) instead decodes into
+    the Z geometry struct (extra nullable ``zs`` array; NULL on cells
+    whose source was 2D), so ISO/EWKB Z round-trips through
+    ``st.to_wkb`` losslessly while predicates stay planar (the
+    reference's are too). Homogeneous GeometryCollections decode as
+    the corresponding Multi* in every mode."""
+    if keep_z:
+        if force_2d:
+            raise ValueError("force_2d and keep_z are mutually "
+                             "exclusive")
+        return _geom_from_wkb_keepz(buf)
     return _geom_from_wkb_force2d(buf) if force_2d else geom_from_wkb(buf)
 
 
 @pandas_udf(T.BinaryType())
 def geom_to_wkb(g: pd.DataFrame) -> pd.Series:
+    if "zs" in g.columns:
+        # Z geometry struct (r12): cells with a zs array emit ISO WKB Z
+        # (base type + 1000, what shapely writes for 3D); NULL-zs cells
+        # emit plain 2D WKB
+        rg = ragged_from_pdf(g)
+        zvals = g["zs"].tolist()
+        out = []
+        for i in range(len(rg)):
+            if rg.gt[i] == MISSING:
+                out.append(None)
+                continue
+            t, xs, ys, rings, parts = rg.geom(i)
+            if zvals[i] is None:
+                out.append(wkb.encode_geom(int(t), xs, ys, rings,
+                                           parts))
+            else:
+                out.append(wkb.encode_geom_z(
+                    int(t), xs, ys,
+                    np.asarray(zvals[i], dtype=np.float64),
+                    rings, parts))
+        return pd.Series(out, dtype="object")
     return pd.Series(wkb.encode(ragged_from_pdf(g)))
 
 

@@ -85,7 +85,11 @@ def write_geoparquet(gdf: GeoDataFrame, path: str, mode="overwrite",
 
 def read_geoparquet(spark: SparkSession, path: str,
                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
-                    crs=None) -> GeoDataFrame:
+                    crs=None, keep_z: bool = False) -> GeoDataFrame:
+    """``keep_z=True`` (r12, VERDICT r11 #4) decodes a WKB geometry
+    column into the Z geometry struct so 3D sources round-trip instead
+    of lossy-dropping Z; the default stays the engine-wide 2D shape
+    (predicates are planar either way, like the reference's)."""
     df = spark.read.parquet(path)
     file_crs = crs
     if "__geo_meta" in df.columns:
@@ -99,8 +103,9 @@ def read_geoparquet(spark: SparkSession, path: str,
         df = df.drop("__geo_meta")
     sch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     if sch.get(geometry_column) == "binary":
-        df = df.withColumn(geometry_column,
-                           st.from_wkb(F.col(geometry_column)))
+        df = df.withColumn(
+            geometry_column,
+            st.from_wkb(F.col(geometry_column), keep_z=keep_z))
     return GeoDataFrame(df, geometry_column, file_crs or DEFAULT_CRS)
 
 

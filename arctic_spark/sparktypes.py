@@ -39,7 +39,27 @@ GEOM_TYPE = T.StructType(GEOM_FIELDS)
 GEOM_DDL = ("struct<gt:int,xs:array<double>,ys:array<double>,"
             "rings:array<int>,parts:array<int>>")
 
+# r12 (VERDICT r11 #4): the Z-carrying variant — one extra nullable
+# ``zs`` array, ring-concatenated like xs/ys; NULL zs on a cell means
+# the source geometry was 2D. The 2D kernels stay the engine's compute
+# surface (predicates are planar, like the reference's); the Z struct
+# exists so WKB Z survives ingest→export instead of being dropped.
+# Field access by name means every 2D kernel also analyzes against the
+# 6-field shape; ops that REBUILD geometry emit 2D (documented), and
+# st.force_2d converts explicitly.
+GEOM_FIELDS_Z = GEOM_FIELDS + [
+    T.StructField("zs", T.ArrayType(T.DoubleType())),
+]
+
+GEOM_TYPE_Z = T.StructType(GEOM_FIELDS_Z)
+
+GEOM_DDL_Z = ("struct<gt:int,xs:array<double>,ys:array<double>,"
+              "rings:array<int>,parts:array<int>,zs:array<double>>")
+
 
 def is_geom_type(dt: T.DataType) -> bool:
-    return isinstance(dt, T.StructType) and [f.name for f in dt.fields] == [
-        "gt", "xs", "ys", "rings", "parts"]
+    if not isinstance(dt, T.StructType):
+        return False
+    names = [f.name for f in dt.fields]
+    return names == ["gt", "xs", "ys", "rings", "parts"] or \
+        names == ["gt", "xs", "ys", "rings", "parts", "zs"]
