@@ -463,7 +463,8 @@ _KMV_STATE_SCHEMA = T.StructType([
 
 
 def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
-                            out_schema, state_schema, idle_ms):
+                            out_schema, state_schema, window_ms,
+                            delay_ms):
     """Shared per-window stateful-fold scaffold for the ORDER-STATISTIC
     sketch twins (KMV minima, bottom-k sample — r11, VERDICT r10 #8;
     HLL registers and CMS counters stay plain streaming aggregations
@@ -474,10 +475,18 @@ def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
     ``fold(state_tuple, pdf) -> state_tuple`` (pure, bounded output),
     ``emit(window_start, state_tuple) -> pd.DataFrame(out_schema)``.
     Streaming input runs ``applyInPandasWithState`` in update mode —
-    one bounded state row per OPEN window, idle windows evicted via
-    ProcessingTimeTimeout (their final fold was already emitted on the
-    last update). Batch input runs the IDENTICAL fold through
-    ``applyInPandas`` (batch ≡ stream by construction)."""
+    one bounded state row per OPEN window. State evicts via
+    EVENT-TIME timeout anchored at ``window_end + watermark delay``
+    (r12, VERDICT r11 #3): a window's state lives exactly as long as
+    the watermark still admits rows for it, so a late-but-legal event
+    STILL FOLDS into its window and batch ≡ stream holds under late
+    data too (the r11 wall-clock timeout could evict a window that
+    event-time-late rows would legally update). Once the watermark
+    passes the anchor, no row for the window can survive Spark's
+    late-row filter, the timeout fires, and the state row is removed —
+    its final fold was already emitted on the last update. Batch input
+    runs the IDENTICAL fold through ``applyInPandas`` (batch ≡ stream
+    by construction)."""
     if not src.isStreaming:
         def batch(pdf):
             return emit(pdf["window_start"].iloc[0],
@@ -494,13 +503,20 @@ def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
         for pdf in pdfs:
             cur = fold(cur, pdf)
         state.update(cur)
-        state.setTimeoutDuration(idle_ms)
+        # any delivered row satisfies ts >= watermark and
+        # ts < window_end, so window_end + delay > watermark — the
+        # anchor is always legal to set. (ws arrives session-tz-naive;
+        # the epoch conversion matches the watermark's domain on the
+        # UTC sessions this engine runs.)
+        end_ms = int(pd.Timestamp(ws).value // 10**6) \
+            + window_ms + delay_ms
+        state.setTimeoutTimestamp(end_ms)
         yield emit(ws, cur)
     return (src.groupBy("window_start")
             .applyInPandasWithState(fn, outputStructType=out_schema,
                                     stateStructType=state_schema,
                                     outputMode="update",
-                                    timeoutConf="ProcessingTimeTimeout"))
+                                    timeoutConf="EventTimeTimeout"))
 
 
 def windowed_kmv_minima(events: DataFrame, window="1 minute",
@@ -518,10 +534,11 @@ def windowed_kmv_minima(events: DataFrame, window="1 minute",
     (``applyInPandasWithState``): state per open window is ONE row
     holding ≤k longs — bounded regardless of stream volume — and each
     micro-batch folds its hashes into the set with the same
-    numpy ``unique[:k]`` the batch sketch uses; windows idle past the
-    watermark duration evict their state (processing-time timeout —
-    the final minima were already emitted on the last update), so
-    CLOSED windows don't pile up in the state store either. Each
+    numpy ``unique[:k]`` the batch sketch uses; a window's state evicts
+    once the WATERMARK passes its end + delay (event-time timeout,
+    r12 — the final minima were already emitted on the last update,
+    and late-but-legal rows still fold until then), so CLOSED windows
+    don't pile up in the state store either. Each
     update emits the window's current minima (update mode); sketches
     from different
     windows/streams MERGE exactly via
@@ -531,12 +548,18 @@ def windowed_kmv_minima(events: DataFrame, window="1 minute",
     ``applyInPandas`` (unified semantics)."""
     from ..sketches import h60
     hcol = h60(key_col).alias("h")
-    base = (events.where(F.col(key_col).isNotNull())
-            if not events.isStreaming
-            else events.withWatermark(ts_col, watermark)
-            .where(F.col(key_col).isNotNull()))
+    base = events.where(F.col(key_col).isNotNull())
     src = (base.select(F.window(ts_col, window).alias("win"), hcol)
            .select(F.col("win.start").alias("window_start"), "h"))
+    if events.isStreaming:
+        # the event-time tag must ride the GROUPING column for the
+        # scaffold's EventTimeTimeout (a projection of win.start loses
+        # the tag from ts); the delay widens by one window so a row
+        # legal under the ts-domain watermark is never dropped in the
+        # window_start domain (r12)
+        src = src.withWatermark(
+            "window_start",
+            f"{_gap_ms(watermark) + _gap_ms(window)} milliseconds")
 
     def fold(cur, pdf):
         import numpy as np
@@ -550,7 +573,7 @@ def windowed_kmv_minima(events: DataFrame, window="1 minute",
     return _windowed_fold_scaffold(
         src, fold=fold, emit=emit, empty_state=([],),
         out_schema=_KMV_OUT_SCHEMA, state_schema=_KMV_STATE_SCHEMA,
-        idle_ms=max(_gap_ms(watermark), _gap_ms(window)))
+        window_ms=_gap_ms(window), delay_ms=_gap_ms(watermark))
 
 
 def windowed_sample_rows(events: DataFrame, window="1 minute",
@@ -566,8 +589,8 @@ def windowed_sample_rows(events: DataFrame, window="1 minute",
     carried column). A bottom-k set is an order statistic, so this
     rides the same custom stateful scaffold as
     :func:`windowed_kmv_minima`: one bounded state row (≤k hashes +
-    values) per open window, update-mode emissions, idle windows
-    evicted by processing-time timeout. Samples from different
+    values) per open window, update-mode emissions, state evicted by
+    the watermark-anchored event-time timeout (r12). Samples from different
     windows/streams MERGE exactly like
     :func:`arctic_spark.sketches.sample_merge` (bottom-k of the union,
     min-collapse on duplicate hashes). Batch input runs the identical
@@ -584,15 +607,17 @@ def windowed_sample_rows(events: DataFrame, window="1 minute",
         T.StructField("hs", T.ArrayType(T.LongType())),
         T.StructField("vals", T.ArrayType(vtype)),
     ])
-    base = (events.where(F.col(key_col).isNotNull())
-            if not events.isStreaming
-            else events.withWatermark(ts_col, watermark)
-            .where(F.col(key_col).isNotNull()))
+    base = events.where(F.col(key_col).isNotNull())
     src = (base.select(F.window(ts_col, window).alias("win"),
                        h60(key_col).alias("__h"),
                        F.col(val_col).alias("val"))
            .select(F.col("win.start").alias("window_start"),
                    "__h", "val"))
+    if events.isStreaming:
+        # see windowed_kmv_minima: tag window_start, widened delay
+        src = src.withWatermark(
+            "window_start",
+            f"{_gap_ms(watermark) + _gap_ms(window)} milliseconds")
 
     def fold(cur, pdf):
         if len(cur[0]):
@@ -618,7 +643,7 @@ def windowed_sample_rows(events: DataFrame, window="1 minute",
     return _windowed_fold_scaffold(
         src, fold=fold, emit=emit, empty_state=([], []),
         out_schema=out_schema, state_schema=state_schema,
-        idle_ms=max(_gap_ms(watermark), _gap_ms(window)))
+        window_ms=_gap_ms(window), delay_ms=_gap_ms(watermark))
 
 
 def windowed_cms_counters(events: DataFrame, window="1 minute",

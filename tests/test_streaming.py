@@ -638,25 +638,34 @@ def test_windowed_sample_rows_stream_and_eviction(spark, tmp_path):
         for w, d2 in exp.items():
             got = dict(sorted(by_win[w].items())[:16])
             assert got == d2
-        # state eviction: idle windows time out and remove their row
-        deadline = time.time() + 90
+        # state eviction (event-time since r12): push the watermark
+        # past the windows' end + delay with one later event; their
+        # state rows are removed, only the pusher's window remains
+        spark.createDataFrame([(999, "2024-01-01 01:00:00")],
+                              "user_id long, ts_s string") \
+            .select("user_id",
+                    F.col("ts_s").cast("timestamp").alias("ts")) \
+            .coalesce(1).write.mode("append").parquet(d)
+        deadline = time.time() + 120
         evicted = False
         while time.time() < deadline:
             p = q.lastProgress
             if p and p.get("stateOperators"):
-                if p["stateOperators"][0]["numRowsTotal"] == 0:
+                if p["stateOperators"][0]["numRowsTotal"] == 1:
                     evicted = True
                     break
             time.sleep(2)
-        assert evicted, "state rows for closed windows not evicted"
+        assert evicted, "closed-window state not evicted after the " \
+            "watermark passed end + delay"
     finally:
         q.stop()
 
 
 def test_windowed_kmv_eviction(spark, tmp_path):
-    """KMV twin state eviction (scaffold-backed after r11): idle
-    windows drop out of the state store via the processing-time
-    timeout."""
+    """KMV twin state eviction (event-time timeout since r12): a
+    window's state row is removed once the WATERMARK passes its
+    end + delay — advanced here by a later event — leaving only the
+    newest (still-open) window in the state store."""
     import os
     import time
     from arctic_spark.streaming import windowed_kmv_minima
@@ -669,23 +678,86 @@ def test_windowed_kmv_eviction(spark, tmp_path):
     d = os.path.join(str(tmp_path), "kmv_ev_in")
     base.coalesce(1).write.mode("overwrite").parquet(d)
     src = (spark.readStream.schema("user_id long, ts timestamp")
-           .parquet(d))
+           .option("maxFilesPerTrigger", "1").parquet(d))
     out = windowed_kmv_minima(src, window="1 minute",
                               watermark="2 seconds",
                               key_col="user_id", k=8)
     q = (out.writeStream.format("memory").queryName("kmv_ev")
          .outputMode("update").start())
     try:
+        deadline = time.time() + 60
+        while time.time() < deadline and \
+                not spark.sql("SELECT * FROM kmv_ev").count():
+            time.sleep(1)
+        assert spark.sql("SELECT * FROM kmv_ev").count()
+        # watermark pusher: one event an hour later; wm advances to
+        # 00:59:58, far past the first window's end + delay
+        spark.createDataFrame([(999, "2024-01-01 01:00:00")],
+                              "user_id long, ts_s string") \
+            .select("user_id",
+                    F.col("ts_s").cast("timestamp").alias("ts")) \
+            .coalesce(1).write.mode("append").parquet(d)
         deadline = time.time() + 120
         evicted = False
         while time.time() < deadline:
             p = q.lastProgress
-            if p and p.get("stateOperators") and \
-                    spark.sql("SELECT * FROM kmv_ev").count():
-                if p["stateOperators"][0]["numRowsTotal"] == 0:
-                    evicted = True
+            if p and p.get("stateOperators"):
+                if p["stateOperators"][0]["numRowsTotal"] == 1:
+                    evicted = True     # only the 01:00 window remains
                     break
             time.sleep(2)
-        assert evicted, "KMV state rows not evicted after idle timeout"
+        assert evicted, "closed-window KMV state not evicted after " \
+            "the watermark passed its end + delay"
     finally:
         q.stop()
+
+
+def test_windowed_fold_late_data_still_folds(spark, tmp_path):
+    """batch ≡ stream under LATE data (r12, VERDICT r11 #3): with the
+    event-time timeout a window's state lives exactly as long as the
+    watermark admits rows for it, so an event-time-late (but legal)
+    row in a later micro-batch still folds into its window — the
+    final minima equal the batch sketch over ALL rows including the
+    late one."""
+    import os
+    from arctic_spark.streaming import windowed_kmv_minima
+
+    early = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i % 30:02d}") for i in range(40)]
+        + [(900, "2024-01-01 00:02:00")],      # advances the watermark
+        "user_id long, ts_s string") \
+        .select(F.col("user_id"),
+                F.col("ts_s").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(7001, "2024-01-01 00:00:45"), (7002, "2024-01-01 00:00:46")],
+        "user_id long, ts_s string") \
+        .select(F.col("user_id"),
+                F.col("ts_s").cast("timestamp").alias("ts"))
+    d = os.path.join(str(tmp_path), "kmv_late_in")
+    early.coalesce(1).write.mode("overwrite").parquet(d)
+    late.coalesce(1).write.mode("append").parquet(d)
+    src = (spark.readStream.schema("user_id long, ts timestamp")
+           .option("maxFilesPerTrigger", "1").parquet(d))
+    # 5-minute delay: the late rows (45s behind the 00:02:00 max) are
+    # legal, and the r11 wall-clock timeout could already have evicted
+    # the window they belong to
+    out = windowed_kmv_minima(src, window="1 minute",
+                              watermark="5 minutes",
+                              key_col="user_id", k=64)
+    q = (out.writeStream.format("memory").queryName("kmv_late")
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kmv_late").collect()
+    w0 = min(r.window_start for r in rows)
+    got = sorted({r.h for r in rows if r.window_start == w0})[:64]
+    both = early.union(late)
+    batch = windowed_kmv_minima(both, window="1 minute",
+                                key_col="user_id", k=64).collect()
+    exp = sorted(r.h for r in batch if r.window_start == w0)
+    assert got == exp
+    # non-degenerate: the late rows actually changed the window's set
+    batch_early = windowed_kmv_minima(early, window="1 minute",
+                                      key_col="user_id", k=64).collect()
+    assert sorted(r.h for r in batch_early
+                  if r.window_start == w0) != exp
