@@ -4260,34 +4260,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # sampling/packing, salted/bloom joins. Everything below the fold is
 # value-verified by the local 141/141 sweep (driver's comparator).
 _WINDOW = [
-    # --- r11-NEW gates (must land in the driver's first-50 window) ---
-    "geo_polar_stere", "io_multifile_union", "sketch_sample_windows",
-    # --- r11-TOUCHED paths (shared KN counts, spread-sample fold,
-    # fids/skip on the native readers, read_ipc spill, scaffolded KMV,
-    # aea/webmerc advice fixes) ---
-    "lm_kn_score", "lm_kn_modified",
-    "embed_knn_ivf", "embed_pq_adc", "dedup_semantic",
-    "sketch_kmv_windows", "sketch_kmv_minima",
-    "io_ipc_roundtrip", "io_gpkg_roundtrip", "io_fgb_roundtrip",
-    "geo_param_crs", "geo_conus_albers",
-    # --- oldest-green rotation block (owed from the r10 list) ---
-    "geo_min_clearance", "geo_geohash", "geo_hex_density",
-    "geo_offset_curve", "geo_snap_shared_paths", "geo_azimuth_project",
-    "geo_zorder_keys", "embed_near_dup", "dedup_minhash_lsh",
-    "text_classify_quality", "q_range_join", "decontam_overlap",
-    "embed_dim_stats", "tok_unigram_encode",
-    "q_window_latest_event", "q_asof_join", "text_readability",
-    "text_bpe_encode", "tok_wordpiece_encode", "text_lang_id",
-    "text_bm25_topk", "embed_cosine_topk", "text_pii_scrub",
-    "sample_mixture", "graph_pagerank",
-    "dsir_select", "q1_pricing_summary", "q3_shipping_priority",
-    "q6_forecast_revenue", "geo_pip_join", "geo_poly_join",
-    "geo_boolean_intersection", "geo_overlay_union",
-    "geo_buffer_line", "geo_explode_multipoint",
-    # (q7/q8/q10/q14/q19, graph_*, mm_jpeg_*, text_perplexity,
-    # sketch_hll_registers, io_kml_roundtrip, dedup_substring_stats,
-    # geo_lambert93, geo_utm_roundtrip, the r7/r8 cluster/segment
-    # block: green r10 — next rotation; the window caps at ~50)
+    # --- r12-NEW gates (must land in the driver's first-50 window) ---
+    "geo_cassini_poly", "geo_z_accessors",
+    # --- r12-TOUCHED paths: io.py (Arrow-vectorized read_files +
+    # batch parsers, bbox pushdown, gpkg rowid/typeless-probe, fid
+    # surfacing, arg parity), streaming/ops.py (event-time eviction on
+    # the KMV/sample twins), proj.py (cass/poly families added),
+    # sparktypes/udfs (Z struct + to_wkb branch) ---
+    "io_multifile_union", "io_ipc_roundtrip", "io_fgb_roundtrip",
+    "io_gpkg_roundtrip",
+    "sketch_kmv_windows", "sketch_sample_windows", "sketch_kmv_minima",
+    "geo_param_crs", "geo_polar_stere",
+    "geo_pip_join", "geo_poly_join",
+    # --- oldest-green rotation block (owed r8/r9 + r10-green rows
+    # named by the r11 verdict #9) ---
+    "sketch_hll_registers", "sketch_cms_freq",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+    "graph_triangles", "graph_common_neighbors", "mm_wav_stats",
+    "text_perplexity", "pack_sequences", "q_percentiles",
+    "q_sessionize",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q14_promo_revenue", "q19_disjunctive_filter",
+    "mm_jpeg_phash", "mm_jpeg_progressive", "io_kml_roundtrip",
+    "dedup_substring_stats", "geo_lambert93", "geo_utm_roundtrip",
+    # --- anchors (flagship + headline TPC-H stay every round) ---
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q6_forecast_revenue", "q_asof_join", "q_window_latest_event",
+    "lm_kn_score", "dedup_minhash_lsh", "embed_cosine_topk",
+    "text_lang_id", "graph_pagerank",
+    # (the r7/r8 cluster/segment geo block, samplers, salted/bloom
+    # joins: green r11 — next rotation; the window caps at ~50)
 ]
 
 
