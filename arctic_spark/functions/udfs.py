@@ -111,10 +111,12 @@ def from_wkb(buf, force_2d: bool = False, keep_z: bool = False):
 
 @pandas_udf(T.BinaryType())
 def geom_to_wkb(g: pd.DataFrame) -> pd.Series:
-    if "zs" in g.columns:
+    if "zs" in g.columns and not g["zs"].isna().all():
         # Z geometry struct (r12): cells with a zs array emit ISO WKB Z
         # (base type + 1000, what shapely writes for 3D); NULL-zs cells
-        # emit plain 2D WKB
+        # emit plain 2D WKB. An all-NULL-zs batch (2D data that merely
+        # rides the Z struct) short-circuits to the vectorized 2D
+        # encoder below (review r12)
         rg = ragged_from_pdf(g)
         zvals = g["zs"].tolist()
         out = []

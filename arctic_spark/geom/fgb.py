@@ -669,20 +669,12 @@ def _geom_xy_bbox(tab):
             max(b[2] for b in boxes), max(b[3] for b in boxes))
 
 
-def read_fgb(data, bbox=None, want_fids=False):
-    """Parse a FlatGeobuf byte string →
-    (header_meta, [(wkb_or_None, {col_name: value})...]).
-
-    header_meta: dict with name, geometry_type, columns
-    [(name, type_id)], crs (org, code) or None, features_count;
-    with ``want_fids=True`` also ``fids`` — the 0-based stream
-    position of every returned feature (the format's FID), correct
-    under bbox selection on both the indexed and linear paths (r12).
-
-    ``bbox=(minx, miny, maxx, maxy)`` keeps only intersecting
-    features — via the packed Hilbert R-tree when the file has one
-    (only the matching feature records are even parsed), else by a
-    linear scan testing each geometry's flat-coordinate bbox."""
+def read_fgb_header(data):
+    """Header-only FlatGeobuf parse → (meta, node_size, index_base,
+    data_base): the same meta dict :func:`read_fgb` returns (name,
+    geometry_type, columns, crs, features_count) WITHOUT touching the
+    index or feature stream — schema/CRS probes (read_files) pay a
+    few hundred bytes instead of a full-file decode (review r12)."""
     data = bytes(data)
     if len(data) < 8 or data[:7] != MAGIC:
         raise FgbError("not a FlatGeobuf file (bad magic)")
@@ -705,12 +697,34 @@ def read_fgb(data, bbox=None, want_fids=False):
         if org or code:
             crs = (org or "EPSG", code)
     index_base = p
-    p += packed_rtree_size(fcount, node_size)
-    data_base = p
-    col_types = [t for _, t in cols]
-    col_names = [n for n, _ in cols]
+    data_base = p + packed_rtree_size(fcount, node_size)
     meta = {"name": name, "geometry_type": header_gt,
             "columns": cols, "crs": crs, "features_count": fcount}
+    return meta, node_size, index_base, data_base
+
+
+def read_fgb(data, bbox=None, want_fids=False):
+    """Parse a FlatGeobuf byte string →
+    (header_meta, [(wkb_or_None, {col_name: value})...]).
+
+    header_meta: dict with name, geometry_type, columns
+    [(name, type_id)], crs (org, code) or None, features_count;
+    with ``want_fids=True`` also ``fids`` — the 0-based stream
+    position of every returned feature (the format's FID), correct
+    under bbox selection on both the indexed and linear paths (r12).
+
+    ``bbox=(minx, miny, maxx, maxy)`` keeps only intersecting
+    features — via the packed Hilbert R-tree when the file has one
+    (only the matching feature records are even parsed), else by a
+    linear scan testing each geometry's flat-coordinate bbox."""
+    data = bytes(data)
+    meta, node_size, index_base, data_base = read_fgb_header(data)
+    fcount = meta["features_count"]
+    header_gt = meta["geometry_type"]
+    cols = meta["columns"]
+    p = data_base
+    col_types = [t for _, t in cols]
+    col_names = [n for n, _ in cols]
 
     def parse_feature(fpos, want_bbox):
         fsize = _u32(data, fpos)

@@ -168,7 +168,8 @@ def parse_dbf(buf: bytes, encoding: str = "latin-1"):
     fields = []
     pos = 32
     while pos < header_len - 1 and buf[pos] != 0x0D:
-        name = buf[pos:pos + 11].split(b"\x00")[0].decode(encoding)
+        name = buf[pos:pos + 11].split(b"\x00")[0].decode(
+            encoding, errors="replace")
         ftype = chr(buf[pos + 11])
         flen = buf[pos + 16]
         fields.append((name, ftype, flen))

@@ -377,13 +377,25 @@ def _parse_gpkg_rows(path, layer=None,
                         "AND maxy >= ? AND miny <= ?)")
                     params = (float(bbox[0]), float(bbox[2]),
                               float(bbox[1]), float(bbox[3]))
+            # only ask for rowid when the caller wants fids: a plain
+            # SELECT * keeps WITHOUT ROWID feature tables and
+            # view-backed layers readable (review r12)
+            sel = "rowid, *" if return_fids else "*"
             cur = con.execute(
-                f'SELECT rowid, * FROM "{name}"{rtree_filter}{lim}',
+                f'SELECT {sel} FROM "{name}"{rtree_filter}{lim}',
                 params)
-            cols = [d[0] for d in cur.description][1:]
+            cols = [d[0] for d in cur.description]
             raw = cur.fetchall()
-            fid_vals = [r[0] for r in raw]
-            raw = [r[1:] for r in raw]
+            fid_vals = None
+            if return_fids:
+                cols = cols[1:]
+                fid_vals = [r[0] for r in raw]
+                raw = [r[1:] for r in raw]
+                if any(f is None for f in fid_vals):
+                    raise ValueError(
+                        f"{path}: layer {name!r} has no rowids (a "
+                        "view or WITHOUT ROWID table) — return_fids "
+                        "is unsupported for it")
         else:
             ids = [int(f) for f in fids]
             ph = ",".join("?" * len(ids)) or "NULL"   # IN () is a
@@ -407,23 +419,26 @@ def _parse_gpkg_rows(path, layer=None,
         file_crs = _g.srs_string(con, srs_id)
         decl = {r[1]: (r[2] or "").upper() for r in
                 con.execute(f'PRAGMA table_info("{name}")')}
-        # truncated probe reads (read_files schema probe, max_rows=100):
-        # a declared-typeless column whose first max_rows rows are all
-        # NULL would type as String here while the executor-side full
-        # parse value-probes it to Long/Double — fetch one non-NULL
-        # value with a targeted query instead (ADVICE r11)
+        # row-subset reads (max_rows probe, bbox, fids): a declared-
+        # typeless column whose SELECTED rows are all NULL would type
+        # as String here while a different selection of the same file
+        # value-probes it to Long/Double — fetch one non-NULL value
+        # with a targeted whole-table query instead, so every read of
+        # a file agrees on its schema (ADVICE r11 + review r12: the
+        # first cut only covered the max_rows probe, leaving bbox=
+        # reads schema-unstable). On a full scan the loop is a no-op
+        # (a value would already be in `raw`).
         typeless_probe = {}
-        if max_rows is not None and fids is None:
-            for j, cname in enumerate(cols):
-                if j == gidx or _gpkg_decl_type(decl.get(cname, "")):
-                    continue
-                if any(r[j] is not None for r in raw):
-                    continue
-                hit = con.execute(
-                    f'SELECT "{cname}" FROM "{name}" '
-                    f'WHERE "{cname}" IS NOT NULL LIMIT 1').fetchone()
-                if hit is not None:
-                    typeless_probe[cname] = hit[0]
+        for j, cname in enumerate(cols):
+            if j == gidx or _gpkg_decl_type(decl.get(cname, "")):
+                continue
+            if any(r[j] is not None for r in raw):
+                continue
+            hit = con.execute(
+                f'SELECT "{cname}" FROM "{name}" '
+                f'WHERE "{cname}" IS NOT NULL LIMIT 1').fetchone()
+            if hit is not None:
+                typeless_probe[cname] = hit[0]
     finally:
         con.close()
 
@@ -637,25 +652,13 @@ def _fgb_spark_type(ct):
     return T.StringType()
 
 
-def _parse_fgb_batch(path, bbox=None,
-                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
-                     fids=None, return_fids=False):
-    """Vectorized FlatGeobuf parse (r12, VERDICT r11 #1): (fields,
-    pyarrow.Table with geometry as a GEOM struct, crs-or-None). Same
-    feature decode (and packed-Hilbert bbox pruning) as
-    :func:`_parse_fgb_rows`, but attributes build column-wise into
-    Arrow arrays and the geometry struct comes straight from the
-    ragged numpy decode — no per-row tuple materialization."""
-    import decimal
-
-    import pyarrow as pa
-    from pyspark.sql import types as T
-    from pyspark.sql.pandas.types import to_arrow_type
-
+def _fgb_load(path, bbox, fids, return_fids):
+    """Shared FlatGeobuf load for the row/batch parsers (review r12 —
+    ONE home for the fids/bbox combination rules, fid derivation, WKB
+    decode and CRS string so the two assembly paths can never
+    diverge): (meta, feats, rg, fid_vals_or_None, crs_or_None)."""
     from .geom import fgb as _f
     from .geom import wkb as _wkb
-    from .sparktypes import GEOM_TYPE
-
     if fids is not None and bbox is not None:
         raise ValueError("cannot combine fids with bbox (pyogrio "
                          "raises the same)")
@@ -675,6 +678,30 @@ def _parse_fgb_batch(path, bbox=None,
         fid_vals = meta.get("fids")
     rg = _wkb.decode([w for w, _ in feats])
     file_crs = f"{meta['crs'][0]}:{meta['crs'][1]}" if meta["crs"] else None
+    return meta, feats, rg, fid_vals, file_crs
+
+
+def _parse_fgb_batch(path, bbox=None,
+                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                     fids=None, return_fids=False):
+    """Vectorized FlatGeobuf parse (r12, VERDICT r11 #1): (fields,
+    pyarrow.Table with geometry as a GEOM struct, crs-or-None). Same
+    feature decode (and packed-Hilbert bbox pruning) as
+    :func:`_parse_fgb_rows` via the shared :func:`_fgb_load`, but
+    attributes build column-wise into Arrow arrays and the geometry
+    struct comes straight from the ragged numpy decode — no per-row
+    tuple materialization."""
+    import decimal
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from .geom import fgb as _f
+    from .sparktypes import GEOM_TYPE
+
+    meta, feats, rg, fid_vals, file_crs = _fgb_load(
+        path, bbox, fids, return_fids)
     fields, arrays = [], []
     if return_fids and "fid" not in {n for n, _ in meta["columns"]}:
         fields.append(T.StructField("fid", T.LongType()))
@@ -710,26 +737,8 @@ def _parse_fgb_rows(path, bbox=None,
     from pyspark.sql import types as T
     from .sparktypes import GEOM_TYPE
 
-    if fids is not None and bbox is not None:
-        raise ValueError("cannot combine fids with bbox (pyogrio "
-                         "raises the same)")
-    with open(path, "rb") as fh:
-        meta, feats = _f.read_fgb(fh.read(), bbox=bbox,
-                                  want_fids=return_fids)
-    if fids is not None:
-        ids = [int(f) for f in fids]
-        missing = [i for i in ids if not 0 <= i < len(feats)]
-        if missing:
-            raise ValueError(
-                f"{path}: feature indices {missing} out of range "
-                f"(file has {len(feats)} features)")
-        feats = [feats[i] for i in ids]
-        fid_vals = ids
-    else:
-        fid_vals = meta.get("fids")
-
-    rg = _wkb.decode([w for w, _ in feats])
-    file_crs = f"{meta['crs'][0]}:{meta['crs'][1]}" if meta["crs"] else None
+    meta, feats, rg, fid_vals, file_crs = _fgb_load(
+        path, bbox, fids, return_fids)
 
     fields = [T.StructField(n, _fgb_spark_type(ct))
               for n, ct in meta["columns"]]
@@ -1381,6 +1390,80 @@ _MULTI_BATCH_PARSERS = {
     ".arrow": _parse_ipc_batch,
 }
 
+
+def _probe_fgb_fields(path, geometry_column=DEFAULT_GEO_COLUMN_NAME,
+                      bbox=None, fids=None, return_fids=False):
+    """Header-only FlatGeobuf schema/CRS probe: (fields, None, crs).
+    read_files' driver-side probe previously decoded every feature of
+    each probed file just to learn field names — with
+    ``schema_files='all'`` that decoded the whole dataset twice, once
+    serially on the driver (review r12). The header carries columns +
+    CRS in its first bytes."""
+    from pyspark.sql import types as T
+
+    from .geom import fgb as _f
+    from .sparktypes import GEOM_TYPE
+    with open(path, "rb") as fh:
+        head = fh.read(12)
+        if len(head) == 12:
+            hsize = int.from_bytes(head[8:12], "little")
+            head += fh.read(hsize)
+    meta, _ns, _ib, _db = _f.read_fgb_header(head)
+    fields = [T.StructField(n, _fgb_spark_type(ct))
+              for n, ct in meta["columns"]]
+    if return_fids and "fid" not in {n for n, _ in meta["columns"]}:
+        fields.insert(0, T.StructField("fid", T.LongType()))
+    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    crs = f"{meta['crs'][0]}:{meta['crs'][1]}" if meta["crs"] else None
+    return fields, None, crs
+
+
+def _probe_ipc_fields(path, geometry_column=None):
+    """Schema-only Arrow IPC probe: (fields, None, crs) — reads the
+    file footer/stream schema without materializing record batches
+    (review r12; same field mapping as :func:`_parse_ipc_batch`)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql import types as T
+
+    from .geodataframe import _pa_to_spark
+    from .sparktypes import GEOM_TYPE
+    try:
+        with ipc.open_file(path) as r:
+            schema = r.schema
+    except pa.ArrowInvalid:
+        with ipc.open_stream(path) as r:
+            schema = r.schema
+    meta = schema.metadata or {}
+    geo = {}
+    if b"geo" in meta:
+        try:
+            geo = json.loads(meta[b"geo"])
+        except (ValueError, UnicodeDecodeError):
+            geo = {}
+    gcol = geometry_column or geo.get("primary_column") or (
+        DEFAULT_GEO_COLUMN_NAME
+        if DEFAULT_GEO_COLUMN_NAME in schema.names else None)
+    crs = None
+    if gcol and gcol in geo.get("columns", {}):
+        crs = _crs_from_geo_meta(geo["columns"][gcol])
+    fields = []
+    for f in schema:
+        if gcol is not None and f.name == gcol:
+            continue
+        fields.append(T.StructField(f.name, _pa_to_spark(f.type)))
+    if gcol is not None and gcol in schema.names:
+        fields.append(T.StructField(gcol, GEOM_TYPE))
+    return fields, None, crs
+
+
+#: normalized extension → cheap header/schema-only probe (r12);
+#: read_files' driver-side schema probe prefers these
+_MULTI_PROBE_PARSERS = {
+    ".fgb": _probe_fgb_fields,
+    ".arrow": _probe_ipc_fields,
+}
+
 _EXT_ALIASES = {".feather": ".arrow", ".ipc": ".arrow"}
 
 #: extensions read_file can route when a directory/glob/list matches
@@ -1503,7 +1586,8 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
         else max(1, int(schema_files))
     merged, types_by_name = [], {}
     crs0 = None
-    probe_parser = _MULTI_BATCH_PARSERS.get(ext, parser)
+    probe_parser = _MULTI_PROBE_PARSERS.get(ext) \
+        or _MULTI_BATCH_PARSERS.get(ext, parser)
     for p in files[:n_probe]:
         flds, _rows, fcrs = probe_parser(p, **gc_kw, **probe_kw)
         if crs0 is None and fcrs is not None:

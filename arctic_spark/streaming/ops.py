@@ -494,6 +494,16 @@ def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
         return src.groupBy("window_start").applyInPandas(
             batch, out_schema)
 
+    # the key arrives SESSION-TZ-NAIVE in the python worker; localize
+    # with the session timezone captured at plan build so the epoch
+    # anchor lands in the watermark's (UTC) domain on any session tz
+    # (review r12 — a bare .value read would shift the anchor by the
+    # UTC offset: west-of-UTC zones would set a timestamp below the
+    # current watermark, an IllegalArgumentException that kills the
+    # query)
+    session_tz = src.sparkSession.conf.get(
+        "spark.sql.session.timeZone", None)
+
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (ws,) = key
         if state.hasTimedOut:
@@ -505,11 +515,11 @@ def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
         state.update(cur)
         # any delivered row satisfies ts >= watermark and
         # ts < window_end, so window_end + delay > watermark — the
-        # anchor is always legal to set. (ws arrives session-tz-naive;
-        # the epoch conversion matches the watermark's domain on the
-        # UTC sessions this engine runs.)
-        end_ms = int(pd.Timestamp(ws).value // 10**6) \
-            + window_ms + delay_ms
+        # anchor is always legal to set
+        ts = pd.Timestamp(ws)
+        if session_tz and ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        end_ms = int(ts.value // 10**6) + window_ms + delay_ms
         state.setTimeoutTimestamp(end_ms)
         yield emit(ws, cur)
     return (src.groupBy("window_start")

@@ -202,3 +202,77 @@ def test_force_2d_accepted(spark, tmp_path):
     aio.write_flatgeobuf(_gdf(spark), p)
     out = arctic_spark.read_file(spark, p, force_2d=True)
     assert out.df.count() == 6
+
+
+# ---- r12 review fixes ----------------------------------------------
+
+
+def test_gpkg_without_rowid_and_view_layers(spark, tmp_path):
+    """Plain reads must not require rowid (WITHOUT ROWID feature
+    tables stay readable); return_fids raises clearly on layers that
+    have no rowids instead of crashing."""
+    import sqlite3
+    p = str(tmp_path / "wr.gpkg")
+    aio.write_geopackage(_gdf(spark, 4), p, layer="t")
+    con = sqlite3.connect(p)
+    # clone t as a WITHOUT ROWID table registered as a feature layer
+    con.execute('CREATE TABLE "t2" (fid INTEGER PRIMARY KEY, '
+                'k INTEGER, name TEXT, geometry BLOB) WITHOUT ROWID')
+    con.execute('INSERT INTO "t2" SELECT fid, k, name, geometry '
+                'FROM "t"')
+    for meta in ("gpkg_contents", "gpkg_geometry_columns"):
+        cols = [r[1] for r in con.execute(f'PRAGMA table_info({meta})')]
+        con.execute(
+            f'INSERT INTO {meta} SELECT '
+            + ", ".join("'t2'" if c in ("table_name", "identifier")
+                        else c for c in cols)
+            + f' FROM {meta} WHERE table_name = \'t\'')
+    con.commit()
+    con.close()
+    out = aio.read_geopackage(spark, p, layer="t2")
+    assert out.df.count() == 4          # readable without rowid
+    with pytest.raises((Exception,),
+                       match="rowid|no such column"):
+        aio.read_geopackage(spark, p, layer="t2",
+                            return_fids=True).df.count()
+
+
+def test_gpkg_typeless_schema_stable_under_bbox(spark, tmp_path):
+    """A bbox= read whose selected rows are all NULL in a declared-
+    typeless column must type it like the unfiltered read (targeted
+    value probe — review r12)."""
+    import sqlite3
+    p = str(tmp_path / "tb.gpkg")
+    aio.write_geopackage(_gdf(spark, 8), p, layer="t")  # pts (i, i+.5)
+    con = sqlite3.connect(p)
+    con.execute('ALTER TABLE "t" ADD COLUMN extra')     # typeless
+    con.execute('UPDATE "t" SET extra = 42 WHERE k >= 6')
+    con.commit()
+    con.close()
+    full = aio.read_geopackage(spark, p)
+    sel = aio.read_geopackage(spark, p, bbox=(0.0, 0.0, 3.2, 9.0))
+    assert dict(full.df.dtypes)["extra"] == "bigint"
+    assert dict(sel.df.dtypes)["extra"] == "bigint"
+    assert sel.df.count() == 4 and \
+        all(r.extra is None for r in sel.df.collect())
+    # the two reads union cleanly (the r12 review failure mode)
+    assert full.df.unionByName(sel.df).count() == 12
+
+
+def test_probe_parsers_match_batch_fields(spark, tmp_path):
+    """The header/schema-only probes return the same fields + CRS as
+    the full batch parsers (read_files probe correctness)."""
+    g = _gdf(spark)
+    pf = str(tmp_path / "x.fgb")
+    pa_ = str(tmp_path / "x.arrow")
+    aio.write_flatgeobuf(g, pf)
+    aio.write_ipc(g, pa_)
+    for probe, full, path in [
+            (aio._probe_fgb_fields, aio._parse_fgb_batch, pf),
+            (aio._probe_ipc_fields, aio._parse_ipc_batch, pa_)]:
+        f1, payload, c1 = probe(path)
+        f2, _table, c2 = full(path)
+        assert payload is None
+        assert [(f.name, f.dataType) for f in f1] == \
+            [(f.name, f.dataType) for f in f2]
+        assert c1 == c2

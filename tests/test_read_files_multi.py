@@ -192,12 +192,18 @@ def test_multifile_probe_no_crs_but_later_file_declares(spark, tmp_path,
     aio.write_flatgeobuf(_gdf(spark, 0), os.path.join(d, "a.fgb"))
     aio.write_flatgeobuf(_gdf(spark, 10), os.path.join(d, "b.fgb"))
     orig = aio._MULTI_BATCH_PARSERS[".fgb"]
+    orig_probe = aio._MULTI_PROBE_PARSERS[".fgb"]
 
     def wrapped(path, **kw):
         flds, rows, crs = orig(path, **kw)
         return flds, rows, (None if path.endswith("a.fgb") else crs)
 
+    def wrapped_probe(path, **kw):
+        flds, payload, crs = orig_probe(path, **kw)
+        return flds, payload, (None if path.endswith("a.fgb") else crs)
+
     monkeypatch.setitem(aio._MULTI_BATCH_PARSERS, ".fgb", wrapped)
+    monkeypatch.setitem(aio._MULTI_PROBE_PARSERS, ".fgb", wrapped_probe)
     with pytest.raises(Exception, match="carried none"):
         aio.read_files(spark, d).df.count()
     # explicit crs= resolves it

@@ -761,3 +761,47 @@ def test_windowed_fold_late_data_still_folds(spark, tmp_path):
                                       key_col="user_id", k=64).collect()
     assert sorted(r.h for r in batch_early
                   if r.window_start == w0) != exp
+
+
+def test_windowed_fold_non_utc_session_tz(spark, tmp_path):
+    """r12 review fix: the event-time timeout anchor localizes the
+    session-tz-naive window key with the SESSION timezone before the
+    epoch conversion — on a west-of-UTC session tz a bare epoch read
+    would set a timeout below the current watermark and kill the
+    query with IllegalArgumentException."""
+    import os
+    import time
+    from arctic_spark.streaming import windowed_kmv_minima
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        base = spark.createDataFrame(
+            [(i, f"2024-01-01 00:00:{i % 30:02d}") for i in range(40)],
+            "user_id long, ts_s string") \
+            .select(F.col("user_id"),
+                    F.col("ts_s").cast("timestamp").alias("ts"))
+        d = os.path.join(str(tmp_path), "kmv_tz_in")
+        base.coalesce(1).write.mode("overwrite").parquet(d)
+        # pusher far enough ahead that the watermark passes the first
+        # window's anchor — the failure mode fires exactly here
+        spark.createDataFrame([(999, "2024-01-01 02:00:00")],
+                              "user_id long, ts_s string") \
+            .select("user_id",
+                    F.col("ts_s").cast("timestamp").alias("ts")) \
+            .coalesce(1).write.mode("append").parquet(d)
+        src = (spark.readStream.schema("user_id long, ts timestamp")
+               .option("maxFilesPerTrigger", "1").parquet(d))
+        out = windowed_kmv_minima(src, window="1 minute",
+                                  watermark="2 seconds",
+                                  key_col="user_id", k=8)
+        q = (out.writeStream.format("memory").queryName("kmv_tz")
+             .outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+        assert spark.sql("SELECT * FROM kmv_tz").count() > 0
+        # let the timeout batch run: restart-free check that the query
+        # ended cleanly (availableNow drains all files + timeouts)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
