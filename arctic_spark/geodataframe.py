@@ -280,15 +280,18 @@ def to_geopandas(gdf: "GeoDataFrame"):
 
 
 def from_pandas_wkb(spark, pdf, geometry_column=DEFAULT_GEO_COLUMN_NAME,
-                    crs=DEFAULT_CRS) -> "GeoDataFrame":
+                    crs=DEFAULT_CRS, keep_z=False) -> "GeoDataFrame":
     """Ingest a pandas DataFrame whose geometry column holds WKB bytes
     (what `gdf.to_wkb()` produces in GeoPandas) — the analogue of the
     reference's `from_geopandas(..., force_wkb=True)`
-    (convert.py:59-97)."""
+    (convert.py:59-97). ``keep_z=True`` decodes 3D WKB into the Z
+    geometry struct instead of rejecting/dropping Z (r12)."""
     from . import functions as st
     from pyspark.sql import functions as F
     df = spark.createDataFrame(pdf)
-    df = df.withColumn(geometry_column, st.from_wkb(F.col(geometry_column)))
+    df = df.withColumn(geometry_column,
+                       st.from_wkb(F.col(geometry_column),
+                                   keep_z=keep_z))
     return GeoDataFrame(df, geometry_column, crs)
 
 

@@ -263,7 +263,7 @@ def _parse_shp_rows(path, geometry_column=DEFAULT_GEO_COLUMN_NAME,
 def read_geopackage(spark: SparkSession, path: str, layer=None,
                     geometry_column=DEFAULT_GEO_COLUMN_NAME,
                     crs=None, fids=None, bbox=None,
-                    return_fids=False) -> GeoDataFrame:
+                    return_fids=False, keep_z=False) -> GeoDataFrame:
     """OGC GeoPackage reader, GDAL-free (stdlib ``sqlite3`` + the
     package's own WKB codec; blob format per the public GeoPackage
     Encoding Standard — see ``geom/gpkg.py``). The reference reaches
@@ -283,7 +283,8 @@ def read_geopackage(spark: SparkSession, path: str, layer=None,
     fields, data, file_crs = _parse_gpkg_rows(path, layer=layer,
                                               geometry_column=geometry_column,
                                               fids=fids, bbox=bbox,
-                                              return_fids=return_fids)
+                                              return_fids=return_fids,
+                                              keep_z=keep_z)
     from pyspark.sql import types as T
     df = spark.createDataFrame(data, T.StructType(fields))
     return GeoDataFrame(df, geometry_column, crs or file_crs or DEFAULT_CRS)
@@ -310,7 +311,7 @@ def _gpkg_decl_type(d):
 def _parse_gpkg_rows(path, layer=None,
                      geometry_column=DEFAULT_GEO_COLUMN_NAME,
                      fids=None, max_rows=None, bbox=None,
-                     return_fids=False):
+                     return_fids=False, keep_z=False):
     """Pure GeoPackage parse: (fields incl geometry, rows, crs-or-None).
     Executor-safe — shared by :func:`read_geopackage` and the
     distributed multi-file path :func:`read_files` (r11). ``fids``
@@ -415,7 +416,16 @@ def _parse_gpkg_rows(path, layer=None,
             fid_vals = list(ids)
         gidx = cols.index(gcol)
         wkbs = [_g.parse_gpkg_blob(r[gidx]) for r in raw]
-        rg = _wkb.decode([w[1] if w else None for w in wkbs])
+        payloads = [w[1] if w else None for w in wkbs]
+        if keep_z:
+            # GeoPackage blobs carry standard WKB — 3D layers round
+            # Z into the Z geometry struct (r12)
+            rg, zs_flat, had_z = _wkb.decode_z(payloads)
+        else:
+            # 3D layers drop Z on the default 2D read (same documented
+            # lossy ingest as the shapefile reader; previously they
+            # ERRORED because no force_2d reached the codec — r12)
+            rg = _wkb.decode(payloads, force_2d=True)
         file_crs = _g.srs_string(con, srs_id)
         decl = {r[1]: (r[2] or "").upper() for r in
                 con.execute(f'PRAGMA table_info("{name}")')}
@@ -485,6 +495,11 @@ def _parse_gpkg_rows(path, layer=None,
             cell = (int(gt), [float(v) for v in xs],
                     [float(v) for v in ys],
                     [int(v) for v in rings], [int(v) for v in parts])
+            if keep_z:
+                c0, c1 = rg.coord_offsets[i], rg.coord_offsets[i + 1]
+                zcell = [float(v) for v in zs_flat[c0:c1]] \
+                    if had_z[i] else None
+                cell = cell + (zcell,)
         data.append(attrs + (cell,))
     if return_fids and "fid" not in {c for j, c in enumerate(cols)
                                      if j != gidx}:
@@ -502,7 +517,11 @@ def _parse_gpkg_rows(path, layer=None,
                     and min(cell[2]) <= ymax and max(cell[2]) >= ymin)
 
         data = [r for r in data if _hit(r[-1])]
-    fields.append(T.StructField(geometry_column, GEOM_TYPE))
+    if keep_z:
+        from .sparktypes import GEOM_TYPE_Z
+        fields.append(T.StructField(geometry_column, GEOM_TYPE_Z))
+    else:
+        fields.append(T.StructField(geometry_column, GEOM_TYPE))
     return fields, data, file_crs
 
 
@@ -1165,7 +1184,8 @@ def _read_ipc_spill(spark, path, geometry_column, columns,
 
 
 def read_ipc(spark: SparkSession, path: str, geometry_column=None,
-             columns=None, max_features=None, spill_threshold=None):
+             columns=None, max_features=None, spill_threshold=None,
+             keep_z=False):
     """Arrow IPC / Feather-V2 reader (``.arrow``) — the reference's ONLY
     bundled data format: its dataset loader reads .arrow files
     (py-geopolars/python/geopolars/datasets/__init__.py:39-42) and its
@@ -1175,6 +1195,10 @@ def read_ipc(spark: SparkSession, path: str, geometry_column=None,
     columns widen to int64 (Spark has no unsigned types). Returns a
     GeoDataFrame when a geometry column is found (WKB decoded to the
     GEOM struct), else a plain DataFrame.
+
+    ``keep_z=True`` decodes 3D WKB into the Z geometry struct (r12;
+    in-memory path — the spill path stays 2D like the distributed
+    parquet scan it hands off to).
 
     Driver-side single-file ingest for SMALL files; beyond
     ``spill_threshold`` bytes (default 256 MiB) the read streams
@@ -1226,7 +1250,7 @@ def read_ipc(spark: SparkSession, path: str, geometry_column=None,
     pdf = table.to_pandas()
     if gcol and gcol in pdf.columns:
         from .geodataframe import from_pandas_wkb
-        return from_pandas_wkb(spark, pdf, gcol, crs)
+        return from_pandas_wkb(spark, pdf, gcol, crs, keep_z=keep_z)
     return spark.createDataFrame(pdf)
 
 

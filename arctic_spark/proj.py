@@ -1121,6 +1121,130 @@ def _poly_inv(x, y, p) -> Column:
     return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
 
 
+# ---------------------------------------------------------------------------
+# Equidistant Conic (PROJ eqdc — Snyder 1987 pp. 111-115, ellipsoidal
+# 2SP with the 1SP limit n = sin(lat1)) and Mollweide (PROJ moll —
+# Snyder pp. 249-252; spherical on R = a, which is what PROJ/GDAL use
+# for the world grids like ESRI:54009). eqdc shares the meridional-arc
+# series and the footpoint-latitude inverse with Cassini (above).
+# ---------------------------------------------------------------------------
+
+def _eqdc_consts(p):
+    a, f, e2, e = _ell(p["ellps"])
+    lat0 = math.radians(p.get("lat0", 0.0))
+    lat1 = math.radians(p["lat1"])
+    lat2 = math.radians(p.get("lat2", p["lat1"]))
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    m1, m2 = m(lat1), m(lat2)
+    m_1 = _marc_f(lat1, a, e2)
+    m_2 = _marc_f(lat2, a, e2)
+    if abs(lat1 - lat2) < 1e-10:
+        n = math.sin(lat1)               # 1SP analytic limit
+    else:
+        n = a * (m1 - m2) / (m_2 - m_1)  # Snyder 16-10
+    ag = a * m1 / n + m_1                # a*G (meters), Snyder 16-9
+    rho0 = ag - _marc_f(lat0, a, e2)
+    return a, e2, n, ag, rho0, math.radians(p["lon0"])
+
+
+def _eqdc_fwd(lon, lat, p) -> Column:
+    a, e2, n, ag, rho0, lam0 = _eqdc_consts(p)
+    unit = p.get("unit", 1.0)
+    phi = F.radians(lat)
+    th = F.lit(n) * (F.radians(lon) - F.lit(lam0))
+
+    def with_rt(s):
+        rho = F.lit(ag) - _marc_col(s["phi"], a, e2)
+        x = rho * F.sin(s["th"])
+        y = F.lit(rho0) - rho * F.cos(s["th"])
+        return _xy(F.lit(p["fe"]) + x / F.lit(unit),
+                   F.lit(p["fn"]) + y / F.lit(unit))
+    return _let(F.struct(phi.alias("phi"), th.alias("th")), with_rt)
+
+
+def _eqdc_inv(x, y, p) -> Column:
+    a, e2, n, ag, rho0, lam0 = _eqdc_consts(p)
+    unit = p.get("unit", 1.0)
+    sgn = 1.0 if n >= 0 else -1.0
+    xm = (x - F.lit(p["fe"])) * F.lit(unit)
+    ym = (y - F.lit(p["fn"])) * F.lit(unit)
+
+    def with_xy(s):
+        dy = F.lit(rho0) - s["ym"]
+        rho = F.lit(sgn) * F.sqrt(s["xm"] * s["xm"] + dy * dy)
+        # Snyder 16-18/16-19: footpoint latitude of M = aG - rho
+        phi = _foot_lat_col(F.lit(ag) - rho, a, e2)
+        # theta from the signed components (southern cones flip both)
+        th = F.atan2(F.lit(sgn) * s["xm"], F.lit(sgn) * dy)
+        lon = F.degrees(F.lit(lam0) + th / F.lit(n))
+        return _xy(lon, F.degrees(phi))
+    return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
+
+
+def _moll_theta(phi) -> Column:
+    """Mollweide auxiliary angle: 2*theta + sin(2*theta) = pi*sin(phi)
+    (Snyder 27-2/27-3), fixed 10-round Newton inside aggregate;
+    try_divide guards the pole where the derivative vanishes (the
+    closed form theta = phi takes over there)."""
+    target = F.lit(math.pi) * F.sin(phi)
+
+    def step(th, _i):
+        two = F.lit(2.0) * th
+        d = F.try_divide(two + F.sin(two) - target,
+                         F.lit(2.0) + F.lit(2.0) * F.cos(two))
+        return th - F.coalesce(d, F.lit(0.0))
+
+    th = F.aggregate(F.sequence(F.lit(1), F.lit(10)), phi * F.lit(1.0),
+                     lambda acc, i: step(acc, i))
+    pole = F.abs(phi) >= F.lit(math.pi / 2 - 1e-12)
+    return F.when(pole, phi).otherwise(th)
+
+
+def _moll_fwd(lon, lat, p) -> Column:
+    a, f, e2, e = _ell(p["ellps"])
+    unit = p.get("unit", 1.0)
+    lam0 = math.radians(p["lon0"])
+    rt2 = math.sqrt(2.0)
+
+    def with_th(th):
+        x = (F.lit(2.0 * rt2 / math.pi * a)
+             * (F.radians(lon) - F.lit(lam0)) * F.cos(th))
+        y = F.lit(rt2 * a) * F.sin(th)
+        return _xy(F.lit(p["fe"]) + x / F.lit(unit),
+                   F.lit(p["fn"]) + y / F.lit(unit))
+    return _let(_moll_theta(F.radians(lat)), with_th)
+
+
+def _moll_inv(x, y, p) -> Column:
+    a, f, e2, e = _ell(p["ellps"])
+    unit = p.get("unit", 1.0)
+    lam0 = math.radians(p["lon0"])
+    rt2 = math.sqrt(2.0)
+    xm = (x - F.lit(p["fe"])) * F.lit(unit)
+    ym = (y - F.lit(p["fn"])) * F.lit(unit)
+
+    def with_xy(s):
+        th = F.asin(F.least(F.lit(1.0), F.greatest(
+            F.lit(-1.0), s["ym"] / F.lit(rt2 * a))))
+
+        def with_th(t):
+            two = F.lit(2.0) * t
+            lat = F.degrees(F.asin(F.least(F.lit(1.0), F.greatest(
+                F.lit(-1.0), (two + F.sin(two)) / F.lit(math.pi)))))
+            # at the poles cos(theta) = 0 and lambda is indeterminate:
+            # take lam0 (same convention as Snyder p. 252)
+            lon_rad = F.try_divide(
+                F.lit(math.pi) * s["xm"],
+                F.lit(2.0 * rt2 * a) * F.cos(t))
+            lon = F.degrees(F.lit(lam0)
+                            + F.coalesce(lon_rad, F.lit(0.0)))
+            return _xy(lon, lat)
+        return _let(th, with_th)
+    return _let(F.struct(xm.alias("xm"), ym.alias("ym")), with_xy)
+
+
 def _geodetic_to_ecef(lon, lat, ellps) -> Column:
     a, f, e2, e = _ell(ellps)
     phi = F.radians(lat)
@@ -1610,6 +1734,12 @@ def _params_from_dict(d: dict):
         return "cass", {**base, "lat0": fl("lat_0", 0.0)}
     if proj == "poly":
         return "poly", {**base, "lat0": fl("lat_0", 0.0)}
+    if proj == "eqdc":
+        return "eqdc", {**base, "lat1": fl("lat_1"),
+                        "lat2": fl("lat_2", fl("lat_1")),
+                        "lat0": fl("lat_0", 0.0)}
+    if proj == "moll":
+        return "moll", base
     if proj == "krovak":
         p = {**base, "lat0": fl("lat_0", 49.5),
              "alpha": fl("alpha", 30.28813972222222),
@@ -1625,7 +1755,7 @@ def _params_from_dict(d: dict):
     raise CRSError(
         f"unsupported projection family {proj!r}; the closed-form engine "
         "implements tmerc, utm, merc, webmerc, lcc (1SP/2SP), aea, laea, "
-        "stere (polar), sterea, somerc, krovak, cass, poly "
+        "stere (polar), sterea, somerc, krovak, cass, poly, eqdc, moll "
         "and longlat (+towgs84 datum shifts on any of them)")
 
 
@@ -1728,6 +1858,10 @@ def _inv_struct(kind, params, x, y) -> Column:
         return _cass_inv(x, y, params)
     if kind == "poly":
         return _poly_inv(x, y, params)
+    if kind == "eqdc":
+        return _eqdc_inv(x, y, params)
+    if kind == "moll":
+        return _moll_inv(x, y, params)
     raise AssertionError(kind)
 
 
@@ -1760,6 +1894,10 @@ def _fwd_struct(kind, params, lon, lat) -> Column:
         return _cass_fwd(lon, lat, params)
     if kind == "poly":
         return _poly_fwd(lon, lat, params)
+    if kind == "eqdc":
+        return _eqdc_fwd(lon, lat, params)
+    if kind == "moll":
+        return _moll_fwd(lon, lat, params)
     raise AssertionError(kind)
 
 

@@ -248,7 +248,7 @@ def test_random_parameter_roundtrips(spark):
     def mk_case(i):
         fam = ("tmerc", "lcc2", "lcc1", "aea", "laea", "merc",
                "stere", "sterea", "somerc", "krovak",
-               "cass", "poly")[i % 12]
+               "cass", "poly", "eqdc", "moll")[i % 14]
         lon0 = rnd.uniform(-170, 170)
         x0 = rnd.uniform(0, 8e5)
         y0 = rnd.uniform(-2e6, 2e6)
@@ -340,6 +340,20 @@ def test_random_parameter_roundtrips(spark):
                     rnd.choice([rnd.uniform(-60, -2),
                                 rnd.uniform(2, 60), 0.0]))
                    for _ in range(3)]
+        elif fam == "eqdc":                                     # r12
+            l1 = sgn * rnd.uniform(10, 50)
+            l2 = l1 + sgn * rnd.uniform(0.0, 18)   # incl 1SP-ish
+            p4 = (f"+proj=eqdc +lat_1={l1:.4f} +lat_2={l2:.4f} "
+                  f"+lat_0={sgn * rnd.uniform(0, 40):.4f} "
+                  f"+lon_0={lon0:.4f} +x_0={x0:.1f} +y_0={y0:.1f} "
+                  f"+ellps=GRS80")
+            pts = [(lon0 + rnd.uniform(-25, 25),
+                    sgn * rnd.uniform(5, 70)) for _ in range(3)]
+        elif fam == "moll":                                     # r12
+            p4 = (f"+proj=moll +lon_0={lon0:.4f} "
+                  f"+x_0={x0:.1f} +y_0={y0:.1f} +ellps=WGS84")
+            pts = [(lon0 + rnd.uniform(-150, 150),
+                    rnd.uniform(-85, 85)) for _ in range(3)]
         else:  # krovak                                           r11
             # the method's kernel is tied to its Czech parameters;
             # randomize the grid placement + scale, points in-domain
@@ -353,7 +367,7 @@ def test_random_parameter_roundtrips(spark):
                    for _ in range(3)]
         return p4, pts
 
-    for i in range(24):
+    for i in range(28):
         p4, pts = mk_case(i)
         for lon, lat in pts:
             x, y = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
@@ -690,3 +704,78 @@ def test_cass_poly_registry_roundtrips(spark):
                               "EPSG:4326")
             assert lon2 == pytest.approx(lon, abs=1e-7), code
             assert lat2 == pytest.approx(lat, abs=1e-7), code
+
+
+# r12 slack: Equidistant Conic + Mollweide
+
+
+def test_eqdc_invariants_and_anchor(spark):
+    """Equidistant Conic (Snyder pp. 111-115): along the central
+    meridian northings ARE the meridional arc (the projection's
+    defining property — an independent check against the verified
+    arc series); Snyder's Clarke 1866 example frame (29.5/45.5,
+    origin 23N 96W, point 35N 75W) reproduces y = 1540507.6 and the
+    kernel-computed x = 1885051.9 is pinned as a regression anchor
+    (verified against a scalar re-derivation of 16-1..16-10);
+    southern cone + 1SP limit round-trip."""
+    import math
+    from arctic_spark.proj import _EPSG_TABLE  # noqa: F401
+    from arctic_spark.proj import _ell, _fwd_struct, _inv_struct, \
+        _marc_f
+    clarke1866 = (6378206.4, 294.9786982)
+    p = {"ellps": clarke1866, "lat1": 29.5, "lat2": 45.5,
+         "lat0": 23.0, "lon0": -96.0, "fe": 0.0, "fn": 0.0}
+    df = spark.createDataFrame([(1,)], "i long")
+
+    def fwd(k, pp, lon, lat):
+        r = df.select(_fwd_struct(k, pp, F.lit(lon), F.lit(lat))
+                      .alias("o")).collect()[0].o
+        return r.x, r.y
+
+    x, y = fwd("eqdc", p, -75.0, 35.0)
+    assert y == pytest.approx(1540507.6, abs=0.1)
+    assert x == pytest.approx(1885051.9, abs=0.1)
+    a, _f2, e2, _e = _ell(clarke1866)
+    x0, y0 = fwd("eqdc", p, -96.0, 40.0)
+    arc = _marc_f(math.radians(40.0), a, e2) \
+        - _marc_f(math.radians(23.0), a, e2)
+    assert x0 == pytest.approx(0.0, abs=1e-9)
+    assert y0 == pytest.approx(arc, abs=1e-6)
+    # 1SP limit: lat1 == lat2 -> n = sin(lat1), the analytic limit
+    one = "+proj=eqdc +lat_1=45 +lat_2=45 +lat_0=40 +lon_0=8 " \
+        "+ellps=GRS80"
+    two = "+proj=eqdc +lat_1=44.9999 +lat_2=45.0001 +lat_0=40 " \
+        "+lon_0=8 +ellps=GRS80"
+    x1, y1 = _one(spark, "POINT (10 47)", "EPSG:4326", one)
+    x2, y2 = _one(spark, "POINT (10 47)", "EPSG:4326", two)
+    assert x1 == pytest.approx(x2, abs=1e-3)
+    assert y1 == pytest.approx(y2, abs=1e-3)
+
+
+def test_mollweide_closed_forms_and_roundtrip(spark):
+    """Mollweide (Snyder pp. 249-252, spherical on R = a like
+    PROJ/GDAL's world grids): equator x = (2*sqrt(2)/pi) R dlam and
+    the poles land at y = +/- sqrt(2) R exactly (both closed forms);
+    the theta Newton matches the unit-sphere value at 50N to 1e-7 and
+    everything round-trips."""
+    import math
+    R = 6378137.0
+    p4 = "+proj=moll +lon_0=0 +ellps=WGS84"
+    x, y = _one(spark, "POINT (90 0)", "EPSG:4326", p4)
+    assert x == pytest.approx(2 * math.sqrt(2) / math.pi * R
+                              * math.radians(90.0), abs=1e-6)
+    assert y == pytest.approx(0.0, abs=1e-9)
+    x, y = _one(spark, "POINT (0 90)", "EPSG:4326", p4)
+    assert x == pytest.approx(0.0, abs=1e-6)
+    assert y == pytest.approx(math.sqrt(2) * R, abs=1e-6)
+    # unit-sphere anchor (theta solves 2t + sin 2t = pi sin 50)
+    x, y = _one(spark, "POINT (-75 50)", "EPSG:4326",
+                "+proj=moll +lon_0=-90 +R=1")
+    assert x == pytest.approx(0.17888449, abs=1e-7)
+    assert y == pytest.approx(0.92087579, abs=1e-7)
+    for lon, lat in [(-75.0, 50.0), (130.0, -66.5), (10.0, 89.0)]:
+        px, py = _one(spark, f"POINT ({lon} {lat})", "EPSG:4326", p4)
+        lon2, lat2 = _one(spark, f"POINT ({px} {py})", p4,
+                          "EPSG:4326")
+        assert lon2 == pytest.approx(lon, abs=1e-7)
+        assert lat2 == pytest.approx(lat, abs=1e-7)

@@ -144,3 +144,55 @@ def test_geoparquet_z_roundtrip(spark, tmp_path):
     assert [f.name for f in
             flat.df.schema["geometry"].dataType.fields] == \
         ["gt", "xs", "ys", "rings", "parts"]
+
+
+def test_gpkg_z_roundtrip(spark, tmp_path):
+    """GeoPackage 3D layers: blobs carry standard WKB Z (the engine's
+    gpkg writer is 2D, so craft the 3D blobs directly);
+    read_geopackage(keep_z=True) surfaces z, and the default read
+    DROPS Z into the 2D struct (previously 3D layers errored —
+    no force_2d reached the codec)."""
+    import sqlite3
+    p2 = str(tmp_path / "flat.gpkg")
+    src = spark.createDataFrame(
+        [(i, f"POINT ({i} {i})") for i in range(3)],
+        "k long, wkt string").select(
+        "k", st.from_wkt("wkt").alias("geometry"))
+    aio.write_geopackage(GeoDataFrame(src, crs="EPSG:4326"), p2,
+                         layer="t")
+    # swap each blob payload for a 3D WKB Z point
+    con = sqlite3.connect(p2)
+    rows = con.execute('SELECT fid, k FROM "t"').fetchall()
+    for fid, k in rows:
+        blob = con.execute(
+            'SELECT geometry FROM "t" WHERE fid = ?',
+            (fid,)).fetchone()[0]
+        hdr_len = len(blob) - 21          # GP header + 2D point WKB
+        new = bytes(blob[:hdr_len]) + _wkb_point_z(
+            float(k), float(k), float(k) * 7.0)
+        con.execute('UPDATE "t" SET geometry = ? WHERE fid = ?',
+                    (new, fid))
+    con.commit()
+    con.close()
+    out = aio.read_geopackage(spark, p2, keep_z=True)
+    got = sorted((r.k, r.z) for r in out.df.select(
+        "k", st.z("geometry", carries_z=True).alias("z")).collect())
+    assert got == [(0, 0.0), (1, 7.0), (2, 14.0)]
+    # default read accepts and drops Z (2D struct)
+    flat = aio.read_geopackage(spark, p2)
+    assert [f.name for f in
+            flat.df.schema["geometry"].dataType.fields][-1] == "parts"
+
+
+def test_read_ipc_keep_z(spark, tmp_path):
+    p = str(tmp_path / "z3.arrow")
+    src = spark.range(4).select(
+        "id", st.point_z(F.col("id").cast("double"),
+                         F.lit(1.0),
+                         F.col("id").cast("double") * 2.0)
+        .alias("geometry"))
+    aio.write_ipc(GeoDataFrame(src, crs="EPSG:4326"), p)
+    back = aio.read_ipc(spark, p, keep_z=True)
+    got = sorted((r.id, r.z) for r in back.df.select(
+        "id", st.z("geometry", carries_z=True).alias("z")).collect())
+    assert got == [(i, float(i * 2)) for i in range(4)]
