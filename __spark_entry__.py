@@ -524,6 +524,35 @@ def geo_z_accessors(spark, sf):
         .orderBy("c_custkey"))
 
 
+def geo_eqdc_moll(spark, sf):
+    """to_crs via the r12 Equidistant Conic + Mollweide kernels (round
+    slack past VERDICT r11 #6): a Snyder-frame eqdc (Clarke 1866,
+    29.5/45.5 cone — central-meridian northings are EXACTLY the
+    meridional arc, asserted in tests) and the PROJ/GDAL-convention
+    spherical Mollweide world grid on WGS84. The oracle replays the
+    eqdc closed form and the Mollweide theta Newton (10 unrolled
+    steps, the same fixed iteration the kernel runs) from raw
+    parameters in DuckDB CTEs. BIGINT tenth-mm micro-units."""
+    c = _t(spark, sf, "customer")
+    elon = ((F.col("c_custkey") % 45) - 22).cast("double") - 96.0
+    elat = (F.col("c_custkey") * 3 % 50).cast("double") * 0.8 + 8.0
+    eqdc_p4 = ("+proj=eqdc +lat_1=29.5 +lat_2=45.5 +lat_0=23 "
+               "+lon_0=-96 +x_0=0 +y_0=0 +a=6378206.4 "
+               "+rf=294.9786982")
+    exy = transform_xy_struct(elon, elat, "EPSG:4326", eqdc_p4)
+    mlon = ((F.col("c_custkey") % 71) - 35).cast("double") * 5.0 + 0.5
+    mlat = ((F.col("c_custkey") * 7 % 36) - 18).cast("double") * 4.9
+    moll_p4 = "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+    mxy = transform_xy_struct(mlon, mlat, "EPSG:4326", moll_p4)
+    return (c.select(
+        "c_custkey",
+        F.round(exy["x"] * F.lit(1e4), 0).cast("long").alias("ex_u"),
+        F.round(exy["y"] * F.lit(1e4), 0).cast("long").alias("ey_u"),
+        F.round(mxy["x"] * F.lit(1e4), 0).cast("long").alias("mx_u"),
+        F.round(mxy["y"] * F.lit(1e4), 0).cast("long").alias("my_u"))
+        .orderBy("c_custkey"))
+
+
 def geo_pip_join(spark, sf):
     """Distributed filter–refine spatial join (SURVEY §2.4): customer
     points in region strip polygons; grid-cell shuffle + native ray-cast
@@ -4261,7 +4290,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # value-verified by the local 141/141 sweep (driver's comparator).
 _WINDOW = [
     # --- r12-NEW gates (must land in the driver's first-50 window) ---
-    "geo_cassini_poly", "geo_z_accessors",
+    "geo_cassini_poly", "geo_z_accessors", "geo_eqdc_moll",
     # --- r12-TOUCHED paths: io.py (Arrow-vectorized read_files +
     # batch parsers, bbox pushdown, gpkg rowid/typeless-probe, fid
     # surfacing, arg parity), streaming/ops.py (event-time eviction on
@@ -4327,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polar_stere": geo_polar_stere,
         "geo_cassini_poly": geo_cassini_poly,
         "geo_z_accessors": geo_z_accessors,
+        "geo_eqdc_moll": geo_eqdc_moll,
         "geo_overlay_union": geo_overlay_union,
         "geo_overlay_area": geo_overlay_area,
         "embed_pq_adc": embed_pq_adc,
@@ -5044,6 +5074,126 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) END AS z_u,
                    (c_custkey % 5 != 0) AS had_z
             FROM customer ORDER BY c_custkey
+        """,
+        "geo_eqdc_moll": """
+            WITH epar AS (
+                SELECT a, e2,
+                       radians(29.5) AS l1, radians(45.5) AS l2,
+                       radians(23.0) AS l0, radians(-96.0) AS lam0,
+                       1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS c0,
+                       3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS c2,
+                       15*e2*e2/256 + 45*e2*e2*e2/1024 AS c4,
+                       35*e2*e2*e2/3072 AS c6
+                FROM (SELECT 6378206.4 AS a,
+                             (1.0/294.9786982)
+                                 * (2 - 1.0/294.9786982) AS e2)
+            ), econ AS (
+                SELECT *,
+                       cos(l1)/sqrt(1 - e2*sin(l1)*sin(l1)) AS m1,
+                       cos(l2)/sqrt(1 - e2*sin(l2)*sin(l2)) AS m2,
+                       a*(c0*l1 - c2*sin(2*l1) + c4*sin(4*l1)
+                          - c6*sin(6*l1)) AS bm1,
+                       a*(c0*l2 - c2*sin(2*l2) + c4*sin(4*l2)
+                          - c6*sin(6*l2)) AS bm2,
+                       a*(c0*l0 - c2*sin(2*l0) + c4*sin(4*l0)
+                          - c6*sin(6*l0)) AS bm0
+                FROM epar
+            ), ek AS (
+                SELECT *, a*(m1 - m2)/(bm2 - bm1) AS n FROM econ
+            ), ek2 AS (
+                SELECT *, a*m1/n + bm1 AS ag FROM ek
+            ), ek3 AS (
+                SELECT *, ag - bm0 AS rho0 FROM ek2
+            ), epts AS (
+                SELECT c_custkey,
+                       radians(CAST((c_custkey % 45) - 22 AS DOUBLE)
+                               - 96.0) AS lam,
+                       radians(CAST(c_custkey * 3 % 50 AS DOUBLE)
+                               * 0.8 + 8.0) AS phi
+                FROM customer
+            ), eproj AS (
+                SELECT c_custkey,
+                       (k.ag - k.a*(k.c0*phi - k.c2*sin(2*phi)
+                                    + k.c4*sin(4*phi)
+                                    - k.c6*sin(6*phi)))
+                           * sin(k.n*(lam - k.lam0)) AS ex,
+                       k.rho0 - (k.ag - k.a*(k.c0*phi
+                                    - k.c2*sin(2*phi)
+                                    + k.c4*sin(4*phi)
+                                    - k.c6*sin(6*phi)))
+                           * cos(k.n*(lam - k.lam0)) AS ey
+                FROM epts, ek3 k
+            ), mpts AS (
+                SELECT c_custkey,
+                       radians(CAST((c_custkey % 71) - 35 AS DOUBLE)
+                               * 5.0 + 0.5) AS lam,
+                       radians(CAST((c_custkey * 7 % 36) - 18
+                                    AS DOUBLE) * 4.9) AS phi,
+                       pi() * sin(radians(CAST((c_custkey * 7 % 36)
+                                               - 18 AS DOUBLE) * 4.9))
+                           AS tgt
+                FROM customer
+            ), n0 AS (SELECT c_custkey, lam, phi, tgt,
+                             phi * 1.0 AS t FROM mpts),
+            n1 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n0),
+            n2 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n1),
+            n3 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n2),
+            n4 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n3),
+            n5 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n4),
+            n6 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n5),
+            n7 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n6),
+            n8 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n7),
+            n9 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n8),
+            n10 AS (SELECT c_custkey, lam, phi, tgt,
+                CASE WHEN (2 + 2*cos(2*t)) = 0.0 THEN t
+                     ELSE t - (2*t + sin(2*t) - tgt)
+                              /(2 + 2*cos(2*t)) END AS t FROM n9),
+            mth AS (
+                SELECT c_custkey, lam,
+                       CASE WHEN abs(phi) >= pi()/2 - 1e-12 THEN phi
+                            ELSE t END AS th
+                FROM n10
+            ), mproj AS (
+                SELECT c_custkey,
+                       (2.0*sqrt(2.0)/pi()*6378137.0)
+                           * (lam - radians(0.0)) * cos(th) AS mx,
+                       (sqrt(2.0)*6378137.0) * sin(th) AS my
+                FROM mth
+            )
+            SELECT e.c_custkey,
+                   CAST(round(ex * 1e4) AS BIGINT) AS ex_u,
+                   CAST(round(ey * 1e4) AS BIGINT) AS ey_u,
+                   CAST(round(mx * 1e4) AS BIGINT) AS mx_u,
+                   CAST(round(my * 1e4) AS BIGINT) AS my_u
+            FROM eproj e JOIN mproj m ON e.c_custkey = m.c_custkey
+            ORDER BY e.c_custkey
         """,
         "geo_cassini_poly": """
             WITH cpar AS (
