@@ -1098,7 +1098,7 @@ _IPC_SPILL_BYTES = 256 << 20
 
 
 def _read_ipc_spill(spark, path, geometry_column, columns,
-                    max_features):
+                    max_features, keep_z=False):
     """Bounded-driver-memory IPC read: stream record batches (one
     batch resident at a time) through a ParquetWriter into a temp
     dataset, then scan THAT distributed — the documented scale path
@@ -1177,7 +1177,11 @@ def _read_ipc_spill(spark, path, geometry_column, columns,
             w.write_table(t)
     df = spark.read.parquet(pq_path)
     if gcol and gcol in df.columns:
-        df = df.withColumn(gcol, st.from_wkb(F.col(gcol)))
+        # keep_z threads through to the distributed decode, so the
+        # returned schema no longer depends on which side of the spill
+        # threshold the file lands (review r12)
+        df = df.withColumn(gcol, st.from_wkb(F.col(gcol),
+                                             keep_z=keep_z))
         from .geodataframe import GeoDataFrame as _GDF
         return _GDF(df, gcol, crs)
     return df
@@ -1196,9 +1200,9 @@ def read_ipc(spark: SparkSession, path: str, geometry_column=None,
     GeoDataFrame when a geometry column is found (WKB decoded to the
     GEOM struct), else a plain DataFrame.
 
-    ``keep_z=True`` decodes 3D WKB into the Z geometry struct (r12;
-    in-memory path — the spill path stays 2D like the distributed
-    parquet scan it hands off to).
+    ``keep_z=True`` decodes 3D WKB into the Z geometry struct (r12)
+    on BOTH the in-memory and spill paths, so the returned schema
+    never depends on file size.
 
     Driver-side single-file ingest for SMALL files; beyond
     ``spill_threshold`` bytes (default 256 MiB) the read streams
@@ -1213,7 +1217,7 @@ def read_ipc(spark: SparkSession, path: str, geometry_column=None,
         else int(spill_threshold)
     if os.path.getsize(path) > thr:
         return _read_ipc_spill(spark, path, geometry_column, columns,
-                               max_features)
+                               max_features, keep_z=keep_z)
     try:
         with ipc.open_file(path) as r:
             table = r.read_all()
@@ -1625,8 +1629,8 @@ def read_files(spark: SparkSession, paths, geometry_column=None,
                 raise ValueError(
                     f"column {f.name!r} has conflicting types across "
                     f"files: {t} vs {f.dataType} ({p})")
-    from .sparktypes import GEOM_TYPE
-    gname = next((f.name for f in merged if f.dataType == GEOM_TYPE),
+    from .sparktypes import is_geom_type
+    gname = next((f.name for f in merged if is_geom_type(f.dataType)),
                  None)
     if gname is not None:            # geometry stays last by convention
         merged = ([f for f in merged if f.name != gname]

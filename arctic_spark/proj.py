@@ -953,12 +953,25 @@ def _cass_consts(p):
     return a, e2, _marc_f(lat0, a, e2), math.radians(p["lon0"])
 
 
+def _wrap_dlam(d) -> Column:
+    """Normalize a lon - lon0 column into (-pi, pi] (PROJ adjlon): a
+    world dataset crossing the antimeridian under a non-zero lon_0
+    must take the short way around the cylinder/cone (review r12).
+    The in-range branch returns the input UNCHANGED bitwise (a
+    pmod-based rewrite would perturb every value by cancellation and
+    shift oracle hashes)."""
+    two_pi = 2.0 * math.pi
+    return (F.when(d > F.lit(math.pi), d - F.lit(two_pi))
+             .when(d <= F.lit(-math.pi), d + F.lit(two_pi))
+             .otherwise(d))
+
+
 def _cass_fwd(lon, lat, p) -> Column:
     """Cassini-Soldner forward (EPSG 9806 / Snyder 13-2..13-5)."""
     a, e2, m0, lam0 = _cass_consts(p)
     unit = p.get("unit", 1.0)
     phi = F.radians(lat)
-    dlam = F.radians(lon) - F.lit(lam0)
+    dlam = _wrap_dlam(F.radians(lon) - F.lit(lam0))
 
     def with_pl(s):
         sp = F.sin(s["phi"])
@@ -1035,7 +1048,7 @@ def _poly_fwd(lon, lat, p) -> Column:
     a, e2, m0, lam0 = _poly_consts(p)
     unit = p.get("unit", 1.0)
     phi = F.radians(lat)
-    dlam = F.radians(lon) - F.lit(lam0)
+    dlam = _wrap_dlam(F.radians(lon) - F.lit(lam0))
 
     def with_pl(s):
         sp = F.sin(s["phi"])
@@ -1144,6 +1157,13 @@ def _eqdc_consts(p):
         n = math.sin(lat1)               # 1SP analytic limit
     else:
         n = a * (m1 - m2) / (m_2 - m_1)  # Snyder 16-10
+    if abs(n) < 1e-12:
+        # parallels symmetric about the equator (or lat_1 omitted and
+        # defaulted to 0): the cone degenerates — PROJ rejects with
+        # "|lat_1 + lat_2| should be > 0" (review r12)
+        raise CRSError(
+            "eqdc standard parallels must not be symmetric about the "
+            "equator (need |lat_1 + lat_2| > 0; did you omit +lat_1?)")
     ag = a * m1 / n + m_1                # a*G (meters), Snyder 16-9
     rho0 = ag - _marc_f(lat0, a, e2)
     return a, e2, n, ag, rho0, math.radians(p["lon0"])
@@ -1153,7 +1173,7 @@ def _eqdc_fwd(lon, lat, p) -> Column:
     a, e2, n, ag, rho0, lam0 = _eqdc_consts(p)
     unit = p.get("unit", 1.0)
     phi = F.radians(lat)
-    th = F.lit(n) * (F.radians(lon) - F.lit(lam0))
+    th = F.lit(n) * _wrap_dlam(F.radians(lon) - F.lit(lam0))
 
     def with_rt(s):
         rho = F.lit(ag) - _marc_col(s["phi"], a, e2)
@@ -1210,7 +1230,7 @@ def _moll_fwd(lon, lat, p) -> Column:
 
     def with_th(th):
         x = (F.lit(2.0 * rt2 / math.pi * a)
-             * (F.radians(lon) - F.lit(lam0)) * F.cos(th))
+             * _wrap_dlam(F.radians(lon) - F.lit(lam0)) * F.cos(th))
         y = F.lit(rt2 * a) * F.sin(th)
         return _xy(F.lit(p["fe"]) + x / F.lit(unit),
                    F.lit(p["fn"]) + y / F.lit(unit))

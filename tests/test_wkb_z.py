@@ -196,3 +196,51 @@ def test_read_ipc_keep_z(spark, tmp_path):
     got = sorted((r.id, r.z) for r in back.df.select(
         "id", st.z("geometry", carries_z=True).alias("z")).collect())
     assert got == [(i, float(i * 2)) for i in range(4)]
+
+
+def test_read_files_keep_z_gpkg(spark, tmp_path):
+    """r12 review: the multi-file path recognizes the Z geometry
+    struct (is_geom_type, not == GEOM_TYPE) so read_files(keep_z=True)
+    still returns a GeoDataFrame with the geometry wrap + CRS."""
+    import sqlite3
+    paths = []
+    for j in range(2):
+        p = str(tmp_path / f"z{j}.gpkg")
+        src = spark.createDataFrame(
+            [(j * 10 + i, f"POINT ({i} {i})") for i in range(3)],
+            "k long, wkt string").select(
+            "k", st.from_wkt("wkt").alias("geometry"))
+        aio.write_geopackage(GeoDataFrame(src, crs="EPSG:4326"), p,
+                             layer="t")
+        con = sqlite3.connect(p)
+        for fid, k in con.execute('SELECT fid, k FROM "t"').fetchall():
+            blob = con.execute('SELECT geometry FROM "t" WHERE fid=?',
+                               (fid,)).fetchone()[0]
+            new = bytes(blob[:len(blob) - 21]) + _wkb_point_z(
+                float(k % 10), float(k % 10), float(k))
+            con.execute('UPDATE "t" SET geometry=? WHERE fid=?',
+                        (new, fid))
+        con.commit()
+        con.close()
+        paths.append(p)
+    out = aio.read_files(spark, paths, keep_z=True)
+    assert isinstance(out, GeoDataFrame) and out.crs == "EPSG:4326"
+    got = sorted(r.z for r in out.df.select(
+        st.z("geometry", carries_z=True).alias("z")).collect())
+    assert got == [0.0, 1.0, 2.0, 10.0, 11.0, 12.0]
+
+
+def test_read_ipc_spill_keep_z(spark, tmp_path):
+    """r12 review: keep_z survives the spill path, so the returned
+    schema does not depend on which side of the threshold the file
+    lands."""
+    p = str(tmp_path / "zs.arrow")
+    src = spark.range(6).select(
+        "id", st.point_z(F.col("id").cast("double"), F.lit(0.5),
+                         F.col("id").cast("double") * 3.0)
+        .alias("geometry"))
+    aio.write_ipc(GeoDataFrame(src, crs="EPSG:4326"), p)
+    back = aio.read_ipc(spark, p, keep_z=True, spill_threshold=1)
+    got = sorted((r.id, r.z) for r in back.df.select(
+        "id", st.z("geometry", carries_z=True).alias("z")).collect())
+    assert got == [(i, float(i * 3)) for i in range(6)]
