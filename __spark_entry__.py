@@ -4326,10 +4326,9 @@ _WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     d = {
         # NOTE: dict order here is NOT the driver order — queries()
-        # reorders through _WINDOW above (the round-9 session-3
-        # verification window). Final local sweep on this tree:
-        # 138 pass / 0 fail / 0 rows-only / 0 width warnings;
-        # pytest 514.
+        # reorders through _WINDOW above. Final local sweep on this
+        # tree (r12): 154 pass / 0 fail / 0 rows-only / 0 width
+        # warnings; pytest 654.
         "sketch_hll_registers": sketch_hll_registers,
         "sketch_kmv_minima": sketch_kmv_minima,
         "sketch_cms_freq": sketch_cms_freq,
