@@ -247,6 +247,48 @@ class GeoDataFrame:
         return self._wrap(out)
 
 
+def _df_from_rows(spark, fields, data) -> DataFrame:
+    """Arrow-backed DataFrame from driver-parsed rows (r12 optimization,
+    guide §4/§6: keep the Python boundary out of the scan).
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` ships the rows as
+    a pickled-Python RDD: every downstream ACTION re-enters a Python
+    worker just to feed the scan, and Catalyst expressions evaluated on
+    top of that scan run outside whole-stage codegen — measured ~8 s per
+    action for a 25-row GeoPackage read + centroid/area battery, vs
+    ~0.6 s for the identical plan over an Arrow-backed source (15x).
+    Building a pyarrow Table on the driver and handing it to
+    ``createDataFrame`` keeps the scan JVM-native and pays the
+    Python→JVM transfer once, columnar. Cell values are identical
+    (verified row-for-row vs the pickled path; the io round-trip gates
+    stay hash-exact). Falls back to the row path on any Arrow
+    conversion surprise (exotic cell types)."""
+    from pyspark.sql import types as T
+    schema = T.StructType(list(fields))
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        def cell(v, dt):
+            if v is None:
+                return None
+            if isinstance(dt, T.StructType):
+                return {f.name: cell(x, f.dataType)
+                        for f, x in zip(dt.fields, v)}
+            if isinstance(dt, T.ArrayType):
+                return [cell(x, dt.elementType) for x in v]
+            return v
+
+        arrays = []
+        for i, f in enumerate(schema.fields):
+            vals = [cell(r[i], f.dataType) for r in data]
+            arrays.append(pa.array(vals, type=to_arrow_type(f.dataType)))
+        tbl = pa.Table.from_arrays(arrays, [f.name for f in schema.fields])
+        return spark.createDataFrame(tbl, schema)
+    except Exception:
+        return spark.createDataFrame(data, schema)
+
+
 def to_pandas_wkb(gdf: "GeoDataFrame"):
     """Driver-side export: pandas DataFrame with the geometry column as
     WKB bytes — the container-feasible analogue of the reference's
@@ -340,7 +382,14 @@ def from_arrow(spark, table, geometry_column=DEFAULT_GEO_COLUMN_NAME,
             fields = [T.StructField(f.name, _pa_to_spark(f.type))
                       for f in attrs.schema]
             fields.append(T.StructField(gcol, GEOM_TYPE))
-            df = spark.createDataFrame(data, T.StructType(fields))
+            # Arrow-backed source when no temporal attribute types are
+            # present (r12 — see _df_from_rows); naive-datetime cells
+            # keep the verified pickled path to avoid tz ambiguity
+            if any(isinstance(f.dataType, (T.TimestampType, T.DateType))
+                   for f in fields):
+                df = spark.createDataFrame(data, T.StructType(fields))
+            else:
+                df = _df_from_rows(spark, fields, data)
             return GeoDataFrame(df, gcol, crs)
     pdf = table.to_pandas()
     return from_pandas_wkb(spark, pdf, gcol, crs)

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import functions as st
-from .geodataframe import DEFAULT_CRS, DEFAULT_GEO_COLUMN_NAME, GeoDataFrame
+from .geodataframe import (DEFAULT_CRS, DEFAULT_GEO_COLUMN_NAME,
+                           GeoDataFrame, _df_from_rows)
 
 
 def write_geoparquet(gdf: GeoDataFrame, path: str, mode="overwrite",
@@ -203,8 +204,7 @@ def read_shapefile(spark: SparkSession, path: str,
     fields, data, _ = _parse_shp_rows(path, geometry_column,
                                       encoding=encoding,
                                       return_fids=return_fids)
-    from pyspark.sql import types as T
-    df = spark.createDataFrame(data, T.StructType(fields))
+    df = _df_from_rows(spark, fields, data)
     return GeoDataFrame(df, geometry_column, crs)
 
 
@@ -285,8 +285,7 @@ def read_geopackage(spark: SparkSession, path: str, layer=None,
                                               fids=fids, bbox=bbox,
                                               return_fids=return_fids,
                                               keep_z=keep_z)
-    from pyspark.sql import types as T
-    df = spark.createDataFrame(data, T.StructType(fields))
+    df = _df_from_rows(spark, fields, data)
     return GeoDataFrame(df, geometry_column, crs or file_crs or DEFAULT_CRS)
 
 
@@ -645,8 +644,7 @@ def read_flatgeobuf(spark: SparkSession, path: str,
                                              geometry_column=geometry_column,
                                              fids=fids,
                                              return_fids=return_fids)
-    from pyspark.sql import types as T
-    df = spark.createDataFrame(data, T.StructType(fields))
+    df = _df_from_rows(spark, fields, data)
     return GeoDataFrame(df, geometry_column, crs or file_crs or DEFAULT_CRS)
 
 
@@ -898,8 +896,7 @@ def read_kml(spark: SparkSession, path: str,
     single-file container) — the scale path is convert-to-GeoParquet,
     same note as the FGB/GPKG readers."""
     fields, data, _ = _parse_kml_rows(path, geometry_column)
-    from pyspark.sql import types as T
-    df = spark.createDataFrame(data, T.StructType(fields))
+    df = _df_from_rows(spark, fields, data)
     return GeoDataFrame(df, geometry_column, "EPSG:4326")
 
 
@@ -987,8 +984,7 @@ def read_gml(spark: SparkSession, path: str, swap_axes: bool = False,
     fields, data, _ = _parse_gml_rows(path, swap_axes=swap_axes,
                                       geometry_column=geometry_column,
                                       fids=fids)
-    from pyspark.sql import types as T
-    df = spark.createDataFrame(data, T.StructType(fields))
+    df = _df_from_rows(spark, fields, data)
     return GeoDataFrame(df, geometry_column, crs)
 
 
@@ -1033,8 +1029,7 @@ def read_gpx(spark: SparkSession, path: str, layer: str = "tracks",
     split. WGS84 by specification; driver-side single-file parse."""
     fields, data, _ = _parse_gpx_rows(path, layer=layer,
                                       geometry_column=geometry_column)
-    from pyspark.sql import types as T
-    df = spark.createDataFrame(data, T.StructType(fields))
+    df = _df_from_rows(spark, fields, data)
     return GeoDataFrame(df, geometry_column, "EPSG:4326")
 
 

@@ -32,9 +32,14 @@ round (each round references the prior table several times and Catalyst
 re-analyzes the whole nested tree) and OOMs the DRIVER long before the
 data is large.  On a cluster with an HDFS checkpoint dir, ``checkpoint()``
 additionally survives executor loss; local checkpointing is the right
-default for iteration counts this small.  The convergence check is a
-``limit(1).count()`` over changed labels — one cheap action per round
-that short-circuits on the first difference.
+default for iteration counts this small.  The convergence check rides the
+SAME action that materializes each round's checkpoint (r12): labels are
+monotonically non-increasing under min-propagation, so the exact integer
+sum of labels (decimal — overflow-proof) is unchanged iff NO label
+changed — one ``agg(sum)`` over the lazily-checkpointed table both
+materializes it and reports convergence, replacing the r6
+two-actions-per-round shape (eager checkpoint + changed-labels
+join/limit/count).
 """
 
 from __future__ import annotations
@@ -68,8 +73,22 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             vertices.select(F.col(vertex_col).cast("long").alias("id")))
             .distinct())
 
+    # convergence stat: labels only ever DECREASE (min-propagation +
+    # least() in the jump), so sum(comp) is strictly smaller after any
+    # change and exactly equal iff the round was a fixed point. Decimal
+    # sum keeps the comparison exact at any vertex count (a BIGINT sum
+    # of n ids can overflow; decimal(38,0) holds sums of up to ~1e19
+    # max-long ids). The agg is the ONLY action per round: it
+    # materializes the lazy localCheckpoint and returns the stat in the
+    # same job (r12 — one action/round instead of eager-checkpoint +
+    # changed-join/limit/count).
+    def _label_sum(df):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
+                      .alias("s")).collect()[0]["s"]
+
     labels = nodes.select("id", F.col("id").alias("comp")) \
-                  .localCheckpoint(eager=True)
+                  .localCheckpoint(eager=False)
+    prev_sum = _label_sum(labels)
 
     for _ in range(max_iterations):
         # (1) neighbor-min: own label vs every neighbor's label
@@ -85,15 +104,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         new = (stepped.join(parent, "comp", "left")
                .select("id", F.least(
                    F.col("comp"), F.coalesce("jump", "comp")).alias("comp"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
+               .localCheckpoint(eager=False))
+        cur_sum = _label_sum(new)
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     return labels.select("id", F.col("comp").alias("component"))
 

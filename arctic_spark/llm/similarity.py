@@ -44,6 +44,20 @@ def cosine(a, b) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _cosine_pre(a, b, na, nb) -> Column:
+    """Cosine from PRE-COMPUTED per-row norms (r12 optimization, guide
+    §2.3 "don't compute things you throw away"): ``cosine(a, b)``
+    re-evaluates both interpreted-HOF norm folds for every candidate
+    PAIR, but a norm is a per-ROW quantity — hoisting it above the
+    join/cross-join evaluates it n times instead of n² (or n·k). The
+    arithmetic is identical expression-for-expression (same fold, same
+    operand order), so cos_sim values are bit-identical; only where the
+    norms are evaluated changes."""
+    na, nb = _c(na), _c(nb)
+    return F.when((na > 0) & (nb > 0),
+                  dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      query_id="vec_id", query_vec="embedding",
                      corpus_id="vec_id", corpus_vec="embedding",
@@ -52,13 +66,17 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     side by construction), native cosine, window top-k per query.
     Returns (query_id, neighbor_id, cos_sim, rank)."""
     q = queries.select(_c(query_id).alias("query_id"),
-                       _c(query_vec).alias("__qv"))
+                       _c(query_vec).alias("__qv"),
+                       norm(query_vec).alias("__qn"))
     c = corpus.select(_c(corpus_id).alias("neighbor_id"),
-                      _c(corpus_vec).alias("__cv"))
+                      _c(corpus_vec).alias("__cv"),
+                      norm(corpus_vec).alias("__cn"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
-    sim = joined.withColumn("cos_sim", cosine("__qv", "__cv"))
+    # per-row norms hoisted above the cross join (r12, _cosine_pre)
+    sim = joined.withColumn("cos_sim",
+                            _cosine_pre("__qv", "__cv", "__qn", "__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -129,10 +147,14 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     cand = (cand
             .join(queries.select(_c(query_id).alias("query_id"),
-                                 _c(query_vec).alias("__qv")), "query_id")
+                                 _c(query_vec).alias("__qv"),
+                                 norm(query_vec).alias("__qn")), "query_id")
             .join(corpus.select(_c(corpus_id).alias("neighbor_id"),
-                                _c(corpus_vec).alias("__cv")), "neighbor_id"))
-    sim = cand.withColumn("cos_sim", cosine("__qv", "__cv"))
+                                _c(corpus_vec).alias("__cv"),
+                                norm(corpus_vec).alias("__cn")),
+                  "neighbor_id"))
+    sim = cand.withColumn("cos_sim",
+                          _cosine_pre("__qv", "__cv", "__qn", "__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -151,8 +173,10 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     method='lsh': hyperplane-bucketed candidates + exact re-check — the
     scale path (shuffle is O(n × tables), recall < 1 by design).
     """
-    a = df.select(_c(id_col).alias("id_a"), _c(vec_col).alias("__va"))
-    b = df.select(_c(id_col).alias("id_b"), _c(vec_col).alias("__vb"))
+    a = df.select(_c(id_col).alias("id_a"), _c(vec_col).alias("__va"),
+                  norm(vec_col).alias("__na"))
+    b = df.select(_c(id_col).alias("id_b"), _c(vec_col).alias("__vb"),
+                  norm(vec_col).alias("__nb"))
     if method == "brute":
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
@@ -180,7 +204,8 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 .join(a, "id_a").join(b, "id_b"))
     else:
         raise ValueError(f"unknown method {method!r}")
-    out = cand.withColumn("cos_sim", cosine("__va", "__vb"))
+    out = cand.withColumn("cos_sim",
+                          _cosine_pre("__va", "__vb", "__na", "__nb"))
     return out.where(F.col("cos_sim") >= threshold) \
               .select("id_a", "id_b", "cos_sim")
 
@@ -228,14 +253,18 @@ def semdedup_pairs(df: DataFrame, centroids, threshold: float = 0.9,
     assign = ivf_assign_arrow if assign_method == "arrow" else ivf_assign
     assigned = df.select(
         _c(id_col).alias("id"), _c(vec_col).alias("__v"),
+        norm(vec_col).alias("__n"),
         F.element_at(assign(vec_col, centroids, 1), 1)
          .alias("cluster"))
     a = assigned.select("cluster", F.col("id").alias("id_a"),
-                        F.col("__v").alias("__va"))
+                        F.col("__v").alias("__va"),
+                        F.col("__n").alias("__na"))
     b = assigned.select("cluster", F.col("id").alias("id_b"),
-                        F.col("__v").alias("__vb"))
+                        F.col("__v").alias("__vb"),
+                        F.col("__n").alias("__nb"))
     pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
-    out = pairs.withColumn("cos_sim", cosine("__va", "__vb"))
+    out = pairs.withColumn("cos_sim",
+                           _cosine_pre("__va", "__vb", "__na", "__nb"))
     return (out.where(F.col("cos_sim") >= threshold)
             .select("cluster", "id_a", "id_b", "cos_sim"))
 
@@ -476,16 +505,19 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int = 5,
     assign = ivf_assign_arrow if assign_method == "arrow" else ivf_assign
     c = corpus.select(
         _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("__cv"),
+        norm(corpus_vec).alias("__cn"),
         F.element_at(assign(corpus_vec, centroids, 1), 1)
          .alias("__bucket"))
     q = queries.select(
         _c(query_id).alias("query_id"), _c(query_vec).alias("__qv"),
+        norm(query_vec).alias("__qn"),
         F.explode(assign(query_vec, centroids, nprobe))
          .alias("__bucket"))
     cand = q.join(c, on="__bucket")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-    sim = cand.withColumn("cos_sim", cosine("__qv", "__cv"))
+    sim = cand.withColumn("cos_sim",
+                          _cosine_pre("__qv", "__cv", "__qn", "__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (sim.withColumn("rank", F.row_number().over(w))
