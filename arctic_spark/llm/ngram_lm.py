@@ -117,6 +117,12 @@ def estimate_discounts(count_df: DataFrame) -> tuple:
             .groupBy("cnt").agg(F.count("*").alias("n"))
             .collect())
     n = {int(r["cnt"]): int(r["n"]) for r in rows}
+    return _discount_formulas(n)
+
+
+def _discount_formulas(n: dict) -> tuple:
+    """(D1, D2, D3+) from a {count: n_count} map — the shared arithmetic
+    of :func:`estimate_discounts`."""
     n1, n2, n3, n4 = (n.get(k, 0) for k in (1, 2, 3, 4))
     if n1 == 0 or n2 == 0 or n3 == 0:
         return 0.75, 0.75, 0.75          # degenerate corpus fallback
@@ -147,7 +153,6 @@ def _kn_shared(counts: dict, persist_mid: bool = False) -> dict:
     from pyspark import StorageLevel
     c2 = counts[2].persist(StorageLevel.MEMORY_AND_DISK)
     c3 = counts[3].persist(StorageLevel.MEMORY_AND_DISK)
-    c3.count()
 
     s2 = c2.select(F.split("gram", " ").alias("p"), "cnt") \
         .select(F.element_at("p", 1).alias("v"),
@@ -159,6 +164,12 @@ def _kn_shared(counts: dict, persist_mid: bool = False) -> dict:
 
     # continuation unigram: N1+(·w) / N1+(··)
     n1_w = s2.groupBy("w").agg(F.count("*").alias("n1w"))
+    # ONE job materializes BOTH caches and returns N1+(··): c2 derives
+    # from c3 (suffix marginal), so counting s2 computes c3, fills its
+    # cache, computes c2 on top, fills that cache, and returns the
+    # total — the separate eager c3.count() corpus-pass job is gone
+    # (r12; no lazy-persist race because this is a single action and
+    # every later consumer reads the already-filled caches).
     n1_tot = s2.count()
     uni = n1_w.select("w", (F.col("n1w") / F.lit(float(n1_tot)))
                       .alias("p1"))
@@ -359,9 +370,15 @@ def kn_score(df: DataFrame, col: str, model: dict,
     docs: join+agg 43.8 → 12.1 s. Above the limit (open-vocabulary
     corpora at 100 TB) the plan falls back to the shuffle join."""
     t = token_arrays(df, col, order)
-    grams = _grams(F.col("__toks"), order)
+    toks = F.col("__toks")
     if max_positions is not None:
-        grams = F.slice(grams, 1, max_positions)
+        # the first m scoring positions depend only on the first
+        # m + order - 1 tokens: slice the TOKEN array before building
+        # grams so the per-doc n-gram construction is O(m), not
+        # O(doc length) (r12; gram values at the kept positions are
+        # identical — position i reads tokens i..i+order-1 only)
+        toks = F.slice(toks, 1, max_positions + order - 1)
+    grams = _grams(toks, order)
     pos = (t.select(_c(id_col).alias("id"),
                     F.explode(grams).alias("g"))
            .select("id", F.split("g", " ").alias("p"))
