@@ -265,6 +265,23 @@ def _df_from_rows(spark, fields, data) -> DataFrame:
     conversion surprise (exotic cell types)."""
     from pyspark.sql import types as T
     schema = T.StructType(list(fields))
+
+    def _has_temporal(dt):
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                           T.DateType)):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_has_temporal(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _has_temporal(dt.elementType)
+        return False
+
+    # tz-safe fallback lives HERE so every caller gets it (ADVICE r12):
+    # to_arrow_type defaults timestamp_utc=True, which would silently
+    # reinterpret naive datetimes — temporal schemas keep the verified
+    # pickled path.
+    if any(_has_temporal(f.dataType) for f in schema.fields):
+        return spark.createDataFrame(data, schema)
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_type
@@ -273,6 +290,12 @@ def _df_from_rows(spark, fields, data) -> DataFrame:
             if v is None:
                 return None
             if isinstance(dt, T.StructType):
+                # a wrong-length tuple must fail loudly into the
+                # verified fallback, not null-fill fields (ADVICE r12)
+                if len(v) != len(dt.fields):
+                    raise ValueError(
+                        f"struct cell arity {len(v)} != schema arity "
+                        f"{len(dt.fields)}")
                 return {f.name: cell(x, f.dataType)
                         for f, x in zip(dt.fields, v)}
             if isinstance(dt, T.ArrayType):
@@ -285,7 +308,13 @@ def _df_from_rows(spark, fields, data) -> DataFrame:
             arrays.append(pa.array(vals, type=to_arrow_type(f.dataType)))
         tbl = pa.Table.from_arrays(arrays, [f.name for f in schema.fields])
         return spark.createDataFrame(tbl, schema)
-    except Exception:
+    except Exception as exc:
+        # observable fallback (ADVICE r12): a permanently-failing Arrow
+        # source would otherwise silently run ~15x slower
+        import warnings
+        warnings.warn(f"Arrow-backed driver source failed "
+                      f"({exc!r}); falling back to the pickled row "
+                      f"path", RuntimeWarning, stacklevel=2)
         return spark.createDataFrame(data, schema)
 
 

@@ -149,7 +149,16 @@ def _kn_shared(counts: dict, persist_mid: bool = False) -> dict:
     ``n1_vw`` — each is consumed by every variant, so sharing them
     across variants is where the multi-variant saving comes from
     (VERDICT r10 #3). Single-variant callers keep persist_mid=False:
-    identical plans (and gate hashes) to the pre-r11 code."""
+    identical plans (and gate hashes) to the pre-r11 code.
+
+    PRECONDITION (r12 single-action materialization): ``counts[2]``'s
+    plan must CONTAIN ``counts[3]`` as a subtree — true for
+    :func:`ngram_counts` output, where c2 is the suffix marginal of
+    c3, so the one ``s2.count()`` action below fills BOTH persisted
+    caches. For a hand-built counts dict where c2 is independent of
+    c3, results are still correct, but c3's cache then fills lazily
+    inside the first multi-branch consumer action — reintroducing one
+    duplicated corpus pass (perf only; ADVICE r12)."""
     from pyspark import StorageLevel
     c2 = counts[2].persist(StorageLevel.MEMORY_AND_DISK)
     c3 = counts[3].persist(StorageLevel.MEMORY_AND_DISK)
@@ -293,11 +302,13 @@ def kn_model(counts: dict, discount: float = 0.75,
     the ~6 consumers re-runs the full corpus explode+shuffle — measured
     2.3x end-to-end on the 2M-doc train+score stress (r9). Callers
     free them with ``for d in model["_pinned"]: d.unpersist()`` once
-    scoring is done. ``n1_tot``'s count() doubles as the eager
-    materialization of c2 (single consumer before the branches); c3
-    materializes eagerly via a count() for the same lazy-persist-race
-    reason. Pass ``_shared`` (from :func:`_kn_shared` /
-    :func:`kn_models`) to reuse tables across variants.
+    scoring is done. ONE action (the ``s2.count()`` inside
+    :func:`_kn_shared`) materializes BOTH caches: c2 is the suffix
+    marginal of c3 for :func:`ngram_counts` output, so counting s2
+    computes c3, fills its cache, derives c2 on top and fills that
+    cache too (r12 — see :func:`_kn_shared` for the precondition).
+    Pass ``_shared`` (from :func:`_kn_shared` / :func:`kn_models`) to
+    reuse tables across variants.
     """
     sh = _shared or _kn_shared(counts)
     s2, s3 = sh["s2"], sh["s3"]
@@ -338,7 +349,8 @@ def kn_model(counts: dict, discount: float = 0.75,
 def kn_score(df: DataFrame, col: str, model: dict,
              id_col: str = "doc_id", order: int = 3,
              max_positions: int = None,
-             broadcast_types_limit: int = 1_000_000) -> DataFrame:
+             broadcast_types_limit: int = 1_000_000,
+             max_broadcast_slices: int = 32) -> DataFrame:
     """Per-document interpolated-KN probability sums: (id, n_pos,
     sum_p) where sum_p = Σ_positions P(w | history) under the trained
     model and n_pos counts scored positions (words + EOS). The
@@ -367,8 +379,23 @@ def kn_score(df: DataFrame, col: str, model: dict,
     stream never shuffles for the probability join at all — only the
     final groupBy(id) exchanges it, with map-side partial aggregation
     collapsing to one row per document first. Same-session A/B at 2M
-    docs: join+agg 43.8 → 12.1 s. Above the limit (open-vocabulary
-    corpora at 100 TB) the plan falls back to the shuffle join."""
+    docs: join+agg 43.8 → 12.1 s.
+
+    r13 (VERDICT r12 #5): ABOVE the limit (open-vocabulary corpora at
+    100 TB) the probability join no longer falls back to shuffling
+    the position stream. The p-table is hash-sliced on the trigram
+    key into the fewest slices that each fit the broadcast limit
+    (capped at ``max_broadcast_slices``); each slice broadcast-joins
+    the matching hash-slice of the CACHED position stream, and the
+    slices union ahead of the one groupBy(id). The position stream
+    is read once per slice from its persisted copy — local reads —
+    but never crosses the network for the join (guide §8: move the
+    heavy stream once; the per-doc partials of the final groupBy are
+    the only exchange). The union of disjoint hash slices is exactly
+    the inner join, so per-position probabilities are identical.
+    Corpora needing more than ``max_broadcast_slices`` slices keep
+    the r10 shuffle join (executor memory, not wall time, is the
+    binding constraint there)."""
     t = token_arrays(df, col, order)
     toks = F.col("__toks")
     if max_positions is not None:
@@ -411,9 +438,32 @@ def kn_score(df: DataFrame, col: str, model: dict,
                + F.col("bo3") * p2) \
         .otherwise(p2)
     ptable = j.select("u", "v", "w", p.alias("__p"))
+    pinned = [pos, types]
     if n_types <= broadcast_types_limit:
-        ptable = F.broadcast(ptable)
-    scored = pos.join(ptable, ["u", "v", "w"])
+        scored = pos.join(F.broadcast(ptable), ["u", "v", "w"])
+    else:
+        import math
+        n_slices = math.ceil(n_types / broadcast_types_limit)
+        if n_slices <= max_broadcast_slices:
+            # partitioned broadcast (r13): persist the assembled
+            # p-table once (eager — the sliced broadcast builds run
+            # concurrently inside the final action and would race a
+            # lazy cache), then join each hash slice of it against
+            # the same hash slice of the cached position stream
+            ptable = ptable.persist(StorageLevel.MEMORY_AND_DISK)
+            ptable.count()
+            pinned.append(ptable)
+            sl = F.pmod(F.xxhash64("u", "v", "w"), F.lit(n_slices))
+            parts = [
+                pos.where(sl == i).join(
+                    F.broadcast(ptable.where(sl == i)),
+                    ["u", "v", "w"])
+                for i in range(n_slices)]
+            scored = parts[0]
+            for part in parts[1:]:
+                scored = scored.unionByName(part)
+        else:
+            scored = pos.join(ptable, ["u", "v", "w"])
     out = (scored.groupBy("id")
            .agg(F.count("*").alias("n_pos"),
                 F.sum("__p").alias("sum_p"),
@@ -423,7 +473,7 @@ def kn_score(df: DataFrame, col: str, model: dict,
     # pin only the scoring-side persists; the model's _pinned count
     # tables are owned by the caller (release() on one score result
     # must not unpersist the shared model) (ADVICE r9)
-    return pin(out, pos, types)
+    return pin(out, *pinned)
 
 
 def kn_perplexity(df: DataFrame, col: str, model: dict,

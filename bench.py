@@ -47,6 +47,58 @@ sys.path.insert(0, REPO)
 import __spark_entry__ as entrymod  # noqa: E402
 from arctic_spark.session import get_spark  # noqa: E402
 
+# r13 (VERDICT r12 task #6): the sf0.1 bench is scheduling-bound (8
+# cores beat 32 on the full sweep), so wall seconds alone cannot
+# attribute <20% deltas to code. The bench therefore ALSO records
+# per-query executor task-time (core-seconds) from the Spark event
+# log into BENCH_local_full.json — additions-only: the stdout JSON
+# line and the wall-time methodology are byte-compatible with v4.
+EVDIR = "/tmp/spark-events-bench"
+
+
+def _parse_task_time(evdir, app_id, names):
+    """Sum executor run time (s) per job-description label from the
+    event log — the extraction profile_bench.py uses, trimmed to the
+    one metric."""
+    path = os.path.join(evdir, app_id)
+    if not os.path.exists(path):
+        d = os.path.join(evdir, f"eventlog_v2_{app_id}")
+        parts = sorted(p for p in os.listdir(d) if p.startswith("events"))
+        merged = os.path.join(d, "_merged.jsonl")
+        with open(merged, "wb") as out_f:
+            for p in parts:
+                fp = os.path.join(d, p)
+                if p.endswith(".zstd"):
+                    import zstandard
+                    with open(fp, "rb") as in_f:
+                        out_f.write(zstandard.ZstdDecompressor()
+                                    .stream_reader(in_f).read())
+                else:
+                    with open(fp, "rb") as in_f:
+                        out_f.write(in_f.read())
+        path = merged
+    tt = {n: 0.0 for n in names}
+    stage_desc = {}
+    with open(path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except Exception:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                desc = (ev.get("Properties") or {}).get(
+                    "spark.job.description")
+                if desc in tt:
+                    for si in ev.get("Stage Infos", []):
+                        stage_desc[si["Stage ID"]] = desc
+            elif e == "SparkListenerTaskEnd":
+                d = stage_desc.get(ev["Stage ID"])
+                if d in tt:
+                    tm = ev.get("Task Metrics") or {}
+                    tt[d] += tm.get("Executor Run Time", 0) / 1000.0
+    return {n: round(v, 2) for n, v in tt.items()}
+
 BENCH_QUERIES = [
     # rounds 1-5 headline set (reported inline, round-over-round)
     "q1_pricing_summary",
@@ -223,11 +275,18 @@ def _run_once(spark, fn, sf_dir):
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("arctic_spark-bench")
+    os.makedirs(EVDIR, exist_ok=True)
+    spark = get_spark("arctic_spark-bench", **{
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": EVDIR,
+        # plain JSON events — no optional codec dependency at parse
+        "spark.eventLog.compress": "false",
+    })
     qs = entrymod.queries()
 
     _warm_worker_pool(spark)
 
+    sc = spark.sparkContext
     timings, pass1, pass2 = {}, {}, {}
     # safety net (r9): a queries() entry missing from BENCH_QUERIES is
     # appended rather than silently unbenched (r9's first run missed
@@ -235,6 +294,7 @@ def main():
     bench_list = list(BENCH_QUERIES) + sorted(set(qs) - set(BENCH_QUERIES))
     for name in bench_list:
         fn = qs[name]
+        sc.setJobDescription(name)
         a = _run_once(spark, fn, sf_dir)
         # drop persisted intermediates (minhash bands, join pins,
         # cluster checkpoints) so the second pass recomputes them —
@@ -243,16 +303,25 @@ def main():
         spark.catalog.clearCache()
         b = _run_once(spark, fn, sf_dir)
         spark.catalog.clearCache()
+        sc.setJobDescription(None)
         pass1[name], pass2[name] = a, b
         timings[name] = min(a, b)
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[n] for n in HEADLINE), 3)
+
+    app_id = sc.applicationId
+    try:
+        task_time = _parse_task_time(EVDIR, app_id, bench_list)
+    except Exception as exc:      # attribution is additive, never fatal
+        print(f"task-time extraction failed: {exc!r}", file=sys.stderr)
+        task_time = {}
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     full = {"metric": "bench_total_wall", "value": total, "unit": "sec",
             "sf": sf, "n_queries": len(bench_list),
             "headline_total": headline_total,
             "queries": timings, "pass1": pass1, "pass2": pass2,
+            "task_time_s": task_time,
             "methodology": "rebuild-both-passes, warm worker pool (v4)"}
     with open(os.path.join(REPO, "BENCH_local_full.json"), "w") as f:
         json.dump(full, f, indent=1)

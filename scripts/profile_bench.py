@@ -54,6 +54,7 @@ def main():
     spark = get_spark("arctic_spark-profile", **{
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": EVDIR,
+        "spark.eventLog.compress": "false",
     })
     qs = entrymod.queries()
     only = sys.argv[1:] or list(qs)

@@ -153,3 +153,61 @@ def test_sentinel_bytes_in_input_are_stripped(spark):
     assert sorted(r["word"] for r in vocab) == ["ab", "cd"]
     assert all("\x1f\x1f" not in r["syms"].replace("\x1e\x1f", "")
                for r in vocab)
+
+
+def test_batched_merges_identical_to_sequential(spark):
+    # r13: multi-merge rounds must produce EXACTLY the sequential
+    # merge list (the batch takes only provably non-interacting
+    # prefixes — see tokenize._batch_select)
+    import random
+    rng = random.Random(13)
+    alpha = "abcdefg"
+    texts = TEXTS + [
+        " ".join("".join(rng.choice(alpha)
+                         for _ in range(rng.randint(1, 6)))
+                 for _ in range(rng.randint(3, 30)))
+        for _ in range(40)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # driver_vocab_limit=0 forces the DISTRIBUTED path on this tiny
+    # vocab so the batched rounds are what's being exercised
+    seq = tk.train_bpe(df, "text", num_merges=30, batch_merges=1,
+                       driver_vocab_limit=0)
+    for k in (2, 8, 16, 64):
+        assert tk.train_bpe(df, "text", num_merges=30, batch_merges=k,
+                            driver_vocab_limit=0) == seq, f"k={k}"
+    # the r13 driver-side fast path (default limit) must agree too
+    assert tk.train_bpe(df, "text", num_merges=30) == seq
+    # reference parity too (ties + created-pair edge cases)
+    assert seq == [tuple(p) for p in _ref_train(texts, 30)]
+
+
+def test_batch_select_barrier_edge_cases():
+    # created-pair tie danger: (x,a) interacts with taken (a,b) at the
+    # SAME count as a later disjoint pair -> the later pair must drop
+    rows = [{"left": "a", "right": "b", "cnt": 10},
+            {"left": "x", "right": "a", "cnt": 9},
+            {"left": "c", "right": "d", "cnt": 9}]
+    assert tk._batch_select(rows, 10, 2, complete=True) == [("a", "b")]
+    # disjoint pairs above the barrier all batch
+    rows = [{"left": "a", "right": "b", "cnt": 10},
+            {"left": "c", "right": "d", "cnt": 8},
+            {"left": "e", "right": "f", "cnt": 6},
+            {"left": "a", "right": "c", "cnt": 5}]
+    assert tk._batch_select(rows, 10, 2, complete=True) == [
+        ("a", "b"), ("c", "d"), ("e", "f")]
+    # output-symbol interaction: ("ab","x") gains created adjacencies
+    rows = [{"left": "a", "right": "b", "cnt": 10},
+            {"left": "ab", "right": "x", "cnt": 9},
+            {"left": "c", "right": "d", "cnt": 8}]
+    assert tk._batch_select(rows, 10, 2, complete=True) == [("a", "b")]
+    # truncated list: the last taken row ties the unseen tail -> drop
+    rows = [{"left": "a", "right": "b", "cnt": 10},
+            {"left": "c", "right": "d", "cnt": 8}]
+    assert tk._batch_select(rows, 10, 2, complete=False) == [("a", "b")]
+    # complete list without interaction keeps everything taken
+    assert tk._batch_select(rows, 10, 2, complete=True) == [
+        ("a", "b"), ("c", "d")]
+    # min_pair_count stops the walk and bars equal counts
+    rows = [{"left": "a", "right": "b", "cnt": 10},
+            {"left": "c", "right": "d", "cnt": 1}]
+    assert tk._batch_select(rows, 10, 2, complete=True) == [("a", "b")]

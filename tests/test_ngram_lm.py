@@ -254,3 +254,36 @@ def test_kn_models_shared_counts_match_separate(spark):
 def test_kn_models_unknown_variant():
     with pytest.raises(ValueError, match="variant"):
         L.kn_models({}, variants=("interpolated", "bogus"))
+
+
+def test_kn_score_sliced_broadcast_matches_default(spark):
+    # r13 (VERDICT r12 #5): above broadcast_types_limit the p-table
+    # joins via hash-sliced broadcasts against the cached position
+    # stream — per-position probabilities must match the broadcast
+    # path exactly (union of disjoint hash slices == the inner join)
+    import pytest
+    df = spark.createDataFrame(list(enumerate(CORPUS)),
+                               "doc_id long, text string")
+    model = L.kn_model(L.ngram_counts(df, "text", 3), discount=0.75)
+    base = {r["id"]: r for r in
+            L.kn_score(df, "text", model, "doc_id").collect()}
+    sliced = {r["id"]: r for r in
+              L.kn_score(df, "text", model, "doc_id",
+                         broadcast_types_limit=4).collect()}
+    assert set(sliced) == set(base)
+    for i in base:
+        assert sliced[i]["n_pos"] == base[i]["n_pos"]
+        assert sliced[i]["sum_p"] == pytest.approx(
+            base[i]["sum_p"], abs=1e-12)
+        assert sliced[i]["sum_log2_p"] == pytest.approx(
+            base[i]["sum_log2_p"], abs=1e-9)
+    # a type count needing more slices than max_broadcast_slices
+    # keeps the plain shuffle join (same numbers again)
+    shuffled = {r["id"]: r for r in
+                L.kn_score(df, "text", model, "doc_id",
+                           broadcast_types_limit=1,
+                           max_broadcast_slices=2).collect()}
+    for i in base:
+        assert shuffled[i]["n_pos"] == base[i]["n_pos"]
+        assert shuffled[i]["sum_p"] == pytest.approx(
+            base[i]["sum_p"], abs=1e-12)
