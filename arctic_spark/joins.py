@@ -233,7 +233,7 @@ def _refine_predicate_build(lg, rg, predicate, udf_refine):
 def spatial_join(left, right, how="inner", predicate="intersects",
                  lsuffix="_left", rsuffix="_right", cell_size=None,
                  broadcast_right=None, udf_refine=True, points_left=False,
-                 left_key=None):
+                 left_key=None, convex_refine="auto"):
     """Distributed filter–refine spatial join.
 
     Parameters mirror the reference's SpatialJoinArgs
@@ -253,6 +253,35 @@ def spatial_join(left, right, how="inner", predicate="intersects",
     the result). Persisted intermediates are pinned on the returned
     GeoDataFrame — call ``result.release()`` (arctic_spark.cache) when
     the output has been materialized.
+
+    ``convex_refine`` (r13, VERDICT r12 #1): how convex×convex
+    candidate pairs refine.
+
+    * ``"sat"`` — the r6 separating-axis Catalyst expressions.
+      Zero-Python, but lambda-HOF trees evaluate OUTSIDE codegen:
+      measured 0.2 ms/pair (the engine's single largest per-task
+      cost, 349 core-s on the sf0.1 diamond gate).
+    * ``"kernel"`` — the vectorized Arrow batch kernel
+      (geom/batch.py), exact for every type pair. Stress A/B over
+      the identical 12.2M-pair candidate set: SAT 76.6 s vs kernel
+      13.9 s (**5.5×**), equal match counts
+      (scripts/stress_refine_ab.py). The pandas-UDF stage ships
+      EVERY candidate row of the stage through Arrow (Spark hoists
+      Python UDFs out of ``when`` branches), so this mode is for
+      workloads whose pairs actually are convex polygons — tile/
+      rect workloads keep "sat" (their pairs take the pure-codegen
+      interval branch, and the kernel stage would tax them with
+      boundary traffic for nothing).
+    * ``"auto"`` (default) — ``"kernel"`` when ``udf_refine=True``
+      (the general kernel already evaluates on every row of the
+      stage there, so the interpreted SAT branch was computing
+      answers the kernel had already produced — dropping it is
+      strictly less work, no new Python node); ``"sat"`` when
+      ``udf_refine=False`` (preserves the documented 100%-JVM plan).
+
+    On exact-touch (boundary-tie) pairs the SAT and kernel paths can
+    round differently in floating point — both are exact in real
+    arithmetic; fixtures/gates are constructed tie-free.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"join type {how!r} not supported (reference "
@@ -270,7 +299,8 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         lgdf0 = left if isinstance(left, GeoDataFrame) else GeoDataFrame(left)
         sw = spatial_join(right, left, how="inner", predicate="contains",
                           lsuffix=rsuffix, rsuffix=lsuffix,
-                          cell_size=cell_size, udf_refine=udf_refine)
+                          cell_size=cell_size, udf_refine=udf_refine,
+                          convex_refine=convex_refine)
         lcols = [c + lsuffix for c in lgdf0.df.columns]
         rcols = [c for c in sw.df.columns if c not in lcols]
         return GeoDataFrame(sw.df.select(*lcols, *rcols),
@@ -406,6 +436,12 @@ def spatial_join(left, right, how="inner", predicate="intersects",
         # zero Python for rectangle workloads (tiles, extents, bboxes) —
         # combined with udf_refine=False the whole refine stays inside
         # whole-stage codegen.
+        if convex_refine not in ("auto", "sat", "kernel"):
+            raise ValueError(f"convex_refine {convex_refine!r} not "
+                             "supported; use 'auto', 'sat' or 'kernel'")
+        cvx_kernel = (convex_refine == "kernel"
+                      or (convex_refine == "auto" and udf_refine))
+
         def _build_poly_refine():
             fast_paths = predicate in ("intersects", "contains")
             both_rect = F.col("__l_meta.rect") & F.col("__r_meta.rect") \
@@ -415,22 +451,34 @@ def spatial_join(left, right, how="inner", predicate="intersects",
             else:
                 rect_ans = ((lx0 <= rx0) & (rx1 <= lx1)
                             & (ly0 <= ry0) & (ry1 <= ly1))
-            # convex×convex pairs (hoisted flags) refine with the native
-            # SAT / half-plane expressions — exact for convex polygons,
-            # zero Python. With udf_refine=False this makes ANY
-            # all-convex polygon workload (tiles, diamonds, hulls,
-            # triangulations) a 100% JVM plan.
+            # convex×convex pairs (hoisted flags): either the r6
+            # native SAT / half-plane expressions (zero Python, but
+            # interpreted lambda-HOFs — 0.2 ms/pair) or the Arrow
+            # batch kernel (5.5× at stress scale; see the
+            # convex_refine docstring). Under udf_refine=True the
+            # general kernel is ALREADY evaluated for every stage row
+            # (Python UDFs hoist out of `when`), so "kernel" there
+            # means simply dropping the redundant SAT branch.
             both_cvx = F.col("__l_meta.cvx") & F.col("__r_meta.cvx") \
                 if fast_paths else F.lit(False)
-            if predicate == "intersects":
+            general = _refine_predicate(lg, rg, predicate, udf_refine)
+            if cvx_kernel and udf_refine:
+                return (F.when(both_rect, rect_ans).otherwise(general))
+            if cvx_kernel:
+                from .functions import udfs as _udfs
+                kern = _udfs.intersects if predicate == "intersects" \
+                    else _udfs.contains
+                cvx_ans = F.coalesce(kern(F.col(lg), F.col(rg)),
+                                     F.lit(False))
+            elif predicate == "intersects":
                 cvx_ans = native.convex_intersects(F.col(lg), F.col(rg))
             else:
                 cvx_ans = native.convex_contains(F.col(lg), F.col(rg))
             return (F.when(both_rect, rect_ans)
                     .when(both_cvx, cvx_ans)
-                    .otherwise(_refine_predicate(lg, rg, predicate,
-                                                 udf_refine)))
-        refine = _memo_col(("poly", lg, rg, predicate, bool(udf_refine)),
+                    .otherwise(general))
+        refine = _memo_col(("poly", lg, rg, predicate, bool(udf_refine),
+                            bool(cvx_kernel)),
                            _build_poly_refine)
     matched = (joined.where(bbox_ok & canonical)
                .where(refine)
@@ -488,11 +536,48 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
     ldfs = ldf.select(*[F.col(c).alias(c + lsuffix) for c in ldf.columns])
     rdfs = rdf.select(*[F.col(c).alias(c + rsuffix) for c in rdf.columns])
     lg, rg = lgeom + lsuffix, rgeom + rsuffix
+    cs = float(cell_size)
+    d = F.lit(float(distance))
+
+    if points_only:
+        # r13 (VERDICT r12 #3/#4 family): single points need none of
+        # the general machinery — materialized coordinates replace the
+        # meta struct (whose optimizer-opaque freeze barrier keeps the
+        # WHOLE candidate stage out of codegen), the right point sits
+        # in exactly ONE cell (no explode, and every candidate pair is
+        # generated exactly once, so the canonical-cell filter
+        # disappears), and the refine compares SQUARED distance (no
+        # sqrt per candidate). Same candidates, same matches — the
+        # nearest_join layout applied to the radius join.
+        dd = float(distance)
+        lc = (ldfs.withColumn("__l_px", native.x(F.col(lg)))
+                  .withColumn("__l_py", native.y(F.col(lg)))
+                  .where(F.col("__l_px").isNotNull()))
+        lc = lc.withColumn("__l_cell", F.explode(_cells_for_bounds(
+            F.col("__l_px") - dd, F.col("__l_py") - dd,
+            F.col("__l_px") + dd, F.col("__l_py") + dd, cs)))
+        csl = F.lit(cs)
+        rc = (rdfs.withColumn("__r_px", native.x(F.col(rg)))
+                  .withColumn("__r_py", native.y(F.col(rg)))
+                  .where(F.col("__r_px").isNotNull()))
+        rc = rc.withColumn("__r_cell", F.struct(
+            F.floor(F.col("__r_px") / csl).cast("int").alias("cx"),
+            F.floor(F.col("__r_py") / csl).cast("int").alias("cy")))
+        if broadcast_right:
+            rc = F.broadcast(rc)
+        joined = lc.join(rc, (lc["__l_cell.cx"] == rc["__r_cell.cx"])
+                         & (lc["__l_cell.cy"] == rc["__r_cell.cy"]),
+                         "inner")
+        dx = F.col("__l_px") - F.col("__r_px")
+        dy = F.col("__l_py") - F.col("__r_py")
+        out = joined.where(dx * dx + dy * dy <= d * d) \
+            .drop("__l_cell", "__r_cell", "__l_px", "__l_py",
+                  "__r_px", "__r_py")
+        return GeoDataFrame(out, lg, lgdf.crs)
 
     # expand left bboxes by the radius so cell-equality is a superset
     # (the meta-struct formulation of _with_cells keeps expression-built
     # geometry evaluated once per row — see its docstring)
-    cs = float(cell_size)
     lc = _with_cells(ldfs, lg, cs, "__l_", pad=float(distance))
     rc = _with_cells(rdfs, rg, cs, "__r_")
     if broadcast_right:
@@ -508,30 +593,24 @@ def dwithin_join(left, right, distance, lsuffix="_left", rsuffix="_right",
     both_points = (lcol["gt"] == 0) & (rcol["gt"] == 0)
     helper_cols = ["__l_cell", "__r_cell", "__l_meta", "__r_meta"]
     base = joined.where(canonical)
-    d = F.lit(float(distance))
-    if points_only:
-        # fully native — no Python worker anywhere in the plan
-        out = base.where(native.distance_points(lcol, rcol) <= d)
-    else:
-        # Spark evaluates a Python UDF for every row of its stage even
-        # under a `when` branch (see _refine_predicate), so the plan is
-        # SPLIT: the point/point rows filter natively, only the general
-        # rows pass through the UDF stage — all-point data pays zero
-        # Python cost. The candidate join feeds both branches, so it is
-        # persisted to execute once (not once per branch).
-        from pyspark import StorageLevel
-        from .functions.udfs import distance as _distance_udf
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-        pinned_base = base
-        pts = base.where(both_points).where(
-            native.distance_points(lcol, rcol) <= d)
-        gen = base.where(~both_points).where(_distance_udf(lcol, rcol) <= d)
-        out = pts.unionByName(gen)
+    # Spark evaluates a Python UDF for every row of its stage even
+    # under a `when` branch (see _refine_predicate), so the plan is
+    # SPLIT: the point/point rows filter natively, only the general
+    # rows pass through the UDF stage — all-point data pays zero
+    # Python cost. The candidate join feeds both branches, so it is
+    # persisted to execute once (not once per branch).
+    from pyspark import StorageLevel
+    from .functions.udfs import distance as _distance_udf
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned_base = base
+    pts = base.where(both_points).where(
+        native.distance_points(lcol, rcol) <= d)
+    gen = base.where(~both_points).where(_distance_udf(lcol, rcol) <= d)
+    out = pts.unionByName(gen)
     out = out.drop(*helper_cols)
     result = GeoDataFrame(out, lg, lgdf.crs)
-    if not points_only:
-        from .cache import pin
-        pin(result, pinned_base)
+    from .cache import pin
+    pin(result, pinned_base)
     return result
 
 

@@ -17,7 +17,10 @@ Both run over the same cached candidates, counts must agree exactly
 the min reported (warm cache).
 
 Usage: python scripts/stress_refine_ab.py [n_left] [n_right] [passes]
-Run with SPARK_DRIVER_MEMORY=48g for the 10M-pair default.
+                                          [predicate]
+predicate 'contains' A/Bs convex_contains (half-plane HOF) against
+the batch contains kernel instead. Run with SPARK_DRIVER_MEMORY=48g
+for the 10M-pair default.
 """
 
 from __future__ import annotations
@@ -42,7 +45,11 @@ def _diamonds(spark, n, key, domain, r_base=1.37, r_step=0.6,
               mult=2654435761):
     """L1-ball diamonds (the geo_diamond_join shape) with
     deterministic pseudo-random centers on a [0, domain)^2 box,
-    radius r_base + (id % 3) * r_step."""
+    radius r_base + (id % 3) * r_step. Radii carry 4-decimal tails
+    chosen (per side, see main) so no candidate pair has
+    L1distance == r1+r2 — exact-touch configurations are where two
+    exact kernels may legitimately differ in floating point, and the
+    gate fixture excludes them for the same reason."""
     d100 = int(domain * 100)
     cx = ((F.col("id") * mult) % d100).cast("double") / 100.0
     cy = ((F.col("id") * 40503 + 7) % d100).cast("double") / 100.0
@@ -58,6 +65,7 @@ def main():
     n_left = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_right = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    predicate = sys.argv[4] if len(sys.argv) > 4 else "intersects"
     spark = get_spark("arctic_spark-stress-refine-ab")
     sc = spark.sparkContext
     try:
@@ -66,10 +74,19 @@ def main():
         # domain sized for ~3x n_left candidate pairs: with ~2 cells
         # covered per bbox on each side, E[cand] ~ 4 * n_l * n_r *
         # cell^2 / D^2
-        target = 3.0 * n_left
+        # empirical yield of this layout is ~0.25x the estimate, so
+        # aim 12x to land ~3x n_left actual candidates
+        target = 12.0 * n_left
         domain = (4.0 * n_left * n_right * cell * cell / target) ** 0.5
-        d1 = _diamonds(spark, n_left, "lid", domain)
-        d2 = _diamonds(spark, n_right, "rid", domain, mult=69069)
+        # centers land on a 0.01 grid, so L1 distances are (near-)
+        # multiples of 0.01; radius tails sum to 0.0048..0.0096 —
+        # never a 0.01 multiple — keeping every pair >=1e-3 away from
+        # exact touch (FP-robust for both kernels)
+        l_base = 4.9717 if predicate == "contains" else 1.3717
+        d1 = _diamonds(spark, n_left, "lid", domain,
+                       r_base=l_base, r_step=0.6013)
+        d2 = _diamonds(spark, n_right, "rid", domain, mult=69069,
+                       r_base=1.4431, r_step=0.5711)
         lc = _with_cells(
             d1.df.select(F.col("lid"),
                          F.col("geometry").alias("geometry_left")),
@@ -103,12 +120,23 @@ def main():
               f"({n_left:,} x {n_right:,} diamonds)", flush=True)
 
         lg, rg = F.col("geometry_left"), F.col("geometry_right")
-        sides = {
-            "sat_hof": cand.where(
-                native.convex_intersects(lg, rg)),
-            "arrow_kernel": cand.where(
-                F.coalesce(udfs.intersects(lg, rg), F.lit(False))),
-        }
+        if predicate == "contains":
+            # contains needs the left radii strictly larger so a
+            # meaningful fraction of pairs actually contain; the
+            # tie-free radii property still holds
+            sides = {
+                "sat_hof": cand.where(
+                    native.convex_contains(lg, rg)),
+                "arrow_kernel": cand.where(
+                    F.coalesce(udfs.contains(lg, rg), F.lit(False))),
+            }
+        else:
+            sides = {
+                "sat_hof": cand.where(
+                    native.convex_intersects(lg, rg)),
+                "arrow_kernel": cand.where(
+                    F.coalesce(udfs.intersects(lg, rg), F.lit(False))),
+            }
         results = {}
         for name, df in sides.items():
             times = []
