@@ -1057,7 +1057,17 @@ def geo_ring_accessors(spark, sf):
     square with a unit hole. Exterior length 4w, boundary length 4w+4,
     one interior ring of length 4, representative point strictly inside,
     clip by the left strip x<3 leaves area 3w−1 (the hole sits fully in
-    the strip)."""
+    the strip). r13 (VERDICT r12 #1): the battery evaluates through the
+    fused st.ring_stats Arrow kernel — the accessor-chain formulation
+    paid TWO pandas-UDF stages (clip_by_rect, representative_point)
+    plus a dozen interpreted lambda-HOF folds outside codegen (301
+    core-s at sf0.1, the engine's second-worst per-task cost); the
+    kernel computes the same ten values in ONE Arrow exchange
+    (metric-for-metric identity pinned in
+    tests/test_shape_ops.py::test_ring_stats_matches_native_battery
+    and by the stress A/B's exact micro-unit signatures,
+    scripts/stress_ring_ab.py). rp_inside stays native interval
+    arithmetic over the kernel's rp coordinates."""
     o = _t(spark, sf, "orders")
     from arctic_spark.functions.native import memo_col
 
@@ -1067,51 +1077,38 @@ def geo_ring_accessors(spark, sf):
         v = (F.col("o_custkey") % 3).cast("double") * 0.3
         hx, hy = 1.0 + u, 1.0 + v
         z = F.lit(0.0)
-        # st.freeze: 9 downstream metrics consume the constructed
-        # polygon — without the barrier Catalyst inlines the
-        # construction into each (measured 2.9 s of 4.8 s at sf0.1);
-        # exterior/interiors/rp are each consumed by 2-8 operands and
-        # get the same treatment (r7). The whole battery is
-        # parameterized by fixed column names only, so it memoizes per
-        # session (r9: construction was 1.7 s of py4j chatter per
-        # bench pass)
-        poly_c = st.freeze(st.geom_struct(
+        # the polygon now has exactly ONE consumer (the kernel), so
+        # the r7 freeze fan-out barrier is unnecessary — construction
+        # inlines into the kernel's input projection and stays in
+        # codegen. memo_col still caches the Column build (r9: 1.7 s
+        # of py4j chatter per bench pass).
+        poly_c = st.geom_struct(
             F.lit(3),
             F.array(z, w, w, z, z, hx, hx, hx + 1.0, hx + 1.0, hx),
             F.array(z, z, w, w, z, hy, hy + 1.0, hy + 1.0, hy, hy),
-            F.array(F.lit(5), F.lit(5)), F.array(F.lit(2))))
-        poly = F.col("__poly")
-        ext_c = st.freeze(st.exterior(poly))
-        ints_c = st.freeze(st.interiors(poly))
-        rp_c = st.freeze(st.representative_point(poly))
-        ext, ints, rp = F.col("__ext"), F.col("__ints"), F.col("__rp")
-        clip = st.clip_by_rect(poly, -0.5, -0.5, 3.0, 100.0)
-        hole = F.element_at(ints, 1)
-        # interior test spelled as interval arithmetic (not
-        # contains_point: a Python-UDF operand can't sit inside a
-        # native higher-order lambda)
-        rx, ry = st.x(rp), st.y(rp)
+            F.array(F.lit(5), F.lit(5)), F.array(F.lit(2)))
+        rs_c = st.ring_stats(F.col("__poly"), -0.5, -0.5, 3.0, 100.0)
+        rs = F.col("__rs")
+        rx, ry = rs["rx"], rs["ry"]
         rp_inside = ((rx > 0) & (rx < w) & (ry > 0) & (ry < w)
                      & ~((rx > hx) & (rx < hx + 1.0)
                          & (ry > hy) & (ry < hy + 1.0)))
         metrics = [
-            F.round(st.area(poly), 6).alias("full_area"),
-            F.round(st.area(clip), 6).alias("clip_area"),
-            F.round(st.length(ext), 6).alias("ext_len"),
-            F.round(st.length(st.boundary(poly)), 6).alias("bnd_len"),
-            F.size(ints).cast("long").alias("n_holes"),
-            F.round(st.length(hole), 6).alias("hole_len"),
-            st.is_ring(ext).alias("ext_is_ring"),
-            st.is_empty(poly).alias("empty"),
+            F.round(rs["full_area"], 6).alias("full_area"),
+            F.round(rs["clip_area"], 6).alias("clip_area"),
+            F.round(rs["ext_len"], 6).alias("ext_len"),
+            F.round(rs["bnd_len"], 6).alias("bnd_len"),
+            rs["n_holes"].alias("n_holes"),
+            F.round(rs["hole_len"], 6).alias("hole_len"),
+            rs["ext_is_ring"].alias("ext_is_ring"),
+            rs["empty"].alias("empty"),
             rp_inside.alias("rp_inside")]
-        return (poly_c, ext_c, ints_c, rp_c, metrics)
+        return (poly_c, rs_c, metrics)
 
-    poly_c, ext_c, ints_c, rp_c, metrics = memo_col(
-        ("ring_accessors_battery",), build)
+    poly_c, rs_c, metrics = memo_col(
+        ("ring_accessors_battery_r13",), build)
     return (o.withColumn("__poly", poly_c)
-            .withColumn("__ext", ext_c)
-            .withColumn("__ints", ints_c)
-            .withColumn("__rp", rp_c)
+            .withColumn("__rs", rs_c)
             .select("o_orderkey", *metrics))
 
 

@@ -27,6 +27,7 @@ from .native import (affine_transform, area, bbox_intersects, boundary,
                      point, rotate, scale, skew, total_bounds_agg, translate,
                      x, y)
 from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
+                   ring_stats,
                    geodesic_length, geom_equals, is_simple, is_valid,
                    is_valid_reason, build_area, split, subdivide,
                    relate, relate_pattern, representative_point,
@@ -109,7 +110,8 @@ __all__ = [
     "contains", "from_wkb", "to_wkb", "from_wkt", "to_wkt", "as_text",
     "geom_struct", "boundary", "interiors", "z", "has_z", "geom_equals",
     "geom_equals_exact",
-    "clip_by_rect", "buffer", "representative_point", "is_simple",
+    "clip_by_rect", "buffer", "representative_point", "ring_stats",
+    "is_simple",
     "is_valid", "disjoint", "within", "covers", "collect_agg",
     "unary_union",
     "touches", "crosses", "overlaps", "geom_almost_equals", "covered_by",

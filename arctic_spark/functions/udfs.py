@@ -542,6 +542,117 @@ def representative_point(g: pd.DataFrame) -> pd.DataFrame:
         "parts": [None if t is None else [1] for t in gts]})
 
 
+def ring_stats(g, xmin: float, ymin: float, xmax: float, ymax: float):
+    """Fused polygon ring/metric battery (r13, VERDICT r12 #1) — the
+    geo_ring_accessors battery in ONE Arrow exchange.
+
+    The accessor-chain formulation pays two separate pandas-UDF stages
+    (clip_by_rect, representative_point) PLUS a dozen interpreted
+    lambda-HOF folds (st.area / st.length are Catalyst ``aggregate``
+    expressions evaluated outside whole-stage codegen — 301 core-s at
+    sf0.1, the engine's second-worst per-task cost after the diamond
+    SAT refine). This kernel computes the same ten values from the
+    same geometry in one numpy pass:
+
+      full_area   = st.area(poly)
+      clip_area   = st.area(st.clip_by_rect(poly, xmin..ymax))
+      ext_len     = st.length(st.exterior(poly))
+      bnd_len     = st.length(st.boundary(poly))
+      n_holes     = size(st.interiors(poly))
+      hole_len    = st.length(element_at(st.interiors(poly), 1))
+      ext_is_ring = st.is_ring(st.exterior(poly))   (closedness)
+      empty       = st.is_empty(poly)
+      rx, ry      = st.x/y(st.representative_point(poly))
+
+    Same shoelace/segment arithmetic on the same coordinates (the
+    per-ring sums run over <=8-element slices, where numpy's reduce
+    order matches the fold), so rounded-6dp outputs are identical —
+    asserted metric-for-metric against the native battery in
+    tests/test_shape_ops.py::test_ring_stats_matches_native_battery.
+    Defined for POLYGON rows (the battery's domain); other types
+    return all-null structs."""
+    fields = ("full_area", "clip_area", "ext_len", "bnd_len", "n_holes",
+              "hole_len", "ext_is_ring", "empty", "rx", "ry")
+
+    @pandas_udf("struct<full_area:double,clip_area:double,ext_len:double,"
+                "bnd_len:double,n_holes:long,hole_len:double,"
+                "ext_is_ring:boolean,empty:boolean,rx:double,ry:double>")
+    def _stats(gg: pd.DataFrame) -> pd.DataFrame:
+        from ..geom.ragged import POLYGON as _PG
+        rg = ragged_from_pdf(gg)
+        n = len(rg)
+        if n == 0:
+            return pd.DataFrame({f: [] for f in fields})
+        poly = rg.gt == _PG
+
+        full_area = algos.area(rg)
+        clip_area = algos.area(algos.clip_by_rect(rg, xmin, ymin,
+                                                  xmax, ymax))
+        rx, ry = algos.representative_point(rg)
+
+        # per-ring lengths, vectorized: zero the wrap segment of each
+        # ring, then reduceat over ring starts (rings are contiguous)
+        xs, ys = rg.xs, rg.ys
+        starts = algos._ring_starts(rg)
+        ends = starts + rg.rings
+        if len(xs):
+            seg = np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2)
+            seg = np.append(seg, 0.0)
+            seg[ends - 1] = 0.0
+            ring_len = (np.add.reduceat(seg, starts)
+                        if len(starts) else np.empty(0))
+        else:
+            ring_len = np.zeros(len(starts))
+        r0 = rg.ring_offsets[:-1].astype(np.int64)
+        r1 = rg.ring_offsets[1:].astype(np.int64)
+        nrings = r1 - r0
+        has_ring = nrings > 0
+        r0c = np.minimum(r0, max(len(ring_len) - 1, 0))
+        ext_len = np.where(has_ring, ring_len[r0c], 0.0)
+        bnd_len = (np.add.reduceat(np.append(ring_len, 0.0),
+                                   np.minimum(r0, len(ring_len)))
+                   if n else np.empty(0))
+        bnd_len = np.where(has_ring, bnd_len, 0.0)
+        n_holes = np.maximum(nrings - 1, 0)
+        has_hole = nrings >= 2
+        h0 = np.minimum(r0 + 1, max(len(ring_len) - 1, 0))
+        hole_len = np.where(has_hole, ring_len[h0], np.nan)
+
+        # exterior closedness (native is_ring checks closure only)
+        s0 = starts[r0c]
+        l0 = np.where(has_ring, rg.rings[r0c], 0)
+        e0 = np.maximum(s0 + l0 - 1, s0)
+        if len(xs):
+            closed = ((xs[np.minimum(s0, len(xs) - 1)]
+                       == xs[np.minimum(e0, len(xs) - 1)])
+                      & (ys[np.minimum(s0, len(ys) - 1)]
+                         == ys[np.minimum(e0, len(ys) - 1)])
+                      & (l0 >= 4))
+        else:
+            closed = np.zeros(n, dtype=bool)
+        is_empty = rg.coord_offsets[1:] == rg.coord_offsets[:-1]
+
+        def _f(vals, where):
+            return pd.arrays.FloatingArray(
+                np.ascontiguousarray(vals, dtype=np.float64), ~where)
+
+        hole_ok = poly & has_hole
+        return pd.DataFrame({
+            "full_area": _f(full_area, poly),
+            "clip_area": _f(clip_area, poly),
+            "ext_len": _f(ext_len, poly),
+            "bnd_len": _f(bnd_len, poly),
+            "n_holes": pd.arrays.IntegerArray(
+                n_holes.astype(np.int64), ~poly),
+            "hole_len": _f(np.where(hole_ok, hole_len, 0.0), hole_ok),
+            "ext_is_ring": pd.arrays.BooleanArray(
+                closed & poly, ~poly),
+            "empty": pd.arrays.BooleanArray(is_empty & poly, ~poly),
+            "rx": _f(rx, poly & ~np.isnan(rx)),
+            "ry": _f(ry, poly & ~np.isnan(ry))})
+    return _stats(g)
+
+
 @pandas_udf(T.BooleanType())
 def is_simple(g: pd.DataFrame) -> pd.Series:
     return pd.Series(algos.is_simple(ragged_from_pdf(g)))

@@ -908,7 +908,18 @@ def buffer(rg: RaggedGeometry, distance, quad_segs=8):
         caps = _boundary_capsules(xs, ys, rings, abs(float(distance)),
                                   quad_segs)
         if g in (LINESTRING, MULTILINESTRING):
-            emit(_bool.union_polygons(caps) if caps else None)
+            # single-segment lines (the dominant shape in telemetry
+            # traces) produce ONE capsule, which is convex by
+            # construction — running the arrangement engine to
+            # dissolve it with itself was 94% of the gate kernel's
+            # time (r13 profile: 2.29 ms/row, 2.15 of it in _merge;
+            # the dissolve only re-snaps vertices by <=1 ulp). Emit
+            # it directly; multi-capsule lines still dissolve.
+            if len(caps) == 1 and _is_convex_ring(
+                    np.asarray(caps[0][1]), np.asarray(caps[0][2])):
+                emit(caps[0])
+            else:
+                emit(_bool.union_polygons(caps) if caps else None)
             continue
         # polygonal general path — public engine surface only
         subject = (POLYGON if g == POLYGON else MULTIPOLYGON,

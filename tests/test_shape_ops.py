@@ -481,3 +481,71 @@ def test_subdivide_small_passthrough_and_line_chunks(spark):
     d2 = small.withColumn("geometry",
                           st.subdivide(st.make_polygon(F.col("xs"), F.col("ys")), 16))
     assert d2.select(st.num_parts("geometry")).collect()[0][0] == 1
+
+
+def test_ring_stats_matches_native_battery(spark):
+    """r13: the fused ring_stats Arrow kernel must reproduce the native
+    accessor battery (area / clip area / exterior / boundary / hole
+    lengths / is_ring / is_empty / representative_point) metric for
+    metric on randomized holed polygons, including the no-hole case."""
+    import random
+    rnd = random.Random(13)
+    rows = []
+    for i in range(60):
+        w = rnd.uniform(4.0, 12.0)
+        if i % 4 == 0:
+            wkt = (f"POLYGON ((0 0, {w} 0, {w} {w}, 0 {w}, 0 0))")
+        else:
+            hx, hy = rnd.uniform(0.5, 2.0), rnd.uniform(0.5, 2.0)
+            s = rnd.uniform(0.5, 1.5)
+            wkt = (f"POLYGON ((0 0, {w} 0, {w} {w}, 0 {w}, 0 0), "
+                   f"({hx} {hy}, {hx + s} {hy}, {hx + s} {hy + s}, "
+                   f"{hx} {hy + s}, {hx} {hy}))")
+        rows.append((i, wkt))
+    df = (spark.createDataFrame(rows, "id long, wkt string")
+          .withColumn("g", st.from_wkt("wkt")))
+    df = df.withColumn("__rp", st.representative_point(F.col("g"))) \
+           .withColumn("clip", st.clip_by_rect(F.col("g"),
+                                               -0.5, -0.5, 3.0, 100.0))
+    native = df.select(
+        "id",
+        F.round(st.area("g"), 6).alias("full_area"),
+        F.round(st.area("clip"), 6).alias("clip_area"),
+        F.round(st.length(st.exterior("g")), 6).alias("ext_len"),
+        F.round(st.length(st.boundary("g")), 6).alias("bnd_len"),
+        F.size(st.interiors("g")).cast("long").alias("n_holes"),
+        F.round(st.length(F.try_element_at(st.interiors("g"),
+                                           F.lit(1))), 6)
+         .alias("hole_len"),
+        st.is_ring(st.exterior("g")).alias("ext_is_ring"),
+        st.is_empty("g").alias("empty"),
+        F.round(st.x(F.col("__rp")), 6).alias("rx"),
+        F.round(st.y(F.col("__rp")), 6).alias("ry"))
+    kdf = df.withColumn("__rs", st.ring_stats(F.col("g"),
+                                              -0.5, -0.5, 3.0, 100.0))
+    kernel = kdf.select(
+        "id",
+        *[F.round(F.col(f"__rs.{c}"), 6).alias(c)
+          for c in ("full_area", "clip_area", "ext_len", "bnd_len")],
+        F.col("__rs.n_holes").alias("n_holes"),
+        F.round(F.col("__rs.hole_len"), 6).alias("hole_len"),
+        F.col("__rs.ext_is_ring").alias("ext_is_ring"),
+        F.col("__rs.empty").alias("empty"),
+        F.round(F.col("__rs.rx"), 6).alias("rx"),
+        F.round(F.col("__rs.ry"), 6).alias("ry"))
+    n = {r.id: r for r in native.collect()}
+    k = {r.id: r for r in kernel.collect()}
+    assert len(n) == len(k) == 60
+    for i in n:
+        assert n[i].asDict() == k[i].asDict(), (i, n[i], k[i])
+    # non-polygon rows yield all-null structs (the accessor chain
+    # nulls out the same way)
+    other = (spark.createDataFrame(
+        [(1, "POINT (1 2)"), (2, "LINESTRING (0 0, 1 1)")],
+        "id long, wkt string")
+        .withColumn("g", st.from_wkt("wkt"))
+        .select("id", st.ring_stats(F.col("g"),
+                                    0.0, 0.0, 1.0, 1.0).alias("rs"))
+        .collect())
+    for r in other:
+        assert r.rs.full_area is None and r.rs.n_holes is None
