@@ -61,6 +61,9 @@ def _parse_task_time(evdir, app_id, names):
     event log — the extraction profile_bench.py uses, trimmed to the
     one metric."""
     path = os.path.join(evdir, app_id)
+    if not os.path.exists(path) \
+            and os.path.exists(path + ".inprogress"):
+        path = path + ".inprogress"
     if not os.path.exists(path):
         d = os.path.join(evdir, f"eventlog_v2_{app_id}")
         parts = sorted(p for p in os.listdir(d) if p.startswith("events"))
@@ -310,6 +313,10 @@ def main():
     headline_total = round(sum(timings[n] for n in HEADLINE), 3)
 
     app_id = sc.applicationId
+    # stop FIRST so the event log is finalized (while the app runs the
+    # file is still <app_id>.inprogress — parsing before stop() was why
+    # the first r13 baseline shipped an empty task_time_s map)
+    spark.stop()
     try:
         task_time = _parse_task_time(EVDIR, app_id, bench_list)
     except Exception as exc:      # attribution is additive, never fatal
@@ -335,7 +342,6 @@ def main():
             "methodology": "rebuild-both-passes, warm worker pool (v4)",
             "queries": {n: timings[n] for n in HEADLINE}}
     print(json.dumps(line, separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":
