@@ -1014,9 +1014,12 @@ def geo_hull_simplify(spark, sf):
     d = (F.col("p_partkey") % 3).cast("double") * 0.8
     line = st.make_line(F.array(x0, x0 + 1.0, x0 + 2.0),
                         F.array(y0, y0 + d, y0))
-    # freeze: hull feeds two metrics (area + perimeter) — one UDF eval
-    p = p.withColumn("__hull", st.freeze(st.convex_hull(mp))) \
-         .withColumn("__simp", st.freeze(st.simplify(line, 1.0)))
+    # freeze: hull feeds two metrics (area + perimeter) — one UDF eval.
+    # r13: both kernels in one select → one fused ArrowEvalPython node
+    # (was 2; see geo_make_valid)
+    p = p.select("p_partkey",
+                 st.freeze(st.convex_hull(mp)).alias("__hull"),
+                 st.freeze(st.simplify(line, 1.0)).alias("__simp"))
     return p.select("p_partkey",
                     F.round(st.area("__hull"), 6).alias("hull_area"),
                     F.round(st.length("__hull"), 6).alias("hull_perim"),
@@ -2503,12 +2506,16 @@ def geo_concave_hull(spark, sf):
                          F.transform(xs, lambda _: F.lit(1)))
     # st.freeze: stop projection collapse from inlining the UDF into
     # downstream native HOF metrics (Unevaluable PythonUDF inside
-    # ArrayTransform otherwise)
+    # ArrayTransform otherwise). r13: both hull calls in ONE select so
+    # they fuse into a single ArrowEvalPython node (was 2; see
+    # geo_make_valid); pts stays frozen in its own select because it
+    # feeds BOTH kernels.
     d = (c.select("c_custkey", st.freeze(pts).alias("pts"))
-         .withColumn("chi", st.freeze(st.concave_hull(
-             F.col("pts"), max_edge_length=2.0)))
-         .withColumn("cvx", st.freeze(st.concave_hull(
-             F.col("pts"), ratio=1.0))))
+         .select("c_custkey",
+                 st.freeze(st.concave_hull(
+                     F.col("pts"), max_edge_length=2.0)).alias("chi"),
+                 st.freeze(st.concave_hull(
+                     F.col("pts"), ratio=1.0)).alias("cvx")))
     return d.select(
         "c_custkey",
         F.round(st.area("chi"), 6).alias("chi_area"),
@@ -2589,15 +2596,15 @@ def geo_snap_shared_paths(spark, sf):
                         F.array(z, z, z, z),
                         F.array(F.lit(2), F.lit(2)),
                         F.array(F.lit(1), F.lit(1)))
-    d = (c.select("c_custkey", st.freeze(poly).alias("poly"),
-                  st.freeze(tgt).alias("tgt"), st.freeze(la).alias("la"),
-                  st.freeze(lb).alias("lb"))
-         .withColumn("snapped",
-                     st.freeze(st.snap(F.col("poly"), F.col("tgt"), 0.2)))
-         .withColumn("sp_same", st.freeze(st.shared_paths(
-             F.col("la"), F.col("lb"), "same")))
-         .withColumn("sp_opp", st.freeze(st.shared_paths(
-             F.col("la"), F.col("lb"), "opposite"))))
+    # r13: one select → one fused ArrowEvalPython node for all three
+    # kernel calls (was 3 nodes / 3 workers per task; see
+    # geo_make_valid)
+    d = c.select("c_custkey",
+                 st.freeze(st.snap(poly, tgt, 0.2)).alias("snapped"),
+                 st.freeze(st.shared_paths(la, lb, "same"))
+                   .alias("sp_same"),
+                 st.freeze(st.shared_paths(la, lb, "opposite"))
+                   .alias("sp_opp"))
     return d.select(
         "c_custkey",
         F.round(st.area("snapped"), 6).alias("snap_area"),
@@ -2618,11 +2625,12 @@ def geo_offset_curve(spark, sf):
     z = F.lit(0.0)
     line = st.geom_struct(F.lit(1), F.array(z, a, a), F.array(z, z, b),
                           F.array(F.lit(3)), F.array(F.lit(1)))
-    d = (c.select("c_custkey", st.freeze(line).alias("line"))
-         .withColumn("oc_left",
-                     st.freeze(st.offset_curve(F.col("line"), 0.5)))
-         .withColumn("oc_right",
-                     st.freeze(st.offset_curve(F.col("line"), -0.5))))
+    # r13: one select → one fused ArrowEvalPython node for both offset
+    # kernels (was 2; see geo_make_valid)
+    d = c.select("c_custkey",
+                 st.freeze(st.offset_curve(line, 0.5)).alias("oc_left"),
+                 st.freeze(st.offset_curve(line, -0.5))
+                   .alias("oc_right"))
     return d.select(
         "c_custkey",
         F.round(st.length("oc_left"), 6).alias("left_len"),
@@ -2885,12 +2893,17 @@ def geo_make_valid(spark, sf):
                             F.array(z, cc, cc, z),
                             F.array(F.lit(2), F.lit(2)),
                             F.array(F.lit(1), F.lit(1)))
-    d = (c.select("c_custkey", st.freeze(bow).alias("bow"),
-                  st.freeze(shells).alias("shells"),
-                  st.freeze(xlines).alias("xl"))
-         .withColumn("v1", st.freeze(st.make_valid(F.col("bow"))))
-         .withColumn("v2", st.freeze(st.make_valid(F.col("shells"))))
-         .withColumn("nd", st.freeze(st.node(F.col("xl")))))
+    # r13: all three kernel calls in ONE select — independent pandas
+    # UDFs in the same projection fuse into a single ArrowEvalPython
+    # node (one Python worker per task, one Arrow exchange), where the
+    # r9 withColumn+freeze chain compiled to THREE eval nodes (3
+    # workers per task; measured 32-task stages forking 64 cold
+    # workers mid-bench). freeze still wraps each OUTPUT so the HOF
+    # metrics can't inline the UDF (guide §4.1).
+    d = c.select("c_custkey",
+                 st.freeze(st.make_valid(bow)).alias("v1"),
+                 st.freeze(st.make_valid(shells)).alias("v2"),
+                 st.freeze(st.node(xlines)).alias("nd"))
     return d.select(
         "c_custkey",
         F.round(st.area("v1"), 6).alias("bow_area"),
