@@ -3263,14 +3263,19 @@ def text_repetition(spark, sf):
     # the barrier Catalyst collapses the projection and inlines the
     # whole HOF rebuild into every metric (r8 second session)
     t2 = d.select("doc_id", st.freeze(structured).alias("t2"))
-    return (t2.select(
+    # r13: the four per-metric HOF chains re-split the document six
+    # times in the Catalyst interpreter (lambda HOFs never enter
+    # codegen); the fused Arrow battery computes all four fractions in
+    # one exchange with bit-identical integer-ratio arithmetic
+    # (llm/text.repetition_stats; guide §4.2)
+    m = t2.select("doc_id", text.repetition_stats("t2").alias("m"))
+    return (m.select(
         "doc_id",
-        F.round(text.duplicate_line_fraction("t2"), 6).alias("dup_line_frac"),
-        F.round(text.duplicate_line_char_fraction("t2"), 6)
+        F.round(F.col("m.dup_line_frac"), 6).alias("dup_line_frac"),
+        F.round(F.col("m.dup_line_char_frac"), 6)
          .alias("dup_line_char_frac"),
-        F.round(text.duplicate_paragraph_fraction("t2"), 6)
-         .alias("dup_para_frac"),
-        F.round(text.duplicate_paragraph_char_fraction("t2"), 6)
+        F.round(F.col("m.dup_para_frac"), 6).alias("dup_para_frac"),
+        F.round(F.col("m.dup_para_char_frac"), 6)
          .alias("dup_para_char_frac"))
         .orderBy("doc_id"))
 

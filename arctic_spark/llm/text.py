@@ -7,6 +7,7 @@ Designed for the `documents` table shape (doc_id, text, lang, source).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -248,6 +249,62 @@ def duplicate_paragraph_char_fraction(text) -> Column:
     """duplicate_line_char_fraction over paragraphs."""
     from ..functions.native import _let
     return _let(_nonblank_units(text, r"\n{2,}"), _dup_unit_char_fraction)
+
+
+def repetition_stats(text) -> Column:
+    """Fused Gopher repetition battery (r13): all four duplicate-unit
+    fractions — line / line-char / paragraph / paragraph-char — from
+    ONE Arrow exchange.
+
+    The per-metric expressions above are Catalyst lambda HOFs
+    (split + array_distinct + aggregate), which Spark evaluates
+    OUTSIDE whole-stage codegen; the four metrics together re-split
+    and re-scan the document six times per row in the interpreter.
+    This kernel tokenizes each document once per unit class and
+    derives all four fractions in a single pandas-UDF pass.
+
+    Value-exact twin of the native chain: units are
+    ``trim``-of-``split`` with empties dropped (Spark ``trim`` strips
+    0x20 only, matched by ``str.strip(' ')``), counts and char sums
+    are exact integers, and each fraction is one IEEE double division
+    of those integers — bit-identical to the Catalyst result
+    (asserted unit-for-unit in
+    tests/test_llm_ops.py::test_repetition_stats_matches_native).
+    NULL text yields the native chain's 0.0-filled row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<dup_line_frac:double,dup_line_char_frac:double,"
+                "dup_para_frac:double,dup_para_char_frac:double>")
+    def _rep(s: pd.Series) -> pd.DataFrame:
+        import re
+        para_re = re.compile(r"\n{2,}")
+
+        def fracs(units):
+            total = len(units)
+            a = (total - len(set(units))) / total if total else 0.0
+            tc = sum(map(len, units))
+            b = ((tc - sum(map(len, set(units)))) / tc) if tc else 0.0
+            return a, b
+
+        cols = ([], [], [], [])
+        for t in s:
+            if t is None:
+                row = (0.0, 0.0, 0.0, 0.0)
+            else:
+                lines = [u for u in (x.strip(" ")
+                                     for x in t.split("\n")) if u]
+                paras = [u for u in (x.strip(" ")
+                                     for x in para_re.split(t)) if u]
+                la, lb = fracs(lines)
+                pa, pb = fracs(paras)
+                row = (la, lb, pa, pb)
+            for c, v in zip(cols, row):
+                c.append(v)
+        return pd.DataFrame({
+            "dup_line_frac": cols[0], "dup_line_char_frac": cols[1],
+            "dup_para_frac": cols[2], "dup_para_char_frac": cols[3]})
+
+    return _rep(_c(text))
 
 
 def symbol_to_word_ratio(text, symbols=("#", "...")) -> Column:

@@ -253,7 +253,14 @@ def _warm_worker_pool(spark):
     contention when 32 fork at once).  Importing the kernels here means
     every timed query sees the warm pool a real cluster would have.
     """
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("boolean")
+    def _pool_warm_pred(s: pd.Series) -> pd.Series:
+        import arctic_spark.geom.algos    # noqa: F401
+        import arctic_spark.geom.batch    # noqa: F401
+        import arctic_spark.geom.boolean  # noqa: F401
+        return s >= 0
 
     @pandas_udf("long")
     def _pool_warm(s: pd.Series) -> pd.Series:
@@ -264,8 +271,20 @@ def _warm_worker_pool(spark):
         import arctic_spark.llm.dedup     # noqa: F401
         return s
 
+    # r13: a stage pipelines one Python WORKER per eval node per task,
+    # and the deepest stages in the sweep run TWO nodes (a refine
+    # filter UDF + a projection kernel — overlay/boolean paths), so a
+    # depth-1 warm-up left 32 workers to cold-fork with a full
+    # numpy/pandas/kernel import storm inside whichever timed query
+    # first hit a two-node stage (measured 300-700 core-s of executor
+    # time charged to a 600-row stage, varying run to run with pool
+    # state).  The filter UDF below cannot fuse with the projection
+    # UDF, so this warms 2n workers — the steady pool a long-running
+    # cluster would have.
     n = spark.sparkContext.defaultParallelism
-    (spark.range(n * 8, numPartitions=n).select(_pool_warm("id"))
+    (spark.range(n * 8, numPartitions=n)
+     .where(_pool_warm_pred("id"))
+     .select(_pool_warm(col("id")))
      .write.format("noop").mode("overwrite").save())
 
 

@@ -355,6 +355,45 @@ def test_gopher_duplicate_line_metrics(spark):
     assert got[4].dlcf == pytest.approx(18 / 38)
 
 
+def test_repetition_stats_matches_native(spark):
+    """r13 fused Arrow battery == the four native HOF metrics,
+    bit-exactly (no rounding), over randomized structured docs plus
+    the edge rows (empty, blank-only, space-padded, tabbed — Spark
+    trim strips 0x20 only, and the kernel must match that)."""
+    import random
+    rng = random.Random(813)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [(0, ""), (1, "   "), (2, "\n\n\n"), (3, None),
+            (4, " x \n\tx\n x "), (5, "a\n\na\n\n\na")]
+    for i in range(6, 60):
+        nl = rng.randrange(0, 12)
+        lines = [" ".join(rng.choice(vocab)
+                          for _ in range(rng.randrange(1, 4)))
+                 for _ in range(nl)]
+        sep = ["\n" if rng.random() < 0.7 else "\n\n" for _ in lines]
+        docs.append((i, "".join(l + s for l, s in zip(lines, sep))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    native = df.select(
+        "doc_id",
+        text.duplicate_line_fraction("text").alias("a"),
+        text.duplicate_line_char_fraction("text").alias("b"),
+        text.duplicate_paragraph_fraction("text").alias("c"),
+        text.duplicate_paragraph_char_fraction("text").alias("d"))
+    fused = df.select(
+        "doc_id", text.repetition_stats("text").alias("m")).select(
+        "doc_id", F.col("m.dup_line_frac").alias("a"),
+        F.col("m.dup_line_char_frac").alias("b"),
+        F.col("m.dup_para_frac").alias("c"),
+        F.col("m.dup_para_char_frac").alias("d"))
+    nat = {r.doc_id: r for r in native.collect()}
+    fus = {r.doc_id: r for r in fused.collect()}
+    assert set(nat) == set(fus)
+    for k in nat:
+        for f in "abcd":
+            assert getattr(nat[k], f) == getattr(fus[k], f), \
+                (k, f, nat[k], fus[k])
+
+
 def test_gopher_symbol_alpha_lines(spark):
     rows = spark.createDataFrame(
         [(1, "read this ### now ... or else"),
