@@ -692,10 +692,18 @@ def _dsir_bucket_logp(df: DataFrame, text_col: str, buckets: int,
     """(bucket, logp) over ALL ``buckets`` ids: add-one-smoothed hashed
     feature distribution, log((c_b + 1) / (N + B)). One shuffle on the
     bucket id; the total rides a broadcast 1-row aggregate."""
-    spark = df.sparkSession
-    allb = spark.range(buckets).select(F.col("id").alias("bucket"))
     cnt = (df.select(F.explode(feats).alias("bucket"))
            .groupBy("bucket").agg(F.count("*").alias("c")))
+    return _dsir_logp_from_counts(df.sparkSession, cnt, buckets)
+
+
+def _dsir_logp_from_counts(spark, cnt: DataFrame,
+                           buckets: int) -> DataFrame:
+    """The smoothing/total tail of :func:`_dsir_bucket_logp` over an
+    already-computed (bucket, c) count table (r13: lets the raw-side
+    LM derive from the per-doc count table's bucket marginal instead
+    of a second corpus pass)."""
+    allb = spark.range(buckets).select(F.col("id").alias("bucket"))
     tot = cnt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("N"))
     return (allb.join(cnt, "bucket", "left")
             .crossJoin(F.broadcast(tot))
@@ -717,20 +725,35 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
     partials, then one shuffle on the id folds the weight. Documents
     with no features (empty after tokenization) have no weight and
     cannot be selected."""
+    from pyspark import StorageLevel
     feats = dsir_features(text_col, buckets)
+    # r13: ONE tokenize+explode pass over the raw corpus. The raw
+    # bucket LM is the exact bucket marginal of the per-doc counts
+    # (Σ_id cnt(id, b) = c_b — same integers, so the smoothed log-probs
+    # are bit-identical), so it derives from the persisted percount
+    # table instead of a second full corpus explode (the raw side is
+    # the 100 TB side; the target side stays its own small pass). The
+    # lazy persist is safe: percount's first consumer is the broadcast
+    # ratio build, and broadcast jobs run before the main stages and
+    # fill the cache (the dedup_semantic convention).
+    percount = (raw_df.select(F.col(id_col).alias("id"),
+                              F.explode(feats).alias("bucket"))
+                .groupBy("id", "bucket").agg(F.count("*").alias("cnt"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    raw_cnt = percount.groupBy("bucket").agg(F.sum("cnt").alias("c"))
     ratio = (_dsir_bucket_logp(target_df, text_col, buckets, feats)
              .withColumnRenamed("logp", "logp_t")
-             .join(_dsir_bucket_logp(raw_df, text_col, buckets, feats),
+             .join(_dsir_logp_from_counts(raw_df.sparkSession, raw_cnt,
+                                          buckets),
                    "bucket")
              .select("bucket",
                      (F.col("logp_t") - F.col("logp")).alias("logr")))
-    percount = (raw_df.select(F.col(id_col).alias("id"),
-                              F.explode(feats).alias("bucket"))
-                .groupBy("id", "bucket").agg(F.count("*").alias("cnt")))
-    return (percount.join(F.broadcast(ratio), "bucket")
-            .groupBy("id")
-            .agg(F.sum("cnt").alias("n_feat"),
-                 F.sum(F.col("cnt") * F.col("logr")).alias("logw")))
+    from ..cache import pin
+    out = (percount.join(F.broadcast(ratio), "bucket")
+           .groupBy("id")
+           .agg(F.sum("cnt").alias("n_feat"),
+                F.sum(F.col("cnt") * F.col("logr")).alias("logw")))
+    return pin(out, percount)
 
 
 def dsir_select(raw_df: DataFrame, target_df: DataFrame, k: int,
