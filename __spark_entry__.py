@@ -1166,36 +1166,27 @@ def geo_line_refs(spark, sf):
         qx = a + (F.col("o_orderkey") % 5).cast("double")
         qy = b + 1.0
         q = st.point(qx, qy)
-        # each derived geometry feeds 2 output columns — freeze them so
-        # the interpolate/segmentize trees evaluate once instead of
-        # inlining per consumer (measured 64 s -> ~3 s at sf0.1); the
-        # whole battery memoizes per session (fixed column names; r9:
-        # construction was 2.2 s of py4j chatter per bench pass)
-        interp = st.freeze(st.line_interpolate_point(
-            "ln", F.lit(0.6), normalized=True))
-        rev0 = st.freeze(st.line_interpolate_point(
-            st.reverse("ln"), F.lit(0.0)))
-        seg_c = st.freeze(st.segmentize("ln", 2.5))
-        seg = F.col("__seg")
+        # r13: the eight metrics ride the fused line_ref_stats Arrow
+        # battery — one exchange replaying the native folds'
+        # bit-identical double arithmetic (the r9 native battery was
+        # eight interpreted lambda-HOF trees, the engine's third-worst
+        # per-task cost after the r13 diamond/ring fixes); identity
+        # asserted unrounded in tests/test_linear_ref.py
         metrics = [
-            F.round(st.x(F.col("__interp")), 6).alias("ix"),
-            F.round(st.y(F.col("__interp")), 6).alias("iy"),
-            F.round(st.line_locate_point("ln", "q"), 6).alias("loc"),
-            F.round(st.line_locate_point("ln", "q", normalized=True), 6)
-             .alias("loc_frac"),
-            F.size(seg["xs"]).cast("long").alias("seg_npts"),
-            F.round(st.length(seg), 6).alias("seg_len"),
-            F.round(st.x(F.col("__rev0")), 6).alias("rev_x"),
-            F.round(st.y(F.col("__rev0")), 6).alias("rev_y")]
-        return (st.freeze(line), st.freeze(q), interp, rev0, seg_c,
-                metrics)
+            F.round(F.col("m.ix"), 6).alias("ix"),
+            F.round(F.col("m.iy"), 6).alias("iy"),
+            F.round(F.col("m.loc"), 6).alias("loc"),
+            F.round(F.col("m.loc_frac"), 6).alias("loc_frac"),
+            F.col("m.seg_npts").alias("seg_npts"),
+            F.round(F.col("m.seg_len"), 6).alias("seg_len"),
+            F.round(F.col("m.rev_x"), 6).alias("rev_x"),
+            F.round(F.col("m.rev_y"), 6).alias("rev_y")]
+        return (st.freeze(line), st.freeze(q), metrics)
 
-    ln_c, q_c, interp_c, rev0_c, seg_c, metrics = memo_col(
-        ("line_refs_battery",), build)
+    ln_c, q_c, metrics = memo_col(("line_refs_battery_r13",), build)
     d = (o.select("o_orderkey", ln_c.alias("ln"), q_c.alias("q"))
-         .withColumn("__interp", interp_c)
-         .withColumn("__rev0", rev0_c)
-         .withColumn("__seg", seg_c))
+         .select("o_orderkey",
+                 st.line_ref_stats("ln", "q", 0.6, 2.5).alias("m")))
     return d.select("o_orderkey", *metrics)
 
 

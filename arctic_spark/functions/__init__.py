@@ -27,7 +27,7 @@ from .native import (affine_transform, area, bbox_intersects, boundary,
                      point, rotate, scale, skew, total_bounds_agg, translate,
                      x, y)
 from .udfs import (buffer, clip_by_rect, contains, convex_hull, distance,
-                   ring_stats,
+                   ring_stats, line_ref_stats,
                    geodesic_length, geom_equals, is_simple, is_valid,
                    is_valid_reason, build_area, split, subdivide,
                    relate, relate_pattern, representative_point,
@@ -111,6 +111,7 @@ __all__ = [
     "geom_struct", "boundary", "interiors", "z", "has_z", "geom_equals",
     "geom_equals_exact",
     "clip_by_rect", "buffer", "representative_point", "ring_stats",
+    "line_ref_stats",
     "is_simple",
     "is_valid", "disjoint", "within", "covers", "collect_agg",
     "unary_union",

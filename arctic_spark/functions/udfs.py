@@ -738,6 +738,154 @@ def ring_stats(g, xmin: float, ymin: float, xmax: float, ymax: float):
     return _stats(g)
 
 
+def line_ref_stats(line, q, interp_t: float, max_seg: float):
+    """Fused linear-referencing battery (r13) — the geo_line_refs
+    metric set in ONE Arrow exchange:
+
+      ix, iy     = st.x/y(st.line_interpolate_point(ln, interp_t,
+                                                    normalized=True))
+      loc        = st.line_locate_point(ln, q)
+      loc_frac   = st.line_locate_point(ln, q, normalized=True)
+      seg_npts   = size(st.segmentize(ln, max_seg)["xs"])
+      seg_len    = st.length(st.segmentize(ln, max_seg))
+      rev_x/y    = st.x/y(st.line_interpolate_point(st.reverse(ln), 0))
+
+    The native battery is eight interpreted lambda-HOF folds per row
+    (aggregate/transform trees are CodegenFallback). This kernel
+    replays the IDENTICAL double arithmetic in numpy — same operation
+    order, same clamp/strict-compare branch rules, sequential
+    cumsum/reduceat sums matching the folds' left-to-right
+    accumulation — so outputs are bit-identical (asserted unrounded in
+    tests/test_linear_ref.py::test_line_ref_stats_matches_native).
+    Rows are processed grouped by vertex count (vectorized per group;
+    ragged batches just make more groups). Defined for LINESTRING
+    lines (≥2 points) with POINT q; other rows yield null fields,
+    matching the native ``when`` guards."""
+    fields = ("ix", "iy", "loc", "loc_frac", "seg_npts", "seg_len",
+              "rev_x", "rev_y")
+
+    @arrow_udf("struct<ix:double,iy:double,loc:double,loc_frac:double,"
+               "seg_npts:long,seg_len:double,rev_x:double,rev_y:double>")
+    def _lr(ga: pa.Array, qa: pa.Array) -> pa.Array:
+        from ..geom.ragged import LINESTRING as _LS
+        from ..geom.ragged import POINT as _PT
+        rg, rq = ragged_from_arrow(ga), ragged_from_arrow(qa)
+        n = len(rg)
+        fo = {f: np.full(n, np.nan) for f in fields if f != "seg_npts"}
+        npts_out = np.zeros(n, np.int64)
+        npts = np.diff(rg.coord_offsets)
+        qn = np.diff(rq.coord_offsets)
+        ok = ((rg.gt == _LS) & (npts >= 2)
+              & (rq.gt == _PT) & (qn >= 1))
+        t_lit = float(interp_t)
+        ml = float(max_seg)
+        for c in np.unique(npts[ok]):
+            rows = np.flatnonzero(ok & (npts == c))
+            m = rows.size
+            idx = rg.coord_offsets[rows][:, None] + np.arange(c)[None, :]
+            X, Y = rg.xs[idx], rg.ys[idx]
+            px = rq.xs[rq.coord_offsets[rows]]
+            py = rq.ys[rq.coord_offsets[rows]]
+            dx, dy = X[:, 1:] - X[:, :-1], Y[:, 1:] - Y[:, :-1]
+            lens = np.sqrt(dx * dx + dy * dy)          # (m, c-1)
+            cums = np.cumsum(lens, axis=1)             # sequential fold
+            total = cums[:, -1]
+            # --- interpolate at t_lit (normalized): first segment
+            # whose END passes STRICTLY beyond the clamped target; on
+            # fallthrough (target == total) the LAST segment with the
+            # exact left-to-right prefix as start
+            target = np.maximum(0.0, np.minimum(t_lit * total, total))
+            beyond = cums > target[:, None]
+            anyb = beyond.any(axis=1)
+            j = np.where(anyb, beyond.argmax(axis=1), c - 2)
+            rr = np.arange(m)
+            start = np.where(j > 0, cums[rr, np.maximum(j - 1, 0)], 0.0)
+            lj = lens[rr, j]
+            t0 = np.where(lj > 0, (target - start) / lj, 0.0)
+            fo["ix"][rows] = X[rr, j] + (X[rr, j + 1] - X[rr, j]) * t0
+            fo["iy"][rows] = Y[rr, j] + (Y[rr, j + 1] - Y[rr, j]) * t0
+            # --- locate q: per-segment clamped projection, FIRST
+            # strict-< minimum wins (argmin returns the first)
+            l2 = dx * dx + dy * dy
+            dot = ((px[:, None] - X[:, :-1]) * dx
+                   + (py[:, None] - Y[:, :-1]) * dy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                traw = dot / l2
+            t = np.where(l2 > 0,
+                         np.maximum(0.0, np.minimum(1.0, traw)), 0.0)
+            ddx = X[:, :-1] + dx * t - px[:, None]
+            ddy = Y[:, :-1] + dy * t - py[:, None]
+            d2 = ddx * ddx + ddy * ddy
+            best = d2.argmin(axis=1)
+            cum_before = np.concatenate(
+                [np.zeros((m, 1)), cums[:, :-1]], axis=1)
+            res = cum_before[rr, best] + t[rr, best] * lens[rr, best]
+            fo["loc"][rows] = res
+            fo["loc_frac"][rows] = np.where(total > 0, res / total, 0.0)
+            # --- segmentize: k = max(ceil(len/ml), 1) pieces per
+            # segment; npts = Σk + 1; length = sequential sum over the
+            # densified vertices (original vertices preserved exactly)
+            k = np.maximum(np.ceil(lens / ml), 1.0).astype(np.int64)
+            npts_out[rows] = k.sum(axis=1) + 1
+            reps = k.ravel()
+            f_ax = np.repeat(X[:, :-1].ravel(), reps)
+            f_bx = np.repeat(X[:, 1:].ravel(), reps)
+            f_ay = np.repeat(Y[:, :-1].ravel(), reps)
+            f_by = np.repeat(Y[:, 1:].ravel(), reps)
+            f_k = np.repeat(reps, reps).astype(np.float64)
+            csum = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            pos = (np.arange(reps.sum()) - np.repeat(csum, reps)) \
+                .astype(np.float64)
+            sub_x = f_ax + (f_bx - f_ax) * pos / f_k
+            sub_y = f_ay + (f_by - f_ay) * pos / f_k
+            # stitch per-row: sub-points + the stored end vertex
+            row_sub = k.sum(axis=1)
+            row_tot = row_sub + 1
+            tot = int(row_tot.sum())
+            full_x = np.empty(tot)
+            full_y = np.empty(tot)
+            ends = np.cumsum(row_tot)
+            starts_r = ends - row_tot
+            fill = np.ones(tot, dtype=bool)
+            fill[ends - 1] = False
+            full_x[fill] = sub_x
+            full_y[fill] = sub_y
+            full_x[ends - 1] = X[:, -1]
+            full_y[ends - 1] = Y[:, -1]
+            hx = np.diff(full_x)
+            hy = np.diff(full_y)
+            h = np.sqrt(hx * hx + hy * hy)
+            # per-row SEQUENTIAL sum matching _length_span's
+            # left-to-right fold: np.add.reduceat uses pairwise
+            # summation (bit-different), np.cumsum does not — scatter
+            # the within-row hypots into a zero-padded (m, maxc)
+            # matrix and cumsum along axis 1 (trailing +0.0 terms
+            # cannot change a non-negative partial sum)
+            cnt = row_tot - 1
+            rowid_h = np.repeat(np.arange(m), row_tot)[:-1]
+            within = np.ones(h.size, dtype=bool)
+            within[ends[:-1] - 1] = False
+            rows_w = rowid_h[within]
+            col = np.flatnonzero(within) - starts_r[rows_w]
+            pad = np.zeros((m, int(cnt.max())))
+            pad[rows_w, col] = h[within]
+            fo["seg_len"][rows] = np.cumsum(pad, axis=1)[rr, cnt - 1]
+            # --- reverse + interpolate 0 = the stored last vertex
+            fo["rev_x"][rows] = X[:, -1]
+            fo["rev_y"][rows] = Y[:, -1]
+
+        def _f(name):
+            return pa.array(fo[name], mask=~ok)
+
+        return pa.StructArray.from_arrays(
+            [_f("ix"), _f("iy"), _f("loc"), _f("loc_frac"),
+             pa.array(npts_out, mask=~ok), _f("seg_len"),
+             _f("rev_x"), _f("rev_y")], list(fields))
+
+    return _lr(F.col(line) if isinstance(line, str) else line,
+               F.col(q) if isinstance(q, str) else q)
+
+
 @pandas_udf(T.BooleanType())
 def is_simple(g: pd.DataFrame) -> pd.Series:
     return pd.Series(algos.is_simple(ragged_from_pdf(g)))

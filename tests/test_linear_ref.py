@@ -174,3 +174,76 @@ def test_azimuth(spark):
     assert r.w == pytest.approx(3 * m.pi / 2)
     assert r.ne == pytest.approx(m.pi / 4)
     assert r.self is None
+
+
+def test_line_ref_stats_matches_native(spark):
+    """r13 fused battery == the eight native linear-ref expressions,
+    BIT-exactly (no rounding): randomized polylines with 2..7 vertices
+    (ragged vertex counts exercise the per-group vectorization),
+    degenerate zero-length segments, and non-LINESTRING rows (both
+    sides null)."""
+    import random
+    rng = random.Random(1313)
+    rows = []
+    for i in range(120):
+        nv = rng.choice([2, 3, 3, 4, 5, 7])
+        xs = [round(rng.uniform(-40, 40), 3) for _ in range(nv)]
+        ys = [round(rng.uniform(-40, 40), 3) for _ in range(nv)]
+        if i % 11 == 0 and nv >= 3:
+            xs[1], ys[1] = xs[0], ys[0]      # zero-length segment
+        qx, qy = round(rng.uniform(-45, 45), 3), round(rng.uniform(-45, 45), 3)
+        rows.append((i, xs, ys, qx, qy))
+    df = spark.createDataFrame(
+        rows, "id long, xs array<double>, ys array<double>, "
+              "qx double, qy double")
+    one = F.transform(F.col("xs"), lambda _: F.lit(1))
+    d = df.select(
+        "id",
+        st.geom_struct(F.when(F.col("id") % 17 == 0, F.lit(0))
+                       .otherwise(F.lit(1)),
+                       F.col("xs"), F.col("ys"),
+                       F.array(F.size("xs").cast("int")),
+                       F.array(F.lit(1))).alias("ln"),
+        st.geom_struct(F.lit(0), F.array(F.col("qx")),
+                       F.array(F.col("qy")), F.array(F.lit(1)),
+                       F.array(F.lit(1))).alias("q"))
+    d = d.select("id", st.freeze(F.col("ln")).alias("ln"),
+                 st.freeze(F.col("q")).alias("q"))
+    interp = st.freeze(st.line_interpolate_point("ln", F.lit(0.6),
+                                                 normalized=True))
+    rev0 = st.freeze(st.line_interpolate_point(st.reverse("ln"),
+                                               F.lit(0.0)))
+    seg_c = st.freeze(st.segmentize("ln", 2.5))
+    nat = (d.withColumn("__interp", interp)
+           .withColumn("__rev0", rev0)
+           .withColumn("__seg", seg_c)
+           .select(
+               "id",
+               st.x(F.col("__interp")).alias("ix"),
+               st.y(F.col("__interp")).alias("iy"),
+               st.line_locate_point("ln", "q").alias("loc"),
+               st.line_locate_point("ln", "q", normalized=True)
+                 .alias("loc_frac"),
+               F.size(F.col("__seg")["xs"]).cast("long")
+                 .alias("seg_npts"),
+               st.length(F.col("__seg")).alias("seg_len"),
+               st.x(F.col("__rev0")).alias("rev_x"),
+               st.y(F.col("__rev0")).alias("rev_y")))
+    fus = d.select("id", st.line_ref_stats("ln", "q", 0.6, 2.5)
+                   .alias("m")).select("id", "m.*")
+    nat_r = {r.id: r for r in nat.collect()}
+    fus_r = {r.id: r for r in fus.collect()}
+    assert set(nat_r) == set(fus_r)
+    for i in nat_r:
+        if i % 17 == 0:
+            # non-LINESTRING row: outside the battery's documented
+            # domain — every battery field is null (the native chain
+            # differs only on segmentize, which passes points through)
+            for f in ("ix", "iy", "loc", "loc_frac", "seg_npts",
+                      "seg_len", "rev_x", "rev_y"):
+                assert getattr(fus_r[i], f) is None, (i, f)
+            continue
+        for f in ("ix", "iy", "loc", "loc_frac", "seg_npts",
+                  "seg_len", "rev_x", "rev_y"):
+            a, b = getattr(nat_r[i], f), getattr(fus_r[i], f)
+            assert a == b or (a is None and b is None), (i, f, a, b)
