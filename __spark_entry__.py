@@ -3239,27 +3239,17 @@ def text_repetition(spark, sf):
     yields real line collisions (birthday effect) without any injected
     duplicates."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.col("text"), " ")
-    nlines = F.ceil(F.size(toks) / F.lit(2)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), nlines - 1),
-        lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "))
-    nparas = F.ceil(F.size(lines) / F.lit(4)).cast("int")
-    paras = F.transform(
-        F.sequence(F.lit(0), nparas - 1),
-        lambda j: F.array_join(F.slice(lines, j * 4 + 1, 4), "\n"))
-    structured = F.when(F.size(toks) > 0, F.array_join(paras, "\n\n")) \
-                  .otherwise(F.lit(""))
-    # freeze: the rebuilt text feeds 3+ metric expressions — without
-    # the barrier Catalyst collapses the projection and inlines the
-    # whole HOF rebuild into every metric (r8 second session)
-    t2 = d.select("doc_id", st.freeze(structured).alias("t2"))
     # r13: the four per-metric HOF chains re-split the document six
     # times in the Catalyst interpreter (lambda HOFs never enter
-    # codegen); the fused Arrow battery computes all four fractions in
-    # one exchange with bit-identical integer-ratio arithmetic
+    # codegen), and the structured-text rebuild was another
+    # interpreter-bound HOF chain at ~half the battery's cost; the
+    # fused Arrow battery rebuilds (exact string ops — lines of 2
+    # words, paragraphs of 4 lines, the identical grouping the oracle
+    # replays) and computes all four fractions in one exchange with
+    # bit-identical integer-ratio arithmetic
     # (llm/text.repetition_stats; guide §4.2)
-    m = t2.select("doc_id", text.repetition_stats("t2").alias("m"))
+    m = d.select("doc_id", text.repetition_stats(
+        "text", restructure=(2, 4)).alias("m"))
     return (m.select(
         "doc_id",
         F.round(F.col("m.dup_line_frac"), 6).alias("dup_line_frac"),

@@ -251,7 +251,7 @@ def duplicate_paragraph_char_fraction(text) -> Column:
     return _let(_nonblank_units(text, r"\n{2,}"), _dup_unit_char_fraction)
 
 
-def repetition_stats(text) -> Column:
+def repetition_stats(text, restructure: tuple = None) -> Column:
     """Fused Gopher repetition battery (r13): all four duplicate-unit
     fractions — line / line-char / paragraph / paragraph-char — from
     ONE Arrow exchange.
@@ -270,7 +270,16 @@ def repetition_stats(text) -> Column:
     of those integers — bit-identical to the Catalyst result
     (asserted unit-for-unit in
     tests/test_llm_ops.py::test_repetition_stats_matches_native).
-    NULL text yields the native chain's 0.0-filled row."""
+    NULL text yields the native chain's 0.0-filled row.
+
+    ``restructure=(words_per_line, lines_per_para)`` first rebuilds a
+    single-line document into structured text — whitespace tokens
+    grouped into lines of ``words_per_line`` joined by spaces, lines
+    grouped into paragraphs of ``lines_per_para`` joined by newlines,
+    paragraphs joined by blank lines — inside the same kernel pass
+    (pure exact string ops, identical to the split/slice/array_join
+    HOF chain it replaces, which the Catalyst interpreter evaluated
+    at ~half the whole battery's cost)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<dup_line_frac:double,dup_line_char_frac:double,"
@@ -291,6 +300,16 @@ def repetition_stats(text) -> Column:
             if t is None:
                 row = (0.0, 0.0, 0.0, 0.0)
             else:
+                if restructure is not None:
+                    wpl, lpp = restructure
+                    toks = t.split(" ")
+                    nl = -(-len(toks) // wpl)
+                    ls = [" ".join(toks[i * wpl:(i + 1) * wpl])
+                          for i in range(nl)]
+                    np_ = -(-nl // lpp)
+                    t = "\n\n".join(
+                        "\n".join(ls[j * lpp:(j + 1) * lpp])
+                        for j in range(np_))
                 lines = [u for u in (x.strip(" ")
                                      for x in t.split("\n")) if u]
                 paras = [u for u in (x.strip(" ")

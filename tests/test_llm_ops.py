@@ -393,6 +393,39 @@ def test_repetition_stats_matches_native(spark):
             assert getattr(nat[k], f) == getattr(fus[k], f), \
                 (k, f, nat[k], fus[k])
 
+    # restructure=(w,l): in-kernel rebuild == the HOF rebuild chain
+    toks = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(2)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "))
+    nparas = F.ceil(F.size(lines) / F.lit(4)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nparas - 1),
+        lambda j: F.array_join(F.slice(lines, j * 4 + 1, 4), "\n"))
+    structured = F.when(F.size(toks) > 0,
+                        F.array_join(paras, "\n\n")).otherwise(F.lit(""))
+    nat2 = df.select("doc_id", structured.alias("t2")).select(
+        "doc_id", text.repetition_stats("t2").alias("m")).select(
+        "doc_id", F.col("m.dup_line_frac").alias("a"),
+        F.col("m.dup_line_char_frac").alias("b"),
+        F.col("m.dup_para_frac").alias("c"),
+        F.col("m.dup_para_char_frac").alias("d"))
+    fus2 = df.select(
+        "doc_id",
+        text.repetition_stats("text", restructure=(2, 4)).alias("m")
+    ).select(
+        "doc_id", F.col("m.dup_line_frac").alias("a"),
+        F.col("m.dup_line_char_frac").alias("b"),
+        F.col("m.dup_para_frac").alias("c"),
+        F.col("m.dup_para_char_frac").alias("d"))
+    n2 = {r.doc_id: r for r in nat2.collect()}
+    f2 = {r.doc_id: r for r in fus2.collect()}
+    for k in n2:
+        for f in "abcd":
+            assert getattr(n2[k], f) == getattr(f2[k], f), \
+                (k, f, n2[k], f2[k])
+
 
 def test_gopher_symbol_alpha_lines(spark):
     rows = spark.createDataFrame(
